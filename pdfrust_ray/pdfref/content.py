@@ -1,0 +1,386 @@
+"""Content-stream interpreter and text assembly.
+
+Pins /root/reference/src/content.rs:
+  - operand tokens buffer until an operator keyword arrives; inline
+    dictionaries are skipped to DictEnd (content.rs:234-241); unknown
+    operators are logged-and-ignored WITHOUT clearing the operand
+    buffer (content.rs:624-628) — quirk kept; non-operand tokens
+    (comments, stray DictEnd, stream keywords) panic
+    (content.rs:630).
+  - graphics/text state per content.rs:637-717 (th defaults to
+    Real(1.0), tc/tw/tl Integer(0)); q/Q push/pop (pop on empty
+    panics); BT resets Tm/Tlm to identity (content.rs:171-173).
+  - Td premultiplies a translation into Tlm then copies to Tm
+    (content.rs:179-183); TD sets tl = -ty first (content.rs:185-188);
+    T* = Td(0, tl) (content.rs:218-220); Td with arity != 2 is
+    skipped (content.rs:506-509).
+  - text assembly (content.rs:719-952):
+      * "\\n" emitted iff Tm.ty (f32) changed since the previous show
+        op (content.rs:747-750, 777-781);
+      * Tj pushes raw bytes as chars with NO CMap lookup
+        (content.rs:752-765); Tj requires buf[0] to be a literal
+        string (content.rs:589-592);
+      * TJ with a CMap assembles 1- or 2-byte codes, missing code
+        panics (content.rs:800-803); without a CMap, bytes as chars;
+      * advance math: tx = (w0*tfs + tc [+ tw if code byte == b' '])
+        * th; Tm = translate(tx,0) * Tm (content.rs:818-855); width
+        lookup uses the HIGH byte of a 2-byte code (content.rs:818);
+      * kerning numbers translate by -tj/1000*tfs*th and insert NO
+        space (the heuristic is commented out, content.rs:929-942);
+      * fonts resolved per show op; missing font name or no Tf panics
+        (content.rs:738-744);
+      * final output trims leading '\\n' and ' ' only
+        (content.rs:950).
+  - chars mode emits "{char:?}, {subtype:?}, {basefont:?}, {tm}\\n"
+    per glyph (content.rs:753-761, 805-813) with Rust Debug/Display
+    formatting.
+"""
+
+from __future__ import annotations
+
+from .errors import ParseError
+from .numbers import Matrix, Number, rust_char_debug, rust_str_debug
+from .tokenizer import (
+    ARR_BEGIN,
+    ARR_END,
+    DICT_BEGIN,
+    DICT_END,
+    HEX,
+    LIT,
+    NAME,
+    NUM,
+    STR,
+    Tokenizer,
+)
+
+_SPACE = 0x20
+
+
+class TextState:
+    __slots__ = ("tc", "tw", "th", "tl", "tf", "tfs", "tmode")
+
+    def __init__(self):
+        self.tc = Number.int(0)
+        self.tw = Number.int(0)
+        self.th = Number.real(1.0)
+        self.tl = Number.int(0)
+        self.tf = None
+        self.tfs = None
+        self.tmode = Number.int(0)
+
+    def copy(self):
+        s = TextState.__new__(TextState)
+        s.tc, s.tw, s.th, s.tl, s.tf, s.tfs, s.tmode = (
+            self.tc,
+            self.tw,
+            self.th,
+            self.tl,
+            self.tf,
+            self.tfs,
+            self.tmode,
+        )
+        return s
+
+
+class GraphicsState:
+    __slots__ = ("ctm", "text_state", "line_width", "line_cap", "flatness")
+
+    def __init__(self):
+        self.ctm = Matrix()
+        self.text_state = TextState()
+        self.line_width = Number.real(1.0)
+        self.line_cap = Number.int(0)
+        self.flatness = Number.real(1.0)
+
+    def copy(self):
+        g = GraphicsState.__new__(GraphicsState)
+        g.ctm = self.ctm
+        g.text_state = self.text_state.copy()
+        g.line_width = self.line_width
+        g.line_cap = self.line_cap
+        g.flatness = self.flatness
+        return g
+
+
+class TextContent:
+    """Interpreter state + the get_text() reduction."""
+
+    def __init__(self, content_bytes: bytes, resources):
+        self.resources = resources
+        self.tok = Tokenizer(content_bytes, 0)
+        self.gs = GraphicsState()
+        self.gs_stack: list[GraphicsState] = []
+        self.tm = Matrix()
+        self.tlm = Matrix()
+
+    # --- state processors (content.rs:122-221) ---
+    def _process_td(self, tx: Number, ty: Number):
+        self.tlm = Matrix(1.0, 0.0, 0.0, 1.0, tx.as_f32(), ty.as_f32()) * self.tlm
+        self.tm = self.tlm
+
+    def _need_num(self, buf, i, op):
+        if i >= len(buf):
+            raise ParseError("Content", f"missing operand {i} for operator {op}")
+        t = buf[i]
+        if t[0] != NUM:
+            raise ParseError("Content", f"Operand {t!r} is not allowed with operator {op}")
+        return t[1]
+
+    def _need_name(self, buf, i, op):
+        if i >= len(buf):
+            raise ParseError("Content", f"missing operand {i} for operator {op}")
+        t = buf[i]
+        if t[0] != NAME:
+            raise ParseError("Content", f"Operand {t!r} is not allowed with operator {op}")
+        return t[1]
+
+    def next_instruction(self):
+        """One GraphicsInstruction, or None at end (content.rs:223-635)."""
+        buf = []
+        while True:
+            t = self.tok.next()
+            if t is None:
+                return None
+            kind = t[0]
+            if kind in (LIT, NAME, ARR_BEGIN, ARR_END, HEX, NUM):
+                buf.append(t)
+                continue
+            if kind == DICT_BEGIN:
+                while True:
+                    t2 = self.tok.next()
+                    if t2 is None or t2[0] == DICT_END:
+                        break
+                continue
+            if kind != STR:
+                raise ParseError(
+                    "Content", f"Pdf token {t!r} has no mapping implemented to ContentStream"
+                )
+            op = t[1]
+            if op == b"q":
+                self.gs_stack.append(self.gs.copy())
+                return ("q",)
+            if op == b"Q":
+                if not self.gs_stack:
+                    raise ParseError("Content", "Unable to restore graphic state from empty stack")
+                self.gs = self.gs_stack.pop()
+                return ("Q",)
+            if op == b"cm":
+                vals = [self._need_num(buf, i, "re") for i in range(6)]
+                self.gs.ctm = Matrix(*(v.as_f32() for v in vals))
+                return ("cm",)
+            if op == b"w":
+                self.gs.line_width = self._need_num(buf, 0, "J")
+                return ("w",)
+            if op == b"J":
+                self.gs.line_cap = self._need_num(buf, 0, "J")
+                return ("J",)
+            if op == b"d":
+                if not buf or buf[0][0] != ARR_BEGIN:
+                    raise ParseError("Content", "First operand is not allowed for operator d")
+                return ("d",)
+            if op == b"i":
+                self.gs.flatness = self._need_num(buf, 0, "re")
+                return ("i",)
+            if op == b"gs":
+                self._need_name(buf, 0, "gs")
+                return ("gs",)
+            if op == b"m":
+                self._need_num(buf, 0, "re")
+                self._need_num(buf, 1, "re")
+                return ("m",)
+            if op == b"l":
+                self._need_num(buf, 0, "re")
+                self._need_num(buf, 1, "re")
+                return ("l",)
+            if op == b"c":
+                for i in range(6):
+                    self._need_num(buf, i, "Tm")
+                return ("c",)
+            if op == b"h":
+                return ("h",)
+            if op == b"re":
+                for i in range(4):
+                    self._need_num(buf, i, "re")
+                return ("re",)
+            if op in (b"W", b"W*", b"S", b"f", b"f*", b"n"):
+                return (op.decode(),)
+            if op == b"cs":
+                self._need_name(buf, 0, "cs")
+                return ("cs",)
+            if op == b"sc":
+                self._need_num(buf, 0, "cs")
+                return ("sc",)
+            if op in (b"G", b"g"):
+                self._need_num(buf, 0, "G")
+                return (op.decode(),)
+            if op in (b"RG", b"rg"):
+                for i in range(3):
+                    self._need_num(buf, i, "rg")
+                return (op.decode(),)
+            if op == b"BT":
+                self.tm = Matrix()
+                self.tlm = Matrix()
+                return ("BT",)
+            if op == b"ET":
+                return ("ET",)
+            if op == b"TD":
+                tx = self._need_num(buf, 0, "TD")
+                ty = self._need_num(buf, 1, "TD")
+                self.gs.text_state.tl = -ty
+                self._process_td(tx, ty)
+                return ("TD",)
+            if op == b"Td":
+                if len(buf) != 2:
+                    return self.next_instruction()  # content.rs:506-509
+                tx = self._need_num(buf, 0, "TD")
+                ty = self._need_num(buf, 1, "TD")
+                self._process_td(tx, ty)
+                return ("Td",)
+            if op == b"Tc":
+                self.gs.text_state.tc = self._need_num(buf, 0, "TD")
+                return ("Tc",)
+            if op == b"Tf":
+                font = self._need_name(buf, 0, "TD")
+                size = self._need_num(buf, 1, "TD")
+                self.gs.text_state.tf = font
+                self.gs.text_state.tfs = size
+                return ("Tf",)
+            if op == b"Tr":
+                self.gs.text_state.tmode = self._need_num(buf, 0, "Tr")
+                return ("Tr",)
+            if op == b"Tm":
+                vals = [self._need_num(buf, i, "Tm") for i in range(6)]
+                comps = tuple(v.as_f32() for v in vals)
+                self.tm = Matrix(*comps)
+                self.tlm = Matrix(*comps)
+                return ("Tm",)
+            if op == b"T*":
+                self._process_td(Number.int(0), self.gs.text_state.tl)
+                return ("T*",)
+            if op == b"Tj":
+                if not buf:
+                    raise ParseError("Content", "missing operand for operator Tj")
+                if buf[0][0] != LIT:
+                    raise ParseError(
+                        "Content", f"Operand {buf[0]!r} is not allowed with operator Tj"
+                    )
+                return ("Tj", buf[0][1])
+            if op == b"TJ":
+                items = []
+                for tk in buf:
+                    if tk[0] in (LIT, HEX):
+                        items.append(("text", tk[1]))
+                    elif tk[0] == NUM:
+                        items.append(("pos", tk[1]))
+                return ("TJ", items)
+            if op == b"Do":
+                self._need_name(buf, 0, "Do")
+                return ("Do",)
+            if op in (b"BDC", b"BMC", b"EMC"):
+                return (op.decode(),)
+            # unknown operator: logged and ignored, buf KEPT (content.rs:624-628)
+            continue
+
+    # --- text assembly (content.rs:732-951) ---
+    def _font(self):
+        ts = self.gs.text_state
+        if ts.tf is None:
+            raise ParseError("Content", "Text state should have a font set")
+        fm = self.resources.font
+        if fm is None:
+            raise ParseError("Content", f"Fontmap does not contains the font name {ts.tf!r}")
+        font = fm.fonts.get(ts.tf)
+        if font is None:
+            raise ParseError("Content", f"font {ts.tf!r} not in fontmap")
+        return font
+
+    def _tfs(self):
+        tfs = self.gs.text_state.tfs
+        if tfs is None:
+            raise ParseError("Content", "Font size should be set before painting a glyph")
+        return tfs
+
+    def _advance(self, font, code_byte: int):
+        """Glyph advance (content.rs:818-855 / 874-910)."""
+        w0 = font.get_width(code_byte)
+        if w0 is None:
+            w0 = Number.real(0.0)
+        ts = self.gs.text_state
+        tfs = self._tfs()
+        tx = w0 * tfs + ts.tc
+        if code_byte == _SPACE:
+            tx = tx + ts.tw
+        tx = tx * ts.th
+        self.tm = Matrix(1.0, 0.0, 0.0, 1.0, tx.as_f32(), 0.0) * self.tm
+
+    def _char_line(self, ch: str, font) -> str:
+        return (
+            f"{rust_char_debug(ch)}, {rust_str_debug(font.subtype)}, "
+            f"{rust_str_debug(font.base_font)}, {self.tm.rust_display()}\n"
+        )
+
+    def get_text(self, display_char: bool) -> str:
+        out = []
+        tm_prev_ty = self.tm.get_ty()
+        while True:
+            ins = self.next_instruction()
+            if ins is None:
+                break
+            kind = ins[0]
+            if kind == "Tj":
+                font = self._font()
+                if self.tm.get_ty() != tm_prev_ty:
+                    out.append("\n")
+                tm_prev_ty = self.tm.get_ty()
+                text = ins[1]
+                if display_char:
+                    for c in text:
+                        out.append(self._char_line(chr(c), font))
+                else:
+                    out.append(text.decode("latin-1"))  # c as char, no CMap (content.rs:752-765)
+            elif kind == "TJ":
+                font = self._font()
+                if self.tm.get_ty() != tm_prev_ty:
+                    out.append("\n")
+                tm_prev_ty = self.tm.get_ty()
+                cmap = font.to_unicode
+                for item_kind, val in ins[1]:
+                    if item_kind == "text":
+                        if cmap is not None:
+                            it = iter(val)
+                            for c in it:
+                                if cmap.is_two_bytes:
+                                    try:
+                                        lo = next(it)
+                                    except StopIteration:
+                                        raise ParseError("Content", "odd bytes for two-byte CMap")
+                                    char_idx = c * 256 + lo
+                                else:
+                                    char_idx = c
+                                ch = cmap.cmap.get(char_idx)
+                                if ch is None:
+                                    raise ParseError(
+                                        "CMapMiss",
+                                        f"CMap does not contain a char with idx {char_idx}",
+                                    )
+                                if display_char:
+                                    out.append(self._char_line(ch, font))
+                                else:
+                                    out.append(ch)
+                                self._advance(font, c)
+                        else:
+                            for c in val:
+                                if display_char:
+                                    out.append(self._char_line(chr(c), font))
+                                else:
+                                    out.append(chr(c))
+                                self._advance(font, c)
+                    else:  # kerning number (content.rs:916-943)
+                        tj = val
+                        tfs = self._tfs()
+                        th = self.gs.text_state.th
+                        tx = -tj / Number.real(1000.0) * tfs * th
+                        self.tm = Matrix(1.0, 0.0, 0.0, 1.0, tx.as_f32(), 0.0) * self.tm
+            # all other instructions contribute no text (content.rs:947)
+        s = "".join(out)
+        return s.lstrip("\n ")

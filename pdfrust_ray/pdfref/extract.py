@@ -1,0 +1,125 @@
+"""Top-level document extraction entry points.
+
+Pins /root/reference/src/lib.rs + src/main.rs:
+  - Pdf::from(Vec<u8>): trim ASCII whitespace, require trailing
+    "%%EOF" (lib.rs:63-67), locate `startxref` in the ORIGINAL bytes
+    (lib.rs:68) but parse the xref against the TRIMMED bytes
+    (lib.rs:69); object parsing then uses the ORIGINAL bytes
+    (lib.rs:70, `file: value`).
+  - Pdf::extract: catalog offset from the xref, Catalog parse, extract
+    per mode (lib.rs:75-80); modes Text/Chars/Font/RawContent
+    (lib.rs:16-21 / main.rs:20-26).
+  - Info metadata reader (src/info.rs:23-75): library-only in the
+    reference (never called by the CLI) — exposed as extract_info.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .body import Catalog, DocCtx
+from .errors import ParseError
+from .objects import HexString, PdfString, object_at
+from .xref import parse_xref, startxref
+
+# Rust trim_ascii / u8::is_ascii_whitespace: space, \t, \n, \x0C, \r (no \x0B)
+_ASCII_WS = b"\t\n\x0c\r "
+
+MODES = ("text", "chars", "font", "raw-content")
+
+
+@dataclass
+class Extracted:
+    text: str
+    n_pages: int
+    bytes_len: int
+
+
+class LruCache:
+    """Tiny LRU used by actors for cross-payload CMap reuse."""
+
+    __slots__ = ("cap", "d")
+
+    def __init__(self, cap: int = 256):
+        self.cap = cap
+        self.d = {}
+
+    def get(self, key):
+        v = self.d.pop(key, None)
+        if v is not None:
+            self.d[key] = v
+        return v
+
+    def put(self, key, value):
+        if key in self.d:
+            self.d.pop(key)
+        elif len(self.d) >= self.cap:
+            self.d.pop(next(iter(self.d)))
+        self.d[key] = value
+
+
+def _load(data: bytes, cmap_cache=None) -> tuple[DocCtx, object]:
+    trimmed = data.strip(_ASCII_WS)
+    if len(trimmed) < 5 or trimmed[-5:] != b"%%EOF":
+        raise ParseError("Eof", "PDF file is corrupted; not consistent trailing charaters")
+    sx = startxref(data)
+    xref = parse_xref(trimmed, sx)
+    # object parsing uses the original bytes (lib.rs:70); offsets refer to
+    # the trimmed buffer, so any leading whitespace triggers the repair scan
+    ctx = DocCtx(data, xref, cmap_cache)
+    return ctx, xref
+
+
+def extract(data: bytes, mode: str = "text", cmap_cache=None) -> Extracted:
+    """Full-document extraction, reference-equivalent.
+
+    Raises ParseError wherever the reference would panic.
+    """
+    if mode not in MODES:
+        raise ParseError("Mode", f"unknown mode {mode!r}")
+    ctx, xref = _load(data, cmap_cache)
+    offset = xref.get_catalog_offset()
+    if offset is None:
+        raise ParseError("Catalog", "catalog offset not found")
+    obj = object_at(ctx.data, offset, xref)
+    if not isinstance(obj, dict):
+        raise ParseError("Catalog", f"Catalog should be a dictionary, found {obj!r}")
+    catalog = Catalog(obj, ctx)
+    text = catalog.extract(mode)
+    return Extracted(text=text, n_pages=catalog.n_pages(), bytes_len=len(data))
+
+
+def extract_info(data: bytes) -> dict:
+    """Trailer Info dict reader (info.rs:23-75)."""
+    ctx, xref = _load(data)
+    info_key = getattr(xref, "info", None)
+    if info_key is None:
+        raise ParseError("Info", "trailer has no Info")
+    addr = xref.get_and_fix(info_key, ctx.data)
+    if addr is None:
+        raise ParseError("Info", "Info object not found")
+    d = object_at(ctx.data, addr, xref)
+    if not isinstance(d, dict):
+        raise ParseError("Info", "Trailer should be a dictionary")
+    out = {}
+    for field, key in (
+        ("title", "Title"),
+        ("author", "Author"),
+        ("creator", "Creator"),
+        ("producer", "Producer"),
+        ("creation_date", "CreationDate"),
+        ("mod_date", "ModDate"),
+    ):
+        v = d.get(key)
+        if v is None:
+            out[field] = None
+        elif isinstance(v, PdfString):
+            out[field] = str(v)
+        elif isinstance(v, HexString) and key in ("Creator", "Producer"):
+            try:
+                out[field] = v.decode("utf-8")
+            except UnicodeDecodeError:
+                out[field] = ""  # info.rs:47-50
+        else:
+            raise ParseError("Info", f"{key} should be a string")
+    return out

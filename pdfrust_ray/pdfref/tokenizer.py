@@ -1,0 +1,325 @@
+"""PDF byte tokenizer + lemmatizer.
+
+Pins /root/reference/src/tokenizer.rs:
+  - byte classes: NUL/TAB/LF/FF/CR/SPACE are whitespace, ()<>[]{}/% are
+    delimiters, everything else regular (tokenizer.rs:74-90).
+  - comments read to CR/LF (tokenizer.rs:211-224); dict begin/end on
+    "<<"/">>"; hexstrings with odd-length '0' padding
+    (tokenizer.rs:248-250); a lone '>' not followed by '>' is silently
+    skipped (tokenizer.rs:262-269); '{'/'}' panic (tokenizer.rs:272).
+  - literal strings: nested parens tracked on the RAW chars (escaped
+    parens don't count), escapes per table 3.2 with the reference's
+    octal quirk `(c*8)+d*8+e` i.e. 8c+8d+e, NOT 64c+8d+e
+    (tokenizer.rs:313-321); a trailing lone backslash is dropped.
+  - regular tokens: first byte arbitrary, subsequent bytes must be
+    digits or '.' for the token to stay numeric; parse i32 then f32
+    (tokenizer.rs:334-360); keywords stream/endstream/endobj
+    (tokenizer.rs:361-366).
+  - Lemmatizer folds "a b R" -> IndirectRef and "a b obj" -> ObjBegin
+    with a cloned-tokenizer lookahead, skips comments, and — quirk —
+    returns end-of-stream when it sees `int int <other-keyword>`
+    (tokenizer.rs:119-157: the `_ => ()` fall-through reaches the
+    trailing `None`).
+"""
+
+from __future__ import annotations
+
+from .errors import ParseError
+from .numbers import Number, parse_numeric
+
+# token kinds
+NUM = 0
+STR = 1  # bare keyword, bytes
+LIT = 2  # literal string, bytes
+HEX = 3  # hex string, decoded bytes
+NAME = 4  # name, str
+COMMENT = 5
+REF = 6  # (obj, gen)
+DICT_BEGIN = 7
+DICT_END = 8
+ARR_BEGIN = 9
+ARR_END = 10
+STREAM_BEGIN = 11
+STREAM_END = 12
+OBJ_BEGIN = 13
+OBJ_END = 14
+
+KIND_NAMES = {
+    NUM: "Numeric",
+    STR: "String",
+    LIT: "LitteralString",
+    HEX: "HexString",
+    NAME: "Name",
+    COMMENT: "Comment",
+    REF: "IndirectRef",
+    DICT_BEGIN: "DictBegin",
+    DICT_END: "DictEnd",
+    ARR_BEGIN: "ArrayBegin",
+    ARR_END: "ArrayEnd",
+    STREAM_BEGIN: "StreamBegin",
+    STREAM_END: "StreamEnd",
+    OBJ_BEGIN: "ObjBegin",
+    OBJ_END: "ObjEnd",
+}
+
+_WS = frozenset((0, 9, 10, 12, 13, 32))
+_DELIM = frozenset(b"()<>[]{}/%")
+_HEXDIGITS = frozenset(b"0123456789ABCDEFabcdef")
+_DIGITS = frozenset(b"0123456789")
+_NUMCHARS = frozenset(b"0123456789.")
+
+
+class Tokenizer:
+    """Byte-stream tokenizer over `bytes`, starting at `pos`.
+
+    State is a single index, so the reference's iterator clone
+    (tokenizer.rs:126) is a cheap position copy.
+    """
+
+    __slots__ = ("bytes", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.bytes = data
+        self.pos = pos
+
+    def clone(self) -> "Tokenizer":
+        return Tokenizer(self.bytes, self.pos)
+
+    def next_n(self, length: int) -> bytes:
+        """Skip whitespace, then peek exactly `length` bytes (no consume)
+        — tokenizer.rs:173-185 (the reference clones the iterator)."""
+        b = self.bytes
+        n = len(b)
+        i = self.pos
+        while True:
+            if i >= n:
+                raise ParseError("Tokenize", "End of stream reached")
+            if b[i] in _WS:
+                i += 1
+            else:
+                break
+        self.pos = i
+        return bytes(b[i : i + length])
+
+    def next(self):
+        """Return the next token as (kind, value) or None at EOF."""
+        b = self.bytes
+        n = len(b)
+        i = self.pos
+        while i < n:
+            c = b[i]
+            i += 1
+            if c in _WS:
+                continue
+            if c == 0x25:  # '%' comment
+                buf = bytearray()
+                while i < n:
+                    c2 = b[i]
+                    if c2 == 13 or c2 == 10:
+                        break
+                    buf.append(c2)
+                    i += 1
+                self.pos = i
+                return (COMMENT, bytes(buf))
+            if c == 0x3C:  # '<'
+                if i < n and b[i] == 0x3C:
+                    self.pos = i + 1
+                    return (DICT_BEGIN, None)
+                if i < n and b[i] in _HEXDIGITS:
+                    start = i
+                    while True:
+                        if i >= n:
+                            self.pos = i
+                            return None  # tokenizer.rs:244 returns None at EOF
+                        c2 = b[i]
+                        i += 1
+                        if c2 == 0x3E:  # '>'
+                            break
+                    raw = b[start : i - 1]
+                    s = raw.decode("latin-1")
+                    if len(s) % 2 == 1:
+                        s += "0"
+                    # strict pair parse: any non-hex byte (incl. whitespace)
+                    # panics in the reference (tokenizer.rs:253-256 unwrap)
+                    if not all(ch in "0123456789abcdefABCDEF" for ch in s):
+                        raise ParseError("Tokenize", f"bad hexstring {s!r}")
+                    decoded = bytes.fromhex(s)
+                    self.pos = i
+                    return (HEX, decoded)
+                if i < n:
+                    raise ParseError(
+                        "Tokenize",
+                        f"Character {b[i]} is not interpreted as hexstring",
+                    )
+                raise ParseError("Tokenize", "No character following '<'")
+            if c == 0x3E:  # '>'
+                if i < n and b[i] == 0x3E:
+                    self.pos = i + 1
+                    return (DICT_END, None)
+                if i < n:
+                    continue  # silently skipped (tokenizer.rs:267)
+                raise ParseError("Tokenize", "Reached end of stream before end of litteral")
+            if c == 0x5B:  # '['
+                self.pos = i
+                return (ARR_BEGIN, None)
+            if c == 0x5D:  # ']'
+                self.pos = i
+                return (ARR_END, None)
+            if c == 0x7B or c == 0x7D:  # '{' '}'
+                raise ParseError("Tokenize", f"Character {chr(c)} is not covered")
+            if c == 0x2F:  # '/' name
+                start = i
+                while i < n:
+                    c2 = b[i]
+                    if c2 in _WS or c2 in _DELIM:
+                        break
+                    i += 1
+                self.pos = i
+                return (NAME, b[start:i].decode("latin-1"))
+            if c == 0x28:  # '(' literal string
+                buf = bytearray()
+                opened, closed = 1, 0
+                while i < n:
+                    cur = b[i]
+                    i += 1
+                    if cur == 0x28:
+                        opened += 1
+                    elif cur == 0x29:
+                        closed += 1
+                        if opened == closed:
+                            break
+                    if opened == closed:
+                        break
+                    if cur == 0x5C:  # backslash escape
+                        if i >= n:
+                            continue
+                        e = b[i]
+                        i += 1
+                        if e == 0x6E:  # n
+                            buf.append(10)
+                        elif e == 0x72:  # r
+                            buf.append(13)
+                        elif e == 0x74:  # t
+                            buf.append(9)
+                        elif e == 0x62:  # b
+                            buf.append(8)
+                        elif e == 0x66:  # f
+                            buf.append(12)
+                        elif e in (0x5C, 0x28, 0x29):
+                            buf.append(e)
+                        elif 0x30 <= e <= 0x39:
+                            # reference octal quirk: ((c*8)+d*8)+e (tokenizer.rs:313-321)
+                            if i + 1 >= n:
+                                raise ParseError("Tokenize", "truncated octal escape")
+                            d2, e2 = b[i], b[i + 1]
+                            i += 2
+                            if d2 not in _DIGITS or e2 not in _DIGITS:
+                                raise ParseError("Tokenize", "bad octal digit")
+                            buf.append(
+                                ((e - 0x30) * 8 + (d2 - 0x30) * 8 + (e2 - 0x30)) & 0xFF
+                            )
+                        else:
+                            buf.append(e)
+                    else:
+                        buf.append(cur)
+                self.pos = i
+                return (LIT, bytes(buf))
+            if c == 0x29:  # ')' unbalanced close outside a string
+                # CharacterSet::Delimiter(String) with c==')' enters the
+                # literal-string loop with opened=1,closed=0 in the
+                # reference too (tokenizer.rs:287-331); it behaves like an
+                # unterminated string scan. Keep identical behavior.
+                buf = bytearray()
+                opened, closed = 1, 0
+                while i < n:
+                    cur = b[i]
+                    i += 1
+                    if cur == 0x28:
+                        opened += 1
+                    elif cur == 0x29:
+                        closed += 1
+                        if opened == closed:
+                            break
+                    if opened == closed:
+                        break
+                    buf.append(cur)
+                self.pos = i
+                return (LIT, bytes(buf))
+            # regular token
+            start = i - 1
+            is_numeric = True
+            while i < n:
+                c2 = b[i]
+                if c2 in _WS or c2 in _DELIM:
+                    break
+                if c2 not in _NUMCHARS:
+                    is_numeric = False
+                i += 1
+            raw = b[start:i]
+            self.pos = i
+            if is_numeric:
+                num = parse_numeric(raw.decode("latin-1"))
+                if num is not None:
+                    return (NUM, num)
+            if raw == b"stream":
+                return (STREAM_BEGIN, None)
+            if raw == b"endstream":
+                return (STREAM_END, None)
+            if raw == b"endobj":
+                return (OBJ_END, None)
+            return (STR, bytes(raw))
+        self.pos = i
+        return None
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        t = self.next()
+        if t is None:
+            raise StopIteration
+        return t
+
+
+class Lemmatizer:
+    """Tokenizer wrapper folding indirect refs / obj headers — tokenizer.rs:92-157."""
+
+    __slots__ = ("tokenizer", "xref")
+
+    def __init__(self, data: bytes, pos: int, xref):
+        self.tokenizer = Tokenizer(data, pos)
+        self.xref = xref
+
+    @property
+    def bytes(self):
+        return self.tokenizer.bytes
+
+    def next_n(self, length: int) -> bytes:
+        return self.tokenizer.next_n(length)
+
+    def next(self):
+        while True:
+            t = self.tokenizer.next()
+            if t is None:
+                return None
+            kind = t[0]
+            if kind == COMMENT:
+                continue  # skip to next token (tokenizer.rs:151)
+            if kind == NUM and t[1].is_int:
+                look = self.tokenizer.clone()
+                t2 = look.next()
+                if t2 is not None and t2[0] == NUM and t2[1].is_int:
+                    t3 = look.next()
+                    if t3 is not None and t3[0] == STR:
+                        if t3[1] == b"R":
+                            self.tokenizer.pos = look.pos
+                            return (REF, (t[1].val, t2[1].val))
+                        if t3[1] == b"obj":
+                            self.tokenizer.pos = look.pos
+                            return (OBJ_BEGIN, None)
+                        # reference quirk: `int int <keyword>` falls through
+                        # to the trailing None (tokenizer.rs:155)
+                        return None
+                    return t
+                return t
+            return t
