@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline transcript-extraction pipeline over the
+synthetic corpus scaled to $GRAFT_SF_DIR (default /root/testdata/sf0.1
+-> the 100k-row "bench" fixture corpus; the graft input table is
+synthesized deterministically per FIXTURES.md), plus a set of secondary
+operator pipelines over the actual testdata tables, and prints ONE JSON
+line:
+
+  {"metric": "extract_pipeline_wall", "value": <sec>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N,
+   "turns_per_sec": ..., "rows": ...}
+
+--scaling: re-runs this script in two fresh processes with
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both throughputs
+plus the scaling efficiency (sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _scale_for(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}.get(base, "bench")
+
+
+def main() -> dict:
+    os.environ.setdefault("PYTHONPATH", REPO)
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from pdfrust_ray.fixtures.corpus import ensure_corpus
+    from pdfrust_ray.pipelines.extract_pipeline import run_extraction
+
+    scale = _scale_for(SF_DIR)
+    fix_dir = ensure_corpus(scale, golden=(scale != "bench"))
+
+    # warm the page cache (untimed read of the input shards)
+    import glob
+
+    for p in glob.glob(os.path.join(fix_dir, "shards", "*.parquet")):
+        with open(p, "rb") as f:
+            f.read()
+
+    out_dir = f"/tmp/bench_out_{scale}_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pool = max(2, NUM_CPUS - 2)
+    t0 = time.perf_counter()
+    metrics = run_extraction(
+        fix_dir,
+        out_dir,
+        group_size=10_000,  # single group: one streaming pipeline
+        batch_size=64,
+        concurrency=pool,
+        resume=False,
+    )
+    headline = time.perf_counter() - t0
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        try:
+            fn()
+            queries[name] = round(time.perf_counter() - t, 3)
+        except Exception as exc:  # record failures without killing bench
+            queries[name] = -1.0
+            print(f"# bench query {name} failed: {exc}", file=sys.stderr)
+
+    from pdfrust_ray.pipelines import relational as rel
+    from pdfrust_ray.pipelines import textops
+    from pdfrust_ray.stages import dedup, similarity
+
+    timed("exact_dedup", lambda: dedup.exact_dedup(SF_DIR).to_pandas())
+    timed("token_counts", lambda: textops.token_counts(SF_DIR))
+    timed("ann_topk", lambda: similarity.brute_force_topk(SF_DIR))
+    timed("minhash_dedup", lambda: dedup.minhash_lsh_dedup(SF_DIR))
+    timed("lineitem_agg", lambda: rel.lineitem_agg(SF_DIR))
+    timed("events_hourly", lambda: rel.events_hourly(SF_DIR))
+
+    result = {
+        "metric": "extract_pipeline_wall",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": metrics["rows"],
+        "turns_per_sec": metrics["turns_per_sec"],
+        "rows_error": metrics["rows_error"],
+        "bytes_decoded": metrics["bytes_decoded"],
+    }
+    ray.shutdown()
+    return result
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tp_lo = r_lo["turns_per_sec"]
+    tp_hi = r_hi["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo) if tp_lo else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "num_cpus_lo": lo,
+                "num_cpus_hi": hi,
+                "turns_per_sec_lo": tp_lo,
+                "turns_per_sec_hi": tp_hi,
+                "wall_sec_lo": r_lo["value"],
+                "wall_sec_hi": r_hi["value"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        print(json.dumps(main()))

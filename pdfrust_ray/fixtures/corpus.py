@@ -1,0 +1,255 @@
+"""Deterministic synthetic transcript corpus + frozen goldens.
+
+Generates the graft input table (BASELINE.json `input_hint` schema):
+  conv_id:string, turn_idx:int32, role:string, text:string,
+  tool:string, ts:timestamp[us]
+
+sharded across many Parquet files with turns deliberately scattered
+across shards (so the engine's ordering shuffle is exercised), plus a
+`golden.parquet` computed SERIALLY with the same row semantics the
+pipeline uses (pdfrust_ray.functions.payload.extract_row) — the
+correctness gate compares pipeline output to it per (conv_id, turn_idx).
+
+Everything is a pure function of (scale, SEED): no wall clock, no
+unseeded RNG. Payload mix ~40% plain / 30% HTML / 30% PDF cycling the
+construct matrices in FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.payload import encode_pdf_payload, extract_row
+from .htmlgen import HTML_CONSTRUCTS
+from .pdfgen import PDF_CONSTRUCTS, pdf_stress
+
+SEED = 42
+# bump when any construct generator changes, so stale /tmp caches regenerate
+GENERATOR_VERSION = 2
+
+TRANSCRIPTS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+GOLDEN_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("payload_kind", pa.string()),
+        ("extracted_text", pa.large_string()),
+        ("parse_status", pa.string()),
+        ("n_pages", pa.int32()),
+        ("bytes_decoded", pa.int64()),
+        ("error", pa.string()),
+    ]
+)
+
+# scale -> (n_convs, turns_per_conv, n_shards, stress_every)
+SCALES = {
+    "t1": (20, 5, 1, 0),          # 100 rows, smoke
+    "t2": (200, 10, 8, 499),      # 2,000 rows, correctness gate
+    "bench": (5000, 20, 64, 9973),  # 100,000 rows, throughput
+}
+
+_PDF_IDS = sorted(PDF_CONSTRUCTS)
+_HTML_IDS = sorted(HTML_CONSTRUCTS)
+
+_PLAIN_TEMPLATES = [
+    "plain note {uid}: the quick brown fox jumps over the lazy dog.",
+    "user query {uid} about throughput and scaling of the pipeline.",
+    "assistant answer {uid} with some numbers: 1, 2.5, -3e4, and a URL http://example.com/x.",
+    "tool output {uid}\n  row1\trow2\n  done.",
+    "{uid} short",
+]
+
+
+def _h(s: str) -> int:
+    return struct.unpack("<Q", hashlib.md5(f"{SEED}:{s}".encode()).digest()[:8])[0]
+
+
+def _row(conv: int, turn: int) -> dict:
+    conv_id = f"conv-{conv:06d}"
+    uid = f"{conv_id}/{turn}"
+    sel = _h(f"kind:{uid}") % 10
+    if sel < 4:
+        kind = "plain"
+    elif sel < 7:
+        kind = "html"
+    else:
+        kind = "pdf"
+    if kind == "plain":
+        tpl = _PLAIN_TEMPLATES[_h(f"plain:{uid}") % len(_PLAIN_TEMPLATES)]
+        text = tpl.format(uid=uid)
+        tool = ""
+    elif kind == "html":
+        cid = _HTML_IDS[_h(f"html:{uid}") % len(_HTML_IDS)]
+        text = HTML_CONSTRUCTS[cid](uid)
+        tool = "browser"
+    else:
+        cid = _PDF_IDS[_h(f"pdf:{uid}") % len(_PDF_IDS)]
+        text = encode_pdf_payload(PDF_CONSTRUCTS[cid](uid))
+        tool = "pdf_render"
+    role = ("user", "assistant", "tool")[turn % 3 if tool else turn % 2]
+    # deterministic timestamp: 2025-01-01 epoch + spacing
+    ts_us = 1735689600_000000 + (conv * 3600 + turn * 60) * 1_000_000
+    return {
+        "conv_id": conv_id,
+        "turn_idx": turn,
+        "role": role,
+        "text": text,
+        "tool": tool,
+        "ts": ts_us,
+    }
+
+
+def generate_rows(scale: str):
+    n_convs, n_turns, _, stress_every = SCALES[scale]
+    i = 0
+    for conv in range(n_convs):
+        for turn in range(n_turns):
+            i += 1
+            if stress_every and i % stress_every == 0:
+                # oversized payload for skew handling (tracemonkey stand-in)
+                conv_id = f"conv-{conv:06d}"
+                uid = f"{conv_id}/{turn}"
+                row = _row(conv, turn)
+                row["text"] = encode_pdf_payload(pdf_stress(uid))
+                row["tool"] = "pdf_render"
+                yield row
+            else:
+                yield _row(conv, turn)
+
+
+def _marker_current(marker: str) -> bool:
+    if not os.path.exists(marker):
+        return False
+    try:
+        with open(marker) as f:
+            return json.load(f).get("generator_version") == GENERATOR_VERSION
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def default_dir(scale: str) -> str:
+    return f"/tmp/pdfrust_ray_fixtures/{scale}"
+
+
+MODES_CONSTRUCTS = ("pdf-hello", "pdf-cmap1", "pdf-tree")
+MODES = ("text", "chars", "font", "raw-content")
+
+
+def ensure_modes_fixture(base_dir: str | None = None) -> str:
+    """Small fixture pinning the chars/font/raw-content display formats
+    (FIXTURES.md §3 last paragraph): 3 constructs x 3 convs, goldens for
+    all four extract modes in golden_modes.parquet (keyed by `mode`)."""
+    base = base_dir or "/tmp/pdfrust_ray_fixtures/modes"
+    marker = os.path.join(base, "_COMPLETE.json")
+    if _marker_current(marker):
+        return base
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    rows = []
+    for c, conv in enumerate(range(3)):
+        conv_id = f"conv-{conv:06d}"
+        for t, cid in enumerate(MODES_CONSTRUCTS):
+            uid = f"{conv_id}/{t}"
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": "tool",
+                    "text": encode_pdf_payload(PDF_CONSTRUCTS[cid](uid)),
+                    "tool": "pdf_render",
+                    "ts": 1735689600_000000 + (conv * 3600 + t * 60) * 1_000_000,
+                }
+            )
+    table = pa.Table.from_pylist(rows, schema=TRANSCRIPTS_SCHEMA)
+    pq.write_table(table, os.path.join(shard_dir, "part-0000.parquet"))
+
+    golden_rows = []
+    for mode in MODES:
+        for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+            g = extract_row(r["text"], mode=mode)
+            golden_rows.append(
+                {
+                    "mode": mode,
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "extracted_text": g["extracted_text"],
+                    "parse_status": g["parse_status"],
+                }
+            )
+    gschema = pa.schema(
+        [
+            ("mode", pa.string()),
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("extracted_text", pa.large_string()),
+            ("parse_status", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pylist(golden_rows, schema=gschema), os.path.join(base, "golden_modes.parquet"))
+    with open(marker, "w") as f:
+        json.dump({"rows": len(rows), "modes": list(MODES), "seed": SEED,
+                   "generator_version": GENERATOR_VERSION}, f)
+    return base
+
+
+def ensure_corpus(scale: str, base_dir: str | None = None, golden: bool = True) -> str:
+    """Idempotently generate shards (+ golden) for `scale`; returns dir."""
+    base = base_dir or default_dir(scale)
+    marker = os.path.join(base, "_COMPLETE.json")
+    if _marker_current(marker):
+        return base
+    n_convs, n_turns, n_shards, _ = SCALES[scale]
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+
+    rows = list(generate_rows(scale))
+    # scatter turns across shards deterministically (NOT grouped by conv)
+    order = sorted(range(len(rows)), key=lambda i: _h(f"shard:{rows[i]['conv_id']}:{rows[i]['turn_idx']}"))
+    shards: list[list[dict]] = [[] for _ in range(n_shards)]
+    for pos, idx in enumerate(order):
+        shards[pos % n_shards].append(rows[idx])
+
+    for s, shard_rows in enumerate(shards):
+        table = pa.Table.from_pylist(
+            [
+                {**r, "ts": r["ts"]}
+                for r in shard_rows
+            ],
+            schema=TRANSCRIPTS_SCHEMA,
+        )
+        pq.write_table(table, os.path.join(shard_dir, f"part-{s:04d}.parquet"))
+
+    if golden:
+        out = []
+        for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+            g = extract_row(r["text"])
+            out.append(
+                {
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    **g,
+                }
+            )
+        gt = pa.Table.from_pylist(out, schema=GOLDEN_SCHEMA)
+        pq.write_table(gt, os.path.join(base, "golden.parquet"))
+
+    with open(marker, "w") as f:
+        json.dump({"scale": scale, "rows": len(rows), "shards": n_shards, "seed": SEED,
+                   "generator_version": GENERATOR_VERSION}, f)
+    return base

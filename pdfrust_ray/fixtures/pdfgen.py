@@ -1,0 +1,502 @@
+"""Deterministic synthetic PDF writer for the fixture construct matrix.
+
+Emits classic-xref PDFs exercising exactly the constructs the reference
+parses (see FIXTURES.md and the citations there): uncompressed and
+FlateDecode content streams, Length-as-indirect-ref, 1- and 2-byte
+ToUnicode CMaps (bfchar / incrementing bfrange / array bfrange,
+multi-code-unit values), kerned TJ arrays, Td/TD/T*/Tm line movement,
+octal/escape literal strings, odd-length hexstrings, multi-page trees,
+indirect Widths, broken xref offsets (repair scan), /Prev chains,
+parsed-and-ignored operator noise, and the error cases (missing CMap
+code, Tj before Tf, truncated file).
+
+Pure functions of (construct id, seed text) — no wall-clock, no RNG.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+class PdfBuilder:
+    """Minimal classic-xref PDF serializer."""
+
+    def __init__(self, version: str = "1.4"):
+        self.version = version
+        self.objects: list[bytes] = []  # body of object n+1
+
+    def add(self, body: bytes) -> int:
+        """Add an object; returns its 1-based object number."""
+        self.objects.append(body)
+        return len(self.objects)
+
+    def add_stream(self, header_extra: str, data: bytes, compress: bool = False,
+                   length_ref: int | None = None) -> int:
+        if compress:
+            data = zlib.compress(data, 6)
+            header_extra += " /Filter /FlateDecode"
+        if length_ref is not None:
+            header = f"<< /Length {length_ref} 0 R{header_extra} >>"
+        else:
+            header = f"<< /Length {len(data)}{header_extra} >>"
+        body = header.encode("latin-1") + b"\nstream\n" + data + b"\nendstream"
+        return self.add(body)
+
+    def build(self, root: int, offset_skew: int = 0, prev_sections: int = 0) -> bytes:
+        """Serialize. offset_skew != 0 corrupts recorded xref offsets to
+        exercise the repair scan; prev_sections > 0 splits the xref into
+        a /Prev chain (the top section re-lists the first object only).
+        """
+        out = bytearray()
+        out += f"%PDF-{self.version}\n".encode()
+        offsets = []
+        for i, body in enumerate(self.objects, start=1):
+            out += b"\n"
+            offsets.append(len(out))
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+
+        n = len(self.objects)
+
+        def entry(off):
+            return f"{off:010d} 00000 n \n".encode()
+
+        def xref_section(start, count, first_free, trailer_extra, at):
+            sec = bytearray()
+            sec += b"xref\n"
+            sec += f"{start} {count}\n".encode()
+            if first_free:
+                sec += b"0000000000 65535 f \n"
+                rng = range(start + 1, start + count)
+            else:
+                rng = range(start, start + count)
+            for i in rng:
+                # the catalog is resolved via plain `get` (xref.rs:224-226,
+                # no repair), so never skew the root's entry
+                skew = 0 if i == root else offset_skew
+                sec += entry(offsets[i - 1] + skew)
+            sec += b"trailer\n"
+            sec += f"<< /Size {n + 1} /Root {root} 0 R{trailer_extra} >>\n".encode()
+            return sec
+
+        if prev_sections:
+            # previous (older) full section first, then the top section
+            # listing a contiguous prefix, with /Prev pointing back
+            prev_off = len(out)
+            out += xref_section(0, n + 1, True, "", prev_off)
+            top_off = len(out)
+            out += xref_section(1, 1, False, f" /Prev {prev_off}", top_off)
+            sx = top_off
+        else:
+            sx = len(out)
+            out += xref_section(0, n + 1, True, "", sx)
+        out += f"startxref\n{sx}\n%%EOF".encode()
+        return bytes(out)
+
+
+def _simple_font(b: PdfBuilder, base: str = "Helvetica", extra: str = "") -> int:
+    return b.add(f"<< /Type /Font /Subtype /Type1 /BaseFont /{base}{extra} >>".encode())
+
+
+def cmap_source(entries: dict[int, str], two_byte: bool, bfranges=(), array_ranges=(), raw_values=None) -> str:
+    """Build a ToUnicode CMap stream body.
+
+    entries: code -> single char (bfchar); raw_values overrides the hex
+    value text per code (e.g. multi-code-unit "00660066"). bfranges:
+    (lo, hi, start_char) incrementing ranges. array_ranges:
+    (lo, [chars...]) array-destination ranges.
+    """
+    w = 4 if two_byte else 2
+    parts = [
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n",
+        "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n",
+        "1 begincodespacerange\n",
+        ("<0000> <FFFF>\n" if two_byte else "<00> <FF>\n"),
+        "endcodespacerange\n",
+    ]
+    if entries:
+        parts.append(f"{len(entries)} beginbfchar\n")
+        for code, ch in sorted(entries.items()):
+            val = raw_values.get(code) if raw_values and code in raw_values else f"{ord(ch):04X}"
+            parts.append(f"<{code:0{w}X}> <{val}>\n")
+        parts.append("endbfchar\n")
+    for lo, hi, start in bfranges:
+        parts.append("1 beginbfrange\n")
+        parts.append(f"<{lo:0{w}X}> <{hi:0{w}X}> <{ord(start):04X}>\n")
+        parts.append("endbfrange\n")
+    for lo, chars in array_ranges:
+        parts.append("1 beginbfrange\n")
+        hi = lo + len(chars) - 1
+        vals = " ".join(f"<{ord(c):04X}>" for c in chars)
+        parts.append(f"<{lo:0{w}X}> <{hi:0{w}X}> [{vals}]\n")
+        parts.append("endbfrange\n")
+    parts.append("endcmap\nend\nend\n")
+    return "".join(parts)
+
+
+def _page_setup(b: PdfBuilder, content_obj: int, font_obj: int) -> int:
+    """Catalog + single page tree; returns catalog obj number."""
+    res = f"<< /Font << /F1 {font_obj} 0 R >> >>"
+    page = b.add(
+        f"<< /Type /Page /Parent 0 0 R /Resources {res} /Contents {content_obj} 0 R >>".encode()
+    )
+    pages = b.add(f"<< /Type /Pages /Kids [ {page} 0 R ] /Count 1 >>".encode())
+    return b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+
+
+def _lit(s: str) -> str:
+    """Escape a string for a PDF literal."""
+    return "(" + s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)") + ")"
+
+
+# --- construct builders -------------------------------------------------
+# Each returns the complete PDF bytes for (uid_text).
+
+def pdf_hello(uid: str) -> bytes:
+    b = PdfBuilder()
+    content = f"BT\n70 50 TD\n/F1 12 Tf\n{_lit('Hello ' + uid + '!')} Tj\nET".encode("latin-1")
+    c = b.add_stream("", content)
+    f = _simple_font(b)
+    root = _page_setup(b, c, f)
+    return b.build(root)
+
+
+def pdf_flate(uid: str) -> bytes:
+    b = PdfBuilder()
+    lines = "\n".join(
+        f"BT /F1 10 Tf 50 {700 - 14 * i} Td {_lit(f'flate line {i} of {uid}')} Tj ET"
+        for i in range(12)
+    )
+    c = b.add_stream("", lines.encode("latin-1"), compress=True)
+    f = _simple_font(b)
+    root = _page_setup(b, c, f)
+    return b.build(root)
+
+
+def pdf_lenref(uid: str) -> bytes:
+    b = PdfBuilder()
+    content = f"BT /F1 9 Tf 10 10 Td {_lit('lenref ' + uid)} Tj ET".encode("latin-1")
+    # /Length via indirect reference (object.rs:107-135)
+    len_obj_num = len(b.objects) + 2  # stream first, then the length int
+    c = b.add_stream("", content, length_ref=len_obj_num)
+    ln = b.add(str(len(content)).encode())
+    assert ln == len_obj_num
+    f = _simple_font(b)
+    root = _page_setup(b, c, f)
+    return b.build(root)
+
+
+def _encode_tj_hex(text: str, code_of: dict[str, int], w: int) -> str:
+    return "<" + "".join(f"{code_of[ch]:0{w}X}" for ch in text) + ">"
+
+
+def pdf_cmap1(uid: str) -> bytes:
+    """1-byte CMap, TJ hexstrings, TrueType font with widths."""
+    b = PdfBuilder()
+    text = f"cmap one {uid}"
+    alphabet = sorted(set(text))
+    code_of = {ch: i + 1 for i, ch in enumerate(alphabet)}
+    cm = cmap_source({c: ch for ch, c in code_of.items()}, two_byte=False)
+    cm_obj = b.add_stream("", cm.encode("latin-1"), compress=True)
+    widths = " ".join(str(400 + 7 * i) for i in range(len(alphabet) + 1))
+    font = b.add(
+        (
+            f"<< /Type /Font /Subtype /TrueType /BaseFont /FAKE+Deja{len(alphabet)} "
+            f"/FirstChar 1 /LastChar {len(alphabet)} /Widths [ {widths} ] "
+            f"/ToUnicode {cm_obj} 0 R >>"
+        ).encode()
+    )
+    tj = _encode_tj_hex(text, code_of, 2)
+    content = f"BT /F1 11 Tf 40 700 Td [{tj}] TJ ET".encode("latin-1")
+    c = b.add_stream("", content, compress=True)
+    root = _page_setup(b, c, font)
+    return b.build(root)
+
+
+def pdf_cmap2(uid: str) -> bytes:
+    """2-byte CMap: bfchar + incrementing bfrange + array bfrange."""
+    b = PdfBuilder()
+    # bfchar: punctuation/space; bfrange incrementing: 'a'..'z' at 0x0100;
+    # array bfrange: digits at 0x0200
+    entries = {0x0001: " ", 0x0002: ".", 0x0003: "-"}
+    code_of = {" ": 0x0001, ".": 0x0002, "-": 0x0003}
+    for i in range(26):
+        code_of[chr(ord("a") + i)] = 0x0100 + i
+    for i in range(10):
+        code_of[str(i)] = 0x0200 + i
+    cm = cmap_source(
+        entries,
+        two_byte=True,
+        bfranges=((0x0100, 0x0119, "a"),),
+        array_ranges=((0x0200, [str(d) for d in range(10)]),),
+    )
+    cm_obj = b.add_stream("", cm.encode("latin-1"), compress=True)
+    font = b.add(
+        f"<< /Type /Font /Subtype /Type0 /BaseFont /FAKE+TwoByte /ToUnicode {cm_obj} 0 R >>".encode()
+    )
+    text = f"two-byte cmap {uid}".lower()
+    text = "".join(ch for ch in text if ch in code_of)
+    tj = _encode_tj_hex(text, code_of, 4)
+    content = f"BT /F1 10 Tf 40 680 Td [{tj}] TJ ET".encode("latin-1")
+    c = b.add_stream("", content, compress=True)
+    root = _page_setup(b, c, font)
+    return b.build(root)
+
+
+def pdf_lig(uid: str) -> bytes:
+    """CMap value <00660066> decodes to just 'f' (cmap.rs:72-75)."""
+    b = PdfBuilder()
+    b.add(f"<< /UID ({uid}) >>".encode("latin-1"))  # payload uniqueness per turn
+    entries = {0x01: "o", 0x02: "x", 0x03: "f"}
+    cm = cmap_source(entries, two_byte=False, raw_values={0x03: "00660066"})
+    cm_obj = b.add_stream("", cm.encode("latin-1"))
+    font = b.add(
+        f"<< /Type /Font /Subtype /TrueType /BaseFont /FAKE+Lig /ToUnicode {cm_obj} 0 R >>".encode()
+    )
+    # "o ff o x" -> reference yields 'offox'... codes: 01 03 01 02
+    content = b"BT /F1 10 Tf 40 650 Td [<01030102>] TJ ET"
+    c = b.add_stream("", content)
+    root = _page_setup(b, c, font)
+    return b.build(root)
+
+
+def pdf_kern(uid: str) -> bytes:
+    """Kerned TJ with negative positions: no space insertion."""
+    b = PdfBuilder()
+    words = ("kerned", "words", "of", uid)
+    tj = " -350 ".join(_lit(w) for w in words)
+    widths = " ".join(str(500) for _ in range(95))
+    font = b.add(
+        (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /FAKE+Kern "
+            f"/FirstChar 32 /LastChar 126 /Widths [ {widths} ] >>"
+        ).encode()
+    )
+    content = f"BT /F1 9.5 Tf 50 700 Td [{tj}] TJ ET".encode("latin-1")
+    c = b.add_stream("", content, compress=True)
+    root = _page_setup(b, c, font)
+    return b.build(root)
+
+
+def pdf_lines(uid: str) -> bytes:
+    """Td/TD/T*/Tm line moves driving newline-on-ty-change."""
+    b = PdfBuilder()
+    content = (
+        "BT /F1 10 Tf\n"
+        f"50 700 Td {_lit('first ' + uid)} Tj\n"
+        f"0 -14 TD {_lit('second (TD sets leading)')} Tj\n"
+        f"T* {_lit('third via T*')} Tj\n"
+        f"10 0 Td {_lit(' same-line shift')} Tj\n"
+        f"1 0 0 1 50 600 Tm {_lit('fourth via Tm')} Tj\n"
+        "ET"
+    ).encode("latin-1")
+    c = b.add_stream("", content)
+    f = _simple_font(b)
+    root = _page_setup(b, c, f)
+    return b.build(root)
+
+
+def pdf_esc(uid: str) -> bytes:
+    """Literal-string escapes incl. the octal quirk 8c+8d+e."""
+    b = PdfBuilder()
+    # \101 -> 8*1+8*0+1 = 9 (TAB under the quirk, NOT 'A'); \050 -> 40 '('
+    content = (
+        b"BT /F1 10 Tf 50 700 Td "
+        b"(esc \\t tab \\( paren \\) \\\\ back \\101 oct \\050 " + uid.encode("latin-1") + b") Tj ET"
+    )
+    c = b.add_stream("", content)
+    f = _simple_font(b)
+    root = _page_setup(b, c, f)
+    return b.build(root)
+
+
+def pdf_hexodd(uid: str) -> bytes:
+    """Odd-length hexstring padded with '0' (tokenizer.rs:248-250)."""
+    b = PdfBuilder()
+    b.add(f"<< /UID ({uid}) >>".encode("latin-1"))  # payload uniqueness per turn
+    # <414> -> 0x41 0x40 -> "A@"
+    content = b"BT /F1 10 Tf 40 620 Td [<414> 10 <424>] TJ ET"
+    c = b.add_stream("", content)
+    f = _simple_font(b)
+    root = _page_setup(b, c, f)
+    return b.build(root)
+
+
+def pdf_tree(uid: str) -> bytes:
+    """2-level page tree, 4 pages, shared indirect Resources; pages
+    joined by \\n (body.rs:413-419)."""
+    b = PdfBuilder()
+    font = _simple_font(b)
+    res = b.add(f"<< /Font << /F1 {font} 0 R >> >>".encode())
+    page_nums = []
+    for i in range(4):
+        content = f"BT /F1 10 Tf 50 700 Td {_lit(f'page {i} of {uid}')} Tj ET".encode("latin-1")
+        c = b.add_stream("", content, compress=(i % 2 == 0))
+        p = b.add(
+            f"<< /Type /Page /Parent 0 0 R /Resources {res} 0 R /Contents {c} 0 R >>".encode()
+        )
+        page_nums.append(p)
+    inner1 = b.add(
+        f"<< /Type /Pages /Kids [ {page_nums[0]} 0 R {page_nums[1]} 0 R ] /Count 2 >>".encode()
+    )
+    inner2 = b.add(
+        f"<< /Type /Pages /Kids [ {page_nums[2]} 0 R {page_nums[3]} 0 R ] /Count 2 >>".encode()
+    )
+    pages = b.add(f"<< /Type /Pages /Kids [ {inner1} 0 R {inner2} 0 R ] /Count 4 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+    return b.build(root)
+
+
+def pdf_widths(uid: str) -> bytes:
+    """Widths via indirect ref; chars below FirstChar get width 0."""
+    b = PdfBuilder()
+    widths_obj = b.add(("[ " + " ".join(str(300 + i) for i in range(30)) + " ]").encode())
+    font = b.add(
+        (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /FAKE+W "
+            f"/FirstChar 97 /LastChar 126 /Widths {widths_obj} 0 R >>"
+        ).encode()
+    )
+    content = f"BT /F1 10 Tf 50 700 Td [{_lit('A below-FirstChar then lower ' + uid)}] TJ ET".encode(
+        "latin-1"
+    )
+    c = b.add_stream("", content)
+    root = _page_setup(b, c, font)
+    return b.build(root)
+
+
+def pdf_fixref(uid: str) -> bytes:
+    """xref offsets off by +3 bytes -> repair scan (xref.rs:245-268)."""
+    b = PdfBuilder()
+    content = f"BT /F1 10 Tf 60 60 Td {_lit('repaired ' + uid)} Tj ET".encode("latin-1")
+    c = b.add_stream("", content)
+    f = _simple_font(b)
+    root = _page_setup(b, c, f)
+    return b.build(root, offset_skew=3)
+
+
+def pdf_multixref(uid: str) -> bytes:
+    """Two xref sections chained via /Prev (xref.rs:123-129)."""
+    b = PdfBuilder()
+    content = f"BT /F1 10 Tf 60 60 Td {_lit('prev-chain ' + uid)} Tj ET".encode("latin-1")
+    c = b.add_stream("", content)
+    f = _simple_font(b)
+    root = _page_setup(b, c, f)
+    return b.build(root, prev_sections=1)
+
+
+def pdf_ops(uid: str) -> bytes:
+    """Path/color/marked-content noise + inline dicts + unknown ops."""
+    b = PdfBuilder()
+    content = (
+        "/P <</MCID 0>> BDC q\n"
+        "0.1 0 0 0.1 0 0 cm\n"
+        "2 w 1 J 0.5 i\n"
+        "[1 2] 0 d\n"
+        "/GS1 gs\n"
+        "10 20 m 30 40 l 1 2 3 4 5 6 c h\n"
+        "5 5 100 100 re W n f f* S W*\n"
+        "/DeviceRGB cs 0.5 sc 0.3 G 0.7 g 1 0 0 RG 0 1 0 rg\n"
+        "/Im1 Do\n"
+        "BMC EMC Q\n"
+        f"BT /F1 10 Tf 50 700 Td 7 zzunknown {_lit('ops noise ' + uid)} Tj ET"
+    )
+    # NOTE: "7 zzunknown" leaves 7 in the operand buffer before Tj; the
+    # reference would panic on Tj (buf[0] not a literal string) — so keep
+    # the unknown op BEFORE Td instead, where buffered operands are legal.
+    content = content.replace("7 zzunknown ", "")
+    content = content.replace("BT /F1 10 Tf 50 700 Td", "BT /F1 10 Tf zzunknown 50 700 Td")
+    c = b.add_stream("", content.encode("latin-1"))
+    f = _simple_font(b)
+    root = _page_setup(b, c, f)
+    return b.build(root)
+
+
+def pdf_badcmap(uid: str) -> bytes:
+    """TJ code missing from CMap -> reference panics -> error row."""
+    b = PdfBuilder()
+    b.add(f"<< /UID ({uid}) >>".encode("latin-1"))  # payload uniqueness per turn
+    cm = cmap_source({0x01: "y"}, two_byte=False)
+    cm_obj = b.add_stream("", cm.encode("latin-1"))
+    font = b.add(
+        f"<< /Type /Font /Subtype /TrueType /BaseFont /FAKE+Bad /ToUnicode {cm_obj} 0 R >>".encode()
+    )
+    content = b"BT /F1 10 Tf 40 600 Td [<0105>] TJ ET"  # 0x05 not mapped
+    c = b.add_stream("", content)
+    root = _page_setup(b, c, font)
+    return b.build(root)
+
+
+def pdf_nofont(uid: str) -> bytes:
+    """Tj before any Tf -> reference panics -> error row."""
+    b = PdfBuilder()
+    content = f"BT 50 700 Td {_lit('no font ' + uid)} Tj ET".encode("latin-1")
+    c = b.add_stream("", content)
+    f = _simple_font(b)
+    root = _page_setup(b, c, f)
+    return b.build(root)
+
+
+def pdf_corrupt(uid: str) -> bytes:
+    """Truncated file without %%EOF -> error row (lib.rs:63-67)."""
+    return pdf_hello(uid)[:-40]
+
+
+def pdf_stress(uid: str, pages: int = 14) -> bytes:
+    """Large multi-page doc: many Flate streams + CMaps (tracemonkey
+    stand-in for skew handling)."""
+    b = PdfBuilder()
+    text = f"stress {uid} "
+    alphabet = sorted(set(text + "abcdefghijklmnopqrstuvwxyz0123456789"))
+    code_of = {ch: i + 1 for i, ch in enumerate(alphabet)}
+    cm = cmap_source({c: ch for ch, c in code_of.items()}, two_byte=False)
+    cm_obj = b.add_stream("", cm.encode("latin-1"), compress=True)
+    widths = " ".join(str(450 + 3 * i) for i in range(len(alphabet) + 1))
+    font = b.add(
+        (
+            f"<< /Type /Font /Subtype /TrueType /BaseFont /FAKE+Stress "
+            f"/FirstChar 1 /LastChar {len(alphabet)} /Widths [ {widths} ] "
+            f"/ToUnicode {cm_obj} 0 R >>"
+        ).encode()
+    )
+    res = b.add(f"<< /Font << /F1 {font} 0 R >> >>".encode())
+    page_nums = []
+    for p in range(pages):
+        ops = [f"BT /F1 9 Tf 40 760 Td"]
+        for ln in range(48):
+            line = f"{text}page{p} line{ln} " + "lorem ipsum dolor sit amet " * 3
+            line = "".join(ch for ch in line if ch in code_of)
+            tj = _encode_tj_hex(line, code_of, 2)
+            ops.append(f"0 -15 Td [{tj} -250 {tj[:40]}>] TJ")
+        ops.append("ET")
+        c = b.add_stream("", "\n".join(ops).encode("latin-1"), compress=True)
+        pn = b.add(
+            f"<< /Type /Page /Parent 0 0 R /Resources {res} 0 R /Contents {c} 0 R >>".encode()
+        )
+        page_nums.append(pn)
+    pages_obj = b.add(
+        ("<< /Type /Pages /Kids [ " + " ".join(f"{p} 0 R" for p in page_nums) + f" ] /Count {pages} >>").encode()
+    )
+    root = b.add(f"<< /Type /Catalog /Pages {pages_obj} 0 R >>".encode())
+    return b.build(root)
+
+
+PDF_CONSTRUCTS = {
+    "pdf-hello": pdf_hello,
+    "pdf-flate": pdf_flate,
+    "pdf-lenref": pdf_lenref,
+    "pdf-cmap1": pdf_cmap1,
+    "pdf-cmap2": pdf_cmap2,
+    "pdf-lig": pdf_lig,
+    "pdf-kern": pdf_kern,
+    "pdf-lines": pdf_lines,
+    "pdf-esc": pdf_esc,
+    "pdf-hexodd": pdf_hexodd,
+    "pdf-tree": pdf_tree,
+    "pdf-widths": pdf_widths,
+    "pdf-fixref": pdf_fixref,
+    "pdf-multixref": pdf_multixref,
+    "pdf-ops": pdf_ops,
+    "pdf-badcmap": pdf_badcmap,
+    "pdf-nofont": pdf_nofont,
+    "pdf-corrupt": pdf_corrupt,
+}

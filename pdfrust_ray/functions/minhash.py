@@ -1,0 +1,89 @@
+"""MinHash / SimHash / shingle primitives (numpy-vectorized per doc).
+
+Used by the dedup stages: shingle -> minhash signature -> LSH bands,
+and 64-bit simhash. All hashing is seeded/deterministic (blake2b with
+fixed per-permutation keys) — no Python `hash()` (salted per process).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+
+
+def char_shingles(text: str, k: int = 5) -> set[bytes]:
+    data = text.lower().encode("utf-8")
+    if len(data) <= k:
+        return {data} if data else set()
+    return {data[i : i + k] for i in range(len(data) - k + 1)}
+
+
+def word_shingles(text: str, k: int = 3) -> set[bytes]:
+    words = text.lower().split()
+    if len(words) <= k:
+        return {" ".join(words).encode()} if words else set()
+    return {" ".join(words[i : i + k]).encode() for i in range(len(words) - k + 1)}
+
+
+def _shingle_hashes(shingles: set[bytes]) -> np.ndarray:
+    """Stable 64-bit hashes of the shingle set."""
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(sorted(shingles)):
+        out[i] = int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "little")
+    return out
+
+
+class MinHasher:
+    """n_perm universal-hash permutations h_i(x) = (a_i x + b_i) mod p."""
+
+    def __init__(self, n_perm: int = 64, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+
+    def signature(self, shingles: set[bytes]) -> np.ndarray:
+        if not shingles:
+            return np.zeros(self.n_perm, dtype=np.uint64)
+        x = _shingle_hashes(shingles)
+        # (a*x + b) mod p, batched: [n_perm, n_shingles]
+        ax = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return ax.min(axis=1)
+
+    def bands(self, sig: np.ndarray, n_bands: int) -> list[bytes]:
+        rows = self.n_perm // n_bands
+        return [sig[i * rows : (i + 1) * rows].tobytes() for i in range(n_bands)]
+
+
+def jaccard(a: set[bytes], b: set[bytes]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (weight = term frequency)."""
+    words = text.lower().split()
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    from collections import Counter
+
+    for w, cnt in Counter(words).items():
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
+        acc += np.where(bits > 0, cnt, -cnt)
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

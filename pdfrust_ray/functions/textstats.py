@@ -1,0 +1,109 @@
+"""Text analysis primitives for the documents table.
+
+Vectorized-per-batch implementations (compiled regexes, no Python loop
+over *characters*) of: token counting, language-ID (stopword n-gram
+heuristic), quality scoring, and document fingerprinting. Stateless
+pure functions operating on lists of strings; actor stages hold the
+compiled state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+# matches DuckDB length(string_split_regex(text, '\s+')) semantics,
+# including empty leading/trailing fields
+_WS_SPLIT = re.compile(r"\s+")
+_WORD = re.compile(r"[A-Za-zÀ-ɏ']+")
+_PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on", "with", "as", "was", "at"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von", "für", "auf"},
+    "es": {"el", "la", "los", "las", "y", "de", "que", "en", "un", "una", "es", "por", "con", "para"},
+    "fr": {"le", "la", "les", "et", "de", "que", "en", "un", "une", "est", "pour", "dans", "qui", "sur"},
+}
+
+
+def token_count(text: str) -> int:
+    """Whitespace-regex token count (DuckDB string_split_regex parity)."""
+    return len(_WS_SPLIT.split(text))
+
+
+def lang_id(text: str) -> str:
+    """Deterministic n-gram/stopword language guess.
+
+    CJK codepoint density decides "zh"; otherwise the stopword table
+    with the most hits wins (ties break alphabetically); no hits -> "en".
+    """
+    if not text:
+        return "und"
+    sample = text[:2000]
+    cjk = sum(1 for ch in sample if "一" <= ch <= "鿿")
+    if cjk * 20 > len(sample):
+        return "zh"
+    words = _WORD.findall(sample.lower())
+    if not words:
+        return "und"
+    best_lang, best_hits = "en", 0
+    for lang in sorted(STOPWORDS):
+        hits = sum(1 for w in words if w in STOPWORDS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang
+
+
+def quality_score(text: str) -> float:
+    """Deterministic [0,1] quality heuristic: length band, punctuation
+    ratio, stopword ratio, mean word length band."""
+    n = len(text)
+    if n == 0:
+        return 0.0
+    length_score = min(n, 2000) / 2000.0
+    punct = len(_PUNCT.findall(text))
+    punct_ratio = punct / n
+    punct_score = 1.0 - min(punct_ratio * 4.0, 1.0)
+    words = _WORD.findall(text.lower())
+    if words:
+        sw = sum(1 for w in words if w in STOPWORDS["en"])
+        stop_score = min(4.0 * sw / len(words), 1.0)
+        mean_len = sum(map(len, words)) / len(words)
+        word_score = 1.0 if 3.0 <= mean_len <= 10.0 else 0.5
+    else:
+        stop_score = 0.0
+        word_score = 0.0
+    return round(0.35 * length_score + 0.25 * punct_score + 0.25 * stop_score + 0.15 * word_score, 6)
+
+
+def md5_fingerprint(text: str) -> str:
+    """Content fingerprint = md5 hex (DuckDB md5() parity)."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+_B = 1_000_000_007
+_M = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Winnowing-style document fingerprint: min of rolling polynomial
+    hashes over `window`-char windows (deterministic, no SQL equivalent)."""
+    data = text.encode("utf-8")
+    n = len(data)
+    if n == 0:
+        return 0
+    if n <= window:
+        h = 0
+        for b in data:
+            h = (h * _B + b) % _M
+        return h
+    pw = pow(_B, window - 1, _M)
+    h = 0
+    for b in data[:window]:
+        h = (h * _B + b) % _M
+    best = h
+    for i in range(window, n):
+        h = ((h - data[i - window] * pw) * _B + data[i]) % _M
+        if h < best:
+            best = h
+    return best

@@ -1,0 +1,168 @@
+"""The flagship pipeline: transcript shards -> extracted turns.
+
+Shape (SURVEY §3.4):
+
+  read_parquet(shards, columns=[conv_id, turn_idx, text])   # pruned read
+    -> map_batches(add_payload_len)                         # stateless size probe
+    -> [skew split] filter small / big by payload bytes     # repartition-by-bytes
+    -> map_batches(ExtractTurns, concurrency=pool,
+                   batch_size=B, batch_format="pyarrow")    # actor pools
+       (big rows go to a dedicated pool with tiny batches)
+    -> union
+    -> sort(conv_id, turn_idx)                              # THE ordering shuffle
+    -> write_parquet(group dir)                             # resumable partitions
+
+At 100 TB the only all-to-all exchange is the final sort; everything
+upstream is embarrassingly parallel per block. The skew split keeps a
+single giant PDF from stalling a whole 8k-row batch behind one actor.
+
+Never calls ray.init(); callers own the session.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..sources.transcripts import list_shards, read_transcripts
+from ..stages.extractors import ExtractTurns, add_payload_len
+from ..state import manifest
+
+# payloads above this many (string) bytes route to the big-row pool
+BIG_PAYLOAD_BYTES = 256 * 1024
+ENGINE_VERSION = "0.1.0"
+
+
+def build_extraction(
+    ds,
+    mode: str = "text",
+    batch_size: int = 256,
+    concurrency=None,
+    big_concurrency: int = 2,
+    skew_split: bool = True,
+    order: bool = True,
+):
+    """Attach the extraction stages to a transcript Dataset."""
+    ds = ds.map_batches(add_payload_len, batch_format="pyarrow")
+    # autoscaling (1, N) pools: fixed-size pools on a union plan can
+    # deadlock when branch pools + sort tasks oversubscribe the CPUs
+    pool = (1, concurrency) if isinstance(concurrency, int) else concurrency
+    if skew_split:
+        small = ds.map_batches(
+            lambda t: t.filter(pc.less_equal(t["payload_len"], BIG_PAYLOAD_BYTES)),
+            batch_format="pyarrow",
+        ).map_batches(
+            ExtractTurns,
+            fn_constructor_kwargs={"mode": mode},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pool,
+        )
+        big = ds.map_batches(
+            lambda t: t.filter(pc.greater(t["payload_len"], BIG_PAYLOAD_BYTES)),
+            batch_format="pyarrow",
+        ).map_batches(
+            ExtractTurns,
+            fn_constructor_kwargs={"mode": mode},
+            batch_format="pyarrow",
+            batch_size=4,  # bytes-capped batching for oversized payloads
+            concurrency=(1, big_concurrency),
+        )
+        out = small.union(big)
+    else:
+        out = ds.map_batches(
+            ExtractTurns,
+            fn_constructor_kwargs={"mode": mode},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pool,
+        )
+    if order:
+        out = out.sort(["conv_id", "turn_idx"])
+    return out
+
+
+def _group_metrics(group_path: str) -> dict:
+    """Cheap columnar readback of counters for the manifest."""
+    t = pq.read_table(group_path, columns=["parse_status", "bytes_decoded"])
+    status = t["parse_status"]
+    ok = pc.sum(pc.cast(pc.equal(status, "ok"), "int64")).as_py() or 0
+    return {
+        "rows": t.num_rows,
+        "rows_ok": ok,
+        "rows_error": t.num_rows - ok,
+        "bytes_decoded": pc.sum(t["bytes_decoded"]).as_py() or 0,
+    }
+
+
+def run_extraction(
+    input_path: str,
+    out_dir: str,
+    mode: str = "text",
+    group_size: int = 16,
+    batch_size: int = 256,
+    concurrency=None,
+    resume: bool = True,
+    skew_split: bool = True,
+) -> dict:
+    """Checkpoint-resumable run: shard groups -> partitioned output.
+
+    Returns overall metrics {rows, bytes_decoded, turns_per_sec, ...}.
+    """
+    shards = list_shards(input_path)
+    groups = [shards[i : i + group_size] for i in range(0, len(shards), group_size)]
+    done = manifest.completed_groups(out_dir) if resume else set()
+    os.makedirs(out_dir, exist_ok=True)
+
+    t_start = time.perf_counter()
+    skipped = 0
+    for gid, files in enumerate(groups):
+        if gid in done:
+            skipped += 1
+            continue
+        g0 = time.perf_counter()
+        ds = read_transcripts(files)
+        out = build_extraction(
+            ds,
+            mode=mode,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            skew_split=skew_split,
+        )
+        tmp = manifest.group_dir(out_dir, gid) + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        out.write_parquet(tmp)
+        metrics = _group_metrics(tmp)
+        manifest.commit_group(
+            out_dir,
+            gid,
+            tmp,
+            {
+                "inputs": files,
+                "mode": mode,
+                "engine_version": ENGINE_VERSION,
+                "duration_sec": round(time.perf_counter() - g0, 3),
+                **metrics,
+            },
+        )
+    wall = time.perf_counter() - t_start
+
+    all_m = manifest.read_all(out_dir)
+    rows = sum(m["rows"] for m in all_m)
+    processed_rows = sum(m["rows"] for m in all_m if m["group_id"] not in done)
+    return {
+        "rows": rows,
+        "rows_ok": sum(m["rows_ok"] for m in all_m),
+        "rows_error": sum(m["rows_error"] for m in all_m),
+        "bytes_decoded": sum(m["bytes_decoded"] for m in all_m),
+        "groups": len(groups),
+        "groups_skipped_resume": skipped,
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(processed_rows / wall, 1) if wall > 0 and processed_rows else 0.0,
+    }

@@ -1,0 +1,229 @@
+"""Relational operator demos over the TPC-H-ish test tables.
+
+These exercise the Dataset wide operators (groupby/aggregate, sort,
+limit, broadcast join, windowed aggregation, distinct) with DuckDB-SQL
+oracles. Money sums are returned as integer cents (the inputs are
+cent-valued doubles, so sum*100 is an exact integer and the result is
+bit-stable regardless of float summation order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _cents(x) -> "pa.Array":
+    return pc.cast(pc.round(pc.multiply(x, 100.0)), pa.int64())
+
+
+def lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-flavored pricing summary (groupby two keys, 4 aggs)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "price_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def lineitem_agg_sql() -> str:
+    return """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(ROUND(SUM(ROUND(l_extendedprice * 100))) AS BIGINT) AS sum_price_cents,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def segment_revenue(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join: orders x customer -> revenue per market segment.
+
+    customer is the small side: ray.put once, dict-lookup per batch —
+    no shuffle join (SURVEY §4 / guide "Joins and lookups")."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(seg_of)
+
+    class JoinSegment:
+        def __init__(self):
+            self.seg_of = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            segs = [self.seg_of.get(k, "") for k in t["o_custkey"].to_pylist()]
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "price_cents": _cents(t["o_totalprice"]),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    out = (
+        ds.map_batches(JoinSegment, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("c_mktsegment")
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def segment_revenue_sql() -> str:
+    return """
+        SELECT c.c_mktsegment,
+               CAST(ROUND(SUM(ROUND(o.o_totalprice * 100))) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """
+
+
+def top_parts(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Global sort + limit (ties broken by p_partkey)."""
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("price_cents", _cents(t["p_retailprice"]))
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .select_columns(["p_partkey", "p_name", "price_cents"])
+        .sort([("price_cents"), ("p_partkey")], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return out
+
+
+def top_parts_sql(k: int = 10) -> str:
+    return f"""
+        SELECT p_partkey, p_name,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+        ORDER BY price_cents DESC, p_partkey
+        LIMIT {k}
+    """
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate: (event_type, hour) -> count, sum cents."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+        .to_pandas()
+    )
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def events_hourly_sql() -> str:
+    return """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(ROUND(value * 100))) AS BIGINT) AS sum_value_cents
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+        ORDER BY event_type, hour
+    """
+
+
+def distinct_mktsegments(sf_dir: str) -> pd.DataFrame:
+    """Distinct values (ds.unique is the shuffle; result is tiny)."""
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+def distinct_mktsegments_sql() -> str:
+    return "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+def supplier_nation_agg(sf_dir: str) -> pd.DataFrame:
+    """Two-table broadcast join + per-nation account stats (min/max/mean)."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ref = ray.put(name_of)
+
+    class JoinNation:
+        def __init__(self):
+            self.name_of = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.name_of.get(k, "") for k in t["s_nationkey"].to_pylist()]
+            return pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "acct_cents": _cents(t["s_acctbal"]),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+    out = (
+        ds.map_batches(JoinNation, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Min("acct_cents", alias_name="min_acct_cents"),
+            Max("acct_cents", alias_name="max_acct_cents"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def supplier_nation_agg_sql() -> str:
+    return """
+        SELECT n.n_name,
+               COUNT(*) AS n_suppliers,
+               MIN(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS min_acct_cents,
+               MAX(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS max_acct_cents
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """

