@@ -28,6 +28,7 @@ from typing import Any
 _FIXTURE_BASE = "/tmp/pdfrust_ray_fixtures"
 _T2_GOLDEN = f"{_FIXTURE_BASE}/t2/golden.parquet"
 _MODES_GOLDEN = f"{_FIXTURE_BASE}/modes/golden_modes.parquet"
+_INFO_GOLDEN = f"{_FIXTURE_BASE}/modes/golden_info.parquet"
 
 _EXTRACT_COLS = [
     "conv_id",
@@ -100,6 +101,18 @@ def _q_extract_metrics(sf_dir: str):
     return g
 
 
+def _q_extract_info(sf_dir: str):
+    """P7 metadata reader over the modes fixture (actor-pool stage)."""
+    from pdfrust_ray.fixtures.corpus import ensure_modes_fixture
+    from pdfrust_ray.sources.transcripts import read_transcripts
+    from pdfrust_ray.stages.extractors import InfoTurns
+
+    d = ensure_modes_fixture()
+    ds = read_transcripts(d)
+    out = ds.map_batches(InfoTurns, batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+    return out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 def _q_extract_mode(mode: str):
     def run(sf_dir: str):
         from pdfrust_ray.fixtures.corpus import ensure_modes_fixture
@@ -140,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- the reference's own pipeline surface (SURVEY §2 / §3) ---
         "extract_text": _q_extract_text,
         "extract_metrics": _q_extract_metrics,
+        "extract_info": _q_extract_info,
         "extract_chars": _q_extract_mode("chars"),
         "extract_font": _q_extract_mode("font"),
         "extract_raw_content": _q_extract_mode("raw-content"),
@@ -183,6 +197,12 @@ def oracle_sql() -> dict[str, str]:
                    SUM(bytes_decoded) AS sum_bytes_decoded
             FROM read_parquet('{_T2_GOLDEN}')
             GROUP BY parse_status ORDER BY parse_status
+        """,
+        "extract_info": f"""
+            SELECT conv_id, turn_idx, title, author, creator, producer,
+                   creation_date, mod_date, parse_status
+            FROM read_parquet('{_INFO_GOLDEN}')
+            ORDER BY conv_id, turn_idx
         """,
         "extract_chars": f"""
             SELECT conv_id, turn_idx, extracted_text, parse_status

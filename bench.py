@@ -76,7 +76,7 @@ def main() -> dict:
         fix_dir,
         out_dir,
         group_size=10_000,  # single group: one streaming pipeline
-        batch_size=64,
+        batch_size=512,
         concurrency=pool,
         resume=False,
     )

@@ -31,7 +31,7 @@ from .pdfgen import PDF_CONSTRUCTS, pdf_stress
 
 SEED = 42
 # bump when any construct generator changes, so stale /tmp caches regenerate
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 5
 
 TRANSCRIPTS_SCHEMA = pa.schema(
     [
@@ -61,7 +61,7 @@ GOLDEN_SCHEMA = pa.schema(
 SCALES = {
     "t1": (20, 5, 1, 0),          # 100 rows, smoke
     "t2": (200, 10, 8, 499),      # 2,000 rows, correctness gate
-    "bench": (5000, 20, 64, 9973),  # 100,000 rows, throughput
+    "bench": (10000, 40, 64, 1250),  # 400,000 rows (~320 oversized), throughput
 }
 
 _PDF_IDS = sorted(PDF_CONSTRUCTS)
@@ -147,7 +147,7 @@ def default_dir(scale: str) -> str:
     return f"/tmp/pdfrust_ray_fixtures/{scale}"
 
 
-MODES_CONSTRUCTS = ("pdf-hello", "pdf-cmap1", "pdf-tree")
+MODES_CONSTRUCTS = ("pdf-hello", "pdf-cmap1", "pdf-tree", "pdf-info")
 MODES = ("text", "chars", "font", "raw-content")
 
 
@@ -202,6 +202,42 @@ def ensure_modes_fixture(base_dir: str | None = None) -> str:
         ]
     )
     pq.write_table(pa.Table.from_pylist(golden_rows, schema=gschema), os.path.join(base, "golden_modes.parquet"))
+
+    # info golden (P7): trailer metadata per pdf turn
+    from ..functions.payload import payload_bytes
+    from ..pdfref.errors import ParseError
+    from ..pdfref.extract import extract_info
+
+    info_rows = []
+    for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+        try:
+            info = extract_info(payload_bytes(r["text"]))
+            status = "ok"
+        except ParseError as exc:
+            info = {k: None for k in ("title", "author", "creator", "producer", "creation_date", "mod_date")}
+            status = f"error:{exc.kind}"
+        info_rows.append(
+            {
+                "conv_id": r["conv_id"],
+                "turn_idx": r["turn_idx"],
+                **info,
+                "parse_status": status,
+            }
+        )
+    ischema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("title", pa.string()),
+            ("author", pa.string()),
+            ("creator", pa.string()),
+            ("producer", pa.string()),
+            ("creation_date", pa.string()),
+            ("mod_date", pa.string()),
+            ("parse_status", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pylist(info_rows, schema=ischema), os.path.join(base, "golden_info.parquet"))
     with open(marker, "w") as f:
         json.dump({"rows": len(rows), "modes": list(MODES), "seed": SEED,
                    "generator_version": GENERATOR_VERSION}, f)

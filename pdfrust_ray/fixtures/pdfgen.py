@@ -42,7 +42,8 @@ class PdfBuilder:
         body = header.encode("latin-1") + b"\nstream\n" + data + b"\nendstream"
         return self.add(body)
 
-    def build(self, root: int, offset_skew: int = 0, prev_sections: int = 0) -> bytes:
+    def build(self, root: int, offset_skew: int = 0, prev_sections: int = 0,
+              info: int | None = None) -> bytes:
         """Serialize. offset_skew != 0 corrupts recorded xref offsets to
         exercise the repair scan; prev_sections > 0 splits the xref into
         a /Prev chain (the top section re-lists the first object only).
@@ -75,7 +76,8 @@ class PdfBuilder:
                 skew = 0 if i == root else offset_skew
                 sec += entry(offsets[i - 1] + skew)
             sec += b"trailer\n"
-            sec += f"<< /Size {n + 1} /Root {root} 0 R{trailer_extra} >>\n".encode()
+            info_part = f" /Info {info} 0 R" if info is not None else ""
+            sec += f"<< /Size {n + 1} /Root {root} 0 R{info_part}{trailer_extra} >>\n".encode()
             return sec
 
         if prev_sections:
@@ -460,13 +462,25 @@ def pdf_stress(uid: str, pages: int = 14) -> bytes:
     )
     res = b.add(f"<< /Font << /F1 {font} 0 R >> >>".encode())
     page_nums = []
+    import hashlib as _hl
+
+    def _noise(tag: str, n_chars: int) -> str:
+        # incompressible-ish deterministic text so the payload is actually big
+        out = []
+        seed = tag
+        while sum(map(len, out)) < n_chars:
+            seed = _hl.md5(seed.encode()).hexdigest()
+            out.append(seed)
+        return "".join(out)[:n_chars]
+
     for p in range(pages):
         ops = [f"BT /F1 9 Tf 40 760 Td"]
         for ln in range(48):
-            line = f"{text}page{p} line{ln} " + "lorem ipsum dolor sit amet " * 3
+            line = f"{text}page{p} line{ln} " + _noise(f"{uid}:{p}:{ln}", 600)
             line = "".join(ch for ch in line if ch in code_of)
             tj = _encode_tj_hex(line, code_of, 2)
-            ops.append(f"0 -15 Td [{tj} -250 {tj[:40]}>] TJ")
+            kerned = _encode_tj_hex(line[:20], code_of, 2)
+            ops.append(f"0 -15 Td [{tj} -250 {kerned}] TJ")
         ops.append("ET")
         c = b.add_stream("", "\n".join(ops).encode("latin-1"), compress=True)
         pn = b.add(
@@ -478,6 +492,23 @@ def pdf_stress(uid: str, pages: int = 14) -> bytes:
     )
     root = b.add(f"<< /Type /Catalog /Pages {pages_obj} 0 R >>".encode())
     return b.build(root)
+
+
+def pdf_info(uid: str) -> bytes:
+    """Trailer /Info metadata dictionary (info.rs:23-75)."""
+    b = PdfBuilder()
+    content = f"BT /F1 10 Tf 50 700 Td {_lit('with info ' + uid)} Tj ET".encode("latin-1")
+    c = b.add_stream("", content)
+    f = _simple_font(b)
+    root = _page_setup(b, c, f)
+    info = b.add(
+        (
+            f"<< /Title {_lit('Doc ' + uid)} /Author (Fixture Author) /Creator (pdfgen) "
+            f"/Producer (pdfrust_ray fixtures) /CreationDate (D:20250101000000Z) "
+            f"/ModDate (D:20250102000000Z) >>"
+        ).encode("latin-1")
+    )
+    return b.build(root, info=info)
 
 
 PDF_CONSTRUCTS = {
@@ -499,4 +530,5 @@ PDF_CONSTRUCTS = {
     "pdf-badcmap": pdf_badcmap,
     "pdf-nofont": pdf_nofont,
     "pdf-corrupt": pdf_corrupt,
+    "pdf-info": pdf_info,
 }

@@ -104,7 +104,7 @@ class DocCtx:
 
 
 class Font:
-    __slots__ = ("subtype", "name", "base_font", "first_char", "last_char", "widths", "to_unicode", "encoding")
+    __slots__ = ("subtype", "name", "base_font", "first_char", "last_char", "widths", "to_unicode", "encoding", "_w1000")
 
     def __init__(self, d: dict, ctx: DocCtx):
         t = d.get("Type")
@@ -193,6 +193,31 @@ class Font:
         if 0 <= c_offset < len(self.widths):
             return self.widths[c_offset] / Number.real(1000.0)
         return None
+
+    def width_f32(self, c: int) -> float:
+        """Fast-path f32 width (glyph-advance hot loop): identical math
+        to get_width (w/1000 f32-rounded), Err cases -> 0.0 (the caller
+        substitutes Real(0.0), content.rs:818-821)."""
+        cache = getattr(self, "_w1000", None)
+        if cache is None:
+            from .numbers import f32 as _f32
+
+            if self.widths is None:
+                cache = ()
+            else:
+                cache = tuple(_f32(w.as_f32() / 1000.0) for w in self.widths)
+            self._w1000 = cache
+        fc = self.first_char
+        if fc is not None and fc.is_int and c < fc.val:
+            return 0.0
+        if not cache:
+            return 0.0
+        if fc is None:
+            raise ParseError("Font", "widths present but FirstChar missing")
+        c_offset = c - fc.as_usize()
+        if 0 <= c_offset < len(cache):
+            return cache[c_offset]
+        return 0.0
 
     def rust_display(self) -> str:
         """Font Display (body.rs:206-213)."""

@@ -39,7 +39,7 @@ Pins /root/reference/src/content.rs:
 from __future__ import annotations
 
 from .errors import ParseError
-from .numbers import Matrix, Number, rust_char_debug, rust_str_debug
+from .numbers import Matrix, Number, f32, rust_char_debug, rust_str_debug
 from .tokenizer import (
     ARR_BEGIN,
     ARR_END,
@@ -301,17 +301,26 @@ class TextContent:
         return tfs
 
     def _advance(self, font, code_byte: int):
-        """Glyph advance (content.rs:818-855 / 874-910)."""
-        w0 = font.get_width(code_byte)
-        if w0 is None:
-            w0 = Number.real(0.0)
+        """Glyph advance (content.rs:818-855 / 874-910).
+
+        Hot loop: identical f32-rounded math to the Number/Matrix path
+        (w0*tfs+tc [+tw] then *th; translate(tx,0)*Tm touches only e,f:
+        e' = f32(f32(tx*a)+e), f' = f32(f32(tx*b)+f)), but on raw floats
+        — corpus chars-mode parity pins the equivalence.
+        """
+        w0 = font.width_f32(code_byte)
         ts = self.gs.text_state
         tfs = self._tfs()
-        tx = w0 * tfs + ts.tc
+        tx = f32(w0 * tfs.as_f32())
+        tx = f32(tx + ts.tc.as_f32())
         if code_byte == _SPACE:
-            tx = tx + ts.tw
-        tx = tx * ts.th
-        self.tm = Matrix(1.0, 0.0, 0.0, 1.0, tx.as_f32(), 0.0) * self.tm
+            tx = f32(tx + ts.tw.as_f32())
+        tx = f32(tx * ts.th.as_f32())
+        tm = self.tm
+        new = tm.copy()
+        new.e = f32(f32(tx * tm.a) + tm.e)
+        new.f = f32(f32(tx * tm.b) + tm.f)
+        self.tm = new
 
     def _char_line(self, ch: str, font) -> str:
         return (
@@ -344,12 +353,30 @@ class TextContent:
                     out.append("\n")
                 tm_prev_ty = self.tm.get_ty()
                 cmap = font.to_unicode
+                # --- hoisted invariants (glyph hot loop) ---
+                # within one TJ instruction only glyph advances and kerning
+                # run, and both touch only Tm.e/Tm.f — tfs/tc/tw/th and
+                # Tm.a/Tm.b are constant for the whole instruction. The
+                # f32-rounded op sequence is bit-identical to _advance().
+                ts = self.gs.text_state
+                if ts.tfs is None and ins[1]:
+                    self._tfs()  # raises like content.rs:823-826
+                tfs_f = ts.tfs.as_f32() if ts.tfs is not None else 0.0
+                tc_f = ts.tc.as_f32()
+                tw_f = ts.tw.as_f32()
+                th_f = ts.th.as_f32()
+                tm = self.tm
+                a, b = tm.a, tm.b
+                e, f = tm.e, tm.f
+                cm_get = cmap.cmap.get if cmap is not None else None
+                two = cmap.is_two_bytes if cmap is not None else False
+                wcache = font.width_f32
                 for item_kind, val in ins[1]:
                     if item_kind == "text":
                         if cmap is not None:
                             it = iter(val)
                             for c in it:
-                                if cmap.is_two_bytes:
+                                if two:
                                     try:
                                         lo = next(it)
                                     except StopIteration:
@@ -357,30 +384,50 @@ class TextContent:
                                     char_idx = c * 256 + lo
                                 else:
                                     char_idx = c
-                                ch = cmap.cmap.get(char_idx)
+                                ch = cm_get(char_idx)
                                 if ch is None:
                                     raise ParseError(
                                         "CMapMiss",
                                         f"CMap does not contain a char with idx {char_idx}",
                                     )
                                 if display_char:
+                                    self.tm = Matrix(a, b, tm.c, tm.d, e, f)
                                     out.append(self._char_line(ch, font))
                                 else:
                                     out.append(ch)
-                                self._advance(font, c)
+                                tx = f32(wcache(c) * tfs_f)
+                                tx = f32(tx + tc_f)
+                                if c == _SPACE:
+                                    tx = f32(tx + tw_f)
+                                tx = f32(tx * th_f)
+                                e = f32(f32(tx * a) + e)
+                                f = f32(f32(tx * b) + f)
                         else:
                             for c in val:
                                 if display_char:
+                                    self.tm = Matrix(a, b, tm.c, tm.d, e, f)
                                     out.append(self._char_line(chr(c), font))
                                 else:
                                     out.append(chr(c))
-                                self._advance(font, c)
+                                tx = f32(wcache(c) * tfs_f)
+                                tx = f32(tx + tc_f)
+                                if c == _SPACE:
+                                    tx = f32(tx + tw_f)
+                                tx = f32(tx * th_f)
+                                e = f32(f32(tx * a) + e)
+                                f = f32(f32(tx * b) + f)
                     else:  # kerning number (content.rs:916-943)
-                        tj = val
-                        tfs = self._tfs()
-                        th = self.gs.text_state.th
-                        tx = -tj / Number.real(1000.0) * tfs * th
-                        self.tm = Matrix(1.0, 0.0, 0.0, 1.0, tx.as_f32(), 0.0) * self.tm
+                        if ts.tfs is None:
+                            self._tfs()  # raise exactly like the reference
+                        tx = f32((-val.as_f32()) / 1000.0)
+                        tx = f32(tx * tfs_f)
+                        tx = f32(tx * th_f)
+                        e = f32(f32(tx * a) + e)
+                        f = f32(f32(tx * b) + f)
+                new = tm.copy()
+                new.e = e
+                new.f = f
+                self.tm = new
             # all other instructions contribute no text (content.rs:947)
         s = "".join(out)
         return s.lstrip("\n ")

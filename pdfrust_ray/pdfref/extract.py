@@ -27,6 +27,20 @@ _ASCII_WS = b"\t\n\x0c\r "
 
 MODES = ("text", "chars", "font", "raw-content")
 
+_VERSIONS = {b"1.3": "1.3", b"1.4": "1.4", b"1.5": "1.5", b"1.6": "1.6", b"1.7": "1.7"}
+
+
+def pdf_version(header: bytes) -> str:
+    """Version sniff from the last 3 bytes of a header slice
+    (lib.rs:44-53); unsupported versions panic -> ParseError.
+
+    Library-only in the reference (never called on the main path)."""
+    tail = header[-3:]
+    v = _VERSIONS.get(bytes(tail))
+    if v is None:
+        raise ParseError("Version", "Pdf version not supported")
+    return v
+
 
 @dataclass
 class Extracted:

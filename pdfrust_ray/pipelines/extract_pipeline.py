@@ -36,20 +36,48 @@ BIG_PAYLOAD_BYTES = 256 * 1024
 ENGINE_VERSION = "0.1.0"
 
 
+def _default_sort_partitions() -> int:
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(4, min(cpus, 64))
+
+
 def build_extraction(
     ds,
     mode: str = "text",
-    batch_size: int = 256,
+    batch_size: int = 512,
     concurrency=None,
-    big_concurrency: int = 2,
+    big_concurrency: int | None = None,
     skew_split: bool = True,
     order: bool = True,
+    sort_partitions: int | None = None,
 ):
-    """Attach the extraction stages to a transcript Dataset."""
+    """Attach the extraction stages to a transcript Dataset.
+
+    sort_partitions: block count entering the ordering sort. Ray's range
+    shuffle creates partitions^2 intermediate objects, so many tiny
+    blocks make the sort object-store-metadata-bound (measured 14s ->
+    0.4s on 100k rows by coalescing 128 -> 16 blocks first). Default =
+    cluster CPU count; on a real multi-node run pick
+    total_bytes / target_max_block_size instead.
+    """
     ds = ds.map_batches(add_payload_len, batch_format="pyarrow")
-    # autoscaling (1, N) pools: fixed-size pools on a union plan can
-    # deadlock when branch pools + sort tasks oversubscribe the CPUs
-    pool = (1, concurrency) if isinstance(concurrency, int) else concurrency
+    if big_concurrency is None:
+        # size the big-payload pool with the cluster: oversized docs cost
+        # seconds each, so a fixed tiny pool serializes the skewed tail
+        big_concurrency = max(2, _default_sort_partitions() // 2)
+    # autoscaling pools (min, max): fixed-size pools on a union plan can
+    # deadlock when branch pools + sort tasks oversubscribe the CPUs; a
+    # non-trivial min pre-warms the pool so ramp-up doesn't serialize
+    pool = (
+        (max(1, concurrency // 2), concurrency)
+        if isinstance(concurrency, int)
+        else concurrency
+    )
     if skew_split:
         small = ds.map_batches(
             lambda t: t.filter(pc.less_equal(t["payload_len"], BIG_PAYLOAD_BYTES)),
@@ -81,7 +109,8 @@ def build_extraction(
             concurrency=pool,
         )
     if order:
-        out = out.sort(["conv_id", "turn_idx"])
+        npart = sort_partitions or _default_sort_partitions()
+        out = out.repartition(npart).sort(["conv_id", "turn_idx"])
     return out
 
 

@@ -113,11 +113,11 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         return pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")}
         )
-    needed = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    needed = set(cand["doc_a"]) | set(cand["doc_b"])
     texts = {}
     for b in _docs(sf_dir).iter_batches(batch_size=4096, batch_format="pyarrow"):
         for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            if d in set(needed):
+            if d in needed:
                 texts[d] = t
     rows = []
     for a, b2 in zip(cand["doc_a"], cand["doc_b"]):

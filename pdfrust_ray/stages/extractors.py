@@ -92,3 +92,48 @@ class ExtractTurns:
                 "error": pa.array(errs, pa.string()),
             }
         )
+
+
+INFO_FIELDS = ("title", "author", "creator", "producer", "creation_date", "mod_date")
+
+
+class InfoTurns:
+    """Actor-pool metadata extraction (P7, info.rs:23-75): per PDF turn,
+    read the trailer Info dict. Non-PDF payloads yield parse_status
+    "skipped:<kind>"; PDFs without an Info entry yield "error:Info"."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.payload import detect_kind, payload_bytes
+        from ..pdfref.errors import ParseError
+        from ..pdfref.extract import extract_info
+
+        convs = batch["conv_id"].to_pylist()
+        turns = batch["turn_idx"].to_pylist()
+        texts = batch["text"].to_pylist()
+        cols = {f: [] for f in INFO_FIELDS}
+        statuses = []
+        for t in texts:
+            kind = detect_kind(t)
+            if kind != "pdf":
+                for f in INFO_FIELDS:
+                    cols[f].append(None)
+                statuses.append(f"skipped:{kind}")
+                continue
+            try:
+                info = extract_info(payload_bytes(t))
+                for f in INFO_FIELDS:
+                    cols[f].append(info[f])
+                statuses.append("ok")
+            except (ParseError, ValueError) as exc:
+                for f in INFO_FIELDS:
+                    cols[f].append(None)
+                kind_name = exc.kind if isinstance(exc, ParseError) else "B85"
+                statuses.append(f"error:{kind_name}")
+        out = {
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": pa.array(turns, pa.int32()),
+        }
+        for f in INFO_FIELDS:
+            out[f] = pa.array(cols[f], pa.string())
+        out["parse_status"] = pa.array(statuses, pa.string())
+        return pa.table(out)

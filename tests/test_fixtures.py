@@ -73,3 +73,24 @@ def test_extract_row_kinds():
     assert r["parse_status"] == "ok"
     bad = extract_row(encode_pdf_payload(PDF_CONSTRUCTS["pdf-corrupt"]("y")))
     assert bad["parse_status"] == "error:Eof"
+
+
+def test_pdf_info_construct():
+    from pdfrust_ray.pdfref.extract import extract_info
+
+    info = extract_info(PDF_CONSTRUCTS["pdf-info"]("u7"))
+    assert info["title"] == "Doc u7"
+    assert info["author"] == "Fixture Author"
+    assert info["creation_date"] == "D:20250101000000Z"
+    # PDFs without /Info error like the reference unwrap
+    with pytest.raises(ParseError):
+        extract_info(PDF_CONSTRUCTS["pdf-hello"]("u7"))
+
+
+def test_pdf_version():
+    from pdfrust_ray.pdfref.extract import pdf_version
+
+    assert pdf_version(b"%PDF-1.4") == "1.4"
+    assert pdf_version(b"%PDF-1.7") == "1.7"
+    with pytest.raises(ParseError):
+        pdf_version(b"%PDF-2.0")

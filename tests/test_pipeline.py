@@ -84,3 +84,23 @@ def test_modes_pipeline(ray_session):
         exp = golden.filter(pa.compute.equal(golden["mode"], mode)).to_pandas()
         exp = exp[["conv_id", "turn_idx", "extracted_text", "parse_status"]].reset_index(drop=True)
         assert got.reset_index(drop=True).equals(exp), f"mode {mode} differs"
+
+
+def test_info_pipeline(ray_session):
+    import pandas as pd
+
+    from pdfrust_ray.fixtures.corpus import ensure_modes_fixture
+    from pdfrust_ray.sources.transcripts import read_transcripts
+    from pdfrust_ray.stages.extractors import InfoTurns
+
+    d = ensure_modes_fixture()
+    ds = read_transcripts(d)
+    got = (
+        ds.map_batches(InfoTurns, batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = pd.read_parquet(os.path.join(d, "golden_info.parquet"))
+    exp = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got.equals(exp)
