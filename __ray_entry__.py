@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "distinct_mktsegments": rel.distinct_mktsegments,
         "supplier_nation_agg": rel.supplier_nation_agg,
+        "sessionize": rel.sessionize,
+        "running_user_totals": rel.running_user_totals,
     }
 
 
@@ -250,6 +252,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": rel.events_hourly_sql(),
         "distinct_mktsegments": rel.distinct_mktsegments_sql(),
         "supplier_nation_agg": rel.supplier_nation_agg_sql(),
+        "sessionize": rel.sessionize_sql(),
+        "running_user_totals": rel.running_user_totals_sql(),
         # rows-only (no SQL equivalent): minhash_dedup, simhash_dedup,
         # embedding_dedup, ann_ivf_topk, language_profile, media_features
     }

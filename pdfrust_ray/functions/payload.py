@@ -89,6 +89,20 @@ def extract_row(text: str, mode: str = "text", cmap_cache=None) -> dict:
                 "bytes_decoded": len(data),
                 "error": exc.message[:200],
             }
+        except RecursionError:
+            raise  # let pathological nesting surface, not masquerade as data
+        except Exception as exc:  # noqa: BLE001 — total function by design
+            # any unclassified parser exception on adversarial bytes maps
+            # to an error ROW (UDFs must be total: Ray task retries are
+            # reserved for infra faults, SURVEY §4)
+            return {
+                "payload_kind": kind,
+                "extracted_text": "",
+                "parse_status": f"error:Internal:{type(exc).__name__}",
+                "n_pages": 0,
+                "bytes_decoded": len(data),
+                "error": str(exc)[:200],
+            }
     if kind == KIND_HTML:
         try:
             out = extract_main_text(text)

@@ -227,3 +227,81 @@ def supplier_nation_agg_sql() -> str:
         GROUP BY n.n_name
         ORDER BY n.n_name
     """
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows per user: a new session starts when the gap from
+    the previous event exceeds `gap_minutes` (streaming-shaped op:
+    groupby(user_id) + per-group pandas over the ts-sorted log — the
+    Ray Data pattern for event-time windows)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g["session_id"] = new_session.cumsum().astype("int64")
+        agg = g.groupby("session_id").agg(
+            n_events=("ts", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        agg = agg.reset_index()
+        agg.insert(0, "user_id", g["user_id"].iloc[0])
+        return agg
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    return f"""
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM o
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM s GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """
+
+
+def running_user_totals(sf_dir: str) -> pd.DataFrame:
+    """Row-level window function: running event count and value total per
+    user in ts order (cumsum inside ts-sorted groups)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        cents = (g["value"] * 100.0).round().astype("int64")
+        g["running_n"] = range(1, len(g) + 1)
+        g["running_value_cents"] = cents.cumsum()
+        return g[["event_id", "user_id", "running_n", "running_value_cents"]]
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out["running_n"] = out["running_n"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def running_user_totals_sql() -> str:
+    return """
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                   AS running_value_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        ORDER BY event_id
+    """

@@ -193,3 +193,21 @@ def test_multimodal_plumbing(ray_session):
     a = sorted(map(tuple, out[["media_id", "n_bytes"]].values.tolist()))
     b = sorted(map(tuple, out2[["media_id", "n_bytes"]].values.tolist()))
     assert a == b
+
+
+@needs_testdata
+def test_sessionize_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import sessionize, sessionize_sql
+
+    mine = sessionize(SF)
+    oracle = duck.execute(sessionize_sql()).df()
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_running_totals_match_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import running_user_totals, running_user_totals_sql
+
+    mine = running_user_totals(SF)
+    oracle = duck.execute(running_user_totals_sql()).df()
+    _compare(mine, oracle)
