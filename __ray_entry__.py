@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": lambda sf: dedup.minhash_lsh_dedup(sf),
         "simhash_dedup": lambda sf: dedup.simhash_dedup(sf),
         "embedding_dedup": lambda sf: dedup.embedding_dedup(sf),
+        "dedup_clusters": lambda sf: dedup.dedup_clusters(sf),
         # --- similarity search ---
         "ann_topk": lambda sf: similarity.brute_force_topk(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),

@@ -71,6 +71,14 @@ def main() -> dict:
     out_dir = f"/tmp/bench_out_{scale}_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
     pool = max(2, NUM_CPUS - 2)
+
+    # warm the cluster (worker process spawn + imports) with a small
+    # untimed pipeline so the timed run measures steady-state throughput
+    warm_dir = ensure_corpus("t1")
+    warm_out = f"/tmp/bench_warm_{NUM_CPUS}"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    run_extraction(warm_dir, warm_out, concurrency=pool, resume=False)
+
     t0 = time.perf_counter()
     metrics = run_extraction(
         fix_dir,
@@ -79,6 +87,7 @@ def main() -> dict:
         batch_size=512,
         concurrency=pool,
         resume=False,
+        override_num_blocks=12 * NUM_CPUS,
     )
     headline = time.perf_counter() - t0
 

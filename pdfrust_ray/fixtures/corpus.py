@@ -31,7 +31,7 @@ from .pdfgen import PDF_CONSTRUCTS, pdf_stress
 
 SEED = 42
 # bump when any construct generator changes, so stale /tmp caches regenerate
-GENERATOR_VERSION = 5
+GENERATOR_VERSION = 6
 
 TRANSCRIPTS_SCHEMA = pa.schema(
     [
@@ -61,7 +61,7 @@ GOLDEN_SCHEMA = pa.schema(
 SCALES = {
     "t1": (20, 5, 1, 0),          # 100 rows, smoke
     "t2": (200, 10, 8, 499),      # 2,000 rows, correctness gate
-    "bench": (10000, 40, 64, 1250),  # 400,000 rows (~320 oversized), throughput
+    "bench": (20000, 40, 64, 1250),  # 800,000 rows (~640 oversized), throughput
 }
 
 _PDF_IDS = sorted(PDF_CONSTRUCTS)

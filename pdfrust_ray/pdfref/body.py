@@ -36,6 +36,25 @@ from .filters import flate_decode
 from .numbers import Number
 from .objects import HexString, Name, Ref, StreamObj, object_at
 
+class Rectangle:
+    """4-number array -> rectangle (body.rs:21-40). Dead on the extract
+    path in the reference (MediaBox/CropBox commented out) — provided
+    for API completeness (P8)."""
+
+    __slots__ = ("values",)
+
+    def __init__(self, arr: list):
+        if not isinstance(arr, list) or len(arr) != 4:
+            n = len(arr) if isinstance(arr, list) else arr
+            raise ParseError("Rectangle", f"PDF rectangle contains 4 values, found {n!r}")
+        vals = []
+        for o in arr:
+            if not isinstance(o, Number):
+                raise ParseError("Rectangle", f"PDF rectangle values are numbers, found {o!r}")
+            vals.append(o)
+        self.values = tuple(vals)
+
+
 MODE_TEXT = "text"
 MODE_CHARS = "chars"
 MODE_FONT = "font"
@@ -178,6 +197,26 @@ class Font:
                 raise ParseError("Font", f"Widths should contain only numbers, found {o!r}")
             out.append(o)
         return out
+
+    def estimate_space_width(self) -> Number:
+        """body.rs:163-171 (unused by the reference extract path; the
+        space heuristic that would consume it is commented out)."""
+        w = self.get_width(0x20)
+        if w is not None:
+            return w
+        avg = self._average_width()
+        if avg is not None:
+            return avg
+        return Number.int(200)
+
+    def _average_width(self) -> Number | None:
+        """body.rs:173-183: mean(widths)/1000 as Real."""
+        if self.widths is None:
+            return None
+        total = Number.real(0.0)
+        for n in self.widths:
+            total = total + n
+        return total / Number.int(len(self.widths)) / Number.real(1000.0)
 
     def get_width(self, c: int) -> Number | None:
         """body.rs:186-203; None is the Err case (caller treats as 0)."""

@@ -368,6 +368,13 @@ class TextContent:
                 tm = self.tm
                 a, b = tm.a, tm.b
                 e, f = tm.e, tm.f
+                # with the state constant, the advance tx is a pure function
+                # of the code byte (and of the kern value) — memoize per
+                # instruction; skip the f update when b == 0 in text mode
+                # (f32(±0 + f) == f for every comparison the engine makes)
+                b_zero = b == 0.0 and not display_char
+                tx_of: dict = {}
+                kern_of: dict = {}
                 cm_get = cmap.cmap.get if cmap is not None else None
                 two = cmap.is_two_bytes if cmap is not None else False
                 wcache = font.width_f32
@@ -395,13 +402,17 @@ class TextContent:
                                     out.append(self._char_line(ch, font))
                                 else:
                                     out.append(ch)
-                                tx = f32(wcache(c) * tfs_f)
-                                tx = f32(tx + tc_f)
-                                if c == _SPACE:
-                                    tx = f32(tx + tw_f)
-                                tx = f32(tx * th_f)
+                                tx = tx_of.get(c)
+                                if tx is None:
+                                    tx = f32(wcache(c) * tfs_f)
+                                    tx = f32(tx + tc_f)
+                                    if c == _SPACE:
+                                        tx = f32(tx + tw_f)
+                                    tx = f32(tx * th_f)
+                                    tx_of[c] = tx
                                 e = f32(f32(tx * a) + e)
-                                f = f32(f32(tx * b) + f)
+                                if not b_zero:
+                                    f = f32(f32(tx * b) + f)
                         else:
                             for c in val:
                                 if display_char:
@@ -409,21 +420,30 @@ class TextContent:
                                     out.append(self._char_line(chr(c), font))
                                 else:
                                     out.append(chr(c))
-                                tx = f32(wcache(c) * tfs_f)
-                                tx = f32(tx + tc_f)
-                                if c == _SPACE:
-                                    tx = f32(tx + tw_f)
-                                tx = f32(tx * th_f)
+                                tx = tx_of.get(c)
+                                if tx is None:
+                                    tx = f32(wcache(c) * tfs_f)
+                                    tx = f32(tx + tc_f)
+                                    if c == _SPACE:
+                                        tx = f32(tx + tw_f)
+                                    tx = f32(tx * th_f)
+                                    tx_of[c] = tx
                                 e = f32(f32(tx * a) + e)
-                                f = f32(f32(tx * b) + f)
+                                if not b_zero:
+                                    f = f32(f32(tx * b) + f)
                     else:  # kerning number (content.rs:916-943)
                         if ts.tfs is None:
                             self._tfs()  # raise exactly like the reference
-                        tx = f32((-val.as_f32()) / 1000.0)
-                        tx = f32(tx * tfs_f)
-                        tx = f32(tx * th_f)
+                        vf = val.as_f32()
+                        tx = kern_of.get(vf)
+                        if tx is None:
+                            tx = f32((-vf) / 1000.0)
+                            tx = f32(tx * tfs_f)
+                            tx = f32(tx * th_f)
+                            kern_of[vf] = tx
                         e = f32(f32(tx * a) + e)
-                        f = f32(f32(tx * b) + f)
+                        if not b_zero:
+                            f = f32(f32(tx * b) + f)
                 new = tm.copy()
                 new.e = e
                 new.f = f

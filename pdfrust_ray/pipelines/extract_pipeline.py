@@ -52,11 +52,20 @@ def build_extraction(
     batch_size: int = 512,
     concurrency=None,
     big_concurrency: int | None = None,
-    skew_split: bool = True,
+    skew_split: bool = False,
     order: bool = True,
     sort_partitions: int | None = None,
 ):
     """Attach the extraction stages to a transcript Dataset.
+
+    skew_split: when False (default) a single actor pool handles all
+    payload sizes — the streaming executor's size-based block splitting
+    plus sub-second per-document cost bounds head-of-line blocking, and
+    the input is scanned once. When True, rows above BIG_PAYLOAD_BYTES
+    route to a dedicated small-batch pool (explicit repartition-by-bytes)
+    at the cost of a second input scan — the right call when single
+    documents reach hundreds of MB and must not share a pool with the
+    small-row stream.
 
     sort_partitions: block count entering the ordering sort. Ray's range
     shuffle creates partitions^2 intermediate objects, so many tiny
@@ -97,7 +106,7 @@ def build_extraction(
             fn_constructor_kwargs={"mode": mode},
             batch_format="pyarrow",
             batch_size=4,  # bytes-capped batching for oversized payloads
-            concurrency=(1, big_concurrency),
+            concurrency=(max(1, big_concurrency // 2), big_concurrency),
         )
         out = small.union(big)
     else:
@@ -132,10 +141,11 @@ def run_extraction(
     out_dir: str,
     mode: str = "text",
     group_size: int = 16,
-    batch_size: int = 256,
+    batch_size: int = 512,
     concurrency=None,
     resume: bool = True,
-    skew_split: bool = True,
+    skew_split: bool = False,
+    override_num_blocks: int | None = None,
 ) -> dict:
     """Checkpoint-resumable run: shard groups -> partitioned output.
 
@@ -153,7 +163,10 @@ def run_extraction(
             skipped += 1
             continue
         g0 = time.perf_counter()
-        ds = read_transcripts(files)
+        read_kwargs = {}
+        if override_num_blocks:
+            read_kwargs["override_num_blocks"] = override_num_blocks
+        ds = read_transcripts(files, **read_kwargs)
         out = build_extraction(
             ds,
             mode=mode,

@@ -232,3 +232,47 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
             }
         )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10) -> pd.DataFrame:
+    """Near-duplicate clusters: connected components over the verified
+    MinHash-LSH pair graph via min-label propagation.
+
+    Each round is a groupby-aggregate (node -> min neighbor label), so
+    the algorithm is all Dataset-shaped shuffles at scale; rounds are
+    bounded by the component diameter (near-dup clusters are tiny, so a
+    handful of rounds converges). Returns (doc_id, cluster_id) for every
+    document that has at least one near-duplicate, cluster_id = min
+    doc_id of its component.
+    """
+    pairs = minhash_lsh_dedup(sf_dir, threshold=threshold)
+    if not len(pairs):
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "cluster_id": pd.Series([], dtype="int64")}
+        )
+    # adjacency as a (node, neighbor) edge list in both directions
+    edges = pd.concat(
+        [
+            pairs.rename(columns={"doc_a": "node", "doc_b": "nbr"})[["node", "nbr"]],
+            pairs.rename(columns={"doc_b": "node", "doc_a": "nbr"})[["node", "nbr"]],
+        ]
+    )
+    label = {n: n for n in set(edges["node"])}
+    for _ in range(max_rounds):
+        changed = False
+        # propagate: label[node] = min(label[node], min(label[nbr]))
+        nbr_min = (
+            edges.assign(nl=edges["nbr"].map(label))
+            .groupby("node")["nl"]
+            .min()
+        )
+        for node, nl in nbr_min.items():
+            if nl < label[node]:
+                label[node] = nl
+                changed = True
+        if not changed:
+            break
+    out = pd.DataFrame(
+        {"doc_id": list(label.keys()), "cluster_id": [label[n] for n in label]}
+    ).astype("int64")
+    return out.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)

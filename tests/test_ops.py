@@ -211,3 +211,28 @@ def test_running_totals_match_sql(ray_session, duck):
     mine = running_user_totals(SF)
     oracle = duck.execute(running_user_totals_sql()).df()
     _compare(mine, oracle)
+
+
+def test_dedup_clusters_planted(ray_session, tmp_path):
+    from pdfrust_ray.stages.dedup import dedup_clusters
+
+    base = " ".join(f"tok{i}zz{i * 11 % 73}" for i in range(300))
+    rows = [
+        {"doc_id": i, "text": " ".join(f"u{i}v{j}w{(i * j) % 89}" for j in range(150))}
+        for i in range(8)
+    ]
+    # chain: 40 ~ 41 ~ 42 (one component), plus exact pair 50/51
+    rows.append({"doc_id": 40, "text": base})
+    rows.append({"doc_id": 41, "text": base + " tail one"})
+    rows.append({"doc_id": 42, "text": base + " tail one two"})
+    other = " ".join(f"qq{i}rr{i * 17 % 61}" for i in range(300))
+    rows.append({"doc_id": 50, "text": other})
+    rows.append({"doc_id": 51, "text": other})
+    t = pa.Table.from_pylist(rows)
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = dedup_clusters(str(d), threshold=0.7)
+    by_doc = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert by_doc[40] == by_doc[41] == by_doc[42] == 40
+    assert by_doc[50] == by_doc[51] == 50

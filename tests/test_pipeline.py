@@ -104,3 +104,73 @@ def test_info_pipeline(ray_session):
     exp = pd.read_parquet(os.path.join(d, "golden_info.parquet"))
     exp = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert got.equals(exp)
+
+
+def test_skew_split_path_matches_golden(ray_session, t1_dir, tmp_path):
+    # the explicit repartition-by-bytes routing must produce identical rows
+    from pdfrust_ray.pipelines.extract_pipeline import run_extraction
+
+    out = str(tmp_path / "out")
+    run_extraction(t1_dir, out, group_size=1, concurrency=2, skew_split=True)
+    golden = pq.read_table(os.path.join(t1_dir, "golden.parquet"))
+    got = _read_group_output(out).select(golden.column_names)
+    got = got.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    for col in golden.column_names:
+        assert got[col].to_pylist() == golden[col].to_pylist(), f"column {col} differs"
+
+
+def test_reference_corpus_through_pipeline(ray_session, tmp_path):
+    """The reference's own PDFs, carried as transcript payloads through
+    the full Ray pipeline, must extract exactly like direct library
+    calls (which are pinned byte-identical to the reference binary)."""
+    import glob
+
+    import pyarrow as pa
+
+    from pdfrust_ray.functions.payload import encode_pdf_payload, extract_row
+    from pdfrust_ray.pipelines.extract_pipeline import build_extraction
+    from tests.conftest import REFERENCE_DATA
+
+    pdfs = sorted(glob.glob(os.path.join(REFERENCE_DATA, "*.pdf")))
+    if not pdfs:
+        import pytest as _pytest
+
+        _pytest.skip("reference corpus not available")
+    rows = []
+    for i, path in enumerate(pdfs):
+        with open(path, "rb") as f:
+            carrier = encode_pdf_payload(f.read())
+        rows.append(
+            {
+                "conv_id": f"conv-{i:06d}",
+                "turn_idx": 0,
+                "role": "tool",
+                "text": carrier,
+                "tool": "pdf_render",
+                "ts": 1735689600_000000,
+            }
+        )
+    import pyarrow.parquet as _pq
+
+    from pdfrust_ray.fixtures.corpus import TRANSCRIPTS_SCHEMA
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    _pq.write_table(
+        pa.Table.from_pylist(rows, schema=TRANSCRIPTS_SCHEMA), str(shard_dir / "part-0000.parquet")
+    )
+    import ray.data as rd
+
+    ds = rd.read_parquet(str(shard_dir / "part-0000.parquet"), columns=["conv_id", "turn_idx", "text"])
+    got = (
+        build_extraction(ds, batch_size=2, concurrency=2)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    for i, row in got.iterrows():
+        expected = extract_row(rows[i]["text"])
+        assert row["extracted_text"] == expected["extracted_text"], pdfs[i]
+        assert row["parse_status"] == expected["parse_status"], pdfs[i]
+    # tracemonkey (1 MB, 14 pages) must be among the ok rows
+    assert (got["parse_status"] == "ok").sum() >= 5
