@@ -272,11 +272,36 @@ def rust_char_debug(ch: str) -> str:
 
 
 def _is_printable_unicode(ch: str) -> bool:
+    # Rust's char::escape_debug escapes (a) non-printable chars — same
+    # definition as Python's str.isprintable(): Zs except ASCII space,
+    # Zl/Zp, all C* — and (b) grapheme-extending chars (Mn/Me; spacing
+    # marks Mc are NOT escaped). Differentially validated against the
+    # reference toolchain's escape_debug over the BMP + supplementary
+    # samples; residual mismatches are Unicode-table version skew on
+    # recently-assigned codepoints.
     import unicodedata
 
+    if not ch.isprintable():
+        return False
     cat = unicodedata.category(ch)
-    # Rust escape_debug escapes grapheme-unprintables: roughly Cc, Cf, Cs, Co, Cn, Zl, Zp
-    return cat not in ("Cc", "Cf", "Cs", "Co", "Cn", "Zl", "Zp")
+    if cat in ("Mn", "Me"):
+        return False
+    return ord(ch) not in _OTHER_GRAPHEME_EXTEND_MC
+
+
+# the Mc members of Other_Grapheme_Extend (Rust escapes these too);
+# enumerated differentially against the reference toolchain
+_OTHER_GRAPHEME_EXTEND_MC = frozenset(
+    [
+        0x09BE, 0x09D7, 0x0B3E, 0x0B57, 0x0BBE, 0x0BD7, 0x0CC0, 0x0CC2,
+        0x0CC7, 0x0CC8, 0x0CCA, 0x0CCB, 0x0CD5, 0x0CD6, 0x0D3E, 0x0D57,
+        0x0DCF, 0x0DDF, 0x1715, 0x1734, 0x1B35, 0x1B3B, 0x1B3D, 0x1B43,
+        0x1B44, 0x1BAA, 0x1BF2, 0x1BF3, 0x302E, 0x302F, 0xA953, 0xA9C0,
+        0x111C0, 0x11235, 0x1133E, 0x1134D, 0x11357, 0x114B0, 0x114BD,
+        0x115AF, 0x116B6, 0x11930, 0x1193D, 0x16FF0, 0x16FF1, 0x1D165,
+        0x1D166, 0x1D16D, 0x1D16E, 0x1D16F, 0x1D170, 0x1D171, 0x1D172,
+    ]
+)
 
 
 def rust_str_debug(s: str) -> str:
