@@ -42,6 +42,23 @@ _EXTRACT_COLS = [
 ]
 
 
+def _ensure_fixture_files() -> None:
+    """Generate the deterministic fixture corpora + goldens (idempotent,
+    cached). Called at import so oracle_sql's read_parquet targets exist
+    regardless of the order the driver evaluates queries vs oracles."""
+    try:
+        from pdfrust_ray.fixtures.corpus import ensure_corpus, ensure_modes_fixture
+
+        ensure_corpus("t1")
+        ensure_corpus("t2")
+        ensure_modes_fixture()
+    except Exception:  # never break module import on fixture IO issues
+        pass
+
+
+_ensure_fixture_files()
+
+
 def _scale_for(sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir or ""))
     return {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}.get(base, "t2")

@@ -402,17 +402,18 @@ class TextContent:
                                     out.append(self._char_line(ch, font))
                                 else:
                                     out.append(ch)
-                                tx = tx_of.get(c)
-                                if tx is None:
+                                cached = tx_of.get(c)
+                                if cached is None:
                                     tx = f32(wcache(c) * tfs_f)
                                     tx = f32(tx + tc_f)
                                     if c == _SPACE:
                                         tx = f32(tx + tw_f)
                                     tx = f32(tx * th_f)
-                                    tx_of[c] = tx
-                                e = f32(f32(tx * a) + e)
+                                    cached = (f32(tx * a), f32(tx * b))
+                                    tx_of[c] = cached
+                                e = f32(cached[0] + e)
                                 if not b_zero:
-                                    f = f32(f32(tx * b) + f)
+                                    f = f32(cached[1] + f)
                         else:
                             for c in val:
                                 if display_char:
@@ -420,30 +421,32 @@ class TextContent:
                                     out.append(self._char_line(chr(c), font))
                                 else:
                                     out.append(chr(c))
-                                tx = tx_of.get(c)
-                                if tx is None:
+                                cached = tx_of.get(c)
+                                if cached is None:
                                     tx = f32(wcache(c) * tfs_f)
                                     tx = f32(tx + tc_f)
                                     if c == _SPACE:
                                         tx = f32(tx + tw_f)
                                     tx = f32(tx * th_f)
-                                    tx_of[c] = tx
-                                e = f32(f32(tx * a) + e)
+                                    cached = (f32(tx * a), f32(tx * b))
+                                    tx_of[c] = cached
+                                e = f32(cached[0] + e)
                                 if not b_zero:
-                                    f = f32(f32(tx * b) + f)
+                                    f = f32(cached[1] + f)
                     else:  # kerning number (content.rs:916-943)
                         if ts.tfs is None:
                             self._tfs()  # raise exactly like the reference
                         vf = val.as_f32()
-                        tx = kern_of.get(vf)
-                        if tx is None:
+                        cached = kern_of.get(vf)
+                        if cached is None:
                             tx = f32((-vf) / 1000.0)
                             tx = f32(tx * tfs_f)
                             tx = f32(tx * th_f)
-                            kern_of[vf] = tx
-                        e = f32(f32(tx * a) + e)
+                            cached = (f32(tx * a), f32(tx * b))
+                            kern_of[vf] = cached
+                        e = f32(cached[0] + e)
                         if not b_zero:
-                            f = f32(f32(tx * b) + f)
+                            f = f32(cached[1] + f)
                 new = tm.copy()
                 new.e = e
                 new.f = f

@@ -63,6 +63,20 @@ KIND_NAMES = {
 }
 
 _WS = frozenset((0, 9, 10, 12, 13, 32))
+
+import re as _re
+
+# first non-whitespace byte (NUL/TAB/LF/FF/CR/SPACE are whitespace)
+_NONWS_RE = _re.compile(rb"[^\x00\t\n\x0c\r ]")
+# a run of regular bytes (neither whitespace nor delimiter)
+_REGULAR_RE = _re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+# any byte that stops a numeric tail (anything but digits and '.')
+_NONNUM_RE = _re.compile(rb"[^0-9.]")
+# comment terminator
+_CRLF_RE = _re.compile(rb"[\r\n]")
+_HEXSET = frozenset("0123456789abcdefABCDEF")
+# literal-string specials: parens and backslash
+_LITSPECIAL_RE = _re.compile(rb"[()\\]")
 _DELIM = frozenset(b"()<>[]{}/%")
 _HEXDIGITS = frozenset(b"0123456789ABCDEFabcdef")
 _DIGITS = frozenset(b"0123456789")
@@ -107,41 +121,35 @@ class Tokenizer:
         n = len(b)
         i = self.pos
         while i < n:
+            m = _NONWS_RE.search(b, i)
+            if m is None:
+                i = n
+                break
+            i = m.start()
             c = b[i]
             i += 1
-            if c in _WS:
-                continue
-            if c == 0x25:  # '%' comment
-                buf = bytearray()
-                while i < n:
-                    c2 = b[i]
-                    if c2 == 13 or c2 == 10:
-                        break
-                    buf.append(c2)
-                    i += 1
-                self.pos = i
-                return (COMMENT, bytes(buf))
+            if c == 0x25:  # '%' comment: read to CR/LF (not consumed)
+                m2 = _CRLF_RE.search(b, i)
+                end = m2.start() if m2 else n
+                self.pos = end
+                return (COMMENT, bytes(b[i:end]))
             if c == 0x3C:  # '<'
                 if i < n and b[i] == 0x3C:
                     self.pos = i + 1
                     return (DICT_BEGIN, None)
                 if i < n and b[i] in _HEXDIGITS:
-                    start = i
-                    while True:
-                        if i >= n:
-                            self.pos = i
-                            return None  # tokenizer.rs:244 returns None at EOF
-                        c2 = b[i]
-                        i += 1
-                        if c2 == 0x3E:  # '>'
-                            break
-                    raw = b[start : i - 1]
+                    end = b.find(0x3E, i)  # '>'
+                    if end < 0:
+                        self.pos = n
+                        return None  # tokenizer.rs:244 returns None at EOF
+                    raw = b[i:end]
+                    i = end + 1
                     s = raw.decode("latin-1")
                     if len(s) % 2 == 1:
                         s += "0"
                     # strict pair parse: any non-hex byte (incl. whitespace)
                     # panics in the reference (tokenizer.rs:253-256 unwrap)
-                    if not all(ch in "0123456789abcdefABCDEF" for ch in s):
+                    if not set(s) <= _HEXSET:
                         raise ParseError("Tokenize", f"bad hexstring {s!r}")
                     decoded = bytes.fromhex(s)
                     self.pos = i
@@ -168,18 +176,23 @@ class Tokenizer:
             if c == 0x7B or c == 0x7D:  # '{' '}'
                 raise ParseError("Tokenize", f"Character {chr(c)} is not covered")
             if c == 0x2F:  # '/' name
-                start = i
-                while i < n:
-                    c2 = b[i]
-                    if c2 in _WS or c2 in _DELIM:
-                        break
-                    i += 1
-                self.pos = i
-                return (NAME, b[start:i].decode("latin-1"))
+                m2 = _REGULAR_RE.match(b, i)
+                end = m2.end() if m2 else i
+                self.pos = end
+                return (NAME, b[i:end].decode("latin-1"))
             if c == 0x28:  # '(' literal string
                 buf = bytearray()
                 opened, closed = 1, 0
                 while i < n:
+                    # bulk-copy ordinary bytes up to the next ( ) or backslash
+                    m2 = _LITSPECIAL_RE.search(b, i)
+                    if m2 is None:
+                        buf += b[i:n]
+                        i = n
+                        break
+                    if m2.start() > i:
+                        buf += b[i : m2.start()]
+                        i = m2.start()
                     cur = b[i]
                     i += 1
                     if cur == 0x28:
@@ -245,17 +258,13 @@ class Tokenizer:
                     buf.append(cur)
                 self.pos = i
                 return (LIT, bytes(buf))
-            # regular token
+            # regular token: first byte is arbitrary; the token remains
+            # numeric iff every SUBSEQUENT byte is a digit or '.'
             start = i - 1
-            is_numeric = True
-            while i < n:
-                c2 = b[i]
-                if c2 in _WS or c2 in _DELIM:
-                    break
-                if c2 not in _NUMCHARS:
-                    is_numeric = False
-                i += 1
+            m2 = _REGULAR_RE.match(b, i)
+            i = m2.end() if m2 else i
             raw = b[start:i]
+            is_numeric = _NONNUM_RE.search(raw, 1) is None
             self.pos = i
             if is_numeric:
                 num = parse_numeric(raw.decode("latin-1"))

@@ -72,3 +72,25 @@ def test_flate_bomb_is_bounded():
 
     out = flate_decode(bomb)
     assert len(out) == len(bomb) * 10  # truncated at 10x, not 100 MB
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(max_size=500))
+def test_html_extractor_total_and_deterministic(text):
+    from pdfrust_ray.html import extract_main_text
+
+    html = "<html><body>" + text + "</body></html>"
+    a = extract_main_text(html)
+    b = extract_main_text(html)
+    assert a == b  # deterministic
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.sampled_from(["<div>", "</div>", "<p>", "<b>", "</i>", "<table>", "<td>",
+                                 "text ", "&amp;", "<script>x</script>", "<a href=x>l</a>",
+                                 "<br>", "<nav>n</nav>", "</p>", "<!--c-->"]), max_size=30))
+def test_html_extractor_on_tag_soup(parts):
+    from pdfrust_ray.html import extract_main_text
+
+    out = extract_main_text("".join(parts))
+    assert isinstance(out, str)

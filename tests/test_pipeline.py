@@ -174,3 +174,17 @@ def test_reference_corpus_through_pipeline(ray_session, tmp_path):
         assert row["parse_status"] == expected["parse_status"], pdfs[i]
     # tracemonkey (1 MB, 14 pages) must be among the ok rows
     assert (got["parse_status"] == "ok").sum() >= 5
+
+
+def test_output_deterministic_across_parallelism(ray_session, t1_dir, tmp_path):
+    """Identical rows AND identical order regardless of concurrency —
+    the 'stable turn ordering under arbitrary parallelism' guarantee."""
+    from pdfrust_ray.pipelines.extract_pipeline import run_extraction
+
+    outs = []
+    for conc, bs in ((1, 7), (4, 64)):
+        out = str(tmp_path / f"o{conc}")
+        run_extraction(t1_dir, out, group_size=1, concurrency=conc, batch_size=bs)
+        t = _read_group_output(out)
+        outs.append(t.to_pydict())
+    assert outs[0] == outs[1]
