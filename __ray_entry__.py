@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_agg": rel.supplier_nation_agg,
         "sessionize": rel.sessionize,
         "running_user_totals": rel.running_user_totals,
+        "asof_click_before_purchase": rel.asof_click_before_purchase,
     }
 
 
@@ -272,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation_agg": rel.supplier_nation_agg_sql(),
         "sessionize": rel.sessionize_sql(),
         "running_user_totals": rel.running_user_totals_sql(),
+        "asof_click_before_purchase": rel.asof_click_before_purchase_sql(),
         # rows-only (no SQL equivalent): minhash_dedup, simhash_dedup,
         # embedding_dedup, ann_ivf_topk, language_profile, media_features
     }

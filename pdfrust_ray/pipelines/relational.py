@@ -305,3 +305,54 @@ def running_user_totals_sql() -> str:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
         ORDER BY event_id
     """
+
+
+def asof_click_before_purchase(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for every 'purchase' event, the most recent 'click'
+    by the same user at or before the purchase time.
+
+    Ray pattern for as-of/range joins (no built-in): partition by the
+    join key (groupby user_id), sort each side by ts inside the group,
+    and pd.merge_asof per group. NULL matches surface as -1 so the
+    result hashes identically to the SQL LEFT ASOF JOIN oracle.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        purchases = g[g["event_type"] == "purchase"].sort_values("ts")
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        if not len(purchases):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "click_event_id": pd.Series([], dtype="int64"),
+                }
+            )
+        merged = pd.merge_asof(
+            purchases[["event_id", "user_id", "ts"]],
+            clicks[["event_id", "ts"]].rename(columns={"event_id": "click_event_id"}),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = merged[["event_id", "user_id", "click_event_id"]].copy()
+        out["click_event_id"] = out["click_event_id"].fillna(-1).astype("int64")
+        return out
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def asof_click_before_purchase_sql() -> str:
+    return """
+        SELECT p.event_id,
+               p.user_id,
+               COALESCE(c.event_id, -1) AS click_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY p.event_id
+    """

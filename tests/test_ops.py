@@ -236,3 +236,15 @@ def test_dedup_clusters_planted(ray_session, tmp_path):
     by_doc = dict(zip(out["doc_id"], out["cluster_id"]))
     assert by_doc[40] == by_doc[41] == by_doc[42] == 40
     assert by_doc[50] == by_doc[51] == 50
+
+
+@needs_testdata
+def test_asof_join_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        asof_click_before_purchase,
+        asof_click_before_purchase_sql,
+    )
+
+    mine = asof_click_before_purchase(SF)
+    oracle = duck.execute(asof_click_before_purchase_sql()).df()
+    _compare(mine, oracle)
