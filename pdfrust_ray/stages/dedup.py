@@ -104,7 +104,12 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """Verified near-duplicate pairs (doc_a, doc_b, jaccard >= threshold).
 
     The candidate set is small by construction (band collisions), so the
-    verify step broadcasts the needed texts and checks exact Jaccard.
+    verify step pulls just the candidate texts and checks exact Jaccard.
+    Scale note: at 10^12 docs the verify step becomes a hash-partitioned
+    join of the (small) candidate-pair set against the documents table
+    on doc_id (broadcast the pair-id set as a filter, then pair up in a
+    bucketed map_groups) — the candidate generation above is already
+    all-shuffle-shaped and unchanged.
     """
     cand = minhash_candidates(sf_dir).to_pandas()
     if len(cand):
@@ -146,35 +151,71 @@ def simhash_signatures(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir).map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 2))
 
 
+class SimHashBandStage:
+    """Actor: doc -> 4 x (chunk_id, chunk_value, doc_id, simhash) band rows.
+
+    A pair within Hamming distance <= 3 of a 64-bit simhash shares at
+    least one identical 16-bit chunk (pigeonhole), so banding by chunk
+    is a complete candidate generator for max_hamming <= 3."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, chunk_ids, chunk_vals, sims = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            h = simhash64(text)
+            hx = f"{h:016x}"
+            for c in range(4):
+                doc_ids.append(doc_id)
+                chunk_ids.append(c)
+                chunk_vals.append((h >> (16 * c)) & 0xFFFF)
+                sims.append(hx)
+        return pa.table(
+            {
+                "chunk_id": pa.array(chunk_ids, pa.int32()),
+                "chunk_value": pa.array(chunk_vals, pa.int32()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "simhash": pa.array(sims, pa.string()),
+            }
+        )
+
+
 def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """Near-dup pairs by simhash banding (4 x 16-bit chunks) + Hamming verify."""
-    sig = simhash_signatures(sf_dir).to_pandas()
-    sig["h"] = sig["simhash"].map(lambda s: int(s, 16))
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for doc_id, h in zip(sig["doc_id"], sig["h"]):
-        for c in range(4):
-            chunk = (h >> (16 * c)) & 0xFFFF
-            buckets.setdefault((c, chunk), []).append((doc_id, h))
-    seen = set()
-    rows = []
-    for members in buckets.values():
-        if len(members) < 2:
-            continue
+    """Near-dup pairs by simhash banding (4 x 16-bit chunks) + Hamming
+    verify.
+
+    Scale shape: band rows shuffle by (chunk_id, chunk_value) — a
+    16-byte-keyed groupby, never the documents — and pairs are generated
+    and Hamming-verified inside each bucket's map_groups; only verified
+    pairs reach the driver (cross-bucket duplicate pairs are dropped by
+    a final drop_duplicates on the small pair set)."""
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        members = sorted(set(zip(g["doc_id"], g["simhash"])))
+        out = []
         for i in range(len(members)):
+            a, ha = members[i]
             for j in range(i + 1, len(members)):
-                a, ha = members[i]
                 b, hb = members[j]
-                key = (min(a, b), max(a, b))
-                if key in seen:
-                    continue
-                seen.add(key)
-                d = hamming64(ha, hb)
+                d = hamming64(int(ha, 16), int(hb, 16))
                 if d <= max_hamming:
-                    rows.append((key[0], key[1], d))
-    rows.sort()
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]) if rows else pd.DataFrame(
-        {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")}
+                    out.append((min(a, b), max(a, b), d))
+        if not out:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+
+    bands = _docs(sf_dir).map_batches(SimHashBandStage, batch_format="pyarrow", concurrency=(1, 2))
+    pairs = (
+        bands.groupby(["chunk_id", "chunk_value"])
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .to_pandas()
     )
+    if not len(pairs):
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")}
+        )
+    pairs = pairs.drop_duplicates(["doc_a", "doc_b"]).astype("int64")
+    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def embedding_dedup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
@@ -183,6 +224,10 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     Broadcasts the (normalized) full matrix once with ray.put and scans
     it blockwise inside map_batches — each batch computes a [batch, N]
     similarity block; only above-threshold pairs leave the task.
+    Scale note: the broadcast side is O(N x D); beyond what fits in the
+    object store, assign IVF buckets (stages/similarity.py::AssignBucket)
+    and compare within-bucket only via groupby(bucket).map_groups — the
+    standard approximate near-dup trade.
     """
     import pyarrow.parquet as pq
 
@@ -238,12 +283,15 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10) ->
     """Near-duplicate clusters: connected components over the verified
     MinHash-LSH pair graph via min-label propagation.
 
-    Each round is a groupby-aggregate (node -> min neighbor label), so
-    the algorithm is all Dataset-shaped shuffles at scale; rounds are
-    bounded by the component diameter (near-dup clusters are tiny, so a
-    handful of rounds converges). Returns (doc_id, cluster_id) for every
-    document that has at least one near-duplicate, cluster_id = min
-    doc_id of its component.
+    Each round is a (node -> min neighbor label) propagation over the
+    edge list; rounds are bounded by the component diameter (near-dup
+    clusters are tiny, so a handful of rounds converges). The pair graph
+    is orders of magnitude smaller than the corpus (only verified
+    near-dups), so rounds run on the driver here; at 10^12-doc scale
+    each round is the same computation expressed as
+    edges.groupby(node).min() joined back — all shuffle-shaped. Returns
+    (doc_id, cluster_id) for every document with at least one
+    near-duplicate, cluster_id = min doc_id of its component.
     """
     pairs = minhash_lsh_dedup(sf_dir, threshold=threshold)
     if not len(pairs):
