@@ -91,7 +91,11 @@ def ivf_topk(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10, n_centroids: i
     """IVF-bucketed approximate top-k (deterministic centroids).
 
     Scale path: assignment adds a `bucket` column (a cheap map_batches);
-    the query scans only the n_probe closest buckets.
+    the query scans only the n_probe closest buckets. Centroids here are
+    the first C vectors for determinism; at 10^12 scale bootstrap them
+    from ds.random_sample (or a k-means pass over a sample) and the
+    assignment/probe stages are unchanged. Persisting the bucket column
+    in the parquet layout turns the probe into a partition-pruned read.
     """
     query_ids = list(query_ids)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])

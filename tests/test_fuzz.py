@@ -9,6 +9,11 @@ import zlib
 
 from hypothesis import given, settings, strategies as st
 
+# deterministic examples: the driver's gate must not flake on a fresh
+# random seed; genuinely new counterexamples belong to dev runs
+settings.register_profile("ci", derandomize=True)
+settings.load_profile("ci")
+
 from pdfrust_ray.fixtures.pdfgen import PDF_CONSTRUCTS
 from pdfrust_ray.functions.payload import encode_pdf_payload, extract_row
 from pdfrust_ray.pdfref import ParseError, extract
