@@ -34,7 +34,7 @@ from .cmap import ToUnicodeCMap, parse_tounicode
 from .errors import ParseError
 from .filters import flate_decode
 from .numbers import Number
-from .objects import HexString, Name, Ref, StreamObj, object_at
+from .objects import Name, Ref, StreamObj, object_at
 
 class Rectangle:
     """4-number array -> rectangle (body.rs:21-40). Dead on the extract

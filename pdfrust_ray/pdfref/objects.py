@@ -33,7 +33,6 @@ from .tokenizer import (
     NAME,
     NUM,
     OBJ_BEGIN,
-    OBJ_END,
     REF,
     STR,
     STREAM_BEGIN,

@@ -25,7 +25,7 @@ Pins /root/reference/src/tokenizer.rs:
 from __future__ import annotations
 
 from .errors import ParseError
-from .numbers import Number, parse_numeric
+from .numbers import parse_numeric
 
 # token kinds
 NUM = 0

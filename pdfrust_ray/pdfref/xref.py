@@ -28,7 +28,7 @@ from __future__ import annotations
 from .errors import ParseError
 from .filters import flate_decode
 from .numbers import Number
-from .objects import Name, Ref, StreamObj, parse_object
+from .objects import Ref, StreamObj, parse_object
 from .tokenizer import NUM, STR, Lemmatizer, Tokenizer
 
 
