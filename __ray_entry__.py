@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
+    from pdfrust_ray.stages.dedup import embedding_dedup_sql
 
     return {
         "extract_text": f"""
@@ -215,7 +216,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_metrics": f"""
             SELECT parse_status, COUNT(*) AS n_turns,
-                   SUM(bytes_decoded) AS sum_bytes_decoded
+                   CAST(SUM(bytes_decoded) AS BIGINT) AS sum_bytes_decoded
             FROM read_parquet('{_T2_GOLDEN}')
             GROUP BY parse_status ORDER BY parse_status
         """,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, vec_id
             FROM r WHERE rank <= 10 ORDER BY query_id, rank
         """,
+        "embedding_dedup": embedding_dedup_sql(),
         "token_counts": textops.token_counts_sql(),
         "fingerprints": textops.fingerprints_sql(),
         "lineitem_agg": rel.lineitem_agg_sql(),
@@ -275,5 +277,5 @@ def oracle_sql() -> dict[str, str]:
         "running_user_totals": rel.running_user_totals_sql(),
         "asof_click_before_purchase": rel.asof_click_before_purchase_sql(),
         # rows-only (no SQL equivalent): minhash_dedup, simhash_dedup,
-        # embedding_dedup, ann_ivf_topk, language_profile, media_features
+        # ann_ivf_topk, language_profile, media_features
     }

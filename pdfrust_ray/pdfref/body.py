@@ -249,7 +249,10 @@ class Font:
         fc = self.first_char
         if fc is not None and fc.is_int and c < fc.val:
             return 0.0
-        if not cache:
+        # mirror get_width's order (body.rs:192-201): only widths==None is
+        # the silent Err case; widths PRESENT (even empty) with FirstChar
+        # missing hits the reference's unwrap panic (body.rs:195)
+        if self.widths is None:
             return 0.0
         if fc is None:
             raise ParseError("Font", "widths present but FirstChar missing")

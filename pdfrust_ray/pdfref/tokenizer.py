@@ -180,7 +180,12 @@ class Tokenizer:
                 end = m2.end() if m2 else i
                 self.pos = end
                 return (NAME, b[i:end].decode("latin-1"))
-            if c == 0x28:  # '(' literal string
+            if c == 0x28 or c == 0x29:  # '(' or stray ')' literal string
+                # Both parens map to CharacterSet::Delimiter(String) in the
+                # reference (tokenizer.rs:66-69), so a stray ')' enters the
+                # SAME literal-string loop (tokenizer.rs:287-331) with
+                # opened=1/closed=0 — including escape handling and the
+                # octal quirk — behaving like an unterminated string scan.
                 buf = bytearray()
                 opened, closed = 1, 0
                 while i < n:
@@ -235,27 +240,6 @@ class Tokenizer:
                             buf.append(e)
                     else:
                         buf.append(cur)
-                self.pos = i
-                return (LIT, bytes(buf))
-            if c == 0x29:  # ')' unbalanced close outside a string
-                # CharacterSet::Delimiter(String) with c==')' enters the
-                # literal-string loop with opened=1,closed=0 in the
-                # reference too (tokenizer.rs:287-331); it behaves like an
-                # unterminated string scan. Keep identical behavior.
-                buf = bytearray()
-                opened, closed = 1, 0
-                while i < n:
-                    cur = b[i]
-                    i += 1
-                    if cur == 0x28:
-                        opened += 1
-                    elif cur == 0x29:
-                        closed += 1
-                        if opened == closed:
-                            break
-                    if opened == closed:
-                        break
-                    buf.append(cur)
                 self.pos = i
                 return (LIT, bytes(buf))
             # regular token: first byte is arbitrary; the token remains

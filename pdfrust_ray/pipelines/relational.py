@@ -72,24 +72,26 @@ def lineitem_agg_sql() -> str:
 def segment_revenue(sf_dir: str) -> pd.DataFrame:
     """Broadcast join: orders x customer -> revenue per market segment.
 
-    customer is the small side: ray.put once, dict-lookup per batch —
-    no shuffle join (SURVEY §4 / guide "Joins and lookups")."""
+    customer is the small side: ray.put the Arrow table once, then a
+    vectorized Arrow hash join per batch — no shuffle join (SURVEY §4 /
+    guide "Joins and lookups"). Inner-join semantics: orders rows whose
+    o_custkey is absent from customer are dropped, matching the SQL
+    oracle's INNER JOIN."""
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    ref = ray.put(seg_of)
+    ref = ray.put(cust)
 
     class JoinSegment:
         def __init__(self):
-            self.seg_of = ray.get(ref)
+            self.cust = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            segs = [self.seg_of.get(k, "") for k in t["o_custkey"].to_pylist()]
-            return pa.table(
-                {
-                    "c_mktsegment": pa.array(segs, pa.string()),
-                    "price_cents": _cents(t["o_totalprice"]),
-                }
+            left = pa.table(
+                {"o_custkey": t["o_custkey"], "price_cents": _cents(t["o_totalprice"])}
             )
+            j = left.join(
+                self.cust, keys="o_custkey", right_keys="c_custkey", join_type="inner"
+            )
+            return j.select(["c_mktsegment", "price_cents"])
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     out = (
@@ -186,21 +188,22 @@ def distinct_mktsegments_sql() -> str:
 def supplier_nation_agg(sf_dir: str) -> pd.DataFrame:
     """Two-table broadcast join + per-nation account stats (min/max/mean)."""
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    name_of = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    ref = ray.put(name_of)
+    ref = ray.put(nation)
 
     class JoinNation:
         def __init__(self):
-            self.name_of = ray.get(ref)
+            self.nation = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.name_of.get(k, "") for k in t["s_nationkey"].to_pylist()]
-            return pa.table(
-                {
-                    "n_name": pa.array(names, pa.string()),
-                    "acct_cents": _cents(t["s_acctbal"]),
-                }
+            # vectorized Arrow hash join against the broadcast small side;
+            # inner semantics match the oracle's INNER JOIN
+            left = pa.table(
+                {"s_nationkey": t["s_nationkey"], "acct_cents": _cents(t["s_acctbal"])}
             )
+            j = left.join(
+                self.nation, keys="s_nationkey", right_keys="n_nationkey", join_type="inner"
+            )
+            return j.select(["n_name", "acct_cents"])
 
     ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
     out = (

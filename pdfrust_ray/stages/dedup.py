@@ -2,19 +2,29 @@
 
 All pipelines follow the scale discipline: per-batch vectorized
 signature computation (actor pools hold the hasher state), hash-keyed
-`groupby` for the single wide exchange, and candidate verification
-before reporting — never an O(n^2) driver loop.
+`groupby` for the wide exchanges, and candidate verification before
+reporting — never an O(n^2) or full-table driver loop.
 
   - exact_dedup: content-hash partition + per-group min — the groupby
     key is md5(text) (never the full text), so the shuffle moves 32-byte
     keys, not documents.
   - minhash_lsh_dedup: shingle -> 64-perm MinHash -> LSH bands ->
-    groupby(band_id, band_hash) -> candidate pairs -> exact Jaccard
-    verify on the pair texts.
+    groupby(band_id, band_hash) -> candidate REP pairs (exact duplicates
+    are collapsed to one representative per distinct text before pair
+    generation, so a mega-duplicate group can't blow a bucket up
+    quadratically) -> DISTRIBUTED exact-Jaccard verify (candidate texts
+    are fetched by a broadcast semi-join filter and judged inside a
+    groupby(pair_id).map_groups — the driver never scans the corpus) ->
+    verified rep pairs re-expanded over exact-duplicate group members.
   - simhash_dedup: 64-bit simhash, banded into 4x16-bit chunks for
-    candidate generation, verified by Hamming distance.
+    candidate generation, verified by Hamming distance inside the
+    bucket; same exact-duplicate collapse + expansion.
   - embedding_dedup: cosine near-duplicates over an embedding column
-    via normalized blockwise matmul (broadcast one side with ray.put).
+    via normalized blockwise matmul (broadcast one side with ray.put),
+    zero-copy Arrow->numpy loads.
+  - dedup_clusters: connected components over the verified pair graph;
+    each min-label propagation round is an edges groupby(node).min —
+    shuffle-shaped, not a driver dict loop.
 """
 
 from __future__ import annotations
@@ -24,12 +34,19 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from ..functions.minhash import MinHasher, char_shingles, hamming64, jaccard, simhash64
+from ..functions.vectors import embedding_matrix, int_column
+
+# Safety valve for degenerate LSH buckets (e.g. empty/boilerplate texts
+# that survive exact collapse but still share a band): cap the number of
+# distinct-text members a single bucket may pair up, and log the drop.
+BUCKET_CAP = 10_000
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> "rd.Dataset":
@@ -51,8 +68,82 @@ def exact_dedup(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def _empty_pairs(value_col: str, dtype: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            value_col: pd.Series([], dtype=dtype),
+        }
+    )
+
+
+def exact_member_rows(sf_dir: str) -> "rd.Dataset":
+    """(rep_id, doc_id) membership rows for exact-duplicate groups with
+    >= 2 members (rep_id = min doc_id of the group). Shuffle moves only
+    (text_hash, doc_id); singleton groups (the vast majority) emit
+    nothing."""
+    ds = _docs(sf_dir).map_batches(add_md5, batch_format="pyarrow")
+    ds = ds.select_columns(["text_hash", "doc_id"])
+
+    def members(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"rep_id": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64")}
+            )
+        rep = int(g["doc_id"].min())
+        return pd.DataFrame({"rep_id": rep, "doc_id": g["doc_id"].astype("int64")})
+
+    return ds.groupby("text_hash").map_groups(members, batch_format="pandas")
+
+
+def _expand_rep_pairs(
+    rep_pairs: pd.DataFrame, members: pd.DataFrame, value_col: str, within_value
+) -> pd.DataFrame:
+    """Re-expand verified representative pairs over exact-duplicate group
+    members, plus all within-group pairs at `within_value` (identical
+    texts trivially satisfy any near-dup predicate).
+
+    rep_pairs: (doc_a, doc_b, value_col) between distinct-text reps.
+    members: (rep_id, doc_id) for groups with >= 2 members.
+    """
+    if "rep_id" not in members.columns:  # empty to_pandas loses columns
+        members = pd.DataFrame(
+            {"rep_id": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64")}
+        )
+    group_of: dict[int, list[int]] = {}
+    for rep, doc in zip(members["rep_id"], members["doc_id"]):
+        group_of.setdefault(int(rep), []).append(int(doc))
+    rows: list[tuple] = []
+    # within-group pairs (exact duplicates)
+    for rep, docs in group_of.items():
+        docs = sorted(docs)
+        if len(docs) > 2000:  # same spirit as BUCKET_CAP: output-size guard
+            print(f"dedup: exact group of {len(docs)} docs capped at 2000 for pair expansion")
+            docs = docs[:2000]
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                rows.append((docs[i], docs[j], within_value))
+    # cross pairs: every member combination of the two groups shares the
+    # reps' verified similarity (texts are byte-identical to the reps')
+    for a, b, v in zip(rep_pairs["doc_a"], rep_pairs["doc_b"], rep_pairs[value_col]):
+        for x in group_of.get(int(a), [int(a)]):
+            for y in group_of.get(int(b), [int(b)]):
+                rows.append((min(x, y), max(x, y), v))
+    rows.sort()
+    if not rows:
+        return _empty_pairs(value_col, "float64" if isinstance(within_value, float) else "int64")
+    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", value_col])
+    out["doc_a"] = out["doc_a"].astype("int64")
+    out["doc_b"] = out["doc_b"].astype("int64")
+    return out.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 class MinHashStage:
-    """Actor: doc -> (band_id, band_hash, doc_id) rows."""
+    """Actor: doc -> (band_id, band_hash, doc_id, text_hash) rows.
+
+    Signatures are memoized per distinct text within the batch, so local
+    runs of exact duplicates cost one signature."""
 
     def __init__(self, n_perm: int = 64, n_bands: int = 8, k: int = 5):
         self.mh = MinHasher(n_perm=n_perm)
@@ -60,24 +151,40 @@ class MinHashStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_hashes = [], [], []
+        doc_ids, band_ids, band_hashes, text_hashes = [], [], [], []
+        seen: dict[str, list[str]] = {}
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = self.mh.signature(char_shingles(text, self.k))
-            for b, bh in enumerate(self.mh.bands(sig, self.n_bands)):
+            th = hashlib.md5(text.encode("utf-8")).hexdigest()
+            bands = seen.get(th)
+            if bands is None:
+                sig = self.mh.signature(char_shingles(text, self.k))
+                bands = [
+                    hashlib.blake2b(bh, digest_size=8).hexdigest()
+                    for bh in self.mh.bands(sig, self.n_bands)
+                ]
+                seen[th] = bands
+            for b, bh in enumerate(bands):
                 doc_ids.append(doc_id)
                 band_ids.append(b)
-                band_hashes.append(hashlib.blake2b(bh, digest_size=8).hexdigest())
+                band_hashes.append(bh)
+                text_hashes.append(th)
         return pa.table(
             {
                 "band_id": pa.array(band_ids, pa.int32()),
                 "band_hash": pa.array(band_hashes, pa.string()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
+                "text_hash": pa.array(text_hashes, pa.string()),
             }
         )
 
 
 def minhash_candidates(sf_dir: str, n_bands: int = 8) -> "rd.Dataset":
-    """Candidate duplicate pairs from LSH bucket collisions."""
+    """Candidate duplicate REP pairs from LSH bucket collisions.
+
+    Members of a bucket are collapsed to one representative per distinct
+    text (rep = min doc_id — globally consistent because identical texts
+    share every band), so pair generation is O(distinct^2), not
+    O(members^2), and capped at BUCKET_CAP distinct texts per bucket."""
     ds = _docs(sf_dir).map_batches(
         MinHashStage,
         fn_constructor_kwargs={"n_bands": n_bands},
@@ -86,9 +193,17 @@ def minhash_candidates(sf_dir: str, n_bands: int = 8) -> "rd.Dataset":
     )
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
+        reps = g.groupby("text_hash")["doc_id"].min()
+        ids = sorted(int(x) for x in reps)
+        if len(ids) > BUCKET_CAP:
+            print(
+                f"minhash: hot bucket with {len(ids)} distinct texts capped at {BUCKET_CAP}"
+            )
+            ids = ids[:BUCKET_CAP]
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
         out_a, out_b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -96,43 +211,90 @@ def minhash_candidates(sf_dir: str, n_bands: int = 8) -> "rd.Dataset":
                 out_b.append(ids[j])
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
-    cand = ds.groupby(["band_id", "band_hash"]).map_groups(pairs_of_bucket, batch_format="pandas")
-    return cand
+    return ds.groupby(["band_id", "band_hash"]).map_groups(pairs_of_bucket, batch_format="pandas")
+
+
+def _verify_pairs_distributed(
+    sf_dir: str, cand: pd.DataFrame, threshold: float, k: int = 5
+) -> pd.DataFrame:
+    """Exact-Jaccard verify of candidate pairs WITHOUT a driver scan.
+
+    The (small) candidate set is broadcast as a doc_id -> [pair_id]
+    index; tasks filter the documents table against it (vectorized
+    is_in semi-join), emit one (pair_id, doc_id, text) row per pair
+    membership, and a groupby(pair_id).map_groups judges each pair.
+    Only verified pairs reach the driver."""
+    if not len(cand):
+        return _empty_pairs("jaccard", "float64")
+    idx: dict[int, list[int]] = {}
+    for pid, (a, b) in enumerate(zip(cand["doc_a"], cand["doc_b"])):
+        idx.setdefault(int(a), []).append(pid)
+        idx.setdefault(int(b), []).append(pid)
+    ref = ray.put(idx)
+    needed = pa.array(list(idx.keys()), pa.int64())
+
+    class TagPairs:
+        def __init__(self):
+            self.idx = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["doc_id"], value_set=needed))
+            pids, dids, texts = [], [], []
+            for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                for pid in self.idx.get(d, ()):
+                    pids.append(pid)
+                    dids.append(d)
+                    texts.append(x)
+            return pa.table(
+                {
+                    "pair_id": pa.array(pids, pa.int64()),
+                    "doc_id": pa.array(dids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+
+    tagged = _docs(sf_dir).map_batches(TagPairs, batch_format="pyarrow", concurrency=(1, 2))
+
+    def judge(g: pd.DataFrame) -> pd.DataFrame:
+        empty = _empty_pairs("jaccard", "float64")
+        if len(g) != 2:
+            return empty
+        g = g.sort_values("doc_id")
+        a, b = g.iloc[0], g.iloc[1]
+        j = jaccard(char_shingles(a["text"], k), char_shingles(b["text"], k))
+        if j < threshold:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([int(a["doc_id"])], dtype="int64"),
+                "doc_b": pd.Series([int(b["doc_id"])], dtype="int64"),
+                "jaccard": pd.Series([round(j, 6)], dtype="float64"),
+            }
+        )
+
+    out = tagged.groupby("pair_id").map_groups(judge, batch_format="pandas").to_pandas()
+    if not len(out):
+        return _empty_pairs("jaccard", "float64")
+    return out
 
 
 def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """Verified near-duplicate pairs (doc_a, doc_b, jaccard >= threshold).
 
-    The candidate set is small by construction (band collisions), so the
-    verify step pulls just the candidate texts and checks exact Jaccard.
-    Scale note: at 10^12 docs the verify step becomes a hash-partitioned
-    join of the (small) candidate-pair set against the documents table
-    on doc_id (broadcast the pair-id set as a filter, then pair up in a
-    bucketed map_groups) — the candidate generation above is already
-    all-shuffle-shaped and unchanged.
-    """
+    Three distributed phases: (1) banded candidate generation over
+    distinct-text representatives, (2) distributed exact-Jaccard verify
+    of the rep pairs (see _verify_pairs_distributed), (3) re-expansion
+    of verified rep pairs over exact-duplicate group members (identical
+    texts share the rep's similarity by construction). Only the small
+    candidate/verified pair sets and duplicate-group membership rows
+    ever reach the driver."""
     cand = minhash_candidates(sf_dir).to_pandas()
     if len(cand):
         cand = cand.drop_duplicates(["doc_a", "doc_b"])
-    if not len(cand):
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")}
-        )
-    needed = set(cand["doc_a"]) | set(cand["doc_b"])
-    texts = {}
-    for b in _docs(sf_dir).iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            if d in needed:
-                texts[d] = t
-    rows = []
-    for a, b2 in zip(cand["doc_a"], cand["doc_b"]):
-        j = jaccard(char_shingles(texts[a]), char_shingles(texts[b2]))
-        if j >= threshold:
-            rows.append((int(a), int(b2), round(j, 6)))
-    rows.sort()
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) if rows else pd.DataFrame(
-        {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")}
-    )
+    verified = _verify_pairs_distributed(sf_dir, cand, threshold)
+    members = exact_member_rows(sf_dir).to_pandas()
+    out = _expand_rep_pairs(verified, members, "jaccard", 1.0)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 class SimHashStage:
@@ -152,28 +314,36 @@ def simhash_signatures(sf_dir: str) -> "rd.Dataset":
 
 
 class SimHashBandStage:
-    """Actor: doc -> 4 x (chunk_id, chunk_value, doc_id, simhash) band rows.
+    """Actor: doc -> 4 x (chunk_id, chunk_value, doc_id, simhash,
+    text_hash) band rows; simhash memoized per distinct text in batch.
 
     A pair within Hamming distance <= 3 of a 64-bit simhash shares at
     least one identical 16-bit chunk (pigeonhole), so banding by chunk
     is a complete candidate generator for max_hamming <= 3."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, chunk_ids, chunk_vals, sims = [], [], [], []
+        doc_ids, chunk_ids, chunk_vals, sims, text_hashes = [], [], [], [], []
+        seen: dict[str, str] = {}
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            h = simhash64(text)
-            hx = f"{h:016x}"
+            th = hashlib.md5(text.encode("utf-8")).hexdigest()
+            hx = seen.get(th)
+            if hx is None:
+                hx = f"{simhash64(text):016x}"
+                seen[th] = hx
+            h = int(hx, 16)
             for c in range(4):
                 doc_ids.append(doc_id)
                 chunk_ids.append(c)
                 chunk_vals.append((h >> (16 * c)) & 0xFFFF)
                 sims.append(hx)
+                text_hashes.append(th)
         return pa.table(
             {
                 "chunk_id": pa.array(chunk_ids, pa.int32()),
                 "chunk_value": pa.array(chunk_vals, pa.int32()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "simhash": pa.array(sims, pa.string()),
+                "text_hash": pa.array(text_hashes, pa.string()),
             }
         )
 
@@ -184,12 +354,23 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     Scale shape: band rows shuffle by (chunk_id, chunk_value) — a
     16-byte-keyed groupby, never the documents — and pairs are generated
-    and Hamming-verified inside each bucket's map_groups; only verified
-    pairs reach the driver (cross-bucket duplicate pairs are dropped by
-    a final drop_duplicates on the small pair set)."""
+    and Hamming-verified inside each bucket's map_groups over
+    distinct-text representatives (exact duplicates collapsed, bucket
+    capped); verified rep pairs are re-expanded over duplicate-group
+    members, exactly like minhash_lsh_dedup."""
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        members = sorted(set(zip(g["doc_id"], g["simhash"])))
+        reps = (
+            g.groupby("text_hash")
+            .agg(doc_id=("doc_id", "min"), simhash=("simhash", "first"))
+            .sort_values("doc_id")
+        )
+        if len(reps) > BUCKET_CAP:
+            print(
+                f"simhash: hot bucket with {len(reps)} distinct texts capped at {BUCKET_CAP}"
+            )
+            reps = reps.iloc[:BUCKET_CAP]
+        members = list(zip(reps["doc_id"], reps["simhash"]))
         out = []
         for i in range(len(members)):
             a, ha = members[i]
@@ -199,31 +380,38 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                 if d <= max_hamming:
                     out.append((min(a, b), max(a, b), d))
         if not out:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")}
-            )
+            return _empty_pairs("hamming", "int64")
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
 
     bands = _docs(sf_dir).map_batches(SimHashBandStage, batch_format="pyarrow", concurrency=(1, 2))
-    pairs = (
+    rep_pairs = (
         bands.groupby(["chunk_id", "chunk_value"])
         .map_groups(pairs_of_bucket, batch_format="pandas")
         .to_pandas()
     )
-    if not len(pairs):
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "hamming": pd.Series([], dtype="int64")}
-        )
-    pairs = pairs.drop_duplicates(["doc_a", "doc_b"]).astype("int64")
-    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    if len(rep_pairs):
+        rep_pairs = rep_pairs.drop_duplicates(["doc_a", "doc_b"])
+    else:
+        rep_pairs = _empty_pairs("hamming", "int64")
+    members = exact_member_rows(sf_dir).to_pandas()
+    out = _expand_rep_pairs(rep_pairs, members, "hamming", 0)
+    out["hamming"] = out["hamming"].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def embedding_dedup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
-    """Cosine near-duplicate pairs over the embeddings table.
+def embedding_dedup(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """Cosine near-duplicate pairs (vec_a, vec_b) over the embeddings
+    table.
 
     Broadcasts the (normalized) full matrix once with ray.put and scans
     it blockwise inside map_batches — each batch computes a [batch, N]
-    similarity block; only above-threshold pairs leave the task.
+    similarity block; only above-threshold pairs leave the task. The
+    cosine value itself is not returned: DuckDB's
+    list_cosine_similarity computes on FLOAT[] while numpy uses
+    float64, so the VALUES differ in the 7th digit — the pair SET at a
+    threshold chosen away from any observed similarity is the
+    comparable result (same convention as ann_topk).
+
     Scale note: the broadcast side is O(N x D); beyond what fits in the
     object store, assign IVF buckets (stages/similarity.py::AssignBucket)
     and compare within-bucket only via groupby(bucket).map_groups — the
@@ -232,11 +420,11 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    mat = embedding_matrix(t["embedding"])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     mat = mat / norms
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    ids = int_column(t["vec_id"])
     ref = ray.put((ids, mat))
 
     class CosineBlock:
@@ -244,25 +432,20 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
             self.ids, self.mat = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            v = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            vid = int_column(batch["vec_id"])
+            v = embedding_matrix(batch["embedding"])
             n = np.linalg.norm(v, axis=1, keepdims=True)
             n[n == 0] = 1.0
             v = v / n
             sims = v @ self.mat.T  # [batch, N]
             ai, bj = np.nonzero(sims >= threshold)
-            rows_a, rows_b, vals = [], [], []
-            for i, j in zip(ai, bj):
-                a, b = int(vid[i]), int(self.ids[j])
-                if a < b:  # strict upper triangle, dedup across batches
-                    rows_a.append(a)
-                    rows_b.append(b)
-                    vals.append(round(float(sims[i, j]), 6))
+            a = vid[ai]
+            b = self.ids[bj]
+            keep = a < b  # strict upper triangle, dedup across batches
             return pa.table(
                 {
-                    "vec_a": pa.array(rows_a, pa.int64()),
-                    "vec_b": pa.array(rows_b, pa.int64()),
-                    "cosine": pa.array(vals, pa.float64()),
+                    "vec_a": pa.array(a[keep], pa.int64()),
+                    "vec_b": pa.array(b[keep], pa.int64()),
                 }
             )
 
@@ -270,27 +453,31 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     out = ds.map_batches(CosineBlock, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)).to_pandas()
     if out.empty:  # zero pairs -> typed empty frame (to_pandas loses columns)
         return pd.DataFrame(
-            {
-                "vec_a": pd.Series([], dtype="int64"),
-                "vec_b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
+            {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
         )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_dedup_sql(threshold: float = 0.45) -> str:
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+        ORDER BY vec_a, vec_b
+    """
 
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10) -> pd.DataFrame:
     """Near-duplicate clusters: connected components over the verified
     MinHash-LSH pair graph via min-label propagation.
 
-    Each round is a (node -> min neighbor label) propagation over the
-    edge list; rounds are bounded by the component diameter (near-dup
-    clusters are tiny, so a handful of rounds converges). The pair graph
-    is orders of magnitude smaller than the corpus (only verified
-    near-dups), so rounds run on the driver here; at 10^12-doc scale
-    each round is the same computation expressed as
-    edges.groupby(node).min() joined back — all shuffle-shaped. Returns
-    (doc_id, cluster_id) for every document with at least one
+    Each round is expressed as the shuffle it is at scale: the edge list
+    (a Ray dataset, both directions plus self-loops) gets the current
+    neighbor labels attached in map_batches (labels broadcast via
+    ray.put — the pair graph's node set is orders of magnitude smaller
+    than the corpus) and reduced by edges.groupby(node).min. Rounds are
+    bounded by the component diameter (near-dup clusters are tiny).
+    Returns (doc_id, cluster_id) for every document with at least one
     near-duplicate, cluster_id = min doc_id of its component.
     """
     pairs = minhash_lsh_dedup(sf_dir, threshold=threshold)
@@ -298,28 +485,35 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10) ->
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"), "cluster_id": pd.Series([], dtype="int64")}
         )
-    # adjacency as a (node, neighbor) edge list in both directions
-    edges = pd.concat(
+    nodes = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    # undirected edge list with self-loops so every node keeps its label
+    edges_pd = pd.concat(
         [
             pairs.rename(columns={"doc_a": "node", "doc_b": "nbr"})[["node", "nbr"]],
             pairs.rename(columns={"doc_b": "node", "doc_a": "nbr"})[["node", "nbr"]],
+            pd.DataFrame({"node": nodes, "nbr": nodes}),
         ]
-    )
-    label = {n: n for n in set(edges["node"])}
+    ).astype("int64")
+    edges = rd.from_pandas(edges_pd)
+    label = {int(n): int(n) for n in nodes}
     for _ in range(max_rounds):
-        changed = False
-        # propagate: label[node] = min(label[node], min(label[nbr]))
+        ref = ray.put(label)
+
+        def attach(t: pa.Table, _ref=ref) -> pa.Table:
+            lab = ray.get(_ref)
+            nl = [lab[n] for n in t["nbr"].to_pylist()]
+            return pa.table({"node": t["node"], "nl": pa.array(nl, pa.int64())})
+
         nbr_min = (
-            edges.assign(nl=edges["nbr"].map(label))
-            .groupby("node")["nl"]
-            .min()
+            edges.map_batches(attach, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("nl", alias_name="new_label"))
+            .to_pandas()
         )
-        for node, nl in nbr_min.items():
-            if nl < label[node]:
-                label[node] = nl
-                changed = True
-        if not changed:
+        new_label = {int(n): int(l) for n, l in zip(nbr_min["node"], nbr_min["new_label"])}
+        if new_label == label:
             break
+        label = new_label
     out = pd.DataFrame(
         {"doc_id": list(label.keys()), "cluster_id": [label[n] for n in label]}
     ).astype("int64")

@@ -22,6 +22,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from ..functions.vectors import embedding_matrix, int_column
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -31,10 +33,10 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def _query_matrix(sf_dir: str, query_ids: list[int]) -> np.ndarray:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_pylist()
-    emb = t["embedding"].to_pylist()
-    by_id = dict(zip(ids, emb))
-    return _normalize(np.asarray([by_id[q] for q in query_ids], dtype=np.float64))
+    ids = int_column(t["vec_id"])
+    mat = embedding_matrix(t["embedding"])
+    pos = {int(v): i for i, v in enumerate(ids)}
+    return _normalize(mat[[pos[q] for q in query_ids]])
 
 
 def brute_force_topk(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pd.DataFrame:
@@ -51,8 +53,8 @@ def brute_force_topk(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pd.
             self.q = ray.get(ref)  # [Q, D], fetched once per actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            v = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+            vid = int_column(batch["vec_id"])
+            v = _normalize(embedding_matrix(batch["embedding"]))
             sims = v @ self.q.T  # [batch, Q]
             out_q, out_v, out_s = [], [], []
             for qi in range(sims.shape[1]):
@@ -99,8 +101,8 @@ def ivf_topk(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10, n_centroids: i
     """
     query_ids = list(query_ids)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    mat = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+    ids = int_column(t["vec_id"])
+    mat = _normalize(embedding_matrix(t["embedding"]))
     order = np.argsort(ids)
     centroids = _normalize(mat[order[:n_centroids]].copy())
     cref = ray.put(centroids)
@@ -111,7 +113,7 @@ def ivf_topk(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10, n_centroids: i
             self.c = ray.get(cref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            v = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+            v = _normalize(embedding_matrix(batch["embedding"]))
             bucket = (v @ self.c.T).argmax(axis=1).astype(np.int32)
             return batch.append_column("bucket", pa.array(bucket, pa.int32()))
 
@@ -126,9 +128,9 @@ def ivf_topk(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10, n_centroids: i
             self.q, self.probe = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            bucket = np.asarray(batch["bucket"].to_pylist(), dtype=np.int32)
-            v = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+            vid = int_column(batch["vec_id"])
+            bucket = int_column(batch["bucket"], dtype=np.int32)
+            v = _normalize(embedding_matrix(batch["embedding"]))
             out_q, out_v, out_s = [], [], []
             for qi in range(self.q.shape[0]):
                 mask = np.isin(bucket, list(self.probe[qi]))

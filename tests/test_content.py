@@ -164,3 +164,18 @@ def test_width_advance_math():
     tc = TextContent(b"BT /F1 10 Tf [<41>] TJ ET", res)
     tc.get_text(False)
     assert tc.tm.e == 5.0  # 500/1000 * 10
+
+
+def test_empty_widths_missing_firstchar_errors():
+    # /Widths [ ] present with FirstChar missing hits the reference's
+    # unwrap panic (body.rs:195, rc 101) on the TJ advance path; widths
+    # ABSENT is the silent Err->0.0 case (body.rs:201). Verified vs the
+    # reference binary (round 2).
+    res = _resources({"F1": _font(widths=[])})
+    tc = TextContent(b"BT /F1 10 Tf [(hi)] TJ ET", res)
+    with pytest.raises(ParseError):
+        tc.get_text(False)
+    # widths=None stays the silent zero-advance path
+    res2 = _resources({"F1": _font(widths=None)})
+    tc2 = TextContent(b"BT /F1 10 Tf [(hi)] TJ ET", res2)
+    assert tc2.get_text(False) == "hi"

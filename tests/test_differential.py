@@ -55,7 +55,23 @@ def _random_content(rng: random.Random) -> str:
             hexstr = "".join(rng.choice("0123456789ABCDEF") for _ in range(rng.randint(1, 9)))
             ops.append(f"[<{hexstr}> {rng.randint(-200, 200)}] TJ")
         else:
-            ops.append(rng.choice(["q", "0.5 g", "1 0 0 RG", "5 5 50 50 re", "f", "BMC", "EMC"]))
+            ops.append(
+                rng.choice(
+                    [
+                        "q",
+                        "0.5 g",
+                        "1 0 0 RG",
+                        "5 5 50 50 re",
+                        "f",
+                        "BMC",
+                        "EMC",
+                        # stray ')' runs the literal-string loop (escape
+                        # handling included) until parens balance
+                        ") \\( (n)) (m) Tj",
+                        ") x) (s) Tj",
+                    ]
+                )
+            )
     # balance q/Q roughly: close nothing (Q on empty stack would error both sides)
     ops.append("ET")
     return "\n".join(ops)

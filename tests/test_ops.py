@@ -248,3 +248,117 @@ def test_asof_join_matches_sql(ray_session, duck):
     mine = asof_click_before_purchase(SF)
     oracle = duck.execute(asof_click_before_purchase_sql()).df()
     _compare(mine, oracle)
+
+
+def test_minhash_mega_duplicate_group_no_blowup(ray_session, tmp_path):
+    """A planted mega exact-duplicate group must not explode a bucket:
+    candidate generation pairs distinct-text REPRESENTATIVES only, and
+    the m*(m-1)/2 within-group pairs come from cheap expansion, not from
+    n_bands quadratic bucket scans."""
+    from pdfrust_ray.stages.dedup import minhash_candidates, minhash_lsh_dedup
+
+    mega = "the same boilerplate text repeated across the corpus " * 20
+    rows = [{"doc_id": i, "text": mega} for i in range(60)]
+    rows += [
+        {"doc_id": 100 + i, "text": " ".join(f"m{i}n{j}p{(i * j) % 79}" for j in range(120))}
+        for i in range(10)
+    ]
+    t = pa.Table.from_pylist(rows)
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    # candidate stage emits rep pairs only: zero pairs for a pure
+    # exact-duplicate group (one distinct text per bucket)
+    cand = minhash_candidates(str(d)).to_pandas()
+    assert len(cand) == 0
+    pairs = minhash_lsh_dedup(str(d), threshold=0.8)
+    # ... but the full 60*59/2 identical-pair set is still reported
+    assert len(pairs) == 60 * 59 // 2
+    assert (pairs["jaccard"] == 1.0).all()
+
+
+def test_simhash_mega_duplicate_group_no_blowup(ray_session, tmp_path):
+    from pdfrust_ray.stages.dedup import simhash_dedup
+
+    mega = "identical boilerplate for the simhash banding stage " * 25
+    rows = [{"doc_id": i, "text": mega} for i in range(40)]
+    rows += [
+        {"doc_id": 200 + i, "text": " ".join(f"s{i}t{j}u{(i * j) % 71}" for j in range(150))}
+        for i in range(8)
+    ]
+    t = pa.Table.from_pylist(rows)
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    pairs = simhash_dedup(str(d), max_hamming=3)
+    within = pairs[(pairs["doc_a"] < 40) & (pairs["doc_b"] < 40)]
+    assert len(within) == 40 * 39 // 2
+    assert (within["hamming"] == 0).all()
+
+
+@needs_testdata
+def test_embedding_dedup_matches_sql(ray_session, duck):
+    from pdfrust_ray.stages.dedup import embedding_dedup, embedding_dedup_sql
+
+    mine = embedding_dedup(SF)
+    oracle = duck.execute(embedding_dedup_sql()).df()
+    assert len(mine) > 0  # threshold chosen so the check is non-vacuous
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_segment_revenue_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import segment_revenue, segment_revenue_sql
+
+    _compare(segment_revenue(SF), duck.execute(segment_revenue_sql()).df())
+
+
+@needs_testdata
+def test_supplier_nation_agg_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import supplier_nation_agg, supplier_nation_agg_sql
+
+    _compare(supplier_nation_agg(SF), duck.execute(supplier_nation_agg_sql()).df())
+
+
+@needs_testdata
+def test_ann_topk_matches_sql_after_zero_copy(ray_session, duck):
+    # pins the FixedSizeList/list zero-copy embedding load path
+    from pdfrust_ray.stages.similarity import brute_force_topk
+
+    mine = brute_force_topk(SF)
+    oracle = duck.execute(
+        """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+        ), s AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(e.embedding, q.qe) AS cosine
+            FROM embeddings e CROSS JOIN q
+        ), r AS (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM s
+        )
+        SELECT query_id, rank, vec_id
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank
+        """
+    ).df()
+    _compare(mine, oracle)
+
+
+def test_embedding_matrix_fixed_and_var_lists():
+    from pdfrust_ray.functions.vectors import embedding_matrix
+
+    data = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    var = pa.array(data, pa.list_(pa.float32()))
+    fixed = pa.array(data, pa.list_(pa.float32(), 2))
+    np.testing.assert_array_equal(embedding_matrix(var), np.asarray(data))
+    np.testing.assert_array_equal(embedding_matrix(fixed), np.asarray(data))
+    # sliced arrays keep correct offsets
+    np.testing.assert_array_equal(embedding_matrix(var.slice(1, 2)), np.asarray(data[1:]))
+    chunked = pa.chunked_array([var.slice(0, 1), var.slice(1, 2)])
+    np.testing.assert_array_equal(embedding_matrix(chunked), np.asarray(data))
+    with pytest.raises(ValueError):
+        embedding_matrix(pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float32())))

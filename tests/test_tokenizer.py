@@ -216,3 +216,18 @@ def test_lone_gt_skipped():
 def test_braces_error():
     with pytest.raises(ParseError):
         toks(b"{abc}")
+
+
+def test_stray_close_paren_runs_string_loop():
+    # a stray ')' maps to Delimiter::String (tokenizer.rs:66-69) and runs
+    # the SAME literal-string loop — escapes and the octal quirk included
+    # (tokenizer.rs:287-331) — scanning until parens balance.
+    assert toks(rb") \( (x)) (A) Tj") == [
+        (LIT, b" ( (x)"),
+        (LIT, b"A"),
+        (STR, b"Tj"),
+    ]
+    # escaped parens inside the stray scan don't count toward balance
+    assert toks(rb") \) still) (B)") == [(LIT, b" ) still"), (LIT, b"B")]
+    # octal quirk applies in the stray scan too: 8c+8d+e
+    assert toks(rb") \101x)") == [(LIT, b" " + bytes([(1 * 8) + (0 * 8) + 1]) + b"x")]
