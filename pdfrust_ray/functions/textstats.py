@@ -87,23 +87,49 @@ _M = (1 << 61) - 1
 
 def rolling_fingerprint(text: str, window: int = 16) -> int:
     """Winnowing-style document fingerprint: min of rolling polynomial
-    hashes over `window`-char windows (deterministic, no SQL equivalent)."""
-    data = text.encode("utf-8")
+    hashes over `window`-char windows (deterministic, no SQL equivalent).
+
+    Vectorized: instead of an O(bytes) Python loop, the hash of every
+    window H_i = sum_k data[i+k] * B^(window-1-k) mod M is accumulated
+    in `window` numpy passes. M = 2^61-1 is Mersenne, so the oversized
+    product byte * B^j is computed as byte*(q*2^32 + r) with the *2^32
+    done as a 61-bit rotation (2^61 === 1 mod M), keeping every
+    intermediate inside uint64."""
+    import numpy as np
+
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     n = len(data)
     if n == 0:
         return 0
     if n <= window:
         h = 0
         for b in data:
-            h = (h * _B + b) % _M
+            h = (h * _B + int(b)) % _M
         return h
-    pw = pow(_B, window - 1, _M)
-    h = 0
-    for b in data[:window]:
-        h = (h * _B + b) % _M
-    best = h
-    for i in range(window, n):
-        h = ((h - data[i - window] * pw) * _B + data[i]) % _M
-        if h < best:
-            best = h
-    return best
+    assert window <= (1 << 20), "window too large for deferred-mod limbs"
+    u = np.uint64
+    M = u(_M)
+    m = n - window + 1
+    d64 = data.astype(np.uint64)  # one cast; per-k slices are views
+    # Split pw = q*2^32 + r and accumulate byte*q (< 2^37 per term) and
+    # byte*r (< 2^40 per term) WITHOUT intermediate reduction — for
+    # window <= 2^20 the sums stay below 2^61 — then reduce once:
+    # acc_hi*2^32 mod M is a 61-bit rotation (2^61 === 1 mod M).
+    acc_hi = np.zeros(m, dtype=np.uint64)
+    acc_lo = np.zeros(m, dtype=np.uint64)
+    t = np.empty(m, dtype=np.uint64)
+    for k in range(window):
+        pw = pow(_B, window - 1 - k, _M)
+        q, r = u(pw >> 32), u(pw & 0xFFFFFFFF)
+        x = d64[k : k + m]
+        np.multiply(x, q, out=t)
+        acc_hi += t
+        np.multiply(x, r, out=t)
+        acc_lo += t
+    rot = ((acc_hi & u((1 << 29) - 1)) << u(32)) + (acc_hi >> u(29))
+    rot = (rot & M) + (rot >> u(61))  # < M + 2
+    acc = rot + acc_lo  # < 2^62
+    acc = (acc & M) + (acc >> u(61))
+    while (acc >= M).any():
+        acc = np.where(acc >= M, acc - M, acc)
+    return int(acc.min())
