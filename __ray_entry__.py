@@ -29,6 +29,7 @@ _FIXTURE_BASE = "/tmp/pdfrust_ray_fixtures"
 _T2_GOLDEN = f"{_FIXTURE_BASE}/t2/golden.parquet"
 _MODES_GOLDEN = f"{_FIXTURE_BASE}/modes/golden_modes.parquet"
 _INFO_GOLDEN = f"{_FIXTURE_BASE}/modes/golden_info.parquet"
+_SPEC15_GOLDEN = f"{_FIXTURE_BASE}/spec15/golden.parquet"
 
 _EXTRACT_COLS = [
     "conv_id",
@@ -47,11 +48,16 @@ def _ensure_fixture_files() -> None:
     cached). Called at import so oracle_sql's read_parquet targets exist
     regardless of the order the driver evaluates queries vs oracles."""
     try:
-        from pdfrust_ray.fixtures.corpus import ensure_corpus, ensure_modes_fixture
+        from pdfrust_ray.fixtures.corpus import (
+            ensure_corpus,
+            ensure_modes_fixture,
+            ensure_spec15_fixture,
+        )
 
         ensure_corpus("t1")
         ensure_corpus("t2")
         ensure_modes_fixture()
+        ensure_spec15_fixture()
     except Exception:  # never break module import on fixture IO issues
         pass
 
@@ -144,12 +150,31 @@ def _q_extract_mode(mode: str):
     return run
 
 
+def _q_extract_spec15(sf_dir: str):
+    """PDF 1.5 spec-mode pipeline (xref streams / ObjStm / predictors)
+    over the spec15 fixture family — the reference cannot read these
+    payloads (xref.rs:331-376); golden computed serially."""
+    from pdfrust_ray.fixtures.corpus import ensure_spec15_fixture
+    from pdfrust_ray.pipelines.extract_pipeline import build_extraction
+    from pdfrust_ray.sources.transcripts import read_transcripts
+
+    d = ensure_spec15_fixture()
+    ds = read_transcripts(d)
+    out = build_extraction(ds, mode="text", batch_size=16, concurrency=2, spec_mode=True)
+    return out.select_columns(_EXTRACT_COLS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # generate fixtures eagerly so oracle_sql's read_parquet targets exist
-    from pdfrust_ray.fixtures.corpus import ensure_corpus, ensure_modes_fixture
+    from pdfrust_ray.fixtures.corpus import (
+        ensure_corpus,
+        ensure_modes_fixture,
+        ensure_spec15_fixture,
+    )
 
     ensure_corpus("t2")
     ensure_modes_fixture()
+    ensure_spec15_fixture()
 
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
@@ -174,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_chars": _q_extract_mode("chars"),
         "extract_font": _q_extract_mode("font"),
         "extract_raw_content": _q_extract_mode("raw-content"),
+        "extract_text_spec15": _q_extract_spec15,
         # --- training-data ops: dedup ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "minhash_dedup": lambda sf: dedup.minhash_lsh_dedup(sf),
@@ -239,6 +265,12 @@ def oracle_sql() -> dict[str, str]:
         "extract_raw_content": f"""
             SELECT conv_id, turn_idx, extracted_text, parse_status
             FROM read_parquet('{_MODES_GOLDEN}') WHERE mode = 'raw-content'
+            ORDER BY conv_id, turn_idx
+        """,
+        "extract_text_spec15": f"""
+            SELECT conv_id, turn_idx, payload_kind, extracted_text,
+                   parse_status, n_pages, bytes_decoded, error
+            FROM read_parquet('{_SPEC15_GOLDEN}')
             ORDER BY conv_id, turn_idx
         """,
         "exact_dedup": """

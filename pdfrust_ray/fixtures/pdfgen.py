@@ -532,3 +532,158 @@ PDF_CONSTRUCTS = {
     "pdf-corrupt": pdf_corrupt,
     "pdf-info": pdf_info,
 }
+
+
+class Pdf15Builder:
+    """PDF 1.5 xref-STREAM serializer for spec-mode fixtures.
+
+    Writes documents the reference cannot read (its xref-stream path is
+    broken, xref.rs:331-376): cross-reference streams with configurable
+    W widths, optional PNG Up predictor (/DecodeParms /Predictor 12),
+    optional multi-pair /Index, and /ObjStm object streams holding the
+    objects added with compressed=True (streams themselves always stay
+    at file level, per spec).
+    """
+
+    def __init__(self, version: str = "1.5", predictor: bool = False,
+                 w=(1, 4, 2), index_split: bool = False):
+        self.version = version
+        self.predictor = predictor
+        self.w = tuple(w)
+        self.index_split = index_split
+        self.objects: list[tuple[bytes, bool]] = []  # (body, in_objstm)
+
+    def add(self, body: bytes, compressed: bool = False) -> int:
+        self.objects.append((body, compressed))
+        return len(self.objects)
+
+    def add_stream(self, header_extra: str, data: bytes, compress: bool = False) -> int:
+        if compress:
+            data = zlib.compress(data, 6)
+            header_extra += " /Filter /FlateDecode"
+        header = f"<< /Length {len(data)}{header_extra} >>"
+        body = header.encode("latin-1") + b"\nstream\n" + data + b"\nendstream"
+        return self.add(body, compressed=False)
+
+    def build(self, root: int) -> bytes:
+        n = len(self.objects)
+        objstm_num = n + 1 if any(c for _, c in self.objects) else None
+        xref_num = (objstm_num or n) + 1
+        size = xref_num + 1
+
+        out = bytearray()
+        out += f"%PDF-{self.version}\n".encode()
+        # entries[num] = (type, f2, f3)
+        entries = {0: (0, 0, 65535)}
+        stm_members = [i for i, (_, c) in enumerate(self.objects, start=1) if c]
+        for idx, num in enumerate(stm_members):
+            entries[num] = (2, objstm_num, idx)
+        for num, (body, c) in enumerate(self.objects, start=1):
+            if c:
+                continue
+            out += b"\n"
+            entries[num] = (1, len(out), 0)
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        if objstm_num is not None:
+            bodies = [self.objects[num - 1][0] for num in stm_members]
+            offs, pos = [], 0
+            for b in bodies:
+                offs.append(pos)
+                pos += len(b) + 1
+            header = " ".join(f"{num} {off}" for num, off in zip(stm_members, offs)) + "\n"
+            content = header.encode("latin-1") + b" ".join(bodies) + b" "
+            payload = zlib.compress(content, 6)
+            stm = (
+                f"<< /Type /ObjStm /N {len(stm_members)} /First {len(header)} "
+                f"/Length {len(payload)} /Filter /FlateDecode >>"
+            ).encode() + b"\nstream\n" + payload + b"\nendstream"
+            out += b"\n"
+            entries[objstm_num] = (1, len(out), 0)
+            out += f"{objstm_num} 0 obj\n".encode() + stm + b"\nendobj\n"
+
+        # pack the xref stream itself (its own entry included)
+        out += b"\n"
+        xref_off = len(out)
+        entries[xref_num] = (1, xref_off, 0)
+        w1, w2, w3 = self.w
+        if self.index_split and size > 2:
+            split = size // 2
+            index_pairs = [(0, split), (split, size - split)]
+            index_part = f" /Index [ 0 {split} {split} {size - split} ]"
+        else:
+            index_pairs = [(0, size)]
+            index_part = ""
+        if w1 == 0 and stm_members:
+            # a zero-width type field means every entry reads as type 1
+            # (ISO 32000-1 table 17) — incompatible with ObjStm members
+            raise ValueError("W[0]=0 cannot express type-2 (ObjStm) entries")
+        rows = bytearray()
+        for start, count in index_pairs:
+            for num in range(start, start + count):
+                t, f2, f3 = entries.get(num, (0, 0, 0))
+                rows += t.to_bytes(w1, "big") if w1 else b""
+                rows += f2.to_bytes(w2, "big")
+                # clamp (only the free-list head's 65535 can exceed w3)
+                rows += min(f3, (1 << (8 * w3)) - 1).to_bytes(w3, "big")
+        esz = w1 + w2 + w3
+        parms = ""
+        data = bytes(rows)
+        if self.predictor:
+            enc, prev = bytearray(), bytes(esz)
+            for i in range(0, len(data), esz):
+                row = data[i : i + esz]
+                enc.append(2)  # PNG Up
+                enc += bytes((row[j] - prev[j]) & 0xFF for j in range(esz))
+                prev = row
+            data = bytes(enc)
+            parms = f" /DecodeParms << /Predictor 12 /Columns {esz} >>"
+        payload = zlib.compress(data, 6)
+        xstm = (
+            f"<< /Type /XRef /Size {size} /W [ {w1} {w2} {w3} ]{index_part} "
+            f"/Root {root} 0 R /Length {len(payload)} /Filter /FlateDecode{parms} >>"
+        ).encode() + b"\nstream\n" + payload + b"\nendstream"
+        out += f"{xref_num} 0 obj\n".encode() + xstm + b"\nendobj\n"
+        out += f"startxref\n{xref_off}\n%%EOF".encode()
+        return bytes(out)
+
+
+def _page_setup15(b: Pdf15Builder, content_obj: int, font_obj: int,
+                  compressed: bool = True) -> int:
+    """Catalog + single page in (optionally) an object stream."""
+    res = f"<< /Font << /F1 {font_obj} 0 R >> >>"
+    pages = b.add(b"placeholder", compressed)  # patched below
+    page = b.add(
+        f"<< /Type /Page /Parent {pages} 0 R /Resources {res} /Contents {content_obj} 0 R >>".encode(),
+        compressed,
+    )
+    b.objects[pages - 1] = (
+        f"<< /Type /Pages /Kids [ {page} 0 R ] /Count 1 >>".encode(),
+        compressed,
+    )
+    cat = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode(), compressed)
+    return cat
+
+
+def _spec15_doc(uid: str, pred: bool, w, split: bool, comp: bool,
+                indirect_length: bool = False) -> bytes:
+    b = Pdf15Builder(predictor=pred, w=w, index_split=split)
+    content = f"BT /F1 12 Tf (Spec15 {uid}) Tj 0 -14 Td (second line {uid}) Tj ET".encode("latin-1")
+    if indirect_length:
+        ln = b.add(str(len(content)).encode(), compressed=True)
+        c = b.add(f"<< /Length {ln} 0 R >>".encode() + b"\nstream\n" + content + b"\nendstream")
+    else:
+        c = b.add_stream("", content, compress=True)
+    f = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", compressed=comp)
+    root = _page_setup15(b, c, f, compressed=comp)
+    return b.build(root)
+
+
+# PDF 1.5 construct matrix for the spec-mode fixture family: xref
+# streams the reference cannot read (spec_mode=True required)
+SPEC15_CONSTRUCTS = {
+    "xs-plain": lambda uid: _spec15_doc(uid, False, (1, 4, 2), False, True),
+    "xs-pred": lambda uid: _spec15_doc(uid, True, (1, 4, 2), False, True),
+    "xs-w121-split": lambda uid: _spec15_doc(uid, True, (1, 2, 1), True, True),
+    "xs-uncompressed": lambda uid: _spec15_doc(uid, False, (0, 2, 1), False, False),
+    "xs-indirect-len": lambda uid: _spec15_doc(uid, True, (1, 4, 2), False, True, indirect_length=True),
+}

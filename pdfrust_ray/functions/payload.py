@@ -55,8 +55,12 @@ def encode_pdf_payload(data: bytes) -> str:
     return B85_PREFIX + base64.a85encode(data).decode("ascii")
 
 
-def extract_row(text: str, mode: str = "text", cmap_cache=None) -> dict:
-    """Extract one turn. Returns the output-row columns."""
+def extract_row(text: str, mode: str = "text", cmap_cache=None, spec_mode: bool = False) -> dict:
+    """Extract one turn. Returns the output-row columns.
+
+    spec_mode=True switches PDF xref resolution to the ISO 32000-1
+    layer (PDF 1.5+ xref streams / ObjStm / predictors) instead of the
+    reference's bug-parity behavior — see pdfref/xref_spec.py."""
     kind = detect_kind(text)
     if kind == KIND_PDF:
         try:
@@ -71,7 +75,7 @@ def extract_row(text: str, mode: str = "text", cmap_cache=None) -> dict:
                 "error": str(exc)[:200],
             }
         try:
-            r = extract(data, mode, cmap_cache=cmap_cache)
+            r = extract(data, mode, cmap_cache=cmap_cache, spec_mode=spec_mode)
             return {
                 "payload_kind": kind,
                 "extracted_text": r.text,

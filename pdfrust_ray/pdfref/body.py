@@ -64,7 +64,7 @@ MODE_RAW = "raw-content"
 class Stream:
     """body.rs:56-116 StreamDictionary + content."""
 
-    __slots__ = ("length", "filter", "data")
+    __slots__ = ("length", "filter", "data", "exact")
 
     def __init__(self, header: dict, data: bytes, ctx: "DocCtx"):
         length = header.get("Length")
@@ -92,9 +92,16 @@ class Stream:
         else:
             raise ParseError("Stream", "Filter should be a name")
         self.data = data
+        # spec mode decodes exactly; the parity path keeps the
+        # reference's 10x-buffer pad/truncate quirk (filters.rs:4-14)
+        self.exact = bool(getattr(ctx.xref, "spec_mode", False))
 
     def get_data(self) -> bytes:
         if self.filter == "FlateDecode":
+            if self.exact:
+                from .filters import flate_decode_exact
+
+                return flate_decode_exact(self.data)
             return flate_decode(self.data)
         return self.data
 

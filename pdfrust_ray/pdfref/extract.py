@@ -72,26 +72,36 @@ class LruCache:
         self.d[key] = value
 
 
-def _load(data: bytes, cmap_cache=None) -> tuple[DocCtx, object]:
+def _load(data: bytes, cmap_cache=None, spec_mode: bool = False) -> tuple[DocCtx, object]:
     trimmed = data.strip(_ASCII_WS)
     if len(trimmed) < 5 or trimmed[-5:] != b"%%EOF":
         raise ParseError("Eof", "PDF file is corrupted; not consistent trailing charaters")
     sx = startxref(data)
-    xref = parse_xref(trimmed, sx)
+    if spec_mode:
+        # spec mode (PDF 1.5+): ISO-compliant xref streams / ObjStm /
+        # predictors against the ORIGINAL bytes (see xref_spec.py)
+        from .xref_spec import SpecXRef
+
+        xref = SpecXRef(data, sx)
+    else:
+        xref = parse_xref(trimmed, sx)
     # object parsing uses the original bytes (lib.rs:70); offsets refer to
     # the trimmed buffer, so any leading whitespace triggers the repair scan
     ctx = DocCtx(data, xref, cmap_cache)
     return ctx, xref
 
 
-def extract(data: bytes, mode: str = "text", cmap_cache=None) -> Extracted:
+def extract(data: bytes, mode: str = "text", cmap_cache=None, spec_mode: bool = False) -> Extracted:
     """Full-document extraction, reference-equivalent.
 
-    Raises ParseError wherever the reference would panic.
+    Raises ParseError wherever the reference would panic. With
+    spec_mode=True the xref layer follows ISO 32000-1 instead of the
+    reference's (broken) 1.5+ behavior — content-stream semantics are
+    unchanged.
     """
     if mode not in MODES:
         raise ParseError("Mode", f"unknown mode {mode!r}")
-    ctx, xref = _load(data, cmap_cache)
+    ctx, xref = _load(data, cmap_cache, spec_mode=spec_mode)
     offset = xref.get_catalog_offset()
     if offset is None:
         raise ParseError("Catalog", "catalog offset not found")

@@ -179,6 +179,11 @@ def _resolve_stream_length(d: dict, lem: Lemmatizer, xref) -> int:
         addr = xref.get_and_fix(length.key(), lem.bytes)
         if addr is None:
             raise ParseError("Object", f"Stream dictionary should have a Length key, {d!r}")
+        if addr < 0:  # spec mode: Length object stored in an /ObjStm
+            obj = xref.compressed_object(addr)
+            if isinstance(obj, Number) and obj.is_int:
+                return obj.val
+            raise ParseError("Object", f"Unexpected object found as stream Length: {obj!r}")
         t = Lemmatizer(lem.bytes, addr, xref)
         t.next()  # object header (discarded, object.rs:120)
         t2 = t.next()
@@ -216,5 +221,11 @@ def parse_object(lem: Lemmatizer, xref=None):
 
 
 def object_at(data: bytes, pos: int, xref):
-    """Object::new (object.rs:159-162)."""
+    """Object::new (object.rs:159-162).
+
+    Spec-mode extension: a negative `pos` is a compressed-object handle
+    minted by SpecXRef.get_and_fix (the object lives inside an /ObjStm,
+    not at a byte offset of `data`) — route it back to the xref."""
+    if pos < 0:
+        return xref.compressed_object(pos)
     return parse_object(Lemmatizer(data, pos, xref), xref)

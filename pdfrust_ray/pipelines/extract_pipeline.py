@@ -55,6 +55,7 @@ def build_extraction(
     skew_split: bool = False,
     order: bool = True,
     sort_partitions: int | None = None,
+    spec_mode: bool = False,
 ):
     """Attach the extraction stages to a transcript Dataset.
 
@@ -93,7 +94,7 @@ def build_extraction(
             batch_format="pyarrow",
         ).map_batches(
             ExtractTurns,
-            fn_constructor_kwargs={"mode": mode},
+            fn_constructor_kwargs={"mode": mode, "spec_mode": spec_mode},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=pool,
@@ -103,7 +104,7 @@ def build_extraction(
             batch_format="pyarrow",
         ).map_batches(
             ExtractTurns,
-            fn_constructor_kwargs={"mode": mode},
+            fn_constructor_kwargs={"mode": mode, "spec_mode": spec_mode},
             batch_format="pyarrow",
             batch_size=4,  # bytes-capped batching for oversized payloads
             concurrency=(max(1, big_concurrency // 2), big_concurrency),
@@ -112,7 +113,7 @@ def build_extraction(
     else:
         out = ds.map_batches(
             ExtractTurns,
-            fn_constructor_kwargs={"mode": mode},
+            fn_constructor_kwargs={"mode": mode, "spec_mode": spec_mode},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=pool,
@@ -146,6 +147,7 @@ def run_extraction(
     resume: bool = True,
     skew_split: bool = False,
     override_num_blocks: int | None = None,
+    spec_mode: bool = False,
 ) -> dict:
     """Checkpoint-resumable run: shard groups -> partitioned output.
 
@@ -173,6 +175,7 @@ def run_extraction(
             batch_size=batch_size,
             concurrency=concurrency,
             skew_split=skew_split,
+            spec_mode=spec_mode,
         )
         tmp = manifest.group_dir(out_dir, gid) + ".tmp"
         if os.path.exists(tmp):

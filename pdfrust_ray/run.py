@@ -29,6 +29,12 @@ def main(argv=None) -> int:
     ap.add_argument("--concurrency", type=int, default=None, help="max extraction actors")
     ap.add_argument("--no-resume", action="store_true", help="reprocess completed groups")
     ap.add_argument("--no-skew-split", action="store_true")
+    ap.add_argument(
+        "--spec-mode",
+        action="store_true",
+        help="ISO 32000-1 xref resolution for PDF 1.5+ payloads "
+        "(xref streams / ObjStm / predictors) instead of reference bug-parity",
+    )
     ap.add_argument("--num-cpus", type=int, default=None, help="ray.init num_cpus (local mode)")
     args = ap.parse_args(argv)
 
@@ -61,6 +67,7 @@ def main(argv=None) -> int:
         concurrency=args.concurrency or max(2, cpus - 2),
         resume=not args.no_resume,
         skew_split=not args.no_skew_split,
+        spec_mode=args.spec_mode,
     )
     print(json.dumps(metrics))
     ray.shutdown()

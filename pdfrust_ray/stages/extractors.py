@@ -55,8 +55,9 @@ class ExtractTurns:
     cross-actor coordination.
     """
 
-    def __init__(self, mode: str = "text", cmap_cache_size: int = 512):
+    def __init__(self, mode: str = "text", cmap_cache_size: int = 512, spec_mode: bool = False):
         self.mode = mode
+        self.spec_mode = spec_mode
         self.cmap_cache = LruCache(cmap_cache_size)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -72,8 +73,9 @@ class ExtractTurns:
         errs = [""] * n
         mode = self.mode
         cache = self.cmap_cache
+        spec = self.spec_mode
         for i in range(n):
-            r = extract_row(texts[i], mode, cmap_cache=cache)
+            r = extract_row(texts[i], mode, cmap_cache=cache, spec_mode=spec)
             kinds[i] = r["payload_kind"]
             outs[i] = r["extracted_text"]
             statuses[i] = r["parse_status"]

@@ -188,3 +188,23 @@ def test_output_deterministic_across_parallelism(ray_session, t1_dir, tmp_path):
         t = _read_group_output(out)
         outs.append(t.to_pydict())
     assert outs[0] == outs[1]
+
+
+def test_spec15_pipeline_matches_golden(ray_session):
+    """PDF 1.5 spec-mode pipeline (spec_mode=True actor pools) equals
+    the serially-computed spec golden per (conv_id, turn_idx)."""
+    from pdfrust_ray.fixtures.corpus import ensure_spec15_fixture
+    from pdfrust_ray.pipelines.extract_pipeline import build_extraction
+    from pdfrust_ray.sources.transcripts import read_transcripts
+
+    d = ensure_spec15_fixture()
+    ds = read_transcripts(d)
+    out = build_extraction(ds, mode="text", batch_size=16, concurrency=2, spec_mode=True)
+    golden = pq.read_table(os.path.join(d, "golden.parquet"))
+    got = out.to_pandas()
+    got = got[golden.column_names].reset_index(drop=True)
+    assert len(got) == golden.num_rows
+    # spec payloads must actually extract (not be error rows)
+    assert (got["parse_status"] == "ok").sum() >= 60
+    for col in golden.column_names:
+        assert got[col].tolist() == golden[col].to_pylist(), f"column {col} differs"

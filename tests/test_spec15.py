@@ -1,0 +1,166 @@
+"""Spec-mode (PDF 1.5+) xref streams / ObjStm / predictors.
+
+The reference cannot read these documents (get_catalog_offset stub
+Some(0) at xref.rs:331-333, DecodeParms panic at xref.rs:368-376,
+its 1.5 fixture test disabled at tests/integration.rs:44-50), so the
+oracle here is (a) frozen goldens for the reference's own disabled
+pdflatex-4-pages.pdf fixture, (b) construct-matrix round-trips through
+Pdf15Builder, and (c) the invariant that spec mode agrees with the
+(binary-verified) parity mode on every classic-xref corpus document.
+"""
+
+import glob
+import hashlib
+import itertools
+import os
+
+import pytest
+
+from pdfrust_ray.fixtures.pdfgen import Pdf15Builder, _page_setup15
+from pdfrust_ray.pdfref import ParseError, extract
+
+PDFLATEX = "/root/reference/data/pdflatex-4-pages.pdf"
+
+needs_corpus = pytest.mark.skipif(
+    not os.path.exists(PDFLATEX), reason="reference corpus not available"
+)
+
+# frozen goldens for the reference's disabled 1.5 fixture (spec mode)
+PDFLATEX_GOLDEN = {
+    "text": (4, 12014, "9047a1df31ea3207645c9382b407030b"),
+    "chars": (4, 759644, "dc6030aae767142c37899669c6581be8"),
+    "raw-content": (4, 32800, "9fc7164800df1aa58ce96d8432aa4481"),
+    "font": (4, 13143, "382668a8aca62ca82907c20a20805c89"),
+}
+
+
+def _build(pred=False, w=(1, 4, 2), split=False, comp=True, text="Spec mode works!"):
+    b = Pdf15Builder(predictor=pred, w=w, index_split=split)
+    c = b.add_stream("", f"BT /F1 10 Tf ({text}) Tj ET".encode(), compress=True)
+    f = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", compressed=comp)
+    root = _page_setup15(b, c, f, compressed=comp)
+    return b.build(root)
+
+
+@pytest.mark.parametrize(
+    "pred,w,split,comp",
+    [
+        c
+        for c in itertools.product(
+            (False, True), ((1, 4, 2), (1, 2, 1), (0, 2, 1)), (False, True), (False, True)
+        )
+        if not (c[1][0] == 0 and c[3])  # W[0]=0 cannot express type-2 entries
+    ],
+)
+def test_spec_construct_matrix(pred, w, split, comp):
+    data = _build(pred=pred, w=w, split=split, comp=comp)
+    assert extract(data, "text", spec_mode=True).text == "Spec mode works!"
+    # parity mode keeps the reference's broken 1.5 behavior
+    with pytest.raises(ParseError):
+        extract(data, "text")
+
+
+def test_w0_zero_with_objstm_is_rejected_by_builder():
+    with pytest.raises(ValueError):
+        _build(w=(0, 2, 1), comp=True)
+
+
+@needs_corpus
+@pytest.mark.parametrize("mode", sorted(PDFLATEX_GOLDEN))
+def test_pdflatex_fixture_extracts(mode):
+    data = open(PDFLATEX, "rb").read()
+    with pytest.raises(ParseError):
+        extract(data, mode)  # parity: fails like the reference binary
+    r = extract(data, mode, spec_mode=True)
+    pages, length, md5 = PDFLATEX_GOLDEN[mode]
+    assert r.n_pages == pages
+    assert len(r.text) == length
+    assert hashlib.md5(r.text.encode()).hexdigest() == md5
+
+
+@needs_corpus
+def test_spec_mode_agrees_with_parity_on_classic_corpus():
+    """On classic-xref documents — where parity mode is byte-verified
+    against the reference binary — spec mode must produce identical
+    text (the ISO xref layer resolves the same offsets; content
+    interpretation is shared)."""
+    for p in sorted(glob.glob("/root/reference/data/*.pdf")):
+        if p == PDFLATEX:
+            continue
+        data = open(p, "rb").read()
+        assert (
+            extract(data, "text", spec_mode=True).text == extract(data, "text").text
+        ), p
+
+
+def test_objstm_length_via_indirect_ref():
+    """A content stream whose /Length is an indirect ref stored inside
+    an ObjStm (spec-mode negative-address path through
+    _resolve_stream_length)."""
+    b = Pdf15Builder()
+    content = b"BT /F1 10 Tf (Indirect length) Tj ET"
+    ln = b.add(str(len(content)).encode(), compressed=True)
+    c = b.add(
+        f"<< /Length {ln} 0 R >>".encode() + b"\nstream\n" + content + b"\nendstream"
+    )
+    f = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", compressed=True)
+    root = _page_setup15(b, c, f, compressed=True)
+    data = b.build(root)
+    assert extract(data, "text", spec_mode=True).text == "Indirect length"
+
+
+def test_png_predictor_filters():
+    from pdfrust_ray.pdfref.filters import apply_png_predictor
+
+    rows = [bytes([(i * 7 + j * 3) % 256 for j in range(6)]) for i in range(8)]
+    flat = b"".join(rows)
+    # encode with each filter type and check the decoder inverts it
+    bpp = 1
+    for ft in (0, 1, 2, 3, 4):
+        enc = bytearray()
+        prev = bytes(6)
+        for r in rows:
+            enc.append(ft)
+            for j in range(6):
+                a = r[j - bpp] if j >= bpp else 0
+                bb = prev[j]
+                cc = prev[j - bpp] if j >= bpp else 0
+                if ft == 0:
+                    v = r[j]
+                elif ft == 1:
+                    v = (r[j] - a) & 0xFF
+                elif ft == 2:
+                    v = (r[j] - bb) & 0xFF
+                elif ft == 3:
+                    v = (r[j] - ((a + bb) >> 1)) & 0xFF
+                else:
+                    p = a + bb - cc
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                    v = (r[j] - pred) & 0xFF
+                enc.append(v)
+            prev = r
+        assert apply_png_predictor(bytes(enc), columns=6) == flat, f"filter {ft}"
+
+
+def test_hybrid_xrefstm_key():
+    """Classic table whose trailer carries /XRefStm: the stream's
+    type-2 entries must win over the table's free markers."""
+    b = Pdf15Builder()
+    c = b.add_stream("", b"BT /F1 10 Tf (Hybrid) Tj ET", compress=False)
+    f = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", compressed=True)
+    root = _page_setup15(b, c, f, compressed=True)
+    data = b.build(root)
+    # wrap: append a classic table marking the compressed objects free,
+    # pointing at the existing xref stream via /XRefStm
+    sx_old = int(data[data.rfind(b"startxref") + 9 :].split(b"%%EOF")[0])
+    base = data[: data.rfind(b"startxref")]
+    n_objs = 7  # 5 bodies + objstm + xref stream
+    table = bytearray()
+    table_off = len(base)
+    table += b"xref\n0 1\n0000000000 65535 f \n"
+    table += (
+        f"trailer\n<< /Size {n_objs + 1} /Root {root} 0 R /XRefStm {sx_old} >>\n".encode()
+    )
+    wrapped = bytes(base) + bytes(table) + f"startxref\n{table_off}\n%%EOF".encode()
+    assert extract(wrapped, "text", spec_mode=True).text == "Hybrid"
