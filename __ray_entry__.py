@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textops.token_counts,
         "fingerprints": textops.fingerprints,
         "language_profile": textops.language_profile,
+        "charset_best_match": textops.charset_best_match,
         # --- multimodal plumbing ---
         "media_features": media_features_q,
         # --- relational wide-operator demos ---
@@ -222,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "distinct_mktsegments": rel.distinct_mktsegments,
         "supplier_nation_agg": rel.supplier_nation_agg,
+        "orders_rollup": rel.orders_rollup,
         "sessionize": rel.sessionize,
         "running_user_totals": rel.running_user_totals,
         "asof_click_before_purchase": rel.asof_click_before_purchase,
@@ -297,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 10 ORDER BY query_id, rank
         """,
         "embedding_dedup": embedding_dedup_sql(),
+        "charset_best_match": textops.charset_best_match_sql(),
         "token_counts": textops.token_counts_sql(),
         "fingerprints": textops.fingerprints_sql(),
         "lineitem_agg": rel.lineitem_agg_sql(),
@@ -305,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": rel.events_hourly_sql(),
         "distinct_mktsegments": rel.distinct_mktsegments_sql(),
         "supplier_nation_agg": rel.supplier_nation_agg_sql(),
+        "orders_rollup": rel.orders_rollup_sql(),
         "sessionize": rel.sessionize_sql(),
         "running_user_totals": rel.running_user_totals_sql(),
         "asof_click_before_purchase": rel.asof_click_before_purchase_sql(),

@@ -358,3 +358,61 @@ def asof_click_before_purchase_sql() -> str:
           ON p.user_id = c.user_id AND c.ts <= p.ts
         ORDER BY p.event_id
     """
+
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """Grouping-sets / ROLLUP: revenue by (order year, status), with
+    per-year subtotals and a grand total.
+
+    Ray shape: ONE distributed groupby at the finest grain — the
+    rollup levels are derived from that (tiny) aggregate, never from a
+    second scan of the input. NULL grouping keys surface as the
+    sentinels (-1, 'ALL') so the frame hashes identically to the SQL
+    ROLLUP oracle."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "o_orderstatus": t["o_orderstatus"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    base = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["o_year", "o_orderstatus"])
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    per_year = (
+        base.groupby("o_year", as_index=False)[["revenue_cents", "n_orders"]]
+        .sum()
+        .assign(o_orderstatus="ALL")
+    )
+    grand = pd.DataFrame(
+        {
+            "o_year": [-1],
+            "o_orderstatus": ["ALL"],
+            "revenue_cents": [base["revenue_cents"].sum()],
+            "n_orders": [base["n_orders"].sum()],
+        }
+    )
+    cols = ["o_year", "o_orderstatus", "revenue_cents", "n_orders"]
+    out = pd.concat([base[cols], per_year[cols], grand[cols]])
+    for c in ("o_year", "revenue_cents", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["o_year", "o_orderstatus"]).reset_index(drop=True)
+
+
+def orders_rollup_sql() -> str:
+    return """
+        SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS o_year,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               CAST(ROUND(SUM(ROUND(o_totalprice * 100))) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+        ORDER BY o_year, o_orderstatus
+    """

@@ -73,3 +73,95 @@ def language_profile(sf_dir: str) -> pd.DataFrame:
     SQL equivalent)."""
     out = text_stats(sf_dir).select_columns(["doc_id", "lang_pred", "quality"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _byte_masks(batch: pa.Table) -> pa.Table:
+    """Per-doc 256-bit byte-set bitmask (32 packed bytes) — the charset
+    signature DuckDB's jaccard() compares (it operates on UTF-8 BYTE
+    sets, verified empirically: 'héllo' vs 'hello' -> 0.5)."""
+    import numpy as np
+
+    masks = []
+    for t in batch["text"].to_pylist():
+        bits = np.zeros(256, dtype=np.uint8)
+        bits[np.frombuffer(t.encode("utf-8"), dtype=np.uint8)] = 1
+        masks.append(np.packbits(bits).tobytes())
+    return pa.table({"doc_id": batch["doc_id"], "mask": pa.array(masks, pa.binary())})
+
+
+def charset_best_match(sf_dir: str) -> pd.DataFrame:
+    """For every document, the most byte-set-similar OTHER document
+    (Jaccard over UTF-8 byte sets; ties by match doc_id ascending).
+
+    Two phases: (1) distributed signature pass — each doc reduces to a
+    32-byte bitmask (the only thing collected: N x 32 bytes, not the
+    corpus); (2) broadcast the unpacked [N, 256] matrix with ray.put
+    and scan blockwise — each batch computes its [batch, N]
+    intersection block with one uint32 matmul. The similarity is an
+    exact int/int double division, so values hash-match the DuckDB
+    jaccard() oracle bit-for-bit. Scale note: N x 256 bits broadcast
+    is fine to ~10^7 docs; beyond that, bucket by mask-LSH bands and
+    compare within-bucket (same trade as embedding_dedup's IVF path).
+    """
+    import numpy as np
+
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sig = ds.map_batches(_byte_masks, batch_format="pyarrow").to_pandas()
+    sig = sig.sort_values("doc_id").reset_index(drop=True)
+    all_ids = sig["doc_id"].to_numpy(dtype=np.int64)
+    packed = np.frombuffer(b"".join(sig["mask"]), dtype=np.uint8).reshape(len(sig), 32)
+    B = np.unpackbits(packed, axis=1).astype(np.uint32)  # [N, 256]
+    pops = B.sum(axis=1).astype(np.int64)
+    pos_of = {int(d): i for i, d in enumerate(all_ids)}
+    ref = ray.put((all_ids, B, pops, pos_of))
+
+    class BestMatch:
+        def __init__(self):
+            self.ids, self.B, self.pops, self.pos = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            dids = batch["doc_id"].to_pylist()
+            X = np.zeros((len(texts), 256), dtype=np.uint32)
+            for i, t in enumerate(texts):
+                X[i, np.frombuffer(t.encode("utf-8"), dtype=np.uint8)] = 1
+            inter = X @ self.B.T  # [batch, N]
+            xpops = X.sum(axis=1).astype(np.int64)
+            union = xpops[:, None] + self.pops[None, :] - inter
+            sims = inter / union  # exact int/int double division
+            out_d, out_m, out_s = [], [], []
+            for i, d in enumerate(dids):
+                row = sims[i].copy()
+                row[self.pos[int(d)]] = -1.0  # exclude self
+                j = np.lexsort((self.ids, -row))[0]
+                out_d.append(int(d))
+                out_m.append(int(self.ids[j]))
+                out_s.append(float(row[j]))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_d, pa.int64()),
+                    "match_id": pa.array(out_m, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    out = ds.map_batches(BestMatch, batch_format="pyarrow", batch_size=512, concurrency=(1, 2)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def charset_best_match_sql() -> str:
+    return """
+        WITH s AS (
+            SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+                   jaccard(a.text, b.text) AS sim
+            FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
+        ), r AS (
+            SELECT doc_id, match_id, sim,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY sim DESC, match_id) AS rk
+            FROM s
+        )
+        SELECT doc_id, match_id, sim FROM r WHERE rk = 1 ORDER BY doc_id
+    """

@@ -362,3 +362,20 @@ def test_embedding_matrix_fixed_and_var_lists():
     np.testing.assert_array_equal(embedding_matrix(chunked), np.asarray(data))
     with pytest.raises(ValueError):
         embedding_matrix(pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float32())))
+
+
+@needs_testdata
+def test_charset_best_match_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.textops import charset_best_match, charset_best_match_sql
+
+    mine = charset_best_match(SF)
+    oracle = duck.execute(charset_best_match_sql()).df()
+    # float sims are exact int/int divisions — bit-identical both sides
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_orders_rollup_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import orders_rollup, orders_rollup_sql
+
+    _compare(orders_rollup(SF), duck.execute(orders_rollup_sql()).df())
