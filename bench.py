@@ -110,6 +110,9 @@ def main() -> dict:
     timed("token_counts", lambda: textops.token_counts(SF_DIR))
     timed("ann_topk", lambda: similarity.brute_force_topk(SF_DIR))
     timed("minhash_dedup", lambda: dedup.minhash_lsh_dedup(SF_DIR))
+    timed("simhash_dedup", lambda: dedup.simhash_dedup(SF_DIR))
+    timed("embedding_dedup", lambda: dedup.embedding_dedup(SF_DIR))
+    timed("charset_best_match", lambda: textops.charset_best_match(SF_DIR))
     timed("lineitem_agg", lambda: rel.lineitem_agg(SF_DIR))
     timed("events_hourly", lambda: rel.events_hourly(SF_DIR))
 

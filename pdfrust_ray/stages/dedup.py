@@ -1,9 +1,10 @@
 """Deduplication pipelines over a documents table.
 
 All pipelines follow the scale discipline: per-batch vectorized
-signature computation (actor pools hold the hasher state), hash-keyed
-`groupby` for the wide exchanges, and candidate verification before
-reporting — never an O(n^2) or full-table driver loop.
+signature computation (task pools with cheap per-worker-cached hasher
+state — see _STAGE_CACHE), hash-keyed `groupby` for the wide
+exchanges, and candidate verification before reporting — never an
+O(n^2) or full-table driver loop.
 
   - exact_dedup: content-hash partition + per-group min — the groupby
     key is md5(text) (never the full text), so the shuffle moves 32-byte
@@ -47,6 +48,25 @@ from ..functions.vectors import embedding_matrix, int_column
 # that survive exact collapse but still share a band): cap the number of
 # distinct-text members a single bucket may pair up, and log the drop.
 BUCKET_CAP = 10_000
+
+# Bucket keys are sharded into N_SHARDS coarse groups for the Ray
+# groupby (all rows of a real bucket land in one shard), and the real
+# per-bucket work runs as a vectorized pandas groupby INSIDE the shard.
+# Ray's map_groups dispatches a UDF call per group — with tens of
+# thousands of tiny LSH buckets that per-group overhead dominates; 64
+# shards keeps the shuffle while amortizing dispatch (measured ~2x on
+# the sf0.1 minhash stage).
+N_SHARDS = 64
+
+
+def _pool() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster (a fixed
+    (1, 2) pool leaves 30 of 32 cores idle on the signature stages)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (1, max(2, min(cpus - 2, 16)))
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> "rd.Dataset":
@@ -153,6 +173,7 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, band_ids, band_hashes, text_hashes = [], [], [], []
         seen: dict[str, list[str]] = {}
+        shards = []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             th = hashlib.md5(text.encode("utf-8")).hexdigest()
             bands = seen.get(th)
@@ -168,8 +189,10 @@ class MinHashStage:
                 band_ids.append(b)
                 band_hashes.append(bh)
                 text_hashes.append(th)
+                shards.append((int(bh[:8], 16) ^ (b * 0x9E3779B9)) % N_SHARDS)
         return pa.table(
             {
+                "shard": pa.array(shards, pa.int32()),
                 "band_id": pa.array(band_ids, pa.int32()),
                 "band_hash": pa.array(band_hashes, pa.string()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
@@ -178,40 +201,106 @@ class MinHashStage:
         )
 
 
-def minhash_candidates(sf_dir: str, n_bands: int = 8) -> "rd.Dataset":
-    """Candidate duplicate REP pairs from LSH bucket collisions.
+# Per-worker-process stage cache: the banding stages run as TASK pools
+# (no actor spin-up — measured ~2s per fresh autoscaling actor pool on
+# these short jobs), with their cheap, deterministic state (seeded
+# MinHasher permutations) rebuilt once per worker process and reused
+# across tasks. Genuinely expensive state (the extraction CMap cache)
+# stays in actor pools.
+_STAGE_CACHE: dict = {}
+
+
+def _minhash_rows(batch: pa.Table, n_bands: int = 8) -> pa.Table:
+    key = ("minhash", n_bands)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = _STAGE_CACHE[key] = MinHashStage(n_bands=n_bands)
+    return stage(batch)
+
+
+def _simhash_band_rows(batch: pa.Table) -> pa.Table:
+    stage = _STAGE_CACHE.get("simhash_band")
+    if stage is None:
+        stage = _STAGE_CACHE["simhash_band"] = SimHashBandStage()
+    return stage(batch)
+
+
+def _minhash_banded(sf_dir: str, n_bands: int = 8) -> "rd.Dataset":
+    """Candidate REP pairs + exact-duplicate membership from one banded
+    pass. Rows: (doc_a, doc_b, kind) — kind 0 = candidate rep pair,
+    kind 1 = (rep_id, member_id) exact-group membership.
 
     Members of a bucket are collapsed to one representative per distinct
     text (rep = min doc_id — globally consistent because identical texts
     share every band), so pair generation is O(distinct^2), not
-    O(members^2), and capped at BUCKET_CAP distinct texts per bucket."""
+    O(members^2), capped at BUCKET_CAP distinct texts per bucket.
+    Membership rows are emitted from band-0 buckets only (a band-0
+    bucket contains every member of each of its exact groups), so the
+    whole dedup needs no separate membership scan. The Ray groupby runs
+    over N_SHARDS coarse shards; real buckets are resolved by a pandas
+    groupby inside each shard (see N_SHARDS)."""
     ds = _docs(sf_dir).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"n_bands": n_bands},
+        _minhash_rows,
+        fn_kwargs={"n_bands": n_bands},
         batch_format="pyarrow",
-        concurrency=(1, 2),
     )
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        reps = g.groupby("text_hash")["doc_id"].min()
-        ids = sorted(int(x) for x in reps)
-        if len(ids) > BUCKET_CAP:
-            print(
-                f"minhash: hot bucket with {len(ids)} distinct texts capped at {BUCKET_CAP}"
-            )
-            ids = ids[:BUCKET_CAP]
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
-            )
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+    def pairs_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, kinds = [], [], []
+        for (band_id, _bh), grp in g.groupby(["band_id", "band_hash"], sort=False):
+            groups: dict[str, list[int]] = {}
+            for d, th in zip(grp["doc_id"].to_numpy(), grp["text_hash"].to_numpy()):
+                groups.setdefault(th, []).append(int(d))
+            ids = sorted(min(v) for v in groups.values())
+            if len(ids) > BUCKET_CAP:
+                print(f"minhash: hot bucket with {len(ids)} distinct texts capped at {BUCKET_CAP}")
+                ids = ids[:BUCKET_CAP]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    rows_a.append(ids[i])
+                    rows_b.append(ids[j])
+                    kinds.append(0)
+            if int(band_id) == 0:
+                for members in groups.values():
+                    if len(members) >= 2:
+                        rep = min(members)
+                        for d in members:
+                            rows_a.append(rep)
+                            rows_b.append(d)
+                            kinds.append(1)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows_a, dtype="int64"),
+                "doc_b": pd.Series(rows_b, dtype="int64"),
+                "kind": pd.Series(kinds, dtype="int32"),
+            }
+        )
 
-    return ds.groupby(["band_id", "band_hash"]).map_groups(pairs_of_bucket, batch_format="pandas")
+    return ds.groupby("shard").map_groups(pairs_of_shard, batch_format="pandas")
+
+
+def _split_banded(raw: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(candidate rep pairs, membership rows) from _minhash_banded output."""
+    if "kind" not in raw.columns:  # empty to_pandas loses columns
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+        )
+        return empty, empty.rename(columns={"doc_a": "rep_id", "doc_b": "doc_id"})
+    cand = raw[raw["kind"] == 0][["doc_a", "doc_b"]].drop_duplicates()
+    members = raw[raw["kind"] == 1][["doc_a", "doc_b"]].rename(
+        columns={"doc_a": "rep_id", "doc_b": "doc_id"}
+    )
+    return cand, members
+
+
+def minhash_candidates(sf_dir: str, n_bands: int = 8) -> "rd.Dataset":
+    """Candidate duplicate REP pairs from LSH bucket collisions (public
+    pair-only view of _minhash_banded)."""
+
+    def only_pairs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["kind"], 0)).select(["doc_a", "doc_b"])
+
+    return _minhash_banded(sf_dir, n_bands).map_batches(only_pairs, batch_format="pyarrow")
 
 
 def _verify_pairs_distributed(
@@ -233,46 +322,51 @@ def _verify_pairs_distributed(
     ref = ray.put(idx)
     needed = pa.array(list(idx.keys()), pa.int64())
 
-    class TagPairs:
-        def __init__(self):
-            self.idx = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.filter(pc.is_in(t["doc_id"], value_set=needed))
-            pids, dids, texts = [], [], []
-            for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-                for pid in self.idx.get(d, ()):
-                    pids.append(pid)
-                    dids.append(d)
-                    texts.append(x)
-            return pa.table(
-                {
-                    "pair_id": pa.array(pids, pa.int64()),
-                    "doc_id": pa.array(dids, pa.int64()),
-                    "text": pa.array(texts, pa.string()),
-                }
-            )
-
-    tagged = _docs(sf_dir).map_batches(TagPairs, batch_format="pyarrow", concurrency=(1, 2))
-
-    def judge(g: pd.DataFrame) -> pd.DataFrame:
-        empty = _empty_pairs("jaccard", "float64")
-        if len(g) != 2:
-            return empty
-        g = g.sort_values("doc_id")
-        a, b = g.iloc[0], g.iloc[1]
-        j = jaccard(char_shingles(a["text"], k), char_shingles(b["text"], k))
-        if j < threshold:
-            return empty
-        return pd.DataFrame(
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        # task pool; the candidate index is a ray.put broadcast fetched
+        # per task from the local object store (tiny: one entry per
+        # candidate doc)
+        pair_idx = ray.get(ref)
+        t = t.filter(pc.is_in(t["doc_id"], value_set=needed))
+        pids, dids, texts, shards = [], [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for pid in pair_idx.get(d, ()):
+                pids.append(pid)
+                dids.append(d)
+                texts.append(x)
+                shards.append(pid % N_SHARDS)
+        return pa.table(
             {
-                "doc_a": pd.Series([int(a["doc_id"])], dtype="int64"),
-                "doc_b": pd.Series([int(b["doc_id"])], dtype="int64"),
-                "jaccard": pd.Series([round(j, 6)], dtype="float64"),
+                "shard": pa.array(shards, pa.int32()),
+                "pair_id": pa.array(pids, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
             }
         )
 
-    out = tagged.groupby("pair_id").map_groups(judge, batch_format="pandas").to_pandas()
+    tagged = _docs(sf_dir).map_batches(tag_pairs, batch_format="pyarrow")
+
+    def judge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, vals = [], [], []
+        for _pid, grp in g.groupby("pair_id", sort=False):
+            if len(grp) != 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            a, b = grp.iloc[0], grp.iloc[1]
+            j = jaccard(char_shingles(a["text"], k), char_shingles(b["text"], k))
+            if j >= threshold:
+                rows_a.append(int(a["doc_id"]))
+                rows_b.append(int(b["doc_id"]))
+                vals.append(round(j, 6))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows_a, dtype="int64"),
+                "doc_b": pd.Series(rows_b, dtype="int64"),
+                "jaccard": pd.Series(vals, dtype="float64"),
+            }
+        )
+
+    out = tagged.groupby("shard").map_groups(judge_shard, batch_format="pandas").to_pandas()
     if not len(out):
         return _empty_pairs("jaccard", "float64")
     return out
@@ -288,11 +382,8 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     texts share the rep's similarity by construction). Only the small
     candidate/verified pair sets and duplicate-group membership rows
     ever reach the driver."""
-    cand = minhash_candidates(sf_dir).to_pandas()
-    if len(cand):
-        cand = cand.drop_duplicates(["doc_a", "doc_b"])
+    cand, members = _split_banded(_minhash_banded(sf_dir).to_pandas())
     verified = _verify_pairs_distributed(sf_dir, cand, threshold)
-    members = exact_member_rows(sf_dir).to_pandas()
     out = _expand_rep_pairs(verified, members, "jaccard", 1.0)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
@@ -310,7 +401,7 @@ class SimHashStage:
 
 
 def simhash_signatures(sf_dir: str) -> "rd.Dataset":
-    return _docs(sf_dir).map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 2))
+    return _docs(sf_dir).map_batches(lambda b: SimHashStage()(b), batch_format="pyarrow")
 
 
 class SimHashBandStage:
@@ -322,7 +413,7 @@ class SimHashBandStage:
     is a complete candidate generator for max_hamming <= 3."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, chunk_ids, chunk_vals, sims, text_hashes = [], [], [], [], []
+        doc_ids, chunk_ids, chunk_vals, sims, text_hashes, shards = [], [], [], [], [], []
         seen: dict[str, str] = {}
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             th = hashlib.md5(text.encode("utf-8")).hexdigest()
@@ -332,13 +423,16 @@ class SimHashBandStage:
                 seen[th] = hx
             h = int(hx, 16)
             for c in range(4):
+                v = (h >> (16 * c)) & 0xFFFF
                 doc_ids.append(doc_id)
                 chunk_ids.append(c)
-                chunk_vals.append((h >> (16 * c)) & 0xFFFF)
+                chunk_vals.append(v)
                 sims.append(hx)
                 text_hashes.append(th)
+                shards.append((v ^ (c * 0x9E3779B9)) % N_SHARDS)
         return pa.table(
             {
+                "shard": pa.array(shards, pa.int32()),
                 "chunk_id": pa.array(chunk_ids, pa.int32()),
                 "chunk_value": pa.array(chunk_vals, pa.int32()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
@@ -359,41 +453,55 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     capped); verified rep pairs are re-expanded over duplicate-group
     members, exactly like minhash_lsh_dedup."""
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        reps = (
-            g.groupby("text_hash")
-            .agg(doc_id=("doc_id", "min"), simhash=("simhash", "first"))
-            .sort_values("doc_id")
+    def pairs_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (chunk_id, _cv), grp in g.groupby(["chunk_id", "chunk_value"], sort=False):
+            groups: dict[str, list[int]] = {}
+            sim_of: dict[str, str] = {}
+            for d, th, hx in zip(
+                grp["doc_id"].to_numpy(), grp["text_hash"].to_numpy(), grp["simhash"].to_numpy()
+            ):
+                groups.setdefault(th, []).append(int(d))
+                sim_of[th] = hx
+            reps = sorted((min(v), sim_of[th]) for th, v in groups.items())
+            if len(reps) > BUCKET_CAP:
+                print(f"simhash: hot bucket with {len(reps)} distinct texts capped at {BUCKET_CAP}")
+                reps = reps[:BUCKET_CAP]
+            for i in range(len(reps)):
+                a, ha = reps[i]
+                for j in range(i + 1, len(reps)):
+                    b, hb = reps[j]
+                    d = hamming64(int(ha, 16), int(hb, 16))
+                    if d <= max_hamming:
+                        rows.append((min(a, b), max(a, b), d, 0))
+            # membership rows once globally, from chunk-0 buckets
+            if int(chunk_id) == 0:
+                for members in groups.values():
+                    if len(members) >= 2:
+                        rep = min(members)
+                        rows.extend((rep, d, 0, 1) for d in members)
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming", "kind"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64", "kind": "int32"}
         )
-        if len(reps) > BUCKET_CAP:
-            print(
-                f"simhash: hot bucket with {len(reps)} distinct texts capped at {BUCKET_CAP}"
-            )
-            reps = reps.iloc[:BUCKET_CAP]
-        members = list(zip(reps["doc_id"], reps["simhash"]))
-        out = []
-        for i in range(len(members)):
-            a, ha = members[i]
-            for j in range(i + 1, len(members)):
-                b, hb = members[j]
-                d = hamming64(int(ha, 16), int(hb, 16))
-                if d <= max_hamming:
-                    out.append((min(a, b), max(a, b), d))
-        if not out:
-            return _empty_pairs("hamming", "int64")
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
 
-    bands = _docs(sf_dir).map_batches(SimHashBandStage, batch_format="pyarrow", concurrency=(1, 2))
-    rep_pairs = (
-        bands.groupby(["chunk_id", "chunk_value"])
-        .map_groups(pairs_of_bucket, batch_format="pandas")
+    bands = _docs(sf_dir).map_batches(_simhash_band_rows, batch_format="pyarrow")
+    raw = (
+        bands.groupby("shard")
+        .map_groups(pairs_of_shard, batch_format="pandas")
         .to_pandas()
     )
-    if len(rep_pairs):
-        rep_pairs = rep_pairs.drop_duplicates(["doc_a", "doc_b"])
+    if "kind" in raw.columns and len(raw):
+        rep_pairs = raw[raw["kind"] == 0][["doc_a", "doc_b", "hamming"]].drop_duplicates(
+            ["doc_a", "doc_b"]
+        )
+        members = raw[raw["kind"] == 1][["doc_a", "doc_b"]].rename(
+            columns={"doc_a": "rep_id", "doc_b": "doc_id"}
+        )
     else:
         rep_pairs = _empty_pairs("hamming", "int64")
-    members = exact_member_rows(sf_dir).to_pandas()
+        members = pd.DataFrame(
+            {"rep_id": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64")}
+        )
     out = _expand_rep_pairs(rep_pairs, members, "hamming", 0)
     out["hamming"] = out["hamming"].astype("int64")
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
@@ -427,30 +535,29 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
     ids = int_column(t["vec_id"])
     ref = ray.put((ids, mat))
 
-    class CosineBlock:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vid = int_column(batch["vec_id"])
-            v = embedding_matrix(batch["embedding"])
-            n = np.linalg.norm(v, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            v = v / n
-            sims = v @ self.mat.T  # [batch, N]
-            ai, bj = np.nonzero(sims >= threshold)
-            a = vid[ai]
-            b = self.ids[bj]
-            keep = a < b  # strict upper triangle, dedup across batches
-            return pa.table(
-                {
-                    "vec_a": pa.array(a[keep], pa.int64()),
-                    "vec_b": pa.array(b[keep], pa.int64()),
-                }
-            )
+    def cosine_block(batch: pa.Table) -> pa.Table:
+        # task pool: the normalized matrix is a ray.put broadcast —
+        # numpy arrays come back zero-copy from the local object store
+        ids, mat = ray.get(ref)
+        vid = int_column(batch["vec_id"])
+        v = embedding_matrix(batch["embedding"])
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        v = v / n
+        sims = v @ mat.T  # [batch, N]
+        ai, bj = np.nonzero(sims >= threshold)
+        a = vid[ai]
+        b = ids[bj]
+        keep = a < b  # strict upper triangle, dedup across batches
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+            }
+        )
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = ds.map_batches(CosineBlock, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)).to_pandas()
+    out = ds.map_batches(cosine_block, batch_format="pyarrow", batch_size=256).to_pandas()
     if out.empty:  # zero pairs -> typed empty frame (to_pandas loses columns)
         return pd.DataFrame(
             {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
