@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_mktsegments": rel.distinct_mktsegments,
         "supplier_nation_agg": rel.supplier_nation_agg,
         "orders_rollup": rel.orders_rollup,
+        "lineitem_quantiles": rel.lineitem_quantiles,
+        "customers_without_orders": rel.customers_without_orders,
+        "orders_sample": rel.orders_sample,
         "sessionize": rel.sessionize,
         "running_user_totals": rel.running_user_totals,
         "asof_click_before_purchase": rel.asof_click_before_purchase,
@@ -309,6 +312,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_mktsegments": rel.distinct_mktsegments_sql(),
         "supplier_nation_agg": rel.supplier_nation_agg_sql(),
         "orders_rollup": rel.orders_rollup_sql(),
+        "lineitem_quantiles": rel.lineitem_quantiles_sql(),
+        "customers_without_orders": rel.customers_without_orders_sql(),
+        "orders_sample": rel.orders_sample_sql(),
         "sessionize": rel.sessionize_sql(),
         "running_user_totals": rel.running_user_totals_sql(),
         "asof_click_before_purchase": rel.asof_click_before_purchase_sql(),

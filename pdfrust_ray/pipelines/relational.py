@@ -416,3 +416,135 @@ def orders_rollup_sql() -> str:
         GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
         ORDER BY o_year, o_orderstatus
     """
+
+
+def lineitem_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group median + p90 of the price distribution.
+
+    Ray has no quantile aggregate; with integer-cents values the exact
+    discrete quantile is computed per group inside map_groups (numpy
+    sort over the group's column — the group is one flag/status slice,
+    small relative to the corpus). Matches DuckDB quantile_disc."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_returnflag": t["l_returnflag"], "price_cents": _cents(t["l_extendedprice"])}
+        )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = np.sort(g["price_cents"].to_numpy())
+        # quantile_disc: value at index ceil(q*n)-1 (1-based), per DuckDB
+        def qd(q):
+            i = max(0, int(np.ceil(q * len(v))) - 1)
+            return int(v[i])
+
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "median_cents": [qd(0.5)],
+                "p90_cents": [qd(0.9)],
+                "n_items": [len(v)],
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .map_groups(quantiles, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("median_cents", "p90_cents", "n_items"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def lineitem_quantiles_sql() -> str:
+    return """
+        SELECT l_returnflag,
+               quantile_disc(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)
+                   AS median_cents,
+               quantile_disc(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.9)
+                   AS p90_cents,
+               COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+
+def customers_without_orders(sf_dir: str, min_price: float = 400000.0) -> pd.DataFrame:
+    """Broadcast ANTI-join: customers with no order above `min_price`
+    (the fixtures are FK-complete, so the plain no-orders variant would
+    be vacuously empty — the threshold keeps the check meaningful:
+    ~200 of 1500 customers at sf0.01).
+
+    The qualifying custkey set is reduced distributed (filter + unique
+    on a pruned read), broadcast once with ray.put, and each customer
+    batch drops matching rows with a vectorized is_in — the NOT EXISTS
+    shape without a shuffle join."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(expr=f"o_totalprice > {min_price}")
+    have = pa.array(sorted(big.unique("o_custkey")), pa.int64())
+    ref = ray.put(have)
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pc.invert(pc.is_in(t["c_custkey"], value_set=keys))
+        return t.filter(mask)
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    out = ds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if "c_custkey" not in out.columns:
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype="int64"), "c_mktsegment": pd.Series([], dtype="str")}
+        )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def customers_without_orders_sql(min_price: float = 400000.0) -> str:
+    return f"""
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > {min_price})
+        ORDER BY c_custkey
+    """
+
+
+def orders_sample(sf_dir: str, modulus: int = 20) -> pd.DataFrame:
+    """Deterministic hash sample (~1/modulus of orders): md5(o_orderkey)
+    bucket 0. Unlike random_sample this is reproducible and
+    SQL-oracled; the filter is embarrassingly parallel."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        keys = t["o_orderkey"].to_pylist()
+        keep = [
+            int(_h.md5(str(k).encode()).hexdigest()[:8], 16) % modulus == 0 for k in keys
+        ]
+        t = t.filter(pa.array(keep, pa.bool_()))
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "price_cents": _cents(t["o_totalprice"])}
+        )
+
+    out = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    if "o_orderkey" not in out.columns:
+        out = pd.DataFrame(
+            {"o_orderkey": pd.Series([], dtype="int64"), "price_cents": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def orders_sample_sql(modulus: int = 20) -> str:
+    # same md5-bucket predicate, evaluated in SQL
+    return f"""
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+        WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % {modulus} = 0
+        ORDER BY o_orderkey
+    """

@@ -379,3 +379,31 @@ def test_orders_rollup_matches_sql(ray_session, duck):
     from pdfrust_ray.pipelines.relational import orders_rollup, orders_rollup_sql
 
     _compare(orders_rollup(SF), duck.execute(orders_rollup_sql()).df())
+
+
+@needs_testdata
+def test_lineitem_quantiles_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import lineitem_quantiles, lineitem_quantiles_sql
+
+    _compare(lineitem_quantiles(SF), duck.execute(lineitem_quantiles_sql()).df())
+
+
+@needs_testdata
+def test_customers_without_orders_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        customers_without_orders,
+        customers_without_orders_sql,
+    )
+
+    mine = customers_without_orders(SF)
+    assert len(mine) > 0  # threshold chosen so the anti-join is non-vacuous
+    _compare(mine, duck.execute(customers_without_orders_sql()).df())
+
+
+@needs_testdata
+def test_orders_sample_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import orders_sample, orders_sample_sql
+
+    mine = orders_sample(SF)
+    assert len(mine) > 0
+    _compare(mine, duck.execute(orders_sample_sql()).df())
