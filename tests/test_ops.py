@@ -171,28 +171,69 @@ def test_textstats_functions():
     assert quality_score("") == 0.0
 
 
-def test_multimodal_plumbing(ray_session):
+def test_multimodal_real_decode(ray_session):
     from pdfrust_ray.stages.multimodal import (
         FEATURE_DIM,
-        FakeImageDecoder,
         RealImageDecoder,
         media_features,
         synthesize_media_table,
     )
 
     with pytest.raises(NotImplementedError):
-        RealImageDecoder()
+        RealImageDecoder()  # compressed-format integration point stays stubbed
 
     t = synthesize_media_table(n=12)
     out = media_features(t).to_pandas()
     assert len(out) == 12
-    assert set(out.columns) == {"media_id", "kind", "n_bytes", "features"}
+    assert {"media_id", "kind", "n_bytes", "width", "height", "duration_ms",
+            "decode_status", "features"} <= set(out.columns)
+    # every synthetic payload REALLY decodes (PPM / WAV / PPM-stream)
+    assert (out["decode_status"] == "ok").all()
+    assert (out[out["kind"] == "image"]["width"] > 0).all()
+    assert (out[out["kind"] == "audio"]["duration_ms"] > 0).all()
     assert all(len(f) == FEATURE_DIM for f in out["features"])
+    # decoded dimensions match the table's typed metadata
+    meta = t.to_pandas()[["media_id", "width", "height"]]
+    j = out.merge(meta, on="media_id", suffixes=("", "_meta"))
+    img = j[j["kind"] != "audio"]
+    assert (img["width"] == img["width_meta"]).all()
+    assert (img["height"] == img["height_meta"]).all()
     # deterministic across runs
     out2 = media_features(synthesize_media_table(n=12)).to_pandas()
     a = sorted(map(tuple, out[["media_id", "n_bytes"]].values.tolist()))
     b = sorted(map(tuple, out2[["media_id", "n_bytes"]].values.tolist()))
     assert a == b
+
+
+def test_multimodal_codecs_roundtrip():
+    import numpy as np
+
+    from pdfrust_ray.stages.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+        iter_ppm_frames,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, size=(17, 23, 3)).astype(np.uint8)
+    pix, off = decode_ppm(encode_ppm(img))
+    assert (pix == img).all() and off == len(encode_ppm(img))
+    sig = (rng.randn(1600) * 5000).astype(np.int16)
+    dec, rate = decode_wav(encode_wav(sig))
+    assert rate == 16000 and (dec[:, 0] == sig).all()
+    small = resize_nearest(img, 8, 8)
+    assert small.shape == (8, 8, 3)
+    # identity resize is exact
+    assert (resize_nearest(img, 17, 23) == img).all()
+    frames = [rng.randint(0, 256, size=(5, 6, 3)).astype(np.uint8) for _ in range(4)]
+    got = list(iter_ppm_frames(b"".join(encode_ppm(f) for f in frames)))
+    assert len(got) == 4 and all((a == b).all() for a, b in zip(got, frames))
+    # undecodable payloads raise ValueError (mapped to error rows upstream)
+    with pytest.raises(ValueError):
+        decode_ppm(b"JFIF...")
 
 
 @needs_testdata
