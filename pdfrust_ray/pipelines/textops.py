@@ -97,7 +97,7 @@ def charset_best_match(sf_dir: str) -> pd.DataFrame:
     32-byte bitmask (the only thing collected: N x 32 bytes, not the
     corpus); (2) broadcast the unpacked [N, 256] matrix with ray.put
     and scan blockwise — each batch computes its [batch, N]
-    intersection block with one uint32 matmul. The similarity is an
+    intersection block with one BLAS sgemm. The similarity is an
     exact int/int double division, so values hash-match the DuckDB
     jaccard() oracle bit-for-bit. Scale note: N x 256 bits broadcast
     is fine to ~10^7 docs; beyond that, bucket by mask-LSH bands and
@@ -112,7 +112,10 @@ def charset_best_match(sf_dir: str) -> pd.DataFrame:
     sig = sig.sort_values("doc_id").reset_index(drop=True)
     all_ids = sig["doc_id"].to_numpy(dtype=np.int64)
     packed = np.frombuffer(b"".join(sig["mask"]), dtype=np.uint8).reshape(len(sig), 32)
-    B = np.unpackbits(packed, axis=1).astype(np.uint32)  # [N, 256]
+    # float32 so the [batch, N] product hits BLAS sgemm — numpy integer
+    # matmul is a slow non-BLAS path (measured ~10x on 5000 docs); 0/1
+    # sums of <= 256 are exact in float32
+    B = np.unpackbits(packed, axis=1).astype(np.float32)  # [N, 256]
     pops = B.sum(axis=1).astype(np.int64)
     pos_of = {int(d): i for i, d in enumerate(all_ids)}
     ref = ray.put((all_ids, B, pops, pos_of))
@@ -124,26 +127,25 @@ def charset_best_match(sf_dir: str) -> pd.DataFrame:
         def __call__(self, batch: pa.Table) -> pa.Table:
             texts = batch["text"].to_pylist()
             dids = batch["doc_id"].to_pylist()
-            X = np.zeros((len(texts), 256), dtype=np.uint32)
+            X = np.zeros((len(texts), 256), dtype=np.float32)
             for i, t in enumerate(texts):
-                X[i, np.frombuffer(t.encode("utf-8"), dtype=np.uint8)] = 1
-            inter = X @ self.B.T  # [batch, N]
+                X[i, np.frombuffer(t.encode("utf-8"), dtype=np.uint8)] = 1.0
+            inter = np.rint(X @ self.B.T).astype(np.int64)  # exact counts
             xpops = X.sum(axis=1).astype(np.int64)
             union = xpops[:, None] + self.pops[None, :] - inter
             sims = inter / union  # exact int/int double division
-            out_d, out_m, out_s = [], [], []
-            for i, d in enumerate(dids):
-                row = sims[i].copy()
-                row[self.pos[int(d)]] = -1.0  # exclude self
-                j = np.lexsort((self.ids, -row))[0]
-                out_d.append(int(d))
-                out_m.append(int(self.ids[j]))
-                out_s.append(float(row[j]))
+            rows = np.arange(len(dids))
+            self_pos = np.fromiter((self.pos[int(d)] for d in dids), dtype=np.int64)
+            sims[rows, self_pos] = -1.0  # exclude self
+            best = sims.max(axis=1)
+            # tie-break: smallest match_id among the argmax columns
+            is_best = sims == best[:, None]
+            match = np.where(is_best, self.ids[None, :], np.iinfo(np.int64).max).min(axis=1)
             return pa.table(
                 {
-                    "doc_id": pa.array(out_d, pa.int64()),
-                    "match_id": pa.array(out_m, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
+                    "doc_id": pa.array(np.asarray(dids, dtype=np.int64), pa.int64()),
+                    "match_id": pa.array(match, pa.int64()),
+                    "sim": pa.array(best, pa.float64()),
                 }
             )
 

@@ -127,3 +127,19 @@ def test_differential_random_pdfs(seed):
                 assert mine == ref, f"seed {seed} {mode}: output diverges"
     finally:
         os.unlink(path)
+
+
+@needs_binary
+@pytest.mark.parametrize("seed", range(0, 40, 4))
+def test_spec_mode_agrees_on_random_classic_docs(seed):
+    """Invariant: on classic-xref documents, spec-mode extraction equals
+    parity-mode extraction (which is byte-verified vs the binary) —
+    the ISO xref layer must resolve identical offsets."""
+    rng = random.Random(seed * 7919 + 13)
+    data = _build_pdf(rng)
+    for mode in ("text", "chars"):
+        try:
+            parity = extract(data, mode).text
+        except ParseError:
+            continue  # deliberate error constructs: parity errors, nothing to compare
+        assert extract(data, mode, spec_mode=True).text == parity, f"seed {seed} {mode}"
