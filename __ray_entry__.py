@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": lambda sf: dedup.minhash_lsh_dedup(sf),
         "simhash_dedup": lambda sf: dedup.simhash_dedup(sf),
         "embedding_dedup": lambda sf: dedup.embedding_dedup(sf),
+        "embedding_dedup_ivf": lambda sf: dedup.embedding_dedup_ivf(sf),
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf),
         # --- similarity search ---
         "ann_topk": lambda sf: similarity.brute_force_topk(sf),

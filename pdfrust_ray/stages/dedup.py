@@ -625,3 +625,59 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10) ->
         {"doc_id": list(label.keys()), "cluster_id": [label[n] for n in label]}
     ).astype("int64")
     return out.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+
+
+def embedding_dedup_ivf(
+    sf_dir: str, threshold: float = 0.45, n_centroids: int = 16
+) -> pd.DataFrame:
+    """IVF-bucketed cosine near-duplicates — the scale path the
+    broadcast variant's docstring promises: when N x D no longer fits
+    the object store, assign each vector to its nearest deterministic
+    centroid (a cheap map_batches adding a `bucket` column) and compare
+    WITHIN buckets only via groupby(bucket).map_groups. Approximate by
+    construction (cross-bucket near-dups are missed — near-identical
+    vectors land in the same bucket, so recall on true near-dups is
+    high); the shuffle moves (vec_id, embedding, bucket), never an
+    N x N block."""
+    import pyarrow.parquet as pq
+
+    from .similarity import _normalize
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = int_column(t["vec_id"])
+    mat = _normalize(embedding_matrix(t["embedding"]))
+    order = np.argsort(ids)
+    centroids = _normalize(mat[order[:n_centroids]].copy())
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        v = _normalize(embedding_matrix(batch["embedding"]))
+        bucket = (v @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        vids = g["vec_id"].to_numpy(dtype=np.int64)
+        v = _normalize(np.asarray(list(g["embedding"]), dtype=np.float64))
+        sims = v @ v.T
+        ai, bj = np.nonzero(sims >= threshold)
+        keep = vids[ai] < vids[bj]
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(vids[ai][keep], dtype="int64"),
+                "vec_b": pd.Series(vids[bj][keep], dtype="int64"),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if "vec_a" not in out.columns:
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
+        )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

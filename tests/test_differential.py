@@ -143,3 +143,80 @@ def test_spec_mode_agrees_on_random_classic_docs(seed):
         except ParseError:
             continue  # deliberate error constructs: parity errors, nothing to compare
         assert extract(data, mode, spec_mode=True).text == parity, f"seed {seed} {mode}"
+
+
+def _build_cmap_pdf(rng: random.Random) -> bytes:
+    """Randomized CMap-coded document: 1- or 2-byte ToUnicode, random
+    alphabet/widths, hexstring TJ runs with kerning, occasional
+    missing-code references (panic in the reference -> error row here),
+    interleaved Tj literals (which bypass the CMap, content.rs:752-765).
+    """
+    from pdfrust_ray.fixtures.pdfgen import cmap_source
+
+    b = PdfBuilder()
+    two_byte = rng.random() < 0.5
+    letters = rng.sample("abcdefghijklmnopqrstuvwxyz .-", rng.randint(4, 12))
+    base = 0x0100 if two_byte else 1
+    code_of = {ch: base + i for i, ch in enumerate(letters)}
+    cm = cmap_source({c: ch for ch, c in code_of.items()}, two_byte=two_byte)
+    cm_obj = b.add_stream("", cm.encode("latin-1"), compress=rng.random() < 0.5)
+    width_part = ""
+    if not two_byte and rng.random() < 0.5:
+        widths = " ".join(str(rng.randint(200, 900)) for _ in range(len(letters)))
+        width_part = f" /FirstChar {base} /LastChar {base + len(letters) - 1} /Widths [ {widths} ]"
+    font = b.add(
+        (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /FZZ{width_part} "
+            f"/ToUnicode {cm_obj} 0 R >>"
+        ).encode()
+    )
+    w = 4 if two_byte else 2
+    ops = ["BT", "/F1 10 Tf"]
+    for _ in range(rng.randint(2, 12)):
+        choice = rng.randrange(6)
+        if choice < 3:
+            items = []
+            for _ in range(rng.randint(1, 4)):
+                if rng.random() < 0.6:
+                    run = "".join(rng.choice(letters) for _ in range(rng.randint(1, 8)))
+                    hexes = "".join(f"{code_of[ch]:0{w}X}" for ch in run)
+                    # rare invalid code: panics in the reference (content.rs:800-803)
+                    if rng.random() < 0.06:
+                        hexes += f"{0xEEEE if two_byte else 0xEE:0{w}X}"
+                    items.append(f"<{hexes}>")
+                else:
+                    items.append(str(rng.randint(-900, 900)))
+            ops.append("[" + " ".join(items) + "] TJ")
+        elif choice == 3:
+            ops.append(f"{_lit(''.join(rng.choice(letters) for _ in range(rng.randint(1, 6))))} Tj")
+        elif choice == 4:
+            ops.append(f"{rng.randint(-300, 300)} {rng.randint(-300, 300)} Td")
+        else:
+            ops.append("T*")
+    ops.append("ET")
+    c = b.add_stream("", "\n".join(ops).encode("latin-1"), compress=rng.random() < 0.5)
+    root = _page_setup(b, c, font)
+    return b.build(root)
+
+
+@needs_binary
+@pytest.mark.parametrize("seed", range(30))
+def test_differential_cmap_pdfs(seed):
+    rng = random.Random(seed * 104729 + 7)
+    data = _build_cmap_pdf(rng)
+    with tempfile.NamedTemporaryFile(suffix=".pdf", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        for mode in ("--text", "--chars"):
+            ref = _reference_output(path, mode)
+            try:
+                mine = extract(data, mode[2:]).text
+            except ParseError:
+                mine = None
+            if ref is None:
+                assert mine is None, f"seed {seed} {mode}: reference errored, engine did not"
+            else:
+                assert mine == ref, f"seed {seed} {mode}: output diverges"
+    finally:
+        os.unlink(path)

@@ -448,3 +448,20 @@ def test_orders_sample_matches_sql(ray_session, duck):
     mine = orders_sample(SF)
     assert len(mine) > 0
     _compare(mine, duck.execute(orders_sample_sql()).df())
+
+
+def test_embedding_dedup_ivf_finds_planted(ray_session, tmp_path):
+    from pdfrust_ray.stages.dedup import embedding_dedup, embedding_dedup_ivf
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).astype(np.float32)
+    vecs[21] = vecs[20] + rng.randn(16).astype(np.float32) * 0.01  # near-dup pair
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(60)]
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "embeddings.parquet"))
+    pairs = embedding_dedup_ivf(str(d), threshold=0.98, n_centroids=8)
+    assert (20, 21) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+    # within-bucket results are a subset of the exact broadcast variant
+    exact = set(map(tuple, embedding_dedup(str(d), threshold=0.98).values.tolist()))
+    assert set(map(tuple, pairs.values.tolist())) <= exact
