@@ -22,8 +22,14 @@ _UNPACK = struct.Struct("<f").unpack
 
 
 def f32(x: float) -> float:
-    """Round a Python float to the nearest IEEE binary32 value."""
-    return _UNPACK(_PACK(x))[0]
+    """Round a Python float to the nearest IEEE binary32 value.
+
+    struct.pack raises on |x| > f32::MAX where a Rust f64->f32 cast (and
+    f32 arithmetic) saturates to +/-inf — replicate the saturation."""
+    try:
+        return _UNPACK(_PACK(x))[0]
+    except OverflowError:
+        return math.inf if x > 0 else -math.inf
 
 
 _I32_MIN = -(2**31)

@@ -30,10 +30,14 @@ def _random_content(rng: random.Random) -> str:
     operator vocabulary."""
     ops = ["BT", "/F1 10 Tf"]
     words = ["alpha", "be(t)a", "ga\\mma", "d e l t a", "x" * rng.randint(1, 30)]
+    big = "34" + "0" * 37  # ~3.4e38: f32 overflow territory for products
     for _ in range(rng.randint(3, 25)):
         choice = rng.randrange(10)
         if choice < 3:
-            ops.append(f"{rng.randint(-500, 500)} {rng.randint(-500, 500)} Td")
+            if rng.random() < 0.08:
+                ops.append(f"{big} {rng.randint(-500, 500)} Td")
+            else:
+                ops.append(f"{rng.randint(-500, 500)} {rng.randint(-500, 500)} Td")
         elif choice == 3:
             ops.append(f"{rng.randint(-50, 50)} {rng.randint(-50, 50)} TD")
         elif choice == 4:

@@ -91,3 +91,14 @@ def test_rectangle_and_space_width():
     assert abs(f.estimate_space_width().as_f32() - 0.25) < 1e-6
     f.widths = None
     assert f.estimate_space_width() == Number.int(200)
+
+
+def test_f32_saturates_to_inf_like_rust():
+    # struct.pack raises on overflow; Rust f64->f32 casts saturate.
+    # Verified vs the reference binary: giant widths/Tm values flow
+    # through the advance math as +/-inf (NaN in tm.f), text unchanged.
+    from pdfrust_ray.pdfref.numbers import f32
+
+    assert f32(1e39) == float("inf")
+    assert f32(-1e39) == float("-inf")
+    assert f32(3.4e38) != float("inf")  # below f32::MAX stays finite
