@@ -36,6 +36,10 @@ _I32_MIN = -(2**31)
 _I32_MAX = 2**31 - 1
 
 
+def _wrap_i32(v: int) -> int:
+    return ((v + 2**31) & 0xFFFFFFFF) - 2**31
+
+
 class Number:
     """Integer(i32) | Real(f32) — algebra.rs:3-7."""
 
@@ -69,23 +73,30 @@ class Number:
     # --- arithmetic (algebra.rs:36-92) ---
     def __add__(self, other: "Number") -> "Number":
         if self.is_int and other.is_int:
-            return Number(True, self.val + other.val)
+            # release-mode Rust i32 arithmetic wraps (algebra.rs:68)
+            return Number(True, _wrap_i32(self.val + other.val))
         return Number(False, f32(self.as_f32() + other.as_f32()))
 
     def __mul__(self, other: "Number") -> "Number":
         if self.is_int and other.is_int:
-            return Number(True, self.val * other.val)
+            return Number(True, _wrap_i32(self.val * other.val))
         return Number(False, f32(self.as_f32() * other.as_f32()))
 
     def __truediv__(self, other: "Number") -> "Number":
-        # Int / Int -> Real (algebra.rs:41)
+        # Int / Int -> Real (algebra.rs:41); f32 division by +/-0 gives
+        # a signed infinity (sign of a XOR sign of b), 0/0 -> NaN
         a, b = self.as_f32(), other.as_f32()
         if b == 0.0:
-            return Number(False, math.copysign(math.inf, a) if a != 0 else math.nan)
+            if a == 0.0:
+                return Number(False, math.nan)
+            sign = math.copysign(1.0, a) * math.copysign(1.0, b)
+            return Number(False, math.copysign(math.inf, sign))
         return Number(False, f32(a / b))
 
     def __neg__(self) -> "Number":
-        return Number(self.is_int, -self.val)
+        if self.is_int:
+            return Number(True, _wrap_i32(-self.val))
+        return Number(False, -self.val)
 
     # --- conversions (algebra.rs:9-34) ---
     def as_f32(self) -> float:
