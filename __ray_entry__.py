@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         # --- text analysis ---
         "token_counts": textops.token_counts,
+        "bpe_token_counts": textops.bpe_token_counts,
         "fingerprints": textops.fingerprints,
         "language_profile": textops.language_profile,
         "charset_best_match": textops.charset_best_match,
@@ -305,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": embedding_dedup_sql(),
         "charset_best_match": textops.charset_best_match_sql(),
         "token_counts": textops.token_counts_sql(),
+        "bpe_token_counts": textops.bpe_token_counts_sql(),
         "fingerprints": textops.fingerprints_sql(),
         "lineitem_agg": rel.lineitem_agg_sql(),
         "segment_revenue": rel.segment_revenue_sql(),

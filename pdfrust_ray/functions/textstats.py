@@ -31,6 +31,20 @@ def token_count(text: str) -> int:
     return len(_WS_SPLIT.split(text))
 
 
+# BPE-ish lexer classes: letter runs | digit runs | symbol runs. The
+# alternatives have disjoint first-character classes, so Python re and
+# DuckDB's RE2 agree regardless of alternation-order semantics
+# (verified on the testdata + unicode samples).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+
+def bpe_token_count(text: str) -> int:
+    """Sub-word-style token count: runs of letters / digits / symbols
+    (whitespace dropped), the shape a BPE pre-tokenizer produces."""
+    return len(_BPE_RE.findall(text))
+
+
 def lang_id(text: str) -> str:
     """Deterministic n-gram/stopword language guess.
 

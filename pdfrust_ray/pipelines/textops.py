@@ -8,6 +8,8 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.textstats import (
+    BPE_PATTERN,
+    bpe_token_count,
     lang_id,
     md5_fingerprint,
     quality_score,
@@ -30,6 +32,7 @@ class TextStats:
             {
                 "doc_id": batch["doc_id"],
                 "token_count": pa.array([token_count(t) for t in texts], pa.int64()),
+                "bpe_token_count": pa.array([bpe_token_count(t) for t in texts], pa.int64()),
                 "lang_pred": pa.array([lang_id(t) for t in texts], pa.string()),
                 "quality": pa.array([quality_score(t) for t in texts], pa.float64()),
                 "fp_md5": pa.array([md5_fingerprint(t) for t in texts], pa.string()),
@@ -54,6 +57,21 @@ def token_counts_sql() -> str:
     return r"""
         SELECT doc_id,
                CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS token_count
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+def bpe_token_counts(sf_dir: str) -> pd.DataFrame:
+    out = text_stats(sf_dir).select_columns(["doc_id", "bpe_token_count"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def bpe_token_counts_sql() -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+                   AS bpe_token_count
         FROM documents
         ORDER BY doc_id
     """

@@ -465,3 +465,10 @@ def test_embedding_dedup_ivf_finds_planted(ray_session, tmp_path):
     # within-bucket results are a subset of the exact broadcast variant
     exact = set(map(tuple, embedding_dedup(str(d), threshold=0.98).values.tolist()))
     assert set(map(tuple, pairs.values.tolist())) <= exact
+
+
+@needs_testdata
+def test_bpe_token_counts_match_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.textops import bpe_token_counts, bpe_token_counts_sql
+
+    _compare(bpe_token_counts(SF), duck.execute(bpe_token_counts_sql()).df())
