@@ -84,7 +84,10 @@ def build_extraction(
     # deadlock when branch pools + sort tasks oversubscribe the CPUs; a
     # non-trivial min pre-warms the pool so ramp-up doesn't serialize
     pool = (
-        (max(1, concurrency // 2), concurrency)
+        # high floor: pool ramp-up measurably costs ~10% of bench wall
+        # (autoscaling still backs off when idle; 2 cpus stay free for
+        # read/shuffle tasks so fixed-pool starvation can't occur)
+        (max(1, concurrency - 2), concurrency)
         if isinstance(concurrency, int)
         else concurrency
     )
