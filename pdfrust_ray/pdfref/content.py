@@ -38,6 +38,8 @@ Pins /root/reference/src/content.rs:
 
 from __future__ import annotations
 
+import numpy as _np
+
 from .errors import ParseError
 from .numbers import Matrix, Number, f32, rust_char_debug, rust_str_debug
 from .tokenizer import (
@@ -378,9 +380,69 @@ class TextContent:
                 cm_get = cmap.cmap.get if cmap is not None else None
                 two = cmap.is_two_bytes if cmap is not None else False
                 wcache = font.width_f32
+
+                def advance_deltas(codes):
+                    """(e_deltas, f_deltas) float32 arrays for a run of
+                    code bytes — same f32-rounded math as the scalar
+                    path, memoized per code in tx_of."""
+                    for c in set(codes.tolist()):
+                        if c not in tx_of:
+                            tx = f32(wcache(c) * tfs_f)
+                            tx = f32(tx + tc_f)
+                            if c == _SPACE:
+                                tx = f32(tx + tw_f)
+                            tx = f32(tx * th_f)
+                            tx_of[c] = (f32(tx * a), f32(tx * b))
+                    de = _np.fromiter((tx_of[c][0] for c in codes), _np.float32, len(codes))
+                    if b_zero:
+                        return de, None
+                    df = _np.fromiter((tx_of[c][1] for c in codes), _np.float32, len(codes))
+                    return de, df
+
+                def chain(start, deltas):
+                    """Sequential f32 adds: s_i = f32(s_{i-1} + d_i) —
+                    np.add.accumulate on a float32 array rounds every
+                    partial sum to binary32, bit-identical to the
+                    scalar loop (inf/NaN propagate IEEE-identically)."""
+                    arr = _np.empty(len(deltas) + 1, dtype=_np.float32)
+                    arr[0] = start
+                    arr[1:] = deltas
+                    _np.add.accumulate(arr, out=arr)
+                    return float(arr[-1])
+
                 for item_kind, val in ins[1]:
                     if item_kind == "text":
                         if cmap is not None:
+                            if not display_char:
+                                if two:
+                                    whole = val[: len(val) & ~1]
+                                    idxs = _np.frombuffer(whole, dtype=">u2").astype(_np.int64)
+                                    code_bytes = (idxs >> 8).astype(_np.int64)
+                                else:
+                                    code_bytes = _np.frombuffer(val, dtype=_np.uint8).astype(_np.int64)
+                                    idxs = code_bytes
+                                chars = []
+                                # in-order missing-code check: a CMapMiss on
+                                # an earlier complete pair must win over the
+                                # odd-trailing-byte error, like the scalar walk
+                                for char_idx in idxs.tolist():
+                                    ch = cm_get(char_idx)
+                                    if ch is None:
+                                        raise ParseError(
+                                            "CMapMiss",
+                                            f"CMap does not contain a char with idx {char_idx}",
+                                        )
+                                    chars.append(ch)
+                                if two and len(val) % 2 == 1:
+                                    # the lone high byte fails next(it)
+                                    # (content.rs:792-799)
+                                    raise ParseError("Content", "odd bytes for two-byte CMap")
+                                out.append("".join(chars))
+                                de, df = advance_deltas(code_bytes)
+                                e = chain(e, de)
+                                if df is not None:
+                                    f = chain(f, df)
+                                continue
                             it = iter(val)
                             for c in it:
                                 if two:
@@ -397,11 +459,8 @@ class TextContent:
                                         "CMapMiss",
                                         f"CMap does not contain a char with idx {char_idx}",
                                     )
-                                if display_char:
-                                    self.tm = Matrix(a, b, tm.c, tm.d, e, f)
-                                    out.append(self._char_line(ch, font))
-                                else:
-                                    out.append(ch)
+                                self.tm = Matrix(a, b, tm.c, tm.d, e, f)
+                                out.append(self._char_line(ch, font))
                                 cached = tx_of.get(c)
                                 if cached is None:
                                     tx = f32(wcache(c) * tfs_f)
@@ -415,12 +474,17 @@ class TextContent:
                                 if not b_zero:
                                     f = f32(cached[1] + f)
                         else:
+                            if not display_char:
+                                out.append(val.decode("latin-1"))
+                                codes = _np.frombuffer(val, dtype=_np.uint8).astype(_np.int64)
+                                de, df = advance_deltas(codes)
+                                e = chain(e, de)
+                                if df is not None:
+                                    f = chain(f, df)
+                                continue
                             for c in val:
-                                if display_char:
-                                    self.tm = Matrix(a, b, tm.c, tm.d, e, f)
-                                    out.append(self._char_line(chr(c), font))
-                                else:
-                                    out.append(chr(c))
+                                self.tm = Matrix(a, b, tm.c, tm.d, e, f)
+                                out.append(self._char_line(chr(c), font))
                                 cached = tx_of.get(c)
                                 if cached is None:
                                     tx = f32(wcache(c) * tfs_f)
