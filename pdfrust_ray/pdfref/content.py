@@ -380,24 +380,31 @@ class TextContent:
                 cm_get = cmap.cmap.get if cmap is not None else None
                 two = cmap.is_two_bytes if cmap is not None else False
                 wcache = font.width_f32
+                # per-instruction advance LUTs: code byte -> (e, f) delta,
+                # filled lazily; fancy indexing replaces a per-glyph dict walk
+                lut_e = _np.empty(256, dtype=_np.float32)
+                lut_f = _np.empty(256, dtype=_np.float32)
+                lut_done = _np.zeros(256, dtype=bool)
+                # deltas collected across ALL items (text runs AND kerning
+                # numbers) of this TJ, folded by ONE accumulate at the end
+                delta_es: list = []
+                delta_fs: list = []
 
                 def advance_deltas(codes):
                     """(e_deltas, f_deltas) float32 arrays for a run of
                     code bytes — same f32-rounded math as the scalar
-                    path, memoized per code in tx_of."""
-                    for c in set(codes.tolist()):
-                        if c not in tx_of:
-                            tx = f32(wcache(c) * tfs_f)
-                            tx = f32(tx + tc_f)
-                            if c == _SPACE:
-                                tx = f32(tx + tw_f)
-                            tx = f32(tx * th_f)
-                            tx_of[c] = (f32(tx * a), f32(tx * b))
-                    de = _np.fromiter((tx_of[c][0] for c in codes), _np.float32, len(codes))
-                    if b_zero:
-                        return de, None
-                    df = _np.fromiter((tx_of[c][1] for c in codes), _np.float32, len(codes))
-                    return de, df
+                    path, memoized in the per-instruction LUTs."""
+                    missing = _np.unique(codes[~lut_done[codes]])
+                    for c in missing.tolist():
+                        tx = f32(wcache(c) * tfs_f)
+                        tx = f32(tx + tc_f)
+                        if c == _SPACE:
+                            tx = f32(tx + tw_f)
+                        tx = f32(tx * th_f)
+                        lut_e[c] = f32(tx * a)
+                        lut_f[c] = f32(tx * b)
+                        lut_done[c] = True
+                    return lut_e[codes], (None if b_zero else lut_f[codes])
 
                 def chain(start, deltas):
                     """Sequential f32 adds: s_i = f32(s_{i-1} + d_i) —
@@ -439,9 +446,9 @@ class TextContent:
                                     raise ParseError("Content", "odd bytes for two-byte CMap")
                                 out.append("".join(chars))
                                 de, df = advance_deltas(code_bytes)
-                                e = chain(e, de)
+                                delta_es.append(de)
                                 if df is not None:
-                                    f = chain(f, df)
+                                    delta_fs.append(df)
                                 continue
                             it = iter(val)
                             for c in it:
@@ -478,9 +485,9 @@ class TextContent:
                                 out.append(val.decode("latin-1"))
                                 codes = _np.frombuffer(val, dtype=_np.uint8).astype(_np.int64)
                                 de, df = advance_deltas(codes)
-                                e = chain(e, de)
+                                delta_es.append(de)
                                 if df is not None:
-                                    f = chain(f, df)
+                                    delta_fs.append(df)
                                 continue
                             for c in val:
                                 self.tm = Matrix(a, b, tm.c, tm.d, e, f)
@@ -508,9 +515,20 @@ class TextContent:
                             tx = f32(tx * th_f)
                             cached = (f32(tx * a), f32(tx * b))
                             kern_of[vf] = cached
-                        e = f32(cached[0] + e)
-                        if not b_zero:
-                            f = f32(cached[1] + f)
+                        if display_char:
+                            e = f32(cached[0] + e)
+                            if not b_zero:
+                                f = f32(cached[1] + f)
+                        else:
+                            delta_es.append(_np.asarray([cached[0]], dtype=_np.float32))
+                            if not b_zero:
+                                delta_fs.append(_np.asarray([cached[1]], dtype=_np.float32))
+                # one f32-rounded fold over the whole instruction's deltas
+                # (text-run and kerning items alike, in emission order)
+                if delta_es:
+                    e = chain(e, _np.concatenate(delta_es))
+                if delta_fs:
+                    f = chain(f, _np.concatenate(delta_fs))
                 new = tm.copy()
                 new.e = e
                 new.f = f
