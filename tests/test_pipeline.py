@@ -208,3 +208,35 @@ def test_spec15_pipeline_matches_golden(ray_session):
     assert (got["parse_status"] == "ok").sum() >= 60
     for col in golden.column_names:
         assert got[col].tolist() == golden[col].to_pylist(), f"column {col} differs"
+
+
+def test_resume_redoes_crashed_partial_group(ray_session, t1_dir, tmp_path):
+    """Manifest-last protocol: a group directory whose data was written
+    but whose manifest never landed (simulated crash between the two
+    writes) must be reprocessed on resume, and the redo must be
+    idempotent — final output identical to an uninterrupted run."""
+    import json
+
+    from pdfrust_ray.pipelines.extract_pipeline import run_extraction
+
+    out = str(tmp_path / "out")
+    m1 = run_extraction(t1_dir, out, group_size=1, concurrency=2)
+    # simulate a crash on group 0: manifest gone, data (possibly partial) left
+    manifests = sorted(glob.glob(os.path.join(out, "_manifests", "*.json")))
+    victim = manifests[0]
+    gid = json.load(open(victim))["group_id"]
+    os.unlink(victim)
+    # also corrupt the group's data dir to prove it gets rewritten
+    parts = glob.glob(os.path.join(out, f"group={gid:04d}", "*.parquet"))
+    assert parts
+    os.unlink(parts[0])
+    m2 = run_extraction(t1_dir, out, group_size=1, concurrency=2)
+    assert m2["groups_skipped_resume"] == m1["groups"] - 1
+    got = _read_group_output(out)
+    golden = pq.read_table(os.path.join(t1_dir, "golden.parquet"))
+    got = got.select(golden.column_names).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert got.num_rows == golden.num_rows
+    for col in golden.column_names:
+        assert got[col].to_pylist() == golden[col].to_pylist(), f"column {col} differs"

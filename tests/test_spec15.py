@@ -164,3 +164,46 @@ def test_hybrid_xrefstm_key():
     )
     wrapped = bytes(base) + bytes(table) + f"startxref\n{table_off}\n%%EOF".encode()
     assert extract(wrapped, "text", spec_mode=True).text == "Hybrid"
+
+
+def test_incremental_update_prev_chain_of_xref_streams():
+    """PDF 1.5 incremental update: an appended section whose xref STREAM
+    carries /Prev to the original xref stream. The newest section's
+    entry for the rewritten content object must win; everything else
+    resolves through the chain."""
+    import zlib
+
+    base = _build(comp=True, text="Original text")
+    sx_old = int(base[base.rfind(b"startxref") + 9 :].split(b"%%EOF")[0])
+    body = bytearray(base[: base.rfind(b"startxref")])
+
+    # rewritten content object 1 (the page's /Contents)
+    content = b"BT /F1 10 Tf (Updated text) Tj ET"
+    body += b"\n"
+    new_obj_off = len(body)
+    body += b"1 0 obj\n<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream\nendobj\n"
+
+    # new xref stream object: entries for obj 1 and itself, Prev -> old
+    new_xref_num = 7  # base layout: 5 bodies + objstm(6)? xref stream was 7
+    # (compute from the base instead of assuming)
+    import re as _re
+
+    nums = [int(m) for m in _re.findall(rb"\n(\d+) 0 obj", base)]
+    new_xref_num = max(nums) + 1
+    body += b"\n"
+    xref_off = len(body)
+    rows = bytearray()
+    for num, (t, f2, f3) in ((1, (1, new_obj_off, 0)), (new_xref_num, (1, xref_off, 0))):
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    payload = zlib.compress(bytes(rows), 6)
+    xstm = (
+        b"<< /Type /XRef /Size %d /W [ 1 4 2 ] /Index [ 1 1 %d 1 ] "
+        b"/Root 5 0 R /Prev %d /Length %d /Filter /FlateDecode >>"
+        % (new_xref_num + 1, new_xref_num, sx_old, len(payload))
+    ) + b"\nstream\n" + payload + b"\nendstream"
+    body += b"%d 0 obj\n" % new_xref_num + xstm + b"\nendobj\n"
+    body += b"startxref\n%d\n%%%%EOF" % xref_off
+    updated = bytes(body)
+
+    assert extract(base, "text", spec_mode=True).text == "Original text"
+    assert extract(updated, "text", spec_mode=True).text == "Updated text"
