@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": rel.customers_without_orders,
         "orders_sample": rel.orders_sample,
         "sessionize": rel.sessionize,
+        "events_sliding_hour": rel.events_sliding_hour,
+        "nation_supplier_names": rel.nation_supplier_names,
         "running_user_totals": rel.running_user_totals,
         "asof_click_before_purchase": rel.asof_click_before_purchase,
     }
@@ -319,6 +321,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": rel.customers_without_orders_sql(),
         "orders_sample": rel.orders_sample_sql(),
         "sessionize": rel.sessionize_sql(),
+        "events_sliding_hour": rel.events_sliding_hour_sql(),
+        "nation_supplier_names": rel.nation_supplier_names_sql(),
         "running_user_totals": rel.running_user_totals_sql(),
         "asof_click_before_purchase": rel.asof_click_before_purchase_sql(),
         # rows-only (no SQL equivalent): minhash_dedup, simhash_dedup,

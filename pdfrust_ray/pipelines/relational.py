@@ -548,3 +548,70 @@ def orders_sample_sql(modulus: int = 20) -> str:
               % {modulus} = 0
         ORDER BY o_orderkey
     """
+
+
+def events_sliding_hour(sf_dir: str) -> pd.DataFrame:
+    """Sliding event-time window: for every event, the number of events
+    by the same user in the trailing hour (RANGE frame, inclusive).
+
+    Ray shape: groupby(user_id) + a two-pointer sweep over each user's
+    ts-sorted log inside map_groups — the event-time analogue of the
+    sessionize stage; no driver loops, one key-partitioned shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    window = pd.Timedelta(hours=1)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        ts = g["ts"].to_numpy()
+        import numpy as np
+
+        # trailing-window count: i - first index with ts >= ts[i] - 1h + 1
+        left = np.searchsorted(ts, ts - window.to_timedelta64(), side="left")
+        g["n_last_hour"] = (np.arange(len(ts)) - left + 1).astype("int64")
+        return g[["event_id", "user_id", "n_last_hour"]]
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_sliding_hour_sql() -> str:
+    return """
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                             AND CURRENT ROW) AS BIGINT)
+                   AS n_last_hour
+        FROM events
+        ORDER BY event_id
+    """
+
+
+def nation_supplier_names(sf_dir: str) -> pd.DataFrame:
+    """Collect/string-agg per group: comma-joined sorted supplier names
+    per nation key (one key-partitioned shuffle, per-group join)."""
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_name"])
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        names = ",".join(sorted(g["s_name"]))
+        return pd.DataFrame(
+            {
+                "s_nationkey": pd.Series([int(g["s_nationkey"].iloc[0])], dtype="int64"),
+                "suppliers": pd.Series([names], dtype="str"),
+                "n_suppliers": pd.Series([len(g)], dtype="int64"),
+            }
+        )
+
+    out = ds.groupby("s_nationkey").map_groups(per_nation, batch_format="pandas").to_pandas()
+    return out.sort_values("s_nationkey").reset_index(drop=True)
+
+
+def nation_supplier_names_sql() -> str:
+    return """
+        SELECT s_nationkey,
+               string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+               COUNT(*) AS n_suppliers
+        FROM supplier
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey
+    """

@@ -472,3 +472,20 @@ def test_bpe_token_counts_match_sql(ray_session, duck):
     from pdfrust_ray.pipelines.textops import bpe_token_counts, bpe_token_counts_sql
 
     _compare(bpe_token_counts(SF), duck.execute(bpe_token_counts_sql()).df())
+
+
+@needs_testdata
+def test_events_sliding_hour_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import events_sliding_hour, events_sliding_hour_sql
+
+    _compare(events_sliding_hour(SF), duck.execute(events_sliding_hour_sql()).df())
+
+
+@needs_testdata
+def test_nation_supplier_names_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        nation_supplier_names,
+        nation_supplier_names_sql,
+    )
+
+    _compare(nation_supplier_names(SF), duck.execute(nation_supplier_names_sql()).df())
