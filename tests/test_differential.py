@@ -111,7 +111,7 @@ def _reference_output(path: str, mode: str):
 
 
 @needs_binary
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(80))
 def test_differential_random_pdfs(seed):
     rng = random.Random(seed * 7919 + 13)
     data = _build_pdf(rng)
@@ -204,7 +204,7 @@ def _build_cmap_pdf(rng: random.Random) -> bytes:
 
 
 @needs_binary
-@pytest.mark.parametrize("seed", range(30))
+@pytest.mark.parametrize("seed", range(50))
 def test_differential_cmap_pdfs(seed):
     rng = random.Random(seed * 104729 + 7)
     data = _build_cmap_pdf(rng)
