@@ -390,20 +390,34 @@ class TextContent:
                 delta_es: list = []
                 delta_fs: list = []
 
+                def fill_width(c):
+                    """Compute the per-code advance LUT entry; raises the
+                    reference's width-config error (Font: widths present
+                    but FirstChar missing) exactly where the scalar walk
+                    would."""
+                    tx = f32(wcache(c) * tfs_f)
+                    tx = f32(tx + tc_f)
+                    if c == _SPACE:
+                        tx = f32(tx + tw_f)
+                    tx = f32(tx * th_f)
+                    lut_e[c] = f32(tx * a)
+                    lut_f[c] = f32(tx * b)
+                    lut_done[c] = True
+
                 def advance_deltas(codes):
                     """(e_deltas, f_deltas) float32 arrays for a run of
                     code bytes — same f32-rounded math as the scalar
-                    path, memoized in the per-instruction LUTs."""
+                    path, memoized in the per-instruction LUTs.
+
+                    The width error is code-independent (width_f32 raises
+                    for EVERY code when Widths is present and FirstChar
+                    missing), so filling from np.unique's sorted order
+                    here is emission-order-equivalent — the in-order
+                    interleave that matters (CMapMiss vs Font) happens in
+                    the caller's glyph loop via fill_width."""
                     missing = _np.unique(codes[~lut_done[codes]])
                     for c in missing.tolist():
-                        tx = f32(wcache(c) * tfs_f)
-                        tx = f32(tx + tc_f)
-                        if c == _SPACE:
-                            tx = f32(tx + tw_f)
-                        tx = f32(tx * th_f)
-                        lut_e[c] = f32(tx * a)
-                        lut_f[c] = f32(tx * b)
-                        lut_done[c] = True
+                        fill_width(c)
                     return lut_e[codes], (None if b_zero else lut_f[codes])
 
                 def chain(start, deltas):
@@ -429,16 +443,23 @@ class TextContent:
                                     code_bytes = _np.frombuffer(val, dtype=_np.uint8).astype(_np.int64)
                                     idxs = code_bytes
                                 chars = []
-                                # in-order missing-code check: a CMapMiss on
-                                # an earlier complete pair must win over the
-                                # odd-trailing-byte error, like the scalar walk
-                                for char_idx in idxs.tolist():
+                                # in-order per-glyph checks: cmap lookup THEN
+                                # width-LUT fill, interleaved like the scalar
+                                # walk (content.rs:800-820) — so a width-config
+                                # error on an early glyph wins over a later
+                                # CMapMiss, and a CMapMiss on an earlier
+                                # complete pair wins over the odd-trailing-byte
+                                # error
+                                for pos, char_idx in enumerate(idxs.tolist()):
                                     ch = cm_get(char_idx)
                                     if ch is None:
                                         raise ParseError(
                                             "CMapMiss",
                                             f"CMap does not contain a char with idx {char_idx}",
                                         )
+                                    cb = int(code_bytes[pos])
+                                    if not lut_done[cb]:
+                                        fill_width(cb)
                                     chars.append(ch)
                                 if two and len(val) % 2 == 1:
                                     # the lone high byte fails next(it)

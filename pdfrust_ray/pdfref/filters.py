@@ -34,12 +34,19 @@ def flate_decode_exact(data: bytes) -> bytes:
     Used only on the spec_mode=True path (PDF 1.5+ xref streams, object
     streams, and content streams) — the parity path above keeps the
     reference's buffer quirk. Tolerates trailing garbage after the
-    zlib stream (common in real PDFs)."""
+    zlib stream (common in real PDFs; d.unused_data), but rejects
+    TRUNCATED streams: a cut deflate stream decompresses partially
+    without raising (d.eof stays False), so without this check
+    spec-mode xref/ObjStm/content streams would silently extract wrong
+    partial text instead of producing an error row."""
     try:
         d = zlib.decompressobj()
-        return d.decompress(data)
+        out = d.decompress(data)
     except zlib.error as exc:
         raise ParseError("Flate", str(exc))
+    if not d.eof:
+        raise ParseError("Flate", "truncated stream")
+    return out
 
 
 def apply_png_predictor(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:

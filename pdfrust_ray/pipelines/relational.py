@@ -519,13 +519,11 @@ def orders_sample(sf_dir: str, modulus: int = 20) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
 
     def sample(t: pa.Table) -> pa.Table:
-        import hashlib as _h
+        from pdfrust_ray.functions.md5vec import md5_prefix_u32
 
-        keys = t["o_orderkey"].to_pylist()
-        keep = [
-            int(_h.md5(str(k).encode()).hexdigest()[:8], 16) % modulus == 0 for k in keys
-        ]
-        t = t.filter(pa.array(keep, pa.bool_()))
+        keys = [str(k).encode() for k in t["o_orderkey"].to_pylist()]
+        keep = md5_prefix_u32(keys) % modulus == 0
+        t = t.filter(pa.array(keep))
         return pa.table(
             {"o_orderkey": t["o_orderkey"], "price_cents": _cents(t["o_totalprice"])}
         )
@@ -561,13 +559,16 @@ def events_sliding_hour(sf_dir: str) -> pd.DataFrame:
     window = pd.Timedelta(hours=1)
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").reset_index(drop=True)
+        g = g.sort_values("ts", kind="stable").reset_index(drop=True)
         ts = g["ts"].to_numpy()
         import numpy as np
 
-        # trailing-window count: i - first index with ts >= ts[i] - 1h + 1
+        # RANGE frame: all rows with ts in [ts[i]-1h, ts[i]] — including
+        # PEERS of the current row (same ts), matching SQL RANGE ... CURRENT
+        # ROW semantics on ties.
         left = np.searchsorted(ts, ts - window.to_timedelta64(), side="left")
-        g["n_last_hour"] = (np.arange(len(ts)) - left + 1).astype("int64")
+        right = np.searchsorted(ts, ts, side="right")
+        g["n_last_hour"] = (right - left).astype("int64")
         return g[["event_id", "user_id", "n_last_hour"]]
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()

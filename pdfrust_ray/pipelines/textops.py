@@ -151,7 +151,12 @@ def charset_best_match(sf_dir: str) -> pd.DataFrame:
             inter = np.rint(X @ self.B.T).astype(np.int64)  # exact counts
             xpops = X.sum(axis=1).astype(np.int64)
             union = xpops[:, None] + self.pops[None, :] - inter
-            sims = inter / union  # exact int/int double division
+            # exact int/int double division; two empty-text docs give
+            # union == 0 — define sim = 0 there instead of a NaN that
+            # would poison max/argmax tie-breaking
+            sims = np.divide(
+                inter, union, out=np.zeros(inter.shape, dtype=np.float64), where=union > 0
+            )
             rows = np.arange(len(dids))
             self_pos = np.fromiter((self.pos[int(d)] for d in dids), dtype=np.int64)
             sims[rows, self_pos] = -1.0  # exclude self

@@ -179,3 +179,34 @@ def test_empty_widths_missing_firstchar_errors():
     res2 = _resources({"F1": _font(widths=None)})
     tc2 = TextContent(b"BT /F1 10 Tf [(hi)] TJ ET", res2)
     assert tc2.get_text(False) == "hi"
+
+
+def test_width_error_wins_over_later_cmap_miss():
+    # Per-glyph checks interleave in emission order (content.rs:800-820):
+    # glyph 0 has a valid CMap code but the font's width config is broken
+    # (Widths present, FirstChar missing -> body.rs:195 unwrap), glyph 1
+    # has a MISSING CMap code. The reference raises the Font error at
+    # glyph 0 before ever touching glyph 1 — both the vectorized (text)
+    # and scalar (chars) paths must report the same first error.
+    from pdfrust_ray.pdfref.cmap import ToUnicodeCMap
+
+    cmap = ToUnicodeCMap(b"\x00", b"\xff", False, {1: "H"})
+    res = _resources({"F1": _font(widths=[500], to_unicode=cmap)})
+    for display_char in (False, True):
+        tc = TextContent(b"BT /F1 10 Tf [<0102>] TJ ET", res)
+        with pytest.raises(ParseError) as e:
+            tc.get_text(display_char)
+        assert e.value.kind == "Font", (display_char, e.value.kind)
+
+
+def test_cmap_miss_on_pair_wins_over_odd_trailing_byte():
+    # two-byte CMap, complete first pair missing from the map, then a
+    # lone trailing byte: the in-order walk hits CMapMiss first
+    from pdfrust_ray.pdfref.cmap import ToUnicodeCMap
+
+    cmap = ToUnicodeCMap(b"\x00\x00", b"\xff\xff", True, {0x0102: "A"})
+    res = _resources({"F1": _font(to_unicode=cmap)})
+    tc = TextContent(b"BT /F1 10 Tf [<999903>] TJ ET", res)
+    with pytest.raises(ParseError) as e:
+        tc.get_text(False)
+    assert e.value.kind == "CMapMiss"

@@ -489,3 +489,57 @@ def test_nation_supplier_names_matches_sql(ray_session, duck):
     )
 
     _compare(nation_supplier_names(SF), duck.execute(nation_supplier_names_sql()).df())
+
+
+def test_sliding_hour_counts_tied_peers(ray_session, tmp_path):
+    # RANGE ... CURRENT ROW includes ALL peer rows with the same ts
+    # (ADVICE r2): two tied events + one later must give [2, 2, 3],
+    # matching the SQL window, not the positional [1, 2, 3].
+    import duckdb
+
+    from pdfrust_ray.pipelines.relational import events_sliding_hour, events_sliding_hour_sql
+
+    t0 = pd.Timestamp("2026-01-01 12:00:00")
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [7, 7, 7, 8, 8],
+            "ts": [t0, t0, t0 + pd.Timedelta(minutes=30), t0, t0 + pd.Timedelta(hours=2)],
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), str(d / "events.parquet"))
+    mine = events_sliding_hour(str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    oracle = con.execute(events_sliding_hour_sql()).df()
+    assert mine["n_last_hour"].tolist() == [2, 2, 3, 1, 1]
+    _compare(mine, oracle)
+
+
+def test_md5vec_matches_hashlib():
+    import hashlib
+
+    from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+    msgs = [str(k).encode() for k in range(0, 5000, 7)] + [b""]
+    got = md5_prefix_u32(msgs)
+    want = [int(hashlib.md5(m).hexdigest()[:8], 16) for m in msgs]
+    assert got.tolist() == want
+    with pytest.raises(ValueError):
+        md5_prefix_u32([b"x" * 56])
+
+
+def test_flate_exact_rejects_truncated_stream():
+    import zlib
+
+    from pdfrust_ray.pdfref.errors import ParseError
+    from pdfrust_ray.pdfref.filters import flate_decode_exact
+
+    full = zlib.compress(b"spec-mode stream payload " * 64)
+    assert flate_decode_exact(full) == b"spec-mode stream payload " * 64
+    # trailing garbage after a complete stream is tolerated
+    assert flate_decode_exact(full + b"\x00garbage") == b"spec-mode stream payload " * 64
+    with pytest.raises(ParseError):
+        flate_decode_exact(full[:-8])  # cut stream -> partial inflate
