@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textops.fingerprints,
         "language_profile": textops.language_profile,
         "charset_best_match": textops.charset_best_match,
+        "charset_best_match_lsh": textops.charset_best_match_lsh,
         # --- multimodal plumbing ---
         "media_features": media_features_q,
         # --- relational wide-operator demos ---
@@ -240,7 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
-    from pdfrust_ray.stages.dedup import embedding_dedup_sql
+    from pdfrust_ray.stages.dedup import embedding_dedup_sql, minhash_lsh_dedup_sql
 
     return {
         "extract_text": f"""
@@ -306,6 +307,9 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 10 ORDER BY query_id, rank
         """,
         "embedding_dedup": embedding_dedup_sql(),
+        # exact shingle-Jaccard pair set — verifies the whole LSH path
+        # (banding, distributed verify, exact-dup expansion) value-exactly
+        "minhash_dedup": minhash_lsh_dedup_sql(),
         "charset_best_match": textops.charset_best_match_sql(),
         "token_counts": textops.token_counts_sql(),
         "bpe_token_counts": textops.bpe_token_counts_sql(),
@@ -325,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_supplier_names": rel.nation_supplier_names_sql(),
         "running_user_totals": rel.running_user_totals_sql(),
         "asof_click_before_purchase": rel.asof_click_before_purchase_sql(),
-        # rows-only (no SQL equivalent): minhash_dedup, simhash_dedup,
+        # rows-only (no SQL equivalent): simhash_dedup (signatures need
+        # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features
     }

@@ -176,6 +176,129 @@ def charset_best_match(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def charset_best_match_lsh(sf_dir: str, n_bands: int = 8, bucket_cap: int = 20_000) -> pd.DataFrame:
+    """Bucketed scale path for charset_best_match — the mask-band LSH
+    fallback the exact variant's docstring names: no [N, 256] broadcast,
+    so it works past the exact variant's ~10^7-doc cap.
+
+    Shape: (1) signature pass — each doc reduces to its 32-byte byte-set
+    mask; (2) band rows — the mask is split into `n_bands` 32-bit bands
+    and each (band_id, band_value) key becomes a bucket (docs sharing
+    any exact band collide); (3) groupby(shard).map_groups — within each
+    bucket, pairwise intersections via one unpackbits+sgemm block, emit
+    each member's best bucket-local candidate; (4) groupby(doc_id) —
+    reduce to the best candidate across buckets (max sim, ties by min
+    match_id). Approximate by construction: a doc whose true best match
+    shares NO exact 32-bit band is mis-matched; where the candidate IS
+    the true best the sim value is the same exact int/int division as
+    the exact variant. Hot buckets (homogeneous corpora share e.g. the
+    ascii-lowercase band) are capped at `bucket_cap` members with a
+    logged drop — the within-bucket work is O(cap * members), never
+    O(N^2).
+    """
+    import numpy as np
+
+    import ray.data as _rd
+
+    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, bids, bvals, masks, shards = [], [], [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            bits = np.zeros(256, dtype=np.uint8)
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if len(data):
+                bits[data] = 1
+            packed = np.packbits(bits)
+            words = packed.view(">u4")  # 8 x 32-bit bands
+            for b in range(min(n_bands, 8)):
+                v = int(words[b])
+                doc_ids.append(did)
+                bids.append(b)
+                bvals.append(v)
+                masks.append(packed.tobytes())
+                shards.append((v ^ (b * 0x9E3779B9)) % 64)
+        return pa.table(
+            {
+                "shard": pa.array(shards, pa.int32()),
+                "band_id": pa.array(bids, pa.int32()),
+                "band_value": pa.array(bvals, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "mask": pa.array(masks, pa.binary()),
+            }
+        )
+
+    def best_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_m, out_s = [], [], []
+        for _, grp in g.groupby(["band_id", "band_value"], sort=False):
+            grp = grp.drop_duplicates("doc_id")
+            if len(grp) < 2:
+                continue
+            if len(grp) > bucket_cap:
+                print(
+                    f"charset_lsh: hot bucket with {len(grp)} members capped at {bucket_cap}"
+                )
+                grp = grp.nsmallest(bucket_cap, "doc_id")
+            ids = grp["doc_id"].to_numpy(dtype=np.int64)
+            packed = np.frombuffer(b"".join(grp["mask"]), dtype=np.uint8).reshape(len(grp), 32)
+            B = np.unpackbits(packed, axis=1).astype(np.float32)
+            pops = B.sum(axis=1).astype(np.int64)
+            inter = np.rint(B @ B.T).astype(np.int64)
+            union = pops[:, None] + pops[None, :] - inter
+            sims = np.divide(
+                inter, union, out=np.zeros(inter.shape, dtype=np.float64), where=union > 0
+            )
+            np.fill_diagonal(sims, -1.0)
+            best = sims.max(axis=1)
+            is_best = sims == best[:, None]
+            match = np.where(is_best, ids[None, :], np.iinfo(np.int64).max).min(axis=1)
+            out_d.extend(ids.tolist())
+            out_m.extend(match.tolist())
+            out_s.extend(best.tolist())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "match_id": pd.Series(out_m, dtype="int64"),
+                "sim": pd.Series(out_s, dtype="float64"),
+            }
+        )
+
+    def add_doc_shard(t: pa.Table) -> pa.Table:
+        shard = (np.asarray(t["doc_id"]) % 64).astype(np.int32)
+        return t.append_column("doc_shard", pa.array(shard, pa.int32()))
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # per-doc best across buckets; Ray's map_groups dispatches a UDF
+        # call per group, so the real per-doc reduce runs as a vectorized
+        # pandas groupby inside 64 coarse shards (same trick as dedup)
+        rows = []
+        for did, grp in g.groupby("doc_id", sort=False):
+            best = grp["sim"].max()
+            rows.append((int(did), int(grp.loc[grp["sim"] == best, "match_id"].min()), float(best)))
+        return pd.DataFrame(rows, columns=["doc_id", "match_id", "sim"]).astype(
+            {"doc_id": "int64", "match_id": "int64", "sim": "float64"}
+        )
+
+    out = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(best_in_shard, batch_format="pandas")
+        .map_batches(add_doc_shard, batch_format="pyarrow")
+        .groupby("doc_shard")
+        .map_groups(reduce_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "match_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def charset_best_match_sql() -> str:
     return """
         WITH s AS (

@@ -357,7 +357,9 @@ def _verify_pairs_distributed(
             if j >= threshold:
                 rows_a.append(int(a["doc_id"]))
                 rows_b.append(int(b["doc_id"]))
-                vals.append(round(j, 6))
+                # raw |A∩B|/|A∪B| int/int float64 division — bit-exact vs
+                # the SQL oracle's CAST(c AS DOUBLE)/(t-c) (no rounding)
+                vals.append(j)
         return pd.DataFrame(
             {
                 "doc_a": pd.Series(rows_a, dtype="int64"),
@@ -386,6 +388,38 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     verified = _verify_pairs_distributed(sf_dir, cand, threshold)
     out = _expand_rep_pairs(verified, members, "jaccard", 1.0)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def minhash_lsh_dedup_sql(threshold: float = 0.8, k: int = 5) -> str:
+    """EXACT shingle-Jaccard pair set in SQL — the oracle that closes
+    minhash_lsh_dedup's verification gap: the engine's LSH + distributed
+    verify must reproduce the exact >= threshold pair set (values are raw
+    int/int double divisions on both sides, so the driver hash matches
+    bit-for-bit).
+
+    The shingle expression mirrors char_shingles() exactly: k-char
+    substrings of lower(text) (fixture texts are ASCII, so DuckDB's
+    char-based substr == the engine's utf-8 byte shingles), whole-text
+    fallback when len(text) <= k. The join prune is the sound length
+    bound j <= min(|A|,|B|)/max(|A|,|B|)."""
+    return f"""
+        WITH sh AS MATERIALIZED (
+          SELECT doc_id,
+                 list_distinct([substr(lower(text), CAST(x AS INT), {k})
+                                FOR x IN range(1, greatest(length(text) - {k - 2}, 2))]) AS s
+          FROM documents
+        ), p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.s, b.s)) AS c,
+                 len(a.s) + len(b.s) AS t
+          FROM sh a JOIN sh b
+            ON a.doc_id < b.doc_id
+           AND least(len(a.s), len(b.s)) >= {threshold} * greatest(len(a.s), len(b.s))
+        )
+        SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (t - c) AS jaccard
+        FROM p WHERE CAST(c AS DOUBLE) / (t - c) >= {threshold}
+        ORDER BY doc_a, doc_b
+    """
 
 
 class SimHashStage:
@@ -578,11 +612,12 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10) ->
     """Near-duplicate clusters: connected components over the verified
     MinHash-LSH pair graph via min-label propagation.
 
-    Each round is expressed as the shuffle it is at scale: the edge list
-    (a Ray dataset, both directions plus self-loops) gets the current
-    neighbor labels attached in map_batches (labels broadcast via
-    ray.put — the pair graph's node set is orders of magnitude smaller
-    than the corpus) and reduced by edges.groupby(node).min. Rounds are
+    FULLY distributed convergence state: labels live as a Ray Dataset
+    between rounds (never a node->label dict on the driver). Each round
+    is two shuffles — a hash join attaching every neighbor's current
+    label to the edge list, then edges.groupby(node).min — and
+    convergence is detected by an aggregate (count of nodes whose label
+    changed), so driver memory is O(1) in the graph size. Rounds are
     bounded by the component diameter (near-dup clusters are tiny).
     Returns (doc_id, cluster_id) for every document with at least one
     near-duplicate, cluster_id = min doc_id of its component.
@@ -601,29 +636,32 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10) ->
             pd.DataFrame({"node": nodes, "nbr": nodes}),
         ]
     ).astype("int64")
-    edges = rd.from_pandas(edges_pd)
-    label = {int(n): int(n) for n in nodes}
+    n_parts = 4
+    edges = rd.from_pandas(edges_pd).materialize()
+    # labels keyed by nbr for the edge join: (nbr, nbr_label)
+    labels = rd.from_pandas(
+        pd.DataFrame({"nbr": nodes, "nbr_label": nodes}).astype("int64")
+    ).materialize()
     for _ in range(max_rounds):
-        ref = ray.put(label)
-
-        def attach(t: pa.Table, _ref=ref) -> pa.Table:
-            lab = ray.get(_ref)
-            nl = [lab[n] for n in t["nbr"].to_pylist()]
-            return pa.table({"node": t["node"], "nl": pa.array(nl, pa.int64())})
-
-        nbr_min = (
-            edges.map_batches(attach, batch_format="pyarrow")
+        new_labels = (
+            edges.join(labels, join_type="inner", num_partitions=n_parts, on=("nbr",))
             .groupby("node")
-            .aggregate(Min("nl", alias_name="new_label"))
-            .to_pandas()
+            .aggregate(Min("nbr_label", alias_name="label"))
+            .materialize()
         )
-        new_label = {int(n): int(l) for n, l in zip(nbr_min["node"], nbr_min["new_label"])}
-        if new_label == label:
+        # convergence: aggregate count of changed labels, never a dict diff
+        changed = (
+            new_labels.join(
+                labels, join_type="inner", num_partitions=n_parts, on=("node",), right_on=("nbr",)
+            )
+            .filter(expr="label != nbr_label")
+            .count()
+        )
+        labels = new_labels.rename_columns({"node": "nbr", "label": "nbr_label"}).materialize()
+        if changed == 0:
             break
-        label = new_label
-    out = pd.DataFrame(
-        {"doc_id": list(label.keys()), "cluster_id": [label[n] for n in label]}
-    ).astype("int64")
+    out = labels.rename_columns({"nbr": "doc_id", "nbr_label": "cluster_id"}).to_pandas()
+    out = out.astype("int64")
     return out.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
 
 
@@ -638,16 +676,11 @@ def embedding_dedup_ivf(
     construction (cross-bucket near-dups are missed — near-identical
     vectors land in the same bucket, so recall on true near-dups is
     high); the shuffle moves (vec_id, embedding, bucket), never an
-    N x N block."""
-    import pyarrow.parquet as pq
+    N x N block. Centroids come from a streaming limit read
+    (similarity.centroid_matrix), not a driver table scan."""
+    from .similarity import _normalize, centroid_matrix
 
-    from .similarity import _normalize
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = int_column(t["vec_id"])
-    mat = _normalize(embedding_matrix(t["embedding"]))
-    order = np.argsort(ids)
-    centroids = _normalize(mat[order[:n_centroids]].copy())
+    centroids = centroid_matrix(sf_dir, n_centroids)
     cref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:

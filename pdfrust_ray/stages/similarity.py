@@ -32,11 +32,37 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _query_matrix(sf_dir: str, query_ids: list[int]) -> np.ndarray:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    """Normalized [Q, D] matrix for the requested vec_ids via a
+    PUSHED-DOWN `vec_id IN (...)` read — only matching row groups are
+    decoded at the storage layer, never the whole table (at 10^9+
+    vectors this is a handful of row-group reads)."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(query_ids))],
+    )
     ids = int_column(t["vec_id"])
     mat = embedding_matrix(t["embedding"])
     pos = {int(v): i for i, v in enumerate(ids)}
+    missing = [q for q in query_ids if q not in pos]
+    if missing:
+        raise KeyError(f"query vec_ids not found: {missing}")
     return _normalize(mat[[pos[q] for q in query_ids]])
+
+
+def centroid_matrix(sf_dir: str, n_centroids: int) -> np.ndarray:
+    """Deterministic IVF centroids: the first n_centroids vectors by
+    vec_id, read with a STREAMING limit (Ray stops the read after the
+    first blocks) instead of a driver scan of the whole table. The
+    embeddings fixtures are written vec_id-ascending, so file order ==
+    id order; the defensive sort keeps the set stable either way."""
+    t = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .limit(n_centroids)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return _normalize(np.asarray(list(t["embedding"]), dtype=np.float64))
 
 
 def brute_force_topk(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pd.DataFrame:
@@ -100,11 +126,7 @@ def ivf_topk(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10, n_centroids: i
     in the parquet layout turns the probe into a partition-pruned read.
     """
     query_ids = list(query_ids)
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = int_column(t["vec_id"])
-    mat = _normalize(embedding_matrix(t["embedding"]))
-    order = np.argsort(ids)
-    centroids = _normalize(mat[order[:n_centroids]].copy())
+    centroids = centroid_matrix(sf_dir, n_centroids)
     cref = ray.put(centroids)
     q = _query_matrix(sf_dir, query_ids)
 

@@ -92,13 +92,15 @@ def test_ivf_recalls_brute_force(ray_session):
 
     exact = brute_force_topk(SF, k=10)
     approx = ivf_topk(SF, k=10, n_probe=8)
-    # with half the buckets probed, recall@10 should be high
+    # measured on the deterministic fixture: mean recall@10 = 0.96 with
+    # half the buckets probed (min per-query 0.9); pin close to that
     recall = []
     for qid in exact["query_id"].unique():
         e = set(exact[exact["query_id"] == qid]["vec_id"])
         a = set(approx[approx["query_id"] == qid]["vec_id"])
         recall.append(len(e & a) / len(e))
-    assert sum(recall) / len(recall) >= 0.5
+    assert min(recall) >= 0.8
+    assert sum(recall) / len(recall) >= 0.9
 
 
 def test_minhash_finds_planted_neardups(ray_session, tmp_path):
@@ -543,3 +545,65 @@ def test_flate_exact_rejects_truncated_stream():
     assert flate_decode_exact(full + b"\x00garbage") == b"spec-mode stream payload " * 64
     with pytest.raises(ParseError):
         flate_decode_exact(full[:-8])  # cut stream -> partial inflate
+
+
+@needs_testdata
+def test_minhash_pairs_equal_exact_jaccard(ray_session, duck):
+    # The LSH pipeline must reproduce the EXACT jaccard >= 0.8 pair set —
+    # banding (candidate recall), distributed verify, and exact-dup
+    # expansion all pinned at once; values are raw int/int divisions so
+    # they compare bit-for-bit (same SQL the driver runs as the
+    # minhash_dedup oracle).
+    from pdfrust_ray.stages.dedup import minhash_lsh_dedup, minhash_lsh_dedup_sql
+
+    mine = minhash_lsh_dedup(SF)
+    assert len(mine) > 0
+    _compare(mine, duck.execute(minhash_lsh_dedup_sql()).df())
+
+
+@needs_testdata
+def test_simhash_pairs_equal_exact_hamming(ray_session, tmp_path):
+    # SimHash banding is pigeonhole-COMPLETE for hamming <= 3 (any pair
+    # within 3 bits of 64 shares one of the 4 16-bit chunks), so the
+    # banded+verified pair set must EQUAL the exact all-pairs Hamming
+    # join over the engine's own signatures (simhash itself needs
+    # blake2b, which SQL lacks — the signature side table bridges that).
+    import duckdb
+
+    from pdfrust_ray.stages.dedup import simhash_dedup, simhash_signatures
+
+    sig = simhash_signatures(SF).to_pandas()
+    p = tmp_path / "sig.parquet"
+    pa_t = pa.Table.from_pandas(sig)
+    pq.write_table(pa_t, str(p))
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        WITH s AS (SELECT doc_id,
+                          CAST(('0x' || simhash) AS UBIGINT) AS h
+                   FROM read_parquet('{p}'))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 3
+        ORDER BY doc_a, doc_b
+    """).df()
+    mine = simhash_dedup(SF)
+    assert len(mine) > 0
+    _compare(mine, exact)
+
+
+@needs_testdata
+def test_charset_lsh_agrees_with_exact(ray_session):
+    # the mask-band bucketed scale path must (a) never report a sim above
+    # the exact best, and (b) agree with the exact variant on the
+    # homogeneous fixture corpus (measured: 100% agreement — ASCII docs
+    # share bands with their true best match)
+    from pdfrust_ray.pipelines.textops import charset_best_match, charset_best_match_lsh
+
+    exact = charset_best_match(SF).set_index("doc_id")
+    lsh = charset_best_match_lsh(SF).set_index("doc_id")
+    assert len(lsh) == len(exact)
+    j = lsh.join(exact, lsuffix="_lsh", rsuffix="_ex", how="inner")
+    assert (j["sim_lsh"] <= j["sim_ex"] + 1e-12).all()
+    agree = ((j["match_id_lsh"] == j["match_id_ex"]) & (j["sim_lsh"] == j["sim_ex"])).mean()
+    assert agree >= 0.95
