@@ -30,6 +30,7 @@ _T2_GOLDEN = f"{_FIXTURE_BASE}/t2/golden.parquet"
 _MODES_GOLDEN = f"{_FIXTURE_BASE}/modes/golden_modes.parquet"
 _INFO_GOLDEN = f"{_FIXTURE_BASE}/modes/golden_info.parquet"
 _SPEC15_GOLDEN = f"{_FIXTURE_BASE}/spec15/golden.parquet"
+_XOBJ_GOLDEN = f"{_FIXTURE_BASE}/xobj/golden.parquet"
 
 _EXTRACT_COLS = [
     "conv_id",
@@ -52,12 +53,14 @@ def _ensure_fixture_files() -> None:
             ensure_corpus,
             ensure_modes_fixture,
             ensure_spec15_fixture,
+            ensure_xobj_fixture,
         )
 
         ensure_corpus("t1")
         ensure_corpus("t2")
         ensure_modes_fixture()
         ensure_spec15_fixture()
+        ensure_xobj_fixture()
     except Exception:  # never break module import on fixture IO issues
         pass
 
@@ -164,17 +167,33 @@ def _q_extract_spec15(sf_dir: str):
     return out.select_columns(_EXTRACT_COLS)
 
 
+def _q_extract_xobj(sf_dir: str):
+    """Spec-mode Form XObject recursion (`Do`) over the xobj fixture
+    family — the reference parses-and-ignores Do (content.rs:615-620);
+    golden computed serially with spec_mode=True."""
+    from pdfrust_ray.fixtures.corpus import ensure_xobj_fixture
+    from pdfrust_ray.pipelines.extract_pipeline import build_extraction
+    from pdfrust_ray.sources.transcripts import read_transcripts
+
+    d = ensure_xobj_fixture()
+    ds = read_transcripts(d)
+    out = build_extraction(ds, mode="text", batch_size=16, concurrency=2, spec_mode=True)
+    return out.select_columns(_EXTRACT_COLS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # generate fixtures eagerly so oracle_sql's read_parquet targets exist
     from pdfrust_ray.fixtures.corpus import (
         ensure_corpus,
         ensure_modes_fixture,
         ensure_spec15_fixture,
+        ensure_xobj_fixture,
     )
 
     ensure_corpus("t2")
     ensure_modes_fixture()
     ensure_spec15_fixture()
+    ensure_xobj_fixture()
 
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
@@ -200,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_font": _q_extract_mode("font"),
         "extract_raw_content": _q_extract_mode("raw-content"),
         "extract_text_spec15": _q_extract_spec15,
+        "extract_text_xobj": _q_extract_xobj,
         # --- training-data ops: dedup ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "minhash_dedup": lambda sf: dedup.minhash_lsh_dedup(sf),
@@ -281,6 +301,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, payload_kind, extracted_text,
                    parse_status, n_pages, bytes_decoded, error
             FROM read_parquet('{_SPEC15_GOLDEN}')
+            ORDER BY conv_id, turn_idx
+        """,
+        "extract_text_xobj": f"""
+            SELECT conv_id, turn_idx, payload_kind, extracted_text,
+                   parse_status, n_pages, bytes_decoded, error
+            FROM read_parquet('{_XOBJ_GOLDEN}')
             ORDER BY conv_id, turn_idx
         """,
         "exact_dedup": """

@@ -93,14 +93,23 @@ def main() -> dict:
 
     queries: dict[str, float] = {}
 
-    def timed(name, fn):
-        t = time.perf_counter()
-        try:
-            fn()
-            queries[name] = round(time.perf_counter() - t, 3)
-        except Exception as exc:  # record failures without killing bench
-            queries[name] = -1.0
-            print(f"# bench query {name} failed: {exc}", file=sys.stderr)
+    def timed(name, fn, repeats: int = 2):
+        # best-of-N: single-shot secondary timings showed ±2x run-to-run
+        # variance from cold worker spawn / object-store contention
+        # (r1->r2 exact_dedup 1.12->1.99s drift was exactly this); the
+        # min is the steady-state cost of the query's plan
+        best = None
+        for _ in range(repeats):
+            t = time.perf_counter()
+            try:
+                fn()
+                dt = time.perf_counter() - t
+                best = dt if best is None else min(best, dt)
+            except Exception as exc:  # record failures without killing bench
+                queries[name] = -1.0
+                print(f"# bench query {name} failed: {exc}", file=sys.stderr)
+                return
+        queries[name] = round(best, 3)
 
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
@@ -113,6 +122,8 @@ def main() -> dict:
     timed("simhash_dedup", lambda: dedup.simhash_dedup(SF_DIR))
     timed("embedding_dedup", lambda: dedup.embedding_dedup(SF_DIR))
     timed("charset_best_match", lambda: textops.charset_best_match(SF_DIR))
+    timed("charset_best_match_lsh", lambda: textops.charset_best_match_lsh(SF_DIR))
+    timed("dedup_clusters", lambda: dedup.dedup_clusters(SF_DIR))
     timed("lineitem_agg", lambda: rel.lineitem_agg(SF_DIR))
     timed("events_hourly", lambda: rel.events_hourly(SF_DIR))
 

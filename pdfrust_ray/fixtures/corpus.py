@@ -31,7 +31,7 @@ from .pdfgen import PDF_CONSTRUCTS, pdf_stress
 
 SEED = 42
 # bump when any construct generator changes, so stale /tmp caches regenerate
-GENERATOR_VERSION = 7
+GENERATOR_VERSION = 8
 
 TRANSCRIPTS_SCHEMA = pa.schema(
     [
@@ -288,6 +288,71 @@ def ensure_corpus(scale: str, base_dir: str | None = None, golden: bool = True) 
     with open(marker, "w") as f:
         json.dump({"scale": scale, "rows": len(rows), "shards": n_shards, "seed": SEED,
                    "generator_version": GENERATOR_VERSION}, f)
+    return base
+
+
+def ensure_xobj_fixture(base_dir: str | None = None) -> str:
+    """Form-XObject fixture family: PDF payloads whose body text lives
+    inside Form XObjects invoked with `Do` (XOBJ_CONSTRUCTS: own vs
+    inherited resources, FlateDecode'd forms, nesting), mixed with
+    classic / HTML / plain turns. Golden computed serially with
+    extract_row(spec_mode=True) — parity mode ignores Do (pinned
+    against the reference binary in tests/test_content.py)."""
+    from .htmlgen import HTML_CONSTRUCTS
+    from .pdfgen import XOBJ_CONSTRUCTS
+
+    base = base_dir or "/tmp/pdfrust_ray_fixtures/xobj"
+    marker = os.path.join(base, "_COMPLETE.json")
+    if _marker_current(marker):
+        return base
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    xo_ids = sorted(XOBJ_CONSTRUCTS)
+    rows = []
+    for conv in range(8):
+        conv_id = f"xobj-{conv:04d}"
+        for t in range(8):
+            uid = f"{conv_id}/{t}"
+            if t < 5:
+                text = encode_pdf_payload(XOBJ_CONSTRUCTS[xo_ids[(conv + t) % len(xo_ids)]](uid))
+                tool = "pdf_render"
+            elif t == 5:
+                cid = _PDF_IDS[_h(f"xobjpdf:{uid}") % len(_PDF_IDS)]
+                text = encode_pdf_payload(PDF_CONSTRUCTS[cid](uid))
+                tool = "pdf_render"
+            elif t == 6:
+                cid = _HTML_IDS[_h(f"xobjhtml:{uid}") % len(_HTML_IDS)]
+                text = HTML_CONSTRUCTS[cid](uid)
+                tool = "browser"
+            else:
+                text = f"plain xobj note {uid}"
+                tool = ""
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": "tool" if tool else "user",
+                    "text": text,
+                    "tool": tool,
+                    "ts": 1735689600_000000 + (conv * 3600 + t * 60) * 1_000_000,
+                }
+            )
+    for shard in range(4):
+        part = [r for i, r in enumerate(rows) if i % 4 == shard]
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=TRANSCRIPTS_SCHEMA),
+            os.path.join(shard_dir, f"part-{shard:04d}.parquet"),
+        )
+    golden_rows = []
+    for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+        g = extract_row(r["text"], mode="text", spec_mode=True)
+        golden_rows.append({"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], **g})
+    pq.write_table(
+        pa.Table.from_pylist(golden_rows, schema=GOLDEN_SCHEMA),
+        os.path.join(base, "golden.parquet"),
+    )
+    with open(marker, "w") as f:
+        json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
     return base
 
 

@@ -494,6 +494,54 @@ def pdf_stress(uid: str, pages: int = 14) -> bytes:
     return b.build(root)
 
 
+def pdf_xobj(uid: str, nested: bool = False, compress: bool = False,
+             own_res: bool = True) -> bytes:
+    """Body text inside a Form XObject invoked with `Do`.
+
+    The reference parses `Do` and ignores it (content.rs:615-620), so
+    parity mode extracts only the text outside the form; spec mode
+    recurses and extracts the form's text inline. Variants: the form
+    carries its OWN /Resources (own_res, a /G1 font the page lacks) or
+    inherits the invoker's; `nested` adds a form-in-form level;
+    `compress` FlateDecodes the form stream.
+    """
+    b = PdfBuilder()
+    f1 = _simple_font(b)
+    g1 = _simple_font(b, base="Courier")
+    inner_txt = f"BT /{'G1' if own_res else 'F1'} 10 Tf 10 10 Td {_lit('inside ' + uid)} Tj ET".encode("latin-1")
+    res_part = f" /Resources << /Font << /G1 {g1} 0 R >> >>" if own_res else ""
+    if nested:
+        leaf = b.add_stream(f" /Subtype /Form{res_part}", inner_txt, compress=compress)
+        # the outer form invokes the leaf; its own /XObject dict carries it
+        outer_body = f"{_lit('outer ' + uid)} Tj /X2 Do".encode("latin-1")
+        outer_body = (
+            f"BT /F1 11 Tf 5 5 Td {_lit('outer ' + uid)} Tj ET /X2 Do".encode("latin-1")
+        )
+        outer_res = (
+            f" /Resources << /Font << /F1 {f1} 0 R >> "
+            f"/XObject << /X2 {leaf} 0 R >> >>"
+        )
+        form = b.add_stream(f" /Subtype /Form{outer_res}", outer_body, compress=compress)
+    else:
+        form = b.add_stream(f" /Subtype /Form{res_part}", inner_txt, compress=compress)
+    content = (
+        f"BT /F1 12 Tf 70 700 Td {_lit('before ' + uid)} Tj ET "
+        f"/X1 Do "
+        f"BT /F1 12 Tf 70 650 Td {_lit('after ' + uid)} Tj ET"
+    ).encode("latin-1")
+    c = b.add_stream("", content)
+    res = (
+        f"<< /Font << /F1 {f1} 0 R >> /XObject << /X1 {form} 0 R "
+        f"/Im1 {form} 0 R >> >>"
+    )
+    page = b.add(
+        f"<< /Type /Page /Parent 0 0 R /Resources {res} /Contents {c} 0 R >>".encode()
+    )
+    pages = b.add(f"<< /Type /Pages /Kids [ {page} 0 R ] /Count 1 >>".encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+    return b.build(root)
+
+
 def pdf_info(uid: str) -> bytes:
     """Trailer /Info metadata dictionary (info.rs:23-75)."""
     b = PdfBuilder()
@@ -686,4 +734,16 @@ SPEC15_CONSTRUCTS = {
     "xs-w121-split": lambda uid: _spec15_doc(uid, True, (1, 2, 1), True, True),
     "xs-uncompressed": lambda uid: _spec15_doc(uid, False, (0, 2, 1), False, False),
     "xs-indirect-len": lambda uid: _spec15_doc(uid, True, (1, 4, 2), False, True, indirect_length=True),
+}
+
+
+# Form-XObject construct matrix for the spec-mode `Do` recursion family
+# (the reference parses-and-ignores Do, content.rs:615-620; kept OUT of
+# PDF_CONSTRUCTS so the t1/t2/bench corpora stay byte-stable)
+XOBJ_CONSTRUCTS = {
+    "xo-plain": lambda uid: pdf_xobj(uid),
+    "xo-inherit": lambda uid: pdf_xobj(uid, own_res=False),
+    "xo-flate": lambda uid: pdf_xobj(uid, compress=True),
+    "xo-nested": lambda uid: pdf_xobj(uid, nested=True),
+    "xo-nested-flate": lambda uid: pdf_xobj(uid, nested=True, compress=True),
 }

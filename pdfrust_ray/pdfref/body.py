@@ -358,9 +358,15 @@ class FontMap:
 
 
 class Resources:
-    __slots__ = ("font",)
+    __slots__ = ("font", "xobject", "_ctx")
 
     def __init__(self, d: dict | None, ctx: DocCtx | None):
+        # the reference's Resources reads ONLY "Font" and ignores every
+        # other key (body.rs:351-366) — the raw /XObject value is kept
+        # here solely for the spec-mode Do recursion (resolved lazily,
+        # zero cost on the parity path)
+        self.xobject = d.get("XObject") if d is not None else None
+        self._ctx = ctx
         if d is None:
             self.font = None
             return
@@ -380,6 +386,35 @@ class Resources:
             self.font = FontMap(f, ctx)
         else:
             raise ParseError("Resources", f"Font should be an indirect object or a dictionary; found {f!r}")
+
+    def resolve_form_xobject(self, name: str):
+        """Spec-mode `Do` target: (decoded content bytes, Resources|None)
+        for a /Subtype /Form XObject, else None (image/unknown XObjects
+        stay ignored, like the reference ignores ALL of them,
+        content.rs:615-620). The decoded stream round-trips through
+        lossy UTF-8 exactly like page content (body.rs:522-527) so both
+        paths tokenize identically."""
+        xo, ctx = self.xobject, self._ctx
+        if xo is None or ctx is None:
+            return None
+        if isinstance(xo, Ref):
+            xo = ctx.resolve(xo)
+        if not isinstance(xo, dict):
+            return None
+        entry = xo.get(name)
+        if isinstance(entry, Ref):
+            entry = ctx.resolve(entry)
+        if not isinstance(entry, StreamObj):
+            return None
+        sub = entry.header.get("Subtype")
+        if not (isinstance(sub, Name) and sub == "Form"):
+            return None
+        data = Stream(entry.header, entry.data, ctx).get_data()
+        res_obj = entry.header.get("Resources")
+        if isinstance(res_obj, Ref):
+            res_obj = ctx.resolve(res_obj)
+        res = Resources(res_obj, ctx) if isinstance(res_obj, dict) else None
+        return data.decode("utf-8", errors="replace").encode("utf-8"), res
 
 
 class Page:
@@ -450,7 +485,11 @@ class Page:
 
         content_str = self._extract_stream()
         # lossy round-trip (body.rs:522-527)
-        tc = TextContent(content_str.encode("utf-8"), self.get_resources())
+        res = self.get_resources()
+        # spec mode additionally recurses into Form XObjects on `Do`
+        # (the reference parses-and-ignores Do, content.rs:615-620)
+        spec = res._ctx is not None and bool(getattr(res._ctx.xref, "spec_mode", False))
+        tc = TextContent(content_str.encode("utf-8"), res, enable_xobjects=spec)
         return tc.get_text(display_char)
 
     def _extract_stream(self) -> str:

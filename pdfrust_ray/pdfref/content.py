@@ -107,13 +107,21 @@ class GraphicsState:
 class TextContent:
     """Interpreter state + the get_text() reduction."""
 
-    def __init__(self, content_bytes: bytes, resources):
+    def __init__(self, content_bytes: bytes, resources, enable_xobjects: bool = False):
         self.resources = resources
         self.tok = Tokenizer(content_bytes, 0)
         self.gs = GraphicsState()
         self.gs_stack: list[GraphicsState] = []
         self.tm = Matrix()
         self.tlm = Matrix()
+        # spec-mode Form XObject recursion (`Do`): the reference parses
+        # and IGNORES Do (content.rs:615-620) — parity default keeps
+        # that; with enable_xobjects=True the form's content stream is
+        # expanded INLINE (tokenizer stack), sharing graphics/text state
+        # with the invoking stream, with the form's own /Resources (if
+        # any) active inside it.
+        self.xobj_enabled = enable_xobjects
+        self.tok_stack: list = []
 
     # --- state processors (content.rs:122-221) ---
     def _process_td(self, tx: Number, ty: Number):
@@ -142,6 +150,10 @@ class TextContent:
         while True:
             t = self.tok.next()
             if t is None:
+                if self.tok_stack:
+                    # end of a Form XObject stream: resume the invoker
+                    self.tok, self.resources = self.tok_stack.pop()
+                    continue
                 return None
             kind = t[0]
             if kind in (LIT, NAME, ARR_BEGIN, ARR_END, HEX, NUM):
@@ -276,8 +288,19 @@ class TextContent:
                         items.append(("pos", tk[1]))
                 return ("TJ", items)
             if op == b"Do":
-                self._need_name(buf, 0, "Do")
-                return ("Do",)
+                name = self._need_name(buf, 0, "Do")
+                if self.xobj_enabled:
+                    resolver = getattr(self.resources, "resolve_form_xobject", None)
+                    target = resolver(name) if resolver is not None else None
+                    if target is not None:
+                        if len(self.tok_stack) >= 16:
+                            raise ParseError("Content", "Form XObject nesting too deep")
+                        data, form_res = target
+                        self.tok_stack.append((self.tok, self.resources))
+                        self.tok = Tokenizer(data, 0)
+                        if form_res is not None:
+                            self.resources = form_res
+                return ("Do", name)
             if op in (b"BDC", b"BMC", b"EMC"):
                 return (op.decode(),)
             # unknown operator: logged and ignored, buf KEPT (content.rs:624-628)
@@ -334,226 +357,240 @@ class TextContent:
         out = []
         tm_prev_ty = self.tm.get_ty()
         while True:
-            ins = self.next_instruction()
-            if ins is None:
-                break
-            kind = ins[0]
-            if kind == "Tj":
-                font = self._font()
-                if self.tm.get_ty() != tm_prev_ty:
-                    out.append("\n")
-                tm_prev_ty = self.tm.get_ty()
-                text = ins[1]
-                if display_char:
-                    for c in text:
-                        out.append(self._char_line(chr(c), font))
-                else:
-                    out.append(text.decode("latin-1"))  # c as char, no CMap (content.rs:752-765)
-            elif kind == "TJ":
-                font = self._font()
-                if self.tm.get_ty() != tm_prev_ty:
-                    out.append("\n")
-                tm_prev_ty = self.tm.get_ty()
-                cmap = font.to_unicode
-                # --- hoisted invariants (glyph hot loop) ---
-                # within one TJ instruction only glyph advances and kerning
-                # run, and both touch only Tm.e/Tm.f — tfs/tc/tw/th and
-                # Tm.a/Tm.b are constant for the whole instruction. The
-                # f32-rounded op sequence is bit-identical to _advance().
-                ts = self.gs.text_state
-                if ts.tfs is None and ins[1]:
-                    self._tfs()  # raises like content.rs:823-826
-                tfs_f = ts.tfs.as_f32() if ts.tfs is not None else 0.0
-                tc_f = ts.tc.as_f32()
-                tw_f = ts.tw.as_f32()
-                th_f = ts.th.as_f32()
-                tm = self.tm
-                a, b = tm.a, tm.b
-                e, f = tm.e, tm.f
-                # with the state constant, the advance tx is a pure function
-                # of the code byte (and of the kern value) — memoize per
-                # instruction; skip the f update when b == 0 in text mode
-                # (f32(±0 + f) == f for every comparison the engine makes)
-                b_zero = b == 0.0 and not display_char
-                tx_of: dict = {}
-                kern_of: dict = {}
-                cm_get = cmap.cmap.get if cmap is not None else None
-                two = cmap.is_two_bytes if cmap is not None else False
-                wcache = font.width_f32
-                # per-instruction advance LUTs: code byte -> (e, f) delta,
-                # filled lazily; fancy indexing replaces a per-glyph dict walk
-                lut_e = _np.empty(256, dtype=_np.float32)
-                lut_f = _np.empty(256, dtype=_np.float32)
-                lut_done = _np.zeros(256, dtype=bool)
-                # deltas collected across ALL items (text runs AND kerning
-                # numbers) of this TJ, folded by ONE accumulate at the end
-                delta_es: list = []
-                delta_fs: list = []
+            try:
+                ins = self.next_instruction()
+                if ins is None:
+                    break
+                kind = ins[0]
+                if kind == "Tj":
+                    font = self._font()
+                    if self.tm.get_ty() != tm_prev_ty:
+                        out.append("\n")
+                    tm_prev_ty = self.tm.get_ty()
+                    text = ins[1]
+                    if display_char:
+                        for c in text:
+                            out.append(self._char_line(chr(c), font))
+                    else:
+                        out.append(text.decode("latin-1"))  # c as char, no CMap (content.rs:752-765)
+                elif kind == "TJ":
+                    font = self._font()
+                    if self.tm.get_ty() != tm_prev_ty:
+                        out.append("\n")
+                    tm_prev_ty = self.tm.get_ty()
+                    cmap = font.to_unicode
+                    # --- hoisted invariants (glyph hot loop) ---
+                    # within one TJ instruction only glyph advances and kerning
+                    # run, and both touch only Tm.e/Tm.f — tfs/tc/tw/th and
+                    # Tm.a/Tm.b are constant for the whole instruction. The
+                    # f32-rounded op sequence is bit-identical to _advance().
+                    ts = self.gs.text_state
+                    if ts.tfs is None and ins[1]:
+                        self._tfs()  # raises like content.rs:823-826
+                    tfs_f = ts.tfs.as_f32() if ts.tfs is not None else 0.0
+                    tc_f = ts.tc.as_f32()
+                    tw_f = ts.tw.as_f32()
+                    th_f = ts.th.as_f32()
+                    tm = self.tm
+                    a, b = tm.a, tm.b
+                    e, f = tm.e, tm.f
+                    # with the state constant, the advance tx is a pure function
+                    # of the code byte (and of the kern value) — memoize per
+                    # instruction; skip the f update when b == 0 in text mode
+                    # (f32(±0 + f) == f for every comparison the engine makes)
+                    b_zero = b == 0.0 and not display_char
+                    tx_of: dict = {}
+                    kern_of: dict = {}
+                    cm_get = cmap.cmap.get if cmap is not None else None
+                    two = cmap.is_two_bytes if cmap is not None else False
+                    wcache = font.width_f32
+                    # per-instruction advance LUTs: code byte -> (e, f) delta,
+                    # filled lazily; fancy indexing replaces a per-glyph dict walk
+                    lut_e = _np.empty(256, dtype=_np.float32)
+                    lut_f = _np.empty(256, dtype=_np.float32)
+                    lut_done = _np.zeros(256, dtype=bool)
+                    # deltas collected across ALL items (text runs AND kerning
+                    # numbers) of this TJ, folded by ONE accumulate at the end
+                    delta_es: list = []
+                    delta_fs: list = []
 
-                def fill_width(c):
-                    """Compute the per-code advance LUT entry; raises the
-                    reference's width-config error (Font: widths present
-                    but FirstChar missing) exactly where the scalar walk
-                    would."""
-                    tx = f32(wcache(c) * tfs_f)
-                    tx = f32(tx + tc_f)
-                    if c == _SPACE:
-                        tx = f32(tx + tw_f)
-                    tx = f32(tx * th_f)
-                    lut_e[c] = f32(tx * a)
-                    lut_f[c] = f32(tx * b)
-                    lut_done[c] = True
+                    def fill_width(c):
+                        """Compute the per-code advance LUT entry; raises the
+                        reference's width-config error (Font: widths present
+                        but FirstChar missing) exactly where the scalar walk
+                        would."""
+                        tx = f32(wcache(c) * tfs_f)
+                        tx = f32(tx + tc_f)
+                        if c == _SPACE:
+                            tx = f32(tx + tw_f)
+                        tx = f32(tx * th_f)
+                        lut_e[c] = f32(tx * a)
+                        lut_f[c] = f32(tx * b)
+                        lut_done[c] = True
 
-                def advance_deltas(codes):
-                    """(e_deltas, f_deltas) float32 arrays for a run of
-                    code bytes — same f32-rounded math as the scalar
-                    path, memoized in the per-instruction LUTs.
+                    def advance_deltas(codes):
+                        """(e_deltas, f_deltas) float32 arrays for a run of
+                        code bytes — same f32-rounded math as the scalar
+                        path, memoized in the per-instruction LUTs.
 
-                    The width error is code-independent (width_f32 raises
-                    for EVERY code when Widths is present and FirstChar
-                    missing), so filling from np.unique's sorted order
-                    here is emission-order-equivalent — the in-order
-                    interleave that matters (CMapMiss vs Font) happens in
-                    the caller's glyph loop via fill_width."""
-                    missing = _np.unique(codes[~lut_done[codes]])
-                    for c in missing.tolist():
-                        fill_width(c)
-                    return lut_e[codes], (None if b_zero else lut_f[codes])
+                        The width error is code-independent (width_f32 raises
+                        for EVERY code when Widths is present and FirstChar
+                        missing), so filling from np.unique's sorted order
+                        here is emission-order-equivalent — the in-order
+                        interleave that matters (CMapMiss vs Font) happens in
+                        the caller's glyph loop via fill_width."""
+                        missing = _np.unique(codes[~lut_done[codes]])
+                        for c in missing.tolist():
+                            fill_width(c)
+                        return lut_e[codes], (None if b_zero else lut_f[codes])
 
-                def chain(start, deltas):
-                    """Sequential f32 adds: s_i = f32(s_{i-1} + d_i) —
-                    np.add.accumulate on a float32 array rounds every
-                    partial sum to binary32, bit-identical to the
-                    scalar loop (inf/NaN propagate IEEE-identically)."""
-                    arr = _np.empty(len(deltas) + 1, dtype=_np.float32)
-                    arr[0] = start
-                    arr[1:] = deltas
-                    _np.add.accumulate(arr, out=arr)
-                    return float(arr[-1])
+                    def chain(start, deltas):
+                        """Sequential f32 adds: s_i = f32(s_{i-1} + d_i) —
+                        np.add.accumulate on a float32 array rounds every
+                        partial sum to binary32, bit-identical to the
+                        scalar loop (inf/NaN propagate IEEE-identically)."""
+                        arr = _np.empty(len(deltas) + 1, dtype=_np.float32)
+                        arr[0] = start
+                        arr[1:] = deltas
+                        _np.add.accumulate(arr, out=arr)
+                        return float(arr[-1])
 
-                for item_kind, val in ins[1]:
-                    if item_kind == "text":
-                        if cmap is not None:
-                            if not display_char:
-                                if two:
-                                    whole = val[: len(val) & ~1]
-                                    idxs = _np.frombuffer(whole, dtype=">u2").astype(_np.int64)
-                                    code_bytes = (idxs >> 8).astype(_np.int64)
-                                else:
-                                    code_bytes = _np.frombuffer(val, dtype=_np.uint8).astype(_np.int64)
-                                    idxs = code_bytes
-                                chars = []
-                                # in-order per-glyph checks: cmap lookup THEN
-                                # width-LUT fill, interleaved like the scalar
-                                # walk (content.rs:800-820) — so a width-config
-                                # error on an early glyph wins over a later
-                                # CMapMiss, and a CMapMiss on an earlier
-                                # complete pair wins over the odd-trailing-byte
-                                # error
-                                for pos, char_idx in enumerate(idxs.tolist()):
+                    for item_kind, val in ins[1]:
+                        if item_kind == "text":
+                            if cmap is not None:
+                                if not display_char:
+                                    if two:
+                                        whole = val[: len(val) & ~1]
+                                        idxs = _np.frombuffer(whole, dtype=">u2").astype(_np.int64)
+                                        code_bytes = (idxs >> 8).astype(_np.int64)
+                                    else:
+                                        code_bytes = _np.frombuffer(val, dtype=_np.uint8).astype(_np.int64)
+                                        idxs = code_bytes
+                                    chars = []
+                                    # in-order per-glyph checks: cmap lookup THEN
+                                    # width-LUT fill, interleaved like the scalar
+                                    # walk (content.rs:800-820) — so a width-config
+                                    # error on an early glyph wins over a later
+                                    # CMapMiss, and a CMapMiss on an earlier
+                                    # complete pair wins over the odd-trailing-byte
+                                    # error
+                                    for pos, char_idx in enumerate(idxs.tolist()):
+                                        ch = cm_get(char_idx)
+                                        if ch is None:
+                                            raise ParseError(
+                                                "CMapMiss",
+                                                f"CMap does not contain a char with idx {char_idx}",
+                                            )
+                                        cb = int(code_bytes[pos])
+                                        if not lut_done[cb]:
+                                            fill_width(cb)
+                                        chars.append(ch)
+                                    if two and len(val) % 2 == 1:
+                                        # the lone high byte fails next(it)
+                                        # (content.rs:792-799)
+                                        raise ParseError("Content", "odd bytes for two-byte CMap")
+                                    out.append("".join(chars))
+                                    de, df = advance_deltas(code_bytes)
+                                    delta_es.append(de)
+                                    if df is not None:
+                                        delta_fs.append(df)
+                                    continue
+                                it = iter(val)
+                                for c in it:
+                                    if two:
+                                        try:
+                                            lo = next(it)
+                                        except StopIteration:
+                                            raise ParseError("Content", "odd bytes for two-byte CMap")
+                                        char_idx = c * 256 + lo
+                                    else:
+                                        char_idx = c
                                     ch = cm_get(char_idx)
                                     if ch is None:
                                         raise ParseError(
                                             "CMapMiss",
                                             f"CMap does not contain a char with idx {char_idx}",
                                         )
-                                    cb = int(code_bytes[pos])
-                                    if not lut_done[cb]:
-                                        fill_width(cb)
-                                    chars.append(ch)
-                                if two and len(val) % 2 == 1:
-                                    # the lone high byte fails next(it)
-                                    # (content.rs:792-799)
-                                    raise ParseError("Content", "odd bytes for two-byte CMap")
-                                out.append("".join(chars))
-                                de, df = advance_deltas(code_bytes)
-                                delta_es.append(de)
-                                if df is not None:
-                                    delta_fs.append(df)
-                                continue
-                            it = iter(val)
-                            for c in it:
-                                if two:
-                                    try:
-                                        lo = next(it)
-                                    except StopIteration:
-                                        raise ParseError("Content", "odd bytes for two-byte CMap")
-                                    char_idx = c * 256 + lo
-                                else:
-                                    char_idx = c
-                                ch = cm_get(char_idx)
-                                if ch is None:
-                                    raise ParseError(
-                                        "CMapMiss",
-                                        f"CMap does not contain a char with idx {char_idx}",
-                                    )
-                                self.tm = Matrix(a, b, tm.c, tm.d, e, f)
-                                out.append(self._char_line(ch, font))
-                                cached = tx_of.get(c)
-                                if cached is None:
-                                    tx = f32(wcache(c) * tfs_f)
-                                    tx = f32(tx + tc_f)
-                                    if c == _SPACE:
-                                        tx = f32(tx + tw_f)
-                                    tx = f32(tx * th_f)
-                                    cached = (f32(tx * a), f32(tx * b))
-                                    tx_of[c] = cached
+                                    self.tm = Matrix(a, b, tm.c, tm.d, e, f)
+                                    out.append(self._char_line(ch, font))
+                                    cached = tx_of.get(c)
+                                    if cached is None:
+                                        tx = f32(wcache(c) * tfs_f)
+                                        tx = f32(tx + tc_f)
+                                        if c == _SPACE:
+                                            tx = f32(tx + tw_f)
+                                        tx = f32(tx * th_f)
+                                        cached = (f32(tx * a), f32(tx * b))
+                                        tx_of[c] = cached
+                                    e = f32(cached[0] + e)
+                                    if not b_zero:
+                                        f = f32(cached[1] + f)
+                            else:
+                                if not display_char:
+                                    out.append(val.decode("latin-1"))
+                                    codes = _np.frombuffer(val, dtype=_np.uint8).astype(_np.int64)
+                                    de, df = advance_deltas(codes)
+                                    delta_es.append(de)
+                                    if df is not None:
+                                        delta_fs.append(df)
+                                    continue
+                                for c in val:
+                                    self.tm = Matrix(a, b, tm.c, tm.d, e, f)
+                                    out.append(self._char_line(chr(c), font))
+                                    cached = tx_of.get(c)
+                                    if cached is None:
+                                        tx = f32(wcache(c) * tfs_f)
+                                        tx = f32(tx + tc_f)
+                                        if c == _SPACE:
+                                            tx = f32(tx + tw_f)
+                                        tx = f32(tx * th_f)
+                                        cached = (f32(tx * a), f32(tx * b))
+                                        tx_of[c] = cached
+                                    e = f32(cached[0] + e)
+                                    if not b_zero:
+                                        f = f32(cached[1] + f)
+                        else:  # kerning number (content.rs:916-943)
+                            if ts.tfs is None:
+                                self._tfs()  # raise exactly like the reference
+                            vf = val.as_f32()
+                            cached = kern_of.get(vf)
+                            if cached is None:
+                                tx = f32((-vf) / 1000.0)
+                                tx = f32(tx * tfs_f)
+                                tx = f32(tx * th_f)
+                                cached = (f32(tx * a), f32(tx * b))
+                                kern_of[vf] = cached
+                            if display_char:
                                 e = f32(cached[0] + e)
                                 if not b_zero:
                                     f = f32(cached[1] + f)
-                        else:
-                            if not display_char:
-                                out.append(val.decode("latin-1"))
-                                codes = _np.frombuffer(val, dtype=_np.uint8).astype(_np.int64)
-                                de, df = advance_deltas(codes)
-                                delta_es.append(de)
-                                if df is not None:
-                                    delta_fs.append(df)
-                                continue
-                            for c in val:
-                                self.tm = Matrix(a, b, tm.c, tm.d, e, f)
-                                out.append(self._char_line(chr(c), font))
-                                cached = tx_of.get(c)
-                                if cached is None:
-                                    tx = f32(wcache(c) * tfs_f)
-                                    tx = f32(tx + tc_f)
-                                    if c == _SPACE:
-                                        tx = f32(tx + tw_f)
-                                    tx = f32(tx * th_f)
-                                    cached = (f32(tx * a), f32(tx * b))
-                                    tx_of[c] = cached
-                                e = f32(cached[0] + e)
+                            else:
+                                delta_es.append(_np.asarray([cached[0]], dtype=_np.float32))
                                 if not b_zero:
-                                    f = f32(cached[1] + f)
-                    else:  # kerning number (content.rs:916-943)
-                        if ts.tfs is None:
-                            self._tfs()  # raise exactly like the reference
-                        vf = val.as_f32()
-                        cached = kern_of.get(vf)
-                        if cached is None:
-                            tx = f32((-vf) / 1000.0)
-                            tx = f32(tx * tfs_f)
-                            tx = f32(tx * th_f)
-                            cached = (f32(tx * a), f32(tx * b))
-                            kern_of[vf] = cached
-                        if display_char:
-                            e = f32(cached[0] + e)
-                            if not b_zero:
-                                f = f32(cached[1] + f)
-                        else:
-                            delta_es.append(_np.asarray([cached[0]], dtype=_np.float32))
-                            if not b_zero:
-                                delta_fs.append(_np.asarray([cached[1]], dtype=_np.float32))
-                # one f32-rounded fold over the whole instruction's deltas
-                # (text-run and kerning items alike, in emission order)
-                if delta_es:
-                    e = chain(e, _np.concatenate(delta_es))
-                if delta_fs:
-                    f = chain(f, _np.concatenate(delta_fs))
-                new = tm.copy()
-                new.e = e
-                new.f = f
-                self.tm = new
-            # all other instructions contribute no text (content.rs:947)
+                                    delta_fs.append(_np.asarray([cached[1]], dtype=_np.float32))
+                    # one f32-rounded fold over the whole instruction's deltas
+                    # (text-run and kerning items alike, in emission order)
+                    if delta_es:
+                        e = chain(e, _np.concatenate(delta_es))
+                    if delta_fs:
+                        f = chain(f, _np.concatenate(delta_fs))
+                    new = tm.copy()
+                    new.e = e
+                    new.f = f
+                    self.tm = new
+                # all other instructions contribute no text (content.rs:947)
+            except ParseError:
+                # spec-mode Form XObject error containment: a form whose
+                # content hits a parity panic-site (real-world forms are
+                # often pure graphics exercising stricter operand quirks)
+                # is ABANDONED — text collected so far is kept, all
+                # nested form frames unwind, and the PAGE stream resumes
+                # right after the invoking Do. Page-level errors still
+                # raise (error rows), exactly as before.
+                if self.tok_stack:
+                    self.tok, self.resources = self.tok_stack[0]
+                    self.tok_stack.clear()
+                    continue
+                raise
         s = "".join(out)
         return s.lstrip("\n ")

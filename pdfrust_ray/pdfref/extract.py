@@ -87,6 +87,16 @@ def _load(data: bytes, cmap_cache=None, spec_mode: bool = False) -> tuple[DocCtx
         xref = parse_xref(trimmed, sx)
     # object parsing uses the original bytes (lib.rs:70); offsets refer to
     # the trimmed buffer, so any leading whitespace triggers the repair scan
+    #
+    # Encrypted-document signalling: the reference only type-checks the
+    # trailer Encrypt entry (xref.rs:136-139) and then fails later with
+    # whatever generic error the encrypted streams produce. A distinct,
+    # early status row is the real-user behavior: strings/streams of an
+    # encrypted document are ciphertext, so continuing can only mislead.
+    if getattr(xref, "encrypt", None) is not None:
+        raise ParseError(
+            "Encrypted", "document uses encryption (trailer /Encrypt present); decryption unsupported"
+        )
     ctx = DocCtx(data, xref, cmap_cache)
     return ctx, xref
 

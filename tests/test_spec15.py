@@ -83,14 +83,28 @@ def test_spec_mode_agrees_with_parity_on_classic_corpus():
     """On classic-xref documents — where parity mode is byte-verified
     against the reference binary — spec mode must produce identical
     text (the ISO xref layer resolves the same offsets; content
-    interpretation is shared)."""
+    interpretation is shared), EXCEPT where Form XObjects genuinely
+    carry body text: tracemonkey's figure labels live in forms, which
+    spec-mode `Do` recursion now extracts (parity ignores Do like the
+    reference, content.rs:615-620). That doc is pinned by a frozen
+    spec-mode golden instead."""
+    import hashlib
+
     for p in sorted(glob.glob("/root/reference/data/*.pdf")):
         if p == PDFLATEX:
             continue
         data = open(p, "rb").read()
-        assert (
-            extract(data, "text", spec_mode=True).text == extract(data, "text").text
-        ), p
+        spec = extract(data, "text", spec_mode=True).text
+        parity = extract(data, "text").text
+        if p.endswith("tracemonkey.pdf"):
+            # forms insert figure text mid-document; shared prefix/suffix
+            # prove the page stream is untouched, the hash freezes the
+            # full spec-mode output
+            assert spec[:1000] == parity[:1000] and spec[-1000:] == parity[-1000:]
+            assert len(spec) == 69235
+            assert hashlib.md5(spec.encode()).hexdigest() == "3dc704be455d7fff3d46f30e761e6cc7"
+        else:
+            assert spec == parity, p
 
 
 def test_objstm_length_via_indirect_ref():
@@ -207,3 +221,81 @@ def test_incremental_update_prev_chain_of_xref_streams():
 
     assert extract(base, "text", spec_mode=True).text == "Original text"
     assert extract(updated, "text", spec_mode=True).text == "Updated text"
+
+
+class TestFormXObjects:
+    """Spec-mode `Do` recursion (the reference parses-and-ignores Do,
+    content.rs:615-620 — parity pinned in the corpus/differential
+    suites; these pin the spec-mode expansion)."""
+
+    def test_parity_ignores_do(self):
+        from pdfrust_ray.fixtures.pdfgen import pdf_xobj
+        from pdfrust_ray.pdfref import extract
+
+        assert extract(pdf_xobj("u"), "text").text == "before u\nafter u"
+
+    @pytest.mark.parametrize("nested", [False, True])
+    @pytest.mark.parametrize("compress", [False, True])
+    @pytest.mark.parametrize("own_res", [False, True])
+    def test_spec_expands_forms(self, nested, compress, own_res):
+        from pdfrust_ray.fixtures.pdfgen import pdf_xobj
+        from pdfrust_ray.pdfref import extract
+
+        data = pdf_xobj("u", nested=nested, compress=compress, own_res=own_res)
+        want = (
+            "before u\nouter u\ninside u\nafter u" if nested else "before u\ninside u\nafter u"
+        )
+        assert extract(data, "text", spec_mode=True).text == want
+        # parity unaffected by every variant
+        assert extract(data, "text").text == "before u\nafter u"
+
+    def test_unresolvable_do_stays_ignored_in_spec_mode(self):
+        # /Im1 Do with no /XObject resources (pdf_ops) must not change
+        # spec-mode output vs parity
+        from pdfrust_ray.fixtures.pdfgen import pdf_ops
+        from pdfrust_ray.pdfref import extract
+
+        data = pdf_ops("u")
+        assert extract(data, "text", spec_mode=True).text == extract(data, "text").text
+
+    def test_reference_binary_ignores_do(self, tmp_path):
+        import subprocess
+
+        from pdfrust_ray.fixtures.pdfgen import pdf_xobj
+
+        binary = "/tmp/refbuild/target/release/pdfrust"
+        if not os.path.exists(binary):
+            pytest.skip("reference binary not built")
+        p = tmp_path / "xo.pdf"
+        p.write_bytes(pdf_xobj("u"))
+        r = subprocess.run([binary, "--text", str(p)], capture_output=True, text=True)
+        assert r.returncode == 0
+        from pdfrust_ray.pdfref import extract
+
+        assert r.stdout.rstrip("\n") == extract(pdf_xobj("u"), "text").text
+
+    def test_xobj_pipeline_matches_golden(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdfrust_ray.fixtures.corpus import ensure_xobj_fixture
+        from pdfrust_ray.pipelines.extract_pipeline import build_extraction
+        from pdfrust_ray.sources.transcripts import read_transcripts
+
+        d = ensure_xobj_fixture(str(tmp_path / "xobj"))
+        ds = read_transcripts(d)
+        out = (
+            build_extraction(ds, mode="text", batch_size=16, concurrency=2, spec_mode=True)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        golden = con.execute(
+            f"SELECT * FROM read_parquet('{d}/golden.parquet') ORDER BY conv_id, turn_idx"
+        ).df()
+        assert len(out) == len(golden) == 64
+        got = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        for col in ("conv_id", "turn_idx", "extracted_text", "parse_status"):
+            assert got[col].tolist() == golden[col].tolist(), col
+        # the Do-recursion rows really extracted the form text
+        inside = got["extracted_text"].str.contains("inside", na=False)
+        assert inside.sum() >= 40  # 5 xobj turns per conv x 8 convs

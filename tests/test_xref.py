@@ -87,3 +87,28 @@ def test_prev_chain():
     table = parse_xref(data, len(prev_section))
     assert table.get((2, 0)) == 99
     assert table.get((1, 0)) == 42  # falls back down the Prev chain
+
+
+def test_encrypted_trailer_yields_distinct_status():
+    # The reference only type-checks trailer /Encrypt (xref.rs:136-139)
+    # and then fails later with whatever the encrypted streams produce;
+    # the engine signals a distinct, early error:Encrypted row.
+    from pdfrust_ray.fixtures.pdfgen import pdf_hello
+    from pdfrust_ray.functions.payload import encode_pdf_payload, extract_row
+    from pdfrust_ray.pdfref import ParseError, extract
+
+    data = pdf_hello("enc")
+    assert extract(data, "text").text == "Hello enc!"
+    enc = data.replace(b"/Root 5 0 R", b"/Root 5 0 R /Encrypt 1 0 R")
+    assert enc != data  # trailer actually patched
+    with pytest.raises(ParseError) as e:
+        extract(enc, "text")
+    assert e.value.kind == "Encrypted"
+    row = extract_row(encode_pdf_payload(enc))
+    assert row["parse_status"] == "error:Encrypted"
+    # parity kept: a non-Ref Encrypt value still hits the reference's
+    # type-check panic (xref.rs:136-139) before the new signal
+    bad = data.replace(b"/Root 5 0 R", b"/Root 5 0 R /Encrypt 7")
+    with pytest.raises(ParseError) as e2:
+        extract(bad, "text")
+    assert "Encrypt" in e2.value.message or e2.value.kind == "XRef"
