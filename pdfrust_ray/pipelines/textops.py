@@ -93,154 +93,317 @@ def language_profile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def _byte_masks(batch: pa.Table) -> pa.Table:
-    """Per-doc 256-bit byte-set bitmask (32 packed bytes) — the charset
-    signature DuckDB's jaccard() compares (it operates on UTF-8 BYTE
-    sets, verified empirically: 'héllo' vs 'hello' -> 0.5)."""
+
+def _mask_matrix(col) -> "np.ndarray":
+    """[n, 32] packed 256-bit byte-set bitmasks for a pyarrow string
+    column — the charset signature DuckDB's jaccard() compares (it
+    operates on UTF-8 BYTE sets, verified empirically: 'héllo' vs
+    'hello' -> 0.5). Computed without per-row Python: one fancy-index
+    scatter over the column's raw UTF-8 data buffer (Arrow string
+    storage IS the encoded bytes — zero copies, no .encode())."""
     import numpy as np
 
-    masks = []
-    for t in batch["text"].to_pylist():
-        bits = np.zeros(256, dtype=np.uint8)
-        bits[np.frombuffer(t.encode("utf-8"), dtype=np.uint8)] = 1
-        masks.append(np.packbits(bits).tobytes())
-    return pa.table({"doc_id": batch["doc_id"], "mask": pa.array(masks, pa.binary())})
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    outs = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        bufs = ch.buffers()
+        odt = np.int64 if pa.types.is_large_string(ch.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=odt)[ch.offset : ch.offset + n + 1].astype(
+            np.int64
+        )
+        data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        lens = np.diff(offs)
+        idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        bits = np.zeros((n, 256), dtype=np.uint8)
+        if len(data):
+            bits[idx, data] = 1
+        outs.append(np.packbits(bits, axis=1))
+    if not outs:
+        import numpy as np
+
+        return np.zeros((0, 32), dtype=np.uint8)
+    return outs[0] if len(outs) == 1 else np.vstack(outs)
+
+
+def _mask_stats_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse the batch's docs to one row per
+    unique mask (hex) with the local count and the two smallest doc
+    ids. This is the pre-aggregation that keeps the groupby(mask)
+    shuffle at O(unique masks per batch), not O(docs)."""
+    import numpy as np
+
+    masks = _mask_matrix(batch["text"])
+    df = pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "mask": [masks[i].tobytes().hex() for i in range(len(masks))],
+        }
+    ).sort_values("doc_id", kind="mergesort")
+    counts = df.groupby("mask", sort=False).size()
+    top2 = df.groupby("mask", sort=False).head(2).copy()
+    top2["rk"] = top2.groupby("mask", sort=False).cumcount()
+    piv = top2.pivot(index="mask", columns="rk", values="doc_id")
+    out = pd.DataFrame(
+        {
+            "mask": piv.index,
+            "count": counts.reindex(piv.index).to_numpy(dtype=np.int64),
+            "min1": piv[0].to_numpy(dtype=np.int64),
+            "min2": (
+                piv[1].fillna(-1).to_numpy(dtype=np.int64)
+                if 1 in piv.columns
+                else np.full(len(piv), -1, dtype=np.int64)
+            ),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _mask_stats_combine(g: pd.DataFrame) -> pd.DataFrame:
+    """Final per-mask combine across batches: total count + global two
+    smallest doc ids (the partials' min1/min2 already bound them)."""
+    import numpy as np
+
+    vals = np.concatenate([g["min1"].to_numpy(), g.loc[g["min2"] >= 0, "min2"].to_numpy()])
+    vals = np.sort(vals)
+    return pd.DataFrame(
+        {
+            "mask": [g["mask"].iloc[0]],
+            "count": np.asarray([g["count"].sum()], dtype=np.int64),
+            "min1": np.asarray([vals[0]], dtype=np.int64),
+            "min2": np.asarray([vals[1] if len(vals) > 1 else -1], dtype=np.int64),
+        }
+    )
+
+
+def _mask_group_stats(sf_dir: str) -> "rd.Dataset":
+    """Distributed unique-charset-mask statistics over documents: one
+    row per distinct 256-bit byte-set mask with (count, min1, min2).
+
+    Jaccard over byte sets is a pure function of the mask, so every
+    pairwise question collapses from O(docs^2) to O(u^2) where u is the
+    number of DISTINCT charsets in the corpus — bounded by corpus
+    language/script diversity, not corpus size (measured: 5,000 fixture
+    docs -> 505 masks; a 100-TB web corpus stays ~10^4-10^5). Shape:
+    map_batches partial combine -> groupby(mask) final combine; the
+    shuffle moves one 64-char hex row per (batch, unique mask)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(_mask_stats_partial, batch_format="pyarrow")
+        .groupby("mask")
+        .map_groups(_mask_stats_combine, batch_format="pandas")
+    )
+
+
+def _mask_match_exact(stats: pd.DataFrame):
+    """Driver-side exact best-match over the u unique masks: the u x u
+    Jaccard matrix via one unpackbits+sgemm block, per-mask best OTHER
+    mask and the row_number()-compatible tie-break (min doc id among
+    tied masks' group minima). Exact int/int double division so values
+    hash-match DuckDB's jaccard() bit-for-bit."""
+    import numpy as np
+
+    u = len(stats)
+    packed = np.frombuffer(
+        bytes.fromhex("".join(stats["mask"])), dtype=np.uint8
+    ).reshape(u, 32)
+    B = np.unpackbits(packed, axis=1).astype(np.float32)
+    pops = B.sum(axis=1).astype(np.int64)
+    min1 = stats["min1"].to_numpy(dtype=np.int64)
+    if u == 1:
+        return pops, np.full(1, -1.0), np.full(1, -1, dtype=np.int64)
+    inter = np.rint(B @ B.T).astype(np.int64)
+    union = pops[:, None] + pops[None, :] - inter
+    sims = np.divide(
+        inter, union, out=np.zeros(inter.shape, dtype=np.float64), where=union > 0
+    )
+    np.fill_diagonal(sims, -1.0)
+    best = sims.max(axis=1)
+    is_best = sims == best[:, None]
+    match = np.where(is_best, min1[None, :], np.iinfo(np.int64).max).min(axis=1)
+    return pops, best, match
+
+
+class _CharsetFinalize:
+    """Broadcast-lookup output pass shared by the exact and LSH charset
+    variants: per doc, recompute the 32-byte mask and read the per-mask
+    verdict from the (O(u)-sized) broadcast table.
+
+    Rules (exactly the doc-granularity semantics of a full pairwise
+    scan with sims[self] excluded and ties broken by min match id):
+      - pop == 0 (empty byte set): sim to EVERY doc is 0 (guarded
+        0/0), so the tie set is all other docs -> global min doc id.
+      - count >= 2: an identical-mask peer gives sim 1.0, which no
+        distinct mask can reach -> min peer id.
+      - else: the mask's best-other verdict (absent -> no bucket
+        candidate in the LSH variant: doc omitted, like any
+        collisionless doc in an LSH scheme).
+    """
+
+    def __init__(self, table_ref):
+        import ray
+
+        self.table, self.g1, self.g2 = ray.get(table_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out_d, out_m, out_s = [], [], []
+        masks = _mask_matrix(batch["text"])
+        for i, d in enumerate(batch["doc_id"].to_pylist()):
+            count, m1, m2, pop, bo, mo = self.table[masks[i].tobytes()]
+            if pop == 0:
+                if self.g2 < 0:
+                    continue  # single-doc corpus: no other doc exists
+                match = self.g1 if d != self.g1 else self.g2
+                sim = 0.0
+            elif count >= 2:
+                match = m1 if d != m1 else m2
+                sim = 1.0
+            elif bo is not None:
+                match, sim = mo, bo
+            else:
+                continue
+            out_d.append(d)
+            out_m.append(match)
+            out_s.append(sim)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(out_d, dtype=np.int64), pa.int64()),
+                "match_id": pa.array(np.asarray(out_m, dtype=np.int64), pa.int64()),
+                "sim": pa.array(np.asarray(out_s, dtype=np.float64), pa.float64()),
+            }
+        )
+
+
+def _finalize_pass(sf_dir: str, table: dict, stats: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    import ray
+
+    mins = np.concatenate(
+        [stats["min1"].to_numpy(), stats.loc[stats["min2"] >= 0, "min2"].to_numpy()]
+    )
+    mins = np.sort(mins.astype(np.int64))
+    g1 = int(mins[0]) if len(mins) else -1
+    g2 = int(mins[1]) if len(mins) > 1 else -1
+    ref = ray.put((table, g1, g2))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        _CharsetFinalize,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 4),
+    ).to_pandas()
+    if "doc_id" not in out.columns:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "match_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def charset_best_match(sf_dir: str) -> pd.DataFrame:
     """For every document, the most byte-set-similar OTHER document
     (Jaccard over UTF-8 byte sets; ties by match doc_id ascending).
 
-    Two phases: (1) distributed signature pass — each doc reduces to a
-    32-byte bitmask (the only thing collected: N x 32 bytes, not the
-    corpus); (2) broadcast the unpacked [N, 256] matrix with ray.put
-    and scan blockwise — each batch computes its [batch, N]
-    intersection block with one BLAS sgemm. The similarity is an
-    exact int/int double division, so values hash-match the DuckDB
-    jaccard() oracle bit-for-bit. Scale note: N x 256 bits broadcast
-    is fine to ~10^7 docs; beyond that, bucket by mask-LSH bands and
-    compare within-bucket (same trade as embedding_dedup's IVF path).
-    """
+    Three phases: (1) distributed unique-mask stats (_mask_group_stats
+    — the only shuffle, O(unique masks) rows); (2) driver-side u x u
+    exact match table (u = distinct charsets, corpus-size-independent);
+    (3) broadcast-lookup finalize pass over the docs. Nothing
+    O(corpus) ever reaches the driver and the broadcast is O(u), so
+    the old [N, 256] broadcast cap (~10^7 docs) is gone; the exact
+    int/int double division hash-matches the DuckDB jaccard() oracle
+    bit-for-bit."""
+    stats = _mask_group_stats(sf_dir).to_pandas().sort_values("min1").reset_index(drop=True)
+    pops, best, match = _mask_match_exact(stats)
+    table = {
+        bytes.fromhex(m): (
+            int(c),
+            int(m1),
+            int(m2),
+            int(pops[i]),
+            (float(best[i]) if best[i] >= 0 else None),
+            int(match[i]),
+        )
+        for i, (m, c, m1, m2) in enumerate(
+            zip(stats["mask"], stats["count"], stats["min1"], stats["min2"])
+        )
+    }
+    return _finalize_pass(sf_dir, table, stats)
+
+
+def charset_best_match_lsh(
+    sf_dir: str, n_bands: int = 8, bucket_cap: int = 20_000
+) -> pd.DataFrame:
+    """Bucketed scale path for charset_best_match, for corpora whose
+    DISTINCT-charset count u is itself too large for the exact
+    variant's driver-side u x u block (adversarial/binary corpora where
+    masks don't repeat): no u x u matrix is ever built — unique masks
+    are banded into 8 x 32-bit LSH buckets and compared only within
+    buckets, all in groupby/map_groups stages.
+
+    Shape: (1) the same _mask_group_stats pass; (2) each unique mask
+    expands to n_bands (band_id, band_value) rows; (3)
+    groupby(shard).map_groups — within each bucket, pairwise Jaccard
+    over that bucket's UNIQUE MASKS via one unpackbits+sgemm block
+    (never over docs: identical-charset docs collapsed upstream);
+    (4) groupby(mask) — best candidate across buckets; (5) the shared
+    broadcast-lookup finalize. Approximate by construction: a
+    singleton mask whose true best match shares NO exact 32-bit band
+    gets a weaker candidate (or none -> doc omitted); where the
+    candidate IS the true best, sim is the same exact division as the
+    exact variant. Hot buckets are capped at bucket_cap unique masks
+    (logged) — within-bucket work is O(cap^2), never O(u^2)."""
     import numpy as np
 
-    import ray
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sig = ds.map_batches(_byte_masks, batch_format="pyarrow").to_pandas()
-    sig = sig.sort_values("doc_id").reset_index(drop=True)
-    all_ids = sig["doc_id"].to_numpy(dtype=np.int64)
-    packed = np.frombuffer(b"".join(sig["mask"]), dtype=np.uint8).reshape(len(sig), 32)
-    # float32 so the [batch, N] product hits BLAS sgemm — numpy integer
-    # matmul is a slow non-BLAS path (measured ~10x on 5000 docs); 0/1
-    # sums of <= 256 are exact in float32
-    B = np.unpackbits(packed, axis=1).astype(np.float32)  # [N, 256]
-    pops = B.sum(axis=1).astype(np.int64)
-    pos_of = {int(d): i for i, d in enumerate(all_ids)}
-    ref = ray.put((all_ids, B, pops, pos_of))
-
-    class BestMatch:
-        def __init__(self):
-            self.ids, self.B, self.pops, self.pos = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch["text"].to_pylist()
-            dids = batch["doc_id"].to_pylist()
-            X = np.zeros((len(texts), 256), dtype=np.float32)
-            for i, t in enumerate(texts):
-                X[i, np.frombuffer(t.encode("utf-8"), dtype=np.uint8)] = 1.0
-            inter = np.rint(X @ self.B.T).astype(np.int64)  # exact counts
-            xpops = X.sum(axis=1).astype(np.int64)
-            union = xpops[:, None] + self.pops[None, :] - inter
-            # exact int/int double division; two empty-text docs give
-            # union == 0 — define sim = 0 there instead of a NaN that
-            # would poison max/argmax tie-breaking
-            sims = np.divide(
-                inter, union, out=np.zeros(inter.shape, dtype=np.float64), where=union > 0
-            )
-            rows = np.arange(len(dids))
-            self_pos = np.fromiter((self.pos[int(d)] for d in dids), dtype=np.int64)
-            sims[rows, self_pos] = -1.0  # exclude self
-            best = sims.max(axis=1)
-            # tie-break: smallest match_id among the argmax columns
-            is_best = sims == best[:, None]
-            match = np.where(is_best, self.ids[None, :], np.iinfo(np.int64).max).min(axis=1)
-            return pa.table(
-                {
-                    "doc_id": pa.array(np.asarray(dids, dtype=np.int64), pa.int64()),
-                    "match_id": pa.array(match, pa.int64()),
-                    "sim": pa.array(best, pa.float64()),
-                }
-            )
-
-    out = ds.map_batches(BestMatch, batch_format="pyarrow", batch_size=512, concurrency=(1, 2)).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
-
-
-def charset_best_match_lsh(sf_dir: str, n_bands: int = 8, bucket_cap: int = 20_000) -> pd.DataFrame:
-    """Bucketed scale path for charset_best_match — the mask-band LSH
-    fallback the exact variant's docstring names: no [N, 256] broadcast,
-    so it works past the exact variant's ~10^7-doc cap.
-
-    Shape: (1) signature pass — each doc reduces to its 32-byte byte-set
-    mask; (2) band rows — the mask is split into `n_bands` 32-bit bands
-    and each (band_id, band_value) key becomes a bucket (docs sharing
-    any exact band collide); (3) groupby(shard).map_groups — within each
-    bucket, pairwise intersections via one unpackbits+sgemm block, emit
-    each member's best bucket-local candidate; (4) groupby(doc_id) —
-    reduce to the best candidate across buckets (max sim, ties by min
-    match_id). Approximate by construction: a doc whose true best match
-    shares NO exact 32-bit band is mis-matched; where the candidate IS
-    the true best the sim value is the same exact int/int division as
-    the exact variant. Hot buckets (homogeneous corpora share e.g. the
-    ascii-lowercase band) are capped at `bucket_cap` members with a
-    logged drop — the within-bucket work is O(cap * members), never
-    O(N^2).
-    """
-    import numpy as np
-
-    import ray.data as _rd
-
-    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # u rows (distinct charsets) — materializing this is O(u), not
+    # O(corpus); it feeds both the banding pass and the final table
+    stats_ds = _mask_group_stats(sf_dir).materialize()
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, bids, bvals, masks, shards = [], [], [], [], []
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            bits = np.zeros(256, dtype=np.uint8)
-            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            if len(data):
-                bits[data] = 1
-            packed = np.packbits(bits)
-            words = packed.view(">u4")  # 8 x 32-bit bands
+        bids, bvals, masks, min1s, shards = [], [], [], [], []
+        for m, m1 in zip(batch["mask"].to_pylist(), batch["min1"].to_pylist()):
+            words = np.frombuffer(bytes.fromhex(m), dtype=">u4")
             for b in range(min(n_bands, 8)):
                 v = int(words[b])
-                doc_ids.append(did)
                 bids.append(b)
                 bvals.append(v)
-                masks.append(packed.tobytes())
+                masks.append(m)
+                min1s.append(m1)
                 shards.append((v ^ (b * 0x9E3779B9)) % 64)
         return pa.table(
             {
                 "shard": pa.array(shards, pa.int32()),
                 "band_id": pa.array(bids, pa.int32()),
                 "band_value": pa.array(bvals, pa.int64()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "mask": pa.array(masks, pa.binary()),
+                "mask": pa.array(masks, pa.string()),
+                "min1": pa.array(min1s, pa.int64()),
             }
         )
 
     def best_in_shard(g: pd.DataFrame) -> pd.DataFrame:
-        out_d, out_m, out_s = [], [], []
+        out_mask, out_sim, out_match = [], [], []
         for _, grp in g.groupby(["band_id", "band_value"], sort=False):
-            grp = grp.drop_duplicates("doc_id")
             if len(grp) < 2:
                 continue
             if len(grp) > bucket_cap:
                 print(
-                    f"charset_lsh: hot bucket with {len(grp)} members capped at {bucket_cap}"
+                    f"charset_lsh: hot bucket with {len(grp)} unique masks "
+                    f"capped at {bucket_cap}"
                 )
-                grp = grp.nsmallest(bucket_cap, "doc_id")
-            ids = grp["doc_id"].to_numpy(dtype=np.int64)
-            packed = np.frombuffer(b"".join(grp["mask"]), dtype=np.uint8).reshape(len(grp), 32)
+                grp = grp.nsmallest(bucket_cap, "min1")
+            hexes = grp["mask"].tolist()
+            min1 = grp["min1"].to_numpy(dtype=np.int64)
+            packed = np.frombuffer(bytes.fromhex("".join(hexes)), dtype=np.uint8).reshape(
+                len(grp), 32
+            )
             B = np.unpackbits(packed, axis=1).astype(np.float32)
             pops = B.sum(axis=1).astype(np.int64)
             inter = np.rint(B @ B.T).astype(np.int64)
@@ -251,52 +414,74 @@ def charset_best_match_lsh(sf_dir: str, n_bands: int = 8, bucket_cap: int = 20_0
             np.fill_diagonal(sims, -1.0)
             best = sims.max(axis=1)
             is_best = sims == best[:, None]
-            match = np.where(is_best, ids[None, :], np.iinfo(np.int64).max).min(axis=1)
-            out_d.extend(ids.tolist())
-            out_m.extend(match.tolist())
-            out_s.extend(best.tolist())
+            match = np.where(is_best, min1[None, :], np.iinfo(np.int64).max).min(axis=1)
+            out_mask.extend(hexes)
+            out_sim.extend(best.tolist())
+            out_match.extend(match.tolist())
         return pd.DataFrame(
             {
-                "doc_id": pd.Series(out_d, dtype="int64"),
-                "match_id": pd.Series(out_m, dtype="int64"),
-                "sim": pd.Series(out_s, dtype="float64"),
+                "mask": pd.Series(out_mask, dtype="string"),
+                "cand_sim": pd.Series(out_sim, dtype="float64"),
+                "cand_match": pd.Series(out_match, dtype="int64"),
             }
         )
 
-    def add_doc_shard(t: pa.Table) -> pa.Table:
-        shard = (np.asarray(t["doc_id"]) % 64).astype(np.int32)
-        return t.append_column("doc_shard", pa.array(shard, pa.int32()))
+    def add_mask_shard(t: pa.Table) -> pa.Table:
+        shard = np.asarray(
+            [int(m[:8], 16) % 64 for m in t["mask"].to_pylist()], dtype=np.int32
+        )
+        return t.append_column("mask_shard", pa.array(shard, pa.int32()))
 
-    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
-        # per-doc best across buckets; Ray's map_groups dispatches a UDF
-        # call per group, so the real per-doc reduce runs as a vectorized
-        # pandas groupby inside 64 coarse shards (same trick as dedup)
+    def reduce_mask(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for did, grp in g.groupby("doc_id", sort=False):
-            best = grp["sim"].max()
-            rows.append((int(did), int(grp.loc[grp["sim"] == best, "match_id"].min()), float(best)))
-        return pd.DataFrame(rows, columns=["doc_id", "match_id", "sim"]).astype(
-            {"doc_id": "int64", "match_id": "int64", "sim": "float64"}
+        for m, grp in g.groupby("mask", sort=False):
+            best = grp["cand_sim"].max()
+            rows.append(
+                (m, float(best), int(grp.loc[grp["cand_sim"] == best, "cand_match"].min()))
+            )
+        return pd.DataFrame(rows, columns=["mask", "cand_sim", "cand_match"]).astype(
+            {"cand_sim": "float64", "cand_match": "int64"}
         )
 
-    out = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
+    cand = (
+        stats_ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(best_in_shard, batch_format="pandas")
-        .map_batches(add_doc_shard, batch_format="pyarrow")
-        .groupby("doc_shard")
-        .map_groups(reduce_shard, batch_format="pandas")
+        .map_batches(add_mask_shard, batch_format="pyarrow")
+        .groupby("mask_shard")
+        .map_groups(reduce_mask, batch_format="pandas")
         .to_pandas()
     )
-    if "doc_id" not in out.columns:
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series([], dtype="int64"),
-                "match_id": pd.Series([], dtype="int64"),
-                "sim": pd.Series([], dtype="float64"),
-            }
+    stats = stats_ds.to_pandas().sort_values("min1").reset_index(drop=True)
+    import numpy as _np2
+
+    packed = (
+        _np2.frombuffer(bytes.fromhex("".join(stats["mask"])), dtype=_np2.uint8).reshape(
+            len(stats), 32
         )
-    return out.sort_values("doc_id").reset_index(drop=True)
+        if len(stats)
+        else _np2.zeros((0, 32), dtype=_np2.uint8)
+    )
+    pops = _np2.unpackbits(packed, axis=1).sum(axis=1).astype(_np2.int64)
+    by_mask = (
+        {m: (float(s), int(c)) for m, s, c in cand.itertuples(index=False)}
+        if "mask" in cand.columns
+        else {}
+    )
+    table = {}
+    for i, (m, cnt, m1, m2) in enumerate(
+        zip(stats["mask"], stats["count"], stats["min1"], stats["min2"])
+    ):
+        c = by_mask.get(m)
+        table[bytes.fromhex(m)] = (
+            int(cnt),
+            int(m1),
+            int(m2),
+            int(pops[i]),
+            (c[0] if c is not None else None),
+            (c[1] if c is not None else -1),
+        )
+    return _finalize_pass(sf_dir, table, stats)
 
 
 def charset_best_match_sql() -> str:
