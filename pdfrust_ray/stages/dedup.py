@@ -608,25 +608,73 @@ def embedding_dedup_sql(threshold: float = 0.45) -> str:
     """
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.8, max_rounds: int = 10) -> pd.DataFrame:
+def dedup_clusters(
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_rounds: int = 10,
+    driver_pairs_cap: int = 2_000_000,
+) -> pd.DataFrame:
     """Near-duplicate clusters: connected components over the verified
-    MinHash-LSH pair graph via min-label propagation.
-
-    FULLY distributed convergence state: labels live as a Ray Dataset
-    between rounds (never a node->label dict on the driver). Each round
-    is two shuffles — a hash join attaching every neighbor's current
-    label to the edge list, then edges.groupby(node).min — and
-    convergence is detected by an aggregate (count of nodes whose label
-    changed), so driver memory is O(1) in the graph size. Rounds are
-    bounded by the component diameter (near-dup clusters are tiny).
+    MinHash-LSH pair graph, cluster_id = min doc id of the component.
     Returns (doc_id, cluster_id) for every document with at least one
-    near-duplicate, cluster_id = min doc_id of its component.
+    near-duplicate.
+
+    Size-aware: the pair list is already a driver DataFrame (it is the
+    minhash query's output), so when it fits comfortably
+    (<= driver_pairs_cap edges) a local union-find labels it in one
+    pass — paying 3+ Ray shuffle rounds to label a few thousand edges
+    is pure overhead. Past the cap, _clusters_distributed runs
+    min-label propagation with FULLY distributed convergence state
+    (labels live as a Ray Dataset between rounds; convergence detected
+    by an aggregate of changed-label counts, so driver memory stays
+    O(1) in the graph size). Both paths produce identical labels —
+    pinned against each other in tests.
     """
     pairs = minhash_lsh_dedup(sf_dir, threshold=threshold)
     if not len(pairs):
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"), "cluster_id": pd.Series([], dtype="int64")}
         )
+    if len(pairs) <= driver_pairs_cap:
+        return _clusters_union_find(pairs)
+    return _clusters_distributed(pairs, max_rounds)
+
+
+def _clusters_union_find(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Driver-local connected components (path-halving union-find) for
+    pair graphs that already sit on the driver."""
+    nodes = np.unique(
+        np.concatenate(
+            [pairs["doc_a"].to_numpy(dtype=np.int64), pairs["doc_b"].to_numpy(dtype=np.int64)]
+        )
+    )
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(idx[int(a)]), find(idx[int(b)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.fromiter((find(i) for i in range(len(nodes))), dtype=np.int64, count=len(nodes))
+    # nodes is sorted ascending, so the min doc id of a component is the
+    # node at the component's smallest index == nodes[root] (unions always
+    # point to the smaller index)
+    out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[roots]})
+    return out.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+
+
+def _clusters_distributed(pairs: pd.DataFrame, max_rounds: int = 10) -> pd.DataFrame:
+    """Distributed min-label propagation over the pair graph: each
+    round is a hash join attaching every neighbor's current label to
+    the edge list, then edges.groupby(node).min; convergence is an
+    aggregate count of changed labels. Rounds are bounded by the
+    component diameter (near-dup clusters are tiny)."""
     nodes = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
     # undirected edge list with self-loops so every node keeps its label
     edges_pd = pd.concat(

@@ -280,6 +280,11 @@ def test_dedup_clusters_planted(ray_session, tmp_path):
     assert by_doc[40] == by_doc[41] == by_doc[42] == 40
     assert by_doc[50] == by_doc[51] == 50
 
+    # the large-graph distributed label-propagation path must produce
+    # identical labels to the driver union-find fast path
+    dist = dedup_clusters(str(d), threshold=0.7, driver_pairs_cap=0)
+    assert dist.equals(out)
+
 
 @needs_testdata
 def test_asof_join_matches_sql(ray_session, duck):
