@@ -261,7 +261,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
-    from pdfrust_ray.stages.dedup import embedding_dedup_sql, minhash_lsh_dedup_sql
+    from pdfrust_ray.stages.dedup import (
+        dedup_clusters_sql,
+        embedding_dedup_sql,
+        minhash_lsh_dedup_sql,
+        simhash_dedup_sql,
+    )
 
     return {
         "extract_text": f"""
@@ -336,6 +341,11 @@ def oracle_sql() -> dict[str, str]:
         # exact shingle-Jaccard pair set — verifies the whole LSH path
         # (banding, distributed verify, exact-dup expansion) value-exactly
         "minhash_dedup": minhash_lsh_dedup_sql(),
+        # exact hamming-<=3 pair set (simhash64 is md5-based so the
+        # signature itself is SQL-reproducible)
+        "simhash_dedup": simhash_dedup_sql(),
+        # recursive-CTE min-label closure over the exact pair set
+        "dedup_clusters": dedup_clusters_sql(),
         "charset_best_match": textops.charset_best_match_sql(),
         "token_counts": textops.token_counts_sql(),
         "bpe_token_counts": textops.bpe_token_counts_sql(),

@@ -67,7 +67,15 @@ def jaccard(a: set[bytes], b: set[bytes]) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (weight = term frequency)."""
+    """64-bit SimHash over word features (weight = term frequency).
+
+    The word hash is the first 8 bytes of md5, little-endian — chosen
+    (over blake2b) so the signature is reproducible in ANSI SQL
+    (DuckDB md5() + substr + hex cast), which makes the engine's
+    hamming-<=k pair set exactly oracle-checkable
+    (stages/dedup.py::simhash_dedup_sql). Bit i of the output is the
+    sign of the tf-weighted vote over feature bit i of each word's
+    hash (h >> i) & 1."""
     words = text.lower().split()
     if not words:
         return 0
@@ -75,8 +83,8 @@ def simhash64(text: str) -> int:
     from collections import Counter
 
     for w, cnt in Counter(words).items():
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits > 0, cnt, -cnt)
     out = 0
     for i, v in enumerate(acc):

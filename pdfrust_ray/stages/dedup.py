@@ -422,6 +422,31 @@ def minhash_lsh_dedup_sql(threshold: float = 0.8, k: int = 5) -> str:
     """
 
 
+def dedup_clusters_sql(threshold: float = 0.8, k: int = 5) -> str:
+    """Connected components over the exact shingle-Jaccard pair set —
+    the oracle for dedup_clusters: min-label transitive closure as a
+    recursive CTE (reach(node, r) holds every label reachable from
+    node; MIN(r) per node is the component's min doc id). Safe at
+    oracle scale: fixture components are tiny, so the closure stays
+    small."""
+    pairs = minhash_lsh_dedup_sql(threshold=threshold, k=k)
+    return f"""
+        WITH RECURSIVE pr AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM ({pairs})
+        ), e AS (
+          SELECT doc_a AS node, doc_b AS nbr FROM pr
+          UNION ALL
+          SELECT doc_b AS node, doc_a AS nbr FROM pr
+        ), reach(node, r) AS (
+          SELECT node, node AS r FROM (SELECT DISTINCT node FROM e)
+          UNION
+          SELECT e.node, reach.r FROM e JOIN reach ON reach.node = e.nbr
+        )
+        SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node ORDER BY cluster_id, doc_id
+    """
+
+
 class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         hashes = [simhash64(t) for t in batch["text"].to_pylist()]
@@ -539,6 +564,60 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     out = _expand_rep_pairs(rep_pairs, members, "hamming", 0)
     out["hamming"] = out["hamming"].astype("int64")
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def simhash_dedup_sql(max_hamming: int = 3) -> str:
+    """EXACT SimHash hamming-<=k pair set in SQL — the oracle that
+    closes simhash_dedup's verification gap (the banding is
+    pigeonhole-complete for hamming <= 3 and the verify is exact, so
+    the engine's output IS the exact pair set).
+
+    Reproduces functions/minhash.py::simhash64 term-for-term: words =
+    regex-split of lower(text) on whitespace (empties dropped, like
+    Python str.split), word hash = first 8 bytes of md5 little-endian
+    (the byte-reversed hex-prefix cast), per-bit tf-weighted vote with
+    sign > 0. The 64-bit signature is carried as two 32-bit halves
+    because DuckDB's << overflows at bit 63; hamming is the sum of the
+    two halves' bit_count(xor)."""
+    return rf"""
+        WITH words AS (
+          SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\s+')) AS w
+                FROM documents)
+          WHERE w <> ''
+          GROUP BY doc_id, w
+        ), wh AS (
+          SELECT doc_id, cnt,
+                 CAST(concat('0x',
+                   substr(md5(w),15,2), substr(md5(w),13,2),
+                   substr(md5(w),11,2), substr(md5(w),9,2),
+                   substr(md5(w),7,2),  substr(md5(w),5,2),
+                   substr(md5(w),3,2),  substr(md5(w),1,2)
+                 ) AS UBIGINT) AS h
+          FROM words
+        ), bits AS (
+          SELECT doc_id, r.b AS b,
+                 SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+          FROM wh CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
+          GROUP BY doc_id, r.b
+        ), sig AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN acc > 0 AND b < 32
+                               THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS lo,
+                 CAST(SUM(CASE WHEN acc > 0 AND b >= 32
+                               THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi
+          FROM bits GROUP BY doc_id
+        ), sig0 AS (
+          SELECT d.doc_id, COALESCE(s.lo, 0) AS lo, COALESCE(s.hi, 0) AS hi
+          FROM documents d LEFT JOIN sig s USING (doc_id)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        FROM sig0 a JOIN sig0 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+    """
 
 
 def embedding_dedup(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:

@@ -413,6 +413,26 @@ def test_embedding_matrix_fixed_and_var_lists():
 
 
 @needs_testdata
+def test_simhash_dedup_matches_sql(ray_session, duck):
+    from pdfrust_ray.stages.dedup import simhash_dedup, simhash_dedup_sql
+
+    mine = simhash_dedup(SF)
+    oracle = duck.execute(simhash_dedup_sql()).df()
+    # banding is pigeonhole-complete for hamming <= 3 and the verify is
+    # exact, so the engine output IS the exact pair set
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_dedup_clusters_matches_sql(ray_session, duck):
+    from pdfrust_ray.stages.dedup import dedup_clusters, dedup_clusters_sql
+
+    mine = dedup_clusters(SF)
+    oracle = duck.execute(dedup_clusters_sql()).df()
+    _compare(mine, oracle)
+
+
+@needs_testdata
 def test_charset_best_match_matches_sql(ray_session, duck):
     from pdfrust_ray.pipelines.textops import charset_best_match, charset_best_match_sql
 
