@@ -10,16 +10,19 @@ stubbing everything, the engine ships REAL pure-numpy/stdlib codecs for
 self-describing formats —
 
   - image: binary PPM (P6), decoded to an [H, W, 3] uint8 array;
-    nearest-neighbor resize as a numpy index op.
+    nearest-neighbor resize as a numpy index op — AND real PNG
+    (stdlib zlib + per-spec numpy unfiltering, all five filters,
+    gray/RGB/RGBA/palette, 1-16 bit; functions/png.py), payloads
+    sniffed by magic.
   - audio: RIFF WAV PCM16 via the stdlib `wave` module.
   - video: concatenated PPM frames (an MJPEG-style frame stream),
     frame-sampled every k-th frame.
 
 `PixelDecoder` extracts real features from those (dimensions, per
 channel mean/std, luma histogram, RMS / zero-crossing rate for audio).
-Externally-compressed formats (JPEG/PNG/MP3/H.264) still need a real
-codec; `RealImageDecoder` stays the documented integration point and
-`FakeImageDecoder` remains for pure-plumbing tests.
+Externally-compressed DCT/DSP formats (JPEG/MP3/H.264) still need a
+real codec; `RealImageDecoder` stays the documented integration point
+and `FakeImageDecoder` remains for pure-plumbing tests.
 """
 
 from __future__ import annotations
@@ -32,6 +35,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
+
+from ..functions.png import decode_png, encode_png, to_rgb
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -141,7 +146,13 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         kind = kinds[i % 3]
         if kind == "image":
             h, w = int(rng.randint(16, 96)), int(rng.randint(16, 96))
-            payload = encode_ppm(rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8))
+            pix = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            # every other image is PNG (cycling through all five filter
+            # types) so the corpus exercises the real compressed codec
+            if (i // 3) % 2 == 0:
+                payload = encode_png(pix, filter_type=(i // 6) % 5)
+            else:
+                payload = encode_ppm(pix)
             width, height, dur = w, h, 0
         elif kind == "audio":
             rate = 16000
@@ -173,15 +184,16 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
 
 
 class RealImageDecoder:
-    """Integration point for externally-compressed formats (JPEG / PNG /
-    MP3 / H.264): those codecs are not in this container — wire PIL /
-    torchvision / ffmpeg here when deploying. Self-describing formats
-    (PPM / WAV / PPM-stream) decode for real via PixelDecoder."""
+    """Integration point for externally-compressed DCT/DSP formats
+    (JPEG / MP3 / H.264): those codecs are not in this container — wire
+    PIL / torchvision / ffmpeg here when deploying. PPM / WAV /
+    PPM-stream AND PNG (functions/png.py) decode for real via
+    PixelDecoder."""
 
     def __init__(self):
         raise NotImplementedError(
-            "compressed-format codecs are not available in this environment; "
-            "PixelDecoder handles PPM/WAV/PPM-stream payloads"
+            "DCT/DSP codecs are not available in this environment; "
+            "PixelDecoder handles PPM/PNG/WAV/PPM-stream payloads"
         )
 
 
@@ -224,7 +236,10 @@ class PixelDecoder:
 
     def _decode_one(self, kind: str, payload: bytes):
         if kind == "image":
-            pix, _ = decode_ppm(payload)
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                pix = to_rgb(decode_png(payload))
+            else:
+                pix, _ = decode_ppm(payload)
             h, w = pix.shape[:2]
             if self.thumb:
                 pix = resize_nearest(pix, self.thumb, self.thumb)
