@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textops.bpe_token_counts,
         "fingerprints": textops.fingerprints,
         "language_profile": textops.language_profile,
+        "quality_scores": textops.quality_scores,
         "charset_best_match": textops.charset_best_match,
         "charset_best_match_lsh": textops.charset_best_match_lsh,
         # --- multimodal plumbing ---
@@ -348,6 +349,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup_clusters_sql(),
         "charset_best_match": textops.charset_best_match_sql(),
         "token_counts": textops.token_counts_sql(),
+        # float-op-order-exact SQL twin of the quality heuristic
+        "quality_scores": textops.quality_scores_sql(),
         "bpe_token_counts": textops.bpe_token_counts_sql(),
         "fingerprints": textops.fingerprints_sql(),
         "lineitem_agg": rel.lineitem_agg_sql(),

@@ -93,6 +93,52 @@ def language_profile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def quality_scores(sf_dir: str) -> pd.DataFrame:
+    out = text_stats(sf_dir).select_columns(["doc_id", "quality"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_scores_sql() -> str:
+    """SQL twin of functions/textstats.py::quality_score, float-op-order
+    exact (each ratio parenthesized the way Python evaluates it) so the
+    rounded doubles hash-match. Caveat: RE2's \\w is ASCII while
+    Python's is Unicode — identical on the (all-ASCII) documents
+    fixtures; the engine's Unicode behavior is pinned separately in
+    unit tests."""
+    from ..functions.textstats import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+    return rf"""
+        WITH q AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n,
+                 CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS punct,
+                 regexp_extract_all(lower(text), '[A-Za-zÀ-ɏ'']+') AS words
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n, punct,
+                 CAST(len(words) AS DOUBLE) AS nw,
+                 CAST(len(list_filter(words, w -> list_contains([{sw}], w))) AS DOUBLE) AS nsw,
+                 CASE WHEN len(words) > 0
+                      THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                           / CAST(len(words) AS DOUBLE)
+                      ELSE 0.0 END AS mean_len
+          FROM q
+        )
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN 0.0 ELSE round(
+                 0.35 * (least(n, 2000.0) / 2000.0)
+               + 0.25 * (1.0 - least((punct / n) * 4.0, 1.0))
+               + 0.25 * (CASE WHEN nw > 0 THEN least((4.0 * nsw) / nw, 1.0) ELSE 0.0 END)
+               + 0.15 * (CASE WHEN nw > 0 THEN
+                           (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0
+                                 THEN 1.0 ELSE 0.5 END)
+                         ELSE 0.0 END)
+               , 6) END AS quality
+        FROM c ORDER BY doc_id
+    """
+
+
 
 def _mask_matrix(col) -> "np.ndarray":
     """[n, 32] packed 256-bit byte-set bitmasks for a pyarrow string

@@ -413,6 +413,17 @@ def test_embedding_matrix_fixed_and_var_lists():
 
 
 @needs_testdata
+def test_quality_scores_match_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.textops import quality_scores, quality_scores_sql
+
+    mine = quality_scores(SF)
+    oracle = duck.execute(quality_scores_sql()).df()
+    # each ratio is parenthesized in the SQL exactly as Python evaluates
+    # it, so the rounded doubles are bit-identical
+    _compare(mine, oracle)
+
+
+@needs_testdata
 def test_simhash_dedup_matches_sql(ray_session, duck):
     from pdfrust_ray.stages.dedup import simhash_dedup, simhash_dedup_sql
 
