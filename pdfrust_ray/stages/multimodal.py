@@ -36,6 +36,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.gif import decode_gif, encode_gif
 from ..functions.png import decode_png, encode_png, to_rgb
 
 MEDIA_SCHEMA = pa.schema(
@@ -147,10 +148,16 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         if kind == "image":
             h, w = int(rng.randint(16, 96)), int(rng.randint(16, 96))
             pix = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
-            # every other image is PNG (cycling through all five filter
-            # types) so the corpus exercises the real compressed codec
-            if (i // 3) % 2 == 0:
-                payload = encode_png(pix, filter_type=(i // 6) % 5)
+            # cycle PPM / PNG (through all five filters) / GIF so the
+            # corpus exercises every real codec
+            container = (i // 3) % 3
+            if container == 0:
+                payload = encode_png(pix, filter_type=(i // 9) % 5)
+            elif container == 1:
+                # GIF needs <=256 distinct colors: paletted random image
+                palette = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+                pix = palette[rng.randint(0, 8, size=(h, w))]
+                payload = encode_gif(pix)
             else:
                 payload = encode_ppm(pix)
             width, height, dur = w, h, 0
@@ -164,11 +171,19 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             width = height = 0
         else:
             h, w = int(rng.randint(12, 40)), int(rng.randint(12, 40))
-            frames = [
-                rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
-                for _ in range(int(rng.randint(2, 9)))
-            ]
-            payload = b"".join(encode_ppm(f) for f in frames)
+            n_frames = int(rng.randint(2, 9))
+            if (i // 3) % 2 == 0:  # animated GIF stream
+                palette = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+                frames = [
+                    palette[rng.randint(0, 8, size=(h, w))] for _ in range(n_frames)
+                ]
+                payload = encode_gif(frames)
+            else:  # concatenated-PPM stream
+                frames = [
+                    rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+                    for _ in range(n_frames)
+                ]
+                payload = b"".join(encode_ppm(f) for f in frames)
             width, height = w, h
             dur = len(frames) * 40  # 25 fps
         rows["media_id"].append(i)
@@ -238,6 +253,8 @@ class PixelDecoder:
         if kind == "image":
             if payload[:8] == b"\x89PNG\r\n\x1a\n":
                 pix = to_rgb(decode_png(payload))
+            elif payload[:4] == b"GIF8":
+                pix = decode_gif(payload)[0]
             else:
                 pix, _ = decode_ppm(payload)
             h, w = pix.shape[:2]
@@ -248,7 +265,10 @@ class PixelDecoder:
             samples, rate = decode_wav(payload)
             dur = int(len(samples) * 1000 / rate)
             return _audio_features(samples, rate), 0, 0, dur
-        frames = list(iter_ppm_frames(payload))
+        if payload[:4] == b"GIF8":  # animated GIF video
+            frames = decode_gif(payload)
+        else:
+            frames = list(iter_ppm_frames(payload))
         sampled = frames[:: self.frame_step] or frames
         feats = np.mean([_image_features(f) for f in sampled], axis=0).astype(np.float32)
         h, w = frames[0].shape[:2]
