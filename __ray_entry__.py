@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textops.fingerprints,
         "language_profile": textops.language_profile,
         "quality_scores": textops.quality_scores,
+        "top_bigrams": textops.top_bigrams,
         "charset_best_match": textops.charset_best_match,
         "charset_best_match_lsh": textops.charset_best_match_lsh,
         # --- multimodal plumbing ---
@@ -351,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": textops.token_counts_sql(),
         # float-op-order-exact SQL twin of the quality heuristic
         "quality_scores": textops.quality_scores_sql(),
+        "top_bigrams": textops.top_bigrams_sql(),
         "bpe_token_counts": textops.bpe_token_counts_sql(),
         "fingerprints": textops.fingerprints_sql(),
         "lineitem_agg": rel.lineitem_agg_sql(),

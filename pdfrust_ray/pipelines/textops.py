@@ -93,6 +93,62 @@ def language_profile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def top_bigrams(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Corpus-wide top-k word bigrams: the canonical wide-shuffle-with-
+    combiner aggregation. Per batch, a Counter pre-aggregates bigram
+    counts (the shuffle moves one row per DISTINCT bigram per batch,
+    never per token — at 100 TB the exchange is vocabulary-sized);
+    groupby(bigram).sum reduces; the global (count desc, bigram asc)
+    sort + limit runs over vocabulary-sized data. Ties are fully
+    ordered so the top-k set is deterministic."""
+    from collections import Counter
+
+    import numpy as np
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            ws = t.lower().split()
+            c.update(map(" ".join, zip(ws, ws[1:])))
+        return pa.table(
+            {
+                "bigram": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(np.fromiter(c.values(), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    out = (
+        agg.sort(["cnt", "bigram"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+        .astype({"cnt": "int64"})
+    )
+    return out.reset_index(drop=True)[["bigram", "cnt"]]
+
+
+def top_bigrams_sql(k: int = 100) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+          FROM documents
+        ), big AS (
+          SELECT unnest([ws[x] || ' ' || ws[x + 1] FOR x IN range(1, len(ws))]) AS bigram
+          FROM toks
+        )
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM big GROUP BY bigram
+        ORDER BY cnt DESC, bigram LIMIT {k}
+    """
+
+
 def quality_scores(sf_dir: str) -> pd.DataFrame:
     out = text_stats(sf_dir).select_columns(["doc_id", "quality"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

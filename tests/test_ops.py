@@ -424,6 +424,18 @@ def test_quality_scores_match_sql(ray_session, duck):
 
 
 @needs_testdata
+def test_top_bigrams_match_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.textops import top_bigrams, top_bigrams_sql
+
+    mine = top_bigrams(SF)
+    oracle = duck.execute(top_bigrams_sql()).df()
+    # ORDER BY (count desc, bigram) is a total order, so the top-k set
+    # and its ordering are deterministic on both sides
+    assert mine["bigram"].tolist() == oracle["bigram"].tolist()
+    assert mine["cnt"].tolist() == oracle["cnt"].astype("int64").tolist()
+
+
+@needs_testdata
 def test_simhash_dedup_matches_sql(ray_session, duck):
     from pdfrust_ray.stages.dedup import simhash_dedup, simhash_dedup_sql
 
