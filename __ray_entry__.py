@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational wide-operator demos ---
         "lineitem_agg": rel.lineitem_agg,
         "segment_revenue": rel.segment_revenue,
+        "order_priority_revenue": rel.order_priority_revenue,
         "top_parts": rel.top_parts,
         "events_hourly": rel.events_hourly,
         "distinct_mktsegments": rel.distinct_mktsegments,
@@ -357,6 +358,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": textops.fingerprints_sql(),
         "lineitem_agg": rel.lineitem_agg_sql(),
         "segment_revenue": rel.segment_revenue_sql(),
+        # big x big hash-partitioned shuffle join (Dataset.join)
+        "order_priority_revenue": rel.order_priority_revenue_sql(),
         "top_parts": rel.top_parts_sql(),
         "events_hourly": rel.events_hourly_sql(),
         "distinct_mktsegments": rel.distinct_mktsegments_sql(),

@@ -103,6 +103,63 @@ def segment_revenue(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def order_priority_revenue(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
+    """Big x big SHUFFLE join: lineitem x orders -> revenue per order
+    priority. Neither side is broadcastable at design scale, so this is
+    the hash-partitioned exchange path (Dataset.join), with the
+    standard combiner optimization first: lineitem pre-aggregates to
+    one (orderkey, rev_cents) row per order BEFORE the join, so the
+    exchange moves order-count rows, not lineitem-count rows. Inner
+    semantics: orders with no lineitems drop, like the SQL oracle."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "price_cents": _cents(t["l_extendedprice"])}
+        )
+
+    li_agg = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("price_cents", alias_name="rev_cents"))
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    out = (
+        li_agg.join(
+            orders,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def order_priority_revenue_sql() -> str:
+    return """
+        WITH la AS (
+          SELECT l_orderkey,
+                 CAST(ROUND(SUM(ROUND(l_extendedprice * 100))) AS BIGINT) AS rev_cents
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o.o_orderpriority,
+               CAST(SUM(la.rev_cents) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_orders
+        FROM la JOIN orders o ON la.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """
+
+
 def segment_revenue_sql() -> str:
     return """
         SELECT c.c_mktsegment,

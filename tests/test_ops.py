@@ -413,6 +413,18 @@ def test_embedding_matrix_fixed_and_var_lists():
 
 
 @needs_testdata
+def test_order_priority_revenue_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        order_priority_revenue,
+        order_priority_revenue_sql,
+    )
+
+    mine = order_priority_revenue(SF)
+    oracle = duck.execute(order_priority_revenue_sql()).df()
+    _compare(mine, oracle)
+
+
+@needs_testdata
 def test_quality_scores_match_sql(ray_session, duck):
     from pdfrust_ray.pipelines.textops import quality_scores, quality_scores_sql
 
