@@ -36,6 +36,39 @@ def _shingle_hashes(shingles: set[bytes]) -> np.ndarray:
     return out
 
 
+def char_shingles_u64(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-char shingles as uint64 values — BIJECTIVE with the
+    byte-string shingles for k <= 7 ((byte_length << 56) | big-endian
+    value), so set sizes and Jaccard ratios are identical to
+    char_shingles(), with zero per-shingle Python: the window scan is
+    one sliding_window_view + one matmul, dedup is np.unique.
+    """
+    if k > 7:
+        raise ValueError("u64 shingle encoding requires k <= 7")
+    data = text.lower().encode("utf-8")
+    if not data:
+        return np.empty(0, dtype=np.uint64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if len(data) <= k:
+        val = int.from_bytes(data, "big") | (len(data) << 56)
+        return np.asarray([val], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
+    weights = (np.uint64(1) << (np.arange(k - 1, -1, -1, dtype=np.uint64) * np.uint64(8)))
+    vals = win @ weights | np.uint64(k << 56)
+    return np.unique(vals)
+
+
+def jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard over distinct-uint64 shingle arrays (same values
+    as jaccard() on the byte-string sets — the encoding is bijective)."""
+    if not len(a) and not len(b):
+        return 1.0
+    if not len(a) or not len(b):
+        return 0.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
 class MinHasher:
     """n_perm universal-hash permutations h_i(x) = (a_i x + b_i) mod p."""
 
@@ -48,7 +81,14 @@ class MinHasher:
     def signature(self, shingles: set[bytes]) -> np.ndarray:
         if not shingles:
             return np.zeros(self.n_perm, dtype=np.uint64)
-        x = _shingle_hashes(shingles)
+        return self.signature_u64(_shingle_hashes(shingles))
+
+    def signature_u64(self, x: np.ndarray) -> np.ndarray:
+        """Signature straight from uint64 shingle values. (a*x + b)
+        mod p is a pairwise-uniform universal family, so raw shingle
+        encodings need no pre-hash."""
+        if not len(x):
+            return np.zeros(self.n_perm, dtype=np.uint64)
         # (a*x + b) mod p, batched: [n_perm, n_shingles]
         ax = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return ax.min(axis=1)

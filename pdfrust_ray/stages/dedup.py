@@ -41,7 +41,13 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from ..functions.minhash import MinHasher, char_shingles, hamming64, jaccard, simhash64
+from ..functions.minhash import (
+    MinHasher,
+    char_shingles_u64,
+    hamming64,
+    jaccard_u64,
+    simhash64,
+)
 from ..functions.vectors import embedding_matrix, int_column
 
 # Safety valve for degenerate LSH buckets (e.g. empty/boilerplate texts
@@ -178,7 +184,7 @@ class MinHashStage:
             th = hashlib.md5(text.encode("utf-8")).hexdigest()
             bands = seen.get(th)
             if bands is None:
-                sig = self.mh.signature(char_shingles(text, self.k))
+                sig = self.mh.signature_u64(char_shingles_u64(text, self.k))
                 bands = [
                     hashlib.blake2b(bh, digest_size=8).hexdigest()
                     for bh in self.mh.bands(sig, self.n_bands)
@@ -353,7 +359,7 @@ def _verify_pairs_distributed(
                 continue
             grp = grp.sort_values("doc_id")
             a, b = grp.iloc[0], grp.iloc[1]
-            j = jaccard(char_shingles(a["text"], k), char_shingles(b["text"], k))
+            j = jaccard_u64(char_shingles_u64(a["text"], k), char_shingles_u64(b["text"], k))
             if j >= threshold:
                 rows_a.append(int(a["doc_id"]))
                 rows_b.append(int(b["doc_id"]))
