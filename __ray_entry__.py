@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": rel.order_priority_revenue,
         "top_parts": rel.top_parts,
         "events_hourly": rel.events_hourly,
+        "events_hopping_15m": rel.events_hopping_15m,
         "distinct_mktsegments": rel.distinct_mktsegments,
         "supplier_nation_agg": rel.supplier_nation_agg,
         "orders_rollup": rel.orders_rollup,
@@ -362,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_revenue": rel.order_priority_revenue_sql(),
         "top_parts": rel.top_parts_sql(),
         "events_hourly": rel.events_hourly_sql(),
+        "events_hopping_15m": rel.events_hopping_15m_sql(),
         "distinct_mktsegments": rel.distinct_mktsegments_sql(),
         "supplier_nation_agg": rel.supplier_nation_agg_sql(),
         "orders_rollup": rel.orders_rollup_sql(),

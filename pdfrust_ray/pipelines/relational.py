@@ -231,6 +231,56 @@ def events_hourly_sql() -> str:
     """
 
 
+def events_hopping_15m(sf_dir: str) -> pd.DataFrame:
+    """Hopping-window aggregate: 1-hour windows advancing every 15
+    minutes, so each event belongs to 4 overlapping windows. The
+    fan-out is a map_batches row multiplication (event -> its 4 window
+    starts) followed by one groupby — the streaming-engine HOP()
+    re-expressed as batch row expansion; at any scale the exchange
+    carries 4x event rows of (window, type) keys only."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    hop_us = 15 * 60 * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t["ts"], multiple=15, unit="minute")
+        cents = _cents(t["value"])
+        parts = []
+        for k in range(4):
+            ws = pc.subtract(base, pa.scalar(k * hop_us, pa.duration("us")))
+            parts.append(
+                pa.table(
+                    {
+                        "win_start": ws,
+                        "event_type": t["event_type"],
+                        "value_cents": cents,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["win_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+        .to_pandas()
+    )
+    out["sum_value_cents"] = out["sum_value_cents"].astype("int64")
+    return out.sort_values(["win_start", "event_type"]).reset_index(drop=True)
+
+
+def events_hopping_15m_sql() -> str:
+    return """
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+                   AS win_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(ROUND(value * 100))) AS BIGINT) AS sum_value_cents
+        FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
 def distinct_mktsegments(sf_dir: str) -> pd.DataFrame:
     """Distinct values (ds.unique is the shuffle; result is tiny)."""
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])

@@ -413,6 +413,16 @@ def test_embedding_matrix_fixed_and_var_lists():
 
 
 @needs_testdata
+def test_events_hopping_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import events_hopping_15m, events_hopping_15m_sql
+
+    mine = events_hopping_15m(SF)
+    mine["win_start"] = mine["win_start"].astype("datetime64[us]")
+    oracle = duck.execute(events_hopping_15m_sql()).df()
+    _compare(mine, oracle)
+
+
+@needs_testdata
 def test_order_priority_revenue_matches_sql(ray_session, duck):
     from pdfrust_ray.pipelines.relational import (
         order_priority_revenue,
