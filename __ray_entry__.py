@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_profile": textops.language_profile,
         "quality_scores": textops.quality_scores,
         "top_bigrams": textops.top_bigrams,
+        "top_terms_per_doc": textops.top_terms_per_doc,
         "charset_best_match": textops.charset_best_match,
         "charset_best_match_lsh": textops.charset_best_match_lsh,
         # --- multimodal plumbing ---
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         # float-op-order-exact SQL twin of the quality heuristic
         "quality_scores": textops.quality_scores_sql(),
         "top_bigrams": textops.top_bigrams_sql(),
+        "top_terms_per_doc": textops.top_terms_per_doc_sql(),
         "bpe_token_counts": textops.bpe_token_counts_sql(),
         "fingerprints": textops.fingerprints_sql(),
         "lineitem_agg": rel.lineitem_agg_sql(),

@@ -149,6 +149,104 @@ def top_bigrams_sql(k: int = 100) -> str:
     """
 
 
+def top_terms_per_doc(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """TF-IDF-style distinctive terms: per document, the top-k terms by
+    (tf DESC, df ASC, term ASC) — highest in-doc frequency, rarest in
+    the corpus, integer-exact so the ranking is reproducible bit-for-bit
+    (a float tf*ln(N/df) score would make near-ties ULP-dependent).
+
+    Shape: (1) document-frequency pass — per batch, one row per
+    DISTINCT (term) with its in-batch doc count (combiner), then
+    groupby(term).sum: a vocabulary-sized exchange; (2) the df table is
+    ray.put once (vocabulary-sized, bounded by language not corpus) and
+    each doc ranks its own terms locally in map_batches."""
+    from collections import Counter
+
+    import numpy as np
+
+    import ray
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(set(t.lower().split()))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(np.fromiter(c.values(), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype("int64"))))
+
+    class RankTerms:
+        def __init__(self):
+            self.df = ray.get(df_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_doc, out_rank, out_term, out_tf, out_df = [], [], [], [], []
+            for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+                tf = Counter(t.lower().split())
+                ranked = sorted(
+                    ((-c, self.df[w], w) for w, c in tf.items())
+                )[:k]
+                for r, (negc, dfv, w) in enumerate(ranked, start=1):
+                    out_doc.append(did)
+                    out_rank.append(r)
+                    out_term.append(w)
+                    out_tf.append(-negc)
+                    out_df.append(dfv)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_doc, pa.int64()),
+                    "rank": pa.array(out_rank, pa.int64()),
+                    "term": pa.array(out_term, pa.string()),
+                    "tf": pa.array(out_tf, pa.int64()),
+                    "df": pa.array(out_df, pa.int64()),
+                }
+            )
+
+    out = ds.map_batches(
+        RankTerms, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    ).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def top_terms_per_doc_sql(k: int = 3) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    w -> w <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM toks GROUP BY term
+        ), r AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, tf.term
+                 ) AS BIGINT) AS rank
+          FROM tf JOIN df USING (term)
+        )
+        SELECT doc_id, rank, term, tf, df FROM r
+        WHERE rank <= {k} ORDER BY doc_id, rank
+    """
+
+
 def quality_scores(sf_dir: str) -> pd.DataFrame:
     out = text_stats(sf_dir).select_columns(["doc_id", "quality"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

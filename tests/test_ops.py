@@ -413,6 +413,17 @@ def test_embedding_matrix_fixed_and_var_lists():
 
 
 @needs_testdata
+def test_top_terms_per_doc_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.textops import top_terms_per_doc, top_terms_per_doc_sql
+
+    mine = top_terms_per_doc(SF)
+    oracle = duck.execute(top_terms_per_doc_sql()).df()
+    # ranking is (tf desc, df asc, term asc) — integer-exact, no float
+    # score whose ULPs could flip near-ties
+    _compare(mine, oracle)
+
+
+@needs_testdata
 def test_events_hopping_matches_sql(ray_session, duck):
     from pdfrust_ray.pipelines.relational import events_hopping_15m, events_hopping_15m_sql
 
