@@ -9,20 +9,22 @@ Codec reality in this container: no PIL/ffmpeg/soundfile. Instead of
 stubbing everything, the engine ships REAL pure-numpy/stdlib codecs for
 self-describing formats —
 
-  - image: binary PPM (P6), decoded to an [H, W, 3] uint8 array;
-    nearest-neighbor resize as a numpy index op — AND real PNG
-    (stdlib zlib + per-spec numpy unfiltering, all five filters,
-    gray/RGB/RGBA/palette, 1-16 bit; functions/png.py), payloads
-    sniffed by magic.
+  - image: binary PPM (P6) — AND real PNG (stdlib zlib + per-spec
+    numpy unfiltering, all five filters, 1-16 bit, palette;
+    functions/png.py), real GIF (variable-width LZW, interlace,
+    disposal compositing; functions/gif.py), real baseline JPEG
+    (SOF0 huffman + DCT, 4:4:4/4:2:2/4:2:0, restart intervals;
+    functions/jpeg.py) — payloads sniffed by magic; nearest-neighbor
+    resize as a numpy index op.
   - audio: RIFF WAV PCM16 via the stdlib `wave` module.
-  - video: concatenated PPM frames (an MJPEG-style frame stream),
-    frame-sampled every k-th frame.
+  - video: concatenated PPM frames (an MJPEG-style frame stream) or
+    animated GIF, frame-sampled every k-th frame.
 
 `PixelDecoder` extracts real features from those (dimensions, per
 channel mean/std, luma histogram, RMS / zero-crossing rate for audio).
-Externally-compressed DCT/DSP formats (JPEG/MP3/H.264) still need a
-real codec; `RealImageDecoder` stays the documented integration point
-and `FakeImageDecoder` remains for pure-plumbing tests.
+The remaining time-domain formats (MP3/H.264) still need a real codec;
+`RealImageDecoder` stays the documented integration point and
+`FakeImageDecoder` remains for pure-plumbing tests.
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.gif import decode_gif, encode_gif
+from ..functions.jpeg import decode_jpeg, encode_jpeg
 from ..functions.png import decode_png, encode_png, to_rgb
 
 MEDIA_SCHEMA = pa.schema(
@@ -150,14 +153,16 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             pix = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
             # cycle PPM / PNG (through all five filters) / GIF so the
             # corpus exercises every real codec
-            container = (i // 3) % 3
+            container = (i // 3) % 4
             if container == 0:
-                payload = encode_png(pix, filter_type=(i // 9) % 5)
+                payload = encode_png(pix, filter_type=(i // 12) % 5)
             elif container == 1:
                 # GIF needs <=256 distinct colors: paletted random image
                 palette = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
                 pix = palette[rng.randint(0, 8, size=(h, w))]
                 payload = encode_gif(pix)
+            elif container == 2:
+                payload = encode_jpeg(pix, quality=90)
             else:
                 payload = encode_ppm(pix)
             width, height, dur = w, h, 0
@@ -199,16 +204,16 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
 
 
 class RealImageDecoder:
-    """Integration point for externally-compressed DCT/DSP formats
-    (JPEG / MP3 / H.264): those codecs are not in this container — wire
-    PIL / torchvision / ffmpeg here when deploying. PPM / WAV /
-    PPM-stream AND PNG (functions/png.py) decode for real via
-    PixelDecoder."""
+    """Integration point for the remaining externally-compressed
+    time-domain formats (MP3 / H.264): those codecs are not in this
+    container — wire ffmpeg here when deploying. Images decode for
+    real via PixelDecoder: PPM, PNG (functions/png.py), GIF
+    (functions/gif.py) and baseline JPEG (functions/jpeg.py)."""
 
     def __init__(self):
         raise NotImplementedError(
-            "DCT/DSP codecs are not available in this environment; "
-            "PixelDecoder handles PPM/PNG/WAV/PPM-stream payloads"
+            "MP3/H.264 codecs are not available in this environment; "
+            "PixelDecoder handles PPM/PNG/GIF/JPEG/WAV/PPM-stream payloads"
         )
 
 
@@ -255,6 +260,8 @@ class PixelDecoder:
                 pix = to_rgb(decode_png(payload))
             elif payload[:4] == b"GIF8":
                 pix = decode_gif(payload)[0]
+            elif payload[:2] == b"\xff\xd8":
+                pix = to_rgb(decode_jpeg(payload))
             else:
                 pix, _ = decode_ppm(payload)
             h, w = pix.shape[:2]
