@@ -131,6 +131,19 @@ def iter_ppm_frames(data: bytes):
         yield frame
 
 
+def iter_mjpeg_frames(data: bytes):
+    """Frames of an MJPEG-style concatenated-JPEG stream. In baseline
+    entropy data every 0xFF is stuffed (FF00) or a marker, so the EOI
+    (FFD9) scan is an exact frame boundary."""
+    pos = 0
+    while pos < len(data):
+        end = data.find(b"\xff\xd9", pos)
+        if end < 0:
+            raise ValueError("truncated MJPEG stream")
+        yield to_rgb(decode_jpeg(data[pos : end + 2]))
+        pos = end + 2
+
+
 # --- deterministic synthetic media corpus --------------------------------
 
 
@@ -188,12 +201,19 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         else:
             h, w = int(rng.randint(12, 40)), int(rng.randint(12, 40))
             n_frames = int(rng.randint(2, 9))
-            if (i // 3) % 2 == 0:  # animated GIF stream
+            container = (i // 3) % 3
+            if container == 0:  # animated GIF stream
                 palette = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
                 frames = [
                     palette[rng.randint(0, 8, size=(h, w))] for _ in range(n_frames)
                 ]
                 payload = encode_gif(frames)
+            elif container == 1:  # MJPEG stream
+                frames = [
+                    rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+                    for _ in range(n_frames)
+                ]
+                payload = b"".join(encode_jpeg(f, quality=90) for f in frames)
             else:  # concatenated-PPM stream
                 frames = [
                     rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
@@ -291,6 +311,8 @@ class PixelDecoder:
             return _audio_features(samples, rate), 0, 0, dur
         if payload[:4] == b"GIF8":  # animated GIF video
             frames = decode_gif(payload)
+        elif payload[:2] == b"\xff\xd8":  # MJPEG stream
+            frames = list(iter_mjpeg_frames(payload))
         else:
             frames = list(iter_ppm_frames(payload))
         sampled = frames[:: self.frame_step] or frames

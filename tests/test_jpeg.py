@@ -209,3 +209,11 @@ def test_pixel_decoder_jpeg_and_corpus(ray_session):
         int(r.media_id) for r in payloads.itertuples() if bytes(r.payload)[:2] == b"\xff\xd8"
     ]
     assert jpeg_ids, "corpus must contain JPEG payloads"
+    mjpeg = [
+        int(r.media_id)
+        for r in payloads.itertuples()
+        if r.kind == "video" and bytes(r.payload)[:2] == b"\xff\xd8"
+    ]
+    assert mjpeg, "corpus must contain MJPEG video streams"
+    sub = feats[feats["media_id"].isin(mjpeg)]
+    assert (sub["duration_ms"] > 0).all()
