@@ -230,6 +230,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": lambda sf: similarity.brute_force_topk(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
+        # IVF with every bucket probed is EXACT (same tie-break as the
+        # brute-force scan) — proves the assign/probe machinery exactly
+        "ann_ivf_full_probe": lambda sf: similarity.ivf_topk(sf, n_probe=16),
+        # one centroid = one bucket = the exact pair set through the
+        # bucketed map_groups path
+        "embedding_dedup_ivf_exact": lambda sf: dedup.embedding_dedup_ivf(sf, n_centroids=1),
         # --- text analysis ---
         "token_counts": textops.token_counts,
         "bpe_token_counts": textops.bpe_token_counts,
@@ -342,7 +348,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, vec_id
             FROM r WHERE rank <= 10 ORDER BY query_id, rank
         """,
+        "ann_ivf_full_probe": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS cosine
+                FROM embeddings e CROSS JOIN q
+            ), r AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT query_id, rank, vec_id
+            FROM r WHERE rank <= 10 ORDER BY query_id, rank
+        """,
         "embedding_dedup": embedding_dedup_sql(),
+        "embedding_dedup_ivf_exact": embedding_dedup_sql(),
         # exact shingle-Jaccard pair set — verifies the whole LSH path
         # (banding, distributed verify, exact-dup expansion) value-exactly
         "minhash_dedup": minhash_lsh_dedup_sql(),

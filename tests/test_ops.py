@@ -413,6 +413,17 @@ def test_embedding_matrix_fixed_and_var_lists():
 
 
 @needs_testdata
+def test_ivf_exact_modes_match_exact_variants(ray_session, duck):
+    # IVF with every bucket probed / a single centroid is exhaustive:
+    # the bucketed machinery must reproduce the exact variants verbatim
+    from pdfrust_ray.stages.dedup import embedding_dedup, embedding_dedup_ivf
+    from pdfrust_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    assert ivf_topk(SF, n_probe=16).equals(brute_force_topk(SF))
+    assert embedding_dedup_ivf(SF, n_centroids=1).equals(embedding_dedup(SF))
+
+
+@needs_testdata
 def test_top_terms_per_doc_matches_sql(ray_session, duck):
     from pdfrust_ray.pipelines.textops import top_terms_per_doc, top_terms_per_doc_sql
 
