@@ -354,6 +354,7 @@ class TextContent:
         )
 
     def get_text(self, display_char: bool) -> str:
+        self._adv_cache: dict = {}
         out = []
         tm_prev_ty = self.tm.get_ty()
         while True:
@@ -394,21 +395,33 @@ class TextContent:
                     tm = self.tm
                     a, b = tm.a, tm.b
                     e, f = tm.e, tm.f
-                    # with the state constant, the advance tx is a pure function
-                    # of the code byte (and of the kern value) — memoize per
-                    # instruction; skip the f update when b == 0 in text mode
-                    # (f32(±0 + f) == f for every comparison the engine makes)
+                    # with the state constant, the advance tx is a pure
+                    # function of the code byte (and of the kern value);
+                    # skip the f update when b == 0 in text mode
+                    # (f32(±0 + f) == f for every comparison the engine
+                    # makes). The LUTs are cached ACROSS instructions:
+                    # the delta depends only on (font, tfs, tc, tw, th,
+                    # Tm.a, Tm.b), typically constant for many TJs —
+                    # rebuilding 256-entry LUTs per instruction dominated
+                    # the interpreter profile. Entries are only ADDED on
+                    # successful width computation, so error-raising
+                    # codes re-raise identically on every encounter.
                     b_zero = b == 0.0 and not display_char
-                    tx_of: dict = {}
-                    kern_of: dict = {}
+                    skey = (id(font), tfs_f, tc_f, tw_f, th_f, a, b)
+                    cached_state = self._adv_cache.get(skey)
+                    if cached_state is None:
+                        cached_state = (
+                            _np.empty(256, dtype=_np.float32),
+                            _np.empty(256, dtype=_np.float32),
+                            _np.zeros(256, dtype=bool),
+                            {},
+                            {},
+                        )
+                        self._adv_cache[skey] = cached_state
+                    lut_e, lut_f, lut_done, tx_of, kern_of = cached_state
                     cm_get = cmap.cmap.get if cmap is not None else None
                     two = cmap.is_two_bytes if cmap is not None else False
                     wcache = font.width_f32
-                    # per-instruction advance LUTs: code byte -> (e, f) delta,
-                    # filled lazily; fancy indexing replaces a per-glyph dict walk
-                    lut_e = _np.empty(256, dtype=_np.float32)
-                    lut_f = _np.empty(256, dtype=_np.float32)
-                    lut_done = _np.zeros(256, dtype=bool)
                     # deltas collected across ALL items (text runs AND kerning
                     # numbers) of this TJ, folded by ONE accumulate at the end
                     delta_es: list = []
