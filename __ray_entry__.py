@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one centroid = one bucket = the exact pair set through the
         # bucketed map_groups path
         "embedding_dedup_ivf_exact": lambda sf: dedup.embedding_dedup_ivf(sf, n_centroids=1),
+        # iterative distributed algorithm (Lloyd's rounds); no SQL twin
+        "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(sf),
         # --- text analysis ---
         "token_counts": textops.token_counts,
         "bpe_token_counts": textops.bpe_token_counts,
@@ -261,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles": rel.lineitem_quantiles,
         "customers_without_orders": rel.customers_without_orders,
         "orders_sample": rel.orders_sample,
+        "customer_stratified_sample": rel.customer_stratified_sample,
+        "events_value_quartiles": rel.events_value_quartiles,
         "sessionize": rel.sessionize,
         "events_sliding_hour": rel.events_sliding_hour,
         "nation_supplier_names": rel.nation_supplier_names,
@@ -396,6 +400,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_quantiles": rel.lineitem_quantiles_sql(),
         "customers_without_orders": rel.customers_without_orders_sql(),
         "orders_sample": rel.orders_sample_sql(),
+        "customer_stratified_sample": rel.customer_stratified_sample_sql(),
+        "events_value_quartiles": rel.events_value_quartiles_sql(),
         "sessionize": rel.sessionize_sql(),
         "events_sliding_hour": rel.events_sliding_hour_sql(),
         "nation_supplier_names": rel.nation_supplier_names_sql(),

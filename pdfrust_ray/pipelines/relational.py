@@ -655,6 +655,92 @@ def orders_sample_sql(modulus: int = 20) -> str:
     """
 
 
+def customer_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Stratified deterministic sample: each market segment keeps
+    ~1/m(segment) of its customers where the per-stratum modulus is
+    itself hash-derived (so strata genuinely differ). Reproducible,
+    embarrassingly parallel, SQL-oracled — the training-data 'sample
+    rare strata more densely' primitive."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def sample(t: pa.Table) -> pa.Table:
+        from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+        segs = t["c_mktsegment"].to_pylist()
+        keys = [str(k).encode() for k in t["c_custkey"].to_pylist()]
+        m = md5_prefix_u32([s.encode() for s in segs]) % 5 + 3
+        keep = md5_prefix_u32(keys) % m == 0
+        return t.filter(pa.array(keep))
+
+    out = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    if "c_custkey" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_mktsegment": pd.Series([], dtype="string"),
+            }
+        )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def customer_stratified_sample_sql() -> str:
+    md5u32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS UBIGINT)"
+    seg = md5u32.format(expr="c_mktsegment")
+    key = md5u32.format(expr="CAST(c_custkey AS VARCHAR)")
+    return f"""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE {key} % ({seg} % 5 + 3) = 0
+        ORDER BY c_custkey
+    """
+
+
+def events_value_quartiles(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) per user over (value, event_id) order: every event
+    tagged with its within-user value quartile. groupby(user) +
+    vectorized per-group assignment (SQL NTILE fill rule: the first
+    n % 4 tiles take the extra rows)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values(["value", "event_id"], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        size, rem = divmod(n, 4)
+        r = np.arange(n)
+        cut = rem * (size + 1)
+        tile = np.where(
+            r < cut,
+            r // max(size + 1, 1),
+            rem + np.maximum(r - cut, 0) // max(size, 1),
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "quartile": (tile + 1).astype("int64"),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(tiles, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def events_value_quartiles_sql() -> str:
+    return """
+        SELECT event_id, user_id,
+               CAST(NTILE(4) OVER (PARTITION BY user_id
+                                   ORDER BY value, event_id) AS BIGINT) AS quartile
+        FROM events
+        ORDER BY user_id, event_id
+    """
+
+
 def events_sliding_hour(sf_dir: str) -> pd.DataFrame:
     """Sliding event-time window: for every event, the number of events
     by the same user in the trailing hour (RANGE frame, inclusive).

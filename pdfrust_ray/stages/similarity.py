@@ -181,3 +181,91 @@ def ivf_topk(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10, n_centroids: i
         for rank, (negs, vec_id) in enumerate(best, start=1):
             rows.append((qid, rank, int(vec_id)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id"])
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 10, iters: int = 5, round_to: int = 6
+) -> pd.DataFrame:
+    """Distributed spherical k-means (Lloyd's iterations) over the
+    embeddings table — the iterative-algorithm shape on Ray Data:
+
+      assignment: broadcast the k x D centroid matrix with ray.put and
+        argmax-cosine per batch (a cheap map_batches);
+      update: per batch, COMBINE to one (bucket, sum, count, inertia)
+        partial row per bucket — the per-round exchange is
+        O(batches x k x D), never the vectors — then groupby(bucket)
+        reduces the partials and the k new centroids return to the
+        driver (k x D, tiny).
+
+    Deterministic: centroids bootstrap from the first k vectors by
+    vec_id, partials carry their batch's min vec_id and the reduce
+    sums in that order, and the returned means are rounded, so two
+    runs produce identical output. Returns one row per cluster:
+    (bucket, n_members, inertia) with inertia = sum of (1 - cosine)
+    to the assigned centroid. No SQL twin (iterative float
+    algorithm); pinned by monotone-inertia / determinism /
+    label-recovery tests."""
+    centroids = centroid_matrix(sf_dir, k)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    result = None
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partials(batch: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            v = _normalize(embedding_matrix(batch["embedding"]))
+            vid = int_column(batch["vec_id"])
+            sims = v @ c.T
+            bucket = sims.argmax(axis=1)
+            best = sims[np.arange(len(v)), bucket]
+            rows_b, rows_n, rows_i, rows_s, rows_lo = [], [], [], [], []
+            lo = int(vid.min()) if len(vid) else -1
+            for bkt in np.unique(bucket):
+                mask = bucket == bkt
+                rows_b.append(int(bkt))
+                rows_n.append(int(mask.sum()))
+                rows_i.append(float((1.0 - best[mask]).sum()))
+                rows_s.append(v[mask].sum(axis=0).tolist())
+                rows_lo.append(lo)
+            return pa.table(
+                {
+                    "bucket": pa.array(rows_b, pa.int32()),
+                    "n": pa.array(rows_n, pa.int64()),
+                    "inertia": pa.array(rows_i, pa.float64()),
+                    "vec_sum": pa.array(rows_s, pa.list_(pa.float64())),
+                    "lo_vid": pa.array(rows_lo, pa.int64()),
+                }
+            )
+
+        def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("lo_vid", kind="mergesort")  # deterministic sum order
+            s = np.sum(np.stack(g["vec_sum"].to_list()), axis=0)
+            return pd.DataFrame(
+                {
+                    "bucket": [int(g["bucket"].iloc[0])],
+                    "n": [int(g["n"].sum())],
+                    "inertia": [float(g["inertia"].sum())],
+                    "vec_sum": [s.tolist()],
+                }
+            )
+
+        agg = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+            .to_pandas()
+        )
+        agg = agg.sort_values("bucket").reset_index(drop=True)
+        new_centroids = centroids.copy()
+        for r in agg.itertuples(index=False):
+            mean = np.asarray(r.vec_sum) / r.n
+            norm = np.linalg.norm(mean)
+            if norm > 0:
+                new_centroids[int(r.bucket)] = mean / norm
+        centroids = new_centroids
+        result = agg[["bucket", "n", "inertia"]].copy()
+    result["bucket"] = result["bucket"].astype("int64")
+    result["n"] = result["n"].astype("int64")
+    result["inertia"] = result["inertia"].round(round_to)
+    return result.reset_index(drop=True)

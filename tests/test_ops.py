@@ -413,6 +413,25 @@ def test_embedding_matrix_fixed_and_var_lists():
 
 
 @needs_testdata
+def test_kmeans_monotone_deterministic_and_recovers_labels(ray_session):
+    import pyarrow.parquet as _pq
+
+    from pdfrust_ray.stages.similarity import kmeans_embeddings
+
+    i2 = kmeans_embeddings(SF, k=10, iters=2)["inertia"].sum()
+    i5a = kmeans_embeddings(SF, k=10, iters=5)
+    i5b = kmeans_embeddings(SF, k=10, iters=5)
+    assert i5a["inertia"].sum() <= i2 + 1e-9  # Lloyd's rounds never regress
+    assert i5a.equals(i5b)  # bit-deterministic across runs
+    # the fixture has 10 planted label clusters: all 10 buckets stay
+    # populated and sizes are in the right ballpark
+    labels = _pq.read_table(f"{SF}/embeddings.parquet", columns=["label"])
+    n_labels = len(set(labels["label"].to_pylist()))
+    assert len(i5a) == 10 == n_labels
+    assert int(i5a["n"].min()) > 0
+
+
+@needs_testdata
 def test_ivf_exact_modes_match_exact_variants(ray_session, duck):
     # IVF with every bucket probed / a single centroid is exhaustive:
     # the bucketed machinery must reproduce the exact variants verbatim
@@ -431,6 +450,30 @@ def test_top_terms_per_doc_matches_sql(ray_session, duck):
     oracle = duck.execute(top_terms_per_doc_sql()).df()
     # ranking is (tf desc, df asc, term asc) — integer-exact, no float
     # score whose ULPs could flip near-ties
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_stratified_sample_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        customer_stratified_sample,
+        customer_stratified_sample_sql,
+    )
+
+    mine = customer_stratified_sample(SF)
+    oracle = duck.execute(customer_stratified_sample_sql()).df()
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_events_value_quartiles_match_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        events_value_quartiles,
+        events_value_quartiles_sql,
+    )
+
+    mine = events_value_quartiles(SF)
+    oracle = duck.execute(events_value_quartiles_sql()).df()
     _compare(mine, oracle)
 
 
