@@ -16,8 +16,9 @@ self-describing formats —
     (SOF0 huffman + DCT, 4:4:4/4:2:2/4:2:0, restart intervals;
     functions/jpeg.py) — payloads sniffed by magic; nearest-neighbor
     resize as a numpy index op.
-  - audio: RIFF WAV PCM16 via the stdlib `wave` module.
-  - video: concatenated PPM frames (an MJPEG-style frame stream) or
+  - audio: RIFF WAV — PCM16, G.711 mu-law and IMA ADPCM
+    (functions/audio.py).
+  - video: concatenated PPM frames, MJPEG (concatenated JPEG) or
     animated GIF, frame-sampled every k-th frame.
 
 `PixelDecoder` extracts real features from those (dimensions, per
@@ -31,7 +32,9 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -334,7 +337,10 @@ class PixelDecoder:
                 heights.append(h)
                 durs.append(d)
                 status.append("ok")
-            except (ValueError, wave.Error, EOFError) as exc:
+            except (ValueError, wave.Error, EOFError, struct.error, zlib.error) as exc:
+                # struct/zlib errors escape the codecs on truncated
+                # containers and corrupt deflate streams — error rows,
+                # never actor crashes
                 feats.append([0.0] * FEATURE_DIM)
                 widths.append(0)
                 heights.append(0)

@@ -75,6 +75,29 @@ def test_rejects_malformed():
         encode_wav_ima_adpcm(np.zeros(0, np.int16))
 
 
+def test_corrupt_payloads_become_error_rows(ray_session):
+    # struct/zlib errors from truncated containers and corrupt deflate
+    # streams must surface as error rows, never actor crashes
+    import zlib as _zlib  # noqa: F401
+
+    from pdfrust_ray.functions.png import encode_png
+    from pdfrust_ray.stages.multimodal import MEDIA_SCHEMA, PixelDecoder
+
+    png = bytearray(encode_png(np.zeros((4, 4, 3), np.uint8)))
+    png[40] ^= 0xFF  # corrupt the IDAT zlib stream
+    wav = encode_wav_mulaw(np.zeros(100, np.int16))[:20]  # truncated fmt
+    rows = {
+        "media_id": [0, 1, 2],
+        "kind": ["image", "audio", "image"],
+        "payload": [bytes(png), wav, b"\xff\xd8\xff\xc0\x00\x03"],
+        "width": [4, 0, 0],
+        "height": [4, 0, 0],
+        "duration_ms": [0, 0, 0],
+    }
+    out = PixelDecoder()(pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)).to_pydict()
+    assert all(s.startswith("error:") for s in out["decode_status"])
+
+
 def test_pixel_decoder_compressed_audio(ray_session):
     from pdfrust_ray.stages.multimodal import (
         MEDIA_SCHEMA,
