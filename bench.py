@@ -125,6 +125,9 @@ def main() -> dict:
     timed("charset_best_match_lsh", lambda: textops.charset_best_match_lsh(SF_DIR))
     timed("dedup_clusters", lambda: dedup.dedup_clusters(SF_DIR))
     timed("lineitem_agg", lambda: rel.lineitem_agg(SF_DIR))
+    timed("order_priority_revenue", lambda: rel.order_priority_revenue(SF_DIR))
+    timed("top_bigrams", lambda: textops.top_bigrams(SF_DIR))
+    timed("kmeans_embeddings", lambda: similarity.kmeans_embeddings(SF_DIR))
     timed("events_hourly", lambda: rel.events_hourly(SF_DIR))
 
     result = {

@@ -116,8 +116,15 @@ def order_priority_revenue(sf_dir: str, num_partitions: int = 16) -> pd.DataFram
     )
 
     def prep(t: pa.Table) -> pa.Table:
-        return pa.table(
+        # per-batch combiner BEFORE the shuffle: lineitem is clustered by
+        # orderkey, so the local sum collapses ~4 line rows per order to
+        # one partial row — the groupby then exchanges order-count rows
+        cents = pa.table(
             {"l_orderkey": t["l_orderkey"], "price_cents": _cents(t["l_extendedprice"])}
+        )
+        g = pa.TableGroupBy(cents, "l_orderkey").aggregate([("price_cents", "sum")])
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "price_cents": g["price_cents_sum"]}
         )
 
     li_agg = (
