@@ -747,3 +747,41 @@ XOBJ_CONSTRUCTS = {
     "xo-nested": lambda uid: pdf_xobj(uid, nested=True),
     "xo-nested-flate": lambda uid: pdf_xobj(uid, nested=True, compress=True),
 }
+
+
+def pdf_filtered(uid: str, filt: str, early_change: int | None = None) -> bytes:
+    """Content stream encoded with one of the spec-mode stream filters
+    (ISO 32000-1 7.4): ASCIIHexDecode, ASCII85Decode, RunLengthDecode,
+    LZWDecode. The reference rejects every non-Flate filter name
+    (body.rs:47-54), so parity mode raises; spec mode decodes."""
+    import base64
+
+    from ..pdfref.filters import lzw_encode_pdf
+
+    text = f"filter {filt} {uid}"
+    raw = f"BT /F1 10 Tf 50 700 Td {_lit(text)} Tj ET".encode("latin-1")
+    extra = f" /Filter /{filt}"
+    if filt == "ASCIIHexDecode":
+        data = raw.hex().upper().encode() + b">"
+    elif filt == "ASCII85Decode":
+        data = base64.a85encode(raw) + b"~>"
+    elif filt == "RunLengthDecode":
+        # literal runs of <=128 bytes, EOD marker
+        out = bytearray()
+        for i in range(0, len(raw), 128):
+            chunk = raw[i : i + 128]
+            out += bytes([len(chunk) - 1]) + chunk
+        out.append(128)
+        data = bytes(out)
+    elif filt == "LZWDecode":
+        ec = 1 if early_change is None else early_change
+        data = lzw_encode_pdf(raw, early_change=ec)
+        if early_change is not None:
+            extra += f" /DecodeParms << /EarlyChange {early_change} >>"
+    else:
+        raise ValueError(filt)
+    b = PdfBuilder()
+    c = b.add_stream(extra, data)
+    f = _simple_font(b)
+    root = _page_setup(b, c, f)
+    return b.build(root)

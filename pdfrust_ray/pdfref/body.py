@@ -55,6 +55,13 @@ class Rectangle:
         self.values = tuple(vals)
 
 
+# Filter names the spec_mode=True path decodes beyond FlateDecode
+# (ISO 32000-1 7.4); the parity path keeps the reference's
+# FlateDecode-only behavior (body.rs:47-54).
+_SPEC_FILTERS = frozenset(
+    {"ASCIIHexDecode", "ASCII85Decode", "RunLengthDecode", "LZWDecode"}
+)
+
 MODE_TEXT = "text"
 MODE_CHARS = "chars"
 MODE_FONT = "font"
@@ -64,7 +71,7 @@ MODE_RAW = "raw-content"
 class Stream:
     """body.rs:56-116 StreamDictionary + content."""
 
-    __slots__ = ("length", "filter", "data", "exact")
+    __slots__ = ("length", "filter", "data", "exact", "decode_parms")
 
     def __init__(self, header: dict, data: bytes, ctx: "DocCtx"):
         length = header.get("Length")
@@ -82,19 +89,24 @@ class Stream:
             self.length = obj
         else:
             raise ParseError("Stream", "Length should be a numeric")
+        # spec mode decodes exactly; the parity path keeps the
+        # reference's 10x-buffer pad/truncate quirk (filters.rs:4-14)
+        # and its FlateDecode-only filter support (body.rs:65-77)
+        self.exact = bool(getattr(ctx.xref, "spec_mode", False))
         filt = header.get("Filter")
         if filt is None:
             self.filter = None
         elif isinstance(filt, Name):
-            if filt != "FlateDecode":
+            if filt == "FlateDecode":
+                self.filter = "FlateDecode"
+            elif self.exact and filt in _SPEC_FILTERS:
+                self.filter = str(filt)
+            else:
                 raise ParseError("Stream", f"Filter name {filt!r} is currently not supported")
-            self.filter = "FlateDecode"
         else:
             raise ParseError("Stream", "Filter should be a name")
         self.data = data
-        # spec mode decodes exactly; the parity path keeps the
-        # reference's 10x-buffer pad/truncate quirk (filters.rs:4-14)
-        self.exact = bool(getattr(ctx.xref, "spec_mode", False))
+        self.decode_parms = header.get("DecodeParms") if self.exact else None
 
     def get_data(self) -> bytes:
         if self.filter == "FlateDecode":
@@ -103,6 +115,23 @@ class Stream:
 
                 return flate_decode_exact(self.data)
             return flate_decode(self.data)
+        if self.filter is not None and self.exact:
+            from . import filters as _f
+
+            if self.filter == "ASCIIHexDecode":
+                return _f.asciihex_decode(self.data)
+            if self.filter == "ASCII85Decode":
+                return _f.ascii85_decode(self.data)
+            if self.filter == "RunLengthDecode":
+                return _f.runlength_decode(self.data)
+            if self.filter == "LZWDecode":
+                early = 1
+                p = self.decode_parms
+                if isinstance(p, dict):
+                    ec = p.get("EarlyChange")
+                    if isinstance(ec, Number) and ec.is_int:
+                        early = ec.val
+                return _f.lzw_decode_pdf(self.data, early_change=early)
         return self.data
 
 

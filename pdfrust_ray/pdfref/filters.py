@@ -94,3 +94,195 @@ def apply_png_predictor(data: bytes, columns: int, colors: int = 1, bpc: int = 8
         out += row
         prev = row
     return bytes(out)
+
+
+# --- spec-mode filter family (ISO 32000-1 7.4) ---------------------------
+# The reference supports FlateDecode only (filters.rs:4-14; body.rs:65-77
+# rejects other names) — these exist on the spec_mode=True path, like the
+# xref-stream/ObjStm support, so real-world PDFs extract instead of
+# erroring. Each raises ParseError on malformed input (error rows).
+
+
+def asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (7.4.2): hex pairs, whitespace ignored, '>' EOD,
+    odd trailing digit padded with 0."""
+    out = []
+    for b in data:
+        c = chr(b)
+        if c == ">":
+            break
+        if c.isspace():
+            continue
+        if c not in "0123456789abcdefABCDEF":
+            raise ParseError("ASCIIHex", f"bad hex character {c!r}")
+        out.append(c)
+    if len(out) % 2:
+        out.append("0")
+    return bytes.fromhex("".join(out))
+
+
+def ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (7.4.3): base-85 groups, 'z' shortcut for four
+    zero bytes, '~>' EOD, whitespace ignored, 1-4 byte final group."""
+    out = bytearray()
+    group: list[int] = []
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in b"~":
+            break
+        if bytes([c]).isspace():
+            i += 1
+            continue
+        if c == 0x7A:  # 'z'
+            if group:
+                raise ParseError("ASCII85", "z inside group")
+            out += b"\0\0\0\0"
+            i += 1
+            continue
+        if not (0x21 <= c <= 0x75):
+            raise ParseError("ASCII85", f"bad base-85 byte {c}")
+        group.append(c - 33)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ParseError("ASCII85", "group value overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+        i += 1
+    if group:
+        if len(group) == 1:
+            raise ParseError("ASCII85", "single trailing character")
+        k = len(group)
+        v = 0
+        for g in group + [84] * (5 - k):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (7.4.5): length byte 0-127 -> copy n+1 literal
+    bytes; 129-255 -> repeat next byte 257-n times; 128 -> EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            chunk = data[i : i + ln + 1]
+            if len(chunk) != ln + 1:
+                raise ParseError("RunLength", "truncated literal run")
+            out += chunk
+            i += ln + 1
+        else:
+            if i >= n:
+                raise ParseError("RunLength", "truncated repeat run")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    raise ParseError("RunLength", "missing EOD")
+
+
+def lzw_decode_pdf(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (7.4.4.2): MSB-first variable-width codes starting at
+    9 bits over 8-bit literals, 256 = clear, 257 = EOD, table grows to
+    12 bits; EarlyChange=1 (default) bumps the code width one entry
+    early."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ParseError("LZW", "stream ended before EOD")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            return bytes(out)
+        if prev is None:
+            if code >= 256:
+                raise ParseError("LZW", "first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ParseError("LZW", "code out of range")
+        out += entry
+        prev = entry
+        if len(table) + early_change >= (1 << width) + 1 and width < 12:
+            width += 1
+
+
+def lzw_encode_pdf(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode inverse (fixture/test helper and a real encoder):
+    dictionary LZW with the PDF width schedule."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    emit(256, width)
+    buf = b""
+    for byte in data:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code + early_change - 1 == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(256, width)
+            table, next_code, width = fresh()
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
