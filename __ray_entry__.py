@@ -31,6 +31,7 @@ _MODES_GOLDEN = f"{_FIXTURE_BASE}/modes/golden_modes.parquet"
 _INFO_GOLDEN = f"{_FIXTURE_BASE}/modes/golden_info.parquet"
 _SPEC15_GOLDEN = f"{_FIXTURE_BASE}/spec15/golden.parquet"
 _XOBJ_GOLDEN = f"{_FIXTURE_BASE}/xobj/golden.parquet"
+_FILTERS_GOLDEN = f"{_FIXTURE_BASE}/filters/golden.parquet"
 
 _EXTRACT_COLS = [
     "conv_id",
@@ -181,10 +182,27 @@ def _q_extract_xobj(sf_dir: str):
     return out.select_columns(_EXTRACT_COLS)
 
 
+def _q_extract_filters(sf_dir: str):
+    """Spec-mode stream-filter family (ASCIIHex / ASCII85 / RunLength /
+    LZW incl. EarlyChange=0, plus a corrupted ASCII85 stream that must
+    become an error row) over the filters fixture family — the
+    reference rejects every non-Flate /Filter name (body.rs:47-54);
+    golden computed serially with spec_mode=True."""
+    from pdfrust_ray.fixtures.corpus import ensure_filters_fixture
+    from pdfrust_ray.pipelines.extract_pipeline import build_extraction
+    from pdfrust_ray.sources.transcripts import read_transcripts
+
+    d = ensure_filters_fixture()
+    ds = read_transcripts(d)
+    out = build_extraction(ds, mode="text", batch_size=16, concurrency=2, spec_mode=True)
+    return out.select_columns(_EXTRACT_COLS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # generate fixtures eagerly so oracle_sql's read_parquet targets exist
     from pdfrust_ray.fixtures.corpus import (
         ensure_corpus,
+        ensure_filters_fixture,
         ensure_modes_fixture,
         ensure_spec15_fixture,
         ensure_xobj_fixture,
@@ -194,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ensure_modes_fixture()
     ensure_spec15_fixture()
     ensure_xobj_fixture()
+    ensure_filters_fixture()
 
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
@@ -220,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_raw_content": _q_extract_mode("raw-content"),
         "extract_text_spec15": _q_extract_spec15,
         "extract_text_xobj": _q_extract_xobj,
+        "extract_text_filters": _q_extract_filters,
         # --- training-data ops: dedup ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "minhash_dedup": lambda sf: dedup.minhash_lsh_dedup(sf),
@@ -327,6 +347,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, payload_kind, extracted_text,
                    parse_status, n_pages, bytes_decoded, error
             FROM read_parquet('{_XOBJ_GOLDEN}')
+            ORDER BY conv_id, turn_idx
+        """,
+        "extract_text_filters": f"""
+            SELECT conv_id, turn_idx, payload_kind, extracted_text,
+                   parse_status, n_pages, bytes_decoded, error
+            FROM read_parquet('{_FILTERS_GOLDEN}')
             ORDER BY conv_id, turn_idx
         """,
         "exact_dedup": """

@@ -419,3 +419,67 @@ def ensure_spec15_fixture(base_dir: str | None = None) -> str:
     with open(marker, "w") as f:
         json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
     return base
+
+
+def ensure_filters_fixture(base_dir: str | None = None) -> str:
+    """Stream-filter fixture family: transcript shards whose PDF
+    payloads use the spec-mode filters (FILTER_CONSTRUCTS: ASCIIHex /
+    ASCII85 / RunLength / LZW incl. EarlyChange=0 and a corrupted
+    ASCII85 stream that must become an error row), mixed with classic
+    PDF / HTML / plain turns. The reference rejects every non-Flate
+    /Filter name (body.rs:47-54); golden computed serially with
+    extract_row(spec_mode=True)."""
+    from .htmlgen import HTML_CONSTRUCTS
+    from .pdfgen import FILTER_CONSTRUCTS
+
+    base = base_dir or "/tmp/pdfrust_ray_fixtures/filters"
+    marker = os.path.join(base, "_COMPLETE.json")
+    if _marker_current(marker):
+        return base
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    flt_ids = sorted(FILTER_CONSTRUCTS)
+    rows = []
+    for conv in range(8):
+        conv_id = f"flt-{conv:04d}"
+        for t in range(8):
+            uid = f"{conv_id}/{t}"
+            if t < 6:
+                text = encode_pdf_payload(
+                    FILTER_CONSTRUCTS[flt_ids[(conv + t) % len(flt_ids)]](uid)
+                )
+                tool = "pdf_render"
+            elif t == 6:
+                cid = _HTML_IDS[_h(f"flthtml:{uid}") % len(_HTML_IDS)]
+                text = HTML_CONSTRUCTS[cid](uid)
+                tool = "browser"
+            else:
+                text = f"plain filters note {uid}"
+                tool = ""
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": "tool" if tool else "user",
+                    "text": text,
+                    "tool": tool,
+                    "ts": 1735689600_000000 + (conv * 3600 + t * 60) * 1_000_000,
+                }
+            )
+    for shard in range(4):
+        part = [r for i, r in enumerate(rows) if i % 4 == shard]
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=TRANSCRIPTS_SCHEMA),
+            os.path.join(shard_dir, f"part-{shard:04d}.parquet"),
+        )
+    golden_rows = []
+    for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+        g = extract_row(r["text"], mode="text", spec_mode=True)
+        golden_rows.append({"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], **g})
+    pq.write_table(
+        pa.Table.from_pylist(golden_rows, schema=GOLDEN_SCHEMA),
+        os.path.join(base, "golden.parquet"),
+    )
+    with open(marker, "w") as f:
+        json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
+    return base

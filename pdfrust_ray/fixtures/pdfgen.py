@@ -785,3 +785,27 @@ def pdf_filtered(uid: str, filt: str, early_change: int | None = None) -> bytes:
     f = _simple_font(b)
     root = _page_setup(b, c, f)
     return b.build(root)
+
+
+def pdf_filtered_broken(uid: str) -> bytes:
+    """ASCII85 content stream corrupted in place (same length, so xref
+    offsets stay valid) with an overflowing group — spec-mode must
+    surface a decode error row, not partial text."""
+    data = pdf_filtered(uid, "ASCII85Decode")
+    marker = b"stream\n"
+    i = data.index(marker) + len(marker)
+    # "uuuuu" is a base-85 group > 2^32 -> ParseError("ASCII85", overflow)
+    return data[:i] + b"uuuuu" + data[i + 5 :]
+
+
+# Stream-filter construct matrix for the spec-mode filter family
+# (parity mode rejects every name here like the reference, body.rs:47-54;
+# kept OUT of PDF_CONSTRUCTS so the t1/t2/bench corpora stay byte-stable)
+FILTER_CONSTRUCTS = {
+    "flt-hex": lambda uid: pdf_filtered(uid, "ASCIIHexDecode"),
+    "flt-a85": lambda uid: pdf_filtered(uid, "ASCII85Decode"),
+    "flt-rle": lambda uid: pdf_filtered(uid, "RunLengthDecode"),
+    "flt-lzw": lambda uid: pdf_filtered(uid, "LZWDecode"),
+    "flt-lzw-ec0": lambda uid: pdf_filtered(uid, "LZWDecode", early_change=0),
+    "flt-a85-broken": pdf_filtered_broken,
+}

@@ -155,3 +155,41 @@ class TestEndToEnd:
         broken = data.replace(b"~>", b"uuuuu~>", 1)
         with pytest.raises(ParseError):
             extract(broken, "text", spec_mode=True)
+
+    def test_broken_construct_reports_decode_error(self):
+        from pdfrust_ray.fixtures.pdfgen import pdf_filtered_broken
+        from pdfrust_ray.functions.payload import encode_pdf_payload, extract_row
+
+        g = extract_row(
+            encode_pdf_payload(pdf_filtered_broken("u9")), mode="text", spec_mode=True
+        )
+        assert g["parse_status"] == "error:ASCII85"
+        assert g["error"] == "group value overflow"
+
+    def test_filters_pipeline_matches_golden(self, ray_session, tmp_path):
+        import duckdb
+
+        from pdfrust_ray.fixtures.corpus import ensure_filters_fixture
+        from pdfrust_ray.pipelines.extract_pipeline import build_extraction
+        from pdfrust_ray.sources.transcripts import read_transcripts
+
+        d = ensure_filters_fixture(str(tmp_path / "filters"))
+        ds = read_transcripts(d)
+        out = (
+            build_extraction(ds, mode="text", batch_size=16, concurrency=2, spec_mode=True)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        golden = con.execute(
+            f"SELECT * FROM read_parquet('{d}/golden.parquet') ORDER BY conv_id, turn_idx"
+        ).df()
+        assert len(out) == len(golden) == 64
+        got = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        for col in ("conv_id", "turn_idx", "extracted_text", "parse_status", "error"):
+            assert got[col].tolist() == golden[col].tolist(), col
+        # every filter really decoded, and the corrupt variant errored
+        ok = got[got["parse_status"] == "ok"]["extracted_text"]
+        for filt in FILTERS:
+            assert ok.str.contains(f"filter {filt} ").any(), filt
+        assert (got["parse_status"] == "error:ASCII85").sum() == 8
