@@ -243,6 +243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: dedup ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "minhash_dedup": lambda sf: dedup.minhash_lsh_dedup(sf),
+        # exact n-gram Jaccard sibling: prefix-filtered inverted index,
+        # candidate-complete by the prefix lemma (deterministic recall)
+        "ngram_jaccard_dedup": lambda sf: dedup.ngram_jaccard_dedup(sf),
         "simhash_dedup": lambda sf: dedup.simhash_dedup(sf),
         "embedding_dedup": lambda sf: dedup.embedding_dedup(sf),
         "embedding_dedup_ivf": lambda sf: dedup.embedding_dedup_ivf(sf),
@@ -400,6 +403,9 @@ def oracle_sql() -> dict[str, str]:
         # exact shingle-Jaccard pair set — verifies the whole LSH path
         # (banding, distributed verify, exact-dup expansion) value-exactly
         "minhash_dedup": minhash_lsh_dedup_sql(),
+        # same exact pair-set oracle: the prefix-filter path must
+        # reproduce it deterministically (LSH matches it probabilistically)
+        "ngram_jaccard_dedup": minhash_lsh_dedup_sql(),
         # exact hamming-<=3 pair set (simhash64 is md5-based so the
         # signature itself is SQL-reproducible)
         "simhash_dedup": simhash_dedup_sql(),

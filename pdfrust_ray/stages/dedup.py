@@ -453,6 +453,114 @@ def dedup_clusters_sql(threshold: float = 0.8, k: int = 5) -> str:
     """
 
 
+def _prefix_rows(batch: pa.Table, threshold: float = 0.8, k: int = 5) -> pa.Table:
+    """doc -> one row per PREFIX shingle (AllPairs/SSJoin-style prefix
+    filtering; Bayardo et al., WWW'07 — public algorithm).
+
+    Shingles are sorted by u64 value (the global token order); a doc of
+    n distinct shingles keeps its first n - ceil(t*n) + 1. Lemma: for
+    J(A,B) >= t the common count c >= t*|A union B| >= ceil(t*|A|), so
+    if the SMALLEST common shingle were outside A's prefix, all common
+    shingles would sit in A's suffix of ceil(t*|A|) - 1 slots — a
+    contradiction; symmetrically for B. The smallest common shingle
+    therefore lies in BOTH prefixes, making a bucket join over prefix
+    rows candidate-COMPLETE (exact recall, unlike LSH's probabilistic
+    recall). `is_min` marks the doc's overall smallest shingle — every
+    member of an exact-duplicate group lands that row in the same
+    bucket, which is where membership rows are emitted once."""
+    import math
+
+    doc_ids, shingles, text_hashes, mins, shards = [], [], [], [], []
+    seen: dict[str, np.ndarray] = {}
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        th = hashlib.md5(text.encode("utf-8")).hexdigest()
+        pref = seen.get(th)
+        if pref is None:
+            sh = np.sort(char_shingles_u64(text, k))
+            n = len(sh)
+            p = n - math.ceil(threshold * n) + 1 if n else 0
+            pref = sh[:p]
+            seen[th] = pref
+        for i, s in enumerate(pref):
+            doc_ids.append(doc_id)
+            shingles.append(int(s))
+            text_hashes.append(th)
+            mins.append(i == 0)
+            # golden-ratio mix: shingle low bits are raw text bytes
+            shards.append(((int(s) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) % N_SHARDS)
+    return pa.table(
+        {
+            "shard": pa.array(shards, pa.int32()),
+            "shingle": pa.array(shingles, pa.uint64()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text_hash": pa.array(text_hashes, pa.string()),
+            "is_min": pa.array(mins, pa.bool_()),
+        }
+    )
+
+
+def _ngram_banded(sf_dir: str, threshold: float = 0.8, k: int = 5) -> "rd.Dataset":
+    """Candidate rep pairs + exact-group membership from the prefix
+    inverted index — same output contract as _minhash_banded (kind 0 =
+    candidate rep pair, kind 1 = membership), same shard-grouped
+    execution shape, but with guaranteed candidate recall."""
+    ds = _docs(sf_dir).map_batches(
+        _prefix_rows,
+        fn_kwargs={"threshold": threshold, "k": k},
+        batch_format="pyarrow",
+    )
+
+    def pairs_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, kinds = [], [], []
+        for _sh, grp in g.groupby("shingle", sort=False):
+            groups: dict[str, list[int]] = {}
+            min_flags: dict[str, bool] = {}
+            for d, th, m in zip(
+                grp["doc_id"].to_numpy(), grp["text_hash"].to_numpy(), grp["is_min"].to_numpy()
+            ):
+                groups.setdefault(th, []).append(int(d))
+                min_flags[th] = min_flags.get(th, False) or bool(m)
+            ids = sorted(min(v) for v in groups.values())
+            if len(ids) > BUCKET_CAP:
+                print(f"ngram: hot shingle with {len(ids)} distinct texts capped at {BUCKET_CAP}")
+                ids = ids[:BUCKET_CAP]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    rows_a.append(ids[i])
+                    rows_b.append(ids[j])
+                    kinds.append(0)
+            for th, members in groups.items():
+                if min_flags[th] and len(members) >= 2:
+                    rep = min(members)
+                    for d in members:
+                        rows_a.append(rep)
+                        rows_b.append(d)
+                        kinds.append(1)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(rows_a, dtype="int64"),
+                "doc_b": pd.Series(rows_b, dtype="int64"),
+                "kind": pd.Series(kinds, dtype="int32"),
+            }
+        )
+
+    return ds.groupby("shard").map_groups(pairs_of_shard, batch_format="pandas")
+
+
+def ngram_jaccard_dedup(sf_dir: str, threshold: float = 0.8, k: int = 5) -> pd.DataFrame:
+    """EXACT n-gram (char-shingle) Jaccard near-dup pairs — the
+    deterministic sibling of minhash_lsh_dedup: prefix-filtered
+    inverted-index candidates (guaranteed recall at the threshold)
+    -> distributed exact-Jaccard verify -> exact-group re-expansion.
+    Output is the complete (doc_a, doc_b, jaccard >= threshold) pair
+    set, bit-identical to the SQL oracle; minhash_lsh_dedup matching
+    the same oracle is probabilistic, this is by construction."""
+    cand, members = _split_banded(_ngram_banded(sf_dir, threshold, k).to_pandas())
+    verified = _verify_pairs_distributed(sf_dir, cand, threshold, k)
+    out = _expand_rep_pairs(verified, members, "jaccard", 1.0)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         hashes = [simhash64(t) for t in batch["text"].to_pylist()]

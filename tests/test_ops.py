@@ -742,3 +742,67 @@ def test_charset_lsh_agrees_with_exact(ray_session):
     assert (j["sim_lsh"] <= j["sim_ex"] + 1e-12).all()
     agree = ((j["match_id_lsh"] == j["match_id_ex"]) & (j["sim_lsh"] == j["sim_ex"])).mean()
     assert agree >= 0.95
+
+
+@needs_testdata
+def test_ngram_pairs_equal_exact_jaccard(ray_session, duck):
+    # The prefix-filtered inverted-index path must ALSO reproduce the
+    # exact pair set — here that is a deterministic guarantee (the
+    # prefix lemma gives candidate-complete recall), not LSH probability.
+    from pdfrust_ray.stages.dedup import minhash_lsh_dedup_sql, ngram_jaccard_dedup
+
+    mine = ngram_jaccard_dedup(SF)
+    assert len(mine) > 0
+    _compare(mine, duck.execute(minhash_lsh_dedup_sql()).df())
+
+
+def test_ngram_candidate_completeness_planted(ray_session, tmp_path):
+    """Engine pair set == local brute-force exact pair set on a planted
+    corpus — all pairs, not just the planted ones, because the prefix
+    filter guarantees recall at the threshold."""
+    from pdfrust_ray.functions.minhash import char_shingles_u64, jaccard_u64
+    from pdfrust_ray.stages.dedup import ngram_jaccard_dedup
+
+    base = " ".join(f"token{i}ax{i * 7 % 91}" for i in range(300))
+    rows = []
+    for i in range(20):
+        rows.append(
+            {"doc_id": i, "text": " ".join(f"doc{i}w{j}q{(i * j) % 97}" for j in range(150))}
+        )
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base + " slightly changed tail here"})
+    rows.append({"doc_id": 102, "text": base})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+    threshold = 0.7
+    sh = {r["doc_id"]: char_shingles_u64(r["text"]) for r in rows}
+    ids = sorted(sh)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if jaccard_u64(sh[a], sh[b]) >= threshold:
+                expected.add((a, b))
+    pairs = ngram_jaccard_dedup(str(d), threshold=threshold)
+    assert set(zip(pairs["doc_a"], pairs["doc_b"])) == expected
+    assert (100, 102) in expected  # the planted exact dup really is there
+
+
+def test_ngram_mega_duplicate_group_no_blowup(ray_session, tmp_path):
+    """Prefix buckets pair distinct-text representatives only; a mega
+    exact-duplicate group expands cheaply after the verify."""
+    from pdfrust_ray.stages.dedup import ngram_jaccard_dedup
+
+    mega = "the same boilerplate text repeated across the corpus " * 20
+    rows = [{"doc_id": i, "text": mega} for i in range(60)]
+    rows += [
+        {"doc_id": 100 + i, "text": " ".join(f"m{i}n{j}p{(i * j) % 79}" for j in range(120))}
+        for i in range(10)
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    pairs = ngram_jaccard_dedup(str(d), threshold=0.8)
+    assert len(pairs) == 60 * 59 // 2
+    assert (pairs["jaccard"] == 1.0).all()
