@@ -27,6 +27,7 @@ from typing import Any
 
 _FIXTURE_BASE = "/tmp/pdfrust_ray_fixtures"
 _T2_GOLDEN = f"{_FIXTURE_BASE}/t2/golden.parquet"
+_T2_SHARDS = f"{_FIXTURE_BASE}/t2/shards/*.parquet"
 _MODES_GOLDEN = f"{_FIXTURE_BASE}/modes/golden_modes.parquet"
 _INFO_GOLDEN = f"{_FIXTURE_BASE}/modes/golden_info.parquet"
 _SPEC15_GOLDEN = f"{_FIXTURE_BASE}/spec15/golden.parquet"
@@ -214,9 +215,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ensure_xobj_fixture()
     ensure_filters_fixture()
 
+    from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
     from pdfrust_ray.stages import dedup, similarity
+
+    def _q_conv(fn):
+        def run(sf_dir: str):
+            return fn(ensure_corpus(_scale_for(sf_dir)))
+
+        return run
 
     def media_features_q(sf_dir: str):
         from pdfrust_ray.stages.multimodal import media_features, synthesize_media_table
@@ -273,6 +281,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_best_match_lsh": textops.charset_best_match_lsh,
         # --- multimodal plumbing ---
         "media_features": media_features_q,
+        # --- conversation analytics over the transcript input table ---
+        "conv_stats": _q_conv(cv.conv_stats),
+        "turn_latency": _q_conv(cv.turn_latency),
+        "tool_usage": _q_conv(cv.tool_usage),
+        "role_transitions": _q_conv(cv.role_transitions),
+        "conv_fingerprints": _q_conv(cv.conv_fingerprints),
         # --- relational wide-operator demos ---
         "lineitem_agg": rel.lineitem_agg,
         "segment_revenue": rel.segment_revenue,
@@ -297,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
     from pdfrust_ray.stages.dedup import (
@@ -439,6 +454,14 @@ def oracle_sql() -> dict[str, str]:
         "nation_supplier_names": rel.nation_supplier_names_sql(),
         "running_user_totals": rel.running_user_totals_sql(),
         "asof_click_before_purchase": rel.asof_click_before_purchase_sql(),
+        # conversation analytics: DuckDB recomputes from the RAW
+        # transcript shards (a genuinely independent oracle, not a
+        # golden readback)
+        "conv_stats": cv.conv_stats_sql(_T2_SHARDS),
+        "turn_latency": cv.turn_latency_sql(_T2_SHARDS),
+        "tool_usage": cv.tool_usage_sql(_T2_SHARDS),
+        "role_transitions": cv.role_transitions_sql(_T2_SHARDS),
+        "conv_fingerprints": cv.conv_fingerprints_sql(_T2_SHARDS),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features
