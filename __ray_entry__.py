@@ -218,7 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
-    from pdfrust_ray.stages import dedup, similarity
+    from pdfrust_ray.stages import dedup, similarity, sketches
 
     def _q_conv(fn):
         def run(sf_dir: str):
@@ -281,6 +281,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_best_match_lsh": textops.charset_best_match_lsh,
         # --- multimodal plumbing ---
         "media_features": media_features_q,
+        # --- mergeable distributed sketches ---
+        # exact top-k via Misra-Gries candidates + filtered recount
+        "heavy_tokens": lambda sf: sketches.heavy_tokens(sf),
+        # HyperLogLog distinct count (deterministic splitmix64 hash);
+        # no SQL twin — pinned by the exact-vs-estimate bound pytest
+        "hll_distinct_users": lambda sf: sketches.hll_distinct_users(sf),
         # --- conversation analytics over the transcript input table ---
         "conv_stats": _q_conv(cv.conv_stats),
         "turn_latency": _q_conv(cv.turn_latency),
@@ -313,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import relational as rel
+    from pdfrust_ray.stages import sketches
     from pdfrust_ray.pipelines import textops
     from pdfrust_ray.stages.dedup import (
         dedup_clusters_sql,
@@ -454,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_supplier_names": rel.nation_supplier_names_sql(),
         "running_user_totals": rel.running_user_totals_sql(),
         "asof_click_before_purchase": rel.asof_click_before_purchase_sql(),
+        "heavy_tokens": sketches.heavy_tokens_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

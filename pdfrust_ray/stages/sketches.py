@@ -1,0 +1,194 @@
+"""Mergeable distributed sketches: HyperLogLog and heavy hitters.
+
+At 10^12 rows, COUNT(DISTINCT) and global top-k are the two aggregates
+whose exact form forces a full-key shuffle. Both have classical
+bounded-memory mergeable summaries, and both fit Ray Data's combiner
+shape exactly: map_batches emits one fixed-size partial per (block,
+group), a key-partitioned groupby merges them, and the exchange volume
+is O(groups x sketch size) — independent of row count.
+
+- HyperLogLog (Flajolet et al., "HyperLogLog: the analysis of a
+  near-optimal cardinality estimation algorithm", AofA 2007): 2^p
+  8-bit registers, elementwise-max mergeable. Registers travel as a
+  single binary cell per partial, so the shuffle moves kilobytes per
+  block regardless of block row count. Deterministic here (fixed
+  splitmix64 hash), so results are reproducible run to run.
+
+- Heavy hitters (Misra-Gries, "Finding repeated elements", 1982):
+  per-block summaries of capacity m guarantee, by pigeonhole, that any
+  token with GLOBAL relative frequency > 1/m exceeds 1/m locally in at
+  least one block and therefore survives that block's summary. The
+  union of per-block candidates is then recounted EXACTLY in a second
+  filtered pass (broadcast membership, vocabulary-sized groupby), so
+  the final top-k is exact and SQL-oracleable while the full-vocabulary
+  shuffle of a naive top-k never happens.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+_HLL_P = 14  # 2^14 = 16384 registers, standard error ~0.81%
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Public-domain splitmix64 finalizer (Steele/Lea/Flagg, JDK 8
+    SplittableRandom): full-avalanche 64-bit mix, vectorized."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return z ^ (z >> np.uint64(31))
+
+
+def _hll_partial(values: np.ndarray, p: int = _HLL_P) -> bytes:
+    """Registers for one block of int64 keys, as a 2^p-byte blob."""
+    m = 1 << p
+    h = _splitmix64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    # rho = position of the leftmost 1-bit in the remaining 64-p bits
+    # (1-based), computed via bit_length of the shifted-down value.
+    nbits = np.zeros(len(h), dtype=np.uint8)
+    v = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):  # branchless bit_length
+        mask = v >= (np.uint64(1) << np.uint64(shift))
+        nbits[mask] += shift
+        v[mask] >>= np.uint64(shift)
+    nbits[rest > 0] += 1  # bit_length of nonzero v
+    rho = np.where(rest == 0, 64 - p + 1, 64 - nbits + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs.tobytes()
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimator with linear-counting small-range
+    correction (Flajolet et al. 2007, §4)."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct user_id per event_type (plus a corpus-wide
+    '__all__' row) via mergeable HyperLogLog partials.
+
+    Ray shape: map_batches emits ONE (event_type, 16KiB-register-blob)
+    row per group per block; groupby(event_type).map_groups folds the
+    blobs with elementwise max and evaluates the estimator. The
+    exchange is O(types x blocks x 16KiB) — row count never shuffles.
+    Deterministic: fixed hash, max is order-independent."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "user_id": t["user_id"].to_pandas()}
+        )
+        rows = []
+        for et, g in df.groupby("event_type"):
+            rows.append((et, _hll_partial(g["user_id"].to_numpy())))
+        rows.append(("__all__", _hll_partial(df["user_id"].to_numpy())))
+        return pd.DataFrame({"event_type": [r[0] for r in rows], "regs": [r[1] for r in rows]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(1 << _HLL_P, dtype=np.uint8)
+        for blob in g["regs"]:
+            np.maximum(acc, np.frombuffer(blob, dtype=np.uint8), out=acc)
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "est_distinct_users": [_hll_estimate(acc)]}
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    out["est_distinct_users"] = out["est_distinct_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def heavy_tokens(sf_dir: str, k: int = 50, m: int = 4096) -> pd.DataFrame:
+    """Exact corpus-wide top-k tokens via a Misra-Gries candidate pass
+    plus an exact filtered recount — the sketch bounds the shuffle, the
+    recount restores exactness, so the result is SQL-oracleable.
+
+    Guarantee: a token with global frequency share > 1/m has, by
+    pigeonhole, local share > 1/m in >=1 block, so it survives that
+    block's capacity-m Misra-Gries summary and is in the candidate
+    union. With m >> k the true top-k are all candidates (asserted in
+    tests; the SQL oracle would flag any miss). Candidate union is
+    <= m x blocks rows — vocabulary-bounded, never corpus-bounded; the
+    recount shuffle moves one row per (block, candidate) instead of one
+    per distinct token."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def mg_candidates(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            counts.update(txt.lower().split())
+        # Batch-form Misra-Gries: subtracting the (m+1)-th largest count
+        # from every counter and dropping non-positives is equivalent to
+        # running the classic decrement loop to <= m live counters.
+        if len(counts) > m:
+            thresh = sorted(counts.values(), reverse=True)[m]
+            counts = Counter({t_: c - thresh for t_, c in counts.items() if c > thresh})
+        return pa.table({"token": pa.array(list(counts.keys()), pa.string())})
+
+    cands = (
+        ds.map_batches(mg_candidates, batch_format="pyarrow")
+        .unique("token")
+    )
+    cand_ref = ray.put(set(cands))
+
+    def recount(t: pa.Table) -> pa.Table:
+        keep = ray.get(cand_ref)
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(tok for tok in txt.lower().split() if tok in keep)
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(np.fromiter(c.values(), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+        .astype({"cnt": "int64"})
+    )
+    return out.reset_index(drop=True)[["token", "cnt"]]
+
+
+def heavy_tokens_sql(k: int = 50) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    w -> w <> '')) AS token
+          FROM documents
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY token
+        ORDER BY cnt DESC, token LIMIT {k}
+    """

@@ -1,0 +1,89 @@
+"""Mergeable sketches: HyperLogLog distinct count and Misra-Gries
+heavy hitters with exact recount."""
+
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+from pdfrust_ray.stages import sketches as sk
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(not os.path.isdir(SF), reason="testdata not available")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_hll_estimator_accuracy_known_cardinalities():
+    # p=14 -> standard error ~0.81%; assert 3 sigma across regimes that
+    # cross the linear-counting/raw-estimator boundary.
+    for n in (100, 1000, 50_000, 500_000):
+        regs = np.frombuffer(
+            sk._hll_partial(np.arange(n, dtype=np.int64)), dtype=np.uint8
+        )
+        est = sk._hll_estimate(regs)
+        assert abs(est - n) / n < 0.025, (n, est)
+
+
+def test_hll_partials_merge_to_union():
+    # merge(max) of two disjoint halves == sketch of the union
+    a = np.arange(0, 40_000, dtype=np.int64)
+    b = np.arange(20_000, 70_000, dtype=np.int64)
+    ra = np.frombuffer(sk._hll_partial(a), dtype=np.uint8)
+    rb = np.frombuffer(sk._hll_partial(b), dtype=np.uint8)
+    merged = np.maximum(ra, rb)
+    full = np.frombuffer(
+        sk._hll_partial(np.arange(0, 70_000, dtype=np.int64)), dtype=np.uint8
+    )
+    assert np.array_equal(merged, full)
+
+
+@needs_testdata
+def test_hll_distinct_users_matches_exact_within_bound(ray_session, duck):
+    out = sk.hll_distinct_users(SF)
+    exact = dict(
+        duck.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY event_type"
+        ).fetchall()
+    )
+    exact["__all__"] = duck.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert set(out.event_type) == set(exact)
+    for _, r in out.iterrows():
+        e = exact[r.event_type]
+        assert abs(r.est_distinct_users - e) / e < 0.025, (r.event_type, r.est_distinct_users, e)
+
+
+@needs_testdata
+def test_heavy_tokens_equals_exact_topk(ray_session, duck):
+    mine = sk.heavy_tokens(SF)
+    oracle = duck.execute(sk.heavy_tokens_sql()).fetchdf().astype({"cnt": "int64"})
+    assert mine[["token", "cnt"]].values.tolist() == oracle[["token", "cnt"]].values.tolist()
+
+
+def test_mg_candidate_guarantee_planted(ray_session, tmp_path):
+    """A token above the 1/m global-share threshold survives even when
+    every block is dominated by filler vocabulary (capacity pressure)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 40 docs x 50 unique filler words each, plus 'needle' in every 4th
+    docs = []
+    for i in range(40):
+        words = [f"w{i}_{j}" for j in range(50)]
+        if i % 4 == 0:
+            words += ["needle"] * 5
+        docs.append(" ".join(words))
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs}),
+        tmp_path / "documents.parquet",
+    )
+    out = sk.heavy_tokens(str(tmp_path), k=1, m=64)
+    assert out.iloc[0].token == "needle" and out.iloc[0].cnt == 50
