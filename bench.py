@@ -130,6 +130,14 @@ def main() -> dict:
     timed("kmeans_embeddings", lambda: similarity.kmeans_embeddings(SF_DIR))
     timed("events_hourly", lambda: rel.events_hourly(SF_DIR))
 
+    from pdfrust_ray.pipelines import conversation as cv
+    from pdfrust_ray.stages import sketches
+
+    timed("heavy_tokens", lambda: sketches.heavy_tokens(SF_DIR))
+    timed("hll_distinct_users", lambda: sketches.hll_distinct_users(SF_DIR))
+    timed("conv_stats", lambda: cv.conv_stats(fix_dir))
+    timed("turn_latency", lambda: cv.turn_latency(fix_dir))
+
     result = {
         "metric": "extract_pipeline_wall",
         "value": round(headline, 3),

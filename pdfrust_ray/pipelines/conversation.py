@@ -5,19 +5,17 @@ an extraction source: a real transcript pipeline also needs per-
 conversation rollups, turn-gap latency windows, tool-usage accounting,
 role-sequence statistics and conversation-level dedup. Each operator
 here is SQL-oracled (DuckDB reads the same raw shards) and shaped for
-10^12 turns:
+10^12 turns.
 
-  - conv_stats / tool_usage: vectorized per-row derivation in
-    map_batches(pyarrow), then ONE hash groupby whose per-block partial
-    combine (Ray's built-in aggregate path) keeps the shuffle at
-    O(unique keys), not O(turns).
-  - turn_latency / role_transitions: the LAG-window family — a single
-    groupby(conv_id) shuffle co-locates each conversation, then a
-    numpy diff / shift inside map_groups; no driver loops.
-  - conv_fingerprints: conversation-level exact dedup — md5 of the
-    turn-ordered text concatenation per conv (one key-partitioned
-    shuffle; the fingerprint, 32 bytes, is what a second dedup groupby
-    would move at scale, never the text).
+Key-shuffle shape: Ray's groupby dispatches Python per group AND its
+named aggregates loop per (group, aggregator) — measured 11.6s for an
+8-aggregator groupby over just 20k conversations. All operators here
+therefore shuffle on a COARSE bucket key (md5(conv_id) % 64, same
+trick as stages/dedup.py's shard grouping): the sort co-locates every
+turn of a conversation inside one bucket group, and the per-bucket
+callable does the real work vectorized (pyarrow TableGroupBy / pandas
+boundary masks) over the whole bucket at C speed. Python dispatch cost
+is O(64), not O(conversations); the exchange volume is unchanged.
 
 Timestamps travel as epoch microseconds (int64) so the value-hash
 comparison against DuckDB's epoch_us() is exact.
@@ -33,9 +31,46 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 _SEP = "\x1f"  # unit separator: cannot appear in fixture texts
+_N_BUCKETS = 64
+
+
+def _coalesced(ds: "rd.Dataset") -> "rd.Dataset":
+    """Coalesce to ~one block per core before the bucket shuffle.
+
+    Ray's sort-based groupby materializes partitions^2 intermediate
+    objects, so a parquet read that produced hundreds of small blocks
+    makes the shuffle object-count-bound, not data-bound (measured on
+    the 800k-turn bench corpus: the same bucket groupby takes 4.9s from
+    256 blocks, 0.9s after repartition(32)). On a multi-node cluster
+    the same rule holds with cores = cluster cores."""
+    import ray
+
+    try:
+        cores = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cores = 8
+    return ds.repartition(max(8, min(64, cores)))
+
+
+def _bucket_of(ids: "pa.ChunkedArray") -> "pa.Array":
+    """md5-based bucket per conversation id, vectorized via the
+    single-block md5 lanes in functions/md5vec (hashlib fallback for
+    ids too long for one block)."""
+    from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+    raw = [s.encode("utf-8") for s in ids.to_pylist()]
+    if all(len(b) < 56 for b in raw):
+        h = md5_prefix_u32(raw)
+    else:
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(b).digest()[:4], "big") for b in raw),
+            dtype=np.uint64,
+            count=len(raw),
+        )
+    return pa.array((h % _N_BUCKETS).astype(np.int64), pa.int64())
 
 
 def _epoch_us(ts: "pa.ChunkedArray") -> "pa.ChunkedArray":
@@ -46,10 +81,13 @@ def conv_stats(corpus_dir: str) -> pd.DataFrame:
     """Per-conversation rollup: turn counts by role, total text chars,
     tool-call count, first/last timestamp and duration.
 
-    One groupby(conv_id) over per-row derived int columns; Ray's
-    aggregate combines per block before the shuffle, so at corpus scale
-    the exchange carries one partial row per (block, conv)."""
-    ds = rd.read_parquet(f"{corpus_dir}/shards")
+    Shape: vectorized per-row derivation -> ONE bucket-keyed shuffle ->
+    per-bucket pyarrow TableGroupBy (C++ hash aggregation) -> tiny
+    result union. The exchange carries 7 int64s + the id per turn; the
+    text stays in the map stage."""
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "role", "text", "tool", "ts"]
+    )
 
     def derive(t: pa.Table) -> pa.Table:
         role = t["role"]
@@ -61,6 +99,7 @@ def conv_stats(corpus_dir: str) -> pd.DataFrame:
 
         return pa.table(
             {
+                "bucket": _bucket_of(t["conv_id"]),
                 "conv_id": t["conv_id"],
                 "is_user": flag(pc.equal(role, "user")),
                 "is_assistant": flag(pc.equal(role, "assistant")),
@@ -71,22 +110,41 @@ def conv_stats(corpus_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby("conv_id")
-        .aggregate(
-            Count(alias_name="n_turns"),
-            Sum("is_user", alias_name="n_user_turns"),
-            Sum("is_assistant", alias_name="n_assistant_turns"),
-            Sum("is_tool_role", alias_name="n_tool_turns"),
-            Sum("n_chars", alias_name="total_chars"),
-            Sum("has_tool", alias_name="n_tool_calls"),
-            Min("ts_us", alias_name="first_ts_us"),
-            Max("ts_us", alias_name="last_ts_us"),
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.drop_columns(["bucket"]), "conv_id").aggregate(
+            [
+                ("is_user", "count"),
+                ("is_user", "sum"),
+                ("is_assistant", "sum"),
+                ("is_tool_role", "sum"),
+                ("n_chars", "sum"),
+                ("has_tool", "sum"),
+                ("ts_us", "min"),
+                ("ts_us", "max"),
+            ]
         )
+        dur = pc.subtract(g["ts_us_max"], g["ts_us_min"])
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "n_turns": pc.cast(g["is_user_count"], pa.int64()),
+                "n_user_turns": g["is_user_sum"],
+                "n_assistant_turns": g["is_assistant_sum"],
+                "n_tool_turns": g["is_tool_role_sum"],
+                "total_chars": g["n_chars_sum"],
+                "n_tool_calls": g["has_tool_sum"],
+                "first_ts_us": g["ts_us_min"],
+                "last_ts_us": g["ts_us_max"],
+                "duration_us": dur,
+            }
+        )
+
+    out = (
+        _coalesced(ds.map_batches(derive, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .to_pandas()
     )
-    out["duration_us"] = out["last_ts_us"] - out["first_ts_us"]
     for c in out.columns:
         if c != "conv_id":
             out[c] = out[c].astype("int64")
@@ -114,23 +172,31 @@ def conv_stats_sql(shards_glob: str) -> str:
     """
 
 
+def _with_bucket(t: pa.Table) -> pa.Table:
+    return t.append_column("bucket", _bucket_of(t["conv_id"]))
+
+
 def turn_latency(corpus_dir: str) -> pd.DataFrame:
     """LAG window: per turn, microseconds since the previous turn of the
     same conversation (-1 for the opening turn).
 
-    groupby(conv_id) co-locates a conversation, map_groups sorts by
-    turn_idx and takes a vectorized diff — the standard Ray expression
-    of PARTITION BY ... ORDER BY ... LAG."""
+    One bucket-keyed shuffle co-locates conversations; inside a bucket
+    a single (conv_id, turn_idx) sort + numpy diff computes every
+    conversation's gaps at once, with a boundary mask resetting the
+    first turn — no per-conversation dispatch."""
     ds = rd.read_parquet(
         f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role", "ts"]
     )
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="stable").reset_index(drop=True)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
         us = g["ts"].astype("int64").to_numpy()
         gap = np.empty(len(us), dtype=np.int64)
-        gap[0] = -1
-        gap[1:] = us[1:] - us[:-1]
+        if len(us):
+            gap[0] = -1
+            gap[1:] = us[1:] - us[:-1]
+            conv = g["conv_id"].to_numpy()
+            gap[np.r_[True, conv[1:] != conv[:-1]]] = -1
         return pd.DataFrame(
             {
                 "conv_id": g["conv_id"],
@@ -140,7 +206,12 @@ def turn_latency(corpus_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas").to_pandas()
+    out = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
@@ -157,28 +228,54 @@ def turn_latency_sql(shards_glob: str) -> str:
 
 def tool_usage(corpus_dir: str) -> pd.DataFrame:
     """Per-tool accounting over tool-call turns (tool <> ''): call
-    count, distinct conversations, total payload chars."""
+    count, distinct conversations, total payload chars.
+
+    Distinct-conv needs (tool, conv) granularity first: per-batch
+    pyarrow partials collapse to one row per (tool, conv) per block,
+    the bucket shuffle merges them per conversation bucket, and the
+    final per-tool aggregate runs over |tools| groups — cheap even via
+    Ray's named-aggregate path."""
     ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "tool", "text"])
 
-    def derive(t: pa.Table) -> pa.Table:
+    def partials(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t["tool"], ""))
-        return pa.table(
+        tbl = pa.table(
             {
                 "tool": t["tool"],
                 "conv_id": t["conv_id"],
                 "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
             }
         )
+        g = pa.TableGroupBy(tbl, ["tool", "conv_id"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")]
+        )
+        out = pa.table(
+            {
+                "tool": g["tool"],
+                "conv_id": g["conv_id"],
+                "n_calls": pc.cast(g["n_chars_count"], pa.int64()),
+                "n_chars": g["n_chars_sum"],
+            }
+        )
+        return _with_bucket(out)
 
-    # distinct conv count needs a two-level agg: first (tool, conv)
-    # partials, then per-tool merge — both hash groupbys over keys only.
-    per_conv = (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby(["tool", "conv_id"])
-        .aggregate(Count(alias_name="n_calls"), Sum("n_chars", alias_name="n_chars"))
-    )
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.drop_columns(["bucket"]), ["tool", "conv_id"]).aggregate(
+            [("n_calls", "sum"), ("n_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "tool": g["tool"],
+                "n_calls": g["n_calls_sum"],
+                "n_chars": g["n_chars_sum"],
+            }
+        )
+
     out = (
-        per_conv.groupby("tool")
+        _coalesced(ds.map_batches(partials, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+        .groupby("tool")
         .aggregate(
             Sum("n_calls", alias_name="n_calls"),
             Count(alias_name="n_convs"),
@@ -207,23 +304,27 @@ def role_transitions(corpus_dir: str) -> pd.DataFrame:
     """Corpus-wide role-bigram counts: how often does role A hand off
     to role B within a conversation.
 
-    Two-level combiner: per-conversation pair counts inside map_groups
-    (tiny), then a global groupby(prev_role, role) merge — the shuffle
-    moves at most |roles|^2 rows per conversation group."""
+    Bucket shuffle + one vectorized shift per bucket (boundary-masked),
+    partial pair counts per bucket, then a global merge over at most
+    |roles|^2 x buckets rows."""
     ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role"])
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="stable")
-        r = g["role"].to_numpy()
-        if len(r) < 2:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        if len(g) < 2:
             return pd.DataFrame({"prev_role": [], "role": [], "n": []})
-        pairs = pd.DataFrame({"prev_role": r[:-1], "role": r[1:]})
+        conv = g["conv_id"].to_numpy()
+        same = conv[1:] == conv[:-1]
+        pairs = pd.DataFrame(
+            {"prev_role": g["role"].to_numpy()[:-1][same], "role": g["role"].to_numpy()[1:][same]}
+        )
         out = pairs.groupby(["prev_role", "role"], as_index=False).size()
         return out.rename(columns={"size": "n"})
 
     out = (
-        ds.groupby("conv_id")
-        .map_groups(per_conv, batch_format="pandas")
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .groupby(["prev_role", "role"])
         .aggregate(Sum("n", alias_name="n_transitions"))
         .to_pandas()
@@ -248,30 +349,56 @@ def role_transitions_sql(shards_glob: str) -> str:
 
 
 def conv_fingerprints(corpus_dir: str) -> pd.DataFrame:
-    """Conversation-level exact dedup: md5 over the turn-ordered text
-    concatenation (US-separated), grouped to (fingerprint, n_convs,
-    first_conv). Two shuffles, both over keys/fingerprints — the text
-    never moves past the first groupby."""
+    """Conversation-level exact dedup: fingerprint = md5 over the
+    turn-ordered concatenation of PER-TURN md5 digests (US-separated),
+    grouped to (fingerprint, n_convs, first_conv).
+
+    Hashing each turn in the map stage means the conversation shuffle
+    moves 32-byte digests — the text NEVER crosses an exchange, so at
+    10^12 turns the sort handles ~3% of the corpus bytes. Two identical
+    conversations collide iff every per-turn digest matches in order
+    (md5-collision-exact, same dedup semantics as hashing the raw
+    concatenation). The dedup merge runs on a SECOND bucket key derived
+    from the fingerprint, so identical conversations from different
+    conv-buckets still meet."""
     ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "text"])
 
-    def fp(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="stable")
-        blob = _SEP.join(g["text"].tolist()).encode("utf-8")
-        return pd.DataFrame(
+    def digest_turns(t: pa.Table) -> pa.Table:
+        td = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        out = pa.table(
             {
-                "fingerprint": [hashlib.md5(blob).hexdigest()],
-                "conv_id": [g["conv_id"].iloc[0]],
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "turn_md5": pa.array(td, pa.string()),
             }
         )
+        return _with_bucket(out)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        agg = g.groupby("conv_id", sort=False)["turn_md5"].agg(_SEP.join)
+        fps = [hashlib.md5(b.encode("utf-8")).hexdigest() for b in agg]
+        out = pd.DataFrame({"fingerprint": fps, "conv_id": agg.index})
+        out["fp_bucket"] = [int(f[:8], 16) % _N_BUCKETS for f in fps]
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g.groupby("fingerprint", sort=False)
+            .agg(n_convs=("conv_id", "size"), first_conv=("conv_id", "min"))
+            .reset_index()
+        )
+        m["n_convs"] = m["n_convs"].astype("int64")
+        return m[["fingerprint", "n_convs", "first_conv"]]
 
     out = (
-        ds.groupby("conv_id")
-        .map_groups(fp, batch_format="pandas")
-        .groupby("fingerprint")
-        .aggregate(Count(alias_name="n_convs"), Min("conv_id", alias_name="first_conv"))
+        _coalesced(ds.map_batches(digest_turns, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("fp_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
         .to_pandas()
     )
-    out["n_convs"] = out["n_convs"].astype("int64")
     return out.sort_values("fingerprint").reset_index(drop=True)
 
 
@@ -280,7 +407,8 @@ def conv_fingerprints_sql(shards_glob: str) -> str:
         SELECT fingerprint, COUNT(*) AS n_convs, MIN(conv_id) AS first_conv
         FROM (
             SELECT conv_id,
-                   md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS fingerprint
+                   md5(string_agg(md5(text), chr(31) ORDER BY turn_idx))
+                       AS fingerprint
             FROM read_parquet('{shards_glob}')
             GROUP BY conv_id
         )
