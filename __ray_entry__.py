@@ -293,6 +293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_usage": _q_conv(cv.tool_usage),
         "role_transitions": _q_conv(cv.role_transitions),
         "conv_fingerprints": _q_conv(cv.conv_fingerprints),
+        # per-conversation rollup of the flagship pipeline's own output
+        "conv_extract_stats": lambda sf: cv.conv_extract_stats(
+            _run_extract_ds(_scale_for(sf))
+        ),
         # --- relational wide-operator demos ---
         "lineitem_agg": rel.lineitem_agg,
         "segment_revenue": rel.segment_revenue,
@@ -470,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_usage": cv.tool_usage_sql(_T2_SHARDS),
         "role_transitions": cv.role_transitions_sql(_T2_SHARDS),
         "conv_fingerprints": cv.conv_fingerprints_sql(_T2_SHARDS),
+        "conv_extract_stats": cv.conv_extract_stats_sql(_T2_GOLDEN),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -414,3 +414,90 @@ def conv_fingerprints_sql(shards_glob: str) -> str:
         )
         GROUP BY fingerprint ORDER BY fingerprint
     """
+
+
+def conv_extract_stats(extract_ds) -> pd.DataFrame:
+    """Per-conversation extraction rollup over the flagship pipeline's
+    OUTPUT surface: turn count, ok/error split, PDF-vs-HTML payload
+    mix, total decoded bytes and extracted characters.
+
+    Takes the extraction Dataset (conv_id, payload_kind, parse_status,
+    bytes_decoded, extracted_text, ...) and applies the same
+    coarse-bucket shuffle as the raw-table rollups — the quality
+    dashboard a 10^12-turn extraction run needs for triage, computed
+    without a second pass over the input payloads."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        one = pa.scalar(1, pa.int64())
+        zero = pa.scalar(0, pa.int64())
+
+        def flag(mask):
+            return pc.if_else(mask, one, zero)
+
+        return pa.table(
+            {
+                "bucket": _bucket_of(t["conv_id"]),
+                "conv_id": t["conv_id"],
+                "is_ok": flag(pc.equal(t["parse_status"], "ok")),
+                "is_err": flag(pc.not_equal(t["parse_status"], "ok")),
+                "is_pdf": flag(pc.equal(t["payload_kind"], "pdf")),
+                "is_html": flag(pc.equal(t["payload_kind"], "html")),
+                "bytes_decoded": pc.cast(t["bytes_decoded"], pa.int64()),
+                "n_chars_out": pc.cast(pc.utf8_length(t["extracted_text"]), pa.int64()),
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.drop_columns(["bucket"]), "conv_id").aggregate(
+            [
+                ("is_ok", "count"),
+                ("is_ok", "sum"),
+                ("is_err", "sum"),
+                ("is_pdf", "sum"),
+                ("is_html", "sum"),
+                ("bytes_decoded", "sum"),
+                ("n_chars_out", "sum"),
+            ]
+        )
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "n_turns": pc.cast(g["is_ok_count"], pa.int64()),
+                "n_ok": g["is_ok_sum"],
+                "n_err": g["is_err_sum"],
+                "n_pdf": g["is_pdf_sum"],
+                "n_html": g["is_html_sum"],
+                "sum_bytes_decoded": g["bytes_decoded_sum"],
+                "sum_chars_out": g["n_chars_out_sum"],
+            }
+        )
+
+    out = (
+        _coalesced(extract_ds.map_batches(derive, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for c in out.columns:
+        if c != "conv_id":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def conv_extract_stats_sql(golden_path: str) -> str:
+    return f"""
+        SELECT conv_id,
+               COUNT(*) AS n_turns,
+               CAST(SUM(CASE WHEN parse_status = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ok,
+               CAST(SUM(CASE WHEN parse_status <> 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_err,
+               CAST(SUM(CASE WHEN payload_kind = 'pdf' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pdf,
+               CAST(SUM(CASE WHEN payload_kind = 'html' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_html,
+               CAST(SUM(bytes_decoded) AS BIGINT) AS sum_bytes_decoded,
+               CAST(SUM(length(extracted_text)) AS BIGINT) AS sum_chars_out
+        FROM read_parquet('{golden_path}')
+        GROUP BY conv_id ORDER BY conv_id
+    """

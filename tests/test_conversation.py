@@ -103,3 +103,24 @@ def test_conv_fingerprints_detects_planted_duplicate(ray_session, tmp_path):
     assert len(out) == 2
     dup = out[out.n_convs == 2]
     assert len(dup) == 1 and dup.iloc[0].first_conv == "conv-a"
+
+
+def test_conv_extract_stats_matches_golden_oracle(ray_session):
+    """The per-conversation rollup of the extraction output matches
+    DuckDB aggregating the frozen golden parquet."""
+    import __ray_entry__ as entry
+
+    mine = entry.queries()["conv_extract_stats"]("/root/testdata/sf0.01")
+    sql = entry.oracle_sql()["conv_extract_stats"]
+    oracle = duckdb.connect().execute(sql).fetchdf()
+    cols = sorted(mine.columns)
+    assert cols == sorted(oracle.columns)
+    a = mine[cols].sort_values(cols).reset_index(drop=True)
+    b = oracle[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), f"column {c} differs"
+    # consistency with the raw-table rollup: same turn totals per conv
+    stats = cv.conv_stats(ensure_corpus("t2"))
+    merged = a.merge(stats[["conv_id", "n_turns"]], on="conv_id", suffixes=("", "_raw"))
+    assert (merged.n_turns == merged.n_turns_raw).all()
