@@ -33,6 +33,7 @@ _INFO_GOLDEN = f"{_FIXTURE_BASE}/modes/golden_info.parquet"
 _SPEC15_GOLDEN = f"{_FIXTURE_BASE}/spec15/golden.parquet"
 _XOBJ_GOLDEN = f"{_FIXTURE_BASE}/xobj/golden.parquet"
 _FILTERS_GOLDEN = f"{_FIXTURE_BASE}/filters/golden.parquet"
+_ENC_GOLDEN = f"{_FIXTURE_BASE}/encrypted/golden.parquet"
 
 _EXTRACT_COLS = [
     "conv_id",
@@ -53,6 +54,7 @@ def _ensure_fixture_files() -> None:
     try:
         from pdfrust_ray.fixtures.corpus import (
             ensure_corpus,
+            ensure_encrypted_fixture,
             ensure_modes_fixture,
             ensure_spec15_fixture,
             ensure_xobj_fixture,
@@ -63,6 +65,7 @@ def _ensure_fixture_files() -> None:
         ensure_modes_fixture()
         ensure_spec15_fixture()
         ensure_xobj_fixture()
+        ensure_encrypted_fixture()
     except Exception:  # never break module import on fixture IO issues
         pass
 
@@ -199,10 +202,27 @@ def _q_extract_filters(sf_dir: str):
     return out.select_columns(_EXTRACT_COLS)
 
 
+def _q_extract_encrypted(sf_dir: str):
+    """Spec-mode standard-security-handler decryption (RC4-40/128,
+    AES-128 crypt filters, empty user password) over the encrypted
+    fixture family — the reference only type-checks the trailer
+    /Encrypt entry (xref.rs:136-139); password-protected documents
+    stay error:Encrypted rows; golden computed serially."""
+    from pdfrust_ray.fixtures.corpus import ensure_encrypted_fixture
+    from pdfrust_ray.pipelines.extract_pipeline import build_extraction
+    from pdfrust_ray.sources.transcripts import read_transcripts
+
+    d = ensure_encrypted_fixture()
+    ds = read_transcripts(d)
+    out = build_extraction(ds, mode="text", batch_size=16, concurrency=2, spec_mode=True)
+    return out.select_columns(_EXTRACT_COLS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # generate fixtures eagerly so oracle_sql's read_parquet targets exist
     from pdfrust_ray.fixtures.corpus import (
         ensure_corpus,
+        ensure_encrypted_fixture,
         ensure_filters_fixture,
         ensure_modes_fixture,
         ensure_spec15_fixture,
@@ -214,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ensure_spec15_fixture()
     ensure_xobj_fixture()
     ensure_filters_fixture()
+    ensure_encrypted_fixture()
 
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import relational as rel
@@ -248,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_spec15": _q_extract_spec15,
         "extract_text_xobj": _q_extract_xobj,
         "extract_text_filters": _q_extract_filters,
+        "extract_text_encrypted": _q_extract_encrypted,
         # --- training-data ops: dedup ---
         "exact_dedup": lambda sf: dedup.exact_dedup(sf),
         "minhash_dedup": lambda sf: dedup.minhash_lsh_dedup(sf),
@@ -382,6 +404,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, payload_kind, extracted_text,
                    parse_status, n_pages, bytes_decoded, error
             FROM read_parquet('{_FILTERS_GOLDEN}')
+            ORDER BY conv_id, turn_idx
+        """,
+        "extract_text_encrypted": f"""
+            SELECT conv_id, turn_idx, payload_kind, extracted_text,
+                   parse_status, n_pages, bytes_decoded, error
+            FROM read_parquet('{_ENC_GOLDEN}')
             ORDER BY conv_id, turn_idx
         """,
         "exact_dedup": """

@@ -483,3 +483,70 @@ def ensure_filters_fixture(base_dir: str | None = None) -> str:
     with open(marker, "w") as f:
         json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
     return base
+
+
+def ensure_encrypted_fixture(base_dir: str | None = None) -> str:
+    """Encrypted-document fixture family: PDF payloads protected by the
+    standard security handler (ENC_CONSTRUCTS: RC4-40/R2, RC4-128/R3,
+    V4 crypt filters /V2 and /AESV2, EncryptMetadata=false, an
+    uncompressed-stream variant, and a password-protected document that
+    must stay an error:Encrypted row), mixed with classic PDF / HTML /
+    plain turns. The reference only type-checks the trailer /Encrypt
+    entry (xref.rs:136-139); parity mode turns every one of these into
+    error:Encrypted rows; spec mode decrypts with the empty user
+    password (pdfref/crypt.py). Golden computed serially with
+    extract_row(spec_mode=True)."""
+    from .htmlgen import HTML_CONSTRUCTS
+    from .pdfgen import ENC_CONSTRUCTS
+
+    base = base_dir or "/tmp/pdfrust_ray_fixtures/encrypted"
+    marker = os.path.join(base, "_COMPLETE.json")
+    if _marker_current(marker):
+        return base
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    enc_ids = sorted(ENC_CONSTRUCTS)
+    rows = []
+    for conv in range(8):
+        conv_id = f"enc-{conv:04d}"
+        for t in range(9):
+            uid = f"{conv_id}/{t}"
+            if t < 7:
+                text = encode_pdf_payload(
+                    ENC_CONSTRUCTS[enc_ids[(conv + t) % len(enc_ids)]](uid)
+                )
+                tool = "pdf_render"
+            elif t == 7:
+                cid = _HTML_IDS[_h(f"enchtml:{uid}") % len(_HTML_IDS)]
+                text = HTML_CONSTRUCTS[cid](uid)
+                tool = "browser"
+            else:
+                text = f"plain encrypted-family note {uid}"
+                tool = ""
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": "tool" if tool else "user",
+                    "text": text,
+                    "tool": tool,
+                    "ts": 1735689600_000000 + (conv * 3600 + t * 60) * 1_000_000,
+                }
+            )
+    for shard in range(4):
+        part = [r for i, r in enumerate(rows) if i % 4 == shard]
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=TRANSCRIPTS_SCHEMA),
+            os.path.join(shard_dir, f"part-{shard:04d}.parquet"),
+        )
+    golden_rows = []
+    for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+        g = extract_row(r["text"], mode="text", spec_mode=True)
+        golden_rows.append({"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], **g})
+    pq.write_table(
+        pa.Table.from_pylist(golden_rows, schema=GOLDEN_SCHEMA),
+        os.path.join(base, "golden.parquet"),
+    )
+    with open(marker, "w") as f:
+        json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
+    return base

@@ -43,10 +43,12 @@ class PdfBuilder:
         return self.add(body)
 
     def build(self, root: int, offset_skew: int = 0, prev_sections: int = 0,
-              info: int | None = None) -> bytes:
+              info: int | None = None, trailer_extra: str = "") -> bytes:
         """Serialize. offset_skew != 0 corrupts recorded xref offsets to
         exercise the repair scan; prev_sections > 0 splits the xref into
         a /Prev chain (the top section re-lists the first object only).
+        trailer_extra is appended verbatim to the trailer dictionary
+        (e.g. " /Encrypt 9 0 R /ID [ <..> <..> ]").
         """
         out = bytearray()
         out += f"%PDF-{self.version}\n".encode()
@@ -61,7 +63,7 @@ class PdfBuilder:
         def entry(off):
             return f"{off:010d} 00000 n \n".encode()
 
-        def xref_section(start, count, first_free, trailer_extra, at):
+        def xref_section(start, count, first_free, prev_part, at):
             sec = bytearray()
             sec += b"xref\n"
             sec += f"{start} {count}\n".encode()
@@ -77,7 +79,10 @@ class PdfBuilder:
                 sec += entry(offsets[i - 1] + skew)
             sec += b"trailer\n"
             info_part = f" /Info {info} 0 R" if info is not None else ""
-            sec += f"<< /Size {n + 1} /Root {root} 0 R{info_part}{trailer_extra} >>\n".encode()
+            sec += (
+                f"<< /Size {n + 1} /Root {root} 0 R{info_part}"
+                f"{prev_part}{trailer_extra} >>\n"
+            ).encode()
             return sec
 
         if prev_sections:
@@ -808,4 +813,142 @@ FILTER_CONSTRUCTS = {
     "flt-lzw": lambda uid: pdf_filtered(uid, "LZWDecode"),
     "flt-lzw-ec0": lambda uid: pdf_filtered(uid, "LZWDecode", early_change=0),
     "flt-a85-broken": pdf_filtered_broken,
+}
+
+
+class EncryptedPdfBuilder(PdfBuilder):
+    """Classic-xref builder whose streams (and hex strings) are
+    encrypted with the standard security handler (ISO 32000-1 §7.6):
+    R2/RC4-40, R3/RC4-128, or R4 crypt filters (/V2 RC4, /AESV2
+    AES-128-CBC). The engine's spec mode decrypts these with the empty
+    user password (pdfref/crypt.py); parity mode surfaces
+    `error:Encrypted` like it does for every encrypted document.
+
+    The writer side reuses the engine's algorithm implementations
+    (compute_o / file_key / compute_u / object_key) — the round-trip is
+    still independently pinned by the FIPS-197 / RC4 published vectors
+    and the hand-computed key-derivation test in tests/test_crypt.py.
+    """
+
+    def __init__(self, uid: str, r: int = 3, v: int = 2, nbits: int = 128,
+                 cfm: str | None = None, user_pw: bytes = b"",
+                 encrypt_metadata: bool = True):
+        import hashlib
+
+        from ..pdfref import crypt as C
+
+        super().__init__(version="1.6" if v == 4 else "1.4")
+        self.r, self.v, self.nbits, self.cfm = r, v, nbits, cfm
+        self.encrypt_metadata = encrypt_metadata
+        self.p = -44  # print+copy denied: a realistic permissions mask
+        n = 5 if r == 2 else nbits // 8
+        self.id0 = hashlib.md5(f"encid:{uid}".encode()).digest()
+        self.o_entry = C.compute_o(b"fixture-owner", user_pw, r, n)
+        self.fkey = C.file_key(user_pw, self.o_entry, self.p, self.id0, r, n,
+                               encrypt_metadata)
+        self.u_entry = C.compute_u(self.fkey, self.id0, r)
+        self.cipher = "aesv2" if cfm == "AESV2" else "rc4"
+        self._C = C
+
+    def _encrypt(self, data: bytes, num: int) -> bytes:
+        C = self._C
+        if self.cipher == "aesv2":
+            key = C.object_key(self.fkey, num, 0, True)
+            # deterministic IV: fixtures are pure functions of (id, uid)
+            import hashlib
+
+            iv = hashlib.md5(self.id0 + num.to_bytes(4, "big")).digest()
+            return iv + C.aes_cbc_encrypt(key, iv, data)
+        return C.rc4(C.object_key(self.fkey, num, 0, False), data)
+
+    def add_stream(self, header_extra: str, data: bytes, compress: bool = False,
+                   length_ref: int | None = None) -> int:
+        if compress:
+            import zlib as _z
+
+            data = _z.compress(data, 6)
+            header_extra += " /Filter /FlateDecode"
+        data = self._encrypt(data, len(self.objects) + 1)
+        if length_ref is not None:
+            header = f"<< /Length {length_ref} 0 R{header_extra} >>"
+        else:
+            header = f"<< /Length {len(data)}{header_extra} >>"
+        body = header.encode("latin-1") + b"\nstream\n" + data + b"\nendstream"
+        return self.add(body)
+
+    def add_hexstring_dict(self, key: str, plaintext: bytes, extra: str = "") -> int:
+        """An object whose /{key} is an ENCRYPTED hex string (exercises
+        the string-decryption path, e.g. an /Info /Title)."""
+        num = len(self.objects) + 1
+        enc = self._encrypt(plaintext, num)
+        return self.add(f"<< /{key} <{enc.hex().upper()}>{extra} >>".encode())
+
+    def build_encrypted(self, root: int, info: int | None = None) -> bytes:
+        if self.v == 4:
+            em = "" if self.encrypt_metadata else " /EncryptMetadata false"
+            cf = (
+                f" /CF << /StdCF << /CFM /{self.cfm} /Length {self.nbits // 8} >> >>"
+                f" /StmF /StdCF /StrF /StdCF{em}"
+            )
+        else:
+            cf = ""
+        enc_obj = self.add(
+            (
+                f"<< /Filter /Standard /V {self.v} /R {self.r} /Length {self.nbits} "
+                f"/P {self.p} /O <{self.o_entry.hex().upper()}> "
+                f"/U <{self.u_entry.hex().upper()}>{cf} >>"
+            ).encode()
+        )
+        trailer = (
+            f" /Encrypt {enc_obj} 0 R"
+            f" /ID [ <{self.id0.hex().upper()}> <{self.id0.hex().upper()}> ]"
+        )
+        return self.build(root, info=info, trailer_extra=trailer)
+
+
+def pdf_encrypted(uid: str, r: int = 3, v: int = 2, nbits: int = 128,
+                  cfm: str | None = None, user_pw: bytes = b"",
+                  encrypt_metadata: bool = True, compress: bool = True) -> bytes:
+    """Encrypted single-page document: Flate'd content stream (decrypt
+    THEN inflate — order matters), an encrypted CMap stream, and an
+    /Info dict whose /Title is an encrypted hex string."""
+    b = EncryptedPdfBuilder(uid, r=r, v=v, nbits=nbits, cfm=cfm,
+                            user_pw=user_pw, encrypt_metadata=encrypt_metadata)
+    text = f"secret {uid}"
+    alphabet = sorted(set(text))
+    code_of = {ch: i + 1 for i, ch in enumerate(alphabet)}
+    cm = cmap_source({c: ch for ch, c in code_of.items()}, two_byte=False)
+    cm_obj = b.add_stream("", cm.encode("latin-1"), compress=compress)
+    font = b.add(
+        (
+            f"<< /Type /Font /Subtype /TrueType /BaseFont /FAKE+Enc "
+            f"/FirstChar 1 /LastChar {len(alphabet)} /ToUnicode {cm_obj} 0 R >>"
+        ).encode()
+    )
+    tj = _encode_tj_hex(text, code_of, 2)
+    content = (
+        f"BT /F1 11 Tf 40 700 Td {_lit('encrypted line ' + uid)} Tj "
+        f"0 -14 Td [{tj}] TJ ET"
+    ).encode("latin-1")
+    c = b.add_stream("", content, compress=compress)
+    root = _page_setup(b, c, font)
+    info = b.add_hexstring_dict("Title", f"Classified {uid}".encode("latin-1"))
+    return b.build_encrypted(root, info=info)
+
+
+# Encrypted construct matrix for the spec-mode decryption family
+# (parity mode yields error:Encrypted for every one of these; kept OUT
+# of PDF_CONSTRUCTS so the t1/t2/bench corpora stay byte-stable)
+ENC_CONSTRUCTS = {
+    "enc-rc4-40": lambda uid: pdf_encrypted(uid, r=2, v=1, nbits=40),
+    "enc-rc4-128": lambda uid: pdf_encrypted(uid, r=3, v=2, nbits=128),
+    "enc-aesv2": lambda uid: pdf_encrypted(uid, r=4, v=4, nbits=128, cfm="AESV2"),
+    "enc-cf-v2": lambda uid: pdf_encrypted(uid, r=4, v=4, nbits=128, cfm="V2"),
+    "enc-nometa": lambda uid: pdf_encrypted(
+        uid, r=4, v=4, nbits=128, cfm="AESV2", encrypt_metadata=False
+    ),
+    "enc-uncompressed": lambda uid: pdf_encrypted(uid, r=3, v=2, nbits=128, compress=False),
+    # password-protected: empty user password fails the /U check ->
+    # error:Encrypted row even in spec mode (never emit ciphertext)
+    "enc-badpass": lambda uid: pdf_encrypted(uid, r=3, v=2, nbits=128, user_pw=b"hunter2"),
 }

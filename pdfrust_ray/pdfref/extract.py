@@ -93,10 +93,26 @@ def _load(data: bytes, cmap_cache=None, spec_mode: bool = False) -> tuple[DocCtx
     # whatever generic error the encrypted streams produce. A distinct,
     # early status row is the real-user behavior: strings/streams of an
     # encrypted document are ciphertext, so continuing can only mislead.
+    # Spec mode goes further: resolve the /Encrypt dict and attach a
+    # standard-security-handler decryptor (empty user password, RC4 or
+    # AES-128 — see crypt.py); password-protected or unsupported
+    # handlers still become error rows.
     if getattr(xref, "encrypt", None) is not None:
-        raise ParseError(
-            "Encrypted", "document uses encryption (trailer /Encrypt present); decryption unsupported"
-        )
+        if spec_mode:
+            from .crypt import build_decryptor
+
+            addr = xref.get_and_fix(xref.encrypt, data)
+            if addr is None:
+                raise ParseError("Encrypted", "/Encrypt object not found")
+            enc = object_at(data, addr, xref)
+            if not isinstance(enc, dict):
+                raise ParseError("Encrypted", "/Encrypt is not a dictionary")
+            xref.decryptor = build_decryptor(enc, xref.id0)
+        else:
+            raise ParseError(
+                "Encrypted",
+                "document uses encryption (trailer /Encrypt present); decryption unsupported",
+            )
     ctx = DocCtx(data, xref, cmap_cache)
     return ctx, xref
 
@@ -123,9 +139,14 @@ def extract(data: bytes, mode: str = "text", cmap_cache=None, spec_mode: bool = 
     return Extracted(text=text, n_pages=catalog.n_pages(), bytes_len=len(data))
 
 
-def extract_info(data: bytes) -> dict:
-    """Trailer Info dict reader (info.rs:23-75)."""
-    ctx, xref = _load(data)
+def extract_info(data: bytes, spec_mode: bool = False) -> dict:
+    """Trailer Info dict reader (info.rs:23-75).
+
+    spec_mode additionally accepts hex strings for every field (decoded
+    UTF-8, "" on error) — encrypted documents store Info strings as hex
+    so they survive the parser's UTF-8-strict literal strings, and the
+    decryptor hands back their plaintext bytes as HexString."""
+    ctx, xref = _load(data, spec_mode=spec_mode)
     info_key = getattr(xref, "info", None)
     if info_key is None:
         raise ParseError("Info", "trailer has no Info")
@@ -149,7 +170,7 @@ def extract_info(data: bytes) -> dict:
             out[field] = None
         elif isinstance(v, PdfString):
             out[field] = str(v)
-        elif isinstance(v, HexString) and key in ("Creator", "Producer"):
+        elif isinstance(v, HexString) and (spec_mode or key in ("Creator", "Producer")):
             try:
                 out[field] = v.decode("utf-8")
             except UnicodeDecodeError:

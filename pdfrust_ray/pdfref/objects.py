@@ -94,7 +94,16 @@ def _decode_utf8_strict(raw: bytes) -> str:
         raise ParseError("Utf8", "invalid UTF-8 in literal string")
 
 
-def token_to_object(tok):
+def _decrypt_str(raw: bytes, crypt) -> bytes:
+    """Spec-mode string decryption: `crypt` is (StdDecryptor, (num, gen))
+    while parsing inside an encrypted document's indirect object."""
+    if crypt is None:
+        return raw
+    dec, (num, gen) = crypt
+    return dec.decrypt(raw, num, gen, "str")
+
+
+def token_to_object(tok, crypt=None):
     """Bare-token -> Object conversion (object.rs:171-192)."""
     kind, val = tok
     if kind == DICT_BEGIN:
@@ -108,9 +117,9 @@ def token_to_object(tok):
     if kind == STR:
         return PdfString(_decode_utf8_strict(val))
     if kind == LIT:
-        return PdfString(_decode_utf8_strict(val))
+        return PdfString(_decode_utf8_strict(_decrypt_str(val, crypt)))
     if kind == HEX:
-        return HexString(val)
+        return HexString(_decrypt_str(val, crypt))
     if kind == REF:
         return Ref(*val)
     raise ParseError("Object", f"Unexpected token found in object {tok!r}")
@@ -125,7 +134,7 @@ def parse_array(lem: Lemmatizer) -> list:
             break
         if t[0] == ARR_END:
             break
-        arr.append(token_to_object(t))
+        arr.append(token_to_object(t, lem.crypt))
     return arr
 
 
@@ -151,11 +160,11 @@ def parse_dictionary(lem: Lemmatizer) -> dict:
         elif vkind == ARR_BEGIN:
             value = parse_array(lem)
         elif vkind == LIT:
-            value = PdfString(_decode_utf8_strict(vval))
+            value = PdfString(_decode_utf8_strict(_decrypt_str(vval, lem.crypt)))
         elif vkind == STR:
             value = Name(_decode_utf8_strict(vval))
         elif vkind == HEX:
-            value = HexString(vval)
+            value = HexString(_decrypt_str(vval, lem.crypt))
         elif vkind == NAME:
             value = Name(vval)
         elif vkind == NUM:
@@ -203,13 +212,30 @@ def parse_object(lem: Lemmatizer, xref=None):
             raise ParseError("Object", "Unexpected end of stream found in object")
         kind, val = t
         if kind == OBJ_BEGIN:
+            # spec-mode decryption: the xref carries a decryptor once the
+            # /Encrypt dict is resolved; arm per-object crypt state with
+            # this object's (num, gen) for strings and the stream payload
+            dec = getattr(xref, "decryptor", None)
+            if dec is not None and val is not None:
+                lem.crypt = (dec, val)
             continue
         if kind == DICT_BEGIN:
             d = parse_dictionary(lem)
             nt = lem.next()
             if nt is not None and nt[0] == STREAM_BEGIN:
                 length = _resolve_stream_length(d, lem, xref)
-                return StreamObj(d, lem.next_n(length))
+                # spec mode: exact single-EOL stream positioning (binary
+                # payloads may START with whitespace-class bytes the
+                # parity next_n would eat)
+                if getattr(xref, "spec_mode", False):
+                    data = lem.next_n_spec(length)
+                else:
+                    data = lem.next_n(length)
+                # xref streams are never encrypted (ISO 32000-1 7.5.8.2)
+                if lem.crypt is not None and str(d.get("Type")) != "XRef":
+                    dec, (num, gen) = lem.crypt
+                    data = dec.decrypt(data, num, gen, "stm")
+                return StreamObj(d, data)
             return d
         if kind == NUM:
             return val

@@ -115,6 +115,22 @@ class Tokenizer:
         self.pos = i
         return bytes(b[i : i + length])
 
+    def next_n_spec(self, length: int) -> bytes:
+        """ISO 32000-1 §7.3.8.1 stream positioning: the payload begins
+        after exactly one EOL following the `stream` keyword. The
+        parity `next_n` instead skips ALL whitespace (tokenizer.rs:
+        173-185) — harmless for Flate payloads (0x78 first byte) but it
+        eats leading whitespace-class bytes of encrypted/binary
+        payloads, so spec mode uses this exact variant."""
+        b = self.bytes
+        i = self.pos
+        if b[i : i + 2] == b"\r\n":
+            i += 2
+        elif i < len(b) and b[i] in (0x0A, 0x0D):
+            i += 1
+        self.pos = i
+        return bytes(b[i : i + length])
+
     def next(self):
         """Return the next token as (kind, value) or None at EOF."""
         b = self.bytes
@@ -277,11 +293,14 @@ class Tokenizer:
 class Lemmatizer:
     """Tokenizer wrapper folding indirect refs / obj headers — tokenizer.rs:92-157."""
 
-    __slots__ = ("tokenizer", "xref")
+    __slots__ = ("tokenizer", "xref", "crypt")
 
     def __init__(self, data: bytes, pos: int, xref):
         self.tokenizer = Tokenizer(data, pos)
         self.xref = xref
+        # (StdDecryptor, (num, gen)) while parsing inside an encrypted
+        # document's indirect object — set by parse_object on OBJ_BEGIN
+        self.crypt = None
 
     @property
     def bytes(self):
@@ -289,6 +308,9 @@ class Lemmatizer:
 
     def next_n(self, length: int) -> bytes:
         return self.tokenizer.next_n(length)
+
+    def next_n_spec(self, length: int) -> bytes:
+        return self.tokenizer.next_n_spec(length)
 
     def next(self):
         while True:
@@ -309,7 +331,11 @@ class Lemmatizer:
                             return (REF, (t[1].val, t2[1].val))
                         if t3[1] == b"obj":
                             self.tokenizer.pos = look.pos
-                            return (OBJ_BEGIN, None)
+                            # engine extension: carry (num, gen) so the
+                            # object parser can derive per-object
+                            # decryption keys (the reference's ObjBegin
+                            # discards them, tokenizer.rs:131-140)
+                            return (OBJ_BEGIN, (t[1].val, t2[1].val))
                         # reference quirk: `int int <keyword>` falls through
                         # to the trailing None (tokenizer.rs:155)
                         return None

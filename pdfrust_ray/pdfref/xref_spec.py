@@ -44,7 +44,10 @@ class SpecXRef:
 
     spec_mode = True
 
-    __slots__ = ("data", "entries", "root", "info", "encrypt", "size", "_handles", "_objstm")
+    __slots__ = (
+        "data", "entries", "root", "info", "encrypt", "size",
+        "id0", "decryptor", "_handles", "_objstm",
+    )
 
     def __init__(self, data: bytes, offset: int):
         self.data = data
@@ -53,6 +56,8 @@ class SpecXRef:
         self.root = None
         self.info = None
         self.encrypt = None
+        self.id0 = b""  # first /ID element (encryption key derivation)
+        self.decryptor = None  # StdDecryptor once /Encrypt is resolved
         self.size = 0
         self._handles: list[tuple[int, int]] = []  # negative-address table
         self._objstm: dict[int, tuple[bytes, list[tuple[int, int]]]] = {}
@@ -171,6 +176,9 @@ class SpecXRef:
         enc = d.get("Encrypt")
         if self.encrypt is None and isinstance(enc, Ref):
             self.encrypt = enc.key()
+        fid = d.get("ID")
+        if not self.id0 and isinstance(fid, list) and fid and isinstance(fid[0], bytes):
+            self.id0 = bytes(fid[0])
         size = d.get("Size")
         if isinstance(size, Number) and size.is_int:
             self.size = max(self.size, size.val)

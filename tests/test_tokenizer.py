@@ -176,7 +176,7 @@ def test_lemmatizer_folds_ref_and_obj():
         b"2 0 obj\n<<\n  /Type /Pages\n  /Count 1\n  /Kids [ 3 0 R ]\n>>\nendobj\n"
     )
     assert out == [
-        (OBJ_BEGIN, None),
+        (OBJ_BEGIN, (2, 0)),
         (DICT_BEGIN, None),
         (NAME, "Type"),
         (NAME, "Pages"),
