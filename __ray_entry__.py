@@ -339,6 +339,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_supplier_names": rel.nation_supplier_names,
         "running_user_totals": rel.running_user_totals,
         "asof_click_before_purchase": rel.asof_click_before_purchase,
+        # ranked top-N per group (ROW_NUMBER) with a local top-k combiner
+        "top_orders_per_segment": rel.top_orders_per_segment,
+        # LEAD window (next-event gap + type per user)
+        "user_next_event": rel.user_next_event,
+        # set ops (INTERSECT/EXCEPT membership classes)
+        "user_funnel_sets": rel.user_funnel_sets,
+        # interpolated percentiles (quantile_cont, bit-exact doubles)
+        "events_value_percentiles": rel.events_value_percentiles,
+        # pivot long->wide via vectorized indicator columns
+        "events_daily_pivot": rel.events_daily_pivot,
     }
 
 
@@ -493,6 +503,11 @@ def oracle_sql() -> dict[str, str]:
         "nation_supplier_names": rel.nation_supplier_names_sql(),
         "running_user_totals": rel.running_user_totals_sql(),
         "asof_click_before_purchase": rel.asof_click_before_purchase_sql(),
+        "top_orders_per_segment": rel.top_orders_per_segment_sql(),
+        "user_next_event": rel.user_next_event_sql(),
+        "user_funnel_sets": rel.user_funnel_sets_sql(),
+        "events_value_percentiles": rel.events_value_percentiles_sql(),
+        "events_daily_pivot": rel.events_daily_pivot_sql(),
         "heavy_tokens": sketches.heavy_tokens_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a

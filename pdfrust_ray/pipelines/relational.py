@@ -788,6 +788,267 @@ def events_sliding_hour_sql() -> str:
     """
 
 
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Ranked top-N per group (ROW_NUMBER() <= k): the k highest-value
+    orders per market segment.
+
+    Scale shape: broadcast the small customer side (ray.put once), then
+    a per-batch LOCAL top-k combiner — each batch keeps at most k rows
+    per segment, so the final groupby(segment) shuffle moves
+    O(batches x segments x k) rows, never the order table. The final
+    per-group rank is assigned inside map_groups."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    ref = ray.put(cust)
+
+    class LocalTopK:
+        def __init__(self):
+            self.cust = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            left = pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "o_orderkey": t["o_orderkey"],
+                    "price_cents": _cents(t["o_totalprice"]),
+                }
+            )
+            j = left.join(
+                self.cust, keys="o_custkey", right_keys="c_custkey", join_type="inner"
+            ).select(["c_mktsegment", "o_orderkey", "price_cents"])
+            # local combiner: keep at most k candidates per segment
+            df = j.to_pandas()
+            df = df.sort_values(
+                ["c_mktsegment", "price_cents", "o_orderkey"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            return pa.Table.from_pandas(
+                df.groupby("c_mktsegment", sort=False).head(k), preserve_index=False
+            )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["price_cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = pd.Series(range(1, len(g) + 1), dtype="int64")
+        return g[["c_mktsegment", "rnk", "o_orderkey", "price_cents"]]
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out = (
+        ds.map_batches(LocalTopK, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("c_mktsegment")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["c_mktsegment", "rnk"]).reset_index(drop=True)
+
+
+def top_orders_per_segment_sql(k: int = 3) -> str:
+    return f"""
+        WITH j AS (
+          SELECT c.c_mktsegment, o.o_orderkey,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), r AS (
+          SELECT c_mktsegment, o_orderkey, price_cents,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY price_cents DESC, o_orderkey) AS rnk
+          FROM j
+        )
+        SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_orderkey, price_cents
+        FROM r WHERE rnk <= {k}
+        ORDER BY c_mktsegment, rnk
+    """
+
+
+def user_next_event(sf_dir: str) -> pd.DataFrame:
+    """LEAD window: for every event, the time gap to the same user's
+    NEXT event (microseconds) and that event's type. Last event of a
+    user gets the sentinels (-1, '') so the frame hashes identically to
+    the SQL LEAD oracle's COALESCE. One key-partitioned shuffle
+    (groupby user_id), vectorized shift inside the group."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        nxt_ts = g["ts"].shift(-1)
+        gap = ((nxt_ts - g["ts"]).dt.total_seconds() * 1_000_000).round()
+        g["next_gap_us"] = gap.fillna(-1).astype("int64")
+        g["next_event_type"] = g["event_type"].shift(-1).fillna("")
+        return g[["event_id", "user_id", "next_gap_us", "next_event_type"]]
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def user_next_event_sql() -> str:
+    return """
+        SELECT event_id, user_id,
+               COALESCE(CAST(date_diff('microsecond', ts, LEAD(ts) OVER w) AS BIGINT),
+                        -1) AS next_gap_us,
+               COALESCE(LEAD(event_type) OVER w, '') AS next_event_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """
+
+
+def user_funnel_sets(sf_dir: str) -> pd.DataFrame:
+    """Set operations (INTERSECT / EXCEPT re-expressed): classify every
+    user by membership in the click set vs the purchase set — 'both' is
+    the INTERSECT, 'click_only'/'purchase_only' the two EXCEPTs,
+    'neither' the complement. Ray shape: per-batch indicator columns
+    (vectorized equality) -> one groupby(user_id) Max aggregate (the
+    exchange carries two int bits per user), category derived on the
+    tiny aggregate."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "is_click": pc.cast(pc.equal(et, "click"), pa.int64()),
+                "is_purchase": pc.cast(pc.equal(et, "purchase"), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("is_click", alias_name="has_click"), Max("is_purchase", alias_name="has_purchase"))
+        .to_pandas()
+    )
+    import numpy as np
+
+    c = agg["has_click"].to_numpy() == 1
+    p = agg["has_purchase"].to_numpy() == 1
+    agg["funnel_set"] = np.select(
+        [c & p, c & ~p, ~c & p], ["both", "click_only", "purchase_only"], default="neither"
+    )
+    out = agg[["user_id", "funnel_set"]].copy()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def user_funnel_sets_sql() -> str:
+    return """
+        WITH f AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CASE WHEN has_click = 1 AND has_purchase = 1 THEN 'both'
+                    WHEN has_click = 1 THEN 'click_only'
+                    WHEN has_purchase = 1 THEN 'purchase_only'
+                    ELSE 'neither' END AS funnel_set
+        FROM f ORDER BY user_id
+    """
+
+
+def events_value_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Interpolated (continuous) percentiles per event type — the
+    quantile_cont complement of lineitem_quantiles' quantile_disc.
+
+    Exactness: DuckDB interpolates as lo*(1-frac) + hi*frac with
+    h = (n-1)*q (verified bit-identical on the testdata); the same
+    float-op order is reproduced here so the doubles hash-match. One
+    key-partitioned shuffle, numpy sort per group."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+
+        def qc(q: float) -> float:
+            h = (n - 1) * q
+            lo = int(np.floor(h))
+            frac = h - lo
+            hi = min(lo + 1, n - 1)
+            return float(v[lo] * (1 - frac) + v[hi] * frac)
+
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50_value": [qc(0.5)],
+                "p95_value": [qc(0.95)],
+                "n_events": [n],
+            }
+        )
+
+    out = (
+        ds.groupby("event_type")
+        .map_groups(quantiles, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_value_percentiles_sql() -> str:
+    return """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50_value,
+               quantile_cont(value, 0.95) AS p95_value,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_daily_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot (long -> wide): per day, one count column per event type
+    plus the total. Ray shape: the CASE-WHEN indicator columns are
+    built vectorized per batch, so the pivot is just a groupby(day) Sum
+    — the exchange carries one short row per (batch, day), never a
+    per-type fan-out."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = {"day": pc.floor_temporal(t["ts"], unit="day")}
+        for et in _EVENT_TYPES:
+            cols[f"n_{et}"] = pc.cast(pc.equal(t["event_type"], et), pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{et}", alias_name=f"n_{et}") for et in _EVENT_TYPES]
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(*aggs, Count(alias_name="n_total"))
+        .to_pandas()
+    )
+    for et in _EVENT_TYPES:
+        out[f"n_{et}"] = out[f"n_{et}"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def events_daily_pivot_sql() -> str:
+    cases = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{et}"
+        for et in _EVENT_TYPES
+    )
+    return f"""
+        SELECT date_trunc('day', ts) AS day,
+               {cases},
+               COUNT(*) AS n_total
+        FROM events
+        GROUP BY 1 ORDER BY 1
+    """
+
+
 def nation_supplier_names(sf_dir: str) -> pd.DataFrame:
     """Collect/string-agg per group: comma-joined sorted supplier names
     per nation key (one key-partitioned shuffle, per-group join)."""

@@ -298,6 +298,59 @@ def test_asof_join_matches_sql(ray_session, duck):
     _compare(mine, oracle)
 
 
+@needs_testdata
+def test_top_orders_per_segment_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        top_orders_per_segment,
+        top_orders_per_segment_sql,
+    )
+
+    mine = top_orders_per_segment(SF)
+    oracle = duck.execute(top_orders_per_segment_sql()).df()
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_user_next_event_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import user_next_event, user_next_event_sql
+
+    mine = user_next_event(SF)
+    oracle = duck.execute(user_next_event_sql()).df()
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_user_funnel_sets_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import user_funnel_sets, user_funnel_sets_sql
+
+    mine = user_funnel_sets(SF)
+    oracle = duck.execute(user_funnel_sets_sql()).df()
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_events_value_percentiles_match_sql_bitexact(ray_session, duck):
+    """quantile_cont doubles must be bit-identical (lo*(1-frac)+hi*frac
+    — DuckDB's interpolation op order)."""
+    from pdfrust_ray.pipelines.relational import (
+        events_value_percentiles,
+        events_value_percentiles_sql,
+    )
+
+    mine = events_value_percentiles(SF)
+    oracle = duck.execute(events_value_percentiles_sql()).df()
+    _compare(mine, oracle)
+
+
+@needs_testdata
+def test_events_daily_pivot_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import events_daily_pivot, events_daily_pivot_sql
+
+    mine = events_daily_pivot(SF)
+    oracle = duck.execute(events_daily_pivot_sql()).df()
+    _compare(mine, oracle)
+
+
 def test_minhash_mega_duplicate_group_no_blowup(ray_session, tmp_path):
     """A planted mega exact-duplicate group must not explode a bucket:
     candidate generation pairs distinct-text REPRESENTATIVES only, and
