@@ -349,6 +349,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentiles": rel.events_value_percentiles,
         # pivot long->wide via vectorized indicator columns
         "events_daily_pivot": rel.events_daily_pivot,
+        # 3-way star-schema dimension chain broadcast
+        "region_revenue": rel.region_revenue,
+        # FIRST_VALUE/LAST_VALUE window
+        "first_last_order_per_customer": rel.first_last_order_per_customer,
+        # correlated-subquery filter (integer-exact avg predicate)
+        "orders_above_customer_avg": rel.orders_above_customer_avg,
+        # per-group mode with deterministic ties
+        "user_top_event_type": rel.user_top_event_type,
+        # fixed-width histogram
+        "events_value_histogram": rel.events_value_histogram,
+        # PERCENT_RANK / CUME_DIST (bit-exact doubles)
+        "user_value_percent_rank": rel.user_value_percent_rank,
     }
 
 
@@ -508,6 +520,12 @@ def oracle_sql() -> dict[str, str]:
         "user_funnel_sets": rel.user_funnel_sets_sql(),
         "events_value_percentiles": rel.events_value_percentiles_sql(),
         "events_daily_pivot": rel.events_daily_pivot_sql(),
+        "region_revenue": rel.region_revenue_sql(),
+        "first_last_order_per_customer": rel.first_last_order_per_customer_sql(),
+        "orders_above_customer_avg": rel.orders_above_customer_avg_sql(),
+        "user_top_event_type": rel.user_top_event_type_sql(),
+        "events_value_histogram": rel.events_value_histogram_sql(),
+        "user_value_percent_rank": rel.user_value_percent_rank_sql(),
         "heavy_tokens": sketches.heavy_tokens_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a

@@ -1049,6 +1049,294 @@ def events_daily_pivot_sql() -> str:
     """
 
 
+def region_revenue(sf_dir: str) -> pd.DataFrame:
+    """3-way dimension join chain: lineitem -> supplier -> nation ->
+    region, revenue per region. The dimension chain (supplier x nation
+    x region) is pre-joined ONCE driver-side into a single
+    suppkey -> region map and broadcast — at design scale the dims are
+    O(suppliers) rows vs O(lineitems) facts, the textbook star-schema
+    broadcast; the fact table never shuffles until the tiny final
+    groupby."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    dim = supp.join(
+        nation, keys="s_nationkey", right_keys="n_nationkey", join_type="inner"
+    ).join(region, keys="n_regionkey", right_keys="r_regionkey", join_type="inner")
+    dim = dim.select(["s_suppkey", "r_name"])
+    ref = ray.put(dim)
+
+    class JoinRegion:
+        def __init__(self):
+            self.dim = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            left = pa.table(
+                {"l_suppkey": t["l_suppkey"], "price_cents": _cents(t["l_extendedprice"])}
+            )
+            j = left.join(self.dim, keys="l_suppkey", right_keys="s_suppkey", join_type="inner")
+            return j.select(["r_name", "price_cents"])
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice"])
+    out = (
+        ds.map_batches(JoinRegion, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("r_name")
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def region_revenue_sql() -> str:
+    return """
+        SELECT r.r_name,
+               CAST(ROUND(SUM(ROUND(l.l_extendedprice * 100))) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+    """
+
+
+def first_last_order_per_customer(sf_dir: str) -> pd.DataFrame:
+    """FIRST_VALUE / LAST_VALUE window: per customer, the orderkey of
+    their earliest and latest order in (o_orderdate, o_orderkey) order,
+    plus the order count. One key-partitioned shuffle; argmin/argmax
+    computed vectorized inside the group."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "o_custkey": pd.Series([int(g["o_custkey"].iloc[0])], dtype="int64"),
+                "first_orderkey": pd.Series([int(g["o_orderkey"].iloc[0])], dtype="int64"),
+                "last_orderkey": pd.Series([int(g["o_orderkey"].iloc[-1])], dtype="int64"),
+                "n_orders": pd.Series([len(g)], dtype="int64"),
+            }
+        )
+
+    out = ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def first_last_order_per_customer_sql() -> str:
+    return """
+        SELECT DISTINCT o_custkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+               LAST_VALUE(o_orderkey) OVER w AS last_orderkey,
+               CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey
+    """
+
+
+def orders_above_customer_avg(sf_dir: str) -> pd.DataFrame:
+    """Correlated-subquery filter: orders strictly above their own
+    customer's average order value.
+
+    Integer-exact predicate: price_cents * n_orders > sum_cents avoids
+    the float average entirely, so engine and SQL agree bit-for-bit.
+    Shape: one groupby(custkey) aggregate produces the per-customer
+    (sum, count) pairs — customer-count rows, broadcast once — then an
+    embarrassingly-parallel vectorized filter over orders."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "price_cents": _cents(t["o_totalprice"])}
+        )
+
+    stats = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("price_cents", alias_name="sum_cents"), Count(alias_name="n_orders"))
+    )
+    stats_tbl = pa.Table.from_pandas(stats.to_pandas(), preserve_index=False)
+    ref = ray.put(stats_tbl)
+
+    class AboveAvg:
+        def __init__(self):
+            self.stats = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            left = pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "o_custkey": t["o_custkey"],
+                    "price_cents": _cents(t["o_totalprice"]),
+                }
+            )
+            j = left.join(self.stats, keys="o_custkey", join_type="inner")
+            lhs = pc.multiply(j["price_cents"], j["n_orders"])
+            keep = pc.greater(lhs, j["sum_cents"])
+            return j.filter(keep).select(["o_orderkey", "o_custkey", "price_cents"])
+
+    out = ds.map_batches(AboveAvg, batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def orders_above_customer_avg_sql() -> str:
+    return """
+        WITH s AS (
+          SELECT o_custkey,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders o JOIN s ON o.o_custkey = s.o_custkey
+        WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * s.n_orders > s.sum_cents
+        ORDER BY o.o_orderkey
+    """
+
+
+def user_top_event_type(sf_dir: str) -> pd.DataFrame:
+    """Per-group MODE: each user's most frequent event type, ties broken
+    by the lexically smallest type (deterministic, unlike SQL mode()).
+    Shape: per-batch combiner counts (user,type) pairs -> one
+    groupby(user_id, event_type) Sum -> argmax inside a second tiny
+    groupby(user). The exchange carries (user x type) count rows."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "event_type"], ascending=[False, True], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([int(g["user_id"].iloc[0])], dtype="int64"),
+                "top_event_type": pd.Series([g["event_type"].iloc[0]], dtype="str"),
+                "n_events": pd.Series([int(g["n"].iloc[0])], dtype="int64"),
+            }
+        )
+
+    out = counts.groupby("user_id").map_groups(pick, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def user_top_event_type_sql() -> str:
+    return """
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY user_id, event_type
+        ), r AS (
+          SELECT user_id, event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type) AS rnk
+          FROM c
+        )
+        SELECT user_id, event_type AS top_event_type, n AS n_events
+        FROM r WHERE rnk = 1 ORDER BY user_id
+    """
+
+
+def events_value_histogram(sf_dir: str, bin_width: int = 25) -> pd.DataFrame:
+    """Fixed-width histogram of the event value distribution: bin =
+    floor(value_cents / (bin_width*100)) — integer arithmetic on cents
+    so bin assignment is exact. Per-batch combiner then one tiny
+    groupby(bin); the exchange carries (batch x bins) rows."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    w = bin_width * 100
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"])
+        bins = pc.cast(pc.floor(pc.divide(pc.cast(cents, pa.float64()), float(w))), pa.int64())
+        g = pa.TableGroupBy(pa.table({"bin": bins, "value_cents": cents}), "bin").aggregate(
+            [("value_cents", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "bin": g["bin"],
+                "sum_cents": g["value_cents_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("sum_cents", alias_name="sum_value_cents"))
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value_cents"] = out["sum_value_cents"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+def events_value_histogram_sql(bin_width: int = 25) -> str:
+    w = bin_width * 100
+    return f"""
+        SELECT CAST(FLOOR(CAST(ROUND(value * 100) AS BIGINT) / {w}.0) AS BIGINT) AS bin,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def user_value_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK + CUME_DIST per user over value order: rank-based
+    relative standing of every event inside its user partition.
+    Vectorized inside the group via searchsorted on the sorted value
+    column (RANK ties = left insertion point; CUME_DIST = right), with
+    DuckDB's float formulas ((rank-1)/(n-1), cum/n) reproduced for
+    bit-identical doubles."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = g["value"].to_numpy()
+        sv = np.sort(v)
+        n = len(v)
+        rank = np.searchsorted(sv, v, side="left") + 1  # RANK() with ties
+        cume = np.searchsorted(sv, v, side="right")  # peers included
+        pr = (rank - 1) / (n - 1) if n > 1 else np.zeros(n)
+        g = g.copy()
+        g["pct_rank"] = pr
+        g["cume_dist"] = cume / n
+        return g[["event_id", "user_id", "pct_rank", "cume_dist"]]
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def user_value_percent_rank_sql() -> str:
+    return """
+        SELECT event_id, user_id,
+               PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS pct_rank,
+               CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS cume_dist
+        FROM events
+        ORDER BY event_id
+    """
+
+
 def nation_supplier_names(sf_dir: str) -> pd.DataFrame:
     """Collect/string-agg per group: comma-joined sorted supplier names
     per nation key (one key-partitioned shuffle, per-group join)."""

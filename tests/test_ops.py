@@ -351,6 +351,68 @@ def test_events_daily_pivot_matches_sql(ray_session, duck):
     _compare(mine, oracle)
 
 
+@needs_testdata
+def test_region_revenue_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import region_revenue, region_revenue_sql
+
+    _compare(region_revenue(SF), duck.execute(region_revenue_sql()).df())
+
+
+@needs_testdata
+def test_first_last_order_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        first_last_order_per_customer,
+        first_last_order_per_customer_sql,
+    )
+
+    _compare(
+        first_last_order_per_customer(SF),
+        duck.execute(first_last_order_per_customer_sql()).df(),
+    )
+
+
+@needs_testdata
+def test_orders_above_customer_avg_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        orders_above_customer_avg,
+        orders_above_customer_avg_sql,
+    )
+
+    _compare(
+        orders_above_customer_avg(SF),
+        duck.execute(orders_above_customer_avg_sql()).df(),
+    )
+
+
+@needs_testdata
+def test_user_top_event_type_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import user_top_event_type, user_top_event_type_sql
+
+    _compare(user_top_event_type(SF), duck.execute(user_top_event_type_sql()).df())
+
+
+@needs_testdata
+def test_events_value_histogram_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        events_value_histogram,
+        events_value_histogram_sql,
+    )
+
+    _compare(events_value_histogram(SF), duck.execute(events_value_histogram_sql()).df())
+
+
+@needs_testdata
+def test_user_value_percent_rank_matches_sql_bitexact(ray_session, duck):
+    """PERCENT_RANK/CUME_DIST doubles must be bit-identical
+    ((rank-1)/(n-1) and cume/n, ranks from searchsorted)."""
+    from pdfrust_ray.pipelines.relational import (
+        user_value_percent_rank,
+        user_value_percent_rank_sql,
+    )
+
+    _compare(user_value_percent_rank(SF), duck.execute(user_value_percent_rank_sql()).df())
+
+
 def test_minhash_mega_duplicate_group_no_blowup(ray_session, tmp_path):
     """A planted mega exact-duplicate group must not explode a bucket:
     candidate generation pairs distinct-text REPRESENTATIVES only, and
