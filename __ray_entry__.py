@@ -56,6 +56,7 @@ def _ensure_fixture_files() -> None:
             ensure_corpus,
             ensure_encrypted_fixture,
             ensure_modes_fixture,
+            ensure_pii_fixture,
             ensure_spec15_fixture,
             ensure_xobj_fixture,
         )
@@ -66,6 +67,7 @@ def _ensure_fixture_files() -> None:
         ensure_spec15_fixture()
         ensure_xobj_fixture()
         ensure_encrypted_fixture()
+        ensure_pii_fixture()
     except Exception:  # never break module import on fixture IO issues
         pass
 
@@ -218,6 +220,18 @@ def _q_extract_encrypted(sf_dir: str):
     return out.select_columns(_EXTRACT_COLS)
 
 
+_PII_SHARDS = f"{_FIXTURE_BASE}/pii/shards/*.parquet"
+
+
+def _q_pii_redact(sf_dir: str):
+    """Email/phone redaction over the PII transcript fixture; DuckDB
+    recomputes from the RAW shards with the identical RE2 patterns."""
+    from pdfrust_ray.fixtures.corpus import ensure_pii_fixture
+    from pdfrust_ray.pipelines.textops import pii_redact
+
+    return pii_redact(ensure_pii_fixture())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # generate fixtures eagerly so oracle_sql's read_parquet targets exist
     from pdfrust_ray.fixtures.corpus import (
@@ -225,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ensure_encrypted_fixture,
         ensure_filters_fixture,
         ensure_modes_fixture,
+        ensure_pii_fixture,
         ensure_spec15_fixture,
         ensure_xobj_fixture,
     )
@@ -235,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ensure_xobj_fixture()
     ensure_filters_fixture()
     ensure_encrypted_fixture()
+    ensure_pii_fixture()
 
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import relational as rel
@@ -301,6 +317,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_doc": textops.top_terms_per_doc,
         "charset_best_match": textops.charset_best_match,
         "charset_best_match_lsh": textops.charset_best_match_lsh,
+        # decontamination: word-13-gram overlap vs a broadcast benchmark set
+        "benchmark_contamination": textops.benchmark_contamination,
+        # PII scrubbing (email/phone) over the transcript pii fixture
+        "pii_redact": _q_pii_redact,
         # --- multimodal plumbing ---
         "media_features": media_features_q,
         # --- mergeable distributed sketches ---
@@ -488,6 +508,8 @@ def oracle_sql() -> dict[str, str]:
         # recursive-CTE min-label closure over the exact pair set
         "dedup_clusters": dedup_clusters_sql(),
         "charset_best_match": textops.charset_best_match_sql(),
+        "benchmark_contamination": textops.benchmark_contamination_sql(),
+        "pii_redact": textops.pii_redact_sql(_PII_SHARDS),
         "token_counts": textops.token_counts_sql(),
         # float-op-order-exact SQL twin of the quality heuristic
         "quality_scores": textops.quality_scores_sql(),

@@ -550,3 +550,64 @@ def ensure_encrypted_fixture(base_dir: str | None = None) -> str:
     with open(marker, "w") as f:
         json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
     return base
+
+
+_PII_NAMES = ["ada", "grace", "alan", "edsger", "barbara", "donald"]
+_PII_DOMAINS = ["example.com", "mail.org", "corp-test.net"]
+
+
+def ensure_pii_fixture(base_dir: str | None = None) -> str:
+    """PII-bearing transcript fixture family for the redaction op: all
+    plain turns (tool=""), with deterministic mixes of email addresses
+    and 555-prefix phone numbers (plus PII-free turns, multi-PII turns,
+    and PII embedded mid-sentence / at line starts). The redaction
+    oracle recomputes from these RAW shards with the identical RE2
+    patterns, so the check is independent of the engine."""
+    base = base_dir or "/tmp/pdfrust_ray_fixtures/pii"
+    marker = os.path.join(base, "_COMPLETE.json")
+    if _marker_current(marker):
+        return base
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    rows = []
+    for conv in range(12):
+        conv_id = f"pii-{conv:04d}"
+        for t in range(10):
+            uid = f"{conv_id}/{t}"
+            h = _h(f"pii:{uid}")
+            name = _PII_NAMES[h % len(_PII_NAMES)]
+            dom = _PII_DOMAINS[(h >> 8) % len(_PII_DOMAINS)]
+            phone = f"555{'-.'[(h >> 16) % 2]}{100 + h % 900}{'-.'[(h >> 16) % 2]}{1000 + (h >> 4) % 9000}"
+            kind = t % 5
+            if kind == 0:
+                text = f"note {uid}: reach {name}@{dom} for details."
+            elif kind == 1:
+                text = f"{uid} call {phone} before noon."
+            elif kind == 2:
+                text = (
+                    f"escalation {uid}: {name}.{_PII_NAMES[(h >> 24) % len(_PII_NAMES)]}"
+                    f"@{dom} or {phone}\nsecond line cc {name}+spam@{dom}"
+                )
+            elif kind == 3:
+                text = f"plain turn {uid} with no contact info at all."
+            else:
+                text = f"{name} at {dom} said {uid} (not an address); digits 12-34 stay."
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": "user" if t % 2 == 0 else "assistant",
+                    "text": text,
+                    "tool": "",
+                    "ts": 1735689600_000000 + (conv * 3600 + t * 60) * 1_000_000,
+                }
+            )
+    for shard in range(3):
+        part = [r for i, r in enumerate(rows) if i % 3 == shard]
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=TRANSCRIPTS_SCHEMA),
+            os.path.join(shard_dir, f"part-{shard:04d}.parquet"),
+        )
+    with open(marker, "w") as f:
+        json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
+    return base

@@ -698,3 +698,159 @@ def charset_best_match_sql() -> str:
         )
         SELECT doc_id, match_id, sim FROM r WHERE rk = 1 ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: word-13-gram overlap vs a benchmark set
+# ---------------------------------------------------------------------------
+
+def _word_ngrams(text: str, n: int) -> list[str]:
+    """Word n-grams with tokenization identical to the SQL oracle:
+    string_split_regex(trim(text), '\\s+')."""
+    import re
+
+    words = re.split(r"\s+", text.strip())
+    if len(words) < n:
+        return []
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def benchmark_contamination(sf_dir: str, n_bench: int = 20, n: int = 13) -> pd.DataFrame:
+    """Training-data decontamination: flag documents sharing any word
+    13-gram with a benchmark set (the industry-standard n-gram overlap
+    check; the benchmark here is the deterministic first `n_bench` docs
+    by id).
+
+    Scale shape: benchmark suites are small by nature, so the benchmark
+    gram set is built from a pushed-down `doc_id < n_bench` filter read
+    and broadcast ONCE with ray.put (never re-shipped per batch); the
+    corpus side then streams embarrassingly parallel — per batch, count
+    DISTINCT shared grams per doc. No shuffle at all: the output is
+    only the contaminated rows."""
+    import ray
+
+    bench_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).filter(expr=f"doc_id < {n_bench}")
+
+    def grams_of(t: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for txt in t["text"].to_pylist():
+            out.update(_word_ngrams(txt, n))
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    gram_rows = bench_ds.map_batches(grams_of, batch_format="pyarrow").take_all()
+    bench_grams = frozenset(r["gram"] for r in gram_rows)
+    ref = ray.put(bench_grams)
+
+    class CountShared:
+        def __init__(self):
+            self.bench = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, counts = [], []
+            for doc_id, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                shared = {g for g in _word_ngrams(txt, n) if g in self.bench}
+                if shared:
+                    ids.append(doc_id)
+                    counts.append(len(shared))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_shared_grams": pa.array(counts, pa.int64()),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(CountShared, batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_shared_grams": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def benchmark_contamination_sql(n_bench: int = 20, n: int = 13) -> str:
+    return f"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+          FROM documents
+        ), g AS (
+          SELECT doc_id, array_to_string(words[i:i+{n - 1}], ' ') AS gram
+          FROM w CROSS JOIN unnest(range(1, greatest(len(words) - {n - 2}, 1))) AS t(i)
+        ), bench AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id < {n_bench}
+        )
+        SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+        FROM g JOIN bench USING (gram)
+        GROUP BY g.doc_id ORDER BY g.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction over transcript turns
+# ---------------------------------------------------------------------------
+
+# patterns chosen to be valid AND identical in Python re and RE2 (DuckDB)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+class PiiRedactor:
+    """Actor-pool redaction stage: patterns compiled once per actor in
+    __init__, per-batch sub/count over the text column. Counts are
+    taken on the ORIGINAL text and both substitutions are applied
+    email-first, mirroring the SQL oracle's nested regexp_replace."""
+
+    def __init__(self):
+        import re
+
+        self.email = re.compile(PII_EMAIL)
+        self.phone = re.compile(PII_PHONE)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        clean, n_em, n_ph = [], [], []
+        for txt in texts:
+            n_em.append(len(self.email.findall(txt)))
+            n_ph.append(len(self.phone.findall(txt)))
+            clean.append(self.phone.sub("[PHONE]", self.email.sub("[EMAIL]", txt)))
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "clean_text": pa.array(clean, pa.string()),
+                "n_emails": pa.array(n_em, pa.int64()),
+                "n_phones": pa.array(n_ph, pa.int64()),
+            }
+        )
+
+
+def pii_redact(fixture_dir: str) -> pd.DataFrame:
+    """PII scrubbing over transcript turns (email + phone patterns) —
+    the training-data privacy pass. Embarrassingly parallel actor-pool
+    map; no shuffle; output ordered only for the oracle compare."""
+    from ..sources.transcripts import read_transcripts
+
+    ds = read_transcripts(fixture_dir)
+    out = (
+        ds.map_batches(PiiRedactor, batch_format="pyarrow", batch_size=256, concurrency=(1, 2))
+        .to_pandas()
+    )
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def pii_redact_sql(shards_glob: str) -> str:
+    return f"""
+        SELECT conv_id, turn_idx,
+               regexp_replace(
+                 regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{PII_PHONE}', '[PHONE]', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones
+        FROM read_parquet('{shards_glob}')
+        ORDER BY conv_id, turn_idx
+    """

@@ -413,6 +413,40 @@ def test_user_value_percent_rank_matches_sql_bitexact(ray_session, duck):
     _compare(user_value_percent_rank(SF), duck.execute(user_value_percent_rank_sql()).df())
 
 
+@needs_testdata
+def test_benchmark_contamination_matches_sql(ray_session, duck):
+    """13-gram decontamination: engine count of distinct shared grams
+    must equal the SQL unnest-join oracle (incl. the planted near-dup
+    of a benchmark doc)."""
+    from pdfrust_ray.pipelines.textops import (
+        benchmark_contamination,
+        benchmark_contamination_sql,
+    )
+
+    mine = benchmark_contamination(SF)
+    oracle = duck.execute(benchmark_contamination_sql()).df()
+    _compare(mine, oracle)
+    # non-vacuous: benchmark members self-hit, short docs drop out
+    assert len(mine) > 0
+
+
+def test_pii_redact_matches_sql(ray_session):
+    """Email/phone redaction must equal DuckDB regexp_replace over the
+    RAW pii fixture shards (identical RE2-compatible patterns)."""
+    import duckdb
+
+    from pdfrust_ray.fixtures.corpus import ensure_pii_fixture
+    from pdfrust_ray.pipelines.textops import pii_redact, pii_redact_sql
+
+    d = ensure_pii_fixture()
+    mine = pii_redact(d)
+    con = duckdb.connect()
+    oracle = con.execute(pii_redact_sql(f"{d}/shards/*.parquet")).df()
+    _compare(mine, oracle)
+    assert mine["n_emails"].sum() > 0 and mine["n_phones"].sum() > 0
+    assert not mine["clean_text"].str.contains("@").any()
+
+
 def test_minhash_mega_duplicate_group_no_blowup(ray_session, tmp_path):
     """A planted mega exact-duplicate group must not explode a bucket:
     candidate generation pairs distinct-text REPRESENTATIVES only, and
