@@ -223,6 +223,15 @@ def _q_extract_encrypted(sf_dir: str):
 _PII_SHARDS = f"{_FIXTURE_BASE}/pii/shards/*.parquet"
 
 
+def _q_turn_normalize(sf_dir: str):
+    """Lowercase/whitespace canonicalization of the plain turns of the
+    t2 transcript corpus; DuckDB recomputes from the RAW shards."""
+    from pdfrust_ray.fixtures.corpus import ensure_corpus
+    from pdfrust_ray.pipelines.textops import turn_normalize
+
+    return turn_normalize(ensure_corpus("t2"))
+
+
 def _q_pii_redact(sf_dir: str):
     """Email/phone redaction over the PII transcript fixture; DuckDB
     recomputes from the RAW shards with the identical RE2 patterns."""
@@ -381,6 +390,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": rel.events_value_histogram,
         # PERCENT_RANK / CUME_DIST (bit-exact doubles)
         "user_value_percent_rank": rel.user_value_percent_rank,
+        # broadcast EXISTS semi-join (complement of the anti-join)
+        "customers_with_big_orders": rel.customers_with_big_orders,
+        # dense grid fill: cross join + LEFT JOIN + zero fill
+        "events_dow_grid": rel.events_dow_grid,
+        # TPC-H discounted-revenue expression (half-away rounding parity)
+        "lineitem_discounted_revenue": rel.lineitem_discounted_revenue,
+        # canonicalization pass over plain transcript turns
+        "turn_normalize": _q_turn_normalize,
     }
 
 
@@ -548,6 +565,10 @@ def oracle_sql() -> dict[str, str]:
         "user_top_event_type": rel.user_top_event_type_sql(),
         "events_value_histogram": rel.events_value_histogram_sql(),
         "user_value_percent_rank": rel.user_value_percent_rank_sql(),
+        "customers_with_big_orders": rel.customers_with_big_orders_sql(),
+        "events_dow_grid": rel.events_dow_grid_sql(),
+        "lineitem_discounted_revenue": rel.lineitem_discounted_revenue_sql(),
+        "turn_normalize": textops.turn_normalize_sql(_T2_SHARDS),
         "heavy_tokens": sketches.heavy_tokens_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a

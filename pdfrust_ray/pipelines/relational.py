@@ -1365,3 +1365,142 @@ def nation_supplier_names_sql() -> str:
         GROUP BY s_nationkey
         ORDER BY s_nationkey
     """
+
+
+def customers_with_big_orders(sf_dir: str, min_price: float = 400000.0) -> pd.DataFrame:
+    """Broadcast SEMI-join (EXISTS): customers having at least one
+    order above `min_price` — the positive complement of
+    customers_without_orders. Qualifying keys reduced distributed,
+    broadcast once, vectorized is_in keep-filter per batch."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(expr=f"o_totalprice > {min_price}")
+    have = pa.array(sorted(big.unique("o_custkey")), pa.int64())
+    ref = ray.put(have)
+
+    def semi(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        return t.filter(pc.is_in(t["c_custkey"], value_set=keys))
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    out = ds.map_batches(semi, batch_format="pyarrow").to_pandas()
+    if "c_custkey" not in out.columns:
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype="int64"), "c_mktsegment": pd.Series([], dtype="str")}
+        )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def customers_with_big_orders_sql(min_price: float = 400000.0) -> str:
+    return f"""
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > {min_price})
+        ORDER BY c_custkey
+    """
+
+
+def events_dow_grid(sf_dir: str) -> pd.DataFrame:
+    """Dense grid fill (cross join + LEFT JOIN + zero fill): event
+    counts for EVERY (event_type x day-of-week) cell, including empty
+    ones — the report-shaped output that plain groupby can't produce.
+    DoW uses DuckDB's dayofweek numbering (Sunday=0); the engine maps
+    Arrow's Monday=0 via (dow+1)%7. The grid is types x 7 — driver-side
+    fill on the tiny aggregate."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        # Arrow Monday=0 -> DuckDB Sunday=0: (dow+1) with 7 wrapped to 0
+        dow1 = pc.add(pc.cast(pc.day_of_week(t["ts"], count_from_zero=True, week_start=1), pa.int64()), 1)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "dow": pc.if_else(pc.equal(dow1, 7), pa.scalar(0, pa.int64()), dow1),
+            }
+        )
+
+    counts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()
+    )
+    types = sorted(counts["event_type"].unique())
+    grid = pd.MultiIndex.from_product([types, range(7)], names=["event_type", "dow"])
+    out = (
+        counts.set_index(["event_type", "dow"])
+        .reindex(grid, fill_value=0)
+        .reset_index()
+    )
+    out["dow"] = out["dow"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+def events_dow_grid_sql() -> str:
+    return """
+        WITH g AS (
+          SELECT t.event_type, d.dow
+          FROM (SELECT DISTINCT event_type FROM events) t
+          CROSS JOIN (SELECT unnest(range(0, 7)) AS dow) d
+        ), c AS (
+          SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT g.event_type, CAST(g.dow AS BIGINT) AS dow,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.dow = c.dow
+        ORDER BY g.event_type, g.dow
+    """
+
+
+def lineitem_discounted_revenue(sf_dir: str) -> pd.DataFrame:
+    """Expression aggregate: the TPC-H discounted-revenue expression
+    price*(1-discount) per (returnflag, linestatus), in integer cents
+    (rounded per row BEFORE summing, in the same float-op order as the
+    SQL twin, so the sum is bit-stable)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            ),
+            pa.scalar(100.0),
+        )
+        # DuckDB ROUND is half-away-from-zero; Arrow's default is
+        # half-to-even — the discount product genuinely hits .5 cases
+        # (unlike the cent-valued price*100 elsewhere)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "disc_cents": pc.cast(
+                    pc.round(disc, round_mode="half_towards_infinity"), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("disc_cents", alias_name="disc_revenue_cents"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["disc_revenue_cents"] = out["disc_revenue_cents"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def lineitem_discounted_revenue_sql() -> str:
+    return """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS disc_revenue_cents,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """

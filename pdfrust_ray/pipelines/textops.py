@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -852,5 +853,63 @@ def pii_redact_sql(shards_glob: str) -> str:
                CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
                CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones
         FROM read_parquet('{shards_glob}')
+        ORDER BY conv_id, turn_idx
+    """
+
+
+# ---------------------------------------------------------------------------
+# Text normalization over plain transcript turns
+# ---------------------------------------------------------------------------
+
+class TurnNormalizer:
+    """Actor-pool normalization stage: lowercase + collapse whitespace
+    runs to single spaces + trim. The whitespace regex is compiled once
+    per actor; the fixture charset is ASCII so Python lower() and SQL
+    lower() agree."""
+
+    def __init__(self):
+        import re
+
+        self.ws = re.compile(r"\s+")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        # plain turns only (tool = '') — vectorized mask, payload turns
+        # never reach the Python loop
+        t = t.filter(pc.equal(t["tool"], ""))
+        texts = t["text"].to_pylist()
+        norm = [self.ws.sub(" ", s).strip().lower() for s in texts]
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "norm_text": pa.array(norm, pa.string()),
+                "n_chars": pa.array([len(s) for s in norm], pa.int64()),
+            }
+        )
+
+
+def turn_normalize(fixture_dir: str) -> pd.DataFrame:
+    """Normalization pass over the PLAIN transcript turns (tool = '')
+    of the synthetic corpus: the canonicalize-before-dedup step of a
+    training-data pipeline. Vectorized in-batch filter, embarrassingly
+    parallel, no shuffle."""
+    from ..sources.transcripts import read_transcripts
+
+    ds = read_transcripts(fixture_dir, columns=["conv_id", "turn_idx", "text", "tool"])
+    out = (
+        ds.map_batches(TurnNormalizer, batch_format="pyarrow", batch_size=512, concurrency=(1, 2))
+        .to_pandas()
+    )
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def turn_normalize_sql(shards_glob: str) -> str:
+    return f"""
+        SELECT conv_id, turn_idx,
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text,
+               CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                    AS BIGINT) AS n_chars
+        FROM read_parquet('{shards_glob}')
+        WHERE tool = ''
         ORDER BY conv_id, turn_idx
     """

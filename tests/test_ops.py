@@ -447,6 +447,60 @@ def test_pii_redact_matches_sql(ray_session):
     assert not mine["clean_text"].str.contains("@").any()
 
 
+@needs_testdata
+def test_customers_with_big_orders_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        customers_with_big_orders,
+        customers_with_big_orders_sql,
+    )
+
+    _compare(
+        customers_with_big_orders(SF), duck.execute(customers_with_big_orders_sql()).df()
+    )
+
+
+@needs_testdata
+def test_events_dow_grid_matches_sql(ray_session, duck):
+    """Grid fill must include zero cells and use DuckDB's Sunday=0
+    day-of-week numbering."""
+    from pdfrust_ray.pipelines.relational import events_dow_grid, events_dow_grid_sql
+
+    mine = events_dow_grid(SF)
+    _compare(mine, duck.execute(events_dow_grid_sql()).df())
+    assert len(mine) % 7 == 0  # dense grid
+
+
+@needs_testdata
+def test_lineitem_discounted_revenue_matches_sql(ray_session, duck):
+    """Discount product hits genuine .5 cases: DuckDB ROUND is
+    half-away-from-zero, so the engine must not use Arrow's default
+    half-to-even."""
+    from pdfrust_ray.pipelines.relational import (
+        lineitem_discounted_revenue,
+        lineitem_discounted_revenue_sql,
+    )
+
+    _compare(
+        lineitem_discounted_revenue(SF),
+        duck.execute(lineitem_discounted_revenue_sql()).df(),
+    )
+
+
+def test_turn_normalize_matches_sql(ray_session):
+    import duckdb
+
+    from pdfrust_ray.fixtures.corpus import ensure_corpus
+    from pdfrust_ray.pipelines.textops import turn_normalize, turn_normalize_sql
+
+    d = ensure_corpus("t2")
+    mine = turn_normalize(d)
+    con = duckdb.connect()
+    oracle = con.execute(turn_normalize_sql(f"{d}/shards/*.parquet")).df()
+    _compare(mine, oracle)
+    assert (mine["norm_text"].str.lower() == mine["norm_text"]).all()
+    assert not mine["norm_text"].str.contains("\n").any()
+
+
 def test_minhash_mega_duplicate_group_no_blowup(ray_session, tmp_path):
     """A planted mega exact-duplicate group must not explode a bucket:
     candidate generation pairs distinct-text REPRESENTATIVES only, and
