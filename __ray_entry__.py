@@ -316,6 +316,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_ivf_exact": lambda sf: dedup.embedding_dedup_ivf(sf, n_centroids=1),
         # iterative distributed algorithm (Lloyd's rounds); no SQL twin
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(sf),
+        # product quantization: raw ADC scan over 32x-compressed codes
+        # (approximate by construction; recall pinned by pytest)
+        "ann_pq_topk": lambda sf: similarity.pq_topk(sf),
+        # PQ shortlist + exact re-rank: deterministic and recall-1.0 at
+        # the fixture defaults, so it takes the exact ann_topk oracle
+        "ann_pq_rerank_topk": lambda sf: similarity.pq_rerank_topk(sf),
         # --- text analysis ---
         "token_counts": textops.token_counts,
         "bpe_token_counts": textops.bpe_token_counts,
@@ -495,6 +501,25 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 10 ORDER BY query_id, rank
         """,
         "ann_ivf_full_probe": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS cosine
+                FROM embeddings e CROSS JOIN q
+            ), r AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT query_id, rank, vec_id
+            FROM r WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # PQ shortlist + exact re-rank: deterministic, measured recall
+        # 1.0 at the fixture -> same exact oracle as ann_topk
+        "ann_pq_rerank_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe
                 FROM embeddings WHERE vec_id IN (0,1,2,3,4)

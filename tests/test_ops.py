@@ -501,6 +501,35 @@ def test_turn_normalize_matches_sql(ray_session):
     assert not mine["norm_text"].str.contains("\n").any()
 
 
+@needs_testdata
+def test_pq_topk_recall_and_determinism(ray_session):
+    """Raw ADC scan over 32x-compressed PQ codes: deterministic, and
+    recall@10 vs the exact scan stays useful even without re-ranking."""
+    from pdfrust_ray.stages.similarity import brute_force_topk, pq_topk
+
+    exact = brute_force_topk(SF)
+    approx = pq_topk(SF)
+    assert pq_topk(SF).equals(approx)  # deterministic
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
+@needs_testdata
+def test_pq_rerank_equals_exact(ray_session):
+    """PQ shortlist + exact re-rank at the fixture defaults recovers
+    the exact top-k EXACTLY (same tie-break), justifying its exact SQL
+    oracle in the driver gate."""
+    from pdfrust_ray.stages.similarity import brute_force_topk, pq_rerank_topk
+
+    exact = brute_force_topk(SF)
+    rr = pq_rerank_topk(SF)
+    assert rr.equals(exact.reset_index(drop=True))
+
+
 def test_minhash_mega_duplicate_group_no_blowup(ray_session, tmp_path):
     """A planted mega exact-duplicate group must not explode a bucket:
     candidate generation pairs distinct-text REPRESENTATIVES only, and
