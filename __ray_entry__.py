@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ensure_pii_fixture()
 
     from pdfrust_ray.pipelines import conversation as cv
+    from pdfrust_ray.pipelines import llmdata as llm
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
     from pdfrust_ray.stages import dedup, similarity, sketches
@@ -404,11 +405,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_discounted_revenue": rel.lineitem_discounted_revenue,
         # canonicalization pass over plain transcript turns
         "turn_normalize": _q_turn_normalize,
+        # distributed BPE vocabulary learning (iterative; no SQL twin)
+        "bpe_merges": lambda sf: llm.bpe_train(sf),
+        # greedy fixed-budget sequence packing (recursive-CTE oracle)
+        "pack_sequences": lambda sf: llm.pack_sequences(sf),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import conversation as cv
+    from pdfrust_ray.pipelines import llmdata as llm
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.stages import sketches
     from pdfrust_ray.pipelines import textops
@@ -594,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dow_grid": rel.events_dow_grid_sql(),
         "lineitem_discounted_revenue": rel.lineitem_discounted_revenue_sql(),
         "turn_normalize": textops.turn_normalize_sql(_T2_SHARDS),
+        "pack_sequences": llm.pack_sequences_sql(),
         "heavy_tokens": sketches.heavy_tokens_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a

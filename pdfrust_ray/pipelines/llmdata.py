@@ -1,0 +1,198 @@
+"""LLM training-data construction ops over the documents table.
+
+  - bpe_train: distributed BPE vocabulary learning. The corpus-sized
+    work (word frequency counting) is distributed with a per-batch
+    combiner so the exchange carries vocabulary-sized rows; the merge
+    loop then runs over the (bounded) word-frequency table on the
+    driver — exactly how production BPE trainers work (the vocab is
+    orders of magnitude smaller than the corpus at any scale).
+  - pack_sequences: greedy fixed-budget sequence packing — the
+    pretraining batch-construction op. Hash-bucketed so packing is
+    embarrassingly parallel across buckets; deterministic first-fit in
+    doc_id order inside each bucket; exact recursive-CTE SQL oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.textstats import token_count
+
+
+def _word_counts(sf_dir: str) -> pd.DataFrame:
+    """Distributed word-frequency table: per-batch Counter combiner ->
+    groupby(word) Sum. The shuffle moves (word, partial_count) rows —
+    vocabulary-sized, bounded by language, not corpus."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(txt.split())
+        words = sorted(c)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("word").reset_index(drop=True)
+
+
+def bpe_merge_loop(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str, int]]:
+    """Sennrich-style BPE merge loop over a word-frequency dict.
+    Deterministic: the most frequent adjacent symbol pair wins, ties
+    broken by the lexicographically smallest (left, right). Returns
+    [(left, right, pair_count), ...] in merge order."""
+    from collections import Counter
+
+    vocab = {tuple(w) + ("</w>",): n for w, n in word_counts.items()}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        merges.append((left, right, int(cnt)))
+        joined = left + right
+        new_vocab = {}
+        for sym, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def bpe_train(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
+    """Learn a BPE merge table from the corpus: distributed word
+    counting feeds the deterministic driver-side merge loop. Returns
+    (merge_rank, left, right, pair_count). Iterative algorithm — no
+    SQL twin; pinned by the serial-reference-equality pytest (an
+    independent single-pass implementation recounting from the raw
+    parquet)."""
+    wc = _word_counts(sf_dir)
+    merges = bpe_merge_loop(dict(zip(wc["word"], wc["n"])), n_merges)
+    return pd.DataFrame(
+        {
+            "merge_rank": pd.Series(range(1, len(merges) + 1), dtype="int64"),
+            "left": pd.Series([m[0] for m in merges], dtype="str"),
+            "right": pd.Series([m[1] for m in merges], dtype="str"),
+            "pair_count": pd.Series([m[2] for m in merges], dtype="int64"),
+        }
+    )
+
+
+def pack_sequences(sf_dir: str, budget: int = 128, n_buckets: int = 16) -> pd.DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    training packs. Docs are hash-bucketed (md5(doc_id) % n_buckets) so
+    packing parallelizes across buckets with NO coordination; inside a
+    bucket, docs pack first-fit in doc_id order — a new pack starts
+    whenever adding the doc would exceed `budget` (oversized docs get
+    their own pack). Token counts use the whitespace-split rule shared
+    with the SQL oracle. One key-partitioned shuffle; the sequential
+    scan is per bucket, never global."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..functions.md5vec import md5_prefix_u32
+
+        ids = t["doc_id"].to_pylist()
+        toks = [token_count(s) for s in t["text"].to_pylist()]
+        buckets = md5_prefix_u32([str(i).encode() for i in ids]) % n_buckets
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(buckets.astype("int64"), pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        pack_id, acc = 0, 0
+        pids, poss = [], []
+        pos = 0
+        for n in g["n_tokens"]:
+            if acc > 0 and acc + n > budget:
+                pack_id += 1
+                acc = 0
+                pos = 0
+            acc += int(n)
+            pids.append(pack_id)
+            poss.append(pos)
+            pos += 1
+        g["pack_id"] = pd.Series(pids, dtype="int64")
+        g["pack_pos"] = pd.Series(poss, dtype="int64")
+        return g[["doc_id", "bucket", "n_tokens", "pack_id", "pack_pos"]]
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def pack_sequences_sql(budget: int = 128, n_buckets: int = 16) -> str:
+    """Exact SQL twin: the greedy reset is a linear recurrence, so the
+    oracle walks each bucket with a recursive CTE over row_number."""
+    return f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                      % {n_buckets} AS BIGINT) AS bucket,
+                 CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), o AS (
+          SELECT doc_id, bucket, n_tokens,
+                 row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+          FROM t
+        ), s AS (
+          SELECT doc_id, bucket, n_tokens, rn,
+                 CAST(0 AS BIGINT) AS pack_id,
+                 CAST(0 AS BIGINT) AS pack_pos,
+                 n_tokens AS acc
+          FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.doc_id, o.bucket, o.n_tokens, o.rn,
+                 CASE WHEN s.acc + o.n_tokens > {budget}
+                      THEN s.pack_id + 1 ELSE s.pack_id END,
+                 CASE WHEN s.acc + o.n_tokens > {budget}
+                      THEN 0 ELSE s.pack_pos + 1 END,
+                 CASE WHEN s.acc + o.n_tokens > {budget}
+                      THEN o.n_tokens ELSE s.acc + o.n_tokens END
+          FROM s JOIN o ON o.bucket = s.bucket AND o.rn = s.rn + 1
+        )
+        SELECT doc_id, bucket, n_tokens, pack_id, pack_pos
+        FROM s ORDER BY doc_id
+    """

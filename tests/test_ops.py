@@ -530,6 +530,81 @@ def test_pq_rerank_equals_exact(ray_session):
     assert rr.equals(exact.reset_index(drop=True))
 
 
+@needs_testdata
+def test_pack_sequences_matches_recursive_cte(ray_session, duck):
+    """Greedy packing is a linear recurrence: the engine's per-bucket
+    first-fit must equal the recursive-CTE oracle row for row, and
+    every pack must respect the budget (oversized docs excepted)."""
+    from pdfrust_ray.pipelines.llmdata import pack_sequences, pack_sequences_sql
+
+    mine = pack_sequences(SF)
+    oracle = duck.execute(pack_sequences_sql()).df()
+    _compare(mine, oracle)
+    sums = mine.groupby(["bucket", "pack_id"]).agg(
+        tok=("n_tokens", "sum"), n=("doc_id", "size")
+    )
+    assert ((sums["tok"] <= 128) | (sums["n"] == 1)).all()
+
+
+@needs_testdata
+def test_bpe_train_distributed_counts_and_merges(ray_session):
+    """Distributed word counting must equal an independent serial
+    recount; the merge loop is cross-checked by an independently-coded
+    brute-force pair counter on the first merges, plus the
+    non-increasing pair_count invariant."""
+    from collections import Counter
+
+    from pdfrust_ray.pipelines.llmdata import _word_counts, bpe_merge_loop, bpe_train
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    serial = Counter()
+    for txt in t["text"].to_pylist():
+        serial.update(txt.split())
+    dist = _word_counts(SF)
+    assert dict(zip(dist["word"], dist["n"])) == dict(serial)
+
+    merges = bpe_train(SF, n_merges=20)
+    assert (merges["pair_count"].diff().dropna() <= 0).all()
+
+    # independent brute-force check of the first 3 merges: apply the
+    # recorded merges one at a time and recount pairs from scratch
+    vocab = {tuple(w) + ("</w>",): n for w, n in serial.items()}
+    for i in range(3):
+        pairs = Counter()
+        for sym, n in vocab.items():
+            for j in range(len(sym) - 1):
+                pairs[(sym[j], sym[j + 1])] += n
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        row = merges.iloc[i]
+        assert (row["left"], row["right"]) == best[0]
+        assert row["pair_count"] == best[1]
+        L, R = best[0]
+        newv = {}
+        for sym, n in vocab.items():
+            out, j = [], 0
+            while j < len(sym):
+                if j + 1 < len(sym) and sym[j] == L and sym[j + 1] == R:
+                    out.append(L + R)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            newv[tuple(out)] = newv.get(tuple(out), 0) + n
+        vocab = newv
+
+
+def test_bpe_merge_loop_sennrich_example():
+    """The classic Sennrich vocabulary: known best first merges."""
+    from pdfrust_ray.pipelines.llmdata import bpe_merge_loop
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_merge_loop(wc, 4)
+    # 'es' appears in newest(6)+widest(3) = 9 — the top pair
+    assert merges[0][:2] == ("e", "s") and merges[0][2] == 9
+    assert merges[1][:2] == ("es", "t") and merges[1][2] == 9
+    assert merges[2][:2] == ("est", "</w>") and merges[2][2] == 9
+
+
 def test_minhash_mega_duplicate_group_no_blowup(ray_session, tmp_path):
     """A planted mega exact-duplicate group must not explode a bucket:
     candidate generation pairs distinct-text REPRESENTATIVES only, and
