@@ -409,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": lambda sf: llm.bpe_train(sf),
         # greedy fixed-budget sequence packing (recursive-CTE oracle)
         "pack_sequences": lambda sf: llm.pack_sequences(sf),
+        # data mixing: downsample every language to the smallest one
+        "lang_rebalanced_sample": lambda sf: llm.lang_rebalanced_sample(sf),
     }
 
 
@@ -601,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_discounted_revenue": rel.lineitem_discounted_revenue_sql(),
         "turn_normalize": textops.turn_normalize_sql(_T2_SHARDS),
         "pack_sequences": llm.pack_sequences_sql(),
+        "lang_rebalanced_sample": llm.lang_rebalanced_sample_sql(),
         "heavy_tokens": sketches.heavy_tokens_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a

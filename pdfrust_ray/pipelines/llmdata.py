@@ -196,3 +196,59 @@ def pack_sequences_sql(budget: int = 128, n_buckets: int = 16) -> str:
         SELECT doc_id, bucket, n_tokens, pack_id, pack_pos
         FROM s ORDER BY doc_id
     """
+
+
+def lang_rebalanced_sample(sf_dir: str, scale: int = 1000) -> pd.DataFrame:
+    """Data mixing: downsample every language to (approximately) the
+    size of the smallest one — the uniform-mix curriculum primitive.
+
+    Two passes: (1) a tiny distributed groupby(lang) count; (2) the
+    per-lang keep-threshold floor(scale * min_n / n_lang) is broadcast
+    and each batch keeps rows with md5(doc_id) % scale < threshold —
+    deterministic, embarrassingly parallel, integer math shared with
+    the SQL twin so the sample is bit-identical."""
+    from ray.data.aggregate import Count
+
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    counts = ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    min_n = int(counts["n"].min())
+    thresholds = {
+        str(r.lang): (scale * min_n) // int(r.n) for r in counts.itertuples(index=False)
+    }
+    tref = ray.put(thresholds)
+
+    def keep(t: pa.Table) -> pa.Table:
+        from ..functions.md5vec import md5_prefix_u32
+
+        th = ray.get(tref)
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        h = md5_prefix_u32([str(i).encode() for i in ids]) % scale
+        mask = [int(hv) < th[lg] for hv, lg in zip(h, langs)]
+        return t.filter(pa.array(mask))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "lang": pd.Series([], dtype="str")}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_rebalanced_sample_sql(scale: int = 1000) -> str:
+    md5u32 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    return f"""
+        WITH c AS (
+          SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ), m AS (
+          SELECT MIN(n) AS min_n FROM c
+        ), th AS (
+          SELECT c.lang, ({scale} * m.min_n) // c.n AS keep_lt FROM c, m
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN th ON d.lang = th.lang
+        WHERE {md5u32} % {scale} < th.keep_lt
+        ORDER BY d.doc_id
+    """

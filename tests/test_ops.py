@@ -605,6 +605,23 @@ def test_bpe_merge_loop_sennrich_example():
     assert merges[2][:2] == ("est", "</w>") and merges[2][2] == 9
 
 
+@needs_testdata
+def test_lang_rebalanced_sample_matches_sql(ray_session, duck):
+    """Data mixing: the per-lang keep thresholds and the hash predicate
+    must agree with the SQL twin bit-for-bit, and the resulting mix
+    must be near-uniform across languages."""
+    from pdfrust_ray.pipelines.llmdata import (
+        lang_rebalanced_sample,
+        lang_rebalanced_sample_sql,
+    )
+
+    mine = lang_rebalanced_sample(SF)
+    oracle = duck.execute(lang_rebalanced_sample_sql()).df()
+    _compare(mine, oracle)
+    mix = mine.groupby("lang").size()
+    assert mix.max() <= 1.35 * mix.min()
+
+
 def test_minhash_mega_duplicate_group_no_blowup(ray_session, tmp_path):
     """A planted mega exact-duplicate group must not explode a bucket:
     candidate generation pairs distinct-text REPRESENTATIVES only, and
