@@ -137,6 +137,9 @@ def main() -> dict:
     timed("hll_distinct_users", lambda: sketches.hll_distinct_users(SF_DIR))
     timed("conv_stats", lambda: cv.conv_stats(fix_dir))
     timed("turn_latency", lambda: cv.turn_latency(fix_dir))
+    # normalization over the full bench transcript corpus (800k turns)
+    timed("turn_normalize", lambda: textops.turn_normalize(fix_dir))
+    timed("pq_rerank_topk", lambda: similarity.pq_rerank_topk(SF_DIR))
 
     result = {
         "metric": "extract_pipeline_wall",
