@@ -357,12 +357,7 @@ def pq_topk(
     q = _query_matrix(sf_dir, query_ids)
     d = q.shape[1] // m
     # ADC tables: lut[qi, j, c] = q_j . codebook[j][c]
-    lut = np.stack(
-        [
-            np.stack([q[:, j * d : (j + 1) * d] @ books[j].T for j in range(m)], axis=1)
-        ][0],
-        axis=0,
-    )
+    lut = np.stack([q[:, j * d : (j + 1) * d] @ books[j].T for j in range(m)], axis=1)
     lref = ray.put(lut)
 
     class ScoreCodes:
