@@ -411,6 +411,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: llm.pack_sequences(sf),
         # data mixing: downsample every language to the smallest one
         "lang_rebalanced_sample": lambda sf: llm.lang_rebalanced_sample(sf),
+        # apply the learned BPE vocabulary (train + encode lifecycle)
+        "bpe_encode_counts": lambda sf: llm.bpe_encode_counts(sf),
+        # ExactSubstr dedup: verbatim shared-window pairs
+        "substring_dedup": lambda sf: dedup.substring_dedup(sf),
     }
 
 
@@ -418,6 +422,7 @@ def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import llmdata as llm
     from pdfrust_ray.pipelines import relational as rel
+    from pdfrust_ray.stages import dedup as dedup_mod
     from pdfrust_ray.stages import sketches
     from pdfrust_ray.pipelines import textops
     from pdfrust_ray.stages.dedup import (
@@ -604,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_normalize": textops.turn_normalize_sql(_T2_SHARDS),
         "pack_sequences": llm.pack_sequences_sql(),
         "lang_rebalanced_sample": llm.lang_rebalanced_sample_sql(),
+        "substring_dedup": dedup_mod.substring_dedup_sql(),
         "heavy_tokens": sketches.heavy_tokens_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a

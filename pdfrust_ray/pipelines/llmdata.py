@@ -252,3 +252,67 @@ def lang_rebalanced_sample_sql(scale: int = 1000) -> str:
         WHERE {md5u32} % {scale} < th.keep_lt
         ORDER BY d.doc_id
     """
+
+
+def _bpe_apply(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word: repeatedly merge the
+    lowest-rank adjacent pair present (the standard BPE encoder)."""
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode_counts(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
+    """Apply the learned BPE merge table: per-document token count
+    under the trained vocabulary (train + apply = the full tokenizer
+    lifecycle). The merge-rank dict is broadcast once; each actor
+    caches word->tokens encodings (vocabulary-sized, so the per-word
+    merge loop runs once per DISTINCT word per actor, not per
+    occurrence). Iterative vocabulary — no SQL twin; pinned by the
+    round-trip/monotonicity pytest."""
+    import ray
+
+    merges = bpe_train(sf_dir, n_merges=n_merges)
+    ranks = {
+        (l, r): i for i, (l, r) in enumerate(zip(merges["left"], merges["right"]))
+    }
+    rref = ray.put(ranks)
+
+    class Encode:
+        def __init__(self):
+            self.ranks = ray.get(rref)
+            self.cache: dict[str, int] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            counts = []
+            for txt in t["text"].to_pylist():
+                n = 0
+                for w in txt.split():
+                    c = self.cache.get(w)
+                    if c is None:
+                        c = len(_bpe_apply(w, self.ranks))
+                        self.cache[w] = c
+                    n += c
+                counts.append(n)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_bpe_tokens": pa.array(counts, pa.int64()),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(Encode, batch_format="pyarrow", batch_size=1024, concurrency=(1, 2))
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

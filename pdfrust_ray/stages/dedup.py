@@ -955,3 +955,98 @@ def embedding_dedup_ivf(
             {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
         )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def substring_dedup(sf_dir: str, window: int = 64, stride: int = 16) -> pd.DataFrame:
+    """Exact-substring dedup (the ExactSubstr method of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    document pairs sharing any verbatim `window`-char substring, by
+    hashing fixed-length windows at `stride` offsets.
+
+    Ray shape: per-doc window md5s are emitted (distinct within doc)
+    with a coarse shard key so the exchange moves 16-byte hashes —
+    never text; cross-doc pairs are resolved by a pandas merge inside
+    each shard and a final (doc_a, doc_b) count groupby. At 100-TB
+    scale the window stream is corpus/stride rows — inherent to
+    ExactSubstr — and boilerplate mega-groups need the same cap/salt
+    treatment as the LSH buckets (documented knob, kept exact here so
+    the SQL oracle matches bit-for-bit).
+
+    Output: (doc_a, doc_b, n_shared) where n_shared counts DISTINCT
+    shared window hashes.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        ids_out, h_out, shard_out = [], [], []
+        for doc_id, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            seen = set()
+            for i in range(0, len(txt) - window + 1, stride):
+                h = hashlib.md5(txt[i : i + window].encode()).hexdigest()
+                if h not in seen:
+                    seen.add(h)
+                    ids_out.append(doc_id)
+                    h_out.append(h)
+                    shard_out.append(int(h[:8], 16) % N_SHARDS)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "h": pa.array(h_out, pa.string()),
+                "shard": pa.array(shard_out, pa.int32()),
+            }
+        )
+
+    def pairs_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # cross-doc pairs per hash: self-merge within the shard, a < b
+        j = g.merge(g, on="h", suffixes=("_a", "_b"))
+        j = j[j["doc_id_a"] < j["doc_id_b"]]
+        if not len(j):
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
+            )
+        return j[["doc_id_a", "doc_id_b"]].rename(
+            columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}
+        )
+
+    pairs = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pairs_of_shard, batch_format="pandas")
+    )
+    out = (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_shared"))
+        .to_pandas()
+    )
+    if "doc_a" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def substring_dedup_sql(window: int = 64, stride: int = 16) -> str:
+    return f"""
+        WITH w AS (
+          SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), {window})) AS h
+          FROM documents
+          CROSS JOIN unnest(range(1, length(text) - {window} + 2, {stride})) AS t(i)
+        ), d AS (
+          SELECT DISTINCT doc_id, h FROM w
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY doc_a, doc_b
+    """

@@ -622,6 +622,42 @@ def test_lang_rebalanced_sample_matches_sql(ray_session, duck):
     assert mix.max() <= 1.35 * mix.min()
 
 
+@needs_testdata
+def test_substring_dedup_matches_sql(ray_session, duck):
+    """ExactSubstr window dedup: the shared-window pair counts must
+    equal the SQL window-join oracle exactly (includes the planted
+    near-dups, which share long verbatim spans)."""
+    from pdfrust_ray.stages.dedup import substring_dedup, substring_dedup_sql
+
+    mine = substring_dedup(SF)
+    oracle = duck.execute(substring_dedup_sql()).df()
+    _compare(mine, oracle)
+    assert len(mine) > 0
+
+
+@needs_testdata
+def test_bpe_encode_roundtrip_and_monotonicity(ray_session):
+    """Applying the learned merges must reconstruct every word on
+    join+strip, and more merges can only shrink (or keep) the total
+    token count."""
+    from pdfrust_ray.pipelines.llmdata import _bpe_apply, bpe_encode_counts, bpe_train
+
+    m = bpe_train(SF, n_merges=50)
+    ranks = {(l, r): i for i, (l, r) in enumerate(zip(m["left"], m["right"]))}
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    vocab = set()
+    for txt in t["text"].to_pylist()[:50]:
+        vocab.update(txt.split())
+    for w in sorted(vocab):
+        toks = _bpe_apply(w, ranks)
+        assert "".join(toks).replace("</w>", "") == w
+
+    few = bpe_encode_counts(SF, n_merges=10)
+    many = bpe_encode_counts(SF, n_merges=50)
+    assert (many["n_bpe_tokens"] <= few["n_bpe_tokens"]).all()
+    assert (many["n_bpe_tokens"] >= 1).all()
+
+
 def test_minhash_mega_duplicate_group_no_blowup(ray_session, tmp_path):
     """A planted mega exact-duplicate group must not explode a bucket:
     candidate generation pairs distinct-text REPRESENTATIVES only, and
