@@ -345,6 +345,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HyperLogLog distinct count (deterministic splitmix64 hash);
         # no SQL twin — pinned by the exact-vs-estimate bound pytest
         "hll_distinct_users": lambda sf: sketches.hll_distinct_users(sf),
+        # Count-Min probe frequencies: exact SQL twin is valid because
+        # the fixture vocab is far below the sketch width (no probe
+        # collisions — any collision would hash-mismatch)
+        "cms_token_freqs": lambda sf: sketches.cms_token_freqs(sf),
         # --- conversation analytics over the transcript input table ---
         "conv_stats": _q_conv(cv.conv_stats),
         "turn_latency": _q_conv(cv.turn_latency),
@@ -611,6 +615,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_rebalanced_sample": llm.lang_rebalanced_sample_sql(),
         "substring_dedup": dedup_mod.substring_dedup_sql(),
         "heavy_tokens": sketches.heavy_tokens_sql(),
+        "cms_token_freqs": sketches.cms_token_freqs_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

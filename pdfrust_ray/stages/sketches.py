@@ -192,3 +192,120 @@ def heavy_tokens_sql(k: int = 50) -> str:
         FROM toks GROUP BY token
         ORDER BY cnt DESC, token LIMIT {k}
     """
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan, "An improved data
+# stream summary: the count-min sketch and its applications", 2005) ---
+
+_CMS_D = 4
+_CMS_W = 2048
+_CMS_SEEDS = np.array(
+    [0xA076_1D64_78BD_642F, 0xE703_7ED1_A0B4_28DB, 0x8EBC_6AF0_9C88_C6E3, 0x5899_65CC_7537_4CC3],
+    dtype=np.uint64,
+)  # first four xxhash64 prime constants (public), one per row
+
+
+def _token_u64(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit token hashes (blake2b-8)."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+
+
+def _cms_partial(counts: Counter, d: int = _CMS_D, w: int = _CMS_W) -> bytes:
+    """One block's [d, w] int64 count matrix, serialized. Hashing runs
+    once per DISTINCT token (the Counter), not per occurrence."""
+    m = np.zeros((d, w), dtype=np.int64)
+    if counts:
+        toks = list(counts.keys())
+        vals = np.fromiter(counts.values(), dtype=np.int64, count=len(toks))
+        h = _token_u64(toks)
+        for j in range(d):
+            idx = (_splitmix64(h ^ _CMS_SEEDS[j]) % np.uint64(w)).astype(np.int64)
+            np.add.at(m[j], idx, vals)
+    return m.tobytes()
+
+
+def cms_token_freqs(sf_dir: str, n_probe: int = 20) -> pd.DataFrame:
+    """Approximate per-token frequency via a mergeable Count-Min
+    sketch: every block emits ONE [d, w] count-matrix blob (64 KiB),
+    merged by elementwise SUM in a single tiny groupby — the exchange
+    is O(blocks x 64KiB), independent of vocabulary and row count,
+    where the exact count would shuffle the whole vocabulary.
+
+    Probe set: the first `n_probe` distinct tokens (sorted) of the
+    lowest-doc_id document — deterministic without a corpus pass.
+    Guarantee (pinned by pytest): est >= true always; est <= true +
+    eps*N with eps = e/w at probability 1-exp(-d) per probe."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    first = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .limit(64)
+        .to_pandas()
+    )
+    first = first.loc[first["doc_id"].idxmin()]
+    probes = sorted(set(first["text"].lower().split()))[:n_probe]
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(txt.lower().split())
+        return pd.DataFrame({"part": pd.Series([0], dtype="int64"), "blob": [_cms_partial(c)]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(_CMS_D * _CMS_W, dtype=np.int64)
+        for blob in g["blob"]:
+            acc += np.frombuffer(blob, dtype=np.int64)
+        m = acc.reshape(_CMS_D, _CMS_W)
+        h = _token_u64(probes)
+        ests = []
+        for i in range(len(probes)):
+            est = None
+            for j in range(_CMS_D):
+                # NB: uint64 % python-int silently promotes to float64
+                idx = int(_splitmix64(h[i : i + 1] ^ _CMS_SEEDS[j])[0] % np.uint64(_CMS_W))
+                v = int(m[j, idx])
+                est = v if est is None else min(est, v)
+            ests.append(est)
+        return pd.DataFrame({"token": probes, "est_count": pd.Series(ests, dtype="int64")})
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    out["est_count"] = out["est_count"].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def cms_token_freqs_sql(n_probe: int = 20) -> str:
+    """Exact twin of the probe counts. Valid as an oracle because the
+    fixture vocabulary is far below the sketch width (w=2048, ~40
+    distinct tokens), so no probe collides and every CMS estimate
+    equals the true count — verified by the bound pytest; a collision
+    would surface as a driver hash mismatch."""
+    toks = (
+        "SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),"
+        " w -> w <> '')) AS token FROM documents"
+    )
+    return f"""
+        WITH p AS (
+          SELECT DISTINCT unnest(list_filter(
+                   string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS token
+          FROM documents
+          WHERE doc_id = (SELECT MIN(doc_id) FROM documents)
+          ORDER BY token LIMIT {n_probe}
+        ), toks AS ({toks})
+        SELECT p.token, CAST(COUNT(t.token) AS BIGINT) AS est_count
+        FROM p LEFT JOIN toks t ON p.token = t.token
+        GROUP BY p.token ORDER BY p.token
+    """

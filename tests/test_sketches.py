@@ -87,3 +87,44 @@ def test_mg_candidate_guarantee_planted(ray_session, tmp_path):
     )
     out = sk.heavy_tokens(str(tmp_path), k=1, m=64)
     assert out.iloc[0].token == "needle" and out.iloc[0].cnt == 50
+
+
+def test_cms_bounds_and_oracle(ray_session, duck):
+    """Count-Min guarantees: never underestimates; overestimate bounded
+    by eps*N (eps = e/w). At the fixture vocabulary (~40 tokens vs
+    w=2048) every probe is collision-free, so the estimates equal the
+    exact counts — the property the SQL oracle relies on."""
+    import math
+
+    est = sk.cms_token_freqs(SF)
+    true = duck.execute(
+        r"""
+        WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                                w -> w <> '')) AS token FROM documents)
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+        """
+    ).df().set_index("token")["n"].to_dict()
+    n_total = sum(true.values())
+    eps = math.e / sk._CMS_W
+    for tok, e in zip(est["token"], est["est_count"]):
+        t = true.get(tok, 0)
+        assert e >= t
+        assert e <= t + 2 * eps * n_total
+    oracle = duck.execute(sk.cms_token_freqs_sql()).df()
+    assert est["token"].tolist() == oracle["token"].tolist()
+    assert est["est_count"].tolist() == oracle["est_count"].tolist()
+
+
+def test_cms_partials_merge_additively():
+    """CMS blobs merge by elementwise sum: sketch(A) + sketch(B) must
+    equal sketch(A union B) exactly."""
+    from collections import Counter
+
+    import numpy as np
+
+    a = Counter({"x": 3, "y": 5, "z": 1})
+    b = Counter({"x": 2, "w": 7})
+    m_a = np.frombuffer(sk._cms_partial(a), dtype=np.int64)
+    m_b = np.frombuffer(sk._cms_partial(b), dtype=np.int64)
+    m_ab = np.frombuffer(sk._cms_partial(a + b), dtype=np.int64)
+    assert ((m_a + m_b) == m_ab).all()
