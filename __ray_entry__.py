@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import llmdata as llm
+    from pdfrust_ray.pipelines import quality as qual
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
     from pdfrust_ray.stages import dedup, similarity, sketches
@@ -419,12 +420,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_counts": lambda sf: llm.bpe_encode_counts(sf),
         # ExactSubstr dedup: verbatim shared-window pairs
         "substring_dedup": lambda sf: dedup.substring_dedup(sf),
+        # Gopher repetition filters (dup-word frac, top-bigram share)
+        "gopher_repetition": lambda sf: qual.gopher_repetition(sf),
+        # Okapi BM25 ranked retrieval (nano-quantized integer scores)
+        "bm25_topk": lambda sf: qual.bm25_topk(sf),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import llmdata as llm
+    from pdfrust_ray.pipelines import quality as qual
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.stages import dedup as dedup_mod
     from pdfrust_ray.stages import sketches
@@ -616,6 +622,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": dedup_mod.substring_dedup_sql(),
         "heavy_tokens": sketches.heavy_tokens_sql(),
         "cms_token_freqs": sketches.cms_token_freqs_sql(),
+        "gopher_repetition": qual.gopher_repetition_sql(),
+        "bm25_topk": qual.bm25_topk_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

@@ -1,0 +1,282 @@
+"""Corpus quality filtering and lexical search over the documents table.
+
+  - gopher_repetition: the Gopher/MassiveText repetition filters
+    (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1) —
+    per-document duplicate-word fraction and top-bigram share with a
+    repetitive flag. Embarrassingly parallel (one streaming pass, no
+    shuffle); every ratio is a single IEEE division of exact integer
+    counts, so the SQL oracle is bit-identical.
+  - bm25_topk: Okapi BM25 ranked retrieval (Robertson & Walker 1994).
+    Corpus stats (N, avgdl, per-query-term df) come from one combiner
+    pass whose exchange is a handful of counters per block; scoring is
+    a broadcast-parameter streaming scan with a per-batch local top-k,
+    so nothing corpus-sized ever moves. Per-term float scores are
+    quantized to integer nano-units (floor(x*1e9 + 0.5), DuckDB ROUND
+    semantics) BEFORE summation, so the doc score is an order-free
+    int64 sum and the SQL oracle matches exactly.
+
+The reference engine has no corpus-level operators at all (pdfrust is
+one-document-in, string-out; src/lib.rs:75-80) — these are engine-side
+additions for the 100-TB training-data pipeline tier.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+# Gopher-style thresholds, chosen to split the fixture corpus
+# non-trivially (dup-word median ~0.54, top-bigram median ~0.03).
+DUP_WORD_MAX = 0.6
+TOP_BIGRAM_MAX = 0.08
+
+# standard Okapi constants
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _words(text: str) -> list[str]:
+    """Lowercased whitespace tokens, empties dropped — the exact
+    semantics of list_filter(string_split_regex(lower(text),'\\s+'))."""
+    return text.lower().split()
+
+
+def gopher_repetition(sf_dir: str) -> pd.DataFrame:
+    """Per-document repetition stats + keep/flag decision:
+
+      dup_word_frac   = (n_words - n_distinct) / n_words
+      top_bigram_share = max bigram count / (n_words - 1)   (0 if <2 words)
+      repetitive      = dup_word_frac > 0.6 OR top_bigram_share > 0.08
+
+    One streaming map_batches pass, no shuffle, no driver state: the
+    filter a 100-TB cleaning pipeline runs before anything else. The
+    divisions are single IEEE ops over exact integer counts, shared
+    verbatim with the SQL twin."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        nw, nd, topb = [], [], []
+        for txt in t["text"].to_pylist():
+            ws = _words(txt)
+            nw.append(len(ws))
+            nd.append(len(set(ws)))
+            if len(ws) > 1:
+                c = Counter(zip(ws, ws[1:]))
+                topb.append(max(c.values()))
+            else:
+                topb.append(0)
+        nw_a = np.asarray(nw, dtype=np.int64)
+        nd_a = np.asarray(nd, dtype=np.int64)
+        tb_a = np.asarray(topb, dtype=np.int64)
+        dup = np.divide(
+            (nw_a - nd_a).astype(np.float64),
+            nw_a.astype(np.float64),
+            out=np.zeros(len(nw), dtype=np.float64),
+            where=nw_a > 0,
+        )
+        share = np.divide(
+            tb_a.astype(np.float64),
+            (nw_a - 1).astype(np.float64),
+            out=np.zeros(len(nw), dtype=np.float64),
+            where=nw_a > 1,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw_a, pa.int64()),
+                "n_distinct": pa.array(nd_a, pa.int64()),
+                "dup_word_frac": pa.array(dup, pa.float64()),
+                "top_bigram_share": pa.array(share, pa.float64()),
+                "repetitive": pa.array(
+                    (dup > DUP_WORD_MAX) | (share > TOP_BIGRAM_MAX), pa.bool_()
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    for c in ("doc_id", "n_words", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def gopher_repetition_sql() -> str:
+    return rf"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), s AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct, ws
+          FROM w
+        ), b AS (
+          SELECT doc_id, unnest([ws[x] || ' ' || ws[x + 1] FOR x IN range(1, len(ws))]) AS bg
+          FROM w
+        ), bc AS (
+          SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg
+        ), bm AS (
+          SELECT doc_id, MAX(c) AS top_cnt FROM bc GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.n_words, s.n_distinct,
+               CASE WHEN s.n_words > 0
+                    THEN (s.n_words - s.n_distinct) / s.n_words ELSE 0.0 END
+                 AS dup_word_frac,
+               CASE WHEN s.n_words > 1
+                    THEN COALESCE(bm.top_cnt, 0) / (s.n_words - 1) ELSE 0.0 END
+                 AS top_bigram_share,
+               (CASE WHEN s.n_words > 0
+                     THEN (s.n_words - s.n_distinct) / s.n_words ELSE 0.0 END
+                  > {DUP_WORD_MAX}
+                OR CASE WHEN s.n_words > 1
+                        THEN COALESCE(bm.top_cnt, 0) / (s.n_words - 1) ELSE 0.0 END
+                  > {TOP_BIGRAM_MAX}) AS repetitive
+        FROM s LEFT JOIN bm ON s.doc_id = bm.doc_id
+        ORDER BY s.doc_id
+    """
+
+
+def _probe_terms(sf_dir: str, n: int) -> list[str]:
+    """Deterministic query: the first `n` sorted distinct tokens of the
+    lowest-doc_id document (found inside the first 64 rows of the first
+    shard — no corpus pass)."""
+    first = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .limit(64)
+        .to_pandas()
+    )
+    row = first.loc[first["doc_id"].idxmin()]
+    return sorted(set(_words(row["text"])))[:n]
+
+
+def _quantize(x: float) -> int:
+    """floor(x*1e9 + 0.5): DuckDB ROUND (half-away-from-zero for the
+    non-negative scores here), applied per term BEFORE summation so doc
+    scores are order-free integer sums."""
+    return int(math.floor(x * 1000000000.0 + 0.5))
+
+
+def bm25_topk(sf_dir: str, n_terms: int = 4, k: int = 20) -> pd.DataFrame:
+    """Okapi BM25 top-k retrieval for a deterministic query.
+
+    Pass 1 (stats): per-batch combiner emits ONE row of counters
+    (n_docs, total_words, df per query term) — the exchange is
+    O(blocks), independent of corpus and vocabulary size.
+    Pass 2 (score): idf/avgdl broadcast as plain parameters; each batch
+    scores its docs and emits only its local top-k, so the driver merge
+    handles O(blocks x k) rows. score_q is the int64 sum of per-term
+    nano-quantized BM25 contributions (see _quantize), making the
+    result exact-SQL-verifiable despite float scoring."""
+    terms = _probe_terms(sf_dir, n_terms)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        total = 0
+        dfs = [0] * len(terms)
+        for txt in t["text"].to_pylist():
+            ws = _words(txt)
+            total += len(ws)
+            seen = set(ws)
+            for i, term in enumerate(terms):
+                if term in seen:
+                    dfs[i] += 1
+        cols = {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "total_words": pa.array([total], pa.int64()),
+        }
+        for i, d in enumerate(dfs):
+            cols[f"df_{i}"] = pa.array([d], pa.int64())
+        return pa.table(cols)
+
+    stats = ds.map_batches(stat_partial, batch_format="pyarrow").to_pandas().sum()
+    n_docs = int(stats["n_docs"])
+    avgdl = int(stats["total_words"]) / n_docs
+    idf = [
+        math.log((n_docs - int(stats[f"df_{i}"]) + 0.5) / (int(stats[f"df_{i}"]) + 0.5) + 1.0)
+        for i in range(len(terms))
+    ]
+
+    def score_local_topk(t: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = _words(txt)
+            dl = len(ws)
+            c = Counter(ws)
+            s = 0
+            for i, term in enumerate(terms):
+                tf = c.get(term, 0)
+                if tf == 0:
+                    continue
+                raw = (idf[i] * (tf * (BM25_K1 + 1.0))) / (
+                    tf + (BM25_K1 * ((1.0 - BM25_B) + (BM25_B * (dl / avgdl))))
+                )
+                s += _quantize(raw)
+            rows.append((doc_id, s))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "score_q": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(score_local_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["score_q", "doc_id"], ascending=[False, True]).head(k)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def bm25_topk_sql(n_terms: int = 4, k: int = 20) -> str:
+    """Exact twin: identical expression tree per term (idf, tf
+    saturation, length normalization), identical floor-quantization,
+    integer summation. `q` rebuilds the deterministic probe query."""
+    return rf"""
+        WITH q AS (
+          SELECT term, row_number() OVER (ORDER BY term) - 1 AS ti FROM (
+            SELECT DISTINCT unnest(list_filter(
+                     string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+            FROM documents
+            WHERE doc_id = (SELECT MIN(doc_id) FROM documents)
+            ORDER BY term LIMIT {n_terms}
+          )
+        ), w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(ws)) AS BIGINT) AS total_words
+          FROM w
+        ), df AS (
+          SELECT q.term, q.ti,
+                 CAST(COUNT(*) FILTER (WHERE list_contains(w.ws, q.term)) AS BIGINT) AS df
+          FROM q, w GROUP BY q.term, q.ti
+        ), tf AS (
+          SELECT w.doc_id, df.term, df.df,
+                 CAST(len(list_filter(w.ws, x -> x = df.term)) AS BIGINT) AS tf,
+                 CAST(len(w.ws) AS BIGINT) AS dl
+          FROM w, df
+        ), contrib AS (
+          SELECT t.doc_id,
+                 CASE WHEN t.tf = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(FLOOR(
+                        ((ln((g.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                          * (t.tf * ({BM25_K1} + 1.0)))
+                         / (t.tf + ({BM25_K1} * ((1.0 - {BM25_B})
+                              + ({BM25_B} * (t.dl / (g.total_words / g.n_docs)))))))
+                        * 1000000000.0 + 0.5) AS BIGINT) END AS sq
+          FROM tf t, g
+        )
+        SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q
+        FROM contrib GROUP BY doc_id
+        ORDER BY score_q DESC, doc_id LIMIT {k}
+    """

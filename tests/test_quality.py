@@ -1,0 +1,105 @@
+"""Gopher repetition filter and BM25 retrieval: exact-oracle parity
+plus property checks independent of the SQL twin."""
+
+import os
+from collections import Counter
+
+import duckdb
+import pytest
+
+from pdfrust_ray.pipelines import quality as q
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(not os.path.isdir(SF), reason="testdata not available")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con
+
+
+@needs_testdata
+def test_gopher_repetition_oracle(ray_session, duck):
+    eng = q.gopher_repetition(SF)
+    ora = duck.execute(q.gopher_repetition_sql()).df()
+    assert eng["doc_id"].tolist() == ora["doc_id"].tolist()
+    assert eng["n_words"].tolist() == ora["n_words"].tolist()
+    assert eng["n_distinct"].tolist() == ora["n_distinct"].tolist()
+    # bit-identical doubles: single IEEE division of exact ints each
+    assert eng["dup_word_frac"].tolist() == ora["dup_word_frac"].tolist()
+    assert eng["top_bigram_share"].tolist() == ora["top_bigram_share"].tolist()
+    assert eng["repetitive"].tolist() == ora["repetitive"].tolist()
+    # the flag must split the corpus non-trivially at the fixture
+    assert 0 < eng["repetitive"].sum() < len(eng)
+
+
+@needs_testdata
+def test_gopher_repetition_spot_check(ray_session, duck):
+    """Recompute one doc by hand, independent of both implementations."""
+    eng = q.gopher_repetition(SF)
+    txt = duck.execute("SELECT text FROM documents ORDER BY doc_id LIMIT 1").fetchone()[0]
+    ws = txt.lower().split()
+    row = eng.iloc[0]
+    assert row.n_words == len(ws)
+    assert row.n_distinct == len(set(ws))
+    c = Counter(zip(ws, ws[1:]))
+    assert row.top_bigram_share == max(c.values()) / (len(ws) - 1)
+
+
+@needs_testdata
+def test_bm25_oracle(ray_session, duck):
+    eng = q.bm25_topk(SF)
+    ora = duck.execute(q.bm25_topk_sql()).df()
+    assert eng["doc_id"].tolist() == ora["doc_id"].tolist()
+    assert eng["score_q"].tolist() == ora["score_q"].tolist()
+    # ranking must be non-degenerate: strictly positive and not all tied
+    assert eng["score_q"].iloc[0] > 0
+    assert eng["score_q"].nunique() > 1
+
+
+@needs_testdata
+def test_bm25_brute_force_equivalence(ray_session):
+    """Independent serial BM25 over the raw parquet must reproduce the
+    distributed result exactly (same quantization rule)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    terms = q._probe_terms(SF, 4)
+    n = len(docs)
+    words = {d: txt.lower().split() for d, txt in docs}
+    total = sum(len(w) for w in words.values())
+    avgdl = total / n
+    scores = []
+    for d, _ in docs:
+        ws = words[d]
+        c = Counter(ws)
+        s = 0
+        for term in terms:
+            tf = c.get(term, 0)
+            if tf == 0:
+                continue
+            df = sum(1 for w in words.values() if term in w)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            raw = (idf * (tf * (q.BM25_K1 + 1.0))) / (
+                tf + (q.BM25_K1 * ((1.0 - q.BM25_B) + (q.BM25_B * (len(ws) / avgdl))))
+            )
+            s += q._quantize(raw)
+        scores.append((d, s))
+    scores.sort(key=lambda r: (-r[1], r[0]))
+    eng = q.bm25_topk(SF)
+    assert eng["doc_id"].tolist() == [d for d, _ in scores[:20]]
+    assert eng["score_q"].tolist() == [s for _, s in scores[:20]]
+
+
+def test_quantize_round_half_away():
+    assert q._quantize(1.5e-9) == 2
+    assert q._quantize(2.5e-9) == 3  # NOT banker's rounding
+    assert q._quantize(0.0) == 0
