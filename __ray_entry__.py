@@ -424,6 +424,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": lambda sf: qual.gopher_repetition(sf),
         # Okapi BM25 ranked retrieval (nano-quantized integer scores)
         "bm25_topk": lambda sf: qual.bm25_topk(sf),
+        # SemDeDup: k-means clusters, within-cluster cosine pairs
+        # (approximate by construction — pinned by k=1-exactness,
+        # subset-of-exact and planted-duplicate pytests; no SQL twin)
+        "semantic_dedup": lambda sf: dedup.semantic_dedup(sf),
+        # temperature-based mixture sampling (integer-exact, alpha=0.5)
+        "temperature_mix_sample": lambda sf: llm.temperature_mix_sample(sf),
     }
 
 
@@ -624,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_freqs": sketches.cms_token_freqs_sql(),
         "gopher_repetition": qual.gopher_repetition_sql(),
         "bm25_topk": qual.bm25_topk_sql(),
+        "temperature_mix_sample": llm.temperature_mix_sample_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

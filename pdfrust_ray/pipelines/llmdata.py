@@ -316,3 +316,91 @@ def bpe_encode_counts(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
     )
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def temperature_mix_sample(
+    sf_dir: str, alpha: float = 0.5, frac: float = 0.5, scale: int = 1_000_000
+) -> pd.DataFrame:
+    """Temperature-based mixture sampling (the multilingual-pretraining
+    standard: sample language l with probability proportional to
+    n_l^alpha — alpha=1 keeps the natural mix, alpha=0 the uniform
+    mix; see mBERT / XLM-R exponential smoothing).
+
+    Integer-exact so the SQL twin is bit-identical: the ONLY float op
+    is w_l = floor(power(n_l, alpha) * 1e6 + 0.5) per language (libm
+    pow on both sides, half-away rounding); targets and keep-thresholds
+    are pure int64 arithmetic from there, and membership is the
+    deterministic md5(doc_id) predicate. Downsampling only: a language
+    whose target exceeds n_l keeps every row (threshold saturates at
+    `scale`). Same two-pass shape as lang_rebalanced_sample: tiny
+    distributed lang count -> broadcast thresholds -> streaming keep
+    filter. Returns the sampled (doc_id, lang) rows."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    counts = ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    n_total = int(counts["n"].sum())
+    # explicit floor(x + 0.5): Python int() truncates while DuckDB
+    # CAST(double AS BIGINT) rounds — write the same op on both sides
+    n_target = int(math.floor(n_total * frac + 0.5))
+    w = {
+        str(r.lang): int(math.floor(math.pow(float(r.n), alpha) * 1_000_000.0 + 0.5))
+        for r in counts.itertuples(index=False)
+    }
+    sum_w = sum(w.values())
+    n_by_lang = {str(r.lang): int(r.n) for r in counts.itertuples(index=False)}
+    thresholds = {
+        lg: min(scale, (scale * ((n_target * w[lg]) // sum_w)) // n_by_lang[lg])
+        for lg in w
+    }
+    tref = ray.put(thresholds)
+
+    def keep(t: pa.Table) -> pa.Table:
+        from ..functions.md5vec import md5_prefix_u32
+
+        th = ray.get(tref)
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        h = md5_prefix_u32([str(i).encode() for i in ids]) % scale
+        mask = [int(hv) < th[lg] for hv, lg in zip(h, langs)]
+        return t.filter(pa.array(mask))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "lang": pd.Series([], dtype="str")}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def temperature_mix_sample_sql(
+    alpha: float = 0.5, frac: float = 0.5, scale: int = 1_000_000
+) -> str:
+    md5u32 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    return f"""
+        WITH c AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+        ), w AS (
+          SELECT lang, n,
+                 CAST(FLOOR(POWER(CAST(n AS DOUBLE), {alpha}) * 1000000.0 + 0.5)
+                      AS BIGINT) AS wq
+          FROM c
+        ), g AS (
+          SELECT SUM(wq) AS sum_w,
+                 CAST(FLOOR(SUM(n) * {frac} + 0.5) AS BIGINT) AS n_target
+          FROM w
+        ), th AS (
+          SELECT w.lang,
+                 LEAST({scale},
+                       ({scale} * ((g.n_target * w.wq) // g.sum_w)) // w.n) AS keep_lt
+          FROM w, g
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN th ON d.lang = th.lang
+        WHERE {md5u32} % {scale} < th.keep_lt
+        ORDER BY d.doc_id
+    """

@@ -1050,3 +1050,79 @@ def substring_dedup_sql(window: int = 64, stride: int = 16) -> str:
         FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2 ORDER BY doc_a, doc_b
     """
+
+
+def semantic_dedup(
+    sf_dir: str,
+    k: int = 10,
+    iters: int = 5,
+    threshold: float = 0.45,
+    group_cap: int = 20_000,
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with distributed spherical k-means, then search for
+    cosine near-duplicate pairs ONLY within each cluster — the standard
+    way to make embedding dedup sub-quadratic at billions of vectors.
+
+    Shape: the trained k x D centroid matrix is broadcast once
+    (ray.put); a cheap map_batches assigns argmax-cosine buckets; one
+    groupby(bucket).map_groups computes the within-cluster pairwise
+    block. Cost falls from O(N^2) to O(sum of cluster_size^2); no
+    driver-side vector state. `group_cap` bounds the worst cluster
+    (degenerate clustering at scale would otherwise re-create the
+    quadratic) — capped groups are truncated by vec_id with the cap
+    recorded in the docstring contract, mirroring BUCKET_CAP in the
+    MinHash family.
+
+    Approximate by construction (cross-cluster pairs are invisible), so
+    no SQL twin: pinned by the subset-of-exact + measured-recall +
+    planted-duplicate pytests.
+    """
+    from .similarity import _kmeans_rounds, _normalize
+
+    centroids, _ = _kmeans_rounds(sf_dir, k, iters)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        v = _normalize(embedding_matrix(batch["embedding"]))
+        bucket = (v @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "bucket": pa.array(bucket, pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def pairs_in_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        if len(g) > group_cap:
+            g = g.iloc[:group_cap]
+        v = _normalize(np.asarray(list(g["embedding"]), dtype=np.float64))
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        sims = v @ v.T
+        ai, bj = np.nonzero(sims >= threshold)
+        keep = ai < bj
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(ids[ai[keep]], dtype="int64"),
+                "vec_b": pd.Series(ids[bj[keep]], dtype="int64"),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_cluster, batch_format="pandas")
+        .to_pandas()
+    )
+    if "vec_a" not in out.columns:
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -205,6 +205,17 @@ def kmeans_embeddings(
     to the assigned centroid. No SQL twin (iterative float
     algorithm); pinned by monotone-inertia / determinism /
     label-recovery tests."""
+    _, result = _kmeans_rounds(sf_dir, k, iters)
+    result["bucket"] = result["bucket"].astype("int64")
+    result["n"] = result["n"].astype("int64")
+    result["inertia"] = result["inertia"].round(round_to)
+    return result.reset_index(drop=True)
+
+
+def _kmeans_rounds(sf_dir: str, k: int, iters: int):
+    """The Lloyd loop of kmeans_embeddings; returns (final centroid
+    matrix, last-round per-cluster stats). Shared with semantic_dedup,
+    which needs the trained centroids, not just the stats."""
     centroids = centroid_matrix(sf_dir, k)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
@@ -265,10 +276,7 @@ def kmeans_embeddings(
                 new_centroids[int(r.bucket)] = mean / norm
         centroids = new_centroids
         result = agg[["bucket", "n", "inertia"]].copy()
-    result["bucket"] = result["bucket"].astype("int64")
-    result["n"] = result["n"].astype("int64")
-    result["inertia"] = result["inertia"].round(round_to)
-    return result.reset_index(drop=True)
+    return centroids, result
 
 
 def _pq_train(train: np.ndarray, m: int, k_sub: int, iters: int) -> np.ndarray:

@@ -1166,3 +1166,64 @@ def test_ngram_mega_duplicate_group_no_blowup(ray_session, tmp_path):
     pairs = ngram_jaccard_dedup(str(d), threshold=0.8)
     assert len(pairs) == 60 * 59 // 2
     assert (pairs["jaccard"] == 1.0).all()
+
+
+def test_semantic_dedup_subset_recall_and_planted(ray_session, tmp_path):
+    """SemDeDup pairs must be a subset of the exact all-pairs set;
+    planted near-identical vectors must be recovered (they share a
+    cluster by construction); recall vs exact stays high because near-
+    dups rarely straddle a centroid boundary."""
+    from pdfrust_ray.stages.dedup import embedding_dedup, semantic_dedup
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(80, 16).astype(np.float32)
+    vecs[31] = vecs[30] + rng.randn(16).astype(np.float32) * 0.01
+    vecs[55] = vecs[54] + rng.randn(16).astype(np.float32) * 0.01
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(80)]
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "embeddings.parquet"))
+    pairs = semantic_dedup(str(d), k=6, iters=3, threshold=0.98)
+    got = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert (30, 31) in got and (54, 55) in got
+    exact = set(map(tuple, embedding_dedup(str(d), threshold=0.98).values.tolist()))
+    assert got <= exact
+
+
+@needs_testdata
+def test_semantic_dedup_k1_is_exact_and_k10_subset(ray_session):
+    """With a single cluster SemDeDup degenerates to the exact
+    all-pairs scan — the whole machinery (k-means train, assignment,
+    within-cluster block) must reproduce embedding_dedup exactly. At
+    k=10 the result is a subset (the fixture's tau=0.45 'pairs' are
+    weakly-correlated random vectors, not true near-dups, so some
+    straddle centroid boundaries by construction — genuine near-dups
+    are covered by the planted test)."""
+    from pdfrust_ray.stages.dedup import embedding_dedup, semantic_dedup
+
+    exact_df = embedding_dedup(SF, threshold=0.45)
+    assert semantic_dedup(SF, k=1, iters=2, threshold=0.45).equals(exact_df)
+    exact = set(map(tuple, exact_df.values.tolist()))
+    got = set(map(tuple, semantic_dedup(SF, threshold=0.45).values.tolist()))
+    assert got <= exact and len(got) > 0
+
+
+@needs_testdata
+def test_temperature_mix_sample_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.llmdata import (
+        temperature_mix_sample,
+        temperature_mix_sample_sql,
+    )
+
+    mine = temperature_mix_sample(SF)
+    assert len(mine) > 0
+    _compare(mine, duck.execute(temperature_mix_sample_sql()).df())
+    # alpha=0.5 flattens the mix: the sampled lang shares must sit
+    # between uniform and the natural distribution
+    import pyarrow.parquet as _pq
+
+    langs = _pq.read_table(f"{SF}/documents.parquet", columns=["lang"]).to_pandas()
+    nat = langs["lang"].value_counts(normalize=True)
+    smp = mine["lang"].value_counts(normalize=True)
+    top = nat.idxmax()
+    assert smp[top] < nat[top]  # dominant language share shrinks
