@@ -430,6 +430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": lambda sf: dedup.semantic_dedup(sf),
         # temperature-based mixture sampling (integer-exact, alpha=0.5)
         "temperature_mix_sample": lambda sf: llm.temperature_mix_sample(sf),
+        # global prefix scan (two-phase up-sweep/down-sweep, no key)
+        "running_global_total": rel.running_global_total,
     }
 
 
@@ -631,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": qual.gopher_repetition_sql(),
         "bm25_topk": qual.bm25_topk_sql(),
         "temperature_mix_sample": llm.temperature_mix_sample_sql(),
+        "running_global_total": rel.running_global_total_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

@@ -1504,3 +1504,70 @@ def lineitem_discounted_revenue_sql() -> str:
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """
+
+
+def running_global_total(sf_dir: str, bucket_width: int = 1024) -> pd.DataFrame:
+    """GLOBAL cumulative total in event_id order — the distributed
+    two-phase prefix scan (Blelloch): unlike running_user_totals there
+    is no partition key, so a naive window would serialize the corpus
+    through one node.
+
+      phase 1 (up-sweep): bucket = event_id // bucket_width; one tiny
+        groupby(bucket) Sum — the exchange is O(n_buckets) counters;
+      driver: exclusive prefix over the sorted bucket sums (n_buckets
+        integers — broadcast back with ray.put);
+      phase 2 (down-sweep): groupby(bucket).map_groups sorts each
+        bucket by event_id and emits local cumsum + bucket offset.
+
+    Values are quantized to cents (floor(v*100 + 0.5), exact for the
+    non-negative cent-valued inputs) BEFORE summation, so the running
+    totals are order-free int64 sums and the window-function SQL twin
+    is bit-identical."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        v = t["value"].to_numpy()
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "bucket": pa.array(eid // bucket_width, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    sums = (
+        prepped.groupby("bucket")
+        .aggregate(Sum("cents", alias_name="s"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    excl = sums["s"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(sums["bucket"].astype(int), excl.astype(int)))
+    oref = ray.put(offsets)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("event_id").reset_index(drop=True)
+        g["cum_cents"] = g["cents"].cumsum() + off
+        return g[["event_id", "cum_cents"]]
+
+    out = prepped.groupby("bucket").map_groups(scan, batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def running_global_total_sql() -> str:
+    return """
+        SELECT event_id,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                    OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_cents
+        FROM events ORDER BY event_id
+    """

@@ -1227,3 +1227,38 @@ def test_temperature_mix_sample_matches_sql(ray_session, duck):
     smp = mine["lang"].value_counts(normalize=True)
     top = nat.idxmax()
     assert smp[top] < nat[top]  # dominant language share shrinks
+
+
+@needs_testdata
+def test_running_global_total_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        running_global_total,
+        running_global_total_sql,
+    )
+
+    mine = running_global_total(SF)
+    _compare(mine, duck.execute(running_global_total_sql()).df())
+    # the scan must be globally monotone and end at the corpus total
+    assert mine["cum_cents"].is_monotonic_increasing
+    total = duck.execute(
+        "SELECT SUM(CAST(FLOOR(value*100.0+0.5) AS BIGINT)) FROM events"
+    ).fetchone()[0]
+    assert mine["cum_cents"].iloc[-1] == total
+
+
+def test_running_global_total_bucket_boundaries(ray_session, tmp_path):
+    """Hand-built stream crossing several bucket boundaries with a tiny
+    width: offsets must chain exactly across buckets."""
+    import pyarrow.parquet as _pq
+
+    from pdfrust_ray.pipelines.relational import running_global_total
+
+    rows = [{"event_id": i, "value": float(i % 7) + 0.25} for i in range(100)]
+    d = tmp_path / "ev"
+    d.mkdir()
+    _pq.write_table(pa.Table.from_pylist(rows), str(d / "events.parquet"))
+    out = running_global_total(str(d), bucket_width=8)
+    cents = [int(((i % 7) + 0.25) * 100 + 0.5) for i in range(100)]
+    import itertools
+
+    assert out["cum_cents"].tolist() == list(itertools.accumulate(cents))
