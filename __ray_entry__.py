@@ -432,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix_sample": lambda sf: llm.temperature_mix_sample(sf),
         # global prefix scan (two-phase up-sweep/down-sweep, no key)
         "running_global_total": rel.running_global_total,
+        # corpus-trained bigram-LM surprisal (micro-nat integer scores)
+        "bigram_lm_scores": lambda sf: qual.bigram_lm_scores(sf),
     }
 
 
@@ -634,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": qual.bm25_topk_sql(),
         "temperature_mix_sample": llm.temperature_mix_sample_sql(),
         "running_global_total": rel.running_global_total_sql(),
+        "bigram_lm_scores": qual.bigram_lm_scores_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

@@ -280,3 +280,137 @@ def bm25_topk_sql(n_terms: int = 4, k: int = 20) -> str:
         FROM contrib GROUP BY doc_id
         ORDER BY score_q DESC, doc_id LIMIT {k}
     """
+
+
+def bigram_lm_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-document surprisal under a corpus-trained bigram language
+    model — the KenLM-style perplexity filter of CCNet/RedPajama,
+    expressed exactly:
+
+      train: distributed bigram counting (per-batch Counter combiner ->
+        vocabulary^2-bounded groupby Sum — the exchange carries
+        distinct-bigram rows, never tokens); context counts and V
+        derive from the same table on the driver (bounded, like the BPE
+        trainer's merge table);
+      quantize: p(b|a) = (c_ab + 0.5) / (c_a + 0.5*V)  (add-half
+        smoothing); q_ab = floor(-ln(p)*1e6 + 0.5) — micro-nats,
+        computed ONCE per distinct bigram with libm log (bit-identical
+        to DuckDB ln), broadcast to the scoring actors;
+      score: streaming scan summing int64 q over each doc's bigrams —
+        order-free, so the SQL twin matches exactly.
+
+    Returns (doc_id, n_bigrams, surprisal_q); surprisal_q/1e6 is the
+    total negative log-likelihood in nats. Higher = more surprising
+    under the corpus model."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        vocab = set()
+        for txt in t["text"].to_pylist():
+            ws = _words(txt)
+            vocab.update(ws)
+            c.update(zip(ws, ws[1:]))
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "a": pa.array([k[0] for k in keys], pa.string()),
+                "b": pa.array([k[1] for k in keys], pa.string()),
+                "c": pa.array(
+                    np.fromiter(c.values(), dtype=np.int64, count=len(keys)), pa.int64()
+                ),
+            }
+        )
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        vocab = set()
+        for txt in t["text"].to_pylist():
+            vocab.update(_words(txt))
+        return pa.table({"w": pa.array(sorted(vocab), pa.string())})
+
+    counts = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    # |V|: per-batch distinct -> vocabulary-sized groupby -> row count
+    n_vocab = int(
+        ds.map_batches(vocab_partial, batch_format="pyarrow").groupby("w").count().count()
+    )
+    ctx = counts.groupby("a")["c"].sum().to_dict()
+    q_table = {
+        (r.a, r.b): int(
+            math.floor(-math.log((int(r.c) + 0.5) / (ctx[r.a] + 0.5 * n_vocab)) * 1000000.0 + 0.5)
+        )
+        for r in counts.itertuples(index=False)
+    }
+    qref = ray.put(q_table)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, nb, sq = [], [], []
+            for doc_id, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                ws = _words(txt)
+                ids.append(doc_id)
+                nb.append(max(0, len(ws) - 1))
+                sq.append(sum(self.q[(a, b)] for a, b in zip(ws, ws[1:])))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_bigrams": pa.array(nb, pa.int64()),
+                    "surprisal_q": pa.array(sq, pa.int64()),
+                }
+            )
+
+    out = (
+        ds.map_batches(Score, batch_format="pyarrow", batch_size=1024, concurrency=(1, 2))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def bigram_lm_scores_sql() -> str:
+    """Exact twin: identical smoothing expression, ln, and micro-nat
+    floor-quantization per distinct bigram; per-doc integer sums."""
+    return r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), bg AS (
+          SELECT doc_id, unnest([{'a': ws[x], 'b': ws[x + 1]} FOR x IN range(1, len(ws))],
+                                recursive := true)
+          FROM w
+        ), cnt AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY a, b
+        ), ctx AS (
+          SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM cnt GROUP BY a
+        ), v AS (
+          SELECT CAST(COUNT(DISTINCT u.w) AS BIGINT) AS nv
+          FROM (SELECT unnest(ws) AS w FROM w) u
+        ), q AS (
+          SELECT cnt.a, cnt.b,
+                 CAST(FLOOR(-ln((cnt.c + 0.5) / (ctx.ca + 0.5 * v.nv)) * 1000000.0 + 0.5)
+                      AS BIGINT) AS qv
+          FROM cnt JOIN ctx ON cnt.a = ctx.a, v
+        ), scores AS (
+          SELECT bg.doc_id, COUNT(*) AS nb, SUM(q.qv) AS sq
+          FROM bg JOIN q ON bg.a = q.a AND bg.b = q.b
+          GROUP BY bg.doc_id
+        )
+        SELECT w.doc_id,
+               CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(s.sq, 0) AS BIGINT) AS surprisal_q
+        FROM w LEFT JOIN scores s ON w.doc_id = s.doc_id
+        ORDER BY w.doc_id
+    """

@@ -103,3 +103,48 @@ def test_quantize_round_half_away():
     assert q._quantize(1.5e-9) == 2
     assert q._quantize(2.5e-9) == 3  # NOT banker's rounding
     assert q._quantize(0.0) == 0
+
+
+@needs_testdata
+def test_bigram_lm_scores_oracle(ray_session, duck):
+    eng = q.bigram_lm_scores(SF)
+    ora = duck.execute(q.bigram_lm_scores_sql()).df()
+    assert eng["doc_id"].tolist() == ora["doc_id"].tolist()
+    assert eng["n_bigrams"].tolist() == ora["n_bigrams"].tolist()
+    assert eng["surprisal_q"].tolist() == ora["surprisal_q"].tolist()
+    assert (eng["surprisal_q"] > 0).all()  # p < 1 always under smoothing
+
+
+@needs_testdata
+def test_bigram_lm_hand_check_one_bigram(ray_session, duck):
+    """Recompute one bigram's micro-nat cost independently and confirm
+    it divides the engine's doc scores correctly on a 2-word doc model:
+    a doc's score must equal the sum of its bigram costs computed from
+    raw counts."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    bg = Counter()
+    vocab = set()
+    for txt in docs.values():
+        ws = txt.lower().split()
+        vocab.update(ws)
+        bg.update(zip(ws, ws[1:]))
+    ctx = Counter()
+    for (a, _), c in bg.items():
+        ctx[a] += c
+    nv = len(vocab)
+
+    def cost(a, b):
+        p = (bg[(a, b)] + 0.5) / (ctx[a] + 0.5 * nv)
+        return int(math.floor(-math.log(p) * 1000000.0 + 0.5))
+
+    eng = q.bigram_lm_scores(SF).set_index("doc_id")
+    did = min(docs)
+    ws = docs[did].lower().split()
+    expect = sum(cost(a, b) for a, b in zip(ws, ws[1:]))
+    assert int(eng.loc[did, "surprisal_q"]) == expect
