@@ -434,6 +434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_global_total": rel.running_global_total,
         # corpus-trained bigram-LM surprisal (micro-nat integer scores)
         "bigram_lm_scores": lambda sf: qual.bigram_lm_scores(sf),
+        # bottom-k hash sketch: uniform k-sample, mergeable, no shuffle
+        "bottom_k_sample": rel.bottom_k_sample,
     }
 
 
@@ -637,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix_sample": llm.temperature_mix_sample_sql(),
         "running_global_total": rel.running_global_total_sql(),
         "bigram_lm_scores": qual.bigram_lm_scores_sql(),
+        "bottom_k_sample": rel.bottom_k_sample_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

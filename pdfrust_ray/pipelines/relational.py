@@ -1571,3 +1571,53 @@ def running_global_total_sql() -> str:
                  AS cum_cents
         FROM events ORDER BY event_id
     """
+
+
+def bottom_k_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Uniform k-sample WITHOUT replacement via the bottom-k hash
+    sketch: every row gets the deterministic key md5(event_id)[:8]; the
+    global k smallest keys ARE a uniform sample (the classic mergeable
+    bottom-k / KMV construction — Bar-Yossef et al. 2002).
+
+    Distributed shape: each batch keeps only its local bottom-k
+    (vectorized single-block MD5, partial sort), so the driver merge
+    sees O(blocks x k) rows — no shuffle, no global sort of the corpus,
+    and partial results merge by 'union then re-take bottom-k', which
+    is what makes the sketch cluster-friendly. Ties on the 32-bit key
+    prefix break by event_id; the SQL twin orders by the same prefix,
+    so the sample is bit-identical."""
+    import numpy as np
+
+    from ..functions.md5vec import md5_prefix_u32
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def local_bottom_k(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        h = md5_prefix_u32([str(i).encode() for i in eid.tolist()])
+        order = np.lexsort((eid, h))[:k]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "hkey": pa.array(h[order].astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(local_bottom_k, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["hkey", "event_id"]).head(k).reset_index(drop=True)
+    out["sample_rank"] = pd.Series(range(1, len(out) + 1), dtype="int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    return out[["sample_rank", "event_id"]]
+
+
+def bottom_k_sample_sql(k: int = 100) -> str:
+    """Oracle orders by the same 32-bit hex prefix the engine uses
+    (substr(md5,1,8)), with event_id tie-break — bit-identical."""
+    return f"""
+        SELECT CAST(row_number() OVER (
+                 ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8), event_id)
+               AS BIGINT) AS sample_rank,
+               event_id
+        FROM events
+        ORDER BY sample_rank LIMIT {k}
+    """

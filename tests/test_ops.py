@@ -1262,3 +1262,31 @@ def test_running_global_total_bucket_boundaries(ray_session, tmp_path):
     import itertools
 
     assert out["cum_cents"].tolist() == list(itertools.accumulate(cents))
+
+
+@needs_testdata
+def test_bottom_k_sample_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import bottom_k_sample, bottom_k_sample_sql
+
+    mine = bottom_k_sample(SF)
+    assert len(mine) == 100
+    _compare(mine, duck.execute(bottom_k_sample_sql()).df())
+
+
+def test_bottom_k_sample_merge_property(ray_session, tmp_path):
+    """bottom-k of a union == bottom-k of (bottom-k(A) union bottom-k(B))
+    — the mergeability that makes the sketch distributed-safe."""
+    import pyarrow.parquet as _pq
+
+    from pdfrust_ray.functions.md5vec import md5_prefix_u32
+    from pdfrust_ray.pipelines.relational import bottom_k_sample
+
+    rows = [{"event_id": i, "value": 0.0} for i in range(5000)]
+    d = tmp_path / "ev"
+    d.mkdir()
+    _pq.write_table(pa.Table.from_pylist(rows), str(d / "events.parquet"))
+    out = bottom_k_sample(str(d), k=50)
+    # serial reference: full hash, global bottom-50
+    h = md5_prefix_u32([str(i).encode() for i in range(5000)])
+    order = np.lexsort((np.arange(5000), h))[:50]
+    assert out["event_id"].tolist() == list(order)
