@@ -436,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_scores": lambda sf: qual.bigram_lm_scores(sf),
         # bottom-k hash sketch: uniform k-sample, mergeable, no shuffle
         "bottom_k_sample": rel.bottom_k_sample,
+        # string-similarity self-join (prefix-filtered, candidate-complete)
+        "name_similarity_join": lambda sf: qual.name_similarity_join(sf),
     }
 
 
@@ -640,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
         "running_global_total": rel.running_global_total_sql(),
         "bigram_lm_scores": qual.bigram_lm_scores_sql(),
         "bottom_k_sample": rel.bottom_k_sample_sql(),
+        "name_similarity_join": qual.name_similarity_join_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

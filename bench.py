@@ -141,6 +141,14 @@ def main() -> dict:
     timed("turn_normalize", lambda: textops.turn_normalize(fix_dir))
     timed("pq_rerank_topk", lambda: similarity.pq_rerank_topk(SF_DIR))
 
+    from pdfrust_ray.pipelines import quality as qual
+
+    timed("gopher_repetition", lambda: qual.gopher_repetition(SF_DIR))
+    timed("bm25_topk", lambda: qual.bm25_topk(SF_DIR))
+    timed("bigram_lm_scores", lambda: qual.bigram_lm_scores(SF_DIR))
+    timed("semantic_dedup", lambda: dedup.semantic_dedup(SF_DIR))
+    timed("running_global_total", lambda: rel.running_global_total(SF_DIR))
+
     result = {
         "metric": "extract_pipeline_wall",
         "value": round(headline, 3),

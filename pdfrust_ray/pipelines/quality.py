@@ -414,3 +414,122 @@ def bigram_lm_scores_sql() -> str:
         FROM w LEFT JOIN scores s ON w.doc_id = s.doc_id
         ORDER BY w.doc_id
     """
+
+
+def _char_grams(name: str, k: int = 3) -> set[str]:
+    """Distinct character k-grams — identical semantics to DuckDB
+    list_distinct([substr(name, x, k) ...])."""
+    return {name[i : i + k] for i in range(len(name) - k + 1)}
+
+
+def name_similarity_join(
+    sf_dir: str, threshold: float = 0.5, table: str = "part", col: str = "p_name"
+) -> pd.DataFrame:
+    """String-similarity self-join (entity resolution): pairs of
+    DISTINCT names whose char-3-gram Jaccard >= threshold.
+
+    Scale shape (AllPairs/SSJoin prefix filtering, Bayardo et al.
+    WWW'07 — same lemma as stages/dedup.py::_prefix_rows): the
+    vocabulary-sized distinct-name set is reduced by one groupby; each
+    name indexes only its first n - ceil(t*n) + 1 grams under the
+    global (lexicographic) gram order, which is candidate-COMPLETE for
+    J >= t; candidates come from gram-bucket joins, are deduped by a
+    pair-keyed groupby, and each surviving pair is verified exactly
+    from its own two names — no all-pairs pass anywhere. At 100 TB the
+    gram buckets of stopword-like grams need the cap/salt treatment of
+    the LSH buckets (names here are bounded entity strings, kept
+    exact so the SQL twin matches bit-for-bit).
+
+    Output: (name_a, name_b, n_inter, n_union, jaccard) — jaccard is
+    the single IEEE division n_inter/n_union, bit-identical to SQL."""
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+    names = ds.groupby(col).count()
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        out_g, out_n = [], []
+        for nm in t[col].to_pylist():
+            gs = sorted(_char_grams(nm))
+            n = len(gs)
+            p = n - math.ceil(threshold * n) + 1 if n else 0
+            for g in gs[:p]:
+                out_g.append(g)
+                out_n.append(nm)
+        return pa.table(
+            {"gram": pa.array(out_g, pa.string()), "name": pa.array(out_n, pa.string())}
+        )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nms = sorted(set(g["name"]))
+        rows = [(a, b) for i, a in enumerate(nms) for b in nms[i + 1 :]]
+        return pd.DataFrame(rows, columns=["name_a", "name_b"])
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = g["name_a"].iloc[0], g["name_b"].iloc[0]
+        ga, gb = _char_grams(a), _char_grams(b)
+        inter = len(ga & gb)
+        union = len(ga) + len(gb) - inter
+        j = inter / union if union else 0.0
+        if j < threshold:
+            return pd.DataFrame(
+                {
+                    "name_a": pd.Series([], dtype="str"),
+                    "name_b": pd.Series([], dtype="str"),
+                    "n_inter": pd.Series([], dtype="int64"),
+                    "n_union": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "name_a": [a],
+                "name_b": [b],
+                "n_inter": pd.Series([inter], dtype="int64"),
+                "n_union": pd.Series([union], dtype="int64"),
+                "jaccard": pd.Series([j], dtype="float64"),
+            }
+        )
+
+    out = (
+        names.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("gram")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .groupby(["name_a", "name_b"])
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if "name_a" not in out.columns or out.empty:
+        return pd.DataFrame(
+            {
+                "name_a": pd.Series([], dtype="str"),
+                "name_b": pd.Series([], dtype="str"),
+                "n_inter": pd.Series([], dtype="int64"),
+                "n_union": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+    out["n_inter"] = out["n_inter"].astype("int64")
+    out["n_union"] = out["n_union"].astype("int64")
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+def name_similarity_join_sql(
+    threshold: float = 0.5, table: str = "part", col: str = "p_name"
+) -> str:
+    return f"""
+        WITH n AS (SELECT DISTINCT {col} AS name FROM {table}),
+        g AS (
+          SELECT name,
+                 list_distinct([substr(name, CAST(x AS INTEGER), 3)
+                                FOR x IN range(1, length(name) - 1)]) AS gs
+          FROM n
+        ), p AS (
+          SELECT a.name AS name_a, b.name AS name_b,
+                 CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_inter,
+                 CAST(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))
+                      AS BIGINT) AS n_union
+          FROM g a JOIN g b ON a.name < b.name
+        )
+        SELECT name_a, name_b, n_inter, n_union, n_inter / n_union AS jaccard
+        FROM p WHERE n_inter / n_union >= {threshold}
+        ORDER BY name_a, name_b
+    """

@@ -5,6 +5,7 @@ import os
 from collections import Counter
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 from pdfrust_ray.pipelines import quality as q
@@ -148,3 +149,45 @@ def test_bigram_lm_hand_check_one_bigram(ray_session, duck):
     ws = docs[did].lower().split()
     expect = sum(cost(a, b) for a, b in zip(ws, ws[1:]))
     assert int(eng.loc[did, "surprisal_q"]) == expect
+
+
+@pytest.fixture(scope="module")
+def duck_part():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM read_parquet('{SF}/part.parquet')")
+    return con
+
+
+@needs_testdata
+def test_name_similarity_join_oracle(ray_session, duck_part):
+    eng = q.name_similarity_join(SF)
+    ora = duck_part.execute(q.name_similarity_join_sql()).df()
+    assert len(eng) > 0  # the fixture names produce real pairs
+    for c in ["name_a", "name_b", "n_inter", "n_union", "jaccard"]:
+        assert eng[c].tolist() == ora[c].tolist(), c
+
+
+def test_name_similarity_prefix_filter_complete(ray_session, tmp_path):
+    """Candidate completeness: brute-force over all distinct-name pairs
+    must equal the prefix-filtered distributed result."""
+    import itertools
+
+    import pyarrow.parquet as _pq
+
+    names = [
+        "cold widget", "old widget", "bold widget", "cold gadget",
+        "red ring", "red rings", "blue ring", "xyzzy", "abcde",
+    ]
+    rows = [{"p_name": nm} for nm in names for _ in range(2)]  # dup rows
+    d = tmp_path / "p"
+    d.mkdir()
+    _pq.write_table(pa.Table.from_pylist(rows), str(d / "part.parquet"))
+    eng = q.name_similarity_join(str(d), threshold=0.4)
+    got = set(zip(eng["name_a"], eng["name_b"]))
+    expect = set()
+    for a, b in itertools.combinations(sorted(set(names)), 2):
+        ga, gb = q._char_grams(a), q._char_grams(b)
+        un = len(ga) + len(gb) - len(ga & gb)
+        if un and len(ga & gb) / un >= 0.4:
+            expect.add((a, b))
+    assert got == expect and expect
