@@ -438,6 +438,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottom_k_sample": rel.bottom_k_sample,
         # string-similarity self-join (prefix-filtered, candidate-complete)
         "name_similarity_join": lambda sf: qual.name_similarity_join(sf),
+        # mergeable compactor quantile sketch (approximate; rank-error
+        # bound + exact-when-small pytests; no SQL twin)
+        "quantile_sketch": lambda sf: sketches.quantile_sketch(sf),
     }
 
 

@@ -309,3 +309,136 @@ def cms_token_freqs_sql(n_probe: int = 20) -> str:
         FROM p LEFT JOIN toks t ON p.token = t.token
         GROUP BY p.token ORDER BY p.token
     """
+
+
+# --- deterministic mergeable quantile sketch (compactor stack in the
+# Munro-Paterson / Manku-Rajagopalan-Lindsay / KLL lineage, with the
+# derandomized alternating compaction of Karnin-Lamport-Liberty §6) ---
+
+_QS_K = 256  # per-level capacity; rank error ~ O(log(n/k)/k)
+
+
+class _QuantileSketch:
+    """Compactor stack: level i holds items of weight 2^i; when a level
+    exceeds `k` items it is sorted and every other item (alternating
+    start parity per compaction — deterministic, no RNG) is promoted to
+    level i+1. Fully mergeable: concatenate levels then recompact."""
+
+    def __init__(self, k: int = _QS_K):
+        self.k = k
+        self.levels: list[list[float]] = [[]]
+        self.parity: list[int] = [0]
+
+    def extend(self, values) -> None:
+        self.levels[0].extend(float(v) for v in values)
+        self._compress()
+
+    def merge(self, other: "_QuantileSketch") -> None:
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+            self.parity.append(0)
+        for i, lv in enumerate(other.levels):
+            self.levels[i].extend(lv)
+        self._compress()
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                buf = sorted(self.levels[i])
+                start = self.parity[i]
+                self.parity[i] ^= 1
+                promoted = buf[start::2]
+                self.levels[i] = []
+                if i + 1 == len(self.levels):
+                    self.levels.append([])
+                    self.parity.append(0)
+                self.levels[i + 1].extend(promoted)
+            i += 1
+
+    def to_rows(self) -> list[tuple[int, bytes]]:
+        return [
+            (i, np.asarray(lv, dtype=np.float64).tobytes())
+            for i, lv in enumerate(self.levels)
+            if lv
+        ]
+
+    @classmethod
+    def from_rows(cls, rows, k: int = _QS_K) -> "_QuantileSketch":
+        s = cls(k)
+        for level, blob in rows:
+            while len(s.levels) <= level:
+                s.levels.append([])
+                s.parity.append(0)
+            s.levels[level].extend(np.frombuffer(blob, dtype=np.float64).tolist())
+        s._compress()
+        return s
+
+    def query(self, qs: list[float]) -> list[float]:
+        items: list[tuple[float, int]] = []
+        for i, lv in enumerate(self.levels):
+            w = 1 << i
+            items.extend((v, w) for v in lv)
+        items.sort()
+        total = sum(w for _, w in items)
+        out = []
+        for q in qs:
+            target = q * total
+            acc = 0
+            val = items[-1][0] if items else float("nan")
+            for v, w in items:
+                acc += w
+                if acc >= target:
+                    val = v
+                    break
+            out.append(val)
+        return out
+
+
+def quantile_sketch(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)) -> pd.DataFrame:
+    """Approximate quantiles of events.value via the mergeable compactor
+    sketch: each block contributes one serialized sketch (<= k doubles
+    per occupied level — kilobytes, independent of block row count);
+    a single tiny groupby merges them. Completes the sketch family
+    (HLL = distinct, Misra-Gries = heavy hitters, Count-Min =
+    frequency, this = quantiles) — the four aggregates whose exact
+    forms all force corpus-sized shuffles at 10^12 rows.
+
+    Deterministic (alternating compaction parity, fixed merge order by
+    block min event_id) but approximate by construction — no SQL twin;
+    pinned by the measured-rank-error-bound and exact-when-small
+    pytests. Returns (q, est_value)."""
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        s = _QuantileSketch()
+        s.extend(t["value"].to_numpy())
+        rows = s.to_rows()
+        lo = int(t["event_id"].to_numpy().min()) if t.num_rows else -1
+        return pd.DataFrame(
+            {
+                "part": pd.Series([0] * len(rows), dtype="int64"),
+                "lo_eid": pd.Series([lo] * len(rows), dtype="int64"),
+                "level": pd.Series([r[0] for r in rows], dtype="int64"),
+                "blob": [r[1] for r in rows],
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lo_eid", "level"], kind="mergesort")
+        s = _QuantileSketch.from_rows(list(zip(g["level"], g["blob"])))
+        est = s.query(list(qs))
+        return pd.DataFrame(
+            {
+                "q": pd.Series(list(qs), dtype="float64"),
+                "est_value": pd.Series(est, dtype="float64"),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("q").reset_index(drop=True)
