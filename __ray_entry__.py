@@ -441,6 +441,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable compactor quantile sketch (approximate; rank-error
         # bound + exact-when-small pytests; no SQL twin)
         "quantile_sketch": lambda sf: sketches.quantile_sketch(sf),
+        # FULL OUTER of two filtered aggregates (union+indicator groupby)
+        "heavy_user_full_outer": rel.heavy_user_full_outer,
+        # unpivot: wide pivot melted back to long incl. zero cells
+        "events_daily_unpivot": rel.events_daily_unpivot,
+        # CUBE grouping lattice from one finest-grain groupby
+        "orders_cube": rel.orders_cube,
     }
 
 
@@ -646,6 +652,9 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_scores": qual.bigram_lm_scores_sql(),
         "bottom_k_sample": rel.bottom_k_sample_sql(),
         "name_similarity_join": qual.name_similarity_join_sql(),
+        "heavy_user_full_outer": rel.heavy_user_full_outer_sql(),
+        "events_daily_unpivot": rel.events_daily_unpivot_sql(),
+        "orders_cube": rel.orders_cube_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

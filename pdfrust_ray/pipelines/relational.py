@@ -1621,3 +1621,197 @@ def bottom_k_sample_sql(k: int = 100) -> str:
         FROM events
         ORDER BY sample_rank LIMIT {k}
     """
+
+
+def heavy_user_full_outer(sf_dir: str, min_n: int = 15) -> pd.DataFrame:
+    """FULL OUTER join: heavy clickers vs heavy purchasers (users with
+    >= min_n events of the type). Both join inputs are filtered
+    aggregates, so either side can have users the other lacks — the
+    full-outer case a left/inner join can't express.
+
+    Ray shape: full-outer-of-aggregates as UNION + indicator groupby —
+    each side emits (user_id, n_clicks, n_purchases) rows with the
+    other side zeroed, and one hash groupby Sum merges them. This is
+    the classic exchange-optimal plan for outer joins of pre-aggregated
+    sides (one shuffle total; `Dataset.join(join_type="full_outer")`
+    exists but its hash-shuffle finalize rejects schema-less EMPTY
+    partitions in Ray 2.49, and would be a second exchange anyway).
+    Zero counts and a membership class make the frame hash-identical
+    to the SQL oracle. The HAVING filter runs distributed, after each
+    side's count aggregate."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def side(event_type: str, col: str, other: str):
+        agg = (
+            ds.filter(expr=f"event_type == '{event_type}'")
+            .groupby("user_id")
+            .aggregate(Count(alias_name=col))
+            .filter(expr=f"{col} >= {min_n}")
+        )
+
+        def widen(t: pa.Table) -> pa.Table:
+            zero = pa.array([0] * t.num_rows, pa.int64())
+            cols = {"user_id": t["user_id"], col: pc.cast(t[col], pa.int64()), other: zero}
+            return pa.table({k: cols[k] for k in ("user_id", "n_clicks", "n_purchases")})
+
+        return agg.map_batches(widen, batch_format="pyarrow")
+
+    merged = (
+        side("click", "n_clicks", "n_purchases")
+        .union(side("purchase", "n_purchases", "n_clicks"))
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_clicks", alias_name="n_clicks"),
+            Sum("n_purchases", alias_name="n_purchases"),
+        )
+        .to_pandas()
+    )
+    nc = merged["n_clicks"].astype("int64")
+    np_ = merged["n_purchases"].astype("int64")
+    out = pd.DataFrame(
+        {
+            "user_id": merged["user_id"].astype("int64"),
+            "n_clicks": nc,
+            "n_purchases": np_,
+            "membership": pd.Series(
+                ["both" if c > 0 and p > 0 else ("click_only" if c > 0 else "purchase_only")
+                 for c, p in zip(nc, np_)],
+                dtype="str",
+            ),
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def heavy_user_full_outer_sql(min_n: int = 15) -> str:
+    return f"""
+        WITH c AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+          FROM events WHERE event_type = 'click'
+          GROUP BY user_id HAVING COUNT(*) >= {min_n}
+        ), p AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id HAVING COUNT(*) >= {min_n}
+        )
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(c.n_clicks, 0) AS n_clicks,
+               COALESCE(p.n_purchases, 0) AS n_purchases,
+               CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL THEN 'both'
+                    WHEN c.user_id IS NOT NULL THEN 'click_only'
+                    ELSE 'purchase_only' END AS membership
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        ORDER BY user_id
+    """
+
+
+def events_daily_unpivot(sf_dir: str) -> pd.DataFrame:
+    """Unpivot (wide -> long): the inverse of events_daily_pivot. The
+    distributed part is the pivot's own vectorized-indicator groupby;
+    the melt then fans each (tiny, day-count-sized) wide row out to one
+    (day, event_type, n) row per type — including explicit zero cells,
+    which a direct long GROUP BY would omit."""
+    wide = events_daily_pivot(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        days, types, ns = [], [], []
+        d = t.to_pydict()
+        for i in range(t.num_rows):
+            for et in _EVENT_TYPES:
+                days.append(d["day"][i])
+                types.append(et)
+                ns.append(d[f"n_{et}"][i])
+        return pa.table(
+            {
+                "day": pa.array(days, t.schema.field("day").type),
+                "event_type": pa.array(types, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    out = (
+        rd.from_pandas(wide)
+        .map_batches(melt, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["day", "event_type"]).reset_index(drop=True)
+
+
+def events_daily_unpivot_sql() -> str:
+    arms = "\n          UNION ALL\n          ".join(
+        f"SELECT day, '{et}' AS event_type, n_{et} AS n FROM wide" for et in _EVENT_TYPES
+    )
+    cases = ",\n                 ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{et}"
+        for et in _EVENT_TYPES
+    )
+    return f"""
+        WITH wide AS (
+          SELECT date_trunc('day', ts) AS day,
+                 {cases}
+          FROM events GROUP BY 1
+        )
+        {arms}
+        ORDER BY day, event_type
+    """
+
+
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE grouping sets over (o_orderstatus, o_orderpriority): all
+    four aggregation levels — (s,p), (s,ALL), (ALL,p), (ALL,ALL) —
+    derived from ONE distributed finest-grain groupby (the rollup
+    trick extended to the full lattice; the input is never re-scanned).
+    'ALL' sentinels make the frame hash-identical to the SQL CUBE."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "o_orderpriority": t["o_orderpriority"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    base = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    vals = ["revenue_cents", "n_orders"]
+    by_s = (
+        base.groupby("o_orderstatus", as_index=False)[vals].sum().assign(o_orderpriority="ALL")
+    )
+    by_p = (
+        base.groupby("o_orderpriority", as_index=False)[vals].sum().assign(o_orderstatus="ALL")
+    )
+    grand = pd.DataFrame(
+        {
+            "o_orderstatus": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "revenue_cents": [base["revenue_cents"].sum()],
+            "n_orders": [base["n_orders"].sum()],
+        }
+    )
+    cols = ["o_orderstatus", "o_orderpriority", "revenue_cents", "n_orders"]
+    out = pd.concat([base[cols], by_s[cols], by_p[cols], grand[cols]])
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+
+
+def orders_cube_sql() -> str:
+    return """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               CAST(ROUND(SUM(ROUND(o_totalprice * 100))) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """

@@ -1290,3 +1290,44 @@ def test_bottom_k_sample_merge_property(ray_session, tmp_path):
     h = md5_prefix_u32([str(i).encode() for i in range(5000)])
     order = np.lexsort((np.arange(5000), h))[:50]
     assert out["event_id"].tolist() == list(order)
+
+
+@needs_testdata
+def test_heavy_user_full_outer_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        heavy_user_full_outer,
+        heavy_user_full_outer_sql,
+    )
+
+    mine = heavy_user_full_outer(SF)
+    # both outer sides must be exercised at the fixture
+    assert {"click_only", "purchase_only", "both"} <= set(mine["membership"])
+    _compare(mine, duck.execute(heavy_user_full_outer_sql()).df())
+
+
+@needs_testdata
+def test_events_daily_unpivot_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        events_daily_pivot,
+        events_daily_unpivot,
+        events_daily_unpivot_sql,
+    )
+
+    mine = events_daily_unpivot(SF)
+    _compare(mine, duck.execute(events_daily_unpivot_sql()).df())
+    # unpivot(pivot) involution: wide totals reappear as long sums
+    wide = events_daily_pivot(SF)
+    assert mine["n"].sum() == sum(wide[f"n_{et}"].sum() for et in
+                                  ("click", "error", "purchase", "signup", "view"))
+
+
+@needs_testdata
+def test_orders_cube_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import orders_cube, orders_cube_sql
+
+    mine = orders_cube(SF)
+    _compare(mine, duck.execute(orders_cube_sql()).df())
+    # lattice consistency: every level sums to the grand total
+    g = mine[(mine["o_orderstatus"] == "ALL") & (mine["o_orderpriority"] == "ALL")]
+    base = mine[(mine["o_orderstatus"] != "ALL") & (mine["o_orderpriority"] != "ALL")]
+    assert base["n_orders"].sum() == g["n_orders"].iloc[0]
