@@ -42,6 +42,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.audio import decode_wav_any, encode_wav_ima_adpcm, encode_wav_mulaw
+from ..functions.flac import decode_flac, encode_flac
 from ..functions.gif import decode_gif, encode_gif
 from ..functions.jpeg import decode_jpeg, encode_jpeg
 from ..functions.png import decode_png, encode_png, to_rgb
@@ -189,17 +190,19 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             t = np.arange(int(rate * dur / 1000))
             freq = float(rng.uniform(80, 2000))
             sig = (8000 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
-            codec = (i // 3) % 3
+            codec = (i // 3) % 4
             if codec == 0:
                 payload = encode_wav(sig, rate)  # PCM16
             elif codec == 1:
                 payload = encode_wav_mulaw(sig, rate)
-            else:
+            elif codec == 2:
                 payload = encode_wav_ima_adpcm(sig, rate)
                 # ADPCM pads the tail block; duration reflects decoded len
                 spb = 505
                 n_blocks = (len(sig) + spb - 1) // spb
                 dur = int(n_blocks * spb * 1000 / rate)
+            else:
+                payload = encode_flac(sig, rate, blocksize=1024)  # lossless
             width = height = 0
         else:
             h, w = int(rng.randint(12, 40)), int(rng.randint(12, 40))
@@ -303,13 +306,19 @@ class PixelDecoder:
                 pix = resize_nearest(pix, self.thumb, self.thumb)
             return _image_features(pix), w, h, 0
         if kind == "audio":
-            # decode_wav_any handles PCM16 + compressed (mu-law, IMA
-            # ADPCM) WAV; the stdlib-wave PCM16 path stays as the
-            # fallback for esoteric-but-PCM containers it parses
-            try:
-                samples, rate = decode_wav_any(payload)
-            except ValueError:
-                samples, rate = decode_wav(payload)
+            # FLAC sniffs by magic; decode_wav_any handles PCM16 +
+            # compressed (mu-law, IMA ADPCM) WAV; the stdlib-wave PCM16
+            # path stays as the fallback for esoteric-but-PCM containers
+            if payload[:4] == b"fLaC":
+                s64, rate = decode_flac(payload)
+                if s64.ndim == 1:  # mono -> the (n, channels) layout
+                    s64 = s64[:, None]
+                samples = s64.astype(np.int16)
+            else:
+                try:
+                    samples, rate = decode_wav_any(payload)
+                except ValueError:
+                    samples, rate = decode_wav(payload)
             dur = int(len(samples) * 1000 / rate)
             return _audio_features(samples, rate), 0, 0, dur
         if payload[:4] == b"GIF8":  # animated GIF video
