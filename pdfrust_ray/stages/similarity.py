@@ -217,7 +217,13 @@ def _kmeans_rounds(sf_dir: str, k: int, iters: int):
     matrix, last-round per-cluster stats). Shared with semantic_dedup,
     which needs the trained centroids, not just the stats."""
     centroids = centroid_matrix(sf_dir, k)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # materialize ONCE before the Lloyd loop: every round re-consumes
+    # the same blocks from the object store instead of re-reading and
+    # re-decoding parquet per iteration — the standard Ray iterative-ML
+    # pattern. Bounded by the embeddings table (spills if needed).
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
 
     result = None
     for _ in range(iters):
