@@ -447,6 +447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_unpivot": rel.events_daily_unpivot,
         # CUBE grouping lattice from one finest-grain groupby
         "orders_cube": rel.orders_cube,
+        # event-time watermark late-data accounting (two-phase prefix-max)
+        "late_events_by_day": rel.late_events_by_day,
     }
 
 
@@ -655,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_user_full_outer": rel.heavy_user_full_outer_sql(),
         "events_daily_unpivot": rel.events_daily_unpivot_sql(),
         "orders_cube": rel.orders_cube_sql(),
+        "late_events_by_day": rel.late_events_by_day_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

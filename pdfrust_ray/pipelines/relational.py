@@ -1815,3 +1815,122 @@ def orders_cube_sql() -> str:
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus, o_orderpriority
     """
+
+
+def late_events_by_day(
+    sf_dir: str,
+    jitter_us: int = 1_800_000_000,
+    lateness_us: int = 300_000_000,
+    bucket_us: int = 21_600_000_000,
+) -> pd.DataFrame:
+    """Event-time watermark accounting — the streaming-semantics
+    operator: replay the corpus as a bounded-disorder arrival stream
+    (arrival = ts + deterministic md5 jitter < 30 min, the standard
+    out-of-order-delivery model), advance a low watermark = max event
+    time seen so far, and count per event-time day how many events
+    arrive LATE (event time < watermark - allowed lateness) vs on time
+    — exactly what a Beam/Flink-style pipeline must decide to trigger
+    or drop.
+
+    Ray shape: the watermark is a GLOBAL prefix-max over arrival
+    order, so this reuses the two-phase scan of running_global_total
+    with max instead of sum: 6-hour arrival-key range buckets ->
+    per-bucket max (tiny groupby), driver exclusive prefix-max over
+    O(buckets) values, per-bucket down-sweep running max + late flag,
+    then a small per-day count groupby. All integer microsecond math,
+    so the window-function SQL twin is bit-identical."""
+    import numpy as np
+
+    from ..functions.md5vec import md5_prefix_u32
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        tu = pc.cast(t["ts"], pa.int64()).to_numpy()  # epoch us
+        h = md5_prefix_u32([str(i).encode() for i in eid.tolist()])
+        ak = tu + (h % np.uint64(jitter_us)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "tu": pa.array(tu, pa.int64()),
+                "ak": pa.array(ak, pa.int64()),
+                "bucket": pa.array(ak // bucket_us, pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    bmax = (
+        prepped.groupby("bucket")
+        .aggregate(Max("tu", alias_name="mx"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    excl = bmax["mx"].cummax().shift(1)
+    prefix = {
+        int(b): (None if pd.isna(m) else int(m))
+        for b, m in zip(bmax["bucket"], excl)
+    }
+    pref = ray.put(prefix)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        seed = ray.get(pref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["ak", "event_id"]).reset_index(drop=True)
+        tu = g["tu"].to_numpy()
+        run = np.maximum.accumulate(tu)
+        wm = np.empty(len(tu), dtype=np.float64)
+        wm[0] = np.nan if seed is None else seed
+        if len(tu) > 1:
+            wm[1:] = run[:-1]
+            if seed is not None:
+                wm[1:] = np.maximum(wm[1:], seed)
+        late = ~np.isnan(wm) & (tu < wm - lateness_us)
+        day = tu // 86_400_000_000 * 86_400_000_000
+        return pd.DataFrame(
+            {
+                "day_us": day,
+                "n_late": late.astype("int64"),
+                "n_on_time": (~late).astype("int64"),
+            }
+        )
+
+    agg = (
+        prepped.groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+        .groupby("day_us")
+        .aggregate(Sum("n_late", alias_name="n_late"), Sum("n_on_time", alias_name="n_on_time"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(agg["day_us"].astype("int64"), unit="us"),
+            "n_late": agg["n_late"].astype("int64"),
+            "n_on_time": agg["n_on_time"].astype("int64"),
+        }
+    )
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def late_events_by_day_sql(
+    jitter_us: int = 1_800_000_000, lateness_us: int = 300_000_000
+) -> str:
+    md5u32 = "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    return f"""
+        WITH a AS (
+          SELECT event_id, ts, epoch_us(ts) AS tu,
+                 epoch_us(ts) + {md5u32} % {jitter_us} AS ak
+          FROM events
+        ), w AS (
+          SELECT event_id, ts, tu,
+                 MAX(tu) OVER (ORDER BY ak, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+          FROM a
+        )
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) FILTER (WHERE wm IS NOT NULL AND tu < wm - {lateness_us})
+                    AS BIGINT) AS n_late,
+               CAST(COUNT(*) FILTER (WHERE wm IS NULL OR tu >= wm - {lateness_us})
+                    AS BIGINT) AS n_on_time
+        FROM w GROUP BY 1 ORDER BY 1
+    """

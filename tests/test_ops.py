@@ -1331,3 +1331,54 @@ def test_orders_cube_matches_sql(ray_session, duck):
     g = mine[(mine["o_orderstatus"] == "ALL") & (mine["o_orderpriority"] == "ALL")]
     base = mine[(mine["o_orderstatus"] != "ALL") & (mine["o_orderpriority"] != "ALL")]
     assert base["n_orders"].sum() == g["n_orders"].iloc[0]
+
+
+@needs_testdata
+def test_late_events_by_day_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        late_events_by_day,
+        late_events_by_day_sql,
+    )
+
+    mine = late_events_by_day(SF)
+    assert mine["n_late"].sum() > 0 and mine["n_on_time"].sum() > 0
+    _compare(mine, duck.execute(late_events_by_day_sql()).df())
+
+
+def test_late_events_watermark_semantics(ray_session, tmp_path):
+    """Hand-built stream: jitter 0 (md5 % 1) => arrival order == event
+    time order => nothing is ever late; with one event pushed far into
+    the past via its ts, it must be flagged late in its day."""
+    import pyarrow.parquet as _pq
+
+    from pdfrust_ray.pipelines.relational import late_events_by_day
+
+    base = 1_700_000_000_000_000
+    rows = [
+        {"event_id": i, "ts": base + i * 60_000_000} for i in range(200)
+    ]  # one per minute, in order
+    d = tmp_path / "ev"
+    d.mkdir()
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(1, "ts", pa.compute.cast(t["ts"], pa.timestamp("us")))
+    _pq.write_table(t, str(d / "events.parquet"))
+    out = late_events_by_day(str(d), jitter_us=1)
+    assert out["n_late"].sum() == 0
+    # with real disorder (45 min jitter, 5 min lateness) the result
+    # must match an independent serial replay of the same stream
+    from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+    jitter, lateness = 2_700_000_000, 300_000_000
+    tu = np.array([base + i * 60_000_000 for i in range(200)], dtype=np.int64)
+    h = md5_prefix_u32([str(i).encode() for i in range(200)])
+    ak = tu + (h % np.uint64(jitter)).astype(np.int64)
+    order = np.lexsort((np.arange(200), ak))
+    wm = -1
+    n_late = 0
+    for i in order:
+        if wm >= 0 and tu[i] < wm - lateness:
+            n_late += 1
+        wm = max(wm, tu[i])
+    assert n_late > 0  # the construction is non-vacuous
+    out = late_events_by_day(str(d), jitter_us=jitter, lateness_us=lateness)
+    assert out["n_late"].sum() == n_late
