@@ -449,6 +449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": rel.orders_cube,
         # event-time watermark late-data accounting (two-phase prefix-max)
         "late_events_by_day": rel.late_events_by_day,
+        # END-TO-END corpus prep: gopher -> dedups -> rebalance -> pack
+        "clean_pack_pipeline": lambda sf: llm.clean_pack_pipeline(sf),
     }
 
 
@@ -658,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_unpivot": rel.events_daily_unpivot_sql(),
         "orders_cube": rel.orders_cube_sql(),
         "late_events_by_day": rel.late_events_by_day_sql(),
+        "clean_pack_pipeline": llm.clean_pack_pipeline_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

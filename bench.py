@@ -148,6 +148,9 @@ def main() -> dict:
     timed("bigram_lm_scores", lambda: qual.bigram_lm_scores(SF_DIR))
     timed("semantic_dedup", lambda: dedup.semantic_dedup(SF_DIR))
     timed("running_global_total", lambda: rel.running_global_total(SF_DIR))
+    from pdfrust_ray.pipelines import llmdata as llm
+
+    timed("clean_pack_pipeline", lambda: llm.clean_pack_pipeline(SF_DIR), repeats=1)
 
     result = {
         "metric": "extract_pipeline_wall",

@@ -404,3 +404,222 @@ def temperature_mix_sample_sql(
         WHERE {md5u32} % {scale} < th.keep_lt
         ORDER BY d.doc_id
     """
+
+
+def clean_pack_pipeline(
+    sf_dir: str, budget: int = 128, n_buckets: int = 16, scale: int = 1000
+) -> pd.DataFrame:
+    """The END-TO-END corpus-preparation pipeline, composed as one
+    deterministic graph — what a real training-data run chains:
+
+      1. Gopher repetition filter (drop repetitive docs);
+      2. exact dedup (keep the min-doc_id copy of identical texts);
+      3. near-dup drop: docs that are the LARGER side of any verified
+         shingle-Jaccard >= 0.8 pair are dropped ("keep the earliest
+         representative" — the corpus-wide pair relation is reused
+         as-is, so this stage composes with the filters above without
+         recomputing shingles per stage);
+      4. language rebalance (downsample every language to the smallest
+         SURVIVING one, md5 predicate);
+      5. greedy fixed-budget sequence packing of the survivors.
+
+    Ray shape: stages 1-2 are one streaming pass + one md5-keyed
+    groupby (text never crosses a shuffle; stats/hash travel); stage 3
+    broadcasts the sparse verified pair set (same sparsity assumption
+    as dedup_clusters' driver union-find); stage 4 is a tiny lang
+    count + broadcast thresholds; stage 5 the bucket-keyed packing
+    groupby. Every stage's math is shared verbatim with the composed
+    SQL twin, so the FINAL packed manifest is bit-identical — the
+    strongest end-to-end evidence the driver contract can express.
+
+    Returns (doc_id, lang, bucket, n_tokens, pack_id, pack_pos)."""
+    import hashlib
+
+    import numpy as np
+
+    from collections import Counter
+
+    import ray
+
+    from ..stages.dedup import minhash_lsh_dedup
+    from ray.data.aggregate import Count
+
+    # stage-3 relation first: the corpus-wide verified near-dup pairs
+    pairs = minhash_lsh_dedup(sf_dir)
+    drop_b = set(pairs["doc_b"].tolist()) if len(pairs) else set()
+    dref = ray.put(drop_b)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        """Stages 1+3 per-row: gopher keep + near-dup drop; emit
+        (doc_id, lang, md5, n_tokens) — text never leaves the task."""
+        drops = ray.get(dref)
+        ids, langs, hashes, toks = [], [], [], []
+        for doc_id, lang, txt in zip(
+            t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["text"].to_pylist()
+        ):
+            if doc_id in drops:
+                continue
+            ws = txt.lower().split()
+            nw, nd = len(ws), len(set(ws))
+            dup = (nw - nd) / nw if nw else 0.0
+            topb = max(Counter(zip(ws, ws[1:])).values()) if nw > 1 else 0
+            share = topb / (nw - 1) if nw > 1 else 0.0
+            if dup > 0.6 or share > 0.08:
+                continue
+            ids.append(doc_id)
+            langs.append(lang)
+            hashes.append(hashlib.md5(txt.encode()).hexdigest())
+            toks.append(token_count(txt))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "th": pa.array(hashes, pa.string()),
+                "n_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    survivors = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby("th")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+    counts = survivors.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+    min_n = int(counts["n"].min())
+    thresholds = {
+        str(r.lang): (scale * min_n) // int(r.n) for r in counts.itertuples(index=False)
+    }
+    tref = ray.put(thresholds)
+
+    def rebalance_and_bucket(t: pa.Table) -> pa.Table:
+        from ..functions.md5vec import md5_prefix_u32
+
+        th = ray.get(tref)
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        h = md5_prefix_u32([str(i).encode() for i in ids])
+        keep = [int(hv % scale) < th[lg] for hv, lg in zip(h, langs)]
+        t = t.filter(pa.array(keep))
+        ids2 = t["doc_id"].to_pylist()
+        b = md5_prefix_u32([str(i).encode() for i in ids2]) % n_buckets
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "bucket": pa.array(b.astype(np.int64), pa.int64()),
+                "n_tokens": t["n_tokens"],
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        pack_id, acc, pos = 0, 0, 0
+        pids, poss = [], []
+        for n in g["n_tokens"]:
+            if acc > 0 and acc + n > budget:
+                pack_id += 1
+                acc = 0
+                pos = 0
+            acc += int(n)
+            pids.append(pack_id)
+            poss.append(pos)
+            pos += 1
+        g["pack_id"] = pd.Series(pids, dtype="int64")
+        g["pack_pos"] = pd.Series(poss, dtype="int64")
+        return g[["doc_id", "lang", "bucket", "n_tokens", "pack_id", "pack_pos"]]
+
+    out = (
+        survivors.map_batches(rebalance_and_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("doc_id", "bucket", "n_tokens", "pack_id", "pack_pos"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def clean_pack_pipeline_sql(
+    budget: int = 128, n_buckets: int = 16, scale: int = 1000
+) -> str:
+    """The composed oracle: every stage's SQL fragment chained as CTEs
+    (gopher expressions, md5-min dedup, the exact shingle-Jaccard pair
+    relation, integer rebalance thresholds, recursive-CTE packing)."""
+    from ..stages.dedup import minhash_lsh_dedup_sql
+
+    md5u32 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    pairs = minhash_lsh_dedup_sql()
+    return f"""
+        WITH RECURSIVE pr AS MATERIALIZED (
+          SELECT doc_b FROM ({pairs})
+        ), w0 AS (
+          SELECT doc_id, lang, text, md5(text) AS th,
+                 CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), gs AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS nd, ws
+          FROM w0
+        ), bg AS (
+          SELECT doc_id, unnest([ws[x] || ' ' || ws[x + 1] FOR x IN range(1, len(ws))]) AS b
+          FROM gs
+        ), bm AS (
+          SELECT doc_id, MAX(c) AS top_cnt
+          FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
+          GROUP BY doc_id
+        ), s1 AS (
+          SELECT w0.doc_id, w0.lang, w0.th, w0.n_tokens
+          FROM w0 JOIN gs ON w0.doc_id = gs.doc_id
+          LEFT JOIN bm ON w0.doc_id = bm.doc_id
+          WHERE NOT (
+            (CASE WHEN gs.nw > 0 THEN (gs.nw - gs.nd) / gs.nw ELSE 0.0 END) > 0.6
+            OR (CASE WHEN gs.nw > 1
+                     THEN COALESCE(bm.top_cnt, 0) / (gs.nw - 1) ELSE 0.0 END) > 0.08)
+          AND w0.doc_id NOT IN (SELECT doc_b FROM pr)
+        ), s2 AS (
+          SELECT doc_id, lang, n_tokens
+          FROM (SELECT *, row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn
+                FROM s1)
+          WHERE rn = 1
+        ), c AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM s2 GROUP BY lang
+        ), m AS (
+          SELECT MIN(n) AS min_n FROM c
+        ), kth AS (
+          SELECT c.lang, ({scale} * m.min_n) // c.n AS keep_lt FROM c, m
+        ), s3 AS (
+          SELECT s2.doc_id, s2.lang, s2.n_tokens,
+                 CAST({md5u32} % {n_buckets} AS BIGINT) AS bucket
+          FROM s2 JOIN kth ON s2.lang = kth.lang
+          WHERE {md5u32} % {scale} < kth.keep_lt
+        ), o AS (
+          SELECT doc_id, lang, bucket, n_tokens,
+                 row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+          FROM s3
+        ), pk AS (
+          SELECT doc_id, lang, bucket, n_tokens, rn,
+                 CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos,
+                 n_tokens AS acc
+          FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.doc_id, o.lang, o.bucket, o.n_tokens, o.rn,
+                 CASE WHEN pk.acc + o.n_tokens > {budget}
+                      THEN pk.pack_id + 1 ELSE pk.pack_id END,
+                 CASE WHEN pk.acc + o.n_tokens > {budget}
+                      THEN 0 ELSE pk.pack_pos + 1 END,
+                 CASE WHEN pk.acc + o.n_tokens > {budget}
+                      THEN o.n_tokens ELSE pk.acc + o.n_tokens END
+          FROM pk JOIN o ON o.bucket = pk.bucket AND o.rn = pk.rn + 1
+        )
+        SELECT doc_id, lang, bucket, n_tokens, pack_id, pack_pos
+        FROM pk ORDER BY doc_id
+    """

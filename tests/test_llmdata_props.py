@@ -134,3 +134,40 @@ def test_normalize_parity_python_vs_duckdb(text):
         "SELECT lower(trim(regexp_replace(?, '\\s+', ' ', 'g')))", [text]
     ).fetchone()[0]
     assert py == sql
+
+
+def test_clean_pack_pipeline_matches_composed_sql(ray_session):
+    import os
+
+    SF = "/root/testdata/sf0.001"
+    if not os.path.isdir(SF):
+        pytest.skip("testdata not available")
+    """End-to-end composed pipeline (gopher -> near-dup drop -> exact
+    dedup -> rebalance -> pack) must match the chained-CTE SQL oracle
+    row for row, and its survivor set must be consistent with the
+    individual stage queries."""
+    import duckdb
+
+    from pdfrust_ray.pipelines.llmdata import (
+        clean_pack_pipeline,
+        clean_pack_pipeline_sql,
+    )
+    from pdfrust_ray.pipelines.quality import gopher_repetition
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    mine = clean_pack_pipeline(SF)
+    assert len(mine) > 0
+    oracle = con.execute(clean_pack_pipeline_sql()).df()
+    cols = sorted(mine.columns)
+    assert cols == sorted(oracle.columns)
+    for c in cols:
+        assert mine[c].tolist() == oracle[c].tolist(), c
+    # stage consistency: no repetitive doc survives
+    rep = set(gopher_repetition(SF).query("repetitive")["doc_id"])
+    assert not (set(mine["doc_id"]) & rep)
+    # packing invariant: no pack exceeds the budget unless single-doc
+    sums = mine.groupby(["bucket", "pack_id"])["n_tokens"].agg(["sum", "count"])
+    assert ((sums["sum"] <= 128) | (sums["count"] == 1)).all()
