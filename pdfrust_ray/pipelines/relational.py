@@ -103,7 +103,7 @@ def segment_revenue(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
-def order_priority_revenue(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
+def order_priority_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
     """Big x big SHUFFLE join: lineitem x orders -> revenue per order
     priority. Neither side is broadcastable at design scale, so this is
     the hash-partitioned exchange path (Dataset.join), with the

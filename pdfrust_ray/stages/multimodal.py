@@ -241,16 +241,21 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
 
 
 class RealImageDecoder:
-    """Integration point for the remaining externally-compressed
-    time-domain formats (MP3 / H.264): those codecs are not in this
-    container — wire ffmpeg here when deploying. Images decode for
-    real via PixelDecoder: PPM, PNG (functions/png.py), GIF
-    (functions/gif.py) and baseline JPEG (functions/jpeg.py)."""
+    """Integration point for the two remaining compressed formats
+    (MP3 / H.264). Everything else decodes for real in pure
+    numpy/stdlib (PPM, PNG, GIF, baseline JPEG, PCM/mu-law/ADPCM WAV,
+    FLAC); MP3 and H.264 are different in kind: bit-exact decoders
+    REQUIRE large standardized constant tables (ISO 11172-3 Annex B
+    huffman/window/scalefactor tables; H.264 CABAC context and
+    deblocking tables) that cannot be reliably reproduced without the
+    published spec text, which is not in this container. Wire ffmpeg
+    (or ship the tables) here when deploying."""
 
     def __init__(self):
         raise NotImplementedError(
-            "MP3/H.264 codecs are not available in this environment; "
-            "PixelDecoder handles PPM/PNG/GIF/JPEG/WAV/PPM-stream payloads"
+            "MP3/H.264 need standardized coefficient tables not available "
+            "in this environment; PixelDecoder handles "
+            "PPM/PNG/GIF/JPEG/WAV(mu-law,ADPCM)/FLAC/PPM-stream payloads"
         )
 
 
