@@ -451,6 +451,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events_by_day": rel.late_events_by_day,
         # END-TO-END corpus prep: gopher -> dedups -> rebalance -> pack
         "clean_pack_pipeline": lambda sf: llm.clean_pack_pipeline(sf),
+        # zlib compressibility quality signal (deterministic integers;
+        # no SQL surface for zlib — serial-recompute pytest pins it)
+        "compression_ratio_scores": lambda sf: qual.compression_ratio_scores(sf),
+        # distributed Gram/second-moment matrix (pico-quantized exact)
+        "embedding_second_moment": lambda sf: similarity.embedding_second_moment(sf),
+        # PCA spectrum from the exact distributed matrix (driver eigh;
+        # trace/PSD/determinism pytests; no SQL eigensolve)
+        "embedding_pca_topk": lambda sf: similarity.embedding_pca_topk(sf),
     }
 
 
@@ -460,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import quality as qual
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.stages import dedup as dedup_mod
+    from pdfrust_ray.stages import similarity as similarity_mod
     from pdfrust_ray.stages import sketches
     from pdfrust_ray.pipelines import textops
     from pdfrust_ray.stages.dedup import (
@@ -661,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": rel.orders_cube_sql(),
         "late_events_by_day": rel.late_events_by_day_sql(),
         "clean_pack_pipeline": llm.clean_pack_pipeline_sql(),
+        "embedding_second_moment": similarity_mod.embedding_second_moment_sql(),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

@@ -533,3 +533,47 @@ def name_similarity_join_sql(
         FROM p WHERE n_inter / n_union >= {threshold}
         ORDER BY name_a, name_b
     """
+
+
+def compression_ratio_scores(sf_dir: str, level: int = 6) -> pd.DataFrame:
+    """Per-document zlib compressibility — the cheap
+    information-density quality signal (highly compressible text is
+    repetitive/templated; the C4/Gopher pipelines use it as a
+    complement to the n-gram repetition rules, and it needs no
+    tokenization at all).
+
+    ratio_q = floor(compressed_len * 1e6 / raw_len) — integer
+    micro-units so the result is exact and order-free. zlib level is
+    pinned (6) and zlib's output is deterministic for a given level
+    and input, so the scores are reproducible run to run. One
+    streaming map_batches pass, no shuffle, no driver state.
+
+    No SQL twin (DuckDB has no zlib surface) — pinned by the direct
+    serial-recompute pytest and the repetitive-text-compresses-better
+    property test."""
+    import zlib
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, raws, comps, ratios = [], [], [], []
+        for doc_id, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            b = txt.encode()
+            c = len(zlib.compress(b, level))
+            ids.append(doc_id)
+            raws.append(len(b))
+            comps.append(c)
+            ratios.append((c * 1_000_000) // len(b) if b else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "raw_len": pa.array(raws, pa.int64()),
+                "compressed_len": pa.array(comps, pa.int64()),
+                "ratio_q": pa.array(ratios, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

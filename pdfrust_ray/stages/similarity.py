@@ -452,3 +452,98 @@ def pq_rerank_topk(
         for rank, i in enumerate(idx, start=1):
             rows.append((qid, rank, int(ids[i])))
     return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id"])
+
+
+def embedding_second_moment(sf_dir: str) -> pd.DataFrame:
+    """Distributed Gram / second-moment matrix of the embedding table —
+    the statistic behind PCA whitening, covariance shrinkage, and
+    embedding-drift monitoring at corpus scale.
+
+    Every block contributes ONE [D, D] int64 partial (each per-vector
+    product is quantized to pico-units BEFORE summation:
+    floor(v_i*v_j*1e12 + 0.5), so the reduce is an order-free integer
+    sum and the result is exact) merged by a single tiny groupby — the
+    exchange is O(blocks x D^2), independent of row count, the same
+    combiner shape as the sketches. float32 inputs are widened to
+    float64 (exact), matching the SQL twin's CAST(... AS DOUBLE).
+
+    Returns the upper triangle as (i, j, m_q) — D*(D+1)/2 rows."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    dim_holder = {}
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = embedding_matrix(t["embedding"])  # float64, exact widening
+        prod = v[:, :, None] * v[:, None, :]
+        q = np.floor(prod * 1e12 + 0.5).astype(np.int64).sum(axis=0)
+        return pd.DataFrame({"part": pd.Series([0], dtype="int64"), "blob": [q.tobytes()],
+                             "dim": pd.Series([v.shape[1]], dtype="int64")})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = int(g["dim"].iloc[0])
+        acc = np.zeros(d * d, dtype=np.int64)
+        for blob in g["blob"]:
+            acc += np.frombuffer(blob, dtype=np.int64)
+        m = acc.reshape(d, d)
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {
+                "i": pd.Series(iu, dtype="int64"),
+                "j": pd.Series(ju, dtype="int64"),
+                "m_q": pd.Series(m[iu, ju], dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def embedding_second_moment_sql() -> str:
+    """Exact twin: unnest with ordinality, dim-pair self-join, the same
+    pico-quantization per product, BIGINT sum."""
+    return """
+        WITH d AS (
+          SELECT len(embedding) AS nd FROM embeddings LIMIT 1
+        ), idx AS (
+          SELECT CAST(unnest(range(1, (SELECT nd FROM d) + 1)) AS INTEGER) AS i
+        )
+        SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+               CAST(SUM(CAST(FLOOR(CAST(e.embedding[a.i] AS DOUBLE)
+                                   * CAST(e.embedding[b.i] AS DOUBLE)
+                                   * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS m_q
+        FROM embeddings e, idx a, idx b
+        WHERE a.i <= b.i
+        GROUP BY a.i, b.i
+        ORDER BY i, j
+    """
+
+
+def embedding_pca_topk(sf_dir: str, k: int = 8, round_to: int = 6) -> pd.DataFrame:
+    """Top-k PCA spectrum from the EXACT distributed second-moment
+    matrix: the D x D integer matrix returns to the driver (tiny), is
+    rescaled to doubles, and eigendecomposed there — the standard
+    two-stage distributed PCA (corpus-sized work in the combiner pass,
+    O(D^3) driver math). Deterministic: the input matrix is exact
+    integers and eigenvalues are basis-independent; values are rounded
+    for stability. Rows-only (eigensolve has no SQL); pinned by the
+    trace-preservation, non-negativity and determinism pytests."""
+    tri = embedding_second_moment(sf_dir)
+    d = int(tri["j"].max()) + 1
+    m = np.zeros((d, d), dtype=np.float64)
+    m[tri["i"], tri["j"]] = tri["m_q"] / 1e12
+    m = m + np.triu(m, 1).T
+    vals = np.linalg.eigvalsh(m)[::-1][:k]
+    return pd.DataFrame(
+        {
+            "component": pd.Series(range(1, len(vals) + 1), dtype="int64"),
+            "eigenvalue": pd.Series(np.round(vals, round_to), dtype="float64"),
+        }
+    )

@@ -1382,3 +1382,35 @@ def test_late_events_watermark_semantics(ray_session, tmp_path):
     assert n_late > 0  # the construction is non-vacuous
     out = late_events_by_day(str(d), jitter_us=jitter, lateness_us=lateness)
     assert out["n_late"].sum() == n_late
+
+
+@needs_testdata
+def test_embedding_second_moment_matches_sql(ray_session, duck):
+    from pdfrust_ray.stages.similarity import (
+        embedding_second_moment,
+        embedding_second_moment_sql,
+    )
+
+    mine = embedding_second_moment(SF)
+    _compare(mine, duck.execute(embedding_second_moment_sql()).df())
+    # diagonal entries are sums of squares: strictly positive
+    diag = mine[mine["i"] == mine["j"]]
+    assert (diag["m_q"] > 0).all()
+
+
+@needs_testdata
+def test_embedding_pca_spectrum_properties(ray_session):
+    from pdfrust_ray.stages.similarity import (
+        embedding_pca_topk,
+        embedding_second_moment,
+    )
+
+    a = embedding_pca_topk(SF, k=64)
+    b = embedding_pca_topk(SF, k=64)
+    assert a.equals(b)  # deterministic
+    assert (a["eigenvalue"] >= -1e-6).all()  # PSD spectrum
+    assert a["eigenvalue"].is_monotonic_decreasing
+    # trace preservation: sum of eigenvalues == sum of diagonal
+    tri = embedding_second_moment(SF)
+    trace = tri[tri["i"] == tri["j"]]["m_q"].sum() / 1e12
+    assert abs(a["eigenvalue"].sum() - trace) < 1e-4

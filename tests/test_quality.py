@@ -191,3 +191,38 @@ def test_name_similarity_prefix_filter_complete(ray_session, tmp_path):
         if un and len(ga & gb) / un >= 0.4:
             expect.add((a, b))
     assert got == expect and expect
+
+
+@needs_testdata
+def test_compression_ratio_serial_recompute(ray_session):
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    eng = q.compression_ratio_scores(SF)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    expect = {
+        d: (len(zlib.compress(x.encode(), 6)) * 1_000_000) // len(x.encode())
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    assert dict(zip(eng["doc_id"], eng["ratio_q"])) == expect
+
+
+def test_compression_ratio_orders_repetitive_below_random(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rand_text = " ".join(
+        "".join(chr(97 + c) for c in rng.randint(0, 26, size=8)) for _ in range(200)
+    )
+    rows = [
+        {"doc_id": 0, "text": "spam ham " * 400},
+        {"doc_id": 1, "text": rand_text},
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    _pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    out = q.compression_ratio_scores(str(d)).set_index("doc_id")
+    assert out.loc[0, "ratio_q"] < out.loc[1, "ratio_q"] / 5
