@@ -55,6 +55,7 @@ def _ensure_fixture_files() -> None:
         from pdfrust_ray.fixtures.corpus import (
             ensure_corpus,
             ensure_encrypted_fixture,
+            ensure_htmlld_fixture,
             ensure_modes_fixture,
             ensure_pii_fixture,
             ensure_spec15_fixture,
@@ -68,6 +69,7 @@ def _ensure_fixture_files() -> None:
         ensure_xobj_fixture()
         ensure_encrypted_fixture()
         ensure_pii_fixture()
+        ensure_htmlld_fixture()
     except Exception:  # never break module import on fixture IO issues
         pass
 
@@ -230,6 +232,16 @@ def _q_turn_normalize(sf_dir: str):
     from pdfrust_ray.pipelines.textops import turn_normalize
 
     return turn_normalize(ensure_corpus("t2"))
+
+
+def _q_html_ld(sf_dir: str):
+    """Readability-style link-density HTML extraction over the htmlld
+    fixture family (axis B second algorithm); oracle reads the
+    serially-computed frozen golden."""
+    from pdfrust_ray.fixtures.corpus import ensure_htmlld_fixture
+    from pdfrust_ray.pipelines.textops import html_ld_extract
+
+    return html_ld_extract(ensure_htmlld_fixture())
 
 
 def _q_pii_redact(sf_dir: str):
@@ -459,6 +471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PCA spectrum from the exact distributed matrix (driver eigh;
         # trace/PSD/determinism pytests; no SQL eigensolve)
         "embedding_pca_topk": lambda sf: similarity.embedding_pca_topk(sf),
+        # link-density HTML main-content variant (axis B, 2nd algorithm)
+        "html_ld_extract": _q_html_ld,
     }
 
 
@@ -671,6 +685,9 @@ def oracle_sql() -> dict[str, str]:
         "late_events_by_day": rel.late_events_by_day_sql(),
         "clean_pack_pipeline": llm.clean_pack_pipeline_sql(),
         "embedding_second_moment": similarity_mod.embedding_second_moment_sql(),
+        "html_ld_extract": textops.html_ld_extract_sql(
+            f"{_FIXTURE_BASE}/htmlld/golden.parquet"
+        ),
         # conversation analytics: DuckDB recomputes from the RAW
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)

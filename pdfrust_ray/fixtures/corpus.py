@@ -611,3 +611,93 @@ def ensure_pii_fixture(base_dir: str | None = None) -> str:
     with open(marker, "w") as f:
         json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
     return base
+
+
+def ensure_htmlld_fixture(base_dir: str | None = None) -> str:
+    """HTML fixture family for the link-density (readability-style)
+    extractor variant: documents where the density and link-density
+    rules legitimately differ — link-farm sidebars with long anchor
+    text, short nav strips, link-heavy but prose-rich articles, table
+    layouts, malformed markup (unclosed tags), and entity references.
+    The golden is computed SERIALLY with html.extract_main_text_ld at
+    generation time, so the Ray pipeline's distributed output has an
+    engine-independent frozen target."""
+    from ..html.extract import extract_main_text_ld
+
+    base = base_dir or "/tmp/pdfrust_ray_fixtures/htmlld"
+    marker = os.path.join(base, "_COMPLETE.json")
+    if _marker_current(marker):
+        return base
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+
+    def doc(uid: str) -> str:
+        h = _h(f"htmlld:{uid}")
+        para = " ".join(f"word{(h >> (2 * i)) % 97}w{i}" for i in range(30 + h % 40))
+        links = " ".join(
+            f'<a href="/l{i}">long anchor text item number {i} {uid}</a>'
+            for i in range(5 + h % 6)
+        )
+        nav = "".join(f'<a href="/n{i}">nav{i}</a> | ' for i in range(8))
+        kind = h % 5
+        if kind == 0:  # article vs link-farm sidebar
+            return (
+                f"<html><body><nav>{nav}</nav>"
+                f"<div id=sidebar>{links}</div>"
+                f"<article><h1>Title {uid}</h1><p>{para}</p><p>{para[::-1]}</p></article>"
+                f"<footer>&copy; 2026 corp</footer></body></html>"
+            )
+        if kind == 1:  # link-heavy but prose-rich main vs short boilerplate
+            return (
+                f"<html><body><div class=menu>{nav}</div>"
+                f"<main><p>{para} see <a href='/x'>reference {uid}</a> and "
+                f"<a href='/y'>appendix</a>.</p><p>{para}</p></main></body></html>"
+            )
+        if kind == 2:  # table layout, unclosed tags
+            return (
+                f"<html><body><table><tr><td>{links}<td><p>{para}"
+                f"<p>{para} &amp; more &lt;data&gt;</table></body></html>"
+            )
+        if kind == 3:  # nested divs of equal-ish text, entities
+            return (
+                f"<html><body><div><div>{para}</div>"
+                f"<div><p>{para}</p><p>extra {uid} &quot;quoted&quot;</p></div></div>"
+                f"<aside>{links}</aside></body></html>"
+            )
+        return (  # no candidate beats body; script/style must vanish
+            f"<html><head><style>p {{color: red}}</style></head><body>"
+            f"<script>var x = '{uid}';</script>{para}<br>{para}</body></html>"
+        )
+
+    rows, gold = [], []
+    for conv in range(10):
+        conv_id = f"htmlld-{conv:04d}"
+        for t in range(8):
+            uid = f"{conv_id}/{t}"
+            text = doc(uid)
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": "user" if t % 2 == 0 else "assistant",
+                    "text": text,
+                    "tool": "",
+                    "ts": 1735689600_000000 + (conv * 3600 + t * 60) * 1_000_000,
+                }
+            )
+            gold.append(
+                {"conv_id": conv_id, "turn_idx": t, "main_text": extract_main_text_ld(text)}
+            )
+    for shard in range(3):
+        part = [r for i, r in enumerate(rows) if i % 3 == shard]
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=TRANSCRIPTS_SCHEMA),
+            os.path.join(shard_dir, f"part-{shard:04d}.parquet"),
+        )
+    pq.write_table(
+        pa.Table.from_pylist(gold).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]),
+        os.path.join(base, "golden.parquet"),
+    )
+    with open(marker, "w") as f:
+        json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
+    return base

