@@ -473,6 +473,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_topk": lambda sf: similarity.embedding_pca_topk(sf),
         # link-density HTML main-content variant (axis B, 2nd algorithm)
         "html_ld_extract": _q_html_ld,
+        # skyline / Pareto front (two-phase local-front combiner)
+        "orders_skyline": rel.orders_skyline,
+        # per-group bottom-k sampling (deterministic grouped reservoir)
+        "events_per_user_sample": rel.events_per_user_sample,
     }
 
 
@@ -685,6 +689,8 @@ def oracle_sql() -> dict[str, str]:
         "late_events_by_day": rel.late_events_by_day_sql(),
         "clean_pack_pipeline": llm.clean_pack_pipeline_sql(),
         "embedding_second_moment": similarity_mod.embedding_second_moment_sql(),
+        "orders_skyline": rel.orders_skyline_sql(),
+        "events_per_user_sample": rel.events_per_user_sample_sql(),
         "html_ld_extract": textops.html_ld_extract_sql(
             f"{_FIXTURE_BASE}/htmlld/golden.parquet"
         ),

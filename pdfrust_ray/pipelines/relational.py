@@ -1934,3 +1934,133 @@ def late_events_by_day_sql(
                     AS BIGINT) AS n_on_time
         FROM w GROUP BY 1 ORDER BY 1
     """
+
+
+def orders_skyline(sf_dir: str) -> pd.DataFrame:
+    """Skyline / Pareto-front query: orders not dominated on
+    (totalprice, orderdate) — maximize both; b dominates a when b >= a
+    on both dimensions and > on at least one.
+
+    Distributed shape (the classic two-phase skyline): each batch
+    computes its LOCAL Pareto front (dominance is transitive, so no
+    global-front point can be dominated locally — local fronts are a
+    superset-preserving combiner); the union of local fronts (small by
+    the skyline's nature) is reduced with one final dominance pass.
+    Exchange volume = sum of local front sizes, never the fact table.
+    Prices compare in exact integer cents on both sides."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def _front(keys, price, day):
+        n = len(keys)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        ge_p = price[None, :] >= price[:, None]
+        ge_d = day[None, :] >= day[:, None]
+        strict = (price[None, :] > price[:, None]) | (day[None, :] > day[:, None])
+        dominated = (ge_p & ge_d & strict).any(axis=1)
+        return ~dominated
+
+    def local_front(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()).to_numpy()
+        ts = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()).to_numpy()
+        keep = _front(keys, cents, ts)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys[keep], pa.int64()),
+                "price_cents": pa.array(cents[keep], pa.int64()),
+                "ts_us": pa.array(ts[keep], pa.int64()),
+            }
+        )
+
+    partial = ds.map_batches(local_front, batch_format="pyarrow").to_pandas()
+    keys = partial["o_orderkey"].to_numpy()
+    cents = partial["price_cents"].to_numpy()
+    ts = partial["ts_us"].to_numpy()
+    keep = _front(keys, cents, ts)
+    out = pd.DataFrame(
+        {
+            "o_orderkey": pd.Series(keys[keep], dtype="int64"),
+            "price_cents": pd.Series(cents[keep], dtype="int64"),
+            "o_orderdate": pd.to_datetime(ts[keep].astype("int64"), unit="us"),
+        }
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def orders_skyline_sql() -> str:
+    return """
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+                 o_orderdate
+          FROM orders
+        )
+        SELECT a.o_orderkey, a.price_cents,
+               CAST(a.o_orderdate AS TIMESTAMP) AS o_orderdate
+        FROM o a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM o b
+          WHERE b.price_cents >= a.price_cents AND b.o_orderdate >= a.o_orderdate
+            AND (b.price_cents > a.price_cents OR b.o_orderdate > a.o_orderdate)
+        )
+        ORDER BY o_orderkey
+    """
+
+
+def events_per_user_sample(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group uniform sampling: the k events per user with the
+    smallest md5 keys — the grouped bottom-k sketch (deterministic
+    reservoir). One user-keyed shuffle of (user_id, hash, event_id)
+    triples; inside each group a partial sort takes k. Same hex-prefix
+    order as bottom_k_sample so the SQL twin is bit-identical."""
+    import numpy as np
+
+    from ..functions.md5vec import md5_prefix_u32
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        h = md5_prefix_u32([str(i).encode() for i in eid.tolist()])
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": pa.array(eid, pa.int64()),
+                "hkey": pa.array(h.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def take_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hkey", "event_id"]).head(k).reset_index(drop=True)
+        g["sample_rank"] = pd.Series(range(1, len(g) + 1), dtype="int64")
+        return g[["user_id", "sample_rank", "event_id"]]
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(take_k, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["user_id", "sample_rank"]).reset_index(drop=True)
+
+
+def events_per_user_sample_sql(k: int = 3) -> str:
+    return f"""
+        SELECT user_id, CAST(rn AS BIGINT) AS sample_rank, event_id
+        FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8), event_id) AS rn
+          FROM events
+        )
+        WHERE rn <= {k}
+        ORDER BY user_id, sample_rank
+    """

@@ -1414,3 +1414,64 @@ def test_embedding_pca_spectrum_properties(ray_session):
     tri = embedding_second_moment(SF)
     trace = tri[tri["i"] == tri["j"]]["m_q"].sum() / 1e12
     assert abs(a["eigenvalue"].sum() - trace) < 1e-4
+
+
+@needs_testdata
+def test_orders_skyline_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import orders_skyline, orders_skyline_sql
+
+    mine = orders_skyline(SF)
+    assert 0 < len(mine) < 50  # a front, not the table
+    _compare(mine, duck.execute(orders_skyline_sql()).df())
+
+
+def test_skyline_local_front_preserves_global(ray_session, tmp_path):
+    """Two-phase correctness: brute-force front over all rows equals
+    the distributed local-front + merge result, on data with ties and
+    duplicated points (neither of a tied pair dominates the other)."""
+    import pyarrow.parquet as _pq
+
+    from pdfrust_ray.pipelines.relational import orders_skyline
+
+    rng = np.random.RandomState(13)
+    rows = []
+    for i in range(500):
+        price = float(rng.randint(1, 50))
+        day = int(rng.randint(0, 40))
+        rows.append(
+            {
+                "o_orderkey": i,
+                "o_totalprice": price,
+                "o_orderdate": day,
+            }
+        )
+    rows.append(dict(rows[7], o_orderkey=900))  # exact duplicate point
+    for r in rows:
+        r["o_orderdate"] = r["o_orderdate"] * 86_400_000_000
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(2, "o_orderdate", pa.compute.cast(t["o_orderdate"], pa.timestamp("us")))
+    d = tmp_path / "o"
+    d.mkdir()
+    _pq.write_table(t, str(d / "orders.parquet"))
+    mine = orders_skyline(str(d))
+    pts = [(r["o_totalprice"], r["o_orderdate"], r["o_orderkey"]) for r in rows]
+    front = []
+    for p, dy, kk in pts:
+        dominated = any(
+            (p2 >= p and d2 >= dy and (p2 > p or d2 > dy)) for p2, d2, _ in pts
+        )
+        if not dominated:
+            front.append(kk)
+    assert sorted(mine["o_orderkey"]) == sorted(front)
+
+
+@needs_testdata
+def test_events_per_user_sample_matches_sql(ray_session, duck):
+    from pdfrust_ray.pipelines.relational import (
+        events_per_user_sample,
+        events_per_user_sample_sql,
+    )
+
+    mine = events_per_user_sample(SF)
+    assert (mine.groupby("user_id").size() == 3).all()
+    _compare(mine, duck.execute(events_per_user_sample_sql()).df())
