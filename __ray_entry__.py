@@ -477,6 +477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": rel.orders_skyline,
         # per-group bottom-k sampling (deterministic grouped reservoir)
         "events_per_user_sample": rel.events_per_user_sample,
+        # SymSpell deletion-neighborhood edit-distance-1 join
+        "name_editdist_join": lambda sf: qual.name_editdist_join(sf),
     }
 
 
@@ -690,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_pack_pipeline": llm.clean_pack_pipeline_sql(),
         "embedding_second_moment": similarity_mod.embedding_second_moment_sql(),
         "orders_skyline": rel.orders_skyline_sql(),
+        "name_editdist_join": qual.name_editdist_join_sql(),
         "events_per_user_sample": rel.events_per_user_sample_sql(),
         "html_ld_extract": textops.html_ld_extract_sql(
             f"{_FIXTURE_BASE}/htmlld/golden.parquet"

@@ -577,3 +577,94 @@ def compression_ratio_scores(sf_dir: str, level: int = 6) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _within_edit1(a: str, b: str) -> bool:
+    """Levenshtein(a, b) <= 1, decided by direct scan (no DP table)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # one insertion: advance past the single mismatch
+    i = j = diffs = 0
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        else:
+            diffs += 1
+            if diffs > 1:
+                return False
+            j += 1
+    return True
+
+
+def name_editdist_join(
+    sf_dir: str, table: str = "part", col: str = "p_name"
+) -> pd.DataFrame:
+    """Edit-distance-1 similarity join via SymSpell deletion
+    neighborhoods (Garbe's symmetric-delete algorithm): every distinct
+    name emits itself plus each single-character deletion as bucket
+    keys; any pair within Levenshtein 1 provably shares a key
+    (substitution pairs share the deletion at the differing position;
+    insert/delete pairs share the shorter string itself), so the
+    bucket join is candidate-COMPLETE and each candidate is verified
+    with the real distance check. The exchange moves (variant, name)
+    pairs — O(len) per name — never the cross product.
+
+    Output: (name_a, name_b) with 0 < levenshtein <= 1, name_a < name_b."""
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+    names = ds.groupby(col).count()
+
+    def variants(t: pa.Table) -> pa.Table:
+        out_v, out_n = [], []
+        for nm in t[col].to_pylist():
+            seen = {nm}
+            for i in range(len(nm)):
+                seen.add(nm[:i] + nm[i + 1 :])
+            for v in seen:
+                out_v.append(v)
+                out_n.append(nm)
+        return pa.table(
+            {"variant": pa.array(out_v, pa.string()), "name": pa.array(out_n, pa.string())}
+        )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nms = sorted(set(g["name"]))
+        rows = [
+            (a, b)
+            for i, a in enumerate(nms)
+            for b in nms[i + 1 :]
+            if _within_edit1(a, b)
+        ]
+        return pd.DataFrame(rows, columns=["name_a", "name_b"])
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    out = (
+        names.map_batches(variants, batch_format="pyarrow")
+        .groupby("variant")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .groupby(["name_a", "name_b"])
+        .map_groups(dedup, batch_format="pandas")
+        .to_pandas()
+    )
+    if "name_a" not in out.columns or out.empty:
+        return pd.DataFrame(
+            {"name_a": pd.Series([], dtype="str"), "name_b": pd.Series([], dtype="str")}
+        )
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+def name_editdist_join_sql(table: str = "part", col: str = "p_name") -> str:
+    return f"""
+        WITH n AS (SELECT DISTINCT {col} AS name FROM {table})
+        SELECT a.name AS name_a, b.name AS name_b
+        FROM n a JOIN n b ON a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 1
+        ORDER BY name_a, name_b
+    """

@@ -226,3 +226,54 @@ def test_compression_ratio_orders_repetitive_below_random(ray_session, tmp_path)
     _pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
     out = q.compression_ratio_scores(str(d)).set_index("doc_id")
     assert out.loc[0, "ratio_q"] < out.loc[1, "ratio_q"] / 5
+
+
+@needs_testdata
+def test_name_editdist_join_oracle(ray_session, duck_part):
+    eng = q.name_editdist_join(SF)
+    ora = duck_part.execute(q.name_editdist_join_sql()).df()
+    assert len(eng) > 0  # 'cold X' / 'old X' pairs exist in the fixture
+    assert eng["name_a"].tolist() == ora["name_a"].tolist()
+    assert eng["name_b"].tolist() == ora["name_b"].tolist()
+
+
+def test_within_edit1_brute_force():
+    """Pin the scan-based distance check against a real DP Levenshtein
+    on exhaustive short-string pairs."""
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, y in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (x != y))
+        return dp[len(b)]
+
+    alphabet = "abc"
+    strings = [""]
+    for n in (1, 2, 3):
+        strings += ["".join(p) for p in itertools.product(alphabet, repeat=n)]
+    for a in strings:
+        for b in strings:
+            assert q._within_edit1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def test_symspell_candidate_completeness(ray_session, tmp_path):
+    """Every true <=1 pair must be found (deletion-neighborhood lemma),
+    on a vocabulary with substitutions, inserts, deletes and far pairs."""
+    import pyarrow.parquet as _pq
+
+    names = ["ring", "rang", "rings", "ing", "wing", "xyzzy", "ring!", "r1ng"]
+    rows = [{"p_name": nm} for nm in names for _ in range(2)]
+    d = tmp_path / "p"
+    d.mkdir()
+    _pq.write_table(pa.Table.from_pylist(rows), str(d / "part.parquet"))
+    eng = set(zip(*[q.name_editdist_join(str(d))[c] for c in ("name_a", "name_b")]))
+    import itertools
+
+    expect = set()
+    for a, b in itertools.combinations(sorted(set(names)), 2):
+        if q._within_edit1(a, b):
+            expect.add((a, b))
+    assert eng == expect and len(expect) >= 5
