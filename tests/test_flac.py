@@ -147,3 +147,27 @@ def test_compression_actually_happens():
     sig = (5000 * np.sin(2 * np.pi * 220 * t / 16000)).astype(np.int16)
     enc = flac.encode_flac(sig)
     assert len(enc) < 2 * len(sig) * 0.6
+
+
+def test_roundtrip_empty_and_single():
+    for n in (0, 1, 2):
+        sig = np.arange(n, dtype=np.int16) * 1000
+        dec, _ = flac.decode_flac(flac.encode_flac(sig, blocksize=64))
+        assert dec.tolist() == sig.tolist()
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=600),
+        st.sampled_from([16, 64, 192, 256]),
+    )
+    def test_roundtrip_hypothesis(samples, blocksize):
+        sig = np.asarray(samples, dtype=np.int16)
+        dec, _ = flac.decode_flac(flac.encode_flac(sig, blocksize=blocksize))
+        assert dec.tolist() == sig.tolist()
+except ImportError:  # pragma: no cover
+    pass
