@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ensure_pii_fixture()
 
     from pdfrust_ray.pipelines import conversation as cv
+    from pdfrust_ray.pipelines import datasetops as dso
     from pdfrust_ray.pipelines import llmdata as llm
     from pdfrust_ray.pipelines import quality as qual
     from pdfrust_ray.pipelines import relational as rel
@@ -479,11 +480,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_user_sample": rel.events_per_user_sample,
         # SymSpell deletion-neighborhood edit-distance-1 join
         "name_editdist_join": lambda sf: qual.name_editdist_join(sf),
+        # deterministic train/val/test split (md5-bucket, shuffle-free)
+        "dataset_split": dso.dataset_split,
+        # sliding-window token chunker (RAG / context-window prep)
+        "doc_chunks": dso.doc_chunks,
+        # inverted-index build (token -> postings, md5-pinned lists)
+        "inverted_index_topk": dso.inverted_index_topk,
+        # PMI collocation mining (micro-nat-quantized exact doubles)
+        "pmi_collocations": dso.pmi_collocations,
+        # snapshot-vs-snapshot dedup: Bloom prefilter + exact confirm
+        "incremental_dedup": lambda sf: dedup.incremental_dedup(sf),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import conversation as cv
+    from pdfrust_ray.pipelines import datasetops as dso
     from pdfrust_ray.pipelines import llmdata as llm
     from pdfrust_ray.pipelines import quality as qual
     from pdfrust_ray.pipelines import relational as rel
@@ -706,6 +718,12 @@ def oracle_sql() -> dict[str, str]:
         "role_transitions": cv.role_transitions_sql(_T2_SHARDS),
         "conv_fingerprints": cv.conv_fingerprints_sql(_T2_SHARDS),
         "conv_extract_stats": cv.conv_extract_stats_sql(_T2_GOLDEN),
+        # dataset-construction ops
+        "dataset_split": dso.dataset_split_sql(),
+        "doc_chunks": dso.doc_chunks_sql(),
+        "inverted_index_topk": dso.inverted_index_topk_sql(),
+        "pmi_collocations": dso.pmi_collocations_sql(),
+        "incremental_dedup": dedup_mod.incremental_dedup_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1,0 +1,341 @@
+"""Dataset-construction ops: split, chunk, index, collocations.
+
+The remaining plumbing a training-data / retrieval pipeline needs
+around the cleaning + dedup + packing families:
+
+  - dataset_split: deterministic train/val/test assignment via an
+    md5 hash bucket — pure streaming filter-map, zero shuffle, and the
+    assignment is stable across runs/cluster sizes (the property that
+    matters: re-running the split after adding data never moves an old
+    doc between splits).
+  - doc_chunks: fixed-size token windows with overlap — the RAG /
+    context-window chunker. Embarrassingly parallel fan-out (one doc ->
+    several chunk rows inside map_batches); no shuffle.
+  - inverted_index_topk: token -> postings-list build, the search-index
+    construction op. The exchange carries (token, doc_id) pairs — that
+    IS the index (inherent output size, not overhead); per-batch
+    distinct collapses within-doc repeats before the shuffle. At 100 TB
+    the groupby(token) output would be written as partitioned parquet
+    posting lists; here the query surfaces the top-df slice with an
+    md5 of each postings list so the oracle check covers the full list
+    content without hauling megabyte rows through the compare.
+  - pmi_collocations: pointwise mutual information over adjacent word
+    pairs (collocation mining / phrase detection à la word2phrase).
+    Distributed unigram + bigram counting with per-batch Counter
+    combiners (vocabulary-sized exchanges); the PMI finalize runs over
+    the bounded count tables with the single float op quantized to
+    micro-nats, floor(x*1e6+0.5), so the SQL twin is bit-identical
+    (libm ln == DuckDB ln — same precedent as bigram_lm_scores).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def dataset_split(
+    sf_dir: str, train_pct: int = 80, val_pct: int = 10
+) -> pd.DataFrame:
+    """Assign every document to train/val/test by md5(doc_id) % 100
+    (train < train_pct <= val < train_pct+val_pct <= test). Stateless,
+    shuffle-free, and stable under corpus growth."""
+    def assign(t: pa.Table) -> pa.Table:
+        from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+        keys = [str(k).encode() for k in t["doc_id"].to_pylist()]
+        b = md5_prefix_u32(keys) % 100
+        split = np.where(
+            b < train_pct, "train", np.where(b < train_pct + val_pct, "val", "test")
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(split.tolist(), pa.string())}
+        )
+
+    out = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dataset_split_sql(train_pct: int = 80, val_pct: int = 10) -> str:
+    return f"""
+        SELECT doc_id,
+               CASE WHEN b < {train_pct} THEN 'train'
+                    WHEN b < {train_pct + val_pct} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                     % 100 AS b
+              FROM documents)
+        ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# fixed-size token chunking with overlap
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 tokens
+
+
+def doc_chunks(
+    sf_dir: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> pd.DataFrame:
+    """Sliding-window chunker: chunk i covers tokens
+    [i*stride, i*stride+size) for every i*stride < n_tokens (a doc with
+    zero tokens yields no chunks; a final short window is emitted even
+    when the previous window already covers it — simple, deterministic,
+    and matched by the SQL twin). Each chunk row carries the md5 of its
+    reassembled text so the oracle compare pins full chunk content."""
+    def chunk(t: pa.Table) -> pa.Table:
+        ids, idxs, ns, hashes = [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = txt.split()
+            for ci, s in enumerate(range(0, len(ws), stride)):
+                piece = ws[s : s + size]
+                ids.append(did)
+                idxs.append(ci)
+                ns.append(len(piece))
+                hashes.append(hashlib.md5(" ".join(piece).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int32()),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "chunk_md5": pa.array(hashes, pa.string()),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(chunk, batch_format="pyarrow").to_pandas()
+    out["chunk_idx"] = out["chunk_idx"].astype("int32")
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def doc_chunks_sql(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+          FROM documents
+        ), starts AS (
+          SELECT doc_id, ws, unnest(range(0, len(ws), {stride})) AS s FROM toks
+        )
+        SELECT doc_id,
+               CAST(s // {stride} AS INTEGER) AS chunk_idx,
+               CAST(least(len(ws) - s, {size}) AS BIGINT) AS n_tokens,
+               md5(array_to_string(ws[s + 1 : s + {size}], ' ')) AS chunk_md5
+        FROM starts
+        ORDER BY doc_id, chunk_idx
+    """
+
+
+# ---------------------------------------------------------------------------
+# inverted index build
+# ---------------------------------------------------------------------------
+
+
+def inverted_index_topk(sf_dir: str, k: int = 40) -> pd.DataFrame:
+    """Token -> (document frequency, md5 of the sorted postings list)
+    for the top-k tokens by (df DESC, token ASC).
+
+    Shape: per batch, DISTINCT (token, doc_id) pairs (within-doc
+    repeats collapse before the exchange) -> groupby(token).map_groups
+    computes df and hashes the ','-joined numerically-sorted doc_id
+    list -> vocabulary-sized sort + limit. At production scale the
+    map_groups output is the index shard you'd write, one parquet
+    partition per token range."""
+    def pairs(t: pa.Table) -> pa.Table:
+        toks, dids = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w in set(txt.split()):
+                toks.append(w)
+                dids.append(did)
+        return pa.table(
+            {"token": pa.array(toks, pa.string()), "doc_id": pa.array(dids, pa.int64())}
+        )
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].astype(int)))
+        joined = ",".join(str(i) for i in ids)
+        return pd.DataFrame(
+            {
+                "token": [g["token"].iloc[0]],
+                "df": pd.Series([len(ids)], dtype="int64"),
+                "postings_md5": [hashlib.md5(joined.encode()).hexdigest()],
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(postings, batch_format="pandas")
+        .to_pandas()
+    )
+    out = agg.sort_values(["df", "token"], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)
+
+
+def inverted_index_topk_sql(k: int = 40) -> str:
+    return rf"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS token
+          FROM documents
+        )
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
+        FROM tok
+        GROUP BY token
+        ORDER BY df DESC, token
+        LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def pmi_collocations(sf_dir: str, min_count: int = 5, k: int = 50) -> pd.DataFrame:
+    """Top-k adjacent-word collocations by quantized PMI
+    ln((c_xy*N*N) / ((B*c_x)*c_y)) with c_xy >= min_count.
+
+    Both count passes are per-batch Counter combiners followed by a
+    vocabulary-sized groupby Sum; the min_count filter applies on the
+    distributed aggregate BEFORE collection, so the driver sees only
+    surviving bigrams plus the (language-bounded) unigram table. The
+    one float expression is evaluated in the SQL twin's exact
+    association order and quantized immediately."""
+    def uni_counts(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        total = 0
+        for txt in t["text"].to_pylist():
+            ws = txt.lower().split()
+            c.update(ws)
+            total += len(ws)
+        w = sorted(c)
+        tbl = pa.table(
+            {
+                "w": pa.array(w, pa.string()),
+                "c": pa.array([c[x] for x in w], pa.int64()),
+            }
+        )
+        return tbl
+
+    def bi_counts(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            ws = txt.lower().split()
+            c.update(map(" ".join, zip(ws, ws[1:])))
+        bg = sorted(c)
+        return pa.table(
+            {
+                "bg": pa.array(bg, pa.string()),
+                "cxy": pa.array([c[x] for x in bg], pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir, columns=("text",))
+    uni = (
+        docs.map_batches(uni_counts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    bi_ds = (
+        docs.map_batches(bi_counts, batch_format="pyarrow")
+        .groupby("bg")
+        .aggregate(Sum("cxy", alias_name="cxy"))
+    )
+
+    def keep_min(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["cxy"], min_count))
+
+    bi = bi_ds.map_batches(keep_min, batch_format="pyarrow").to_pandas()
+
+    n = float(uni["c"].sum())
+    b_total = float(_bigram_total(sf_dir))
+    cmap = dict(zip(uni["w"], uni["c"].astype(int)))
+    rows = []
+    for bg, cxy in zip(bi["bg"], bi["cxy"].astype(int)):
+        x, y = bg.split(" ", 1)
+        # association order pinned to the SQL twin:
+        # (cxy*n*n) / ((b*c_x)*c_y)
+        val = (float(cxy) * n * n) / ((b_total * cmap[x]) * cmap[y])
+        rows.append((bg, cxy, int(math.floor(math.log(val) * 1e6 + 0.5))))
+    out = pd.DataFrame(rows, columns=["bg", "cxy", "pmi_micro"])
+    out["cxy"] = out["cxy"].astype("int64")
+    out["pmi_micro"] = out["pmi_micro"].astype("int64")
+    out = out.sort_values(
+        ["pmi_micro", "bg"], ascending=[False, True], kind="mergesort"
+    )
+    return out.head(k).reset_index(drop=True)
+
+
+def _bigram_total(sf_dir: str) -> int:
+    """Total adjacent-pair count: one tiny aggregate pass (sum of
+    len(ws)-1 over docs with >= 2 tokens)."""
+    def counts(t: pa.Table) -> pa.Table:
+        tot = 0
+        for txt in t["text"].to_pylist():
+            nw = len(txt.split())
+            if nw > 1:
+                tot += nw - 1
+        return pa.table({"n": pa.array([tot], pa.int64())})
+
+    df = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return int(df["n"].sum())
+
+
+def pmi_collocations_sql(min_count: int = 5, k: int = 50) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+          FROM documents
+        ),
+        uni AS (SELECT unnest(ws) AS w FROM toks),
+        ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+        tots AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM uni) AS n,
+                        (SELECT CAST(SUM(len(ws) - 1) AS DOUBLE) FROM toks WHERE len(ws) > 1) AS b),
+        big AS (SELECT unnest([ws[x] || ' ' || ws[x + 1] FOR x IN range(1, len(ws))]) AS bg FROM toks),
+        bcnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cxy FROM big GROUP BY bg)
+        SELECT bg, cxy,
+               CAST(floor(ln((CAST(cxy AS DOUBLE) * n * n) / ((b * x.c) * y.c)) * 1e6 + 0.5) AS BIGINT)
+                 AS pmi_micro
+        FROM bcnt, tots, ucnt x, ucnt y
+        WHERE x.w = string_split(bg, ' ')[1]
+          AND y.w = string_split(bg, ' ')[2]
+          AND cxy >= {min_count}
+        ORDER BY pmi_micro DESC, bg
+        LIMIT {k}
+    """

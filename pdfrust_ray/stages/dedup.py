@@ -1126,3 +1126,111 @@ def semantic_dedup(
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (snapshot-vs-snapshot) dedup with a Bloom prefilter
+# ---------------------------------------------------------------------------
+
+
+def _head_md5(text: str, n_words: int = 8) -> str:
+    """Head fingerprint: md5 of the first n_words whitespace tokens —
+    the coarse near-front dedup key (URL-less common-crawl head dedup).
+    Tokenization matches the SQL twin's
+    list_filter(string_split_regex(text,'\\s+'), w->w<>'')."""
+    return hashlib.md5(" ".join(text.split()[:n_words]).encode()).hexdigest()
+
+
+def incremental_dedup(sf_dir: str, n_words: int = 8) -> pd.DataFrame:
+    """New-snapshot docs whose head fingerprint already exists in the
+    old snapshot (old = odd doc_id, new = even doc_id — standing in for
+    yesterday's crawl vs today's).
+
+    The 100-TB shape is the point: the OLD key set never crosses the
+    network. Pass 1 streams the old partition into per-block Bloom
+    bitmaps (one 128 KiB blob per block, OR-merged on the driver —
+    O(blocks), not O(rows)). The merged filter is ray.put ONCE; pass 2
+    streams the new partition and keeps only bloom-positive candidates
+    (no false negatives, so recall is exact). Pass 3 makes precision
+    exact: the candidate key set (small — true dups + FP rate x |new|)
+    is broadcast and the old partition is re-scanned for an is_in
+    match, and only confirmed keys survive. Neither corpus side is
+    ever collected or shuffled; the only driver state is O(blocks)
+    blobs + the candidate set."""
+    from ..stages.sketches import bloom_contains, bloom_merge, bloom_partial
+
+    def heads(t: pa.Table) -> pa.Table:
+        hm = [_head_md5(x, n_words) for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "head_md5": pa.array(hm, pa.string())}
+        )
+
+    def key_u64(hexes: list[str]) -> np.ndarray:
+        return np.array([int(h[:16], 16) for h in hexes], dtype=np.uint64)
+
+    def parity(p: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64())
+            return t.filter(pc.equal(pc.bit_wise_and(ids, 1), p))
+
+        return f
+
+    base = _docs(sf_dir).map_batches(heads, batch_format="pyarrow")
+    old = base.map_batches(parity(1), batch_format="pyarrow")
+    new = base.map_batches(parity(0), batch_format="pyarrow")
+
+    # pass 1: per-block bloom partials over the old snapshot
+    def old_partial(t: pa.Table) -> pd.DataFrame:
+        blob = bloom_partial(key_u64(t["head_md5"].to_pylist()))
+        return pd.DataFrame({"blob": [blob]})
+
+    blobs = old.map_batches(old_partial, batch_format="pyarrow").to_pandas()
+    bits_ref = ray.put(bloom_merge(list(blobs["blob"])))
+
+    # pass 2: bloom-positive candidates from the new snapshot
+    def probe(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        keep = bloom_contains(bits, key_u64(t["head_md5"].to_pylist()))
+        return t.filter(pa.array(keep))
+
+    cand = new.map_batches(probe, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "head_md5": pd.Series([], dtype="string")}
+        )
+
+    # pass 3: exact confirm — broadcast the candidate key set, re-scan
+    # the old snapshot for membership, keep only truly-seen keys
+    cand_keys = set(cand["head_md5"])
+    keys_ref = ray.put(cand_keys)
+
+    def confirm(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = [h in ks for h in t["head_md5"].to_pylist()]
+        return t.filter(pa.array(mask)).select(["head_md5"])
+
+    seen = set(
+        old.map_batches(confirm, batch_format="pyarrow").to_pandas()["head_md5"]
+    )
+    out = cand[cand["head_md5"].isin(seen)].copy()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["head_md5"] = out["head_md5"].astype(object)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def incremental_dedup_sql(n_words: int = 8) -> str:
+    return rf"""
+        WITH heads AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                     list_filter(string_split_regex(text, '\s+'), w -> w <> '')[1:{n_words}],
+                     ' ')) AS head_md5
+          FROM documents
+        )
+        SELECT d.doc_id, d.head_md5
+        FROM heads d
+        WHERE d.doc_id % 2 = 0
+          AND EXISTS (SELECT 1 FROM heads o
+                      WHERE o.doc_id % 2 = 1 AND o.head_md5 = d.head_md5)
+        ORDER BY d.doc_id
+    """

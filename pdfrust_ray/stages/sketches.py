@@ -442,3 +442,53 @@ def quantile_sketch(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)) -> pd.DataF
         .to_pandas()
     )
     return out.sort_values("q").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable (bitwise-OR) approximate membership. The
+# classical prefilter for INCREMENTAL dedup — test a new snapshot's keys
+# against a previous snapshot's key set without shuffling either side.
+# False positives only (rate (1-e^{-kn/m})^k), never false negatives, so
+# a bloom "maybe" prefilter followed by an exact verify of the (small)
+# candidate set computes the exact answer while the full old-key set
+# never crosses the network.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 20  # 128 KiB per partial
+BLOOM_K = 7
+
+
+def bloom_partial(keys: np.ndarray, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> bytes:
+    """Bloom bitmap for one block of uint64 keys, as an m_bits/8-byte
+    blob. Double hashing (Kirsch-Mitzenmatcher 2006): position_i =
+    (h1 + i*h2) mod m, with h1/h2 from independent splitmix64 streams —
+    asymptotically the same FP rate as k independent hashes."""
+    h1 = _splitmix64(np.asarray(keys, dtype=np.uint64))
+    h2 = _splitmix64(np.asarray(keys, dtype=np.uint64) ^ np.uint64(0xA5A5A5A5DEADBEEF)) | np.uint64(1)
+    bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64), np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    return bits.tobytes()
+
+
+def bloom_merge(blobs) -> np.ndarray:
+    """OR-fold partial bitmaps (order-independent, hence mergeable)."""
+    acc = None
+    for b in blobs:
+        arr = np.frombuffer(b, dtype=np.uint8)
+        acc = arr.copy() if acc is None else np.bitwise_or(acc, arr, out=acc)
+    return acc if acc is not None else np.zeros(BLOOM_M_BITS >> 3, dtype=np.uint8)
+
+
+def bloom_contains(bits: np.ndarray, keys: np.ndarray, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present, False =
+    definitely absent."""
+    h1 = _splitmix64(np.asarray(keys, dtype=np.uint64))
+    h2 = _splitmix64(np.asarray(keys, dtype=np.uint64) ^ np.uint64(0xA5A5A5A5DEADBEEF)) | np.uint64(1)
+    out = np.ones(len(keys), dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        got = bits[(pos >> np.uint64(3)).astype(np.int64)] & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        out &= got != 0
+    return out
