@@ -490,6 +490,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": dso.pmi_collocations,
         # snapshot-vs-snapshot dedup: Bloom prefilter + exact confirm
         "incremental_dedup": lambda sf: dedup.incremental_dedup(sf),
+        # A-ES weighted sampling without replacement (pow-key top-k)
+        "weighted_sample": rel.weighted_sample,
+        # time-band self-join via tiled windows + halo duplication
+        "events_band_join": rel.events_band_join,
+        # MAD robust outlier detection (integer-cents exact)
+        "events_value_outliers": rel.events_value_outliers,
+        # trailing-window stream dedup (at-most-once-per-hour rule)
+        "windowed_event_dedup": rel.windowed_event_dedup,
+        # JSON property extraction + per-type aggregate
+        "props_k_stats": rel.props_k_stats,
+        # per-doc unigram entropy (nano-nat-quantized exact)
+        "token_entropy": lambda sf: qual.token_entropy(sf),
     }
 
 
@@ -724,6 +736,12 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_topk": dso.inverted_index_topk_sql(),
         "pmi_collocations": dso.pmi_collocations_sql(),
         "incremental_dedup": dedup_mod.incremental_dedup_sql(),
+        "weighted_sample": rel.weighted_sample_sql(),
+        "events_band_join": rel.events_band_join_sql(),
+        "events_value_outliers": rel.events_value_outliers_sql(),
+        "windowed_event_dedup": rel.windowed_event_dedup_sql(),
+        "props_k_stats": rel.props_k_stats_sql(),
+        "token_entropy": qual.token_entropy_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

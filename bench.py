@@ -152,6 +152,17 @@ def main() -> dict:
 
     timed("clean_pack_pipeline", lambda: llm.clean_pack_pipeline(SF_DIR), repeats=1)
 
+    from pdfrust_ray.pipelines import datasetops as dso
+
+    timed("doc_chunks", lambda: dso.doc_chunks(SF_DIR))
+    timed("inverted_index_topk", lambda: dso.inverted_index_topk(SF_DIR))
+    timed("pmi_collocations", lambda: dso.pmi_collocations(SF_DIR))
+    timed("incremental_dedup", lambda: dedup.incremental_dedup(SF_DIR))
+    timed("weighted_sample", lambda: rel.weighted_sample(SF_DIR))
+    timed("events_band_join", lambda: rel.events_band_join(SF_DIR))
+    timed("windowed_event_dedup", lambda: rel.windowed_event_dedup(SF_DIR))
+    timed("token_entropy", lambda: qual.token_entropy(SF_DIR))
+
     result = {
         "metric": "extract_pipeline_wall",
         "value": round(headline, 3),

@@ -668,3 +668,59 @@ def name_editdist_join_sql(table: str = "part", col: str = "p_name") -> str:
         WHERE levenshtein(a.name, b.name) <= 1
         ORDER BY name_a, name_b
     """
+
+
+def token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document unigram (Shannon) entropy in nano-nats — the
+    lexical-diversity quality signal (low entropy = repetitive /
+    template text). Entirely row-local: each doc's term distribution is
+    computed and quantized inside map_batches, zero shuffle. Each term
+    contributes floor(-(c/n)*ln(c/n)*1e9 + 0.5) and the doc score is
+    the order-free int64 sum, so the SQL twin is exact (glibc ln ==
+    DuckDB ln, same precedent as bigram_lm_scores)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, ents = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(txt.lower().split())
+            n = sum(c.values())
+            if n == 0:
+                continue
+            tot = 0
+            for cnt in c.values():
+                p = cnt / n
+                tot += int(math.floor(-p * math.log(p) * 1e9 + 0.5))
+            ids.append(did)
+            ents.append(tot)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "entropy_nano": pa.array(ents, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    for c in ("doc_id", "entropy_nano"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def token_entropy_sql() -> str:
+    return r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w
+          FROM documents
+        ),
+        cnt AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, w),
+        tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id)
+        SELECT cnt.doc_id,
+               SUM(CAST(floor(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) * 1e9 + 0.5)
+                        AS BIGINT)) AS entropy_nano
+        FROM cnt JOIN tot USING (doc_id)
+        GROUP BY cnt.doc_id
+        ORDER BY doc_id
+    """

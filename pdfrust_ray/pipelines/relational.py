@@ -2064,3 +2064,355 @@ def events_per_user_sample_sql(k: int = 3) -> str:
         WHERE rn <= {k}
         ORDER BY user_id, sample_rank
     """
+
+
+# ---------------------------------------------------------------------------
+# A-ES weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Weighted k-sample without replacement (Efraimidis-Spirakis A-ES,
+    IPL 2006): each row gets key u^(1/w) with u a deterministic
+    md5-derived uniform and w = its weight (value); the global top-k
+    keys are the sample, with inclusion probability proportional to
+    weight. The quality-weighted corpus-sampling primitive.
+
+    Shape: keys are computed per batch (vectorized md5 + glibc pow —
+    correctly-rounded float64, so DuckDB's pow() agrees bit-for-bit),
+    each batch keeps only its LOCAL top-k, and the driver merges
+    O(blocks x k) survivors — mergeable and shuffle-free, exactly like
+    bottom_k_sample."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+        ids = t["event_id"].to_numpy()
+        w = t["value"].to_numpy().astype(np.float64)
+        h = md5_prefix_u32([str(i).encode() for i in ids.tolist()])
+        u = (h.astype(np.float64) + 1.0) / 4294967296.0
+        key = np.power(u, 1.0 / w)
+        # local top-k by (key DESC, event_id ASC)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                "event_id": pa.array(ids[order], pa.int64()),
+                "value": pa.array(w[order], pa.float64()),
+                "key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["key", "event_id"], ascending=[False, True], kind="mergesort")
+    out = cand.head(k)[["event_id", "value"]].copy()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def weighted_sample_sql(k: int = 20) -> str:
+    return f"""
+        SELECT event_id, value FROM (
+          SELECT event_id, value,
+                 pow((CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1)
+                     / 4294967296.0,
+                     1.0 / value) AS key
+          FROM events
+          ORDER BY key DESC, event_id LIMIT {k}
+        )
+        ORDER BY event_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# time-band self-join (tiled windows + halo)
+# ---------------------------------------------------------------------------
+
+_BAND_US = 60_000_000  # 60 s
+
+
+def events_band_join(sf_dir: str, band_us: int = _BAND_US) -> pd.DataFrame:
+    """Same-user event pairs at most `band_us` apart (0 <= tb-ta <= band,
+    canonical earlier-first, ties by event_id) — the band/range join
+    Ray Data has no primitive for.
+
+    Distributed pattern: tile time into 2*band windows and duplicate
+    any event within `band` of its window's end into the NEXT window
+    (halo). Every qualifying pair then co-exists in at least one
+    (user, window) group — if b lands in the next window, a is by
+    construction inside the halo — so groupby(user_id, window) +
+    within-group pairing finds all pairs locally; a pair found twice
+    (both members duplicated) collapses in the final pair-keyed dedup.
+    The exchange carries each event at most twice; no O(n^2) block."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    win = 2 * band_us
+
+    def tile(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        ids = t["event_id"].to_numpy()
+        users = t["user_id"].to_numpy()
+        w = ts_us // win
+        # base copy + halo copy for events near the window end
+        halo = (ts_us % win) >= (win - band_us)
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([users, users[halo]]), pa.int64()),
+                "window": pa.array(np.concatenate([w, w[halo] + 1]), pa.int64()),
+                "event_id": pa.array(np.concatenate([ids, ids[halo]]), pa.int64()),
+                "ts_us": pa.array(np.concatenate([ts_us, ts_us[halo]]), pa.int64()),
+            }
+        )
+
+    def pair(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        a_l, b_l, gap_l = [], [], []
+        # two-pointer sweep: for each row, partners within the band ahead
+        import numpy as np
+
+        right = np.searchsorted(ts, ts + band_us, side="right")
+        for i in range(len(ts)):
+            for j in range(i + 1, right[i]):
+                a_l.append(ids[i])
+                b_l.append(ids[j])
+                gap_l.append(ts[j] - ts[i])
+        return pd.DataFrame(
+            {
+                "a_id": pd.Series(a_l, dtype="int64"),
+                "b_id": pd.Series(b_l, dtype="int64"),
+                "gap_us": pd.Series(gap_l, dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(tile, batch_format="pyarrow")
+        .groupby(["user_id", "window"])
+        .map_groups(pair, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("a_id", "b_id", "gap_us")}
+        )
+    out = out.drop_duplicates(subset=["a_id", "b_id"])
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+def events_band_join_sql(band_us: int = _BAND_US) -> str:
+    return f"""
+        SELECT a.event_id AS a_id, b.event_id AS b_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id <> b.event_id
+         AND b.ts >= a.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= {band_us}
+         AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        ORDER BY a_id, b_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers
+# ---------------------------------------------------------------------------
+
+
+def events_value_outliers(sf_dir: str, mult: int = 3) -> pd.DataFrame:
+    """Rows whose |value - per-type median| exceeds mult x MAD (median
+    absolute deviation) — the robust outlier rule that, unlike z-scores,
+    is not itself corrupted by the outliers it hunts. All math on
+    integer cents, so the SQL twin is exact.
+
+    Two-phase: per-type (median, MAD) via groupby(event_type).map_groups
+    (exact quantile per group; the group count is the type cardinality —
+    at unbounded scale the mergeable quantile_sketch is the stand-in),
+    thresholds broadcast, then one streaming filter pass."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "c": _cents(t["value"]),
+            }
+        )
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+
+    def med_mad(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["c"].to_numpy())
+        m = int(v[max(0, int(np.ceil(0.5 * len(v))) - 1)])  # quantile_disc 0.5
+        d = np.sort(np.abs(g["c"].to_numpy() - m))
+        mad = int(d[max(0, int(np.ceil(0.5 * len(d))) - 1)])
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "m": [m], "d": [mad]}
+        )
+
+    th = (
+        base.groupby("event_type").map_groups(med_mad, batch_format="pandas").to_pandas()
+    )
+    import ray as _ray
+
+    th_ref = _ray.put({r.event_type: (int(r.m), int(r.d)) for r in th.itertuples()})
+
+    def flag(t: pa.Table) -> pa.Table:
+        lut = _ray.get(th_ref)
+        types = t["event_type"].to_pylist()
+        c = t["c"].to_numpy()
+        m = np.array([lut[x][0] for x in types], dtype=np.int64)
+        d = np.array([lut[x][1] for x in types], dtype=np.int64)
+        keep = np.abs(c - m) > mult * d
+        return t.filter(pa.array(keep))
+
+    out = base.map_batches(flag, batch_format="pyarrow").to_pandas()
+    out = out.rename(columns={"c": "value_cents"})
+    for c in ("event_id", "value_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_value_outliers_sql(mult: int = 3) -> str:
+    return f"""
+        WITH v AS (SELECT event_id, event_type,
+                          CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+                   FROM events),
+        med AS (SELECT event_type, quantile_disc(value_cents, 0.5) AS m
+                FROM v GROUP BY event_type),
+        mad AS (SELECT v.event_type,
+                       quantile_disc(abs(v.value_cents - med.m), 0.5) AS d
+                FROM v JOIN med USING (event_type) GROUP BY v.event_type)
+        SELECT v.event_id, v.event_type, v.value_cents
+        FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+        WHERE abs(v.value_cents - med.m) > {mult} * mad.d
+        ORDER BY v.event_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# trailing-window event dedup
+# ---------------------------------------------------------------------------
+
+_DEDUP_WIN_US = 3_600_000_000  # 1 h
+
+
+def windowed_event_dedup(sf_dir: str, window_us: int = _DEDUP_WIN_US) -> pd.DataFrame:
+    """Stream dedup: keep an event iff no event with the same
+    (user_id, event_type) occurred within the preceding hour — the
+    at-most-once-per-window suppression rule of alerting/metering
+    pipelines. Keyed shuffle + per-group vectorized LAG diff; the SQL
+    twin is the LAG window."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        gap = np.diff(ts, prepend=ts[0] - window_us - 1)
+        return g[gap > window_us]
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .map_groups(keep, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("event_id", "user_id", "ts_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def windowed_event_dedup_sql(window_us: int = _DEDUP_WIN_US) -> str:
+    return f"""
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        FROM (
+          SELECT event_id, user_id, event_type, ts,
+                 LAG(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS prev
+          FROM events
+        )
+        WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) > {window_us}
+        ORDER BY event_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction + aggregate
+# ---------------------------------------------------------------------------
+
+
+def props_k_stats(sf_dir: str) -> pd.DataFrame:
+    """Parse the JSON `props` column and aggregate the extracted field
+    per event_type — the semi-structured-payload pattern (stdlib
+    json.loads per row inside the batch; the extraction is row-local so
+    the only exchange is the type-cardinality groupby of partials)."""
+    import json
+
+    from ray.data.aggregate import Max, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows: dict[str, list[int]] = {}
+        for et, pr in zip(t["event_type"].to_pylist(), t["props"].to_pylist()):
+            k = int(json.loads(pr)["k"])
+            agg = rows.setdefault(et, [0, -(1 << 62), 0])
+            agg[0] += k
+            agg[1] = max(agg[1], k)
+            agg[2] += 1
+        return pd.DataFrame(
+            {
+                "event_type": list(rows),
+                "sum_k": pd.Series([v[0] for v in rows.values()], dtype="int64"),
+                "max_k": pd.Series([v[1] for v in rows.values()], dtype="int64"),
+                "n": pd.Series([v[2] for v in rows.values()], dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_k", "max_k", "n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def props_k_stats_sql() -> str:
+    return """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """
