@@ -718,8 +718,8 @@ def token_entropy_sql() -> str:
         cnt AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, w),
         tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id)
         SELECT cnt.doc_id,
-               SUM(CAST(floor(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) * 1e9 + 0.5)
-                        AS BIGINT)) AS entropy_nano
+               CAST(SUM(CAST(floor(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) * 1e9 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS entropy_nano
         FROM cnt JOIN tot USING (doc_id)
         GROUP BY cnt.doc_id
         ORDER BY doc_id

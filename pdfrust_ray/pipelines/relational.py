@@ -2416,3 +2416,228 @@ def props_k_stats_sql() -> str:
         GROUP BY event_type
         ORDER BY event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# per-group OLS regression
+# ---------------------------------------------------------------------------
+
+
+def events_value_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-type least-squares fit of value_cents on the JSON `k`
+    property — distributed OLS via the moment-sum combiner: each batch
+    contributes one (n, Sx, Sy, Sxx, Sxy) row per type (all exact
+    int64), a type-cardinality groupby sums them, and the closed-form
+    slope/intercept finalize quantizes its two float divisions in the
+    SQL twin's exact op order. The shape generalizes to any
+    sufficient-statistics model (same skeleton as embedding_second_moment)."""
+    import json
+    import math
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value", "props"])
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        y = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()).to_numpy()
+        x = np.array([int(json.loads(p)["k"]) for p in t["props"].to_pylist()], dtype=np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(), "x": x, "y": y})
+        rows = []
+        for et, g in df.groupby("event_type"):
+            gx, gy = g["x"].to_numpy(), g["y"].to_numpy()
+            rows.append(
+                (et, len(g), int(gx.sum()), int(gy.sum()), int((gx * gx).sum()), int((gx * gy).sum()))
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "n", "sx", "sy", "sxx", "sxy"]
+        ).astype({c: "int64" for c in ("n", "sx", "sy", "sxx", "sxy")})
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    out_rows = []
+    for r in m.itertuples():
+        n, sx, sy, sxx, sxy = int(r.n), int(r.sx), int(r.sy), int(r.sxx), int(r.sxy)
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        out_rows.append(
+            (
+                r.event_type,
+                int(math.floor(slope * 1e6 + 0.5)),
+                int(math.floor((float(sy) - slope * sx) / n * 1e2 + 0.5)),
+            )
+        )
+    out = pd.DataFrame(out_rows, columns=["event_type", "slope_micro", "intercept_hundredths"])
+    for c in ("slope_micro", "intercept_hundredths"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_value_regression_sql() -> str:
+    return """
+        WITH v AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS y,
+                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS x
+                   FROM events),
+        m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+              FROM v GROUP BY event_type)
+        SELECT event_type,
+               CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                 AS slope_micro,
+               CAST(floor((CAST(sy AS DOUBLE)
+                           - (CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n * 1e2 + 0.5)
+                    AS BIGINT) AS intercept_hundredths
+        FROM m ORDER BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact global median by iterative histogram refinement
+# ---------------------------------------------------------------------------
+
+
+def global_exact_median(sf_dir: str, n_buckets: int = 1024) -> pd.DataFrame:
+    """EXACT global median of value_cents without a global sort and
+    without ever collecting values: the classical distributed selection
+    algorithm. Pass 1 finds (min, max, count); each refinement pass
+    histograms the corpus into n_buckets equal-width integer ranges
+    (per-batch combiner -> one tiny vector per block), the driver walks
+    the O(n_buckets) counts to locate the bucket containing the target
+    rank, and the range narrows geometrically — ceil(log_B(range))
+    streaming passes total (2 for cent-scale data), each an
+    embarrassingly parallel scan. Matches DuckDB quantile_disc(0.5)
+    exactly (rank = ceil(n/2), 1-based)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"c": _cents(t["value"])})
+
+    base = ds.map_batches(cents, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = base.aggregate(Min("c"), Max("c"), Count())
+    lo, hi, n = int(stats["min(c)"]), int(stats["max(c)"]), int(stats["count()"])
+    rank = max(1, int(np.ceil(0.5 * n)))  # quantile_disc 0.5, 1-based
+
+    while hi - lo + 1 > n_buckets:
+        width = (hi - lo + n_buckets) // n_buckets  # ceil division
+
+        def hist(t: pa.Table, lo=lo, width=width) -> pd.DataFrame:
+            c = t["c"].to_numpy()
+            c = c[(c >= lo) & (c <= hi)]
+            idx = (c - lo) // width
+            counts = np.bincount(idx, minlength=n_buckets).astype(np.int64)
+            return pd.DataFrame({"bucket": np.arange(n_buckets, dtype=np.int64), "cnt": counts})
+
+        from ray.data.aggregate import Sum
+
+        # also count values below lo that fell out of range in earlier
+        # passes — they are already accounted in `rank` adjustment below
+        hdf = (
+            base.map_batches(hist, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+            .sort_values("bucket")
+        )
+        counts = np.zeros(n_buckets, dtype=np.int64)
+        counts[hdf["bucket"].to_numpy()] = hdf["cnt"].to_numpy()
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, rank))
+        rank -= int(cum[b - 1]) if b > 0 else 0
+        lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+
+    # final pass: exact per-value counts over the narrowed range
+    def exact(t: pa.Table, lo=lo, hi=hi) -> pd.DataFrame:
+        c = t["c"].to_numpy()
+        c = c[(c >= lo) & (c <= hi)]
+        counts = np.bincount(c - lo, minlength=hi - lo + 1).astype(np.int64)
+        return pd.DataFrame(
+            {"v": np.arange(lo, hi + 1, dtype=np.int64), "cnt": counts}
+        )
+
+    from ray.data.aggregate import Sum
+
+    vdf = (
+        base.map_batches(exact, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    cum = np.cumsum(vdf["cnt"].to_numpy())
+    med = int(vdf["v"].to_numpy()[int(np.searchsorted(cum, rank))])
+    return pd.DataFrame({"median_cents": pd.Series([med], dtype="int64")})
+
+
+def global_exact_median_sql() -> str:
+    return """
+        SELECT quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS median_cents
+        FROM events
+    """
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of per-user activity
+# ---------------------------------------------------------------------------
+
+
+def user_activity_gini(sf_dir: str) -> pd.DataFrame:
+    """Inequality of the per-user event-count distribution — the skew
+    diagnostic that tells a pipeline whether its groupby keys need
+    salting. Gini = (2*sum(i*c_i) - (n+1)*sum(c_i)) / (n*sum(c_i)) over
+    counts sorted ascending (1-based ranks, ties broken by user_id to
+    match the SQL row_number). The distributed part is the per-user
+    count groupby; the count table is user-cardinality-sized (the
+    docstring's 100-TB variant sorts it with ds.sort and computes rank
+    sums via the two-phase prefix scan rather than on the driver)."""
+    import math
+
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(["cnt", "user_id"], kind="mergesort").reset_index(drop=True)
+    c = counts["cnt"].to_numpy().astype("int64")
+    n = len(c)
+    tot = int(c.sum())
+    wsum = int((c * (1 + np.arange(n, dtype=np.int64))).sum())
+    gini = float(2 * wsum - (n + 1) * tot) / (float(n) * tot)
+    return pd.DataFrame(
+        {"gini_nano": pd.Series([int(math.floor(gini * 1e9 + 0.5))], dtype="int64")}
+    )
+
+
+def user_activity_gini_sql() -> str:
+    return """
+        WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY user_id),
+        r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS i FROM c),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS tot,
+                     CAST(SUM(i * cnt) AS BIGINT) AS wsum FROM r)
+        SELECT CAST(floor(CAST(2 * wsum - (n + 1) * tot AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * tot) * 1e9 + 0.5) AS BIGINT) AS gini_nano
+        FROM s
+    """
