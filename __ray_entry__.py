@@ -502,6 +502,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": rel.props_k_stats,
         # per-doc unigram entropy (nano-nat-quantized exact)
         "token_entropy": lambda sf: qual.token_entropy(sf),
+        # per-type OLS via distributed moment sums (quantized exact)
+        "events_value_regression": rel.events_value_regression,
+        # EXACT global median by iterative histogram refinement —
+        # no sort, no value collection, O(log_B range) streaming passes
+        "global_exact_median": rel.global_exact_median,
+        # Gini skew diagnostic over per-user activity (quantized exact)
+        "user_activity_gini": rel.user_activity_gini,
     }
 
 
@@ -742,6 +749,9 @@ def oracle_sql() -> dict[str, str]:
         "windowed_event_dedup": rel.windowed_event_dedup_sql(),
         "props_k_stats": rel.props_k_stats_sql(),
         "token_entropy": qual.token_entropy_sql(),
+        "events_value_regression": rel.events_value_regression_sql(),
+        "global_exact_median": rel.global_exact_median_sql(),
+        "user_activity_gini": rel.user_activity_gini_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

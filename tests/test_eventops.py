@@ -159,3 +159,72 @@ def test_token_entropy_hand_values(ray_session):
     )
     got = int(mine.loc[mine["doc_id"] == row["doc_id"], "entropy_nano"].iloc[0])
     assert got == expect
+
+
+def test_regression_matches_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        events_value_regression,
+        events_value_regression_sql,
+    )
+
+    mine = events_value_regression(SF)
+    assert len(mine) > 0
+    _assert_oracle(con, mine, events_value_regression_sql())
+
+
+def test_regression_recovers_planted_line(ray_session, tmp_path):
+    # y = 3x + 700 cents exactly -> slope_micro = 3_000_000,
+    # intercept_hundredths = 70_000
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 1000
+    x = np.arange(n) % 97
+    t = pa.table(
+        {
+            "event_type": pa.array(["a"] * n),
+            "value": pa.array((3 * x + 700) / 100.0, pa.float64()),
+            "props": pa.array(['{"k": %d}' % v for v in x]),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from pdfrust_ray.pipelines.relational import events_value_regression
+
+    out = events_value_regression(str(tmp_path))
+    assert int(out["slope_micro"].iloc[0]) == 3_000_000
+    assert int(out["intercept_hundredths"].iloc[0]) == 70_000
+
+
+def test_global_median_matches_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        global_exact_median,
+        global_exact_median_sql,
+    )
+
+    mine = global_exact_median(SF)
+    _assert_oracle(con, mine, global_exact_median_sql())
+
+
+def test_global_median_narrow_buckets(ray_session, con):
+    # tiny bucket count forces several refinement passes through the
+    # same streaming machinery — result must not change
+    from pdfrust_ray.pipelines.relational import (
+        global_exact_median,
+        global_exact_median_sql,
+    )
+
+    mine = global_exact_median(SF, n_buckets=16)
+    _assert_oracle(con, mine, global_exact_median_sql())
+
+
+def test_gini_matches_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        user_activity_gini,
+        user_activity_gini_sql,
+    )
+
+    mine = user_activity_gini(SF)
+    _assert_oracle(con, mine, user_activity_gini_sql())
+    # a count distribution has some inequality but is far from maximal
+    g = int(mine["gini_nano"].iloc[0])
+    assert 0 < g < 500_000_000
