@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import datasetops as dso
+    from pdfrust_ray.pipelines import graph
     from pdfrust_ray.pipelines import llmdata as llm
     from pdfrust_ray.pipelines import quality as qual
     from pdfrust_ray.pipelines import relational as rel
@@ -509,12 +510,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_exact_median": rel.global_exact_median,
         # Gini skew diagnostic over per-user activity (quantized exact)
         "user_activity_gini": rel.user_activity_gini,
+        # timed conversion funnel (CEP-style sequence match, two-pointer)
+        "funnel_within_hour": rel.funnel_within_hour,
+        # column-profile pass (count/nulls/exact-distinct/min/max)
+        "events_table_profile": rel.events_table_profile,
+        # integer PageRank over the customer->supplier purchase graph
+        "bipartite_pagerank": graph.bipartite_pagerank,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import datasetops as dso
+    from pdfrust_ray.pipelines import graph
     from pdfrust_ray.pipelines import llmdata as llm
     from pdfrust_ray.pipelines import quality as qual
     from pdfrust_ray.pipelines import relational as rel
@@ -752,6 +760,9 @@ def oracle_sql() -> dict[str, str]:
         "events_value_regression": rel.events_value_regression_sql(),
         "global_exact_median": rel.global_exact_median_sql(),
         "user_activity_gini": rel.user_activity_gini_sql(),
+        "funnel_within_hour": rel.funnel_within_hour_sql(),
+        "events_table_profile": rel.events_table_profile_sql(),
+        "bipartite_pagerank": graph.bipartite_pagerank_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

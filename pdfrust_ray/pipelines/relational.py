@@ -2641,3 +2641,155 @@ def user_activity_gini_sql() -> str:
                           / (CAST(n AS DOUBLE) * tot) * 1e9 + 0.5) AS BIGINT) AS gini_nano
         FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# timed conversion funnel (event-sequence matching)
+# ---------------------------------------------------------------------------
+
+
+def funnel_within_hour(sf_dir: str, window_us: int = 3_600_000_000) -> pd.DataFrame:
+    """Per user, the number of signup events followed by a purchase
+    within the hour — the MATCH_RECOGNIZE/CEP-style timed-sequence
+    pattern. One user-keyed shuffle; inside each group a searchsorted
+    two-pointer matches every signup against the purchase timeline (no
+    per-pair loop, no self-join blow-up)."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t["event_type"], value_set=pa.array(["signup", "purchase"])
+        )
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g.loc[g["event_type"] == "signup", "ts_us"].to_numpy())
+        p = np.sort(g.loc[g["event_type"] == "purchase", "ts_us"].to_numpy())
+        if len(s) == 0 or len(p) == 0:
+            return pd.DataFrame({"user_id": [], "n_converted": []})
+        # signup converts iff some purchase in (ts, ts + window]
+        lo = np.searchsorted(p, s, side="right")
+        hi = np.searchsorted(p, s + window_us, side="right")
+        n = int((hi > lo).sum())
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "n_converted": []})
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_converted": [n]}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(match, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("user_id", "n_converted"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def funnel_within_hour_sql(window_us: int = 3_600_000_000) -> str:
+    return f"""
+        SELECT s.user_id, CAST(COUNT(*) AS BIGINT) AS n_converted
+        FROM events s
+        WHERE s.event_type = 'signup' AND EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+            AND p.ts > s.ts AND epoch_us(p.ts) - epoch_us(s.ts) <= {window_us})
+        GROUP BY s.user_id
+        ORDER BY s.user_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# table profiling
+# ---------------------------------------------------------------------------
+
+
+def events_table_profile(sf_dir: str) -> pd.DataFrame:
+    """Column-profile pass (the data-quality dashboard op): row count,
+    null count, EXACT distinct count, min, max for the profiled
+    columns. Scalar stats come from one streaming combiner; the exact
+    distinct counts are value-keyed groupbys (fine for these
+    cardinalities; hll_distinct_users is the unbounded-cardinality
+    stand-in). Values are profiled in integer cents."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "value_cents": _cents(t["value"])}
+        )
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for col in ("user_id", "value_cents"):
+            v = t[col].to_numpy(zero_copy_only=False)
+            nulls = int(pd.isna(v).sum())
+            ok = v[~pd.isna(v)]
+            rows.append(
+                (col, len(v), nulls, int(ok.min()) if len(ok) else 0, int(ok.max()) if len(ok) else 0)
+            )
+        return pd.DataFrame(
+            rows, columns=["col", "n", "nulls", "min_v", "max_v"]
+        ).astype({"n": "int64", "nulls": "int64", "min_v": "int64", "max_v": "int64"})
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = (
+        base.map_batches(partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("nulls", alias_name="nulls"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+        .to_pandas()
+    )
+
+    # exact distinct per column: value-keyed groupby, count the groups
+    def col_distinct(col: str) -> int:
+        return (
+            base.select_columns([col]).groupby(col).aggregate(Count(alias_name="_n")).count()
+        )
+
+    nd = {c: col_distinct(c) for c in ("user_id", "value_cents")}
+    stats["n_distinct"] = stats["col"].map(nd).astype("int64")
+    for c in ("n", "nulls", "min_v", "max_v"):
+        stats[c] = stats[c].astype("int64")
+    cols = ["col", "n", "nulls", "n_distinct", "min_v", "max_v"]
+    return stats[cols].sort_values("col").reset_index(drop=True)
+
+
+def events_table_profile_sql() -> str:
+    return """
+        SELECT * FROM (
+          SELECT 'user_id' AS col, COUNT(*) AS n,
+                 COUNT(*) - COUNT(user_id) AS nulls,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+                 CAST(MIN(user_id) AS BIGINT) AS min_v,
+                 CAST(MAX(user_id) AS BIGINT) AS max_v
+          FROM events
+          UNION ALL
+          SELECT 'value_cents', COUNT(*), COUNT(*) - COUNT(value),
+                 CAST(COUNT(DISTINCT CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT),
+                 CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT),
+                 CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+          FROM events
+        ) ORDER BY col
+    """
