@@ -299,6 +299,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
         )
 
+    def image_phash_dedup_q(sf_dir: str):
+        from pdfrust_ray.stages.multimodal import image_phash_dedup
+
+        return image_phash_dedup()
+
     return {
         # --- the reference's own pipeline surface (SURVEY §2 / §3) ---
         "extract_text": _q_extract_text,
@@ -516,6 +521,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_table_profile": rel.events_table_profile,
         # integer PageRank over the customer->supplier purchase graph
         "bipartite_pagerank": graph.bipartite_pagerank,
+        # day-grain cohort retention matrix (one user-keyed exchange)
+        "cohort_retention": rel.cohort_retention,
+        # exact bipartite 4-cycle (butterfly) motif count
+        "supplier_butterflies": graph.supplier_butterflies,
+        # contrastive pair mining: same-label positives + hard negatives
+        "contrastive_pairs": similarity.contrastive_pairs,
+        # CDC snapshot diff (added/removed/changed between crawls)
+        "snapshot_diff": dso.snapshot_diff,
+        # global PERCENT_RANK via bounded-domain CDF broadcast
+        "events_value_rank_normalize": rel.events_value_rank_normalize,
+        # perceptual-hash image near-dup (real codecs; no SQL on pixels)
+        "image_phash_dedup": image_phash_dedup_q,
     }
 
 
@@ -763,6 +780,11 @@ def oracle_sql() -> dict[str, str]:
         "funnel_within_hour": rel.funnel_within_hour_sql(),
         "events_table_profile": rel.events_table_profile_sql(),
         "bipartite_pagerank": graph.bipartite_pagerank_sql(),
+        "cohort_retention": rel.cohort_retention_sql(),
+        "supplier_butterflies": graph.supplier_butterflies_sql(),
+        "contrastive_pairs": similarity_mod.contrastive_pairs_sql(),
+        "snapshot_diff": dso.snapshot_diff_sql(),
+        "events_value_rank_normalize": rel.events_value_rank_normalize_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

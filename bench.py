@@ -163,6 +163,18 @@ def main() -> dict:
     timed("windowed_event_dedup", lambda: rel.windowed_event_dedup(SF_DIR))
     timed("token_entropy", lambda: qual.token_entropy(SF_DIR))
 
+    from pdfrust_ray.pipelines import graph
+    from pdfrust_ray.stages.multimodal import image_phash_dedup
+
+    timed("bipartite_pagerank", lambda: graph.bipartite_pagerank(SF_DIR))
+    timed("supplier_butterflies", lambda: graph.supplier_butterflies(SF_DIR))
+    timed("funnel_within_hour", lambda: rel.funnel_within_hour(SF_DIR))
+    timed("cohort_retention", lambda: rel.cohort_retention(SF_DIR))
+    timed("snapshot_diff", lambda: dso.snapshot_diff(SF_DIR))
+    timed("contrastive_pairs", lambda: similarity.contrastive_pairs(SF_DIR))
+    timed("rank_normalize", lambda: rel.events_value_rank_normalize(SF_DIR))
+    timed("image_phash_dedup", lambda: image_phash_dedup())
+
     result = {
         "metric": "extract_pipeline_wall",
         "value": round(headline, 3),

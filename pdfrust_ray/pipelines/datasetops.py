@@ -339,3 +339,93 @@ def pmi_collocations_sql(min_count: int = 5, k: int = 50) -> str:
         ORDER BY pmi_micro DESC, bg
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (change data capture between two corpus versions)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """CDC-style diff of two corpus snapshots: which docs were added,
+    removed, or changed between yesterday's crawl and today's. The
+    snapshots are derived deterministically from the documents table
+    (old = doc_id % 10 != 9, new = doc_id % 10 != 0, and docs with
+    doc_id % 10 == 5 are re-crawled with edited text in the new
+    snapshot), but the ENGINE treats them as two independent corpora:
+    each side is scanned separately, reduced per row to
+    (doc_id, side, text_md5) — text never crosses the exchange — and a
+    doc_id-keyed groupby classifies each key from its (<= 2) indicator
+    rows. That union + indicator-groupby shape is the FULL OUTER JOIN
+    without a join operator, the same trick as heavy_user_full_outer.
+    Unchanged docs (the overwhelming majority at crawl scale) are
+    dropped inside the groupby, so the output is diff-sized."""
+
+    def side_rows(side: int, edit: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            mod = ids % 10
+            keep = mod != (9 if side == 0 else 0)
+            texts = t["text"].to_pylist()
+            out_id, out_md5 = [], []
+            for i in np.nonzero(keep)[0]:
+                txt = texts[i]
+                if edit and mod[i] == 5:
+                    txt = txt.upper()  # the re-crawl edit
+                out_id.append(int(ids[i]))
+                out_md5.append(hashlib.md5(txt.encode()).hexdigest())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "side": pa.array([side] * len(out_id), pa.int32()),
+                    "text_md5": pa.array(out_md5, pa.string()),
+                }
+            )
+
+        return f
+
+    old = _docs(sf_dir).map_batches(side_rows(0, False), batch_format="pyarrow")
+    new = _docs(sf_dir).map_batches(side_rows(1, True), batch_format="pyarrow")
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        sides = set(g["side"])
+        if sides == {0}:
+            status = "removed"
+        elif sides == {1}:
+            status = "added"
+        else:
+            a = g.loc[g["side"] == 0, "text_md5"].iloc[0]
+            b = g.loc[g["side"] == 1, "text_md5"].iloc[0]
+            if a == b:
+                return pd.DataFrame({"doc_id": [], "status": []})
+            status = "changed"
+        return pd.DataFrame(
+            {"doc_id": [int(g["doc_id"].iloc[0])], "status": [status]}
+        )
+
+    out = (
+        old.union(new)
+        .groupby("doc_id")
+        .map_groups(classify, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def snapshot_diff_sql() -> str:
+    return """
+        WITH old AS (SELECT doc_id, md5(text) AS h FROM documents
+                     WHERE doc_id % 10 != 9),
+        new AS (SELECT doc_id,
+                       md5(CASE WHEN doc_id % 10 = 5 THEN upper(text)
+                                ELSE text END) AS h
+                FROM documents WHERE doc_id % 10 != 0)
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
+        ORDER BY doc_id
+    """

@@ -2793,3 +2793,152 @@ def events_table_profile_sql() -> str:
           FROM events
         ) ORDER BY col
     """
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+_DAY_US = 86_400_000_000
+
+
+def cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Classic cohort-retention analysis: users are cohorted by the
+    epoch day of their first event; each (cohort_day, days_since) cell
+    counts the distinct cohort users active that day. (Day grain
+    because the events fixture spans a single month — at month grain
+    the matrix would be one cell.)
+
+    ONE user-keyed exchange: per user group, the first day and the
+    distinct active days are both local facts, so
+    groupby(user_id).map_groups emits that user's retention cells
+    directly — no self-join of the events table, and the second
+    groupby runs over cell-cardinality rows (cohorts x days, tiny).
+
+    (A two-aggregate + Dataset.join formulation also works on paper,
+    but blocks downstream of a multi-key hash aggregate can reach
+    Dataset.join with schemaless empty partitions in ray 2.49 — the
+    map_groups shape is both safer and one exchange cheaper.)"""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), _DAY_US)
+        return pa.table({"user_id": t["user_id"], "day": day})
+
+    def user_cells(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        days = np.unique(g["day"].to_numpy())
+        return pd.DataFrame(
+            {
+                "cohort_day": pd.Series(np.full(len(days), days[0]), dtype="int64"),
+                "days_since": pd.Series(days - days[0], dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(user_cells, batch_format="pandas")
+        .groupby(["cohort_day", "days_since"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    for c in ("cohort_day", "days_since", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cohort_day", "days_since"]).reset_index(drop=True)
+
+
+def cohort_retention_sql() -> str:
+    return f"""
+        WITH um AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // {_DAY_US} AS day
+                    FROM events),
+        fu AS (SELECT user_id, MIN(day) AS cohort_day FROM um GROUP BY user_id)
+        SELECT fu.cohort_day, um.day - fu.cohort_day AS days_since,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM um JOIN fu USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# global rank transform (percentile normalization)
+# ---------------------------------------------------------------------------
+
+
+def events_value_rank_normalize(sf_dir: str, k: int = 500) -> pd.DataFrame:
+    """Global PERCENT_RANK transform of the value column — percentile
+    feature normalization. A global window function needs a total
+    order, but NOT a global sort: value is cents-quantized into a
+    BOUNDED domain, so one groupby(value_cents) count pass reduces the
+    corpus to a domain-sized frequency table; the driver turns it into
+    a cumulative "rows strictly below v" map, broadcasts it once, and
+    a second streaming pass assigns every row
+    pr = cum_below / (N - 1) — the exact PERCENT_RANK with ties, one
+    small exchange + one zero-shuffle scan regardless of corpus size.
+    Returns the first k rows by event_id (full transform is
+    corpus-sized; the slice keeps the oracle compare bounded)."""
+    import numpy as np
+
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "value_cents": _cents(t["value"])})
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+    freq = (
+        base.groupby("value_cents")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("value_cents")
+    )
+    n_total = int(freq["n"].sum())
+    cum_below = np.concatenate([[0], np.cumsum(freq["n"].to_numpy())[:-1]])
+    lut_ref = _ray.put(
+        (freq["value_cents"].to_numpy(np.int64), cum_below.astype(np.int64), n_total)
+    )
+
+    class Rank:
+        def __init__(self):
+            self.vals, self.below, self.n = _ray.get(lut_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vc = t["value_cents"].to_numpy()
+            pos = np.searchsorted(self.vals, vc)
+            pr = self.below[pos] / (self.n - 1)
+            return pa.table(
+                {
+                    "event_id": t["event_id"],
+                    "value_cents": t["value_cents"],
+                    "pr": pa.array(pr, pa.float64()),
+                }
+            )
+
+    out = (
+        base.map_batches(Rank, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("event_id")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return out
+
+
+def events_value_rank_normalize_sql(k: int = 500) -> str:
+    return f"""
+        SELECT event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+               PERCENT_RANK() OVER (ORDER BY CAST(ROUND(value * 100) AS BIGINT))
+                   AS pr
+        FROM events
+        ORDER BY event_id LIMIT {k}
+    """

@@ -419,3 +419,161 @@ def media_features(media_path_or_table, batch_size: int = 8, thumb: int = 0) -> 
         batch_size=batch_size,
         concurrency=(1, 2),
     )
+
+
+# --- perceptual-hash image near-dup ---------------------------------------
+
+
+def ahash64(pix: np.ndarray) -> int:
+    """64-bit average hash: grayscale -> exact 8x8 block means (integral
+    image, so every pixel contributes — nearest-neighbor sampling would
+    make the hash noise-sensitive) -> bit = block mean > global mean.
+    Deterministic float64 arithmetic; containers that decode to the
+    same pixels (PNG vs PPM) hash identically by construction."""
+    if pix.shape[0] < 8 or pix.shape[1] < 8:
+        raise ValueError("ahash64 needs images >= 8x8")
+    g = pix.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    integ = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integ[1:, 1:] = g.cumsum(0).cumsum(1)
+    rb = np.round(np.linspace(0, h, 9)).astype(int)
+    cb = np.round(np.linspace(0, w, 9)).astype(int)
+    sums = (
+        integ[rb[1:, None], cb[None, 1:]]
+        - integ[rb[:-1, None], cb[None, 1:]]
+        - integ[rb[1:, None], cb[None, :-1]]
+        + integ[rb[:-1, None], cb[None, :-1]]
+    )
+    areas = (rb[1:, None] - rb[:-1, None]) * (cb[None, 1:] - cb[None, :-1])
+    cells = sums / areas
+    bits = (cells > cells.mean()).astype(np.uint8).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+def synthesize_image_dedup_table(n_base: int = 18, seed: int = 9) -> pa.Table:
+    """Deterministic image corpus with PLANTED near-duplicates: every
+    3rd base image also appears re-encoded as PPM (identical pixels ->
+    hamming 0), with sparse ±2 pixel noise, and as JPEG quality 95
+    (lossy but hash-stable). Base images are low-frequency (a coarse
+    random grid upsampled) so block means sit far from the global mean
+    and the hash bits are decisive under noise/JPEG; a few pure-noise
+    distractors round out the corpus. media_id encodes lineage:
+    base k -> 10k, variants 10k+1/2/3."""
+    rng = np.random.RandomState(seed)
+    ids, payloads = [], []
+    for k in range(n_base):
+        h, w = int(rng.randint(24, 64)), int(rng.randint(24, 64))
+        if k % 5 == 4:
+            pix = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)  # distractor
+        else:
+            coarse = rng.randint(0, 256, size=(4, 4, 3)).astype(np.uint8)
+            pix = resize_nearest(coarse, h, w)
+        ids.append(10 * k)
+        payloads.append(encode_png(pix))
+        if k % 3 == 0:
+            ids.append(10 * k + 1)
+            payloads.append(encode_ppm(pix))  # container re-encode
+            noisy = pix.astype(np.int16)
+            mask = rng.rand(h, w) < 0.01
+            noisy[mask] += rng.randint(-2, 3, size=(int(mask.sum()), 3))
+            ids.append(10 * k + 2)
+            payloads.append(encode_png(np.clip(noisy, 0, 255).astype(np.uint8)))
+            ids.append(10 * k + 3)
+            payloads.append(encode_jpeg(pix, quality=95))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["image"] * len(ids)),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def image_phash_dedup(
+    media_table: pa.Table | None = None,
+    max_hamming: int = 3,
+    batch_size: int = 8,
+    n_shards: int = 16,
+) -> pd.DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual hash: actor-pool decode
+    (PNG/GIF/JPEG/PPM, the real codecs) -> ahash64 -> 4 x 16-bit
+    pigeonhole bands (complete for hamming <= max_hamming=3, same lemma
+    as simhash_dedup) -> shard-grouped exact-Hamming verify. The
+    exchange carries (band, hash) rows — 4 small rows per image, never
+    pixels; undecodable or sub-8x8 payloads drop out as they would
+    become error rows in media_features. Returns the exact pair set
+    (media_a, media_b, hamming <= 3), sorted."""
+    import pandas as pd
+
+    from ..functions.minhash import hamming64
+
+    if media_table is None:
+        media_table = synthesize_image_dedup_table()
+
+    class HashStage:
+        """Decode once per payload, emit the 4 band rows."""
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids_out, chunk_id, chunk_value, shard, hashes = [], [], [], [], []
+            for mid, payload in zip(
+                t["media_id"].to_pylist(), t["payload"].to_pylist()
+            ):
+                try:
+                    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                        pix = to_rgb(decode_png(payload))
+                    elif payload[:4] == b"GIF8":
+                        pix = decode_gif(payload)[0]
+                    elif payload[:2] == b"\xff\xd8":
+                        pix = to_rgb(decode_jpeg(payload))
+                    else:
+                        pix, _ = decode_ppm(payload)
+                    hv = ahash64(pix)
+                except (ValueError, struct.error, zlib.error):
+                    continue  # error row semantics: undecodable drops out
+                for c in range(4):
+                    cv = (hv >> (16 * c)) & 0xFFFF
+                    ids_out.append(mid)
+                    chunk_id.append(c)
+                    chunk_value.append(cv)
+                    shard.append((c * 65536 + cv) % n_shards)
+                    hashes.append(f"{hv:016x}")
+            return pa.table(
+                {
+                    "media_id": pa.array(ids_out, pa.int64()),
+                    "chunk_id": pa.array(chunk_id, pa.int32()),
+                    "chunk_value": pa.array(chunk_value, pa.int32()),
+                    "shard": pa.array(shard, pa.int32()),
+                    "ahash": pa.array(hashes, pa.string()),
+                }
+            )
+
+    def pairs_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (_c, _v), grp in g.groupby(["chunk_id", "chunk_value"], sort=False):
+            members = sorted(
+                zip(grp["media_id"].to_numpy(), grp["ahash"].to_numpy())
+            )
+            for i in range(len(members)):
+                a, ha = members[i]
+                for j in range(i + 1, len(members)):
+                    b, hb = members[j]
+                    d = hamming64(int(ha, 16), int(hb, 16))
+                    if d <= max_hamming:
+                        rows.append((int(a), int(b), d))
+        return pd.DataFrame(rows, columns=["media_a", "media_b", "hamming"]).astype(
+            "int64"
+        )
+
+    ds = rd.from_arrow(media_table)
+    out = (
+        ds.map_batches(
+            HashStage, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 2)
+        )
+        .groupby("shard")
+        .map_groups(pairs_of_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.drop_duplicates(["media_a", "media_b"])  # pairs found in >1 band
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["media_a", "media_b"]).reset_index(drop=True)

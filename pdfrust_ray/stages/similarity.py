@@ -547,3 +547,91 @@ def embedding_pca_topk(sf_dir: str, k: int = 8, round_to: int = 6) -> pd.DataFra
             "eigenvalue": pd.Series(np.round(vals, round_to), dtype="float64"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# contrastive pair mining (positives + hard negatives)
+# ---------------------------------------------------------------------------
+
+
+def contrastive_pairs(
+    sf_dir: str,
+    query_ids=tuple(range(8)),
+    t_pos: float = 0.25,
+    t_neg: float = 0.28,
+) -> pd.DataFrame:
+    """Contrastive-training pair mining: for each query vector, every
+    SAME-label vector with cosine >= t_pos (positives) and every
+    DIFFERENT-label vector with cosine >= t_neg (hard negatives — the
+    confusable ones a contrastive loss learns the most from).
+
+    Shape: the [Q, D] query matrix + labels are read via a pushed-down
+    `vec_id IN (...)` filter (row-group pruned, never the whole table)
+    and broadcast once; each batch computes one [batch, Q] matmul and
+    emits only the pairs that clear a threshold. No shuffle — the
+    output is pair-set-sized, not corpus-sized.
+
+    Like embedding_dedup, the output contract is the thresholded pair
+    SET (not the similarity values): DuckDB's list_cosine_similarity
+    computes on FLOAT[] while numpy uses float64, so values differ in
+    the 7th digit but the set at a threshold with margin is identical
+    (fixture margin to the nearest value: >= 3e-5, measured).
+    """
+    query_ids = list(query_ids)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "in", query_ids)],
+    )
+    ids = int_column(t["vec_id"])
+    pos = {int(v): i for i, v in enumerate(ids)}
+    order = [pos[q] for q in query_ids]
+    qmat = _normalize(embedding_matrix(t["embedding"]))[order]
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qlabels = int_column(t["label"]).astype(np.int64)[order]
+    ref = ray.put((qmat, qids, qlabels))
+
+    class PairBlock:
+        def __init__(self):
+            self.q, self.qids, self.qlabels = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = int_column(batch["vec_id"])
+            labels = int_column(batch["label"]).astype(np.int64)
+            v = _normalize(embedding_matrix(batch["embedding"]))
+            sims = v @ self.q.T  # [batch, Q]
+            same = labels[:, None] == self.qlabels[None, :]
+            mask = np.where(same, sims >= t_pos, sims >= t_neg)
+            mask &= vid[:, None] != self.qids[None, :]  # no self-pairs
+            bi, qi = np.nonzero(mask)
+            return pa.table(
+                {
+                    "query_id": pa.array(self.qids[qi], pa.int64()),
+                    "other_id": pa.array(vid[bi], pa.int64()),
+                    "kind": pa.array(np.where(same[bi, qi], "pos", "neg")),
+                }
+            )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    out = ds.map_batches(
+        PairBlock, batch_format="pyarrow", batch_size=4096, concurrency=(1, 2)
+    ).to_pandas()
+    out["query_id"] = out["query_id"].astype("int64")
+    out["other_id"] = out["other_id"].astype("int64")
+    return out.sort_values(["query_id", "other_id"]).reset_index(drop=True)
+
+
+def contrastive_pairs_sql(
+    n_queries: int = 8, t_pos: float = 0.25, t_neg: float = 0.28
+) -> str:
+    return f"""
+        SELECT q.vec_id AS query_id, b.vec_id AS other_id,
+               CASE WHEN q.label = b.label THEN 'pos' ELSE 'neg' END AS kind
+        FROM embeddings q, embeddings b
+        WHERE q.vec_id < {n_queries} AND b.vec_id != q.vec_id
+          AND list_cosine_similarity(q.embedding, b.embedding)
+              >= CASE WHEN q.label = b.label THEN {t_pos} ELSE {t_neg} END
+        ORDER BY query_id, other_id
+    """
