@@ -533,6 +533,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_rank_normalize": rel.events_value_rank_normalize,
         # perceptual-hash image near-dup (real codecs; no SQL on pixels)
         "image_phash_dedup": image_phash_dedup_q,
+        # containment (near-superset) dedup — the axis Jaccard misses
+        "containment_dedup": lambda sf: dedup.containment_dedup(sf),
+        # behavioral event-type trigram mining (what follows what)
+        "user_event_trigrams": rel.user_event_trigrams,
     }
 
 
@@ -785,6 +789,8 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_pairs": similarity_mod.contrastive_pairs_sql(),
         "snapshot_diff": dso.snapshot_diff_sql(),
         "events_value_rank_normalize": rel.events_value_rank_normalize_sql(),
+        "containment_dedup": dedup_mod.containment_dedup_sql(),
+        "user_event_trigrams": rel.user_event_trigrams_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

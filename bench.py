@@ -174,6 +174,8 @@ def main() -> dict:
     timed("contrastive_pairs", lambda: similarity.contrastive_pairs(SF_DIR))
     timed("rank_normalize", lambda: rel.events_value_rank_normalize(SF_DIR))
     timed("image_phash_dedup", lambda: image_phash_dedup())
+    timed("containment_dedup", lambda: dedup.containment_dedup(SF_DIR))
+    timed("user_event_trigrams", lambda: rel.user_event_trigrams(SF_DIR))
 
     result = {
         "metric": "extract_pipeline_wall",

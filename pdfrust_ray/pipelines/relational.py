@@ -2942,3 +2942,97 @@ def events_value_rank_normalize_sql(k: int = 500) -> str:
         FROM events
         ORDER BY event_id LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# behavioral sequence mining (event-type trigrams)
+# ---------------------------------------------------------------------------
+
+
+def user_event_trigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k most common per-user event-type trigrams — the behavioral
+    n-gram miner (what follows what). One user-keyed exchange orders
+    each user's stream; consecutive type triples are counted with a
+    per-group combiner, and the tiny trigram vocabulary (|types|^3)
+    reduces through a coarse-shard map_groups (not a hash aggregate —
+    see supplier_butterflies' measured note) before the driver top-k.
+    Ordering ties pinned to (ts, event_id) like the SQL window."""
+    from collections import Counter
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"],
+            }
+        )
+
+    def grams_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        et = g["event_type"].tolist()
+        c = Counter(
+            f"{a}>{b}>{d}" for a, b, d in zip(et, et[1:], et[2:])
+        )
+        if not c:
+            return pd.DataFrame(
+                {
+                    "trigram": pd.Series([], dtype="object"),
+                    "n_part": pd.Series([], dtype="int64"),
+                    "tshard": pd.Series([], dtype="int32"),
+                }
+            )
+        import hashlib
+
+        keys = list(c.keys())
+        return pd.DataFrame(
+            {
+                "trigram": keys,
+                "n_part": pd.Series(list(c.values()), dtype="int64"),
+                # deterministic shard (python hash() is process-salted,
+                # which would split a trigram across shards)
+                "tshard": pd.Series(
+                    [int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % 8 for s in keys],
+                    dtype="int32",
+                ),
+            }
+        )
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("trigram", sort=False)["n_part"].sum()
+        return pd.DataFrame(
+            {"trigram": s.index, "n": pd.Series(s.to_numpy(), dtype="int64")}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(grams_of_user, batch_format="pandas")
+        .groupby("tshard")
+        .map_groups(reduce_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "trigram"], ascending=[False, True], kind="mergesort")
+    out["n"] = out["n"].astype("int64")
+    return out.head(k).reset_index(drop=True)
+
+
+def user_event_trigrams_sql(k: int = 20) -> str:
+    return f"""
+        WITH o AS (
+          SELECT event_type AS e1,
+                 LEAD(event_type) OVER w AS e2,
+                 LEAD(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS trigram,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE e3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, trigram LIMIT {k}
+    """
