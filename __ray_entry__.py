@@ -537,6 +537,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_dedup": lambda sf: dedup.containment_dedup(sf),
         # behavioral event-type trigram mining (what follows what)
         "user_event_trigrams": rel.user_event_trigrams,
+        # gaps-and-islands interval-union coverage per user
+        "user_active_time": rel.user_active_time,
+        # referential-integrity (FK orphan) profiling
+        "orders_fk_profile": rel.orders_fk_profile,
+        # frequent event-type pair mining (A-priori level-2)
+        "user_type_itemsets": rel.user_type_itemsets,
+        # MMR diverse subset selection (greedy distributed argmax;
+        # rows-only: greedy argmax has no SQL — pinned by serial recompute)
+        "mmr_diverse_topk": similarity.mmr_diverse_topk,
     }
 
 
@@ -791,6 +800,9 @@ def oracle_sql() -> dict[str, str]:
         "events_value_rank_normalize": rel.events_value_rank_normalize_sql(),
         "containment_dedup": dedup_mod.containment_dedup_sql(),
         "user_event_trigrams": rel.user_event_trigrams_sql(),
+        "user_active_time": rel.user_active_time_sql(),
+        "orders_fk_profile": rel.orders_fk_profile_sql(),
+        "user_type_itemsets": rel.user_type_itemsets_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

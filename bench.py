@@ -176,6 +176,9 @@ def main() -> dict:
     timed("image_phash_dedup", lambda: image_phash_dedup())
     timed("containment_dedup", lambda: dedup.containment_dedup(SF_DIR))
     timed("user_event_trigrams", lambda: rel.user_event_trigrams(SF_DIR))
+    timed("user_active_time", lambda: rel.user_active_time(SF_DIR))
+    timed("orders_fk_profile", lambda: rel.orders_fk_profile(SF_DIR))
+    timed("user_type_itemsets", lambda: rel.user_type_itemsets(SF_DIR))
 
     result = {
         "metric": "extract_pipeline_wall",

@@ -3036,3 +3036,223 @@ def user_event_trigrams_sql(k: int = 20) -> str:
         FROM o WHERE e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, trigram LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: per-user active-time coverage
+# ---------------------------------------------------------------------------
+
+
+def user_active_time(sf_dir: str, window_us: int = 300_000_000) -> pd.DataFrame:
+    """Interval-union coverage (the classic gaps-and-islands problem):
+    each event opens a 5-minute activity window; overlapping windows
+    merge into islands, and per user we report the number of islands
+    and total covered microseconds. One user-keyed exchange; inside
+    each group the island starts are a vectorized LAG comparison
+    (prev_end < start), no per-interval loop."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "ts_us": pc.cast(t["ts"], pa.int64())}
+        )
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["ts_us"].to_numpy())
+        e = s + window_us
+        # an island starts where this interval begins after the running
+        # max end of everything before it
+        prev_end = np.maximum.accumulate(e)[:-1]
+        starts = np.r_[True, s[1:] > prev_end]
+        idx = np.flatnonzero(starts)
+        ends = np.r_[idx[1:], len(s)]
+        covered = int(
+            sum(
+                int(np.max(e[a:b]) - s[a])
+                for a, b in zip(idx, ends)
+            )
+        )
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([int(g["user_id"].iloc[0])], dtype="int64"),
+                "n_islands": pd.Series([len(idx)], dtype="int64"),
+                "active_us": pd.Series([covered], dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(islands, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def user_active_time_sql(window_us: int = 300_000_000) -> str:
+    return f"""
+        WITH iv AS (
+          SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {window_us} AS e
+          FROM events
+        ), marked AS (
+          SELECT user_id, s, e,
+                 CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      OR ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s, e) = 1
+                      THEN 1 ELSE 0 END AS new_island
+          FROM iv
+        ), grp AS (
+          SELECT user_id, s, e,
+                 SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e) AS island
+          FROM marked
+        ), agg AS (
+          SELECT user_id, island, MAX(e) - MIN(s) AS span
+          FROM grp GROUP BY user_id, island
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(span) AS BIGINT) AS active_us
+        FROM agg GROUP BY user_id ORDER BY user_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity profiling
+# ---------------------------------------------------------------------------
+
+
+def orders_fk_profile(sf_dir: str) -> pd.DataFrame:
+    """FK health check between lineitem.l_orderkey and
+    orders.o_orderkey: distinct keys on each side, matched keys, and
+    orphans in both directions. The FULL OUTER JOIN shape without a
+    join: each side reduces to distinct keys with a presence bit
+    (per-batch unique combiner), one key-shard map_groups merges the
+    bits, and a second tiny groupby rolls the four counters up — key
+    rows cross the exchange once, facts never do."""
+    import numpy as np
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def keys_of(col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            u = np.unique(t[col].to_numpy())
+            return pa.table(
+                {
+                    "key": pa.array(u, pa.int64()),
+                    "side": pa.array(np.full(len(u), side, np.int8()), pa.int8()),
+                    "kshard": pa.array((u % 32).astype(np.int32), pa.int32()),
+                }
+            )
+
+        return f
+
+    def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized classify: per key, min/max of the side bit —
+        # min==0 & max==1 -> both; otherwise the single side
+        mm = g.groupby("key")["side"].agg(["min", "max"])
+        both = int(((mm["min"] == 0) & (mm["max"] == 1)).sum())
+        left = int((mm["max"] == 0).sum())
+        right = int((mm["min"] == 1).sum())
+        return pd.DataFrame(
+            {
+                "n_left_only": pd.Series([left], dtype="int64"),
+                "n_right_only": pd.Series([right], dtype="int64"),
+                "n_matched": pd.Series([both], dtype="int64"),
+            }
+        )
+
+    parts = (
+        li.map_batches(keys_of("l_orderkey", 0), batch_format="pyarrow")
+        .union(od.map_batches(keys_of("o_orderkey", 1), batch_format="pyarrow"))
+        .groupby("kshard")
+        .map_groups(merge_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "n_lineitem_orphan_keys": pd.Series([int(parts["n_left_only"].sum())], dtype="int64"),
+            "n_orders_without_lineitems": pd.Series([int(parts["n_right_only"].sum())], dtype="int64"),
+            "n_matched_keys": pd.Series([int(parts["n_matched"].sum())], dtype="int64"),
+        }
+    )
+    return out
+
+
+def orders_fk_profile_sql() -> str:
+    return """
+        WITH l AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+        o AS (SELECT DISTINCT o_orderkey AS key FROM orders)
+        SELECT CAST(COUNT(*) FILTER (WHERE o.key IS NULL) AS BIGINT)
+                   AS n_lineitem_orphan_keys,
+               CAST(COUNT(*) FILTER (WHERE l.key IS NULL) AS BIGINT)
+                   AS n_orders_without_lineitems,
+               CAST(COUNT(*) FILTER (WHERE l.key IS NOT NULL AND o.key IS NOT NULL)
+                    AS BIGINT) AS n_matched_keys
+        FROM l FULL OUTER JOIN o ON l.key = o.key
+    """
+
+
+# ---------------------------------------------------------------------------
+# frequent itemset mining (pairwise co-occurrence with support)
+# ---------------------------------------------------------------------------
+
+
+def user_type_itemsets(sf_dir: str, min_support: int = 2) -> pd.DataFrame:
+    """Frequent event-type PAIRS by user support (the A-priori level-2
+    pass of market-basket mining): a user's basket is their distinct
+    event types; a pair's support is how many baskets contain both.
+    One user-keyed exchange builds baskets and emits each basket's
+    C(k,2) pairs (the item domain is tiny, so per-basket fan-out is
+    bounded); a deterministic pair-shard map_groups sums supports."""
+    from itertools import combinations
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def basket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        items = sorted(set(g["event_type"]))
+        pairs = [f"{a}|{b}" for a, b in combinations(items, 2)]
+        return pd.DataFrame(
+            {
+                "pair": pd.Series(pairs, dtype="object"),
+                "pshard": pd.Series(
+                    [int(hashlib.md5(p.encode()).hexdigest()[:4], 16) % 8 for p in pairs],
+                    dtype="int32",
+                ),
+            }
+        )
+
+    def reduce_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", sort=False).size()
+        s = s[s >= min_support]
+        return pd.DataFrame(
+            {"pair": s.index, "support": pd.Series(s.to_numpy(), dtype="int64")}
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(basket_pairs, batch_format="pandas")
+        .groupby("pshard")
+        .map_groups(reduce_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    out["support"] = out["support"].astype("int64")
+    return out.sort_values(["support", "pair"], ascending=[False, True], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def user_type_itemsets_sql(min_support: int = 2) -> str:
+    return f"""
+        WITH b AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type || '|' || c.event_type AS pair,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM b a JOIN b c ON a.user_id = c.user_id AND a.event_type < c.event_type
+        GROUP BY 1 HAVING COUNT(*) >= {min_support}
+        ORDER BY support DESC, pair
+    """

@@ -635,3 +635,81 @@ def contrastive_pairs_sql(
               >= CASE WHEN q.label = b.label THEN {t_pos} ELSE {t_neg} END
         ORDER BY query_id, other_id
     """
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse subset selection
+# ---------------------------------------------------------------------------
+
+
+def mmr_diverse_topk(
+    sf_dir: str, query_id: int = 0, k: int = 20, lam: float = 0.7
+) -> pd.DataFrame:
+    """Maximal Marginal Relevance selection — the diverse-subset picker
+    a training-data pipeline uses to avoid stuffing near-duplicates
+    into a curated set: greedily pick argmax of
+    lam * cos(query, v) - (1 - lam) * max cos(v, selected).
+
+    The greedy loop is inherently sequential in k, but each step is a
+    DISTRIBUTED argmax: the (tiny) selected matrix is broadcast, every
+    batch computes its local best candidate with one matmul against
+    [query; selected], and the driver reduces O(blocks) per-block
+    champions — the corpus is scanned, never collected. Deterministic:
+    float64 scores, ties by vec_id ascending.
+
+    Rows-only oracle (greedy argmax has no SQL); pinned by a serial
+    recompute and a diversity-beats-topk property test."""
+    q = _query_matrix(sf_dir, [query_id])[0]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    selected_ids: list[int] = []
+    selected_vecs: list[np.ndarray] = []
+
+    for rank in range(1, k + 1):
+        state = ray.put(
+            (
+                q,
+                np.array(selected_vecs) if selected_vecs else np.zeros((0, len(q))),
+                np.array(sorted(selected_ids), dtype=np.int64),
+            )
+        )
+
+        def local_best(t: pa.Table) -> pa.Table:
+            qv, sel, sel_ids = ray.get(state)
+            vid = int_column(t["vec_id"])
+            keep = ~np.isin(vid, sel_ids)
+            if not keep.any():
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+                )
+            vid = vid[keep]
+            v = _normalize(embedding_matrix(t["embedding"]))[keep]
+            rel = v @ qv
+            red = (v @ sel.T).max(axis=1) if len(sel) else np.zeros(len(v))
+            score = lam * rel - (1.0 - lam) * red
+            best = np.lexsort((vid, -score))[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(vid[best])], pa.int64()),
+                    "score": pa.array([float(score[best])], pa.float64()),
+                }
+            )
+
+        champs = ds.map_batches(local_best, batch_format="pyarrow", batch_size=4096).to_pandas()
+        champs = champs.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort")
+        win = int(champs["vec_id"].iloc[0])
+        selected_ids.append(win)
+        # fetch the winner's vector via a pushed-down point read
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", win)],
+        )
+        selected_vecs.append(_normalize(embedding_matrix(t["embedding"]))[0])
+
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(1, k + 1), dtype="int64"),
+            "vec_id": pd.Series(selected_ids, dtype="int64"),
+        }
+    )
