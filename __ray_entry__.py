@@ -546,6 +546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MMR diverse subset selection (greedy distributed argmax;
         # rows-only: greedy argmax has no SQL — pinned by serial recompute)
         "mmr_diverse_topk": similarity.mmr_diverse_topk,
+        # MDM golden records: editdist-1 clusters + survivorship rule
+        "part_golden_records": qual.part_golden_records,
     }
 
 
@@ -803,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
         "user_active_time": rel.user_active_time_sql(),
         "orders_fk_profile": rel.orders_fk_profile_sql(),
         "user_type_itemsets": rel.user_type_itemsets_sql(),
+        "part_golden_records": qual.part_golden_records_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

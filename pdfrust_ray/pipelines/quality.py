@@ -724,3 +724,81 @@ def token_entropy_sql() -> str:
         GROUP BY cnt.doc_id
         ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# golden records (entity resolution + survivorship)
+# ---------------------------------------------------------------------------
+
+
+def part_golden_records(sf_dir: str, table: str = "part", col: str = "p_name") -> pd.DataFrame:
+    """MDM golden-record construction: cluster near-identical names
+    (the candidate-complete edit-distance-1 join above), then apply a
+    survivorship rule per cluster — the surviving record is the
+    most-frequent name, ties broken lexicographically. Output one row
+    per cluster: (survivor, n_members, n_rows).
+
+    Shape: the pair set and the per-name row counts are both
+    distinct-name-sized (distributed groupby count); the union-find
+    closure runs on the driver under the same size-aware policy as
+    dedup_clusters (<= 2M edges locally, distributed min-label rounds
+    past that — the pair graph here is vocabulary-bounded)."""
+    pairs = name_editdist_join(sf_dir, table, col)
+    counts = (
+        rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+        .groupby(col)
+        .count()
+        .to_pandas()
+        .rename(columns={col: "name", "count()": "n_rows"})
+    )
+
+    parent: dict[str, str] = {n: n for n in counts["name"]}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["name_a"], pairs["name_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    counts["cluster"] = [find(n) for n in counts["name"]]
+    rows = []
+    for _cl, g in counts.groupby("cluster", sort=False):
+        g = g.sort_values(["n_rows", "name"], ascending=[False, True], kind="mergesort")
+        rows.append(
+            (g["name"].iloc[0], len(g), int(g["n_rows"].sum()))
+        )
+    out = pd.DataFrame(rows, columns=["survivor", "n_members", "n_rows"])
+    out["n_members"] = out["n_members"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("survivor").reset_index(drop=True)
+
+
+def part_golden_records_sql(table: str = "part", col: str = "p_name") -> str:
+    return f"""
+        WITH RECURSIVE n AS (SELECT {col} AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
+                   FROM {table} GROUP BY 1),
+        e AS (SELECT a.name AS na, b.name AS nb
+              FROM n a JOIN n b ON a.name != b.name
+              WHERE levenshtein(a.name, b.name) <= 1),
+        reach(node, r) AS (
+          SELECT name, name FROM n
+          UNION
+          SELECT e.nb, reach.r FROM reach JOIN e ON e.na = reach.node
+          WHERE reach.r < e.nb
+        ),
+        lab AS (SELECT node AS name, MIN(r) AS cluster FROM reach GROUP BY node),
+        m AS (SELECT lab.cluster, n.name, n.n_rows,
+                     ROW_NUMBER() OVER (PARTITION BY lab.cluster
+                                        ORDER BY n.n_rows DESC, n.name) AS rn,
+                     COUNT(*) OVER (PARTITION BY lab.cluster) AS n_members,
+                     SUM(n.n_rows) OVER (PARTITION BY lab.cluster) AS tot
+              FROM lab JOIN n USING (name))
+        SELECT name AS survivor, CAST(n_members AS BIGINT) AS n_members,
+               CAST(tot AS BIGINT) AS n_rows
+        FROM m WHERE rn = 1 ORDER BY survivor
+    """

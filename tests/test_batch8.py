@@ -167,3 +167,34 @@ def test_mmr_is_more_diverse_than_plain_topk(ray_session):
     mmr = mmr_diverse_topk(SF)["vec_id"].tolist()
     topk = brute_force_topk(SF, query_ids=(0,), k=20)["vec_id"].tolist()
     assert avg_pairwise(mmr) < avg_pairwise(topk)
+
+
+def test_golden_records_match_oracle(ray_session):
+    import duckdb
+
+    from pdfrust_ray.pipelines.quality import (
+        part_golden_records,
+        part_golden_records_sql,
+    )
+
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW part AS SELECT * FROM read_parquet('{SF}/part.parquet')")
+    mine = part_golden_records(SF)
+    assert (mine["n_members"] > 1).any()  # non-vacuous clustering
+    _assert_oracle(c, mine, part_golden_records_sql())
+
+
+def test_golden_records_survivorship_rule(ray_session, tmp_path):
+    # names "abc" (3 rows), "abd" (1 row), "xyz" (2 rows):
+    # abc~abd cluster -> survivor abc (most rows), xyz singleton
+    t = pa.table({"p_name": pa.array(["abc", "abc", "abc", "abd", "xyz", "xyz"])})
+    pq.write_table(t, tmp_path / "part.parquet")
+    from pdfrust_ray.pipelines.quality import part_golden_records
+
+    mine = part_golden_records(str(tmp_path))
+    expect = pd.DataFrame(
+        {"survivor": ["abc", "xyz"], "n_members": [2, 1], "n_rows": [4, 2]}
+    )
+    for c in ("n_members", "n_rows"):
+        expect[c] = expect[c].astype("int64")
+    pd.testing.assert_frame_equal(mine, expect, check_dtype=False)
