@@ -288,6 +288,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return run
 
+    def _q_streaming_sessionize(sf_dir: str):
+        from pdfrust_ray.stages.streaming import streaming_sessionize
+
+        return streaming_sessionize(sf_dir)
+
     def media_features_q(sf_dir: str):
         from pdfrust_ray.stages.multimodal import media_features, synthesize_media_table
 
@@ -548,6 +553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_diverse_topk": similarity.mmr_diverse_topk,
         # MDM golden records: editdist-1 clusters + survivorship rule
         "part_golden_records": qual.part_golden_records,
+        # incremental stateful streaming: per-bucket session actors fed
+        # in ts order; same exact oracle as the batch sessionize
+        "streaming_sessionize": _q_streaming_sessionize,
     }
 
 
@@ -806,6 +814,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_fk_profile": rel.orders_fk_profile_sql(),
         "user_type_itemsets": rel.user_type_itemsets_sql(),
         "part_golden_records": qual.part_golden_records_sql(),
+        # the streaming replay must reproduce the batch operator's result
+        "streaming_sessionize": rel.sessionize_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -198,3 +198,34 @@ def test_golden_records_survivorship_rule(ray_session, tmp_path):
     for c in ("n_members", "n_rows"):
         expect[c] = expect[c].astype("int64")
     pd.testing.assert_frame_equal(mine, expect, check_dtype=False)
+
+
+def test_streaming_sessionize_matches_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import sessionize_sql
+    from pdfrust_ray.stages.streaming import streaming_sessionize
+
+    mine = streaming_sessionize(SF)
+    _assert_oracle(con, mine, sessionize_sql())
+
+
+def test_streaming_sessionize_emits_incrementally(ray_session):
+    # the point of the actor shape: sessions close DURING the replay,
+    # not only at flush. Feed a two-session user through one bucket
+    # actor directly and observe the first session emitted mid-stream.
+    import numpy as np
+    import ray as _ray
+
+    from pdfrust_ray.stages.streaming import _SessionBucket
+
+    a = _SessionBucket.remote(30 * 60_000_000)
+    us = 1_000_000
+    first = _ray.get(
+        a.feed.remote(np.array([7, 7]), np.array([0, 60 * us], dtype=np.int64))
+    )
+    assert first == []  # still open
+    second = _ray.get(
+        a.feed.remote(np.array([7]), np.array([10_000 * us], dtype=np.int64))
+    )
+    assert second == [(7, 1, 2, 0, 60 * us)]  # closed mid-stream
+    tail = _ray.get(a.flush.remote())
+    assert tail == [(7, 2, 1, 10_000 * us, 10_000 * us)]
