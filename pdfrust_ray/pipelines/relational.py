@@ -2160,41 +2160,61 @@ def events_band_join(sf_dir: str, band_us: int = _BAND_US) -> pd.DataFrame:
         w = ts_us // win
         # base copy + halo copy for events near the window end
         halo = (ts_us % win) >= (win - band_us)
+        u2 = np.concatenate([users, users[halo]])
+        w2 = np.concatenate([w, w[halo] + 1])
         return pa.table(
             {
-                "user_id": pa.array(np.concatenate([users, users[halo]]), pa.int64()),
-                "window": pa.array(np.concatenate([w, w[halo] + 1]), pa.int64()),
+                "user_id": pa.array(u2, pa.int64()),
+                "window": pa.array(w2, pa.int64()),
+                # coarse shard keeps every (user, window) group whole
+                # while amortizing Ray's per-group dispatch over ~1e5
+                # tiny groups (the same rework as supplier_butterflies)
+                "shard": pa.array(((u2 * 1_000_003 + w2) % 64).astype(np.int32), pa.int32()),
                 "event_id": pa.array(np.concatenate([ids, ids[halo]]), pa.int64()),
                 "ts_us": pa.array(np.concatenate([ts_us, ts_us[halo]]), pa.int64()),
             }
         )
 
-    def pair(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
-        ts = g["ts_us"].to_numpy()
-        ids = g["event_id"].to_numpy()
-        a_l, b_l, gap_l = [], [], []
-        # two-pointer sweep: for each row, partners within the band ahead
+    def pair_of_shard(g: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        right = np.searchsorted(ts, ts + band_us, side="right")
-        for i in range(len(ts)):
-            for j in range(i + 1, right[i]):
-                a_l.append(ids[i])
-                b_l.append(ids[j])
-                gap_l.append(ts[j] - ts[i])
+        out_a, out_b, out_g = [], [], []
+        for _uw, grp in g.groupby(["user_id", "window"], sort=False):
+            grp = grp.sort_values(["ts_us", "event_id"], kind="mergesort")
+            ts = grp["ts_us"].to_numpy()
+            ids = grp["event_id"].to_numpy()
+            right = np.searchsorted(ts, ts + band_us, side="right")
+            idx = np.arange(len(ts))
+            cnt = right - idx - 1
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            # vectorized (i, j) emission: j runs i+1 .. right[i]-1
+            a_idx = np.repeat(idx, cnt)
+            b_idx = (
+                np.arange(tot)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                + np.repeat(idx + 1, cnt)
+            )
+            out_a.append(ids[a_idx])
+            out_b.append(ids[b_idx])
+            out_g.append(ts[b_idx] - ts[a_idx])
+        if not out_a:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("a_id", "b_id", "gap_us")}
+            )
         return pd.DataFrame(
             {
-                "a_id": pd.Series(a_l, dtype="int64"),
-                "b_id": pd.Series(b_l, dtype="int64"),
-                "gap_us": pd.Series(gap_l, dtype="int64"),
+                "a_id": pd.Series(np.concatenate(out_a), dtype="int64"),
+                "b_id": pd.Series(np.concatenate(out_b), dtype="int64"),
+                "gap_us": pd.Series(np.concatenate(out_g), dtype="int64"),
             }
         )
 
     out = (
         ds.map_batches(tile, batch_format="pyarrow")
-        .groupby(["user_id", "window"])
-        .map_groups(pair, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(pair_of_shard, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:
