@@ -397,7 +397,16 @@ def snapshot_diff(sf_dir: str) -> pd.DataFrame:
             a = g.loc[g["side"] == 0, "text_md5"].iloc[0]
             b = g.loc[g["side"] == 1, "text_md5"].iloc[0]
             if a == b:
-                return pd.DataFrame({"doc_id": [], "status": []})
+                # typed empty frame: a bare {} literal would make
+                # float64 doc_id/status blocks that clash with the
+                # int64/string blocks of other groups (the ray 2.49
+                # schemaless-empty hazard documented elsewhere)
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "status": pd.Series([], dtype="object"),
+                    }
+                )
             status = "changed"
         return pd.DataFrame(
             {"doc_id": [int(g["doc_id"].iloc[0])], "status": [status]}

@@ -27,8 +27,11 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 # suppliers are offset into their own node-id range so a custkey and a
-# suppkey with the same integer never merge into one graph node
-SUPP_OFFSET = 1_000_000
+# suppkey with the same integer never merge into one graph node.
+# 2^31 keeps node ids < 2^32 (the pair-packing bound) while covering
+# custkeys far beyond the fixtures; _edges asserts the invariant so a
+# corpus that outgrows it fails loudly instead of silently merging.
+SUPP_OFFSET = 1 << 31
 _R0 = 1_000_000_000_000  # initial rank: 1.0 in pico-units
 _TELEPORT = 150_000_000_000  # (1 - 0.85) * R0
 
@@ -51,10 +54,13 @@ def _edges(sf_dir: str) -> pd.DataFrame:
     def pairs(t: pa.Table) -> pa.Table:
         # pack (cust, supp) into one int64 and pre-dedupe per batch —
         # the combiner that keeps the distinct exchange pair-set-sized
-        key = np.unique(
-            t["o_custkey"].to_numpy() * (1 << 32)
-            + (t["l_suppkey"].to_numpy() + SUPP_OFFSET)
-        )
+        ck = t["o_custkey"].to_numpy()
+        sk = t["l_suppkey"].to_numpy()
+        if len(ck) and (int(ck.max()) >= SUPP_OFFSET or int(sk.max()) >= SUPP_OFFSET):
+            raise ValueError(
+                "key exceeds SUPP_OFFSET: customer/supplier node ranges would merge"
+            )
+        key = np.unique(ck * (1 << 32) + (sk + SUPP_OFFSET))
         return pa.table(
             {
                 "key": pa.array(key, pa.int64()),

@@ -2756,13 +2756,25 @@ def events_table_profile(sf_dir: str) -> pd.DataFrame:
     base = ds.map_batches(prep, batch_format="pyarrow")
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        import numpy as np
+
+        i64 = np.iinfo(np.int64)
         rows = []
         for col in ("user_id", "value_cents"):
             v = t[col].to_numpy(zero_copy_only=False)
             nulls = int(pd.isna(v).sum())
             ok = v[~pd.isna(v)]
+            # identity sentinels for empty/all-null batches so the
+            # global Min/Max ignore them (0 would corrupt a corpus
+            # whose true min is positive or true max negative)
             rows.append(
-                (col, len(v), nulls, int(ok.min()) if len(ok) else 0, int(ok.max()) if len(ok) else 0)
+                (
+                    col,
+                    len(v),
+                    nulls,
+                    int(ok.min()) if len(ok) else i64.max,
+                    int(ok.max()) if len(ok) else i64.min,
+                )
             )
         return pd.DataFrame(
             rows, columns=["col", "n", "nulls", "min_v", "max_v"]
@@ -2783,9 +2795,18 @@ def events_table_profile(sf_dir: str) -> pd.DataFrame:
     )
 
     # exact distinct per column: value-keyed groupby, count the groups
+    # (nulls dropped first — SQL's COUNT(DISTINCT col) excludes them,
+    # and Ray's groupby would otherwise key a null group)
     def col_distinct(col: str) -> int:
+        def drop_nulls(t: pa.Table) -> pa.Table:
+            return pa.table({col: pc.drop_null(t[col])})
+
         return (
-            base.select_columns([col]).groupby(col).aggregate(Count(alias_name="_n")).count()
+            base.select_columns([col])
+            .map_batches(drop_nulls, batch_format="pyarrow")
+            .groupby(col)
+            .aggregate(Count(alias_name="_n"))
+            .count()
         )
 
     nd = {c: col_distinct(c) for c in ("user_id", "value_cents")}
@@ -3088,12 +3109,9 @@ def user_active_time(sf_dir: str, window_us: int = 300_000_000) -> pd.DataFrame:
         starts = np.r_[True, s[1:] > prev_end]
         idx = np.flatnonzero(starts)
         ends = np.r_[idx[1:], len(s)]
-        covered = int(
-            sum(
-                int(np.max(e[a:b]) - s[a])
-                for a, b in zip(idx, ends)
-            )
-        )
+        # e = s + constant is sorted, so each island's max end is its
+        # last element — the reduction is one vectorized subtraction
+        covered = int((e[ends - 1] - s[idx]).sum())
         return pd.DataFrame(
             {
                 "user_id": pd.Series([int(g["user_id"].iloc[0])], dtype="int64"),

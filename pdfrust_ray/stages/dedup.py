@@ -1357,11 +1357,15 @@ def containment_dedup(sf_dir: str, threshold: float = 0.9, k: int = 5) -> pd.Dat
             pos = grp["pos"].to_numpy(dtype=np.int64)
             size = grp["size"].to_numpy(dtype=np.int64)
             if len(ids) > BUCKET_CAP:
-                print(f"containment: hot rank bucket {len(ids)} capped at {BUCKET_CAP}")
-                keep = np.zeros(len(ids), dtype=bool)
-                keep[:BUCKET_CAP] = True
-                keep |= pm  # never drop probes
-                ids, pos, size, pm = ids[keep], pos[keep], size[keep], pm[keep]
+                # NO truncation here — dropping index rows would break
+                # the candidate-complete contract (the exactness this
+                # op exists for). df-ascending ordering keeps probes
+                # out of hot buckets, so a hot bucket with probes is a
+                # genuine dense corpus: warn and pay the fan-out.
+                print(
+                    f"containment: hot rank bucket {len(ids)} "
+                    f"(> {BUCKET_CAP}); candidate fan-out will be large"
+                )
             pi = np.flatnonzero(pm)
             # probe x index cross with the PPJoin positional bound
             a = np.repeat(pi, len(ids))

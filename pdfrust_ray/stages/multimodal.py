@@ -119,6 +119,20 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return arr, rate
 
 
+def sniff_decode_image(payload: bytes) -> np.ndarray:
+    """Single source of truth for still-image container sniffing:
+    PNG / GIF / JPEG by magic bytes, PPM as the fallback. Every image
+    consumer (PixelDecoder, image_phash_dedup, tests) goes through
+    this so a codec or magic-detection change lands everywhere."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return to_rgb(decode_png(payload))
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)[0]
+    if payload[:2] == b"\xff\xd8":
+        return to_rgb(decode_jpeg(payload))
+    return decode_ppm(payload)[0]
+
+
 def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize as a pure numpy index op (no codec lib)."""
     h, w = arr.shape[:2]
@@ -298,14 +312,7 @@ class PixelDecoder:
 
     def _decode_one(self, kind: str, payload: bytes):
         if kind == "image":
-            if payload[:8] == b"\x89PNG\r\n\x1a\n":
-                pix = to_rgb(decode_png(payload))
-            elif payload[:4] == b"GIF8":
-                pix = decode_gif(payload)[0]
-            elif payload[:2] == b"\xff\xd8":
-                pix = to_rgb(decode_jpeg(payload))
-            else:
-                pix, _ = decode_ppm(payload)
+            pix = sniff_decode_image(payload)
             h, w = pix.shape[:2]
             if self.thumb:
                 pix = resize_nearest(pix, self.thumb, self.thumb)
@@ -519,15 +526,7 @@ def image_phash_dedup(
                 t["media_id"].to_pylist(), t["payload"].to_pylist()
             ):
                 try:
-                    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-                        pix = to_rgb(decode_png(payload))
-                    elif payload[:4] == b"GIF8":
-                        pix = decode_gif(payload)[0]
-                    elif payload[:2] == b"\xff\xd8":
-                        pix = to_rgb(decode_jpeg(payload))
-                    else:
-                        pix, _ = decode_ppm(payload)
-                    hv = ahash64(pix)
+                    hv = ahash64(sniff_decode_image(payload))
                 except (ValueError, struct.error, zlib.error):
                     continue  # error row semantics: undecodable drops out
                 for c in range(4):

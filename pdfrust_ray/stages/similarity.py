@@ -680,7 +680,11 @@ def mmr_diverse_topk(
             keep = ~np.isin(vid, sel_ids)
             if not keep.any():
                 return pa.table(
-                    {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                        "vec": pa.array([], pa.list_(pa.float64())),
+                    }
                 )
             vid = vid[keep]
             v = _normalize(embedding_matrix(t["embedding"]))[keep]
@@ -688,10 +692,13 @@ def mmr_diverse_topk(
             red = (v @ sel.T).max(axis=1) if len(sel) else np.zeros(len(v))
             score = lam * rel - (1.0 - lam) * red
             best = np.lexsort((vid, -score))[0]
+            # ship the champion's vector with its score so the driver
+            # never re-opens the file to recover the winner
             return pa.table(
                 {
                     "vec_id": pa.array([int(vid[best])], pa.int64()),
                     "score": pa.array([float(score[best])], pa.float64()),
+                    "vec": pa.array([v[best].tolist()], pa.list_(pa.float64())),
                 }
             )
 
@@ -699,13 +706,7 @@ def mmr_diverse_topk(
         champs = champs.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort")
         win = int(champs["vec_id"].iloc[0])
         selected_ids.append(win)
-        # fetch the winner's vector via a pushed-down point read
-        t = pq.read_table(
-            f"{sf_dir}/embeddings.parquet",
-            columns=["vec_id", "embedding"],
-            filters=[("vec_id", "==", win)],
-        )
-        selected_vecs.append(_normalize(embedding_matrix(t["embedding"]))[0])
+        selected_vecs.append(np.asarray(champs["vec"].iloc[0], dtype=np.float64))
 
     return pd.DataFrame(
         {

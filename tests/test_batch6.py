@@ -76,28 +76,17 @@ def test_image_phash_matches_serial_brute_force(ray_session):
     # brute-force over the same deterministic corpus (pigeonhole:
     # hamming <= 3 with 4 x 16-bit bands always shares a band)
     from pdfrust_ray.functions.minhash import hamming64
-    from pdfrust_ray.functions.gif import decode_gif
-    from pdfrust_ray.functions.jpeg import decode_jpeg
-    from pdfrust_ray.functions.png import decode_png, to_rgb
     from pdfrust_ray.stages.multimodal import (
         ahash64,
-        decode_ppm,
         image_phash_dedup,
+        sniff_decode_image,
         synthesize_image_dedup_table,
     )
 
     t = synthesize_image_dedup_table()
     hashes = {}
     for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
-        if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            pix = to_rgb(decode_png(payload))
-        elif payload[:4] == b"GIF8":
-            pix = decode_gif(payload)[0]
-        elif payload[:2] == b"\xff\xd8":
-            pix = to_rgb(decode_jpeg(payload))
-        else:
-            pix, _ = decode_ppm(payload)
-        hashes[mid] = ahash64(pix)
+        hashes[mid] = ahash64(sniff_decode_image(payload))
     ids = sorted(hashes)
     expect = []
     for i, a in enumerate(ids):
