@@ -556,6 +556,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental stateful streaming: per-bucket session actors fed
         # in ts order; same exact oracle as the batch sessionize
         "streaming_sessionize": _q_streaming_sessionize,
+        # TPC-H Q5 shape: multiway join with the customer=supplier
+        # nation colocation predicate (big x big shuffle + broadcast dims)
+        "local_supplier_revenue": rel.local_supplier_revenue,
+        # ROWS-frame sliding extrema window (order-independent doubles)
+        "events_rolling_peak": rel.events_rolling_peak,
+        # interval sweep-line: peak concurrent sessions per day
+        # (two-phase prefix scan over sessionized +1/-1 points)
+        "concurrent_sessions_daily_peak": rel.concurrent_sessions_daily_peak,
+        # exact triangle count via degree-ordered wedge checks
+        "user_triangles": graph.user_triangles,
     }
 
 
@@ -816,6 +826,10 @@ def oracle_sql() -> dict[str, str]:
         "part_golden_records": qual.part_golden_records_sql(),
         # the streaming replay must reproduce the batch operator's result
         "streaming_sessionize": rel.sessionize_sql(),
+        "local_supplier_revenue": rel.local_supplier_revenue_sql(),
+        "events_rolling_peak": rel.events_rolling_peak_sql(),
+        "concurrent_sessions_daily_peak": rel.concurrent_sessions_daily_peak_sql(),
+        "user_triangles": graph.user_triangles_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

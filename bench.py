@@ -179,6 +179,13 @@ def main() -> dict:
     timed("user_active_time", lambda: rel.user_active_time(SF_DIR))
     timed("orders_fk_profile", lambda: rel.orders_fk_profile(SF_DIR))
     timed("user_type_itemsets", lambda: rel.user_type_itemsets(SF_DIR))
+    timed("local_supplier_revenue", lambda: rel.local_supplier_revenue(SF_DIR))
+    timed("events_rolling_peak", lambda: rel.events_rolling_peak(SF_DIR))
+    timed(
+        "concurrent_sessions_daily_peak",
+        lambda: rel.concurrent_sessions_daily_peak(SF_DIR),
+    )
+    timed("user_triangles", lambda: graph.user_triangles(SF_DIR))
 
     result = {
         "metric": "extract_pipeline_wall",

@@ -298,3 +298,186 @@ def supplier_butterflies_sql() -> str:
                CAST(COALESCE(SUM(k * (k - 1) // 2), 0) AS BIGINT) AS n_butterflies
         FROM codeg
     """
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered wedge check)
+# ---------------------------------------------------------------------------
+
+
+def user_triangles(sf_dir: str, min_shared: int = 3) -> pd.DataFrame:
+    """Exact triangle count over the user co-occurrence graph: users are
+    connected when they were BOTH active in >= `min_shared` distinct
+    (event_type, hour) buckets — the support threshold keeps the graph
+    sparse instead of the near-clique a raw co-occurrence join yields.
+
+    Distributed shape (the standard degree-ordered algorithm):
+      1. distinct (bucket, user) keys, sharded BY BUCKET so each bucket
+         stays whole: per shard, per-bucket pair explosion with a local
+         unique+count combiner (same pattern as supplier_butterflies);
+      2. pair-sharded reduce sums the shared-bucket counts and keeps
+         pairs with k >= min_shared — the edge set;
+      3. degrees by a coarse-shard reduce; edges are then ORIENTED from
+         the lower (degree, id) endpoint, so a vertex of degree d emits
+         only C(d+, 2) wedges with d+ <= max(d, sqrt(2m)) — the bound
+         that keeps wedge volume near-linear in m on skewed graphs;
+      4. wedges check membership against the packed edge-key set,
+         broadcast once as a sorted int64 array (|E| * 8 bytes; past
+         driver RAM this check becomes a hash-partitioned join of
+         wedge keys against edge keys — the order_priority_revenue
+         exchange — without touching steps 1-3).
+    All counters are integers; the SQL twin is exact."""
+    from pdfrust_ray.pipelines.relational import _EVENT_TYPES
+
+    type_idx = {t: i for i, t in enumerate(sorted(_EVENT_TYPES))}
+    tref = ray.put(type_idx)
+    n_types = len(type_idx)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+
+    def keys_of_batch(t: pa.Table) -> pa.Table:
+        ti = ray.get(tref)
+        u = t["user_id"].to_numpy()
+        if len(u) and int(u.max()) >= (1 << 31):
+            raise ValueError("user_id exceeds the 31-bit pair-packing bound")
+        hours = t["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        tix = np.array([ti[x] for x in t["event_type"].to_pylist()], dtype=np.int64)
+        bucket = hours * n_types + tix
+        key = np.unique((bucket << 32) | u.astype(np.int64))
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "shard": pa.array(((key >> 32) % 64).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def pairs_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(g["key"].to_numpy())
+        bucket = key >> 32
+        u = key & ((1 << 32) - 1)
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        bounds = np.r_[starts, len(key)]
+        all_pairs = []
+        for i in range(len(starts)):
+            ids = u[bounds[i] : bounds[i + 1]]  # unique & ascending within bucket
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), 1)
+            all_pairs.append((ids[a] << 32) | ids[b])
+        if not all_pairs:
+            return pd.DataFrame(
+                {
+                    "pair": pd.Series([], dtype="int64"),
+                    "k_part": pd.Series([], dtype="int64"),
+                    "pshard": pd.Series([], dtype="int32"),
+                }
+            )
+        uk, uc = np.unique(np.concatenate(all_pairs), return_counts=True)
+        return pd.DataFrame(
+            {
+                "pair": pd.Series(uk, dtype="int64"),
+                "k_part": pd.Series(uc, dtype="int64"),
+                "pshard": pd.Series((uk % 64).astype(np.int32), dtype="int32"),
+            }
+        )
+
+    def edges_of_pshard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", sort=False)["k_part"].sum()
+        pair = s.index.to_numpy(dtype=np.int64)[s.to_numpy() >= min_shared]
+        return pd.DataFrame({"pair": pd.Series(pair, dtype="int64")})
+
+    edges_df = (
+        ds.map_batches(keys_of_batch, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pairs_of_shard, batch_format="pandas")
+        .groupby("pshard")
+        .map_groups(edges_of_pshard, batch_format="pandas")
+        .to_pandas()
+    )
+    pair = edges_df["pair"].to_numpy(dtype=np.int64)
+    n_edges = len(pair)
+    if n_edges == 0:
+        return pd.DataFrame(
+            {
+                "n_edges": pd.Series([0], dtype="int64"),
+                "n_wedges": pd.Series([0], dtype="int64"),
+                "n_triangles": pd.Series([0], dtype="int64"),
+            }
+        )
+
+    x = (pair >> 32).astype(np.int64)
+    y = (pair & ((1 << 32) - 1)).astype(np.int64)
+    nodes, deg = np.unique(np.concatenate([x, y]), return_counts=True)
+    n_wedges = int((deg.astype(np.int64) * (deg - 1) // 2).sum())
+
+    # orient from the lower (degree, id) endpoint; ranks are dense ids
+    order = np.argsort(deg, kind="stable")  # (deg, id) since nodes ascending
+    pos = np.empty(len(nodes), dtype=np.int64)
+    pos[order] = np.arange(len(nodes))
+    rx = pos[np.searchsorted(nodes, x)]
+    ry = pos[np.searchsorted(nodes, y)]
+    src = np.where(rx < ry, x, y)
+    dst = np.where(rx < ry, y, x)
+
+    edge_keys_ref = ray.put(np.sort(pair))
+    oriented = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "src": pd.Series(src, dtype="int64"),
+                "dst": pd.Series(dst, dtype="int64"),
+                "sshard": pd.Series((src % 64).astype(np.int32), dtype="int32"),
+            }
+        )
+    )
+
+    def tri_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(edge_keys_ref)
+        s = g["src"].to_numpy()
+        d = g["dst"].to_numpy()
+        o = np.argsort(s, kind="stable")
+        s, d = s[o], d[o]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        bounds = np.r_[starts, len(s)]
+        total = 0
+        for i in range(len(starts)):
+            nb = np.sort(d[bounds[i] : bounds[i + 1]])
+            if len(nb) < 2:
+                continue
+            a, b = np.triu_indices(len(nb), 1)
+            wk = (nb[a] << 32) | nb[b]  # nb ascending => id-ordered pack
+            idx = np.searchsorted(keys, wk)
+            idx[idx >= len(keys)] = len(keys) - 1
+            total += int((keys[idx] == wk).sum())
+        return pd.DataFrame({"t": pd.Series([total], dtype="int64")})
+
+    parts = oriented.groupby("sshard").map_groups(tri_of_shard, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_wedges": pd.Series([n_wedges], dtype="int64"),
+            "n_triangles": pd.Series([int(parts["t"].sum())], dtype="int64"),
+        }
+    )
+
+
+def user_triangles_sql(min_shared: int = 3) -> str:
+    return f"""
+        WITH ev AS (SELECT DISTINCT user_id AS u, event_type,
+                           date_trunc('hour', ts) AS h FROM events),
+        pairs AS (SELECT a.u AS x, b.u AS y, COUNT(*) AS k
+                  FROM ev a JOIN ev b
+                    ON a.event_type = b.event_type AND a.h = b.h AND a.u < b.u
+                  GROUP BY 1, 2),
+        edges AS (SELECT x, y FROM pairs WHERE k >= {min_shared}),
+        deg AS (SELECT n, COUNT(*) AS d
+                FROM (SELECT x AS n FROM edges UNION ALL SELECT y FROM edges)
+                GROUP BY n),
+        tri AS (SELECT COUNT(*) AS t
+                FROM edges e1
+                JOIN edges e2 ON e1.y = e2.x
+                JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+               (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) FROM deg)
+                 AS n_wedges,
+               (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles
+    """

@@ -3294,3 +3294,274 @@ def user_type_itemsets_sql(min_support: int = 2) -> str:
         GROUP BY 1 HAVING COUNT(*) >= {min_support}
         ORDER BY support DESC, pair
     """
+
+
+def local_supplier_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+    """TPC-H Q5 shape: revenue per nation from lineitems where the
+    ordering customer and the supplier sit in the SAME nation of one
+    region, over a one-year order window.
+
+    Distributed shape (the canonical multiway-join plan):
+      - dimension chain nation x region is pre-joined driver-side and
+        broadcast (O(25) rows);
+      - supplier -> nationkey and customer -> nationkey are broadcast
+        maps attached inside map_batches (inner join drops non-region
+        rows BEFORE any exchange; at 10^12-row scale a customer dim
+        past worker heap would take the hash-partitioned join path of
+        order_priority_revenue instead);
+      - the only all-to-all is the big x big lineitem x orders
+        hash-partitioned Dataset.join on orderkey, with BOTH sides
+        pre-filtered (date window / region membership) so the exchange
+        moves a fraction of either table;
+      - the c_nationkey = s_nationkey colocation predicate is applied
+        post-join, then a tiny groupby(n_name) finishes.
+    Revenue is quantized per row in the same float-op order as the SQL
+    twin (see lineitem_discounted_revenue) so integer sums match."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey")
+    dim = dim.filter(pc.equal(dim["r_name"], "ASIA"))
+    region_nations = dict(
+        zip(dim["n_nationkey"].to_pylist(), dim["n_name"].to_pylist())
+    )
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp["s_nationkey"], pa.array(list(region_nations), pa.int32())))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], pa.array(list(region_nations), pa.int32())))
+    supp_ref = ray.put(supp)
+    cust_ref = ray.put(cust)
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    # task-pool stages (not actor pools): the broadcast dim is fetched
+    # per call via fn_kwargs — a zero-copy plasma read — so the join's
+    # hash-shuffle aggregators never compete with reserved actor slots
+    def prep_lineitem(t: pa.Table, *, supp_ref) -> pa.Table:
+        supp = ray.get(supp_ref)
+        disc = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0),
+        )
+        left = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "disc_cents": pc.cast(
+                    pc.round(disc, round_mode="half_towards_infinity"), pa.int64()
+                ),
+            }
+        )
+        j = left.join(supp, keys="l_suppkey", right_keys="s_suppkey", join_type="inner")
+        return j.select(["l_orderkey", "s_nationkey", "disc_cents"])
+
+    def prep_orders(t: pa.Table, *, cust_ref) -> pa.Table:
+        cust = ray.get(cust_ref)
+        mask = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo, type=pa.timestamp("us"))),
+            pc.less(t["o_orderdate"], pa.scalar(hi, type=pa.timestamp("us"))),
+        )
+        t = t.filter(mask)
+        j = t.join(cust, keys="o_custkey", right_keys="c_custkey", join_type="inner")
+        return j.select(["o_orderkey", "c_nationkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(prep_lineitem, batch_format="pyarrow", fn_kwargs={"supp_ref": supp_ref})
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow", fn_kwargs={"cust_ref": cust_ref})
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    names_ref = ray.put(region_nations)
+
+    def finish(t: pa.Table, *, names_ref) -> pa.Table:
+        names = ray.get(names_ref)
+        t = t.filter(
+            pc.equal(
+                pc.cast(t["s_nationkey"], pa.int32()),
+                pc.cast(t["c_nationkey"], pa.int32()),
+            )
+        )
+        nk = t["s_nationkey"].to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([names[int(k)] for k in nk], pa.string()),
+                "disc_cents": t["disc_cents"],
+            }
+        )
+
+    out = (
+        joined.map_batches(finish, batch_format="pyarrow", fn_kwargs={"names_ref": names_ref})
+        .groupby("n_name")
+        .aggregate(Sum("disc_cents", alias_name="revenue_cents"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def local_supplier_revenue_sql() -> str:
+    return """
+        SELECT n.n_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_items
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND c.c_nationkey = s.s_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """
+
+
+def events_rolling_peak(sf_dir: str, frame_rows: int = 5) -> pd.DataFrame:
+    """ROWS-frame sliding extrema: per user in (ts, event_id) order, the
+    max and min of `value` over the current row and the 4 preceding
+    rows (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW). Extrema are
+    order-independent, so doubles hash-match the SQL twin exactly
+    (unlike a moving average, whose float summation order differs).
+
+    Distributed shape: one key-partitioned shuffle (groupby user_id),
+    then a vectorized pandas rolling min/max inside each group — the
+    frame never crosses the partition key, so no inter-group state."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        r = g["value"].rolling(frame_rows, min_periods=1)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "rolling_peak": r.max(),
+                "rolling_floor": r.min(),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_rolling_peak_sql(frame_rows: int = 5) -> str:
+    return f"""
+        SELECT event_id,
+               MAX(value) OVER w AS rolling_peak,
+               MIN(value) OVER w AS rolling_floor
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {frame_rows - 1} PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """
+
+
+def concurrent_sessions_daily_peak(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Interval sweep-line over the sessionized event log: per calendar
+    day, the peak number of simultaneously-open sessions (a session is
+    open on [session_start, session_end] inclusive).
+
+    Distributed shape (composition of two engine primitives):
+      1. sessions stay a Dataset — groupby(user_id).map_groups emits
+         one +1 point at session_start and one -1 point at session_end
+         per session (text/state never leaves the group);
+      2. the global running concurrency is the keyless two-phase prefix
+         scan of running_global_total, bucketed BY DAY: a tiny
+         groupby(day) sum of deltas up-sweeps, the driver takes an
+         exclusive prefix over the ~O(days) counters, and a second
+         groupby(day).map_groups down-sweeps the within-day cumsum
+         (starts ordered before ends at tied timestamps, matching the
+         RANGE semantics of an inclusive interval) and keeps the max.
+    The peak at a tied timestamp is reached after all +1s regardless of
+    their relative order, so the per-day MAX is deterministic and
+    matches the window-function SQL twin."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def points_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        sid = new_session.cumsum()
+        agg = g.groupby(sid)["ts"].agg(["min", "max"])
+        starts = pd.DataFrame({"ts": agg["min"], "delta": 1})
+        ends = pd.DataFrame({"ts": agg["max"], "delta": -1})
+        pts = pd.concat([starts, ends], ignore_index=True)
+        pts["day"] = pts["ts"].dt.floor("D")
+        return pts[["day", "ts", "delta"]]
+
+    points = ds.groupby("user_id").map_groups(points_of_user, batch_format="pandas")
+
+    day_sums = (
+        points.groupby("day")
+        .aggregate(Sum("delta", alias_name="s"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    excl = day_sums["s"].cumsum().shift(1, fill_value=0)
+    offsets = {pd.Timestamp(d): int(v) for d, v in zip(day_sums["day"], excl)}
+    oref = ray.put(offsets)
+
+    def peak_of_day(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[pd.Timestamp(g["day"].iloc[0])]
+        g = g.sort_values(["ts", "delta"], ascending=[True, False], kind="mergesort")
+        conc = g["delta"].cumsum() + off
+        return pd.DataFrame(
+            {
+                "day": [g["day"].iloc[0]],
+                "peak_concurrency": pd.Series([int(conc.max())], dtype="int64"),
+            }
+        )
+
+    out = points.groupby("day").map_groups(peak_of_day, batch_format="pandas").to_pandas()
+    out["peak_concurrency"] = out["peak_concurrency"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def concurrent_sessions_daily_peak_sql(gap_minutes: int = 30) -> str:
+    return f"""
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM o
+        ), sess AS (
+            SELECT MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM s GROUP BY user_id, session_id
+        ), pts AS (
+            SELECT session_start AS ts, 1 AS delta FROM sess
+            UNION ALL
+            SELECT session_end AS ts, -1 AS delta FROM sess
+        ), run AS (
+            SELECT ts,
+                   SUM(delta) OVER (ORDER BY ts, delta DESC
+                                    ROWS UNBOUNDED PRECEDING) AS conc
+            FROM pts
+        )
+        SELECT date_trunc('day', ts) AS day,
+               CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+        FROM run
+        GROUP BY 1
+        ORDER BY day
+    """
