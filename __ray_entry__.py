@@ -566,6 +566,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions_daily_peak": rel.concurrent_sessions_daily_peak,
         # exact triangle count via degree-ordered wedge checks
         "user_triangles": graph.user_triangles,
+        # Z-order (Morton) layout zone maps + the pruned-read payoff
+        "zorder_layout": dso.zorder_layout,
+        "zorder_pruned_count": dso.zorder_pruned_count,
+        # classic distinct-aggregate without a two-key hash aggregate
+        "events_type_daily_uniques": rel.events_type_daily_uniques,
+        # equi-depth decile boundaries via the bounded-domain CDF
+        "events_value_equidepth": rel.events_value_equidepth,
     }
 
 
@@ -830,6 +837,10 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_peak": rel.events_rolling_peak_sql(),
         "concurrent_sessions_daily_peak": rel.concurrent_sessions_daily_peak_sql(),
         "user_triangles": graph.user_triangles_sql(),
+        "zorder_layout": dso.zorder_layout_sql(),
+        "zorder_pruned_count": dso.zorder_pruned_count_sql(),
+        "events_type_daily_uniques": rel.events_type_daily_uniques_sql(),
+        "events_value_equidepth": rel.events_value_equidepth_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -186,6 +186,9 @@ def main() -> dict:
         lambda: rel.concurrent_sessions_daily_peak(SF_DIR),
     )
     timed("user_triangles", lambda: graph.user_triangles(SF_DIR))
+    timed("zorder_layout", lambda: dso.zorder_layout(SF_DIR))
+    timed("events_type_daily_uniques", lambda: rel.events_type_daily_uniques(SF_DIR))
+    timed("events_value_equidepth", lambda: rel.events_value_equidepth(SF_DIR))
 
     result = {
         "metric": "extract_pipeline_wall",

@@ -438,3 +438,226 @@ def snapshot_diff_sql() -> str:
         WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
         ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) data layout + zone-map pruning
+# ---------------------------------------------------------------------------
+
+_Z_EPOCH = np.datetime64("2024-01-01", "m")
+
+
+def _spread16(x: np.ndarray) -> np.ndarray:
+    """Interleave-spread the low 16 bits of x to the even bit positions
+    of a 32-bit lane (the standard Morton magic-mask ladder)."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def _zkeys(t: pa.Table, bucket_shift: int) -> tuple[np.ndarray, ...]:
+    u = t["user_id"].to_numpy().astype(np.int64)
+    minute = (
+        (t["ts"].to_numpy().astype("datetime64[m]") - _Z_EPOCH).astype(np.int64)
+    )
+    # 16-bit tiles: clustering masks, not correctness assumptions — ids
+    # past 65535 wrap into the tile, which only softens locality
+    z = ((_spread16(u) << np.uint64(1)) | _spread16(minute)).astype(np.int64)
+    return u, minute, z, z >> bucket_shift
+
+
+def zorder_layout(sf_dir: str, bucket_shift: int = 26) -> pd.DataFrame:
+    """Z-order (Morton) layout zone maps over events: interleave the low
+    16 bits of user_id with the minute-of-epoch into a 32-bit Morton
+    key; a bucket is the key's top (32 - bucket_shift) bits. The output
+    is the per-bucket zone map (row count, min/max of BOTH dimensions)
+    — the metadata a lakehouse layout keeps so point/range queries on
+    EITHER column prune at the file level (one clustered layout serves
+    two predicates, where a plain sort serves one).
+
+    Distributed shape: the Morton key is a per-batch vectorized bit
+    ladder (zero shuffle); the zone-map groupby exchanges O(buckets)
+    counter rows. Integer-exact SQL twin (bit-arithmetic interleave)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u, minute, _z, zb = _zkeys(t, bucket_shift)
+        return pa.table(
+            {
+                "zbucket": pa.array(zb, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "minute": pa.array(minute, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("zbucket")
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Min("user_id", alias_name="min_user"),
+            Max("user_id", alias_name="max_user"),
+            Min("minute", alias_name="min_minute"),
+            Max("minute", alias_name="max_minute"),
+        )
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("zbucket").reset_index(drop=True)
+
+
+def _zorder_sql_expr() -> str:
+    """Bit-interleave of (user_id, minute) columns as SQL integer
+    arithmetic — user bits at odd Morton positions, minute bits even."""
+    terms = [f"(((user_id & 65535) >> {i}) & 1) * {1 << (2 * i + 1)}" for i in range(16)]
+    terms += [f"(((minute & 65535) >> {i}) & 1) * {1 << (2 * i)}" for i in range(16)]
+    return " + ".join(terms)
+
+
+_MINUTE_SQL = "epoch_us(ts - TIMESTAMP '2024-01-01') // 60000000"
+
+
+def zorder_layout_sql(bucket_shift: int = 26) -> str:
+    return f"""
+        WITH m AS (
+            SELECT user_id, {_MINUTE_SQL} AS minute FROM events
+        ), z AS (
+            SELECT user_id, minute, {_zorder_sql_expr()} AS zkey FROM m
+        )
+        SELECT zkey // {1 << bucket_shift} AS zbucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(user_id) AS BIGINT) AS min_user,
+               CAST(MAX(user_id) AS BIGINT) AS max_user,
+               CAST(MIN(minute) AS BIGINT) AS min_minute,
+               CAST(MAX(minute) AS BIGINT) AS max_minute
+        FROM z
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def zorder_pruned_count(
+    sf_dir: str,
+    user_lo: int = 2,
+    user_hi: int = 120,
+    minute_lo: int = 10_000,
+    minute_hi: int = 20_000,
+    bucket_shift: int = 26,
+) -> pd.DataFrame:
+    """Read-side payoff of the Z-order layout: count events in a
+    (user range) x (time range) box by (1) WRITING the corpus as
+    parquet partitioned by zbucket (the layout step — partitioned,
+    resumable output), (2) selecting candidate buckets from the zone
+    maps, and (3) reading back ONLY those partitions with the exact
+    predicate applied. The result equals a plain WHERE count (the SQL
+    twin proves pruning loses nothing); the pytest asserts the
+    candidate set is a strict subset of the buckets (pruning is real).
+    """
+    import os
+
+    from pyarrow import dataset as pads
+
+    zm = zorder_layout(sf_dir, bucket_shift=bucket_shift)
+    cand = zm[
+        (zm["max_user"] >= user_lo)
+        & (zm["min_user"] <= user_hi)
+        & (zm["max_minute"] >= minute_lo)
+        & (zm["min_minute"] <= minute_hi)
+    ]["zbucket"].tolist()
+
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    layout_dir = f"/tmp/pdfrust_ray_zorder_{scale}_{bucket_shift}"
+    marker = os.path.join(layout_dir, "_DONE")
+    if not os.path.exists(marker):
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            u, minute, _z, zb = _zkeys(t, bucket_shift)
+            return pa.table(
+                {
+                    "event_id": t["event_id"],
+                    "user_id": pa.array(u, pa.int64()),
+                    "minute": pa.array(minute, pa.int64()),
+                    "zbucket": pa.array(zb, pa.int64()),
+                }
+            )
+
+        ds.map_batches(prep, batch_format="pyarrow").write_parquet(
+            layout_dir, partition_cols=["zbucket"]
+        )
+        open(marker, "w").close()
+
+    if not cand:
+        return pd.DataFrame(
+            {
+                "n_rows": pd.Series([0], dtype="int64"),
+                "n_buckets_scanned": pd.Series([0], dtype="int64"),
+                "n_buckets_total": pd.Series([len(zm)], dtype="int64"),
+            }
+        )
+    import glob
+
+    files = [
+        f
+        for b in sorted(cand)
+        for f in sorted(glob.glob(f"{layout_dir}/zbucket={b}/*.parquet"))
+    ]
+    pruned = rd.read_parquet(files, columns=["user_id", "minute"])
+
+    def box_count(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["user_id"], pa.scalar(user_lo)),
+                pc.less_equal(t["user_id"], pa.scalar(user_hi)),
+            ),
+            pc.and_(
+                pc.greater_equal(t["minute"], pa.scalar(minute_lo)),
+                pc.less_equal(t["minute"], pa.scalar(minute_hi)),
+            ),
+        )
+        return pa.table({"n": pa.array([int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)], pa.int64())})
+
+    parts = pruned.map_batches(box_count, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([int(parts["n"].sum())], dtype="int64"),
+            "n_buckets_scanned": pd.Series([len(cand)], dtype="int64"),
+            "n_buckets_total": pd.Series([len(zm)], dtype="int64"),
+        }
+    )
+
+
+def zorder_pruned_count_sql(
+    user_lo: int = 2,
+    user_hi: int = 120,
+    minute_lo: int = 10_000,
+    minute_hi: int = 20_000,
+    bucket_shift: int = 26,
+) -> str:
+    return f"""
+        WITH m AS (
+            SELECT user_id, {_MINUTE_SQL} AS minute FROM events
+        ), z AS (
+            SELECT user_id, minute, {_zorder_sql_expr()} AS zkey FROM m
+        ), zm AS (
+            SELECT zkey // {1 << bucket_shift} AS zbucket,
+                   MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+                   MIN(minute) AS min_minute, MAX(minute) AS max_minute
+            FROM z GROUP BY 1
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM z
+                WHERE user_id BETWEEN {user_lo} AND {user_hi}
+                  AND minute BETWEEN {minute_lo} AND {minute_hi}) AS n_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM zm
+                WHERE max_user >= {user_lo} AND min_user <= {user_hi}
+                  AND max_minute >= {minute_lo} AND min_minute <= {minute_hi})
+                 AS n_buckets_scanned,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM zm) AS n_buckets_total
+    """

@@ -3565,3 +3565,124 @@ def concurrent_sessions_daily_peak_sql(gap_minutes: int = 30) -> str:
         GROUP BY 1
         ORDER BY day
     """
+
+
+def events_type_daily_uniques(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT user_id) per (event_type, day) — the classic
+    distinct-aggregate. Exact distributed shape WITHOUT a two-key
+    hash aggregate (slow in ray 2.49 and join-hostile, see the
+    cohort_retention note): pack (type, day, user) into one int64,
+    per-batch unique (the combiner), shard BY PACKED KEY so each
+    triple lands whole, per-shard unique + per-(type,day) partial
+    counts; the (type, day) totals are the sum of shard partials —
+    O(types x days x shards) rows to the driver."""
+    import numpy as np
+
+    type_idx = {t: i for i, t in enumerate(sorted(_EVENT_TYPES))}
+    tref = ray.put(type_idx)
+    n_types = len(type_idx)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        ti = ray.get(tref)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        if len(u) and int(u.max()) >= (1 << 31):
+            raise ValueError("user_id exceeds the 31-bit packing bound")
+        days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        tix = np.array([ti[x] for x in t["event_type"].to_pylist()], dtype=np.int64)
+        key = np.unique(((days * n_types + tix) << 32) | u)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "shard": pa.array((key % 64).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def count_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        key = np.unique(g["key"].to_numpy())
+        grp = key >> 32  # (day * n_types + tix)
+        ug, cnt = np.unique(grp, return_counts=True)
+        return pd.DataFrame(
+            {
+                "grp": pd.Series(ug, dtype="int64"),
+                "n_part": pd.Series(cnt, dtype="int64"),
+            }
+        )
+
+    parts = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(count_of_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    tot = parts.groupby("grp")["n_part"].sum()
+    grp = tot.index.to_numpy()
+    inv = {i: t for t, i in type_idx.items()}
+    out = pd.DataFrame(
+        {
+            "event_type": [inv[int(g % n_types)] for g in grp],
+            "day": pd.to_datetime((grp // n_types).astype("int64"), unit="D"),
+            "n_unique_users": pd.Series(tot.to_numpy(), dtype="int64"),
+        }
+    )
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def events_type_daily_uniques_sql() -> str:
+    return """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_unique_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, day
+    """
+
+
+def events_value_equidepth(sf_dir: str, n_buckets: int = 10) -> pd.DataFrame:
+    """Equi-depth histogram boundaries of the value column (the decile
+    cut points a cost-based optimizer or feature binner keeps). A
+    global quantile needs a total order but NOT a global sort: one
+    groupby(value) count pass reduces the corpus to a domain-sized
+    frequency table (value is cent-quantized at the source, so the
+    domain is bounded — the events_value_rank_normalize precedent), and
+    the driver picks the value at rank floor((N-1) * q / n_buckets)
+    from the cumulative counts. Boundaries are ACTUAL data values
+    (doubles compared bit-for-bit, no interpolation arithmetic)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    freq = (
+        ds.groupby("value")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    n_total = int(freq["n"].sum())
+    cum = np.cumsum(freq["n"].to_numpy())
+    qs = np.arange(1, n_buckets)
+    ranks = (n_total - 1) * qs // n_buckets  # 0-based rank of the boundary
+    idx = np.searchsorted(cum, ranks + 1)  # first value whose cum covers rank
+    return pd.DataFrame(
+        {
+            "q": pd.Series(qs, dtype="int64"),
+            "boundary": freq["value"].to_numpy()[idx],
+        }
+    )
+
+
+def events_value_equidepth_sql(n_buckets: int = 10) -> str:
+    return f"""
+        WITH ord AS (
+            SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn FROM events
+        ), n AS (SELECT COUNT(*) AS c FROM events),
+        qs AS (SELECT unnest(range(1, {n_buckets})) AS q)
+        SELECT qs.q AS q, ord.value AS boundary
+        FROM qs
+        CROSS JOIN n
+        JOIN ord ON ord.rn = (n.c - 1) * qs.q // {n_buckets} + 1
+        ORDER BY q
+    """

@@ -163,3 +163,73 @@ def test_user_triangles_hand_corpus(ray_session, tmp_path):
     assert mine["n_triangles"].iloc[0] == 2
     # wedges: deg(1)=3, deg(2)=3, deg(3)=2, deg(4)=2 -> 3+3+1+1 = 8
     assert mine["n_wedges"].iloc[0] == 8
+
+
+def test_zorder_layout_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.datasetops import zorder_layout, zorder_layout_sql
+
+    mine = zorder_layout(SF)
+    assert len(mine) > 1
+    _assert_oracle(con, mine, zorder_layout_sql())
+
+
+def test_zorder_pruned_count_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.datasetops import (
+        zorder_pruned_count,
+        zorder_pruned_count_sql,
+    )
+
+    mine = zorder_pruned_count(SF)
+    # pruning must be real: strictly fewer buckets scanned than exist
+    assert 0 < mine["n_buckets_scanned"].iloc[0] < mine["n_buckets_total"].iloc[0]
+    assert mine["n_rows"].iloc[0] > 0
+    _assert_oracle(con, mine, zorder_pruned_count_sql())
+
+
+def test_zorder_morton_bit_properties(ray_session):
+    # Morton key must preserve per-dimension ordering within a tile and
+    # interleave exactly: spread16(x) spreads bit i of x to bit 2i
+    from pdfrust_ray.pipelines.datasetops import _spread16
+
+    x = np.array([0, 1, 2, 3, 0xFFFF], dtype=np.int64)
+    sp = _spread16(x)
+    assert sp.tolist() == [0, 1, 4, 5, 0x55555555]
+
+
+def test_type_daily_uniques_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        events_type_daily_uniques,
+        events_type_daily_uniques_sql,
+    )
+
+    mine = events_type_daily_uniques(SF)
+    assert len(mine) > 0
+    _assert_oracle(con, mine, events_type_daily_uniques_sql())
+
+
+def test_equidepth_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        events_value_equidepth,
+        events_value_equidepth_sql,
+    )
+
+    mine = events_value_equidepth(SF)
+    assert len(mine) == 9
+    assert mine["boundary"].is_monotonic_increasing
+    _assert_oracle(con, mine, events_value_equidepth_sql())
+
+
+def test_equidepth_hand_corpus(ray_session, tmp_path):
+    # 10 rows 0..9, quartiles (n_buckets=4): ranks floor(9*q/4) for
+    # q=1..3 -> 2, 4, 6 -> boundaries 2.0, 4.0, 6.0
+    t = pa.table(
+        {
+            "event_id": pa.array(range(10), pa.int64()),
+            "value": pa.array([float(i) for i in range(10)], pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from pdfrust_ray.pipelines.relational import events_value_equidepth
+
+    mine = events_value_equidepth(str(tmp_path), n_buckets=4)
+    assert mine["boundary"].tolist() == [2.0, 4.0, 6.0]
