@@ -573,6 +573,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_daily_uniques": rel.events_type_daily_uniques,
         # equi-depth decile boundaries via the bounded-domain CDF
         "events_value_equidepth": rel.events_value_equidepth,
+        # source-format parity: same operator, CSV ingest path
+        "events_hourly_csv": rel.events_hourly_csv,
+        # order-independent mergeable integrity checksum (zero shuffle)
+        "events_table_checksum": rel.events_table_checksum,
     }
 
 
@@ -841,6 +845,9 @@ def oracle_sql() -> dict[str, str]:
         "zorder_pruned_count": dso.zorder_pruned_count_sql(),
         "events_type_daily_uniques": rel.events_type_daily_uniques_sql(),
         "events_value_equidepth": rel.events_value_equidepth_sql(),
+        # the CSV path must reproduce the parquet operator's result
+        "events_hourly_csv": rel.events_hourly_sql(),
+        "events_table_checksum": rel.events_table_checksum_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -3490,25 +3490,69 @@ def concurrent_sessions_daily_peak(sf_dir: str, gap_minutes: int = 30) -> pd.Dat
     their relative order, so the per-day MAX is deterministic and
     matches the window-function SQL twin."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    gap = pd.Timedelta(minutes=gap_minutes)
 
-    def points_of_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        sid = new_session.cumsum()
-        agg = g.groupby(sid)["ts"].agg(["min", "max"])
-        starts = pd.DataFrame({"ts": agg["min"], "delta": 1})
-        ends = pd.DataFrame({"ts": agg["max"], "delta": -1})
-        pts = pd.concat([starts, ends], ignore_index=True)
-        pts["day"] = pts["ts"].dt.floor("D")
-        return pts[["day", "ts", "delta"]]
+    def add_shard(t: pa.Table) -> pa.Table:
+        import numpy as np
 
-    points = ds.groupby("user_id").map_groups(points_of_user, batch_format="pandas")
+        return t.append_column(
+            "shard",
+            pa.array((t["user_id"].to_numpy() % 64).astype(np.int32), pa.int32()),
+        )
+
+    def points_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse 64-way user shard (users stay whole); session boundary
+        # detection fully vectorized across ALL users in the shard —
+        # a boundary is a user change OR a gap > gap_minutes
+        import numpy as np
+
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype="datetime64[ns]"),
+                    "ts": pd.Series([], dtype="datetime64[ns]"),
+                    "delta": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        gap_td = np.timedelta64(gap_minutes * 60_000_000_000, "ns")
+        boundary = np.r_[True, (u[1:] != u[:-1]) | (np.diff(ts) > gap_td)]
+        starts = np.flatnonzero(boundary)
+        ends = np.r_[starts[1:] - 1, len(u) - 1]
+        pts_ts = np.concatenate([ts[starts], ts[ends]])
+        delta = np.concatenate(
+            [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+        )
+        return pd.DataFrame(
+            {
+                "day": pd.Series(pts_ts.astype("datetime64[D]").astype("datetime64[ns]")),
+                "ts": pd.Series(pts_ts),
+                "delta": pd.Series(delta, dtype="int64"),
+            }
+        )
+
+    # materialize: both the up-sweep and the down-sweep consume the
+    # points — without this the session detection lineage re-executes
+    points = (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(points_of_shard, batch_format="pandas")
+        .materialize()
+    )
+
+    # up-sweep as per-batch partials + a driver fold (O(blocks x days)
+    # rows): ray 2.49's hash aggregate measured ~8.6 s for this 30-key
+    # Sum over 190k points where the combiner shape takes ~0.3 s
+    def day_partials(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["day", "delta"]), "day").aggregate([("delta", "sum")])
+        return pa.table({"day": g["day"], "s": g["delta_sum"]})
 
     day_sums = (
-        points.groupby("day")
-        .aggregate(Sum("delta", alias_name="s"))
+        points.map_batches(day_partials, batch_format="pyarrow")
         .to_pandas()
+        .groupby("day", as_index=False)["s"]
+        .sum()
         .sort_values("day")
         .reset_index(drop=True)
     )
@@ -3685,4 +3729,85 @@ def events_value_equidepth_sql(n_buckets: int = 10) -> str:
         CROSS JOIN n
         JOIN ord ON ord.rn = (n.c - 1) * qs.q // {n_buckets} + 1
         ORDER BY q
+    """
+
+
+def events_hourly_csv(sf_dir: str) -> pd.DataFrame:
+    """events_hourly computed through the CSV ingest path
+    (sources/tabular.py) instead of parquet — the source-format parity
+    query: identical result, identical SQL oracle, proving the engine's
+    operators are source-agnostic once the canonical Arrow schema is
+    established at the read."""
+    from pdfrust_ray.sources.tabular import read_events_csv
+
+    ds = read_events_csv(sf_dir).select_columns(["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+        .to_pandas()
+    )
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def events_table_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-independent table integrity checksum — the cheap invariant
+    a migration / backfill / replication job verifies before swapping a
+    table pointer. Every row hashes to md5-prefix-u32 of its canonical
+    'event_id|user_id|event_type' string; the checksum is the plain
+    int64 SUM of row hashes, so it is commutative, mergeable across
+    blocks, and independent of block order or partitioning. Zero
+    shuffle: per-batch partial (n, sum) pairs, one tiny driver fold."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+        keys = [
+            f"{e}|{u}|{ty}".encode()
+            for e, u, ty in zip(
+                t["event_id"].to_pylist(),
+                t["user_id"].to_pylist(),
+                t["event_type"].to_pylist(),
+            )
+        ]
+        h = md5_prefix_u32(keys).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(keys)], pa.int64()),
+                "s": pa.array([int(h.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([int(parts["n"].sum())], dtype="int64"),
+            "checksum": pd.Series([int(parts["s"].sum())], dtype="int64"),
+        }
+    )
+
+
+def events_table_checksum_sql() -> str:
+    return """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(
+                        CAST(event_id AS VARCHAR) || '|' ||
+                        CAST(user_id AS VARCHAR) || '|' || event_type), 1, 8))
+                    AS UBIGINT)) AS BIGINT) AS checksum
+        FROM events
     """

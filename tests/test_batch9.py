@@ -233,3 +233,45 @@ def test_equidepth_hand_corpus(ray_session, tmp_path):
 
     mine = events_value_equidepth(str(tmp_path), n_buckets=4)
     assert mine["boundary"].tolist() == [2.0, 4.0, 6.0]
+
+
+def test_events_hourly_csv_matches_parquet(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        events_hourly,
+        events_hourly_csv,
+        events_hourly_sql,
+    )
+
+    via_csv = events_hourly_csv(SF)
+    via_parquet = events_hourly(SF)
+    pd.testing.assert_frame_equal(
+        via_csv.reset_index(drop=True), via_parquet.reset_index(drop=True)
+    )
+    _assert_oracle(con, via_csv, events_hourly_sql())
+
+
+def test_table_checksum_oracle_and_merge(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        events_table_checksum,
+        events_table_checksum_sql,
+    )
+
+    mine = events_table_checksum(SF)
+    assert mine["n_rows"].iloc[0] == 1000
+    _assert_oracle(con, mine, events_table_checksum_sql())
+
+
+def test_table_checksum_detects_change(ray_session, tmp_path):
+    # flipping one row's event_type must change the checksum
+    t = pq.read_table(f"{SF}/events.parquet")
+    pq.write_table(t, tmp_path / "events.parquet")
+    from pdfrust_ray.pipelines.relational import events_table_checksum
+
+    base = events_table_checksum(str(tmp_path))
+
+    df = t.to_pandas()
+    df.loc[0, "event_type"] = "tampered"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "events.parquet")
+    changed = events_table_checksum(str(tmp_path))
+    assert changed["n_rows"].iloc[0] == base["n_rows"].iloc[0]
+    assert changed["checksum"].iloc[0] != base["checksum"].iloc[0]
