@@ -577,6 +577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_csv": rel.events_hourly_csv,
         # order-independent mergeable integrity checksum (zero shuffle)
         "events_table_checksum": rel.events_table_checksum,
+        # windowed COUNT DISTINCT: rolling 7-day active users
+        "rolling_wau": rel.rolling_wau,
+        # three-step strict-order CEP funnel (vectorized chain test)
+        "funnel_three_step": rel.funnel_three_step,
     }
 
 
@@ -848,6 +852,8 @@ def oracle_sql() -> dict[str, str]:
         # the CSV path must reproduce the parquet operator's result
         "events_hourly_csv": rel.events_hourly_sql(),
         "events_table_checksum": rel.events_table_checksum_sql(),
+        "rolling_wau": rel.rolling_wau_sql(),
+        "funnel_three_step": rel.funnel_three_step_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -3811,3 +3811,191 @@ def events_table_checksum_sql() -> str:
                     AS UBIGINT)) AS BIGINT) AS checksum
         FROM events
     """
+
+
+def rolling_wau(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Rolling 7-day distinct active users per day (the WAU curve) —
+    windowed COUNT DISTINCT, which no window function computes
+    directly. Exact distributed shape: distinct (day, user) pairs via
+    packed-key sharding, then each activity day FANS OUT to the <= 7
+    target days it can serve (plus a sentinel marking the day as
+    observed), a second packed-key distinct collapses multi-day users
+    per target, and per-shard partial counts fold on the driver.
+    Exchanges carry (distinct pairs x window) keys — never raw events
+    — and the fan-out factor is the window length, not the corpus."""
+    import numpy as np
+
+    SENTINEL = (1 << 32) - 1  # marks "target day == an observed activity day"
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        if len(u) and int(u.max()) >= (1 << 31):
+            raise ValueError("user_id exceeds the 31-bit packing bound")
+        days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        key = np.unique((days << 32) | u)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "shard": pa.array((key % 64).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def fanout_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(g["key"].to_numpy())
+        d = key >> 32
+        u = key & ((1 << 32) - 1)
+        outs = [((d + off) << 32) | u for off in range(window_days)]
+        outs.append((d << 32) | SENTINEL)  # observed-day markers
+        k2 = np.unique(np.concatenate(outs))
+        return pd.DataFrame(
+            {
+                "key": pd.Series(k2, dtype="int64"),
+                "shard": pd.Series((k2 % 64).astype(np.int32), dtype="int32"),
+            }
+        )
+
+    def count_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(g["key"].to_numpy())
+        d = key >> 32
+        u = key & ((1 << 32) - 1)
+        sent = u == SENTINEL
+        ud, cnt = np.unique(d[~sent], return_counts=True)
+        return pd.DataFrame(
+            {
+                "day_idx": pd.Series(np.concatenate([ud, d[sent]]), dtype="int64"),
+                "n_part": pd.Series(
+                    np.concatenate([cnt, np.zeros(int(sent.sum()), np.int64)]),
+                    dtype="int64",
+                ),
+                "observed": pd.Series(
+                    np.concatenate([np.zeros(len(ud), bool), np.ones(int(sent.sum()), bool)])
+                ),
+            }
+        )
+
+    parts = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(fanout_of_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(count_of_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    counts = parts.groupby("day_idx")["n_part"].sum()
+    observed = set(parts.loc[parts["observed"], "day_idx"].astype(int))
+    days = sorted(observed)
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(pd.Series(days, dtype="int64"), unit="D"),
+            "wau": pd.Series([int(counts.get(d, 0)) for d in days], dtype="int64"),
+        }
+    )
+
+
+def rolling_wau_sql(window_days: int = 7) -> str:
+    return f"""
+        WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        days AS (SELECT DISTINCT d FROM ud)
+        SELECT days.d AS day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+        FROM days JOIN ud
+          ON ud.d <= days.d AND ud.d > days.d - INTERVAL {window_days} DAY
+        GROUP BY 1
+        ORDER BY day
+    """
+
+
+def funnel_three_step(sf_dir: str, window_us: int = 3_600_000_000) -> pd.DataFrame:
+    """Three-step strict-order funnel: how many users have a signup, a
+    signup followed by a view within the hour, and a full
+    signup -> view -> purchase chain (each hop within the hour). The
+    chain-existence test is fully vectorized per user: views that lead
+    to a purchase are marked by one searchsorted pass, and a prefix-sum
+    over good views answers "any good view in (signup, signup+w]" for
+    every signup at once — no per-pair loop, no 3-way self-join."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t["event_type"], value_set=pa.array(["signup", "view", "purchase"])
+        )
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g.loc[g["event_type"] == "signup", "ts_us"].to_numpy())
+        if len(s) == 0:
+            return pd.DataFrame(
+                {"s1": pd.Series([], dtype="int64"),
+                 "s2": pd.Series([], dtype="int64"),
+                 "s3": pd.Series([], dtype="int64")}
+            )
+        v = np.sort(g.loc[g["event_type"] == "view", "ts_us"].to_numpy())
+        p = np.sort(g.loc[g["event_type"] == "purchase", "ts_us"].to_numpy())
+        lo = np.searchsorted(v, s, side="right")
+        hi = np.searchsorted(v, s + window_us, side="right")
+        s2 = bool((hi > lo).any())
+        good = (
+            np.searchsorted(p, v + window_us, side="right")
+            > np.searchsorted(p, v, side="right")
+        ) if len(v) else np.zeros(0, bool)
+        cg = np.concatenate([[0], np.cumsum(good.astype(np.int64))])
+        s3 = bool(((cg[hi] - cg[lo]) > 0).any())
+        return pd.DataFrame(
+            {"s1": pd.Series([1], dtype="int64"),
+             "s2": pd.Series([int(s2)], dtype="int64"),
+             "s3": pd.Series([int(s3)], dtype="int64")}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(flags, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_signup_users": pd.Series([int(out["s1"].sum())], dtype="int64"),
+            "n_reached_view": pd.Series([int(out["s2"].sum())], dtype="int64"),
+            "n_reached_purchase": pd.Series([int(out["s3"].sum())], dtype="int64"),
+        }
+    )
+
+
+def funnel_three_step_sql(window_us: int = 3_600_000_000) -> str:
+    return f"""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+            WHERE event_type IN ('signup', 'view', 'purchase')
+        ),
+        u1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'),
+        u2 AS (
+            SELECT DISTINCT s.user_id
+            FROM e s JOIN e v ON v.user_id = s.user_id AND v.event_type = 'view'
+                 AND v.t > s.t AND v.t <= s.t + {window_us}
+            WHERE s.event_type = 'signup'
+        ),
+        u3 AS (
+            SELECT DISTINCT s.user_id
+            FROM e s
+            JOIN e v ON v.user_id = s.user_id AND v.event_type = 'view'
+                 AND v.t > s.t AND v.t <= s.t + {window_us}
+            JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+                 AND p.t > v.t AND p.t <= v.t + {window_us}
+            WHERE s.event_type = 'signup'
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u1) AS n_signup_users,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM u2) AS n_reached_view,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM u3) AS n_reached_purchase
+    """

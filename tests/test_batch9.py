@@ -275,3 +275,72 @@ def test_table_checksum_detects_change(ray_session, tmp_path):
     changed = events_table_checksum(str(tmp_path))
     assert changed["n_rows"].iloc[0] == base["n_rows"].iloc[0]
     assert changed["checksum"].iloc[0] != base["checksum"].iloc[0]
+
+
+def test_rolling_wau_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import rolling_wau, rolling_wau_sql
+
+    mine = rolling_wau(SF)
+    assert len(mine) > 0
+    # WAU >= DAU invariant: day-7 WAU must be >= any single day's uniques
+    _assert_oracle(con, mine, rolling_wau_sql())
+
+
+def test_rolling_wau_hand_corpus(ray_session, tmp_path):
+    # user 1 active on days 0 and 3; user 2 on day 3 only; window 7:
+    # day0 wau = {1} = 1, day3 wau = {1, 2} = 2 (user 1 counted ONCE
+    # though active on two in-window days)
+    us_day = 86_400 * 1_000_000
+    rows = [(1, 0), (1, 3 * us_day), (2, 3 * us_day)]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] + 60_000_000 for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from pdfrust_ray.pipelines.relational import rolling_wau
+
+    mine = rolling_wau(str(tmp_path))
+    assert mine["wau"].tolist() == [1, 2]
+
+
+def test_funnel_three_step_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import funnel_three_step, funnel_three_step_sql
+
+    mine = funnel_three_step(SF)
+    f = mine.iloc[0]
+    assert f["n_signup_users"] >= f["n_reached_view"] >= f["n_reached_purchase"]
+    assert f["n_reached_view"] > 0
+    _assert_oracle(con, mine, funnel_three_step_sql())
+
+
+def test_funnel_three_step_non_greedy(ray_session, tmp_path):
+    # the EARLIEST in-window view (t0+1m) has no purchase within its
+    # hour; a LATER in-window view (t0+50m) does (purchase t0+90m) —
+    # a greedy first-view matcher would miss this chain
+    m = 60 * 1_000_000
+    rows = [
+        (1, "signup", 0),
+        (1, "view", 1 * m),
+        (1, "view", 50 * m),
+        (1, "purchase", 90 * m),
+        # user 2: view BEFORE signup and purchase 2h after view -> no chain
+        (2, "view", 0),
+        (2, "signup", 10 * m),
+        (2, "purchase", 130 * m),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from pdfrust_ray.pipelines.relational import funnel_three_step
+
+    mine = funnel_three_step(str(tmp_path)).iloc[0]
+    assert mine["n_signup_users"] == 2
+    assert mine["n_reached_view"] == 1  # only user 1 has view after signup
+    assert mine["n_reached_purchase"] == 1
