@@ -581,6 +581,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_wau": rel.rolling_wau,
         # three-step strict-order CEP funnel (vectorized chain test)
         "funnel_three_step": rel.funnel_three_step,
+        # global ORDER BY LIMIT via mergeable per-block top-k (no sort)
+        "top_value_events": rel.top_value_events,
+        # integer-exact inter-event gap moments per user
+        "user_gap_stats": rel.user_gap_stats,
+        # per-(source, lang) provenance rollup over documents
+        "source_quality_rollup": rel.source_quality_rollup,
     }
 
 
@@ -854,6 +860,9 @@ def oracle_sql() -> dict[str, str]:
         "events_table_checksum": rel.events_table_checksum_sql(),
         "rolling_wau": rel.rolling_wau_sql(),
         "funnel_three_step": rel.funnel_three_step_sql(),
+        "top_value_events": rel.top_value_events_sql(),
+        "user_gap_stats": rel.user_gap_stats_sql(),
+        "source_quality_rollup": rel.source_quality_rollup_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -61,33 +61,25 @@ def _edges(sf_dir: str) -> pd.DataFrame:
                 "key exceeds SUPP_OFFSET: customer/supplier node ranges would merge"
             )
         key = np.unique(ck * (1 << 32) + (sk + SUPP_OFFSET))
-        return pa.table(
-            {
-                "key": pa.array(key, pa.int64()),
-                "shard": pa.array((key % 64).astype(np.int32), pa.int32()),
-            }
-        )
+        return pa.table({"key": pa.array(key, pa.int64())})
 
-    def distinct_of_shard(g: pd.DataFrame) -> pd.DataFrame:
-        # coarse 64-way shard + local unique replaces a 2-key
-        # groupby-distinct (ray 2.49's hash aggregate is much slower
-        # than this shape at high key cardinality, and its multi-key
-        # output also breaks downstream joins — see cohort_retention)
-        key = np.unique(g["key"].to_numpy())
-        return pd.DataFrame(
-            {
-                "src": pd.Series(key >> 32, dtype="int64"),
-                "dst": pd.Series(key & ((1 << 32) - 1), dtype="int64"),
-            }
-        )
+    # coarse-shard distinct (stages/shard.py) replaces a 2-key
+    # groupby-distinct: ray 2.49's hash aggregate is much slower at
+    # this key cardinality, and its multi-key output also breaks
+    # downstream joins — see cohort_retention
+    from pdfrust_ray.stages.shard import shard_distinct
 
-    out = (
-        joined.map_batches(pairs, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(distinct_of_shard, batch_format="pandas")
-        .to_pandas()
+    key = (
+        shard_distinct(joined.map_batches(pairs, batch_format="pyarrow"))
+        .to_pandas()["key"]
+        .to_numpy()
     )
-    return out.astype({"src": "int64", "dst": "int64"})
+    return pd.DataFrame(
+        {
+            "src": pd.Series(key >> 32, dtype="int64"),
+            "dst": pd.Series(key & ((1 << 32) - 1), dtype="int64"),
+        }
+    )
 
 
 def bipartite_pagerank(sf_dir: str, n_rounds: int = 2, k: int = 20) -> pd.DataFrame:
@@ -132,27 +124,16 @@ def bipartite_pagerank(sf_dir: str, n_rounds: int = 2, k: int = 20) -> pd.DataFr
                 {
                     "node": pa.array(uniq, pa.int64()),
                     "contrib": pa.array(sums, pa.int64()),
-                    "nshard": pa.array((uniq % 64).astype(np.int32), pa.int32()),
                 }
             )
 
-        def reduce_nodes(g: pd.DataFrame) -> pd.DataFrame:
-            # coarse-shard reduce instead of groupby(node).aggregate —
-            # same Sum, ~10x faster in ray 2.49 at this key cardinality
-            s = g.groupby("node", sort=False)["contrib"].sum()
-            return pd.DataFrame(
-                {
-                    "node": pd.Series(s.index.to_numpy(), dtype="int64"),
-                    "contrib": pd.Series(s.to_numpy(), dtype="int64"),
-                }
-            )
+        # coarse-shard sum (stages/shard.py) instead of
+        # groupby(node).aggregate — same Sum, ~10x faster in ray 2.49
+        from pdfrust_ray.stages.shard import shard_sum
 
-        c = (
-            edges.map_batches(contrib, batch_format="pyarrow")
-            .groupby("nshard")
-            .map_groups(reduce_nodes, batch_format="pandas")
-            .to_pandas()
-        )
+        c = shard_sum(
+            edges.map_batches(contrib, batch_format="pyarrow"), "node", "contrib"
+        ).to_pandas()
         lut = dict(zip(c["node"].astype(int), c["contrib"].astype(int)))
         ranks = {int(n): _TELEPORT + lut.get(int(n), 0) for n in nodes}
 
@@ -369,7 +350,6 @@ def user_triangles(sf_dir: str, min_shared: int = 3) -> pd.DataFrame:
                 {
                     "pair": pd.Series([], dtype="int64"),
                     "k_part": pd.Series([], dtype="int64"),
-                    "pshard": pd.Series([], dtype="int32"),
                 }
             )
         uk, uc = np.unique(np.concatenate(all_pairs), return_counts=True)
@@ -377,23 +357,19 @@ def user_triangles(sf_dir: str, min_shared: int = 3) -> pd.DataFrame:
             {
                 "pair": pd.Series(uk, dtype="int64"),
                 "k_part": pd.Series(uc, dtype="int64"),
-                "pshard": pd.Series((uk % 64).astype(np.int32), dtype="int32"),
             }
         )
 
-    def edges_of_pshard(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("pair", sort=False)["k_part"].sum()
-        pair = s.index.to_numpy(dtype=np.int64)[s.to_numpy() >= min_shared]
-        return pd.DataFrame({"pair": pd.Series(pair, dtype="int64")})
+    from pdfrust_ray.stages.shard import shard_sum
 
-    edges_df = (
+    edges_df = shard_sum(
         ds.map_batches(keys_of_batch, batch_format="pyarrow")
         .groupby("shard")
-        .map_groups(pairs_of_shard, batch_format="pandas")
-        .groupby("pshard")
-        .map_groups(edges_of_pshard, batch_format="pandas")
-        .to_pandas()
-    )
+        .map_groups(pairs_of_shard, batch_format="pandas"),
+        "pair",
+        "k_part",
+    ).to_pandas()
+    edges_df = edges_df[edges_df["k_part"] >= min_shared]
     pair = edges_df["pair"].to_numpy(dtype=np.int64)
     n_edges = len(pair)
     if n_edges == 0:

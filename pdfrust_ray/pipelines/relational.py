@@ -3636,30 +3636,24 @@ def events_type_daily_uniques(sf_dir: str) -> pd.DataFrame:
         days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
         tix = np.array([ti[x] for x in t["event_type"].to_pylist()], dtype=np.int64)
         key = np.unique(((days * n_types + tix) << 32) | u)
-        return pa.table(
-            {
-                "key": pa.array(key, pa.int64()),
-                "shard": pa.array((key % 64).astype(np.int32), pa.int32()),
-            }
-        )
+        return pa.table({"key": pa.array(key, pa.int64())})
 
-    def count_of_shard(g: pd.DataFrame) -> pd.DataFrame:
+    def count_partials(t: pa.Table) -> pa.Table:
+        # keys are globally distinct after shard_distinct, so per-batch
+        # group counts are additive partials
         import numpy as np
 
-        key = np.unique(g["key"].to_numpy())
-        grp = key >> 32  # (day * n_types + tix)
+        grp = t["key"].to_numpy() >> 32  # (day * n_types + tix)
         ug, cnt = np.unique(grp, return_counts=True)
-        return pd.DataFrame(
-            {
-                "grp": pd.Series(ug, dtype="int64"),
-                "n_part": pd.Series(cnt, dtype="int64"),
-            }
+        return pa.table(
+            {"grp": pa.array(ug, pa.int64()), "n_part": pa.array(cnt, pa.int64())}
         )
 
+    from pdfrust_ray.stages.shard import shard_distinct
+
     parts = (
-        ds.map_batches(keys, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(count_of_shard, batch_format="pandas")
+        shard_distinct(ds.map_batches(keys, batch_format="pyarrow"))
+        .map_batches(count_partials, batch_format="pyarrow")
         .to_pandas()
     )
     tot = parts.groupby("grp")["n_part"].sum()
@@ -3835,52 +3829,43 @@ def rolling_wau(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
             raise ValueError("user_id exceeds the 31-bit packing bound")
         days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
         key = np.unique((days << 32) | u)
-        return pa.table(
-            {
-                "key": pa.array(key, pa.int64()),
-                "shard": pa.array((key % 64).astype(np.int32), pa.int32()),
-            }
-        )
+        return pa.table({"key": pa.array(key, pa.int64())})
 
-    def fanout_of_shard(g: pd.DataFrame) -> pd.DataFrame:
-        key = np.unique(g["key"].to_numpy())
+    def fanout(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy()
         d = key >> 32
         u = key & ((1 << 32) - 1)
         outs = [((d + off) << 32) | u for off in range(window_days)]
         outs.append((d << 32) | SENTINEL)  # observed-day markers
-        k2 = np.unique(np.concatenate(outs))
-        return pd.DataFrame(
-            {
-                "key": pd.Series(k2, dtype="int64"),
-                "shard": pd.Series((k2 % 64).astype(np.int32), dtype="int32"),
-            }
-        )
+        return pa.table({"key": pa.array(np.unique(np.concatenate(outs)), pa.int64())})
 
-    def count_of_shard(g: pd.DataFrame) -> pd.DataFrame:
-        key = np.unique(g["key"].to_numpy())
+    def count_partials(t: pa.Table) -> pa.Table:
+        # keys globally distinct after the second shard_distinct
+        key = t["key"].to_numpy()
         d = key >> 32
         u = key & ((1 << 32) - 1)
         sent = u == SENTINEL
         ud, cnt = np.unique(d[~sent], return_counts=True)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "day_idx": pd.Series(np.concatenate([ud, d[sent]]), dtype="int64"),
-                "n_part": pd.Series(
-                    np.concatenate([cnt, np.zeros(int(sent.sum()), np.int64)]),
-                    dtype="int64",
+                "day_idx": pa.array(np.concatenate([ud, d[sent]]), pa.int64()),
+                "n_part": pa.array(
+                    np.concatenate([cnt, np.zeros(int(sent.sum()), np.int64)]), pa.int64()
                 ),
-                "observed": pd.Series(
+                "observed": pa.array(
                     np.concatenate([np.zeros(len(ud), bool), np.ones(int(sent.sum()), bool)])
                 ),
             }
         )
 
+    from pdfrust_ray.stages.shard import shard_distinct
+
     parts = (
-        ds.map_batches(keys, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(fanout_of_shard, batch_format="pandas")
-        .groupby("shard")
-        .map_groups(count_of_shard, batch_format="pandas")
+        shard_distinct(
+            shard_distinct(ds.map_batches(keys, batch_format="pyarrow"))
+            .map_batches(fanout, batch_format="pyarrow")
+        )
+        .map_batches(count_partials, batch_format="pyarrow")
         .to_pandas()
     )
     counts = parts.groupby("day_idx")["n_part"].sum()
@@ -3998,4 +3983,114 @@ def funnel_three_step_sql(window_us: int = 3_600_000_000) -> str:
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u1) AS n_signup_users,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM u2) AS n_reached_view,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM u3) AS n_reached_purchase
+    """
+
+
+def top_value_events(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global ORDER BY ... LIMIT k WITHOUT a global sort: each batch
+    keeps its local top-k by (value DESC, event_id ASC), so the driver
+    merge sees O(blocks x k) rows — the mergeable top-k pattern
+    (same family as bottom_k_sample), exact for any total order."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_id": t["event_id"].to_numpy(), "value": t["value"].to_numpy()}
+        )
+        df = df.sort_values(
+            ["value", "event_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(
+        ["value", "event_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def top_value_events_sql(k: int = 20) -> str:
+    return f"""
+        SELECT event_id, value FROM events
+        ORDER BY value DESC, event_id
+        LIMIT {k}
+    """
+
+
+def user_gap_stats(sf_dir: str) -> pd.DataFrame:
+    """Inter-event gap moments per user — the feature-engineering
+    staple (burstiness / regularity). Gaps are whole SECONDS (integer
+    floor of the epoch difference), so count / sum / sum-of-squares are
+    exact int64 partials (max gap ~2.6e6 s -> squares ~7e12, far from
+    overflow) and the SQL twin matches bit-for-bit without float
+    summation order ever entering."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy()).astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(ts) // 1_000_000  # whole seconds, floor
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([int(g["user_id"].iloc[0])], dtype="int64"),
+                "n_gaps": pd.Series([len(gaps)], dtype="int64"),
+                "sum_gap_s": pd.Series([int(gaps.sum())], dtype="int64"),
+                "sum_gap_sq_s": pd.Series([int((gaps * gaps).sum())], dtype="int64"),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def user_gap_stats_sql() -> str:
+    return """
+        WITH g AS (
+            SELECT user_id,
+                   (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS gap_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id,
+               CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+               CAST(COALESCE(SUM(gap_s), 0) AS BIGINT) AS sum_gap_s,
+               CAST(COALESCE(SUM(gap_s * gap_s), 0) AS BIGINT) AS sum_gap_sq_s
+        FROM g
+        GROUP BY user_id
+        ORDER BY user_id
+    """
+
+
+def source_quality_rollup(sf_dir: str) -> pd.DataFrame:
+    """Per (source, lang) corpus profile: document count and total
+    characters — the provenance panel a curation pipeline keeps per
+    crawl source. One two-key groupby over pruned columns; n_chars is
+    int64 so sums are order-free exact."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+    out = (
+        ds.groupby(["source", "lang"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+def source_quality_rollup_sql() -> str:
+    return """
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY source, lang
     """

@@ -344,3 +344,58 @@ def test_funnel_three_step_non_greedy(ray_session, tmp_path):
     assert mine["n_signup_users"] == 2
     assert mine["n_reached_view"] == 1  # only user 1 has view after signup
     assert mine["n_reached_purchase"] == 1
+
+
+def test_top_value_events_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import top_value_events, top_value_events_sql
+
+    mine = top_value_events(SF)
+    assert len(mine) == 20
+    assert mine["value"].is_monotonic_decreasing
+    _assert_oracle(con, mine, top_value_events_sql())
+
+
+def test_user_gap_stats_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import user_gap_stats, user_gap_stats_sql
+
+    mine = user_gap_stats(SF)
+    assert (mine["n_gaps"] >= 0).all()
+    # Cauchy-Schwarz sanity: n * sum_sq >= sum^2 for every user
+    ok = mine["n_gaps"] * mine["sum_gap_sq_s"] >= mine["sum_gap_s"] ** 2
+    assert ok[mine["n_gaps"] > 0].all()
+    _assert_oracle(con, mine, user_gap_stats_sql())
+
+
+def test_source_quality_rollup_oracle(ray_session, con):
+    import duckdb as _d
+
+    from pdfrust_ray.pipelines.relational import (
+        source_quality_rollup,
+        source_quality_rollup_sql,
+    )
+
+    c = _d.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    mine = source_quality_rollup(SF)
+    assert mine["n_docs"].sum() == 500
+    _assert_oracle(c, mine, source_quality_rollup_sql())
+
+
+def test_shard_helpers_roundtrip(ray_session):
+    # shard_distinct / shard_sum equal their serial references
+    import ray.data as rd
+
+    from pdfrust_ray.stages.shard import shard_distinct, shard_sum
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 500, size=10_000).astype("int64")
+    vals = rng.integers(1, 10, size=10_000).astype("int64")
+    df = pd.DataFrame({"key": keys, "val": vals})
+    ds = rd.from_pandas(df)
+
+    d = shard_distinct(ds, "key").to_pandas()["key"].sort_values().tolist()
+    assert d == sorted(set(keys.tolist()))
+
+    s = shard_sum(ds, "key", "val").to_pandas().set_index("key")["val"].to_dict()
+    ref = df.groupby("key")["val"].sum().to_dict()
+    assert s == ref
