@@ -587,6 +587,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_stats": rel.user_gap_stats,
         # per-(source, lang) provenance rollup over documents
         "source_quality_rollup": rel.source_quality_rollup,
+        # LTV cohort curve: one customer-keyed shuffle, group-local ages
+        "customer_ltv_cohorts": rel.customer_ltv_cohorts,
+        # ratio-to-report in exact integer parts-per-million
+        "nation_revenue_share": rel.nation_revenue_share,
     }
 
 
@@ -863,6 +867,8 @@ def oracle_sql() -> dict[str, str]:
         "top_value_events": rel.top_value_events_sql(),
         "user_gap_stats": rel.user_gap_stats_sql(),
         "source_quality_rollup": rel.source_quality_rollup_sql(),
+        "customer_ltv_cohorts": rel.customer_ltv_cohorts_sql(),
+        "nation_revenue_share": rel.nation_revenue_share_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -4094,3 +4094,138 @@ def source_quality_rollup_sql() -> str:
         GROUP BY 1, 2
         ORDER BY source, lang
     """
+
+
+def customer_ltv_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Customer-lifetime-value cohort curve over the multi-year orders
+    history: cohort = year of the customer's FIRST order, age = order
+    year minus cohort year; per (cohort_year, age) cell the order
+    count, revenue, and number of distinct active customers.
+
+    Distributed shape: ONE customer-keyed shuffle — first-order year
+    and per-age aggregates are group-local facts (each customer
+    contributes exactly one partial row per age cell, so distinct
+    customers per cell is a plain SUM of ones) — then a per-batch
+    arrow combiner collapses partials to the tiny cohort x age grid
+    and the driver folds O(blocks x cells) rows. No second shuffle,
+    no COUNT DISTINCT machinery."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        year = g["o_orderdate"].dt.year.to_numpy()
+        cents = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        y0 = int(year.min())
+        age = year - y0
+        ua, inv = np.unique(age, return_inverse=True)
+        n = np.bincount(inv)
+        rev = np.bincount(inv, weights=cents).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "cohort_year": pd.Series(np.full(len(ua), y0), dtype="int64"),
+                "age": pd.Series(ua, dtype="int64"),
+                "n_orders": pd.Series(n, dtype="int64"),
+                "revenue_cents": pd.Series(rev, dtype="int64"),
+                "n_customers": pd.Series(np.ones(len(ua)), dtype="int64"),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["cohort_year", "age"]).aggregate(
+            [("n_orders", "sum"), ("revenue_cents", "sum"), ("n_customers", "sum")]
+        )
+        return g.rename_columns(
+            ["cohort_year", "age", "n_orders", "revenue_cents", "n_customers"]
+        )
+
+    parts = (
+        ds.groupby("o_custkey")
+        .map_groups(per_cust, batch_format="pandas")
+        .map_batches(combine, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["cohort_year", "age"], as_index=False)[
+            ["n_orders", "revenue_cents", "n_customers"]
+        ]
+        .sum()
+        .sort_values(["cohort_year", "age"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def customer_ltv_cohorts_sql() -> str:
+    return """
+        WITH fy AS (
+            SELECT o_custkey, MIN(date_part('year', o_orderdate)) AS y0
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(fy.y0 AS BIGINT) AS cohort_year,
+               CAST(date_part('year', o.o_orderdate) - fy.y0 AS BIGINT) AS age,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+        FROM orders o JOIN fy ON fy.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+        ORDER BY cohort_year, age
+    """
+
+
+def nation_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Ratio-to-report: each nation's share of total supplier-side
+    revenue, in integer parts-per-million (rev_cents * 1e6 // total) so
+    the division is exact integer arithmetic, not a float. Broadcast
+    dim attach -> one tiny groupby -> driver finalize over the
+    nation-cardinality aggregate."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    dim = supp.join(nation, keys="s_nationkey", right_keys="n_nationkey").select(
+        ["s_suppkey", "n_name"]
+    )
+    ref = ray.put(dim)
+
+    def attach(t: pa.Table, *, ref) -> pa.Table:
+        d = ray.get(ref)
+        left = pa.table(
+            {"l_suppkey": t["l_suppkey"], "price_cents": _cents(t["l_extendedprice"])}
+        )
+        j = left.join(d, keys="l_suppkey", right_keys="s_suppkey", join_type="inner")
+        return j.select(["n_name", "price_cents"])
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice"])
+    agg = (
+        ds.map_batches(attach, batch_format="pyarrow", fn_kwargs={"ref": ref})
+        .groupby("n_name")
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    total = int(agg["revenue_cents"].sum())
+    agg["revenue_cents"] = agg["revenue_cents"].astype("int64")
+    agg["share_ppm"] = (agg["revenue_cents"] * 1_000_000 // total).astype("int64")
+    return agg.sort_values("n_name").reset_index(drop=True)
+
+
+def nation_revenue_share_sql() -> str:
+    return """
+        WITH a AS (
+            SELECT n.n_name,
+                   CAST(ROUND(SUM(ROUND(l.l_extendedprice * 100))) AS BIGINT)
+                     AS revenue_cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        )
+        SELECT n_name, revenue_cents,
+               CAST(revenue_cents * 1000000 // (SELECT SUM(revenue_cents) FROM a)
+                    AS BIGINT) AS share_ppm
+        FROM a
+        ORDER BY n_name
+    """

@@ -399,3 +399,33 @@ def test_shard_helpers_roundtrip(ray_session):
     s = shard_sum(ds, "key", "val").to_pandas().set_index("key")["val"].to_dict()
     ref = df.groupby("key")["val"].sum().to_dict()
     assert s == ref
+
+
+def test_customer_ltv_cohorts_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        customer_ltv_cohorts,
+        customer_ltv_cohorts_sql,
+    )
+
+    mine = customer_ltv_cohorts(SF)
+    assert len(mine) > 1
+    # every cohort has an age-0 cell (the first order defines the cohort)
+    assert set(mine.loc[mine["age"] == 0, "cohort_year"]) == set(mine["cohort_year"])
+    _assert_oracle(con, mine, customer_ltv_cohorts_sql())
+
+
+def test_nation_revenue_share_oracle(ray_session, con):
+    import duckdb as _d
+
+    from pdfrust_ray.pipelines.relational import (
+        nation_revenue_share,
+        nation_revenue_share_sql,
+    )
+
+    c = _d.connect()
+    for tb in ("lineitem", "supplier", "nation"):
+        c.execute(f"CREATE VIEW {tb} AS SELECT * FROM read_parquet('{SF}/{tb}.parquet')")
+    mine = nation_revenue_share(SF)
+    # shares are ppm of the total (floor division -> sum <= 1e6)
+    assert 0 < mine["share_ppm"].sum() <= 1_000_000
+    _assert_oracle(c, mine, nation_revenue_share_sql())
