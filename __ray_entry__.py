@@ -591,6 +591,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_ltv_cohorts": rel.customer_ltv_cohorts,
         # ratio-to-report in exact integer parts-per-million
         "nation_revenue_share": rel.nation_revenue_share,
+        # bounce rate per session-start day (integer ppm)
+        "session_bounce_rate": rel.session_bounce_rate,
+        # first-order Markov event-type transition matrix (ppm rows)
+        "event_type_transitions": rel.event_type_transitions,
+        # per-day discrete p50/p90 (actual data values, bit-exact)
+        "events_daily_percentiles": rel.events_daily_percentiles,
+        # behavioral journey signatures (first-k event types)
+        "user_journey_counts": rel.user_journey_counts,
+        # per-user event-type Shannon entropy (exact nano-nats)
+        "user_type_entropy": rel.user_type_entropy,
+        # time-to-conversion histogram with a censored bucket
+        "days_to_first_purchase": rel.days_to_first_purchase,
+        # top-decile revenue share via the bounded-domain CDF
+        "customer_revenue_concentration": rel.customer_revenue_concentration,
+        # per-tool call latency accounting over the transcript table
+        "tool_latency": _q_conv(cv.tool_latency),
     }
 
 
@@ -869,6 +885,14 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_rollup": rel.source_quality_rollup_sql(),
         "customer_ltv_cohorts": rel.customer_ltv_cohorts_sql(),
         "nation_revenue_share": rel.nation_revenue_share_sql(),
+        "session_bounce_rate": rel.session_bounce_rate_sql(),
+        "event_type_transitions": rel.event_type_transitions_sql(),
+        "events_daily_percentiles": rel.events_daily_percentiles_sql(),
+        "user_journey_counts": rel.user_journey_counts_sql(),
+        "user_type_entropy": rel.user_type_entropy_sql(),
+        "days_to_first_purchase": rel.days_to_first_purchase_sql(),
+        "customer_revenue_concentration": rel.customer_revenue_concentration_sql(),
+        "tool_latency": cv.tool_latency_sql(_T2_SHARDS),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

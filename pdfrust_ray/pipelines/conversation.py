@@ -501,3 +501,87 @@ def conv_extract_stats_sql(golden_path: str) -> str:
         FROM read_parquet('{golden_path}')
         GROUP BY conv_id ORDER BY conv_id
     """
+
+
+def tool_latency(corpus_dir: str) -> pd.DataFrame:
+    """Per-tool latency accounting: for every tool turn, the gap from
+    the previous turn of the same conversation (the time the tool call
+    took to come back); per tool the call count, total and max latency
+    in exact microseconds.
+
+    Same one-bucket-shuffle shape as turn_latency — gaps for ALL
+    conversations in a bucket come from one sort + numpy diff with a
+    conversation-boundary mask; per-tool (count, sum, max) partials
+    fold on the driver over |tools| x |buckets| rows."""
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role", "tool", "ts"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        us = g["ts"].astype("int64").to_numpy()
+        if not len(us):
+            return pd.DataFrame(
+                {
+                    "tool": pd.Series([], dtype="object"),
+                    "n_calls": pd.Series([], dtype="int64"),
+                    "sum_latency_us": pd.Series([], dtype="int64"),
+                    "max_latency_us": pd.Series([], dtype="int64"),
+                }
+            )
+        gap = np.empty(len(us), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = us[1:] - us[:-1]
+        conv = g["conv_id"].to_numpy()
+        opening = np.r_[True, conv[1:] != conv[:-1]]
+        gap[opening] = -1
+        mask = (g["role"].to_numpy() == "tool") & ~opening
+        df = pd.DataFrame({"tool": g["tool"].to_numpy()[mask], "gap": gap[mask]})
+        agg = df.groupby("tool")["gap"].agg(["size", "sum", "max"]).reset_index()
+        return pd.DataFrame(
+            {
+                "tool": agg["tool"],
+                "n_calls": agg["size"].astype("int64"),
+                "sum_latency_us": agg["sum"].astype("int64"),
+                "max_latency_us": agg["max"].astype("int64"),
+            }
+        )
+
+    parts = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("tool", as_index=False)
+        .agg(
+            n_calls=("n_calls", "sum"),
+            sum_latency_us=("sum_latency_us", "sum"),
+            max_latency_us=("max_latency_us", "max"),
+        )
+        .sort_values("tool")
+        .reset_index(drop=True)
+    )
+    for c in ("n_calls", "sum_latency_us", "max_latency_us"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def tool_latency_sql(shards_glob: str) -> str:
+    return f"""
+        WITH l AS (
+            SELECT role, tool,
+                   epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+            FROM read_parquet('{shards_glob}')
+        )
+        SELECT tool,
+               CAST(COUNT(*) AS BIGINT) AS n_calls,
+               CAST(SUM(gap_us) AS BIGINT) AS sum_latency_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_latency_us
+        FROM l
+        WHERE role = 'tool' AND gap_us IS NOT NULL
+        GROUP BY tool
+        ORDER BY tool
+    """

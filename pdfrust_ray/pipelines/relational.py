@@ -4229,3 +4229,450 @@ def nation_revenue_share_sql() -> str:
         FROM a
         ORDER BY n_name
     """
+
+
+def session_bounce_rate(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Bounce rate per session-start day: share of sessions with exactly
+    one event, in integer parts-per-million. Session detection is the
+    coarse-sharded vectorized pass of concurrent_sessions_daily_peak;
+    per-day (n_sessions, n_bounce) partials fold on the driver and the
+    ppm division stays integer-exact."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "shard", pa.array((t["user_id"].to_numpy() % 64).astype(np.int32), pa.int32())
+        )
+
+    def day_partials(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype="datetime64[ns]"),
+                    "n_sessions": pd.Series([], dtype="int64"),
+                    "n_bounce": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        gap_td = np.timedelta64(gap_minutes * 60_000_000_000, "ns")
+        boundary = np.r_[True, (u[1:] != u[:-1]) | (np.diff(ts) > gap_td)]
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.r_[starts, len(u)])
+        day = ts[starts].astype("datetime64[D]")
+        ud, inv = np.unique(day, return_inverse=True)
+        n_sessions = np.bincount(inv)
+        n_bounce = np.bincount(inv, weights=(sizes == 1)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "day": pd.Series(ud.astype("datetime64[ns]")),
+                "n_sessions": pd.Series(n_sessions, dtype="int64"),
+                "n_bounce": pd.Series(n_bounce, dtype="int64"),
+            }
+        )
+
+    parts = (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(day_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("day", as_index=False)[["n_sessions", "n_bounce"]]
+        .sum()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_bounce"] = out["n_bounce"].astype("int64")
+    out["bounce_ppm"] = (out["n_bounce"] * 1_000_000 // out["n_sessions"]).astype("int64")
+    return out
+
+
+def session_bounce_rate_sql(gap_minutes: int = 30) -> str:
+    return f"""
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM o
+        ), sess AS (
+            SELECT date_trunc('day', MIN(ts)) AS day, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, session_id
+        )
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounce,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS bounce_ppm
+        FROM sess
+        GROUP BY day
+        ORDER BY day
+    """
+
+
+def event_type_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream (ordered by ts, event_id): count of each from -> to bigram
+    plus the row-normalized probability in integer ppm. One user-keyed
+    shuffle; bigram counting is a vectorized per-group pass; the
+    type x type grid (25 cells) folds on the driver."""
+    import numpy as np
+
+    type_idx = {t: i for i, t in enumerate(sorted(_EVENT_TYPES))}
+    n_types = len(type_idx)
+    tref = ray.put(type_idx)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ti = ray.get(tref)
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        tix = g["event_type"].map(ti).to_numpy()
+        if len(tix) < 2:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        cell = tix[:-1] * n_types + tix[1:]
+        uc, cnt = np.unique(cell, return_counts=True)
+        return pd.DataFrame(
+            {"cell": pd.Series(uc, dtype="int64"), "n": pd.Series(cnt, dtype="int64")}
+        )
+
+    parts = (
+        ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    )
+    tot = parts.groupby("cell")["n"].sum()
+    inv = {i: t for t, i in type_idx.items()}
+    cells = sorted(tot.index)
+    n = tot[cells].to_numpy(dtype=np.int64)
+    frm = np.array([c // n_types for c in cells])
+    row_tot = {f: int(n[frm == f].sum()) for f in set(frm)}
+    out = pd.DataFrame(
+        {
+            "from_type": [inv[int(c // n_types)] for c in cells],
+            "to_type": [inv[int(c % n_types)] for c in cells],
+            "n": pd.Series(n, dtype="int64"),
+            "p_ppm": pd.Series(
+                [int(v) * 1_000_000 // row_tot[f] for v, f in zip(n, frm)], dtype="int64"
+            ),
+        }
+    )
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def event_type_transitions_sql() -> str:
+    return """
+        WITH b AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events
+        ), c AS (
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM b WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                 AS p_ppm
+        FROM c
+        ORDER BY from_type, to_type
+    """
+
+
+def events_daily_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Per-day p50 / p90 of the value column, as ACTUAL data values
+    (discrete quantiles at rank floor((n-1)*q) — the equidepth
+    convention, so doubles are bit-exact). One day-keyed shuffle,
+    vectorized partial sort per group."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.floor_temporal(t["ts"], unit="day"), "value": t["value"]}
+        )
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        return pd.DataFrame(
+            {
+                "day": [g["day"].iloc[0]],
+                "n_events": pd.Series([n], dtype="int64"),
+                "p50": [v[(n - 1) * 50 // 100]],
+                "p90": [v[(n - 1) * 90 // 100]],
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(quants, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def events_daily_percentiles_sql() -> str:
+    return """
+        WITH ord AS (
+            SELECT date_trunc('day', ts) AS day, value,
+                   ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
+                                      ORDER BY value) AS rn,
+                   COUNT(*) OVER (PARTITION BY date_trunc('day', ts)) AS n
+            FROM events
+        )
+        SELECT day,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN value END) AS p50,
+               MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN value END) AS p90
+        FROM ord
+        GROUP BY day
+        ORDER BY day
+    """
+
+
+def user_journey_counts(sf_dir: str, k: int = 5, top: int = 30) -> pd.DataFrame:
+    """Behavioral journey mining: each user's first k event types in
+    (ts, event_id) order joined with '>' form their journey signature;
+    output the `top` signatures by (count DESC, journey ASC). One
+    user-keyed shuffle; signature counting is a small string-domain
+    fold (<= n_types^k signatures)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        j = ">".join(g["event_type"].head(k))
+        return pd.DataFrame({"journey": [j], "n_users": pd.Series([1], dtype="int64")})
+
+    parts = (
+        ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    )
+    out = (
+        parts.groupby("journey", as_index=False)["n_users"]
+        .sum()
+        .sort_values(["n_users", "journey"], ascending=[False, True], kind="mergesort")
+        .head(top)
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def user_journey_counts_sql(k: int = 5, top: int = 30) -> str:
+    return f"""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), j AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS journey
+            FROM ordered WHERE rn <= {k}
+            GROUP BY user_id
+        )
+        SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM j
+        GROUP BY journey
+        ORDER BY n_users DESC, journey
+        LIMIT {top}
+    """
+
+
+def user_type_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-user Shannon entropy of the event-type distribution in
+    nano-nats — the behavioral-diversity feature. One user-keyed
+    shuffle; each type contributes floor(-p*ln(p)*1e9 + 0.5) with p
+    computed in the same float-op order as the SQL twin (glibc ln ==
+    DuckDB ln — the token_entropy precedent), so the int64 sums are
+    exact."""
+    import math
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["event_type"].value_counts()
+        n = int(c.sum())
+        tot = 0
+        for cnt in c.to_numpy():
+            p = int(cnt) / n
+            tot += int(math.floor(-p * math.log(p) * 1e9 + 0.5))
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([int(g["user_id"].iloc[0])], dtype="int64"),
+                "entropy_nano": pd.Series([tot], dtype="int64"),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def user_type_entropy_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ), n AS (
+            SELECT user_id, SUM(cnt) AS n FROM c GROUP BY 1
+        )
+        SELECT c.user_id,
+               CAST(SUM(CAST(FLOOR(
+                   -(cnt / CAST(n.n AS DOUBLE))
+                   * ln(cnt / CAST(n.n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+                 AS BIGINT) AS entropy_nano
+        FROM c JOIN n ON c.user_id = n.user_id
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
+def days_to_first_purchase(sf_dir: str) -> pd.DataFrame:
+    """Time-to-conversion histogram: whole days from each user's FIRST
+    event to their FIRST purchase (-1 = never purchased, the censored
+    bucket). Per-user facts are group-local (one keyed shuffle); the
+    day histogram folds on the driver."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        t0 = g["ts"].min()
+        purch = g.loc[g["event_type"] == "purchase", "ts"]
+        if len(purch) == 0:
+            d = -1
+        else:
+            d = int((purch.min().value - t0.value) // (86_400 * 1_000_000_000))
+        return pd.DataFrame(
+            {"days": pd.Series([d], dtype="int64"), "n_users": pd.Series([1], dtype="int64")}
+        )
+
+    parts = (
+        ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    )
+    out = (
+        parts.groupby("days", as_index=False)["n_users"]
+        .sum()
+        .sort_values("days")
+        .reset_index(drop=True)
+    )
+    out["days"] = out["days"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def days_to_first_purchase_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT user_id, MIN(ts) AS t0,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(CASE WHEN tp IS NULL THEN -1
+                         ELSE (epoch_us(tp) - epoch_us(t0)) // 86400000000
+                    END AS BIGINT) AS days,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM f
+        GROUP BY 1
+        ORDER BY days
+    """
+
+
+def customer_revenue_concentration(sf_dir: str) -> pd.DataFrame:
+    """Revenue concentration: the share of total order revenue held by
+    the top decile of customers, in exact integer ppm. Per-customer
+    revenue is a single-key groupby; the top-k sum is taken from the
+    revenue-value FREQUENCY table (rank_normalize's bounded-domain CDF
+    trick), so driver state is O(distinct revenue values), never the
+    customer list — the k-th largest value and partial ties resolve
+    exactly in integer arithmetic."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "cents": _cents(t["o_totalprice"])}
+        )
+
+    cr = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="rev"))
+    )
+
+    def freq(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["rev"]), "rev").aggregate([("rev", "count")])
+        return pa.table({"rev": g["rev"], "cnt": g["rev_count"]})
+
+    f = (
+        cr.map_batches(freq, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("rev", as_index=False)["cnt"]
+        .sum()
+        .sort_values("rev", ascending=False)
+        .reset_index(drop=True)
+    )
+    n = int(f["cnt"].sum())
+    total = int((f["rev"] * f["cnt"]).sum())
+    k = n // 10
+    cum = f["cnt"].cumsum()
+    full = f[cum <= k]
+    top = int((full["rev"] * full["cnt"]).sum())
+    taken = int(full["cnt"].sum())
+    if taken < k:  # partial tie slice at the threshold value
+        top += int(f["rev"].iloc[len(full)]) * (k - taken)
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n], dtype="int64"),
+            "k": pd.Series([k], dtype="int64"),
+            "total_cents": pd.Series([total], dtype="int64"),
+            "top_decile_cents": pd.Series([top], dtype="int64"),
+            "share_ppm": pd.Series([top * 1_000_000 // total], dtype="int64"),
+        }
+    )
+
+
+def customer_revenue_concentration_sql() -> str:
+    return """
+        WITH cr AS (
+            SELECT o_custkey,
+                   CAST(ROUND(SUM(ROUND(o_totalprice * 100))) AS BIGINT) AS rev
+            FROM orders GROUP BY 1
+        ), r AS (
+            SELECT rev,
+                   ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+                   COUNT(*) OVER () AS n,
+                   SUM(rev) OVER () AS tot
+            FROM cr
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+               CAST(MAX(n) // 10 AS BIGINT) AS k,
+               CAST(MAX(tot) AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN rn <= n // 10 THEN rev ELSE 0 END) AS BIGINT)
+                 AS top_decile_cents,
+               CAST(SUM(CASE WHEN rn <= n // 10 THEN rev ELSE 0 END) * 1000000
+                    // MAX(tot) AS BIGINT) AS share_ppm
+        FROM r
+    """

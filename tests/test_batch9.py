@@ -429,3 +429,99 @@ def test_nation_revenue_share_oracle(ray_session, con):
     # shares are ppm of the total (floor division -> sum <= 1e6)
     assert 0 < mine["share_ppm"].sum() <= 1_000_000
     _assert_oracle(c, mine, nation_revenue_share_sql())
+
+
+def test_session_bounce_rate_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import session_bounce_rate, session_bounce_rate_sql
+
+    mine = session_bounce_rate(SF)
+    assert (mine["n_bounce"] <= mine["n_sessions"]).all()
+    assert (mine["bounce_ppm"] <= 1_000_000).all()
+    _assert_oracle(con, mine, session_bounce_rate_sql())
+
+
+def test_event_type_transitions_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        event_type_transitions,
+        event_type_transitions_sql,
+    )
+
+    mine = event_type_transitions(SF)
+    # each from-row's probabilities sum to ~1e6 (floor division slack < n_types)
+    sums = mine.groupby("from_type")["p_ppm"].sum()
+    assert ((sums > 999_990) & (sums <= 1_000_000)).all()
+    _assert_oracle(con, mine, event_type_transitions_sql())
+
+
+def test_events_daily_percentiles_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        events_daily_percentiles,
+        events_daily_percentiles_sql,
+    )
+
+    mine = events_daily_percentiles(SF)
+    assert (mine["p50"] <= mine["p90"]).all()
+    _assert_oracle(con, mine, events_daily_percentiles_sql())
+
+
+def test_user_journey_counts_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import user_journey_counts, user_journey_counts_sql
+
+    mine = user_journey_counts(SF)
+    assert len(mine) > 0
+    assert mine["n_users"].is_monotonic_decreasing
+    _assert_oracle(con, mine, user_journey_counts_sql())
+
+
+def test_user_type_entropy_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import user_type_entropy, user_type_entropy_sql
+
+    mine = user_type_entropy(SF)
+    # entropy of a <=5-type distribution is in [0, ln(5)] nats
+    assert (mine["entropy_nano"] >= 0).all()
+    assert (mine["entropy_nano"] <= 1_609_437_913).all()
+    _assert_oracle(con, mine, user_type_entropy_sql())
+
+
+def test_days_to_first_purchase_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        days_to_first_purchase,
+        days_to_first_purchase_sql,
+    )
+
+    mine = days_to_first_purchase(SF)
+    assert mine["n_users"].sum() == 15  # sf0.001 has 15 users
+    _assert_oracle(con, mine, days_to_first_purchase_sql())
+
+
+def test_revenue_concentration_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        customer_revenue_concentration,
+        customer_revenue_concentration_sql,
+    )
+
+    mine = customer_revenue_concentration(SF)
+    f = mine.iloc[0]
+    # the top decile must hold at least its proportional share
+    assert f["share_ppm"] >= 100_000 // 2
+    assert f["top_decile_cents"] <= f["total_cents"]
+    _assert_oracle(con, mine, customer_revenue_concentration_sql())
+
+
+def test_revenue_concentration_tie_slice(ray_session, tmp_path):
+    # 20 customers, all equal revenue 100.00 -> k=2, top slice is a pure
+    # tie: top_decile = 2 * 10000 cents, share = exactly 10% = 100000 ppm
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(range(20), pa.int64()),
+            "o_custkey": pa.array(range(20), pa.int64()),
+            "o_totalprice": pa.array([100.0] * 20, pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "orders.parquet")
+    from pdfrust_ray.pipelines.relational import customer_revenue_concentration
+
+    mine = customer_revenue_concentration(str(tmp_path)).iloc[0]
+    assert mine["k"] == 2
+    assert mine["top_decile_cents"] == 20000
+    assert mine["share_ppm"] == 100_000

@@ -124,3 +124,11 @@ def test_conv_extract_stats_matches_golden_oracle(ray_session):
     stats = cv.conv_stats(ensure_corpus("t2"))
     merged = a.merge(stats[["conv_id", "n_turns"]], on="conv_id", suffixes=("", "_raw"))
     assert (merged.n_turns == merged.n_turns_raw).all()
+
+
+def test_tool_latency_oracle(corpus):
+    d, g = corpus
+    got = cv.tool_latency(d)
+    assert len(got) >= 1
+    assert (got["max_latency_us"] <= got["sum_latency_us"]).all()
+    _compare(got, cv.tool_latency_sql(g))
