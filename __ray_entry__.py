@@ -607,6 +607,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_concentration": rel.customer_revenue_concentration,
         # per-tool call latency accounting over the transcript table
         "tool_latency": _q_conv(cv.tool_latency),
+        # fulfillment latency per priority (second big x big join consumer)
+        "fulfillment_latency": rel.fulfillment_latency,
+        # SCD type-2 dimension history from two crawl snapshots
+        "scd2_history": dso.scd2_history,
     }
 
 
@@ -893,6 +897,8 @@ def oracle_sql() -> dict[str, str]:
         "days_to_first_purchase": rel.days_to_first_purchase_sql(),
         "customer_revenue_concentration": rel.customer_revenue_concentration_sql(),
         "tool_latency": cv.tool_latency_sql(_T2_SHARDS),
+        "fulfillment_latency": rel.fulfillment_latency_sql(),
+        "scd2_history": dso.scd2_history_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

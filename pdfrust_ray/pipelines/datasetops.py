@@ -661,3 +661,113 @@ def zorder_pruned_count_sql(
                  AS n_buckets_scanned,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM zm) AS n_buckets_total
     """
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history construction from two snapshots
+# ---------------------------------------------------------------------------
+
+_SCD_D0 = "2024-01-01"
+_SCD_D1 = "2024-01-02"
+_SCD_OPEN = "2200-01-01"  # open-ended sentinel within datetime64[ns] range
+
+
+def scd2_history(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension type-2 build from the same two derived
+    snapshots as snapshot_diff (old crawl at D0, new crawl at D1):
+    every doc_id's version history as (text_md5, valid_from, valid_to,
+    is_current) rows — unchanged docs carry one open row from D0,
+    changed docs close the old version at D1 and open the new one,
+    removed docs close at D1 with nothing open, added docs open at D1.
+    valid_to uses a far-future sentinel (2200-01-01) instead of NULL so
+    the value-hash compare is total and stays in datetime64[ns] range.
+
+    Same exchange as snapshot_diff: per-side md5 reduction (text never
+    shuffles), one doc_id-keyed groupby emitting 1-2 history rows per
+    key."""
+    from pdfrust_ray.pipelines.datasetops import snapshot_diff  # noqa: F401  (shape twin)
+
+    def side_rows(side: int, edit: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            mod = ids % 10
+            keep = mod != (9 if side == 0 else 0)
+            texts = t["text"].to_pylist()
+            out_id, out_md5 = [], []
+            for i in np.nonzero(keep)[0]:
+                txt = texts[i]
+                if edit and mod[i] == 5:
+                    txt = txt.upper()
+                out_id.append(int(ids[i]))
+                out_md5.append(hashlib.md5(txt.encode()).hexdigest())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_id, pa.int64()),
+                    "side": pa.array([side] * len(out_id), pa.int32()),
+                    "text_md5": pa.array(out_md5, pa.string()),
+                }
+            )
+
+        return f
+
+    old = _docs(sf_dir).map_batches(side_rows(0, False), batch_format="pyarrow")
+    new = _docs(sf_dir).map_batches(side_rows(1, True), batch_format="pyarrow")
+
+    def history(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, grp in g.groupby("doc_id", sort=False):
+            s = dict(zip(grp["side"], grp["text_md5"]))
+            if 0 in s and 1 in s:
+                if s[0] == s[1]:  # unchanged: one open row since D0
+                    rows.append((did, s[0], _SCD_D0, _SCD_OPEN, True))
+                else:  # changed: close old at D1, open new
+                    rows.append((did, s[0], _SCD_D0, _SCD_D1, False))
+                    rows.append((did, s[1], _SCD_D1, _SCD_OPEN, True))
+            elif 0 in s:  # removed: closed, nothing current
+                rows.append((did, s[0], _SCD_D0, _SCD_D1, False))
+            else:  # added: open since D1
+                rows.append((did, s[1], _SCD_D1, _SCD_OPEN, True))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "text_md5", "valid_from", "valid_to", "is_current"]
+        )
+
+    out = (
+        old.union(new)
+        .groupby("doc_id")
+        .map_groups(history, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["is_current"] = out["is_current"].astype(bool)
+    out["valid_from"] = pd.to_datetime(out["valid_from"])
+    out["valid_to"] = pd.to_datetime(out["valid_to"])
+    return out.sort_values(["doc_id", "valid_from"]).reset_index(drop=True)
+
+
+def scd2_history_sql() -> str:
+    return f"""
+        WITH old AS (
+            SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 != 9
+        ), new AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 10 = 5 THEN upper(text) ELSE text END) AS h
+            FROM documents WHERE doc_id % 10 != 0
+        ), j AS (
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.h AS oh, n.h AS nh
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        )
+        SELECT doc_id, text_md5, valid_from, valid_to, is_current FROM (
+            SELECT doc_id, oh AS text_md5,
+                   TIMESTAMP '{_SCD_D0}' AS valid_from,
+                   CASE WHEN nh IS NOT NULL AND oh = nh
+                        THEN TIMESTAMP '{_SCD_OPEN}'
+                        ELSE TIMESTAMP '{_SCD_D1}' END AS valid_to,
+                   (nh IS NOT NULL AND oh = nh) AS is_current
+            FROM j WHERE oh IS NOT NULL
+            UNION ALL
+            SELECT doc_id, nh,
+                   TIMESTAMP '{_SCD_D1}', TIMESTAMP '{_SCD_OPEN}', TRUE
+            FROM j WHERE nh IS NOT NULL AND (oh IS NULL OR oh != nh)
+        )
+        ORDER BY doc_id, valid_from
+    """

@@ -4676,3 +4676,65 @@ def customer_revenue_concentration_sql() -> str:
                     // MAX(tot) AS BIGINT) AS share_ppm
         FROM r
     """
+
+
+def fulfillment_latency(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+    """Order-fulfillment latency per priority: whole days from order
+    date to each lineitem's ship date. A second consumer of the
+    big x big hash-partitioned Dataset.join (lineitem x orders on
+    orderkey, both sides projected to two columns before the
+    exchange); the 5-key (count, sum, max) day stats fold from
+    per-batch arrow partials — integer-exact end to end."""
+    import numpy as np
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    joined = li.join(
+        od,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ordd = t["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        days = (ship - ordd) // 86_400_000_000
+        df = pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pylist(), "d": days})
+        agg = df.groupby("o_orderpriority")["d"].agg(["size", "sum", "max"]).reset_index()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(agg["o_orderpriority"], pa.string()),
+                "n": pa.array(agg["size"].astype("int64"), pa.int64()),
+                "s": pa.array(agg["sum"].astype("int64"), pa.int64()),
+                "m": pa.array(agg["max"].astype("int64"), pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("o_orderpriority", as_index=False)
+        .agg(n_items=("n", "sum"), sum_days=("s", "sum"), max_days=("m", "max"))
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    for c in ("n_items", "sum_days", "max_days"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def fulfillment_latency_sql() -> str:
+    return """
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                        // 86400000000) AS BIGINT) AS sum_days,
+               CAST(MAX((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                        // 86400000000) AS BIGINT) AS max_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+        ORDER BY o.o_orderpriority
+    """

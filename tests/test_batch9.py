@@ -525,3 +525,44 @@ def test_revenue_concentration_tie_slice(ray_session, tmp_path):
     assert mine["k"] == 2
     assert mine["top_decile_cents"] == 20000
     assert mine["share_ppm"] == 100_000
+
+
+def test_fulfillment_latency_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import fulfillment_latency, fulfillment_latency_sql
+
+    mine = fulfillment_latency(SF)
+    assert len(mine) == 5
+    assert (mine["max_days"] * mine["n_items"] >= mine["sum_days"]).all()
+    _assert_oracle(con, mine, fulfillment_latency_sql())
+
+
+def test_scd2_history_oracle(ray_session):
+    import duckdb as _d
+
+    from pdfrust_ray.pipelines.datasetops import scd2_history, scd2_history_sql
+
+    c = _d.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    mine = scd2_history(SF)
+    # structural invariants: exactly one current row per live doc_id;
+    # closed rows end at D1
+    cur = mine[mine["is_current"]]
+    assert cur["doc_id"].is_unique
+    closed = mine[~mine["is_current"]]
+    assert (closed["valid_to"] == pd.Timestamp("2024-01-02")).all()
+    _assert_oracle(c, mine, scd2_history_sql())
+
+
+def test_scd2_history_classes(ray_session):
+    # derived-snapshot classes: doc_id%10==9 -> added (one open D1 row),
+    # %10==0 -> removed (one closed row), %10==5 -> changed (two rows)
+    from pdfrust_ray.pipelines.datasetops import scd2_history
+
+    mine = scd2_history(SF)
+    per = mine.groupby("doc_id").size()
+    sample_changed = [d for d in per.index if d % 10 == 5][:3]
+    assert all(per[d] == 2 for d in sample_changed)
+    sample_added = [d for d in per.index if d % 10 == 9][:3]
+    add_rows = mine[mine["doc_id"].isin(sample_added)]
+    assert (add_rows["valid_from"] == pd.Timestamp("2024-01-02")).all()
+    assert add_rows["is_current"].all()
