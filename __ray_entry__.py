@@ -611,6 +611,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulfillment_latency": rel.fulfillment_latency,
         # SCD type-2 dimension history from two crawl snapshots
         "scd2_history": dso.scd2_history,
+        # corpus-wide duplicated-passage removal (RefinedWeb line dedup shape)
+        "segment_dedup": llm.segment_dedup,
+        # context-window suffix retention accounting over the transcript table
+        "context_truncation": _q_conv(cv.context_truncation),
+        # TPC-H Q3: segment-filtered big x big join, global revenue top-10
+        "tpch_q3": rel.tpch_q3,
+        # NTILE(4) balance quartiles per market segment
+        "ntile_quartiles": rel.ntile_quartiles,
+        # users-to-date curve via the first-touch trick
+        "cumulative_distinct_users": rel.cumulative_distinct_users,
+        # ORC ingest path + order-independent table checksum parity
+        "documents_checksum_orc": dso.documents_checksum_orc,
+        # last-touch marketing attribution with a lookback window
+        "last_touch_attribution": rel.last_touch_attribution,
+        # trailing-7-event robust median per user
+        "rolling_median_value": rel.rolling_median_value,
+        # incremental materialized-view maintenance (base + CDC delta merge)
+        "mv_incremental_daily_revenue": rel.mv_incremental_daily_revenue,
+        # A/B readout with deterministic hash assignment, integer-ppm lift
+        "experiment_lift": rel.experiment_lift,
+        # storage-co-partitioned bucketed join (zero shuffle at query time)
+        "bucketed_join_revenue": dso.bucketed_join_revenue,
     }
 
 
@@ -899,6 +921,17 @@ def oracle_sql() -> dict[str, str]:
         "tool_latency": cv.tool_latency_sql(_T2_SHARDS),
         "fulfillment_latency": rel.fulfillment_latency_sql(),
         "scd2_history": dso.scd2_history_sql(),
+        "segment_dedup": llm.segment_dedup_sql(),
+        "context_truncation": cv.context_truncation_sql(_T2_SHARDS),
+        "tpch_q3": rel.tpch_q3_sql(),
+        "ntile_quartiles": rel.ntile_quartiles_sql(),
+        "cumulative_distinct_users": rel.cumulative_distinct_users_sql(),
+        "documents_checksum_orc": dso.documents_checksum_orc_sql(),
+        "last_touch_attribution": rel.last_touch_attribution_sql(),
+        "rolling_median_value": rel.rolling_median_value_sql(),
+        "mv_incremental_daily_revenue": rel.mv_incremental_daily_revenue_sql(),
+        "experiment_lift": rel.experiment_lift_sql(),
+        "bucketed_join_revenue": dso.bucketed_join_revenue_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -585,3 +585,122 @@ def tool_latency_sql(shards_glob: str) -> str:
         GROUP BY tool
         ORDER BY tool
     """
+
+
+def context_truncation(corpus_dir: str, budget: int = 256) -> pd.DataFrame:
+    """Context-window accounting: per conversation, the longest SUFFIX
+    of turns whose total whitespace-token count fits a fixed budget —
+    the turn set an LLM serving stack would actually keep when the
+    conversation exceeds its context window (most-recent-first
+    retention). Reports kept/dropped turn counts, tokens kept, and the
+    first retained turn_idx (-1 when even the final turn overflows).
+
+    One coarse-bucket shuffle co-locates conversations; inside a
+    bucket one (conv_id, turn_idx) sort + reversed cumulative sums
+    handle every conversation vectorized. Token splitting uses an
+    EXPLICIT ASCII whitespace class on both sides — Python re's \\s
+    also matches U+0085/U+00A0-style unicode whitespace that RE2's \\s
+    does not, and the transcript payloads contain such bytes."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\x0c\r]+")
+
+    def token_count(text: str) -> int:
+        return len(ws.split(text))
+
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype="object"),
+                    "n_turns": pd.Series([], dtype="int64"),
+                    "n_kept": pd.Series([], dtype="int64"),
+                    "tokens_total": pd.Series([], dtype="int64"),
+                    "tokens_kept": pd.Series([], dtype="int64"),
+                    "first_kept_idx": pd.Series([], dtype="int64"),
+                }
+            )
+        tok = np.fromiter(
+            (token_count(t) for t in g["text"]), dtype=np.int64, count=len(g)
+        )
+        conv = g["conv_id"].to_numpy()
+        opening = np.r_[True, conv[1:] != conv[:-1]]
+        grp = np.cumsum(opening) - 1  # 0..n_convs-1, contiguous
+        totals = np.bincount(grp, weights=tok).astype(np.int64)
+        # inclusive prefix sum within each conversation
+        csum = np.cumsum(tok)
+        base = np.zeros(len(tok), dtype=np.int64)
+        starts = np.nonzero(opening)[0]
+        base[starts] = csum[starts] - tok[starts]
+        prefix_incl = csum - np.maximum.accumulate(base)
+        # suffix total INCLUDING this turn = conv total - prefix + own
+        suffix = totals[grp] - prefix_incl + tok
+        kept = suffix <= budget
+        n_kept = np.bincount(grp[kept], minlength=len(totals)).astype(np.int64)
+        tokens_kept = np.bincount(
+            grp[kept], weights=tok[kept], minlength=len(totals)
+        ).astype(np.int64)
+        idx = g["turn_idx"].to_numpy().astype(np.int64)
+        first_kept = np.full(len(totals), -1, dtype=np.int64)
+        # rows are sorted by turn_idx, so the first kept row per group wins
+        kept_rows = np.nonzero(kept)[0]
+        if len(kept_rows):
+            kg = grp[kept_rows]
+            first_of = np.r_[True, kg[1:] != kg[:-1]]
+            first_kept[kg[first_of]] = idx[kept_rows[first_of]]
+        n_turns = np.bincount(grp, minlength=len(totals)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "conv_id": conv[starts],
+                "n_turns": n_turns,
+                "n_kept": n_kept,
+                "tokens_total": totals,
+                "tokens_kept": tokens_kept,
+                "first_kept_idx": first_kept,
+            }
+        )
+
+    out = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "conv_id":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def context_truncation_sql(shards_glob: str, budget: int = 256) -> str:
+    return f"""
+        WITH t AS (
+            SELECT conv_id, turn_idx,
+                   length(string_split_regex(text, '[ \\t\\n\\x0b\\x0c\\r]+')) AS tok,
+                   SUM(length(string_split_regex(text,
+                       '[ \\t\\n\\x0b\\x0c\\r]+'))) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS suffix_tok
+            FROM read_parquet('{shards_glob}')
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN suffix_tok <= {budget} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(tok) AS BIGINT) AS tokens_total,
+               CAST(COALESCE(MAX(suffix_tok)
+                    FILTER (WHERE suffix_tok <= {budget}), 0) AS BIGINT)
+                   AS tokens_kept,
+               CAST(COALESCE(MIN(turn_idx)
+                    FILTER (WHERE suffix_tok <= {budget}), -1) AS BIGINT)
+                   AS first_kept_idx
+        FROM t GROUP BY conv_id ORDER BY conv_id
+    """

@@ -771,3 +771,166 @@ def scd2_history_sql() -> str:
         )
         ORDER BY doc_id, valid_from
     """
+
+
+def documents_checksum_orc(sf_dir: str) -> pd.DataFrame:
+    """Ingest-format parity gate: read the documents table through the
+    ORC path (sources/tabular.read_documents_orc) and compute the same
+    order-independent row checksum the parquet path would produce —
+    the swap-validation a format migration runs before flipping a
+    table pointer. Row hash covers doc_id, n_chars and md5(text);
+    the checksum is a commutative int64 sum of per-row md5-prefix-u32,
+    so per-batch partials fold with zero shuffle."""
+    import hashlib as _h
+
+    import numpy as np
+
+    from pdfrust_ray.sources.tabular import read_documents_orc
+
+    ds = read_documents_orc(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = 0
+        for did, nch, txt in zip(
+            t["doc_id"].to_pylist(), t["n_chars"].to_pylist(), t["text"].to_pylist()
+        ):
+            key = f"{did}|{nch}|{_h.md5(txt.encode()).hexdigest()}".encode()
+            s += int.from_bytes(_h.md5(key).digest()[:4], "big")
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([s], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([int(parts["n"].sum())], dtype="int64"),
+            "checksum": pd.Series([int(parts["s"].sum())], dtype="int64"),
+        }
+    )
+
+
+def documents_checksum_orc_sql() -> str:
+    return """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(
+                        CAST(doc_id AS VARCHAR) || '|' ||
+                        CAST(n_chars AS VARCHAR) || '|' || md5(text)), 1, 8))
+                    AS UBIGINT)) AS BIGINT) AS checksum
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# Storage-bucketed co-partitioned join (zero-global-shuffle join)
+# ---------------------------------------------------------------------------
+
+_N_JOIN_BUCKETS = 16
+
+
+def ensure_bucketed_layout(sf_dir: str, n_buckets: int = _N_JOIN_BUCKETS) -> str:
+    """Write lineitem and orders bucketed by orderkey % n_buckets (one
+    parquet file per bucket per table, Hive-style bucket= dirs) — the
+    co-partitioned table layout Hive/Iceberg/Delta bucketing produces.
+    Idempotent per scale dir. The layout pass is itself distributed:
+    each table streams through one bucket-keyed groupby whose groups
+    write their own file and return a manifest row."""
+    import os
+
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pdfrust_ray_bucketed_{scale}"
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+
+    def write_table(name: str, key: str, columns: list[str]):
+        ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy()
+            return t.append_column(
+                "_bucket", pa.array((k % n_buckets).astype(np.int32), pa.int32())
+            )
+
+        def write_group(g: pd.DataFrame) -> pd.DataFrame:
+            b = int(g["_bucket"].iloc[0])
+            d = os.path.join(out_dir, name, f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            t = pa.Table.from_pandas(g.drop(columns=["_bucket"]), preserve_index=False)
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(t, os.path.join(d, "part-0.parquet"))
+            return pd.DataFrame({"bucket": [b], "n_rows": [len(g)]})
+
+        return (
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(write_group, batch_format="pandas")
+            .to_pandas()
+        )
+
+    write_table("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"])
+    write_table("orders", "o_orderkey", ["o_orderkey", "o_orderstatus"])
+    open(marker, "w").close()
+    return out_dir
+
+
+def bucketed_join_revenue(sf_dir: str, n_buckets: int = _N_JOIN_BUCKETS) -> pd.DataFrame:
+    """Zero-global-shuffle join via storage co-partitioning: both
+    tables are pre-bucketed on the join key (ensure_bucketed_layout),
+    so the join runs as n_buckets INDEPENDENT local Arrow hash joins —
+    one task per bucket pair, no exchange at query time. This is the
+    bucketed-table join every warehouse uses to amortize its biggest
+    shuffle across all downstream joins; contrast with tpch_q3 /
+    fulfillment_latency, which pay the hash-partitioned exchange per
+    query. Revenue is per-row-quantized cents (SQL twin float-op
+    order)."""
+    base = ensure_bucketed_layout(sf_dir, n_buckets)
+    buckets = rd.from_items([{"bucket": b} for b in range(n_buckets)])
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+
+        outs = []
+        for b in t["bucket"].to_pylist():
+            li = _pq.read_table(f"{base}/lineitem/bucket={b}/part-0.parquet")
+            od = _pq.read_table(f"{base}/orders/bucket={b}/part-0.parquet")
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(li["l_extendedprice"], pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            li = pa.table({"l_orderkey": li["l_orderkey"], "cents": cents})
+            j = li.join(od, keys="l_orderkey", right_keys="o_orderkey", join_type="inner")
+            g = pa.TableGroupBy(j, "o_orderstatus").aggregate(
+                [("cents", "count"), ("cents", "sum")]
+            )
+            outs.append(g)
+        return pa.concat_tables(outs)
+
+    parts = buckets.map_batches(join_bucket, batch_format="pyarrow", batch_size=1).to_pandas()
+    out = (
+        parts.groupby("o_orderstatus", as_index=False)
+        .agg(n_items=("cents_count", "sum"), revenue_cents=("cents_sum", "sum"))
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    for c in ("n_items", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def bucketed_join_revenue_sql() -> str:
+    return """
+        SELECT o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY 1
+    """

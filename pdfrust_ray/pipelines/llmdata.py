@@ -623,3 +623,139 @@ def clean_pack_pipeline_sql(
         SELECT doc_id, lang, bucket, n_tokens, pack_id, pack_pos
         FROM pk ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level frequent-segment removal (RefinedWeb-style line dedup,
+# adapted to chunk granularity because the fixture docs are single-line)
+# ---------------------------------------------------------------------------
+
+_SEG_WORDS = 10
+
+
+def _segments(text: str, width: int = _SEG_WORDS) -> list[str]:
+    """Consecutive width-word chunks, split on single spaces (DuckDB
+    string_split(text, ' ') parity — NOT .split(), which collapses
+    runs)."""
+    words = text.split(" ")
+    return [" ".join(words[i : i + width]) for i in range(0, len(words), width)]
+
+
+def _seg_hash63(seg: str) -> int:
+    import hashlib as _h
+
+    return int.from_bytes(_h.md5(seg.encode()).digest()[:8], "big") & ((1 << 63) - 1)
+
+
+def segment_dedup(sf_dir: str, min_docs: int = 2) -> pd.DataFrame:
+    """Corpus-wide duplicated-passage removal: any 10-word segment that
+    appears in >= min_docs DISTINCT documents is removed from every
+    document (the RefinedWeb / CCNet repeated-line filter, at fixed
+    chunk granularity). Output per doc: segment counts and the md5 of
+    the cleaned text, so the full rewrite is hash-pinned by the SQL
+    twin.
+
+    Scale shape: pass 1 ships (segment-hash, doc_id) DISTINCT pairs —
+    never segment text — through a coarse-shard distinct-count; the
+    banned set (duplicated passages are the small minority of a real
+    corpus) is collected once and broadcast via ray.put; pass 2 is an
+    embarrassingly parallel map_batches rewrite. 63-bit md5-prefix
+    collisions would remove a false-positive segment (~2^-63 per pair;
+    documented, not material at 10^12 segments vs the oracle's exact
+    strings)."""
+    import numpy as np
+
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        out_h, out_d = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            hs = {_seg_hash63(s) for s in _segments(txt)}
+            out_h.extend(hs)
+            out_d.extend([did] * len(hs))
+        return pa.table(
+            {
+                "h": pa.array(out_h, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    def banned_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # pairs are per-doc distinct already; count docs per hash
+        h = g["h"].to_numpy()
+        uniq, counts = np.unique(h, return_counts=True)
+        return pd.DataFrame({"h": pd.Series(uniq[counts >= min_docs], dtype="int64")})
+
+    def shard(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy()
+        return t.append_column("_shard", pa.array((h % 64).astype(np.int32), pa.int32()))
+
+    banned = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(banned_in_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    banned_ref = ray.put(frozenset(int(x) for x in banned["h"]))
+
+    def rewrite(t: pa.Table, *, banned_ref) -> pa.Table:
+        import hashlib as _h
+
+        bset = ray.get(banned_ref)
+        ids, n_segs, n_removed, clean_md5 = [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            segs = _segments(txt)
+            kept = [s for s in segs if _seg_hash63(s) not in bset]
+            ids.append(did)
+            n_segs.append(len(segs))
+            n_removed.append(len(segs) - len(kept))
+            clean_md5.append(_h.md5(" ".join(kept).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_segs": pa.array(n_segs, pa.int64()),
+                "n_removed": pa.array(n_removed, pa.int64()),
+                "clean_md5": pa.array(clean_md5, pa.string()),
+            }
+        )
+
+    out = (
+        ds.map_batches(rewrite, batch_format="pyarrow", fn_kwargs={"banned_ref": banned_ref})
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_segs", "n_removed"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def segment_dedup_sql(min_docs: int = 2) -> str:
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), ch AS (
+            SELECT doc_id, (ord - 1) // {_SEG_WORDS} AS chunk,
+                   string_agg(word, ' ' ORDER BY ord) AS seg
+            FROM w GROUP BY doc_id, (ord - 1) // {_SEG_WORDS}
+        ), banned AS (
+            SELECT seg FROM ch GROUP BY seg
+            HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+        ), k AS (
+            SELECT c.doc_id, c.chunk, c.seg, (b.seg IS NOT NULL) AS is_banned
+            FROM ch c LEFT JOIN banned b ON c.seg = b.seg
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(SUM(CASE WHEN is_banned THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               md5(COALESCE(string_agg(seg, ' ' ORDER BY chunk)
+                            FILTER (WHERE NOT is_banned), '')) AS clean_md5
+        FROM k GROUP BY doc_id ORDER BY doc_id
+    """

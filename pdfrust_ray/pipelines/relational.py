@@ -4738,3 +4738,618 @@ def fulfillment_latency_sql() -> str:
         GROUP BY 1
         ORDER BY o.o_orderpriority
     """
+
+
+def tpch_q3(sf_dir: str, num_partitions: int = 8, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-k): revenue of orders from
+    one market segment placed before a cutoff, counting only lineitems
+    shipped after it; top-10 orders by discounted revenue.
+
+    Distributed plan: the segment's customers are a broadcast Arrow
+    semi-join applied to orders BEFORE the exchange; lineitems are
+    date-filtered and revenue-quantized per row (same float-op order
+    as the SQL twin, see local_supplier_revenue) before the single
+    big x big hash-partitioned join on orderkey; per-batch partial
+    sums collapse the join output to one row per (orderkey, date,
+    priority); a 64-way coarse-shard reduce finishes the per-order
+    totals and each shard emits only its local top-k — the driver
+    merges 64*k candidate rows."""
+    import numpy as np
+
+    CUT = pd.Timestamp("1998-01-01")
+    SEG = "BUILDING"
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], SEG)).select(["c_custkey"])
+    cust_ref = ray.put(cust)
+
+    def prep_orders(t: pa.Table, *, cust_ref) -> pa.Table:
+        ckeys = ray.get(cust_ref)
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(CUT, type=pa.timestamp("us"))))
+        t = t.filter(pc.is_in(t["o_custkey"], ckeys["c_custkey"].combine_chunks()))
+        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def prep_lineitem(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(CUT, type=pa.timestamp("us"))))
+        disc = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_cents": pc.cast(
+                    pc.round(disc, round_mode="half_towards_infinity"), pa.int64()
+                ),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(prep_lineitem, batch_format="pyarrow")
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(prep_orders, batch_format="pyarrow", fn_kwargs={"cust_ref": cust_ref})
+
+    joined = li.join(
+        od,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(),
+                "date_us": t["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "prio": t["o_orderpriority"].to_pylist(),
+                "rev": t["rev_cents"].to_numpy(),
+            }
+        )
+        agg = (
+            df.groupby(["l_orderkey", "date_us", "prio"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        agg["_shard"] = (agg["l_orderkey"] % 64).astype("int32")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            g.groupby(["l_orderkey", "date_us", "prio"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        tot = tot.sort_values(
+            ["rev", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return tot
+
+    cand = (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["rev", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out = pd.DataFrame(
+        {
+            "l_orderkey": cand["l_orderkey"].astype("int64"),
+            "o_orderdate": pd.to_datetime(cand["date_us"].astype("int64"), unit="us"),
+            "o_orderpriority": cand["prio"],
+            "revenue_cents": cand["rev"].astype("int64"),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def tpch_q3_sql(k: int = 10) -> str:
+    return f"""
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_cents DESC, l.l_orderkey
+        LIMIT {k}
+    """
+
+
+def ntile_quartiles(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) bucketing of customers by account balance within each
+    market segment, with per-quartile balance stats in exact cents.
+    Tie order is pinned (ORDER BY c_acctbal, c_custkey) so the bucket
+    assignment is deterministic on both sides.
+
+    Segments are the natural partition: groupby(segment).map_groups
+    sorts each group once and assigns NTILE's uneven-bucket rule
+    (first n % 4 buckets take the extra row) via np.repeat — no
+    per-row window dispatch."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+
+    def per_segment(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"], kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        base, rem = divmod(n, 4)
+        sizes = [base + (1 if i < rem else 0) for i in range(4)]
+        q = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
+        cents = np.round(g["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"q": q, "cents": cents})
+        agg = df.groupby("q")["cents"].agg(["size", "sum", "min", "max"]).reset_index()
+        return pd.DataFrame(
+            {
+                "c_mktsegment": g["c_mktsegment"].iloc[0],
+                "quartile": agg["q"].astype("int64"),
+                "n_customers": agg["size"].astype("int64"),
+                "sum_cents": agg["sum"].astype("int64"),
+                "min_cents": agg["min"].astype("int64"),
+                "max_cents": agg["max"].astype("int64"),
+            }
+        )
+
+    out = (
+        ds.groupby("c_mktsegment")
+        .map_groups(per_segment, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["c_mktsegment", "quartile"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def ntile_quartiles_sql() -> str:
+    return """
+        WITH t AS (
+            SELECT c_mktsegment,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS quartile,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer
+        )
+        SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def cumulative_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Cumulative distinct active users per activity day (the
+    users-to-date curve). Windowed COUNT(DISTINCT) doesn't exist as a
+    window function; the exact distributed form is the first-touch
+    trick: distinct users-to-date on day d == # users whose FIRST
+    event day <= d. groupby(user).min(day) is the only exchange (one
+    row per user); the per-first-day counts and the running sum over
+    the tiny day axis fold on the driver."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        d = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"user_id": u, "day": d})
+        # per-batch combiner: one row per (user) with its min day, plus
+        # the batch's observed-day set so the day axis needs no 2nd read
+        m = df.groupby("user_id", sort=False)["day"].min().reset_index()
+        seen = np.unique(d)
+        # observed days ride the same exchange as one sentinel key per
+        # day (-day-1): distinct under the groupby, recoverable after
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.r_[m["user_id"].to_numpy(), -seen - 1], pa.int64()
+                ),
+                "day": pa.array(np.r_[m["day"].to_numpy(), seen], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    firsts = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="first_day"))
+        .to_pandas()
+    )
+    observed = np.unique(firsts.loc[firsts["user_id"] < 0, "first_day"].to_numpy())
+    per_day = (
+        firsts[firsts["user_id"] >= 0].groupby("first_day").size().sort_index()
+    )
+    days = per_day.index.to_numpy()
+    cum = per_day.to_numpy().cumsum()
+    at = np.searchsorted(days, observed, side="right") - 1
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(observed.astype("datetime64[D]")),
+            "cum_users": pd.Series(cum[at], dtype="int64"),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def cumulative_distinct_users_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS fd FROM events GROUP BY 1
+        ), d AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        )
+        SELECT CAST(d.day AS TIMESTAMP) AS day,
+               CAST((SELECT COUNT(*) FROM f WHERE f.fd <= d.day) AS BIGINT)
+                   AS cum_users
+        FROM d ORDER BY d.day
+    """
+
+
+def last_touch_attribution(sf_dir: str, lookback_hours: int = 24) -> pd.DataFrame:
+    """Marketing attribution: every purchase is credited to the user's
+    most recent PRIOR click/view within a lookback window ('direct'
+    when none). Row order is the SQL window order (ts, event_id), so
+    same-timestamp earlier-id touches count, exactly like the
+    LAST_VALUE IGNORE NULLS ... 1 PRECEDING frame in the twin.
+
+    One user-keyed coarse-bucket shuffle; inside a bucket one sort +
+    np.maximum.accumulate forward-fills the latest touch row index for
+    ALL users at once (contiguous user segments make the cross-user
+    guard a per-row start-index compare). Per-channel (count, cents)
+    partials fold on the driver."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def shard(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column(
+            "_shard", pa.array((u % 64).astype(np.int32), pa.int32())
+        )
+
+    win_us = lookback_hours * 3_600_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(g)
+        if not n:
+            return pd.DataFrame(
+                {
+                    "channel": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "cents": pd.Series([], dtype="int64"),
+                }
+            )
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        touch = (et == "click") | (et == "view")
+        idx = np.arange(n, dtype=np.int64)
+        acc = np.maximum.accumulate(np.where(touch, idx, -1))
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = acc[:-1]  # latest touch STRICTLY before this row
+        opening = np.r_[True, user[1:] != user[:-1]]
+        start = np.maximum.accumulate(np.where(opening, idx, -1))
+        purch = et == "purchase"
+        valid = purch & (prev >= start) & (ts[np.maximum(prev, 0)] >= ts - win_us)
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        channel = np.where(valid, et[np.maximum(prev, 0)], "direct")
+        df = pd.DataFrame({"channel": channel[purch], "cents": cents[purch]})
+        agg = df.groupby("channel")["cents"].agg(["size", "sum"]).reset_index()
+        return pd.DataFrame(
+            {
+                "channel": agg["channel"],
+                "n": agg["size"].astype("int64"),
+                "cents": agg["sum"].astype("int64"),
+            }
+        )
+
+    parts = (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("channel", as_index=False)
+        .agg(n_purchases=("n", "sum"), revenue_cents=("cents", "sum"))
+        .sort_values("channel")
+        .reset_index(drop=True)
+    )
+    for c in ("n_purchases", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def last_touch_attribution_sql(lookback_hours: int = 24) -> str:
+    return f"""
+        WITH e AS (
+            SELECT event_id, user_id, ts, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN event_type IN ('click', 'view')
+                        THEN event_type END AS touch_type,
+                   CASE WHEN event_type IN ('click', 'view')
+                        THEN ts END AS touch_ts
+            FROM events
+        ), w AS (
+            SELECT *,
+                   LAST_VALUE(touch_type IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+                   LAST_VALUE(touch_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lts
+            FROM e
+        )
+        SELECT COALESCE(CASE WHEN lts >= ts - INTERVAL {lookback_hours} HOURS
+                             THEN lt END, 'direct') AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM w WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def rolling_median_value(sf_dir: str, window: int = 7) -> pd.DataFrame:
+    """Per-user trailing-window median of event value (cents) over the
+    last 7 events — the robust-baseline twin of the sliding averages.
+    ROWS frame (6 PRECEDING..CURRENT), partial windows at the head.
+
+    Medians don't decompose, so the exact distributed form co-locates
+    each user (coarse-bucket shuffle) and computes all full windows of
+    a bucket with one numpy sliding_window_view + partition (no Python
+    loop per row); only the <window-1 head rows per user take the
+    short path."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def shard(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column(
+            "_shard", pa.array((u % 64).astype(np.int32), pa.int32())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(g)
+        med = np.empty(n, dtype=np.float64)
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        user = g["user_id"].to_numpy()
+        starts = np.r_[0, np.nonzero(user[1:] != user[:-1])[0] + 1, n]
+        for a, b in zip(starts[:-1], starts[1:]):
+            seg = cents[a:b]
+            m = len(seg)
+            head = min(window - 1, m)
+            for i in range(head):
+                med[a + i] = np.median(seg[: i + 1])
+            if m >= window:
+                sw = np.lib.stride_tricks.sliding_window_view(seg, window)
+                med[a + window - 1 : a + m] = np.median(sw, axis=1)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "med_cents": med,
+            }
+        )
+
+    out = (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    return out
+
+
+def rolling_median_value_sql(window: int = 7) -> str:
+    return f"""
+        SELECT event_id,
+               MEDIAN(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+               ) AS med_cents
+        FROM events ORDER BY event_id
+    """
+
+
+def mv_incremental_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Incremental materialized-view maintenance: the daily
+    (event_type, day) -> (n, revenue) rollup is first built from the
+    base partition (event_id % 10 != 0), then a CDC delta batch (the
+    remaining rows) is aggregated SEPARATELY and merged by key
+    addition — the base is never rescanned, which is the whole point
+    of MV maintenance at 100 TB. The merged view is verified against a
+    full recompute by the SQL twin.
+
+    Both passes are per-batch partial aggregations (the MV key space
+    is |types| x |days| — tiny), folded on the driver; no shuffle."""
+    import numpy as np
+
+    def agg_partition(pred):
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy()
+            keep = pred(eid)
+            day = (
+                t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)[keep]
+            )
+            cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)[keep]
+            et = t["event_type"].to_numpy()[keep]
+            df = pd.DataFrame({"event_type": et, "day": day, "cents": cents})
+            agg = (
+                df.groupby(["event_type", "day"], sort=False)["cents"]
+                .agg(["size", "sum"])
+                .reset_index()
+            )
+            return pa.table(
+                {
+                    "event_type": pa.array(agg["event_type"], pa.string()),
+                    "day": pa.array(agg["day"].astype("int64"), pa.int64()),
+                    "n": pa.array(agg["size"].astype("int64"), pa.int64()),
+                    "cents": pa.array(agg["sum"].astype("int64"), pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        return (
+            parts.groupby(["event_type", "day"], as_index=False)
+            .agg(n=("n", "sum"), cents=("cents", "sum"))
+        )
+
+    base = agg_partition(lambda eid: eid % 10 != 0)
+    delta = agg_partition(lambda eid: eid % 10 == 0)
+    merged = (
+        pd.concat([base, delta])
+        .groupby(["event_type", "day"], as_index=False)
+        .agg(n_events=("n", "sum"), revenue_cents=("cents", "sum"))
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": merged["event_type"],
+            "day": pd.to_datetime(merged["day"].astype("int64"), unit="D"),
+            "n_events": merged["n_events"].astype("int64"),
+            "revenue_cents": merged["revenue_cents"].astype("int64"),
+        }
+    )
+    return out
+
+
+def mv_incremental_daily_revenue_sql() -> str:
+    return """
+        SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def experiment_lift(sf_dir: str) -> pd.DataFrame:
+    """A/B experiment readout with deterministic hash assignment:
+    users split into two variants by md5(user_id) % 2; per variant the
+    exposed-user count, converting-user count (>= 1 purchase),
+    purchase count, revenue cents and the conversion rate in exact
+    integer ppm. The per-user rollup (needed for "converted = any
+    purchase") happens inside a user-keyed coarse-shard reduce; each
+    shard emits 2 variant partial rows, so the driver folds 64 x 2
+    rows regardless of user count."""
+    import hashlib as _h
+
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        et = t["event_type"].to_numpy()
+        cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        purch = et == "purchase"
+        df = pd.DataFrame(
+            {"user_id": u, "p": purch.astype(np.int64), "cents": np.where(purch, cents, 0)}
+        )
+        agg = df.groupby("user_id", sort=False).agg(
+            n_purch=("p", "sum"), cents=("cents", "sum")
+        ).reset_index()
+        agg["_shard"] = (agg["user_id"] % 64).astype("int32")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        pu = g.groupby("user_id", as_index=False).agg(
+            n_purch=("n_purch", "sum"), cents=("cents", "sum")
+        )
+        h = np.fromiter(
+            (
+                int.from_bytes(_h.md5(str(int(u)).encode()).digest()[:4], "big")
+                for u in pu["user_id"]
+            ),
+            dtype=np.uint64,
+            count=len(pu),
+        )
+        pu["variant"] = np.where(h % 2 == 0, "A", "B")
+        out = pu.groupby("variant", as_index=False).agg(
+            n_users=("user_id", "count"),
+            n_converted=("n_purch", lambda s: int((s > 0).sum())),
+            n_purchases=("n_purch", "sum"),
+            revenue_cents=("cents", "sum"),
+        )
+        for c in ("n_users", "n_converted", "n_purchases", "revenue_cents"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    g = parts.groupby("variant", as_index=False).agg(
+        n_users=("n_users", "sum"),
+        n_converted=("n_converted", "sum"),
+        n_purchases=("n_purchases", "sum"),
+        revenue_cents=("revenue_cents", "sum"),
+    )
+    g["conv_ppm"] = (g["n_converted"] * 1_000_000) // g["n_users"]
+    for c in ("n_users", "n_converted", "n_purchases", "revenue_cents", "conv_ppm"):
+        g[c] = g[c].astype("int64")
+    return g.sort_values("variant").reset_index(drop=True)
+
+
+def experiment_lift_sql() -> str:
+    return """
+        WITH pu AS (
+            SELECT user_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 8)) AS UBIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+                   SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                            ELSE 0 END) AS cents
+            FROM events GROUP BY 1, 2
+        )
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_converted,
+               CAST(SUM(np) AS BIGINT) AS n_purchases,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+               CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS conv_ppm
+        FROM pu GROUP BY 1 ORDER BY 1
+    """
