@@ -633,6 +633,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "experiment_lift": rel.experiment_lift,
         # storage-co-partitioned bucketed join (zero shuffle at query time)
         "bucketed_join_revenue": dso.bucketed_join_revenue,
+        # KMV/theta sketch audience overlap (exact below saturation)
+        "kmv_type_intersections": sketches.kmv_type_intersections,
+        # small-file compaction with integrity checksum gate
+        "compact_events_checksum": dso.compact_events_checksum,
+        # mixed-schema-version shard read with explicit normalize stage
+        "schema_migration_counts": dso.schema_migration_counts,
+        # per-role exact length quantiles via bounded-domain frequency fold
+        "role_length_quantiles": _q_conv(cv.role_length_quantiles),
+        # C4/Gopher-style quality-filter retention funnel
+        "filter_funnel": qual.filter_funnel,
+        # day-over-day growth per event type in exact integer ppm
+        "dod_growth": rel.dod_growth,
+        # running COUNT(DISTINCT event_type) per user at every event
+        "distinct_types_so_far": rel.distinct_types_so_far,
+        # open-order backlog curve (interval deltas + prefix scan)
+        "order_backlog_curve": rel.order_backlog_curve,
     }
 
 
@@ -932,6 +948,14 @@ def oracle_sql() -> dict[str, str]:
         "mv_incremental_daily_revenue": rel.mv_incremental_daily_revenue_sql(),
         "experiment_lift": rel.experiment_lift_sql(),
         "bucketed_join_revenue": dso.bucketed_join_revenue_sql(),
+        "kmv_type_intersections": sketches.kmv_type_intersections_sql(),
+        "compact_events_checksum": dso.compact_events_checksum_sql(),
+        "schema_migration_counts": dso.schema_migration_counts_sql(),
+        "role_length_quantiles": cv.role_length_quantiles_sql(_T2_SHARDS),
+        "filter_funnel": qual.filter_funnel_sql(),
+        "dod_growth": rel.dod_growth_sql(),
+        "distinct_types_so_far": rel.distinct_types_so_far_sql(),
+        "order_backlog_curve": rel.order_backlog_curve_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -704,3 +704,74 @@ def context_truncation_sql(shards_glob: str, budget: int = 256) -> str:
                    AS first_kept_idx
         FROM t GROUP BY conv_id ORDER BY conv_id
     """
+
+
+def role_length_quantiles(corpus_dir: str) -> pd.DataFrame:
+    """Per-role payload-size profile over the transcript table: exact
+    discrete p25/p50/p75/p90 of text length (rank floor((n-1)*q), the
+    repo-wide equidepth convention) plus counts.
+
+    Medians don't merge, but LENGTHS are a bounded domain — so the
+    exact distributed form is a frequency fold: per-batch (role,
+    length, count) partials (thousands of distinct lengths, not rows),
+    a driver fold over the tiny frequency table, and quantile lookup
+    by cumulative count. No shuffle at all."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["role", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "role": t["role"].to_pylist(),
+                "length": pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_pandas(),
+            }
+        )
+        agg = df.groupby(["role", "length"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["role", "length"], as_index=False)["n"]
+        .sum()
+    )
+    rows = []
+    for role, g in parts.groupby("role"):
+        g = g.sort_values("length")
+        lens = g["length"].to_numpy()
+        cnt = g["n"].to_numpy()
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        qs = {}
+        for p in (25, 50, 75, 90):
+            rank = (n - 1) * p // 100  # 0-based
+            qs[p] = int(lens[np.searchsorted(cum, rank + 1)])
+        rows.append((role, n, qs[25], qs[50], qs[75], qs[90]))
+    out = pd.DataFrame(
+        rows, columns=["role", "n_turns", "p25", "p50", "p75", "p90"]
+    ).sort_values("role").reset_index(drop=True)
+    for c in ("n_turns", "p25", "p50", "p75", "p90"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def role_length_quantiles_sql(shards_glob: str) -> str:
+    return f"""
+        WITH ord AS (
+            SELECT role, length(text) AS len,
+                   ROW_NUMBER() OVER (PARTITION BY role ORDER BY length(text))
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY role) AS n
+            FROM read_parquet('{shards_glob}')
+        )
+        SELECT role,
+               CAST(MAX(n) AS BIGINT) AS n_turns,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN len END)
+                    AS BIGINT) AS p25,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN len END)
+                    AS BIGINT) AS p50,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN len END)
+                    AS BIGINT) AS p75,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN len END)
+                    AS BIGINT) AS p90
+        FROM ord GROUP BY role ORDER BY role
+    """

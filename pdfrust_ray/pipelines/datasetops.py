@@ -934,3 +934,201 @@ def bucketed_join_revenue_sql() -> str:
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1 ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (lakehouse maintenance)
+# ---------------------------------------------------------------------------
+
+
+def ensure_fragmented_events(sf_dir: str, n_files: int = 64) -> str:
+    """A deliberately fragmented copy of events (64 tiny parquet
+    files) — the small-file problem every streaming ingest creates.
+    Idempotent per scale dir."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pdfrust_ray_frag_{scale}"
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = _pq.read_table(f"{sf_dir}/events.parquet")
+    n = t.num_rows
+    step = max(1, (n + n_files - 1) // n_files)
+    for i, off in enumerate(range(0, n, step)):
+        _pq.write_table(t.slice(off, step), os.path.join(out_dir, f"part-{i:05d}.parquet"))
+    open(marker, "w").close()
+    return out_dir
+
+
+def compact_events_checksum(sf_dir: str, target_files: int = 4) -> pd.DataFrame:
+    """Small-file compaction with an integrity gate: stream the
+    fragmented layout through a repartition into ~target_files larger
+    files, then verify the compacted copy carries exactly the original
+    rows via the order-independent md5-u32 row checksum (the same
+    invariant a real compaction job checks before swapping the table
+    pointer). Both the rewrite and the verification read are
+    distributed; the checksum folds from per-batch partials."""
+    import hashlib as _h
+    import os
+
+    frag = ensure_fragmented_events(sf_dir)
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pdfrust_ray_compact_{scale}"
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        rd.read_parquet(frag).repartition(target_files).write_parquet(out_dir)
+        open(marker, "w").close()
+
+    ds = rd.read_parquet(out_dir, columns=["event_id", "user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = 0
+        for e, u, ty in zip(
+            t["event_id"].to_pylist(),
+            t["user_id"].to_pylist(),
+            t["event_type"].to_pylist(),
+        ):
+            s += int.from_bytes(_h.md5(f"{e}|{u}|{ty}".encode()).digest()[:4], "big")
+        return pa.table(
+            {"n": pa.array([t.num_rows], pa.int64()), "s": pa.array([s], pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([int(parts["n"].sum())], dtype="int64"),
+            "checksum": pd.Series([int(parts["s"].sum())], dtype="int64"),
+        }
+    )
+
+
+def compact_events_checksum_sql() -> str:
+    return """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(
+                        CAST(event_id AS VARCHAR) || '|' ||
+                        CAST(user_id AS VARCHAR) || '|' || event_type), 1, 8))
+                    AS UBIGINT)) AS BIGINT) AS checksum
+        FROM events
+    """
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution read (mixed-version shards, explicit normalize stage)
+# ---------------------------------------------------------------------------
+
+
+def ensure_mixed_schema_shards(sf_dir: str) -> str:
+    """Two generations of the events table on disk: v1 shards written
+    before the `props` column existed (event_id % 3 == 0, column
+    dropped), v2 shards with the full schema. Idempotent per scale."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pdfrust_ray_mixed_{scale}"
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = _pq.read_table(f"{sf_dir}/events.parquet")
+    eid = t["event_id"].to_numpy()
+    v1 = t.filter(pa.array(eid % 3 == 0)).drop_columns(["props"])
+    v2 = t.filter(pa.array(eid % 3 != 0))
+    _pq.write_table(v1, os.path.join(out_dir, "v1-0000.parquet"))
+    _pq.write_table(v2, os.path.join(out_dir, "v2-0000.parquet"))
+    open(marker, "w").close()
+    return out_dir
+
+
+def schema_migration_counts(sf_dir: str) -> pd.DataFrame:
+    """Schema-evolution ingest: shards written under two schema
+    versions (v1 lacks `props`) are read through an explicit per-shard
+    normalize stage — each task loads its file, adds any missing
+    column as typed nulls, and reorders to the target schema — the
+    backfill pattern a lakehouse "add column" migration needs when
+    old files are never rewritten. Output: per schema version the row
+    count and null-props count, proving nulls appear exactly where v1
+    shards were."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    shard_dir = ensure_mixed_schema_shards(sf_dir)
+    paths = sorted(
+        os.path.join(shard_dir, f)
+        for f in os.listdir(shard_dir)
+        if f.endswith(".parquet")
+    )
+    target = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("props", pa.string()),
+            ("schema_version", pa.string()),
+        ]
+    )
+
+    files = rd.from_items([{"path": p} for p in paths])
+
+    def normalize(t: pa.Table) -> pa.Table:
+        outs = []
+        for p in t["path"].to_pylist():
+            raw = _pq.read_table(p)
+            ver = os.path.basename(p).split("-")[0]
+            cols = {}
+            for f in target:
+                if f.name == "schema_version":
+                    cols[f.name] = pa.array([ver] * raw.num_rows, pa.string())
+                elif f.name in raw.column_names:
+                    cols[f.name] = raw[f.name].cast(f.type)
+                else:
+                    cols[f.name] = pa.nulls(raw.num_rows, f.type)
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    ds = files.map_batches(normalize, batch_format="pyarrow", batch_size=1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "schema_version": t["schema_version"].to_pylist(),
+                "null_props": pa.compute.is_null(t["props"]).to_pandas().astype("int64"),
+            }
+        )
+        agg = df.groupby("schema_version")["null_props"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "schema_version": pa.array(agg["schema_version"], pa.string()),
+                "n": pa.array(agg["size"].astype("int64"), pa.int64()),
+                "nulls": pa.array(agg["sum"].astype("int64"), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("schema_version", as_index=False)
+        .agg(n_rows=("n", "sum"), n_null_props=("nulls", "sum"))
+        .sort_values("schema_version")
+        .reset_index(drop=True)
+    )
+    for c in ("n_rows", "n_null_props"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def schema_migration_counts_sql() -> str:
+    return """
+        SELECT CASE WHEN event_id % 3 = 0 THEN 'v1' ELSE 'v2' END
+                   AS schema_version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_props
+        FROM events GROUP BY 1 ORDER BY 1
+    """

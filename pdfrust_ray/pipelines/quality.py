@@ -802,3 +802,82 @@ def part_golden_records_sql(table: str = "part", col: str = "p_name") -> str:
                CAST(tot AS BIGINT) AS n_rows
         FROM m WHERE rn = 1 ORDER BY survivor
     """
+
+
+def filter_funnel(sf_dir: str) -> pd.DataFrame:
+    """Quality-filter retention funnel (the C4/Gopher-style cleaning
+    report): documents flow through a fixed cascade — minimum size,
+    minimum token count, mean-word-length band (integer-exact as
+    4*tokens <= nonspace_chars <= 7*tokens) — and the op reports per
+    stage how many docs entered and survived, the accounting table
+    every corpus-cleaning run publishes.
+
+    All stages evaluate per batch in one vectorized pass (the cascade
+    is cumulative boolean masks); only 4 partial count rows leave each
+    block."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        nchars = t["n_chars"].to_numpy().astype(np.int64)
+        tokens = np.fromiter(
+            (txt.count(" ") + 1 for txt in texts), dtype=np.int64, count=len(texts)
+        )
+        nonspace = nchars - (tokens - 1)
+        m1 = nchars >= 200
+        m2 = m1 & (tokens >= 40)
+        m3 = m2 & (4 * tokens <= nonspace) & (nonspace <= 7 * tokens)
+        counts = [len(texts), int(m1.sum()), int(m2.sum()), int(m3.sum())]
+        return pa.table(
+            {
+                "stage": pa.array([0, 1, 2, 3], pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    tot = parts.groupby("stage")["n"].sum()
+    names = ["input", "min_chars_200", "min_tokens_40", "mean_word_len_4_7"]
+    out = pd.DataFrame(
+        {
+            "stage": pd.Series(range(4), dtype="int64"),
+            "filter": names,
+            "n_surviving": pd.Series([int(tot[i]) for i in range(4)], dtype="int64"),
+        }
+    )
+    out["n_dropped"] = (-out["n_surviving"].diff()).fillna(0).astype("int64")
+    return out
+
+
+def filter_funnel_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT n_chars,
+                   length(string_split(text, ' ')) AS tokens,
+                   n_chars - (length(string_split(text, ' ')) - 1) AS nonspace
+            FROM documents
+        ), s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+                   CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s1,
+                   CAST(SUM(CASE WHEN n_chars >= 200 AND tokens >= 40
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+                   CAST(SUM(CASE WHEN n_chars >= 200 AND tokens >= 40
+                                  AND 4 * tokens <= nonspace
+                                  AND nonspace <= 7 * tokens
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS s3
+            FROM d
+        )
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS stage, 'input' AS filter,
+                   s0 AS n_surviving, CAST(0 AS BIGINT) AS n_dropped FROM s
+            UNION ALL
+            SELECT 1, 'min_chars_200', s1, s0 - s1 FROM s
+            UNION ALL
+            SELECT 2, 'min_tokens_40', s2, s1 - s2 FROM s
+            UNION ALL
+            SELECT 3, 'mean_word_len_4_7', s3, s2 - s3 FROM s
+        ) ORDER BY stage
+    """

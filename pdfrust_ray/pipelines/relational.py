@@ -5353,3 +5353,245 @@ def experiment_lift_sql() -> str:
                     // COUNT(*) AS BIGINT) AS conv_ppm
         FROM pu GROUP BY 1 ORDER BY 1
     """
+
+
+def dod_growth(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day growth per event type: daily event counts plus the
+    change vs the previous CALENDAR day in exact integer ppm
+    (1_000_000 * (today - yesterday) // yesterday; -1_000_000 marks a
+    day whose predecessor had no events of that type, matching the
+    NULL->-1e6 sentinel in the twin). The (type, day) count matrix is
+    tiny, so per-batch partials fold on the driver and the LAG runs
+    there — no shuffle."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "day": day})
+        agg = df.groupby(["event_type", "day"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["n"]
+        .sum()
+    )
+    rows = []
+    for ty, g in parts.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        days = g["day"].to_numpy()
+        n = g["n"].to_numpy().astype(np.int64)
+        prev = np.full(len(g), -1, dtype=np.int64)
+        has_prev = np.isin(days - 1, days)
+        idx = np.searchsorted(days, days - 1)
+        prev[has_prev] = n[idx[has_prev]]
+        num = 1_000_000 * (n - prev)
+        # DuckDB's // truncates toward zero; numpy floors — match DuckDB
+        q = np.sign(num) * (np.abs(num) // np.maximum(prev, 1))
+        growth = np.where(prev > 0, q, -1_000_000)
+        for d, cnt, gr in zip(days, n, growth):
+            rows.append((ty, d, int(cnt), int(gr)))
+    out = pd.DataFrame(rows, columns=["event_type", "day", "n_events", "growth_ppm"])
+    out["day"] = pd.to_datetime(out["day"].astype("int64"), unit="D")
+    for c in ("n_events", "growth_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def dod_growth_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ), w AS (
+            SELECT *, LAG(n_events) OVER (PARTITION BY event_type
+                                          ORDER BY day) AS pn,
+                      LAG(day) OVER (PARTITION BY event_type
+                                     ORDER BY day) AS pd
+            FROM d
+        )
+        SELECT event_type, day, n_events,
+               CAST(CASE WHEN pd = day - INTERVAL 1 DAY
+                         THEN 1000000 * (n_events - pn) // pn
+                         ELSE -1000000 END AS BIGINT) AS growth_ppm
+        FROM w ORDER BY event_type, day
+    """
+
+
+def distinct_types_so_far(sf_dir: str) -> pd.DataFrame:
+    """Running COUNT(DISTINCT event_type) per user at every event —
+    the "breadth-so-far" engagement curve. No window function computes
+    windowed distinct; the exact form flags each (user, type)'s FIRST
+    occurrence (in (ts, event_id) order) and takes a running SUM of
+    the flags. One user-bucket shuffle; first-occurrence flags and the
+    per-user cumulative sums are vectorized over whole buckets."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def shard(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column(
+            "_shard", pa.array((u % 64).astype(np.int32), pa.int32())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        first = (~g.duplicated(["user_id", "event_type"])).to_numpy().astype(np.int64)
+        user = g["user_id"].to_numpy()
+        csum = np.cumsum(first)
+        opening = np.r_[True, user[1:] != user[:-1]]
+        idx = np.arange(len(g), dtype=np.int64)
+        starts = np.nonzero(opening)[0]
+        base = np.zeros(len(g), dtype=np.int64)
+        base[starts] = csum[starts] - first[starts]
+        run = csum - np.maximum.accumulate(base)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "n_types_so_far": pd.Series(run, dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for c in ("event_id", "n_types_so_far"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def distinct_types_so_far_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN ROW_NUMBER() OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) = 1
+                        THEN 1 ELSE 0 END AS is_first
+            FROM events
+        )
+        SELECT event_id,
+               CAST(SUM(is_first) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_types_so_far
+        FROM f ORDER BY event_id
+    """
+
+
+def order_backlog_curve(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+    """Open-order backlog over time: an order is open from its order
+    date until its LAST lineitem ship date; the curve counts open
+    orders at each day either endpoint occurs. Third consumer of the
+    big x big lineitem x orders join: per-order last-ship reduces
+    inside the join partitions (coarse orderkey shard), each shard
+    emits +1/-1 day deltas, and the prefix scan over the tiny day axis
+    runs on the driver."""
+    import numpy as np
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(),
+                "ship": t["l_shipdate"].to_numpy().astype("datetime64[D]").astype(np.int64),
+            }
+        )
+        agg = df.groupby("l_orderkey", sort=False)["ship"].max().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    joined = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .join(
+            od,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+    )
+
+    def deltas(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(),
+                "ship": t["ship"].to_numpy(),
+                "open": t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64),
+            }
+        )
+        # the join output may still split one orderkey across batches;
+        # reduce locally, finish per coarse shard
+        agg = df.groupby(["l_orderkey", "open"], sort=False)["ship"].max().reset_index()
+        agg["_shard"] = (agg["l_orderkey"] % 64).astype("int32")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def shard_deltas(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["l_orderkey", "open"], sort=False)["ship"].max().reset_index()
+        opens = per.groupby("open").size()
+        closes = per.groupby("ship").size()
+        days = np.union1d(opens.index.to_numpy(), closes.index.to_numpy())
+        d = pd.DataFrame(
+            {
+                "day": days,
+                "delta": [
+                    int(opens.get(x, 0)) - int(closes.get(x, 0)) for x in days
+                ],
+            }
+        )
+        return d
+
+    parts = (
+        joined.map_batches(deltas, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_deltas, batch_format="pandas")
+        .to_pandas()
+    )
+    fold = parts.groupby("day", as_index=False)["delta"].sum().sort_values("day")
+    fold["open_orders"] = fold["delta"].cumsum()
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(fold["day"].astype("int64"), unit="D"),
+            "open_orders": fold["open_orders"].astype("int64"),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def order_backlog_curve_sql() -> str:
+    return """
+        WITH per AS (
+            SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS open_d,
+                   MAX(CAST(l.l_shipdate AS DATE)) AS close_d
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2
+        ), deltas AS (
+            SELECT open_d AS day, CAST(1 AS BIGINT) AS delta FROM per
+            UNION ALL
+            SELECT close_d, -1 FROM per
+        ), folded AS (
+            SELECT day, SUM(delta) AS delta FROM deltas GROUP BY day
+        )
+        SELECT CAST(day AS TIMESTAMP) AS day,
+               CAST(SUM(delta) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS open_orders
+        FROM folded ORDER BY day
+    """

@@ -278,3 +278,128 @@ def test_bucketed_layout_covers_all_rows(ray_session):
         for p in glob.glob(f"{base}/lineitem/bucket=*/part-0.parquet")
     )
     assert n == pq.read_metadata(f"{SF}/lineitem.parquet").num_rows
+
+
+def test_kmv_type_intersections_oracle(ray_session, con):
+    from pdfrust_ray.stages.sketches import (
+        kmv_type_intersections,
+        kmv_type_intersections_sql,
+    )
+
+    mine = kmv_type_intersections(SF)
+    assert len(mine) == 10  # 5 choose 2 pairs
+    _assert_oracle(con, mine, kmv_type_intersections_sql())
+
+
+def test_kmv_saturated_estimate():
+    # above saturation the theta estimate stays within the 1/sqrt(k)
+    # error regime: 50k vs 50k users with 20k overlap, k=1024
+    import numpy as np
+
+    from pdfrust_ray.stages.sketches import _kmv_merge, _kmv_partial
+
+    k = 1024
+    a = np.arange(0, 50_000, dtype=np.uint64)
+    b = np.arange(30_000, 80_000, dtype=np.uint64)
+    sa = np.frombuffer(_kmv_partial(a, k), dtype=np.uint64)
+    sb = np.frombuffer(_kmv_partial(b, k), dtype=np.uint64)
+    U64 = float(2**64)
+    theta = min((float(sa[-1]) + 1) / U64, (float(sb[-1]) + 1) / U64)
+    lim = np.uint64(min(theta * U64, U64 - 1))
+    common = np.intersect1d(sa, sb, assume_unique=True)
+    est = (common < lim).sum() / theta
+    assert abs(est - 20_000) / 20_000 < 0.15
+
+
+def test_compact_events_checksum(ray_session, con):
+    import glob
+
+    from pdfrust_ray.pipelines.datasetops import (
+        compact_events_checksum,
+        compact_events_checksum_sql,
+        ensure_fragmented_events,
+    )
+
+    mine = compact_events_checksum(SF)
+    _assert_oracle(con, mine, compact_events_checksum_sql())
+    frag = ensure_fragmented_events(SF)
+    n_before = len(glob.glob(f"{frag}/part-*.parquet"))
+    n_after = len(glob.glob(f"/tmp/pdfrust_ray_compact_sf0.001/*.parquet"))
+    assert n_before >= 32
+    assert 0 < n_after <= 8
+
+
+def test_schema_migration_counts(ray_session, con):
+    from pdfrust_ray.pipelines.datasetops import (
+        schema_migration_counts,
+        schema_migration_counts_sql,
+    )
+
+    mine = schema_migration_counts(SF)
+    assert list(mine["schema_version"]) == ["v1", "v2"]
+    # every v1 row got a null props backfill, no v2 row did
+    assert mine.set_index("schema_version").loc["v1"].pipe(
+        lambda r: r["n_rows"] == r["n_null_props"]
+    )
+    assert mine.set_index("schema_version").loc["v2", "n_null_props"] == 0
+    _assert_oracle(con, mine, schema_migration_counts_sql())
+
+
+def test_role_length_quantiles(ray_session):
+    from pdfrust_ray.fixtures.corpus import ensure_corpus
+    from pdfrust_ray.pipelines.conversation import (
+        role_length_quantiles,
+        role_length_quantiles_sql,
+    )
+
+    d = ensure_corpus("t2")
+    mine = role_length_quantiles(d)
+    assert set(mine["role"]) == {"user", "assistant", "tool"}
+    assert (mine["p25"] <= mine["p50"]).all() and (mine["p50"] <= mine["p90"]).all()
+    c = duckdb.connect()
+    _assert_oracle(c, mine, role_length_quantiles_sql(f"{d}/shards/*.parquet"))
+
+
+def test_filter_funnel_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.quality import filter_funnel, filter_funnel_sql
+
+    mine = filter_funnel(SF)
+    assert len(mine) == 4
+    assert mine["n_surviving"].is_monotonic_decreasing
+    assert mine.loc[0, "n_surviving"] == 500
+    _assert_oracle(con, mine, filter_funnel_sql())
+
+
+def test_dod_growth_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import dod_growth, dod_growth_sql
+
+    mine = dod_growth(SF)
+    assert len(mine) == 150  # 5 types x ~30 days
+    # first day of each type has no predecessor -> sentinel
+    firsts = mine.groupby("event_type").first()
+    assert (firsts["growth_ppm"] == -1_000_000).all()
+    _assert_oracle(con, mine, dod_growth_sql())
+
+
+def test_distinct_types_so_far_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        distinct_types_so_far,
+        distinct_types_so_far_sql,
+    )
+
+    mine = distinct_types_so_far(SF)
+    assert len(mine) == 1000
+    assert mine["n_types_so_far"].between(1, 5).all()
+    _assert_oracle(con, mine, distinct_types_so_far_sql())
+
+
+def test_order_backlog_curve_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        order_backlog_curve,
+        order_backlog_curve_sql,
+    )
+
+    mine = order_backlog_curve(SF)
+    assert (mine["open_orders"] >= 0).all()
+    assert mine["open_orders"].iloc[-1] == 0  # every order eventually ships
+    _assert_oracle(con, mine, order_backlog_curve_sql())
