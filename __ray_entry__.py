@@ -649,6 +649,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_types_so_far": rel.distinct_types_so_far,
         # open-order backlog curve (interval deltas + prefix scan)
         "order_backlog_curve": rel.order_backlog_curve,
+        # manifest-based snapshot isolation (time travel reads)
+        "time_travel_read": dso.time_travel_read,
+        # bloom-pushdown join (runtime filter before the exchange)
+        "bloom_join_revenue": rel.bloom_join_revenue,
+        # winsorized robust aggregate via bounded-domain frequency fold
+        "winsorized_mean_value": rel.winsorized_mean_value,
+        # month-of-year seasonality over the multi-year orders history
+        "monthly_seasonality": rel.monthly_seasonality,
+        # point-in-time feature-store snapshot (no post-cutoff leakage)
+        "feature_snapshot": rel.feature_snapshot,
+        # k-anonymity release audit over (type, day) quasi-identifiers
+        "k_anonymity_check": rel.k_anonymity_check,
+        # per-dimension embedding profile, integer-quantized exact
+        "embedding_dim_stats": rel.embedding_dim_stats,
     }
 
 
@@ -956,6 +970,13 @@ def oracle_sql() -> dict[str, str]:
         "dod_growth": rel.dod_growth_sql(),
         "distinct_types_so_far": rel.distinct_types_so_far_sql(),
         "order_backlog_curve": rel.order_backlog_curve_sql(),
+        "time_travel_read": dso.time_travel_read_sql(),
+        "bloom_join_revenue": rel.bloom_join_revenue_sql(),
+        "winsorized_mean_value": rel.winsorized_mean_value_sql(),
+        "monthly_seasonality": rel.monthly_seasonality_sql(),
+        "feature_snapshot": rel.feature_snapshot_sql(),
+        "k_anonymity_check": rel.k_anonymity_check_sql(),
+        "embedding_dim_stats": rel.embedding_dim_stats_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1132,3 +1132,96 @@ def schema_migration_counts_sql() -> str:
                    AS n_null_props
         FROM events GROUP BY 1 ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Manifest-based snapshot isolation (time travel)
+# ---------------------------------------------------------------------------
+
+
+def ensure_versioned_table(sf_dir: str) -> str:
+    """Two table snapshots of events under manifest control, the
+    Iceberg/Delta mechanism reduced to its core: data files are
+    immutable; each version is a manifest listing its files. v1 =
+    events with event_id % 5 != 4 (two files); v2 = v1 minus the file
+    whose rows have event_id % 5 == 0, plus an appended file holding
+    the % 5 == 4 rows — i.e. one delete + one append, with the
+    surviving file SHARED between versions (no rewrite)."""
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pdfrust_ray_versions_{scale}"
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = _pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    eid = t["event_id"].to_numpy()
+    f_a = "data-a.parquet"  # % 5 in {1,2,3} — shared by both versions
+    f_b = "data-b.parquet"  # % 5 == 0 — deleted in v2
+    f_c = "data-c.parquet"  # % 5 == 4 — appended in v2
+    _pq.write_table(t.filter(pa.array((eid % 5 != 4) & (eid % 5 != 0))), f"{out_dir}/{f_a}")
+    _pq.write_table(t.filter(pa.array(eid % 5 == 0)), f"{out_dir}/{f_b}")
+    _pq.write_table(t.filter(pa.array(eid % 5 == 4)), f"{out_dir}/{f_c}")
+    json.dump({"files": [f_a, f_b]}, open(f"{out_dir}/manifest-v1.json", "w"))
+    json.dump({"files": [f_a, f_c]}, open(f"{out_dir}/manifest-v2.json", "w"))
+    open(marker, "w").close()
+    return out_dir
+
+
+def time_travel_read(sf_dir: str) -> pd.DataFrame:
+    """Snapshot-isolated reads: resolve each version's manifest to its
+    file list, read ONLY those files, and report per version the row
+    count and order-independent checksum — proving v1 remains exactly
+    readable after v2's delete+append (time travel) and that the two
+    versions share the untouched file. The read fans out per file;
+    checksums fold from per-batch partials."""
+    import hashlib as _h
+    import json
+    import os
+
+    base = ensure_versioned_table(sf_dir)
+    rows = []
+    for ver in ("v1", "v2"):
+        files = json.load(open(f"{base}/manifest-{ver}.json"))["files"]
+        ds = rd.read_parquet([os.path.join(base, f) for f in files])
+
+        def partial(t: pa.Table) -> pa.Table:
+            s = 0
+            for e, u, ty in zip(
+                t["event_id"].to_pylist(),
+                t["user_id"].to_pylist(),
+                t["event_type"].to_pylist(),
+            ):
+                s += int.from_bytes(_h.md5(f"{e}|{u}|{ty}".encode()).digest()[:4], "big")
+            return pa.table(
+                {"n": pa.array([t.num_rows], pa.int64()), "s": pa.array([s], pa.int64())}
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        rows.append((ver, int(parts["n"].sum()), int(parts["s"].sum())))
+    out = pd.DataFrame(rows, columns=["version", "n_rows", "checksum"])
+    for c in ("n_rows", "checksum"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def time_travel_read_sql() -> str:
+    chk = (
+        "CAST(SUM(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' || "
+        "CAST(user_id AS VARCHAR) || '|' || event_type), 1, 8)) AS UBIGINT)) AS BIGINT)"
+    )
+    return f"""
+        SELECT 'v1' AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {chk} AS checksum
+        FROM events WHERE event_id % 5 != 4
+        UNION ALL
+        SELECT 'v2', CAST(COUNT(*) AS BIGINT), {chk}
+        FROM events WHERE event_id % 5 IN (1, 2, 3, 4)
+        ORDER BY version
+    """

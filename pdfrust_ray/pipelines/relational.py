@@ -5595,3 +5595,438 @@ def order_backlog_curve_sql() -> str:
                     AS BIGINT) AS open_orders
         FROM folded ORDER BY day
     """
+
+
+def bloom_join_revenue(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+    """Bloom-pushdown join (the runtime-filter optimization every
+    warehouse applies to selective joins): high-priority orders build
+    a mergeable Bloom filter of their orderkeys (stages/sketches
+    partials, OR-merged, ~128 KiB total); the filter broadcasts to the
+    lineitem scan, which drops non-matching rows BEFORE the
+    hash-partitioned exchange. False positives are eliminated by the
+    exact join itself, so the result is exact while the shuffle moves
+    only ~|matching| + epsilon rows instead of the whole fact table.
+    Output: revenue by priority for the filtered subset, plus nothing
+    about the filter (the optimization must be invisible)."""
+    import numpy as np
+
+    from pdfrust_ray.stages.sketches import bloom_contains, bloom_merge, bloom_partial
+
+    PRIO = ("1-URGENT", "2-HIGH")
+
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def od_prep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["o_orderpriority"], pa.array(list(PRIO))))
+
+    filtered_orders = od.map_batches(od_prep, batch_format="pyarrow")
+
+    def od_bloom(t: pa.Table) -> pa.Table:
+        blob = bloom_partial(t["o_orderkey"].to_numpy().astype(np.uint64))
+        return pa.table({"blob": pa.array([blob], pa.binary())})
+
+    blobs = filtered_orders.map_batches(od_bloom, batch_format="pyarrow").to_pandas()
+    bits = bloom_merge(list(blobs["blob"]))
+    bits_ref = ray.put(bits)
+
+    def li_prep(t: pa.Table, *, bits_ref) -> pa.Table:
+        bits = ray.get(bits_ref)
+        keep = bloom_contains(bits, t["l_orderkey"].to_numpy().astype(np.uint64))
+        t = t.filter(pa.array(keep))
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                    ),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "cents": cents})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow", fn_kwargs={"bits_ref": bits_ref})
+
+    joined = li.join(
+        filtered_orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_pylist(),
+                "cents": t["cents"].to_numpy(),
+            }
+        )
+        agg = df.groupby("o_orderpriority")["cents"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(agg["o_orderpriority"], pa.string()),
+                "n": pa.array(agg["size"].astype("int64"), pa.int64()),
+                "s": pa.array(agg["sum"].astype("int64"), pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("o_orderpriority", as_index=False)
+        .agg(n_items=("n", "sum"), revenue_cents=("s", "sum"))
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    for c in ("n_items", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def bloom_join_revenue_sql() -> str:
+    return """
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def winsorized_mean_value(sf_dir: str) -> pd.DataFrame:
+    """Winsorized robust aggregate: per event type, the mean of value
+    cents after clamping to the type's discrete p5/p95 (rank
+    floor((n-1)*q) convention) — integer-exact as (sum of clamped
+    cents, count). Cent values are a bounded domain, so the exact
+    distributed form is the frequency-table fold (same shape as
+    role_length_quantiles): per-batch (type, cents, n) partials, a
+    driver fold over the small domain, clamp + weighted sum there."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "cents": np.round(t["value"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        agg = df.groupby(["event_type", "cents"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "cents"], as_index=False)["n"]
+        .sum()
+    )
+    rows = []
+    for ty, g in parts.groupby("event_type"):
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy()
+        cnt = g["n"].to_numpy()
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, (n - 1) * 5 // 100 + 1)])
+        hi = int(vals[np.searchsorted(cum, (n - 1) * 95 // 100 + 1)])
+        clamped = np.clip(vals, lo, hi)
+        total = int((clamped * cnt).sum())
+        rows.append((ty, n, lo, hi, total))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_events", "p5_cents", "p95_cents", "winsor_sum_cents"]
+    ).sort_values("event_type").reset_index(drop=True)
+    for c in ("n_events", "p5_cents", "p95_cents", "winsor_sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def winsorized_mean_value_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), ord AS (
+            SELECT event_type, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM c
+        ), bounds AS (
+            SELECT event_type,
+                   MAX(n) AS n,
+                   MAX(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN cents END)
+                       AS lo,
+                   MAX(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN cents END)
+                       AS hi
+            FROM ord GROUP BY event_type
+        )
+        SELECT c.event_type,
+               CAST(MAX(b.n) AS BIGINT) AS n_events,
+               CAST(MAX(b.lo) AS BIGINT) AS p5_cents,
+               CAST(MAX(b.hi) AS BIGINT) AS p95_cents,
+               CAST(SUM(GREATEST(b.lo, LEAST(b.hi, c.cents))) AS BIGINT)
+                   AS winsor_sum_cents
+        FROM c JOIN bounds b ON c.event_type = b.event_type
+        GROUP BY c.event_type ORDER BY c.event_type
+    """
+
+
+def monthly_seasonality(sf_dir: str) -> pd.DataFrame:
+    """Month-of-year seasonality over the multi-year orders history:
+    order count and total price cents per calendar month (1-12),
+    folding all years — the periodic-profile aggregate (events span
+    one month, so orders is the right table for calendar analytics).
+    Per-batch partials over a 12-key domain; driver fold."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.month(t["o_orderdate"]).to_numpy().astype(np.int64)
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"month": m, "cents": cents})
+        agg = df.groupby("month")["cents"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "month": pa.array(agg["month"].astype("int64"), pa.int64()),
+                "n": pa.array(agg["size"].astype("int64"), pa.int64()),
+                "s": pa.array(agg["sum"].astype("int64"), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("month", as_index=False)
+        .agg(n_orders=("n", "sum"), total_cents=("s", "sum"))
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    for c in ("month", "n_orders", "total_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def monthly_seasonality_sql() -> str:
+    return """
+        SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders GROUP BY 1 ORDER BY 1
+    """
+
+
+def feature_snapshot(sf_dir: str, cutoff: str = "2024-01-25") -> pd.DataFrame:
+    """Feature-store snapshot: per user, training features AS OF a
+    cutoff (point-in-time correctness — no post-cutoff leakage):
+    total events, events in the trailing 7 days, total purchases,
+    distinct event types seen, and days since last activity. One
+    user-keyed coarse-shard reduce computes every feature vectorized
+    per shard; nothing after the cutoff is ever read into a feature."""
+    import numpy as np
+
+    CUT = pd.Timestamp(cutoff)
+    cut_us = CUT.value // 1000
+    week_us = 7 * 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        t = t.append_column("ts_us", us)
+        t = t.filter(pc.less(t["ts_us"], pa.scalar(cut_us, pa.int64())))
+        u = t["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts_us"],
+                "event_type": t["event_type"],
+                "_shard": pa.array((u % 64).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"]
+        agg = g.groupby("user_id").agg(
+            n_events=("ts_us", "size"),
+            last_us=("ts_us", "max"),
+        )
+        agg["n_last_7d"] = g[g["ts_us"] >= cut_us - week_us].groupby("user_id")[
+            "ts_us"
+        ].size().reindex(agg.index, fill_value=0)
+        agg["n_purchases"] = g[et == "purchase"].groupby("user_id")["ts_us"].size().reindex(
+            agg.index, fill_value=0
+        )
+        agg["n_types"] = g.groupby("user_id")["event_type"].nunique().reindex(agg.index)
+        agg["days_since_last"] = (cut_us - agg["last_us"]) // 86_400_000_000
+        out = agg.reset_index()[
+            ["user_id", "n_events", "n_last_7d", "n_purchases", "n_types", "days_since_last"]
+        ]
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def feature_snapshot_sql(cutoff: str = "2024-01-25") -> str:
+    return f"""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '{cutoff}' - INTERVAL 7 DAYS
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_last_7d,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST((epoch_us(TIMESTAMP '{cutoff}') - MAX(epoch_us(ts)))
+                    // 86400000000 AS BIGINT) AS days_since_last
+        FROM events WHERE ts < TIMESTAMP '{cutoff}'
+        GROUP BY user_id ORDER BY user_id
+    """
+
+
+def k_anonymity_check(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Privacy release gate: treating (event_type, day) as the
+    quasi-identifier, report per event_type how many QI groups exist,
+    how many fall below k distinct users (must be suppressed before
+    release), and how many user-rows those suppressed cells cover —
+    the k-anonymity audit run before publishing an aggregate cut.
+    Distinct (type, day, user) triples reduce in a coarse shard keyed
+    on the packed (day, user) int64; per-type partials fold."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id"]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        u = t["user_id"].to_numpy().astype(np.int64)
+        if len(u) and (int(u.max()) >= (1 << 31) or int(day.max()) >= (1 << 31)):
+            raise ValueError("packing bound exceeded")
+        key = (day << np.int64(31)) | u
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "key": key})
+        df = df.drop_duplicates()
+        df["_shard"] = (df["key"] % 64).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["event_type", "key"]).copy()
+        g["day"] = g["key"].to_numpy() >> np.int64(31)
+        cell = g.groupby(["event_type", "day"]).size().reset_index(name="n_users")
+        return cell
+
+    cells = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["n_users"]
+        .sum()
+    )
+    rows = []
+    for ty, g in cells.groupby("event_type"):
+        small = g[g["n_users"] < k]
+        rows.append((ty, len(g), len(small), int(small["n_users"].sum())))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_cells", "n_suppressed", "suppressed_user_rows"]
+    ).sort_values("event_type").reset_index(drop=True)
+    for c in ("n_cells", "n_suppressed", "suppressed_user_rows"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def k_anonymity_check_sql(k: int = 5) -> str:
+    return f"""
+        WITH cells AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(CASE WHEN n_users < {k} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_suppressed,
+               CAST(COALESCE(SUM(n_users) FILTER (WHERE n_users < {k}), 0)
+                    AS BIGINT) AS suppressed_user_rows
+        FROM cells GROUP BY 1 ORDER BY 1
+    """
+
+
+def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension profile of the embedding column (the feature-drift
+    monitor a vector pipeline runs): count, min/max and sum per
+    dimension, all on values quantized to integer millionths so the
+    distributed fold is bit-exact and SQL-comparable (float summation
+    order would otherwise differ). Vectors unpack zero-copy via the
+    list offsets into an [n, d] matrix; per-batch partials are 64
+    rows."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        d = len(flat) // max(n, 1)
+        m = np.round(flat.astype(np.float64) * 1_000_000).astype(np.int64).reshape(n, d)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(d, n, dtype=np.int64), pa.int64()),
+                "mn": pa.array(m.min(axis=0), pa.int64()),
+                "mx": pa.array(m.max(axis=0), pa.int64()),
+                "s": pa.array(m.sum(axis=0), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("dim", as_index=False)
+        .agg(n_vecs=("n", "sum"), min_q=("mn", "min"), max_q=("mx", "max"), sum_q=("s", "sum"))
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def embedding_dim_stats_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                   CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS q
+            FROM embeddings
+        )
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MIN(q) AS BIGINT) AS min_q,
+               CAST(MAX(q) AS BIGINT) AS max_q,
+               CAST(SUM(q) AS BIGINT) AS sum_q
+        FROM f GROUP BY dim ORDER BY dim
+    """

@@ -403,3 +403,117 @@ def test_order_backlog_curve_oracle(ray_session, con):
     assert (mine["open_orders"] >= 0).all()
     assert mine["open_orders"].iloc[-1] == 0  # every order eventually ships
     _assert_oracle(con, mine, order_backlog_curve_sql())
+
+
+def test_time_travel_read(ray_session, con):
+    from pdfrust_ray.pipelines.datasetops import (
+        ensure_versioned_table,
+        time_travel_read,
+        time_travel_read_sql,
+    )
+
+    mine = time_travel_read(SF)
+    assert list(mine["version"]) == ["v1", "v2"]
+    _assert_oracle(con, mine, time_travel_read_sql())
+    # versions share the untouched data file (no rewrite on delete+append)
+    import json
+    import os
+
+    base = ensure_versioned_table(SF)
+    v1 = set(json.load(open(f"{base}/manifest-v1.json"))["files"])
+    v2 = set(json.load(open(f"{base}/manifest-v2.json"))["files"])
+    assert v1 & v2  # shared file
+    assert v1 != v2
+
+
+def test_bloom_join_revenue(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        bloom_join_revenue,
+        bloom_join_revenue_sql,
+    )
+
+    mine = bloom_join_revenue(SF)
+    assert list(mine["o_orderpriority"]) == ["1-URGENT", "2-HIGH"]
+    _assert_oracle(con, mine, bloom_join_revenue_sql())
+
+
+def test_bloom_filter_selectivity():
+    # the pushdown actually drops the vast majority of non-matching keys
+    import numpy as np
+
+    from pdfrust_ray.stages.sketches import bloom_contains, bloom_merge, bloom_partial
+
+    member = np.arange(0, 3000, dtype=np.uint64)
+    probe = np.arange(3000, 103_000, dtype=np.uint64)
+    bits = bloom_merge([bloom_partial(member)])
+    assert bloom_contains(bits, member).all()  # no false negatives
+    fp = bloom_contains(bits, probe).mean()
+    assert fp < 0.01
+
+
+def test_winsorized_mean_value(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        winsorized_mean_value,
+        winsorized_mean_value_sql,
+    )
+
+    mine = winsorized_mean_value(SF)
+    assert len(mine) == 5
+    assert (mine["p5_cents"] <= mine["p95_cents"]).all()
+    _assert_oracle(con, mine, winsorized_mean_value_sql())
+
+
+def test_monthly_seasonality(ray_session, con):
+    from pdfrust_ray.pipelines.relational import (
+        monthly_seasonality,
+        monthly_seasonality_sql,
+    )
+
+    mine = monthly_seasonality(SF)
+    assert list(mine["month"]) == list(range(1, 13))
+    _assert_oracle(con, mine, monthly_seasonality_sql())
+
+
+def test_feature_snapshot(ray_session, con):
+    from pdfrust_ray.pipelines.relational import feature_snapshot, feature_snapshot_sql
+
+    mine = feature_snapshot(SF)
+    assert (mine["n_last_7d"] <= mine["n_events"]).all()
+    assert (mine["days_since_last"] >= 0).all()
+    _assert_oracle(con, mine, feature_snapshot_sql())
+
+
+def test_feature_snapshot_no_leakage(ray_session, con):
+    # a user whose only post-cutoff events exist must be absent
+    from pdfrust_ray.pipelines.relational import feature_snapshot
+
+    mine = feature_snapshot(SF, cutoff="2024-01-02")
+    post = con.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events WHERE ts < TIMESTAMP '2024-01-02'"
+    ).fetchone()[0]
+    assert len(mine) == post
+
+
+def test_k_anonymity_check(ray_session, con):
+    from pdfrust_ray.pipelines.relational import k_anonymity_check, k_anonymity_check_sql
+
+    mine = k_anonymity_check(SF)
+    assert len(mine) == 5
+    assert (mine["n_suppressed"] <= mine["n_cells"]).all()
+    _assert_oracle(con, mine, k_anonymity_check_sql())
+
+
+def test_embedding_dim_stats(ray_session):
+    from pdfrust_ray.pipelines.relational import (
+        embedding_dim_stats,
+        embedding_dim_stats_sql,
+    )
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    mine = embedding_dim_stats(SF)
+    assert len(mine) == 64
+    assert (mine["min_q"] <= mine["max_q"]).all()
+    _assert_oracle(c, mine, embedding_dim_stats_sql())
