@@ -663,6 +663,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_check": rel.k_anonymity_check,
         # per-dimension embedding profile, integer-quantized exact
         "embedding_dim_stats": rel.embedding_dim_stats,
+        # distributed MERGE INTO (co-partitioned upsert/delete apply)
+        "merge_upsert": dso.merge_upsert,
+        # inter-label centroid similarity matrix (quantized exact)
+        "label_centroid_profile": rel.label_centroid_profile,
+        # data-contract audit: per-rule violation counts, zero shuffle
+        "contract_violations": rel.contract_violations,
     }
 
 
@@ -977,6 +983,9 @@ def oracle_sql() -> dict[str, str]:
         "feature_snapshot": rel.feature_snapshot_sql(),
         "k_anonymity_check": rel.k_anonymity_check_sql(),
         "embedding_dim_stats": rel.embedding_dim_stats_sql(),
+        "merge_upsert": dso.merge_upsert_sql(),
+        "label_centroid_profile": rel.label_centroid_profile_sql(),
+        "contract_violations": rel.contract_violations_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

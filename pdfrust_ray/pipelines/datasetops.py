@@ -1225,3 +1225,113 @@ def time_travel_read_sql() -> str:
         FROM events WHERE event_id % 5 IN (1, 2, 3, 4)
         ORDER BY version
     """
+
+
+# ---------------------------------------------------------------------------
+# distributed MERGE INTO (upsert + delete apply)
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """MERGE INTO semantics — apply a CDC batch of inserts, updates and
+    deletes to a base snapshot — as the canonical distributed merge:
+    co-partition base and CDC rows on a hash of the merge key, then
+    apply the merge group-locally (WHEN MATCHED AND op='U' THEN UPDATE,
+    WHEN MATCHED AND op='D' THEN DELETE, WHEN NOT MATCHED THEN INSERT).
+    Both sides are derived deterministically from the events fixture:
+    base = event_id % 4 != 3; inserts = the % 4 == 3 rows; updates
+    double `value` for base rows with event_id % 10 == 0; deletes
+    target base rows with event_id % 10 == 5. The merged table never
+    materializes — each bucket reduces to per-event_type partials
+    (count + exact cents sum) and only those fold on the driver. At
+    100 TB the same bucket grouping writes the merged files directly
+    (one bucket = one output partition), so the single exchange is the
+    co-partitioning shuffle that any MERGE needs."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def tag(t: pa.Table) -> pd.DataFrame:
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        ety = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        val = t["value"].to_numpy().astype(np.float64)
+        is_base = eid % 4 != 3
+        parts = [
+            pd.DataFrame(
+                {"event_id": eid[is_base], "event_type": ety[is_base],
+                 "value": val[is_base], "op": "B"}
+            ),
+            pd.DataFrame(
+                {"event_id": eid[~is_base], "event_type": ety[~is_base],
+                 "value": val[~is_base], "op": "I"}
+            ),
+        ]
+        upd = is_base & (eid % 10 == 0)
+        parts.append(
+            pd.DataFrame(
+                {"event_id": eid[upd], "event_type": ety[upd],
+                 "value": val[upd] * 2.0, "op": "U"}
+            )
+        )
+        dele = is_base & (eid % 10 == 5)
+        parts.append(
+            pd.DataFrame(
+                {"event_id": eid[dele], "event_type": ety[dele],
+                 "value": val[dele], "op": "D"}
+            )
+        )
+        out = pd.concat(parts, ignore_index=True)
+        out["_b"] = (out["event_id"] % n_buckets).astype("int32")
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["op"] == "B"].set_index("event_id")
+        upd = g[g["op"] == "U"].set_index("event_id")
+        base.loc[upd.index, "value"] = upd["value"]
+        base = base.drop(index=g.loc[g["op"] == "D", "event_id"], errors="ignore")
+        ins = g[g["op"] == "I"]
+        merged = pd.concat([base.reset_index(), ins], ignore_index=True)
+        cents = np.round(merged["value"].to_numpy() * 100.0).astype(np.int64)
+        agg = (
+            pd.DataFrame({"event_type": merged["event_type"], "cents": cents})
+            .groupby("event_type", as_index=False)
+            .agg(n_rows=("cents", "size"), sum_value_cents=("cents", "sum"))
+        )
+        return agg
+
+    parts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("event_type", as_index=False)[["n_rows", "sum_value_cents"]]
+        .sum()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("n_rows", "sum_value_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def merge_upsert_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT event_id, event_type, value FROM events WHERE event_id % 4 != 3
+        ), cdc_u AS (
+            SELECT event_id, value * 2 AS value FROM events
+            WHERE event_id % 4 != 3 AND event_id % 10 = 0
+        ), merged AS (
+            SELECT b.event_type, COALESCE(u.value, b.value) AS value
+            FROM base b LEFT JOIN cdc_u u USING (event_id)
+            WHERE b.event_id % 10 != 5
+            UNION ALL
+            SELECT event_type, value FROM events WHERE event_id % 4 = 3
+        )
+        SELECT event_type, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM merged GROUP BY event_type ORDER BY event_type
+    """

@@ -6030,3 +6030,186 @@ def embedding_dim_stats_sql() -> str:
                CAST(SUM(q) AS BIGINT) AS sum_q
         FROM f GROUP BY dim ORDER BY dim
     """
+
+
+def label_centroid_profile(sf_dir: str) -> pd.DataFrame:
+    """Inter-label centroid similarity matrix over the embedding table —
+    the label-confusion / cluster-separation diagnostic an embedding
+    pipeline runs after training. Values quantize to integer
+    thousandths so the per-label per-dimension sums (the sufficient
+    statistics) fold bit-exactly; the pairwise centroid dot products
+    are then pure int64 arithmetic over a [n_labels, d] table that is
+    tiny regardless of corpus size — the classic sufficient-statistics
+    reduce (same skeleton as embedding_second_moment, grouped by
+    label). One streaming pass, no shuffle: each batch emits at most
+    n_labels * d partial rows."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        d = len(flat) // max(n, 1)
+        q = np.round(flat.astype(np.float64) * 1000.0).astype(np.int64).reshape(n, d)
+        lab = t["label"].to_numpy().astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ulab)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fold = (
+        parts.groupby(["label", "dim"], as_index=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+        .sort_values(["label", "dim"])
+    )
+    labels = np.sort(fold["label"].unique())
+    d = int(fold["dim"].max()) + 1
+    S = fold["s"].to_numpy().reshape(len(labels), d)
+    N = fold["n"].to_numpy().reshape(len(labels), d)[:, 0]
+    dots = S @ S.T
+    ia, ib = np.triu_indices(len(labels))
+    out = pd.DataFrame(
+        {
+            "label_a": labels[ia],
+            "label_b": labels[ib],
+            "n_a": N[ia],
+            "n_b": N[ib],
+            "dot_q": dots[ia, ib],
+        }
+    ).sort_values(["label_a", "label_b"]).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def label_centroid_profile_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                   CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                        AS BIGINT) AS q
+            FROM embeddings
+        ), s AS (
+            SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sq
+            FROM f GROUP BY 1, 2
+        ), n AS (
+            SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n
+            FROM embeddings GROUP BY 1
+        )
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+               CAST(SUM(a.sq * b.sq) AS BIGINT) AS dot_q
+        FROM s a
+        JOIN s b ON a.dim = b.dim AND a.label <= b.label
+        JOIN n na ON na.label = a.label
+        JOIN n nb ON nb.label = b.label
+        GROUP BY 1, 2, 3, 4
+        ORDER BY 1, 2
+    """
+
+
+def contract_violations(sf_dir: str) -> pd.DataFrame:
+    """Data-contract validation pass over the events table: count, per
+    rule, the rows violating the published contract (value within
+    [0, 250], ts inside the January window, event_type drawn from the
+    allowed enum, the JSON props `k` field at most 89), plus the
+    rows-with-any-violation and total-rows-checked lines a data-quality
+    gate reports. All rules evaluate row-locally and vectorized; each
+    batch emits one six-row partial and only those fold — zero
+    shuffle, the cheapest possible full-table audit."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value", "props"]
+    )
+    allowed = {"click", "view", "purchase", "signup"}
+    lo, hi = np.datetime64("2024-01-01"), np.datetime64("2024-01-29")
+
+    def partial(t: pa.Table) -> pa.Table:
+        val = t["value"].to_numpy()
+        ts = t["ts"].to_numpy()
+        ety = t["event_type"].to_pylist()
+        k = (
+            pd.Series(t["props"].to_pylist())
+            .str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .astype("int64")
+            .to_numpy()
+        )
+        bad_value = (val < 0.0) | (val > 250.0)
+        bad_ts = (ts < lo) | (ts >= hi)
+        bad_type = np.array([e not in allowed for e in ety], dtype=bool)
+        bad_k = k > 89
+        any_bad = bad_value | bad_ts | bad_type | bad_k
+        return pa.table(
+            {
+                "rule": pa.array(
+                    ["any_violation", "props_k_max", "rows_checked",
+                     "ts_window", "type_enum", "value_range"]
+                ),
+                "n_bad": pa.array(
+                    [int(any_bad.sum()), int(bad_k.sum()), t.num_rows,
+                     int(bad_ts.sum()), int(bad_type.sum()), int(bad_value.sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("rule", as_index=False)["n_bad"]
+        .sum()
+        .sort_values("rule")
+        .reset_index(drop=True)
+    )
+    out["n_bad"] = out["n_bad"].astype("int64")
+    return out
+
+
+def contract_violations_sql() -> str:
+    return """
+        WITH checks AS (
+            SELECT (value < 0 OR value > 250) AS bad_value,
+                   (ts < TIMESTAMP '2024-01-01'
+                    OR ts >= TIMESTAMP '2024-01-29') AS bad_ts,
+                   event_type NOT IN ('click', 'view', 'purchase', 'signup')
+                       AS bad_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) > 89 AS bad_k
+            FROM events
+        )
+        SELECT rule, n_bad FROM (
+            SELECT 'any_violation' AS rule,
+                   CAST(SUM(CASE WHEN bad_value OR bad_ts OR bad_type OR bad_k
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+            FROM checks
+            UNION ALL
+            SELECT 'props_k_max',
+                   CAST(SUM(CASE WHEN bad_k THEN 1 ELSE 0 END) AS BIGINT)
+            FROM checks
+            UNION ALL
+            SELECT 'rows_checked', CAST(COUNT(*) AS BIGINT) FROM checks
+            UNION ALL
+            SELECT 'ts_window',
+                   CAST(SUM(CASE WHEN bad_ts THEN 1 ELSE 0 END) AS BIGINT)
+            FROM checks
+            UNION ALL
+            SELECT 'type_enum',
+                   CAST(SUM(CASE WHEN bad_type THEN 1 ELSE 0 END) AS BIGINT)
+            FROM checks
+            UNION ALL
+            SELECT 'value_range',
+                   CAST(SUM(CASE WHEN bad_value THEN 1 ELSE 0 END) AS BIGINT)
+            FROM checks
+        ) ORDER BY rule
+    """
