@@ -669,6 +669,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_profile": rel.label_centroid_profile,
         # data-contract audit: per-rule violation counts, zero shuffle
         "contract_violations": rel.contract_violations,
+        # TPC-H Q13 shape: order-count distribution incl. zero bucket
+        "customer_order_distribution": rel.customer_order_distribution,
+        # TPC-H Q7 shape: bilateral nation-pair trade over the big join
+        "nation_pair_trade": rel.nation_pair_trade,
+        # log compaction / QUALIFY rn=1: current state per user
+        "latest_event_per_user": rel.latest_event_per_user,
+        # point-in-time temporal join against the SCD2 dimension
+        "scd2_pit_join": dso.scd2_pit_join,
+        # transcript retry detection (user->user consecutive turns)
+        "user_retry_rate": _q_conv(cv.user_retry_rate),
     }
 
 
@@ -986,6 +996,11 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": dso.merge_upsert_sql(),
         "label_centroid_profile": rel.label_centroid_profile_sql(),
         "contract_violations": rel.contract_violations_sql(),
+        "customer_order_distribution": rel.customer_order_distribution_sql(),
+        "nation_pair_trade": rel.nation_pair_trade_sql(),
+        "latest_event_per_user": rel.latest_event_per_user_sql(),
+        "scd2_pit_join": dso.scd2_pit_join_sql(),
+        "user_retry_rate": cv.user_retry_rate_sql(_T2_SHARDS),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

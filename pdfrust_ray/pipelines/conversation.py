@@ -775,3 +775,61 @@ def role_length_quantiles_sql(shards_glob: str) -> str:
                     AS BIGINT) AS p90
         FROM ord GROUP BY role ORDER BY role
     """
+
+
+def user_retry_rate(corpus_dir: str) -> pd.DataFrame:
+    """Per-conversation retry detection: a user turn immediately
+    followed by another user turn means the user re-prompted without an
+    assistant reply in between (correction / retry / impatience) — a
+    core transcript-quality signal when mining conversations for
+    training pairs. Same shape as role_transitions (bucket shuffle +
+    one boundary-masked vectorized shift per bucket) but keeps the
+    per-conversation grain: conv_id, user-turn count, retry count."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        is_user = role == "user"
+        retry = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            retry[1:] = (
+                (conv[1:] == conv[:-1]) & is_user[1:] & is_user[:-1]
+            ).astype(np.int64)
+        out = pd.DataFrame(
+            {"conv_id": conv, "u": is_user.astype(np.int64), "r": retry}
+        )
+        return (
+            out.groupby("conv_id", as_index=False)
+            .agg(n_user_turns=("u", "sum"), n_retries=("r", "sum"))
+        )
+
+    out = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_user_turns", "n_retries"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def user_retry_rate_sql(shards_glob: str) -> str:
+    return f"""
+        SELECT conv_id,
+               CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_user_turns,
+               CAST(SUM(CASE WHEN role = 'user' AND prev_role = 'user'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_retries
+        FROM (
+            SELECT conv_id, role,
+                   LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev_role
+            FROM read_parquet('{shards_glob}')
+        )
+        GROUP BY conv_id ORDER BY conv_id
+    """

@@ -1335,3 +1335,90 @@ def merge_upsert_sql() -> str:
                    AS sum_value_cents
         FROM merged GROUP BY event_type ORDER BY event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# point-in-time join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+def scd2_pit_join(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time (temporal) join: attach to every fact the SCD2
+    dimension version that was valid AT the fact's timestamp
+    (valid_from <= ts < valid_to) — how a feature pipeline joins facts
+    to a versioned dimension without leakage. The dimension is the
+    scd2_history build; facts derive deterministically from events
+    (doc_id = event_id % 500; the timestamp lands before D0, between
+    D0 and D1, or after D1 by event_id % 3, so every version class is
+    exercised and pre-D0 facts match nothing). The dimension is tiny
+    relative to the fact stream — the canonical broadcast-PIT plan:
+    history is ray.put once, every fact batch interval-matches against
+    it vectorized (merge on key + range filter), and per-version match
+    counts fold. Were the dimension itself huge, the same per-key
+    interval match would run inside a doc_id co-partitioned
+    groupby(map_groups) instead."""
+    import ray
+
+    hist = scd2_history(sf_dir)[["doc_id", "valid_from", "valid_to"]].copy()
+    hist["vf_us"] = hist["valid_from"].astype("int64") // 1000
+    hist["vt_us"] = hist["valid_to"].astype("int64") // 1000
+    hist_ref = ray.put(hist[["doc_id", "vf_us", "vt_us"]])
+
+    stamps = np.array(
+        [
+            np.datetime64("2023-12-15T00:00:00", "us"),
+            np.datetime64("2024-01-01T12:00:00", "us"),
+            np.datetime64("2024-02-01T00:00:00", "us"),
+        ]
+    ).astype(np.int64)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def match(t: pa.Table, *, hist_ref) -> pd.DataFrame:
+        h = ray.get(hist_ref)
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        facts = pd.DataFrame(
+            {"doc_id": eid % 500, "fts_us": stamps[eid % 3]}
+        )
+        j = facts.merge(h, on="doc_id", how="inner")
+        j = j[(j["fts_us"] >= j["vf_us"]) & (j["fts_us"] < j["vt_us"])]
+        out = (
+            j.groupby(["doc_id", "vf_us"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_facts"})
+        )
+        return out
+
+    parts = ds.map_batches(
+        match, batch_format="pyarrow", fn_kwargs={"hist_ref": hist_ref}
+    ).to_pandas()
+    out = (
+        parts.groupby(["doc_id", "vf_us"], as_index=False)["n_facts"]
+        .sum()
+        .sort_values(["doc_id", "vf_us"])
+        .reset_index(drop=True)
+    )
+    out["valid_from"] = pd.to_datetime(out.pop("vf_us"), unit="us")
+    out = out[["doc_id", "valid_from", "n_facts"]]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_facts"] = out["n_facts"].astype("int64")
+    return out
+
+
+def scd2_pit_join_sql() -> str:
+    return f"""
+        WITH hist AS ({scd2_history_sql()}),
+        facts AS (
+            SELECT event_id % 500 AS doc_id,
+                   CASE event_id % 3
+                        WHEN 0 THEN TIMESTAMP '2023-12-15 00:00:00'
+                        WHEN 1 THEN TIMESTAMP '2024-01-01 12:00:00'
+                        ELSE TIMESTAMP '2024-02-01 00:00:00' END AS fts
+            FROM events
+        )
+        SELECT h.doc_id, h.valid_from, COUNT(*) AS n_facts
+        FROM facts f
+        JOIN hist h ON f.doc_id = h.doc_id
+             AND f.fts >= h.valid_from AND f.fts < h.valid_to
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -6213,3 +6213,236 @@ def contract_violations_sql() -> str:
             FROM checks
         ) ORDER BY rule
     """
+
+
+def customer_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by how many
+    orders they placed, INCLUDING the zero-order customers a plain
+    inner join would drop. One custkey-keyed exchange produces
+    per-customer order counts; each result block then collapses to
+    (order_count, n_customers) histogram partials that fold on the
+    driver, and the zero bucket is total customers minus customers
+    seen in orders — the LEFT JOIN realized without ever shipping the
+    customer table anywhere."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    per_cust = orders.groupby("o_custkey").aggregate(Count(alias_name="c_count"))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = t["c_count"].to_numpy().astype(np.int64)
+        vals, cnts = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "n_orders": pa.array(vals, pa.int64()),
+                "n_customers": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = per_cust.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("n_orders", as_index=False)["n_customers"].sum()
+    n_total = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    n_with = int(out["n_customers"].sum())
+    if n_total > n_with:
+        out = pd.concat(
+            [pd.DataFrame({"n_orders": [0], "n_customers": [n_total - n_with]}), out],
+            ignore_index=True,
+        )
+    out = out.sort_values("n_orders").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def customer_order_distribution_sql() -> str:
+    return """
+        SELECT c_count AS n_orders, COUNT(*) AS n_customers
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count ORDER BY n_orders
+    """
+
+
+def nation_pair_trade(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+    """TPC-H Q7 shape: bilateral trade — discounted revenue per
+    (supplier nation, customer nation) pair where the two nations
+    DIFFER, over a two-year order window. Same plan skeleton as
+    local_supplier_revenue (Q5): supplier->nation and customer->nation
+    broadcast maps attach nationkeys inside the scans, the only
+    all-to-all is the date-prefiltered lineitem x orders
+    hash-partitioned join, and the != colocation predicate plus the
+    pair groupby run post-join (pair cardinality <= |nations|^2, so
+    the final aggregate is tiny)."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    supp_ref = ray.put(supp)
+    cust_ref = ray.put(cust)
+
+    lo = pd.Timestamp("1995-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def prep_lineitem(t: pa.Table, *, supp_ref) -> pa.Table:
+        supp = ray.get(supp_ref)
+        disc = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0),
+        )
+        left = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "disc_cents": pc.cast(
+                    pc.round(disc, round_mode="half_towards_infinity"), pa.int64()
+                ),
+            }
+        )
+        j = left.join(supp, keys="l_suppkey", right_keys="s_suppkey", join_type="inner")
+        return j.select(["l_orderkey", "s_nationkey", "disc_cents"])
+
+    def prep_orders(t: pa.Table, *, cust_ref) -> pa.Table:
+        cust = ray.get(cust_ref)
+        mask = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo, type=pa.timestamp("us"))),
+            pc.less(t["o_orderdate"], pa.scalar(hi, type=pa.timestamp("us"))),
+        )
+        t = t.filter(mask)
+        j = t.join(cust, keys="o_custkey", right_keys="c_custkey", join_type="inner")
+        return j.select(["o_orderkey", "c_nationkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(prep_lineitem, batch_format="pyarrow", fn_kwargs={"supp_ref": supp_ref})
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow", fn_kwargs={"cust_ref": cust_ref})
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    names_ref = ray.put(names)
+
+    def finish(t: pa.Table, *, names_ref) -> pa.Table:
+        names = ray.get(names_ref)
+        t = t.filter(
+            pc.not_equal(
+                pc.cast(t["s_nationkey"], pa.int32()),
+                pc.cast(t["c_nationkey"], pa.int32()),
+            )
+        )
+        sk = t["s_nationkey"].to_pylist()
+        ck = t["c_nationkey"].to_pylist()
+        return pa.table(
+            {
+                "supp_nation": pa.array([names[int(k)] for k in sk], pa.string()),
+                "cust_nation": pa.array([names[int(k)] for k in ck], pa.string()),
+                "disc_cents": t["disc_cents"],
+            }
+        )
+
+    out = (
+        joined.map_batches(finish, batch_format="pyarrow", fn_kwargs={"names_ref": names_ref})
+        .groupby(["supp_nation", "cust_nation"])
+        .aggregate(Sum("disc_cents", alias_name="revenue_cents"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values(["supp_nation", "cust_nation"]).reset_index(drop=True)
+
+
+def nation_pair_trade_sql() -> str:
+    return """
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_nationkey != nc.n_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+def latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Log compaction / QUALIFY ROW_NUMBER() = 1: the current state per
+    user from the append-only event log — the latest event by (ts,
+    event_id) per user_id. Each batch first compacts locally to at most
+    one row per user (vectorized lexsort + first-occurrence mask), so
+    the user-keyed exchange moves <= |users| rows per block no matter
+    how deep the log is; the per-user groupby then repeats the same
+    argmax group-locally. This is exactly how a 100-TB CDC log folds to
+    a current-state snapshot: partial compaction before the shuffle,
+    final compaction inside it."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def compact_pd(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((-df["event_id"].to_numpy(), -df["ts_us"].to_numpy(),
+                            df["user_id"].to_numpy()))
+        df = df.iloc[order]
+        keep = df["user_id"].to_numpy()
+        mask = np.ones(len(keep), dtype=bool)
+        mask[1:] = keep[1:] != keep[:-1]
+        return df[mask]
+
+    def compact(t: pa.Table) -> pd.DataFrame:
+        return compact_pd(
+            pd.DataFrame(
+                {
+                    "user_id": t["user_id"].to_numpy(),
+                    "ts_us": pc.cast(t["ts"], pa.int64()).to_numpy(),
+                    "event_id": t["event_id"].to_numpy(),
+                    "event_type": t["event_type"].to_pylist(),
+                    "value_cents": _cents(t["value"]).to_numpy(),
+                }
+            )
+        )
+
+    out = (
+        ds.map_batches(compact, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(compact_pd, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out = out[["user_id", "ts_us", "event_id", "event_type", "value_cents"]]
+    for c in ("user_id", "ts_us", "event_id", "value_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def latest_event_per_user_sql() -> str:
+    return """
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1 ORDER BY user_id
+    """
