@@ -679,6 +679,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_pit_join": dso.scd2_pit_join,
         # transcript retry detection (user->user consecutive turns)
         "user_retry_rate": _q_conv(cv.user_retry_rate),
+        # hashing-trick bag-of-words (vocabulary-free features)
+        "feature_hashing": textops.feature_hashing,
+        # inverse-frequency language class weights (integer ppm)
+        "lang_class_weights": lambda sf: llm.lang_class_weights(sf),
+        # recsys negative sampling (deterministic hash-ranked)
+        "negative_samples": rel.negative_samples,
+        # leave-last-out temporal holdout per user
+        "leave_last_out_split": rel.leave_last_out_split,
+        # calendar rollup: ISO week x weekday/weekend class
+        "events_weekly_weekend": rel.events_weekly_weekend,
+        # merge-on-read scan with positional deletion vectors
+        "deletion_vector_read": dso.deletion_vector_read,
     }
 
 
@@ -1001,6 +1013,12 @@ def oracle_sql() -> dict[str, str]:
         "latest_event_per_user": rel.latest_event_per_user_sql(),
         "scd2_pit_join": dso.scd2_pit_join_sql(),
         "user_retry_rate": cv.user_retry_rate_sql(_T2_SHARDS),
+        "feature_hashing": textops.feature_hashing_sql(),
+        "lang_class_weights": llm.lang_class_weights_sql(),
+        "negative_samples": rel.negative_samples_sql(),
+        "leave_last_out_split": rel.leave_last_out_split_sql(),
+        "events_weekly_weekend": rel.events_weekly_weekend_sql(),
+        "deletion_vector_read": dso.deletion_vector_read_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1422,3 +1422,141 @@ def scd2_pit_join_sql() -> str:
              AND f.fts >= h.valid_from AND f.fts < h.valid_to
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read deletion vectors
+# ---------------------------------------------------------------------------
+
+
+def ensure_dv_table(sf_dir: str) -> str:
+    """Events split into two immutable sorted data files (event_id % 2)
+    plus a POSITIONAL deletion-vector sidecar: (file, row position)
+    rows marking event_id % 7 == 3 as deleted — the Iceberg v2 /
+    Delta deletion-vector mechanism: deletes never rewrite data files,
+    readers apply the position mask at scan time (merge-on-read)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pdfrust_ray_dv_{scale}"
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = _pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    t = t.sort_by("event_id")
+    eid = t["event_id"].to_numpy()
+    dv_files, dv_pos = [], []
+    for side in (0, 1):
+        part = t.filter(pa.array(eid % 2 == side))
+        fname = f"data-{side}.parquet"
+        _pq.write_table(part, f"{out_dir}/{fname}")
+        pos = np.nonzero(part["event_id"].to_numpy() % 7 == 3)[0]
+        dv_files.extend([fname] * len(pos))
+        dv_pos.extend(pos.tolist())
+    _pq.write_table(
+        pa.table(
+            {"file": pa.array(dv_files, pa.string()),
+             "pos": pa.array(dv_pos, pa.int64())}
+        ),
+        f"{out_dir}/deletes.parquet",
+    )
+    open(marker, "w").close()
+    return out_dir
+
+
+def deletion_vector_read(sf_dir: str) -> pd.DataFrame:
+    """Merge-on-read scan with deletion vectors applied: one task per
+    data file (the granularity at which positions are meaningful)
+    streams its file row-group by row-group, tracks the running row
+    offset, masks out the positions its deletion vector names, and
+    reduces the survivors to (n_live, checksum) partials — the same
+    order-independent checksum as time_travel_read, so the oracle
+    proves the masked scan returns exactly the undeleted rows. The DV
+    sidecar is ray.put once (it is delete-sized, not table-sized)."""
+    import hashlib as _h
+    import os
+
+    import pyarrow.parquet as _pq
+
+    import ray
+
+    base = ensure_dv_table(sf_dir)
+    dv = _pq.read_table(f"{base}/deletes.parquet")
+    dv_map = {
+        f: np.array(g["pos"], dtype=np.int64)
+        for f, g in pd.DataFrame(
+            {"file": dv["file"].to_pylist(), "pos": dv["pos"].to_pylist()}
+        ).groupby("file")
+    }
+    dv_ref = ray.put(dv_map)
+
+    files = rd.from_items(
+        [{"file": f} for f in sorted(os.listdir(base)) if f.startswith("data-")]
+    )
+
+    def scan_file(t: pa.Table, *, dv_ref, base) -> pa.Table:
+        dv_map = ray.get(dv_ref)
+        out_files, out_n, out_s = [], [], []
+        for fname in t["file"].to_pylist():
+            dead = dv_map.get(fname, np.zeros(0, dtype=np.int64))
+            pf = _pq.ParquetFile(os.path.join(base, fname))
+            offset, n_live, s = 0, 0, 0
+            for rg in range(pf.num_row_groups):
+                tbl = pf.read_row_group(rg)
+                n = tbl.num_rows
+                local = dead[(dead >= offset) & (dead < offset + n)] - offset
+                mask = np.ones(n, dtype=bool)
+                mask[local] = False
+                live = tbl.filter(pa.array(mask))
+                offset += n
+                n_live += live.num_rows
+                for e, u, ty in zip(
+                    live["event_id"].to_pylist(),
+                    live["user_id"].to_pylist(),
+                    live["event_type"].to_pylist(),
+                ):
+                    s += int.from_bytes(
+                        _h.md5(f"{e}|{u}|{ty}".encode()).digest()[:4], "big"
+                    )
+            out_files.append(fname)
+            out_n.append(n_live)
+            out_s.append(s)
+        return pa.table(
+            {
+                "file": pa.array(out_files, pa.string()),
+                "n_live": pa.array(out_n, pa.int64()),
+                "checksum": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    out = (
+        files.map_batches(
+            scan_file, batch_format="pyarrow", batch_size=1,
+            fn_kwargs={"dv_ref": dv_ref, "base": base},
+        )
+        .to_pandas()
+        .sort_values("file")
+        .reset_index(drop=True)
+    )
+    for c in ("n_live", "checksum"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def deletion_vector_read_sql() -> str:
+    chk = (
+        "CAST(SUM(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' || "
+        "CAST(user_id AS VARCHAR) || '|' || event_type), 1, 8)) AS UBIGINT)) AS BIGINT)"
+    )
+    return f"""
+        SELECT 'data-' || CAST(event_id % 2 AS VARCHAR) || '.parquet' AS file,
+               CAST(COUNT(*) AS BIGINT) AS n_live,
+               {chk} AS checksum
+        FROM events WHERE event_id % 7 != 3
+        GROUP BY 1 ORDER BY 1
+    """

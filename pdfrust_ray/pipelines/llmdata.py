@@ -759,3 +759,45 @@ def segment_dedup_sql(min_docs: int = 2) -> str:
                             FILTER (WHERE NOT is_banned), '')) AS clean_md5
         FROM k GROUP BY doc_id ORDER BY doc_id
     """
+
+
+def lang_class_weights(sf_dir: str) -> pd.DataFrame:
+    """Inverse-frequency class weights over the language column — the
+    rebalancing coefficients a multilingual training mix multiplies
+    into its sampling probabilities (weight ∝ total / (n_classes *
+    class_count), reported in exact integer ppm via truncating
+    division so the distributed fold is bit-stable). Per-batch lang
+    counts fold through one |langs|-cardinality aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+
+    def counts(t: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(t["lang"].to_pylist()).value_counts()
+        return pd.DataFrame({"lang": vc.index, "n": vc.to_numpy().astype("int64")})
+
+    per_lang = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    total = int(per_lang["n_docs"].sum())
+    k = len(per_lang)
+    per_lang["n_docs"] = per_lang["n_docs"].astype("int64")
+    per_lang["weight_ppm"] = (
+        total * 1_000_000 // (k * per_lang["n_docs"].to_numpy())
+    ).astype("int64")
+    return per_lang
+
+
+def lang_class_weights_sql() -> str:
+    return """
+        WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        t AS (SELECT SUM(n_docs) AS total, COUNT(*) AS k FROM c)
+        SELECT lang, n_docs,
+               CAST((t.total * 1000000) // (t.k * n_docs) AS BIGINT) AS weight_ppm
+        FROM c, t ORDER BY lang
+    """

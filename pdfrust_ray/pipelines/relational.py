@@ -6446,3 +6446,236 @@ def latest_event_per_user_sql() -> str:
         )
         WHERE rn = 1 ORDER BY user_id
     """
+
+
+def negative_samples(sf_dir: str, k: int = 3, num_partitions: int = 8) -> pd.DataFrame:
+    """Recommendation negative sampling: for every customer, pick the k
+    deterministic pseudo-random parts they never ordered — candidates
+    ranked by (md5_u32(custkey:partkey), partkey), so the sample is
+    reproducible across runs and cluster sizes (the property that makes
+    train/eval splits stable). The interacted set comes from the
+    lineitem x orders hash join reduced to distinct (custkey, partkey)
+    pairs per batch; the part id list is broadcast once (item catalogs
+    are dimension-sized); ranking runs inside a coarse customer shard
+    with all candidate hashes computed in one vectorized md5 lane per
+    shard."""
+    import numpy as np
+
+    from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+    parts_t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    part_ids = np.sort(parts_t["p_partkey"].to_numpy().astype(np.int64))
+    parts_ref = ray.put(part_ids)
+    cust_t = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    all_cust = np.sort(cust_t["c_custkey"].to_numpy().astype(np.int64))
+    cust_ref = ray.put(all_cust)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    n_shards = 64
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "custkey": t["o_custkey"].to_numpy().astype(np.int64),
+                "partkey": t["l_partkey"].to_numpy().astype(np.int64),
+            }
+        ).drop_duplicates()
+        df["_shard"] = (df["custkey"] % n_shards).astype("int32")
+        return df
+
+    def sample_shard(g: pd.DataFrame, *, parts_ref, cust_ref) -> pd.DataFrame:
+        part_ids = ray.get(parts_ref)
+        all_cust = ray.get(cust_ref)
+        shard_id = int(g["_shard"].iloc[0])
+        # every customer of this shard, including zero-interaction ones
+        custs = all_cust[all_cust % n_shards == shard_id]
+        interacted = set(
+            zip(g["custkey"].to_numpy().tolist(), g["partkey"].to_numpy().tolist())
+        )
+        msgs = [
+            f"{c}:{p}".encode() for c in custs.tolist() for p in part_ids.tolist()
+        ]
+        h = md5_prefix_u32(msgs).reshape(len(custs), len(part_ids))
+        rows = []
+        for i, c in enumerate(custs.tolist()):
+            order = np.lexsort((part_ids, h[i]))
+            taken = 0
+            for j in order:
+                p = int(part_ids[j])
+                if (c, p) in interacted:
+                    continue
+                taken += 1
+                rows.append((c, taken, p))
+                if taken == k:
+                    break
+        return pd.DataFrame(rows, columns=["custkey", "rank", "partkey"])
+
+    out = (
+        joined.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(
+            sample_shard,
+            batch_format="pandas",
+            fn_kwargs={"parts_ref": parts_ref, "cust_ref": cust_ref},
+        )
+        .to_pandas()
+        .sort_values(["custkey", "rank"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def negative_samples_sql(k: int = 3) -> str:
+    return f"""
+        WITH interacted AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ), cand AS (
+            SELECT c.c_custkey AS custkey, p.p_partkey AS partkey,
+                   CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR) || ':' ||
+                                        CAST(p.p_partkey AS VARCHAR)), 1, 8))
+                        AS UBIGINT) AS h
+            FROM customer c CROSS JOIN part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM interacted i
+                WHERE i.c = c.c_custkey AND i.p = p.p_partkey
+            )
+        ), r AS (
+            SELECT custkey, partkey,
+                   row_number() OVER (PARTITION BY custkey ORDER BY h, partkey)
+                       AS rank
+            FROM cand
+        )
+        SELECT custkey, rank, partkey FROM r WHERE rank <= {k}
+        ORDER BY custkey, rank
+    """
+
+
+def leave_last_out_split(sf_dir: str) -> pd.DataFrame:
+    """Leave-last-out temporal holdout per user — the standard recsys /
+    sequence-model evaluation split: each user's latest event (by ts,
+    event_id) becomes the test example, everything earlier is train.
+    Same two-level compaction as latest_event_per_user, with the train
+    count carried alongside the argmax so one pass produces both."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy().astype(np.int64),
+                "ts_us": pc.cast(t["ts"], pa.int64()).to_numpy(),
+                "event_id": t["event_id"].to_numpy().astype(np.int64),
+            }
+        )
+        order = np.lexsort((-df["event_id"].to_numpy(), -df["ts_us"].to_numpy(),
+                            df["user_id"].to_numpy()))
+        df = df.iloc[order]
+        u = df["user_id"].to_numpy()
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        top = df[first].copy()
+        top["n"] = np.diff(np.append(np.nonzero(first)[0], len(u)))
+        return top
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((-g["event_id"].to_numpy(), -g["ts_us"].to_numpy()))
+        best = g.iloc[order[0]]
+        return pd.DataFrame(
+            {
+                "user_id": [int(best["user_id"])],
+                "n_train": [int(g["n"].sum()) - 1],
+                "test_event_id": [int(best["event_id"])],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def leave_last_out_split_sql() -> str:
+    return """
+        SELECT user_id, CAST(cnt - 1 AS BIGINT) AS n_train,
+               event_id AS test_event_id
+        FROM (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS cnt
+            FROM events
+        )
+        WHERE rn = 1 ORDER BY user_id
+    """
+
+
+def events_weekly_weekend(sf_dir: str) -> pd.DataFrame:
+    """Calendar-dimension rollup: event volume and exact value cents by
+    ISO week start and weekday/weekend class — the enrichment every
+    BI pipeline does with a date dimension, computed here from pure
+    epoch-day arithmetic (no calendar table shipped anywhere). Partial
+    fold per batch, one tiny groupby."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        dow = (days + 3) % 7  # epoch day 0 = Thursday; 0 = Monday
+        week_start = days - dow
+        is_weekend = dow >= 5
+        cents = _cents(t["value"]).to_numpy()
+        df = pd.DataFrame(
+            {"week_day": week_start, "is_weekend": is_weekend, "cents": cents}
+        )
+        return (
+            df.groupby(["week_day", "is_weekend"], as_index=False)
+            .agg(n_events=("cents", "size"), sum_value_cents=("cents", "sum"))
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["week_day", "is_weekend"], as_index=False)[
+            ["n_events", "sum_value_cents"]
+        ]
+        .sum()
+        .sort_values(["week_day", "is_weekend"])
+        .reset_index(drop=True)
+    )
+    out["week_start"] = pd.to_datetime(out.pop("week_day"), unit="D")
+    out = out[["week_start", "is_weekend", "n_events", "sum_value_cents"]]
+    out["is_weekend"] = out["is_weekend"].astype(bool)
+    for c in ("n_events", "sum_value_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def events_weekly_weekend_sql() -> str:
+    return """
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+               (isodow(ts) >= 6) AS is_weekend,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """

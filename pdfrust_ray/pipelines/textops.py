@@ -959,3 +959,82 @@ def html_ld_extract_sql(golden_path: str) -> str:
         FROM read_parquet('{golden_path}')
         ORDER BY conv_id, turn_idx
     """
+
+
+def _md5_u32_tokens(tokens: list[bytes]) -> "np.ndarray":
+    """Vectorized md5-u32 for token lists: single-block lanes for the
+    (overwhelmingly common) short tokens, hashlib for the stragglers."""
+    import hashlib
+
+    import numpy as np
+
+    from ..functions.md5vec import md5_prefix_u32
+
+    if all(len(t) < 56 for t in tokens):
+        return md5_prefix_u32(tokens)
+    out = np.empty(len(tokens), dtype=np.uint64)
+    short_idx = [i for i, t in enumerate(tokens) if len(t) < 56]
+    if short_idx:
+        out[short_idx] = md5_prefix_u32([tokens[i] for i in short_idx])
+    for i, t in enumerate(tokens):
+        if len(t) >= 56:
+            out[i] = int.from_bytes(hashlib.md5(t).digest()[:4], "big")
+    return out
+
+
+def feature_hashing(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Hashing-trick bag-of-words: every space-delimited token maps to
+    md5_u32(token) % n_buckets, giving each document a fixed-width
+    sparse count vector without any vocabulary build or shuffle — the
+    feature-engineering op that makes text models scale (no global
+    dictionary state). Per doc the query surfaces the nonzero-bucket
+    count and an md5 signature over the sorted "bucket:count" pairs,
+    so the oracle check covers the full vector content. Entirely
+    row-local: zero exchanges at any corpus size."""
+    import hashlib
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        nnzs, sigs = [], []
+        for txt in t["text"].to_pylist():
+            toks = [w.encode("utf-8") for w in txt.split(" ") if w != ""]
+            if toks:
+                h = _md5_u32_tokens(toks) % np.uint64(n_buckets)
+                bkt, cnt = np.unique(h.astype(np.int64), return_counts=True)
+            else:
+                bkt = cnt = np.zeros(0, dtype=np.int64)
+            nnzs.append(len(bkt))
+            sig = "|".join(f"{b}:{c}" for b, c in zip(bkt, cnt))
+            sigs.append(hashlib.md5(sig.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "nnz": pa.array(nnzs, pa.int64()),
+                "sig": pa.array(sigs, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def feature_hashing_sql(n_buckets: int = 64) -> str:
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % {n_buckets}
+                       AS bkt
+            FROM tok WHERE t <> ''
+        ), c AS (
+            SELECT doc_id, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
+               md5(string_agg(bkt || ':' || n, '|' ORDER BY bkt)) AS sig
+        FROM c GROUP BY doc_id ORDER BY doc_id
+    """
