@@ -293,6 +293,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return streaming_sessionize(sf_dir)
 
+    def _q_streaming_windowed_dedup(sf_dir: str):
+        from pdfrust_ray.stages.streaming import streaming_windowed_dedup
+
+        return streaming_windowed_dedup(sf_dir)
+
     def media_features_q(sf_dir: str):
         from pdfrust_ray.stages.multimodal import media_features, synthesize_media_table
 
@@ -691,6 +696,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekly_weekend": rel.events_weekly_weekend,
         # merge-on-read scan with positional deletion vectors
         "deletion_vector_read": dso.deletion_vector_read,
+        # GROUPING SETS lattice from one finest-grain fold
+        "events_grouping_sets": rel.events_grouping_sets,
+        # integer-exact 2-sigma daily volume anomaly flags
+        "daily_count_anomalies": rel.daily_count_anomalies,
+        # hot-key salted aggregation (skew pattern, oracle-pinned)
+        "type_stats_salted": rel.type_stats_salted,
+        # JSONL sink + reader round-trip fidelity checksum
+        "documents_jsonl_roundtrip": dso.documents_jsonl_roundtrip,
+        # SFT user->assistant pair extraction accounting
+        "sft_pairs": _q_conv(cv.sft_pairs),
+        # dead-letter split sink (contract-valid vs quarantine)
+        "quarantine_split": rel.quarantine_split,
+        # two-pass global z-score feature scaling (micro-quantized)
+        "events_value_zscore": rel.events_value_zscore,
+        # symmetric int8 vector quantization (storage format prep)
+        "embedding_int8_quantize": rel.embedding_int8_quantize,
+        # agentic tool-chain transition mining over transcripts
+        "tool_chain_bigrams": _q_conv(cv.tool_chain_bigrams),
+        # categorical codebook build + encode (label encoding)
+        "categorical_encode": rel.categorical_encode,
+        # keyset/cursor pagination without global sort or OFFSET
+        "events_keyset_page": rel.events_keyset_page,
+        # retrieval over quantized vectors (exact int64 dot scores)
+        "ann_quantized_topk": rel.ann_quantized_topk,
+        # lakehouse orphan-file audit (rows-only: filesystem state)
+        "orphan_files_audit": dso.orphan_files_audit,
+        # incremental stateful stream dedup (per-bucket state actors)
+        "streaming_windowed_dedup": _q_streaming_windowed_dedup,
+        # tokenizer-coverage OOV audit (build -> broadcast -> apply)
+        "oov_rate": lambda sf: qual.oov_rate(sf),
+        # sequence-length bucketing + padding-waste report
+        "length_bucket_stats": lambda sf: qual.length_bucket_stats(sf),
     }
 
 
@@ -1019,6 +1056,23 @@ def oracle_sql() -> dict[str, str]:
         "leave_last_out_split": rel.leave_last_out_split_sql(),
         "events_weekly_weekend": rel.events_weekly_weekend_sql(),
         "deletion_vector_read": dso.deletion_vector_read_sql(),
+        "events_grouping_sets": rel.events_grouping_sets_sql(),
+        "daily_count_anomalies": rel.daily_count_anomalies_sql(),
+        "type_stats_salted": rel.type_stats_salted_sql(),
+        "documents_jsonl_roundtrip": dso.documents_jsonl_roundtrip_sql(),
+        "sft_pairs": cv.sft_pairs_sql(_T2_SHARDS),
+        "quarantine_split": rel.quarantine_split_sql(),
+        "events_value_zscore": rel.events_value_zscore_sql(),
+        "embedding_int8_quantize": rel.embedding_int8_quantize_sql(),
+        "tool_chain_bigrams": cv.tool_chain_bigrams_sql(_T2_SHARDS),
+        "categorical_encode": rel.categorical_encode_sql(),
+        "events_keyset_page": rel.events_keyset_page_sql(),
+        "ann_quantized_topk": rel.ann_quantized_topk_sql(),
+        # orphan_files_audit: rows-only (filesystem audit, no SQL surface)
+        # the streaming replay must reproduce the batch dedup exactly
+        "streaming_windowed_dedup": rel.windowed_event_dedup_sql(),
+        "oov_rate": qual.oov_rate_sql(),
+        "length_bucket_stats": qual.length_bucket_stats_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

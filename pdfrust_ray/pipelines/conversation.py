@@ -833,3 +833,120 @@ def user_retry_rate_sql(shards_glob: str) -> str:
         )
         GROUP BY conv_id ORDER BY conv_id
     """
+
+
+def sft_pairs(corpus_dir: str) -> pd.DataFrame:
+    """SFT training-pair extraction accounting: per conversation, the
+    number of adjacent user->assistant turn pairs (the rows an
+    instruction-tuning dataset builder would emit) and the total
+    characters across both sides of those pairs. Bucket shuffle + one
+    boundary-masked vectorized shift — identical exchange to
+    role_transitions; the pair payloads themselves would stream to a
+    partitioned sink at scale, the query surfaces the accounting."""
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        chars = g["text"].str.len().to_numpy()
+        pair = np.zeros(len(g), dtype=np.int64)
+        pchars = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            hit = (conv[1:] == conv[:-1]) & (role[:-1] == "user") & (role[1:] == "assistant")
+            pair[:-1] = hit.astype(np.int64)
+            pchars[:-1] = np.where(hit, chars[:-1] + chars[1:], 0)
+        out = pd.DataFrame({"conv_id": conv, "p": pair, "c": pchars})
+        return out.groupby("conv_id", as_index=False).agg(
+            n_pairs=("p", "sum"), sum_pair_chars=("c", "sum")
+        )
+
+    out = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_pairs", "sum_pair_chars"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def sft_pairs_sql(shards_glob: str) -> str:
+    return f"""
+        SELECT conv_id,
+               CAST(SUM(CASE WHEN role = 'user' AND next_role = 'assistant'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN role = 'user' AND next_role = 'assistant'
+                             THEN length(text) + length(next_text)
+                             ELSE 0 END) AS BIGINT) AS sum_pair_chars
+        FROM (
+            SELECT conv_id, role, text,
+                   LEAD(role) OVER w AS next_role,
+                   LEAD(text) OVER w AS next_text
+            FROM read_parquet('{shards_glob}')
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        GROUP BY conv_id ORDER BY conv_id
+    """
+
+
+def tool_chain_bigrams(corpus_dir: str) -> pd.DataFrame:
+    """Tool-chain mining: corpus-wide counts of consecutive tool-call
+    pairs within a conversation (which tool follows which — the
+    transition structure of agentic workflows). Non-tool turns are
+    dropped BEFORE the exchange, so the bucket shuffle carries only
+    tool-call rows; one boundary-masked shift per bucket then a tiny
+    |tools|^2 fold."""
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "tool"]
+    )
+
+    def keep_tools(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["tool"], ""))
+        return _with_bucket(t)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        if len(g) < 2:
+            return pd.DataFrame({"prev_tool": [], "tool": [], "n": []})
+        conv = g["conv_id"].to_numpy()
+        tool = g["tool"].to_numpy()
+        same = conv[1:] == conv[:-1]
+        pairs = pd.DataFrame(
+            {"prev_tool": tool[:-1][same], "tool": tool[1:][same]}
+        )
+        return pairs.groupby(["prev_tool", "tool"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    out = (
+        _coalesced(ds.map_batches(keep_tools, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["prev_tool", "tool"])
+        .aggregate(Sum("n", alias_name="n_chains"))
+        .to_pandas()
+    )
+    out["n_chains"] = out["n_chains"].astype("int64")
+    return out.sort_values(["prev_tool", "tool"]).reset_index(drop=True)
+
+
+def tool_chain_bigrams_sql(shards_glob: str) -> str:
+    return f"""
+        SELECT prev_tool, tool, COUNT(*) AS n_chains
+        FROM (
+            SELECT LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev_tool,
+                   tool
+            FROM read_parquet('{shards_glob}')
+            WHERE tool <> ''
+        )
+        WHERE prev_tool IS NOT NULL
+        GROUP BY prev_tool, tool
+        ORDER BY prev_tool, tool
+    """

@@ -1560,3 +1560,143 @@ def deletion_vector_read_sql() -> str:
         FROM events WHERE event_id % 7 != 3
         GROUP BY 1 ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# JSONL sink round-trip
+# ---------------------------------------------------------------------------
+
+
+def documents_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Sink-fidelity proof for the JSONL writer: documents stream out
+    through Dataset.write_json (partitioned, one file per block — the
+    resumable layout), stream back in through the JSON reader, and
+    reduce to a per-lang order-independent checksum over (doc_id,
+    md5(text), lang). The oracle computes the same checksum from the
+    parquet originals, so any escaping / unicode / ordering damage in
+    the write-read cycle breaks the hash. Text bytes never reach the
+    driver."""
+    import hashlib as _h
+    import os
+    import shutil
+
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pdfrust_ray_jsonl_{scale}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    _docs(sf_dir, columns=("doc_id", "text", "lang")).write_json(out_dir)
+
+    back = rd.read_json(out_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = {}
+        for d, txt, lg in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
+        ):
+            m = _h.md5(f"{d}|{_h.md5(txt.encode()).hexdigest()}|{lg}".encode())
+            agg = rows.setdefault(lg, [0, 0])
+            agg[0] += 1
+            agg[1] += int.from_bytes(m.digest()[:4], "big")
+        return pd.DataFrame(
+            {
+                "lang": list(rows),
+                "n_docs": pd.Series([v[0] for v in rows.values()], dtype="int64"),
+                "checksum": pd.Series([v[1] for v in rows.values()], dtype="int64"),
+            }
+        )
+
+    out = (
+        back.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang", as_index=False)[["n_docs", "checksum"]]
+        .sum()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "checksum"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def documents_jsonl_roundtrip_sql() -> str:
+    return """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                    md5(text) || '|' || lang), 1, 8)) AS UBIGINT)) AS BIGINT)
+                   AS checksum
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+
+
+# ---------------------------------------------------------------------------
+# orphan-file audit (lakehouse maintenance)
+# ---------------------------------------------------------------------------
+
+
+def orphan_files_audit(sf_dir: str) -> pd.DataFrame:
+    """Maintenance sweep over the versioned table: classify every data
+    file as live (referenced by some version manifest) or orphan
+    (present on storage but unreachable — the residue of failed writes
+    that remove_orphan_files garbage-collects). A deterministic orphan
+    is planted once beside the ensure_versioned_table layout; the audit
+    lists storage, broadcasts the union of manifest references, and
+    classifies per file with a row count per file — fan-out stat work
+    with zero data movement beyond file metadata. Rows-only contract
+    (filesystem state has no SQL surface); the exact classification is
+    pinned by pytest."""
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    import ray
+
+    base = ensure_versioned_table(sf_dir)
+    orphan = os.path.join(base, "data-orphan.parquet")
+    if not os.path.exists(orphan):
+        _pq.write_table(
+            pa.table({"event_id": pa.array([0], pa.int64()),
+                      "user_id": pa.array([0], pa.int64()),
+                      "event_type": pa.array(["stray"], pa.string())}),
+            orphan,
+        )
+    referenced: set[str] = set()
+    for ver in ("v1", "v2"):
+        referenced.update(json.load(open(f"{base}/manifest-{ver}.json"))["files"])
+    ref_ref = ray.put(referenced)
+
+    files = rd.from_items(
+        [
+            {"file": f}
+            for f in sorted(os.listdir(base))
+            if f.startswith("data-") and f.endswith(".parquet")
+        ]
+    )
+
+    def classify(t: pa.Table, *, ref_ref, base) -> pa.Table:
+        referenced = ray.get(ref_ref)
+        names = t["file"].to_pylist()
+        return pa.table(
+            {
+                "file": pa.array(names, pa.string()),
+                "status": pa.array(
+                    ["live" if f in referenced else "orphan" for f in names],
+                    pa.string(),
+                ),
+                "n_rows": pa.array(
+                    [_pq.read_metadata(os.path.join(base, f)).num_rows for f in names],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = (
+        files.map_batches(
+            classify, batch_format="pyarrow", fn_kwargs={"ref_ref": ref_ref, "base": base}
+        )
+        .to_pandas()
+        .sort_values("file")
+        .reset_index(drop=True)
+    )
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out

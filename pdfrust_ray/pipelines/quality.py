@@ -881,3 +881,153 @@ def filter_funnel_sql() -> str:
             SELECT 3, 'mean_word_len_4_7', s3, s2 - s3 FROM s
         ) ORDER BY stage
     """
+
+
+def oov_rate(sf_dir: str, vocab_size: int = 16) -> pd.DataFrame:
+    """Tokenizer-coverage analysis: build the top-`vocab_size` corpus
+    vocabulary (count desc, token asc — deterministic ties), broadcast
+    it, and report per document the token count, out-of-vocabulary
+    count and OOV share in exact integer ppm. The vocabulary build is
+    the standard distributed word count (per-batch Counter combiner ->
+    vocabulary-sized exchange); the apply pass is row-local with the
+    frozen vocab set read from plasma — the exact lifecycle of a
+    tokenizer-coverage audit before committing to a vocab."""
+    import numpy as np
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def wc(t: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(w for w in txt.split(" ") if w != "")
+        return pd.DataFrame({"token": list(c), "n": list(c.values())})
+
+    counts = (
+        ds.map_batches(wc, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+    vocab = set(counts["token"].head(vocab_size))
+    vocab_ref = ray.put(vocab)
+
+    def apply(t: pa.Table, *, vocab_ref) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        ids = t["doc_id"].to_pylist()
+        n_toks, n_oovs = [], []
+        for txt in t["text"].to_pylist():
+            toks = [w for w in txt.split(" ") if w != ""]
+            n_toks.append(len(toks))
+            n_oovs.append(sum(1 for w in toks if w not in vocab))
+        n_toks = np.array(n_toks, dtype=np.int64)
+        n_oovs = np.array(n_oovs, dtype=np.int64)
+        ppm = np.where(n_toks > 0, n_oovs * 1_000_000 // np.maximum(n_toks, 1), 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "n_oov": pa.array(n_oovs, pa.int64()),
+                "oov_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(apply, batch_format="pyarrow", fn_kwargs={"vocab_ref": vocab_ref})
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def oov_rate_sql(vocab_size: int = 16) -> str:
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ), tt AS (
+            SELECT doc_id, t FROM tok WHERE t <> ''
+        ), vocab AS (
+            SELECT t FROM (
+                SELECT t, COUNT(*) AS c FROM tt GROUP BY 1
+            ) QUALIFY row_number() OVER (ORDER BY c DESC, t) <= {vocab_size}
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN t NOT IN (SELECT t FROM vocab)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               CAST((SUM(CASE WHEN t NOT IN (SELECT t FROM vocab)
+                              THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+                    AS BIGINT) AS oov_ppm
+        FROM tt GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def length_bucket_stats(sf_dir: str, bucket_width: int = 16) -> pd.DataFrame:
+    """Sequence-length bucketing report: documents grouped into
+    fixed-width token-length buckets (the length-grouped batching
+    trick that minimizes padding in training), with the padding waste
+    each bucket would incur if padded to its own max — computable
+    purely from the mergeable (count, sum, max) partials as
+    n*max - sum, so the whole report needs one bounded fold and no
+    shuffle of documents."""
+    import re
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ws = re.compile(r"\s+")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows: dict[int, list[int]] = {}
+        for txt in t["text"].to_pylist():
+            n = len(ws.split(txt))
+            b = n // bucket_width
+            agg = rows.setdefault(b, [0, 0, 0])
+            agg[0] += 1
+            agg[1] += n
+            agg[2] = max(agg[2], n)
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(list(rows), dtype="int64"),
+                "n_docs": pd.Series([v[0] for v in rows.values()], dtype="int64"),
+                "sum_tokens": pd.Series([v[1] for v in rows.values()], dtype="int64"),
+                "max_tokens": pd.Series([v[2] for v in rows.values()], dtype="int64"),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("bucket", as_index=False)
+        .agg(
+            n_docs=("n_docs", "sum"),
+            sum_tokens=("sum_tokens", "sum"),
+            max_tokens=("max_tokens", "max"),
+        )
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["padding_waste"] = out["n_docs"] * out["max_tokens"] - out["sum_tokens"]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def length_bucket_stats_sql(bucket_width: int = 16) -> str:
+    return f"""
+        WITH lens AS (
+            SELECT CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) AS n
+            FROM documents
+        )
+        SELECT n // {bucket_width} AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS sum_tokens,
+               CAST(MAX(n) AS BIGINT) AS max_tokens,
+               CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS padding_waste
+        FROM lens GROUP BY 1 ORDER BY 1
+    """

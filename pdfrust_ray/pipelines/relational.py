@@ -6679,3 +6679,623 @@ def events_weekly_weekend_sql() -> str:
                    AS sum_value_cents
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def events_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS ((type, day), (type), (day), ()) computed from ONE
+    finest-grain aggregate — the multi-granularity report pattern: the
+    (type, day) partial fold is the only distributed work, and every
+    coarser set derives from it driver-side by re-summing the bounded
+    lattice (|types| x |days| rows regardless of corpus size). Absent
+    dimensions surface as the literal 'ALL' so the result is a single
+    well-typed table."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = t["ts"].to_numpy().astype("datetime64[D]")
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "day": np.datetime_as_string(days, unit="D"),
+                "cents": _cents(t["value"]).to_numpy(),
+            }
+        )
+        return df.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("cents", "size"), sum_value_cents=("cents", "sum")
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)[["n_events", "sum_value_cents"]]
+        .sum()
+    )
+
+    def roll(keys: list[str]) -> pd.DataFrame:
+        g = fine.copy()
+        for k in ("event_type", "day"):
+            if k not in keys:
+                g[k] = "ALL"
+        return g.groupby(["event_type", "day"], as_index=False)[
+            ["n_events", "sum_value_cents"]
+        ].sum()
+
+    out = pd.concat(
+        [roll(["event_type", "day"]), roll(["event_type"]), roll(["day"]), roll([])],
+        ignore_index=True,
+    ).sort_values(["event_type", "day"]).reset_index(drop=True)
+    for c in ("n_events", "sum_value_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def events_grouping_sets_sql() -> str:
+    return """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(strftime(CAST(ts AS DATE), '%Y-%m-%d'), 'ALL') AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+                                (event_type), (CAST(ts AS DATE)), ())
+        ORDER BY 1, 2
+    """
+
+
+def daily_count_anomalies(sf_dir: str) -> pd.DataFrame:
+    """Per-type daily-volume anomaly flags at the 2-sigma level, with
+    the z-score comparison carried out in EXACT integer arithmetic —
+    (x*D - S)^2 > 4*(SS*D - S^2) with D/S/SS the per-type day count,
+    count sum and count square-sum — so the distributed fold is
+    bit-stable and SQL-comparable (no float mean/stddev op-order). The
+    only distributed work is the (type, day) count fold; the flag math
+    runs over the bounded type x day lattice."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = t["ts"].to_numpy().astype("datetime64[D]")
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "day": np.datetime_as_string(days, unit="D"),
+            }
+        )
+        return df.groupby(["event_type", "day"], as_index=False).size().rename(
+            columns={"size": "n_events"}
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["n_events"]
+        .sum()
+    )
+    parts = []
+    for ty, g in fine.groupby("event_type"):
+        x = g["n_events"].to_numpy().astype(np.int64)
+        D, S, SS = np.int64(len(x)), x.sum(), (x * x).sum()
+        g = g.copy()
+        g["is_anomaly"] = (x * D - S) ** 2 > 4 * (SS * D - S * S)
+        parts.append(g)
+    out = pd.concat(parts, ignore_index=True).sort_values(
+        ["event_type", "day"]
+    ).reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["is_anomaly"] = out["is_anomaly"].astype(bool)
+    return out
+
+
+def daily_count_anomalies_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT *,
+                   COUNT(*) OVER (PARTITION BY event_type) AS dd,
+                   SUM(n_events) OVER (PARTITION BY event_type) AS ss,
+                   SUM(n_events * n_events) OVER (PARTITION BY event_type) AS sq
+            FROM d
+        )
+        SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+               (n_events * dd - ss) * (n_events * dd - ss)
+                   > 4 * (sq * dd - ss * ss) AS is_anomaly
+        FROM s ORDER BY event_type, day
+    """
+
+
+def type_stats_salted(sf_dir: str, n_salts: int = 32) -> pd.DataFrame:
+    """Hot-key aggregation with explicit salting: event_type has a
+    handful of values, so at 10^12 rows a plain groupby(event_type)
+    funnels everything into |types| reducers. The salt (event_id %
+    n_salts) fans each hot key across n_salts reducers; the per-salt
+    partials (count, sum, min, max — all mergeable) then fold to the
+    true per-type result in a |types| x n_salts driver pass. Result is
+    IDENTICAL to the unsalted groupby — the op exists to pin the skew
+    pattern with an oracle."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        salt = (t["event_id"].to_numpy() % n_salts).astype(np.int64)
+        types = t["event_type"].to_pylist()
+        return pa.table(
+            {
+                "skey": pa.array(
+                    [f"{ty}|{s}" for ty, s in zip(types, salt)], pa.string()
+                ),
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    per_salt = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("skey")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("cents", alias_name="s"),
+            Min("cents", alias_name="mn"),
+            Max("cents", alias_name="mx"),
+        )
+        .to_pandas()
+    )
+    per_salt["event_type"] = per_salt["skey"].str.split("|").str[0]
+    out = (
+        per_salt.groupby("event_type", as_index=False)
+        .agg(
+            n_events=("n", "sum"),
+            sum_value_cents=("s", "sum"),
+            min_value_cents=("mn", "min"),
+            max_value_cents=("mx", "max"),
+        )
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "event_type":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def type_stats_salted_sql() -> str:
+    return """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS min_value_cents,
+               CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS max_value_cents
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
+def quarantine_split(sf_dir: str) -> pd.DataFrame:
+    """Dead-letter routing: one streaming pass splits events into the
+    main output and a quarantine output using the contract_violations
+    rules (any rule hit -> quarantine), reporting per destination the
+    row count and an order-independent md5-u32 checksum over event_id —
+    the split-sink pattern where bad rows are preserved for replay
+    instead of dropped. At scale each side writes its own partitioned
+    parquet; the checksums prove the split is a partition (no row lost
+    or duplicated). Zero shuffle."""
+    import hashlib
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value", "props"],
+    )
+    allowed = {"click", "view", "purchase", "signup"}
+    lo, hi = np.datetime64("2024-01-01"), np.datetime64("2024-01-29")
+
+    def partial(t: pa.Table) -> pa.Table:
+        val = t["value"].to_numpy()
+        ts = t["ts"].to_numpy()
+        ety = t["event_type"].to_pylist()
+        k = (
+            pd.Series(t["props"].to_pylist())
+            .str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .astype("int64")
+            .to_numpy()
+        )
+        bad = (
+            (val < 0.0) | (val > 250.0)
+            | (ts < lo) | (ts >= hi)
+            | np.array([e not in allowed for e in ety], dtype=bool)
+            | (k > 89)
+        )
+        eids = t["event_id"].to_pylist()
+        sums = [0, 0]
+        ns = [0, 0]
+        for e, b in zip(eids, bad.tolist()):
+            h = int.from_bytes(hashlib.md5(str(e).encode()).digest()[:4], "big")
+            sums[b] += h
+            ns[b] += 1
+        return pa.table(
+            {
+                "dest": pa.array(["main", "quarantine"]),
+                "n_rows": pa.array(ns, pa.int64()),
+                "checksum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("dest", as_index=False)[["n_rows", "checksum"]]
+        .sum()
+        .sort_values("dest")
+        .reset_index(drop=True)
+    )
+    for c in ("n_rows", "checksum"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def quarantine_split_sql() -> str:
+    return """
+        WITH checks AS (
+            SELECT event_id,
+                   ((value < 0 OR value > 250)
+                    OR ts < TIMESTAMP '2024-01-01'
+                    OR ts >= TIMESTAMP '2024-01-29'
+                    OR event_type NOT IN ('click', 'view', 'purchase', 'signup')
+                    OR CAST(json_extract_string(props, '$.k') AS BIGINT) > 89)
+                       AS bad
+            FROM events
+        )
+        SELECT CASE WHEN bad THEN 'quarantine' ELSE 'main' END AS dest,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT)) AS BIGINT) AS checksum
+        FROM checks GROUP BY 1 ORDER BY 1
+    """
+
+
+def events_value_zscore(sf_dir: str) -> pd.DataFrame:
+    """Feature scaling: global z-score normalization of `value` as the
+    canonical two-pass distributed map — pass 1 folds the exact integer
+    moments (n, sum_cents, sumsq_cents), pass 2 is an embarrassingly
+    parallel normalize with the float finalize pinned to one op order
+    (mu = S/n; var = SS/n - mu*mu; z = (x - mu)/sqrt(var)) and the
+    result quantized floor(z*1e6 + 0.5) so engine and SQL agree
+    bit-for-bit (libm sqrt == DuckDB sqrt, same precedent as
+    bigram_lm_scores). Output keeps the event_id grain."""
+    import math
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"]).to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([len(c)], pa.int64()),
+                "s": pa.array([int(c.sum())], pa.int64()),
+                "ss": pa.array([int((c * c).sum())], pa.int64()),
+            }
+        )
+
+    m = ds.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    n, s, ss = int(m["n"]), int(m["s"]), int(m["ss"])
+    mu = s / n
+    var = ss / n - mu * mu
+    sigma = math.sqrt(var)
+
+    def normalize(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"]).to_numpy().astype(np.float64)
+        z = (c - mu) / sigma
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "z_micro": pa.array(
+                    np.floor(z * 1_000_000.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(normalize, batch_format="pyarrow").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_value_zscore_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s,
+                   CAST(SUM(cents * cents) AS BIGINT) AS ss
+            FROM c
+        )
+        SELECT event_id,
+               CAST(FLOOR((CAST(cents AS DOUBLE)
+                           - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                                 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                          * 1000000 + 0.5) AS BIGINT) AS z_micro
+        FROM c, m ORDER BY event_id
+    """
+
+
+def embedding_int8_quantize(sf_dir: str) -> pd.DataFrame:
+    """Vector compression prep: symmetric int8 quantization of every
+    embedding (code_i = floor(x_i * 127 / max|x| + 0.5), the storage
+    format ANN services ship to disk). Entirely row-local — zero
+    shuffle at any corpus size. The query surfaces per vector the
+    quantization scale in exact micro units plus the code sum and
+    absolute-code sum, which pin every code's value against the SQL
+    twin without hauling the code arrays through the compare."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(col)
+        d = len(flat) // max(n, 1)
+        x = flat.reshape(n, d)
+        m = np.abs(x).max(axis=1)
+        codes = np.floor(x * 127.0 / m[:, None] + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "scale_micro": pa.array(
+                    np.floor(m * 1_000_000.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "sum_codes": pa.array(codes.sum(axis=1), pa.int64()),
+                "sum_abs_codes": pa.array(np.abs(codes).sum(axis=1), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(quantize, batch_format="pyarrow").to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def embedding_int8_quantize_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ), m AS (
+            SELECT vec_id, MAX(abs(x)) AS mx FROM f GROUP BY vec_id
+        ), codes AS (
+            SELECT f.vec_id,
+                   CAST(FLOOR(f.x * 127 / m.mx + 0.5) AS BIGINT) AS code,
+                   m.mx
+            FROM f JOIN m ON f.vec_id = m.vec_id
+        )
+        SELECT vec_id,
+               CAST(FLOOR(ANY_VALUE(mx) * 1000000 + 0.5) AS BIGINT)
+                   AS scale_micro,
+               CAST(SUM(code) AS BIGINT) AS sum_codes,
+               CAST(SUM(abs(code)) AS BIGINT) AS sum_abs_codes
+        FROM codes GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+def categorical_encode(sf_dir: str) -> pd.DataFrame:
+    """Categorical codebook build + apply: global distinct event_type
+    values take stable dense codes (sorted order), then one streaming
+    pass encodes the table — the label-encoding step every feature
+    pipeline runs before training. The codebook is vocabulary-sized
+    (folded via a tiny distinct aggregate, broadcast back); the apply
+    emits per-code partials (count + md5-u32 checksum over event_id)
+    proving every row got the right code without shipping the encoded
+    table through the compare."""
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+
+    def distinct(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": pd.unique(pd.Series(t["event_type"].to_pylist()))})
+
+    types = sorted(
+        ds.map_batches(distinct, batch_format="pyarrow")
+        .to_pandas()["event_type"]
+        .unique()
+        .tolist()
+    )
+    codebook = {t: i for i, t in enumerate(types)}
+    book_ref = ray.put(codebook)
+
+    def encode(t: pa.Table, *, book_ref) -> pd.DataFrame:
+        book = ray.get(book_ref)
+        rows: dict[int, list[int]] = {}
+        for e, ty in zip(t["event_id"].to_pylist(), t["event_type"].to_pylist()):
+            h = int.from_bytes(hashlib.md5(str(e).encode()).digest()[:4], "big")
+            agg = rows.setdefault(book[ty], [0, 0])
+            agg[0] += 1
+            agg[1] += h
+        return pd.DataFrame(
+            {
+                "code": pd.Series(list(rows), dtype="int64"),
+                "n_events": pd.Series([v[0] for v in rows.values()], dtype="int64"),
+                "checksum": pd.Series([v[1] for v in rows.values()], dtype="int64"),
+            }
+        )
+
+    parts = ds.map_batches(
+        encode, batch_format="pyarrow", fn_kwargs={"book_ref": book_ref}
+    ).to_pandas()
+    out = parts.groupby("code", as_index=False)[["n_events", "checksum"]].sum()
+    out["event_type"] = [types[c] for c in out["code"]]
+    out = out[["code", "event_type", "n_events", "checksum"]].sort_values("code")
+    for c in ("code", "n_events", "checksum"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def categorical_encode_sql() -> str:
+    return """
+        WITH book AS (
+            SELECT event_type,
+                   CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT)
+                       AS code
+            FROM (SELECT DISTINCT event_type FROM events)
+        )
+        SELECT b.code, e.event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT)) AS BIGINT) AS checksum
+        FROM events e JOIN book b USING (event_type)
+        GROUP BY 1, 2 ORDER BY 1
+    """
+
+
+def events_keyset_page(sf_dir: str, page_size: int = 50) -> pd.DataFrame:
+    """Keyset (cursor) pagination: the page of `page_size` events after
+    the cursor in (ts, event_id) order, fetched WITHOUT a global sort
+    or OFFSET scan — the cursor predicate pushes into the read, each
+    block keeps its local bottom-k, and the driver merges O(blocks*k)
+    rows. This is how a 100-TB table serves "next page" in bounded
+    work, where OFFSET would re-rank everything before the page."""
+    import numpy as np
+
+    cursor = pd.Timestamp("2024-01-15")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def local_page(t: pa.Table) -> pd.DataFrame:
+        ts = t["ts"].to_numpy()
+        keep = ts >= np.datetime64(cursor)
+        df = pd.DataFrame(
+            {
+                "event_id": t["event_id"].to_numpy()[keep],
+                "ts_us": ts[keep].astype("datetime64[us]").astype(np.int64),
+            }
+        )
+        return df.sort_values(["ts_us", "event_id"], kind="mergesort").head(page_size)
+
+    out = (
+        ds.map_batches(local_page, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["ts_us", "event_id"], kind="mergesort")
+        .head(page_size)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out = out[["rank", "event_id", "ts_us"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def events_keyset_page_sql(page_size: int = 50) -> str:
+    return f"""
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS rank,
+               event_id, epoch_us(ts) AS ts_us
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15'
+        ORDER BY ts, event_id
+        LIMIT {page_size}
+    """
+
+
+def ann_quantized_topk(
+    sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10
+) -> pd.DataFrame:
+    """Retrieval over QUANTIZED vectors: top-k by the exact int64 dot
+    product of thousandth-quantized embeddings — the similarity a
+    service computes over its int-compressed storage format (see
+    embedding_int8_quantize). Unlike float cosine, the integer scores
+    make engine and SQL agree bit-for-bit including every tie. Same
+    broadcast-queries + local-top-k + tiny-merge plan as the float
+    brute-force scan; zero shuffle."""
+    import numpy as np
+
+    query_ids = list(query_ids)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", query_ids)],
+    )
+    qid = qt["vec_id"].to_numpy()
+    qcol = qt["embedding"].combine_chunks()
+    qm = qcol.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    qm = np.round(qm * 1000.0).astype(np.int64).reshape(len(qcol), -1)
+    order = {int(v): i for i, v in enumerate(qid)}
+    qm = qm[[order[q] for q in query_ids]]
+    q_ref = ray.put(qm)
+
+    def local_topk(t: pa.Table, *, q_ref) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.round(flat * 1000.0).astype(np.int64).reshape(len(col), -1)
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        dots = v @ q.T  # exact int64 [batch, Q]
+        frames = []
+        for qi in range(dots.shape[1]):
+            colv = dots[:, qi]
+            idx = np.lexsort((vid, -colv))[: min(k, len(colv))]
+            frames.append(
+                pd.DataFrame(
+                    {"qpos": qi, "vec_id": vid[idx], "dot_q": colv[idx]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(local_topk, batch_format="pyarrow", fn_kwargs={"q_ref": q_ref})
+        .to_pandas()
+    )
+    frames = []
+    for qi, qv in enumerate(query_ids):
+        g = parts[parts["qpos"] == qi].sort_values(
+            ["dot_q", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": qv,
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                    "vec_id": g["vec_id"],
+                    "dot_q": g["dot_q"],
+                }
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def ann_quantized_topk_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10) -> str:
+    ids = ", ".join(str(q) for q in query_ids)
+    return f"""
+        WITH f AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                        AS BIGINT) AS q
+            FROM embeddings
+        ), qv AS (
+            SELECT vec_id AS query_id, dim, q FROM f WHERE vec_id IN ({ids})
+        ), s AS (
+            SELECT qv.query_id, f.vec_id, CAST(SUM(f.q * qv.q) AS BIGINT) AS dot_q
+            FROM f JOIN qv ON f.dim = qv.dim
+            GROUP BY 1, 2
+        ), r AS (
+            SELECT query_id, vec_id, dot_q,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot_q DESC, vec_id) AS rank
+            FROM s
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot_q
+        FROM r WHERE rank <= {k} ORDER BY query_id, rank
+    """

@@ -100,3 +100,75 @@ def streaming_sessionize(
     for c in ("user_id", "session_id", "n_events"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+@ray.remote
+class _DedupBucket:
+    """Per-bucket suppression state: last-seen ts per (user, type) —
+    O(active keys), not O(history)."""
+
+    def __init__(self, window_us: int):
+        self.window = window_us
+        self.last: dict[tuple[int, str], int] = {}
+
+    def feed(
+        self,
+        event_ids: np.ndarray,
+        users: np.ndarray,
+        types: list[str],
+        ts_us: np.ndarray,
+    ) -> list[tuple]:
+        out = []
+        for e, u, ty, t in zip(
+            event_ids.tolist(), users.tolist(), types, ts_us.tolist()
+        ):
+            k = (u, ty)
+            prev = self.last.get(k)
+            if prev is None or t - prev > self.window:
+                out.append((e, u, ty, t))
+            self.last[k] = t
+        return out
+
+
+def streaming_windowed_dedup(
+    sf_dir: str,
+    window_us: int = 3_600_000_000,
+    n_buckets: int = 8,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Incremental replay of the windowed_event_dedup rule (emit an
+    event iff no same-(user, type) event occurred within the trailing
+    hour): events stream in (ts, event_id) order through per-bucket
+    suppression actors that keep only the last-seen timestamp per key —
+    the alerting/metering dedup as an ACTUAL stream with O(keys) state,
+    emitting survivors immediately. Output is identical to the batch
+    operator and shares its exact LAG-window SQL oracle. Same
+    partitioning contract as streaming_sessionize: per-bucket order
+    preserved by bucketing on user_id and feeding from one ts-sorted
+    scan."""
+    actors = [_DedupBucket.remote(window_us) for _ in range(n_buckets)]
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    ).sort(["ts", "event_id"])
+    pending = []
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
+        eids = batch["event_id"].to_numpy()
+        users = batch["user_id"].to_numpy()
+        types = batch["event_type"].to_pylist()
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy()
+        b = users % n_buckets
+        for i in range(n_buckets):
+            m = b == i
+            if m.any():
+                pending.append(
+                    actors[i].feed.remote(
+                        eids[m], users[m], [types[j] for j in np.nonzero(m)[0]], ts_us[m]
+                    )
+                )
+    rows = [r for part in ray.get(pending) for r in part]
+    out = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts_us"])
+    for c in ("event_id", "user_id", "ts_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
