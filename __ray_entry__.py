@@ -728,6 +728,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": lambda sf: qual.oov_rate(sf),
         # sequence-length bucketing + padding-waste report
         "length_bucket_stats": lambda sf: qual.length_bucket_stats(sf),
+        # TPC-H Q4 shape: big x big EXISTS via shard-distinct keys
+        "returned_order_priority_counts": rel.returned_order_priority_counts,
+        # TPC-H Q14 shape: promo revenue share per month (integer ppm)
+        "promo_revenue_share": rel.promo_revenue_share,
+        # PSI feature-drift monitor (micro-nat exact terms)
+        "value_drift_psi": rel.value_drift_psi,
+        # per-tool latency SLA percentiles (second-grain exact)
+        "tool_latency_quantiles": _q_conv(cv.tool_latency_quantiles),
     }
 
 
@@ -1073,6 +1081,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed_dedup": rel.windowed_event_dedup_sql(),
         "oov_rate": qual.oov_rate_sql(),
         "length_bucket_stats": qual.length_bucket_stats_sql(),
+        "returned_order_priority_counts": rel.returned_order_priority_counts_sql(),
+        "promo_revenue_share": rel.promo_revenue_share_sql(),
+        "value_drift_psi": rel.value_drift_psi_sql(),
+        "tool_latency_quantiles": cv.tool_latency_quantiles_sql(_T2_SHARDS),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -189,6 +189,19 @@ def main() -> dict:
     timed("zorder_layout", lambda: dso.zorder_layout(SF_DIR))
     timed("events_type_daily_uniques", lambda: rel.events_type_daily_uniques(SF_DIR))
     timed("events_value_equidepth", lambda: rel.events_value_equidepth(SF_DIR))
+    timed("nation_pair_trade", lambda: rel.nation_pair_trade(SF_DIR))
+    timed("merge_upsert", lambda: dso.merge_upsert(SF_DIR))
+    timed("negative_samples", lambda: rel.negative_samples(SF_DIR))
+    timed("feature_hashing", lambda: textops.feature_hashing(SF_DIR))
+    timed("latest_event_per_user", lambda: rel.latest_event_per_user(SF_DIR))
+
+    from pdfrust_ray.stages.streaming import streaming_windowed_dedup
+
+    timed(
+        "streaming_windowed_dedup",
+        lambda: streaming_windowed_dedup(SF_DIR),
+        repeats=1,
+    )
 
     result = {
         "metric": "extract_pipeline_wall",

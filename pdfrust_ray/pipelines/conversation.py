@@ -950,3 +950,89 @@ def tool_chain_bigrams_sql(shards_glob: str) -> str:
         GROUP BY prev_tool, tool
         ORDER BY prev_tool, tool
     """
+
+
+def tool_latency_quantiles(corpus_dir: str) -> pd.DataFrame:
+    """Per-tool latency SLA profile: exact discrete p50/p95 of the
+    tool-turn gap (rank floor((n-1)*q), the repo-wide convention) at
+    whole-second grain. Latencies quantize to floor seconds, making
+    the domain bounded, so the exact distributed form is the same
+    frequency fold as role_length_quantiles: per-bucket (tool,
+    latency_s, count) partials, driver fold, cumulative-count lookup.
+    Gap definition matches tool_latency (previous turn of the same
+    conversation)."""
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role", "tool", "ts"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        us = g["ts"].astype("int64").to_numpy()
+        if not len(us):
+            return pd.DataFrame(
+                {
+                    "tool": pd.Series([], dtype="object"),
+                    "lat_s": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        gap = np.empty(len(us), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = us[1:] - us[:-1]
+        conv = g["conv_id"].to_numpy()
+        opening = np.r_[True, conv[1:] != conv[:-1]]
+        gap[opening] = -1
+        mask = (g["role"].to_numpy() == "tool") & ~opening
+        df = pd.DataFrame(
+            {"tool": g["tool"].to_numpy()[mask], "lat_s": gap[mask] // 1_000_000}
+        )
+        return df.groupby(["tool", "lat_s"], sort=False).size().reset_index(name="n")
+
+    parts = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby(["tool", "lat_s"], as_index=False)["n"]
+        .sum()
+    )
+    rows = []
+    for tool, g in parts.groupby("tool"):
+        g = g.sort_values("lat_s")
+        vals = g["lat_s"].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        qs = {}
+        for p in (50, 95):
+            rank = (n - 1) * p // 100
+            qs[p] = int(vals[np.searchsorted(cum, rank + 1)])
+        rows.append((tool, n, qs[50], qs[95]))
+    out = pd.DataFrame(rows, columns=["tool", "n_calls", "p50_s", "p95_s"])
+    out = out.sort_values("tool").reset_index(drop=True)
+    for c in ("n_calls", "p50_s", "p95_s"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def tool_latency_quantiles_sql(shards_glob: str) -> str:
+    return f"""
+        WITH l AS (
+            SELECT role, tool,
+                   (epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx))
+                       // 1000000 AS lat_s
+            FROM read_parquet('{shards_glob}')
+        ), t AS (
+            SELECT tool, lat_s,
+                   ROW_NUMBER() OVER (PARTITION BY tool ORDER BY lat_s) AS rn,
+                   COUNT(*) OVER (PARTITION BY tool) AS n
+            FROM l WHERE role = 'tool' AND lat_s IS NOT NULL
+        )
+        SELECT tool,
+               CAST(MAX(n) AS BIGINT) AS n_calls,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN lat_s END)
+                    AS BIGINT) AS p50_s,
+               CAST(MAX(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN lat_s END)
+                    AS BIGINT) AS p95_s
+        FROM t GROUP BY tool ORDER BY tool
+    """

@@ -7299,3 +7299,260 @@ def ann_quantized_topk_sql(query_ids=(0, 1, 2, 3, 4), k: int = 10) -> str:
         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dot_q
         FROM r WHERE rank <= {k} ORDER BY query_id, rank
     """
+
+
+def returned_order_priority_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders have AT
+    LEAST ONE returned lineitem — the big x big EXISTS semi-join. The
+    probe side never joins row-for-row: the filtered lineitem scan
+    reduces to DISTINCT orderkeys inside a coarse shard (the exchange
+    carries keys once each, not one row per matching lineitem), the
+    distinct key set is small relative to lineitem, and the orders
+    scan joins against it per batch. Counts then fold per priority."""
+    import numpy as np
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+
+    def keys(t: pa.Table) -> pd.DataFrame:
+        mask = pc.equal(t["l_returnflag"], "R")
+        ok = t.filter(mask)["l_orderkey"].to_numpy().astype(np.int64)
+        df = pd.DataFrame({"l_orderkey": np.unique(ok)})
+        df["_shard"] = (df["l_orderkey"] % 64).astype("int32")
+        return df
+
+    def shard_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["l_orderkey"]].drop_duplicates()
+
+    returned = (
+        li.map_batches(keys, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_distinct, batch_format="pandas")
+        .to_pandas()["l_orderkey"]
+        .to_numpy()
+    )
+    keyset_ref = ray.put(np.sort(returned))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def count_partial(t: pa.Table, *, keyset_ref) -> pd.DataFrame:
+        ks = ray.get(keyset_ref)
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)
+        hit = ks[np.searchsorted(ks, ok).clip(max=len(ks) - 1)] == ok if len(ks) else np.zeros(len(ok), bool)
+        df = pd.DataFrame({"o_orderpriority": t["o_orderpriority"].to_pylist(), "hit": hit})
+        df = df[df["hit"]]
+        return df.groupby("o_orderpriority", as_index=False).size().rename(
+            columns={"size": "n_orders"}
+        )
+
+    parts = orders.map_batches(
+        count_partial, batch_format="pyarrow", fn_kwargs={"keyset_ref": keyset_ref}
+    ).to_pandas()
+    out = (
+        parts.groupby("o_orderpriority", as_index=False)["n_orders"]
+        .sum()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def returned_order_priority_counts_sql() -> str:
+    return """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: per order-month, the share of discounted
+    revenue coming from PROMO-type parts, in exact integer ppm. The
+    part type map is dimension-sized and broadcast into the lineitem
+    scan (is_promo becomes a bit before any exchange); lineitem joins
+    orders on the hash-partitioned big x big path for the order month;
+    per-month (promo_cents, total_cents) partials fold."""
+    import numpy as np
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    promo = dict(
+        zip(
+            part["p_partkey"].to_pylist(),
+            [t == "PROMO" for t in part["p_type"].to_pylist()],
+        )
+    )
+    promo_ref = ray.put(promo)
+
+    def prep_li(t: pa.Table, *, promo_ref) -> pa.Table:
+        promo = ray.get(promo_ref)
+        disc = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "is_promo": pa.array(
+                    [promo[int(k)] for k in t["l_partkey"].to_pylist()], pa.bool_()
+                ),
+                "disc_cents": pc.cast(
+                    pc.round(disc, round_mode="half_towards_infinity"), pa.int64()
+                ),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(prep_li, batch_format="pyarrow", fn_kwargs={"promo_ref": promo_ref})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = t["o_orderdate"].to_numpy().astype("datetime64[M]")
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "month": pa.array(np.datetime_as_string(d, unit="M"), pa.string()),
+            }
+        )
+
+    joined = li.join(
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        promo_mask = t["is_promo"].to_numpy(zero_copy_only=False)
+        cents = t["disc_cents"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "month": t["month"].to_pylist(),
+                "pc": np.where(promo_mask, cents, 0),
+                "tc": cents,
+            }
+        )
+        return df.groupby("month", as_index=False).agg(
+            promo_cents=("pc", "sum"), total_cents=("tc", "sum")
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("month", as_index=False)[["promo_cents", "total_cents"]].sum()
+    out["promo_ppm"] = (
+        out["promo_cents"].to_numpy().astype(np.int64) * 1_000_000
+        // out["total_cents"].to_numpy().astype(np.int64)
+    )
+    out = out.sort_values("month").reset_index(drop=True)
+    for c in ("promo_cents", "total_cents", "promo_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def promo_revenue_share_sql() -> str:
+    return """
+        SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+               CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                             * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS promo_cents,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS total_cents,
+               CAST((SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                              * 100) AS BIGINT)
+                              ELSE 0 END) * 1000000)
+                    // SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                                AS BIGINT)) AS BIGINT) AS promo_ppm
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def value_drift_psi(sf_dir: str, n_bands: int = 10, band_cents: int = 5000) -> pd.DataFrame:
+    """Population Stability Index between the first-week reference
+    window and the rest of the stream — the feature-drift monitor for
+    a deployed model. Values band into fixed 50-dollar buckets (last
+    band open-ended); per band the PSI term
+    (p - q) * ln(p / q) quantizes to micro-nats with the float ops in
+    one pinned order (libm ln == DuckDB ln, the bigram_lm precedent).
+    One bounded (band, window) count fold; zero shuffle."""
+    import math
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    split = np.datetime64("2024-01-08")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = _cents(t["value"]).to_numpy()
+        band = np.minimum(cents // band_cents, n_bands - 1)
+        ref = t["ts"].to_numpy() < split
+        df = pd.DataFrame({"band": band, "is_ref": ref})
+        return df.groupby(["band", "is_ref"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fold = parts.groupby(["band", "is_ref"], as_index=False)["n"].sum()
+    ref_n = {int(r["band"]): int(r["n"]) for _, r in fold[fold["is_ref"]].iterrows()}
+    cur_n = {int(r["band"]): int(r["n"]) for _, r in fold[~fold["is_ref"]].iterrows()}
+    ref_total = sum(ref_n.values())
+    cur_total = sum(cur_n.values())
+    rows = []
+    for band in sorted(set(ref_n) | set(cur_n)):
+        nr, nc = ref_n.get(band, 0), cur_n.get(band, 0)
+        if nr == 0 or nc == 0:
+            term = 0  # degenerate band: PSI undefined, reported as 0
+        else:
+            p = nr / ref_total
+            q = nc / cur_total
+            term = math.floor((p - q) * math.log(p / q) * 1_000_000 + 0.5)
+        rows.append((band, nr, nc, term))
+    out = pd.DataFrame(rows, columns=["band", "n_ref", "n_cur", "psi_term_micro"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def value_drift_psi_sql(n_bands: int = 10, band_cents: int = 5000) -> str:
+    return f"""
+        WITH b AS (
+            SELECT LEAST(CAST(ROUND(value * 100) AS BIGINT) // {band_cents},
+                         {n_bands - 1}) AS band,
+                   (ts < TIMESTAMP '2024-01-08') AS is_ref
+            FROM events
+        ), f AS (
+            SELECT band,
+                   CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                   CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+            FROM b GROUP BY band
+        ), t AS (
+            SELECT SUM(n_ref) AS rt, SUM(n_cur) AS ct FROM f
+        )
+        SELECT band, n_ref, n_cur,
+               CASE WHEN n_ref = 0 OR n_cur = 0 THEN 0
+                    ELSE CAST(FLOOR((CAST(n_ref AS DOUBLE) / t.rt
+                                     - CAST(n_cur AS DOUBLE) / t.ct)
+                                    * ln((CAST(n_ref AS DOUBLE) / t.rt)
+                                         / (CAST(n_cur AS DOUBLE) / t.ct))
+                                    * 1000000 + 0.5) AS BIGINT) END
+                   AS psi_term_micro
+        FROM f, t ORDER BY band
+    """
