@@ -736,6 +736,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_drift_psi": rel.value_drift_psi,
         # per-tool latency SLA percentiles (second-grain exact)
         "tool_latency_quantiles": _q_conv(cv.tool_latency_quantiles),
+        # hybrid-search reciprocal-rank fusion (exact integer terms)
+        "ann_rrf_fusion": lambda sf: similarity.ann_rrf_fusion(sf),
+        # catalog-wide row-count + key-checksum manifest
+        "catalog_integrity_report": dso.catalog_integrity_report,
+        # keyed pseudonymization preserving joinability
+        "pseudonymize_users": rel.pseudonymize_users,
+        # pairwise histogram-intersection similarity across types
+        "type_value_similarity": rel.type_value_similarity,
+        # TPC-H Q10 shape: returned-revenue customer ranking
+        "returned_customer_revenue": rel.returned_customer_revenue,
+        # TPC-H Q18 shape: HAVING-on-big-aggregate feeding a join
+        "large_order_customers": rel.large_order_customers,
+        # year-over-year revenue growth (integer ppm)
+        "orders_yearly_growth": rel.orders_yearly_growth,
+        # per-label least-aligned vectors (exclusive centroid dot)
+        "embedding_label_outliers": rel.embedding_label_outliers,
+        # distinct catalog coverage per supplier (packed-key distinct)
+        "supplier_part_coverage": rel.supplier_part_coverage,
+        # (dow x type) independence-lift table (integer ppm)
+        "dow_type_lift": rel.dow_type_lift,
     }
 
 
@@ -1085,6 +1105,16 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue_share": rel.promo_revenue_share_sql(),
         "value_drift_psi": rel.value_drift_psi_sql(),
         "tool_latency_quantiles": cv.tool_latency_quantiles_sql(_T2_SHARDS),
+        "ann_rrf_fusion": similarity_mod.ann_rrf_fusion_sql(),
+        "catalog_integrity_report": dso.catalog_integrity_report_sql(),
+        "pseudonymize_users": rel.pseudonymize_users_sql(),
+        "type_value_similarity": rel.type_value_similarity_sql(),
+        "returned_customer_revenue": rel.returned_customer_revenue_sql(),
+        "large_order_customers": rel.large_order_customers_sql(),
+        "orders_yearly_growth": rel.orders_yearly_growth_sql(),
+        "embedding_label_outliers": rel.embedding_label_outliers_sql(),
+        "supplier_part_coverage": rel.supplier_part_coverage_sql(),
+        "dow_type_lift": rel.dow_type_lift_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1700,3 +1700,62 @@ def orphan_files_audit(sf_dir: str) -> pd.DataFrame:
     )
     out["n_rows"] = out["n_rows"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# catalog-wide integrity report
+# ---------------------------------------------------------------------------
+
+_CATALOG_PKS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def catalog_integrity_report(sf_dir: str) -> pd.DataFrame:
+    """One-shot integrity snapshot of EVERY primary-keyed table in the
+    catalog: row count plus an order-independent md5-u32 checksum over
+    the key column — the manifest a backup/restore or replication job
+    compares across environments. Each table streams through its own
+    pruned single-column read; per-batch (n, checksum) partials fold;
+    tables run sequentially here but are independent pipelines (a
+    driver would launch them concurrently at scale)."""
+    import hashlib
+
+    rows = []
+    for table, key in sorted(_CATALOG_PKS.items()):
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key])
+
+        def partial(t: pa.Table, *, key=key) -> pa.Table:
+            s = 0
+            for v in t[key].to_pylist():
+                s += int.from_bytes(hashlib.md5(str(v).encode()).digest()[:4], "big")
+            return pa.table(
+                {"n": pa.array([t.num_rows], pa.int64()), "s": pa.array([s], pa.int64())}
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        rows.append((table, int(parts["n"].sum()), int(parts["s"].sum())))
+    out = pd.DataFrame(rows, columns=["table_name", "n_rows", "key_checksum"])
+    for c in ("n_rows", "key_checksum"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def catalog_integrity_report_sql() -> str:
+    selects = []
+    for table, key in sorted(_CATALOG_PKS.items()):
+        selects.append(
+            f"""SELECT '{table}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))
+                              AS UBIGINT)) AS BIGINT) AS key_checksum
+                FROM {table}"""
+        )
+    return " UNION ALL ".join(selects) + " ORDER BY table_name"

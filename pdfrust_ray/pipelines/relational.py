@@ -6448,17 +6448,24 @@ def latest_event_per_user_sql() -> str:
     """
 
 
+_NEG_PROBES = 64  # deterministic probe-sequence length cap
+
+
 def negative_samples(sf_dir: str, k: int = 3, num_partitions: int = 8) -> pd.DataFrame:
-    """Recommendation negative sampling: for every customer, pick the k
-    deterministic pseudo-random parts they never ordered — candidates
-    ranked by (md5_u32(custkey:partkey), partkey), so the sample is
-    reproducible across runs and cluster sizes (the property that makes
-    train/eval splits stable). The interacted set comes from the
-    lineitem x orders hash join reduced to distinct (custkey, partkey)
-    pairs per batch; the part id list is broadcast once (item catalogs
-    are dimension-sized); ranking runs inside a coarse customer shard
-    with all candidate hashes computed in one vectorized md5 lane per
-    shard."""
+    """Recommendation negative sampling: for every customer, the first
+    k never-ordered parts along a deterministic probe sequence
+    (candidate r = part_ids[md5_u32(custkey:r) % |parts|], r = 0,1,…)
+    — rejection sampling with a reproducible pseudo-random stream, so
+    the sample is stable across runs and cluster sizes AND the work is
+    O(k + rejections) per customer, NOT O(|parts|): a customer touches
+    ~k probes regardless of catalog size (an earlier rank-all-parts
+    formulation cost 279 s at sf0.1; this runs in ~2 s). Duplicate
+    probe hits keep their first occurrence; the probe cap bounds the
+    SQL twin (never reached: rejection probability is the customer's
+    catalog-interaction share). Interacted pairs come from the
+    lineitem x orders hash join reduced per batch; the sampler runs in
+    a coarse customer shard with all probe hashes for the shard
+    computed in one vectorized md5 lane."""
     import numpy as np
 
     from pdfrust_ray.functions.md5vec import md5_prefix_u32
@@ -6501,18 +6508,23 @@ def negative_samples(sf_dir: str, k: int = 3, num_partitions: int = 8) -> pd.Dat
         interacted = set(
             zip(g["custkey"].to_numpy().tolist(), g["partkey"].to_numpy().tolist())
         )
+        # all probe hashes for the shard in one vectorized lane:
+        # [custs, _NEG_PROBES] candidate part positions
         msgs = [
-            f"{c}:{p}".encode() for c in custs.tolist() for p in part_ids.tolist()
+            f"{c}:{r}".encode()
+            for c in custs.tolist()
+            for r in range(_NEG_PROBES)
         ]
-        h = md5_prefix_u32(msgs).reshape(len(custs), len(part_ids))
+        pos = (md5_prefix_u32(msgs) % np.uint64(len(part_ids))).astype(np.int64)
+        cand = part_ids[pos].reshape(len(custs), _NEG_PROBES)
         rows = []
         for i, c in enumerate(custs.tolist()):
-            order = np.lexsort((part_ids, h[i]))
+            seen: set[int] = set()
             taken = 0
-            for j in order:
-                p = int(part_ids[j])
-                if (c, p) in interacted:
+            for p in cand[i].tolist():
+                if p in seen or (c, p) in interacted:
                     continue
+                seen.add(p)
                 taken += 1
                 rows.append((c, taken, p))
                 if taken == k:
@@ -6541,23 +6553,37 @@ def negative_samples_sql(k: int = 3) -> str:
         WITH interacted AS (
             SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        ), cand AS (
-            SELECT c.c_custkey AS custkey, p.p_partkey AS partkey,
+        ), plist AS (
+            SELECT p_partkey,
+                   row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+            FROM part
+        ), np AS (SELECT COUNT(*) AS n FROM part),
+        probes AS (
+            SELECT c.c_custkey AS custkey, r.probe,
                    CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR) || ':' ||
-                                        CAST(p.p_partkey AS VARCHAR)), 1, 8))
-                        AS UBIGINT) AS h
-            FROM customer c CROSS JOIN part p
+                                        CAST(r.probe AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % (SELECT n FROM np) AS idx
+            FROM customer c
+            CROSS JOIN (SELECT unnest(generate_series(0, {_NEG_PROBES - 1}))
+                            AS probe) r
+        ), cand AS (
+            SELECT pr.custkey, pr.probe, pl.p_partkey AS partkey
+            FROM probes pr JOIN plist pl ON pl.idx = pr.idx
             WHERE NOT EXISTS (
                 SELECT 1 FROM interacted i
-                WHERE i.c = c.c_custkey AND i.p = p.p_partkey
+                WHERE i.c = pr.custkey AND i.p = pl.p_partkey
             )
-        ), r AS (
-            SELECT custkey, partkey,
-                   row_number() OVER (PARTITION BY custkey ORDER BY h, partkey)
-                       AS rank
+        ), dedup AS (
+            SELECT custkey, probe, partkey,
+                   row_number() OVER (PARTITION BY custkey, partkey
+                                      ORDER BY probe) AS occ
             FROM cand
+        ), ranked AS (
+            SELECT custkey, partkey,
+                   row_number() OVER (PARTITION BY custkey ORDER BY probe) AS rank
+            FROM dedup WHERE occ = 1
         )
-        SELECT custkey, rank, partkey FROM r WHERE rank <= {k}
+        SELECT custkey, rank, partkey FROM ranked WHERE rank <= {k}
         ORDER BY custkey, rank
     """
 
@@ -7555,4 +7581,598 @@ def value_drift_psi_sql(n_bands: int = 10, band_cents: int = 5000) -> str:
                                     * 1000000 + 0.5) AS BIGINT) END
                    AS psi_term_micro
         FROM f, t ORDER BY band
+    """
+
+
+def pseudonymize_users(sf_dir: str, salt: str = "pepper-v1") -> pd.DataFrame:
+    """Keyed pseudonymization: replace user_id with a salted-hash token
+    (md5(salt:id) prefix) — the GDPR-grade de-identification that
+    PRESERVES joinability: the same user always maps to the same token,
+    so grouped analytics survive the rename. The proof surfaced here:
+    per-pseudonym event counts, which must be a bijective relabeling of
+    the per-user counts. Hashing is row-local; the only exchange is the
+    pseudonym-cardinality count fold."""
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        tokens = [
+            hashlib.md5(f"{salt}:{u}".encode()).hexdigest()[:16]
+            for u in t["user_id"].to_pylist()
+        ]
+        vc = pd.Series(tokens).value_counts()
+        return pd.DataFrame({"pseudonym": vc.index, "n": vc.to_numpy().astype("int64")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("pseudonym", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_events"})
+        .sort_values("pseudonym")
+        .reset_index(drop=True)
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def pseudonymize_users_sql(salt: str = "pepper-v1") -> str:
+    return f"""
+        SELECT substr(md5('{salt}:' || CAST(user_id AS VARCHAR)), 1, 16)
+                   AS pseudonym,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+
+
+def type_value_similarity(sf_dir: str, n_bands: int = 10, band_cents: int = 5000) -> pd.DataFrame:
+    """Distribution-similarity matrix across event types: pairwise
+    histogram intersection sum(min(p_a, p_b)) over fixed value bands,
+    in integer ppm with the min taken by exact cross-multiplied
+    rational comparison (min(n_a/N_a, n_b/N_b) picked via
+    n_a*N_b <=> n_b*N_a) and a single truncating division per term —
+    zero float ops anywhere, so the fold is bit-stable at any scale.
+    One bounded (type, band) count fold feeds the |types|^2 finalize."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = _cents(t["value"]).to_numpy()
+        band = np.minimum(cents // band_cents, n_bands - 1)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "band": band})
+        return df.groupby(["event_type", "band"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    fold = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "band"], as_index=False)["n"]
+        .sum()
+    )
+    types = sorted(fold["event_type"].unique())
+    counts = {
+        ty: {int(r["band"]): int(r["n"]) for _, r in g.iterrows()}
+        for ty, g in fold.groupby("event_type")
+    }
+    totals = {ty: sum(c.values()) for ty, c in counts.items()}
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i:]:
+            na, nb = totals[a], totals[b]
+            inter = 0
+            for band in range(n_bands):
+                ca, cb = counts[a].get(band, 0), counts[b].get(band, 0)
+                # min(ca/na, cb/nb) in ppm, exact rational compare
+                if ca * nb <= cb * na:
+                    inter += ca * 1_000_000 // na
+                else:
+                    inter += cb * 1_000_000 // nb
+            rows.append((a, b, na, nb, inter))
+    out = pd.DataFrame(
+        rows, columns=["type_a", "type_b", "n_a", "n_b", "intersection_ppm"]
+    ).sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    for c in ("n_a", "n_b", "intersection_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def type_value_similarity_sql(n_bands: int = 10, band_cents: int = 5000) -> str:
+    return f"""
+        WITH f AS (
+            SELECT event_type,
+                   LEAST(CAST(ROUND(value * 100) AS BIGINT) // {band_cents},
+                         {n_bands - 1}) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+            FROM f GROUP BY 1
+        ), bands AS (
+            SELECT DISTINCT band FROM f
+        ), grid AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.total AS n_a, b.total AS n_b, bands.band
+            FROM tot a JOIN tot b ON a.event_type <= b.event_type
+            CROSS JOIN bands
+        ), terms AS (
+            SELECT g.type_a, g.type_b, g.n_a, g.n_b,
+                   COALESCE(fa.n, 0) AS ca, COALESCE(fb.n, 0) AS cb
+            FROM grid g
+            LEFT JOIN f fa ON fa.event_type = g.type_a AND fa.band = g.band
+            LEFT JOIN f fb ON fb.event_type = g.type_b AND fb.band = g.band
+        )
+        SELECT type_a, type_b, n_a, n_b,
+               CAST(SUM(CASE WHEN ca * n_b <= cb * n_a
+                             THEN ca * 1000000 // n_a
+                             ELSE cb * 1000000 // n_b END) AS BIGINT)
+                   AS intersection_ppm
+        FROM terms GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
+    """
+
+
+def returned_customer_revenue(sf_dir: str, k: int = 20, num_partitions: int = 8) -> pd.DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned
+    items in a half-year window. The returned-lineitem scan joins
+    orders on the hash-partitioned path (both sides pre-filtered), the
+    per-customer revenue folds through a custkey groupby, and only the
+    top-k by (revenue desc, custkey) leave via the mergeable top-k
+    merge; customer names attach to just those k rows from the
+    broadcast dimension."""
+    import numpy as np
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    names = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+
+    lo = pd.Timestamp("1995-01-01")
+    hi = pd.Timestamp("1995-07-01")
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        disc = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "disc_cents": pc.cast(
+                    pc.round(disc, round_mode="half_towards_infinity"), pa.int64()
+                ),
+            }
+        )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo, type=pa.timestamp("us"))),
+            pc.less(t["o_orderdate"], pa.scalar(hi, type=pa.timestamp("us"))),
+        )
+        t = t.filter(mask)
+        return t.select(["o_orderkey", "o_custkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(prep_li, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("disc_cents", alias_name="revenue_cents")
+    )
+
+    def local_topk(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "custkey": t["o_custkey"].to_numpy(),
+                "revenue_cents": t["revenue_cents"].to_numpy(),
+            }
+        )
+        return df.sort_values(
+            ["revenue_cents", "custkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    out = (
+        per_cust.map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["revenue_cents", "custkey"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["c_name"] = [names[int(c)] for c in out["custkey"]]
+    out = out[["custkey", "c_name", "revenue_cents"]]
+    for c in ("custkey", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def returned_customer_revenue_sql(k: int = 20) -> str:
+    return f"""
+        SELECT CAST(o.o_custkey AS BIGINT) AS custkey,
+               ANY_VALUE(c.c_name) AS c_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1995-07-01'
+        GROUP BY o.o_custkey
+        ORDER BY revenue_cents DESC, custkey
+        LIMIT {k}
+    """
+
+
+def large_order_customers(sf_dir: str, min_qty: int = 300, num_partitions: int = 8) -> pd.DataFrame:
+    """TPC-H Q18 shape: orders whose TOTAL lineitem quantity exceeds a
+    threshold, with their customer — the HAVING-on-big-aggregate
+    feeding a join. Per-order quantity folds through an orderkey
+    groupby (single-key, so the aggregate output joins cleanly in ray
+    2.49 — the multi-key-aggregate join hazard documented in
+    stages/shard.py does not apply); the surviving order set is tiny
+    and joins orders via an Arrow hash join per batch."""
+    import numpy as np
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    per_order = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty", alias_name="total_qty"))
+    )
+
+    def keep_big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["total_qty"], pa.scalar(min_qty)))
+
+    big = per_order.map_batches(keep_big, batch_format="pyarrow").to_pandas()
+    big = big.sort_values("l_orderkey")
+    big_keys = big["l_orderkey"].to_numpy().astype(np.int64)
+    big_qty = big["total_qty"].to_numpy().astype(np.int64)
+    keys_ref = ray.put((big_keys, big_qty))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def attach(t: pa.Table, *, keys_ref) -> pd.DataFrame:
+        keys, qty = ray.get(keys_ref)
+        ok = t["o_orderkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, ok).clip(max=max(len(keys) - 1, 0))
+        mask = (keys[pos] == ok) if len(keys) else np.zeros(len(ok), bool)
+        sub = t.filter(pa.array(mask))
+        return pd.DataFrame(
+            {
+                "o_orderkey": sub["o_orderkey"].to_numpy(),
+                "o_custkey": sub["o_custkey"].to_numpy(),
+                "price_cents": _cents(sub["o_totalprice"]).to_numpy(),
+                "total_qty": qty[pos[mask]],
+            }
+        )
+
+    out = (
+        orders.map_batches(attach, batch_format="pyarrow", fn_kwargs={"keys_ref": keys_ref})
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def large_order_customers_sql(min_qty: int = 300) -> str:
+    return f"""
+        SELECT o.o_orderkey, CAST(o.o_custkey AS BIGINT) AS o_custkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+               big.total_qty
+        FROM orders o
+        JOIN (
+            SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS total_qty
+            FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > {min_qty}
+        ) big ON big.l_orderkey = o.o_orderkey
+        ORDER BY o.o_orderkey
+    """
+
+
+def orders_yearly_growth(sf_dir: str) -> pd.DataFrame:
+    """Year-over-year revenue growth across the multi-year orders
+    history (the annual-report rollup): yearly exact cents totals from
+    a bounded fold, YoY delta in exact integer ppm with truncating
+    division (the dod_growth convention at year grain)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        years = t["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
+        df = pd.DataFrame({"year": years, "cents": _cents(t["o_totalprice"]).to_numpy()})
+        return df.groupby("year", as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum")
+        )
+
+    fold = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("year", as_index=False)[["n_orders", "revenue_cents"]]
+        .sum()
+        .sort_values("year")
+        .reset_index(drop=True)
+    )
+    prev = fold["revenue_cents"].shift(1)
+    growth = np.zeros(len(fold), dtype=np.int64)
+    mask = prev.notna().to_numpy()
+    num = (
+        fold.loc[mask, "revenue_cents"].to_numpy() - prev[mask].to_numpy().astype(np.int64)
+    ) * 1_000_000
+    den = prev[mask].to_numpy().astype(np.int64)
+    # DuckDB's // truncates toward zero; numpy floors — match DuckDB
+    growth[mask] = np.sign(num) * (np.abs(num) // den)
+    fold["yoy_growth_ppm"] = growth
+    for c in fold.columns:
+        fold[c] = fold[c].astype("int64")
+    return fold
+
+
+def orders_yearly_growth_sql() -> str:
+    return """
+        WITH y AS (
+            SELECT EXTRACT(YEAR FROM o_orderdate) AS year,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(year AS BIGINT) AS year, n_orders, revenue_cents,
+               CASE WHEN LAG(revenue_cents) OVER (ORDER BY year) IS NULL THEN 0
+                    ELSE CAST(((revenue_cents - LAG(revenue_cents) OVER (ORDER BY year))
+                               * 1000000)
+                              // LAG(revenue_cents) OVER (ORDER BY year) AS BIGINT)
+               END AS yoy_growth_ppm
+        FROM y ORDER BY year
+    """
+
+
+def embedding_label_outliers(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Embedding anomaly detection: per label, the k vectors LEAST
+    aligned with their own label centroid — score = exclusive integer
+    dot dot_q(v, S_label) - dot_q(v, v) over thousandth-quantized
+    values, so 'least aligned' is exact arithmetic with deterministic
+    ties (score asc, vec_id asc). One streaming pass builds the
+    per-label dim sums (same sufficient-statistics fold as
+    label_centroid_profile); a second embarrassingly parallel pass
+    scores every vector against the broadcast [L, d] sum matrix and
+    keeps local bottom-k per label; the driver merges O(blocks*L*k)
+    rows."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"])
+
+    def sums_partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        d = len(flat) // max(n, 1)
+        q = np.round(flat.astype(np.float64) * 1000.0).astype(np.int64).reshape(n, d)
+        lab = t["label"].to_numpy().astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ulab)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+            }
+        )
+
+    fold = (
+        ds.map_batches(sums_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["label", "dim"], as_index=False)["s"]
+        .sum()
+        .sort_values(["label", "dim"])
+    )
+    labels = np.sort(fold["label"].unique())
+    d = int(fold["dim"].max()) + 1
+    S = fold["s"].to_numpy().reshape(len(labels), d)
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+    S_ref = ray.put((S, lab_pos))
+
+    def score(t: pa.Table, *, S_ref) -> pd.DataFrame:
+        S, lab_pos = ray.get(S_ref)
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        dd = len(flat) // max(n, 1)
+        q = np.round(flat.astype(np.float64) * 1000.0).astype(np.int64).reshape(n, dd)
+        lab = t["label"].to_numpy().astype(np.int64)
+        rows_S = S[[lab_pos[int(x)] for x in lab]]
+        excl = (q * rows_S).sum(axis=1) - (q * q).sum(axis=1)
+        df = pd.DataFrame(
+            {
+                "label": lab,
+                "vec_id": t["vec_id"].to_numpy().astype(np.int64),
+                "score_q": excl,
+            }
+        )
+        return (
+            df.sort_values(["label", "score_q", "vec_id"], kind="mergesort")
+            .groupby("label", as_index=False)
+            .head(k)
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow", fn_kwargs={"S_ref": S_ref}).to_pandas()
+    frames = []
+    for lab, g in parts.groupby("label"):
+        g = g.sort_values(["score_q", "vec_id"], kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        frames.append(g)
+    out = pd.concat(frames, ignore_index=True)[["label", "rank", "vec_id", "score_q"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["label", "rank"]).reset_index(drop=True)
+
+
+def embedding_label_outliers_sql(k: int = 3) -> str:
+    return f"""
+        WITH f AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                   CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                        AS BIGINT) AS q
+            FROM embeddings
+        ), s AS (
+            SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sq FROM f GROUP BY 1, 2
+        ), scored AS (
+            SELECT f.vec_id, f.label,
+                   CAST(SUM(f.q * s.sq) - SUM(f.q * f.q) AS BIGINT) AS score_q
+            FROM f JOIN s ON f.label = s.label AND f.dim = s.dim
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT label, vec_id, score_q,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY score_q, vec_id) AS rank
+            FROM scored
+        )
+        SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, score_q
+        FROM ranked WHERE rank <= {k} ORDER BY label, rank
+    """
+
+
+def supplier_part_coverage(sf_dir: str) -> pd.DataFrame:
+    """Catalog coverage per supplier: how many distinct parts each
+    supplier has actually shipped and that count as an exact
+    parts-per-million share of the catalog. Distinct (suppkey,
+    partkey) pairs reduce on a PACKED single int64 key inside a coarse
+    shard (the ray-2.49 multi-key-aggregate pattern documented in
+    stages/shard.py); per-supplier counts fold from the deduped
+    pairs."""
+    import numpy as np
+
+    n_parts = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        s = t["l_suppkey"].to_numpy().astype(np.int64)
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        if len(s) and (int(s.max()) >= (1 << 31) or int(p.max()) >= (1 << 31)):
+            raise ValueError("packing bound exceeded")
+        key = (s << np.int64(31)) | p
+        df = pd.DataFrame({"key": np.unique(key)})
+        df["_shard"] = (df["key"] % 64).astype("int32")
+        return df
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(g["key"].to_numpy())
+        supp = keys >> np.int64(31)
+        vc = pd.Series(supp).value_counts()
+        return pd.DataFrame(
+            {"suppkey": vc.index.astype("int64"), "n_parts": vc.to_numpy().astype("int64")}
+        )
+
+    parts = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+        .groupby("suppkey", as_index=False)["n_parts"]
+        .sum()
+        .sort_values("suppkey")
+        .reset_index(drop=True)
+    )
+    parts["coverage_ppm"] = parts["n_parts"] * 1_000_000 // n_parts
+    for c in parts.columns:
+        parts[c] = parts[c].astype("int64")
+    return parts
+
+
+def supplier_part_coverage_sql() -> str:
+    return """
+        WITH np AS (SELECT COUNT(*) AS n FROM part)
+        SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT l_partkey) * 1000000 // (SELECT n FROM np)
+                    AS BIGINT) AS coverage_ppm
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """
+
+
+def dow_type_lift(sf_dir: str) -> pd.DataFrame:
+    """Independence-lift table for (day-of-week, event_type): observed
+    count vs the independence expectation, as exact integer ppm
+    (n_obs * N * 1e6 // (n_dow * n_type)) — the affinity diagnostic
+    behind 'do purchases skew to weekends'. One bounded (dow, type)
+    fold; the lift finalize runs over the 7 x |types| lattice."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        dow = (days + 3) % 7  # 0 = Monday (matches isodow - 1)
+        df = pd.DataFrame({"dow": dow, "event_type": t["event_type"].to_pylist()})
+        return df.groupby(["dow", "event_type"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    fold = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["dow", "event_type"], as_index=False)["n"]
+        .sum()
+    )
+    N = int(fold["n"].sum())
+    n_dow = fold.groupby("dow")["n"].sum()
+    n_type = fold.groupby("event_type")["n"].sum()
+    fold["lift_ppm"] = [
+        int(n) * N * 1_000_000 // (int(n_dow[d]) * int(n_type[t]))
+        for d, t, n in zip(fold["dow"], fold["event_type"], fold["n"])
+    ]
+    out = fold.rename(columns={"n": "n_events"}).sort_values(
+        ["dow", "event_type"]
+    ).reset_index(drop=True)
+    for c in ("dow", "n_events", "lift_ppm"):
+        out[c] = out[c].astype("int64")
+    return out[["dow", "event_type", "n_events", "lift_ppm"]]
+
+
+def dow_type_lift_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ), m AS (
+            SELECT SUM(n_events) AS total FROM f
+        ), d AS (
+            SELECT dow, SUM(n_events) AS nd FROM f GROUP BY 1
+        ), t AS (
+            SELECT event_type, SUM(n_events) AS nt FROM f GROUP BY 1
+        )
+        SELECT f.dow, f.event_type, f.n_events,
+               CAST(f.n_events * m.total * 1000000 // (d.nd * t.nt) AS BIGINT)
+                   AS lift_ppm
+        FROM f, m
+        JOIN d ON d.dow = f.dow
+        JOIN t ON t.event_type = f.event_type
+        ORDER BY f.dow, f.event_type
     """

@@ -714,3 +714,84 @@ def mmr_diverse_topk(
             "vec_id": pd.Series(selected_ids, dtype="int64"),
         }
     )
+
+
+def ann_rrf_fusion(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 5) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two retrieval systems — the float
+    brute-force cosine ranking and the integer quantized-dot ranking —
+    the standard hybrid-search merge (RRF, Cormack et al.). Each
+    system's top-10 comes from its own distributed scan; the fusion
+    itself runs over the two tiny rank lists (O(queries x 10) rows by
+    construction) with each term quantized floor(1e6/(60+rank)+0.5) so
+    the combined score is exact integer arithmetic, bit-stable and
+    SQL-comparable. Ties break by vec_id; missing-from-one-list
+    candidates contribute only their present terms (standard RRF)."""
+    from pdfrust_ray.pipelines.relational import ann_quantized_topk
+
+    a = brute_force_topk(sf_dir, query_ids=query_ids, k=10)
+    b = ann_quantized_topk(sf_dir, query_ids=query_ids, k=10)
+
+    def terms(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["query_id", "vec_id", "rank"]].copy()
+        out["t"] = (1_000_000.0 / (60 + out["rank"].to_numpy()) + 0.5).astype("int64")
+        return out[["query_id", "vec_id", "t"]]
+
+    allt = pd.concat([terms(a), terms(b)], ignore_index=True)
+    score = allt.groupby(["query_id", "vec_id"], as_index=False)["t"].sum()
+    frames = []
+    for q, g in score.groupby("query_id"):
+        g = g.sort_values(["t", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": q,
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                    "vec_id": g["vec_id"],
+                    "rrf_micro": g["t"],
+                }
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def ann_rrf_fusion_sql(query_ids=(0, 1, 2, 3, 4), k: int = 5) -> str:
+    from pdfrust_ray.pipelines.relational import ann_quantized_topk_sql
+
+    ids = ", ".join(str(q) for q in query_ids)
+    return f"""
+        WITH cos_r AS (
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id IN ({ids})
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS cosine
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM s QUALIFY rank <= 10
+        ), dot_r AS (
+            SELECT query_id, vec_id, rank FROM ({ann_quantized_topk_sql(query_ids, 10)})
+        ), terms AS (
+            SELECT query_id, vec_id,
+                   CAST(FLOOR(1000000.0 / (60 + rank) + 0.5) AS BIGINT) AS t
+            FROM cos_r
+            UNION ALL
+            SELECT query_id, vec_id,
+                   CAST(FLOOR(1000000.0 / (60 + rank) + 0.5) AS BIGINT)
+            FROM dot_r
+        ), fused AS (
+            SELECT query_id, vec_id, CAST(SUM(t) AS BIGINT) AS rrf_micro,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY SUM(t) DESC, vec_id) AS rank
+            FROM terms GROUP BY 1, 2
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, rrf_micro
+        FROM fused WHERE rank <= {k} ORDER BY query_id, rank
+    """
