@@ -756,6 +756,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_coverage": rel.supplier_part_coverage,
         # (dow x type) independence-lift table (integer ppm)
         "dow_type_lift": rel.dow_type_lift,
+        # error taxonomy over the flagship pipeline's own output
+        "payload_error_taxonomy": lambda sf: cv.payload_error_taxonomy(
+            _run_extract_ds(_scale_for(sf))
+        ),
+        # epoch-shuffle integrity gate (random_shuffle + invariant)
+        "shuffle_integrity": rel.shuffle_integrity,
+        # cross-format parquet + CSV union federation checksum
+        "multisource_events_union": rel.multisource_events_union,
+        # RANK()-with-ties top-k per group (boundary peers kept)
+        "top_value_events_with_ties": rel.top_value_events_with_ties,
+        # near-dup cluster-size distribution (dedup run report)
+        "dedup_cluster_size_histogram": lambda sf: dedup.dedup_cluster_size_histogram(sf),
+        # diurnal hour-of-day activity profile
+        "hourly_profile": rel.hourly_profile,
+        # boilerplate mining: top duplicated passages
+        "boilerplate_segments": lambda sf: llm.boilerplate_segments(sf),
+        # first-response SLA per conversation
+        "conv_first_response_latency": _q_conv(cv.conv_first_response_latency),
+        # trailing-window adaptive anomaly flags (exact integer test)
+        "rolling_count_anomalies": rel.rolling_count_anomalies,
     }
 
 
@@ -1115,6 +1135,15 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_outliers": rel.embedding_label_outliers_sql(),
         "supplier_part_coverage": rel.supplier_part_coverage_sql(),
         "dow_type_lift": rel.dow_type_lift_sql(),
+        "payload_error_taxonomy": cv.payload_error_taxonomy_sql(_T2_GOLDEN),
+        "shuffle_integrity": rel.shuffle_integrity_sql(),
+        "multisource_events_union": rel.multisource_events_union_sql(),
+        "top_value_events_with_ties": rel.top_value_events_with_ties_sql(),
+        "dedup_cluster_size_histogram": dedup_mod.dedup_cluster_size_histogram_sql(),
+        "hourly_profile": rel.hourly_profile_sql(),
+        "boilerplate_segments": llm.boilerplate_segments_sql(),
+        "conv_first_response_latency": cv.conv_first_response_latency_sql(_T2_SHARDS),
+        "rolling_count_anomalies": rel.rolling_count_anomalies_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1036,3 +1036,89 @@ def tool_latency_quantiles_sql(shards_glob: str) -> str:
                     AS BIGINT) AS p95_s
         FROM t GROUP BY tool ORDER BY tool
     """
+
+
+def payload_error_taxonomy(extract_ds) -> pd.DataFrame:
+    """Error-taxonomy report over the flagship pipeline's OUTPUT: per
+    (payload_kind, parse_status) the turn count and decoded-byte sum —
+    the triage table that tells a 10^12-turn extraction run which
+    error class dominates which format. Pure partial fold over the
+    output stream; the lattice is |kinds| x |statuses|."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "payload_kind": t["payload_kind"].to_pylist(),
+                "parse_status": t["parse_status"].to_pylist(),
+                "bytes_decoded": pc.cast(t["bytes_decoded"], pa.int64()).to_numpy(),
+            }
+        )
+        return df.groupby(["payload_kind", "parse_status"], as_index=False).agg(
+            n_turns=("bytes_decoded", "size"), sum_bytes=("bytes_decoded", "sum")
+        )
+
+    out = (
+        extract_ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["payload_kind", "parse_status"], as_index=False)[["n_turns", "sum_bytes"]]
+        .sum()
+        .sort_values(["payload_kind", "parse_status"])
+        .reset_index(drop=True)
+    )
+    for c in ("n_turns", "sum_bytes"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def payload_error_taxonomy_sql(golden_path: str) -> str:
+    return f"""
+        SELECT payload_kind, parse_status,
+               COUNT(*) AS n_turns,
+               CAST(SUM(bytes_decoded) AS BIGINT) AS sum_bytes
+        FROM read_parquet('{golden_path}')
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def conv_first_response_latency(corpus_dir: str) -> pd.DataFrame:
+    """First-response SLA per conversation: the gap between the first
+    user turn and the first assistant turn, in exact microseconds —
+    the responsiveness metric a serving dashboard tracks (turn_latency
+    is per-turn; this is per-conversation). One bucket shuffle; per
+    bucket a vectorized two-min fold."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "role", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["us"] = g["ts"].astype("int64")
+        u = g[g["role"] == "user"].groupby("conv_id")["us"].min()
+        a = g[g["role"] == "assistant"].groupby("conv_id")["us"].min()
+        j = pd.concat([u.rename("first_user_us"), a.rename("first_assistant_us")], axis=1)
+        j = j.dropna().reset_index()
+        j["latency_us"] = (j["first_assistant_us"] - j["first_user_us"]).astype("int64")
+        return j[["conv_id", "latency_us"]]
+
+    out = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    out["latency_us"] = out["latency_us"].astype("int64")
+    return out
+
+
+def conv_first_response_latency_sql(shards_glob: str) -> str:
+    return f"""
+        SELECT conv_id,
+               MIN(CASE WHEN role = 'assistant' THEN epoch_us(ts) END)
+               - MIN(CASE WHEN role = 'user' THEN epoch_us(ts) END)
+                   AS latency_us
+        FROM read_parquet('{shards_glob}')
+        GROUP BY conv_id
+        HAVING MIN(CASE WHEN role = 'assistant' THEN epoch_us(ts) END) IS NOT NULL
+           AND MIN(CASE WHEN role = 'user' THEN epoch_us(ts) END) IS NOT NULL
+        ORDER BY conv_id
+    """

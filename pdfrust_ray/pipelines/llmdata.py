@@ -801,3 +801,75 @@ def lang_class_weights_sql() -> str:
                CAST((t.total * 1000000) // (t.k * n_docs) AS BIGINT) AS weight_ppm
         FROM c, t ORDER BY lang
     """
+
+
+def boilerplate_segments(sf_dir: str, k: int = 10, min_docs: int = 2) -> pd.DataFrame:
+    """Boilerplate mining: the top-k most widely duplicated 10-word
+    segments (ranked by distinct-document count desc, then segment
+    text) — the triage list a corpus-cleaning run reviews before
+    committing to removal. Per-doc distinct (segment, doc) pairs feed
+    a coarse text-shard distinct-count; the global top-k finalize runs
+    over the banned-minority set only. At 10^12 docs the first
+    exchange would carry (hash, doc) with a winner-text recovery scan
+    (the segment_dedup shape); the fixture-scale query carries the
+    segment text directly so the rank's text tie-break is exact."""
+    import numpy as np
+
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        out_s, out_d = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for s in set(_segments(txt)):
+                out_s.append(s)
+                out_d.append(did)
+        df = pd.DataFrame({"seg": out_s, "doc_id": out_d})
+        df["_shard"] = pd.Series(
+            [_seg_hash63(s) % 64 for s in out_s], dtype="int32"
+        )
+        return df
+
+    def count_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop_duplicates(["seg", "doc_id"]).groupby("seg", as_index=False).size()
+        c = c.rename(columns={"size": "n_docs"})
+        return c[c["n_docs"] >= min_docs]
+
+    counts = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(count_in_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        counts.sort_values(["n_docs", "seg"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out = out[["rank", "seg", "n_docs"]]
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+def boilerplate_segments_sql(k: int = 10, min_docs: int = 2) -> str:
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), ch AS (
+            SELECT doc_id, (ord - 1) // {_SEG_WORDS} AS chunk,
+                   string_agg(word, ' ' ORDER BY ord) AS seg
+            FROM w GROUP BY doc_id, (ord - 1) // {_SEG_WORDS}
+        ), c AS (
+            SELECT seg, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM ch GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, seg) AS BIGINT)
+                   AS rank,
+               seg, n_docs
+        FROM c ORDER BY n_docs DESC, seg LIMIT {k}
+    """

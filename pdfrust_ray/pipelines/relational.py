@@ -8176,3 +8176,293 @@ def dow_type_lift_sql() -> str:
         JOIN t ON t.event_type = f.event_type
         ORDER BY f.dow, f.event_type
     """
+
+
+def shuffle_integrity(sf_dir: str, seed: int = 42) -> pd.DataFrame:
+    """Dataset.random_shuffle exercised under a content invariant: a
+    full seeded shuffle of events followed by the per-type count +
+    value checksum, which must equal the unshuffled table's — the
+    sanity gate a training pipeline runs after its epoch shuffle
+    (shuffles move EVERY block; a lost or duplicated row here means a
+    corrupted epoch). The result is order-independent by construction,
+    so it is deterministic even though the row order is not."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).random_shuffle(seed=seed)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = _cents(t["value"]).to_numpy()
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "cents": cents})
+        return df.groupby("event_type", as_index=False).agg(
+            n_events=("cents", "size"), sum_value_cents=("cents", "sum")
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type", as_index=False)[["n_events", "sum_value_cents"]]
+        .sum()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("n_events", "sum_value_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def shuffle_integrity_sql() -> str:
+    return """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+
+
+def multisource_events_union(sf_dir: str) -> pd.DataFrame:
+    """Cross-format federation: the parquet HALF of events (event_id %
+    2 = 0, filtered at scan) unioned with the CSV-ingested half
+    (event_id % 2 = 1 from the CSV shard mirror), reduced to the
+    per-type count + checksum — which must equal the single-source
+    table's, proving the format boundary introduces no drift. The CSV
+    side reuses the read_events_csv source (schema cast at ingest);
+    Dataset.union concatenates the two streams without a shuffle."""
+    import numpy as np
+
+    from pdfrust_ray.sources.tabular import read_events_csv
+
+    pq_side = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    csv_side = read_events_csv(sf_dir)
+
+    def even_half(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], pa.scalar(1)), pa.scalar(0)))
+        return t.select(["event_id", "event_type", "value"])
+
+    def odd_half(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t["event_id"], pa.scalar(1)), pa.scalar(1)))
+        return t.select(["event_id", "event_type", "value"])
+
+    u = pq_side.map_batches(even_half, batch_format="pyarrow").union(
+        csv_side.map_batches(odd_half, batch_format="pyarrow")
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import hashlib
+
+        cents = _cents(t["value"]).to_numpy()
+        chk = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(f"{e}|{c}".encode()).digest()[:4], "big")
+                for e, c in zip(t["event_id"].to_pylist(), cents.tolist())
+            ),
+            dtype=np.int64,
+            count=len(cents),
+        )
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "chk": chk})
+        return df.groupby("event_type", as_index=False).agg(
+            n_events=("chk", "size"), checksum=("chk", "sum")
+        )
+
+    out = (
+        u.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type", as_index=False)[["n_events", "checksum"]]
+        .sum()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("n_events", "checksum"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def multisource_events_union_sql() -> str:
+    return """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' ||
+                    CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)), 1, 8))
+                             AS UBIGINT)) AS BIGINT) AS checksum
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+
+
+def top_value_events_with_ties(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """RANK()-semantics top-k per event type: every event whose rank by
+    (value desc) is <= k INCLUDING ties — the window variant where a
+    tie at the boundary keeps all peers (ROW_NUMBER would cut
+    arbitrarily). Values quantize to cents so tie detection is exact.
+    Per-batch local candidates keep everything tied with their k-th
+    best (safe over-approximation); the per-type finalize applies true
+    RANK over the tiny candidate set."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def local_cands(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "event_id": t["event_id"].to_numpy(),
+                "cents": _cents(t["value"]).to_numpy(),
+            }
+        )
+        keep = []
+        for ty, g in df.groupby("event_type"):
+            vals = np.sort(g["cents"].unique())[::-1]
+            cut = vals[min(k, len(vals)) - 1]
+            keep.append(g[g["cents"] >= cut])
+        return pd.concat(keep, ignore_index=True)
+
+    cands = ds.map_batches(local_cands, batch_format="pyarrow").to_pandas()
+    frames = []
+    for ty, g in cands.groupby("event_type"):
+        vals = np.sort(g["cents"].unique())[::-1]
+        cut = vals[min(k, len(vals)) - 1]
+        g = g[g["cents"] >= cut].copy()
+        # dense set of distinct values above the cut defines RANK
+        rank_of = {v: i + 1 for i, v in enumerate(np.sort(g["cents"].unique())[::-1])}
+        # RANK (not DENSE_RANK): 1 + count of strictly-greater rows
+        greater = g["cents"].to_numpy()[:, None] < g["cents"].to_numpy()[None, :]
+        g["rank"] = 1 + greater.sum(axis=1)
+        g = g[g["rank"] <= k]
+        frames.append(g)
+    out = (
+        pd.concat(frames, ignore_index=True)[["event_type", "rank", "event_id", "cents"]]
+        .rename(columns={"cents": "value_cents"})
+        .sort_values(["event_type", "rank", "event_id"])
+        .reset_index(drop=True)
+    )
+    for c in ("rank", "event_id", "value_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def top_value_events_with_ties_sql(k: int = 3) -> str:
+    return f"""
+        SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id,
+               value_cents
+        FROM (
+            SELECT event_type, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+                   RANK() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC)
+                       AS rank
+            FROM events
+        )
+        WHERE rank <= {k}
+        ORDER BY event_type, rank, event_id
+    """
+
+
+def hourly_profile(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day activity profile (the diurnal curve): event count
+    and exact value cents per clock hour 0-23, folded from per-batch
+    partials over the bounded 24-row lattice — zero shuffle."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy()
+        hour = (us // 3_600_000_000) % 24
+        df = pd.DataFrame({"hour": hour, "cents": _cents(t["value"]).to_numpy()})
+        return df.groupby("hour", as_index=False).agg(
+            n_events=("cents", "size"), sum_value_cents=("cents", "sum")
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("hour", as_index=False)[["n_events", "sum_value_cents"]]
+        .sum()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def hourly_profile_sql() -> str:
+    return """
+        SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+
+
+def rolling_count_anomalies(sf_dir: str, window: int = 7) -> pd.DataFrame:
+    """Trailing-window volume anomaly flags: per event type, each day
+    compared against its OWN trailing `window`-day statistics (frame =
+    the last `window` observed days including today) — the adaptive
+    variant of daily_count_anomalies for drifting baselines. Same
+    exact-integer 2-sigma test, (x*W - S)^2 > 4*(SS*W - S^2), computed
+    over cumulative sums on the bounded per-type day lattice; the only
+    distributed work is the (type, day) count fold."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = t["ts"].to_numpy().astype("datetime64[D]")
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "day": np.datetime_as_string(days, unit="D"),
+            }
+        )
+        return df.groupby(["event_type", "day"], as_index=False).size().rename(
+            columns={"size": "n_events"}
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["n_events"]
+        .sum()
+    )
+    frames = []
+    for ty, g in fine.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        x = g["n_events"].to_numpy().astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(x)])
+        cs2 = np.concatenate([[0], np.cumsum(x * x)])
+        idx = np.arange(len(x))
+        lo = np.maximum(0, idx - window + 1)
+        W = idx - lo + 1
+        S = cs[idx + 1] - cs[lo]
+        SS = cs2[idx + 1] - cs2[lo]
+        g["is_anomaly"] = (x * W - S) ** 2 > 4 * (SS * W - S * S)
+        frames.append(g)
+    out = pd.concat(frames, ignore_index=True).sort_values(
+        ["event_type", "day"]
+    ).reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["is_anomaly"] = out["is_anomaly"].astype(bool)
+    return out
+
+
+def rolling_count_anomalies_sql(window: int = 7) -> str:
+    return f"""
+        WITH d AS (
+            SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT *,
+                   COUNT(*) OVER w AS ww,
+                   SUM(n_events) OVER w AS ss,
+                   SUM(n_events * n_events) OVER w AS sq
+            FROM d
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+               (n_events * ww - ss) * (n_events * ww - ss)
+                   > 4 * (sq * ww - ss * ss) AS is_anomaly
+        FROM s ORDER BY event_type, day
+    """

@@ -1497,3 +1497,37 @@ def containment_dedup_sql(threshold: float = 0.9, k: int = 5) -> str:
         FROM p WHERE CAST(c AS DOUBLE) / m >= {threshold}
         ORDER BY doc_a, doc_b
     """
+
+
+def dedup_cluster_size_histogram(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """Dedup report: the distribution of near-duplicate cluster sizes
+    (how many components of the verified MinHash pair graph have 2,
+    3, ... members) — the summary a corpus-dedup run publishes to show
+    how much boilerplate collapses into how few groups. Derives from
+    the dedup_clusters labeling; the histogram is a bounded
+    count-of-counts fold."""
+    labels = dedup_clusters(sf_dir, threshold=threshold)
+    sizes = labels.groupby("cluster_id").size()
+    out = (
+        pd.DataFrame({"cluster_size": sizes.to_numpy()})
+        .groupby("cluster_size", as_index=False)
+        .size()
+        .rename(columns={"size": "n_clusters"})
+        .sort_values("cluster_size")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def dedup_cluster_size_histogram_sql(threshold: float = 0.8, k: int = 5) -> str:
+    return f"""
+        SELECT cluster_size, COUNT(*) AS n_clusters
+        FROM (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM ({dedup_clusters_sql(threshold, k)})
+            GROUP BY 1
+        )
+        GROUP BY 1 ORDER BY 1
+    """
