@@ -776,6 +776,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_first_response_latency": _q_conv(cv.conv_first_response_latency),
         # trailing-window adaptive anomaly flags (exact integer test)
         "rolling_count_anomalies": rel.rolling_count_anomalies,
+        # join-fanout cardinality histogram (planner sampling surface)
+        "order_fanout_histogram": rel.order_fanout_histogram,
+        # TPC-H Q19 shape: OR-of-ANDs predicate revenue
+        "dnf_filter_revenue": rel.dnf_filter_revenue,
+        # longest consecutive-active-day streak per user
+        "user_longest_streak": rel.user_longest_streak,
     }
 
 
@@ -1144,6 +1150,9 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_segments": llm.boilerplate_segments_sql(),
         "conv_first_response_latency": cv.conv_first_response_latency_sql(_T2_SHARDS),
         "rolling_count_anomalies": rel.rolling_count_anomalies_sql(),
+        "order_fanout_histogram": rel.order_fanout_histogram_sql(),
+        "dnf_filter_revenue": rel.dnf_filter_revenue_sql(),
+        "user_longest_streak": rel.user_longest_streak_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

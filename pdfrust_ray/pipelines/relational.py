@@ -8466,3 +8466,180 @@ def rolling_count_anomalies_sql(window: int = 7) -> str:
                    > 4 * (sq * ww - ss * ss) AS is_anomaly
         FROM s ORDER BY event_type, day
     """
+
+
+def order_fanout_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fanout profile of the orders->lineitem relationship: how many
+    orders have 1, 2, ... line items (the join-cardinality histogram a
+    planner would sample). One orderkey count fold, then a bounded
+    count-of-counts finalize from per-block partials."""
+    import numpy as np
+
+    per_order = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="n_lines"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(t["n_lines"].to_numpy().astype(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "n_lines": pa.array(vals, pa.int64()),
+                "n_orders": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        per_order.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("n_lines", as_index=False)["n_orders"]
+        .sum()
+        .sort_values("n_lines")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def order_fanout_histogram_sql() -> str:
+    return """
+        SELECT n_lines, COUNT(*) AS n_orders
+        FROM (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM lineitem GROUP BY 1)
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def dnf_filter_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: discounted revenue under a DISJUNCTION of
+    conjunctive part/lineitem predicates ((Brand#1, qty < 25) OR
+    (Brand#2, qty >= 25) OR (Brand#3, any qty)) — the OR-of-ANDs
+    filter that defeats naive single-range pushdown. The part
+    attributes are a broadcast map attached in the scan; each branch
+    evaluates vectorized and the union mask filters BEFORE any
+    exchange; one scalar (cents, count) partial per batch folds."""
+    import numpy as np
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
+    brand_ref = ray.put(brand)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table, *, brand_ref) -> pa.Table:
+        brand = ray.get(brand_ref)
+        b = np.array([brand[int(k)] for k in t["l_partkey"].to_pylist()])
+        qty = t["l_quantity"].to_numpy()
+        m = (
+            ((b == "Brand#1") & (qty < 25))
+            | ((b == "Brand#2") & (qty >= 25))
+            | (b == "Brand#3")
+        )
+        disc = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0),
+        )
+        cents = pc.cast(pc.round(disc, round_mode="half_towards_infinity"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([int(m.sum())], pa.int64()),
+                "cents": pa.array([int(cents[m].sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", fn_kwargs={"brand_ref": brand_ref}
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_items": pd.Series([int(parts["n"].sum())], dtype="int64"),
+            "revenue_cents": pd.Series([int(parts["cents"].sum())], dtype="int64"),
+        }
+    )
+
+
+def dnf_filter_revenue_sql() -> str:
+    return """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND l.l_quantity < 25)
+           OR (p.p_brand = 'Brand#2' AND l.l_quantity >= 25)
+           OR p.p_brand = 'Brand#3'
+    """
+
+
+def user_longest_streak(sf_dir: str) -> pd.DataFrame:
+    """Longest consecutive-active-day streak per user (the habit /
+    retention metric) via gaps-and-islands at day grain: distinct
+    active days reduce in a packed-key coarse shard, then each user's
+    sorted day list splits into runs wherever the gap exceeds one day —
+    vectorized diff, no per-day loop."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        u = t["user_id"].to_numpy().astype(np.int64)
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        key = (u << np.int64(31)) | day
+        df = pd.DataFrame({"key": np.unique(key)})
+        # shard by USER (key >> 31) so every day of a user lands in the
+        # same group — streaks are whole-user computations
+        df["_shard"] = ((df["key"].to_numpy() >> np.int64(31)) % 64).astype("int32")
+        return df
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(g["key"].to_numpy())
+        u = keys >> np.int64(31)
+        day = keys & np.int64((1 << 31) - 1)
+        out = []
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        start = 0
+        for i in range(1, len(u) + 1):
+            if i == len(u) or u[i] != u[start]:
+                days = day[start:i]
+                runs = np.split(np.arange(len(days)), np.nonzero(np.diff(days) > 1)[0] + 1)
+                longest = max(len(r) for r in runs)
+                out.append((int(u[start]), len(days), int(longest)))
+                start = i
+        return pd.DataFrame(out, columns=["user_id", "n_active_days", "longest_streak"])
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def user_longest_streak_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), g AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY day) AS INTEGER)
+                       AS island
+            FROM d
+        ), runs AS (
+            SELECT user_id, island, COUNT(*) AS len FROM g GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(SUM(len) AS BIGINT) AS n_active_days,
+               CAST(MAX(len) AS BIGINT) AS longest_streak
+        FROM runs GROUP BY 1 ORDER BY 1
+    """
