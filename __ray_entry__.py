@@ -782,6 +782,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dnf_filter_revenue": rel.dnf_filter_revenue,
         # longest consecutive-active-day streak per user
         "user_longest_streak": rel.user_longest_streak,
+        # Heaps'-law bigram vocabulary growth (first-touch trick)
+        "bigram_vocab_growth": dso.bigram_vocab_growth,
+        # ingest lineage via include_paths (per-shard provenance)
+        "csv_shard_lineage": dso.csv_shard_lineage,
+        # daily share-of-type trend (integer ppm)
+        "events_type_share_trend": rel.events_type_share_trend,
+        # exact squared-norm histogram (vector intake gate)
+        "embedding_norm_histogram": rel.embedding_norm_histogram,
+        # Benford first-digit audit with expectation column
+        "events_value_benford": rel.events_value_benford,
+        # session-depth distribution over the sessionize output
+        "session_size_histogram": rel.session_size_histogram,
     }
 
 
@@ -1153,6 +1165,12 @@ def oracle_sql() -> dict[str, str]:
         "order_fanout_histogram": rel.order_fanout_histogram_sql(),
         "dnf_filter_revenue": rel.dnf_filter_revenue_sql(),
         "user_longest_streak": rel.user_longest_streak_sql(),
+        "bigram_vocab_growth": dso.bigram_vocab_growth_sql(),
+        "csv_shard_lineage": dso.csv_shard_lineage_sql(),
+        "events_type_share_trend": rel.events_type_share_trend_sql(),
+        "embedding_norm_histogram": rel.embedding_norm_histogram_sql(),
+        "events_value_benford": rel.events_value_benford_sql(),
+        "session_size_histogram": rel.session_size_histogram_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1759,3 +1759,154 @@ def catalog_integrity_report_sql() -> str:
                 FROM {table}"""
         )
     return " UNION ALL ".join(selects) + " ORDER BY table_name"
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth + ingest lineage
+# ---------------------------------------------------------------------------
+
+
+def bigram_vocab_growth(sf_dir: str, bucket_docs: int = 100) -> pd.DataFrame:
+    """Vocabulary growth curve (Heaps' law over word bigrams): how many
+    NEW distinct bigrams each successive block of `bucket_docs`
+    documents contributes, plus the running total — the
+    diminishing-returns estimate that sizes how much more data a
+    tokenizer/vocab needs. Uses the first-touch trick: one
+    bigram-keyed exchange computes each bigram's FIRST doc_id (min),
+    the bounded bucket histogram and cumulative sum then fold
+    driver-side — no resorting of the corpus, no per-checkpoint
+    rescans."""
+    import numpy as np
+
+    from ray.data.aggregate import Min
+
+    ds = _docs(sf_dir)
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        out_b, out_d = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = [w for w in txt.split(" ") if w != ""]
+            bs = {f"{a} {b}" for a, b in zip(words, words[1:])}
+            out_b.extend(bs)
+            out_d.extend([did] * len(bs))
+        return pd.DataFrame({"bigram": out_b, "doc_id": out_d})
+
+    first = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Min("doc_id", alias_name="first_doc"))
+        .to_pandas()
+    )
+    bucket = (first["first_doc"].to_numpy() // bucket_docs).astype(np.int64)
+    hist = (
+        pd.DataFrame({"bucket": bucket})
+        .groupby("bucket", as_index=False)
+        .size()
+        .rename(columns={"size": "n_new_bigrams"})
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    hist["cum_vocab"] = hist["n_new_bigrams"].cumsum()
+    for c in hist.columns:
+        hist[c] = hist[c].astype("int64")
+    return hist
+
+
+def bigram_vocab_growth_sql(bucket_docs: int = 100) -> str:
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), b AS (
+            SELECT a.doc_id, a.word || ' ' || c.word AS bigram
+            FROM w a JOIN w c
+              ON a.doc_id = c.doc_id AND c.ord = a.ord + 1
+            WHERE a.word <> '' AND c.word <> ''
+        ), f AS (
+            SELECT bigram, MIN(doc_id) AS first_doc FROM b GROUP BY 1
+        ), h AS (
+            SELECT first_doc // {bucket_docs} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_new_bigrams
+            FROM f GROUP BY 1
+        )
+        SELECT bucket, n_new_bigrams,
+               CAST(SUM(n_new_bigrams) OVER (ORDER BY bucket) AS BIGINT)
+                   AS cum_vocab
+        FROM h ORDER BY bucket
+    """
+
+
+def csv_shard_lineage(sf_dir: str) -> pd.DataFrame:
+    """Record-level ingest lineage: read the CSV shard mirror with
+    include_paths=True so every row carries its source file, then roll
+    up per shard the row count and an order-independent event_id
+    checksum — the provenance table that lets a bad upstream shard be
+    traced and replayed. The lineage column is attached at the scan
+    (zero-cost — it is the reader's own context), partials fold per
+    file."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    import ray.data as _rd
+
+    from pdfrust_ray.sources.tabular import ensure_events_csv
+
+    shard_dir = ensure_events_csv(sf_dir)
+    shard_files = sorted(
+        os.path.join(shard_dir, f)
+        for f in os.listdir(shard_dir)
+        if f.startswith("events_") and f.endswith(".csv")
+    )
+    ds = _rd.read_csv(shard_files, include_paths=True)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        names = [os.path.basename(p) for p in t["path"].to_pylist()]
+        chk = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(e).encode()).digest()[:4], "big")
+                for e in t["event_id"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        df = pd.DataFrame({"shard": names, "chk": chk})
+        return df.groupby("shard", as_index=False).agg(
+            n_rows=("chk", "size"), checksum=("chk", "sum")
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("shard", as_index=False)[["n_rows", "checksum"]]
+        .sum()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    for c in ("n_rows", "checksum"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def csv_shard_lineage_sql(sf_dir_placeholder: str = "") -> str:
+    # shards are written row-contiguously: shard i holds rows
+    # [i*step, (i+1)*step) of the parquet order; event_id is the row
+    # index in the fixture, so the shard of a row is derivable
+    return """
+        WITH n AS (SELECT COUNT(*) AS total FROM events),
+        s AS (
+            SELECT event_id,
+                   event_id // CAST(CEIL(CAST(total AS DOUBLE) / 8) AS BIGINT)
+                       AS shard_no
+            FROM events, n
+        )
+        SELECT 'events_' || lpad(CAST(shard_no AS VARCHAR), 4, '0') || '.csv'
+                   AS shard,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT)) AS BIGINT) AS checksum
+        FROM s GROUP BY 1 ORDER BY 1
+    """

@@ -8643,3 +8643,195 @@ def user_longest_streak_sql() -> str:
                CAST(MAX(len) AS BIGINT) AS longest_streak
         FROM runs GROUP BY 1 ORDER BY 1
     """
+
+
+def events_type_share_trend(sf_dir: str) -> pd.DataFrame:
+    """Share-of-type trend: per day, each event type's share of that
+    day's volume in exact integer ppm (the stacked-area dashboard
+    table). One bounded (day, type) fold; shares by truncating
+    division against the per-day totals."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        days = t["ts"].to_numpy().astype("datetime64[D]")
+        df = pd.DataFrame(
+            {
+                "day": np.datetime_as_string(days, unit="D"),
+                "event_type": t["event_type"].to_pylist(),
+            }
+        )
+        return df.groupby(["day", "event_type"], as_index=False).size().rename(
+            columns={"size": "n_events"}
+        )
+
+    fold = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["day", "event_type"], as_index=False)["n_events"]
+        .sum()
+    )
+    totals = fold.groupby("day")["n_events"].sum()
+    fold["share_ppm"] = [
+        int(n) * 1_000_000 // int(totals[d]) for d, n in zip(fold["day"], fold["n_events"])
+    ]
+    out = fold.sort_values(["day", "event_type"]).reset_index(drop=True)
+    for c in ("n_events", "share_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def events_type_share_trend_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ), t AS (
+            SELECT day, SUM(n_events) AS total FROM f GROUP BY 1
+        )
+        SELECT f.day, f.event_type, f.n_events,
+               CAST(f.n_events * 1000000 // t.total AS BIGINT) AS share_ppm
+        FROM f JOIN t ON f.day = t.day
+        ORDER BY f.day, f.event_type
+    """
+
+
+def embedding_norm_histogram(sf_dir: str, band_width: int = 200_000) -> pd.DataFrame:
+    """Vector-store intake gate: the distribution of squared embedding
+    norms, computed EXACTLY as the integer sum of squared
+    thousandth-quantized components and banded into fixed-width
+    buckets — the check that catches unnormalized, zero, or exploding
+    vectors before they poison a cosine index. Row-local, zero
+    shuffle."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        d = len(flat) // max(n, 1)
+        q = np.round(flat.astype(np.float64) * 1000.0).astype(np.int64).reshape(n, d)
+        norm2 = (q * q).sum(axis=1)
+        band = norm2 // band_width
+        vc = pd.Series(band).value_counts()
+        return pd.DataFrame({"band": vc.index.astype("int64"), "n": vc.to_numpy()})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("band", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_vecs"})
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def embedding_norm_histogram_sql(band_width: int = 200_000) -> str:
+    return f"""
+        WITH f AS (
+            SELECT vec_id,
+                   CAST(SUM(q * q) AS BIGINT) AS norm2
+            FROM (
+                SELECT vec_id,
+                       CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                            AS BIGINT) AS q
+                FROM embeddings
+            ) GROUP BY vec_id
+        )
+        SELECT norm2 // {band_width} AS band, COUNT(*) AS n_vecs
+        FROM f GROUP BY 1 ORDER BY 1
+    """
+
+
+def events_value_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit over value cents — the fraud /
+    fabrication screen: observed counts per leading digit 1-9 plus the
+    Benford-law expectation in ppm (floor(log10(1+1/d)*1e6+0.5),
+    constant table). Leading digit extracted by integer reduction (no
+    string ops); one 9-row fold."""
+    import math
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        c = _cents(t["value"]).to_numpy().astype(np.int64)
+        c = c[c > 0]
+        # vectorized leading digit: divide by 10^floor(log10(x))
+        mag = np.power(10, np.floor(np.log10(c)).astype(np.int64))
+        digit = c // mag
+        vc = pd.Series(digit).value_counts()
+        return pd.DataFrame({"digit": vc.index.astype("int64"), "n": vc.to_numpy()})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("digit", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_events"})
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    out["benford_ppm"] = [
+        math.floor(math.log10(1.0 + 1.0 / int(d)) * 1_000_000 + 0.5)
+        for d in out["digit"]
+    ]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def events_value_benford_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+            WHERE CAST(ROUND(value * 100) AS BIGINT) > 0
+        ), d AS (
+            SELECT cents // CAST(POWER(10, FLOOR(LOG10(cents))) AS BIGINT)
+                       AS digit
+            FROM c
+        )
+        SELECT digit, COUNT(*) AS n_events,
+               CAST(FLOOR(LOG10(1.0 + 1.0 / digit) * 1000000 + 0.5) AS BIGINT)
+                   AS benford_ppm
+        FROM d GROUP BY digit ORDER BY digit
+    """
+
+
+def session_size_histogram(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session-depth distribution: how many sessions contain 1, 2, ...
+    events (the engagement profile derived from the sessionize
+    operator's output) — a composition proof that downstream analytics
+    run over operator outputs without rematerializing inputs. One
+    count-of-counts fold over the session table."""
+    sessions = sessionize(sf_dir, gap_minutes=gap_minutes)
+    out = (
+        sessions.groupby("n_events", as_index=False)
+        .size()
+        .rename(columns={"n_events": "session_size", "size": "n_sessions"})
+        .sort_values("session_size")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def session_size_histogram_sql(gap_minutes: int = 30) -> str:
+    return f"""
+        SELECT session_size, COUNT(*) AS n_sessions
+        FROM (
+            SELECT CAST(n_events AS BIGINT) AS session_size
+            FROM ({sessionize_sql(gap_minutes)})
+        )
+        GROUP BY 1 ORDER BY 1
+    """
