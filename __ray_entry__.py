@@ -794,6 +794,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_benford": rel.events_value_benford,
         # session-depth distribution over the sessionize output
         "session_size_histogram": rel.session_size_histogram,
+        # exact weighted percentiles over a bounded domain
+        "weighted_median_k": rel.weighted_median_k,
+        # cross-split near-dup leakage scan (eval hygiene)
+        "split_leakage_scan": lambda sf: dedup.split_leakage_scan(sf),
+        # greedy coverage-driven data selection (rows-only: greedy
+        # argmax has no SQL — pinned by serial recompute pytest)
+        "coverage_selection": lambda sf: llm.coverage_selection(sf),
     }
 
 
@@ -1171,6 +1178,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_histogram": rel.embedding_norm_histogram_sql(),
         "events_value_benford": rel.events_value_benford_sql(),
         "session_size_histogram": rel.session_size_histogram_sql(),
+        "weighted_median_k": rel.weighted_median_k_sql(),
+        "split_leakage_scan": dedup_mod.split_leakage_scan_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

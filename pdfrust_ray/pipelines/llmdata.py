@@ -873,3 +873,108 @@ def boilerplate_segments_sql(k: int = 10, min_docs: int = 2) -> str:
                seg, n_docs
         FROM c ORDER BY n_docs DESC, seg LIMIT {k}
     """
+
+
+def coverage_selection(sf_dir: str, target_coverage_pct: int = 95) -> pd.DataFrame:
+    """Coverage-driven data selection (greedy set cover): pick
+    documents one at a time, each round choosing the document adding
+    the most UNCOVERED bigrams (ties by doc_id), until
+    target_coverage_pct of the corpus bigram universe is covered — the
+    data-selection primitive for building small high-coverage training
+    subsets. Distributed shape per round: the tokenized (doc, bigram
+    hash) table is materialized ONCE; every round maps it against the
+    broadcast covered-set, emits per-block argmax candidates, and the
+    driver picks the global winner (same iterative-argmax skeleton as
+    MMR). Rows-only contract: greedy selection has no SQL — pinned by
+    a serial-recompute pytest."""
+    import hashlib
+
+    import numpy as np
+
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        ids, lists = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = [w for w in txt.split(" ") if w != ""]
+            hs = {
+                int.from_bytes(hashlib.md5(f"{a} {b}".encode()).digest()[:8], "big") >> 1
+                for a, b in zip(words, words[1:])
+            }
+            ids.append(did)
+            lists.append(sorted(hs))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "hs": pa.array(lists, pa.list_(pa.int64())),
+            }
+        )
+
+    # ONE list row per doc (a block boundary can never split a doc's
+    # hash set), coalesced before materializing: every greedy round
+    # schedules one task per block, so block count is pure per-round
+    # latency here
+    table = (
+        ds.map_batches(tokenize, batch_format="pyarrow").repartition(8).materialize()
+    )
+
+    def block_unique(t: pa.Table) -> pa.Table:
+        u = np.unique(t["hs"].combine_chunks().flatten().to_numpy(zero_copy_only=False))
+        return pa.table({"h": pa.array(u, pa.int64())})
+
+    # universe size from per-block uniques (at 10^12 docs this fold
+    # would be an HLL; the exact union is fine at query scale)
+    uniq = table.map_batches(block_unique, batch_format="pyarrow").to_pandas()
+    universe = uniq["h"].nunique()
+    target = universe * target_coverage_pct // 100
+
+    covered: set[int] = set()
+    picked: list[tuple[int, int, int]] = []
+    while len(covered) < target:
+        cov_ref = ray.put(frozenset(covered))
+
+        def local_best(t: pa.Table, *, cov_ref) -> pd.DataFrame:
+            cov = ray.get(cov_ref)
+            best_doc, best_gain = -1, -1
+            for did, hs in zip(t["doc_id"].to_pylist(), t["hs"].to_pylist()):
+                gain = sum(1 for h in hs if h not in cov)
+                if gain > best_gain or (gain == best_gain and did < best_doc):
+                    best_doc, best_gain = did, gain
+            if best_gain <= 0:
+                return pd.DataFrame({"doc_id": [], "gain": []})
+            return pd.DataFrame(
+                {"doc_id": pd.Series([best_doc], dtype="int64"),
+                 "gain": pd.Series([best_gain], dtype="int64")}
+            )
+
+        cands = table.map_batches(
+            local_best, batch_format="pyarrow", fn_kwargs={"cov_ref": cov_ref}
+        ).to_pandas()
+        if not len(cands):
+            break
+        cands = cands.sort_values(["gain", "doc_id"], ascending=[False, True], kind="mergesort")
+        best = int(cands.iloc[0]["doc_id"])
+        # winner's hashes via a PUSHED-DOWN one-row parquet read +
+        # local re-tokenize (never rescans the corpus table)
+        import pyarrow.parquet as _pq
+
+        win_t = _pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "==", best)],
+        )
+        words = [w for w in win_t["text"][0].as_py().split(" ") if w != ""]
+        new = {
+            int.from_bytes(hashlib.md5(f"{a} {b}".encode()).digest()[:8], "big") >> 1
+            for a, b in zip(words, words[1:])
+        } - covered
+        covered |= new
+        picked.append((best, len(new), len(covered)))
+    out = pd.DataFrame(picked, columns=["doc_id", "new_bigrams", "cum_covered"])
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out = out[["rank", "doc_id", "new_bigrams", "cum_covered"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

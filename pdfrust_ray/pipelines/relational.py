@@ -8835,3 +8835,71 @@ def session_size_histogram_sql(gap_minutes: int = 30) -> str:
         )
         GROUP BY 1 ORDER BY 1
     """
+
+
+def weighted_median_k(sf_dir: str) -> pd.DataFrame:
+    """EXACT weighted median (and weighted p25/p75) of the JSON `k`
+    property with value-cents weights — the revenue-weighted feature
+    summary. Medians don't merge, but k's domain is bounded, so the
+    exact distributed form is the weighted frequency fold: per-batch
+    (k, total_weight) partials, a driver fold over the tiny frequency
+    table, and quantile lookup at the smallest k whose cumulative
+    weight reaches ceil(q * W) (total order deterministic)."""
+    import json
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value", "props"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = _cents(t["value"]).to_numpy()
+        k = np.fromiter(
+            (int(json.loads(p)["k"]) for p in t["props"].to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        df = pd.DataFrame({"k": k, "w": cents})
+        return df.groupby("k", as_index=False)["w"].sum()
+
+    fold = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("k", as_index=False)["w"]
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    cum = fold["w"].cumsum().to_numpy()
+    W = int(cum[-1])
+    ks = fold["k"].to_numpy()
+    rows = []
+    for p in (25, 50, 75):
+        target = (W * p + 99) // 100  # ceil(W * p / 100)
+        rows.append((p, int(ks[np.searchsorted(cum, target)])))
+    out = pd.DataFrame(rows, columns=["pct", "weighted_k"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def weighted_median_k_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS w
+            FROM events GROUP BY 1
+        ), c AS (
+            SELECT k, SUM(w) OVER (ORDER BY k) AS cum,
+                   (SELECT SUM(w) FROM f) AS total
+            FROM f
+        )
+        SELECT pct, CAST(MIN(k) AS BIGINT) AS weighted_k
+        FROM (
+            SELECT 25 AS pct, k FROM c WHERE cum >= (total * 25 + 99) // 100
+            UNION ALL
+            SELECT 50, k FROM c WHERE cum >= (total * 50 + 99) // 100
+            UNION ALL
+            SELECT 75, k FROM c WHERE cum >= (total * 75 + 99) // 100
+        )
+        GROUP BY pct ORDER BY pct
+    """

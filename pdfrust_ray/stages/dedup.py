@@ -1531,3 +1531,47 @@ def dedup_cluster_size_histogram_sql(threshold: float = 0.8, k: int = 5) -> str:
         )
         GROUP BY 1 ORDER BY 1
     """
+
+
+def split_leakage_scan(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """Eval-hygiene scan: near-duplicate pairs that CROSS the
+    train/val/test boundary — a test document whose near-dup sits in
+    train is leaked evaluation signal (the split was made by hash, the
+    dup structure by content; nothing guarantees they agree). Composes
+    the verified near-dup pair set with the deterministic split
+    assignment and reports, per (split_a, split_b) class, the crossing
+    pair count — plus the within-split pairs for contrast."""
+    from pdfrust_ray.pipelines.datasetops import dataset_split
+
+    pairs = minhash_lsh_dedup(sf_dir)
+    split = dataset_split(sf_dir).set_index("doc_id")["split"]
+    sa = split.loc[pairs["doc_a"].to_numpy()].to_numpy()
+    sb = split.loc[pairs["doc_b"].to_numpy()].to_numpy()
+    lo = np.minimum(sa, sb)
+    hi = np.maximum(sa, sb)
+    df = pd.DataFrame({"split_a": lo, "split_b": hi})
+    out = (
+        df.groupby(["split_a", "split_b"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_pairs"})
+        .sort_values(["split_a", "split_b"])
+        .reset_index(drop=True)
+    )
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out
+
+
+def split_leakage_scan_sql(threshold: float = 0.8, k: int = 5) -> str:
+    from pdfrust_ray.pipelines.datasetops import dataset_split_sql
+
+    return f"""
+        WITH pairs AS ({minhash_lsh_dedup_sql(threshold, k)}),
+        split AS ({dataset_split_sql()})
+        SELECT LEAST(a.split, b.split) AS split_a,
+               GREATEST(a.split, b.split) AS split_b,
+               COUNT(*) AS n_pairs
+        FROM pairs p
+        JOIN split a ON a.doc_id = p.doc_a
+        JOIN split b ON b.doc_id = p.doc_b
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
