@@ -801,6 +801,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # greedy coverage-driven data selection (rows-only: greedy
         # argmax has no SQL — pinned by serial recompute pytest)
         "coverage_selection": lambda sf: llm.coverage_selection(sf),
+        # Hive-partitioned sink + partition-pruned read round-trip
+        "partitioned_write_pruned_read": dso.partitioned_write_pruned_read,
+        # ANN acceptance report: recall@k of IVF vs exact (rows-only)
+        "ann_recall_report": lambda sf: similarity.ann_recall_report(sf),
+        # grounding-effect panel: assistant length by tool context
+        "assistant_length_by_tool_context": _q_conv(cv.assistant_length_by_tool_context),
+        # TPC-H Q8 shape: national market share in integer ppm
+        "tpch_q8_market_share": rel.tpch_q8_market_share,
+        # TPC-H Q15 shape: top supplier by quarter revenue, with ties
+        "tpch_q15_top_supplier": rel.tpch_q15_top_supplier,
+        # TPC-H Q17 shape: small-quantity revenue (exact correlated avg)
+        "tpch_q17_small_quantity_revenue": rel.tpch_q17_small_quantity_revenue,
+        # TPC-H Q21 shape: only-late supplier counts on multi-supplier orders
+        "tpch_q21_waiting_suppliers": rel.tpch_q21_waiting_suppliers,
+        # TPC-H Q22 shape: above-average idle balances per nation
+        "tpch_q22_idle_balance": rel.tpch_q22_idle_balance,
+        # leave-one-out target-encoding leakage audit
+        "loo_target_encode_audit": rel.loo_target_encode_audit,
     }
 
 
@@ -1180,6 +1198,16 @@ def oracle_sql() -> dict[str, str]:
         "session_size_histogram": rel.session_size_histogram_sql(),
         "weighted_median_k": rel.weighted_median_k_sql(),
         "split_leakage_scan": dedup_mod.split_leakage_scan_sql(),
+        "partitioned_write_pruned_read": dso.partitioned_write_pruned_read_sql(),
+        "assistant_length_by_tool_context": cv.assistant_length_by_tool_context_sql(
+            _T2_SHARDS
+        ),
+        "tpch_q8_market_share": rel.tpch_q8_market_share_sql(),
+        "tpch_q15_top_supplier": rel.tpch_q15_top_supplier_sql(),
+        "tpch_q17_small_quantity_revenue": rel.tpch_q17_small_quantity_revenue_sql(),
+        "tpch_q21_waiting_suppliers": rel.tpch_q21_waiting_suppliers_sql(),
+        "tpch_q22_idle_balance": rel.tpch_q22_idle_balance_sql(),
+        "loo_target_encode_audit": rel.loo_target_encode_audit_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1122,3 +1122,60 @@ def conv_first_response_latency_sql(shards_glob: str) -> str:
            AND MIN(CASE WHEN role = 'user' THEN epoch_us(ts) END) IS NOT NULL
         ORDER BY conv_id
     """
+
+
+def assistant_length_by_tool_context(corpus_dir: str) -> pd.DataFrame:
+    """Does tool context make answers longer? Assistant turns split by
+    whether the immediately preceding turn was a tool result: per
+    class, turn count and total characters — the grounding-effect
+    panel. Bucket shuffle + one boundary-masked shift."""
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        chars = g["text"].str.len().to_numpy()
+        prev_tool = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            prev_tool[1:] = (conv[1:] == conv[:-1]) & (role[:-1] == "tool")
+        mask = role == "assistant"
+        df = pd.DataFrame(
+            {"after_tool": prev_tool[mask], "chars": chars[mask]}
+        )
+        return df.groupby("after_tool", as_index=False).agg(
+            n_turns=("chars", "size"), sum_chars=("chars", "sum")
+        )
+
+    out = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("after_tool", as_index=False)[["n_turns", "sum_chars"]]
+        .sum()
+        .sort_values("after_tool")
+        .reset_index(drop=True)
+    )
+    out["after_tool"] = out["after_tool"].astype(bool)
+    for c in ("n_turns", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def assistant_length_by_tool_context_sql(shards_glob: str) -> str:
+    return f"""
+        SELECT COALESCE(prev_role = 'tool', FALSE) AS after_tool,
+               COUNT(*) AS n_turns,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        FROM (
+            SELECT role, text,
+                   LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev_role
+            FROM read_parquet('{shards_glob}')
+        )
+        WHERE role = 'assistant'
+        GROUP BY 1 ORDER BY 1
+    """

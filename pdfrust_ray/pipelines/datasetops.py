@@ -1910,3 +1910,68 @@ def csv_shard_lineage_sql(sf_dir_placeholder: str = "") -> str:
                              AS UBIGINT)) AS BIGINT) AS checksum
         FROM s GROUP BY 1 ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# partitioned parquet sink + partition-pruned read
+# ---------------------------------------------------------------------------
+
+
+def partitioned_write_pruned_read(sf_dir: str) -> pd.DataFrame:
+    """Hive-partitioned sink round-trip: events stream out through
+    Dataset.write_parquet(partition_cols=['event_type']) — one
+    directory per key, the resumable layout the brief mandates — and
+    the query then reads ONLY the purchase partition's directory,
+    proving the layout prunes at the filesystem level (no row of any
+    other type is even opened). Output: per-type checksum of the
+    pruned read plus its row count, hash-matched against a plain
+    filtered scan."""
+    import hashlib
+    import os
+    import shutil
+
+    import numpy as np
+
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pdfrust_ray_hivepart_{scale}"
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+        ).write_parquet(out_dir, partition_cols=["event_type"])
+        open(marker, "w").close()
+
+    part_dir = os.path.join(out_dir, "event_type=purchase")
+    ds = rd.read_parquet(part_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pa.compute.cast(
+            pa.compute.round(pa.compute.multiply(t["value"], 100.0)), pa.int64()
+        ).to_numpy()
+        s = 0
+        for e, c in zip(t["event_id"].to_pylist(), cents.tolist()):
+            s += int.from_bytes(hashlib.md5(f"{e}|{c}".encode()).digest()[:4], "big")
+        return pa.table(
+            {"n": pa.array([t.num_rows], pa.int64()), "s": pa.array([s], pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "event_type": ["purchase"],
+            "n_rows": pd.Series([int(parts["n"].sum())], dtype="int64"),
+            "checksum": pd.Series([int(parts["s"].sum())], dtype="int64"),
+        }
+    )
+
+
+def partitioned_write_pruned_read_sql() -> str:
+    return """
+        SELECT 'purchase' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' ||
+                    CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)), 1, 8))
+                             AS UBIGINT)) AS BIGINT) AS checksum
+        FROM events WHERE event_type = 'purchase'
+    """

@@ -8903,3 +8903,595 @@ def weighted_median_k_sql() -> str:
         )
         GROUP BY pct ORDER BY pct
     """
+
+
+def tpch_q8_market_share(
+    sf_dir: str, num_partitions: int = 8, target_nation: str = "NATION_6"
+) -> pd.DataFrame:
+    """TPC-H Q8 shape (national market share): of all ECONOMY-part
+    revenue sold to AMERICA-region customers, what integer-ppm share
+    came from suppliers of one nation, per order year.
+
+    Distributed plan: the three small dimension sides (region->nation
+    keys, ECONOMY part keys, supplier->nation map) broadcast once via
+    ray.put; orders are semi-join-filtered to the region's customers
+    and reduced to (orderkey, year) BEFORE the single big x big
+    hash-partitioned join with the part-filtered lineitems; per-batch
+    partials collapse the join output to (year, total, target) sums and
+    the final exchange is a 7-row single-key groupby. Share is exact:
+    cents are integers and ppm = num*1_000_000 // den (both positive)."""
+    import numpy as np
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    amer = reg.filter(pc.equal(reg["r_name"], "AMERICA"))["r_regionkey"][0].as_py()
+    amer_nations = nat.filter(pc.equal(nat["n_regionkey"], amer))["n_nationkey"]
+    tgt_key = nat.filter(pc.equal(nat["n_name"], target_nation))["n_nationkey"][0].as_py()
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust_keys = cust.filter(pc.is_in(cust["c_nationkey"], amer_nations.combine_chunks()))[
+        "c_custkey"
+    ].combine_chunks()
+    cust_ref = ray.put(cust_keys)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    econ = part.filter(pc.equal(part["p_type"], "ECONOMY"))["p_partkey"].combine_chunks()
+    econ_ref = ray.put(econ)
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp_nat = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()))
+    supp_ref = ray.put(supp_nat)
+
+    def prep_orders(t: pa.Table, *, cust_ref) -> pa.Table:
+        keys = ray.get(cust_ref)
+        t = t.filter(pc.is_in(t["o_custkey"], value_set=keys))
+        yrs = t["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": t["o_orderkey"], "o_year": pa.array(yrs, pa.int64())})
+
+    def prep_lineitem(t: pa.Table, *, econ_ref, supp_ref) -> pa.Table:
+        econ = ray.get(econ_ref)
+        snat = ray.get(supp_ref)
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=econ))
+        disc = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0),
+        )
+        cents = pc.cast(pc.round(disc, round_mode="half_towards_infinity"), pa.int64())
+        is_tgt = np.array(
+            [snat[int(s)] == tgt_key for s in t["l_suppkey"].to_pylist()], dtype=bool
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "cents": cents,
+                "tgt_cents": pa.array(
+                    np.where(is_tgt, cents.to_numpy(), 0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        prep_lineitem, batch_format="pyarrow", fn_kwargs={"econ_ref": econ_ref, "supp_ref": supp_ref}
+    )
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow", fn_kwargs={"cust_ref": cust_ref})
+
+    joined = li.join(
+        od,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["o_year", "cents", "tgt_cents"]), "o_year").aggregate(
+            [("cents", "sum"), ("tgt_cents", "sum")]
+        )
+        return pa.table(
+            {
+                "o_year": g["o_year"],
+                "total": g["cents_sum"],
+                "target": g["tgt_cents_sum"],
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("total", alias_name="total_cents"), Sum("target", alias_name="nation_cents"))
+        .to_pandas()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "o_year": agg["o_year"].astype("int64"),
+            "nation_cents": agg["nation_cents"].astype("int64"),
+            "total_cents": agg["total_cents"].astype("int64"),
+        }
+    )
+    out["mkt_share_ppm"] = (out["nation_cents"] * 1_000_000 // out["total_cents"]).astype(
+        "int64"
+    )
+    return out
+
+
+def tpch_q8_market_share_sql(target_nation: str = "NATION_6") -> str:
+    return f"""
+        WITH rev AS (
+            SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                   CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                       AS cents,
+                   sn.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer cu ON cu.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = cu.c_nationkey
+            JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'AMERICA'
+            JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        )
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+               CAST(SUM(CASE WHEN supp_nation = '{target_nation}' THEN cents ELSE 0 END)
+                    AS BIGINT) AS nation_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN supp_nation = '{target_nation}' THEN cents ELSE 0 END)
+                    * 1000000 // SUM(cents) AS BIGINT) AS mkt_share_ppm
+        FROM rev GROUP BY 1 ORDER BY 1
+    """
+
+
+def tpch_q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape (top supplier view): per-supplier discounted
+    revenue over one ship-date quarter, returning every supplier tied
+    at the maximum — the classic view + scalar-subquery pattern.
+
+    Distributed plan: date filter + revenue quantization + per-batch
+    (suppkey, cents) partials collapse the scan before the only
+    exchange, a single-key groupby over at most |supplier| rows; the
+    max-and-ties finish and the name attach (tiny dimension read)
+    happen on the driver over the collapsed aggregate."""
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-04-01"), type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi))
+        t = t.filter(m)
+        disc = pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0),
+        )
+        cents = pc.cast(pc.round(disc, round_mode="half_towards_infinity"), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"l_suppkey": t["l_suppkey"], "cents": cents}), "l_suppkey"
+        ).aggregate([("cents", "sum")])
+        return pa.table({"l_suppkey": g["l_suppkey"], "cents": g["cents_sum"]})
+
+    rev = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("cents", alias_name="total_revenue_cents"))
+        .to_pandas()
+    )
+    best = int(rev["total_revenue_cents"].max())
+    top = rev[rev["total_revenue_cents"] == best].copy()
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = top.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "total_revenue_cents"]].sort_values("s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["total_revenue_cents"] = out["total_revenue_cents"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def tpch_q15_top_supplier_sql() -> str:
+    return """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS total_revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM rev)
+        ORDER BY s.s_suppkey
+    """
+
+
+def tpch_q17_small_quantity_revenue(
+    sf_dir: str, brand: str = "Brand#3", max_size: int = 10
+) -> pd.DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): total revenue
+    lost if orders below 20% of a part's average quantity were not
+    taken, restricted to one brand / size band.
+
+    Distributed plan: two streaming passes over a pruned lineitem read.
+    Pass 1 folds per-part (sum_qty, n) partials for JUST the qualifying
+    parts (the brand/size keys broadcast once) through a single-key
+    groupby whose output is dimension-bounded; the tiny result comes
+    back as a broadcast dict. Pass 2 filters rows with the EXACT
+    integer form of the correlated predicate (5*qty*n < sum_qty —
+    quantities are whole, so both sides are exact in f64/BIGINT; no
+    float-average tie ambiguity) and folds scalar (count, cents)
+    partials. avg_yearly is kept integral as total_cents // 7."""
+    import numpy as np
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    keep = part.filter(
+        pc.and_(pc.equal(part["p_brand"], brand), pc.less(part["p_size"], max_size))
+    )["p_partkey"].combine_chunks()
+    keep_ref = ray.put(keep)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def qty_partial(t: pa.Table, *, keep_ref) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(keep_ref)))
+        g = pa.TableGroupBy(t.select(["l_partkey", "l_quantity"]), "l_partkey").aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "sq": g["l_quantity_sum"],
+                "nq": pc.cast(g["l_quantity_count"], pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(qty_partial, batch_format="pyarrow", fn_kwargs={"keep_ref": keep_ref})
+        .groupby("l_partkey")
+        .aggregate(Sum("sq", alias_name="sum_qty"), Sum("nq", alias_name="n_qty"))
+        .to_pandas()
+    )
+    stat_ref = ray.put(
+        {
+            int(k): (float(s), int(n))
+            for k, s, n in zip(stats["l_partkey"], stats["sum_qty"], stats["n_qty"])
+        }
+    )
+
+    def rev_partial(t: pa.Table, *, stat_ref) -> pa.Table:
+        st = ray.get(stat_ref)
+        pk = t["l_partkey"].to_pylist()
+        qty = t["l_quantity"].to_numpy()
+        price = t["l_extendedprice"]
+        m = np.zeros(len(pk), dtype=bool)
+        for i, k in enumerate(pk):
+            sn = st.get(int(k))
+            if sn is not None and 5.0 * qty[i] * sn[1] < sn[0]:
+                m[i] = True
+        cents = pc.cast(
+            pc.round(pc.multiply(price, 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([int(m.sum())], pa.int64()),
+                "cents": pa.array([int(cents[m].sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        rev_partial, batch_format="pyarrow", fn_kwargs={"stat_ref": stat_ref}
+    ).to_pandas()
+    total = int(parts["cents"].sum())
+    return pd.DataFrame(
+        {
+            "n_items": pd.Series([int(parts["n"].sum())], dtype="int64"),
+            "total_cents": pd.Series([total], dtype="int64"),
+            "avg_yearly_cents": pd.Series([total // 7], dtype="int64"),
+        }
+    )
+
+
+def tpch_q17_small_quantity_revenue_sql(brand: str = "Brand#3", max_size: int = 10) -> str:
+    return f"""
+        WITH hits AS (
+            SELECT l.l_extendedprice
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_brand = '{brand}' AND p.p_size < {max_size}
+            JOIN (SELECT l_partkey, SUM(l_quantity) AS sq, COUNT(*) AS nq
+                  FROM lineitem GROUP BY 1) a ON a.l_partkey = l.l_partkey
+            WHERE 5 * l.l_quantity * a.nq < a.sq
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) // 7 AS BIGINT)
+                   AS avg_yearly_cents
+        FROM hits
+    """
+
+
+def tpch_q21_waiting_suppliers(
+    sf_dir: str, late_days: int = 60, k: int = 20, num_partitions: int = 8
+) -> pd.DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished multi-supplier orders, count per supplier the orders where
+    ONLY that supplier shipped late (> o_orderdate + late_days); top-k
+    by count. The fixture lineitem has no receipt/commit dates
+    (TESTDATA.md), so lateness is ship-vs-order-date — same EXISTS /
+    NOT-EXISTS join topology as the official query.
+
+    Distributed plan: finished orders reduce to (orderkey, orderdate)
+    and hash-join the lineitem scan on the single orderkey key (both
+    sides raw scans — no aggregate feeds the join, see
+    stages/shard.py's Ray 2.49 note); per-batch partials collapse to
+    (orderkey, suppkey, late) rows; a 64-way coarse shard on orderkey
+    finishes the per-order verdict and emits per-supplier counts, so
+    the driver merges at most 64 x |supplier| rows."""
+    import numpy as np
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return t.select(["o_orderkey", "o_orderdate"])
+
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+
+    joined = li.join(
+        od,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    lag_us = np.int64(late_days) * 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        odate = t["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "okey": t["l_orderkey"].to_numpy(),
+                "skey": t["l_suppkey"].to_numpy(),
+                "late": (ship > odate + lag_us).astype(np.int64),
+            }
+        )
+        g = df.groupby(["okey", "skey"], sort=False)["late"].max().reset_index()
+        g["_shard"] = (g["okey"] % 64).astype("int32")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
+        ls = g.groupby(["okey", "skey"], sort=False)["late"].max().reset_index()
+        po = ls.groupby("okey", sort=False).agg(
+            n_supp=("skey", "size"), n_late=("late", "sum")
+        )
+        # per (okey, skey) rows are unique, so size == distinct suppliers
+        ok = po[(po["n_supp"] >= 2) & (po["n_late"] == 1)].index
+        winners = ls[ls["okey"].isin(ok) & (ls["late"] == 1)]
+        out = winners.groupby("skey", sort=False).size().reset_index(name="numwait")
+        return out
+
+    cand = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    tot = cand.groupby("skey", sort=False)["numwait"].sum().reset_index()
+    tot = tot.sort_values(["numwait", "skey"], ascending=[False, True], kind="mergesort").head(k)
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = tot.merge(names, left_on="skey", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "numwait"]]
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["numwait"] = out["numwait"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def tpch_q21_waiting_suppliers_sql(late_days: int = 60, k: int = 20) -> str:
+    return f"""
+        WITH ls AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   MAX(CASE WHEN l.l_shipdate >
+                                 o.o_orderdate + INTERVAL {late_days} DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+                         AND o.o_orderstatus = 'F'
+            GROUP BY 1, 2
+        ), per_order AS (
+            SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+                   MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+            FROM ls GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM per_order p JOIN supplier s ON s.s_suppkey = p.late_supp
+        WHERE p.n_supp >= 2 AND p.n_late = 1
+        GROUP BY 1, 2 ORDER BY numwait DESC, s.s_suppkey LIMIT {k}
+    """
+
+
+def tpch_q22_idle_balance(sf_dir: str, min_price: float = 400000.0) -> pd.DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers whose
+    account balance beats the positive-balance average but who never
+    placed an order above `min_price` (the fixtures are FK-complete, so
+    the plain no-orders clause would be vacuous — TESTDATA.md), counted
+    and summed per nation. The above-average predicate is exact
+    integers: acctbal_cents * n > sum_cents, no float-average ties.
+
+    Distributed plan: pass 1 folds the positive-balance (sum, count)
+    scalars; the qualifying custkey set reduces distributed (filtered
+    pruned read + unique) and broadcasts once; pass 2 applies the
+    anti-join mask + balance predicate per batch and pre-aggregates
+    (nationkey -> count, cents) before the 25-row single-key groupby."""
+    cust_cols = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"]).to_numpy()
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    m = cust_cols.map_batches(pos_partial, batch_format="pyarrow").to_pandas().sum()
+    s_pos, n_pos = int(m["s"]), int(m["n"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    big = orders.filter(expr=f"o_totalprice > {min_price}")
+    have = pa.array(sorted(big.unique("o_custkey")), pa.int64())
+    have_ref = ray.put(have)
+
+    def idle_partial(t: pa.Table, *, have_ref) -> pa.Table:
+        mask = pc.invert(pc.is_in(t["c_custkey"], value_set=ray.get(have_ref)))
+        t = t.filter(mask)
+        cents = _cents(t["c_acctbal"])
+        t = pa.table({"c_nationkey": t["c_nationkey"], "cents": cents})
+        t = t.filter(pc.greater(pc.multiply(t["cents"], pa.scalar(n_pos, pa.int64())), s_pos))
+        g = pa.TableGroupBy(t, "c_nationkey").aggregate([("cents", "sum"), ("cents", "count")])
+        return pa.table(
+            {
+                "c_nationkey": g["c_nationkey"],
+                "cents": g["cents_sum"],
+                "n": pc.cast(g["cents_count"], pa.int64()),
+            }
+        )
+
+    agg = (
+        cust_cols.map_batches(idle_partial, batch_format="pyarrow", fn_kwargs={"have_ref": have_ref})
+        .groupby("c_nationkey")
+        .aggregate(Sum("n", alias_name="n_custs"), Sum("cents", alias_name="total_acctbal_cents"))
+        .to_pandas()
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    for c in ("c_nationkey", "n_custs", "total_acctbal_cents"):
+        agg[c] = agg[c].astype("int64")
+    return agg[["c_nationkey", "n_custs", "total_acctbal_cents"]]
+
+
+def tpch_q22_idle_balance_sql(min_price: float = 400000.0) -> str:
+    return f"""
+        WITH pos AS (
+            SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+                   COUNT(*) AS n
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+               CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS total_acctbal_cents
+        FROM customer c, pos
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > {min_price})
+          AND CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def loo_target_encode_audit(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe target encoding audit: per event_type, how many
+    rows sit ABOVE their own leave-one-out mean value — the sanity
+    check an ML feature pipeline publishes before shipping a target
+    encoding (a row above its LOO mean contributes positive signal the
+    encoder must not leak back). The predicate is exact integers:
+    cents*(n-1) > sum_cents - cents, never a float average.
+
+    Distributed plan: pass 1 folds per-type (sum_cents, n) partials
+    through a 5-row groupby and broadcasts the dict; pass 2 is an
+    embarrassingly parallel per-batch count against the broadcast."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def agg_partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table({"event_type": t["event_type"], "cents": _cents(t["value"])}),
+            "event_type",
+        ).aggregate([("cents", "sum"), ("cents", "count")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "s": g["cents_sum"],
+                "n": pc.cast(g["cents_count"], pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(agg_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="sum_cents"), Sum("n", alias_name="n_rows"))
+        .to_pandas()
+    )
+    st_ref = ray.put(
+        {
+            t: (int(s), int(n))
+            for t, s, n in zip(stats["event_type"], stats["sum_cents"], stats["n_rows"])
+        }
+    )
+
+    def count_partial(t: pa.Table, *, st_ref) -> pa.Table:
+        st = ray.get(st_ref)
+        types = np.asarray(t["event_type"].to_pylist())
+        cents = _cents(t["value"]).to_numpy()
+        rows = []
+        for ty in np.unique(types):
+            s, n = st[ty]
+            c = cents[types == ty]
+            above = int((c * (n - 1) > s - c).sum())
+            rows.append((str(ty), above))
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "above": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(count_partial, batch_format="pyarrow", fn_kwargs={"st_ref": st_ref})
+        .groupby("event_type")
+        .aggregate(Sum("above", alias_name="n_above_loo_mean"))
+        .to_pandas()
+    )
+    out = stats.merge(cnt, on="event_type")
+    out = out[["event_type", "n_rows", "n_above_loo_mean"]].sort_values("event_type")
+    for c in ("n_rows", "n_above_loo_mean"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def loo_target_encode_audit_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), a AS (
+            SELECT event_type, CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+            FROM e GROUP BY 1
+        )
+        SELECT e.event_type, CAST(a.n AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN e.cents * (a.n - 1) > a.s - e.cents
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above_loo_mean
+        FROM e JOIN a USING (event_type)
+        GROUP BY 1, 2 ORDER BY 1
+    """

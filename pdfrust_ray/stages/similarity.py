@@ -795,3 +795,24 @@ def ann_rrf_fusion_sql(query_ids=(0, 1, 2, 3, 4), k: int = 5) -> str:
         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, rrf_micro
         FROM fused WHERE rank <= {k} ORDER BY query_id, rank
     """
+
+
+def ann_recall_report(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pd.DataFrame:
+    """Self-evaluation of the approximate index: per query, how many of
+    the EXACT top-k the IVF probe recovered (recall@k) plus the probe
+    parameters — the acceptance report an ANN deployment publishes
+    before switching traffic. Deterministic (both rankings are), but
+    greedy/approximate retrieval has no SQL twin — rows-only contract,
+    pinned by the recall bound pytest and the exact-vs-full-probe
+    identity."""
+    exact = brute_force_topk(sf_dir, query_ids=query_ids, k=k)
+    approx = ivf_topk(sf_dir, query_ids=query_ids, k=k)
+    rows = []
+    for q in query_ids:
+        e = set(exact.loc[exact["query_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["query_id"] == q, "vec_id"])
+        rows.append((q, k, len(e & a), len(e & a) * 1_000_000 // k))
+    out = pd.DataFrame(rows, columns=["query_id", "k", "n_hit", "recall_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
