@@ -819,6 +819,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22_idle_balance": rel.tpch_q22_idle_balance,
         # leave-one-out target-encoding leakage audit
         "loo_target_encode_audit": rel.loo_target_encode_audit,
+        # market-basket: top co-purchased part pairs (packed-pair counts)
+        "part_copurchase_pairs": rel.part_copurchase_pairs,
+        # repeat-purchase cadence histogram (per-customer gap bands)
+        "orders_repeat_interval_histogram": rel.orders_repeat_interval_histogram,
+        # exact integer sufficient stats for daily-count autocorrelation
+        "daily_count_autocorr_stats": rel.daily_count_autocorr_stats,
+        # skew-safe salted repartition join (composite key exchange)
+        "salted_repartition_join": rel.salted_repartition_join,
+        # GDPR right-to-erasure cascade with post-delete accounting
+        "erasure_sweep": dso.erasure_sweep,
+        # CDC changelog apply (last-op-wins upsert/delete materialize)
+        "cdc_apply": rel.cdc_apply,
+        # robust median/MAD outlier gate (two distributed selections)
+        "orders_mad_outliers": rel.orders_mad_outliers,
+        # churn-risk weekly recency bands
+        "user_inactivity_churn": rel.user_inactivity_churn,
+        # exact-integer CUSUM changepoint curve on daily revenue
+        "daily_revenue_cusum": rel.daily_revenue_cusum,
+        # chi-square token-label association (feature selection)
+        "token_lang_chi2": textops.token_lang_chi2,
     }
 
 
@@ -1208,6 +1228,16 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q21_waiting_suppliers": rel.tpch_q21_waiting_suppliers_sql(),
         "tpch_q22_idle_balance": rel.tpch_q22_idle_balance_sql(),
         "loo_target_encode_audit": rel.loo_target_encode_audit_sql(),
+        "part_copurchase_pairs": rel.part_copurchase_pairs_sql(),
+        "orders_repeat_interval_histogram": rel.orders_repeat_interval_histogram_sql(),
+        "daily_count_autocorr_stats": rel.daily_count_autocorr_stats_sql(),
+        "salted_repartition_join": rel.salted_repartition_join_sql(),
+        "erasure_sweep": dso.erasure_sweep_sql(),
+        "cdc_apply": rel.cdc_apply_sql(),
+        "orders_mad_outliers": rel.orders_mad_outliers_sql(),
+        "user_inactivity_churn": rel.user_inactivity_churn_sql(),
+        "daily_revenue_cusum": rel.daily_revenue_cusum_sql(),
+        "token_lang_chi2": textops.token_lang_chi2_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -37,7 +37,9 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -1974,4 +1976,95 @@ def partitioned_write_pruned_read_sql() -> str:
                     CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)), 1, 8))
                              AS UBIGINT)) AS BIGINT) AS checksum
         FROM events WHERE event_type = 'purchase'
+    """
+
+
+# ---------------------------------------------------------------------------
+# right-to-erasure sweep
+# ---------------------------------------------------------------------------
+
+
+def erasure_sweep(sf_dir: str, min_errors: int = 20) -> pd.DataFrame:
+    """GDPR right-to-erasure cascade: derive the subject set (every
+    user with at least `min_errors` 'error' events — a deterministic
+    stand-in for a deletion-request list; the plain any-error variant
+    would delete EVERY fixture user, TESTDATA.md), delete ALL of those
+    users' rows from the events stream, and publish the per-type
+    post-delete accounting (row count + order-independent md5
+    checksum) a compliance audit signs off on.
+
+    Distributed plan: the subject set reduces distributed (filtered
+    pruned read -> per-batch partial counts -> single-key groupby ->
+    threshold filter) and broadcasts once via ray.put — deletion-request
+    lists are small by nature; the sweep is an embarrassingly parallel
+    anti-filter with per-batch (type, n, checksum-sum) partials folding
+    through a tiny single-key groupby. Nothing rewrites in place — at
+    scale the filtered stream writes a new partitioned snapshot and the
+    catalog pointer swaps."""
+    import numpy as np
+
+    from pdfrust_ray.functions.md5vec import md5_prefix_u32
+    from ray.data.aggregate import Sum
+
+    def err_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        g = pa.TableGroupBy(t.select(["user_id"]), "user_id").aggregate([([], "count_all")])
+        return pa.table(
+            {"user_id": g["user_id"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+        .map_batches(err_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n_err"))
+        .filter(expr=f"n_err >= {min_errors}")
+        .to_pandas()
+    )
+    subjects = pa.array(sorted(int(u) for u in counts["user_id"]), pa.int64())
+    subj_ref = ray.put(subjects)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+
+    def partial(t: pa.Table, *, subj_ref) -> pa.Table:
+        mask = pc.invert(pc.is_in(t["user_id"], value_set=ray.get(subj_ref)))
+        t = t.filter(mask)
+        keys = [
+            f"{e}|{u}".encode()
+            for e, u in zip(t["event_id"].to_pylist(), t["user_id"].to_pylist())
+        ]
+        h = md5_prefix_u32(keys).astype(np.int64) if keys else np.array([], np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "h": h})
+        g = df.groupby("event_type", as_index=False).agg(n=("h", "size"), s=("h", "sum"))
+        g["n"] = g["n"].astype("int64")
+        g["s"] = g["s"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", fn_kwargs={"subj_ref": subj_ref})
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_rows"), Sum("s", alias_name="checksum"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["checksum"] = out["checksum"].astype("int64")
+    return out[["event_type", "n_rows", "checksum"]]
+
+
+def erasure_sweep_sql(min_errors: int = 20) -> str:
+    return f"""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(
+                        CAST(event_id AS VARCHAR) || '|' ||
+                        CAST(user_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT)) AS BIGINT) AS checksum
+        FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM events
+                              WHERE event_type = 'error'
+                              GROUP BY 1 HAVING COUNT(*) >= {min_errors})
+        GROUP BY 1 ORDER BY 1
     """

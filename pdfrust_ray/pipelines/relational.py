@@ -9495,3 +9495,652 @@ def loo_target_encode_audit_sql() -> str:
         FROM e JOIN a USING (event_type)
         GROUP BY 1, 2 ORDER BY 1
     """
+
+
+def part_copurchase_pairs(sf_dir: str, k: int = 20, num_partitions: int = 8) -> pd.DataFrame:
+    """Market-basket mining: the top-k part pairs that co-occur in the
+    most orders (the input to association-rule lift). Pair emission is
+    quadratic per order but orders are small; the pair space is what
+    explodes, so pairs are PACKED into one int64 key (a*2^32+b) and
+    every exchange moves packed counts, never raw lineitems.
+
+    Distributed plan: per-batch local (orderkey, partkey) dedup; a
+    64-way coarse shard on orderkey finishes the per-order distinct and
+    emits pair partial counts; a single-key groupby on the packed pair
+    totals them (packed key sidesteps the Ray 2.49 multi-key-agg join
+    quirk, stages/shard.py); per-block top-k candidates merge on the
+    driver (blocks x k rows, never the full pair table)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"okey": t["l_orderkey"].to_numpy(), "pkey": t["l_partkey"].to_numpy()}
+        ).drop_duplicates()
+        df["_shard"] = (df["okey"] % 64).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["okey", "pkey"]).sort_values(["okey", "pkey"])
+        okey = g["okey"].to_numpy()
+        pkey = g["pkey"].to_numpy().astype(np.int64)
+        if len(pkey) and int(pkey.max()) >= (1 << 31):
+            raise ValueError("partkey exceeds the 31-bit packing bound")
+        packed = []
+        start = 0
+        for i in range(1, len(okey) + 1):
+            if i == len(okey) or okey[i] != okey[start]:
+                ps = pkey[start:i]
+                if len(ps) > 1:
+                    a, b = np.triu_indices(len(ps), k=1)
+                    packed.append(ps[a] * (1 << 32) + ps[b])
+                start = i
+        if not packed:
+            return pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        allp = np.concatenate(packed)
+        u, c = np.unique(allp, return_counts=True)
+        return pd.DataFrame({"pair": u.astype("int64"), "n": c.astype("int64")})
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["n_orders", "pair"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = (
+        ds.map_batches(local_dedup, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cand = cand.sort_values(["n_orders", "pair"], ascending=[False, True]).head(k)
+    out = pd.DataFrame(
+        {
+            "p_a": (cand["pair"] // (1 << 32)).astype("int64"),
+            "p_b": (cand["pair"] % (1 << 32)).astype("int64"),
+            "n_orders": cand["n_orders"].astype("int64"),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def part_copurchase_pairs_sql(k: int = 20) -> str:
+    return f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, (a.l_partkey * 4294967296 + b.l_partkey)
+        LIMIT {k}
+    """
+
+
+def orders_repeat_interval_histogram(sf_dir: str, band_days: int = 30) -> pd.DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between a
+    customer's consecutive orders, banded per `band_days` — the curve a
+    retention model is fit to. Gap multiset depends only on the sorted
+    order dates per customer, so same-day ties need no tiebreaker.
+
+    Distributed plan: pruned (custkey, date) read; a 64-way coarse
+    shard on custkey sorts each customer locally and emits banded gap
+    partial counts; the final exchange is a tiny single-key groupby
+    over band ids."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+
+    def shardify(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ckey": t["o_custkey"],
+                "day": pa.array(
+                    t["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64),
+                    pa.int64(),
+                ),
+                "_shard": pc.cast(pc.bit_wise_and(t["o_custkey"], 63), pa.int32()),
+            }
+        )
+
+    def shard_gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ckey", "day"], kind="mergesort")
+        ck = g["ckey"].to_numpy()
+        dy = g["day"].to_numpy()
+        same = ck[1:] == ck[:-1]
+        gaps = (dy[1:] - dy[:-1])[same]
+        bands = gaps // band_days
+        u, c = np.unique(bands, return_counts=True)
+        return pd.DataFrame({"band": u.astype("int64"), "n": c.astype("int64")})
+
+    out = (
+        ds.map_batches(shardify, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_gaps, batch_format="pandas")
+        .groupby("band")
+        .aggregate(Sum("n", alias_name="n_gaps"))
+        .to_pandas()
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+    out["band"] = out["band"].astype("int64")
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    return out
+
+
+def orders_repeat_interval_histogram_sql(band_days: int = 30) -> str:
+    return f"""
+        WITH g AS (
+            SELECT date_diff('day',
+                       LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate),
+                       o_orderdate) AS gap
+            FROM orders
+        )
+        SELECT CAST(gap // {band_days} AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def daily_count_autocorr_stats(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
+    """Seasonality detector inputs: for each lag 1..max_lag, the EXACT
+    integer sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) of the
+    (count[d], count[d+lag]) pair series over observed days — the
+    Pearson autocorrelation is derivable downstream without shipping a
+    single float across the contract.
+
+    Distributed plan: the only heavy step is the daily-count reduce
+    (per-batch partials -> one small single-key groupby); the lag
+    products fold on the driver over the |days|-row series."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        u, c = np.unique(days, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cnt = dict(zip(daily["day"].astype(int), daily["n"].astype(int)))
+    rows = []
+    for lag in range(1, max_lag + 1):
+        xs = np.array(
+            [[cnt[d], cnt[d + lag]] for d in sorted(cnt) if d + lag in cnt], dtype=np.int64
+        )
+        if len(xs) == 0:
+            rows.append((lag, 0, 0, 0, 0, 0, 0))
+            continue
+        x, y = xs[:, 0], xs[:, 1]
+        rows.append(
+            (lag, len(xs), int(x.sum()), int(y.sum()),
+             int((x * x).sum()), int((y * y).sum()), int((x * y).sum()))
+        )
+    out = pd.DataFrame(
+        rows, columns=["lag", "n_pairs", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def daily_count_autocorr_stats_sql(max_lag: int = 7) -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(g.lag AS BIGINT) AS lag,
+               CAST(COUNT(b.n) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(a.n), 0) AS BIGINT) AS sum_x,
+               CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS sum_y,
+               CAST(COALESCE(SUM(a.n * a.n), 0) AS BIGINT) AS sum_xx,
+               CAST(COALESCE(SUM(b.n * b.n), 0) AS BIGINT) AS sum_yy,
+               CAST(COALESCE(SUM(a.n * b.n), 0) AS BIGINT) AS sum_xy
+        FROM generate_series(1, {max_lag}) g(lag)
+        CROSS JOIN daily a
+        JOIN daily b ON b.d = a.d + CAST(g.lag AS INTEGER)
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def salted_repartition_join(sf_dir: str, n_salts: int = 8, num_partitions: int = 8) -> pd.DataFrame:
+    """Skew-safe big x big equi-join: events join customers on a HOT
+    key domain (a handful of user_ids own most rows), so a plain
+    hash-partitioned join would put every hot key in one reducer. The
+    big side salts each row (event_id % n_salts) and the other side
+    replicates once per salt, so the exchange spreads each hot key over
+    n_salts partitions — the standard skew-mitigation rewrite the brief
+    mandates, demonstrated end-to-end through Dataset.join on the
+    composite (key, salt). (Both join inputs are raw scans — the Ray
+    2.49 multi-key-AGGREGATE join quirk does not apply.)
+
+    At fixture scale the customer side would fit a broadcast (see
+    segment_revenue for that shape); this op keeps BOTH sides as
+    Datasets on purpose — the rewrite is for when neither fits."""
+
+    def salt_events(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "salt": pc.cast(
+                    pc.bit_wise_and(t["event_id"], n_salts - 1), pa.int32()
+                ),
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    def replicate_customers(t: pa.Table) -> pa.Table:
+        reps = []
+        for s in range(n_salts):
+            reps.append(
+                pa.table(
+                    {
+                        "c_custkey": t["c_custkey"],
+                        "c_salt": pa.array([s] * t.num_rows, pa.int32()),
+                        "c_mktsegment": t["c_mktsegment"],
+                    }
+                )
+            )
+        return pa.concat_tables(reps)
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).map_batches(salt_events, batch_format="pyarrow")
+    cu = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(replicate_customers, batch_format="pyarrow")
+
+    joined = ev.join(
+        cu,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("user_id", "salt"),
+        right_on=("c_custkey", "c_salt"),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t.select(["c_mktsegment", "cents"]), "c_mktsegment").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "cents": g["cents_sum"],
+                "n": pc.cast(g["cents_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n", alias_name="n_events"), Sum("cents", alias_name="total_value_cents"))
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["total_value_cents"] = out["total_value_cents"].astype("int64")
+    return out[["c_mktsegment", "n_events", "total_value_cents"]]
+
+
+def salted_repartition_join_sql() -> str:
+    return """
+        SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_value_cents
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# batch 32: CDC apply, robust outliers, churn bands, CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+def cdc_apply(sf_dir: str) -> pd.DataFrame:
+    """Change-data-capture apply: treat the events stream as an ordered
+    changelog over a keyed entity (key = user_id, seq = (ts, event_id),
+    op = DELETE when event_type='error' else UPSERT carrying the row),
+    materialize the final table state, and publish the per-type survivor
+    accounting — the core of every log-to-table (Debezium/Hudi-style)
+    ingestion job.
+
+    Distributed plan: last-op-wins is an associative per-key reduce, so
+    each batch collapses to one candidate row per key BEFORE any
+    exchange (per-batch sort + keep-last); a 64-way coarse shard on
+    user_id finishes the per-key argmax (coarse grouping amortizes Ray's
+    per-group dispatch, stages/shard.py); deletes drop after the final
+    state is known; the survivor accounting folds through a tiny
+    single-key groupby. No full-table sort, no driver state."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts", "value"]
+    )
+
+    def local_last(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(),
+                "ts_us": t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "event_id": t["event_id"].to_numpy(),
+                "event_type": t["event_type"].to_pylist(),
+                "cents": _cents(t["value"]).to_numpy(),
+            }
+        )
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        df = df.drop_duplicates("user_id", keep="last")
+        df["_shard"] = (df["user_id"] % 64).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def shard_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        g = g.drop_duplicates("user_id", keep="last")
+        g = g[g["event_type"] != "error"]  # final op DELETE -> key gone
+        out = g.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size"), total_cents=("cents", "sum")
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        out["total_cents"] = out["total_cents"].astype("int64")
+        return out
+
+    out = (
+        ds.map_batches(local_last, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_last, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"), Sum("total_cents", alias_name="total_cents"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out[["event_type", "n_users", "total_cents"]]
+
+
+def cdc_apply_sql() -> str:
+    return """
+        WITH last AS (
+            SELECT user_id, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM last WHERE rn = 1 AND event_type <> 'error'
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def _exact_quantile_disc(base, q: float, n_buckets: int = 1024) -> int:
+    """Exact discrete quantile (DuckDB quantile_disc semantics: 1-based
+    rank ceil(q*n)) of int64 column `c` of `base`, via the same
+    histogram-refinement distributed selection as global_exact_median —
+    O(log_B(range)) embarrassingly parallel passes, O(B) driver state,
+    never collects values."""
+    import numpy as np
+
+    stats = base.aggregate(Min("c"), Max("c"), Count())
+    lo, hi, n = int(stats["min(c)"]), int(stats["max(c)"]), int(stats["count()"])
+    rank = max(1, int(np.ceil(q * n)))
+
+    while hi - lo + 1 > n_buckets:
+        width = (hi - lo + n_buckets) // n_buckets
+
+        def hist(t: pa.Table, lo=lo, hi=hi, width=width) -> pd.DataFrame:
+            c = t["c"].to_numpy()
+            c = c[(c >= lo) & (c <= hi)]
+            idx = (c - lo) // width
+            counts = np.bincount(idx, minlength=n_buckets).astype(np.int64)
+            return pd.DataFrame(
+                {"bucket": np.arange(n_buckets, dtype=np.int64), "cnt": counts}
+            )
+
+        hdf = (
+            base.map_batches(hist, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+            .sort_values("bucket")
+        )
+        counts = np.zeros(n_buckets, dtype=np.int64)
+        counts[hdf["bucket"].to_numpy()] = hdf["cnt"].to_numpy()
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, rank))
+        rank -= int(cum[b - 1]) if b > 0 else 0
+        lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+
+    def exact(t: pa.Table, lo=lo, hi=hi) -> pd.DataFrame:
+        c = t["c"].to_numpy()
+        c = c[(c >= lo) & (c <= hi)]
+        counts = np.bincount(c - lo, minlength=hi - lo + 1).astype(np.int64)
+        return pd.DataFrame({"v": np.arange(lo, hi + 1, dtype=np.int64), "cnt": counts})
+
+    vdf = (
+        base.map_batches(exact, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    cum = np.cumsum(vdf["cnt"].to_numpy())
+    return int(vdf["v"].to_numpy()[int(np.searchsorted(cum, rank))])
+
+
+def orders_mad_outliers(sf_dir: str, k_mad: int = 3) -> pd.DataFrame:
+    """Robust (median/MAD) outlier gate on order totals: flag orders
+    with |price - median| > k * MAD, accounted per priority class —
+    the standard robust alternative to z-scores when the tail is fat
+    (a mean/stddev gate is itself dragged by the outliers it hunts).
+
+    Distributed plan: median and MAD are each an exact distributed
+    selection (_exact_quantile_disc: histogram-refinement passes, O(B)
+    driver state); the deviation column derives per batch from the
+    broadcast scalar median; the final flag+count is an embarrassingly
+    parallel partial fold through a 5-row groupby. All integer math —
+    bit-stable at any parallelism."""
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": t["o_orderpriority"], "c": _cents(t["o_totalprice"])}
+        )
+
+    base = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).map_batches(cents, batch_format="pyarrow")
+
+    med = _exact_quantile_disc(base, 0.5)
+
+    def dev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "c": pc.abs(pc.subtract(t["c"], pa.scalar(med, pa.int64()))),
+            }
+        )
+
+    devs = base.map_batches(dev, batch_format="pyarrow")
+    mad = _exact_quantile_disc(devs, 0.5)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_pylist(),
+                "out": pc.greater(t["c"], pa.scalar(k_mad * mad, pa.int64())).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("out", "size"), n_out=("out", "sum")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["n_out"] = g["n_out"].astype("int64")
+        return g
+
+    out = (
+        devs.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("n_out", alias_name="n_outliers"))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    return out[["o_orderpriority", "n_orders", "n_outliers"]]
+
+
+def orders_mad_outliers_sql(k_mad: int = 3) -> str:
+    return f"""
+        WITH c AS (
+            SELECT o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        m AS (SELECT quantile_disc(cents, 0.5) AS med FROM c),
+        d AS (SELECT c.o_orderpriority, ABS(c.cents - m.med) AS dev FROM c, m),
+        md AS (SELECT quantile_disc(dev, 0.5) AS mad FROM d)
+        SELECT d.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN d.dev > {k_mad} * md.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM d, md GROUP BY 1 ORDER BY 1
+    """
+
+
+def user_inactivity_churn(sf_dir: str, band_days: int = 1) -> pd.DataFrame:
+    """Churn-risk cohorts: every user banded by how many `band_days`
+    buckets of calendar days separate their LAST event from the corpus
+    watermark (band 0 = recently active) — the table a re-engagement
+    campaign is sized from.
+
+    Distributed plan: the watermark is a scalar aggregate; per-user
+    recency is a per-batch partial max folded through one groupby(Max)
+    — one row per user, never the event stream — and the band histogram
+    is a second tiny fold. Calendar-day diff (not 24h periods) matches
+    SQL date_diff('day')."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(), "day": d})
+        g = df.groupby("user_id", as_index=False)["day"].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = ds.map_batches(days, batch_format="pyarrow").groupby("user_id").aggregate(
+        Max("day", alias_name="last_day")
+    )
+    mx = int(per_user.max("last_day"))
+
+    def band_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        b = (mx - t["last_day"].to_numpy()) // band_days
+        u, c = np.unique(b, return_counts=True)
+        return pa.table(
+            {"recency_band": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
+
+    out = (
+        per_user.map_batches(band_partial, batch_format="pyarrow")
+        .groupby("recency_band")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+        .sort_values("recency_band")
+        .reset_index(drop=True)
+    )
+    out["recency_band"] = out["recency_band"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def user_inactivity_churn_sql(band_days: int = 1) -> str:
+    return f"""
+        WITH last AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY 1),
+             m AS (SELECT MAX(ts) AS mx FROM events)
+        SELECT CAST(date_diff('day', CAST(last.last_ts AS DATE),
+                              CAST(m.mx AS DATE)) // {band_days} AS BIGINT)
+                   AS recency_band,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM last, m GROUP BY 1 ORDER BY 1
+    """
+
+
+def daily_revenue_cusum(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint statistic over the daily order-revenue series:
+    S_k = D * prefix_sum(x, k) - k * total — the mean-shift CUSUM curve
+    scaled by the day count D so every point is an EXACT integer (the
+    float division by D never happens); argmax |S_k| is the classic
+    single-changepoint estimate, derivable downstream.
+
+    Distributed plan: the only heavy step is the daily-revenue reduce
+    (per-batch partials -> one small single-key groupby); the prefix
+    fold runs on the driver over the |days|-row series (bounded by
+    calendar span, not data volume). Overflow bound: D * total must fit
+    int64 — at 100 TB publish the curve in units of whole dollars."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "day": t["o_orderdate"].to_numpy().astype("datetime64[D]"),
+                "cents": _cents(t["o_totalprice"]).to_numpy(),
+            }
+        )
+        g = df.groupby("day", as_index=False)["cents"].sum()
+        return g
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["cents"].to_numpy().astype(np.int64)
+    nd, tot = len(x), int(x.sum())
+    s = nd * np.cumsum(x) - (np.arange(1, nd + 1, dtype=np.int64)) * tot
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(daily["day"]).astype("datetime64[us]"),
+            "cents": x,
+            "s_scaled": s.astype("int64"),
+        }
+    )
+    return out
+
+
+def daily_revenue_cusum_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+                   CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        t AS (SELECT COUNT(*) AS nd, SUM(cents) AS tot FROM d)
+        SELECT d.day, d.cents,
+               CAST(t.nd * SUM(d.cents) OVER (ORDER BY d.day)
+                    - ROW_NUMBER() OVER (ORDER BY d.day) * t.tot AS BIGINT) AS s_scaled
+        FROM d, t ORDER BY d.day
+    """

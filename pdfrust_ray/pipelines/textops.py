@@ -1038,3 +1038,98 @@ def feature_hashing_sql(n_buckets: int = 64) -> str:
                md5(string_agg(bkt || ':' || n, '|' ORDER BY bkt)) AS sig
         FROM c GROUP BY doc_id ORDER BY doc_id
     """
+
+
+def token_lang_chi2(sf_dir: str) -> pd.DataFrame:
+    """Token-label association (chi-square feature selection): for every
+    observed (token, lang) pair, the 2x2 document-presence contingency
+    counts and the chi-square statistic — the classic filter for
+    label-leaking vocabulary before training a classifier.
+
+    chi2 is published as a single division of two EXACT int64 products
+    (N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))), so the float is bit-identical
+    to the SQL oracle regardless of summation order; documents is 500
+    rows at every scale so the int64 bound holds by construction (at
+    real scale, sample the contingency base or widen to int128 limbs).
+
+    Distributed plan: tokenization + per-doc distinct happen per batch
+    (a document never spans batches), partial (token, lang) presence
+    counts fold through one small groupby over the vocabulary x label
+    grid; the chi2 arithmetic runs on the driver over that tiny grid."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"doc_id": t["doc_id"].to_pylist(), "lang": t["lang"].to_pylist(),
+             "text": t["text"].to_pylist()}
+        )
+        ex = df.assign(token=df["text"].str.split(" ")).explode("token")
+        ex = ex[ex["token"].notna() & (ex["token"] != "")]
+        ex = ex.drop_duplicates(["doc_id", "token"])
+        g = ex.groupby(["token", "lang"], as_index=False).agg(a=("doc_id", "size"))
+        # per-batch lang doc totals ride along on a reserved token key
+        r = df.groupby("lang", as_index=False).agg(a=("doc_id", "size"))
+        r.insert(0, "token", "\x00__docs__")
+        out = pd.concat([g, r], ignore_index=True)
+        out["a"] = out["a"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["token", "lang"])
+        .aggregate(Sum("a", alias_name="a"))
+        .to_pandas()
+    )
+    docs = grid[grid["token"] == "\x00__docs__"]
+    r_by_lang = dict(zip(docs["lang"], docs["a"].astype(int)))
+    n = int(sum(r_by_lang.values()))
+    g = grid[grid["token"] != "\x00__docs__"].copy()
+    t_by_token = g.groupby("token")["a"].sum().to_dict()
+
+    a = g["a"].to_numpy().astype(np.int64)
+    r = g["lang"].map(r_by_lang).to_numpy().astype(np.int64)
+    t = g["token"].map(t_by_token).to_numpy().astype(np.int64)
+    b = r - a
+    c = t - a
+    d = n - r - c
+    num = n * (a * d - b * c) ** 2
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = np.divide(num.astype(np.float64), den.astype(np.float64),
+                     out=np.zeros(len(g), dtype=np.float64), where=den > 0)
+    out = pd.DataFrame(
+        {"token": g["token"], "lang": g["lang"], "n_docs": a, "chi2": chi2}
+    )
+    return out.sort_values(["token", "lang"]).reset_index(drop=True)
+
+
+def token_lang_chi2_sql() -> str:
+    return """
+        WITH ex AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        tok AS (SELECT DISTINCT doc_id, lang, token FROM ex WHERE token <> ''),
+        a AS (SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2),
+        r AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS r FROM documents GROUP BY 1),
+        t AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS t FROM tok GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        SELECT a.token, a.lang, a.a AS n_docs,
+               CASE WHEN (a.a + (r.r - a.a)) * ((t.t - a.a) + (n.n - r.r - t.t + a.a))
+                         * (a.a + (t.t - a.a)) * ((r.r - a.a) + (n.n - r.r - t.t + a.a)) = 0
+                    THEN 0.0
+                    ELSE CAST(n.n * (a.a * (n.n - r.r - t.t + a.a)
+                                     - (r.r - a.a) * (t.t - a.a))
+                              * (a.a * (n.n - r.r - t.t + a.a)
+                                 - (r.r - a.a) * (t.t - a.a)) AS DOUBLE)
+                         / CAST((a.a + (r.r - a.a))
+                                * ((t.t - a.a) + (n.n - r.r - t.t + a.a))
+                                * (a.a + (t.t - a.a))
+                                * ((r.r - a.a) + (n.n - r.r - t.t + a.a)) AS DOUBLE)
+               END AS chi2
+        FROM a JOIN r USING (lang) JOIN t USING (token) CROSS JOIN n
+        ORDER BY a.token, a.lang
+    """
