@@ -839,6 +839,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_cusum": rel.daily_revenue_cusum,
         # chi-square token-label association (feature selection)
         "token_lang_chi2": textops.token_lang_chi2,
+        # calendar densify + forward fill on the daily revenue grid
+        "daily_gap_fill": rel.daily_gap_fill,
+        # bitmap activity index via custom bitwise-OR AggregateFn
+        "user_active_day_bitmap": rel.user_active_day_bitmap,
+        # l-diversity privacy audit over (nation, balance-band) QI groups
+        "l_diversity_check": rel.l_diversity_check,
+        # exact-integer Pearson sufficient stats for the numeric pairs
+        "lineitem_corr_stats": rel.lineitem_corr_stats,
     }
 
 
@@ -1238,6 +1246,10 @@ def oracle_sql() -> dict[str, str]:
         "user_inactivity_churn": rel.user_inactivity_churn_sql(),
         "daily_revenue_cusum": rel.daily_revenue_cusum_sql(),
         "token_lang_chi2": textops.token_lang_chi2_sql(),
+        "daily_gap_fill": rel.daily_gap_fill_sql(),
+        "user_active_day_bitmap": rel.user_active_day_bitmap_sql(),
+        "l_diversity_check": rel.l_diversity_check_sql(),
+        "lineitem_corr_stats": rel.lineitem_corr_stats_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

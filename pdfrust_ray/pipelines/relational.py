@@ -10144,3 +10144,353 @@ def daily_revenue_cusum_sql() -> str:
                     - ROW_NUMBER() OVER (ORDER BY d.day) * t.tot AS BIGINT) AS s_scaled
         FROM d, t ORDER BY d.day
     """
+
+
+# ---------------------------------------------------------------------------
+# batch 33: calendar gap-fill, activity bitmaps, l-diversity, corr stats
+# ---------------------------------------------------------------------------
+
+
+def daily_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Calendar gap-fill (forward fill): the per-(priority, day) revenue
+    series densified onto the full calendar spine, missing days carrying
+    the last observed value (0 before the first observation) plus an
+    is_observed flag — the cleaning step before any fixed-step
+    time-series model trains on irregular business data.
+
+    Distributed plan: the only data-sized step is the daily-revenue
+    reduce (per-batch partials -> one small groupby); the spine
+    (categories x calendar days) is bounded by time, not data volume, so
+    the densify + ffill runs on the driver. At petabyte scale the spine
+    still has ~5 x 3650 rows."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_pylist(),
+                "day": t["o_orderdate"].to_numpy().astype("datetime64[D]"),
+                "cents": _cents(t["o_totalprice"]).to_numpy(),
+            }
+        )
+        return df.groupby(["o_orderpriority", "day"], as_index=False)["cents"].sum()
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "day"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    daily["day"] = pd.to_datetime(daily["day"])
+    lo, hi = daily["day"].min(), daily["day"].max()
+    spine_days = pd.date_range(lo, hi, freq="D")
+    frames = []
+    for prio in sorted(daily["o_orderpriority"].unique()):
+        obs = daily[daily["o_orderpriority"] == prio].set_index("day")["cents"]
+        s = obs.reindex(spine_days)
+        filled = s.ffill().fillna(0).astype("int64")
+        frames.append(
+            pd.DataFrame(
+                {
+                    "o_orderpriority": prio,
+                    "day": spine_days.astype("datetime64[us]"),
+                    "cents_filled": filled.to_numpy(),
+                    "is_observed": s.notna().to_numpy(),
+                }
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["o_orderpriority", "day"]).reset_index(drop=True)
+
+
+def daily_gap_fill_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT p.o_orderpriority, CAST(g.day AS DATE) AS day
+            FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+            CROSS JOIN (
+                SELECT UNNEST(generate_series(
+                    (SELECT MIN(day) FROM d), (SELECT MAX(day) FROM d),
+                    INTERVAL 1 DAY)) AS day
+            ) g
+        )
+        SELECT s.o_orderpriority, CAST(s.day AS TIMESTAMP) AS day,
+               COALESCE(LAST_VALUE(d.cents IGNORE NULLS) OVER (
+                   PARTITION BY s.o_orderpriority ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                   AS cents_filled,
+               d.cents IS NOT NULL AS is_observed
+        FROM spine s LEFT JOIN d
+          ON d.o_orderpriority = s.o_orderpriority AND d.day = s.day
+        ORDER BY s.o_orderpriority, s.day
+    """
+
+
+def user_active_day_bitmap(sf_dir: str) -> pd.DataFrame:
+    """Bitmap activity index: each user's active calendar days packed
+    into one int64 bitmask (bit i = active on min_day + i), reduced with
+    a CUSTOM bitwise-OR AggregateFn — the Ray-native equivalent of a
+    roaring-bitmap index build — then the popcount histogram plus a
+    mask checksum per activity level.
+
+    Distributed plan: per-batch partial OR collapses each (user, batch)
+    to one row before the exchange; the groupby reduces with the
+    custom OR (associative + commutative, so Ray can combine partials
+    in any order); the histogram is a second tiny fold. The 64-day
+    window is asserted — at real scale the mask becomes a fixed-width
+    chunk list keyed (user, epoch_week)."""
+    import numpy as np
+
+    from ray.data.aggregate import AggregateFn
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def day_col(t: pa.Table) -> pa.Table:
+        d = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table({"day": pa.array(d, pa.int64())})
+
+    min_day = int(
+        ds.map_batches(day_col, batch_format="pyarrow").aggregate(Min("day"))["min(day)"]
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64) - min_day
+        if len(d) and int(d.max()) >= 63:
+            raise ValueError("calendar span exceeds the 64-bit mask window")
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(), "m": np.int64(1) << d}
+        )
+        g = df.groupby("user_id", as_index=False)["m"].agg(lambda x: int(np.bitwise_or.reduce(x.to_numpy())))
+        g["m"] = g["m"].astype("int64")
+        return g
+
+    bit_or = AggregateFn(
+        init=lambda k: 0,
+        merge=lambda a, b: a | b,
+        accumulate_row=lambda a, row: a | row["m"],
+        name="mask",
+    )
+    masks = (
+        ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(bit_or)
+    )
+
+    def hist(t: pa.Table) -> pd.DataFrame:
+        m = t["mask"].to_numpy()
+        pop = np.array([int(x).bit_count() for x in m], dtype=np.int64)
+        df = pd.DataFrame({"n_active_days": pop, "mask": m})
+        g = df.groupby("n_active_days", as_index=False).agg(
+            n=("mask", "size"), s=("mask", "sum")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["s"] = g["s"].astype("int64")
+        return g
+
+    out = (
+        masks.map_batches(hist, batch_format="pyarrow")
+        .groupby("n_active_days")
+        .aggregate(Sum("n", alias_name="n_users"), Sum("s", alias_name="mask_sum"))
+        .to_pandas()
+        .sort_values("n_active_days")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def user_active_day_bitmap_sql() -> str:
+    return """
+        WITH md AS (SELECT MIN(CAST(ts AS DATE)) AS m FROM events),
+        b AS (
+            SELECT user_id,
+                   bit_or(CAST(1 AS BIGINT) <<
+                          date_diff('day', md.m, CAST(ts AS DATE))) AS mask
+            FROM events, md GROUP BY 1
+        )
+        SELECT CAST(bit_count(mask) AS BIGINT) AS n_active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(mask) AS BIGINT) AS mask_sum
+        FROM b GROUP BY 1 ORDER BY 1
+    """
+
+
+def l_diversity_check(sf_dir: str, l_min: int = 3) -> pd.DataFrame:
+    """l-diversity privacy audit (the step AFTER k-anonymity): treating
+    (nation, account-balance band of $1000) as the quasi-identifier and
+    market segment as the SENSITIVE attribute, report per nation how
+    many QI groups exist, how many are below l_min distinct sensitive
+    values (re-identification risk even when k-anonymous), and the
+    worst (minimum) diversity — the gate before releasing a
+    pseudonymized cut.
+
+    Distributed plan: distinct (nation, band, segment) triples collapse
+    per batch, finish in a coarse shard keyed on the packed QI, and the
+    per-nation audit folds through a 25-row groupby. Negative balances
+    band with FLOOR semantics on integer cents, bit-identical to the
+    oracle's floor(cents/1e5)."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+
+    def triples(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"]).to_numpy()
+        band = cents // 100000  # numpy floor division == floor(cents/1e5)
+        df = pd.DataFrame(
+            {
+                "nation": t["c_nationkey"].to_numpy(),
+                "band": band,
+                "seg": t["c_mktsegment"].to_pylist(),
+            }
+        ).drop_duplicates()
+        df["_shard"] = ((df["nation"] * 31 + df["band"]) % 64).astype("int32")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["nation", "band", "seg"])
+        q = g.groupby(["nation", "band"], as_index=False).agg(l=("seg", "nunique"))
+        out = q.groupby("nation", as_index=False).agg(
+            n_groups=("l", "size"),
+            n_low=("l", lambda s: int((s < l_min).sum())),
+            min_l=("l", "min"),
+        )
+        for c in ("n_groups", "n_low", "min_l"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = (
+        ds.map_batches(triples, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .groupby("nation")
+        .aggregate(
+            Sum("n_groups", alias_name="n_groups"),
+            Sum("n_low", alias_name="n_low_diversity"),
+            Min("min_l", alias_name="min_l"),
+        )
+        .to_pandas()
+        .sort_values("nation")
+        .reset_index(drop=True)
+    )
+    for c in ("n_groups", "n_low_diversity", "min_l"):
+        out[c] = out[c].astype("int64")
+    return out[["nation", "n_groups", "n_low_diversity", "min_l"]]
+
+
+def l_diversity_check_sql(l_min: int = 3) -> str:
+    return f"""
+        WITH q AS (
+            SELECT c_nationkey AS nation,
+                   CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT) / 100000.0)
+                        AS BIGINT) AS band,
+                   COUNT(DISTINCT c_mktsegment) AS l
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN l < {l_min} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_low_diversity,
+               CAST(MIN(l) AS BIGINT) AS min_l
+        FROM q GROUP BY 1 ORDER BY 1
+    """
+
+
+def lineitem_corr_stats(sf_dir: str) -> pd.DataFrame:
+    """Feature-covariance sufficient statistics: for every pair of the
+    four lineitem numerics (quantity, price in whole dollars, discount
+    pct, tax pct) the EXACT integer (n, Σx, Σy, Σx², Σy², Σxy) — the
+    Pearson correlation matrix is derivable downstream without a single
+    float crossing the wire, and partial sums merge associatively so
+    the whole computation is one embarrassingly parallel fold.
+
+    Overflow bound: dollars ≤ ~1e5, squared 1e10, summed over ≤ 1e8
+    rows fits int64; beyond that, shard the fold and publish per-shard
+    limbs."""
+    import numpy as np
+
+    COLS = ["qty", "dollars", "disc_pct", "tax_pct"]
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = np.stack(
+            [
+                t["l_quantity"].to_numpy().astype(np.int64),
+                # half-up on exact cents (numpy round is half-to-even,
+                # DuckDB ROUND is half-away — sidestep both)
+                (_cents(t["l_extendedprice"]).to_numpy() + 50) // 100,
+                np.round(t["l_discount"].to_numpy() * 100).astype(np.int64),
+                np.round(t["l_tax"].to_numpy() * 100).astype(np.int64),
+            ],
+            axis=1,
+        )
+        rows = []
+        for i in range(4):
+            for j in range(i + 1, 4):
+                x, y = m[:, i], m[:, j]
+                rows.append(
+                    (
+                        f"{COLS[i]}|{COLS[j]}", len(x), int(x.sum()), int(y.sum()),
+                        int((x * x).sum()), int((y * y).sum()), int((x * y).sum()),
+                    )
+                )
+        return pd.DataFrame(
+            rows, columns=["pair", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_x", alias_name="sum_x"),
+            Sum("sum_y", alias_name="sum_y"),
+            Sum("sum_xx", alias_name="sum_xx"),
+            Sum("sum_yy", alias_name="sum_yy"),
+            Sum("sum_xy", alias_name="sum_xy"),
+        )
+        .to_pandas()
+        .sort_values("pair")
+        .reset_index(drop=True)
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def lineitem_corr_stats_sql() -> str:
+    pairs = {
+        "qty": "CAST(l_quantity AS BIGINT)",
+        "dollars": "CAST(FLOOR((ROUND(l_extendedprice * 100) + 50) / 100.0) AS BIGINT)",
+        "disc_pct": "CAST(ROUND(l_discount * 100) AS BIGINT)",
+        "tax_pct": "CAST(ROUND(l_tax * 100) AS BIGINT)",
+    }
+    cols = list(pairs)
+    selects = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            x, y = pairs[cols[i]], pairs[cols[j]]
+            selects.append(
+                f"""SELECT '{cols[i]}|{cols[j]}' AS pair,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM({x}) AS BIGINT) AS sum_x,
+                    CAST(SUM({y}) AS BIGINT) AS sum_y,
+                    CAST(SUM({x} * {x}) AS BIGINT) AS sum_xx,
+                    CAST(SUM({y} * {y}) AS BIGINT) AS sum_yy,
+                    CAST(SUM({x} * {y}) AS BIGINT) AS sum_xy
+                FROM lineitem"""
+            )
+    return " UNION ALL ".join(selects) + " ORDER BY pair"
