@@ -314,6 +314,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return image_phash_dedup()
 
+    def _q_audio_energy_segments(sf_dir: str):
+        from pdfrust_ray.stages.multimodal import audio_energy_segments
+
+        return audio_energy_segments()
+
     return {
         # --- the reference's own pipeline surface (SURVEY §2 / §3) ---
         "extract_text": _q_extract_text,
@@ -847,6 +852,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity_check": rel.l_diversity_check,
         # exact-integer Pearson sufficient stats for the numeric pairs
         "lineitem_corr_stats": rel.lineitem_corr_stats,
+        # contrastive hard negatives: exact int-dot argmax vs broadcast pool
+        "hard_negative_mining": lambda sf: similarity.hard_negative_mining(sf),
+        # Hamilton largest-remainder share allocation (sums to 10000 bps)
+        "largest_remainder_allocation": rel.largest_remainder_allocation,
+        # md5-partition skew diagnostic (predicts sink file sizes)
+        "hash_partition_skew": dso.hash_partition_skew,
+        # Arrow IPC stream sink + binary-file source round trip
+        "documents_arrow_ipc_roundtrip": dso.documents_arrow_ipc_roundtrip,
+        # VAD-style energy segmentation over real WAV codecs (rows-only:
+        # burst recovery pinned by pytest against planted ground truth)
+        "audio_energy_segments": _q_audio_energy_segments,
     }
 
 
@@ -1250,6 +1266,10 @@ def oracle_sql() -> dict[str, str]:
         "user_active_day_bitmap": rel.user_active_day_bitmap_sql(),
         "l_diversity_check": rel.l_diversity_check_sql(),
         "lineitem_corr_stats": rel.lineitem_corr_stats_sql(),
+        "hard_negative_mining": similarity_mod.hard_negative_mining_sql(),
+        "largest_remainder_allocation": rel.largest_remainder_allocation_sql(),
+        "hash_partition_skew": dso.hash_partition_skew_sql(),
+        "documents_arrow_ipc_roundtrip": dso.documents_arrow_ipc_roundtrip_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

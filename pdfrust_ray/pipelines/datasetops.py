@@ -2068,3 +2068,152 @@ def erasure_sweep_sql(min_errors: int = 20) -> str:
                               GROUP BY 1 HAVING COUNT(*) >= {min_errors})
         GROUP BY 1 ORDER BY 1
     """
+
+
+def hash_partition_skew(sf_dir: str, n_partitions: int = 32) -> pd.DataFrame:
+    """Partitioning skew report: row counts per md5-hash partition of
+    user_id — the diagnostic run before choosing a shuffle key (a hot
+    key shows up as one partition holding a multiple of the mean). The
+    md5 bucket matches the engine's own partitioned sinks, so the
+    report predicts REAL file sizes.
+
+    Distributed plan: per-batch vectorized md5 (functions/md5vec) +
+    bincount partials, folded through an n_partitions-row groupby —
+    an embarrassingly parallel profile, no shuffle of data rows."""
+    import numpy as np
+
+    from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = [str(u).encode() for u in t["user_id"].to_pylist()]
+        p = (md5_prefix_u32(keys).astype(np.int64)) % n_partitions
+        counts = np.bincount(p, minlength=n_partitions).astype(np.int64)
+        return pa.table(
+            {
+                "partition": pa.array(np.arange(n_partitions, dtype=np.int64)),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("partition")
+        .aggregate(Sum("n", alias_name="n_rows"))
+        .to_pandas()
+        .sort_values("partition")
+        .reset_index(drop=True)
+    )
+    out["partition"] = out["partition"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+def hash_partition_skew_sql(n_partitions: int = 32) -> str:
+    # empty partitions matter in a skew report: densify on a spine
+    return f"""
+        WITH h AS (
+            SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) % {n_partitions} AS BIGINT) AS partition,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY 1
+        )
+        SELECT g.p AS partition, COALESCE(h.n_rows, 0) AS n_rows
+        FROM (SELECT UNNEST(generate_series(0, {n_partitions - 1})) AS p) g
+        LEFT JOIN h ON h.partition = g.p
+        ORDER BY g.p
+    """
+
+
+def documents_arrow_ipc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Arrow IPC (Feather v2 stream) as an interchange format: the
+    documents table is re-encoded shard-by-shard into Arrow IPC stream
+    files under /tmp (one file per block — the zero-copy handoff format
+    for non-parquet consumers), read BACK through a binary-file source +
+    per-file IPC decode, and checksummed — proving a full custom
+    source/sink round trip with no driver materialization of the data.
+
+    Distributed plan: the write is map_batches emitting one (path, rows)
+    manifest row per block; the read is rd.read_binary_files over the
+    shard directory with the IPC decode running inside the map stage.
+    The checksum folds per batch then through a 1-row aggregate."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"pdfrust_ray_ipc_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        # deterministic shard name from content, not task id: resumable
+        lo = pc.min(t["doc_id"]).as_py()
+        hi = pc.max(t["doc_id"]).as_py()
+        path = os.path.join(out_dir, f"docs_{lo:012d}_{hi:012d}.arrows")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            with pa.ipc.new_stream(f, t.schema) as w:
+                w.write_table(t)
+        os.replace(tmp, path)  # tmp-then-commit, crash-safe
+        return pa.table({"path": [path], "rows": [t.num_rows]})
+
+    manifest = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+        .map_batches(write_shard, batch_format="pyarrow", batch_size=128)
+        .to_pandas()
+    )
+    assert manifest["rows"].sum() > 0
+
+    def decode(batch: dict) -> pa.Table:
+        tables = []
+        for b in batch["bytes"]:
+            with pa.ipc.open_stream(pa.BufferReader(b)) as r:
+                tables.append(r.read_all())
+        return pa.concat_tables(tables)
+
+    def checksum(t: pa.Table) -> pa.Table:
+        keys = [
+            f"{d}|{l}|{n}".encode()
+            for d, l, n in zip(
+                t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["n_chars"].to_pylist()
+            )
+        ]
+        h = md5_prefix_u32(keys).astype(np.int64) if keys else np.array([], np.int64)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([int(h.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_binary_files(out_dir)
+        .map_batches(decode, batch_format="numpy")
+        .map_batches(checksum, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("s", alias_name="checksum"))
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([int(agg["n_docs"])], dtype="int64"),
+            "checksum": pd.Series([int(agg["checksum"])], dtype="int64"),
+        }
+    )
+
+
+def documents_arrow_ipc_roundtrip_sql() -> str:
+    return """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(('0x' || substr(md5(
+                        CAST(doc_id AS VARCHAR) || '|' || lang || '|' ||
+                        CAST(n_chars AS VARCHAR)), 1, 8))
+                    AS UBIGINT)) AS BIGINT) AS checksum
+        FROM documents
+    """

@@ -10494,3 +10494,82 @@ def lineitem_corr_stats_sql() -> str:
                 FROM lineitem"""
             )
     return " UNION ALL ".join(selects) + " ORDER BY pair"
+
+
+def largest_remainder_allocation(sf_dir: str, total_bps: int = 10000) -> pd.DataFrame:
+    """Exact fixed-point share allocation: each market segment's revenue
+    share in basis points, allocated by the largest-remainder (Hamilton)
+    method so the published shares sum to EXACTLY total_bps — the
+    integer-arithmetic answer to 'percentages that must add to 100' that
+    naive per-row rounding gets wrong.
+
+    Distributed plan: the revenue reduce is the broadcast-join +
+    partial-agg shape of segment_revenue; the allocation itself touches
+    one row per segment on the driver. All integer math (floor shares +
+    remainder ranks), bit-stable at any parallelism."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    cust_ref = ray.put(cust)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cust_ref)
+        j = t.join(c, keys="o_custkey", right_keys="c_custkey", join_type="inner")
+        g = pa.TableGroupBy(
+            pa.table({"seg": j["c_mktsegment"], "cents": _cents(j["o_totalprice"])}),
+            "seg",
+        ).aggregate([("cents", "sum")])
+        return pa.table({"seg": g["seg"], "cents": g["cents_sum"]})
+
+    s = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("seg")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("seg")
+        .reset_index(drop=True)
+    )
+    import numpy as np
+
+    cents = s["cents"].to_numpy().astype(np.int64)
+    tot = int(cents.sum())
+    fl = cents * total_bps // tot
+    rem = cents * total_bps % tot
+    short = total_bps - int(fl.sum())
+    # rank remainders descending, segment name ascending as tiebreak
+    order = np.lexsort((s["seg"].to_numpy(), -rem))
+    bump = np.zeros(len(s), dtype=np.int64)
+    bump[order[:short]] = 1
+    out = pd.DataFrame(
+        {
+            "seg": s["seg"],
+            "cents": cents,
+            "bps": (fl + bump).astype("int64"),
+        }
+    )
+    assert int(out["bps"].sum()) == total_bps
+    return out
+
+
+def largest_remainder_allocation_sql(total_bps: int = 10000) -> str:
+    return f"""
+        WITH s AS (
+            SELECT c.c_mktsegment AS seg,
+                   CAST(SUM(ROUND(o.o_totalprice * 100)) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        ),
+        t AS (SELECT SUM(cents) AS tot FROM s),
+        f AS (
+            SELECT seg, cents,
+                   cents * {total_bps} // t.tot AS fl,
+                   cents * {total_bps} % t.tot AS rem
+            FROM s, t
+        ),
+        sh AS (SELECT {total_bps} - SUM(fl) AS short FROM f)
+        SELECT seg, cents,
+               CAST(fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, seg)
+                              <= sh.short THEN 1 ELSE 0 END AS BIGINT) AS bps
+        FROM f, sh ORDER BY seg
+    """

@@ -576,3 +576,134 @@ def image_phash_dedup(
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["media_a", "media_b"]).reset_index(drop=True)
+
+
+def synthesize_speech_table(n: int = 48, seed: int = 7) -> pa.Table:
+    """Deterministic 'speech-like' audio corpus: each clip is 1-5 sine
+    bursts separated by silence gaps, cycled through the real WAV codecs
+    (PCM16 / mu-law / IMA ADPCM) — ground truth burst counts ride along
+    so segmentation quality is testable, mirroring how a VAD corpus
+    carries reference annotations."""
+    from ..functions.audio import encode_wav_ima_adpcm, encode_wav_mulaw
+
+    rng = np.random.RandomState(seed)
+    rate = 16000
+    rows = {"media_id": [], "payload": [], "n_bursts": [], "n_samples": []}
+    for i in range(n):
+        n_bursts = int(rng.randint(1, 6))
+        pieces = [np.zeros(int(rng.randint(800, 2400)), np.int16)]  # lead-in
+        for _ in range(n_bursts):
+            dur = int(rng.randint(1600, 6400))
+            t = np.arange(dur)
+            freq = float(rng.uniform(120, 1800))
+            burst = (9000 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+            pieces.append(burst)
+            pieces.append(np.zeros(int(rng.randint(1600, 4800)), np.int16))  # gap
+        sig = np.concatenate(pieces)
+        codec = i % 3
+        if codec == 0:
+            payload = encode_wav(sig, rate)
+        elif codec == 1:
+            payload = encode_wav_mulaw(sig, rate)
+        else:
+            payload = encode_wav_ima_adpcm(sig, rate)
+        rows["media_id"].append(i)
+        rows["payload"].append(payload)
+        rows["n_bursts"].append(n_bursts)
+        rows["n_samples"].append(len(sig))
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+            "n_bursts": pa.array(rows["n_bursts"], pa.int64()),
+            "n_samples": pa.array(rows["n_samples"], pa.int64()),
+        }
+    )
+
+
+class AudioEnergySegmenter:
+    """Actor-pool VAD-style energy segmentation: decode WAV -> 20 ms
+    frame RMS -> threshold -> merge adjacent active frames into
+    segments (closing gaps up to `gap_frames`). Per-clip output is the
+    segment count and active/total duration — the stats a speech
+    pipeline filters on before transcription.
+
+    State (none beyond numpy) still follows the actor contract: decode
+    tables initialize once per actor; __call__ is vectorized framing
+    per clip. Batches stay tiny — payload bytes dominate worker heap."""
+
+    def __init__(self, frame_ms: int = 20, threshold: float = 500.0, gap_frames: int = 2):
+        self.frame_ms = frame_ms
+        self.threshold = threshold
+        self.gap_frames = gap_frames
+
+    def _segments(self, samples: np.ndarray, rate: int) -> tuple[int, int, int]:
+        mono = samples[:, 0].astype(np.float64) if samples.ndim == 2 else samples.astype(np.float64)
+        flen = max(1, rate * self.frame_ms // 1000)
+        n_frames = len(mono) // flen
+        if n_frames == 0:
+            return 0, 0, 0
+        frames = mono[: n_frames * flen].reshape(n_frames, flen)
+        rms = np.sqrt((frames * frames).mean(axis=1))
+        active = rms > self.threshold
+        # close short gaps: a run of <= gap_frames inactive frames
+        # between active frames counts as active (standard VAD hangover)
+        if self.gap_frames > 0 and active.any():
+            idx = np.flatnonzero(active)
+            gaps = np.diff(idx)
+            for pos, g in zip(idx[:-1], gaps):
+                if 1 < g <= self.gap_frames + 1:
+                    active[pos : pos + g] = True
+        changes = np.diff(active.astype(np.int8))
+        n_seg = int(active[0]) + int((changes == 1).sum())
+        return n_seg, int(active.sum()), n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audio import decode_wav_any
+
+        out = {
+            "media_id": [], "n_segments": [], "active_ms": [], "total_ms": [],
+            "decode_status": [],
+        }
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                samples, rate = decode_wav_any(payload)
+                n_seg, n_act, n_frames = self._segments(samples, rate)
+                out["media_id"].append(mid)
+                out["n_segments"].append(n_seg)
+                out["active_ms"].append(n_act * self.frame_ms)
+                out["total_ms"].append(n_frames * self.frame_ms)
+                out["decode_status"].append("ok")
+            except Exception as e:  # error rows, never poison the batch
+                out["media_id"].append(mid)
+                out["n_segments"].append(0)
+                out["active_ms"].append(0)
+                out["total_ms"].append(0)
+                out["decode_status"].append(f"error:{type(e).__name__}")
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "n_segments": pa.array(out["n_segments"], pa.int64()),
+                "active_ms": pa.array(out["active_ms"], pa.int64()),
+                "total_ms": pa.array(out["total_ms"], pa.int64()),
+                "decode_status": pa.array(out["decode_status"], pa.string()),
+            }
+        )
+
+
+def audio_energy_segments(media_table: "pa.Table | None" = None) -> pd.DataFrame:
+    """Energy-based audio segmentation over the speech corpus (actor
+    pool, tiny batches — binary payloads dominate memory)."""
+    t = media_table if media_table is not None else synthesize_speech_table()
+    out = (
+        rd.from_arrow(t.select(["media_id", "payload"]))
+        .map_batches(
+            AudioEnergySegmenter, batch_size=8, concurrency=2, batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    return out

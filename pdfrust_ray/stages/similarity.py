@@ -816,3 +816,93 @@ def ann_recall_report(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pd
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def hard_negative_mining(sf_dir: str, pool_size: int = 500, scale: int = 1_000_000) -> pd.DataFrame:
+    """Contrastive-training hard negatives: for every anchor vector, the
+    single most-similar vector of a DIFFERENT label — the pair a triplet
+    loss learns the most from. Similarity is the EXACT int64 dot product
+    of 1e-6-quantized components, so the argmax (ties broken by min
+    neg_id) is bit-deterministic in both engines; int64 dots fit in a
+    float64 mantissa, so the DuckDB list_dot_product oracle is exact too.
+
+    Distributed plan: the negative candidate pool is the first
+    `pool_size` vectors by vec_id via a STREAMING limit read (real
+    pipelines mine against a sampled pool — at 10^9 vectors the pool is
+    the sample, not the corpus), broadcast ONCE via ray.put; anchors
+    stream through an actor pool doing one [batch, D] x [D, P] int64
+    matmul per batch with a same-label mask. No shuffle, no driver scan."""
+    t = (
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+        )
+        .limit(pool_size)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    pool_ids = t["vec_id"].to_numpy().astype(np.int64)
+    pool_lab = t["label"].to_numpy().astype(np.int64)
+    pool_mat = np.round(
+        np.asarray(list(t["embedding"]), dtype=np.float64) * scale
+    ).astype(np.int64)
+    ref = ray.put((pool_ids, pool_lab, pool_mat))
+
+    class Miner:
+        def __init__(self):
+            self.ids, self.lab, self.mat = ray.get(ref)  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = int_column(batch["vec_id"])
+            lab = int_column(batch["label"])
+            v = np.round(
+                embedding_matrix(batch["embedding"]).astype(np.float64) * scale
+            ).astype(np.int64)
+            dots = v @ self.mat.T  # [batch, P] exact int64
+            # mask same-label columns per row (self is same-label too)
+            mask = lab[:, None] == self.lab[None, :]
+            dots = np.where(mask, np.iinfo(np.int64).min, dots)
+            best = np.argmax(dots, axis=1)  # first max -> min vec_id
+            return pa.table(
+                {
+                    "vec_id": pa.array(vid, pa.int64()),
+                    "label": pa.array(lab, pa.int64()),
+                    "neg_id": pa.array(self.ids[best], pa.int64()),
+                    "neg_label": pa.array(self.lab[best], pa.int64()),
+                    "dot": pa.array(dots[np.arange(len(best)), best], pa.int64()),
+                }
+            )
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+        )
+        .map_batches(Miner, batch_size=256, concurrency=2, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def hard_negative_mining_sql(scale: int = 1_000_000) -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id, a.label, b.vec_id AS neg_id,
+                   b.label AS neg_label,
+                   CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot
+            FROM e a JOIN e b ON a.label <> b.label
+        )
+        SELECT vec_id, label, neg_id, neg_label, dot
+        FROM pairs
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dot DESC, neg_id) = 1
+        ORDER BY vec_id
+    """
