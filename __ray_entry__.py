@@ -863,6 +863,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # VAD-style energy segmentation over real WAV codecs (rows-only:
         # burst recovery pinned by pytest against planted ground truth)
         "audio_energy_segments": _q_audio_energy_segments,
+        # first-order Markov next-event model, temporal-split backtest
+        "markov_backtest": rel.markov_backtest,
+        # per-user exact p95 banded histogram (co-located quantiles)
+        "user_p95_distribution": rel.user_p95_distribution,
+        # distributed Bloom build + no-false-negative / FPR audit
+        # (rows-only: hash internals have no SQL twin; invariants pinned
+        # by pytest — zero false negatives, FPR near theoretical)
+        "bloom_dedup_audit": lambda sf: dedup.bloom_dedup_audit(sf),
     }
 
 
@@ -1270,6 +1278,8 @@ def oracle_sql() -> dict[str, str]:
         "largest_remainder_allocation": rel.largest_remainder_allocation_sql(),
         "hash_partition_skew": dso.hash_partition_skew_sql(),
         "documents_arrow_ipc_roundtrip": dso.documents_arrow_ipc_roundtrip_sql(),
+        "markov_backtest": rel.markov_backtest_sql(),
+        "user_p95_distribution": rel.user_p95_distribution_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

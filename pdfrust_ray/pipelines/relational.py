@@ -10573,3 +10573,174 @@ def largest_remainder_allocation_sql(total_bps: int = 10000) -> str:
                               <= sh.short THEN 1 ELSE 0 END AS BIGINT) AS bps
         FROM f, sh ORDER BY seg
     """
+
+
+def markov_backtest(sf_dir: str, cutoff: str = "2024-01-16") -> pd.DataFrame:
+    """Temporal backtest of a first-order Markov next-event model:
+    transition counts learned on pairs completing BEFORE the cutoff,
+    top-1 accuracy measured on pairs completing after — per previous
+    event type, the (n_eval, n_correct) cells an eval dashboard plots.
+    Prediction ties break (count DESC, type ASC), so the whole metric
+    is integer-deterministic.
+
+    Distributed plan: consecutive-pair extraction needs per-user order,
+    so pairs materialize inside a 64-way coarse user shard (map_groups
+    sorts each user's slice locally — never a global sort); train/eval
+    partial counts fold through one (split, prev, next) groupby into a
+    ~2*T^2-row grid; the model argmax and the accuracy join run on the
+    driver over that tiny grid."""
+    import numpy as np
+
+    cut = np.datetime64(cutoff, "us").astype(np.int64)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+
+    def shardify(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_us": pa.array(
+                    t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                    pa.int64(),
+                ),
+                "event_id": t["event_id"],
+                "_shard": pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()),
+            }
+        )
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        same = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        prev = g["event_type"].to_numpy()[:-1][same]
+        nxt = g["event_type"].to_numpy()[1:][same]
+        ts = g["ts_us"].to_numpy()[1:][same]
+        df = pd.DataFrame(
+            {"split": np.where(ts < cut, "train", "eval"), "prev": prev, "next": nxt}
+        )
+        out = df.groupby(["split", "prev", "next"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    grid = (
+        ds.map_batches(shardify, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+        .groupby(["split", "prev", "next"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    train = grid[grid["split"] == "train"].copy()
+    # argmax next per prev: count DESC, next ASC
+    train = train.sort_values(["prev", "n", "next"], ascending=[True, False, True])
+    model = train.drop_duplicates("prev")[["prev", "next"]].rename(
+        columns={"next": "pred"}
+    )
+    ev = grid[grid["split"] == "eval"].merge(model, on="prev", how="inner")
+    ev["correct"] = np.where(ev["next"] == ev["pred"], ev["n"], 0)
+    out = ev.groupby("prev", as_index=False).agg(
+        n_eval=("n", "sum"), n_correct=("correct", "sum")
+    )
+    out = out.rename(columns={"prev": "event_type"})
+    out["n_eval"] = out["n_eval"].astype("int64")
+    out["n_correct"] = out["n_correct"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def markov_backtest_sql(cutoff: str = "2024-01-16") -> str:
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_type, ts,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev, event_type AS next, ts FROM seq WHERE prev IS NOT NULL
+        ),
+        train AS (
+            SELECT prev, next, COUNT(*) AS n FROM pairs
+            WHERE ts < TIMESTAMP '{cutoff}' GROUP BY 1, 2
+        ),
+        model AS (
+            SELECT prev, next AS pred FROM train
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY prev
+                                       ORDER BY n DESC, next) = 1
+        ),
+        ev AS (
+            SELECT prev, next FROM pairs WHERE ts >= TIMESTAMP '{cutoff}'
+        )
+        SELECT e.prev AS event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN e.next = m.pred THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_correct
+        FROM ev e JOIN model m USING (prev)
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def user_p95_distribution(sf_dir: str, band_cents: int = 5000) -> pd.DataFrame:
+    """Per-entity tail latency profile: each user's exact p95 of event
+    value (quantile_disc semantics: 1-based rank ceil(0.95 n)), banded
+    into `band_cents` buckets — 'how many of my users have a heavy
+    tail', the fleet-health histogram SLO reviews read.
+
+    Distributed plan: per-user quantiles are NOT combinable from batch
+    partials, so this is the one shape that must co-locate each user's
+    values — a 64-way coarse shard moving ONLY (user_id, cents) (12
+    bytes/row) where each shard computes its users' p95 with one vector
+    sort; the band histogram folds through a tiny groupby. At 100 TB
+    the same shape holds: the exchange payload is two ints/row."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def shardify(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "cents": _cents(t["value"]),
+                "_shard": pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()),
+            }
+        )
+
+    def shard_p95(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "cents"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        c = g["cents"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        ends = np.concatenate([starts[1:], [len(u)]])
+        n = ends - starts
+        ranks = np.ceil(0.95 * n).astype(np.int64)  # 1-based
+        p95 = c[starts + ranks - 1]
+        bands = p95 // band_cents
+        ub, cb = np.unique(bands, return_counts=True)
+        return pd.DataFrame({"band": ub.astype("int64"), "n": cb.astype("int64")})
+
+    out = (
+        ds.map_batches(shardify, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_p95, batch_format="pandas")
+        .groupby("band")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+    out["band"] = out["band"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def user_p95_distribution_sql(band_cents: int = 5000) -> str:
+    return f"""
+        WITH p AS (
+            SELECT user_id,
+                   quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.95) AS p95
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(p95 // {band_cents} AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM p GROUP BY 1 ORDER BY 1
+    """

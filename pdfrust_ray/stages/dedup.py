@@ -1575,3 +1575,114 @@ def split_leakage_scan_sql(threshold: float = 0.8, k: int = 5) -> str:
         JOIN split b ON b.doc_id = p.doc_b
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def bloom_dedup_audit(
+    sf_dir: str, m_bits: int = 1 << 16, k_hashes: int = 4, n_probes: int = 10000
+) -> pd.DataFrame:
+    """Bloom-filter membership audit for streaming dedup: build a
+    distributed Bloom filter over every document fingerprint, then
+    (a) re-probe every member — the filter's no-false-negative
+    guarantee must hold exactly — and (b) probe n_probes keys that were
+    NEVER inserted, measuring the empirical false-positive rate against
+    the theoretical (1-(1-1/m)^{kn})^k. This is the audit a pipeline
+    runs before trusting a Bloom pre-filter in front of an exact dedup
+    (the pre-filter drops exact-check work for definite-new items).
+
+    Distributed plan: per-batch partials OR their bits into a LOCAL
+    word array and emit only the nonzero (word_idx, word) rows; the
+    build reduces through a groupby with a custom bitwise-OR
+    AggregateFn (<= m/64 rows ever exchanged); the assembled filter
+    broadcasts once via ray.put and both probe passes are
+    embarrassingly parallel map_batches. No driver scan of documents."""
+    import numpy as np
+
+    from ray.data.aggregate import AggregateFn, Sum
+
+    n_words = m_bits // 64
+
+    def _indices(keys: list[bytes]) -> np.ndarray:
+        """[n, k_hashes] bit indices: the md5 digest's first 8 bytes
+        sliced into four 16-bit words (arbitrary-length keys; the
+        single-block md5vec kernel only covers short keys)."""
+        import hashlib
+
+        buf = b"".join(hashlib.md5(k).digest()[:8] for k in keys)
+        idx = np.frombuffer(buf, dtype=np.uint16).reshape(len(keys), 4).astype(np.uint64)
+        return (idx % m_bits)[:, :k_hashes]
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def build_partial(t: pa.Table) -> pa.Table:
+        keys = [s.encode() for s in t["text"].to_pylist()]
+        words = np.zeros(n_words, dtype=np.uint64)
+        if keys:
+            idx = _indices(keys).ravel()
+            np.bitwise_or.at(words, idx // 64, np.uint64(1) << (idx % np.uint64(64)))
+        nz = np.flatnonzero(words)
+        return pa.table(
+            {
+                "word_idx": pa.array(nz.astype(np.int64), pa.int64()),
+                # store as int64 bit pattern (Arrow has no uint64 sums to avoid)
+                "w": pa.array(words[nz].view(np.int64), pa.int64()),
+            }
+        )
+
+    bit_or = AggregateFn(
+        init=lambda k: 0,
+        merge=lambda a, b: a | b,
+        accumulate_row=lambda a, row: a | int(row["w"]),
+        name="w",
+    )
+    built = (
+        ds.map_batches(build_partial, batch_format="pyarrow")
+        .groupby("word_idx")
+        .aggregate(bit_or)
+        .to_pandas()
+    )
+    words = np.zeros(n_words, dtype=np.int64)
+    words[built["word_idx"].to_numpy()] = built["w"].to_numpy()
+    words = words.view(np.uint64)
+    bloom_ref = ray.put(words)
+
+    def member_mask(keys: list[bytes], w: np.ndarray) -> np.ndarray:
+        idx = _indices(keys)
+        bits = (w[idx // 64] >> (idx % np.uint64(64))) & np.uint64(1)
+        return bits.all(axis=1)
+
+    def reprobe(t: pa.Table) -> pa.Table:
+        w = ray.get(bloom_ref)
+        keys = [s.encode() for s in t["text"].to_pylist()]
+        found = int(member_mask(keys, w).sum()) if keys else 0
+        return pa.table(
+            {"n": pa.array([t.num_rows], pa.int64()), "found": pa.array([found], pa.int64())}
+        )
+
+    members = ds.map_batches(reprobe, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n_docs"), Sum("found", alias_name="n_found")
+    )
+    n_docs, n_found = int(members["n_docs"]), int(members["n_found"])
+
+    probes = rd.range(n_probes)
+
+    def probe(t: pa.Table) -> pa.Table:
+        w = ray.get(bloom_ref)
+        keys = [f"probe:{i}".encode() for i in t["id"].to_pylist()]
+        fp = int(member_mask(keys, w).sum()) if keys else 0
+        return pa.table({"fp": pa.array([fp], pa.int64())})
+
+    n_fp = int(
+        probes.map_batches(probe, batch_format="pyarrow").aggregate(
+            Sum("fp", alias_name="fp")
+        )["fp"]
+    )
+    theo = float((1.0 - (1.0 - 1.0 / m_bits) ** (k_hashes * n_docs)) ** k_hashes)
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n_docs], dtype="int64"),
+            "n_members_found": pd.Series([n_found], dtype="int64"),
+            "n_probes": pd.Series([n_probes], dtype="int64"),
+            "n_false_positives": pd.Series([n_fp], dtype="int64"),
+            "theoretical_fpp": pd.Series([round(theo, 8)], dtype="float64"),
+        }
+    )
