@@ -871,6 +871,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rows-only: hash internals have no SQL twin; invariants pinned
         # by pytest — zero false negatives, FPR near theoretical)
         "bloom_dedup_audit": lambda sf: dedup.bloom_dedup_audit(sf),
+        # two-pass deterministic-sample hot-key detection + exact recount
+        "hot_key_detector": dso.hot_key_detector,
+        # quantile-boundary range-sharded sink with round-trip audit
+        "range_partitioned_write": dso.range_partitioned_write,
     }
 
 
@@ -1280,6 +1284,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_arrow_ipc_roundtrip": dso.documents_arrow_ipc_roundtrip_sql(),
         "markov_backtest": rel.markov_backtest_sql(),
         "user_p95_distribution": rel.user_p95_distribution_sql(),
+        "hot_key_detector": dso.hot_key_detector_sql(),
+        "range_partitioned_write": dso.range_partitioned_write_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -202,6 +202,12 @@ def main() -> dict:
         lambda: streaming_windowed_dedup(SF_DIR),
         repeats=1,
     )
+    timed("part_copurchase_pairs", lambda: rel.part_copurchase_pairs(SF_DIR))
+    timed("cdc_apply", lambda: rel.cdc_apply(SF_DIR))
+    timed("salted_repartition_join", lambda: rel.salted_repartition_join(SF_DIR))
+    timed("user_p95_distribution", lambda: rel.user_p95_distribution(SF_DIR))
+    timed("hard_negative_mining", lambda: similarity.hard_negative_mining(SF_DIR))
+    timed("bloom_dedup_audit", lambda: dedup.bloom_dedup_audit(SF_DIR))
 
     result = {
         "metric": "extract_pipeline_wall",

@@ -2217,3 +2217,207 @@ def documents_arrow_ipc_roundtrip_sql() -> str:
                     AS UBIGINT)) AS BIGINT) AS checksum
         FROM documents
     """
+
+
+def hot_key_detector(sf_dir: str, rate: int = 10, min_sampled: int = 15) -> pd.DataFrame:
+    """Two-pass skew diagnosis: a deterministic 1/rate row sample (md5
+    of event_id — reproducible, not random) estimates per-key
+    frequencies; keys whose SAMPLED count clears min_sampled are
+    flagged hot and get an EXACT count in a second pushed-down pass —
+    the cheap prelude that decides whether a join needs salting. Both
+    passes are embarrassingly parallel; the exchange carries only
+    per-key partial counts, and the exact pass scans with the flagged
+    key set broadcast once.
+
+    At 100 TB this is the only affordable way to find the hot keys: the
+    sample pass touches 1% of rows and the exact pass only re-counts
+    the handful of suspects."""
+    import numpy as np
+
+    from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def sample_partial(t: pa.Table) -> pa.Table:
+        keys = [str(e).encode() for e in t["event_id"].to_pylist()]
+        h = md5_prefix_u32(keys).astype(np.int64)
+        u = t["user_id"].to_numpy()[h % rate == 0]
+        uu, cc = np.unique(u, return_counts=True)
+        return pa.table(
+            {"user_id": pa.array(uu, pa.int64()), "n": pa.array(cc, pa.int64())}
+        )
+
+    sampled = (
+        ds.map_batches(sample_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n_sampled"))
+        .filter(expr=f"n_sampled >= {min_sampled}")
+        .to_pandas()
+    )
+    if sampled.empty:  # Ray drops columns on all-empty blocks
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_sampled": pd.Series([], dtype="int64"),
+                "est_count": pd.Series([], dtype="int64"),
+                "exact_count": pd.Series([], dtype="int64"),
+            }
+        )
+    hot = pa.array(sorted(int(u) for u in sampled["user_id"]), pa.int64())
+    hot_ref = ray.put(hot)
+
+    def exact_partial(t: pa.Table, *, hot_ref) -> pa.Table:
+        mask = pc.is_in(t["user_id"], value_set=ray.get(hot_ref))
+        u = t["user_id"].to_numpy()[mask.to_numpy(zero_copy_only=False)]
+        uu, cc = np.unique(u, return_counts=True)
+        return pa.table(
+            {"user_id": pa.array(uu, pa.int64()), "n": pa.array(cc, pa.int64())}
+        )
+
+    exact = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(exact_partial, batch_format="pyarrow", fn_kwargs={"hot_ref": hot_ref})
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="exact_count"))
+        .to_pandas()
+    )
+    out = sampled.merge(exact, on="user_id")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_sampled"] = out["n_sampled"].astype("int64")
+    out["est_count"] = (out["n_sampled"] * rate).astype("int64")
+    out["exact_count"] = out["exact_count"].astype("int64")
+    return (
+        out[["user_id", "n_sampled", "est_count", "exact_count"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def hot_key_detector_sql(rate: int = 10, min_sampled: int = 15) -> str:
+    return f"""
+        WITH s AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sampled
+            FROM events
+            WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % {rate} = 0
+            GROUP BY 1 HAVING COUNT(*) >= {min_sampled}
+        ),
+        x AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM events WHERE user_id IN (SELECT user_id FROM s) GROUP BY 1
+        )
+        SELECT s.user_id, s.n_sampled,
+               CAST(s.n_sampled * {rate} AS BIGINT) AS est_count, x.exact_count
+        FROM s JOIN x USING (user_id) ORDER BY s.user_id
+    """
+
+
+def range_partitioned_write(sf_dir: str, n_parts: int = 8) -> pd.DataFrame:
+    """Range-sharded sink: quantile boundaries of the sort key
+    (user_id) come from the exact distributed selection, every row
+    routes to its range shard, and each shard writes its own parquet
+    directory — the layout that keeps a SORTED key range per file so
+    downstream merge scans and key-range reads stay sequential (the
+    complement of the hash/hive layout in partitioned_write_pruned_read).
+    Output: per-shard row count, key min/max, and content checksum,
+    re-read FROM THE SINK (round-trip proven, not assumed).
+
+    Distributed plan: boundaries are K-1 exact quantiles (histogram-
+    refinement selection, O(B) driver state); routing is a per-batch
+    searchsorted; the write streams per shard; the audit re-reads each
+    shard directory pruned."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from pdfrust_ray.functions.md5vec import md5_prefix_u32
+    from pdfrust_ray.pipelines.relational import _exact_quantile_disc
+
+    base = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).map_batches(
+        lambda t: pa.table({"c": pc.cast(t["user_id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    bounds = [
+        _exact_quantile_disc(base, i / n_parts) for i in range(1, n_parts)
+    ]
+    b = np.array(bounds, dtype=np.int64)
+
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/pdfrust_ray_rangepart_{scale}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def route(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64()).to_numpy()
+        part = np.searchsorted(b, u, side="left").astype(np.int64)
+        return t.append_column("range_part", pa.array(part, pa.int64()))
+
+    (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+        )
+        .map_batches(route, batch_format="pyarrow")
+        .write_parquet(out_dir, partition_cols=["range_part"])
+    )
+
+    def audit(t: pa.Table) -> pa.Table:
+        keys = [
+            f"{e}|{u}".encode()
+            for e, u in zip(t["event_id"].to_pylist(), t["user_id"].to_pylist())
+        ]
+        h = md5_prefix_u32(keys).astype(np.int64) if keys else np.array([], np.int64)
+        part = pc.cast(t["range_part"], pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {"part": part, "u": t["user_id"].to_numpy(), "h": h}
+        )
+        g = df.groupby("part", as_index=False).agg(
+            n=("u", "size"), lo=("u", "min"), hi=("u", "max"), s=("h", "sum")
+        )
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    out = (
+        rd.read_parquet(out_dir)
+        .map_batches(audit, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(
+            Sum("n", alias_name="n_rows"),
+            _Min("lo", alias_name="min_user"),
+            _Max("hi", alias_name="max_user"),
+            Sum("s", alias_name="checksum"),
+        )
+        .to_pandas()
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def range_partitioned_write_sql(n_parts: int = 8) -> str:
+    qs = ", ".join(f"{i}/{n_parts}.0" for i in range(1, n_parts))
+    return f"""
+        WITH bounds AS (
+            SELECT quantile_disc(user_id, [{qs}]) AS b FROM events
+        ),
+        routed AS (
+            SELECT e.event_id, e.user_id,
+                   (SELECT COUNT(*) FROM UNNEST(bounds.b) AS t(x)
+                    WHERE t.x < e.user_id) AS part
+            FROM events e, bounds
+        )
+        SELECT CAST(part AS BIGINT) AS part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(user_id) AS BIGINT) AS min_user,
+               CAST(MAX(user_id) AS BIGINT) AS max_user,
+               CAST(SUM(CAST(('0x' || substr(md5(
+                        CAST(event_id AS VARCHAR) || '|' ||
+                        CAST(user_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT)) AS BIGINT) AS checksum
+        FROM routed GROUP BY 1 ORDER BY 1
+    """
