@@ -9527,34 +9527,48 @@ def part_copurchase_pairs(sf_dir: str, k: int = 20, num_partitions: int = 8) -> 
         pkey = g["pkey"].to_numpy().astype(np.int64)
         if len(pkey) and int(pkey.max()) >= (1 << 31):
             raise ValueError("partkey exceeds the 31-bit packing bound")
+        # vectorized pair emission via the sorted-lag trick: after
+        # sorting by (okey, pkey), every unordered within-order pair is
+        # (x[i], x[i+lag]) for exactly one lag >= 1 with matching okey —
+        # max-order-size lags of whole-array shifts replace the
+        # per-order Python loop (which was the 100x hot spot at sf0.1)
         packed = []
-        start = 0
-        for i in range(1, len(okey) + 1):
-            if i == len(okey) or okey[i] != okey[start]:
-                ps = pkey[start:i]
-                if len(ps) > 1:
-                    a, b = np.triu_indices(len(ps), k=1)
-                    packed.append(ps[a] * (1 << 32) + ps[b])
-                start = i
+        lag = 1
+        while True:
+            if lag >= len(okey):
+                break
+            same = okey[lag:] == okey[:-lag]
+            if not same.any():
+                break
+            a = pkey[:-lag][same]  # sorted: a < b within an order
+            b = pkey[lag:][same]
+            packed.append(a * (1 << 32) + b)
+            lag += 1
         if not packed:
             return pd.DataFrame({"pair": pd.Series([], dtype="int64"),
-                                 "n": pd.Series([], dtype="int64")})
+                                 "n": pd.Series([], dtype="int64"),
+                                 "_pshard": pd.Series([], dtype="int32")})
         allp = np.concatenate(packed)
         u, c = np.unique(allp, return_counts=True)
-        return pd.DataFrame({"pair": u.astype("int64"), "n": c.astype("int64")})
+        return pd.DataFrame({"pair": u.astype("int64"), "n": c.astype("int64"),
+                             "_pshard": (u % 64).astype("int32")})
 
-    def local_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(["n_orders", "pair"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    # a pair's counts from different order shards meet in its pair
+    # shard; summing + local top-k INSIDE the 64 coarse groups avoids a
+    # million-distinct-key Ray aggregate (per-group dispatch made that
+    # path ~70x slower at sf0.1 — measured 210 s vs 3 s)
+    def pshard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        u, inv = np.unique(g["pair"].to_numpy(), return_inverse=True)
+        tot = np.bincount(inv, weights=g["n"].to_numpy()).astype(np.int64)
+        df = pd.DataFrame({"pair": u.astype("int64"), "n_orders": tot})
+        return df.sort_values(["n_orders", "pair"], ascending=[False, True]).head(k)
 
     cand = (
         ds.map_batches(local_dedup, batch_format="pyarrow")
         .groupby("_shard")
         .map_groups(shard_pairs, batch_format="pandas")
-        .groupby("pair")
-        .aggregate(Sum("n", alias_name="n_orders"))
-        .map_batches(local_topk, batch_format="pyarrow")
+        .groupby("_pshard")
+        .map_groups(pshard_topk, batch_format="pandas")
         .to_pandas()
     )
     cand = cand.sort_values(["n_orders", "pair"], ascending=[False, True]).head(k)
