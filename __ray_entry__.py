@@ -875,6 +875,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_key_detector": dso.hot_key_detector,
         # quantile-boundary range-sharded sink with round-trip audit
         "range_partitioned_write": dso.range_partitioned_write,
+        # co-partitioned merge join over shared range boundaries (no
+        # all-to-all: one co-read+join task per shard)
+        "range_merge_join": dso.range_merge_join,
+        # context-window pressure curve over the transcript corpus
+        "context_size_at_turn": _q_conv(cv.context_size_at_turn),
     }
 
 
@@ -1286,6 +1291,8 @@ def oracle_sql() -> dict[str, str]:
         "user_p95_distribution": rel.user_p95_distribution_sql(),
         "hot_key_detector": dso.hot_key_detector_sql(),
         "range_partitioned_write": dso.range_partitioned_write_sql(),
+        "range_merge_join": dso.range_merge_join_sql(),
+        "context_size_at_turn": cv.context_size_at_turn_sql(_T2_SHARDS),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

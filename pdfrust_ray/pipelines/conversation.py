@@ -1179,3 +1179,76 @@ def assistant_length_by_tool_context_sql(shards_glob: str) -> str:
         WHERE role = 'assistant'
         GROUP BY 1 ORDER BY 1
     """
+
+
+def context_size_at_turn(corpus_dir: str) -> pd.DataFrame:
+    """Context-window pressure curve: at each turn index, across every
+    conversation that reaches it, the count and the total CUMULATIVE
+    character size of the transcript so far — the curve that decides
+    where a context-length budget starts truncating multi-turn agent
+    sessions (the 'how big is the prompt by turn k' question).
+
+    Distributed plan: per-conversation running sums need the turns of a
+    conversation co-located and ordered, so conversations shard by the
+    md5 bucket (one exchange of (bucket, conv_id, turn_idx, n_chars) —
+    the text never moves); each bucket sorts locally and folds its
+    (turn_idx, n, sum_cum) partial; the final exchange is a
+    max-turn-count-row groupby."""
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": _bucket_of(t["conv_id"]),
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        cum = g.groupby("conv_id")["n_chars"].cumsum().to_numpy()
+        out = pd.DataFrame({"turn_idx": g["turn_idx"].to_numpy(), "cum": cum})
+        p = out.groupby("turn_idx", as_index=False).agg(
+            n_convs=("cum", "size"), sum_cum_chars=("cum", "sum")
+        )
+        p["n_convs"] = p["n_convs"].astype("int64")
+        p["sum_cum_chars"] = p["sum_cum_chars"].astype("int64")
+        return p
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("turn_idx")
+        .aggregate(
+            Sum("n_convs", alias_name="n_convs"),
+            Sum("sum_cum_chars", alias_name="sum_cum_chars"),
+        )
+        .to_pandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def context_size_at_turn_sql(shards_glob: str) -> str:
+    return f"""
+        WITH c AS (
+            SELECT turn_idx,
+                   SUM(length(text)) OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx) AS cum
+            FROM read_parquet('{shards_glob}')
+        )
+        SELECT CAST(turn_idx AS BIGINT) AS turn_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_convs,
+               CAST(SUM(cum) AS BIGINT) AS sum_cum_chars
+        FROM c GROUP BY 1 ORDER BY 1
+    """

@@ -2421,3 +2421,128 @@ def range_partitioned_write_sql(n_parts: int = 8) -> str:
                     AS UBIGINT)) AS BIGINT) AS checksum
         FROM routed GROUP BY 1 ORDER BY 1
     """
+
+
+def range_merge_join(sf_dir: str, n_parts: int = 8) -> pd.DataFrame:
+    """Co-partitioned merge join: events AND customers are both
+    range-sharded on the SAME quantile boundaries of the join key
+    (user_id == c_custkey), so matching keys land in the same shard by
+    construction and the join runs per shard with NO all-to-all — one
+    task per partition reads its two shard directories (storage-pruned)
+    and joins locally. This is the 'pick ONE partitioning key and reuse
+    it across stages' discipline: the boundary list is computed once
+    (exact distributed selection) and reused for both sinks and the
+    join. Output: revenue by (segment, event_type).
+
+    Distributed plan: two range-partitioned writes (streaming), then a
+    Dataset over partition ids fans one co-read+join task per shard;
+    the only exchange after the sinks is the tiny result fold."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from pdfrust_ray.pipelines.relational import _cents, _exact_quantile_disc
+
+    base = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).map_batches(
+        lambda t: pa.table({"c": pc.cast(t["user_id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    bounds = np.array(
+        [_exact_quantile_disc(base, i / n_parts) for i in range(1, n_parts)],
+        dtype=np.int64,
+    )
+
+    scale = os.path.basename(os.path.normpath(sf_dir))
+    ev_dir = f"/tmp/pdfrust_ray_cojoin_ev_{scale}"
+    cu_dir = f"/tmp/pdfrust_ray_cojoin_cu_{scale}"
+
+    def route(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            u = pc.cast(t[col], pa.int64()).to_numpy()
+            part = np.searchsorted(bounds, u, side="left").astype(np.int64)
+            return t.append_column("range_part", pa.array(part, pa.int64()))
+
+        return fn
+
+    for d in (ev_dir, cu_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+        .map_batches(route("user_id"), batch_format="pyarrow")
+        .write_parquet(ev_dir, partition_cols=["range_part"])
+    )
+    (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(route("c_custkey"), batch_format="pyarrow")
+        .write_parquet(cu_dir, partition_cols=["range_part"])
+    )
+
+    import pyarrow.parquet as _pq
+
+    def cojoin(t: pa.Table) -> pa.Table:
+        outs = []
+        for p in t["id"].to_pylist():
+            ep = os.path.join(ev_dir, f"range_part={p}")
+            cp = os.path.join(cu_dir, f"range_part={p}")
+            if not (os.path.isdir(ep) and os.path.isdir(cp)):
+                continue  # an empty shard on either side joins to nothing
+            ev = _pq.read_table(ep, columns=["user_id", "event_type", "value"])
+            cu = _pq.read_table(cp, columns=["c_custkey", "c_mktsegment"])
+            j = ev.join(cu, keys="user_id", right_keys="c_custkey", join_type="inner")
+            g = pa.TableGroupBy(
+                pa.table(
+                    {
+                        "c_mktsegment": j["c_mktsegment"],
+                        "event_type": j["event_type"],
+                        "cents": _cents(j["value"]),
+                    }
+                ),
+                ["c_mktsegment", "event_type"],
+            ).aggregate([("cents", "sum"), ("cents", "count")])
+            outs.append(
+                pa.table(
+                    {
+                        "c_mktsegment": g["c_mktsegment"],
+                        "event_type": g["event_type"],
+                        "cents": g["cents_sum"],
+                        "n": pc.cast(g["cents_count"], pa.int64()),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "event_type": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    out = (
+        rd.range(n_parts, override_num_blocks=n_parts)
+        .map_batches(cojoin, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        out.groupby(["c_mktsegment", "event_type"], as_index=False)
+        .agg(n_events=("n", "sum"), total_cents=("cents", "sum"))
+        .sort_values(["c_mktsegment", "event_type"])
+        .reset_index(drop=True)
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out
+
+
+def range_merge_join_sql() -> str:
+    return """
+        SELECT c.c_mktsegment, e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
