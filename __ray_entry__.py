@@ -880,6 +880,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_merge_join": dso.range_merge_join,
         # context-window pressure curve over the transcript corpus
         "context_size_at_turn": _q_conv(cv.context_size_at_turn),
+        # RFM quartile cube (per-segment NTILE via map_groups)
+        "rfm_segments": rel.rfm_segments,
+        # dyadic-exact EWMA of the daily event count (float hash-matches)
+        "daily_ewma": rel.daily_ewma,
+        # TPC-H Q16 shape: distinct suppliers per part attrs, NOT IN set
+        "supplier_cnt_by_part_attrs": rel.supplier_cnt_by_part_attrs,
+        # TPC-H Q2 shape: argmax supplier per part via packed-int Max agg
+        "best_supplier_per_part": rel.best_supplier_per_part,
+        # deterministic hash k-fold split with stratification audit
+        "kfold_assignment": lambda sf: llm.kfold_assignment(sf),
     }
 
 
@@ -1293,6 +1303,11 @@ def oracle_sql() -> dict[str, str]:
         "range_partitioned_write": dso.range_partitioned_write_sql(),
         "range_merge_join": dso.range_merge_join_sql(),
         "context_size_at_turn": cv.context_size_at_turn_sql(_T2_SHARDS),
+        "rfm_segments": rel.rfm_segments_sql(),
+        "daily_ewma": rel.daily_ewma_sql(),
+        "supplier_cnt_by_part_attrs": rel.supplier_cnt_by_part_attrs_sql(),
+        "best_supplier_per_part": rel.best_supplier_per_part_sql(),
+        "kfold_assignment": llm.kfold_assignment_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -978,3 +978,61 @@ def coverage_selection(sf_dir: str, target_coverage_pct: int = 95) -> pd.DataFra
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def kfold_assignment(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Deterministic k-fold split audit: every document is assigned
+    fold = md5(doc_id) mod k (reproducible, coordination-free — any
+    worker can recompute any row's fold), and the audit reports the
+    (lang, fold) population with its total characters, the table a
+    cross-validation harness checks for stratification skew before
+    training. The assignment is embarrassingly parallel; the audit is
+    one (lang, fold)-keyed aggregate of per-batch partials."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.md5vec import md5_prefix_u32
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        keys = [str(d).encode() for d in t["doc_id"].to_pylist()]
+        fold = (md5_prefix_u32(keys) % k).astype("int64")
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "fold": fold,
+                "n_chars": pc.cast(t["n_chars"], pa.int64()).to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby(["lang", "fold"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "fold"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")
+        )
+        .to_pandas()
+        .sort_values(["lang", "fold"])
+        .reset_index(drop=True)
+    )
+    for c in ("fold", "n_docs", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def kfold_assignment_sql(k: int = 5) -> str:
+    return f"""
+        SELECT lang,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % {k} AS BIGINT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -10758,3 +10758,364 @@ def user_p95_distribution_sql(band_cents: int = 5000) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM p GROUP BY 1 ORDER BY 1
     """
+
+
+def rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation: per customer-with-orders compute Recency (last
+    order date), Frequency (order count) and Monetary (lifetime cents),
+    NTILE(4) each dimension WITHIN the customer's market segment, and
+    report the population and revenue of every (segment, rfm_code)
+    cell — the classic CRM cube a marketing mix is allocated from.
+
+    Distributed plan: orders fold to one row per customer (single-key
+    groupby — the only lineage-width exchange), the customer dimension
+    broadcasts once (ray.put + Arrow hash join per batch), and the
+    NTILE ranks are assigned inside groupby(segment).map_groups, where
+    each segment sorts locally; the final cube is a tiny aggregate.
+    Tie order is pinned (custkey) so both sides agree bit-for-bit."""
+    import numpy as np
+
+    per_cust = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                    "last_us": pc.cast(
+                        pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+                    ),
+                    "cents": _cents(t["o_totalprice"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(
+            Max("last_us", alias_name="last_us"),
+            Count(alias_name="n_orders"),
+            Sum("cents", alias_name="total_cents"),
+        )
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ref = ray.put(cust)
+
+    class AttachSegment:
+        def __init__(self):
+            self.cust = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.join(
+                self.cust,
+                keys="o_custkey",
+                right_keys="c_custkey",
+                join_type="inner",
+            )
+
+    def _ntile4(order: np.ndarray) -> np.ndarray:
+        # order: positions sorted by the dimension; NTILE's uneven rule
+        n = len(order)
+        base, rem = divmod(n, 4)
+        sizes = [base + (1 if i < rem else 0) for i in range(4)]
+        ranks = np.empty(n, dtype=np.int64)
+        ranks[order] = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
+        return ranks
+
+    def per_segment(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["o_custkey"].to_numpy()
+        # DESC dimension, custkey ASC tie-break == argsort of (-dim, ck)
+        r = _ntile4(np.lexsort((ck, -g["last_us"].to_numpy())))
+        f = _ntile4(np.lexsort((ck, -g["n_orders"].to_numpy())))
+        m = _ntile4(np.lexsort((ck, -g["total_cents"].to_numpy())))
+        df = pd.DataFrame(
+            {
+                "rfm_code": r * 100 + f * 10 + m,
+                "total_cents": g["total_cents"].to_numpy(),
+            }
+        )
+        agg = df.groupby("rfm_code", as_index=False).agg(
+            n_customers=("total_cents", "size"),
+            monetary_cents=("total_cents", "sum"),
+        )
+        agg.insert(0, "c_mktsegment", g["c_mktsegment"].iloc[0])
+        return agg
+
+    out = (
+        per_cust.map_batches(AttachSegment, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("c_mktsegment")
+        .map_groups(per_segment, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["c_mktsegment", "rfm_code"])
+        .reset_index(drop=True)
+    )
+    for c in ("rfm_code", "n_customers", "monetary_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def rfm_segments_sql() -> str:
+    return """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_dt,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM orders GROUP BY 1
+        ), ranked AS (
+            SELECT c_mktsegment, total_cents,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY last_dt DESC, o_custkey) AS r,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY n_orders DESC, o_custkey) AS f,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY total_cents DESC, o_custkey) AS m
+            FROM per_cust JOIN customer ON c_custkey = o_custkey
+        )
+        SELECT c_mktsegment,
+               CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_code,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(total_cents) AS BIGINT) AS monetary_cents
+        FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def daily_ewma(sf_dir: str) -> pd.DataFrame:
+    """EWMA (alpha = 1/2) of the daily event count — the smoothed
+    monitoring curve an ingest dashboard alarms on. s_0 = x_0,
+    s_t = (x_t + s_{t-1}) / 2.
+
+    Exactness: with a power-of-two alpha every term is a dyadic
+    rational; s_t = 0.5^t * cumsum(c_i * x_i) with integer
+    coefficients c_0 = 1, c_i = 2^(i-1), and the integer cumsum stays
+    far below 2^53, so BOTH engines produce bit-identical float64 —
+    an EWMA whose SQL oracle hash-matches despite being float-valued.
+
+    Distributed plan: the heavy part (per-day counts) is one
+    date-keyed aggregate; the recurrence folds on the bounded
+    day-count series (one row per day, driver-side by construction)."""
+    import numpy as np
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda t: pa.table(
+                {"d": pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("d")
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    x = daily["n_events"].to_numpy().astype(np.int64)
+    t_idx = np.arange(len(x), dtype=np.int64)
+    coeff = np.where(t_idx == 0, 1, 1 << np.maximum(t_idx - 1, 0))
+    ewma = np.cumsum(coeff * x).astype(np.float64) * np.ldexp(1.0, -t_idx)
+    return pd.DataFrame(
+        {
+            "d": pd.to_datetime(daily["d"]),
+            "n_events": x,
+            "ewma": ewma,
+        }
+    )
+
+
+def daily_ewma_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        ), idx AS (
+            SELECT d, n_events,
+                   ROW_NUMBER() OVER (ORDER BY d) - 1 AS t
+            FROM daily
+        )
+        SELECT CAST(d AS TIMESTAMP) AS d, n_events,
+               SUM(n_events * CASE WHEN t = 0 THEN 1
+                                   ELSE (1::BIGINT << (t - 1)) END)
+                   OVER (ORDER BY d) * POWER(0.5, t) AS ewma
+        FROM idx ORDER BY d
+    """
+
+
+def supplier_cnt_by_part_attrs(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape (adapted: no partsupp table in this schema, so
+    lineitem is the part<->supplier relation, and the excluded-supplier
+    subquery keys on negative account balance instead of the comment
+    field): distinct supplier count per (p_brand, p_type, p_size) for
+    parts outside one brand, suppliers not in the exclusion set.
+
+    Distributed plan: both dimension sides (filtered part attrs,
+    excluded suppkeys) broadcast once; lineitem streams through a
+    vectorized join+filter that projects DISTINCT (attrs, suppkey)
+    pairs per batch (the combiner), then one pair-keyed groupby
+    dedupes globally and a tiny attrs-keyed count finishes. The
+    exchange carries pair cardinality, never lineitem cardinality."""
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).filter(pc.not_equal(pc.field("p_brand"), "Brand#1"))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+    bad = set(
+        sup.filter(pc.less(pc.field("s_acctbal"), 1000.0))["s_suppkey"].to_pylist()
+    )
+    part_ref = ray.put(part)
+    bad_ref = ray.put(sorted(bad))
+
+    class PairUp:
+        def __init__(self):
+            self.part = ray.get(part_ref)
+            self.bad = pa.array(ray.get(bad_ref), pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.invert(pc.is_in(pc.cast(t["l_suppkey"], pa.int64()), self.bad))
+            )
+            j = pa.table(
+                {
+                    "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                    "s": pc.cast(t["l_suppkey"], pa.int64()),
+                }
+            ).join(self.part, keys="l_partkey", right_keys="p_partkey", join_type="inner")
+            j = j.select(["p_brand", "p_type", "p_size", "s"])
+            return j.group_by(["p_brand", "p_type", "p_size", "s"]).aggregate([])
+
+    pairs = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+        .map_batches(PairUp, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(["p_brand", "p_type", "p_size", "s"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    out = (
+        pairs.groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+        .to_pandas()
+        .sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True],
+        )
+        .reset_index(drop=True)
+    )
+    out["p_size"] = out["p_size"].astype("int64")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out
+
+
+def supplier_cnt_by_part_attrs_sql() -> str:
+    return """
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+
+def best_supplier_per_part(sf_dir: str, region: str = "EUROPE") -> pd.DataFrame:
+    """TPC-H Q2 shape (adapted: lineitem is the part<->supplier
+    relation; 'minimum supply cost' becomes 'maximum account balance',
+    tie-broken by lowest suppkey): for every part sourced from a given
+    region, the single best supplier in that region.
+
+    Distributed plan: the region-filtered supplier dimension broadcasts
+    once; lineitem streams to distinct (partkey, suppkey) pairs with
+    the per-batch dedupe combiner; the argmax-per-part runs as ONE
+    single-key Max aggregate over a packed int64 sort key
+    (cents * 2^32 + (2^32-1 - suppkey)) — max picks highest balance
+    then lowest suppkey with no window function and no row shuffle
+    beyond the pair exchange."""
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    nk = set(
+        nat.join(
+            reg.filter(pc.equal(pc.field("r_name"), region)),
+            keys="n_regionkey",
+            right_keys="r_regionkey",
+            join_type="inner",
+        )["n_nationkey"].to_pylist()
+    )
+    sup = sup.filter(
+        pc.is_in(pc.cast(sup["s_nationkey"], pa.int64()), pa.array(sorted(nk), pa.int64()))
+    )
+    packed = pa.table(
+        {
+            "s_suppkey": pc.cast(sup["s_suppkey"], pa.int64()),
+            "s_name": sup["s_name"],
+            "bal_cents": _cents(sup["s_acctbal"]),
+        }
+    )
+    ref = ray.put(packed)
+
+    class PackPairs:
+        def __init__(self):
+            self.sup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pairs = pa.table(
+                {
+                    "p": pc.cast(t["l_partkey"], pa.int64()),
+                    "s": pc.cast(t["l_suppkey"], pa.int64()),
+                }
+            ).group_by(["p", "s"]).aggregate([])
+            j = pairs.join(
+                self.sup, keys="s", right_keys="s_suppkey", join_type="inner"
+            )
+            key = pc.add(
+                pc.multiply(j["bal_cents"], pa.scalar(1 << 32, pa.int64())),
+                pc.subtract(pa.scalar((1 << 32) - 1, pa.int64()), j["s"]),
+            )
+            return pa.table({"p_partkey": j["p"], "key": key})
+
+    best = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+        .map_batches(PackPairs, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("p_partkey")
+        .aggregate(Max("key", alias_name="key"))
+        .to_pandas()
+    )
+    best["bal_cents"] = (best["key"] // (1 << 32)).astype("int64")
+    best["s_suppkey"] = ((1 << 32) - 1 - (best["key"] % (1 << 32))).astype("int64")
+    names = packed.to_pandas()[["s_suppkey", "s_name"]]
+    out = best.merge(names, on="s_suppkey")[
+        ["p_partkey", "s_suppkey", "s_name", "bal_cents"]
+    ]
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    return (
+        out.sort_values(["bal_cents", "p_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def best_supplier_per_part_sql(region: str = "EUROPE") -> str:
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ), eu AS (
+            SELECT s_suppkey, s_name,
+                   CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = '{region}'
+        ), ranked AS (
+            SELECT l_partkey AS p_partkey, s_suppkey, s_name, bal_cents,
+                   ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                      ORDER BY bal_cents DESC, s_suppkey) AS rn
+            FROM pairs JOIN eu ON l_suppkey = s_suppkey
+        )
+        SELECT p_partkey, s_suppkey, s_name, bal_cents
+        FROM ranked WHERE rn = 1
+        ORDER BY bal_cents DESC, p_partkey
+    """
