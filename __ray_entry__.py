@@ -890,6 +890,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_supplier_per_part": rel.best_supplier_per_part,
         # deterministic hash k-fold split with stratification audit
         "kfold_assignment": lambda sf: llm.kfold_assignment(sf),
+        # exact int-dot kNN graph + mutual-edge degree histogram
+        "mutual_knn_degree": lambda sf: similarity.mutual_knn_degree(sf),
+        # purged/embargoed time split (leakage guard)
+        "time_embargo_split": rel.time_embargo_split,
+        # A/B behaviour set algebra (both / only / neither user counts)
+        "event_type_user_sets": rel.event_type_user_sets,
+        # ALL-quantifier: every order above segment average (int-exact)
+        "consistent_big_spenders": rel.consistent_big_spenders,
+        # top-2-per-group window: widest best-vs-runner-up supplier gaps
+        "supplier_runnerup_gap": rel.supplier_runnerup_gap,
+        # packed (customer, day) double-submit audit per segment
+        "same_day_repeat_orders": rel.same_day_repeat_orders,
+        # growth accounting: new/retained/resurrected/churned per day
+        "user_lifecycle_daily": rel.user_lifecycle_daily,
+        # cross-doc chunk-hash duplication histogram (RAG ingest profile)
+        "chunk_dedup_stats": lambda sf: dso.chunk_dedup_stats(sf),
     }
 
 
@@ -1308,6 +1324,14 @@ def oracle_sql() -> dict[str, str]:
         "supplier_cnt_by_part_attrs": rel.supplier_cnt_by_part_attrs_sql(),
         "best_supplier_per_part": rel.best_supplier_per_part_sql(),
         "kfold_assignment": llm.kfold_assignment_sql(),
+        "mutual_knn_degree": similarity_mod.mutual_knn_degree_sql(),
+        "time_embargo_split": rel.time_embargo_split_sql(),
+        "event_type_user_sets": rel.event_type_user_sets_sql(),
+        "consistent_big_spenders": rel.consistent_big_spenders_sql(),
+        "supplier_runnerup_gap": rel.supplier_runnerup_gap_sql(),
+        "same_day_repeat_orders": rel.same_day_repeat_orders_sql(),
+        "user_lifecycle_daily": rel.user_lifecycle_daily_sql(),
+        "chunk_dedup_stats": dso.chunk_dedup_stats_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -208,6 +208,10 @@ def main() -> dict:
     timed("user_p95_distribution", lambda: rel.user_p95_distribution(SF_DIR))
     timed("hard_negative_mining", lambda: similarity.hard_negative_mining(SF_DIR))
     timed("bloom_dedup_audit", lambda: dedup.bloom_dedup_audit(SF_DIR))
+    timed("mutual_knn_degree", lambda: similarity.mutual_knn_degree(SF_DIR))
+    timed("user_lifecycle_daily", lambda: rel.user_lifecycle_daily(SF_DIR))
+    timed("chunk_dedup_stats", lambda: dso.chunk_dedup_stats(SF_DIR))
+    timed("supplier_runnerup_gap", lambda: rel.supplier_runnerup_gap(SF_DIR))
 
     result = {
         "metric": "extract_pipeline_wall",

@@ -2546,3 +2546,83 @@ def range_merge_join_sql() -> str:
         FROM events e JOIN customer c ON c.c_custkey = e.user_id
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup statistics
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup_stats(
+    sf_dir: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> pd.DataFrame:
+    """Cross-document chunk duplication histogram: chunk every document
+    exactly like `doc_chunks`, md5 each chunk's text, and report how
+    many distinct chunk hashes occur once, twice, ... — the
+    repetition profile a RAG ingest (or a CCNet-style chunk dedup)
+    inspects before deciding dedup thresholds.
+
+    Distributed plan: chunking + hashing is embarrassingly parallel
+    with a per-batch np.unique combiner, so the exchange carries
+    (hash, partial_count) rows; a 64-way coarse shard on the hash
+    prefix finishes the per-hash totals VECTORIZED (the hash space is
+    corpus-sized — a per-key Ray aggregate would hit the per-group
+    dispatch cliff, see part_copurchase_pairs); the finalize is a
+    single-key aggregate over <= a few dozen dup-count values."""
+
+    def hash_chunks(t: pa.Table) -> pa.Table:
+        hs = []
+        for txt in t["text"].to_pylist():
+            ws = txt.split()
+            for s in range(0, len(ws), stride):
+                hs.append(hashlib.md5(" ".join(ws[s : s + size]).encode()).hexdigest())
+        u, c = np.unique(np.array(hs, dtype=object), return_counts=True)
+        shard = np.array([int(h[:8], 16) & 63 for h in u], dtype=np.int32)
+        return pa.table(
+            {
+                "h": pa.array(u, pa.string()),
+                "n": pa.array(c, pa.int64()),
+                "_shard": pa.array(shard, pa.int32()),
+            }
+        )
+
+    def shard_hist(g: pd.DataFrame) -> pd.DataFrame:
+        per_hash = g.groupby("h", sort=False)["n"].sum().to_numpy()
+        dup, cnt = np.unique(per_hash, return_counts=True)
+        return pd.DataFrame(
+            {"dup_count": dup.astype("int64"), "partial": cnt.astype("int64")}
+        )
+
+    out = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(hash_chunks, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_hist, batch_format="pandas")
+        .groupby("dup_count")
+        .aggregate(Sum("partial", alias_name="n_chunk_hashes"))
+        .to_pandas()
+        .sort_values("dup_count")
+        .reset_index(drop=True)
+    )
+    for c in ("dup_count", "n_chunk_hashes"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def chunk_dedup_stats_sql(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> str:
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+          FROM documents
+        ), starts AS (
+          SELECT doc_id, ws, unnest(range(0, len(ws), {stride})) AS s FROM toks
+        ), per_hash AS (
+          SELECT md5(array_to_string(ws[s + 1 : s + {size}], ' ')) AS h,
+                 COUNT(*) AS dup_count
+          FROM starts GROUP BY 1
+        )
+        SELECT CAST(dup_count AS BIGINT) AS dup_count,
+               CAST(COUNT(*) AS BIGINT) AS n_chunk_hashes
+        FROM per_hash GROUP BY 1 ORDER BY 1
+    """

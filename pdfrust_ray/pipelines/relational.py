@@ -11119,3 +11119,555 @@ def best_supplier_per_part_sql(region: str = "EUROPE") -> str:
         FROM ranked WHERE rn = 1
         ORDER BY bal_cents DESC, p_partkey
     """
+
+
+def time_embargo_split(
+    sf_dir: str, cutoff: str = "2024-01-24", embargo_days: int = 2
+) -> pd.DataFrame:
+    """Purged time-series split: events before (cutoff - embargo) are
+    TRAIN, events on/after cutoff are TEST, and the embargo gap between
+    them is DROPPED — the leakage guard financial-ML evaluation uses so
+    near-boundary rows can't straddle the split. Reports each bucket's
+    event count, distinct users and exact cents total.
+
+    Distributed plan: the bucket label is a pure per-row function
+    (embarrassingly parallel map_batches); distinct users fold through
+    one (bucket, user)-keyed dedupe before the tiny bucket-keyed
+    finalize, so the exchange carries user cardinality, not events."""
+    import numpy as np
+
+    cutoff_us = int(pd.Timestamp(cutoff).value // 1000)
+    embargo_us = embargo_days * 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+        lab = np.where(
+            us < cutoff_us - embargo_us,
+            "train",
+            np.where(us >= cutoff_us, "test", "embargo"),
+        )
+        return pa.table(
+            {
+                "split": pa.array(lab, pa.string()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    labeled = ds.map_batches(bucket, batch_format="pyarrow")
+    per_bucket = (
+        labeled.groupby("split")
+        .aggregate(Count(alias_name="n_events"), Sum("cents", alias_name="sum_cents"))
+        .to_pandas()
+    )
+    users = (
+        labeled.groupby(["split", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("split")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out = (
+        per_bucket.merge(users, on="split")
+        .sort_values("split")
+        .reset_index(drop=True)[["split", "n_events", "n_users", "sum_cents"]]
+    )
+    for c in ("n_events", "n_users", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def time_embargo_split_sql(cutoff: str = "2024-01-24", embargo_days: int = 2) -> str:
+    return f"""
+        SELECT CASE
+                 WHEN ts < TIMESTAMP '{cutoff}' - INTERVAL {embargo_days} DAY
+                     THEN 'train'
+                 WHEN ts >= TIMESTAMP '{cutoff}' THEN 'test'
+                 ELSE 'embargo' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+
+
+def event_type_user_sets(
+    sf_dir: str, value_floor: float = 200.0, since: str = "2024-01-24"
+) -> pd.DataFrame:
+    """Set-algebra audit over two behaviours — A = ever made a
+    high-value purchase (value >= floor), B = hit an error recently
+    (ts >= since): of all users in the events table, how many are in
+    both sets, A only, B only, or neither — the overlap table a
+    retention/incident analysis starts from. One user-keyed Max fold
+    of two indicator columns, then a 4-row count: the exchange
+    carries users, never events."""
+    since_us = int(pd.Timestamp(since).value // 1000)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value", "ts"]
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        is_a = pc.and_(
+            pc.equal(t["event_type"], "purchase"),
+            pc.greater_equal(t["value"], value_floor),
+        )
+        is_b = pc.and_(
+            pc.equal(t["event_type"], "error"),
+            pc.greater_equal(
+                pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), since_us
+            ),
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "has_a": pc.cast(is_a, pa.int64()),
+                "has_b": pc.cast(is_b, pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("has_a", alias_name="has_a"), Max("has_b", alias_name="has_b"))
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = t["has_a"].to_numpy(zero_copy_only=False).astype(bool)
+        b = t["has_b"].to_numpy(zero_copy_only=False).astype(bool)
+        lab = np.where(a & b, "both", np.where(a, "a_only", np.where(b, "b_only", "neither")))
+        return pa.table({"bucket": pa.array(lab, pa.string())})
+
+    out = (
+        per_user.map_batches(label, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def event_type_user_sets_sql(
+    value_floor: float = 200.0, since: str = "2024-01-24"
+) -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value >= {value_floor}
+                            THEN 1 ELSE 0 END) AS has_a,
+                   MAX(CASE WHEN event_type = 'error' AND ts >= TIMESTAMP '{since}'
+                            THEN 1 ELSE 0 END) AS has_b
+            FROM events GROUP BY 1
+        )
+        SELECT CASE WHEN has_a = 1 AND has_b = 1 THEN 'both'
+                    WHEN has_a = 1 THEN 'a_only'
+                    WHEN has_b = 1 THEN 'b_only'
+                    ELSE 'neither' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM per_user GROUP BY 1 ORDER BY 1
+    """
+
+
+def consistent_big_spenders(sf_dir: str) -> pd.DataFrame:
+    """ALL-quantifier query: customers whose EVERY order beats their
+    segment's average order price (strictly) — i.e. MIN(per-customer
+    price) > AVG(segment price). The comparison is done in exact
+    integers (min_cents * seg_order_count > seg_sum_cents), so the
+    float average never appears and both engines agree bit-for-bit.
+
+    Distributed plan: one customer-keyed fold of (min_cents, n, sum),
+    the tiny segment dimension broadcasts; segment totals come from a
+    5-row re-aggregate of the per-customer partials (no second scan of
+    orders)."""
+    per_cust = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                    "cents": _cents(t["o_totalprice"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(
+            Min("cents", alias_name="min_cents"),
+            Count(alias_name="n_orders"),
+            Sum("cents", alias_name="sum_cents"),
+        )
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ref = ray.put(cust)
+
+    class AttachSeg:
+        def __init__(self):
+            self.cust = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.join(
+                self.cust, keys="o_custkey", right_keys="c_custkey", join_type="inner"
+            )
+
+    with_seg = per_cust.map_batches(
+        AttachSeg, batch_format="pyarrow", concurrency=(1, 2)
+    ).materialize()
+
+    seg = (
+        with_seg.groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="seg_n"), Sum("sum_cents", alias_name="seg_sum")
+        )
+        .to_pandas()
+    )
+    seg_n = dict(zip(seg["c_mktsegment"], seg["seg_n"].astype("int64")))
+    seg_sum = dict(zip(seg["c_mktsegment"], seg["seg_sum"].astype("int64")))
+    seg_ref = ray.put((seg_n, seg_sum))
+
+    def pick(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sn, ss = ray.get(seg_ref)
+        segs = t["c_mktsegment"].to_pylist()
+        n = np.array([sn[s] for s in segs], dtype=np.int64)
+        s = np.array([ss[s] for s in segs], dtype=np.int64)
+        keep = t["min_cents"].to_numpy(zero_copy_only=False).astype("int64") * n > s
+        return t.filter(pa.array(keep))
+
+    out = (
+        with_seg.map_batches(pick, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_customers"), Sum("sum_cents", alias_name="revenue_cents")
+        )
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
+
+
+def consistent_big_spenders_sql() -> str:
+    return """
+        WITH o AS (
+            SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), per_cust AS (
+            SELECT o_custkey, c_mktsegment,
+                   MIN(cents) AS min_cents, COUNT(*) AS n_orders,
+                   SUM(cents) AS sum_cents
+            FROM o JOIN customer ON c_custkey = o_custkey GROUP BY 1, 2
+        ), seg AS (
+            SELECT c_mktsegment, SUM(n_orders) AS seg_n, SUM(sum_cents) AS seg_sum
+            FROM per_cust GROUP BY 1
+        )
+        SELECT p.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(p.sum_cents) AS BIGINT) AS revenue_cents
+        FROM per_cust p JOIN seg s ON p.c_mktsegment = s.c_mktsegment
+        WHERE p.min_cents * s.seg_n > s.seg_sum
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def supplier_runnerup_gap(sf_dir: str, region: str = "EUROPE", k: int = 20) -> pd.DataFrame:
+    """Competitive-gap audit (TPC-H Q2 extended to top-2): for every
+    part sourced from >= 2 distinct suppliers of one region, the
+    balance gap between its best and second-best supplier (balance
+    DESC, suppkey ASC order) — the 'how contested is this part' signal
+    a sourcing optimizer ranks by. Returns the k widest gaps.
+
+    Distributed plan: the region-filtered supplier dimension
+    broadcasts once; lineitem streams to per-batch-distinct
+    (part, supplier, balance) rows; a 64-way coarse shard on partkey
+    finishes the global dedupe and the top-2-per-part selection
+    VECTORIZED (lexsort + group-rank, no window shuffle); each shard
+    keeps only its local k widest gaps so the driver merges 64*k rows."""
+    import numpy as np
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    nk = nat.join(
+        reg.filter(pc.equal(pc.field("r_name"), region)),
+        keys="n_regionkey",
+        right_keys="r_regionkey",
+        join_type="inner",
+    )["n_nationkey"]
+    sup = sup.filter(pc.is_in(pc.cast(sup["s_nationkey"], pa.int64()), pc.cast(nk, pa.int64())))
+    side = pa.table(
+        {
+            "s": pc.cast(sup["s_suppkey"], pa.int64()),
+            "bal": _cents(sup["s_acctbal"]),
+        }
+    )
+    ref = ray.put(side)
+
+    class PairBal:
+        def __init__(self):
+            self.sup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pairs = pa.table(
+                {
+                    "p": pc.cast(t["l_partkey"], pa.int64()),
+                    "s": pc.cast(t["l_suppkey"], pa.int64()),
+                }
+            ).group_by(["p", "s"]).aggregate([])
+            j = pairs.join(self.sup, keys="s", join_type="inner")
+            return j.append_column(
+                "_shard", pc.cast(pc.bit_wise_and(j["p"], 63), pa.int32())
+            )
+
+    def shard_top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["p", "s"])
+        p = g["p"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        bal = g["bal"].to_numpy(np.int64)
+        order = np.lexsort((s, -bal, p))  # (p ASC, bal DESC, s ASC)
+        p, s, bal = p[order], s[order], bal[order]
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        sizes = np.diff(np.r_[starts, len(p)])
+        best = starts[sizes >= 2]
+        if not len(best):
+            return pd.DataFrame(
+                {
+                    "p_partkey": pd.Series([], dtype="int64"),
+                    "best_suppkey": pd.Series([], dtype="int64"),
+                    "runnerup_suppkey": pd.Series([], dtype="int64"),
+                    "gap_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        gap = bal[best] - bal[best + 1]
+        top = np.lexsort((p[best], -gap))[:k]  # local k widest
+        return pd.DataFrame(
+            {
+                "p_partkey": p[best][top],
+                "best_suppkey": s[best][top],
+                "runnerup_suppkey": s[best + 1][top],
+                "gap_cents": gap[top],
+            }
+        )
+
+    cand = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+        .map_batches(PairBal, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("_shard")
+        .map_groups(shard_top2, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        cand.sort_values(["gap_cents", "p_partkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def supplier_runnerup_gap_sql(region: str = "EUROPE", k: int = 20) -> str:
+    return f"""
+        WITH eu AS (
+            SELECT s_suppkey, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey WHERE r_name = '{region}'
+        ), pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ), ranked AS (
+            SELECT l_partkey AS p, s_suppkey, bal,
+                   ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                      ORDER BY bal DESC, s_suppkey) AS rn
+            FROM pairs JOIN eu ON l_suppkey = s_suppkey
+        )
+        SELECT p AS p_partkey,
+               MAX(CASE WHEN rn = 1 THEN s_suppkey END) AS best_suppkey,
+               MAX(CASE WHEN rn = 2 THEN s_suppkey END) AS runnerup_suppkey,
+               CAST(MAX(CASE WHEN rn = 1 THEN bal END)
+                    - MAX(CASE WHEN rn = 2 THEN bal END) AS BIGINT) AS gap_cents
+        FROM ranked WHERE rn <= 2
+        GROUP BY p HAVING COUNT(*) = 2
+        ORDER BY gap_cents DESC, p_partkey LIMIT {k}
+    """
+
+
+def same_day_repeat_orders(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-order audit: (customer, day) cells with >= 2 orders —
+    the double-submit / bot signal an order-intake monitor counts per
+    market segment. Reports, per segment, how many customer-days
+    repeated and how many surplus orders they carried.
+
+    Distributed plan: (custkey, epoch_day) packs into ONE int64
+    (custkey * 4096 + day_offset — the order-date domain spans < 4096
+    days, asserted), so the count is a single-key aggregate (sidesteps
+    the Ray 2.49 multi-key-agg join quirk); only repeated cells —
+    a tiny fraction — reach the broadcast segment join."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    BASE, SPAN = 8000, 4096  # TPC-H order dates: epoch days 8035..10592
+
+    def pack(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()),
+            pa.int64(),
+        )
+        off = pc.subtract(pc.divide(day, 86_400_000_000), BASE)
+        if len(t):
+            mm = pc.min_max(off)
+            if mm["min"].as_py() < 0 or mm["max"].as_py() >= SPAN:
+                raise ValueError("order date outside the packing window")
+        return pa.table(
+            {
+                "cell": pc.add(
+                    pc.multiply(pc.cast(t["o_custkey"], pa.int64()), SPAN), off
+                )
+            }
+        )
+
+    cells = (
+        ds.map_batches(pack, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": pc.divide(t["cell"], SPAN),
+                    "extra": pc.subtract(t["n"], 1),
+                }
+            ).filter(pc.greater(t["n"], 1)),
+            batch_format="pyarrow",
+        )
+    )
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cref = ray.put(cust)
+
+    class Seg:
+        def __init__(self):
+            self.cust = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.join(self.cust, keys="o_custkey", right_keys="c_custkey")
+
+    out = (
+        cells.map_batches(Seg, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_repeat_cells"), Sum("extra", alias_name="n_extra_orders")
+        )
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    for c in ("n_repeat_cells", "n_extra_orders"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def same_day_repeat_orders_sql() -> str:
+    return """
+        WITH cells AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+            FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_repeat_cells,
+               CAST(SUM(n - 1) AS BIGINT) AS n_extra_orders
+        FROM cells JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def user_lifecycle_daily(sf_dir: str) -> pd.DataFrame:
+    """Growth accounting (the new / retained / resurrected / churned
+    ledger every DAU dashboard decomposes into): for each day, how
+    many users were active for the first time ever, active yesterday
+    too, back after a gap, or active yesterday but gone today
+    (churn attributed to the first silent day; nothing is attributed
+    past the last observed day).
+
+    Distributed plan: per-batch distinct (user, day) pairs, then a
+    64-way coarse shard on user finishes the dedupe and classifies
+    each user's day sequence VECTORIZED (sorted diffs, boundary
+    masks) — the exchange carries user-day pairs, never events; the
+    finalize is a tiny (day, state) aggregate. The global last day
+    comes from a one-column Max pre-pass."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 86_400_000_000
+        )
+        d = (
+            pa.table({"u": pc.cast(t["user_id"], pa.int64()), "d": day})
+            .group_by(["u", "d"])
+            .aggregate([])
+        )
+        return d.append_column("_shard", pc.cast(pc.bit_wise_and(d["u"], 63), pa.int32()))
+
+    deduped = ds.map_batches(pairs, batch_format="pyarrow")
+    gmax = int(deduped.max("d"))
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "d"]).sort_values(["u", "d"])
+        u = g["u"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        first = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[0, d[1:] - d[:-1]]  # valid where not first
+        state = np.where(first, "new", np.where(gap == 1, "retained", "resurrected"))
+        last = np.r_[first[1:], True]
+        churn_day = d[(~last & np.r_[gap[1:] > 1, False]) | (last & (d < gmax))] + 1
+        day = np.concatenate([d, churn_day])
+        st = np.concatenate([state, np.full(len(churn_day), "churned")])
+        return pd.DataFrame({"d": day, "state": st})
+
+    out = (
+        deduped.groupby("_shard")
+        .map_groups(classify, batch_format="pandas")
+        .groupby(["d", "state"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["d", "state"])
+        .reset_index(drop=True)
+    )
+    out["d"] = pd.to_datetime(out["d"] * 86_400_000_000_000)
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def user_lifecycle_daily_sql() -> str:
+    return """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), mx AS (SELECT MAX(d) AS m FROM ud),
+        seq AS (
+            SELECT user_id, d,
+                   LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS pd,
+                   LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS nd
+            FROM ud
+        ), states AS (
+            SELECT d, CASE WHEN pd IS NULL THEN 'new'
+                           WHEN d - pd = 1 THEN 'retained'
+                           ELSE 'resurrected' END AS state
+            FROM seq
+            UNION ALL
+            SELECT d + 1, 'churned' FROM seq, mx
+            WHERE (nd IS NULL AND d < m) OR (nd IS NOT NULL AND nd - d > 1)
+        )
+        SELECT CAST(d AS TIMESTAMP) AS d, state,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM states GROUP BY 1, 2 ORDER BY 1, 2
+    """

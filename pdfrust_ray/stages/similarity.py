@@ -17,6 +17,7 @@ import heapq
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -905,4 +906,137 @@ def hard_negative_mining_sql(scale: int = 1_000_000) -> str:
         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                                    ORDER BY dot DESC, neg_id) = 1
         ORDER BY vec_id
+    """
+
+
+def mutual_knn_degree(sf_dir: str, k: int = 5, scale: int = 1_000_000) -> pd.DataFrame:
+    """kNN-graph construction + mutuality audit: every vector's k
+    nearest neighbours by EXACT int64 dot product of 1e-6-quantized
+    components (ties broken by min neighbour id, self excluded); an
+    edge is MUTUAL when both endpoints rank each other — the graph
+    SemDeDup-style semantic dedup and graph-based coreset selection
+    build first. Output: the histogram of mutual-degree (0..k) over
+    all vectors.
+
+    Distributed plan: the candidate pool broadcasts once (at 10^9
+    vectors the pool is an IVF bucket or a sampled anchor set — see
+    ann_ivf_topk for the partition-pruned sibling); anchors stream
+    through one [batch, N] int matmul emitting k directed edges each;
+    mutuality is a canonical-pair groupby (count==2) and the degree
+    histogram a node-keyed count — both exchanges carry O(N*k) rows,
+    never O(N^2)."""
+    t = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    pool_ids = t["vec_id"].to_numpy().astype(np.int64)
+    pool_mat = np.round(
+        np.asarray(list(t["embedding"]), dtype=np.float64) * scale
+    ).astype(np.int64)
+    n_total = len(pool_ids)
+    ref = ray.put((pool_ids, pool_mat))
+
+    class KnnEdges:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = int_column(batch["vec_id"])
+            v = np.round(
+                embedding_matrix(batch["embedding"]).astype(np.float64) * scale
+            ).astype(np.int64)
+            dots = v @ self.mat.T  # [batch, N] exact int64
+            # min+1, not min: -(int64.min) overflows back to int64.min and
+            # would sort the masked self-column FIRST instead of last
+            dots[vid[:, None] == self.ids[None, :]] = np.iinfo(np.int64).min + 1
+            # top-k by (dot DESC, id ASC): ids are sorted ascending, so
+            # a stable argsort on -dot resolves ties to the lowest id
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :k]
+            src = np.repeat(vid, k)
+            dst = self.ids[order].ravel()
+            return pa.table(
+                {
+                    "a": pa.array(np.minimum(src, dst), pa.int64()),
+                    "b": pa.array(np.maximum(src, dst), pa.int64()),
+                }
+            )
+
+    from ray.data.aggregate import Count, Sum
+
+    edges = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(KnnEdges, batch_size=256, concurrency=2, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_dir"))
+        .map_batches(
+            lambda tbl: tbl.filter(pc.equal(tbl["n_dir"], 2)),
+            batch_format="pyarrow",
+        )
+    )
+
+    def both_ends(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        pc.cast(tbl["a"], pa.int64()).combine_chunks(),
+                        pc.cast(tbl["b"], pa.int64()).combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    deg = (
+        edges.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="degree"))
+        .groupby("degree")
+        .aggregate(Count(alias_name="n_vectors"))
+        .to_pandas()
+    )
+    deg["degree"] = deg["degree"].astype("int64")
+    deg["n_vectors"] = deg["n_vectors"].astype("int64")
+    n_isolated = n_total - int(deg["n_vectors"].sum())
+    if n_isolated:
+        deg = pd.concat(
+            [pd.DataFrame({"degree": [0], "n_vectors": [n_isolated]}), deg],
+            ignore_index=True,
+        )
+    return deg.sort_values("degree").reset_index(drop=True)
+
+
+def mutual_knn_degree_sql(k: int = 5, scale: int = 1_000_000) -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        knn AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY a.vec_id
+                ORDER BY CAST(list_dot_product(a.v, b.v) AS BIGINT) DESC,
+                         b.vec_id) <= {k}
+        ),
+        mutual AS (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM knn GROUP BY 1, 2 HAVING COUNT(*) = 2
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS degree FROM (
+                SELECT a AS node FROM mutual
+                UNION ALL SELECT b FROM mutual
+            ) GROUP BY 1
+        ),
+        all_deg AS (
+            SELECT e.vec_id, COALESCE(deg.degree, 0) AS degree
+            FROM e LEFT JOIN deg ON e.vec_id = deg.node
+        )
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM all_deg GROUP BY 1 ORDER BY 1
     """
