@@ -906,6 +906,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_lifecycle_daily": rel.user_lifecycle_daily,
         # cross-doc chunk-hash duplication histogram (RAG ingest profile)
         "chunk_dedup_stats": lambda sf: dso.chunk_dedup_stats(sf),
+        # relational division: users covering EVERY event type
+        "users_all_event_types": rel.users_all_event_types,
+        # co-partitioned self-agg join: events above the user's own p95
+        "events_above_own_p95": rel.events_above_own_p95,
+        # gaps-and-islands: same-role run-length histogram per role
+        "role_run_lengths": _q_conv(cv.role_run_lengths),
     }
 
 
@@ -1332,6 +1338,9 @@ def oracle_sql() -> dict[str, str]:
         "same_day_repeat_orders": rel.same_day_repeat_orders_sql(),
         "user_lifecycle_daily": rel.user_lifecycle_daily_sql(),
         "chunk_dedup_stats": dso.chunk_dedup_stats_sql(),
+        "users_all_event_types": rel.users_all_event_types_sql(),
+        "events_above_own_p95": rel.events_above_own_p95_sql(),
+        "role_run_lengths": cv.role_run_lengths_sql(_T2_SHARDS),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1252,3 +1252,63 @@ def context_size_at_turn_sql(shards_glob: str) -> str:
                CAST(SUM(cum) AS BIGINT) AS sum_cum_chars
         FROM c GROUP BY 1 ORDER BY 1
     """
+
+
+def role_run_lengths(corpus_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands over the role sequence: the histogram of
+    consecutive same-role run lengths per role (how long do user
+    monologues / assistant chains / tool bursts run before the floor
+    changes) — the turn-taking texture profile that separates chat
+    logs from agentic tool-loop traces.
+
+    Distributed plan: same bucket shuffle as role_transitions; each
+    bucket finds run boundaries with ONE vectorized mask over the
+    (conv, turn)-sorted frame and emits (role, run_len, partial_n)
+    rows; the finalize sums a histogram-sized table."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        new_run = np.r_[True, (conv[1:] != conv[:-1]) | (role[1:] != role[:-1])]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, len(g)])
+        out = pd.DataFrame({"role": role[starts], "run_len": lens.astype("int64")})
+        return (
+            out.groupby(["role", "run_len"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    out = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["role", "run_len"])
+        .aggregate(Sum("n", alias_name="n_runs"))
+        .to_pandas()
+        .sort_values(["role", "run_len"])
+        .reset_index(drop=True)
+    )
+    for c in ("run_len", "n_runs"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def role_run_lengths_sql(shards_glob: str) -> str:
+    return f"""
+        WITH runs AS (
+            SELECT conv_id, role,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   - ROW_NUMBER() OVER (PARTITION BY conv_id, role
+                                        ORDER BY turn_idx) AS grp
+            FROM read_parquet('{shards_glob}')
+        ), islands AS (
+            SELECT role, COUNT(*) AS run_len
+            FROM runs GROUP BY conv_id, role, grp
+        )
+        SELECT role, CAST(run_len AS BIGINT) AS run_len,
+               CAST(COUNT(*) AS BIGINT) AS n_runs
+        FROM islands GROUP BY 1, 2 ORDER BY 1, 2
+    """

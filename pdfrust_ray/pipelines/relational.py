@@ -11671,3 +11671,152 @@ def user_lifecycle_daily_sql() -> str:
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM states GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def users_all_event_types(sf_dir: str) -> pd.DataFrame:
+    """Relational DIVISION (the FOR-ALL join): users who performed
+    EVERY event type in the catalog — the 'fully activated user'
+    cohort definition. Returns one summary row (count + min/max/sum of
+    the qualifying user ids) so the result stays O(1) while still
+    pinning the exact membership set via the sum checksum.
+
+    Distributed plan: division reduces to `count distinct types per
+    user == |catalog|`; per-batch distinct (user, type) pairs shrink
+    the exchange, a 64-way coarse shard on user finishes the global
+    distinct + per-user nunique VECTORIZED, and each shard emits one
+    partial summary row — the driver folds 64 rows. The catalog size
+    comes from a tiny distinct pre-pass."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    n_types = ds.groupby("event_type").aggregate(Count(alias_name="_n")).count()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        d = (
+            pa.table(
+                {"u": pc.cast(t["user_id"], pa.int64()), "ty": t["event_type"]}
+            )
+            .group_by(["u", "ty"])
+            .aggregate([])
+        )
+        return d.append_column("_shard", pc.cast(pc.bit_wise_and(d["u"], 63), pa.int32()))
+
+    def shard_summary(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "ty"])
+        cnt = g.groupby("u", sort=False)["ty"].nunique()
+        q = cnt.index.to_numpy(np.int64)[cnt.to_numpy() == n_types]
+        if not len(q):
+            return pd.DataFrame(
+                {"n": [0], "mn": [np.iinfo(np.int64).max], "mx": [-1], "sm": [0]}
+            )
+        return pd.DataFrame(
+            {"n": [len(q)], "mn": [q.min()], "mx": [q.max()], "sm": [q.sum()]}
+        )
+
+    parts = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_summary, batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    return pd.DataFrame(
+        {
+            "n_users": [n],
+            "min_user": [int(parts["mn"].min()) if n else -1],
+            "max_user": [int(parts["mx"].max()) if n else -1],
+            "sum_user": [int(parts["sm"].sum())],
+        }
+    )
+
+
+def users_all_event_types_sql() -> str:
+    return """
+        WITH t AS (SELECT COUNT(DISTINCT event_type) AS c FROM events),
+        q AS (
+            SELECT user_id FROM events GROUP BY 1
+            HAVING COUNT(DISTINCT event_type) = (SELECT c FROM t)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COALESCE(MIN(user_id), -1) AS BIGINT) AS min_user,
+               CAST(COALESCE(MAX(user_id), -1) AS BIGINT) AS max_user,
+               CAST(COALESCE(SUM(user_id), 0) AS BIGINT) AS sum_user
+        FROM q
+    """
+
+
+def events_above_own_p95(sf_dir: str) -> pd.DataFrame:
+    """Self-aggregate exceedance join: every event compared against ITS
+    OWN USER'S exact p95 (quantile_disc, integer cents) — 'which event
+    types drive users' personal outliers', the per-entity-threshold
+    anomaly attribution a fleet monitor reports.
+
+    Distributed plan: a naive formulation computes per-user p95 then
+    JOINS it back to events (an all-to-all self-join). Co-partitioning
+    kills the join: one 64-way shard on user carries (user, type,
+    cents), each shard computes its users' p95 with one vector sort
+    AND classifies its own rows in place (np.repeat of the group p95),
+    emitting per-type partial counts; the finalize aggregates a few
+    dozen rows."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+
+    def shardify(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pc.cast(t["user_id"], pa.int64()),
+                "ty": t["event_type"],
+                "cents": _cents(t["value"]),
+                "_shard": pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()),
+            }
+        )
+
+    def shard_exceed(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "cents"], kind="mergesort")
+        u = g["u"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, len(u)])
+        ranks = np.ceil(0.95 * sizes).astype(np.int64)  # 1-based
+        p95 = np.repeat(c[starts + ranks - 1], sizes)
+        above = c > p95
+        out = pd.DataFrame({"ty": g["ty"].to_numpy(), "above": above.astype(np.int64)})
+        return (
+            out.groupby("ty", as_index=False)
+            .agg(n_events=("above", "size"), n_above=("above", "sum"))
+        )
+
+    out = (
+        ds.map_batches(shardify, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_exceed, batch_format="pandas")
+        .groupby("ty")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("n_above", alias_name="n_above"))
+        .to_pandas()
+        .rename(columns={"ty": "event_type"})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("n_events", "n_above"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def events_above_own_p95_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT user_id, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), p AS (
+            SELECT user_id, quantile_disc(cents, 0.95) AS p95
+            FROM c GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN cents > p95 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above
+        FROM c JOIN p USING (user_id)
+        GROUP BY 1 ORDER BY 1
+    """
