@@ -912,6 +912,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_above_own_p95": rel.events_above_own_p95,
         # gaps-and-islands: same-role run-length histogram per role
         "role_run_lengths": _q_conv(cv.role_run_lengths),
+        # iterative distributed BFS over the co-purchase graph
+        "part_bfs_levels": graph.part_bfs_levels,
+        # token-budget curriculum prefix via two-phase scan on the score key
+        "quality_budget_selection": lambda sf: llm.quality_budget_selection(sf),
     }
 
 
@@ -1341,6 +1345,8 @@ def oracle_sql() -> dict[str, str]:
         "users_all_event_types": rel.users_all_event_types_sql(),
         "events_above_own_p95": rel.events_above_own_p95_sql(),
         "role_run_lengths": cv.role_run_lengths_sql(_T2_SHARDS),
+        "part_bfs_levels": graph.part_bfs_levels_sql(),
+        "quality_budget_selection": llm.quality_budget_selection_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

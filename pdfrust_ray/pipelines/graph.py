@@ -457,3 +457,121 @@ def user_triangles_sql(min_shared: int = 3) -> str:
                  AS n_wedges,
                (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles
     """
+
+
+def part_bfs_levels(sf_dir: str, max_depth: int = 3) -> pd.DataFrame:
+    """Breadth-first search over the part co-purchase graph (parts are
+    adjacent when some order contains both) from the lowest partkey:
+    per level 0..max_depth, how many parts are first reached there,
+    with a sum-of-partkey checksum pinning the exact membership —
+    the reachability / neighborhood-size primitive graph-expansion
+    features (and SQL's WITH RECURSIVE) compute.
+
+    Distributed plan: the edge list is built ONCE (64-way coarse shard
+    on orderkey finishes per-order grouping; the sorted-lag trick emits
+    both edge directions vectorized) and materialized; each BFS round
+    streams the edges with the CURRENT FRONTIER broadcast (ray.put of
+    a vertex-id array — frontier/visited state is vertex-sized, never
+    edge-sized; at node counts beyond driver RAM the round becomes the
+    label-propagation exchange dedup_clusters documents). Rounds are
+    O(max_depth), each one edge scan."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    seed = int(li.min("l_partkey"))
+
+    def shardify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = (
+            pa.table(
+                {
+                    "o": pc.cast(t["l_orderkey"], pa.int64()),
+                    "p": pc.cast(t["l_partkey"], pa.int64()),
+                }
+            )
+            .group_by(["o", "p"])
+            .aggregate([])
+        )
+        return d.append_column(
+            "_shard", pc.cast(pc.bit_wise_and(d["o"], 63), pa.int32())
+        )
+
+    def shard_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "p"]).sort_values(["o", "p"])
+        o = g["o"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        if len(p) and int(p.max()) >= (1 << 31):
+            raise ValueError("partkey exceeds the 31-bit packing bound")
+        src, dst = [], []
+        lag = 1
+        while lag < len(o):
+            same = o[lag:] == o[:-lag]
+            if not same.any():
+                break
+            a = p[:-lag][same]
+            b = p[lag:][same]
+            src.append(np.concatenate([a, b]))  # both directions
+            dst.append(np.concatenate([b, a]))
+            lag += 1
+        if not src:
+            return pd.DataFrame(
+                {"x": pd.Series([], dtype="int64"), "y": pd.Series([], dtype="int64")}
+            )
+        packed = np.unique(np.concatenate(src) * (1 << 32) + np.concatenate(dst))
+        return pd.DataFrame(
+            {
+                "x": (packed >> 32).astype("int64"),
+                "y": (packed & ((1 << 32) - 1)).astype("int64"),
+            }
+        )
+
+    edges = (
+        li.map_batches(shardify, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_edges, batch_format="pandas")
+        .materialize()
+    )
+
+    visited = {seed}
+    frontier = np.array([seed], dtype=np.int64)
+    rows = [(0, 1, seed)]
+    for lvl in range(1, max_depth + 1):
+        fref = ray.put(frontier)
+
+        def expand(t: pa.Table) -> pa.Table:
+            f = ray.get(fref)
+            x = t["x"].to_numpy()
+            hit = np.isin(x, f)
+            return pa.table({"y": pa.array(np.unique(t["y"].to_numpy()[hit]), pa.int64())})
+
+        # per-block unique neighbor ids -> vertex-sized driver merge
+        nxt_tbl = edges.map_batches(expand, batch_format="pyarrow").to_pandas()
+        nxt = np.unique(nxt_tbl["y"].to_numpy(np.int64))
+        nxt = nxt[~np.isin(nxt, np.fromiter(visited, dtype=np.int64, count=len(visited)))]
+        if not len(nxt):
+            break
+        visited.update(int(v) for v in nxt)
+        rows.append((lvl, len(nxt), int(nxt.sum())))
+        frontier = nxt
+    return pd.DataFrame(rows, columns=["lvl", "n_parts", "sum_partkey"]).astype("int64")
+
+
+def part_bfs_levels_sql(max_depth: int = 3) -> str:
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ), seed AS (SELECT MIN(l_partkey) AS m FROM lineitem),
+        bfs AS (
+            SELECT m AS node, 0 AS lvl FROM seed
+            UNION
+            SELECT p.y, b.lvl + 1 FROM bfs b JOIN pairs p ON p.x = b.node
+            WHERE b.lvl < {max_depth}
+        ), first_seen AS (
+            SELECT node, MIN(lvl) AS lvl FROM bfs GROUP BY 1
+        )
+        SELECT CAST(lvl AS BIGINT) AS lvl,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(node) AS BIGINT) AS sum_partkey
+        FROM first_seen GROUP BY 1 ORDER BY 1
+    """

@@ -1036,3 +1036,113 @@ def kfold_assignment_sql(k: int = 5) -> str:
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def quality_budget_selection(sf_dir: str) -> pd.DataFrame:
+    """Token-budget curriculum: rank every document by an integer
+    quality score (distinct-token ratio in per-mille: the lexical-
+    diversity proxy CCNet-style curations sort by), then take the
+    quality-ordered PREFIX whose cumulative token count fits half the
+    corpus budget, and report what the selected set looks like per
+    language — the 'what actually makes the training mix under a
+    token budget' question every data-curation run answers.
+
+    Distributed plan: a global ordered prefix-sum without a global
+    sort — the quality score (0..1000) IS the range-partition key:
+      up-sweep: one groupby(quality) Sum(tokens) -> <= 1001 rows;
+      driver: exclusive prefix over quality DESC (tiny) + the budget;
+      down-sweep: groupby(quality).map_groups orders its docs by
+        doc_id, adds the bucket offset, keeps cum <= budget and emits
+        per-lang partials.
+    Same two-phase Blelloch scan as running_global_total, with the
+    bounded score domain replacing the id-bucket key."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        qs, nt = [], []
+        for txt in t["text"].to_pylist():
+            ws = txt.split()
+            nt.append(len(ws))
+            qs.append((len(set(ws)) * 1000) // len(ws) if ws else 0)
+        out = pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": t["lang"],
+                "n_tokens": pa.array(nt, pa.int64()),
+                "q": pa.array(qs, pa.int64()),
+            }
+        )
+        return out.filter(pc.greater(out["n_tokens"], 0))
+
+    # used by both sweep phases: cache the per-doc score table (4 thin
+    # columns, corpus-row-sized) instead of re-running the string pass
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+
+    sums = (
+        scored.groupby("q")
+        .aggregate(Sum("n_tokens", alias_name="s"))
+        .to_pandas()
+        .sort_values("q", ascending=False)
+        .reset_index(drop=True)
+    )
+    budget = int(sums["s"].sum()) // 2
+    excl = sums["s"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(sums["q"].astype(int), excl.astype(int)))
+    oref = ray.put((offsets, budget))
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        offs, b = ray.get(oref)
+        off = offs[int(g["q"].iloc[0])]
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        cum = g["n_tokens"].cumsum() + off
+        kept = g[cum <= b]
+        return (
+            kept.groupby("lang", as_index=False)
+            .agg(n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"))
+        )
+
+    out = (
+        scored.groupby("q")
+        .map_groups(select, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def quality_budget_selection_sql() -> str:
+    return r"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   w -> w <> '')) AS n_tokens,
+                   len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                                 w -> w <> ''))) AS n_distinct
+            FROM documents
+        ), q AS (
+            SELECT doc_id, lang, n_tokens,
+                   (n_distinct * 1000) // n_tokens AS q
+            FROM scored WHERE n_tokens > 0
+        ), ranked AS (
+            SELECT *, SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+            FROM q
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM ranked
+        WHERE cum <= (SELECT SUM(n_tokens) FROM q) // 2
+        GROUP BY 1 ORDER BY 1
+    """
