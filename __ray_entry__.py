@@ -916,6 +916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_bfs_levels": graph.part_bfs_levels,
         # token-budget curriculum prefix via two-phase scan on the score key
         "quality_budget_selection": lambda sf: llm.quality_budget_selection(sf),
+        # exact distributed NTILE(10) via order-statistic selection, no global sort
+        "customer_decile_transition": rel.customer_decile_transition,
     }
 
 
@@ -1347,6 +1349,7 @@ def oracle_sql() -> dict[str, str]:
         "role_run_lengths": cv.role_run_lengths_sql(_T2_SHARDS),
         "part_bfs_levels": graph.part_bfs_levels_sql(),
         "quality_budget_selection": llm.quality_budget_selection_sql(),
+        "customer_decile_transition": rel.customer_decile_transition_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -11820,3 +11820,221 @@ def events_above_own_p95_sql() -> str:
         FROM c JOIN p USING (user_id)
         GROUP BY 1 ORDER BY 1
     """
+
+
+def customer_decile_transition(sf_dir: str, y0: int = 1997, y1: int = 1998) -> pd.DataFrame:
+    """Decile transition matrix: customers ranked into revenue
+    NTILE(10) within year y0 and again within y1; the 10x10 matrix of
+    (decile_y0 -> decile_y1) populations — the mobility table churn /
+    LTV models are calibrated on.
+
+    The hard part is EXACT NTILE — a global rank — WITHOUT a global
+    sort. Ties are removed by construction (sort key packs
+    total_cents << 21 | custkey, unique and ordered exactly like
+    ORDER BY total, custkey), then each year's nine decile boundaries
+    are found by distributed ORDER-STATISTIC SELECTION:
+
+      pass A (coarse histogram): one scan counts rows per high-bit
+        bucket (key >> 24) — the exchange is occupied-bucket-sized;
+        the driver locates, for each NTILE cut rank, the bucket
+        holding it and the residual rank inside;
+      pass B (refine): only the <= 9 boundary buckets' rows are
+        pulled (tiny by construction) and the exact boundary keys
+        read off;
+      pass C (assign): a zero-shuffle scan maps every key to its
+        decile via searchsorted against the 9 broadcast boundaries.
+
+    The year-pairing is one custkey-sharded exchange of (cust, year,
+    decile) triples. No stage ever holds more than bucket-histogram
+    or boundary-bucket state on the driver."""
+    import numpy as np
+
+    KEY_SHIFT, BUCKET_SHIFT = 21, 24
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def totals_prep(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        keep = pc.or_(pc.equal(yr, y0), pc.equal(yr, y1))
+        t2 = t.filter(keep)
+        yrbit = pc.cast(pc.equal(pc.year(t2["o_orderdate"]), y1), pa.int64())
+        cust = pc.cast(t2["o_custkey"], pa.int64())
+        return pa.table(
+            {
+                "cy": pc.add(pc.multiply(cust, 2), yrbit),
+                "cents": _cents(t2["o_totalprice"]),
+            }
+        )
+
+    totals = (
+        ds.map_batches(totals_prep, batch_format="pyarrow")
+        .groupby("cy")
+        .aggregate(Sum("cents", alias_name="total"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "cust": pc.divide(t["cy"], 2),
+                    "yb": pc.bit_wise_and(t["cy"], 1),
+                    "key": pc.add(
+                        pc.shift_left(t["total"], KEY_SHIFT),
+                        pc.divide(t["cy"], 2),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def _assert_bounds(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        c = t["cust"].to_numpy()
+        k = t["key"].to_numpy()
+        if len(c) and (int(c.max()) >= (1 << KEY_SHIFT) or int(k.max()) >= (1 << 62)):
+            raise ValueError("custkey/total exceed the packing bounds")
+        return t
+
+    totals = totals.map_batches(_assert_bounds, batch_format="pyarrow").materialize()
+
+    # pass A: occupied-bucket histogram per year
+    def bucketize(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        yb = t["yb"].to_numpy()
+        bk = t["key"].to_numpy() >> BUCKET_SHIFT
+        packed = yb * (1 << 40) + bk  # year-tagged bucket id
+        u, c = _np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "b": pa.array(u, pa.int64()),
+                "n": pa.array(c, pa.int64()),
+                "_shard": pa.array((u & 63).astype(_np.int32), pa.int32()),
+            }
+        )
+
+    def shard_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("b", as_index=False)["n"].sum()
+        return s
+
+    hist = (
+        totals.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_sum, batch_format="pandas")
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+
+    def cut_ranks(n: int, k: int = 10) -> np.ndarray:
+        base, rem = divmod(n, k)
+        sizes = np.full(k, base, dtype=np.int64)
+        sizes[:rem] += 1
+        return np.cumsum(sizes)[:-1]  # nine 1-based boundary ranks
+
+    need: dict[int, list[tuple[int, int]]] = {}  # bucket -> [(yb, residual_rank)]
+    n_year = {}
+    for yb in (0, 1):
+        h = hist[hist["b"] // (1 << 40) == yb]
+        counts = h["n"].to_numpy()
+        buckets = h["b"].to_numpy()
+        n = int(counts.sum())
+        n_year[yb] = n
+        cum = np.cumsum(counts)
+        for r in cut_ranks(n):
+            i = int(np.searchsorted(cum, r))  # first bucket with cum >= r
+            resid = int(r - (cum[i - 1] if i else 0))  # 1-based within bucket
+            need.setdefault(int(buckets[i]), []).append((yb, resid))
+
+    need_ref = ray.put(set(need))
+
+    # pass B: pull only the boundary buckets' keys
+    def pull(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        nd = ray.get(need_ref)
+        yb = t["yb"].to_numpy()
+        key = t["key"].to_numpy()
+        packed = yb * (1 << 40) + (key >> BUCKET_SHIFT)
+        m = _np.isin(packed, _np.fromiter(nd, dtype=_np.int64, count=len(nd)))
+        return pa.table(
+            {"b": pa.array(packed[m], pa.int64()), "key": pa.array(key[m], pa.int64())}
+        )
+
+    picked = totals.map_batches(pull, batch_format="pyarrow").to_pandas()
+    bounds = {0: [], 1: []}
+    for b, want in need.items():
+        ks = np.sort(picked.loc[picked["b"] == b, "key"].to_numpy(np.int64))
+        for yb, resid in want:
+            bounds[yb].append(int(ks[resid - 1]))
+    b_ref = ray.put((np.sort(np.array(bounds[0], dtype=np.int64)),
+                     np.sort(np.array(bounds[1], dtype=np.int64))))
+
+    # pass C: decile assignment + custkey-sharded year pairing
+    def assign(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        b0, b1 = ray.get(b_ref)
+        yb = t["yb"].to_numpy()
+        key = t["key"].to_numpy()
+        dec = _np.where(
+            yb == 0,
+            _np.searchsorted(b0, key, side="left"),
+            _np.searchsorted(b1, key, side="left"),
+        ) + 1
+        cust = t["cust"].to_numpy()
+        return pa.table(
+            {
+                "cust": pa.array(cust, pa.int64()),
+                "yb": pa.array(yb, pa.int64()),
+                "dec": pa.array(dec.astype(_np.int64), pa.int64()),
+                "_shard": pa.array((cust & 63).astype(_np.int32), pa.int32()),
+            }
+        )
+
+    def pair(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.pivot_table(index="cust", columns="yb", values="dec", aggfunc="first")
+        if 0 not in w.columns or 1 not in w.columns:
+            return pd.DataFrame(
+                {"d0": pd.Series([], dtype="int64"), "d1": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        w = w.dropna(subset=[0, 1])
+        out = (
+            w.groupby([0, 1]).size().reset_index(name="n")
+            .rename(columns={0: "d0", 1: "d1"})
+        )
+        return out.astype({"d0": "int64", "d1": "int64", "n": "int64"})
+
+    out = (
+        totals.map_batches(assign, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(pair, batch_format="pandas")
+        .groupby(["d0", "d1"])
+        .aggregate(Sum("n", alias_name="n_customers"))
+        .to_pandas()
+        .rename(columns={"d0": f"decile_{y0}", "d1": f"decile_{y1}"})
+        .sort_values([f"decile_{y0}", f"decile_{y1}"])
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def customer_decile_transition_sql(y0: int = 1997, y1: int = 1998) -> str:
+    return f"""
+        WITH t AS (
+            SELECT o_custkey AS c, year(o_orderdate) AS y,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders WHERE year(o_orderdate) IN ({y0}, {y1})
+            GROUP BY 1, 2
+        ), d AS (
+            SELECT c, y, NTILE(10) OVER (PARTITION BY y ORDER BY cents, c) AS dec
+            FROM t
+        )
+        SELECT a.dec AS decile_{y0}, b.dec AS decile_{y1},
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM d a JOIN d b ON a.c = b.c AND a.y = {y0} AND b.y = {y1}
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
