@@ -918,6 +918,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_budget_selection": lambda sf: llm.quality_budget_selection(sf),
         # exact distributed NTILE(10) via order-statistic selection, no global sort
         "customer_decile_transition": rel.customer_decile_transition,
+        # dyadic-exact exponential time-decay engagement ranking
+        "recency_weighted_user_scores": rel.recency_weighted_user_scores,
+        # integer-exact Herfindahl supply-concentration index per part
+        "supplier_part_herfindahl": rel.supplier_part_herfindahl,
     }
 
 
@@ -1350,6 +1354,8 @@ def oracle_sql() -> dict[str, str]:
         "part_bfs_levels": graph.part_bfs_levels_sql(),
         "quality_budget_selection": llm.quality_budget_selection_sql(),
         "customer_decile_transition": rel.customer_decile_transition_sql(),
+        "recency_weighted_user_scores": rel.recency_weighted_user_scores_sql(),
+        "supplier_part_herfindahl": rel.supplier_part_herfindahl_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

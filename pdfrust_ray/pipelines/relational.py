@@ -12038,3 +12038,170 @@ def customer_decile_transition_sql(y0: int = 1997, y1: int = 1998) -> str:
         FROM d a JOIN d b ON a.c = b.c AND a.y = {y0} AND b.y = {y1}
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def recency_weighted_user_scores(
+    sf_dir: str, anchor: str = "2024-01-31", k: int = 20
+) -> pd.DataFrame:
+    """Exponential time-decay engagement scoring (half-life = 1 day):
+    score(user) = sum over events of value * 2^-(age_days) — the
+    recency-weighted ranking feeds / re-engagement lists use. All
+    arithmetic is INTEGER: with ages bounded by the retention window
+    (< 31 days, asserted) every weight 2^(31-age) is an exact int64
+    shift and the per-user score a plain integer sum — so the float
+    decay never appears and the SQL twin (cents << shift) matches
+    bit-for-bit.
+
+    Distributed plan: weights are per-row (stateless map); per-user
+    sums + local top-k fold inside a 64-way user shard so the driver
+    merges 64*k candidate rows."""
+    import numpy as np
+
+    anchor_day = int(pd.Timestamp(anchor).value // (86_400_000_000 * 1000))
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        day = (
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+            .to_numpy() // 86_400_000_000
+        )
+        age = anchor_day - day
+        if len(age) and (age.min() < 1 or age.max() > 30):
+            raise ValueError("event age outside the 1..30-day decay window")
+        cents = _cents(t["value"]).to_numpy()
+        score = cents << (31 - age)
+        u = pc.cast(t["user_id"], pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "score": pa.array(score, pa.int64()),
+                "_shard": pa.array((u & 63).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("user_id", as_index=False)["score"].sum()
+        s = s.sort_values(["score", "user_id"], ascending=[False, True]).head(k)
+        return s
+
+    cand = (
+        ds.map_batches(weigh, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        cand.sort_values(["score", "user_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out.columns = ["user_id", "decay_score_q30"]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def recency_weighted_user_scores_sql(anchor: str = "2024-01-31", k: int = 20) -> str:
+    return f"""
+        SELECT user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                        << (31 - date_diff('day', CAST(ts AS DATE),
+                                           DATE '{anchor}'))) AS BIGINT)
+                   AS decay_score_q30
+        FROM events GROUP BY 1
+        ORDER BY decay_score_q30 DESC, user_id LIMIT {k}
+    """
+
+
+def supplier_part_herfindahl(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Supply-concentration audit: per part, the Herfindahl-Hirschman
+    index of supplier quantity shares, in exact parts-per-million
+    (HHI_ppm = floor(sum_s qty_s^2 * 10^6 / (sum_s qty_s)^2)) — the
+    'single point of failure' ranking a procurement-risk review reads.
+    Returns the k most concentrated multi-supplier parts
+    (HHI DESC, partkey ASC).
+
+    Distributed plan: one packed-key (part, supplier) Sum collapses
+    lineitems to the supply matrix; a 64-way part shard computes each
+    part's HHI vectorized (segment sums via np.add.reduceat) and keeps
+    its local top-k."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_quantity"]
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        p = pc.cast(t["l_partkey"], pa.int64())
+        s = pc.cast(t["l_suppkey"], pa.int64())
+        if len(t) and int(pc.max(s).as_py()) >= (1 << 20):
+            raise ValueError("suppkey exceeds the 20-bit packing bound")
+        return pa.table(
+            {
+                "ps": pc.add(pc.multiply(p, 1 << 20), s),
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    supply = (
+        ds.map_batches(pack, batch_format="pyarrow")
+        .groupby("ps")
+        .aggregate(Sum("qty", alias_name="qty"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "p": pc.divide(t["ps"], 1 << 20),
+                    "qty": t["qty"],
+                    "_shard": pc.cast(
+                        pc.bit_wise_and(pc.divide(t["ps"], 1 << 20), 63), pa.int32()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def shard_hhi(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("p", kind="mergesort")
+        p = g["p"].to_numpy(np.int64)
+        q = g["qty"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        tot = np.add.reduceat(q, starts)
+        sq = np.add.reduceat(q * q, starts)
+        n_sup = np.diff(np.r_[starts, len(p)])
+        keep = n_sup >= 2  # single-supplier parts are trivially HHI=1
+        hhi = sq[keep] * 1_000_000 // (tot[keep] * tot[keep])
+        parts = p[starts][keep]
+        top = np.lexsort((parts, -hhi))[:k]
+        return pd.DataFrame(
+            {
+                "p_partkey": parts[top].astype("int64"),
+                "n_suppliers": n_sup[keep][top].astype("int64"),
+                "hhi_ppm": hhi[top].astype("int64"),
+            }
+        )
+
+    cand = supply.groupby("_shard").map_groups(shard_hhi, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(["hhi_ppm", "p_partkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def supplier_part_herfindahl_sql(k: int = 25) -> str:
+    return f"""
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+            FROM lineitem GROUP BY 1, 2
+        ), hhi AS (
+            SELECT l_partkey,
+                   COUNT(*) AS n_suppliers,
+                   SUM(qty * qty) * 1000000 // (SUM(qty) * SUM(qty)) AS hhi_ppm
+            FROM supply GROUP BY 1 HAVING COUNT(*) >= 2
+        )
+        SELECT l_partkey AS p_partkey,
+               CAST(n_suppliers AS BIGINT) AS n_suppliers,
+               CAST(hhi_ppm AS BIGINT) AS hhi_ppm
+        FROM hhi ORDER BY hhi_ppm DESC, p_partkey LIMIT {k}
+    """
