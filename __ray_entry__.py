@@ -314,6 +314,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return image_phash_dedup()
 
+    def video_scene_cuts_q(sf_dir: str):
+        from pdfrust_ray.stages.multimodal import video_scene_cuts
+
+        return video_scene_cuts()
+
     def _q_audio_energy_segments(sf_dir: str):
         from pdfrust_ray.stages.multimodal import audio_energy_segments
 
@@ -922,6 +927,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recency_weighted_user_scores": rel.recency_weighted_user_scores,
         # integer-exact Herfindahl supply-concentration index per part
         "supplier_part_herfindahl": rel.supplier_part_herfindahl,
+        # shot-boundary detection over real PPM/GIF video codecs
+        # (rows-only: pinned by exact planted-cut recovery in pytest)
+        "video_scene_cuts": video_scene_cuts_q,
     }
 
 
