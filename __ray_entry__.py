@@ -930,6 +930,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shot-boundary detection over real PPM/GIF video codecs
         # (rows-only: pinned by exact planted-cut recovery in pytest)
         "video_scene_cuts": video_scene_cuts_q,
+        # exact-integer two-sample KS distance over the bounded cents domain
+        "events_ks_statistic": rel.events_ks_statistic,
+        # exact Mann-Whitney AUC (tie-corrected, doubled-numerator ints)
+        "events_value_auc": rel.events_value_auc,
     }
 
 
@@ -1364,6 +1368,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_decile_transition": rel.customer_decile_transition_sql(),
         "recency_weighted_user_scores": rel.recency_weighted_user_scores_sql(),
         "supplier_part_herfindahl": rel.supplier_part_herfindahl_sql(),
+        "events_ks_statistic": rel.events_ks_statistic_sql(),
+        "events_value_auc": rel.events_value_auc_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -93,6 +93,25 @@ def main() -> dict:
 
     queries: dict[str, float] = {}
 
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        # --scaling only consumes turns_per_sec; skip the ~25-min
+        # secondary sweep in each subprocess so the efficiency pair
+        # measures the flagship pipeline, uncontended
+        result = {
+            "metric": "extract_pipeline_wall",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "rows": metrics["rows"],
+            "turns_per_sec": metrics["turns_per_sec"],
+            "rows_error": metrics["rows_error"],
+            "bytes_decoded": metrics["bytes_decoded"],
+        }
+        ray.shutdown()
+        return result
+
     def timed(name, fn, repeats: int = 2):
         # best-of-N: single-shot secondary timings showed ±2x run-to-run
         # variance from cold worker spawn / object-store contention
@@ -231,7 +250,7 @@ def main() -> dict:
 
 def scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,

@@ -12205,3 +12205,122 @@ def supplier_part_herfindahl_sql(k: int = 25) -> str:
                CAST(hhi_ppm AS BIGINT) AS hhi_ppm
         FROM hhi ORDER BY hhi_ppm DESC, p_partkey LIMIT {k}
     """
+
+
+def events_ks_statistic(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of one event type vs all others — the
+    distribution-shift test a feature monitor runs before trusting a
+    model score. EXACT integers only: D = max_v |F1(v) - F2(v)| is
+    reported as its numerator d_num = max_v |c1(v)*n2 - c2(v)*n1|
+    (denominator n1*n2 implied), plus the first cents value attaining
+    the max — so both engines agree bit-for-bit with no float CDF.
+
+    Distributed plan: same bounded-domain trick as
+    events_value_rank_normalize — one groupby(cents) pass reduces the
+    corpus to a (value, n_pos, n_neg) frequency table; the CDF scan
+    runs over that domain-sized table."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        isa = pc.cast(pc.equal(t["event_type"], pos_type), pa.int64())
+        return pa.table({"cents": _cents(t["value"]), "a": isa})
+
+    freq = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("a", alias_name="a"), Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("cents")
+        .reset_index(drop=True)
+    )
+    a = freq["a"].to_numpy(np.int64)
+    b = freq["n"].to_numpy(np.int64) - a
+    n1, n2 = int(a.sum()), int(b.sum())
+    diff = np.abs(np.cumsum(a) * n2 - np.cumsum(b) * n1)
+    i = int(np.argmax(diff))  # first index attaining the max
+    return pd.DataFrame(
+        {
+            "n_pos": [n1],
+            "n_neg": [n2],
+            "d_num": [int(diff[i])],
+            "d_at_cents": [int(freq["cents"].iloc[i])],
+        }
+    )
+
+
+def events_ks_statistic_sql(pos_type: str = "purchase") -> str:
+    return f"""
+        WITH f AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = '{pos_type}' THEN 1 ELSE 0 END AS isa
+            FROM events
+        ), g AS (
+            SELECT v, SUM(isa) AS a, SUM(1 - isa) AS b FROM f GROUP BY 1
+        ), c AS (
+            SELECT v, SUM(a) OVER (ORDER BY v) AS ca,
+                      SUM(b) OVER (ORDER BY v) AS cb
+            FROM g
+        ), n AS (SELECT SUM(a) AS n1, SUM(b) AS n2 FROM g)
+        SELECT CAST(n1 AS BIGINT) AS n_pos,
+               CAST(n2 AS BIGINT) AS n_neg,
+               CAST(ABS(ca * n2 - cb * n1) AS BIGINT) AS d_num,
+               CAST(v AS BIGINT) AS d_at_cents
+        FROM c, n ORDER BY d_num DESC, d_at_cents LIMIT 1
+    """
+
+
+def events_value_auc(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame:
+    """Exact Mann-Whitney AUC of `value` as a classifier for one event
+    type vs the rest — 'does value alone separate purchases', the
+    baseline ranking-metric every model must beat. Ties handled the
+    standard way (count 1/2), kept EXACT by reporting the doubled
+    numerator auc2_num = sum_v a(v) * (2*cb_before(v) + b(v)) with
+    denominator 2*n1*n2 implied — pure int64, no float ranks.
+
+    Same bounded-domain single-aggregate shape as events_ks_statistic."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        isa = pc.cast(pc.equal(t["event_type"], pos_type), pa.int64())
+        return pa.table({"cents": _cents(t["value"]), "a": isa})
+
+    freq = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("a", alias_name="a"), Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("cents")
+        .reset_index(drop=True)
+    )
+    a = freq["a"].to_numpy(np.int64)
+    b = freq["n"].to_numpy(np.int64) - a
+    cb_before = np.concatenate([[0], np.cumsum(b)[:-1]])
+    auc2 = int((a * (2 * cb_before + b)).sum())
+    return pd.DataFrame(
+        {"n_pos": [int(a.sum())], "n_neg": [int(b.sum())], "auc2_num": [auc2]}
+    )
+
+
+def events_value_auc_sql(pos_type: str = "purchase") -> str:
+    return f"""
+        WITH f AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   CASE WHEN event_type = '{pos_type}' THEN 1 ELSE 0 END AS isa
+            FROM events
+        ), g AS (
+            SELECT v, SUM(isa) AS a, SUM(1 - isa) AS b FROM f GROUP BY 1
+        ), c AS (
+            SELECT v, a, b,
+                   SUM(b) OVER (ORDER BY v) - b AS cb_before
+            FROM g
+        )
+        SELECT CAST(SUM(a) AS BIGINT) AS n_pos,
+               CAST(SUM(b) AS BIGINT) AS n_neg,
+               CAST(SUM(a * (2 * cb_before + b)) AS BIGINT) AS auc2_num
+        FROM c
+    """
