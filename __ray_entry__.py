@@ -934,6 +934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_statistic": rel.events_ks_statistic,
         # exact Mann-Whitney AUC (tie-corrected, doubled-numerator ints)
         "events_value_auc": rel.events_value_auc,
+        # MinHash vs SimHash pair-set agreement (method calibration)
+        "dedup_method_overlap": lambda sf: dedup.dedup_method_overlap(sf),
     }
 
 
@@ -1370,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_herfindahl": rel.supplier_part_herfindahl_sql(),
         "events_ks_statistic": rel.events_ks_statistic_sql(),
         "events_value_auc": rel.events_value_auc_sql(),
+        "dedup_method_overlap": dedup_mod.dedup_method_overlap_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1686,3 +1686,58 @@ def bloom_dedup_audit(
             "theoretical_fpp": pd.Series([round(theo, 8)], dtype="float64"),
         }
     )
+
+
+def dedup_method_overlap(sf_dir: str) -> pd.DataFrame:
+    """Method-agreement audit: how much of the MinHash-verified
+    near-dup pair set does SimHash banding also find, and vice versa —
+    the calibration table a dedup rollout uses to pick (and trust) a
+    method. One summary row: pair counts for each method, the
+    intersection, and each method's exclusive remainder.
+
+    Distributed plan: both inputs are the existing distributed
+    pipelines (banded shuffles, capped buckets, distributed verifies);
+    only their verified PAIR SETS — already driver-bounded by
+    construction in both — are set-joined here. The SQL twin recomputes
+    both pair sets exactly (shingle-Jaccard and simhash-Hamming) and
+    full-joins them, so the agreement numbers are value-exact."""
+    mh = minhash_lsh_dedup(sf_dir)[["doc_a", "doc_b"]]
+    sh = simhash_dedup(sf_dir)[["doc_a", "doc_b"]]
+    m = set(map(tuple, mh.to_numpy()))
+    s = set(map(tuple, sh.to_numpy()))
+    both = len(m & s)
+    return pd.DataFrame(
+        {
+            "n_minhash": [len(m)],
+            "n_simhash": [len(s)],
+            "n_both": [both],
+            "n_minhash_only": [len(m) - both],
+            "n_simhash_only": [len(s) - both],
+        }
+    )
+
+
+def dedup_method_overlap_sql() -> str:
+    mh = minhash_lsh_dedup_sql()
+    sh = simhash_dedup_sql()
+    return f"""
+        WITH mh AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({mh})
+        ), sh AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({sh})
+        ), j AS (
+            SELECT COALESCE(mh.doc_a, sh.doc_a) AS a,
+                   mh.doc_a IS NOT NULL AS in_m,
+                   sh.doc_a IS NOT NULL AS in_s
+            FROM mh FULL JOIN sh
+              ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+        )
+        SELECT CAST(SUM(CASE WHEN in_m THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+               CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+               CAST(SUM(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(SUM(CASE WHEN in_m AND NOT in_s THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_minhash_only,
+               CAST(SUM(CASE WHEN in_s AND NOT in_m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_simhash_only
+        FROM j
+    """
