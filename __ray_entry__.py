@@ -936,6 +936,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_auc": rel.events_value_auc,
         # MinHash vs SimHash pair-set agreement (method calibration)
         "dedup_method_overlap": lambda sf: dedup.dedup_method_overlap(sf),
+        # exact audience-overlap Jaccard matrix via bitmask histogram
+        "event_type_jaccard_matrix": rel.event_type_jaccard_matrix,
     }
 
 
@@ -1373,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ks_statistic": rel.events_ks_statistic_sql(),
         "events_value_auc": rel.events_value_auc_sql(),
         "dedup_method_overlap": dedup_mod.dedup_method_overlap_sql(),
+        "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

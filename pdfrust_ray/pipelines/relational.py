@@ -12324,3 +12324,109 @@ def events_value_auc_sql(pos_type: str = "purchase") -> str:
                CAST(SUM(a * (2 * cb_before + b)) AS BIGINT) AS auc2_num
         FROM c
     """
+
+
+def event_type_jaccard_matrix(sf_dir: str) -> pd.DataFrame:
+    """Audience-overlap matrix: exact Jaccard similarity (in ppm,
+    floor) of the USER SETS behind every pair of event types — the
+    'which behaviours share an audience' table segmentation and
+    cross-sell analyses start from.
+
+    Distributed plan: the per-type user sets never materialize. Each
+    user folds to ONE bitmask (bit t = did type t) inside a 64-way
+    user shard; the exchange is a <= 2^T-row bitmask HISTOGRAM
+    (T = type-catalog size, tiny), from which the driver reads off
+    every pairwise |A|, |B| and |A intersect B| exactly — all k-way
+    overlaps for the cost of one user-sharded pass."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    types = sorted(
+        ds.groupby("event_type").aggregate(Count(alias_name="_n")).to_pandas()["event_type"]
+    )
+    if len(types) > 20:
+        raise ValueError("type catalog too large for the bitmask histogram")
+    bit_of = {t: 1 << i for i, t in enumerate(types)}
+    bref = ray.put(bit_of)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        bits = ray.get(bref)
+        d = (
+            pa.table({"u": pc.cast(t["user_id"], pa.int64()), "ty": t["event_type"]})
+            .group_by(["u", "ty"])
+            .aggregate([])
+        )
+        b = np.array([bits[x] for x in d["ty"].to_pylist()], dtype=np.int64)
+        u = d["u"].to_numpy()
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "_shard": pa.array((u & 63).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def shard_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("u", kind="mergesort")
+        u = g["u"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        masks = np.bitwise_or.reduceat(b, starts)
+        mu, mc = np.unique(masks, return_counts=True)
+        return pd.DataFrame({"mask": mu.astype("int64"), "n": mc.astype("int64")})
+
+    hist = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_hist, batch_format="pandas")
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    masks = hist["mask"].to_numpy()
+    counts = hist["n"].to_numpy()
+    rows = []
+    for i, ta in enumerate(types):
+        for j in range(i + 1, len(types)):
+            tb = types[j]
+            ba, bb = 1 << i, 1 << j
+            n_a = int(counts[(masks & ba) != 0].sum())
+            n_b = int(counts[(masks & bb) != 0].sum())
+            n_both = int(counts[((masks & ba) != 0) & ((masks & bb) != 0)].sum())
+            union = n_a + n_b - n_both
+            rows.append(
+                (ta, tb, n_a, n_b, n_both, (n_both * 1_000_000) // union if union else 0)
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["type_a", "type_b", "n_a", "n_b", "n_both", "jaccard_ppm"],
+    ).astype({"n_a": "int64", "n_b": "int64", "n_both": "int64", "jaccard_ppm": "int64"})
+
+
+def event_type_jaccard_matrix_sql() -> str:
+    return """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        sizes AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+        ov AS (
+            SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS n_both
+            FROM ut x JOIN ut y
+              ON x.user_id = y.user_id AND x.event_type < y.event_type
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type AS ta, b.event_type AS tb
+            FROM sizes a JOIN sizes b ON a.event_type < b.event_type
+        )
+        SELECT p.ta AS type_a, p.tb AS type_b,
+               CAST(sa.n AS BIGINT) AS n_a,
+               CAST(sb.n AS BIGINT) AS n_b,
+               CAST(COALESCE(ov.n_both, 0) AS BIGINT) AS n_both,
+               CAST(COALESCE(ov.n_both, 0) * 1000000
+                    // (sa.n + sb.n - COALESCE(ov.n_both, 0)) AS BIGINT)
+                   AS jaccard_ppm
+        FROM pairs p
+        JOIN sizes sa ON sa.event_type = p.ta
+        JOIN sizes sb ON sb.event_type = p.tb
+        LEFT JOIN ov ON ov.ta = p.ta AND ov.tb = p.tb
+        ORDER BY 1, 2
+    """
