@@ -938,6 +938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_method_overlap": lambda sf: dedup.dedup_method_overlap(sf),
         # exact audience-overlap Jaccard matrix via bitmask histogram
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix,
+        # exact all-pairs dot-product landscape, histogram-sized exchange
+        "embedding_pair_distance_histogram": lambda sf: similarity.embedding_pair_distance_histogram(sf),
     }
 
 
@@ -1376,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_auc": rel.events_value_auc_sql(),
         "dedup_method_overlap": dedup_mod.dedup_method_overlap_sql(),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
+        "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1040,3 +1040,92 @@ def mutual_knn_degree_sql(k: int = 5, scale: int = 1_000_000) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_vectors
         FROM all_deg GROUP BY 1 ORDER BY 1
     """
+
+
+def embedding_pair_distance_histogram(
+    sf_dir: str,
+    scale: int = 1_000_000,
+    width: int = 100_000_000_000,
+    offset: int = 20_000_000_000_000,
+) -> pd.DataFrame:
+    """Pairwise-similarity landscape: the histogram of EXACT int64 dot
+    products over every unordered embedding pair — the profile a
+    near-dup threshold or contrastive-margin choice is read off (how
+    separable is the space, where does the mass sit). Components are
+    1e-6-quantized so the dot is exact; buckets are (dot + offset) //
+    width with the offset keeping the numerator non-negative (DuckDB's
+    `//` truncates toward zero, numpy floors — identical on
+    non-negatives, the repo-standard dodge).
+
+    Distributed plan: the pool broadcasts once (same anchor-stream x
+    broadcast-matmul shape as mutual_knn_degree; at 10^9 vectors the
+    pool becomes an IVF bucket); each anchor batch reduces its [B, N]
+    dot block IN PLACE to bucket partial counts, so the exchange is
+    histogram-sized regardless of the O(N^2) pair count."""
+    t = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    pool_ids = t["vec_id"].to_numpy().astype(np.int64)
+    pool_mat = np.round(
+        np.asarray(list(t["embedding"]), dtype=np.float64) * scale
+    ).astype(np.int64)
+    ref = ray.put((pool_ids, pool_mat))
+
+    class PairHist:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = int_column(batch["vec_id"])
+            v = np.round(
+                embedding_matrix(batch["embedding"]).astype(np.float64) * scale
+            ).astype(np.int64)
+            dots = v @ self.mat.T  # [B, N] exact int64
+            keep = self.ids[None, :] > vid[:, None]  # unordered pairs once
+            b = (dots[keep] + offset) // width
+            if (b < 0).any():
+                raise ValueError("dot below the histogram offset")
+            u, c = np.unique(b, return_counts=True)
+            return pa.table(
+                {
+                    "bucket": pa.array(u, pa.int64()),
+                    "n": pa.array(c, pa.int64()),
+                }
+            )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(PairHist, batch_size=256, concurrency=2, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n_pairs"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    for c in ("bucket", "n_pairs"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def embedding_pair_distance_histogram_sql(
+    scale: int = 1_000_000,
+    width: int = 100_000_000_000,
+    offset: int = 20_000_000_000_000,
+) -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+            FROM embeddings
+        )
+        SELECT (CAST(list_dot_product(a.v, b.v) AS BIGINT) + {offset}) // {width}
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        GROUP BY 1 ORDER BY 1
+    """
