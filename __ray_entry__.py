@@ -940,6 +940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix,
         # exact all-pairs dot-product landscape, histogram-sized exchange
         "embedding_pair_distance_histogram": lambda sf: similarity.embedding_pair_distance_histogram(sf),
+        # t-closeness release gate: exact integer EMD per QI cell
+        "t_closeness_audit": rel.t_closeness_audit,
     }
 
 
@@ -1379,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_method_overlap": dedup_mod.dedup_method_overlap_sql(),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
+        "t_closeness_audit": rel.t_closeness_audit_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -12430,3 +12430,90 @@ def event_type_jaccard_matrix_sql() -> str:
         LEFT JOIN ov ON ov.ta = p.ta AND ov.tb = p.tb
         ORDER BY 1, 2
     """
+
+
+def t_closeness_audit(sf_dir: str) -> pd.DataFrame:
+    """t-closeness privacy audit (the third of the k-anonymity /
+    l-diversity / t-closeness release-gate trio): for each
+    quasi-identifier cell (day-of-week), the Earth Mover's Distance
+    between the cell's sensitive-value (cents) distribution and the
+    global one — reported as the EXACT integer numerator
+    emd_num = sum over the ordered value spine (all but the last) of
+    |C_cell(v) * N_glob - C_glob(v) * N_cell| (denominator
+    N_cell * N_glob * (m-1) implied), so no float CDF ever appears
+    and the SQL twin matches bit-for-bit.
+
+    Distributed plan: the corpus folds to a (value, dow) frequency
+    table via ONE packed-key aggregate (cents * 8 + dow) — the
+    bounded-domain trick of events_value_rank_normalize; the CDF
+    arithmetic runs over that domain-sized table."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        day = (
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+            // 86_400_000_000
+        )
+        dow = (day + 4) % 7  # 0 = Sunday, matching DuckDB dayofweek()
+        cents = _cents(t["value"]).to_numpy()
+        return pa.table({"k": pa.array(cents * 8 + dow, pa.int64())})
+
+    freq = (
+        ds.map_batches(pack, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    k = freq["k"].to_numpy(np.int64)
+    n = freq["n"].to_numpy(np.int64)
+    cents = k // 8
+    dow = k % 8
+    spine = np.unique(cents)
+    grid = np.zeros((len(spine), 7), dtype=np.int64)
+    grid[np.searchsorted(spine, cents), dow] += n
+    cum = np.cumsum(grid, axis=0)  # C_cell(v) per dow
+    cg = cum.sum(axis=1)  # C_glob(v)
+    n_cell = grid.sum(axis=0)
+    n_glob = int(n_cell.sum())
+    # all-but-last spine rows
+    diffs = np.abs(cum[:-1] * n_glob - cg[:-1, None] * n_cell[None, :])
+    emd = diffs.sum(axis=0)
+    present = np.flatnonzero(n_cell > 0)
+    return pd.DataFrame(
+        {
+            "dow": present.astype("int64"),
+            "n_cell": n_cell[present].astype("int64"),
+            "emd_num": emd[present].astype("int64"),
+        }
+    )
+
+
+def t_closeness_audit_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT dayofweek(CAST(ts AS DATE)) AS dow,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events
+        ), g AS (SELECT v, COUNT(*) AS ng FROM f GROUP BY 1),
+        c AS (SELECT dow, v, COUNT(*) AS nc FROM f GROUP BY 1, 2),
+        spine AS (
+            SELECT d.dow, g.v, COALESCE(c.nc, 0) AS nc, g.ng
+            FROM (SELECT DISTINCT dow FROM f) d
+            CROSS JOIN g
+            LEFT JOIN c ON c.dow = d.dow AND c.v = g.v
+        ), w AS (
+            SELECT dow, v,
+                   SUM(nc) OVER (PARTITION BY dow ORDER BY v) AS ca,
+                   SUM(ng) OVER (PARTITION BY dow ORDER BY v) AS cg,
+                   SUM(nc) OVER (PARTITION BY dow) AS n_cell,
+                   (SELECT COUNT(*) FROM f) AS n_glob
+            FROM spine
+        )
+        SELECT dow, CAST(MAX(n_cell) AS BIGINT) AS n_cell,
+               CAST(SUM(CASE WHEN v < (SELECT MAX(v) FROM g)
+                             THEN ABS(ca * n_glob - cg * n_cell)
+                             ELSE 0 END) AS BIGINT) AS emd_num
+        FROM w GROUP BY dow ORDER BY dow
+    """
