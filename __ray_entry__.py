@@ -942,6 +942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pair_distance_histogram": lambda sf: similarity.embedding_pair_distance_histogram(sf),
         # t-closeness release gate: exact integer EMD per QI cell
         "t_closeness_audit": rel.t_closeness_audit,
+        # top-p 'nucleus' audience per type (exact threshold arithmetic)
+        "revenue_nucleus_users": rel.revenue_nucleus_users,
     }
 
 
@@ -1382,6 +1384,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),
+        "revenue_nucleus_users": rel.revenue_nucleus_users_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

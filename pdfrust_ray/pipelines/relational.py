@@ -12517,3 +12517,87 @@ def t_closeness_audit_sql() -> str:
                              ELSE 0 END) AS BIGINT) AS emd_num
         FROM w GROUP BY dow ORDER BY dow
     """
+
+
+def revenue_nucleus_users(sf_dir: str, pct_num: int = 9, pct_den: int = 10) -> pd.DataFrame:
+    """Top-p ('nucleus') audience per event type: the SMALLEST set of
+    users — taken in (revenue DESC, user ASC) order — whose combined
+    value covers >= 90% of the type's total, and how concentrated that
+    makes the type. The 'how few whales carry this behaviour' audit.
+    Threshold arithmetic is exact: a prefix qualifies when
+    cum * pct_den >= total * pct_num (no float percentages).
+
+    Distributed plan: per-(user, type) totals fold through one
+    packed-key aggregate; each type's sorted prefix scan runs inside a
+    type-keyed map_groups (types are a bounded catalog; at a
+    high-cardinality group key this becomes the order-statistic
+    selection customer_decile_transition implements)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def nucleus(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "user_id"], ascending=[False, True], kind="mergesort")
+        c = g["cents"].to_numpy(np.int64)
+        total = int(c.sum())
+        cum = np.cumsum(c)
+        k = int(np.searchsorted(cum * pct_den, total * pct_num, side="left")) + 1
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users_nucleus": [k],
+                "n_users_total": [len(g)],
+                "revenue_cents": [total],
+            }
+        )
+
+    out = (
+        per_user.groupby("event_type")
+        .map_groups(nucleus, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("n_users_nucleus", "n_users_total", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def revenue_nucleus_users_sql(pct_num: int = 9, pct_den: int = 10) -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT event_type, user_id,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT event_type, cents,
+                   SUM(cents) OVER (PARTITION BY event_type
+                                    ORDER BY cents DESC, user_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cents) OVER (PARTITION BY event_type) AS total,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_total
+            FROM per_user
+        )
+        SELECT event_type,
+               CAST(SUM(CASE WHEN (cum - cents) * {pct_den}
+                                  < total * {pct_num} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_users_nucleus,
+               CAST(MAX(n_total) AS BIGINT) AS n_users_total,
+               CAST(MAX(total) AS BIGINT) AS revenue_cents
+        FROM ranked GROUP BY 1 ORDER BY 1
+    """
