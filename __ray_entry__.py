@@ -944,6 +944,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness_audit": rel.t_closeness_audit,
         # top-p 'nucleus' audience per type (exact threshold arithmetic)
         "revenue_nucleus_users": rel.revenue_nucleus_users,
+        # prefix-cluster survivorship dedup (keep highest-quality member)
+        "prefix_cluster_keep_best": lambda sf: dedup.prefix_cluster_keep_best(sf),
+        # per-user max drawdown via segmented cummax (exact signed cents)
+        "user_max_drawdown": rel.user_max_drawdown,
     }
 
 
@@ -1385,6 +1389,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),
         "revenue_nucleus_users": rel.revenue_nucleus_users_sql(),
+        "prefix_cluster_keep_best": dedup_mod.prefix_cluster_keep_best_sql(),
+        "user_max_drawdown": rel.user_max_drawdown_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

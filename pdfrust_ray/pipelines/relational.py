@@ -12601,3 +12601,104 @@ def revenue_nucleus_users_sql(pct_num: int = 9, pct_den: int = 10) -> str:
                CAST(MAX(total) AS BIGINT) AS revenue_cents
         FROM ranked GROUP BY 1 ORDER BY 1
     """
+
+
+def user_max_drawdown(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Max drawdown per user: treating each user's event values as a
+    signed flow (purchases positive, errors negative, rest zero), the
+    deepest peak-to-trough fall of the running balance over time —
+    the engagement-collapse signal (and the classic quant metric) in
+    exact integer cents. Returns the k deepest drawdowns
+    (drawdown DESC, user ASC).
+
+    Distributed plan: one 64-way user shard carries (user, ts, signed
+    cents); each shard computes every user's running sum, running max
+    and their gap VECTORIZED with boundary-masked cummax resets, and
+    keeps its local top-k."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"]).to_numpy()
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        signed = np.where(ty == "purchase", cents, np.where(ty == "error", -cents, 0))
+        u = pc.cast(t["user_id"], pa.int64()).to_numpy()
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "ts": pa.array(ts, pa.int64()),
+                "eid": pc.cast(t["event_id"], pa.int64()),
+                "c": pa.array(signed, pa.int64()),
+                "_shard": pa.array((u & 63).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def shard_dd(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts", "eid"], kind="mergesort")
+        u = g["u"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        run = np.cumsum(c)
+        # per-user running sum: subtract the prefix before each user
+        base = np.repeat(np.r_[0, run[starts[1:] - 1]], np.diff(np.r_[starts, len(u)]))
+        run = run - base
+        # per-user running max via segmented cummax (log-step doubling)
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(u)]))
+        peak = run.copy()
+        shift = 1
+        while shift < len(peak):
+            ok = seg[shift:] == seg[:-shift]
+            np.maximum(peak[shift:], np.where(ok, peak[:-shift], np.iinfo(np.int64).min),
+                       out=peak[shift:])
+            shift <<= 1
+        dd = peak - run  # >= 0; deepest fall from a running peak
+        per_user = pd.DataFrame({"u": u, "dd": dd}).groupby("u", as_index=False)["dd"].max()
+        return per_user.sort_values(["dd", "u"], ascending=[False, True]).head(k)
+
+    cand = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_dd, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        cand.sort_values(["dd", "u"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out.columns = ["user_id", "max_drawdown_cents"]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def user_max_drawdown_sql(k: int = 20) -> str:
+    return f"""
+        WITH flow AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase'
+                            THEN CAST(ROUND(value * 100) AS BIGINT)
+                        WHEN event_type = 'error'
+                            THEN -CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END AS c
+            FROM events
+        ), runs AS (
+            SELECT user_id, ts, event_id,
+                   SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+            FROM flow
+        ), dd AS (
+            SELECT user_id,
+                   MAX(run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - run AS d
+            FROM runs
+        )
+        SELECT user_id, CAST(MAX(d) AS BIGINT) AS max_drawdown_cents
+        FROM dd GROUP BY 1
+        ORDER BY max_drawdown_cents DESC, user_id LIMIT {k}
+    """

@@ -1741,3 +1741,95 @@ def dedup_method_overlap_sql() -> str:
                    AS n_simhash_only
         FROM j
     """
+
+
+def prefix_cluster_keep_best(sf_dir: str, k_prefix: int = 5) -> pd.DataFrame:
+    """Survivorship dedup over PREFIX clusters: documents opening with
+    the same first-k tokens are candidate near-duplicates (template
+    instantiations, boilerplate-led copies); within each cluster keep
+    the HIGHEST-QUALITY member (distinct-token ratio in per-mille,
+    ties to the lowest doc_id) — the 'which copy survives' policy real
+    curations apply. Returns the clusters with >= 2 members. (Exact
+    duplicates share quality by construction, so the policy only
+    bites where members differ — which prefix clusters guarantee.)
+
+    Distributed plan: quality is per-row (stateless map); the argmax
+    folds through ONE single-key Max over a packed
+    (quality << 32 | ~doc_id) sort key — same packed-argmax trick as
+    best_supplier_per_part, so no window shuffle; text is dropped
+    before the exchange (the hash carries identity)."""
+    import numpy as np
+
+    ds = _docs(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        qs = []
+        for txt in t["text"].to_pylist():
+            ws = txt.split()
+            qs.append((len(set(ws)) * 1000) // len(ws) if ws else 0)
+        q = np.asarray(qs, dtype=np.int64)
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        if len(did) and int(did.max()) >= (1 << 32) - 1:
+            raise ValueError("doc_id exceeds the packing bound")
+        key = (q << 32) | ((1 << 32) - 1 - did)
+        th = [
+            hashlib.md5(" ".join(x.split()[:k_prefix]).encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "prefix_hash": pa.array(th, pa.string()),
+                "key": pa.array(key, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Max
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("prefix_hash")
+        .aggregate(Max("key", alias_name="key"), Count(alias_name="dup_count"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["dup_count"], 2)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out["kept_doc_id"] = ((1 << 32) - 1 - (out["key"] % (1 << 32))).astype("int64")
+    out["quality_pm"] = (out["key"] // (1 << 32)).astype("int64")
+    out["dup_count"] = out["dup_count"].astype("int64")
+    return (
+        out[["prefix_hash", "kept_doc_id", "quality_pm", "dup_count"]]
+        .sort_values("prefix_hash")
+        .reset_index(drop=True)
+    )
+
+
+def prefix_cluster_keep_best_sql(k_prefix: int = 5) -> str:
+    return rf"""
+        WITH q AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_filter(string_split_regex(text, '\s+'),
+                                                   w -> w <> '')[1 : {k_prefix}], ' '))
+                       AS prefix_hash,
+                   CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                                             w -> w <> '')) = 0 THEN 0
+                        ELSE len(list_distinct(list_filter(
+                                 string_split_regex(text, '\s+'), w -> w <> '')))
+                             * 1000
+                             // len(list_filter(string_split_regex(text, '\s+'),
+                                                w -> w <> '')) END AS qpm
+            FROM documents
+        ), ranked AS (
+            SELECT prefix_hash, doc_id, qpm,
+                   ROW_NUMBER() OVER (PARTITION BY prefix_hash
+                                      ORDER BY qpm DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY prefix_hash) AS dup_count
+            FROM q
+        )
+        SELECT prefix_hash, CAST(doc_id AS BIGINT) AS kept_doc_id,
+               CAST(qpm AS BIGINT) AS quality_pm,
+               CAST(dup_count AS BIGINT) AS dup_count
+        FROM ranked WHERE rn = 1 AND dup_count >= 2
+        ORDER BY prefix_hash
+    """
