@@ -948,6 +948,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_cluster_keep_best": lambda sf: dedup.prefix_cluster_keep_best(sf),
         # per-user max drawdown via segmented cummax (exact signed cents)
         "user_max_drawdown": rel.user_max_drawdown,
+        # sequential A/B monitoring curve (cumulative per-arm, exact ppm)
+        "experiment_lift_curve": rel.experiment_lift_curve,
+        # transcript abandonment: which role holds the floor at conv end
+        "conv_abandonment": _q_conv(cv.conv_abandonment),
     }
 
 
@@ -1391,6 +1395,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_nucleus_users": rel.revenue_nucleus_users_sql(),
         "prefix_cluster_keep_best": dedup_mod.prefix_cluster_keep_best_sql(),
         "user_max_drawdown": rel.user_max_drawdown_sql(),
+        "experiment_lift_curve": rel.experiment_lift_curve_sql(),
+        "conv_abandonment": cv.conv_abandonment_sql(_T2_SHARDS),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1312,3 +1312,48 @@ def role_run_lengths_sql(shards_glob: str) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_runs
         FROM islands GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def conv_abandonment(corpus_dir: str) -> pd.DataFrame:
+    """Abandonment audit: which role holds the floor when a
+    conversation ENDS — ending on 'user' means an unanswered prompt
+    (abandonment / truncation), ending on 'tool' means a dangling
+    call; the distribution is a transcript-corpus health gate before
+    SFT-pair mining. Output: (last_role, n_convs).
+
+    Distributed plan: same bucket shuffle as role_transitions; each
+    bucket takes the (conv, turn)-sorted last row per conversation
+    with one boundary mask and emits role partial counts."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        conv = g["conv_id"].to_numpy()
+        last = np.r_[conv[1:] != conv[:-1], True]
+        out = pd.DataFrame({"last_role": g["role"].to_numpy()[last]})
+        return out.groupby("last_role", as_index=False).size().rename(columns={"size": "n"})
+
+    out = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("last_role")
+        .aggregate(Sum("n", alias_name="n_convs"))
+        .to_pandas()
+        .sort_values("last_role")
+        .reset_index(drop=True)
+    )
+    out["n_convs"] = out["n_convs"].astype("int64")
+    return out
+
+
+def conv_abandonment_sql(shards_glob: str) -> str:
+    return f"""
+        WITH last AS (
+            SELECT conv_id, arg_max(role, turn_idx) AS last_role
+            FROM read_parquet('{shards_glob}')
+            GROUP BY 1
+        )
+        SELECT last_role, CAST(COUNT(*) AS BIGINT) AS n_convs
+        FROM last GROUP BY 1 ORDER BY 1
+    """

@@ -12702,3 +12702,133 @@ def user_max_drawdown_sql(k: int = 20) -> str:
         FROM dd GROUP BY 1
         ORDER BY max_drawdown_cents DESC, user_id LIMIT {k}
     """
+
+
+def experiment_lift_curve(sf_dir: str) -> pd.DataFrame:
+    """Sequential A/B monitoring curve: per calendar day, each arm's
+    CUMULATIVE purchase count and revenue, plus the cumulative lift
+    numerator lift_num = purch_B * rev_A-style cross terms kept exact
+    as (cum_purch_B * cum_purch_A-denominated) — concretely we report
+    cum_purchases and cum_revenue_cents per (day, variant) and the
+    day's exact ppm share of B in cumulative purchases
+    (b_share_ppm = cum_B * 10^6 // (cum_A + cum_B)) — the curve an
+    experiment dashboard watches for stabilization before calling the
+    test. Assignment is the same md5(user) % 2 as experiment_lift.
+
+    Distributed plan: one pass folds events to (day, variant) purchase
+    partials (per-batch combiner, 2 x n_days exchange); the cumulative
+    scan runs over the bounded day spine."""
+    import hashlib as _h
+
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        purch = et == "purchase"
+        if not purch.any():
+            return pa.table(
+                {
+                    "d": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        u = t["user_id"].to_numpy()[purch]
+        day = (
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy()[purch]
+            // 86_400_000_000
+        )
+        cents = _cents(t["value"]).to_numpy()[purch]
+        arm = np.fromiter(
+            (
+                int.from_bytes(_h.md5(str(int(x)).encode()).digest()[:4], "big") % 2
+                for x in u
+            ),
+            dtype=np.int64,
+            count=len(u),
+        )
+        df = (
+            pd.DataFrame({"d": day, "b": arm, "n": 1, "cents": cents})
+            .groupby(["d", "b"], as_index=False)
+            .agg(n=("n", "sum"), cents=("cents", "sum"))
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "k", pc.add(pc.multiply(t["d"], 2), t["b"])
+            ).select(["k", "n", "cents"]),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    daily["d"] = daily["k"] // 2
+    daily["b"] = daily["k"] % 2
+    days = np.sort(daily["d"].unique())
+    rows = []
+    cum = {0: [0, 0], 1: [0, 0]}  # arm -> [purchases, cents]
+    for d in days:
+        for b in (0, 1):
+            sub = daily[(daily["d"] == d) & (daily["b"] == b)]
+            if len(sub):
+                cum[b][0] += int(sub["n"].iloc[0])
+                cum[b][1] += int(sub["cents"].iloc[0])
+        tot = cum[0][0] + cum[1][0]
+        for b in (0, 1):
+            rows.append(
+                (
+                    pd.Timestamp(int(d) * 86_400_000_000_000),
+                    "A" if b == 0 else "B",
+                    cum[b][0],
+                    cum[b][1],
+                    (cum[1][0] * 1_000_000) // tot if tot else 0,
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["d", "variant", "cum_purchases", "cum_revenue_cents", "b_share_ppm"],
+    ).astype({"cum_purchases": "int64", "cum_revenue_cents": "int64", "b_share_ppm": "int64"})
+
+
+def experiment_lift_curve_sql() -> str:
+    return """
+        WITH p AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 8)) AS UBIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ), spine AS (
+            SELECT d.d, v.variant FROM (SELECT DISTINCT d FROM p) d
+            CROSS JOIN (VALUES ('A'), ('B')) v(variant)
+        ), daily AS (
+            SELECT s.d, s.variant,
+                   COALESCE(COUNT(p.cents), 0) AS n,
+                   COALESCE(SUM(p.cents), 0) AS cents
+            FROM spine s LEFT JOIN p ON p.d = s.d AND p.variant = s.variant
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT d, variant,
+                   SUM(n) OVER (PARTITION BY variant ORDER BY d) AS cum_purchases,
+                   SUM(cents) OVER (PARTITION BY variant ORDER BY d)
+                       AS cum_revenue_cents
+            FROM daily
+        )
+        SELECT d, variant,
+               CAST(cum_purchases AS BIGINT) AS cum_purchases,
+               CAST(cum_revenue_cents AS BIGINT) AS cum_revenue_cents,
+               CAST(SUM(CASE WHEN variant = 'B' THEN cum_purchases ELSE 0 END)
+                        OVER (PARTITION BY d) * 1000000
+                    // SUM(cum_purchases) OVER (PARTITION BY d) AS BIGINT)
+                   AS b_share_ppm
+        FROM cum ORDER BY d, variant
+    """
