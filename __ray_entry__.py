@@ -952,6 +952,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "experiment_lift_curve": rel.experiment_lift_curve,
         # transcript abandonment: which role holds the floor at conv end
         "conv_abandonment": _q_conv(cv.conv_abandonment),
+        # cross-table financial reconciliation (big x big shuffle join)
+        "order_price_reconciliation": rel.order_price_reconciliation,
     }
 
 
@@ -1397,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "user_max_drawdown": rel.user_max_drawdown_sql(),
         "experiment_lift_curve": rel.experiment_lift_curve_sql(),
         "conv_abandonment": cv.conv_abandonment_sql(_T2_SHARDS),
+        "order_price_reconciliation": rel.order_price_reconciliation_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -12832,3 +12832,109 @@ def experiment_lift_curve_sql() -> str:
                    AS b_share_ppm
         FROM cum ORDER BY d, variant
     """
+
+
+def order_price_reconciliation(sf_dir: str) -> pd.DataFrame:
+    """Cross-table financial reconciliation: does each order's recorded
+    o_totalprice equal the amount derived from its line items
+    (extendedprice * (1 - discount) * (1 + tax))? The books-balance
+    audit every warehouse runs after ingest. ALL arithmetic is exact
+    integers: discount/tax are basis-point ints, so a line's derived
+    amount is ep_cents * (100 - disc_pct) * (100 + tax_pct) over the
+    implied 10^4 denominator, and the comparison multiplies the
+    recorded cents by 10^4 instead of ever dividing.
+
+    Distributed plan: lineitem folds to per-order derived numerators
+    through a single-key Sum; the reconciliation join against orders
+    is the hash-partitioned Dataset.join (both sides fact-sized — the
+    one join shape that must shuffle); the verdict aggregates to one
+    summary row."""
+    import numpy as np
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        ep = _cents(t["l_extendedprice"]).to_numpy()
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()).to_numpy()
+        tax = pc.cast(pc.round(pc.multiply(t["l_tax"], 100.0)), pa.int64()).to_numpy()
+        num = ep * (100 - disc) * (100 + tax)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "num": pa.array(num, pa.int64()),
+            }
+        )
+
+    derived = li.map_batches(derive, batch_format="pyarrow").groupby("l_orderkey").aggregate(
+        Sum("num", alias_name="derived_num")
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "recorded_num": pc.multiply(_cents(t["o_totalprice"]), 10_000),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = derived.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        d = t["derived_num"].to_numpy().astype(np.int64)
+        r = t["recorded_num"].to_numpy().astype(np.int64)
+        ad = np.abs(d - r)
+        return pa.table(
+            {
+                "n_orders": pa.array([len(t)], pa.int64()),
+                "n_exact": pa.array([int((ad == 0).sum())], pa.int64()),
+                "sum_absdiff_num": pa.array([int(ad.sum())], pa.int64()),
+                "max_absdiff_num": pa.array([int(ad.max()) if len(ad) else 0], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(verdict, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_orders": [int(parts["n_orders"].sum())],
+            "n_exact": [int(parts["n_exact"].sum())],
+            "sum_absdiff_num": [int(parts["sum_absdiff_num"].sum())],
+            "max_absdiff_num": [int(parts["max_absdiff_num"].max())],
+        }
+    )
+
+
+def order_price_reconciliation_sql() -> str:
+    return """
+        WITH derived AS (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                       * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS derived_num
+            FROM lineitem GROUP BY 1
+        ), j AS (
+            SELECT derived_num,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000 AS recorded_num
+            FROM derived JOIN orders ON o_orderkey = l_orderkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN derived_num = recorded_num THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact,
+               CAST(SUM(ABS(derived_num - recorded_num)) AS BIGINT)
+                   AS sum_absdiff_num,
+               CAST(MAX(ABS(derived_num - recorded_num)) AS BIGINT)
+                   AS max_absdiff_num
+        FROM j
+    """
