@@ -954,6 +954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_abandonment": _q_conv(cv.conv_abandonment),
         # cross-table financial reconciliation (big x big shuffle join)
         "order_price_reconciliation": rel.order_price_reconciliation,
+        # length-vs-quality Pearson sufficient stats (bias audit, int-exact)
+        "doc_len_quality_corr": lambda sf: llm.doc_len_quality_corr(sf),
     }
 
 
@@ -1400,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "experiment_lift_curve": rel.experiment_lift_curve_sql(),
         "conv_abandonment": cv.conv_abandonment_sql(_T2_SHARDS),
         "order_price_reconciliation": rel.order_price_reconciliation_sql(),
+        "doc_len_quality_corr": llm.doc_len_quality_corr_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

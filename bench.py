@@ -231,6 +231,10 @@ def main() -> dict:
     timed("user_lifecycle_daily", lambda: rel.user_lifecycle_daily(SF_DIR))
     timed("chunk_dedup_stats", lambda: dso.chunk_dedup_stats(SF_DIR))
     timed("supplier_runnerup_gap", lambda: rel.supplier_runnerup_gap(SF_DIR))
+    timed("customer_decile_transition", lambda: rel.customer_decile_transition(SF_DIR))
+    timed("part_bfs_levels", lambda: graph.part_bfs_levels(SF_DIR))
+    timed("order_price_reconciliation", lambda: rel.order_price_reconciliation(SF_DIR))
+    timed("quality_budget_selection", lambda: llm.quality_budget_selection(SF_DIR))
 
     result = {
         "metric": "extract_pipeline_wall",

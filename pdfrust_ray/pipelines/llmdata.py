@@ -1146,3 +1146,66 @@ def quality_budget_selection_sql() -> str:
         WHERE cum <= (SELECT SUM(n_tokens) FROM q) // 2
         GROUP BY 1 ORDER BY 1
     """
+
+
+def doc_len_quality_corr(sf_dir: str) -> pd.DataFrame:
+    """Length-bias audit: the exact integer sufficient statistics of
+    Pearson correlation between document length (tokens) and lexical
+    quality (distinct-token per-mille) — the first check before using
+    either as a curation filter (a strong correlation means one filter
+    silently implements the other). One row of pure int64 sums; the
+    float r never appears, so the SQL twin is bit-exact.
+
+    Distributed plan: per-row scoring is embarrassingly parallel; the
+    five sums fold through per-batch partials and one tiny aggregate."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        xs, ys = [], []
+        for txt in t["text"].to_pylist():
+            ws = txt.split()
+            if not ws:
+                continue
+            xs.append(len(ws))
+            ys.append((len(set(ws)) * 1000) // len(ws))
+        x = np.asarray(xs, dtype=np.int64)
+        y = np.asarray(ys, dtype=np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({c: [int(parts[c].sum())] for c in ("n", "sx", "sy", "sxx", "syy", "sxy")})
+
+
+def doc_len_quality_corr_sql() -> str:
+    return r"""
+        WITH q AS (
+            SELECT len(list_filter(string_split_regex(text, '\s+'),
+                                   w -> w <> '')) AS x,
+                   len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                                 w -> w <> ''))) * 1000
+                   // len(list_filter(string_split_regex(text, '\s+'),
+                                      w -> w <> '')) AS y
+            FROM documents
+            WHERE len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM q
+    """
