@@ -956,6 +956,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_reconciliation": rel.order_price_reconciliation,
         # length-vs-quality Pearson sufficient stats (bias audit, int-exact)
         "doc_len_quality_corr": lambda sf: llm.doc_len_quality_corr(sf),
+        # response-length drift: first vs last assistant turn per conv
+        "assistant_drift": _q_conv(cv.assistant_drift),
+        # Zipf-head vocabulary nucleus (tokenizer budget planning)
+        "token_nucleus_share": lambda sf: llm.token_nucleus_share(sf),
     }
 
 
@@ -1403,6 +1407,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_abandonment": cv.conv_abandonment_sql(_T2_SHARDS),
         "order_price_reconciliation": rel.order_price_reconciliation_sql(),
         "doc_len_quality_corr": llm.doc_len_quality_corr_sql(),
+        "assistant_drift": cv.assistant_drift_sql(_T2_SHARDS),
+        "token_nucleus_share": llm.token_nucleus_share_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1357,3 +1357,66 @@ def conv_abandonment_sql(shards_glob: str) -> str:
         SELECT last_role, CAST(COUNT(*) AS BIGINT) AS n_convs
         FROM last GROUP BY 1 ORDER BY 1
     """
+
+
+def assistant_drift(corpus_dir: str) -> pd.DataFrame:
+    """Response-length drift: per conversation, the character length of
+    the FIRST vs LAST assistant turn and their difference — does the
+    assistant get terser or more verbose as a conversation ages, the
+    style-drift signal SFT curations balance for. One row per
+    conversation with >= 1 assistant turn.
+
+    Distributed plan: bucket shuffle; inside each bucket the
+    (conv, turn)-sorted assistant rows yield first/last via two
+    boundary masks — no window dispatch."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role", "text"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["role"] == "assistant"]
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype="str"),
+                    "first_len": pd.Series([], dtype="int64"),
+                    "last_len": pd.Series([], dtype="int64"),
+                    "drift": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+        conv = g["conv_id"].to_numpy()
+        ln = g["text"].str.len().to_numpy().astype("int64")
+        first = np.r_[True, conv[1:] != conv[:-1]]
+        last = np.r_[first[1:], True]
+        return pd.DataFrame(
+            {
+                "conv_id": conv[first],
+                "first_len": ln[first],
+                "last_len": ln[last],
+                "drift": ln[last] - ln[first],
+            }
+        )
+
+    out = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    for c in ("first_len", "last_len", "drift"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def assistant_drift_sql(shards_glob: str) -> str:
+    return f"""
+        SELECT conv_id,
+               CAST(arg_min(length(text), turn_idx) AS BIGINT) AS first_len,
+               CAST(arg_max(length(text), turn_idx) AS BIGINT) AS last_len,
+               CAST(arg_max(length(text), turn_idx)
+                    - arg_min(length(text), turn_idx) AS BIGINT) AS drift
+        FROM read_parquet('{shards_glob}')
+        WHERE role = 'assistant'
+        GROUP BY conv_id ORDER BY conv_id
+    """

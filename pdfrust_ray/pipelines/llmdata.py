@@ -1209,3 +1209,56 @@ def doc_len_quality_corr_sql() -> str:
                CAST(SUM(x * y) AS BIGINT) AS sxy
         FROM q
     """
+
+
+def token_nucleus_share(sf_dir: str, pct_num: int = 9, pct_den: int = 10) -> pd.DataFrame:
+    """Vocabulary nucleus: the smallest set of word types — taken in
+    (frequency DESC, word ASC) order — covering >= 90% of all token
+    occurrences, and what that says about the tail (the Zipf head a
+    tokenizer budget keeps vs the tail it spells out). Threshold
+    arithmetic exact: cum * pct_den >= total * pct_num.
+
+    Distributed plan: the corpus folds to the vocabulary-sized word
+    frequency table (per-batch Counter combiner, same exchange as
+    bpe_train); the sorted prefix scan runs over that bounded table."""
+    import numpy as np
+
+    wc = _word_counts(sf_dir)
+    wc = wc.sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+    c = wc["n"].to_numpy(np.int64)
+    total = int(c.sum())
+    cum = np.cumsum(c)
+    k = int(np.searchsorted(cum * pct_den, total * pct_num, side="left")) + 1
+    return pd.DataFrame(
+        {
+            "n_types_nucleus": [k],
+            "n_types_total": [len(c)],
+            "n_tokens_total": [total],
+            "nucleus_tokens": [int(cum[k - 1])],
+        }
+    )
+
+
+def token_nucleus_share_sql(pct_num: int = 9, pct_den: int = 10) -> str:
+    return rf"""
+        WITH w AS (
+            SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS word
+            FROM documents
+        ), f AS (
+            SELECT word, COUNT(*) AS n FROM w GROUP BY 1
+        ), ranked AS (
+            SELECT n,
+                   SUM(n) OVER (ORDER BY n DESC, word
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(n) OVER () AS total
+            FROM f
+        )
+        SELECT CAST(SUM(CASE WHEN (cum - n) * {pct_den} < total * {pct_num}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_types_nucleus,
+               CAST(COUNT(*) AS BIGINT) AS n_types_total,
+               CAST(MAX(total) AS BIGINT) AS n_tokens_total,
+               CAST(MAX(CASE WHEN (cum - n) * {pct_den} < total * {pct_num}
+                             THEN cum ELSE 0 END) AS BIGINT) AS nucleus_tokens
+        FROM ranked
+    """
