@@ -960,6 +960,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assistant_drift": _q_conv(cv.assistant_drift),
         # Zipf-head vocabulary nucleus (tokenizer budget planning)
         "token_nucleus_share": lambda sf: llm.token_nucleus_share(sf),
+        # distinct-tools-per-conversation histogram (agentic-ness)
+        "conv_tool_diversity": _q_conv(cv.conv_tool_diversity),
+        # onboarding first-touch event-type distribution
+        "first_event_type_counts": rel.first_event_type_counts,
     }
 
 
@@ -1409,6 +1413,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_len_quality_corr": llm.doc_len_quality_corr_sql(),
         "assistant_drift": cv.assistant_drift_sql(_T2_SHARDS),
         "token_nucleus_share": llm.token_nucleus_share_sql(),
+        "conv_tool_diversity": cv.conv_tool_diversity_sql(_T2_SHARDS),
+        "first_event_type_counts": rel.first_event_type_counts_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

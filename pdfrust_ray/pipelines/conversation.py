@@ -1420,3 +1420,64 @@ def assistant_drift_sql(shards_glob: str) -> str:
         WHERE role = 'assistant'
         GROUP BY conv_id ORDER BY conv_id
     """
+
+
+def conv_tool_diversity(corpus_dir: str) -> pd.DataFrame:
+    """Tool-diversity histogram: how many DISTINCT tools does a
+    conversation touch (0 for pure chat) — separates single-tool
+    lookups from multi-tool agentic sessions. Output:
+    (n_distinct_tools, n_convs).
+
+    Distributed plan: per-batch distinct (conv, tool) pairs shrink the
+    exchange; the bucket shuffle finishes the distinct + per-conv
+    nunique vectorized; all-conv coverage (including tool-less ones)
+    comes from a distinct-conv count folded in the same pass."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "tool"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        d = (
+            pa.table({"conv_id": t["conv_id"], "tool": t["tool"]})
+            .group_by(["conv_id", "tool"])
+            .aggregate([])
+        )
+        return _with_bucket(d)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["conv_id", "tool"])
+        has_tool = g[g["tool"].notna() & (g["tool"] != "")]
+        n_tools = has_tool.groupby("conv_id")["tool"].nunique()
+        all_convs = pd.Index(g["conv_id"].unique())
+        counts = n_tools.reindex(all_convs, fill_value=0)
+        hist = counts.value_counts().sort_index()
+        return pd.DataFrame(
+            {"n_distinct_tools": hist.index.astype("int64"), "n": hist.to_numpy()}
+        )
+
+    out = (
+        _coalesced(ds.map_batches(pairs, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("n_distinct_tools")
+        .aggregate(Sum("n", alias_name="n_convs"))
+        .to_pandas()
+        .sort_values("n_distinct_tools")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def conv_tool_diversity_sql(shards_glob: str) -> str:
+    return f"""
+        WITH per_conv AS (
+            SELECT conv_id,
+                   COUNT(DISTINCT CASE WHEN tool IS NOT NULL AND tool <> ''
+                                       THEN tool END) AS n_distinct_tools
+            FROM read_parquet('{shards_glob}')
+            GROUP BY 1
+        )
+        SELECT CAST(n_distinct_tools AS BIGINT) AS n_distinct_tools,
+               CAST(COUNT(*) AS BIGINT) AS n_convs
+        FROM per_conv GROUP BY 1 ORDER BY 1
+    """

@@ -12938,3 +12938,64 @@ def order_price_reconciliation_sql() -> str:
                    AS max_absdiff_num
         FROM j
     """
+
+
+def first_event_type_counts(sf_dir: str) -> pd.DataFrame:
+    """Onboarding first-touch distribution: each user's very first
+    event (by arrival order: event_id, which the fixtures assign in ts
+    order) classified by type — 'what do users do
+    first, and how many land on an error' — the acquisition-health
+    counterpart of latest_event_per_user. Output:
+    (first_type, n_users).
+
+    Distributed plan: 64-way user shard; each shard takes the sorted
+    first row per user with one boundary mask and emits type partial
+    counts; the finalize sums a catalog-sized table."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "u": u,
+                "ts": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "eid": pc.cast(t["event_id"], pa.int64()),
+                "ty": t["event_type"],
+                "_shard": pc.cast(pc.bit_wise_and(u, 63), pa.int32()),
+            }
+        )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "eid"], kind="mergesort")
+        u = g["u"].to_numpy(np.int64)
+        first = np.r_[True, u[1:] != u[:-1]]
+        out = pd.DataFrame({"first_type": g["ty"].to_numpy()[first]})
+        return out.groupby("first_type", as_index=False).size().rename(columns={"size": "n"})
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_shard, batch_format="pandas")
+        .groupby("first_type")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+        .sort_values("first_type")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def first_event_type_counts_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT user_id, arg_min(event_type, event_id) AS first_type
+            FROM events GROUP BY 1
+        )
+        SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM f GROUP BY 1 ORDER BY 1
+    """
