@@ -964,6 +964,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_tool_diversity": _q_conv(cv.conv_tool_diversity),
         # onboarding first-touch event-type distribution
         "first_event_type_counts": rel.first_event_type_counts,
+        # delete-one-block jackknife inputs (user-clustered uncertainty)
+        "block_jackknife_stats": rel.block_jackknife_stats,
+        # distribution-preserving dedup weights per language
+        "dedup_weight_correction": lambda sf: dedup.dedup_weight_correction(sf),
     }
 
 
@@ -1415,6 +1419,8 @@ def oracle_sql() -> dict[str, str]:
         "token_nucleus_share": llm.token_nucleus_share_sql(),
         "conv_tool_diversity": cv.conv_tool_diversity_sql(_T2_SHARDS),
         "first_event_type_counts": rel.first_event_type_counts_sql(),
+        "block_jackknife_stats": rel.block_jackknife_stats_sql(),
+        "dedup_weight_correction": dedup_mod.dedup_weight_correction_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

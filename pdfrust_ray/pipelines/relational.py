@@ -12999,3 +12999,63 @@ def first_event_type_counts_sql() -> str:
         SELECT first_type, CAST(COUNT(*) AS BIGINT) AS n_users
         FROM f GROUP BY 1 ORDER BY 1
     """
+
+
+def block_jackknife_stats(sf_dir: str, n_blocks: int = 64) -> pd.DataFrame:
+    """Block-jackknife inputs for the variance of mean event value:
+    users are the sampling unit (delete-one-BLOCK-of-users), so each
+    of the 64 user blocks reports its exact (n, sum_cents) and the
+    leave-that-block-out complement — the uncertainty machinery for
+    any corpus mean when rows within a user correlate. All integers;
+    the replicate means' float division is left to the analyst.
+
+    Distributed plan: one user-sharded partial-sum pass (the shard key
+    IS the jackknife block); the complement columns come from the
+    64-row driver fold."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "block": pc.cast(
+                    pc.bit_wise_and(u, n_blocks - 1), pa.int64()
+                ),
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    blocks = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("block")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+        .to_pandas()
+        .sort_values("block")
+        .reset_index(drop=True)
+    )
+    tot_n = int(blocks["n"].sum())
+    tot_s = int(blocks["sum_cents"].sum())
+    blocks["loo_n"] = (tot_n - blocks["n"]).astype("int64")
+    blocks["loo_sum_cents"] = (tot_s - blocks["sum_cents"]).astype("int64")
+    for c in ("block", "n", "sum_cents"):
+        blocks[c] = blocks[c].astype("int64")
+    return blocks
+
+
+def block_jackknife_stats_sql(n_blocks: int = 64) -> str:
+    return f"""
+        WITH b AS (
+            SELECT user_id % {n_blocks} AS block,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(block AS BIGINT) AS block,
+               CAST(n AS BIGINT) AS n,
+               CAST(sum_cents AS BIGINT) AS sum_cents,
+               CAST(SUM(n) OVER () - n AS BIGINT) AS loo_n,
+               CAST(SUM(sum_cents) OVER () - sum_cents AS BIGINT) AS loo_sum_cents
+        FROM b ORDER BY block
+    """

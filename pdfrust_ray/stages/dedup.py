@@ -1833,3 +1833,87 @@ def prefix_cluster_keep_best_sql(k_prefix: int = 5) -> str:
         FROM ranked WHERE rn = 1 AND dup_count >= 2
         ORDER BY prefix_hash
     """
+
+
+def dedup_weight_correction(sf_dir: str) -> pd.DataFrame:
+    """Distribution-preserving dedup accounting: after exact dedup the
+    kept copy should carry its group's multiplicity as a WEIGHT (train
+    on unique text, weight by how often it occurred) — this op reports,
+    per language, the kept-doc count, their raw token count, and the
+    duplicate-weighted token count the sampler should target. The gap
+    between the last two columns is exactly what naive dedup distorts.
+
+    Distributed plan: one md5-keyed fold picks each group's kept doc
+    (min doc_id) and multiplicity; languages/token-counts ride along
+    packed so no second scan or join is needed (lang and tokens are
+    functions of the text, identical within a group)."""
+    import numpy as np
+
+    ds = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        th, toks = [], []
+        for txt in t["text"].to_pylist():
+            th.append(hashlib.md5(txt.encode("utf-8")).hexdigest())
+            toks.append(len(txt.split()))
+        return pa.table(
+            {
+                "text_hash": pa.array(th, pa.string()),
+                "lang": t["lang"],
+                "n_tokens": pa.array(toks, pa.int64()),
+                "one": pa.array(np.ones(len(t), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    groups = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["text_hash", "lang", "n_tokens"])  # lang/tokens constant per hash
+        .aggregate(Sum("one", alias_name="dup_count"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "kept": _pc.cast(_pc.greater(t["dup_count"], 0), pa.int64()),
+                "raw_tokens": t["n_tokens"],
+                "weighted_tokens": _pc.multiply(t["n_tokens"], t["dup_count"]),
+            }
+        )
+
+    out = (
+        groups.map_batches(finalize, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("kept", alias_name="n_docs_kept"),
+            Sum("raw_tokens", alias_name="tokens_kept"),
+            Sum("weighted_tokens", alias_name="tokens_weighted"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs_kept", "tokens_kept", "tokens_weighted"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def dedup_weight_correction_sql() -> str:
+    return r"""
+        WITH g AS (
+            SELECT md5(text) AS h, lang,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   w -> w <> '')) AS n_tokens,
+                   COUNT(*) AS dup_count
+            FROM documents GROUP BY 1, 2, 3
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+               CAST(SUM(n_tokens * dup_count) AS BIGINT) AS tokens_weighted
+        FROM g GROUP BY 1 ORDER BY 1
+    """
