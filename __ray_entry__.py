@@ -968,6 +968,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_jackknife_stats": rel.block_jackknife_stats,
         # distribution-preserving dedup weights per language
         "dedup_weight_correction": lambda sf: dedup.dedup_weight_correction(sf),
+        # vendor-SLA tail: per-supplier exact p90 ship delay, k slowest
+        "slowest_suppliers_p90": rel.slowest_suppliers_p90,
     }
 
 
@@ -1421,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "first_event_type_counts": rel.first_event_type_counts_sql(),
         "block_jackknife_stats": rel.block_jackknife_stats_sql(),
         "dedup_weight_correction": dedup_mod.dedup_weight_correction_sql(),
+        "slowest_suppliers_p90": rel.slowest_suppliers_p90_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

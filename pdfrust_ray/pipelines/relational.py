@@ -13059,3 +13059,105 @@ def block_jackknife_stats_sql(n_blocks: int = 64) -> str:
                CAST(SUM(sum_cents) OVER () - sum_cents AS BIGINT) AS loo_sum_cents
         FROM b ORDER BY block
     """
+
+
+def slowest_suppliers_p90(sf_dir: str, k: int = 15) -> pd.DataFrame:
+    """Logistics tail audit: per supplier, the exact p90 of ship delay
+    (l_shipdate - o_orderdate, days; quantile_disc rank semantics) and
+    the k slowest suppliers by that tail — the vendor-SLA review list.
+
+    Distributed plan: the delay needs the order date, so lineitem and
+    orders meet in the hash-partitioned Dataset.join (both fact-sized);
+    per-supplier p90 then folds inside a 64-way supplier shard with
+    one vector sort (same co-partitioned quantile shape as
+    user_p95_distribution), each shard keeping its local top-k."""
+    import numpy as np
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "s": pc.cast(t["l_suppkey"], pa.int64()),
+                "ship_day": pc.divide(
+                    pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64()),
+                    86_400_000_000,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "order_day": pc.divide(
+                    pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()),
+                    86_400_000_000,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = li.join(
+        od, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def shardify(t: pa.Table) -> pa.Table:
+        delay = pc.subtract(t["ship_day"], t["order_day"])
+        return pa.table(
+            {
+                "s": t["s"],
+                "delay": delay,
+                "_shard": pc.cast(pc.bit_wise_and(t["s"], 63), pa.int32()),
+            }
+        )
+
+    def shard_p90(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s", "delay"], kind="mergesort")
+        s = g["s"].to_numpy(np.int64)
+        d = g["delay"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        sizes = np.diff(np.r_[starts, len(s)])
+        ranks = np.ceil(0.9 * sizes).astype(np.int64)
+        p90 = d[starts + ranks - 1]
+        sup = s[starts]
+        top = np.lexsort((sup, -p90))[:k]
+        return pd.DataFrame(
+            {
+                "s_suppkey": sup[top].astype("int64"),
+                "n_lineitems": sizes[top].astype("int64"),
+                "p90_delay_days": p90[top].astype("int64"),
+            }
+        )
+
+    cand = (
+        joined.map_batches(shardify, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_p90, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        cand.sort_values(["p90_delay_days", "s_suppkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def slowest_suppliers_p90_sql(k: int = 15) -> str:
+    return f"""
+        WITH d AS (
+            SELECT l_suppkey,
+                   date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE)) AS delay
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        )
+        SELECT l_suppkey AS s_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+               CAST(quantile_disc(delay, 0.9) AS BIGINT) AS p90_delay_days
+        FROM d GROUP BY 1
+        ORDER BY p90_delay_days DESC, s_suppkey LIMIT {k}
+    """
