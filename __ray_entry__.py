@@ -970,6 +970,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_weight_correction": lambda sf: dedup.dedup_weight_correction(sf),
         # vendor-SLA tail: per-supplier exact p90 ship delay, k slowest
         "slowest_suppliers_p90": rel.slowest_suppliers_p90,
+        # iterative k-core peeling of the co-purchase graph
+        # (rows-only: fixpoint loop has no SQL; pinned by serial peel)
+        "part_kcore_sizes": graph.part_kcore_sizes,
     }
 
 

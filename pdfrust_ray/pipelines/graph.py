@@ -575,3 +575,139 @@ def part_bfs_levels_sql(max_depth: int = 3) -> str:
                CAST(SUM(node) AS BIGINT) AS sum_partkey
         FROM first_seen GROUP BY 1 ORDER BY 1
     """
+
+
+def _copurchase_edges(sf_dir: str) -> "rd.Dataset":
+    """Distinct undirected co-purchase edges (x < y), built exactly like
+    part_bfs_levels' edge stage (orderkey-sharded sorted-lag emission)
+    but emitting each edge once in canonical orientation."""
+    import pyarrow.compute as pc
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def shardify(t: pa.Table) -> pa.Table:
+        d = (
+            pa.table(
+                {
+                    "o": pc.cast(t["l_orderkey"], pa.int64()),
+                    "p": pc.cast(t["l_partkey"], pa.int64()),
+                }
+            )
+            .group_by(["o", "p"])
+            .aggregate([])
+        )
+        return d.append_column("_shard", pc.cast(pc.bit_wise_and(d["o"], 63), pa.int32()))
+
+    def shard_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "p"]).sort_values(["o", "p"])
+        o = g["o"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        if len(p) and int(p.max()) >= (1 << 31):
+            raise ValueError("partkey exceeds the 31-bit packing bound")
+        packed = []
+        lag = 1
+        while lag < len(o):
+            same = o[lag:] == o[:-lag]
+            if not same.any():
+                break
+            packed.append(p[:-lag][same] * (1 << 32) + p[lag:][same])  # a < b
+            lag += 1
+        if not packed:
+            return pd.DataFrame(
+                {"x": pd.Series([], dtype="int64"), "y": pd.Series([], dtype="int64")}
+            )
+        u = np.unique(np.concatenate(packed))
+        return pd.DataFrame(
+            {"x": (u >> 32).astype("int64"), "y": (u & ((1 << 32) - 1)).astype("int64")}
+        )
+
+    per_order = (
+        li.map_batches(shardify, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(shard_edges, batch_format="pandas")
+    )
+
+    # the same pair can arise from different ORDERS in different shards;
+    # a second pass keyed on the packed edge makes the list globally
+    # distinct (k-core degrees must count each neighbour once)
+    def edge_shard(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        packed = pc.add(pc.multiply(t["x"], 1 << 32), t["y"])
+        return pa.table(
+            {
+                "e": packed,
+                "_eshard": pc.cast(pc.bit_wise_and(packed, 63), pa.int32()),
+            }
+        )
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["e"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {"x": (u >> 32).astype("int64"), "y": (u & ((1 << 32) - 1)).astype("int64")}
+        )
+
+    return (
+        per_order.map_batches(edge_shard, batch_format="pyarrow")
+        .groupby("_eshard")
+        .map_groups(dedupe, batch_format="pandas")
+        .materialize()
+    )
+
+
+def part_kcore_sizes(sf_dir: str, ks: tuple = (2, 3, 4)) -> pd.DataFrame:
+    """k-core decomposition of the co-purchase graph: for each k, the
+    maximal subgraph where every part co-occurs with >= k surviving
+    parts — the density ladder community/recommendation mining peels
+    first. ITERATIVE PEELING: repeatedly drop nodes with degree < k
+    until a fixpoint; the round count is the peeling depth.
+
+    Distributed plan: each round streams the edge list once with the
+    REMOVED-NODE set broadcast, reduces surviving degrees via a node
+    histogram (per-block np.unique partials), and grows the removal
+    set by the new under-k nodes — vertex-sized driver state, never
+    edges (the dedup_clusters label-Dataset exchange is the stated
+    path past driver RAM). Output: per k, surviving node/edge counts
+    and a node-id checksum; rows-only (the fixpoint loop has no SQL),
+    pinned by the serial-peel pytest."""
+    import ray as _ray
+
+    edges = _copurchase_edges(sf_dir)
+    rows = []
+    for k in ks:
+        removed: set[int] = set()
+        rounds = 0
+        while True:
+            rounds += 1
+            rref = _ray.put(np.fromiter(removed, dtype=np.int64, count=len(removed)))
+
+            def degrees(t: pa.Table) -> pa.Table:
+                rm = _ray.get(rref)
+                x = t["x"].to_numpy()
+                y = t["y"].to_numpy()
+                live = ~(np.isin(x, rm) | np.isin(y, rm))
+                nodes = np.concatenate([x[live], y[live]])
+                u, c = np.unique(nodes, return_counts=True)
+                return pa.table(
+                    {"node": pa.array(u, pa.int64()), "d": pa.array(c, pa.int64())}
+                )
+
+            from ray.data.aggregate import Sum
+
+            deg = (
+                edges.map_batches(degrees, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(Sum("d", alias_name="deg"))
+                .to_pandas()
+            )
+            under = deg.loc[deg["deg"] < k, "node"].to_numpy(np.int64)
+            if not len(under):
+                n_nodes = len(deg)
+                n_edges = int(deg["deg"].sum()) // 2
+                checksum = int(deg["node"].sum())
+                break
+            removed.update(int(v) for v in under)
+        rows.append((k, rounds, n_nodes, n_edges, checksum))
+    return pd.DataFrame(
+        rows, columns=["k", "peel_rounds", "n_nodes", "n_edges", "node_checksum"]
+    ).astype("int64")
