@@ -973,6 +973,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative k-core peeling of the co-purchase graph
         # (rows-only: fixpoint loop has no SQL; pinned by serial peel)
         "part_kcore_sizes": graph.part_kcore_sizes,
+        # hyperplane sign-LSH near-dup pairs (third embedding path;
+        # rows-only: banding is probabilistic — subset-of-exact +
+        # recall bound pinned in pytest, theory-matched at 4x4 bands)
+        "embedding_sign_lsh_pairs": lambda sf: similarity.embedding_sign_lsh_pairs(sf),
     }
 
 

@@ -1129,3 +1129,111 @@ def embedding_pair_distance_histogram_sql(
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         GROUP BY 1 ORDER BY 1
     """
+
+
+def _sign_planes(n_planes: int = 16, dim: int = 64) -> np.ndarray:
+    """Deterministic +/-1 hyperplanes: bit b of md5(plane||dim-block)
+    decides each entry's sign — reproducible across processes with no
+    RNG state."""
+    import hashlib
+
+    rows = []
+    for p in range(n_planes):
+        bits = []
+        for blk in range(0, dim, 16):
+            h = hashlib.md5(f"signlsh:{p}:{blk}".encode()).digest()
+            for i in range(16):
+                bits.append(1 if (h[i] & 1) else -1)
+        rows.append(bits[:dim])
+    return np.asarray(rows, dtype=np.int64)
+
+
+def embedding_sign_lsh_pairs(
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    scale: int = 1_000_000,
+) -> pd.DataFrame:
+    """Hyperplane sign-LSH near-duplicate pairs — the third embedding
+    near-dup path next to the exact broadcast (embedding_dedup) and
+    IVF (embedding_dedup_ivf): each vector's 16-bit sign signature
+    (exact int dots against deterministic +/-1 planes) splits into 4
+    bands; vectors sharing ANY band become candidates; candidates are
+    verified by exact cosine >= threshold. Output: the verified pair
+    set (a SUBSET of the exact pair set by construction; recall is the
+    banding's capture rate, pinned by the recall pytest).
+
+    Distributed plan: signatures are a stateless map (int matmul per
+    batch); candidates come from 4 band-keyed groupbys moving
+    (band_value, vec_id) rows — signatures, never vectors; each band
+    bucket verifies its own candidates via a pushed-down vec_id read,
+    exactly the minhash_lsh_dedup shape."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    planes = _sign_planes(n_planes)
+    bits_per_band = n_planes // n_bands
+
+    def signatures(t: pa.Table) -> pa.Table:
+        v = np.round(
+            embedding_matrix(t["embedding"]).astype(np.float64) * scale
+        ).astype(np.int64)
+        dots = v @ planes.T  # exact ints
+        sig = ((dots > 0).astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+        vid = int_column(t["vec_id"])
+        out = {"vec_id": pa.array(vid, pa.int64())}
+        mask = (1 << bits_per_band) - 1
+        for b in range(n_bands):
+            band_val = (sig >> (b * bits_per_band)) & mask
+            out[f"band{b}"] = pa.array(b * (1 << bits_per_band) + band_val, pa.int64())
+        return pa.table(out)
+
+    sigs = ds.map_batches(signatures, batch_format="pyarrow").materialize()
+
+    cand: set[tuple[int, int]] = set()
+    for b in range(n_bands):
+        def explode(t: pa.Table, _b=b) -> pa.Table:
+            return pa.table({"bk": t[f"band{_b}"], "vec_id": t["vec_id"]})
+
+        def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            ids = np.sort(g["vec_id"].to_numpy(np.int64))
+            if len(ids) < 2:
+                return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                     "b": pd.Series([], dtype="int64")})
+            iu = np.triu_indices(len(ids), k=1)
+            return pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]})
+
+        got = (
+            sigs.map_batches(explode, batch_format="pyarrow")
+            .groupby("bk")
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .to_pandas()
+        )
+        cand.update(zip(got["a"].astype(int), got["b"].astype(int)))
+
+    if not cand:
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
+        )
+    # verify candidates with exact cosine over a pushed-down id read
+    ids_needed = sorted({i for p in cand for i in p})
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", ids_needed)],
+    )
+    vid = int_column(t["vec_id"])
+    mat = embedding_matrix(t["embedding"]).astype(np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    pos = {int(v): i for i, v in enumerate(vid)}
+    pairs = sorted(cand)
+    a = np.array([pos[x] for x, _ in pairs])
+    b = np.array([pos[y] for _, y in pairs])
+    cos = (mat[a] * mat[b]).sum(axis=1)
+    keep = cos >= threshold
+    out = pd.DataFrame(
+        {
+            "vec_a": [p[0] for p, k in zip(pairs, keep) if k],
+            "vec_b": [p[1] for p, k in zip(pairs, keep) if k],
+        }
+    )
+    return out.astype("int64").sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
