@@ -977,6 +977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: banding is probabilistic — subset-of-exact +
         # recall bound pinned in pytest, theory-matched at 4x4 bands)
         "embedding_sign_lsh_pairs": lambda sf: similarity.embedding_sign_lsh_pairs(sf),
+        # daily-count overdispersion (Fano) sufficient stats per type
+        "events_burstiness_fano": rel.events_burstiness_fano,
     }
 
 
@@ -1431,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
         "block_jackknife_stats": rel.block_jackknife_stats_sql(),
         "dedup_weight_correction": dedup_mod.dedup_weight_correction_sql(),
         "slowest_suppliers_p90": rel.slowest_suppliers_p90_sql(),
+        "events_burstiness_fano": rel.events_burstiness_fano_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

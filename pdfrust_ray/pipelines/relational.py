@@ -13161,3 +13161,67 @@ def slowest_suppliers_p90_sql(k: int = 15) -> str:
         FROM d GROUP BY 1
         ORDER BY p90_delay_days DESC, s_suppkey LIMIT {k}
     """
+
+
+def events_burstiness_fano(sf_dir: str) -> pd.DataFrame:
+    """Overdispersion audit: per event type, the exact integer
+    sufficient statistics of the daily-count Fano factor
+    (variance/mean — 1 for a Poisson arrival process, >1 = bursty):
+    n_days observed, sum of daily counts, sum of squared daily counts.
+    The float ratio never appears, so the SQL twin is bit-exact; the
+    analyst computes F = (n*S2 - S^2) / (n * S) from the three ints.
+
+    Distributed plan: one (type, day)-keyed count (packed into a
+    single int64 key via the bounded type catalog) then a
+    catalog-sized finalize — the corpus never re-shuffles."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    types = sorted(
+        ds.groupby("event_type").aggregate(Count(alias_name="_n")).to_pandas()["event_type"]
+    )
+    idx = {t: i for i, t in enumerate(types)}
+    iref = ray.put(idx)
+
+    def pack(t: pa.Table) -> pa.Table:
+        m = ray.get(iref)
+        ti = np.array([m[x] for x in t["event_type"].to_pylist()], dtype=np.int64)
+        day = (
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+            // 86_400_000_000
+        )
+        return pa.table({"k": pa.array(day * 16 + ti, pa.int64())})
+
+    daily = (
+        ds.map_batches(pack, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    daily["ty"] = daily["k"] % 16
+    g = daily.groupby("ty")["n"]
+    out = pd.DataFrame(
+        {
+            "event_type": [types[int(t)] for t in g.count().index],
+            "n_days": g.count().to_numpy(),
+            "sum_n": g.sum().to_numpy(),
+            "sum_n2": g.apply(lambda s: int((s.to_numpy(np.int64) ** 2).sum())).to_numpy(),
+        }
+    )
+    for c in ("n_days", "sum_n", "sum_n2"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_burstiness_fano_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n) AS BIGINT) AS sum_n,
+               CAST(SUM(n * n) AS BIGINT) AS sum_n2
+        FROM daily GROUP BY 1 ORDER BY 1
+    """
