@@ -979,6 +979,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_sign_lsh_pairs": lambda sf: similarity.embedding_sign_lsh_pairs(sf),
         # daily-count overdispersion (Fano) sufficient stats per type
         "events_burstiness_fano": rel.events_burstiness_fano,
+        # hub-hub wiring: bipartite degree-assortativity sufficient stats
+        "bipartite_assortativity_stats": graph.bipartite_assortativity_stats,
+        # near-dup cluster language purity (label-consistency audit)
+        "cluster_lang_purity": lambda sf: dedup.cluster_lang_purity(sf),
     }
 
 
@@ -1434,6 +1438,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_weight_correction": dedup_mod.dedup_weight_correction_sql(),
         "slowest_suppliers_p90": rel.slowest_suppliers_p90_sql(),
         "events_burstiness_fano": rel.events_burstiness_fano_sql(),
+        "bipartite_assortativity_stats": graph.bipartite_assortativity_stats_sql(),
+        "cluster_lang_purity": dedup_mod.cluster_lang_purity_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

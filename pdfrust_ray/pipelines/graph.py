@@ -711,3 +711,95 @@ def part_kcore_sizes(sf_dir: str, ks: tuple = (2, 3, 4)) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["k", "peel_rounds", "n_nodes", "n_edges", "node_checksum"]
     ).astype("int64")
+
+
+def bipartite_assortativity_stats(sf_dir: str) -> pd.DataFrame:
+    """Degree-assortativity sufficient statistics of the part-supplier
+    bipartite graph: over every distinct (part, supplier) edge, the
+    exact integer Pearson inputs of (part degree, supplier degree) —
+    do high-fanout parts source from high-fanout suppliers (hub-hub
+    wiring) or the opposite. One row of int64 sums; the float r is the
+    analyst's division.
+
+    Distributed plan: distinct edges via a packed single-key fold;
+    both degree tables are single-key counts whose SMALL side
+    (suppliers) broadcasts; part degrees attach by sorting the edge
+    stream through the part-keyed shard it already lives in — here at
+    fixture scale both attach via one broadcast Arrow join inside
+    map_batches (documented bound: degree tables are vertex-sized)."""
+    import pyarrow.compute as pc
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        p = pc.cast(t["l_partkey"], pa.int64())
+        s = pc.cast(t["l_suppkey"], pa.int64())
+        d = (
+            pa.table({"ps": pc.add(pc.multiply(p, 1 << 20), s)})
+            .group_by("ps")
+            .aggregate([])
+        )
+        return d
+
+    edges = (
+        li.map_batches(pack, batch_format="pyarrow")
+        .groupby("ps")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "p": pc.divide(t["ps"], 1 << 20),
+                    "s": pc.bit_wise_and(t["ps"], (1 << 20) - 1),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    pdeg = edges.groupby("p").aggregate(Count(alias_name="dp")).to_pandas()
+    sdeg = edges.groupby("s").aggregate(Count(alias_name="ds")).to_pandas()
+    pref = ray.put(pa.Table.from_pandas(pdeg, preserve_index=False))
+    sref = ray.put(pa.Table.from_pandas(sdeg, preserve_index=False))
+
+    class Stats:
+        def __init__(self):
+            self.pd_ = ray.get(pref)
+            self.sd = ray.get(sref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            j = t.join(self.pd_, keys="p").join(self.sd, keys="s")
+            x = j["dp"].to_numpy().astype(np.int64)
+            y = j["ds"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "n": pa.array([len(j)], pa.int64()),
+                    "sx": pa.array([int(x.sum())], pa.int64()),
+                    "sy": pa.array([int(y.sum())], pa.int64()),
+                    "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                    "syy": pa.array([int((y * y).sum())], pa.int64()),
+                    "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                }
+            )
+
+    parts = edges.map_batches(Stats, batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    return pd.DataFrame({c: [int(parts[c].sum())] for c in ("n", "sx", "sy", "sxx", "syy", "sxy")})
+
+
+def bipartite_assortativity_stats_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ), pd AS (SELECT p, COUNT(*) AS dp FROM e GROUP BY 1),
+        sd AS (SELECT s, COUNT(*) AS ds FROM e GROUP BY 1),
+        j AS (
+            SELECT dp AS x, ds AS y
+            FROM e JOIN pd USING (p) JOIN sd USING (s)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM j
+    """

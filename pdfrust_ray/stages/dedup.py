@@ -1917,3 +1917,54 @@ def dedup_weight_correction_sql() -> str:
                CAST(SUM(n_tokens * dup_count) AS BIGINT) AS tokens_weighted
         FROM g GROUP BY 1 ORDER BY 1
     """
+
+
+def cluster_lang_purity(sf_dir: str) -> pd.DataFrame:
+    """Label-consistency audit of the near-dup clusters: how many
+    distinct language labels does each connected component of the
+    exact-Jaccard pair graph span? A multi-lang cluster means
+    mislabeled language metadata or cross-lingual templating — both
+    things a curation wants surfaced before per-language sampling.
+    Output: (n_langs, n_clusters) histogram.
+
+    Distributed plan: clusters come from the existing dedup_clusters
+    pipeline (shuffle-shaped label propagation); languages attach via
+    a pushed-down doc_id read of only the clustered docs (clusters are
+    a tiny fraction of the corpus by construction); the histogram
+    folds on the cluster-table-sized frame."""
+    clusters = dedup_clusters(sf_dir)
+    if not len(clusters):
+        return pd.DataFrame(
+            {"n_langs": pd.Series([], dtype="int64"),
+             "n_clusters": pd.Series([], dtype="int64")}
+        )
+    import pyarrow.parquet as _pq
+
+    ids = sorted(int(x) for x in clusters["doc_id"])
+    langs = _pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang"],
+        filters=[("doc_id", "in", ids)],
+    ).to_pandas()
+    j = clusters.merge(langs, on="doc_id")
+    per = j.groupby("cluster_id")["lang"].nunique()
+    hist = per.value_counts().sort_index()
+    return pd.DataFrame(
+        {"n_langs": hist.index.astype("int64"), "n_clusters": hist.to_numpy().astype("int64")}
+    ).reset_index(drop=True)
+
+
+def cluster_lang_purity_sql(threshold: float = 0.8, k: int = 5) -> str:
+    cc = dedup_clusters_sql(threshold=threshold, k=k)
+    return f"""
+        WITH cc AS MATERIALIZED (
+            SELECT doc_id, cluster_id FROM ({cc})
+        ), per AS (
+            SELECT cluster_id, COUNT(DISTINCT d.lang) AS n_langs
+            FROM cc JOIN documents d USING (doc_id)
+            GROUP BY 1
+        )
+        SELECT CAST(n_langs AS BIGINT) AS n_langs,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM per GROUP BY 1 ORDER BY 1
+    """
