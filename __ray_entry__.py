@@ -983,6 +983,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bipartite_assortativity_stats": graph.bipartite_assortativity_stats,
         # near-dup cluster language purity (label-consistency audit)
         "cluster_lang_purity": lambda sf: dedup.cluster_lang_purity(sf),
+        # Spearman rank-correlation sufficient stats (doubled avg ranks)
+        "events_spearman_stats": rel.events_spearman_stats,
+        # 0-1-loss decision stump threshold (exact integer argmin)
+        "stump_threshold_split": rel.stump_threshold_split,
+        # Wald-Wolfowitz runs audit around the exact global median
+        "events_runs_test": rel.events_runs_test,
+        # per-user Theil-Sen median slope as an exact rational
+        "user_theil_sen_slope": rel.user_theil_sen_slope,
     }
 
 
@@ -1440,6 +1448,10 @@ def oracle_sql() -> dict[str, str]:
         "events_burstiness_fano": rel.events_burstiness_fano_sql(),
         "bipartite_assortativity_stats": graph.bipartite_assortativity_stats_sql(),
         "cluster_lang_purity": dedup_mod.cluster_lang_purity_sql(),
+        "events_spearman_stats": rel.events_spearman_stats_sql(),
+        "stump_threshold_split": rel.stump_threshold_split_sql(),
+        "events_runs_test": rel.events_runs_test_sql(),
+        "user_theil_sen_slope": rel.user_theil_sen_slope_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -13225,3 +13225,370 @@ def events_burstiness_fano_sql() -> str:
                CAST(SUM(n * n) AS BIGINT) AS sum_n2
         FROM daily GROUP BY 1 ORDER BY 1
     """
+
+
+def events_spearman_stats(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank-correlation sufficient statistics between event
+    value (cents) and time-of-day (second within the day), exact in
+    int64 by carrying DOUBLED average ranks: for a value with
+    `cum_less` smaller rows and `c` ties, 2*r_avg = 2*cum_less + c + 1
+    is always an integer.  The output row holds n and the five doubled
+    sums; rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx-Sx^2)(n*Syy-Sy^2)) is a
+    trivial driver-side finalize, so the SQL twin is bit-exact.
+
+    Distributed plan: two DOMAIN-sized rank histograms (distinct cents
+    <= ~56k, second-of-day <= 86400) built with one groupby each,
+    broadcast as searchsorted LUTs; then one streaming map_batches +
+    Sum pass over the corpus.  Nothing data-sized ever reaches the
+    driver.  int64 headroom: 2r <= 2N, so Sum(dx*dy) <= 4N^3 — fine
+    through ~10^6 rows per job; beyond that shard the sums per
+    partition and combine (they are plain integer adds)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        x = _cents(t["value"])
+        y = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        y = pc.subtract(
+            pc.divide(y, 1_000_000), pc.multiply(pc.divide(pc.divide(y, 1_000_000), 86_400), 86_400)
+        )
+        return pa.table({"x": x, "y": pc.cast(y, pa.int64())})
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow")
+
+    def rank_lut(col: str):
+        h = keyed.groupby(col).aggregate(Count(alias_name="c")).to_pandas()
+        h = h.sort_values(col)
+        v = h[col].to_numpy(np.int64)
+        c = h["c"].to_numpy(np.int64)
+        cum = np.concatenate(([0], np.cumsum(c)[:-1]))
+        return v, 2 * cum + c + 1  # doubled average rank per distinct value
+
+    xv, xd = rank_lut("x")
+    yv, yd = rank_lut("y")
+    lut = ray.put((xv, xd, yv, yd))
+
+    def to_ranks(t: pa.Table) -> pa.Table:
+        xv_, xd_, yv_, yd_ = ray.get(lut)
+        dx = xd_[np.searchsorted(xv_, t["x"].to_numpy(zero_copy_only=False))]
+        dy = yd_[np.searchsorted(yv_, t["y"].to_numpy(zero_copy_only=False))]
+        return pa.table(
+            {
+                "dx": pa.array(dx),
+                "dy": pa.array(dy),
+                "dxx": pa.array(dx * dx),
+                "dyy": pa.array(dy * dy),
+                "dxy": pa.array(dx * dy),
+            }
+        )
+
+    agg = keyed.map_batches(to_ranks, batch_format="pyarrow").aggregate(
+        Count(alias_name="n"),
+        Sum("dx", alias_name="sum_dx"),
+        Sum("dy", alias_name="sum_dy"),
+        Sum("dxx", alias_name="sum_dxx"),
+        Sum("dyy", alias_name="sum_dyy"),
+        Sum("dxy", alias_name="sum_dxy"),
+    )
+    out = pd.DataFrame([agg])[["n", "sum_dx", "sum_dy", "sum_dxx", "sum_dyy", "sum_dxy"]]
+    return out.astype("int64")
+
+
+def events_spearman_stats_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS x,
+                   (epoch_us(ts) // 1000000) % 86400 AS y
+            FROM events
+        ),
+        r AS (
+            SELECT 2 * RANK() OVER (ORDER BY x)
+                     + COUNT(*) OVER (PARTITION BY x) - 1 AS dx,
+                   2 * RANK() OVER (ORDER BY y)
+                     + COUNT(*) OVER (PARTITION BY y) - 1 AS dy
+            FROM e
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dx) AS BIGINT) AS sum_dx,
+               CAST(SUM(dy) AS BIGINT) AS sum_dy,
+               CAST(SUM(dx * dx) AS BIGINT) AS sum_dxx,
+               CAST(SUM(dy * dy) AS BIGINT) AS sum_dyy,
+               CAST(SUM(dx * dy) AS BIGINT) AS sum_dxy
+        FROM r
+    """
+
+
+def stump_threshold_split(sf_dir: str) -> pd.DataFrame:
+    """Decision-stump training by exact 0-1 loss: the cents threshold t
+    minimizing errors of the rule "predict purchase iff value_cents <=
+    t" (t = -1 means never predict purchase).  Pure integers end to
+    end — no impurity fractions — so the argmin is exactly comparable
+    and the SQL twin matches bit for bit.  Ties break to the smallest
+    threshold.
+
+    Distributed plan: one (cents)-keyed groupby producing per-value
+    (count, purchase-count); the candidate table is DOMAIN-sized
+    (distinct cents), so the cumulative scan + argmin finalize runs on
+    the driver over <= ~56k rows regardless of corpus size."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": _cents(t["value"]),
+                "p": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64()),
+            }
+        )
+
+    h = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("x")
+        .aggregate(Count(alias_name="c"), Sum("p", alias_name="cp"))
+        .to_pandas()
+        .sort_values("x")
+    )
+    x = h["x"].to_numpy(np.int64)
+    cle = np.cumsum(h["c"].to_numpy(np.int64))
+    ple = np.cumsum(h["cp"].to_numpy(np.int64))
+    n = int(cle[-1])
+    np_total = int(ple[-1])
+    thresholds = np.concatenate(([-1], x))
+    errors = np.concatenate(
+        ([np_total], (np_total - ple) + (cle - ple))
+    )
+    best = np.lexsort((thresholds, errors))[0]
+    return pd.DataFrame(
+        {
+            "threshold": [int(thresholds[best])],
+            "errors": [int(errors[best])],
+            "n": [n],
+            "n_purchase": [np_total],
+        }
+    ).astype("int64")
+
+
+def stump_threshold_split_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS x,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+            FROM events
+        ),
+        tot AS (SELECT COUNT(*) AS n, SUM(p) AS np FROM e),
+        h AS (SELECT x, COUNT(*) AS c, SUM(p) AS cp FROM e GROUP BY x),
+        cum AS (
+            SELECT x AS t,
+                   SUM(c) OVER (ORDER BY x) AS cle,
+                   SUM(cp) OVER (ORDER BY x) AS ple
+            FROM h
+        ),
+        cand AS (
+            SELECT t, (SELECT np FROM tot) - ple + cle - ple AS errors FROM cum
+            UNION ALL
+            SELECT -1, (SELECT np FROM tot)
+        )
+        SELECT CAST(t AS BIGINT) AS threshold,
+               CAST(errors AS BIGINT) AS errors,
+               CAST((SELECT n FROM tot) AS BIGINT) AS n,
+               CAST((SELECT np FROM tot) AS BIGINT) AS n_purchase
+        FROM cand ORDER BY errors, t LIMIT 1
+    """
+
+
+def events_runs_test(sf_dir: str) -> pd.DataFrame:
+    """Wald-Wolfowitz runs audit over the event stream: binarize each
+    event as value_cents > global lower median (the (n+1)//2-th
+    smallest), then count maximal runs of equal sign in event_id
+    order.  All outputs are exact integers (run count, above/rest
+    counts, the median itself) so the LAG-window SQL twin matches.
+
+    Distributed plan: the median comes from a DOMAIN-sized cents
+    histogram (one groupby, driver cumsum over <= ~56k rows); the run
+    count is computed per event_id-range bucket (first sign, last
+    sign, internal transitions inside each sorted bucket) and stitched
+    across the O(buckets) boundary table on the driver — the stream
+    itself is never globally sorted or materialized."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "x": _cents(t["value"])})
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow")
+    h = keyed.groupby("x").aggregate(Count(alias_name="c")).to_pandas().sort_values("x")
+    cum = np.cumsum(h["c"].to_numpy(np.int64))
+    n = int(cum[-1])
+    k = (n + 1) // 2
+    median = int(h["x"].to_numpy(np.int64)[np.searchsorted(cum, k)])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.divide(t["event_id"], 4096),
+                "event_id": t["event_id"],
+                "sg": pc.cast(pc.greater(t["x"], median), pa.int8()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        sg = g["sg"].to_numpy(np.int8)
+        return pd.DataFrame(
+            {
+                "bucket": [int(g["bucket"].iloc[0])],
+                "first_sg": [int(sg[0])],
+                "last_sg": [int(sg[-1])],
+                "trans": [int((sg[1:] != sg[:-1]).sum())],
+                "n_above": [int(sg.sum())],
+                "cnt": [len(sg)],
+            }
+        )
+
+    b = (
+        keyed.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    boundary = int((b["first_sg"].to_numpy()[1:] != b["last_sg"].to_numpy()[:-1]).sum())
+    n_above = int(b["n_above"].sum())
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "n_above": [n_above],
+            "n_rest": [n - n_above],
+            "n_runs": [int(b["trans"].sum()) + boundary + 1],
+            "median_cents": [median],
+        }
+    ).astype("int64")
+
+
+def events_runs_test_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS x FROM events
+        ),
+        m AS (
+            SELECT x AS med FROM (
+                SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM e
+            ) WHERE rn = (n + 1) // 2
+        ),
+        s AS (
+            SELECT event_id,
+                   CASE WHEN x > (SELECT med FROM m) THEN 1 ELSE 0 END AS sg
+            FROM e
+        ),
+        t AS (SELECT sg, LAG(sg) OVER (ORDER BY event_id) AS prev FROM s)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(sg) AS BIGINT) AS n_above,
+               CAST(COUNT(*) - SUM(sg) AS BIGINT) AS n_rest,
+               CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND sg <> prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+               CAST((SELECT med FROM m) AS BIGINT) AS median_cents
+        FROM t
+    """
+
+
+def user_theil_sen_slope(sf_dir: str) -> pd.DataFrame:
+    """Per-user Theil-Sen trend: the lower-median pairwise slope of
+    (epoch-second, value_cents) over all strictly-later pairs, reported
+    as an exact integer rational (slope_num = dy cents, slope_den = dx
+    seconds).  Pairs within the same second are excluded (dx = 0).
+
+    Exactness of the float sort: two distinct rational slopes a/b, c/d
+    with |a| <= 56_021 (cents range) and b, d <= 2.7e6 (seconds in the
+    fixture month) differ by at least 1/(b*d) >= 1.4e-13, while the
+    float64 division error is <= |slope| * 2^-52 <= 56_021 * 2.2e-16
+    ~= 1.2e-11 / max(b,d)... bounded by max|dy| * max|dx| * 2^-52 =
+    56_021 * 2.7e6 * 2.2e-16 ~= 3.3e-5 relative to the 1/(b*d) gap
+    scaled by the same 1/(min dx) factor — i.e. gap/error >= 2^52 /
+    (max|dy| * max|dx|) >> 1, so IEEE division can never reorder two
+    unequal rationals and float-equal implies rational-equal.  Ties
+    among equal slopes break on (dy, dx) ascending, matching the SQL
+    twin's ROW_NUMBER ordering.
+
+    Distributed plan: user-keyed groupby + per-group vectorized pair
+    enumeration (<= ~100 events/user -> <= ~5k pairs, numpy triu) —
+    the classic 'co-partition by entity, quadratic only inside the
+    entity' shape.  At 100 TB users with pathological event counts
+    would be capped or windowed first (the per-user pair count is the
+    knob), never the user count."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 1_000_000)
+        return pa.table({"user_id": t["user_id"], "s": s, "x": _cents(t["value"])})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["s"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.int64)
+        i, j = np.triu_indices(len(s), k=1)
+        # pair set is ordered by strict second precedence, either way round
+        dx = s[j] - s[i]
+        dy = x[j] - x[i]
+        neg = dx < 0
+        dx = np.abs(dx)
+        dy = np.where(neg, -dy, dy)
+        keep = dx > 0
+        dx, dy = dx[keep], dy[keep]
+        m = len(dx)
+        if m == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64")}
+            ).reindex(columns=["user_id", "n_pairs", "slope_num", "slope_den"])
+        order = np.lexsort((dx, dy, dy / dx))
+        k = (m + 1) // 2 - 1
+        pick = order[k]
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_pairs": [m],
+                "slope_num": [int(dy[pick])],
+                "slope_den": [int(dx[pick])],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def user_theil_sen_slope_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT user_id AS u, epoch_us(ts) // 1000000 AS s,
+                   CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events
+        ),
+        p AS (
+            SELECT a.u, b.x - a.x AS dy, b.s - a.s AS dx
+            FROM e a JOIN e b ON a.u = b.u AND b.s > a.s
+        ),
+        r AS (
+            SELECT u, dy, dx,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY u
+                       ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY u) AS m
+            FROM p
+        )
+        SELECT CAST(u AS BIGINT) AS user_id,
+               CAST(m AS BIGINT) AS n_pairs,
+               CAST(dy AS BIGINT) AS slope_num,
+               CAST(dx AS BIGINT) AS slope_den
+        FROM r WHERE rn = (m + 1) // 2 ORDER BY u
+    """
