@@ -991,6 +991,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_runs_test": rel.events_runs_test,
         # per-user Theil-Sen median slope as an exact rational
         "user_theil_sen_slope": rel.user_theil_sen_slope,
+        # weighted SSSP over the part co-purchase graph (Bellman-Ford rounds)
+        "part_weighted_sssp": graph.part_weighted_sssp,
+        # longest increasing subsequence per user (patience DP in shards)
+        "user_lis_lengths": rel.user_lis_lengths,
+        # pairwise SimHash hamming-distance landscape (histogram-sized exchange)
+        "simhash_hamming_histogram": lambda sf: dedup.simhash_hamming_histogram(sf),
     }
 
 
@@ -1452,6 +1458,9 @@ def oracle_sql() -> dict[str, str]:
         "stump_threshold_split": rel.stump_threshold_split_sql(),
         "events_runs_test": rel.events_runs_test_sql(),
         "user_theil_sen_slope": rel.user_theil_sen_slope_sql(),
+        "part_weighted_sssp": graph.part_weighted_sssp_sql(),
+        "user_lis_lengths": rel.user_lis_lengths_sql(),
+        "simhash_hamming_histogram": dedup_mod.simhash_hamming_histogram_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

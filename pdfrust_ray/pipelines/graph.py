@@ -24,7 +24,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 # suppliers are offset into their own node-id range so a custkey and a
 # suppkey with the same integer never merge into one graph node.
@@ -802,4 +802,135 @@ def bipartite_assortativity_stats_sql() -> str:
                CAST(SUM(y * y) AS BIGINT) AS syy,
                CAST(SUM(x * y) AS BIGINT) AS sxy
         FROM j
+    """
+
+
+def part_weighted_sssp(sf_dir: str, bound: int = 15) -> pd.DataFrame:
+    """Weighted single-source shortest paths over the part co-purchase
+    graph (parts adjacent when some order contains both; deterministic
+    edge weight (x + y) % 7 + 1 so the SQL twin can rebuild it), from
+    the lowest partkey, capped at total distance <= `bound`.  Output is
+    the per-distance histogram (count + partkey-sum membership
+    checksum) — exact, because positive weights mean every prefix of a
+    shortest path is itself <= bound, so the bounded recursive-CTE walk
+    and Bellman-Ford agree on the reachable set and distances.
+
+    Distributed plan: the distinct weighted edge list is built once
+    (64-way orderkey shard, per-order distinct-part cliques, global
+    (x, y) dedup groupby) and materialized; each relaxation round
+    streams the edges with the CURRENT tentative-distance table
+    broadcast (vertex-sized, like part_bfs_levels' frontier), relaxes
+    only edges out of nodes improved last round, and applies a
+    groupby(dst).min — rounds are <= bound/min_weight, each one edge
+    scan.  Node counts beyond driver RAM turn the broadcast into the
+    edges-join-labels exchange dedup_clusters documents."""
+    import pyarrow.compute as pc
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    seed = int(li.min("l_partkey"))
+
+    def shardify(t: pa.Table) -> pa.Table:
+        d = (
+            pa.table(
+                {
+                    "o": pc.cast(t["l_orderkey"], pa.int64()),
+                    "p": pc.cast(t["l_partkey"], pa.int64()),
+                }
+            )
+            .group_by(["o", "p"])
+            .aggregate([])
+        )
+        return d.append_column("_shard", pc.cast(pc.bit_wise_and(d["o"], 63), pa.int32()))
+
+    def clique_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "p"]).sort_values(["o", "p"])
+        xs, ys = [], []
+        for _, grp in g.groupby("o", sort=False):
+            p = grp["p"].to_numpy(np.int64)
+            if len(p) < 2:
+                continue
+            i, j = np.triu_indices(len(p), k=1)
+            xs.append(p[i])
+            ys.append(p[j])
+        if not xs:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"), "y": pd.Series([], dtype="int64")})
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        # both directions; weight is symmetric by construction
+        return pd.DataFrame(
+            {"x": np.concatenate([x, y]), "y": np.concatenate([y, x])}
+        ).drop_duplicates()
+
+    edges = (
+        li.map_batches(shardify, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(clique_edges, batch_format="pandas")
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()
+    )
+
+    INF = np.int64(1 << 60)
+    dist: dict[int, int] = {seed: 0}
+    frontier = {seed}
+    while frontier:
+        fref = ray.put((dict(dist), set(frontier)))
+
+        def relax(t: pa.Table) -> pa.Table:
+            d, fr = ray.get(fref)
+            x = t["x"].to_numpy(zero_copy_only=False)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            mask = np.array([xi in fr for xi in x], dtype=bool)
+            if not mask.any():
+                return pa.table({"node": pa.array([], pa.int64()), "cand": pa.array([], pa.int64())})
+            x, y = x[mask], y[mask]
+            w = (x + y) % 7 + 1
+            cand = np.array([d[xi] for xi in x], dtype=np.int64) + w
+            keep = cand <= bound
+            return pa.table({"node": pa.array(y[keep]), "cand": pa.array(cand[keep])})
+
+        best = (
+            edges.map_batches(relax, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="cand"))
+            .to_pandas()
+        )
+        frontier = set()
+        for node, cand in zip(best["node"].to_numpy(np.int64), best["cand"].to_numpy(np.int64)):
+            if cand < dist.get(int(node), INF):
+                dist[int(node)] = int(cand)
+                frontier.add(int(node))
+
+    df = pd.DataFrame({"node": list(dist.keys()), "d": list(dist.values())})
+    out = (
+        df.groupby("d")
+        .agg(n_parts=("node", "size"), sum_partkey=("node", "sum"))
+        .reset_index()
+        .rename(columns={"d": "dist"})
+        .sort_values("dist")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+def part_weighted_sssp_sql(bound: int = 15) -> str:
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ), e AS (SELECT x, y, (x + y) % 7 + 1 AS w FROM pairs),
+        seed AS (SELECT MIN(l_partkey) AS m FROM lineitem),
+        walk AS (
+            SELECT m AS node, 0 AS d FROM seed
+            UNION
+            SELECT e.y, walk.d + e.w FROM walk JOIN e ON e.x = walk.node
+            WHERE walk.d + e.w <= {bound}
+        ),
+        dist AS (SELECT node, MIN(d) AS d FROM walk GROUP BY node)
+        SELECT CAST(d AS BIGINT) AS dist,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(node) AS BIGINT) AS sum_partkey
+        FROM dist GROUP BY d ORDER BY d
     """

@@ -13592,3 +13592,85 @@ def user_theil_sen_slope_sql() -> str:
                CAST(dx AS BIGINT) AS slope_den
         FROM r WHERE rn = (m + 1) // 2 ORDER BY u
     """
+
+
+def user_lis_lengths(sf_dir: str) -> pd.DataFrame:
+    """Longest strictly-increasing subsequence of event values (cents)
+    per user, in (ts, event_id) order — the order-statistics DP the
+    batch-window family was missing.  Output: user_id, n_events,
+    lis_len; exact, with a recursive-CTE chain-extension SQL twin
+    (every achievable chain length 1..LIS appears as a distinct
+    (user, position, length) row, so the delta recursion terminates in
+    LIS_max rounds).
+
+    Distributed plan: user-keyed groupby; inside each group the classic
+    patience-sorting tails array runs in O(n log n) over <= ~100 events
+    (the per-entity bound that makes per-group DP safe; a pathological
+    entity would be windowed first, as user_theil_sen_slope documents)."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "x": _cents(t["value"]),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        x = g["x"].to_numpy(np.int64)
+        tails: list[int] = []
+        for v in x:
+            import bisect
+
+            pos = bisect.bisect_left(tails, v)
+            if pos == len(tails):
+                tails.append(int(v))
+            else:
+                tails[pos] = int(v)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(x)],
+                "lis_len": [len(tails)],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def user_lis_lengths_sql() -> str:
+    return """
+        WITH RECURSIVE e AS (
+            SELECT user_id AS u, CAST(ROUND(value * 100) AS BIGINT) AS x,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS i
+            FROM events
+        ),
+        dp AS (
+            SELECT u, i, x, 1 AS l FROM e
+            UNION
+            SELECT e.u, e.i, e.x, dp.l + 1
+            FROM dp JOIN e ON e.u = dp.u AND e.i > dp.i AND e.x > dp.x
+        ),
+        cnt AS (SELECT u, COUNT(*) AS n FROM e GROUP BY u)
+        SELECT CAST(dp.u AS BIGINT) AS user_id,
+               CAST(MAX(cnt.n) AS BIGINT) AS n_events,
+               CAST(MAX(dp.l) AS BIGINT) AS lis_len
+        FROM dp JOIN cnt ON cnt.u = dp.u
+        GROUP BY dp.u ORDER BY dp.u
+    """

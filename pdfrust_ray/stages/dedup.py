@@ -694,7 +694,19 @@ def simhash_dedup_sql(max_hamming: int = 3) -> str:
     because DuckDB's << overflows at bit 63; hamming is the sum of the
     two halves' bit_count(xor)."""
     return rf"""
-        WITH words AS (
+        {_SIMHASH_SIG_CTE}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        FROM sig0 a JOIN sig0 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+    """
+
+
+# SQL reconstruction of functions/minhash.py::simhash64 (md5-based by
+# design so the signature is ANSI-SQL-reproducible); shared by the
+# hamming-pair oracle and the pairwise-hamming-histogram oracle.
+_SIMHASH_SIG_CTE = r"""WITH words AS (
           SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
           FROM (SELECT doc_id,
                        unnest(string_split_regex(lower(text), '\s+')) AS w
@@ -725,13 +737,7 @@ def simhash_dedup_sql(max_hamming: int = 3) -> str:
         ), sig0 AS (
           SELECT d.doc_id, COALESCE(s.lo, 0) AS lo, COALESCE(s.hi, 0) AS hi
           FROM documents d LEFT JOIN sig s USING (doc_id)
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
-        FROM sig0 a JOIN sig0 b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
-        ORDER BY doc_a, doc_b
-    """
+        )"""
 
 
 def embedding_dedup(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
@@ -1967,4 +1973,76 @@ def cluster_lang_purity_sql(threshold: float = 0.8, k: int = 5) -> str:
         SELECT CAST(n_langs AS BIGINT) AS n_langs,
                CAST(COUNT(*) AS BIGINT) AS n_clusters
         FROM per GROUP BY 1 ORDER BY 1
+    """
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def simhash_hamming_histogram(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Hamming-distance histogram over the 64-bit SimHash
+    signatures of every document pair — the similarity-landscape audit
+    that tells you where to put the near-dup threshold before running
+    the dedup itself.  Exact SQL oracle: simhash64 is md5-based by
+    design, so DuckDB rebuilds every signature and cross-joins
+    bit_count(xor) (same _SIMHASH_SIG_CTE the pair oracle uses).
+
+    Distributed plan (the embedding_pair_distance_histogram shape): the
+    signature table is computed once with map_batches and materialized
+    (16 B/doc — broadcastable to ~10^8 docs); each anchor batch XORs
+    its signatures against the broadcast array for strictly-larger
+    doc_ids, popcounts via a uint8 lookup, and reduces IN PLACE to a
+    65-bin partial histogram — the exchange is histogram-sized, never
+    pair-sized."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.minhash import simhash64
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sigs = np.array(
+            [simhash64(x) for x in t["text"].to_pylist()], dtype=np.uint64
+        )
+        return pa.table({"doc_id": pa.array(ids), "sig": pa.array(sigs.view(np.int64))})
+
+    sig_ds = docs.map_batches(sig, batch_format="pyarrow").materialize()
+    pdf = sig_ds.to_pandas().sort_values("doc_id")
+    all_ids = pdf["doc_id"].to_numpy(np.int64)
+    all_sigs = pdf["sig"].to_numpy(np.int64).view(np.uint64)
+    bref = ray.put((all_ids, all_sigs))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids_, sigs_ = ray.get(bref)
+        a_id = t["doc_id"].to_numpy(zero_copy_only=False)
+        a_sig = t["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        hist = np.zeros(65, dtype=np.int64)
+        for k in range(len(a_id)):
+            start = np.searchsorted(ids_, a_id[k], side="right")
+            if start >= len(ids_):
+                continue
+            x = sigs_[start:] ^ a_sig[k]
+            h = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+            hist += np.bincount(h, minlength=65)
+        return pa.table({"hamming": pa.array(np.arange(65)), "n": pa.array(hist)})
+
+    out = (
+        sig_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hamming")
+        .aggregate(Sum("n", alias_name="n_pairs"))
+        .to_pandas()
+    )
+    out = out[out["n_pairs"] > 0].sort_values("hamming").reset_index(drop=True)
+    return out.astype("int64")
+
+
+def simhash_hamming_histogram_sql() -> str:
+    return rf"""
+        {_SIMHASH_SIG_CTE}
+        SELECT CAST(bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM sig0 a JOIN sig0 b ON a.doc_id < b.doc_id
+        GROUP BY 1 ORDER BY 1
     """
