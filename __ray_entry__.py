@@ -997,6 +997,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_lis_lengths": rel.user_lis_lengths,
         # pairwise SimHash hamming-distance landscape (histogram-sized exchange)
         "simhash_hamming_histogram": lambda sf: dedup.simhash_hamming_histogram(sf),
+        # deterministic greedy-bandit policy replay (exact integer argmax)
+        "bandit_greedy_replay": rel.bandit_greedy_replay,
+        # exact weighted isotonic regression via the minimax rational form
+        "isotonic_rate_curve": rel.isotonic_rate_curve,
     }
 
 
@@ -1461,6 +1465,8 @@ def oracle_sql() -> dict[str, str]:
         "part_weighted_sssp": graph.part_weighted_sssp_sql(),
         "user_lis_lengths": rel.user_lis_lengths_sql(),
         "simhash_hamming_histogram": dedup_mod.simhash_hamming_histogram_sql(),
+        "bandit_greedy_replay": rel.bandit_greedy_replay_sql(),
+        "isotonic_rate_curve": rel.isotonic_rate_curve_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -13674,3 +13674,237 @@ def user_lis_lengths_sql() -> str:
         FROM dp JOIN cnt ON cnt.u = dp.u
         GROUP BY dp.u ORDER BY dp.u
     """
+
+
+_BANDIT_ARMS = ("click", "error", "purchase", "signup", "view")
+
+
+def bandit_greedy_replay(sf_dir: str) -> pd.DataFrame:
+    """Deterministic greedy-bandit policy replay over the event log:
+    arms are the five event types, each calendar day the policy pulls
+    one arm (first unpulled arm in lexicographic order, then the
+    highest exact average reward, ties to the lexicographically first)
+    and collects that day's total value (cents) for the chosen type.
+    All comparisons are integer cross-multiplications (s_a * p_b vs
+    s_b * p_a), so the recursive-CTE SQL twin replays the identical
+    policy bit-for-bit — the evaluation harness every offline-bandit
+    paper needs before trusting a learned policy.
+
+    Distributed plan: ONE (day x type) Sum exchange folds the corpus to
+    an O(days x arms) table; the replay itself is O(days) driver state
+    (two ints per arm), the same shape as any online-policy backtest."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        day = pc.multiply(
+            pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 86_400_000_000),
+            86_400_000_000,
+        )
+        return pa.table(
+            {
+                "day": pc.cast(day, pa.timestamp("us")),
+                "event_type": t["event_type"],
+                "r": _cents(t["value"]),
+            }
+        )
+
+    h = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("r", alias_name="r"))
+        .to_pandas()
+    )
+    assert set(h["event_type"]) <= set(_BANDIT_ARMS)
+    pivot = (
+        h.pivot_table(index="day", columns="event_type", values="r", aggfunc="sum")
+        .reindex(columns=list(_BANDIT_ARMS))
+        .fillna(0)
+        .astype("int64")
+        .sort_index()
+    )
+    s = {a: 0 for a in _BANDIT_ARMS}
+    p = {a: 0 for a in _BANDIT_ARMS}
+    rows = []
+    cum = 0
+    for day, rr in pivot.iterrows():
+        arm = next((a for a in _BANDIT_ARMS if p[a] == 0), None)
+        if arm is None:
+            arm = _BANDIT_ARMS[0]
+            for cand in _BANDIT_ARMS[1:]:
+                if s[cand] * p[arm] > s[arm] * p[cand]:
+                    arm = cand
+        reward = int(rr[arm])
+        s[arm] += reward
+        p[arm] += 1
+        cum += reward
+        rows.append((day, arm, reward, cum))
+    out = pd.DataFrame(rows, columns=["day", "arm", "reward_cents", "cum_reward_cents"])
+    out["day"] = pd.to_datetime(out["day"])
+    for c in ("reward_cents", "cum_reward_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def bandit_greedy_replay_sql() -> str:
+    cols = {"click": "c", "error": "e", "purchase": "p", "signup": "s", "view": "v"}
+    day_sums = ",\n                   ".join(
+        f"SUM(CASE WHEN event_type = '{a}' THEN CAST(ROUND(value*100) AS BIGINT)"
+        f" ELSE 0 END) AS r{k}"
+        for a, k in cols.items()
+    )
+
+    def beats_all(k: str) -> str:
+        return " AND ".join(
+            f"s{k}0 * p{o}0 >= s{o}0 * p{k}0" for o in cols.values() if o != k
+        )
+
+    arm_case = "CASE " + " ".join(
+        f"WHEN p{k}0 = 0 THEN '{a}'" for a, k in cols.items()
+    )
+    arm_case += " " + " ".join(
+        f"WHEN {beats_all(k)} THEN '{a}'" for a, k in list(cols.items())[:-1]
+    )
+    arm_case += " ELSE 'view' END"
+    reward_case = (
+        "CASE arm "
+        + " ".join(f"WHEN '{a}' THEN r{k}" for a, k in cols.items())
+        + " END"
+    )
+    state_zero = ", ".join(
+        f"CAST(0 AS BIGINT) AS s{k}, CAST(0 AS BIGINT) AS p{k}" for k in cols.values()
+    )
+    state_prev = ", ".join(
+        f"sim.s{k} AS s{k}0, sim.p{k} AS p{k}0" for k in cols.values()
+    )
+    state_next = ", ".join(
+        f"s{k}0 + CASE WHEN arm = '{a}' THEN {reward_case} ELSE 0 END AS s{k}, "
+        f"p{k}0 + CASE WHEN arm = '{a}' THEN 1 ELSE 0 END AS p{k}"
+        for a, k in cols.items()
+    )
+    return f"""
+        WITH RECURSIVE d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   {day_sums}
+            FROM events GROUP BY 1
+        ),
+        days AS (SELECT *, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+        sim AS (
+            SELECT 0 AS i, CAST(NULL AS TIMESTAMP) AS day,
+                   CAST(NULL AS VARCHAR) AS arm, CAST(0 AS BIGINT) AS reward,
+                   CAST(0 AS BIGINT) AS cum, {state_zero}
+            UNION ALL
+            SELECT i, day, arm, {reward_case} AS reward,
+                   cum0 + {reward_case} AS cum, {state_next}
+            FROM (
+                SELECT days.*, sim.cum AS cum0, {state_prev},
+                       {arm_case} AS arm
+                FROM sim JOIN days ON days.i = sim.i + 1
+            )
+        )
+        SELECT day, arm, CAST(reward AS BIGINT) AS reward_cents,
+               CAST(cum AS BIGINT) AS cum_reward_cents
+        FROM sim WHERE i >= 1 ORDER BY i
+    """
+
+
+def isotonic_rate_curve(sf_dir: str) -> pd.DataFrame:
+    """Weighted isotonic (non-decreasing) regression of purchase rate
+    on the value bucket (cents // 1000), EXACT via the minimax
+    characterization mu_i = max_{a<=i} min_{b>=i} rate(a..b): every
+    fitted level is a true rational wins/total over some span, reported
+    gcd-reduced, so the SQL twin (span cross-join + arg_min/arg_max)
+    matches bit-for-bit.  Float ratios are used only for ORDERING,
+    which is provably exact here: two distinct rationals with
+    numerators/denominators <= 1e5 differ by >= 1e-10, eight orders
+    above the float64 ulp.
+
+    Distributed plan: one (bucket)-keyed groupby folds the corpus to a
+    DOMAIN-sized (<= ~60 rows) histogram; the O(D^2) minimax runs on
+    the driver over that histogram — corpus size never touches the
+    quadratic term."""
+    import numpy as np
+    from math import gcd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "b": pc.divide(_cents(t["value"]), 1000),
+                "p": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64()),
+            }
+        )
+
+    h = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Count(alias_name="t"), Sum("p", alias_name="w"))
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    t = h["t"].to_numpy(np.int64)
+    w = h["w"].to_numpy(np.int64)
+    D = len(h)
+    cw = np.concatenate(([0], np.cumsum(w)))
+    ct = np.concatenate(([0], np.cumsum(t)))
+    # span sums W[a, b] = wins in buckets a..b inclusive (a <= b)
+    W = cw[None, 1:] - cw[:-1, None]
+    T = ct[None, 1:] - ct[:-1, None]
+    R = np.where(T > 0, W / np.maximum(T, 1), np.inf)
+    R[np.tril_indices(D, k=-1)] = np.inf  # a > b invalid for the suffix min
+    suff = np.minimum.accumulate(R[:, ::-1], axis=1)[:, ::-1]  # min over b >= i
+    fit = np.maximum.accumulate(suff, axis=0).diagonal()  # max over a <= i
+    nums, dens = [], []
+    for i in range(D):
+        a, b = np.argwhere((R == fit[i]) & (np.arange(D)[:, None] <= i) & (np.arange(D)[None, :] >= i))[0]
+        g = gcd(int(W[a, b]), int(T[a, b]))
+        nums.append(int(W[a, b]) // g)
+        dens.append(int(T[a, b]) // g)
+    return pd.DataFrame(
+        {
+            "bucket": h["b"].to_numpy(np.int64),
+            "n": t,
+            "wins": w,
+            "fit_num": nums,
+            "fit_den": dens,
+        }
+    ).astype("int64")
+
+
+def isotonic_rate_curve_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) // 1000 AS b,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+            FROM events
+        ),
+        h AS (SELECT b, COUNT(*) AS t, SUM(p) AS w FROM e GROUP BY b),
+        c AS (
+            SELECT b, t, w,
+                   SUM(t) OVER (ORDER BY b) AS ct,
+                   SUM(w) OVER (ORDER BY b) AS cw
+            FROM h
+        ),
+        span AS (
+            SELECT lo.b AS a, hi.b AS bb,
+                   hi.cw - lo.cw + lo.w AS ww, hi.ct - lo.ct + lo.t AS tt
+            FROM c lo JOIN c hi ON lo.b <= hi.b
+        ),
+        inner_min AS (
+            SELECT i.b AS i, s.a,
+                   arg_min(list_value(s.ww, s.tt), CAST(s.ww AS DOUBLE) / s.tt) AS pr,
+                   MIN(CAST(s.ww AS DOUBLE) / s.tt) AS mn
+            FROM h i JOIN span s ON s.a <= i.b AND s.bb >= i.b
+            GROUP BY i.b, s.a
+        ),
+        outer_max AS (SELECT i, arg_max(pr, mn) AS pr FROM inner_min GROUP BY i)
+        SELECT CAST(h.b AS BIGINT) AS bucket,
+               CAST(h.t AS BIGINT) AS n,
+               CAST(h.w AS BIGINT) AS wins,
+               CAST(pr[1] // gcd(pr[1], pr[2]) AS BIGINT) AS fit_num,
+               CAST(pr[2] // gcd(pr[1], pr[2]) AS BIGINT) AS fit_den
+        FROM outer_max JOIN h ON h.b = outer_max.i ORDER BY bucket
+    """
