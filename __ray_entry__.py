@@ -324,6 +324,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audio_energy_segments()
 
+    def _q_audio_pitch_estimate(sf_dir: str):
+        from pdfrust_ray.stages.multimodal import audio_pitch_estimate
+
+        return audio_pitch_estimate()
+
     return {
         # --- the reference's own pipeline surface (SURVEY §2 / §3) ---
         "extract_text": _q_extract_text,
@@ -1001,6 +1006,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bandit_greedy_replay": rel.bandit_greedy_replay,
         # exact weighted isotonic regression via the minimax rational form
         "isotonic_rate_curve": rel.isotonic_rate_curve,
+        # fundamental-period estimation over real WAV codecs (rows-only:
+        # decode has no SQL; exact planted-period recovery pinned in pytest)
+        "audio_pitch_estimate": _q_audio_pitch_estimate,
+        # minimum spanning forest via Boruvka rounds (rows-only: iterative
+        # fixpoint like k-core; serial-Kruskal edge-set equality in pytest)
+        "part_mst_boruvka": graph.part_mst_boruvka,
     }
 
 

@@ -934,3 +934,137 @@ def part_weighted_sssp_sql(bound: int = 15) -> str:
                CAST(SUM(node) AS BIGINT) AS sum_partkey
         FROM dist GROUP BY d ORDER BY d
     """
+
+
+def part_mst_boruvka(sf_dir: str) -> pd.DataFrame:
+    """Minimum spanning forest of the weighted part co-purchase graph
+    via distributed Boruvka rounds.  Edge weight is the same
+    deterministic (x + y) % 7 + 1 part_weighted_sssp uses, made UNIQUE
+    by packing the canonical edge id into the low bits
+    (w << 42 | min << 21 | max — partkeys < 2^21 at fixture scale,
+    2^32-packing at production key widths), so the MSF is unique and
+    the serial-Kruskal pytest can assert edge-set equality, not just
+    total weight.  Output is one audit row: nodes, components, MSF
+    edge count, total (primary) weight, and an edge-membership
+    checksum.
+
+    Distributed plan: the distinct canonical edge list is built once
+    (64-way orderkey shard, per-order cliques) and materialized; each
+    Boruvka round broadcasts the vertex-sized component labels,
+    streams the edges, takes a groupby(component).Min over the packed
+    weight (cheapest outgoing edge per component — the classic
+    message), and the driver merges the O(components) winners with
+    union-find.  O(log V) rounds, each one edge scan; label tables
+    beyond driver RAM become the edges-join-labels exchange
+    dedup_clusters documents."""
+    import pyarrow.compute as pc
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def shardify(t: pa.Table) -> pa.Table:
+        d = (
+            pa.table(
+                {
+                    "o": pc.cast(t["l_orderkey"], pa.int64()),
+                    "p": pc.cast(t["l_partkey"], pa.int64()),
+                }
+            )
+            .group_by(["o", "p"])
+            .aggregate([])
+        )
+        return d.append_column("_shard", pc.cast(pc.bit_wise_and(d["o"], 63), pa.int32()))
+
+    def clique_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "p"]).sort_values(["o", "p"])
+        xs, ys = [], []
+        for _, grp in g.groupby("o", sort=False):
+            p = grp["p"].to_numpy(np.int64)
+            if len(p) < 2:
+                continue
+            i, j = np.triu_indices(len(p), k=1)
+            xs.append(p[i])
+            ys.append(p[j])
+        if not xs:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"), "y": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"x": np.concatenate(xs), "y": np.concatenate(ys)}
+        ).drop_duplicates()
+
+    edges = (
+        li.map_batches(shardify, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(clique_edges, batch_format="pandas")
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()
+    )
+
+    nodes = sorted(
+        set(edges.groupby("x").aggregate(Count(alias_name="_n")).to_pandas()["x"])
+        | set(edges.groupby("y").aggregate(Count(alias_name="_n")).to_pandas()["y"])
+    )
+    parent = {v: v for v in nodes}
+
+    def find(v: int) -> int:
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    mst_packed: list[int] = []
+    while True:
+        comp = {v: find(v) for v in nodes}
+        cref = ray.put(comp)
+
+        def cheapest(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            x = t["x"].to_numpy(zero_copy_only=False)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            cx = np.array([c[v] for v in x], dtype=np.int64)
+            cy = np.array([c[v] for v in y], dtype=np.int64)
+            keep = cx != cy
+            x, y, cx, cy = x[keep], y[keep], cx[keep], cy[keep]
+            w = ((x + y) % 7 + 1) << 42 | (x << 21) | y
+            # each endpoint component bids for its cheapest cut edge
+            return pa.table(
+                {
+                    "comp": pa.array(np.concatenate([cx, cy])),
+                    "pw": pa.array(np.concatenate([w, w])),
+                }
+            )
+
+        winners = (
+            edges.map_batches(cheapest, batch_format="pyarrow")
+            .groupby("comp")
+            .aggregate(Min("pw", alias_name="pw"))
+            .to_pandas()
+        )
+        if "pw" not in winners.columns or winners.empty:
+            break  # no inter-component edges left anywhere
+        merged = 0
+        for pw in sorted(int(v) for v in winners["pw"]):
+            x = (pw >> 21) & ((1 << 21) - 1)
+            y = pw & ((1 << 21) - 1)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+                mst_packed.append(pw)
+                merged += 1
+        if merged == 0:
+            break
+
+    n_components = len({find(v) for v in nodes})
+    total_weight = sum(pw >> 42 for pw in mst_packed)
+    checksum = sum(
+        ((pw >> 21) & ((1 << 21) - 1)) * 31 + (pw & ((1 << 21) - 1)) for pw in mst_packed
+    )
+    return pd.DataFrame(
+        {
+            "n_nodes": [len(nodes)],
+            "n_components": [n_components],
+            "n_mst_edges": [len(mst_packed)],
+            "total_weight": [total_weight],
+            "edge_checksum": [checksum],
+        }
+    ).astype("int64")

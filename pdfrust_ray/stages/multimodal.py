@@ -822,3 +822,93 @@ def video_scene_cuts(media_table: pa.Table | None = None, threshold: int = 32) -
         .reset_index(drop=True)
     )
     return out
+
+
+# --- pitch estimation --------------------------------------------------------
+
+
+def synthesize_tone_table(n: int = 36, seed: int = 11) -> pa.Table:
+    """Deterministic pitched-tone corpus: integer-period sawtooth waves
+    (period P in 24..200 samples at 8 kHz) cycled through the real WAV
+    codecs.  Quantizing codecs (mu-law, ADPCM's block restart) are
+    memoryless per sample, so the DECODED signal is still exactly
+    P-periodic and the integer autocorrelation peak recovers P exactly
+    — the ground-truth `true_period` column rides along for tests."""
+    from ..functions.audio import encode_wav_mulaw
+
+    rng = np.random.RandomState(seed)
+    rate = 8000
+    rows = {"media_id": [], "payload": [], "true_period": [], "rate": []}
+    for i in range(n):
+        period = int(rng.randint(24, 201))
+        n_samples = 2048 + period  # at least ~10 periods for every P
+        ramp = (np.arange(n_samples) % period).astype(np.float64)
+        sig = ((ramp / (period - 1)) * 16000 - 8000).astype(np.int16)
+        payload = encode_wav(sig, rate) if i % 2 == 0 else encode_wav_mulaw(sig, rate)
+        rows["media_id"].append(i)
+        rows["payload"].append(payload)
+        rows["true_period"].append(period)
+        rows["rate"].append(rate)
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+            "true_period": pa.array(rows["true_period"], pa.int64()),
+            "rate": pa.array(rows["rate"], pa.int64()),
+        }
+    )
+
+
+class PitchEstimator:
+    """Actor-pool fundamental-period estimator: decode WAV -> exact
+    int64 autocorrelation r(L) = sum x[i] * x[i+L] over a fixed window
+    (so different lags compare the same number of terms) for L in
+    [min_lag, max_lag] -> smallest argmax lag (ties to the shortest
+    period, which picks the fundamental over its multiples).  Integer
+    arithmetic end to end: deterministic on every worker."""
+
+    def __init__(self, min_lag: int = 20, max_lag: int = 256):
+        self.min_lag = min_lag
+        self.max_lag = max_lag
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.audio import decode_wav_any
+
+        out = {"media_id": [], "est_period": [], "f0_centihz": []}
+        for mid, payload in zip(
+            t["media_id"].to_pylist(), t["payload"].to_pylist()
+        ):
+            samples, rate = decode_wav_any(payload)
+            x = (samples[:, 0] if samples.ndim == 2 else samples).astype(np.int64)
+            w = len(x) - self.max_lag
+            best_lag, best_r = 0, None
+            head = x[:w]
+            for lag in range(self.min_lag, self.max_lag + 1):
+                r = int(np.dot(head, x[lag : lag + w]))
+                if best_r is None or r > best_r:
+                    best_lag, best_r = lag, r
+            out["media_id"].append(mid)
+            out["est_period"].append(best_lag)
+            out["f0_centihz"].append(rate * 100 // best_lag if best_lag else 0)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "est_period": pa.array(out["est_period"], pa.int64()),
+                "f0_centihz": pa.array(out["f0_centihz"], pa.int64()),
+            }
+        )
+
+
+def audio_pitch_estimate(media_table: "pa.Table | None" = None) -> pd.DataFrame:
+    """Pitch estimation over the tone corpus (actor pool, tiny batches
+    — binary payloads dominate memory; rows-only query: WAV decode has
+    no SQL equivalent, exact planted-period recovery is pinned in
+    pytest)."""
+    t = media_table if media_table is not None else synthesize_tone_table()
+    return (
+        rd.from_arrow(t.select(["media_id", "payload"]))
+        .map_batches(PitchEstimator, batch_size=8, concurrency=2, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
