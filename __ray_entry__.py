@@ -1012,6 +1012,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # minimum spanning forest via Boruvka rounds (rows-only: iterative
         # fixpoint like k-core; serial-Kruskal edge-set equality in pytest)
         "part_mst_boruvka": graph.part_mst_boruvka,
+        # Pettitt change-point over the value stream (doubled-rank ints)
+        "events_pettitt_change": rel.events_pettitt_change,
+        # gapped sequential triple patterns (greedy-witness counting)
+        "gapped_triple_patterns": rel.gapped_triple_patterns,
+        # click->purchase lead-lag cross-correlation profile
+        "daily_lead_lag_xcorr": rel.daily_lead_lag_xcorr,
     }
 
 
@@ -1478,6 +1484,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming_histogram": dedup_mod.simhash_hamming_histogram_sql(),
         "bandit_greedy_replay": rel.bandit_greedy_replay_sql(),
         "isotonic_rate_curve": rel.isotonic_rate_curve_sql(),
+        "events_pettitt_change": rel.events_pettitt_change_sql(),
+        "gapped_triple_patterns": rel.gapped_triple_patterns_sql(),
+        "daily_lead_lag_xcorr": rel.daily_lead_lag_xcorr_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

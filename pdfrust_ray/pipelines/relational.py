@@ -13908,3 +13908,293 @@ def isotonic_rate_curve_sql() -> str:
                CAST(pr[2] // gcd(pr[1], pr[2]) AS BIGINT) AS fit_den
         FROM outer_max JOIN h ON h.b = outer_max.i ORDER BY bucket
     """
+
+
+def events_pettitt_change(sf_dir: str) -> pd.DataFrame:
+    """Pettitt change-point statistic over the event-value stream in
+    event_id order: U_t = sum_{i<=t} 2*r_i - t*(n+1) with DOUBLED
+    average ranks (ties exact), K = max_{t<n} |U_t|, earliest t on
+    ties.  All integers, so the RANK+window SQL twin matches exactly.
+
+    Distributed plan: the rank LUT comes from a DOMAIN-sized cents
+    histogram (one groupby); the ordered prefix is a two-phase scan —
+    per event_id-range bucket (sum of doubled ranks, count, local
+    argmax of |U| given an unknown global offset is NOT decomposable,
+    so the down-sweep re-scans each bucket WITH its exclusive prefix
+    applied, emitting one candidate row per bucket) — O(buckets)
+    exchange, no global sort."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "x": _cents(t["value"])})
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow")
+    h = keyed.groupby("x").aggregate(Count(alias_name="c")).to_pandas().sort_values("x")
+    v = h["x"].to_numpy(np.int64)
+    c = h["c"].to_numpy(np.int64)
+    cum = np.concatenate(([0], np.cumsum(c)[:-1]))
+    d_lut = 2 * cum + c + 1
+    n = int(c.sum())
+    lref = ray.put((v, d_lut))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        vv, dd = ray.get(lref)
+        d = dd[np.searchsorted(vv, t["x"].to_numpy(zero_copy_only=False))]
+        return pa.table(
+            {
+                "bucket": pc.divide(t["event_id"], 4096),
+                "event_id": t["event_id"],
+                "d": pa.array(d),
+            }
+        )
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        return pd.DataFrame(
+            {
+                "bucket": [int(g["bucket"].iloc[0])],
+                "sum_d": [int(g["d"].sum())],
+                "cnt": [len(g)],
+            }
+        )
+
+    bk = (
+        keyed.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partials, batch_format="pandas")
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    pre_d = np.concatenate(([0], np.cumsum(bk["sum_d"].to_numpy(np.int64))[:-1]))
+    pre_n = np.concatenate(([0], np.cumsum(bk["cnt"].to_numpy(np.int64))[:-1]))
+    offsets = ray.put(
+        {int(b): (int(pd_), int(pn_)) for b, pd_, pn_ in zip(bk["bucket"], pre_d, pre_n)}
+    )
+
+    def down_sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        off_d, off_n = ray.get(offsets)[int(g["bucket"].iloc[0])]
+        cumd = off_d + np.cumsum(g["d"].to_numpy(np.int64))
+        t = off_n + np.arange(1, len(g) + 1, dtype=np.int64)
+        u2 = cumd - t * (n + 1)
+        valid = t < n
+        if not valid.any():
+            return pd.DataFrame(
+                {"best_abs": pd.Series([], dtype="int64")}
+            ).reindex(columns=["best_abs", "t_at", "u2_at"])
+        au = np.abs(u2[valid])
+        k = int(np.lexsort((t[valid], -au))[0])
+        return pd.DataFrame(
+            {
+                "best_abs": [int(au[k])],
+                "t_at": [int(t[valid][k])],
+                "u2_at": [int(u2[valid][k])],
+            }
+        )
+
+    cands = (
+        keyed.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(down_sweep, batch_format="pandas")
+        .to_pandas()
+    )
+    cands = cands.sort_values(["best_abs", "t_at"], ascending=[False, True])
+    best = cands.iloc[0]
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "k2_stat": [int(best["best_abs"])],
+            "t_at": [int(best["t_at"])],
+            "u2_at": [int(best["u2_at"])],
+        }
+    ).astype("int64")
+
+
+def events_pettitt_change_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS x FROM events
+        ),
+        r AS (
+            SELECT event_id,
+                   2 * RANK() OVER (ORDER BY x)
+                     + COUNT(*) OVER (PARTITION BY x) - 1 AS d
+            FROM e
+        ),
+        u AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS t,
+                   SUM(d) OVER (ORDER BY event_id) AS cumd,
+                   COUNT(*) OVER () AS n
+            FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(ABS(cumd - t * (n + 1)) AS BIGINT) AS k2_stat,
+               CAST(t AS BIGINT) AS t_at,
+               CAST(cumd - t * (n + 1) AS BIGINT) AS u2_at
+        FROM u WHERE t < n
+        ORDER BY ABS(cumd - t * (n + 1)) DESC, t LIMIT 1
+    """
+
+
+def gapped_triple_patterns(sf_dir: str) -> pd.DataFrame:
+    """Sequential pattern mining (SPADE/PrefixSpan's counting core):
+    for every ordered event-type triple (a, b, c), how many users'
+    event sequences contain a THEN b THEN c as a gapped subsequence.
+    Existence uses the standard greedy witness — first a, first b
+    after it, any c after that — which the SQL twin reproduces with
+    three MIN(ts) chain CTEs; timestamps are unique at microsecond
+    resolution so strict < comparisons are total.
+
+    Distributed plan: user-keyed groupby; per group the greedy table
+    is built from per-type first/last positions + one searchsorted
+    (O(T^2) for firsts, O(T^3) bool algebra for the triples, T = 5);
+    only true (user, a, b, c) rows leave the task, and a triple-keyed
+    Count folds them — exchange is pattern-sized, not event-sized."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        types = sorted(g["event_type"].unique())
+        ts = g["ts"].to_numpy(np.int64)
+        ev = g["event_type"].to_numpy()
+        pos = {t_: np.flatnonzero(ev == t_) for t_ in types}
+        rows = []
+        for a in types:
+            fa = pos[a][0]
+            for b in types:
+                # first b strictly after the first a
+                later = pos[b][np.searchsorted(pos[b], fa, side="right"):]
+                if len(later) == 0:
+                    continue
+                fb = later[0]
+                for ctype in types:
+                    if pos[ctype][-1] > fb:
+                        rows.append((int(g["user_id"].iloc[0]), a, b, ctype))
+        if not rows:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64")}
+            ).reindex(columns=["user_id", "a_type", "b_type", "c_type"])
+        return pd.DataFrame(rows, columns=["user_id", "a_type", "b_type", "c_type"])
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["a_type", "b_type", "c_type"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["a_type", "b_type", "c_type"])
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def gapped_triple_patterns_sql() -> str:
+    return """
+        WITH p1 AS (
+            SELECT user_id AS u, event_type AS a, MIN(ts) AS t1
+            FROM events GROUP BY 1, 2
+        ),
+        p2 AS (
+            SELECT p1.u, p1.a, e.event_type AS b, MIN(e.ts) AS t2
+            FROM p1 JOIN events e ON e.user_id = p1.u AND e.ts > p1.t1
+            GROUP BY 1, 2, 3
+        ),
+        p3 AS (
+            SELECT DISTINCT p2.u, p2.a, p2.b, e.event_type AS c
+            FROM p2 JOIN events e ON e.user_id = p2.u AND e.ts > p2.t2
+        )
+        SELECT a AS a_type, b AS b_type, c AS c_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM p3 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
+def daily_lead_lag_xcorr(sf_dir: str, max_lag: int = 3) -> pd.DataFrame:
+    """Lead-lag profile between click volume and purchase volume:
+    xcorr(k) = sum over calendar days d of clicks(d) * purchases(d+k)
+    for k in [-max_lag, +max_lag], over the full [min_day, max_day]
+    spine with missing days as zero — exact integer products, so the
+    generate_series SQL twin matches.  Positive best-k means clicks
+    LEAD purchases by k days — the attribution-lag diagnostic.
+
+    Distributed plan: one (day x type) Count exchange folds the corpus
+    to an O(days) table; the 7-lag correlation runs on the driver over
+    the spine."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"])))
+        day = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 86_400_000_000)
+        return pa.table({"day": day, "event_type": t["event_type"]})
+
+    h = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    d0, d1 = int(h["day"].min()), int(h["day"].max())
+    spine = np.arange(d0, d1 + 1)
+    clicks = np.zeros(len(spine), np.int64)
+    purch = np.zeros(len(spine), np.int64)
+    for _, r in h.iterrows():
+        idx = int(r["day"]) - d0
+        if r["event_type"] == "click":
+            clicks[idx] = int(r["n"])
+        else:
+            purch[idx] = int(r["n"])
+    rows = []
+    for k in range(-max_lag, max_lag + 1):
+        if k >= 0:
+            xc = int(np.dot(clicks[: len(spine) - k], purch[k:])) if k < len(spine) else 0
+        else:
+            xc = int(np.dot(clicks[-k:], purch[: len(spine) + k])) if -k < len(spine) else 0
+        rows.append((k, xc))
+    return pd.DataFrame(rows, columns=["lag", "xcorr"]).astype("int64")
+
+
+def daily_lead_lag_xcorr_sql(max_lag: int = 3) -> str:
+    return f"""
+        WITH e AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ),
+        h AS (SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM h),
+        spine AS (
+            SELECT UNNEST(generate_series(d0, d1)) AS day FROM bounds
+        ),
+        c AS (
+            SELECT s.day, COALESCE(h.n, 0) AS n FROM spine s
+            LEFT JOIN h ON h.day = s.day AND h.event_type = 'click'
+        ),
+        p AS (
+            SELECT s.day, COALESCE(h.n, 0) AS n FROM spine s
+            LEFT JOIN h ON h.day = s.day AND h.event_type = 'purchase'
+        ),
+        lags AS (SELECT UNNEST(generate_series(-{max_lag}, {max_lag})) AS lag)
+        SELECT CAST(l.lag AS BIGINT) AS lag,
+               CAST(COALESCE(SUM(c.n * p.n), 0) AS BIGINT) AS xcorr
+        FROM lags l
+        LEFT JOIN c ON TRUE
+        LEFT JOIN p ON p.day = c.day + l.lag
+        GROUP BY l.lag ORDER BY l.lag
+    """
