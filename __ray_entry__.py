@@ -1018,6 +1018,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapped_triple_patterns": rel.gapped_triple_patterns,
         # click->purchase lead-lag cross-correlation profile
         "daily_lead_lag_xcorr": rel.daily_lead_lag_xcorr,
+        # assistant self-similarity drift (Levenshtein between adjacent turns)
+        "conv_editdist_drift": _q_conv(cv.conv_editdist_drift),
+        # Mann-Kendall trend inputs per type (exact S + tie-corrected var18)
+        "mann_kendall_daily_trend": rel.mann_kendall_daily_trend,
+        # Kendall concordance decomposition per user (tau-b sufficient stats)
+        "user_kendall_concordance": rel.user_kendall_concordance,
     }
 
 
@@ -1487,6 +1493,9 @@ def oracle_sql() -> dict[str, str]:
         "events_pettitt_change": rel.events_pettitt_change_sql(),
         "gapped_triple_patterns": rel.gapped_triple_patterns_sql(),
         "daily_lead_lag_xcorr": rel.daily_lead_lag_xcorr_sql(),
+        "conv_editdist_drift": cv.conv_editdist_drift_sql(_T2_SHARDS),
+        "mann_kendall_daily_trend": rel.mann_kendall_daily_trend_sql(),
+        "user_kendall_concordance": rel.user_kendall_concordance_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1481,3 +1481,97 @@ def conv_tool_diversity_sql(shards_glob: str) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_convs
         FROM per_conv GROUP BY 1 ORDER BY 1
     """
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Vectorized-row edit distance over UTF-8 BYTES (DuckDB's
+    levenshtein() is byte-oriented, so the oracle and the engine must
+    agree on the unit): the insertion relax cur[j] = min(cur[j],
+    cur[j-1]+1) is a prefix-min of cur[j]-j, so each DP row is three
+    numpy ops — no per-cell Python loop."""
+    ab = a.encode("utf-8")
+    bb = b.encode("utf-8")
+    if not ab:
+        return len(bb)
+    if not bb:
+        return len(ab)
+    bv = np.frombuffer(bb, dtype=np.uint8)
+    prev = np.arange(len(bv) + 1, dtype=np.int64)
+    idx = np.arange(len(bv) + 1, dtype=np.int64)
+    for ch in ab:
+        cost = (bv != ch).astype(np.int64)
+        cur = np.empty_like(prev)
+        cur[0] = prev[0] + 1
+        cur[1:] = np.minimum(prev[1:] + 1, prev[:-1] + cost)
+        cur = np.minimum.accumulate(cur - idx) + idx
+        prev = cur
+    return int(prev[-1])
+
+
+def conv_editdist_drift(corpus_dir: str) -> pd.DataFrame:
+    """Self-similarity drift of the assistant voice: per conversation,
+    the Levenshtein distance between each assistant turn and the
+    PREVIOUS assistant turn — the canned-response / template-collapse
+    detector (near-zero distances mean the model is repeating itself).
+    Output per conversation with >= 2 assistant turns: pair count, sum
+    and max edit distance.  DuckDB ships levenshtein(), so the LAG
+    window twin is exact.
+
+    Distributed plan: conv-keyed groupby; the O(len^2) DP runs only
+    between ADJACENT assistant turns inside one conversation (the
+    per-entity quadratic bound again), with each DP row vectorized."""
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["role"], "assistant")).drop_columns(["role"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        texts = g["text"].tolist()
+        if len(texts) < 2:
+            return pd.DataFrame(
+                {"conv_id": pd.Series([], dtype="object")}
+            ).reindex(columns=["conv_id", "n_pairs", "sum_editdist", "max_editdist"])
+        dists = [_levenshtein(a, b) for a, b in zip(texts, texts[1:])]
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_pairs": [len(dists)],
+                "sum_editdist": [int(sum(dists))],
+                "max_editdist": [int(max(dists))],
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("conv_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_pairs", "sum_editdist", "max_editdist"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def conv_editdist_drift_sql(shards_glob: str) -> str:
+    return f"""
+        WITH a AS (
+            SELECT conv_id, turn_idx, text
+            FROM read_parquet('{shards_glob}') WHERE role = 'assistant'
+        ),
+        p AS (
+            SELECT conv_id, text,
+                   LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+            FROM a
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(levenshtein(text, prev)) AS BIGINT) AS sum_editdist,
+               CAST(MAX(levenshtein(text, prev)) AS BIGINT) AS max_editdist
+        FROM p WHERE prev IS NOT NULL
+        GROUP BY conv_id ORDER BY conv_id
+    """

@@ -14198,3 +14198,141 @@ def daily_lead_lag_xcorr_sql(max_lag: int = 3) -> str:
         LEFT JOIN p ON p.day = c.day + l.lag
         GROUP BY l.lag ORDER BY l.lag
     """
+
+
+def mann_kendall_daily_trend(sf_dir: str) -> pd.DataFrame:
+    """Mann-Kendall monotone-trend test inputs per event type over the
+    daily-count series: the exact S statistic (sum of pairwise
+    sign(n_j - n_i) for day i < j) and the tie-corrected variance
+    numerator var18 = n(n-1)(2n+5) - sum_t t(t-1)(2t+5) (the /18 left
+    to the analyst) — all integers, so the self-join SQL twin matches.
+
+    Distributed plan: one (type x day) Count exchange folds the corpus
+    to an O(types x days) table; the quadratic pair sweep runs on the
+    driver over that bounded series."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 86_400_000_000)
+        return pa.table({"day": day, "event_type": t["event_type"]})
+
+    h = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for ty, grp in h.groupby("event_type"):
+        grp = grp.sort_values("day")
+        ns = grp["n"].to_numpy(np.int64)
+        nd = len(ns)
+        diff = np.sign(ns[None, :] - ns[:, None])
+        s = int(np.triu(diff, k=1).sum())
+        _, tie_counts = np.unique(ns, return_counts=True)
+        corr = int((tie_counts * (tie_counts - 1) * (2 * tie_counts + 5)).sum())
+        rows.append((ty, nd, s, nd * (nd - 1) * (2 * nd + 5) - corr))
+    out = pd.DataFrame(rows, columns=["event_type", "n_days", "s_stat", "var18"])
+    out = out.sort_values("event_type").reset_index(drop=True)
+    for c in ("n_days", "s_stat", "var18"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def mann_kendall_daily_trend_sql() -> str:
+    return """
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS d, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT a.event_type,
+                   SUM(CASE WHEN b.n > a.n THEN 1
+                            WHEN b.n < a.n THEN -1 ELSE 0 END) AS s_stat
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND b.d > a.d
+            GROUP BY 1
+        ),
+        t AS (SELECT event_type, n, COUNT(*) AS tc FROM daily GROUP BY 1, 2),
+        v AS (
+            SELECT event_type,
+                   SUM(tc * (tc - 1) * (2 * tc + 5)) AS corr,
+                   SUM(tc) AS nd
+            FROM t GROUP BY 1
+        )
+        SELECT s.event_type,
+               CAST(v.nd AS BIGINT) AS n_days,
+               CAST(s.s_stat AS BIGINT) AS s_stat,
+               CAST(v.nd * (v.nd - 1) * (2 * v.nd + 5) - v.corr AS BIGINT) AS var18
+        FROM s JOIN v USING (event_type) ORDER BY s.event_type
+    """
+
+
+def user_kendall_concordance(sf_dir: str) -> pd.DataFrame:
+    """Kendall concordance decomposition per user: over all time-ordered
+    event pairs (ts unique at microsecond resolution), how many have a
+    rising value, a falling value, or an exactly-tied value — the
+    sufficient statistics of tau-b and the per-entity companion to
+    user_theil_sen_slope.  Exact integers; self-join SQL twin.
+
+    Distributed plan: user-keyed groupby; O(n^2) sign tally inside each
+    <= ~100-event group via one triu subtraction."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "x": _cents(t["value"]),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        x = g["x"].to_numpy(np.int64)
+        if len(x) < 2:  # SQL's inner self-join has no row for these
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64")}
+            ).reindex(
+                columns=["user_id", "n_pairs", "n_concordant", "n_discordant", "n_ties"]
+            )
+        i, j = np.triu_indices(len(x), k=1)
+        dy = x[j] - x[i]
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_pairs": [len(dy)],
+                "n_concordant": [int((dy > 0).sum())],
+                "n_discordant": [int((dy < 0).sum())],
+                "n_ties": [int((dy == 0).sum())],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def user_kendall_concordance_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT user_id AS u, ts, CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events
+        )
+        SELECT CAST(a.u AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN b.x > a.x THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+               CAST(SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant,
+               CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+        FROM e a JOIN e b ON a.u = b.u AND b.ts > a.ts
+        GROUP BY a.u ORDER BY a.u
+    """
