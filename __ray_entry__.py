@@ -1024,6 +1024,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_daily_trend": rel.mann_kendall_daily_trend,
         # Kendall concordance decomposition per user (tau-b sufficient stats)
         "user_kendall_concordance": rel.user_kendall_concordance,
+        # weighted interval scheduling DP per user (exact cents optimum)
+        "user_interval_scheduling": rel.user_interval_scheduling,
+        # metric-learning triplet violations over labeled embeddings
+        "triplet_margin_violations": lambda sf: similarity.triplet_margin_violations(sf),
     }
 
 
@@ -1496,6 +1500,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_editdist_drift": cv.conv_editdist_drift_sql(_T2_SHARDS),
         "mann_kendall_daily_trend": rel.mann_kendall_daily_trend_sql(),
         "user_kendall_concordance": rel.user_kendall_concordance_sql(),
+        "user_interval_scheduling": rel.user_interval_scheduling_sql(),
+        "triplet_margin_violations": similarity_mod.triplet_margin_violations_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -14336,3 +14336,100 @@ def user_kendall_concordance_sql() -> str:
         FROM e a JOIN e b ON a.u = b.u AND b.ts > a.ts
         GROUP BY a.u ORDER BY a.u
     """
+
+
+def user_interval_scheduling(sf_dir: str) -> pd.DataFrame:
+    """Weighted interval scheduling per user — the classic O(n log n)
+    DP: each event spawns a deterministic interval [s, s + 60 + w%600)
+    (s = epoch second, w = value cents) and the engine reports the
+    maximum total cents over pairwise non-overlapping intervals.
+    Intervals sort by (end, start, w); the predecessor of interval i is
+    the COUNT of intervals with end <= start_i (order-independent), so
+    the engine's bisect and the SQL twin's MAX(index) agree exactly.
+    The SQL twin runs the same recursion with the wis() table carried
+    as a growing LIST column (DuckDB recursive CTEs see only the
+    previous iteration, so the full DP vector rides along per user).
+
+    Distributed plan: user-keyed groupby; the DP is linear inside each
+    <= ~100-event group after one sort — the per-entity-DP shape
+    user_lis_lengths establishes."""
+    import bisect
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 1_000_000)
+        return pa.table({"user_id": t["user_id"], "s": s, "w": _cents(t["value"])})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["s"].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.int64)
+        e = s + 60 + (w % 600)
+        order = np.lexsort((w, s, e))
+        s, w, e = s[order], w[order], e[order]
+        ends = e.tolist()
+        wis = [0]
+        for i in range(len(s)):
+            pj = bisect.bisect_right(ends, int(s[i]))
+            wis.append(max(wis[-1], int(w[i]) + wis[pj]))
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_intervals": [len(s)],
+                "best_cents": [wis[-1]],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def user_interval_scheduling_sql() -> str:
+    return """
+        WITH RECURSIVE iv AS (
+            SELECT user_id AS u, epoch_us(ts) // 1000000 AS s,
+                   CAST(ROUND(value * 100) AS BIGINT) AS w
+            FROM events
+        ),
+        iv2 AS (
+            SELECT u, s, s + 60 + (w % 600) AS e, w,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY u ORDER BY s + 60 + (w % 600), s, w
+                   ) AS i
+            FROM iv
+        ),
+        pred AS (
+            SELECT a.u, a.i, COALESCE(MAX(b.i), 0) AS pj
+            FROM iv2 a LEFT JOIN iv2 b ON b.u = a.u AND b.e <= a.s
+            GROUP BY a.u, a.i
+        ),
+        dp AS (
+            SELECT u, 0 AS i, [CAST(0 AS BIGINT)] AS bl
+            FROM (SELECT DISTINCT u FROM iv2)
+            UNION ALL
+            SELECT dp.u, dp.i + 1,
+                   list_append(
+                       dp.bl,
+                       GREATEST(dp.bl[dp.i + 1], t.w + dp.bl[p.pj + 1])
+                   )
+            FROM dp
+            JOIN iv2 t ON t.u = dp.u AND t.i = dp.i + 1
+            JOIN pred p ON p.u = t.u AND p.i = t.i
+        ),
+        fin AS (
+            SELECT dp.u, dp.i, dp.bl[dp.i + 1] AS best
+            FROM dp JOIN (SELECT u, MAX(i) AS mi FROM iv2 GROUP BY u) m
+              ON m.u = dp.u AND dp.i = m.mi
+        )
+        SELECT CAST(u AS BIGINT) AS user_id,
+               CAST(i AS BIGINT) AS n_intervals,
+               CAST(best AS BIGINT) AS best_cents
+        FROM fin ORDER BY u
+    """

@@ -1237,3 +1237,97 @@ def embedding_sign_lsh_pairs(
         }
     )
     return out.astype("int64").sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def triplet_margin_violations(sf_dir: str, scale: int = 1_000_000) -> pd.DataFrame:
+    """Metric-learning data audit: for every anchor vector, find its
+    best SAME-label neighbour p and best OTHER-label neighbour n by
+    EXACT int64 dot product of 1e-6-quantized components (ties to the
+    smaller vec_id, self excluded); a violation is dot(a, n) >=
+    dot(a, p) — the anchor whose nearest neighbour structure crosses
+    the label boundary, the count every triplet-loss curriculum wants
+    low.  Output per label: anchors and violations.
+
+    Distributed plan: the quantized pool (ids, labels, matrix)
+    broadcasts once; anchors stream through one [batch, N] int matmul;
+    the per-label fold is a label-keyed Count — O(N) exchange.  At 10^9
+    vectors the pool becomes an IVF bucket per task (see ann_ivf_topk)."""
+    t = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    pool_ids = t["vec_id"].to_numpy(np.int64)
+    pool_labels = t["label"].to_numpy(np.int64)
+    pool_mat = np.round(
+        np.asarray(list(t["embedding"]), dtype=np.float64) * scale
+    ).astype(np.int64)
+    bref = ray.put((pool_ids, pool_labels, pool_mat))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_, labels_, mat_ = ray.get(bref)
+        a_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_mat = np.round(
+            np.asarray(list(batch["embedding"].to_pylist()), dtype=np.float64) * scale
+        ).astype(np.int64)
+        dots = a_mat @ mat_.T  # exact int64
+        self_mask = a_ids[:, None] == ids_[None, :]
+        same = (a_lab[:, None] == labels_[None, :]) & ~self_mask
+        other = a_lab[:, None] != labels_[None, :]
+        # only the MAX per side matters, so no id tie-break is needed;
+        # anchors missing either side (singleton label / single class)
+        # are counted as non-violations, matching the SQL NULL semantics
+        NEG = np.int64(-(1 << 62))
+        bp = np.where(same, dots, NEG).max(axis=1)
+        bn = np.where(other, dots, NEG).max(axis=1)
+        viol = ((bn >= bp) & (bp > NEG) & (bn > NEG)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(a_lab),
+                "viol": pa.array(viol),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n_anchors"), Sum("viol", alias_name="n_violations"))
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+def triplet_margin_violations_sql(scale: int = 1_000_000) -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS src, a.label AS lab,
+                   b.label = a.label AS same_lab,
+                   list_dot_product(a.v, b.v) AS dot
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ),
+        best AS (
+            SELECT src, lab,
+                   MAX(CASE WHEN same_lab THEN dot END) AS bp,
+                   MAX(CASE WHEN NOT same_lab THEN dot END) AS bn
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT CAST(lab AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_anchors,
+               CAST(SUM(CASE WHEN bn IS NOT NULL AND bp IS NOT NULL
+                             AND bn >= bp THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations
+        FROM best GROUP BY 1 ORDER BY 1
+    """
