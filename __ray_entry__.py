@@ -1028,6 +1028,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_interval_scheduling": rel.user_interval_scheduling,
         # metric-learning triplet violations over labeled embeddings
         "triplet_margin_violations": lambda sf: similarity.triplet_margin_violations(sf),
+        # weekday-vs-weekend integrated CDF gap (integer energy distance)
+        "events_cdf_l1_gap": rel.events_cdf_l1_gap,
+        # MASE denominators: seasonal vs plain naive daily backtest
+        "seasonal_naive_backtest": rel.seasonal_naive_backtest,
+        # turn-taking alternation per conversation
+        "conv_alternation_rate": _q_conv(cv.conv_alternation_rate),
     }
 
 
@@ -1502,6 +1508,9 @@ def oracle_sql() -> dict[str, str]:
         "user_kendall_concordance": rel.user_kendall_concordance_sql(),
         "user_interval_scheduling": rel.user_interval_scheduling_sql(),
         "triplet_margin_violations": similarity_mod.triplet_margin_violations_sql(),
+        "events_cdf_l1_gap": rel.events_cdf_l1_gap_sql(),
+        "seasonal_naive_backtest": rel.seasonal_naive_backtest_sql(),
+        "conv_alternation_rate": cv.conv_alternation_rate_sql(_T2_SHARDS),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1575,3 +1575,51 @@ def conv_editdist_drift_sql(shards_glob: str) -> str:
         FROM p WHERE prev IS NOT NULL
         GROUP BY conv_id ORDER BY conv_id
     """
+
+
+def conv_alternation_rate(corpus_dir: str) -> pd.DataFrame:
+    """Turn-taking structure per conversation: of the adjacent turn
+    pairs, how many switch role — low switch counts flag monologue or
+    tool-loop transcripts that SFT curations usually drop.  Output per
+    conversation: n_adjacent_pairs, n_role_switches.
+
+    Distributed plan: conv-keyed groupby; one vectorized shift-compare
+    inside each sorted group."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        r = g["role"].to_numpy()
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_adjacent_pairs": [max(len(r) - 1, 0)],
+                "n_role_switches": [int((r[1:] != r[:-1]).sum())],
+            }
+        )
+
+    out = (
+        ds.groupby("conv_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_adjacent_pairs", "n_role_switches"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def conv_alternation_rate_sql(shards_glob: str) -> str:
+    return f"""
+        WITH p AS (
+            SELECT conv_id, role,
+                   LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+            FROM read_parquet('{shards_glob}')
+        )
+        SELECT conv_id,
+               CAST(COUNT(prev) AS BIGINT) AS n_adjacent_pairs,
+               CAST(COALESCE(SUM(CASE WHEN role <> prev THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_role_switches
+        FROM p GROUP BY conv_id ORDER BY conv_id
+    """

@@ -14433,3 +14433,142 @@ def user_interval_scheduling_sql() -> str:
                CAST(best AS BIGINT) AS best_cents
         FROM fin ORDER BY u
     """
+
+
+def events_cdf_l1_gap(sf_dir: str) -> pd.DataFrame:
+    """Distribution-shift audit between weekday and weekend event
+    values: the integrated L1 CDF gap, sum over all observations x of
+    pooled(x) * |n2*C1(x) - n1*C2(x)| with C the class-conditional
+    cumulative counts — the Cramer-style energy distance kept in pure
+    integers (the classical squared version overflows int64 at bench
+    scale; the L1 form is bounded by n * n1 * n2 ~ 1.5e15 at sf0.1).
+
+    Distributed plan: one (cents)-keyed groupby folds the corpus to a
+    DOMAIN-sized two-class histogram; the cumulative sweep runs on the
+    driver over <= ~56k distinct values."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 86_400_000_000)
+        dow = pc.subtract(
+            pc.add(day, 4), pc.multiply(pc.divide(pc.add(day, 4), 7), 7)
+        )  # 0 = Sunday, matching DuckDB dayofweek()
+        wk = pc.cast(pc.or_(pc.equal(dow, 0), pc.equal(dow, 6)), pa.int64())
+        return pa.table({"x": _cents(t["value"]), "wk": wk})
+
+    h = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("x")
+        .aggregate(Count(alias_name="pooled"), Sum("wk", alias_name="b"))
+        .to_pandas()
+        .sort_values("x")
+    )
+    pooled = h["pooled"].to_numpy(np.int64)
+    b = h["b"].to_numpy(np.int64)
+    a = pooled - b
+    n1, n2 = int(a.sum()), int(b.sum())
+    ca, cb = np.cumsum(a), np.cumsum(b)
+    gap = int((pooled * np.abs(n2 * ca - n1 * cb)).sum())
+    return pd.DataFrame(
+        {"n_weekday": [n1], "n_weekend": [n2], "l1_gap": [gap]}
+    ).astype("int64")
+
+
+def events_cdf_l1_gap_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS x,
+                   CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk
+            FROM events
+        ),
+        h AS (
+            SELECT x, COUNT(*) AS pooled,
+                   SUM(1 - wk) AS a, SUM(wk) AS b
+            FROM e GROUP BY x
+        ),
+        c AS (
+            SELECT pooled,
+                   SUM(a) OVER (ORDER BY x) AS ca,
+                   SUM(b) OVER (ORDER BY x) AS cb
+            FROM h
+        ),
+        t AS (SELECT SUM(a) AS n1, SUM(b) AS n2 FROM h)
+        SELECT CAST(t.n1 AS BIGINT) AS n_weekday,
+               CAST(t.n2 AS BIGINT) AS n_weekend,
+               CAST(SUM(c.pooled * ABS(t.n2 * c.ca - t.n1 * c.cb)) AS BIGINT) AS l1_gap
+        FROM c, t GROUP BY t.n1, t.n2
+    """
+
+
+def seasonal_naive_backtest(sf_dir: str) -> pd.DataFrame:
+    """Forecast-baseline backtest per event type over the daily-count
+    series (full calendar spine, missing days = 0): the sum of absolute
+    errors of the SEASONAL naive forecast n(d-7) vs the plain naive
+    n(d-1) — the two MASE denominators every forecasting evaluation
+    starts from, exact in integers.
+
+    Distributed plan: one (day x type) Count exchange; the spine
+    difference sweep runs on the driver over O(days x types)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 86_400_000_000)
+        return pa.table({"day": day, "event_type": t["event_type"]})
+
+    h = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    d0, d1 = int(h["day"].min()), int(h["day"].max())
+    spine = np.arange(d0, d1 + 1)
+    rows = []
+    for ty in sorted(h["event_type"].unique()):
+        grp = h[h["event_type"] == ty]
+        n = np.zeros(len(spine), np.int64)
+        n[grp["day"].to_numpy(np.int64) - d0] = grp["n"].to_numpy(np.int64)
+        sae7 = int(np.abs(n[7:] - n[:-7]).sum()) if len(n) > 7 else 0
+        sae1 = int(np.abs(n[1:] - n[:-1]).sum()) if len(n) > 1 else 0
+        rows.append((ty, max(len(n) - 7, 0), sae7, max(len(n) - 1, 0), sae1))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_eval7", "sae_seasonal", "n_eval1", "sae_naive"]
+    )
+    for c in ("n_eval7", "sae_seasonal", "n_eval1", "sae_naive"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def seasonal_naive_backtest_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events
+        ),
+        h AS (SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM h),
+        spine AS (
+            SELECT UNNEST(generate_series(d0, d1)) AS day FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM h),
+        grid AS (
+            SELECT s.day, t.event_type, COALESCE(h.n, 0) AS n
+            FROM spine s CROSS JOIN types t
+            LEFT JOIN h ON h.day = s.day AND h.event_type = t.event_type
+        ),
+        lagged AS (
+            SELECT event_type, n,
+                   LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS n7,
+                   LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS n1
+            FROM grid
+        )
+        SELECT event_type,
+               CAST(COUNT(n7) AS BIGINT) AS n_eval7,
+               CAST(COALESCE(SUM(ABS(n - n7)), 0) AS BIGINT) AS sae_seasonal,
+               CAST(COUNT(n1) AS BIGINT) AS n_eval1,
+               CAST(COALESCE(SUM(ABS(n - n1)), 0) AS BIGINT) AS sae_naive
+        FROM lagged GROUP BY 1 ORDER BY 1
+    """
