@@ -1034,6 +1034,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_naive_backtest": rel.seasonal_naive_backtest,
         # turn-taking alternation per conversation
         "conv_alternation_rate": _q_conv(cv.conv_alternation_rate),
+        # multi-pattern lexicon matching (non-overlapping substring counts)
+        "dictionary_match_counts": textops.dictionary_match_counts,
+        # de Bruijn bigram-graph degree balance (Eulerian-path algebra)
+        "event_debruijn_balance": graph.event_debruijn_balance,
+        # optimal-stopping secretary-rule replay over daily revenue
+        "secretary_rule_replay": rel.secretary_rule_replay,
     }
 
 
@@ -1511,6 +1517,9 @@ def oracle_sql() -> dict[str, str]:
         "events_cdf_l1_gap": rel.events_cdf_l1_gap_sql(),
         "seasonal_naive_backtest": rel.seasonal_naive_backtest_sql(),
         "conv_alternation_rate": cv.conv_alternation_rate_sql(_T2_SHARDS),
+        "dictionary_match_counts": textops.dictionary_match_counts_sql(),
+        "event_debruijn_balance": graph.event_debruijn_balance_sql(),
+        "secretary_rule_replay": rel.secretary_rule_replay_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

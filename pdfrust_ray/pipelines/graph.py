@@ -1068,3 +1068,83 @@ def part_mst_boruvka(sf_dir: str) -> pd.DataFrame:
             "edge_checksum": [checksum],
         }
     ).astype("int64")
+
+
+def event_debruijn_balance(sf_dir: str) -> pd.DataFrame:
+    """De Bruijn graph balance over per-user event-type sequences:
+    nodes are type BIGRAMS, each within-user type trigram (t1,t2,t3)
+    is an edge (t1,t2) -> (t2,t3); the in/out degree per node is the
+    Eulerian-path existence algebra assembly pipelines run over k-mer
+    graphs.  Output per node with any degree: the bigram and its exact
+    in/out degrees.
+
+    Distributed plan: user-keyed groupby emits trigram partials (two
+    degree rows each); a node-keyed Sum folds them — the exchange is
+    O(T^2) nodes, never event-sized."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ev = g["event_type"].to_numpy()
+        if len(ev) < 3:
+            return pd.DataFrame(
+                {"t1": pd.Series([], dtype="object")}
+            ).reindex(columns=["t1", "t2", "out_d", "in_d"])
+        a, b, c = ev[:-2], ev[1:-1], ev[2:]
+        df = pd.concat(
+            [
+                pd.DataFrame({"t1": a, "t2": b, "out_d": 1, "in_d": 0}),
+                pd.DataFrame({"t1": b, "t2": c, "out_d": 0, "in_d": 1}),
+            ]
+        )
+        agg = df.groupby(["t1", "t2"], as_index=False).sum()
+        return agg
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["t1", "t2"])
+        .aggregate(Sum("out_d", alias_name="out_deg"), Sum("in_d", alias_name="in_deg"))
+        .to_pandas()
+        .sort_values(["t1", "t2"])
+        .reset_index(drop=True)
+    )
+    for c in ("out_deg", "in_deg"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def event_debruijn_balance_sql() -> str:
+    return """
+        WITH s AS (
+            SELECT user_id,
+                   event_type AS t2,
+                   LAG(event_type) OVER w AS t1,
+                   LEAD(event_type) OVER w AS t3
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        tri AS (
+            SELECT t1, t2, t3 FROM s WHERE t1 IS NOT NULL AND t3 IS NOT NULL
+        ),
+        deg AS (
+            SELECT t1, t2, 1 AS out_d, 0 AS in_d FROM tri
+            UNION ALL
+            SELECT t2, t3, 0, 1 FROM tri
+        )
+        SELECT t1, t2,
+               CAST(SUM(out_d) AS BIGINT) AS out_deg,
+               CAST(SUM(in_d) AS BIGINT) AS in_deg
+        FROM deg GROUP BY 1, 2 ORDER BY 1, 2
+    """

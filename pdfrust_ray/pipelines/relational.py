@@ -14572,3 +14572,86 @@ def seasonal_naive_backtest_sql() -> str:
                CAST(COALESCE(SUM(ABS(n - n1)), 0) AS BIGINT) AS sae_naive
         FROM lagged GROUP BY 1 ORDER BY 1
     """
+
+
+def secretary_rule_replay(sf_dir: str) -> pd.DataFrame:
+    """Optimal-stopping (secretary rule) replay over daily revenue:
+    observe the first k = n*37//100 days, then commit to the first day
+    whose revenue strictly beats the observed maximum; if none
+    qualifies, settle for the last day.  Output: n_days, k_observe,
+    the chosen day, its revenue (cents) and whether it was the global
+    maximum — the canonical sequential-decision baseline, exact in
+    integers.
+
+    Distributed plan: one (day) Sum exchange folds the corpus to the
+    O(days) revenue series; the replay is a driver scan."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        day = pc.multiply(
+            pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 86_400_000_000),
+            86_400_000_000,
+        )
+        return pa.table({"day": pc.cast(day, pa.timestamp("us")), "r": _cents(t["value"])})
+
+    d = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("r", alias_name="rev"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    n = len(d)
+    k = n * 37 // 100
+    rev = d["rev"].to_numpy(np.int64)
+    threshold = int(rev[:k].max()) if k else -(1 << 62)
+    later = np.flatnonzero(rev[k:] > threshold)
+    idx = k + int(later[0]) if len(later) else n - 1
+    return pd.DataFrame(
+        {
+            "n_days": [n],
+            "k_observe": [k],
+            "chosen_day": [pd.to_datetime(d["day"].iloc[idx])],
+            "chosen_revenue_cents": [int(rev[idx])],
+            "is_global_max": [1 if int(rev[idx]) == int(rev.max()) else 0],
+        }
+    )
+
+
+def secretary_rule_replay_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev
+            FROM events GROUP BY 1
+        ),
+        o AS (
+            SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS i,
+                   COUNT(*) OVER () AS n
+            FROM d
+        ),
+        k AS (SELECT MAX(n) * 37 // 100 AS k, MAX(n) AS n FROM o),
+        th AS (SELECT MAX(o.rev) AS m FROM o, k WHERE o.i <= k.k),
+        cand AS (
+            SELECT o.day, o.rev FROM o, k, th
+            WHERE o.i > k.k AND o.rev > th.m
+            ORDER BY o.i LIMIT 1
+        ),
+        fallback AS (SELECT o.day, o.rev FROM o WHERE o.i = o.n),
+        pick AS (
+            SELECT * FROM cand
+            UNION ALL
+            SELECT * FROM fallback
+            WHERE NOT EXISTS (SELECT 1 FROM cand)
+        )
+        SELECT CAST((SELECT n FROM k) AS BIGINT) AS n_days,
+               CAST((SELECT k FROM k) AS BIGINT) AS k_observe,
+               day AS chosen_day,
+               CAST(rev AS BIGINT) AS chosen_revenue_cents,
+               CAST(CASE WHEN rev = (SELECT MAX(rev) FROM o)
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_global_max
+        FROM pick
+    """

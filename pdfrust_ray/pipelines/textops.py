@@ -1133,3 +1133,71 @@ def token_lang_chi2_sql() -> str:
         FROM a JOIN r USING (lang) JOIN t USING (token) CROSS JOIN n
         ORDER BY a.token, a.lang
     """
+
+
+_MATCH_LEXICON = ("art", "able", "low", "in", "row", "key", "the", "data")
+
+
+def dictionary_match_counts(sf_dir: str) -> pd.DataFrame:
+    """Multi-pattern substring matching over the document corpus (the
+    Aho-Corasick counting job every PII / lexicon scanner runs): for a
+    fixed lexicon, the total NON-OVERLAPPING occurrence count and the
+    number of documents containing each pattern.  Non-overlapping
+    left-to-right semantics are exactly Python str.count AND exactly
+    DuckDB's (len(text) - len(replace(text, pat, ''))) / len(pat), so
+    the SQL twin is bit-exact.
+
+    Distributed plan: patterns broadcast in the closure (lexicon-sized);
+    each batch emits one partial row per pattern (occurrences,
+    containing-docs) — the exchange is lexicon-sized, never
+    corpus-sized."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        rows = {"pattern": [], "occ": [], "docs": []}
+        for pat in _MATCH_LEXICON:
+            occ = 0
+            docs = 0
+            for s in texts:
+                c = s.count(pat)
+                occ += c
+                docs += 1 if c else 0
+            rows["pattern"].append(pat)
+            rows["occ"].append(occ)
+            rows["docs"].append(docs)
+        return pa.table(
+            {
+                "pattern": pa.array(rows["pattern"], pa.string()),
+                "occ": pa.array(rows["occ"], pa.int64()),
+                "docs": pa.array(rows["docs"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pattern")
+        .aggregate(Sum("occ", alias_name="n_occurrences"), Sum("docs", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("pattern")
+        .reset_index(drop=True)
+    )
+    for c in ("n_occurrences", "n_docs"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def dictionary_match_counts_sql() -> str:
+    blocks = " UNION ALL ".join(
+        f"""
+        SELECT '{p}' AS pattern,
+               CAST(SUM((length(text) - length(replace(text, '{p}', '')))
+                        // {len(p)}) AS BIGINT) AS n_occurrences,
+               CAST(SUM(CASE WHEN position('{p}' IN text) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+        FROM documents"""
+        for p in _MATCH_LEXICON
+    )
+    return f"SELECT * FROM ({blocks}) ORDER BY pattern"
