@@ -1040,6 +1040,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debruijn_balance": graph.event_debruijn_balance,
         # optimal-stopping secretary-rule replay over daily revenue
         "secretary_rule_replay": rel.secretary_rule_replay,
+        # Burrows-Wheeler compressibility audit (rows-only: transform has
+        # no SQL; inverse-LF roundtrip pinned in pytest)
+        "bwt_compressibility": textops.bwt_compressibility,
+        # exact histogram convolution (click + purchase combined cost)
+        "value_sum_convolution": rel.value_sum_convolution,
+        # leaderboard agreement: top-d intersection profile, two rankings
+        "topk_overlap_profile": rel.topk_overlap_profile,
     }
 
 
@@ -1520,6 +1527,8 @@ def oracle_sql() -> dict[str, str]:
         "dictionary_match_counts": textops.dictionary_match_counts_sql(),
         "event_debruijn_balance": graph.event_debruijn_balance_sql(),
         "secretary_rule_replay": rel.secretary_rule_replay_sql(),
+        "value_sum_convolution": rel.value_sum_convolution_sql(),
+        "topk_overlap_profile": rel.topk_overlap_profile_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -14655,3 +14655,110 @@ def secretary_rule_replay_sql() -> str:
                          THEN 1 ELSE 0 END AS BIGINT) AS is_global_max
         FROM pick
     """
+
+
+def value_sum_convolution(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete convolution of the click and purchase value
+    distributions (bucketed to cents//1000): the distribution of the
+    COMBINED cost of one independent click + one purchase — the
+    histogram algebra risk models run on bucketed marginals.  Output
+    per sum-bucket: the exact pair count.
+
+    Distributed plan: two DOMAIN-sized bucket histograms from one
+    groupby; the O(D^2) convolution runs on the driver (D <= ~60)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"])))
+        return pa.table(
+            {"b": pc.divide(_cents(t["value"]), 1000), "event_type": t["event_type"]}
+        )
+
+    h = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["b", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    c = h[h["event_type"] == "click"]
+    p = h[h["event_type"] == "purchase"]
+    sums: dict[int, int] = {}
+    for cb, cn in zip(c["b"].to_numpy(np.int64), c["n"].to_numpy(np.int64)):
+        for pb, pn in zip(p["b"].to_numpy(np.int64), p["n"].to_numpy(np.int64)):
+            sums[int(cb + pb)] = sums.get(int(cb + pb), 0) + int(cn * pn)
+    out = pd.DataFrame(sorted(sums.items()), columns=["sum_bucket", "n_pairs"])
+    return out.astype("int64")
+
+
+def value_sum_convolution_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) // 1000 AS b, event_type
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        c AS (SELECT b, COUNT(*) AS n FROM e WHERE event_type = 'click' GROUP BY 1),
+        p AS (SELECT b, COUNT(*) AS n FROM e WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT CAST(c.b + p.b AS BIGINT) AS sum_bucket,
+               CAST(SUM(c.n * p.n) AS BIGINT) AS n_pairs
+        FROM c CROSS JOIN p GROUP BY 1 ORDER BY 1
+    """
+
+
+def topk_overlap_profile(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Ranking-agreement profile between two part leaderboards — by
+    revenue cents and by total quantity (ties to the smaller partkey):
+    for each depth d in 1..k, the exact intersection size of the two
+    top-d sets, the depth-profile rank-biased-overlap style metrics
+    integrate.  All integer, so the double-QUALIFY SQL twin matches.
+
+    Distributed plan: one part-keyed two-Sum exchange (part-domain
+    sized); both rankings and the k^2 profile run on the driver."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice", "l_quantity"]
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p": t["l_partkey"],
+                "rev": _cents(t["l_extendedprice"]),
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }
+        )
+
+    h = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("rev", alias_name="rev"), Sum("qty", alias_name="qty"))
+        .to_pandas()
+    )
+    by_rev = h.sort_values(["rev", "p"], ascending=[False, True])["p"].to_numpy()[:k]
+    by_qty = h.sort_values(["qty", "p"], ascending=[False, True])["p"].to_numpy()[:k]
+    rows = []
+    for d in range(1, k + 1):
+        rows.append((d, len(set(by_rev[:d]) & set(by_qty[:d]))))
+    return pd.DataFrame(rows, columns=["depth", "overlap"]).astype("int64")
+
+
+def topk_overlap_profile_sql(k: int = 20) -> str:
+    return f"""
+        WITH r AS (
+            SELECT l_partkey AS p,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty
+            FROM lineitem GROUP BY 1
+        ),
+        ra AS (SELECT p, ROW_NUMBER() OVER (ORDER BY rev DESC, p) AS i FROM r),
+        rb AS (SELECT p, ROW_NUMBER() OVER (ORDER BY qty DESC, p) AS i FROM r),
+        d AS (SELECT UNNEST(generate_series(1, {k})) AS depth)
+        SELECT CAST(d.depth AS BIGINT) AS depth,
+               CAST(SUM(CASE WHEN rb.i <= d.depth THEN 1 ELSE 0 END) AS BIGINT)
+                   AS overlap
+        FROM d JOIN ra ON ra.i <= d.depth
+        JOIN rb ON rb.p = ra.p
+        GROUP BY d.depth ORDER BY d.depth
+    """

@@ -1201,3 +1201,91 @@ def dictionary_match_counts_sql() -> str:
         for p in _MATCH_LEXICON
     )
     return f"SELECT * FROM ({blocks}) ORDER BY pattern"
+
+
+def _suffix_array(s: bytes) -> "np.ndarray":
+    """Prefix-doubling suffix array over the CYCLIC rotations of s
+    (classic O(n log^2 n), all numpy)."""
+    import numpy as np
+
+    n = len(s)
+    rank = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        key2 = rank[(np.arange(n) + k) % n]
+        order = np.lexsort((key2, rank))
+        new = np.zeros(n, dtype=np.int64)
+        r_o, k_o = rank[order], key2[order]
+        changed = np.r_[False, (r_o[1:] != r_o[:-1]) | (k_o[1:] != k_o[:-1])]
+        new[order] = np.cumsum(changed)
+        rank = new
+        sa = order
+        if rank[order[-1]] == n - 1:
+            break
+        k *= 2
+    return sa
+
+
+def bwt_compressibility(sf_dir: str) -> pd.DataFrame:
+    """Burrows-Wheeler compressibility audit per document: the BWT
+    clusters equal characters, so comparing the run count of the
+    transformed text against the original measures how much a
+    move-to-front/RLE stage would gain — the transform bzip2-family
+    codecs are built on.  A sentinel byte 0 is appended (texts are
+    ASCII) so the transform is invertible; the inverse-LF roundtrip is
+    pinned in pytest.  Rows-only query: no SQL can express the
+    transform.
+
+    Distributed plan: embarrassingly parallel map_batches; each doc's
+    suffix array is numpy prefix-doubling (O(n log^2 n)), no Python
+    loop over characters."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "n_chars": [], "runs_orig": [], "runs_bwt": []}
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            raw = text.encode("ascii") + b"\x00"
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            sa = _suffix_array(raw)
+            bwt = arr[(sa - 1) % len(raw)]
+            out["doc_id"].append(did)
+            out["n_chars"].append(len(text))
+            out["runs_orig"].append(int((arr[1:] != arr[:-1]).sum()) + 1)
+            out["runs_bwt"].append(int((bwt[1:] != bwt[:-1]).sum()) + 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_chars": pa.array(out["n_chars"], pa.int64()),
+                "runs_orig": pa.array(out["runs_orig"], pa.int64()),
+                "runs_bwt": pa.array(out["runs_bwt"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def bwt_inverse(bwt: "np.ndarray") -> bytes:
+    """Inverse BWT via the LF mapping (stable counting sort) — used by
+    the roundtrip test, exported for symmetry."""
+    import numpy as np
+
+    order = np.argsort(bwt, kind="stable")
+    n = len(bwt)
+    out = np.empty(n, dtype=np.uint8)
+    # start from the row whose rotation begins with the sentinel 0:
+    # that row ENDS with the char preceding the sentinel; walking LF
+    # from the sentinel's position reconstructs the text backwards --
+    # equivalently walk forward from the row of the sentinel char.
+    pos = int(np.flatnonzero(bwt == 0)[0])
+    for i in range(n):
+        pos = int(order[pos])
+        out[i] = bwt[pos]
+    return out.tobytes()
