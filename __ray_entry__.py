@@ -1047,6 +1047,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_sum_convolution": rel.value_sum_convolution,
         # leaderboard agreement: top-d intersection profile, two rankings
         "topk_overlap_profile": rel.topk_overlap_profile,
+        # iterated-skyline (onion) depth decomposition of the part cloud
+        "part_onion_layers": rel.part_onion_layers,
+        # Gale-Shapley stable matching (rows-only: proposal fixpoint;
+        # serial equality + no-blocking-pair brute pinned in pytest)
+        "supplier_part_stable_matching": rel.supplier_part_stable_matching,
     }
 
 
@@ -1529,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
         "secretary_rule_replay": rel.secretary_rule_replay_sql(),
         "value_sum_convolution": rel.value_sum_convolution_sql(),
         "topk_overlap_profile": rel.topk_overlap_profile_sql(),
+        "part_onion_layers": rel.part_onion_layers_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

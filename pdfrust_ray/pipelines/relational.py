@@ -14762,3 +14762,182 @@ def topk_overlap_profile_sql(k: int = 20) -> str:
         JOIN rb ON rb.p = ra.p
         GROUP BY d.depth ORDER BY d.depth
     """
+
+
+def part_onion_layers(sf_dir: str) -> pd.DataFrame:
+    """Onion-peeling (iterated skyline) decomposition of the part cloud
+    (x = revenue cents, y = total quantity): layer 1 is the maxima
+    skyline, layer 2 the skyline of what remains, and so on — the
+    depth-ranking multi-objective shortlists use.  Dominance is
+    (rev' >= rev AND qty' >= qty, one strict).  Output per layer:
+    count + partkey-sum membership checksum.  The SQL twin peels with
+    a recursive CTE whose per-round dominance test is two window
+    maxima (suffix max over strictly-higher rev, and the equal-rev
+    group max).
+
+    Distributed plan: one part-keyed two-Sum exchange folds the fact
+    table to the DOMAIN-sized point cloud; peeling runs on the driver
+    with one lexsort + per-round suffix-max sweeps (O(layers * n))."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice", "l_quantity"]
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p": t["l_partkey"],
+                "rev": _cents(t["l_extendedprice"]),
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }
+        )
+
+    h = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("rev", alias_name="rev"), Sum("qty", alias_name="qty"))
+        .to_pandas()
+    )
+    p = h["p"].to_numpy(np.int64)
+    rev = h["rev"].to_numpy(np.int64)
+    qty = h["qty"].to_numpy(np.int64)
+    layer = np.zeros(len(p), np.int64)
+    alive = np.arange(len(p))
+    r = 0
+    while len(alive):
+        r += 1
+        rv, qt = rev[alive], qty[alive]
+        order = np.lexsort((qt, rv))  # rev ascending
+        rv_o, qt_o = rv[order], qt[order]
+        starts = np.flatnonzero(np.r_[True, rv_o[1:] != rv_o[:-1]])
+        ends = np.r_[starts[1:], len(rv_o)]
+        gmax = np.maximum.reduceat(qt_o, starts)  # per-rev-group max qty
+        # suffix max of group maxima over STRICTLY greater rev
+        sfx = np.r_[np.maximum.accumulate(gmax[::-1])[::-1][1:], -(1 << 62)]
+        gidx = np.repeat(np.arange(len(starts)), ends - starts)
+        w1 = sfx[gidx]
+        w2 = np.repeat(gmax, ends - starts)
+        dominated = (w1 >= qt_o) | (w2 > qt_o)
+        peel = alive[order[~dominated]]
+        layer[peel] = r
+        alive = alive[order[dominated]]
+    out = (
+        pd.DataFrame({"p": p, "layer": layer})
+        .groupby("layer")
+        .agg(n_parts=("p", "size"), sum_partkey=("p", "sum"))
+        .reset_index()
+        .sort_values("layer")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+def part_onion_layers_sql() -> str:
+    return """
+        WITH RECURSIVE pts AS (
+            SELECT l_partkey AS p,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty
+            FROM lineitem GROUP BY 1
+        ),
+        peel AS (
+            SELECT 1 AS round, p, rev, qty FROM pts
+            UNION ALL
+            SELECT round + 1, p, rev, qty FROM (
+                SELECT round, p, rev, qty,
+                       MAX(qty) OVER (ORDER BY rev RANGE BETWEEN 1 FOLLOWING
+                                      AND UNBOUNDED FOLLOWING) AS w1,
+                       MAX(qty) OVER (PARTITION BY rev) AS w2
+                FROM peel
+            ) WHERE (w1 IS NOT NULL AND w1 >= qty) OR w2 > qty
+        ),
+        layered AS (SELECT p, MAX(round) AS layer FROM peel GROUP BY p)
+        SELECT CAST(layer AS BIGINT) AS layer,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(p) AS BIGINT) AS sum_partkey
+        FROM layered GROUP BY 1 ORDER BY 1
+    """
+
+
+def supplier_part_stable_matching(sf_dir: str, cap: int = 128) -> pd.DataFrame:
+    """Gale-Shapley stable matching between the first `cap` suppliers
+    (proposers) and the first `cap` parts (acceptors), with
+    deterministic hash-derived preference scores on both sides
+    (smaller score preferred; ties to the smaller key).  Output: one
+    audit row — matches, proposal rounds, a match checksum, and both
+    sides' matched-rank sums (proposer-optimality shows as a LOW
+    proposer rank sum; the pytest pins equality with a serial
+    textbook run and brute-checks that NO blocking pair exists).
+    Rows-only query: the proposal loop is a fixpoint like k-core.
+
+    Distributed plan: the instance tables come from pushed-down
+    limit reads; preference state is vertex-sized.  At real scale each
+    round is a map over the free-proposer Dataset with the rejection
+    counters broadcast and a groupby(acceptor).min accept — the
+    Boruvka exchange shape."""
+    import numpy as np
+
+    sup = (
+        rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        .to_pandas()["s_suppkey"]
+        .sort_values()
+        .to_numpy(np.int64)[:cap]
+    )
+    par = (
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .to_pandas()["p_partkey"]
+        .sort_values()
+        .to_numpy(np.int64)[:cap]
+    )
+    n = min(len(sup), len(par))
+    sup, par = sup[:n], par[:n]
+
+    sup_score = (sup[:, None] * 2654435761 + par[None, :] * 40503) % 997
+    acc_score = (par[:, None] * 1610612741 + sup[None, :] * 7919) % 991
+    # preference ranks: order acceptors per proposer by (score, key)
+    sup_pref = np.lexsort((np.broadcast_to(par, (n, n)), sup_score), axis=1)
+    acc_rank = np.empty((n, n), np.int64)  # acc_rank[p, s_idx] = rank
+    acc_order = np.lexsort((np.broadcast_to(sup, (n, n)), acc_score), axis=1)
+    for i in range(n):
+        acc_rank[i, acc_order[i]] = np.arange(n)
+
+    next_idx = np.zeros(n, np.int64)
+    holder = np.full(n, -1, np.int64)  # per acceptor: proposer idx or -1
+    free = list(range(n))
+    rounds = 0
+    while free:
+        rounds += 1
+        proposals: dict[int, list[int]] = {}
+        for s in free:
+            p_idx = int(sup_pref[s, next_idx[s]])
+            proposals.setdefault(p_idx, []).append(s)
+        new_free: list[int] = []
+        for p_idx, cands in proposals.items():
+            if holder[p_idx] >= 0:
+                cands.append(int(holder[p_idx]))
+            best = min(cands, key=lambda s: int(acc_rank[p_idx, s]))
+            for s in cands:
+                if s != best:
+                    next_idx[s] += 1  # rejected (or displaced): move on
+                    new_free.append(s)
+            holder[p_idx] = best
+        free = sorted(set(new_free))
+    sup_rank_sum = 0
+    acc_rank_sum = 0
+    checksum = 0
+    for p_idx in range(n):
+        s = int(holder[p_idx])
+        checksum += int(sup[s]) * 131 + int(par[p_idx])
+        pos = int(np.flatnonzero(sup_pref[s] == p_idx)[0])
+        sup_rank_sum += pos
+        acc_rank_sum += int(acc_rank[p_idx, s])
+    return pd.DataFrame(
+        {
+            "n_matched": [n],
+            "n_rounds": [rounds],
+            "match_checksum": [checksum],
+            "proposer_rank_sum": [sup_rank_sum],
+            "acceptor_rank_sum": [acc_rank_sum],
+        }
+    ).astype("int64")
