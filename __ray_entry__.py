@@ -1052,6 +1052,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gale-Shapley stable matching (rows-only: proposal fixpoint;
         # serial equality + no-blocking-pair brute pinned in pytest)
         "supplier_part_stable_matching": rel.supplier_part_stable_matching,
+        # Kadane max-subarray burst per user (prefix-min identity)
+        "user_max_burst": rel.user_max_burst,
+        # fairness-capped global leaderboard (<=3 per user, top-100)
+        "capped_top_events": rel.capped_top_events,
     }
 
 
@@ -1535,6 +1539,8 @@ def oracle_sql() -> dict[str, str]:
         "value_sum_convolution": rel.value_sum_convolution_sql(),
         "topk_overlap_profile": rel.topk_overlap_profile_sql(),
         "part_onion_layers": rel.part_onion_layers_sql(),
+        "user_max_burst": rel.user_max_burst_sql(),
+        "capped_top_events": rel.capped_top_events_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

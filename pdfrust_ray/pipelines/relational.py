@@ -14941,3 +14941,139 @@ def supplier_part_stable_matching(sf_dir: str, cap: int = 128) -> pd.DataFrame:
             "acceptor_rank_sum": [acc_rank_sum],
         }
     ).astype("int64")
+
+
+def user_max_burst(sf_dir: str) -> pd.DataFrame:
+    """Maximum-subarray (Kadane) per user over the signed value stream
+    (+cents for purchases, -cents otherwise, ts order): the largest
+    net-positive contiguous burst — the best-streak metric, exact in
+    integers via the prefix-sum identity best = max_t (pre_t - min_{j<t}
+    pre_j) that the window-function SQL twin mirrors directly.
+
+    Distributed plan: user-keyed groupby; one cumsum + running-min
+    sweep inside each group."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        sign = pc.if_else(pc.equal(t["event_type"], "purchase"), 1, -1)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "sv": pc.multiply(_cents(t["value"]), pc.cast(sign, pa.int64())),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        pre = np.cumsum(g["sv"].to_numpy(np.int64))
+        minb = np.minimum(np.minimum.accumulate(np.r_[0, pre[:-1]]), 0)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(pre)],
+                "best_burst_cents": [int((pre - minb).max())],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def user_max_burst_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT user_id AS u, ts,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS sv
+            FROM events
+        ),
+        p0 AS (
+            SELECT u, ts,
+                   SUM(sv) OVER (PARTITION BY u ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS pre
+            FROM e
+        ),
+        p AS (
+            SELECT u, pre,
+                   COALESCE(MIN(pre) OVER (
+                       PARTITION BY u ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS minprev
+            FROM p0
+        )
+        SELECT CAST(u AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(pre - LEAST(minprev, 0)) AS BIGINT) AS best_burst_cents
+        FROM p GROUP BY u ORDER BY u
+    """
+
+
+def capped_top_events(sf_dir: str, per_user: int = 3, k: int = 100) -> pd.DataFrame:
+    """Quota-capped leaderboard: the global top-k events by value with
+    AT MOST `per_user` entries per user (the fairness cap every feed /
+    sampler applies so one whale cannot fill the board).  Deterministic
+    order (cents DESC, event_id ASC); exact QUALIFY twin.
+
+    Distributed plan: the per-user cap is enforced INSIDE user shards
+    (map_groups local top-3), shrinking the candidate exchange to
+    <= 3 x users rows; the global top-k is a distributed sort + limit
+    over candidates only."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    def local_cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "event_id"], ascending=[False, True])
+        return g.head(per_user)
+
+    cand = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(local_cap, batch_format="pandas")
+        .sort(["cents", "event_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    cand = cand.reset_index(drop=True)
+    cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
+    return cand[["rank", "event_id", "user_id", "cents"]].astype("int64")
+
+
+def capped_top_events_sql(per_user: int = 3, k: int = 100) -> str:
+    return f"""
+        WITH e AS (
+            SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        capped AS (
+            SELECT * FROM e
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY cents DESC, event_id
+            ) <= {per_user}
+        ),
+        top AS (
+            SELECT * FROM capped ORDER BY cents DESC, event_id LIMIT {k}
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, event_id) AS BIGINT)
+                   AS rank,
+               event_id, CAST(user_id AS BIGINT) AS user_id, cents
+        FROM top ORDER BY rank
+    """
