@@ -1056,6 +1056,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_max_burst": rel.user_max_burst,
         # fairness-capped global leaderboard (<=3 per user, top-100)
         "capped_top_events": rel.capped_top_events,
+        # consistent-hashing ring routing + rebalance-movement audit
+        "consistent_hash_ring": dso.consistent_hash_ring,
+        # posting-list varint delta encoding cost audit
+        "varint_delta_size_audit": rel.varint_delta_size_audit,
+        # Merkle root over daily revenue partitions (replica diff primitive)
+        "daily_merkle_root": rel.daily_merkle_root,
     }
 
 
@@ -1541,6 +1547,9 @@ def oracle_sql() -> dict[str, str]:
         "part_onion_layers": rel.part_onion_layers_sql(),
         "user_max_burst": rel.user_max_burst_sql(),
         "capped_top_events": rel.capped_top_events_sql(),
+        "consistent_hash_ring": dso.consistent_hash_ring_sql(),
+        "varint_delta_size_audit": rel.varint_delta_size_audit_sql(),
+        "daily_merkle_root": rel.daily_merkle_root_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -2626,3 +2626,136 @@ def chunk_dedup_stats_sql(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) ->
                CAST(COUNT(*) AS BIGINT) AS n_chunk_hashes
         FROM per_hash GROUP BY 1 ORDER BY 1
     """
+
+
+def consistent_hash_ring(sf_dir: str, n_workers: int = 8, vnodes: int = 64) -> pd.DataFrame:
+    """Consistent-hashing ring audit: place `vnodes` md5 virtual nodes
+    per worker, route every user to its clockwise successor, then add
+    one more worker and measure movement.  The defining guarantee —
+    users only ever move TO the new worker — is pinned in pytest, and
+    the whole routing is md5-reproducible so the SQL twin (correlated
+    successor lookups over the ring CTE) matches exactly.  Output per
+    worker: users before, users after, users moved away.
+
+    Distributed plan: the ring (workers x vnodes entries) broadcasts
+    once; users stream through a searchsorted routing map_batches; the
+    fold is a worker-keyed Count — exchange is worker-sized."""
+    import hashlib
+
+    import numpy as np
+
+    def ring(nw: int):
+        pos, owner = [], []
+        for w in range(nw):
+            for v in range(vnodes):
+                h = int.from_bytes(
+                    hashlib.md5(f"w{w}:{v}".encode()).digest()[:8], "big"
+                )
+                pos.append(h)
+                owner.append(w)
+        pos = np.array(pos, dtype=np.uint64)
+        order = np.argsort(pos)
+        return pos[order], np.array(owner, dtype=np.int64)[order]
+
+    p8, o8 = ring(n_workers)
+    p9, o9 = ring(n_workers + 1)
+    rref = ray.put((p8, o8, p9, o9))
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def route(t: pa.Table) -> pa.Table:
+        import hashlib as hl
+
+        a8, w8, a9, w9 = ray.get(rref)
+        users = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        h = np.array(
+            [int.from_bytes(hl.md5(str(u).encode()).digest()[:8], "big") for u in users],
+            dtype=np.uint64,
+        )
+        i8 = np.searchsorted(a8, h, side="left") % len(a8)
+        i9 = np.searchsorted(a9, h, side="left") % len(a9)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "before": pa.array(w8[i8]),
+                "after": pa.array(w9[i9]),
+            }
+        )
+
+    from ray.data.aggregate import Count, Max
+
+    # distinct users via a user-keyed groupby (per-batch unique is the
+    # combiner inside route), then fold (before, after) pairs into one
+    # packed key — the final exchange is O(workers^2), never user-sized
+    pairs = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("before", alias_name="b"), Max("after", alias_name="a"))
+        .map_batches(
+            lambda t: pa.table(
+                {"k": pc.add(pc.multiply(t["b"], 16), t["a"])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for w in range(n_workers + 1):
+        before = after = moved = 0
+        for k, n in zip(pairs["k"].astype(int), pairs["n"].astype(int)):
+            bw, aw = k // 16, k % 16
+            if bw == w:
+                before += n
+                if aw != w:
+                    moved += n
+            if aw == w:
+                after += n
+        rows.append((w, before, after, moved))
+    return pd.DataFrame(
+        rows, columns=["worker", "n_users_before", "n_users_after", "n_moved_away"]
+    ).astype("int64")
+
+
+def consistent_hash_ring_sql(n_workers: int = 8, vnodes: int = 64) -> str:
+    return f"""
+        WITH ring8 AS (
+            SELECT w, CAST(concat('0x', substr(md5(concat('w', w, ':', v)), 1, 16))
+                           AS UBIGINT) AS pos
+            FROM (SELECT UNNEST(generate_series(0, {n_workers - 1})) AS w)
+            CROSS JOIN (SELECT UNNEST(generate_series(0, {vnodes - 1})) AS v)
+        ),
+        ring9 AS (
+            SELECT w, CAST(concat('0x', substr(md5(concat('w', w, ':', v)), 1, 16))
+                           AS UBIGINT) AS pos
+            FROM (SELECT UNNEST(generate_series(0, {n_workers})) AS w)
+            CROSS JOIN (SELECT UNNEST(generate_series(0, {vnodes - 1})) AS v)
+        ),
+        users AS (
+            SELECT DISTINCT user_id,
+                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                        AS UBIGINT) AS h
+            FROM events
+        ),
+        routed AS (
+            SELECT user_id,
+                   COALESCE(
+                       (SELECT arg_min(w, pos) FROM ring8 WHERE pos >= u.h),
+                       (SELECT arg_min(w, pos) FROM ring8)) AS before,
+                   COALESCE(
+                       (SELECT arg_min(w, pos) FROM ring9 WHERE pos >= u.h),
+                       (SELECT arg_min(w, pos) FROM ring9)) AS after
+            FROM users u
+        ),
+        workers AS (SELECT UNNEST(generate_series(0, {n_workers})) AS worker)
+        SELECT CAST(w.worker AS BIGINT) AS worker,
+               CAST(COALESCE(SUM(CASE WHEN r.before = w.worker THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_users_before,
+               CAST(COALESCE(SUM(CASE WHEN r.after = w.worker THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_users_after,
+               CAST(COALESCE(SUM(CASE WHEN r.before = w.worker AND r.after <> w.worker
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_moved_away
+        FROM workers w CROSS JOIN routed r
+        GROUP BY 1 ORDER BY 1
+    """

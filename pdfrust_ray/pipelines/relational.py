@@ -15077,3 +15077,130 @@ def capped_top_events_sql(per_user: int = 3, k: int = 100) -> str:
                event_id, CAST(user_id AS BIGINT) AS user_id, cents
         FROM top ORDER BY rank
     """
+
+
+def varint_delta_size_audit(sf_dir: str) -> pd.DataFrame:
+    """Encoding-efficiency audit: per user, the exact byte cost of
+    varint-encoding the DELTAS of the sorted event_id postings list
+    (first id absolute) versus the raw 8-byte-per-id layout — the
+    compression arithmetic every inverted-index / posting-list format
+    is built on.  Byte cost of a non-negative delta d is the 7-bit
+    group count: 1 for d < 2^7, 2 for d < 2^14, ... capped at 5
+    (ids stay far below 2^35).  Pure integers, LAG-window SQL twin.
+
+    Distributed plan: user-keyed groupby; one diff + digitize per
+    group."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id"])
+
+    _BOUNDS = np.array([1 << 7, 1 << 14, 1 << 21, 1 << 28], dtype=np.int64)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["event_id"].to_numpy(np.int64))
+        deltas = np.r_[ids[0], np.diff(ids)]
+        nbytes = 1 + np.searchsorted(_BOUNDS, deltas, side="right")
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(ids)],
+                "raw_bytes": [8 * len(ids)],
+                "varint_bytes": [int(nbytes.sum())],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def varint_delta_size_audit_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT user_id,
+                   COALESCE(event_id - LAG(event_id) OVER (
+                       PARTITION BY user_id ORDER BY event_id), event_id) AS delta
+            FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(8 * COUNT(*) AS BIGINT) AS raw_bytes,
+               CAST(SUM(CASE WHEN delta < 128 THEN 1
+                             WHEN delta < 16384 THEN 2
+                             WHEN delta < 2097152 THEN 3
+                             WHEN delta < 268435456 THEN 4
+                             ELSE 5 END) AS BIGINT) AS varint_bytes
+        FROM d GROUP BY 1 ORDER BY 1
+    """
+
+
+def daily_merkle_root(sf_dir: str) -> pd.DataFrame:
+    """Merkle root over the daily revenue partitions: leaf_d =
+    md5('<epoch_day>:<revenue_cents>'), parents = md5(left || right)
+    pairing in day order with an odd tail promoted unchanged — the
+    integrity summary two replicas compare to find WHICH day diverged
+    in O(log n) instead of re-reading everything.  md5 is available in
+    SQL, so the recursive-CTE twin reproduces the root exactly.
+
+    Distributed plan: one (day) Sum exchange; the O(days) tree folds
+    on the driver."""
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 86_400_000_000)
+        return pa.table({"day": day, "r": _cents(t["value"])})
+
+    d = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("r", alias_name="rev"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    level = [
+        hashlib.md5(f"{int(day)}:{int(rev)}".encode()).hexdigest()
+        for day, rev in zip(d["day"], d["rev"])
+    ]
+    n_leaves = len(level)
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            nxt.append(hashlib.md5((level[i] + level[i + 1]).encode()).hexdigest())
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+    return pd.DataFrame({"n_leaves": [n_leaves], "merkle_root": [level[0]]}).astype(
+        {"n_leaves": "int64"}
+    )
+
+
+def daily_merkle_root_sql() -> str:
+    return """
+        WITH RECURSIVE daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev
+            FROM events GROUP BY 1
+        ),
+        m AS (
+            SELECT 0 AS lvl,
+                   ROW_NUMBER() OVER (ORDER BY day) AS i,
+                   md5(concat(day, ':', rev)) AS h
+            FROM daily
+            UNION ALL
+            SELECT lvl + 1, (i + 1) // 2,
+                   CASE WHEN nxt IS NOT NULL THEN md5(concat(h, nxt)) ELSE h END
+            FROM (
+                SELECT lvl, i, h, LEAD(h) OVER (ORDER BY i) AS nxt,
+                       COUNT(*) OVER () AS c
+                FROM m
+            ) WHERE i % 2 = 1 AND c > 1
+        )
+        SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_leaves,
+               h AS merkle_root
+        FROM m ORDER BY lvl DESC LIMIT 1
+    """
