@@ -1062,6 +1062,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "varint_delta_size_audit": rel.varint_delta_size_audit,
         # Merkle root over daily revenue partitions (replica diff primitive)
         "daily_merkle_root": rel.daily_merkle_root,
+        # integer Haar wavelet decomposition of daily revenue
+        "daily_haar_coeffs": rel.daily_haar_coeffs,
+        # exclusion funnel: signup-then-purchase with no error between
+        "signup_to_purchase_clean": rel.signup_to_purchase_clean,
+        # minimum interval stabbing via the optimal greedy
+        "min_audit_points": rel.min_audit_points,
     }
 
 
@@ -1550,6 +1556,9 @@ def oracle_sql() -> dict[str, str]:
         "consistent_hash_ring": dso.consistent_hash_ring_sql(),
         "varint_delta_size_audit": rel.varint_delta_size_audit_sql(),
         "daily_merkle_root": rel.daily_merkle_root_sql(),
+        "daily_haar_coeffs": rel.daily_haar_coeffs_sql(),
+        "signup_to_purchase_clean": rel.signup_to_purchase_clean_sql(),
+        "min_audit_points": rel.min_audit_points_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

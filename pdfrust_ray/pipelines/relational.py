@@ -15204,3 +15204,221 @@ def daily_merkle_root_sql() -> str:
                h AS merkle_root
         FROM m ORDER BY lvl DESC LIMIT 1
     """
+
+
+def daily_haar_coeffs(sf_dir: str) -> pd.DataFrame:
+    """Unnormalized Haar wavelet decomposition of the daily revenue
+    series on a zero-padded 32-slot spine: level-L smooth s_L[i] =
+    s_{L-1}[2i] + s_{L-1}[2i+1], detail d_L[i] = s_{L-1}[2i] -
+    s_{L-1}[2i+1] — pure integer adds, so the recursive-CTE SQL twin
+    (LEAD pairing per level, like daily_merkle_root) is exact.  Output:
+    all 31 detail coefficients (level, idx) plus the level-6 total.
+
+    Distributed plan: one (day) Sum exchange; the 5-level transform is
+    a driver fold over 32 integers."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 86_400_000_000)
+        return pa.table({"day": day, "r": _cents(t["value"])})
+
+    d = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("r", alias_name="rev"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    d0 = int(d["day"].min())
+    x = np.zeros(32, np.int64)
+    x[d["day"].to_numpy(np.int64) - d0] = d["rev"].to_numpy(np.int64)
+    rows = []
+    s = x
+    for lvl in range(1, 6):
+        a, b = s[0::2], s[1::2]
+        det = a - b
+        s = a + b
+        for i, c in enumerate(det, start=1):
+            rows.append((lvl, i, int(c)))
+    rows.append((6, 1, int(s[0])))
+    return pd.DataFrame(rows, columns=["level", "idx", "coeff"]).astype("int64")
+
+
+def daily_haar_coeffs_sql() -> str:
+    return """
+        WITH RECURSIVE daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT MIN(day) AS d0 FROM daily),
+        spine AS (
+            SELECT UNNEST(generate_series(0, 31)) AS slot
+        ),
+        shifted AS (
+            SELECT day - (SELECT d0 FROM b) AS slot, rev FROM daily
+        ),
+        x AS (
+            SELECT s.slot + 1 AS i, COALESCE(d.rev, 0) AS v
+            FROM spine s LEFT JOIN shifted d ON d.slot = s.slot
+        ),
+        m AS (
+            SELECT 0 AS lvl, i, v AS s FROM x
+            UNION ALL
+            SELECT lvl + 1, (i + 1) // 2, s + nxt
+            FROM (
+                SELECT lvl, i, s, LEAD(s) OVER (ORDER BY i) AS nxt
+                FROM m
+            ) WHERE i % 2 = 1 AND nxt IS NOT NULL AND lvl < 5
+        ),
+        details AS (
+            SELECT a.lvl + 1 AS level, (a.i + 1) // 2 AS idx, a.s - c.s AS coeff
+            FROM m a JOIN m c ON c.lvl = a.lvl AND c.i = a.i + 1
+            WHERE a.i % 2 = 1
+        )
+        SELECT CAST(level AS BIGINT) AS level, CAST(idx AS BIGINT) AS idx,
+               CAST(coeff AS BIGINT) AS coeff
+        FROM details
+        UNION ALL
+        SELECT 6, 1, CAST(s AS BIGINT) FROM m WHERE lvl = 5
+        ORDER BY level, idx
+    """
+
+
+def signup_to_purchase_clean(sf_dir: str) -> pd.DataFrame:
+    """Exclusion funnel: purchases that follow a signup with NO error
+    in between (last signup strictly after last error at purchase
+    time) — the state-machine acceptance count plain funnels miss.
+    Output per qualifying user: clean purchase count and the first
+    clean purchase timestamp.
+
+    Distributed plan: user-keyed groupby; per group one cummax sweep
+    of signup/error timestamps."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy(np.int64)
+        ev = g["event_type"].to_numpy()
+        NEG = np.int64(-(1 << 62))
+        sig = np.maximum.accumulate(np.where(ev == "signup", ts, NEG))
+        err = np.maximum.accumulate(np.where(ev == "error", ts, NEG))
+        last_sig = np.r_[NEG, sig[:-1]]
+        last_err = np.r_[NEG, err[:-1]]
+        clean = (ev == "purchase") & (last_sig > NEG) & (last_sig > last_err)
+        if not clean.any():
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64")}
+            ).reindex(columns=["user_id", "n_clean_purchases", "first_clean_ts"])
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_clean_purchases": [int(clean.sum())],
+                "first_clean_ts": [int(ts[clean][0])],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def signup_to_purchase_clean_sql() -> str:
+    return """
+        WITH w AS (
+            SELECT user_id AS u, ts, event_type,
+                   MAX(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(ts) END) OVER pre AS last_signup,
+                   MAX(CASE WHEN event_type = 'error'
+                            THEN epoch_us(ts) END) OVER pre AS last_error
+            FROM events
+            WINDOW pre AS (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT CAST(u AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_clean_purchases,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_clean_ts
+        FROM w
+        WHERE event_type = 'purchase' AND last_signup IS NOT NULL
+          AND (last_error IS NULL OR last_signup > last_error)
+        GROUP BY u ORDER BY u
+    """
+
+
+def min_audit_points(sf_dir: str, span_s: int = 600) -> pd.DataFrame:
+    """Minimum interval stabbing: the fewest audit timestamps that
+    touch every purchase window [ts, ts + span] — the classic greedy
+    (take the earliest right endpoint, skip everything it covers) IS
+    optimal, and both sides replay it exactly: the engine with one
+    sorted sweep, the SQL twin with a linear recursive CTE whose step
+    picks MIN(end) among intervals starting after the last point.
+    Output: interval count, point count, point-sum checksum.
+
+    Distributed plan: the sweep needs the interval list sorted by end;
+    at fixture scale the purchase subset folds to the driver, at 100 TB
+    the same greedy runs per time-range partition with O(partitions)
+    boundary stitching (a point never helps across a gap > span)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        s = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 1_000_000)
+        return pa.table({"s": s})
+
+    s = np.sort(
+        ds.map_batches(keys, batch_format="pyarrow").to_pandas()["s"].to_numpy(np.int64)
+    )
+    e = s + span_s
+    points = []
+    i = 0
+    n = len(s)
+    while i < n:
+        pt = int(e[i])
+        points.append(pt)
+        i = int(np.searchsorted(s, pt, side="right"))
+    return pd.DataFrame(
+        {
+            "n_intervals": [n],
+            "n_points": [len(points)],
+            "sum_points": [int(sum(points))],
+        }
+    ).astype("int64")
+
+
+def min_audit_points_sql(span_s: int = 600) -> str:
+    return f"""
+        WITH RECURSIVE iv AS (
+            SELECT epoch_us(ts) // 1000000 AS s,
+                   epoch_us(ts) // 1000000 + {span_s} AS e
+            FROM events WHERE event_type = 'purchase'
+        ),
+        g AS (
+            SELECT MIN(e) AS pt FROM iv
+            UNION ALL
+            SELECT (SELECT MIN(e) FROM iv WHERE s > g.pt) FROM g
+            WHERE EXISTS (SELECT 1 FROM iv WHERE s > g.pt)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_intervals,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(pt) AS BIGINT) AS sum_points
+        FROM g
+    """
