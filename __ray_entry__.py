@@ -1068,6 +1068,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_to_purchase_clean": rel.signup_to_purchase_clean,
         # minimum interval stabbing via the optimal greedy
         "min_audit_points": rel.min_audit_points,
+        # single-server queue replay (closed-form cummax recurrence)
+        "queue_sim_wait_times": rel.queue_sim_wait_times,
+        # Cohen's kappa sufficient stats between derived labelers
+        "label_agreement_kappa": rel.label_agreement_kappa,
+        # Shannon-Fano-Elias code lengths via pure bit arithmetic
+        "sfe_code_lengths": rel.sfe_code_lengths,
     }
 
 
@@ -1559,6 +1565,9 @@ def oracle_sql() -> dict[str, str]:
         "daily_haar_coeffs": rel.daily_haar_coeffs_sql(),
         "signup_to_purchase_clean": rel.signup_to_purchase_clean_sql(),
         "min_audit_points": rel.min_audit_points_sql(),
+        "queue_sim_wait_times": rel.queue_sim_wait_times_sql(),
+        "label_agreement_kappa": rel.label_agreement_kappa_sql(),
+        "sfe_code_lengths": rel.sfe_code_lengths_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -15422,3 +15422,206 @@ def min_audit_points_sql(span_s: int = 600) -> str:
                CAST(SUM(pt) AS BIGINT) AS sum_points
         FROM g
     """
+
+
+def queue_sim_wait_times(sf_dir: str, service_s: int = 300) -> pd.DataFrame:
+    """Single-server queue (M/D/1-style) replay over purchase arrivals
+    with a fixed 300 s service time: departure D_i = max(A_i, D_{i-1})
+    + S unrolls to the CLOSED FORM D_i = (i+1)*S + max_{j<=i}(A_j -
+    j*S), so a window cummax replaces the recurrence and both the
+    engine and the SQL twin stay exact and hash-identical (waits are
+    permutation-invariant under arrival ties).  Output: arrivals,
+    total/max wait seconds, makespan.
+
+    Distributed plan: the A_j - j*S transform needs the global arrival
+    rank — a two-phase bucket scan (per-bucket counts -> exclusive
+    prefix -> per-bucket cummax candidates) exactly like
+    events_pettitt_change; at fixture scale the purchase subset is
+    folded directly."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {"s": pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 1_000_000)}
+        )
+
+    a = np.sort(
+        ds.map_batches(keys, batch_format="pyarrow").to_pandas()["s"].to_numpy(np.int64)
+    )
+    n = len(a)
+    i = np.arange(n, dtype=np.int64)
+    m = np.maximum.accumulate(a - i * service_s)
+    wait = m + i * service_s - a
+    makespan = int(m[-1] + n * service_s - a[0]) if n else 0
+    return pd.DataFrame(
+        {
+            "n_arrivals": [n],
+            "total_wait_s": [int(wait.sum())],
+            "max_wait_s": [int(wait.max()) if n else 0],
+            "makespan_s": [makespan],
+        }
+    ).astype("int64")
+
+
+def queue_sim_wait_times_sql(service_s: int = 300) -> str:
+    return f"""
+        WITH a AS (
+            SELECT epoch_us(ts) // 1000000 AS s FROM events
+            WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT s, ROW_NUMBER() OVER (ORDER BY s) - 1 AS i FROM a
+        ),
+        w AS (
+            SELECT s, i,
+                   MAX(s - i * {service_s}) OVER (
+                       ORDER BY i ROWS UNBOUNDED PRECEDING) AS m
+            FROM r
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+               CAST(SUM(m + i * {service_s} - s) AS BIGINT) AS total_wait_s,
+               CAST(MAX(m + i * {service_s} - s) AS BIGINT) AS max_wait_s,
+               CAST(MAX(m) + COUNT(*) * {service_s} - MIN(s) AS BIGINT) AS makespan_s
+        FROM w
+    """
+
+
+def label_agreement_kappa(sf_dir: str) -> pd.DataFrame:
+    """Inter-labeler agreement audit (Cohen's kappa sufficient stats)
+    between two derived binary labelers over documents: labeler A =
+    "longer than the corpus lower-median n_chars", labeler B =
+    "lang = 'en'".  Output: the 2x2 confusion counts plus the exact
+    integer numerators of observed agreement (po_num / n) and chance
+    agreement (pe_num / n^2) — kappa = (n*po_num - pe_num) /
+    (n^2 - pe_num) is a driver-side rational.
+
+    Distributed plan: the median comes from a DOMAIN-sized n_chars
+    histogram; the confusion fold is one packed-key Count."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"])
+
+    h = (
+        ds.groupby("n_chars").aggregate(Count(alias_name="c")).to_pandas().sort_values("n_chars")
+    )
+    cum = np.cumsum(h["c"].to_numpy(np.int64))
+    n = int(cum[-1])
+    med = int(h["n_chars"].to_numpy(np.int64)[np.searchsorted(cum, (n + 1) // 2)])
+
+    def keys(t: pa.Table) -> pa.Table:
+        a = pc.cast(pc.greater(t["n_chars"], med), pa.int64())
+        b = pc.cast(pc.equal(t["lang"], "en"), pa.int64())
+        return pa.table({"k": pc.add(pc.multiply(a, 2), b)})
+
+    cnt = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    cell = {int(k): int(c) for k, c in zip(cnt["k"], cnt["c"])}
+    n00, n01, n10, n11 = (cell.get(i, 0) for i in range(4))
+    po_num = n11 + n00
+    pe_num = (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "n_long_en": [n11],
+            "n_long_other": [n10],
+            "n_short_en": [n01],
+            "n_short_other": [n00],
+            "po_num": [po_num],
+            "pe_num": [pe_num],
+        }
+    ).astype("int64")
+
+
+def label_agreement_kappa_sql() -> str:
+    return """
+        WITH m AS (
+            SELECT n_chars AS med FROM (
+                SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM documents
+            ) WHERE rn = (n + 1) // 2
+        ),
+        lab AS (
+            SELECT CASE WHEN n_chars > (SELECT med FROM m) THEN 1 ELSE 0 END AS a,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+            FROM documents
+        ),
+        c AS (
+            SELECT SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+                   SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+                   SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+                   SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00,
+                   COUNT(*) AS n
+            FROM lab
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n11 AS BIGINT) AS n_long_en,
+               CAST(n10 AS BIGINT) AS n_long_other,
+               CAST(n01 AS BIGINT) AS n_short_en,
+               CAST(n00 AS BIGINT) AS n_short_other,
+               CAST(n11 + n00 AS BIGINT) AS po_num,
+               CAST((n11 + n10) * (n11 + n01)
+                    + (n00 + n01) * (n00 + n10) AS BIGINT) AS pe_num
+        FROM c
+    """
+
+
+def sfe_code_lengths(sf_dir: str) -> pd.DataFrame:
+    """Shannon-Fano-Elias code lengths per event type from exact
+    integer bit arithmetic: len(t) = ceil(log2(n / c_t)) + 1 computed
+    as the smallest k with c_t * 2^k >= n (no floating log), plus the
+    Kraft-sum numerator sum(2^(L_max - len)) over 2^L_max — the
+    prefix-code budget audit, bit-exact in SQL via a small power
+    series.
+
+    Distributed plan: one type-keyed Count; the bit arithmetic is a
+    catalog-sized finalize."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    h = (
+        ds.groupby("event_type").aggregate(Count(alias_name="c")).to_pandas().sort_values("event_type")
+    )
+    n = int(h["c"].sum())
+    rows = []
+    for ty, c in zip(h["event_type"], h["c"].astype(int)):
+        k = 0
+        while c * (1 << k) < n:
+            k += 1
+        rows.append((ty, int(c), k + 1))
+    out = pd.DataFrame(rows, columns=["event_type", "cnt", "code_len"])
+    lmax = int(out["code_len"].max())
+    out["kraft_num"] = [1 << (lmax - int(x)) for x in out["code_len"]]
+    for c in ("cnt", "code_len", "kraft_num"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def sfe_code_lengths_sql() -> str:
+    return """
+        WITH h AS (
+            SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1
+        ),
+        tot AS (SELECT SUM(c) AS n FROM h),
+        ks AS (SELECT UNNEST(generate_series(0, 40)) AS k),
+        len AS (
+            SELECT h.event_type, h.c,
+                   MIN(ks.k) + 1 AS code_len
+            FROM h, tot, ks
+            WHERE h.c * (CAST(1 AS BIGINT) << ks.k) >= tot.n
+            GROUP BY 1, 2
+        ),
+        mx AS (SELECT MAX(code_len) AS lmax FROM len)
+        SELECT event_type, CAST(c AS BIGINT) AS cnt,
+               CAST(code_len AS BIGINT) AS code_len,
+               CAST(CAST(1 AS BIGINT) << (mx.lmax - code_len) AS BIGINT)
+                   AS kraft_num
+        FROM len, mx ORDER BY event_type
+    """
