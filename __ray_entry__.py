@@ -1074,6 +1074,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_agreement_kappa": rel.label_agreement_kappa,
         # Shannon-Fano-Elias code lengths via pure bit arithmetic
         "sfe_code_lengths": rel.sfe_code_lengths,
+        # Mann-Whitney U via doubled midranks over the cents domain
+        "events_mannwhitney_u": rel.events_mannwhitney_u,
+        # D'Hondt highest-averages apportionment, exact quotient order
+        "dhondt_allocation": rel.dhondt_allocation,
+        # parametric binary search for the tightest service time
+        "min_service_rate": rel.min_service_rate,
     }
 
 
@@ -1568,6 +1574,9 @@ def oracle_sql() -> dict[str, str]:
         "queue_sim_wait_times": rel.queue_sim_wait_times_sql(),
         "label_agreement_kappa": rel.label_agreement_kappa_sql(),
         "sfe_code_lengths": rel.sfe_code_lengths_sql(),
+        "events_mannwhitney_u": rel.events_mannwhitney_u_sql(),
+        "dhondt_allocation": rel.dhondt_allocation_sql(),
+        "min_service_rate": rel.min_service_rate_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

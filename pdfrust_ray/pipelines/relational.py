@@ -15625,3 +15625,232 @@ def sfe_code_lengths_sql() -> str:
                    AS kraft_num
         FROM len, mx ORDER BY event_type
     """
+
+
+def events_mannwhitney_u(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney U between weekend and weekday event values — the
+    nonparametric location-shift test a metrics pipeline runs where a
+    t-test's normality assumption fails.  EXACT integers only: with
+    midranks doubled (2*midrank of a tied run = 2*cum_before + run + 1
+    is always integral) the doubled rank sum r2_wknd, the doubled
+    statistic u2_wknd = 2*R1 - n1*(n1+1), and the tie-correction term
+    sum(t^3 - t) are all bigints, so engine and oracle hash-match with
+    no float ranking.
+
+    Distributed plan: the bounded cents domain reduces the corpus to a
+    (value, n_weekend, n) frequency table via one groupby — the same
+    domain-histogram shape as events_ks_statistic; the rank fold is a
+    domain-sized cumsum."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        wknd = ((days + 3) % 7 >= 5).astype(np.int64)
+        return pa.table({"cents": _cents(t["value"]), "a": pa.array(wknd)})
+
+    freq = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("a", alias_name="a"), Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("cents")
+        .reset_index(drop=True)
+    )
+    a = freq["a"].to_numpy(np.int64)
+    n_run = freq["n"].to_numpy(np.int64)
+    cum_before = np.cumsum(n_run) - n_run
+    n1 = int(a.sum())
+    r2 = int((a * (2 * cum_before + n_run + 1)).sum())
+    u2 = r2 - n1 * (n1 + 1)
+    return pd.DataFrame(
+        {
+            "n_wknd": [n1],
+            "n_wkdy": [int(n_run.sum()) - n1],
+            "r2_wknd": [r2],
+            "u2_wknd": [u2],
+            "tie_term": [int((n_run**3 - n_run).sum())],
+        }
+    ).astype("int64")
+
+
+def events_mannwhitney_u_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+                   CASE WHEN (epoch_us(ts) // 86400000000 + 3) % 7 >= 5
+                        THEN 1 ELSE 0 END AS a
+            FROM events
+        ),
+        g AS (SELECT v, SUM(a) AS a, COUNT(*) AS n FROM f GROUP BY 1),
+        c AS (
+            SELECT a, n,
+                   SUM(n) OVER (ORDER BY v) - n AS cb
+            FROM g
+        ),
+        s AS (
+            SELECT SUM(a) AS n1, SUM(n) AS nt,
+                   SUM(a * (2 * cb + n + 1)) AS r2,
+                   SUM(n * n * n - n) AS tt
+            FROM c
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_wknd,
+               CAST(nt - n1 AS BIGINT) AS n_wkdy,
+               CAST(r2 AS BIGINT) AS r2_wknd,
+               CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2_wknd,
+               CAST(tt AS BIGINT) AS tie_term
+        FROM s
+    """
+
+
+def dhondt_allocation(sf_dir: str, seats: int = 100) -> pd.DataFrame:
+    """D'Hondt (Jefferson highest-averages) apportionment of a fixed
+    sampling budget of 100 slots across event types proportional to
+    their counts — the seat-allocation rule a stratified-sampling
+    planner uses when largest-remainder (already covered by
+    largest_remainder_allocation) would violate quota monotonicity.
+    Quotients c/k are ranked EXACTLY by integer cross-multiplication
+    (ties broken by (event_type, k) ascending), so no float division
+    enters the order.
+
+    Distributed plan: one type-keyed Count reduces the corpus to a
+    catalog-sized table; the quotient tournament is a driver-side
+    finalize over |types| * seats entries."""
+    from fractions import Fraction
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    h = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    quot = [
+        (Fraction(int(c), k), ty, k)
+        for ty, c in zip(h["event_type"], h["c"].astype(int))
+        for k in range(1, seats + 1)
+    ]
+    quot.sort(key=lambda q: (-q[0], q[1], q[2]))
+    won = {}
+    for _, ty, _k in quot[:seats]:
+        won[ty] = won.get(ty, 0) + 1
+    out = pd.DataFrame(
+        {
+            "event_type": h["event_type"],
+            "cnt": h["c"].astype("int64"),
+            "seats": [won.get(ty, 0) for ty in h["event_type"]],
+        }
+    )
+    out["seats"] = out["seats"].astype("int64")
+    return out
+
+
+def dhondt_allocation_sql(seats: int = 100) -> str:
+    return f"""
+        WITH h AS (
+            SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1
+        ),
+        q AS (
+            SELECT event_type, c, UNNEST(generate_series(1, {seats})) AS k
+            FROM h
+        ),
+        r AS (
+            SELECT a.event_type, a.c, a.k,
+                   (SELECT COUNT(*) FROM q b
+                    WHERE b.c * a.k > a.c * b.k
+                       OR (b.c * a.k = a.c * b.k
+                           AND (b.event_type < a.event_type
+                                OR (b.event_type = a.event_type
+                                    AND b.k < a.k)))) AS rnk
+            FROM q a
+        )
+        SELECT h.event_type, CAST(h.c AS BIGINT) AS cnt,
+               CAST(COALESCE(w.s, 0) AS BIGINT) AS seats
+        FROM h LEFT JOIN (
+            SELECT event_type, COUNT(*) AS s FROM r
+            WHERE rnk < {seats} GROUP BY 1
+        ) w USING (event_type)
+        ORDER BY h.event_type
+    """
+
+
+def min_service_rate(sf_dir: str, max_wait_s: int = 3600) -> pd.DataFrame:
+    """Capacity planning by parametric search: the LARGEST integer
+    per-item service time S (seconds) a single-server queue over the
+    purchase arrivals can afford while keeping every wait <= 1 hour.
+    max_wait(S) = max_{j<i} ((i-j)*S - (A_i - A_j)) is monotone
+    nondecreasing in S, so the engine binary-searches S with an O(n)
+    closed-form cummax evaluation per probe (the queue_sim_wait_times
+    recurrence), ~40 passes total; the SQL twin derives the same
+    optimum from the O(n^2) pair bound S* = min_{j<i} floor((X + A_i -
+    A_j)/(i-j)).  Tightness is part of the contract: the output
+    carries max_wait at S* (<= X) and at S*+1 (> X).
+
+    Distributed plan: each probe is the same global-rank two-phase
+    bucket scan as queue_sim_wait_times; log2(range) sequential probes
+    replace the quadratic pair join the oracle uses."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {"s": pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 1_000_000)}
+        )
+
+    a = np.sort(
+        ds.map_batches(keys, batch_format="pyarrow").to_pandas()["s"].to_numpy(np.int64)
+    )
+    n = len(a)
+    i = np.arange(n, dtype=np.int64)
+
+    def max_wait(s: int) -> int:
+        m = np.maximum.accumulate(a - i * s)
+        return int((m + i * s - a).max()) if n else 0
+
+    lo, hi = 0, max_wait_s + (int(a[-1] - a[0]) if n > 1 else 0) + 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if max_wait(mid) <= max_wait_s:
+            lo = mid
+        else:
+            hi = mid - 1
+    return pd.DataFrame(
+        {
+            "n_arrivals": [n],
+            "max_service_s": [lo],
+            "wait_at_opt": [max_wait(lo)],
+            "wait_above_opt": [max_wait(lo + 1)],
+        }
+    ).astype("int64")
+
+
+def min_service_rate_sql(max_wait_s: int = 3600) -> str:
+    return f"""
+        WITH a AS (
+            SELECT epoch_us(ts) // 1000000 AS s FROM events
+            WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT s, ROW_NUMBER() OVER (ORDER BY s) - 1 AS i FROM a
+        ),
+        p AS (
+            SELECT x.i - y.i AS d, x.s - y.s AS gap
+            FROM r x JOIN r y ON y.i < x.i
+        ),
+        opt AS (
+            SELECT MIN(({max_wait_s} + gap) // d) AS smax FROM p
+        )
+        SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_arrivals,
+               CAST(opt.smax AS BIGINT) AS max_service_s,
+               CAST(GREATEST(
+                   (SELECT MAX(d * opt.smax - gap) FROM p), 0
+               ) AS BIGINT) AS wait_at_opt,
+               CAST(GREATEST(
+                   (SELECT MAX(d * (opt.smax + 1) - gap) FROM p), 0
+               ) AS BIGINT) AS wait_above_opt
+        FROM opt
+    """
