@@ -1080,6 +1080,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dhondt_allocation": rel.dhondt_allocation,
         # parametric binary search for the tightest service time
         "min_service_rate": rel.min_service_rate,
+        # per-nation vs pooled covariance sign (hugeint-exact)
+        "simpson_paradox_audit": rel.simpson_paradox_audit,
+        # daily candles + Donchian-channel breakout flags
+        "daily_ohlc_donchian": rel.daily_ohlc_donchian,
+        # KMP smallest period of each user's type sequence
+        "user_type_period": rel.user_type_period,
     }
 
 
@@ -1577,6 +1583,9 @@ def oracle_sql() -> dict[str, str]:
         "events_mannwhitney_u": rel.events_mannwhitney_u_sql(),
         "dhondt_allocation": rel.dhondt_allocation_sql(),
         "min_service_rate": rel.min_service_rate_sql(),
+        "simpson_paradox_audit": rel.simpson_paradox_audit_sql(),
+        "daily_ohlc_donchian": rel.daily_ohlc_donchian_sql(),
+        "user_type_period": rel.user_type_period_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

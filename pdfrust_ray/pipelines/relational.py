@@ -15854,3 +15854,283 @@ def min_service_rate_sql(max_wait_s: int = 3600) -> str:
                ) AS BIGINT) AS wait_above_opt
         FROM opt
     """
+
+
+def simpson_paradox_audit(sf_dir: str) -> pd.DataFrame:
+    """Simpson's-paradox screen: the sign of the covariance between
+    customer account balance and order total within each nation vs the
+    pooled sign — the aggregation-reversal check an analyst runs
+    before trusting a whole-population trend.  Covariance numerators
+    n*Sxy - Sx*Sy exceed int64 (cents^2 * n), so the per-nation
+    sufficient statistics fold as int64 (Sxy per row is ~5e13, sums
+    ~8e16, safe) and only the driver-side finalize multiplies them as
+    arbitrary-precision Python ints; the SQL twin casts to HUGEINT for
+    the same products and both report only the int sign.
+
+    Distributed plan: broadcast customer->(nation, acctbal) join
+    inside map_batches, one nation-keyed groupby of 4 partials;
+    catalog-sized finalize."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cref = ray.put(cust)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = ray.get(cref) if not isinstance(cref, pa.Table) else cref
+        j = t.join(c, keys="o_custkey", right_keys="c_custkey", join_type="inner")
+        x = _cents(j["o_totalprice"])
+        y = _cents(j["c_acctbal"])
+        return pa.table(
+            {
+                "nk": j["c_nationkey"],
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+            }
+        )
+
+    g = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"),
+            Sum("xy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    nmap = {int(k): v for k, v in zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())}
+
+    def sign(v: int) -> int:
+        return (v > 0) - (v < 0)
+
+    tn = int(g["n"].sum())
+    pooled = sign(tn * int(g["sxy"].sum()) - int(g["sx"].sum()) * int(g["sy"].sum()))
+    rows = []
+    for _, r in g.iterrows():
+        cv = sign(int(r["n"]) * int(r["sxy"]) - int(r["sx"]) * int(r["sy"]))
+        rows.append((nmap[int(r["nk"])], int(r["n"]), cv, pooled, int(cv != 0 and cv == -pooled)))
+    out = pd.DataFrame(
+        rows, columns=["n_name", "n_cust_orders", "sign_within", "sign_pooled", "paradox"]
+    ).sort_values("n_name").reset_index(drop=True)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def simpson_paradox_audit_sql() -> str:
+    return """
+        WITH j AS (
+            SELECT c.c_nationkey AS nk,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS x,
+                   CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        g AS (
+            SELECT nk, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM j GROUP BY 1
+        ),
+        p AS (
+            SELECT SIGN(SUM(n) * SUM(sxy)
+                        - CAST(SUM(sx) AS HUGEINT) * SUM(sy)) AS sp
+            FROM g
+        )
+        SELECT n.n_name, CAST(g.n AS BIGINT) AS n_cust_orders,
+               CAST(SIGN(g.n * g.sxy
+                         - CAST(g.sx AS HUGEINT) * g.sy) AS BIGINT)
+                   AS sign_within,
+               CAST(p.sp AS BIGINT) AS sign_pooled,
+               CAST(CASE WHEN SIGN(g.n * g.sxy
+                                   - CAST(g.sx AS HUGEINT) * g.sy) <> 0
+                          AND SIGN(g.n * g.sxy
+                                   - CAST(g.sx AS HUGEINT) * g.sy) = -p.sp
+                         THEN 1 ELSE 0 END AS BIGINT) AS paradox
+        FROM g JOIN nation n ON n.n_nationkey = g.nk, p
+        ORDER BY n.n_name
+    """
+
+
+def daily_ohlc_donchian(sf_dir: str, lookback: int = 7) -> pd.DataFrame:
+    """Daily OHLC candles over event value cents (open/close = first/
+    last event of the day by (ts, event_id); high/low = extrema) plus
+    a Donchian-channel breakout flag: day d breaks out when its high
+    strictly exceeds the max high of the preceding 7 calendar days
+    with at least one trading day present (first days with an empty
+    window never break out).
+
+    Distributed plan: one pass of per-batch per-day partials — each
+    partial carries its (us, event_id)-argmin/argmax winners alongside
+    min/max cents, so partials merge associatively; the day-spine merge
+    and the 7-day rolling max run over the tiny spine on the driver."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {
+                "day": days,
+                "us": us,
+                "eid": t["event_id"].to_numpy(),
+                "cents": _cents(t["value"]).to_numpy(),
+            }
+        )
+        rows = []
+        for day, gdf in df.groupby("day"):
+            order = np.lexsort((gdf["eid"].to_numpy(), gdf["us"].to_numpy()))
+            f, la = gdf.iloc[order[0]], gdf.iloc[order[-1]]
+            c = gdf["cents"].to_numpy()
+            rows.append(
+                (day, int(f["us"]), int(f["eid"]), int(f["cents"]),
+                 int(la["us"]), int(la["eid"]), int(la["cents"]),
+                 int(c.max()), int(c.min()))
+            )
+        return pd.DataFrame(
+            rows, columns=["day", "fus", "feid", "fc", "lus", "leid", "lc", "h", "l"]
+        )
+
+    parts = ds.map_batches(prep, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("day").agg(h=("h", "max"), l=("l", "min")).reset_index()
+    opens, closes = {}, {}
+    for _, r in parts.iterrows():
+        d = int(r["day"])
+        if d not in opens or (r["fus"], r["feid"]) < opens[d][:2]:
+            opens[d] = (int(r["fus"]), int(r["feid"]), int(r["fc"]))
+        if d not in closes or (r["lus"], r["leid"]) > closes[d][:2]:
+            closes[d] = (int(r["lus"]), int(r["leid"]), int(r["lc"]))
+    agg = agg.sort_values("day").reset_index(drop=True)
+    agg["open_c"] = [opens[int(d)][2] for d in agg["day"]]
+    agg["close_c"] = [closes[int(d)][2] for d in agg["day"]]
+    day = agg["day"].to_numpy(np.int64)
+    high = agg["h"].to_numpy(np.int64)
+    brk = np.zeros(len(agg), np.int64)
+    for idx in range(len(agg)):
+        mask = (day >= day[idx] - lookback) & (day < day[idx])
+        if mask.any():
+            brk[idx] = int(high[idx] > high[mask].max())
+    out = pd.DataFrame(
+        {
+            "day": day,
+            "open_c": agg["open_c"].astype("int64"),
+            "high_c": high,
+            "low_c": agg["l"].astype("int64"),
+            "close_c": agg["close_c"].astype("int64"),
+            "breakout": brk,
+        }
+    )
+    return out
+
+
+def daily_ohlc_donchian_sql(lookback: int = 7) -> str:
+    return f"""
+        WITH e AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   epoch_us(ts) AS us, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        d AS (
+            SELECT day,
+                   FIRST(c ORDER BY us, event_id) AS open_c,
+                   MAX(c) AS high_c, MIN(c) AS low_c,
+                   LAST(c ORDER BY us, event_id) AS close_c
+            FROM e GROUP BY 1
+        ),
+        w AS (
+            SELECT *,
+                   MAX(high_c) OVER (
+                       ORDER BY day RANGE BETWEEN {lookback} PRECEDING
+                       AND 1 PRECEDING) AS prev_hi
+            FROM d
+        )
+        SELECT CAST(day AS BIGINT) AS day, open_c, high_c, low_c, close_c,
+               CAST(CASE WHEN prev_hi IS NOT NULL AND high_c > prev_hi
+                         THEN 1 ELSE 0 END AS BIGINT) AS breakout
+        FROM w ORDER BY day
+    """
+
+
+def user_type_period(sf_dir: str) -> pd.DataFrame:
+    """Smallest period of each user's event-type sequence (ordered by
+    ts, event_id): the least p <= n with s[i] == s[i+p] for all i —
+    the stringology primitive behind repeating-behaviour detection.
+    The engine runs the KMP failure function per user (period = n -
+    fail[n], linear); the SQL twin brute-forces every candidate p with
+    a positional self-join, so the two derivations are independent.
+
+    Distributed plan: user-keyed groupby; the failure function is
+    linear inside each group after one sort — the per-entity-DP shape
+    user_lis_lengths establishes."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        s = df["event_type"].tolist()
+        n = len(s)
+        fail = [0] * (n + 1)
+        k = 0
+        for q in range(1, n):
+            while k and s[q] != s[k]:
+                k = fail[k]
+            if s[q] == s[k]:
+                k += 1
+            fail[q + 1] = k
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "seq_len": [n],
+                "period": [n - fail[n]],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def user_type_period_sql() -> str:
+    return """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        cand AS (SELECT DISTINCT user_id, n FROM s),
+        ps AS (
+            SELECT user_id, n, UNNEST(generate_series(1, n)) AS p FROM cand
+        ),
+        ok AS (
+            SELECT ps.user_id, ps.n, ps.p
+            FROM ps
+            WHERE NOT EXISTS (
+                SELECT 1
+                FROM s x JOIN s y
+                  ON y.user_id = x.user_id AND y.i = x.i + ps.p
+                WHERE x.user_id = ps.user_id
+                  AND x.event_type <> y.event_type
+            )
+        )
+        SELECT user_id, CAST(MAX(n) AS BIGINT) AS seq_len,
+               CAST(MIN(p) AS BIGINT) AS period
+        FROM ok GROUP BY user_id ORDER BY user_id
+    """
