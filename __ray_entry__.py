@@ -1086,6 +1086,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_ohlc_donchian": rel.daily_ohlc_donchian,
         # KMP smallest period of each user's type sequence
         "user_type_period": rel.user_type_period,
+        # Hungarian k x k assignment vs 720-permutation oracle
+        "min_cost_assignment": rel.min_cost_assignment,
+        # Booth minimal-rotation necklace canonical form
+        "user_type_min_rotation": rel.user_type_min_rotation,
+        # (s,S) inventory replay over the daily demand spine
+        "inventory_policy_replay": rel.inventory_policy_replay,
     }
 
 
@@ -1586,6 +1592,9 @@ def oracle_sql() -> dict[str, str]:
         "simpson_paradox_audit": rel.simpson_paradox_audit_sql(),
         "daily_ohlc_donchian": rel.daily_ohlc_donchian_sql(),
         "user_type_period": rel.user_type_period_sql(),
+        "min_cost_assignment": rel.min_cost_assignment_sql(),
+        "user_type_min_rotation": rel.user_type_min_rotation_sql(),
+        "inventory_policy_replay": rel.inventory_policy_replay_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

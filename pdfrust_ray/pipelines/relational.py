@@ -16134,3 +16134,313 @@ def user_type_period_sql() -> str:
                CAST(MIN(p) AS BIGINT) AS period
         FROM ok GROUP BY user_id ORDER BY user_id
     """
+
+
+def _hungarian_min(cost: list) -> int:
+    """O(k^3) Hungarian (Jonker-Volgenant potentials) min-cost perfect
+    assignment total over a square integer matrix — the classical
+    shortest-augmenting-path formulation (public algorithmic knowledge,
+    cp-algorithms presentation)."""
+    inf = float("inf")
+    n = len(cost)
+    u = [0] * (n + 1)
+    v = [0] * (n + 1)
+    p = [0] * (n + 1)
+    way = [0] * (n + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = [inf] * (n + 1)
+        used = [False] * (n + 1)
+        while True:
+            used[j0] = True
+            i0, delta, j1 = p[j0], inf, -1
+            for j in range(1, n + 1):
+                if not used[j]:
+                    cur = cost[i0 - 1][j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    return sum(cost[p[j] - 1][j - 1] for j in range(1, n + 1))
+
+
+def min_cost_assignment(sf_dir: str, k: int = 6) -> pd.DataFrame:
+    """Optimal one-to-one pairing of the k=6 highest-volume suppliers
+    with the k highest-volume parts, maximizing total shipped quantity
+    — the exact assignment a routing planner wants where a greedy
+    match leaves quantity on the table.  The engine builds the k x k
+    quantity matrix distributed (two top-k folds + one pair-keyed
+    groupby over the packed (suppkey, partkey) key) and solves it with
+    the O(k^3) Hungarian finalize, which keeps working at k in the
+    hundreds; the SQL twin enumerates all 720 permutations, an
+    independent derivation only feasible because k is tiny.
+
+    Ranking tie-breaks are (quantity DESC, key ASC) on both sides."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey", "l_quantity"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        return pa.table({"s": t["l_suppkey"], "p": t["l_partkey"], "q": q})
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+    sup = base.groupby("s").aggregate(Sum("q", alias_name="tq")).to_pandas()
+    prt = base.groupby("p").aggregate(Sum("q", alias_name="tq")).to_pandas()
+    sup = sup.sort_values(["tq", "s"], ascending=[False, True]).head(k)
+    prt = prt.sort_values(["tq", "p"], ascending=[False, True]).head(k)
+    s_ids = [int(x) for x in sup["s"]]
+    p_ids = [int(x) for x in prt["p"]]
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t["s"], value_set=pa.array(s_ids, pa.int64())),
+            pc.is_in(t["p"], value_set=pa.array(p_ids, pa.int64())),
+        )
+        t = t.filter(keep)
+        packed = pc.add(pc.multiply(t["s"], 10_000_000), t["p"])
+        return pa.table({"sp": packed, "q": t["q"]})
+
+    cell = (
+        base.map_batches(pairs, batch_format="pyarrow")
+        .groupby("sp")
+        .aggregate(Sum("q", alias_name="q"))
+        .to_pandas()
+    )
+    lut = {int(r["sp"]): int(r["q"]) for _, r in cell.iterrows()}
+    mat = [
+        [lut.get(si * 10_000_000 + pj, 0) for pj in p_ids]
+        for si in s_ids
+    ]
+    neg = [[-c for c in row] for row in mat]
+    best = -_hungarian_min(neg)
+    n_present = int(sum(1 for row in mat for c in row if c > 0))
+    return pd.DataFrame(
+        {"k": [k], "n_pairs_present": [n_present], "max_total_qty": [best]}
+    ).astype("int64")
+
+
+def min_cost_assignment_sql(k: int = 6) -> str:
+    return f"""
+        WITH q AS (
+            SELECT l_suppkey AS s, l_partkey AS p,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS q
+            FROM lineitem
+        ),
+        sup AS (
+            SELECT s, ROW_NUMBER() OVER (ORDER BY SUM(q) DESC, s) AS si
+            FROM q GROUP BY s
+            QUALIFY si <= {k}
+        ),
+        prt AS (
+            SELECT p, ROW_NUMBER() OVER (ORDER BY SUM(q) DESC, p) AS pi
+            FROM q GROUP BY p
+            QUALIFY pi <= {k}
+        ),
+        m AS (
+            SELECT sup.si, prt.pi,
+                   COALESCE((SELECT SUM(x.q) FROM q x
+                             WHERE x.s = sup.s AND x.p = prt.p), 0) AS c
+            FROM sup, prt
+        )
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST((SELECT COUNT(*) FROM m WHERE c > 0) AS BIGINT)
+                   AS n_pairs_present,
+               CAST((
+                   SELECT MAX(m1.c + m2.c + m3.c + m4.c + m5.c + m6.c)
+                   FROM m m1, m m2, m m3, m m4, m m5, m m6
+                   WHERE m1.si = 1 AND m2.si = 2 AND m3.si = 3
+                     AND m4.si = 4 AND m5.si = 5 AND m6.si = 6
+                     AND m2.pi <> m1.pi
+                     AND m3.pi NOT IN (m1.pi, m2.pi)
+                     AND m4.pi NOT IN (m1.pi, m2.pi, m3.pi)
+                     AND m5.pi NOT IN (m1.pi, m2.pi, m3.pi, m4.pi)
+                     AND m6.pi NOT IN (m1.pi, m2.pi, m3.pi, m4.pi, m5.pi)
+               ) AS BIGINT) AS max_total_qty
+    """
+
+
+def _booth_min_rotation(s: list) -> int:
+    """Booth's algorithm: least starting index of the lexicographically
+    minimal rotation of sequence s, O(n) over any comparable alphabet
+    (tokens here, not characters)."""
+    n = len(s)
+    s2 = s + s
+    f = [-1] * (2 * n)
+    kk = 0
+    for j in range(1, 2 * n):
+        sj = s2[j]
+        i = f[j - kk - 1]
+        while i != -1 and sj != s2[kk + i + 1]:
+            if sj < s2[kk + i + 1]:
+                kk = j - i - 1
+            i = f[i]
+        if sj != s2[kk + i + 1]:
+            if sj < s2[kk]:
+                kk = j
+            f[j - kk] = -1
+        else:
+            f[j - kk] = i + 1
+    return kk
+
+
+def user_type_min_rotation(sf_dir: str) -> pd.DataFrame:
+    """Canonical (necklace) form of each user's event-type sequence:
+    the lexicographically minimal rotation and its least starting
+    index — the rotation-invariant fingerprint that groups users whose
+    behaviour cycles through the same loop with different phases.  The
+    engine runs Booth's O(n) algorithm per user over the TOKEN
+    sequence; the SQL twin materializes every rotation as a
+    comma-joined string and takes the minimum, which agrees with token
+    order because no event type is a prefix of another.
+
+    Distributed plan: user-keyed groupby, linear scan per group."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        s = df["event_type"].tolist()
+        i = _booth_min_rotation(s)
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "seq_len": [len(s)],
+                "rot_i": [i],
+                "min_rot": [",".join(s[i:] + s[:i])],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in ("user_id", "seq_len", "rot_i"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def user_type_min_rotation_sql() -> str:
+    return """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        rot AS (
+            SELECT user_id, n, UNNEST(generate_series(0, n - 1)) AS i
+            FROM (SELECT DISTINCT user_id, n FROM s)
+        ),
+        r AS (
+            SELECT rot.user_id, rot.n, rot.i,
+                   (SELECT string_agg(x.event_type, ','
+                            ORDER BY (x.pos - rot.i + rot.n) % rot.n)
+                    FROM s x WHERE x.user_id = rot.user_id) AS rs
+            FROM rot
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS seq_len,
+               CAST(i AS BIGINT) AS rot_i, rs AS min_rot
+        FROM r
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY rs, i) = 1
+        ORDER BY user_id
+    """
+
+
+def inventory_policy_replay(
+    sf_dir: str, reorder_at: int = 100, order_up_to: int = 250
+) -> pd.DataFrame:
+    """(s, S) inventory policy replay against the daily purchase demand
+    stream: each day serve demand from stock (unmet demand is lost
+    sales), then replenish to S whenever stock has fallen to s or
+    below.  The classic stateful-stream simulation whose integer state
+    (stock, replenishments, lost units) both engines must carry
+    identically; the SQL twin runs the same recurrence as a recursive
+    CTE over the day spine.
+
+    Distributed plan: one day-keyed Count collapses the corpus to the
+    day spine; the sequential policy loop runs over that tiny spine on
+    the driver (state is O(1), days are O(corpus span))."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table({"day": pa.array(days)})
+
+    dem = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="dem"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    stock, n_repl, lost = order_up_to, 0, 0
+    for d in dem["dem"].astype(int):
+        lost += max(d - stock, 0)
+        stock = max(stock - d, 0)
+        if stock <= reorder_at:
+            stock = order_up_to
+            n_repl += 1
+    return pd.DataFrame(
+        {
+            "n_days": [len(dem)],
+            "n_replenish": [n_repl],
+            "total_lost": [lost],
+            "end_stock": [stock],
+        }
+    ).astype("int64")
+
+
+def inventory_policy_replay_sql(reorder_at: int = 100, order_up_to: int = 250) -> str:
+    return f"""
+        WITH RECURSIVE d AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS dem
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        idx AS (
+            SELECT dem, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d
+        ),
+        sim AS (
+            SELECT 0 AS i, {order_up_to} AS stock, 0 AS n_repl, 0 AS lost
+            UNION ALL
+            SELECT idx.i,
+                   CASE WHEN GREATEST(sim.stock - idx.dem, 0) <= {reorder_at}
+                        THEN {order_up_to}
+                        ELSE GREATEST(sim.stock - idx.dem, 0) END,
+                   sim.n_repl
+                       + CASE WHEN GREATEST(sim.stock - idx.dem, 0)
+                                   <= {reorder_at} THEN 1 ELSE 0 END,
+                   sim.lost + GREATEST(idx.dem - sim.stock, 0)
+            FROM sim JOIN idx ON idx.i = sim.i + 1
+        )
+        SELECT CAST((SELECT COUNT(*) FROM idx) AS BIGINT) AS n_days,
+               CAST(n_repl AS BIGINT) AS n_replenish,
+               CAST(lost AS BIGINT) AS total_lost,
+               CAST(stock AS BIGINT) AS end_stock
+        FROM sim WHERE i = (SELECT COUNT(*) FROM idx)
+    """
