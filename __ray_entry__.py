@@ -1092,6 +1092,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_min_rotation": rel.user_type_min_rotation,
         # (s,S) inventory replay over the daily demand spine
         "inventory_policy_replay": rel.inventory_policy_replay,
+        # blocked all-pairs argmin in embedding space (ids only)
+        "embedding_closest_pair": rel.embedding_closest_pair,
+        # isqrt-exact population-sd numerator per type
+        "type_value_sd_floor": rel.type_value_sd_floor,
+        # suffix-automaton distinct window count vs O(n^2) slice oracle
+        "user_distinct_subseq_count": rel.user_distinct_subseq_count,
     }
 
 
@@ -1595,6 +1601,9 @@ def oracle_sql() -> dict[str, str]:
         "min_cost_assignment": rel.min_cost_assignment_sql(),
         "user_type_min_rotation": rel.user_type_min_rotation_sql(),
         "inventory_policy_replay": rel.inventory_policy_replay_sql(),
+        "embedding_closest_pair": rel.embedding_closest_pair_sql(),
+        "type_value_sd_floor": rel.type_value_sd_floor_sql(),
+        "user_distinct_subseq_count": rel.user_distinct_subseq_count_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -16444,3 +16444,231 @@ def inventory_policy_replay_sql(reorder_at: int = 100, order_up_to: int = 250) -
                CAST(stock AS BIGINT) AS end_stock
         FROM sim WHERE i = (SELECT COUNT(*) FROM idx)
     """
+
+
+def embedding_closest_pair(sf_dir: str) -> pd.DataFrame:
+    """Exact closest pair in the embedding space (min Euclidean
+    distance over all N^2/2 pairs), reported as the id pair only —
+    float distance values never enter the contract, so the result is
+    hash-stable as long as the winning margin dominates summation
+    noise (the fixtures' margins do; the test asserts it).  Ties break
+    on (vec_id_a, vec_id_b).
+
+    Distributed plan: the all-pairs scan is blocked exactly like
+    ann_topk — the full [N, D] float32 matrix is ray.put once, each
+    batch computes distances of its rows against all columns with one
+    BLAS gemm, keeps its local best, and the driver merges
+    O(num_blocks) candidates.  The LSH-bucketed sibling
+    (embedding_sign_lsh_pairs) is the documented 10^9-vector path."""
+    import numpy as np
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids_all = tbl["vec_id"].to_numpy()
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    mref = ray.put((ids_all, mat))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def local_best(t: pa.Table) -> pd.DataFrame:
+        ids_g, m_g = ray.get(mref)
+        rows = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        rid = t["vec_id"].to_numpy()
+        # squared distances row-block x all, exact enough: argmin only
+        d2 = (
+            (rows * rows).sum(axis=1)[:, None]
+            + (m_g * m_g).sum(axis=1)[None, :]
+            - 2.0 * rows @ m_g.T
+        )
+        mask = rid[:, None] >= ids_g[None, :]
+        d2[mask] = np.inf
+        i, j = np.unravel_index(np.argmin(d2), d2.shape)
+        # within-block ties: re-scan candidates at the min
+        cand = np.argwhere(d2 <= d2[i, j])
+        best = min((int(rid[a]), int(ids_g[b])) for a, b in cand)
+        return pd.DataFrame(
+            {"a": [best[0]], "b": [best[1]], "d2": [float(d2[i, j])]}
+        )
+
+    parts = ds.map_batches(local_best, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["d2", "a", "b"]).reset_index(drop=True)
+    win = parts.iloc[0]
+    return pd.DataFrame(
+        {"vec_id_a": [int(win["a"])], "vec_id_b": [int(win["b"])]}
+    ).astype("int64")
+
+
+def embedding_closest_pair_sql() -> str:
+    return """
+        SELECT CAST(a.vec_id AS BIGINT) AS vec_id_a,
+               CAST(b.vec_id AS BIGINT) AS vec_id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ORDER BY list_distance(a.embedding, b.embedding), a.vec_id, b.vec_id
+        LIMIT 1
+    """
+
+
+def type_value_sd_floor(sf_dir: str) -> pd.DataFrame:
+    """Integer-exact dispersion per event type: floor(sqrt(n*Sxx -
+    Sx^2)) over value cents — the population-sd numerator as an exact
+    integer square root (math.isqrt), immune to float accumulation.
+    The variance numerator exceeds int64 at 100-TB counts, so partials
+    fold as int64 (safe: per-batch Sxx ~ 1e14) and only the
+    catalog-sized finalize promotes to arbitrary-precision ints; the
+    SQL twin uses HUGEINT plus a +-1-corrected double sqrt (double
+    sqrt's relative error is far below 1 at these magnitudes, the
+    correction makes it exact).
+
+    Distributed plan: one type-keyed groupby of 3 partials."""
+    import math
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _cents(t["value"])
+        return pa.table(
+            {"event_type": t["event_type"], "x": x, "xx": pc.multiply(x, x)}
+        )
+
+    g = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("xx", alias_name="sxx"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    sd = [
+        math.isqrt(int(r["n"]) * int(r["sxx"]) - int(r["sx"]) ** 2)
+        for _, r in g.iterrows()
+    ]
+    out = pd.DataFrame(
+        {"event_type": g["event_type"], "n": g["n"].astype("int64"), "sd_floor": sd}
+    )
+    out["sd_floor"] = out["sd_floor"].astype("int64")
+    return out
+
+
+def type_value_sd_floor_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events
+        ),
+        g AS (
+            SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx
+            FROM f GROUP BY 1
+        ),
+        v AS (
+            SELECT event_type, n,
+                   n * sxx - CAST(sx AS HUGEINT) * sx AS var_num
+            FROM g
+        ),
+        k AS (
+            SELECT *, CAST(FLOOR(SQRT(CAST(var_num AS DOUBLE))) AS BIGINT) AS kf
+            FROM v
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(CASE
+                   WHEN CAST(kf + 1 AS HUGEINT) * (kf + 1) <= var_num THEN kf + 1
+                   WHEN CAST(kf AS HUGEINT) * kf > var_num THEN kf - 1
+                   ELSE kf END AS BIGINT) AS sd_floor
+        FROM k ORDER BY event_type
+    """
+
+
+def _sam_distinct_substrings(s: list) -> int:
+    """Distinct non-empty contiguous subsequences of s, counted by a
+    suffix automaton (sum of len[v] - len[link[v]]), O(n) states."""
+    sa_len, sa_link, trans = [0], [-1], [{}]
+    last = 0
+    for ch in s:
+        cur = len(sa_len)
+        sa_len.append(sa_len[last] + 1)
+        sa_link.append(-1)
+        trans.append({})
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = sa_link[p]
+        if p == -1:
+            sa_link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if sa_len[p] + 1 == sa_len[q]:
+                sa_link[cur] = q
+            else:
+                clone = len(sa_len)
+                sa_len.append(sa_len[p] + 1)
+                sa_link.append(sa_link[q])
+                trans.append(dict(trans[q]))
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = sa_link[p]
+                sa_link[q] = clone
+                sa_link[cur] = clone
+        last = cur
+    return sum(sa_len[v] - sa_len[sa_link[v]] for v in range(1, len(sa_len)))
+
+
+def user_distinct_subseq_count(sf_dir: str) -> pd.DataFrame:
+    """Distinct contiguous type-subsequence count per user — the
+    behavioural-complexity measure (a user looping view,click,view,
+    click has far fewer distinct windows than an explorer).  The
+    engine builds a suffix automaton per user (linear states, exact
+    count as sum(len[v]-len[link[v]])); the SQL twin counts DISTINCT
+    array slices over all O(n^2) (i,j) windows — maximally independent
+    derivations of the same integer.
+
+    Distributed plan: user-keyed groupby, linear automaton per group."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        s = df["event_type"].tolist()
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "seq_len": [len(s)],
+                "n_distinct_subseq": [_sam_distinct_substrings(s)],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def user_distinct_subseq_count_sql() -> str:
+    return """
+        WITH s AS (
+            SELECT user_id,
+                   list(event_type ORDER BY ts, event_id) AS seq,
+                   COUNT(*) AS n
+            FROM events GROUP BY user_id
+        ),
+        ii AS (
+            SELECT user_id, n, seq, UNNEST(generate_series(1, n)) AS i FROM s
+        ),
+        jj AS (
+            SELECT user_id, n, seq, i, UNNEST(generate_series(i, n)) AS j
+            FROM ii
+        )
+        SELECT user_id, CAST(MAX(n) AS BIGINT) AS seq_len,
+               CAST(COUNT(DISTINCT array_slice(seq, i, j)) AS BIGINT)
+                   AS n_distinct_subseq
+        FROM jj GROUP BY user_id ORDER BY user_id
+    """
