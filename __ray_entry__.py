@@ -1098,6 +1098,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_value_sd_floor": rel.type_value_sd_floor,
         # suffix-automaton distinct window count vs O(n^2) slice oracle
         "user_distinct_subseq_count": rel.user_distinct_subseq_count,
+        # LCS of the two most-active users, list-carried DP oracle
+        "events_lcs_top2": rel.events_lcs_top2,
+        # strict hull of daily sums, Caratheodory membership oracle
+        "daily_value_convex_hull": rel.daily_value_convex_hull,
+        # inversion + tie pair counts per user value stream
+        "user_value_inversions": rel.user_value_inversions,
     }
 
 
@@ -1604,6 +1610,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_closest_pair": rel.embedding_closest_pair_sql(),
         "type_value_sd_floor": rel.type_value_sd_floor_sql(),
         "user_distinct_subseq_count": rel.user_distinct_subseq_count_sql(),
+        "events_lcs_top2": rel.events_lcs_top2_sql(),
+        "daily_value_convex_hull": rel.daily_value_convex_hull_sql(),
+        "user_value_inversions": rel.user_value_inversions_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -16672,3 +16672,267 @@ def user_distinct_subseq_count_sql() -> str:
                    AS n_distinct_subseq
         FROM jj GROUP BY user_id ORDER BY user_id
     """
+
+
+def events_lcs_top2(sf_dir: str) -> pd.DataFrame:
+    """Longest common subsequence length between the event-type
+    sequences of the two most-active users — the alignment primitive
+    behind behavioural-similarity scoring.  The engine runs the
+    prefix-max reformulation of the LCS row recurrence (new[j] =
+    max(prev[j], runmax_k<=j(prev[k-1] + eq_k)), valid because LCS rows
+    are monotone), one vectorized numpy pass per token; the SQL twin
+    carries the entire DP row as a LIST column through a recursive CTE
+    (DuckDB's recursive term allows no aggregates, so the row-max is a
+    list_max over a list_transform slice) — fully independent
+    derivations.
+
+    Distributed plan: per-pair work is the anti-diagonal wavefront DP;
+    the pair selection (two top-k folds) is the distributed part at
+    fixture scale, and the row DP is O(min(n,m)) memory."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    cnt = (
+        ds.groupby("user_id").aggregate(Count(alias_name="c")).to_pandas()
+        .sort_values(["c", "user_id"], ascending=[False, True])
+    )
+    ua, ub = int(cnt["user_id"].iloc[0]), int(cnt["user_id"].iloc[1])
+
+    def seq_of(uid: int) -> list:
+        def pick(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["user_id"], uid))
+
+        t = (
+            ds.map_batches(pick, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["ts", "event_id"])
+        )
+        return t["event_type"].tolist()
+
+    A, B = seq_of(ua), seq_of(ub)
+    prev = np.zeros(len(B) + 1, np.int64)
+    barr = np.array(B)
+    for a in A:
+        eq = (barr == a).astype(np.int64)
+        run = np.maximum.accumulate(prev[:-1] + eq)
+        new = prev.copy()
+        new[1:] = np.maximum(prev[1:], run)
+        prev = new
+    return pd.DataFrame(
+        {
+            "user_a": [ua],
+            "user_b": [ub],
+            "len_a": [len(A)],
+            "len_b": [len(B)],
+            "lcs_len": [int(prev[-1])],
+        }
+    ).astype("int64")
+
+
+def events_lcs_top2_sql() -> str:
+    return """
+        WITH RECURSIVE top2 AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+            FROM events GROUP BY user_id QUALIFY rk <= 2
+        ),
+        seqa AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS i,
+                   event_type AS t
+            FROM events
+            WHERE user_id = (SELECT user_id FROM top2 WHERE rk = 1)
+        ),
+        bl AS (
+            SELECT list(event_type ORDER BY ts, event_id) AS b
+            FROM events
+            WHERE user_id = (SELECT user_id FROM top2 WHERE rk = 2)
+        ),
+        dims AS (
+            SELECT (SELECT MAX(i) FROM seqa) AS n,
+                   (SELECT len(b) FROM bl) AS m
+        ),
+        dp AS (
+            SELECT 0 AS i,
+                   list_transform(
+                       generate_series(0, (SELECT m FROM dims)), x -> 0) AS row,
+                   (SELECT b FROM bl) AS b
+            UNION ALL
+            SELECT dp.i + 1,
+                   list_prepend(0,
+                       list_transform(generate_series(1, len(dp.row) - 1), j ->
+                           GREATEST(
+                               dp.row[j + 1],
+                               list_max(list_transform(generate_series(1, j), k ->
+                                   dp.row[k] + CASE WHEN dp.b[k] = a.t
+                                                    THEN 1 ELSE 0 END))))),
+                   dp.b
+            FROM dp JOIN seqa a ON a.i = dp.i + 1
+        )
+        SELECT CAST((SELECT user_id FROM top2 WHERE rk = 1) AS BIGINT) AS user_a,
+               CAST((SELECT user_id FROM top2 WHERE rk = 2) AS BIGINT) AS user_b,
+               CAST(dims.n AS BIGINT) AS len_a,
+               CAST(dims.m AS BIGINT) AS len_b,
+               CAST(dp.row[dims.m + 1] AS BIGINT) AS lcs_len
+        FROM dp, dims WHERE dp.i = dims.n
+    """
+
+
+def daily_value_convex_hull(sf_dir: str) -> pd.DataFrame:
+    """Strict convex hull of the (day, daily value cents) point set —
+    the extreme days that bound every linear trend line.  The engine
+    runs Andrew's monotone chain with strict turns (collinear interior
+    points dropped); the SQL twin decides hull membership pointwise by
+    Caratheodory: p is NOT a vertex iff it lies on a segment of two
+    other points or strictly inside a triangle of three others, all in
+    exact integer cross/dot arithmetic — an O(n^4) certificate that is
+    algorithm-independent of the chain.
+
+    Distributed plan: one day-keyed groupby collapses the corpus to
+    the spine; the chain is O(n log n) on the driver over spine-sized
+    input."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table({"day": pa.array(days), "c": _cents(t["value"])})
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("c", alias_name="cents"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    pts = [(int(d), int(c)) for d, c in zip(daily["day"], daily["cents"])]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def chain(points):
+        lower, upper = [], []
+        for p in points:
+            while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                lower.pop()
+            lower.append(p)
+        for p in reversed(points):
+            while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                upper.pop()
+            upper.append(p)
+        return set(lower) | set(upper)
+
+    hull = sorted(chain(pts))
+    return pd.DataFrame(hull, columns=["day", "sum_cents"]).astype("int64")
+
+
+def daily_value_convex_hull_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT epoch_us(ts) // 86400000000 AS x,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+            FROM events GROUP BY 1
+        ),
+        seg AS (  -- p strictly inside (or at the end of) a segment qr
+            SELECT DISTINCT p.x AS px
+            FROM d p, d q, d r
+            WHERE q.x <> p.x AND r.x <> p.x AND q.x < r.x
+              AND CAST(r.x - q.x AS HUGEINT) * (p.y - q.y)
+                  = CAST(r.y - q.y AS HUGEINT) * (p.x - q.x)
+              AND p.x BETWEEN q.x AND r.x
+              AND p.y BETWEEN LEAST(q.y, r.y) AND GREATEST(q.y, r.y)
+        ),
+        tri AS (  -- p strictly inside a nondegenerate triangle qrs
+            SELECT DISTINCT p.x AS px
+            FROM d p, d q, d r, d s
+            WHERE q.x < r.x AND r.x < s.x
+              AND p.x NOT IN (q.x, r.x, s.x)
+              AND SIGN(CAST(r.x - q.x AS HUGEINT) * (p.y - q.y)
+                       - CAST(r.y - q.y AS HUGEINT) * (p.x - q.x))
+                = SIGN(CAST(s.x - r.x AS HUGEINT) * (p.y - r.y)
+                       - CAST(s.y - r.y AS HUGEINT) * (p.x - r.x))
+              AND SIGN(CAST(s.x - r.x AS HUGEINT) * (p.y - r.y)
+                       - CAST(s.y - r.y AS HUGEINT) * (p.x - r.x))
+                = SIGN(CAST(q.x - s.x AS HUGEINT) * (p.y - s.y)
+                       - CAST(q.y - s.y AS HUGEINT) * (p.x - s.x))
+              AND SIGN(CAST(r.x - q.x AS HUGEINT) * (p.y - q.y)
+                       - CAST(r.y - q.y AS HUGEINT) * (p.x - q.x)) <> 0
+        )
+        SELECT CAST(x AS BIGINT) AS day, CAST(y AS BIGINT) AS sum_cents
+        FROM d
+        WHERE x NOT IN (SELECT px FROM seg)
+          AND x NOT IN (SELECT px FROM tri)
+        ORDER BY day
+    """
+
+
+def user_value_inversions(sf_dir: str) -> pd.DataFrame:
+    """Inversion count of each user's value stream: pairs of events
+    (earlier, later) where the earlier value strictly exceeds the
+    later — the sortedness measure that flags declining engagement —
+    plus the tie-pair count so the concordant remainder is derivable.
+    The SQL twin counts the same pairs with an O(n^2) positional
+    self-join; the engine uses a vectorized upper-triangle comparison
+    per group (groups are entity-sized; the merge-sort/BIT refinement
+    is the documented path for pathological single-entity skew).
+
+    Distributed plan: user-keyed groupby, vectorized per group."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        c = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        n = len(c)
+        later = c[None, :] < c[:, None]
+        ties = c[None, :] == c[:, None]
+        iu = np.triu_indices(n, 1)
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n": [n],
+                "inversions": [int(later[iu].sum())],
+                "tie_pairs": [int(ties[iu].sum())],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def user_value_inversions_sql() -> str:
+    return """
+        WITH s AS (
+            SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS i
+            FROM events
+        )
+        ,
+        m AS (SELECT user_id, COUNT(*) AS n FROM s GROUP BY 1),
+        p AS (
+            SELECT a.user_id,
+                   SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS inv,
+                   SUM(CASE WHEN a.c = b.c THEN 1 ELSE 0 END) AS tie
+            FROM s a JOIN s b ON b.user_id = a.user_id AND b.i > a.i
+            GROUP BY a.user_id
+        )
+        SELECT m.user_id, CAST(m.n AS BIGINT) AS n,
+               CAST(COALESCE(p.inv, 0) AS BIGINT) AS inversions,
+               CAST(COALESCE(p.tie, 0) AS BIGINT) AS tie_pairs
+        FROM m LEFT JOIN p USING (user_id) ORDER BY m.user_id
+    """
