@@ -1104,6 +1104,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_convex_hull": rel.daily_value_convex_hull,
         # inversion + tie pair counts per user value stream
         "user_value_inversions": rel.user_value_inversions,
+        # Huffman optimum vs Kraft-enumeration certificate
+        "huffman_total_bits": rel.huffman_total_bits,
+        # integer-scored 2-state Viterbi over user streams
+        "user_viterbi_score": rel.user_viterbi_score,
+        # monotonic-stack largest rectangle vs window enumeration
+        "daily_hist_max_rectangle": rel.daily_hist_max_rectangle,
     }
 
 
@@ -1613,6 +1619,9 @@ def oracle_sql() -> dict[str, str]:
         "events_lcs_top2": rel.events_lcs_top2_sql(),
         "daily_value_convex_hull": rel.daily_value_convex_hull_sql(),
         "user_value_inversions": rel.user_value_inversions_sql(),
+        "huffman_total_bits": rel.huffman_total_bits_sql(),
+        "user_viterbi_score": rel.user_viterbi_score_sql(),
+        "daily_hist_max_rectangle": rel.daily_hist_max_rectangle_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -16936,3 +16936,256 @@ def user_value_inversions_sql() -> str:
                CAST(COALESCE(p.tie, 0) AS BIGINT) AS tie_pairs
         FROM m LEFT JOIN p USING (user_id) ORDER BY m.user_id
     """
+
+
+def huffman_total_bits(sf_dir: str) -> pd.DataFrame:
+    """Minimum total encoded size (bits) of the event-type stream
+    under ANY integer-length prefix code — the Huffman optimum.  The
+    engine runs the classical two-smallest-merge heap (total cost =
+    sum of all merge weights, deterministic regardless of tie order
+    because the COST is unique even when the tree is not); the SQL
+    twin proves optimality independently by enumerating every length
+    vector l in {1..k-1}^k, keeping those satisfying Kraft-McMillan
+    (sum 2^(k-1-l) <= 2^(k-1), integer form), and minimizing
+    sum(c*l) — a certificate the heap cannot fake.
+
+    Distributed plan: one type-keyed Count; the heap is
+    catalog-sized."""
+    import heapq
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    h = (
+        ds.groupby("event_type").aggregate(Count(alias_name="c")).to_pandas()
+    )
+    heap = sorted(int(c) for c in h["c"])
+    heapq.heapify(heap)
+    total = 0
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        total += a + b
+        heapq.heappush(heap, a + b)
+    return pd.DataFrame(
+        {
+            "n_symbols": [len(h)],
+            "n_events": [int(h["c"].sum())],
+            "total_bits": [total],
+        }
+    ).astype("int64")
+
+
+def huffman_total_bits_sql() -> str:
+    # k symbols -> max useful depth k-1; Kraft in integer form scaled
+    # by 2^(k-1).  The fixture has 5 types so the enumeration is 4^5.
+    return """
+        WITH h AS (
+            SELECT event_type, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (ORDER BY event_type) AS i
+            FROM events GROUP BY 1
+        ),
+        k AS (SELECT COUNT(*) AS k FROM h),
+        ls AS (SELECT UNNEST(generate_series(1, (SELECT k - 1 FROM k))) AS l),
+        combos AS (
+            SELECT l1.l AS a, l2.l AS b, l3.l AS c, l4.l AS d, l5.l AS e
+            FROM ls l1, ls l2, ls l3, ls l4, ls l5
+            WHERE (CAST(1 AS BIGINT) << (4 - l1.l))
+                + (CAST(1 AS BIGINT) << (4 - l2.l))
+                + (CAST(1 AS BIGINT) << (4 - l3.l))
+                + (CAST(1 AS BIGINT) << (4 - l4.l))
+                + (CAST(1 AS BIGINT) << (4 - l5.l)) <= 16
+        ),
+        cost AS (
+            SELECT combos.a * (SELECT c FROM h WHERE i = 1)
+                 + combos.b * (SELECT c FROM h WHERE i = 2)
+                 + combos.c * (SELECT c FROM h WHERE i = 3)
+                 + combos.d * (SELECT c FROM h WHERE i = 4)
+                 + combos.e * (SELECT c FROM h WHERE i = 5) AS bits
+            FROM combos
+        )
+        SELECT CAST((SELECT k FROM k) AS BIGINT) AS n_symbols,
+               CAST((SELECT SUM(c) FROM h) AS BIGINT) AS n_events,
+               CAST((SELECT MIN(bits) FROM cost) AS BIGINT) AS total_bits
+    """
+
+
+_VITERBI_EMIT = {
+    # state 0 "browse" / state 1 "transact" integer emission scores
+    "view": (2, -1),
+    "click": (2, -1),
+    "purchase": (-1, 3),
+    "signup": (-1, 2),
+    "error": (-2, -2),
+}
+
+
+def user_viterbi_score(sf_dir: str) -> pd.DataFrame:
+    """Viterbi decoding score of a fixed 2-state integer-scored HMM
+    (browse/transact) over each user's event-type sequence: start
+    scores (0, -5), stay-transition 0 / switch -3, emissions from
+    _VITERBI_EMIT — all integers, so the max-score recursion is exact
+    in both engines.  Reports the best final score and the winning
+    final state (ties -> state 0).  The SQL twin carries the 2-state
+    DP through a recursive CTE over all users simultaneously.
+
+    Distributed plan: user-keyed groupby, linear DP per group —
+    the model-scoring shape (batched inference) on entity streams."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        s0, s1 = 0, -5
+        for t in df["event_type"]:
+            e0, e1 = _VITERBI_EMIT[t]
+            s0, s1 = max(s0, s1 - 3) + e0, max(s0 - 3, s1) + e1
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "seq_len": [len(df)],
+                "best_score": [max(s0, s1)],
+                "best_state": [0 if s0 >= s1 else 1],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def user_viterbi_score_sql() -> str:
+    e0 = " ".join(
+        f"WHEN '{t}' THEN {v[0]}" for t, v in sorted(_VITERBI_EMIT.items())
+    )
+    e1 = " ".join(
+        f"WHEN '{t}' THEN {v[1]}" for t, v in sorted(_VITERBI_EMIT.items())
+    )
+    return f"""
+        WITH RECURSIVE s AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS i
+            FROM events
+        ),
+        lens AS (SELECT user_id, COUNT(*) AS n FROM s GROUP BY 1),
+        dp AS (
+            SELECT user_id, 0 AS i, 0 AS s0, -5 AS s1 FROM lens
+            UNION ALL
+            SELECT dp.user_id, dp.i + 1,
+                   GREATEST(dp.s0, dp.s1 - 3)
+                       + CASE s.event_type {e0} END,
+                   GREATEST(dp.s0 - 3, dp.s1)
+                       + CASE s.event_type {e1} END
+            FROM dp JOIN s ON s.user_id = dp.user_id AND s.i = dp.i + 1
+        )
+        SELECT dp.user_id, CAST(lens.n AS BIGINT) AS seq_len,
+               CAST(GREATEST(dp.s0, dp.s1) AS BIGINT) AS best_score,
+               CAST(CASE WHEN dp.s0 >= dp.s1 THEN 0 ELSE 1 END AS BIGINT)
+                   AS best_state
+        FROM dp JOIN lens ON lens.user_id = dp.user_id AND dp.i = lens.n
+        ORDER BY dp.user_id
+    """
+
+
+def daily_hist_max_rectangle(sf_dir: str) -> pd.DataFrame:
+    """Largest rectangle under the daily-event-count histogram (the
+    classic stack problem): the widest run of consecutive days whose
+    minimum daily volume, times the width, is maximal — the
+    capacity-floor window a batch scheduler wants.  The engine finds
+    the max area with the O(n) monotonic-stack algorithm, then
+    canonicalizes the reported window (smallest left day, then
+    smallest width) with a spine-sized scan; the SQL twin enumerates
+    every (left, right) window with a MIN-over-window.
+
+    Distributed plan: one day-keyed Count to the spine; stack runs on
+    the driver over spine-sized input."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table({"day": pa.array(days)})
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    d0, d1 = int(daily["day"].iloc[0]), int(daily["day"].iloc[-1])
+    h = np.zeros(d1 - d0 + 1, np.int64)
+    h[daily["day"].to_numpy(np.int64) - d0] = daily["c"].to_numpy(np.int64)
+    # monotonic stack for the max area
+    stack, best = [], 0
+    hh = np.append(h, 0)
+    for i, v in enumerate(hh):
+        start = i
+        while stack and stack[-1][1] > v:
+            s, sh = stack.pop()
+            best = max(best, int(sh) * (i - s))
+            start = s
+        stack.append((start, v))
+    # canonical attaining window via sliding minima (spine-sized)
+    n = len(h)
+    left = width = height = -1
+    done = False
+    for li in range(n):
+        mn = h[li]
+        for ri in range(li, n):
+            mn = min(mn, h[ri])
+            if int(mn) * (ri - li + 1) == best:
+                left, width, height = li, ri - li + 1, int(mn)
+                done = True
+                break
+        if done:
+            break
+    return pd.DataFrame(
+        {
+            "max_area": [best],
+            "left_day": [d0 + left],
+            "width": [width],
+            "min_height": [height],
+        }
+    ).astype("int64")
+
+
+def daily_hist_max_rectangle_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+            FROM events GROUP BY 1
+        ),
+        spine AS (
+            SELECT UNNEST(generate_series(
+                (SELECT MIN(day) FROM d), (SELECT MAX(day) FROM d))) AS day
+        ),
+        hval AS (
+            SELECT spine.day, COALESCE(d.c, 0) AS c
+            FROM spine LEFT JOIN d USING (day)
+        ),
+        win AS (
+            SELECT a.day AS l, b.day AS r,
+                   (SELECT MIN(x.c) FROM hval x
+                    WHERE x.day BETWEEN a.day AND b.day) AS mn
+            FROM hval a JOIN hval b ON b.day >= a.day
+        ),
+        scored AS (
+            SELECT l, r - l + 1 AS w, mn, mn * (r - l + 1) AS area FROM win
+        )
+        SELECT CAST(area AS BIGINT) AS max_area,
+               CAST(l AS BIGINT) AS left_day,
+               CAST(w AS BIGINT) AS width,
+               CAST(mn AS BIGINT) AS min_height
+        FROM scored
+        ORDER BY area DESC, l, w LIMIT 1
+    """
