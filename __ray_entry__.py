@@ -1110,6 +1110,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_viterbi_score": rel.user_viterbi_score,
         # monotonic-stack largest rectangle vs window enumeration
         "daily_hist_max_rectangle": rel.daily_hist_max_rectangle,
+        # best rational approximation of the purchase rate
+        "best_rational_rate": rel.best_rational_rate,
+        # meet-in-the-middle balanced partition of top-16 orders
+        "orders_balanced_partition": rel.orders_balanced_partition,
+        # trailing-24h distinct-type streaming feature per event
+        "user_trailing_distinct_types": rel.user_trailing_distinct_types,
     }
 
 
@@ -1622,6 +1628,9 @@ def oracle_sql() -> dict[str, str]:
         "huffman_total_bits": rel.huffman_total_bits_sql(),
         "user_viterbi_score": rel.user_viterbi_score_sql(),
         "daily_hist_max_rectangle": rel.daily_hist_max_rectangle_sql(),
+        "best_rational_rate": rel.best_rational_rate_sql(),
+        "orders_balanced_partition": rel.orders_balanced_partition_sql(),
+        "user_trailing_distinct_types": rel.user_trailing_distinct_types_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

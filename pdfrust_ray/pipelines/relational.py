@@ -17189,3 +17189,211 @@ def daily_hist_max_rectangle_sql() -> str:
         FROM scored
         ORDER BY area DESC, l, w LIMIT 1
     """
+
+
+def best_rational_rate(sf_dir: str, max_den: int = 50) -> pd.DataFrame:
+    """Best rational approximation a/b (b <= 50) of the global purchase
+    rate P/N — the compact human-readable ratio ("about 1 in 5") that
+    dashboards quote, chosen EXACTLY: |a/b - P/N| minimized with ties
+    to the smaller denominator then smaller numerator, every comparison
+    done by integer cross-multiplication (|aN - bP| * b' vs
+    |a'N - b'P| * b).  The engine scans denominators with the rounding
+    candidates floor/ceil(Pb/N); the SQL twin certifies the winner by a
+    NOT EXISTS over all ~2.5k candidate fractions.
+
+    Distributed plan: one filtered Count pair; finalize is O(max_den)."""
+    from fractions import Fraction
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"isp": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())}
+        )
+
+    g = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("isp", alias_name="p"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    P, N = int(g["p"].iloc[0]), int(g["n"].iloc[0])
+    best = None  # (err Fraction, b, a)
+    for b in range(1, max_den + 1):
+        for a in {P * b // N, -(-P * b // N)}:
+            if 0 <= a <= b:
+                cand = (abs(Fraction(a, b) - Fraction(P, N)), b, a)
+                if best is None or cand < best:
+                    best = cand
+    return pd.DataFrame(
+        {"p_num": [P], "n_total": [N], "best_a": [best[2]], "best_b": [best[1]]}
+    ).astype("int64")
+
+
+def best_rational_rate_sql(max_den: int = 50) -> str:
+    return f"""
+        WITH n AS (
+            SELECT COUNT(*) FILTER (WHERE event_type = 'purchase') AS p,
+                   COUNT(*) AS t
+            FROM events
+        ),
+        bs AS (SELECT UNNEST(generate_series(1, {max_den})) AS b),
+        fr AS (SELECT b, UNNEST(generate_series(0, b)) AS a FROM bs),
+        sc AS (
+            SELECT a, b,
+                   ABS(CAST(a AS HUGEINT) * n.t - CAST(b AS HUGEINT) * n.p)
+                       AS err
+            FROM fr, n
+        )
+        SELECT CAST(n.p AS BIGINT) AS p_num, CAST(n.t AS BIGINT) AS n_total,
+               CAST(sc.a AS BIGINT) AS best_a, CAST(sc.b AS BIGINT) AS best_b
+        FROM sc, n
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sc g
+            WHERE g.err * sc.b < sc.err * g.b
+               OR (g.err * sc.b = sc.err * g.b
+                   AND (g.b < sc.b OR (g.b = sc.b AND g.a < sc.a)))
+        )
+    """
+
+
+def orders_balanced_partition(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """Minimum-imbalance two-way split of the k=16 largest order
+    totals (the balanced-partition problem a cost allocator faces):
+    min over subsets S of |total - 2*sum(S)|, exact cents.  The engine
+    runs meet-in-the-middle — 2^(k/2) subset sums per half, sort one
+    side, two-candidate binary search per left sum, O(2^(k/2) log) —
+    while the SQL twin enumerates all 2^16 bitmasks with a bit-test
+    join, so the engine's exponential shortcut is independently
+    certified.
+
+    Distributed plan: the top-k fold is distributed; MITM is a
+    driver-side finalize whose cost is O(2^(k/2)), the only reason
+    k=100 item instances stay tractable at all."""
+    import bisect
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["o_orderkey"], "c": _cents(t["o_totalprice"])})
+
+    df = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["c", "k"], ascending=[False, True])
+        .head(k)
+    )
+    vals = [int(v) for v in df["c"]]
+    total = sum(vals)
+    half1, half2 = vals[: k // 2], vals[k // 2:]
+
+    def subset_sums(items):
+        sums = [0]
+        for v in items:
+            sums += [s + v for s in sums]
+        return sums
+
+    left = subset_sums(half1)
+    right = sorted(subset_sums(half2))
+    best = total
+    for ls in left:
+        target = (total - 2 * ls) / 2.0
+        i = bisect.bisect_left(right, target)
+        for j in (i - 1, i):
+            if 0 <= j < len(right):
+                best = min(best, abs(total - 2 * (ls + right[j])))
+    return pd.DataFrame(
+        {"n_items": [len(vals)], "total_cents": [total], "min_imbalance": [best]}
+    ).astype("int64")
+
+
+def orders_balanced_partition_sql(k: int = 16) -> str:
+    return f"""
+        WITH t AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(o_totalprice * 100) DESC, o_orderkey)
+                       - 1 AS i
+            FROM orders
+            QUALIFY i < {k}
+        ),
+        tot AS (SELECT SUM(c) AS total, COUNT(*) AS n FROM t),
+        masks AS (SELECT UNNEST(generate_series(0, {2**k - 1})) AS m),
+        sums AS (
+            SELECT masks.m, COALESCE(SUM(t.c), 0) AS s
+            FROM masks LEFT JOIN t ON ((masks.m >> t.i) & 1) = 1
+            GROUP BY masks.m
+        )
+        SELECT CAST(tot.n AS BIGINT) AS n_items,
+               CAST(tot.total AS BIGINT) AS total_cents,
+               CAST(MIN(ABS(tot.total - 2 * sums.s)) AS BIGINT)
+                   AS min_imbalance
+        FROM sums, tot GROUP BY tot.n, tot.total
+    """
+
+
+def user_trailing_distinct_types(sf_dir: str) -> pd.DataFrame:
+    """Distinct event types each user emitted in the trailing 24 hours
+    of every event (window (ts-24h, ts] by TIMESTAMP, so same-ts peers
+    count regardless of id order) — the streaming feature an online
+    enrichment stage attaches to each event.  The engine keeps a
+    two-pointer multiset per user (O(n) per group after one sort); the
+    SQL twin re-counts every window with a correlated
+    COUNT(DISTINCT).
+
+    Distributed plan: user-keyed groupby; per-group state is the
+    O(|types|) count vector — the streaming-sessionize shape."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        types = df["event_type"].tolist()
+        n = len(df)
+        out = np.zeros(n, np.int64)
+        counts: dict = {}
+        lo = 0
+        i = 0
+        day_us = 86_400_000_000
+        while i < n:
+            j = i
+            while j < n and us[j] == us[i]:
+                counts[types[j]] = counts.get(types[j], 0) + 1
+                j += 1
+            while us[lo] <= us[i] - day_us:
+                counts[types[lo]] -= 1
+                if counts[types[lo]] == 0:
+                    del counts[types[lo]]
+                lo += 1
+            out[i:j] = len(counts)
+            i = j
+        return pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"), "n_distinct_24h": out}
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def user_trailing_distinct_types_sql() -> str:
+    return """
+        SELECT e.event_id,
+               (SELECT COUNT(DISTINCT x.event_type) FROM events x
+                WHERE x.user_id = e.user_id
+                  AND x.ts <= e.ts
+                  AND x.ts > e.ts - INTERVAL 24 HOUR) AS n_distinct_24h
+        FROM events e
+        ORDER BY e.event_id
+    """
