@@ -1116,6 +1116,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_balanced_partition": rel.orders_balanced_partition,
         # trailing-24h distinct-type streaming feature per event
         "user_trailing_distinct_types": rel.user_trailing_distinct_types,
+        # instant-runoff consensus winner over ranked ballots
+        "type_irv_winner": rel.type_irv_winner,
+        # first-fit-decreasing compaction plan, list-carried oracle
+        "compaction_ffd_plan": rel.compaction_ffd_plan,
+        # sort+LCP trie size vs DISTINCT-prefix enumeration
+        "part_prefix_trie_stats": rel.part_prefix_trie_stats,
     }
 
 
@@ -1631,6 +1637,9 @@ def oracle_sql() -> dict[str, str]:
         "best_rational_rate": rel.best_rational_rate_sql(),
         "orders_balanced_partition": rel.orders_balanced_partition_sql(),
         "user_trailing_distinct_types": rel.user_trailing_distinct_types_sql(),
+        "type_irv_winner": rel.type_irv_winner_sql(),
+        "compaction_ffd_plan": rel.compaction_ffd_plan_sql(),
+        "part_prefix_trie_stats": rel.part_prefix_trie_stats_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

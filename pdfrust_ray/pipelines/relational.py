@@ -17397,3 +17397,218 @@ def user_trailing_distinct_types_sql() -> str:
         FROM events e
         ORDER BY e.event_id
     """
+
+
+def type_irv_winner(sf_dir: str) -> pd.DataFrame:
+    """Instant-runoff (ranked-choice) winner over per-user ballots:
+    each user ranks the event types they emitted by (personal count
+    DESC, type ASC); rounds tally first choices among non-eliminated
+    types, declare a strict-majority winner, otherwise eliminate the
+    lowest tally (ties -> alphabetically smallest) and redistribute —
+    the preference-aggregation operator a labeling pipeline uses to
+    pick a consensus class from ranked annotator votes.  The engine
+    loops rounds over the ballot table; the SQL twin unrolls the <= 5
+    fixture rounds as static CTE stages (the engine stays general-k).
+
+    Distributed plan: ballots come from one (user,type)-keyed Count;
+    each round is a first-choice groupby over the ballot Dataset —
+    at most |types| shuffles of entity-sized rows."""
+    from collections import Counter
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    prefs = (
+        ds.groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    ballots = [
+        g.sort_values(["c", "event_type"], ascending=[False, True])["event_type"].tolist()
+        for _, g in prefs.groupby("user_id")
+    ]
+    elim: set = set()
+    rnd = 0
+    while True:
+        rnd += 1
+        firsts = [next((t for t in b if t not in elim), None) for b in ballots]
+        firsts = [f for f in firsts if f]
+        cnt = Counter(firsts)
+        top, topc = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if topc * 2 > len(firsts):
+            return pd.DataFrame({"winner": [top], "n_rounds": [rnd]}).astype(
+                {"n_rounds": "int64"}
+            )
+        elim.add(sorted(cnt.items(), key=lambda kv: (kv[1], kv[0]))[0][0])
+
+
+def type_irv_winner_sql(max_rounds: int = 5) -> str:
+    def round_cte(k: int) -> str:
+        elim = ""
+        if k > 1:
+            union = " UNION ALL ".join(f"SELECT ty FROM l{j}" for j in range(1, k))
+            elim = f"WHERE e.ty NOT IN ({union})"
+        return f"""
+        f{k} AS (
+            SELECT e.user_id, e.ty,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.i) AS rn
+            FROM exploded e {elim}
+        ),
+        r{k} AS (SELECT ty, COUNT(*) AS c FROM f{k} WHERE rn = 1 GROUP BY ty),
+        w{k} AS (SELECT ty FROM r{k}
+                 WHERE c * 2 > (SELECT SUM(c) FROM r{k})
+                 ORDER BY c DESC, ty LIMIT 1),
+        l{k} AS (SELECT ty FROM r{k} ORDER BY c ASC, ty ASC LIMIT 1)"""
+
+    ctes = ",".join(round_cte(k) for k in range(1, max_rounds + 1))
+    coalesce = ", ".join(f"(SELECT ty FROM w{k})" for k in range(1, max_rounds + 1))
+    when = " ".join(
+        f"WHEN EXISTS (SELECT 1 FROM w{k}) THEN {k}" for k in range(1, max_rounds)
+    )
+    return f"""
+        WITH prefs AS (
+            SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+        ),
+        ballots AS (
+            SELECT user_id, list(event_type ORDER BY c DESC, event_type) AS ballot
+            FROM prefs GROUP BY user_id
+        ),
+        exploded AS (
+            SELECT user_id, UNNEST(ballot) AS ty,
+                   UNNEST(generate_series(1, len(ballot))) AS i
+            FROM ballots
+        ),{ctes}
+        SELECT COALESCE({coalesce}) AS winner,
+               CAST(CASE {when} ELSE {max_rounds} END AS BIGINT) AS n_rounds
+    """
+
+
+def compaction_ffd_plan(sf_dir: str) -> pd.DataFrame:
+    """First-fit-decreasing compaction plan for the day-partitioned
+    event files: items are per-day byte sizes (rows x 100), bin
+    capacity is twice the largest file, and FFD (sort by size DESC,
+    day ASC; place each into the first bin with room) yields the bin
+    count a compactor would schedule — the classic 11/9-OPT+6/9
+    guarantee makes the count a planning bound, and determinism makes
+    it hashable.  The SQL twin replays the identical greedy as a
+    recursive CTE carrying the bins' remaining capacities as a LIST.
+
+    Distributed plan: one day-keyed Count; the greedy is a spine-sized
+    driver finalize (bins state is O(n_bins))."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        days = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table({"day": pa.array(days)})
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    daily["sz"] = daily["n"].astype(int) * 100
+    items = daily.sort_values(["sz", "day"], ascending=[False, True])["sz"].tolist()
+    cap = 2 * max(items)
+    bins: list = []
+    for sz in items:
+        for i, rem in enumerate(bins):
+            if rem >= sz:
+                bins[i] = rem - sz
+                break
+        else:
+            bins.append(cap - sz)
+    return pd.DataFrame(
+        {
+            "n_files": [len(items)],
+            "total_bytes": [sum(items)],
+            "cap_bytes": [cap],
+            "n_bins": [len(bins)],
+            "min_slack": [min(bins)],
+        }
+    ).astype("int64")
+
+
+def compaction_ffd_plan_sql() -> str:
+    return """
+        WITH RECURSIVE d AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) * 100 AS sz
+            FROM events GROUP BY 1
+        ),
+        cap AS (SELECT 2 * MAX(sz) AS cap FROM d),
+        items AS (
+            SELECT sz, ROW_NUMBER() OVER (ORDER BY sz DESC, day ASC) AS i FROM d
+        ),
+        pack AS (
+            SELECT 0 AS i, CAST([] AS BIGINT[]) AS bins
+            UNION ALL
+            SELECT p.i + 1,
+                CASE WHEN COALESCE(list_min(list_transform(
+                         generate_series(1, len(p.bins)),
+                         x -> CASE WHEN p.bins[x] >= it.sz
+                                   THEN x ELSE 100000 END)), 100000) = 100000
+                     THEN list_append(p.bins, (SELECT cap FROM cap) - it.sz)
+                     ELSE list_transform(generate_series(1, len(p.bins)), x ->
+                          CASE WHEN x = list_min(list_transform(
+                                   generate_series(1, len(p.bins)),
+                                   y -> CASE WHEN p.bins[y] >= it.sz
+                                             THEN y ELSE 100000 END))
+                               THEN p.bins[x] - it.sz ELSE p.bins[x] END)
+                END
+            FROM pack p JOIN items it ON it.i = p.i + 1
+        )
+        SELECT CAST((SELECT COUNT(*) FROM items) AS BIGINT) AS n_files,
+               CAST((SELECT SUM(sz) FROM d) AS BIGINT) AS total_bytes,
+               CAST((SELECT cap FROM cap) AS BIGINT) AS cap_bytes,
+               CAST(len(bins) AS BIGINT) AS n_bins,
+               CAST(list_min(bins) AS BIGINT) AS min_slack
+        FROM pack WHERE i = (SELECT COUNT(*) FROM items)
+    """
+
+
+def part_prefix_trie_stats(sf_dir: str) -> pd.DataFrame:
+    """Size of the prefix trie over distinct part names — the node
+    count an autocomplete index would allocate — computed WITHOUT
+    building a trie: over the sorted distinct names, trie nodes =
+    sum(len(name_i)) - sum(LCP(name_i, name_{i-1})), the classic
+    sort+LCP identity.  The SQL twin counts DISTINCT substr(name,1,k)
+    directly, an enumeration the identity must reproduce exactly.
+
+    Distributed plan: distinct-fold then a sorted spine scan; at scale
+    the LCP sum distributes per sorted partition with boundary names
+    exchanged once (documented; fixture runs on the driver)."""
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    names = sorted(set(ds.to_pandas()["p_name"].tolist()))
+
+    def lcp(a: str, b: str) -> int:
+        n = min(len(a), len(b))
+        for i in range(n):
+            if a[i] != b[i]:
+                return i
+        return n
+
+    total = sum(len(n) for n in names)
+    lcps = sum(lcp(a, b) for a, b in zip(names, names[1:]))
+    return pd.DataFrame(
+        {
+            "n_parts": [len(names)],
+            "trie_nodes": [total - lcps],
+            "max_name_len": [max(len(n) for n in names)],
+        }
+    ).astype("int64")
+
+
+def part_prefix_trie_stats_sql() -> str:
+    return """
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        pref AS (
+            SELECT substr(p_name, 1, CAST(k AS INTEGER)) AS pre
+            FROM names,
+                 LATERAL (SELECT UNNEST(generate_series(1, len(p_name))) AS k)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM names) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT pre) AS BIGINT) AS trie_nodes,
+               CAST((SELECT MAX(len(p_name)) FROM names) AS BIGINT)
+                   AS max_name_len
+        FROM pref
+    """
