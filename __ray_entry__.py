@@ -1122,6 +1122,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compaction_ffd_plan": rel.compaction_ffd_plan,
         # sort+LCP trie size vs DISTINCT-prefix enumeration
         "part_prefix_trie_stats": rel.part_prefix_trie_stats,
+        # integer-exact threshold-sweep PR curve
+        "events_pr_curve": rel.events_pr_curve,
+        # uncertainty-aware segment ranking (Wilson lower bound)
+        "type_wilson_bounds": rel.type_wilson_bounds,
+        # A/B Welch t-test from integer-cent sufficient stats
+        "events_welch_ttest": rel.events_welch_ttest,
     }
 
 
@@ -1640,6 +1646,9 @@ def oracle_sql() -> dict[str, str]:
         "type_irv_winner": rel.type_irv_winner_sql(),
         "compaction_ffd_plan": rel.compaction_ffd_plan_sql(),
         "part_prefix_trie_stats": rel.part_prefix_trie_stats_sql(),
+        "events_pr_curve": rel.events_pr_curve_sql(),
+        "type_wilson_bounds": rel.type_wilson_bounds_sql(),
+        "events_welch_ttest": rel.events_welch_ttest_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

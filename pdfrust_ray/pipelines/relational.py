@@ -17612,3 +17612,251 @@ def part_prefix_trie_stats_sql() -> str:
                    AS max_name_len
         FROM pref
     """
+
+
+def events_pr_curve(sf_dir: str, pos_type: str = "purchase", bin_width: int = 10) -> pd.DataFrame:
+    """Integer-exact precision/recall curve for the score-threshold
+    classifier "predict `pos_type` when value >= threshold": scores
+    are bucketed into `bin_width`-unit bins, and for every occupied
+    bin t (used as the cut) we report the confusion counts tp/fp/fn
+    plus F1 as the exact integer fraction (f1_num=2*tp,
+    f1_den=2*tp+fp+fn) — the threshold-sweep evaluation a
+    quality-filter tuning pass runs before freezing a cutoff.  All
+    outputs are BIGINT sufficient statistics so the hash is
+    float-order-independent.
+
+    Distributed plan: per-batch (bin, pos/neg) histogram combine
+    inside map_batches, then one bin-sized groupby sum; the reverse
+    cumulative sweep runs on the O(bins) spine on the driver."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / bin_width).astype(np.int64)
+        p = (pc.equal(t["event_type"], pos_type)).to_numpy(zero_copy_only=False)
+        keys = b * 2 + p.astype(np.int64)
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(uk // 2, pa.int64()),
+                "pos": pa.array(uk % 2, pa.int64()),
+                "c": pa.array(cnt.astype("int64")),
+            }
+        )
+
+    agg = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["bin", "pos"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    import numpy as np
+
+    piv = agg.pivot_table(index="bin", columns="pos", values="c", fill_value=0)
+    bins = piv.index.to_numpy()
+    a = piv[1].to_numpy(dtype=np.int64) if 1 in piv.columns else np.zeros(len(piv), np.int64)
+    b = piv[0].to_numpy(dtype=np.int64) if 0 in piv.columns else np.zeros(len(piv), np.int64)
+    # predict positive when bin >= t: reverse cumulative sums
+    tp = a[::-1].cumsum()[::-1]
+    fp = b[::-1].cumsum()[::-1]
+    fn = int(a.sum()) - tp
+    return pd.DataFrame(
+        {
+            "thr_bin": bins.astype("int64"),
+            "tp": tp,
+            "fp": fp,
+            "fn": fn,
+            "f1_num": 2 * tp,
+            "f1_den": 2 * tp + fp + fn,
+        }
+    ).reset_index(drop=True)
+
+
+def events_pr_curve_sql(pos_type: str = "purchase", bin_width: int = 10) -> str:
+    return f"""
+        WITH binned AS (
+            SELECT CAST(FLOOR(value / {bin_width}) AS BIGINT) AS bin,
+                   CASE WHEN event_type = '{pos_type}' THEN 1 ELSE 0 END AS pos
+            FROM events
+        ),
+        agg AS (
+            SELECT bin, SUM(pos) AS a, SUM(1 - pos) AS b
+            FROM binned GROUP BY bin
+        )
+        SELECT bin AS thr_bin,
+               CAST(SUM(a) OVER w AS BIGINT) AS tp,
+               CAST(SUM(b) OVER w AS BIGINT) AS fp,
+               CAST((SELECT SUM(a) FROM agg) - SUM(a) OVER w AS BIGINT) AS fn,
+               CAST(2 * SUM(a) OVER w AS BIGINT) AS f1_num,
+               CAST(2 * SUM(a) OVER w + SUM(b) OVER w
+                    + (SELECT SUM(a) FROM agg) - SUM(a) OVER w AS BIGINT) AS f1_den
+        FROM agg
+        WINDOW w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY thr_bin
+    """
+
+
+def type_wilson_bounds(sf_dir: str, threshold: float = 50.0, z: float = 1.96) -> pd.DataFrame:
+    """Per-event-type Wilson 95% lower confidence bound on
+    P(value > threshold) — the uncertainty-aware ranking statistic
+    used to order segments by success rate without letting tiny-n
+    groups win on a lucky streak.  n and s are exact BIGINTs; the
+    bound is a double computed with the SAME operation order as the
+    SQL twin so the doubles are bit-identical.
+
+    Distributed plan: one event_type groupby with per-batch Sum
+    pre-aggregation; the Wilson finalize touches O(types) rows."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "s": pc.cast(pc.greater(t["value"], threshold), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(flag, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    n = agg["n"].to_numpy(dtype=np.float64)
+    s = agg["s"].to_numpy(dtype=np.float64)
+    p = s / n
+    zz = z * z
+    lb = (p + zz / (2.0 * n) - z * np.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n))) / (
+        1.0 + zz / n
+    )
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype("int64"),
+            "s": agg["s"].astype("int64"),
+            "wilson_lb": lb,
+        }
+    )
+
+
+def type_wilson_bounds_sql(threshold: float = 50.0, z: float = 1.96) -> str:
+    return f"""
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN value > {threshold} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s
+            FROM events GROUP BY event_type
+        ),
+        p AS (
+            SELECT event_type, n, s,
+                   CAST(s AS DOUBLE) / n AS p,
+                   CAST(n AS DOUBLE) AS nd
+            FROM agg
+        )
+        SELECT event_type, n, s,
+               (p + {z} * {z} / (2.0 * nd)
+                  - {z} * SQRT(p * (1.0 - p) / nd
+                               + {z} * {z} / (4.0 * nd * nd)))
+               / (1.0 + {z} * {z} / nd) AS wilson_lb
+        FROM p
+        ORDER BY event_type
+    """
+
+
+def events_welch_ttest(
+    sf_dir: str, type_a: str = "purchase", type_b: str = "click"
+) -> pd.DataFrame:
+    """Welch's unequal-variance t-test between the `value`
+    distributions of two event types, computed from integer-cent
+    sufficient statistics (sum and sum-of-squares of cents are exact
+    BIGINTs, so the moments are float-order-independent) — the A/B
+    significance primitive.  t and the Welch-Satterthwaite df are
+    doubles derived with the identical op order as the SQL twin.
+
+    Distributed plan: per-batch cent/cent^2 partial sums inside
+    map_batches, one two-row groupby, O(1) driver finalize.  Scale
+    note: sum(cents^2) at 10^12 rows needs int128 accumulation —
+    shard the sum by key range before combining."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"], value_set=pa.array([type_a, type_b]))
+        t = t.filter(mask)
+        c = _cents(t["value"])
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "c": c,
+                "c2": pc.multiply(c, c),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("c", alias_name="sc"), Sum("c2", alias_name="sc2"))
+        .to_pandas()
+        .set_index("event_type")
+    )
+
+    def moments(ty: str):
+        n = float(agg.loc[ty, "n"])
+        sc = float(agg.loc[ty, "sc"])
+        sc2 = float(agg.loc[ty, "sc2"])
+        m = sc / n
+        v = (sc2 - sc * sc / n) / (n - 1.0)
+        return n, m, v
+
+    na, ma, va = moments(type_a)
+    nb, mb, vb = moments(type_b)
+    se2 = va / na + vb / nb
+    t_stat = (ma - mb) / np.sqrt(se2)
+    df = se2 * se2 / ((va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0))
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([int(agg.loc[type_a, "n"])], dtype="int64"),
+            "n_b": pd.Series([int(agg.loc[type_b, "n"])], dtype="int64"),
+            "t_stat": [float(t_stat)],
+            "welch_df": [float(df)],
+        }
+    )
+
+
+def events_welch_ttest_sql(type_a: str = "purchase", type_b: str = "click") -> str:
+    def mom(ty: str, suf: str) -> str:
+        return f"""
+        {suf} AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sc,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)
+                       * CAST(ROUND(value * 100) AS BIGINT)) AS sc2
+            FROM events WHERE event_type = '{ty}'
+        ),
+        m{suf} AS (
+            SELECT n,
+                   CAST(sc AS DOUBLE) / n AS m,
+                   (CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n)
+                       / (n - 1.0) AS v,
+                   CAST(n AS DOUBLE) AS nd
+            FROM {suf}
+        )"""
+
+    return f"""
+        WITH {mom(type_a, "a")}, {mom(type_b, "b")}
+        SELECT a.n AS n_a, b.n AS n_b,
+               (ma.m - mb.m) / SQRT(ma.v / ma.nd + mb.v / mb.nd) AS t_stat,
+               (ma.v / ma.nd + mb.v / mb.nd) * (ma.v / ma.nd + mb.v / mb.nd)
+               / ((ma.v / ma.nd) * (ma.v / ma.nd) / (ma.nd - 1.0)
+                  + (mb.v / mb.nd) * (mb.v / mb.nd) / (mb.nd - 1.0)) AS welch_df
+        FROM a, b, ma, mb
+    """
