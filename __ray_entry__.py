@@ -1128,6 +1128,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_wilson_bounds": rel.type_wilson_bounds,
         # A/B Welch t-test from integer-cent sufficient stats
         "events_welch_ttest": rel.events_welch_ttest,
+        # Kaplan-Meier time-to-second-purchase risk table
+        "purchase_km_table": rel.purchase_km_table,
+        # integer-exact Brier / reliability-diagram audit
+        "score_brier_calibration": rel.score_brier_calibration,
+        # chi-square type x dow independence sufficient stats
+        "events_type_dow_independence": rel.events_type_dow_independence,
     }
 
 
@@ -1649,6 +1655,9 @@ def oracle_sql() -> dict[str, str]:
         "events_pr_curve": rel.events_pr_curve_sql(),
         "type_wilson_bounds": rel.type_wilson_bounds_sql(),
         "events_welch_ttest": rel.events_welch_ttest_sql(),
+        "purchase_km_table": rel.purchase_km_table_sql(),
+        "score_brier_calibration": rel.score_brier_calibration_sql(),
+        "events_type_dow_independence": rel.events_type_dow_independence_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -17860,3 +17860,230 @@ def events_welch_ttest_sql(type_a: str = "purchase", type_b: str = "click") -> s
                   + (mb.v / mb.nd) * (mb.v / mb.nd) / (mb.nd - 1.0)) AS welch_df
         FROM a, b, ma, mb
     """
+
+
+def purchase_km_table(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier risk table for time-to-second-purchase: each user
+    with at least one purchase contributes either an observed gap
+    (whole days from first to second purchase) or a right-censored
+    time (days from first purchase to the corpus's last event).  Rows
+    are the distinct times with d (events), c (censorings) and
+    n_at_risk (subjects whose time >= t) — the exact integer
+    sufficient table from which S(t) = prod(1 - d/n) follows, i.e.
+    the retention-curve operator of a cohort analysis.
+
+    Distributed plan: per-user first/second purchase via one
+    groupby(user_id) over purchase rows only (filter pushed into the
+    read); the day-level counts are a second tiny groupby and the
+    reverse-cumulative n_at_risk runs on the O(distinct days) spine."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+    ds = ds.filter(expr="event_type == 'purchase'")
+    horizon = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]).max("ts")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy())
+        t1 = ts[0]
+        if len(ts) >= 2:
+            days = (ts[1] - t1) // np.timedelta64(86400000000, "us")
+            return pd.DataFrame({"t": [int(days)], "observed": [1]})
+        days = (np.datetime64(horizon, "us") - t1) // np.timedelta64(86400000000, "us")
+        return pd.DataFrame({"t": [int(days)], "observed": [0]})
+
+    times = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = (
+        times.groupby("t")
+        .agg(d=("observed", "sum"), n=("observed", "count"))
+        .sort_index(ascending=False)
+    )
+    n_at_risk = agg["n"].cumsum()
+    out = pd.DataFrame(
+        {
+            "t": agg.index.to_numpy(dtype="int64"),
+            "d": agg["d"].to_numpy(dtype="int64"),
+            "c": (agg["n"] - agg["d"]).to_numpy(dtype="int64"),
+            "n_at_risk": n_at_risk.to_numpy(dtype="int64"),
+        }
+    ).sort_values("t")
+    return out.reset_index(drop=True)
+
+
+def purchase_km_table_sql() -> str:
+    return """
+        WITH p AS (
+            SELECT user_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ),
+        horizon AS (SELECT MAX(ts) AS h FROM events),
+        subj AS (
+            SELECT p1.user_id,
+                   CASE WHEN p2.ts IS NOT NULL
+                        THEN CAST(FLOOR(epoch_us(p2.ts - p1.ts) / 86400000000)
+                                  AS BIGINT)
+                        ELSE CAST(FLOOR(epoch_us((SELECT h FROM horizon) - p1.ts)
+                                        / 86400000000) AS BIGINT)
+                   END AS t,
+                   CASE WHEN p2.ts IS NOT NULL THEN 1 ELSE 0 END AS observed
+            FROM (SELECT * FROM p WHERE rn = 1) p1
+            LEFT JOIN (SELECT * FROM p WHERE rn = 2) p2 USING (user_id)
+        ),
+        agg AS (
+            SELECT t, CAST(SUM(observed) AS BIGINT) AS d,
+                   CAST(SUM(1 - observed) AS BIGINT) AS c,
+                   COUNT(*) AS n
+            FROM subj GROUP BY t
+        )
+        SELECT t, d, c,
+               CAST(SUM(n) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk
+        FROM agg
+        ORDER BY t
+    """
+
+
+def score_brier_calibration(sf_dir: str, pos_type: str = "purchase") -> pd.DataFrame:
+    """Calibration/reliability audit treating value (capped at 100.00)
+    as a probability forecast of `pos_type`: per forecast decile the
+    exact integer counts (n, n_pos), the exact forecast mass
+    sum_pc (cents), and the decile's Brier numerator
+    sum((p_cents - 10000*y)^2) with the implied denominator n*10^8 —
+    everything BIGINT so the reliability diagram and Brier score are
+    float-order-independent.
+
+    Distributed plan: one pass of per-batch arithmetic plus a
+    10-group aggregate; nothing but decile partials cross the wire."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pc_ = np.minimum(
+            np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64),
+            10000,
+        )
+        y = pc.equal(t["event_type"], pos_type).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.minimum(pc_ // 1000, 9)
+        dev = pc_ - 10000 * y
+        return pa.table(
+            {
+                "bin": pa.array(b),
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "pos": pa.array(y),
+                "pc": pa.array(pc_),
+                "sq": pa.array(dev * dev),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            Sum("one", alias_name="n"),
+            Sum("pos", alias_name="n_pos"),
+            Sum("pc", alias_name="sum_pc"),
+            Sum("sq", alias_name="brier_num"),
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    return out.astype({"bin": "int64", "n": "int64", "n_pos": "int64",
+                       "sum_pc": "int64", "brier_num": "int64"})
+
+
+def score_brier_calibration_sql(pos_type: str = "purchase") -> str:
+    return f"""
+        WITH prep AS (
+            SELECT LEAST(CAST(ROUND(value * 100) AS BIGINT), 10000) AS pc,
+                   CASE WHEN event_type = '{pos_type}' THEN 1 ELSE 0 END AS y
+            FROM events
+        )
+        SELECT LEAST(pc // 1000, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(pc) AS BIGINT) AS sum_pc,
+               CAST(SUM((pc - 10000 * y) * (pc - 10000 * y)) AS BIGINT)
+                   AS brier_num
+        FROM prep
+        GROUP BY 1
+        ORDER BY bin
+    """
+
+
+def events_type_dow_independence(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence sufficient statistics between
+    event_type and day-of-week: the long-format contingency table
+    with, per cell, the observed count o, the exact integer deviation
+    numerator (n*o - r*c)^2 and its denominator r*c — chi2 =
+    sum(dev_num / (den * n)) follows exactly, so the seasonality-vs-
+    type audit is hashable without a single float.
+
+    Distributed plan: per-batch (type, dow) histogram combine, one
+    cell-sized groupby; marginals and products are a driver finalize
+    over O(types x 7) cells."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        dow1 = pc.add(
+            pc.cast(pc.day_of_week(t["ts"], count_from_zero=True, week_start=1), pa.int64()),
+            1,
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "dow": pc.if_else(pc.equal(dow1, 7), pa.scalar(0, pa.int64()), dow1),
+            }
+        )
+
+    cells = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Count(alias_name="o"))
+        .to_pandas()
+    )
+    n = int(cells["o"].sum())
+    r = cells.groupby("event_type")["o"].transform("sum").to_numpy(dtype=np.int64)
+    c = cells.groupby("dow")["o"].transform("sum").to_numpy(dtype=np.int64)
+    o = cells["o"].to_numpy(dtype=np.int64)
+    dev = n * o - r * c
+    out = pd.DataFrame(
+        {
+            "event_type": cells["event_type"],
+            "dow": cells["dow"].astype("int64"),
+            "o": o,
+            "dev_num": dev * dev,
+            "den": r * c,
+        }
+    )
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+def events_type_dow_independence_sql() -> str:
+    return """
+        WITH cells AS (
+            SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT SUM(o) AS n FROM cells)
+        SELECT event_type, dow, o,
+               CAST(((SELECT n FROM tot) * o
+                     - SUM(o) OVER (PARTITION BY event_type)
+                       * SUM(o) OVER (PARTITION BY dow))
+                    * ((SELECT n FROM tot) * o
+                       - SUM(o) OVER (PARTITION BY event_type)
+                         * SUM(o) OVER (PARTITION BY dow)) AS BIGINT)
+                   AS dev_num,
+               CAST(SUM(o) OVER (PARTITION BY event_type)
+                    * SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS den
+        FROM cells
+        ORDER BY event_type, dow
+    """
