@@ -1134,6 +1134,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_brier_calibration": rel.score_brier_calibration,
         # chi-square type x dow independence sufficient stats
         "events_type_dow_independence": rel.events_type_dow_independence,
+        # Damerau-Levenshtein canonical-vocabulary matching
+        "part_word_canonical_match": rel.part_word_canonical_match,
+        # Luhn checksum identifier-integrity audit
+        "custkey_luhn_audit": rel.custkey_luhn_audit,
+        # dictionary-encoding layout-planning audit
+        "string_dictionary_audit": rel.string_dictionary_audit,
     }
 
 
@@ -1658,6 +1664,9 @@ def oracle_sql() -> dict[str, str]:
         "purchase_km_table": rel.purchase_km_table_sql(),
         "score_brier_calibration": rel.score_brier_calibration_sql(),
         "events_type_dow_independence": rel.events_type_dow_independence_sql(),
+        "part_word_canonical_match": rel.part_word_canonical_match_sql(),
+        "custkey_luhn_audit": rel.custkey_luhn_audit_sql(),
+        "string_dictionary_audit": rel.string_dictionary_audit_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -18087,3 +18087,276 @@ def events_type_dow_independence_sql() -> str:
         FROM cells
         ORDER BY event_type, dow
     """
+
+
+def _damerau_levenshtein(a: str, b: str) -> int:
+    """True Damerau-Levenshtein (unrestricted, alphabet-table DP) —
+    matches DuckDB's damerau_levenshtein ('CA'->'ABC' = 2, not OSA's
+    3); pinned against the built-in on random strings in tests."""
+    la, lb = len(a), len(b)
+    maxd = la + lb
+    da: dict = {}
+    d = [[maxd] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            ell = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][ell] + (i - k - 1) + 1 + (j - ell - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def part_word_canonical_match(sf_dir: str) -> pd.DataFrame:
+    """Entity canonicalization by edit distance: every distinct word
+    appearing in p_name is matched to its nearest canonical vocabulary
+    entry (the distinct p_type values) under true Damerau-Levenshtein
+    distance, ties broken by the alphabetically smaller canon — the
+    noisy-token -> controlled-vocabulary mapping step of a catalog
+    cleanup.  Distances are integers, so the result is exactly
+    hashable against DuckDB's damerau_levenshtein built-in.
+
+    Distributed plan: distinct words via one groupby over per-batch
+    exploded tokens; the canonical list (O(10) strings) is broadcast
+    via ray.put and the DP runs per word inside map_batches.  Scale
+    path: length-bound pruning (|len(w)-len(c)| >= current best skips
+    the DP) — applied here too."""
+    import numpy as np
+
+    canon = sorted(
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type"])
+        .unique("p_type")
+    )
+    cref = ray.put(canon)
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t["p_name"], " "))
+        return pa.table({"word": words})
+
+    words = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Count(alias_name="n_uses"))
+    )
+
+    def best(t: pa.Table) -> pa.Table:
+        cl = ray.get(cref)
+        ws = t["word"].to_pylist()
+        outs, dists = [], []
+        for w in ws:
+            bd, bc = None, None
+            for c in cl:
+                if bd is not None and abs(len(w) - len(c)) >= bd:
+                    continue
+                dd = _damerau_levenshtein(w, c)
+                if bd is None or dd < bd or (dd == bd and c < bc):
+                    bd, bc = dd, c
+            outs.append(bc)
+            dists.append(bd)
+        return pa.table(
+            {
+                "word": t["word"],
+                "n_uses": t["n_uses"],
+                "canon": pa.array(outs, pa.string()),
+                "dl": pa.array(np.asarray(dists, dtype=np.int64)),
+            }
+        )
+
+    out = words.map_batches(best, batch_format="pyarrow").to_pandas()
+    out["n_uses"] = out["n_uses"].astype("int64")
+    return out.sort_values("word").reset_index(drop=True)
+
+
+def part_word_canonical_match_sql() -> str:
+    return """
+        WITH words AS (
+            SELECT UNNEST(string_split(p_name, ' ')) AS word FROM part
+        ),
+        agg AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n_uses
+            FROM words GROUP BY word
+        ),
+        canon AS (SELECT DISTINCT p_type AS c FROM part),
+        scored AS (
+            SELECT a.word, a.n_uses, c.c,
+                   CAST(damerau_levenshtein(a.word, c.c) AS BIGINT) AS dl,
+                   ROW_NUMBER() OVER (PARTITION BY a.word
+                                      ORDER BY damerau_levenshtein(a.word, c.c),
+                                               c.c) AS rn
+            FROM agg a CROSS JOIN canon c
+        )
+        SELECT word, n_uses, c AS canon, dl
+        FROM scored WHERE rn = 1
+        ORDER BY word
+    """
+
+
+def custkey_luhn_audit(sf_dir: str) -> pd.DataFrame:
+    """Checksum-integrity audit: treat each c_custkey zero-padded to
+    10 digits as an account number; report per (is_valid, check_digit)
+    the customer count, where is_valid is the Luhn validity of the
+    10-digit number itself and check_digit is the Luhn digit that
+    would terminate its first 9 digits — the ingestion-time
+    identifier-validation primitive, exactly reproducible in SQL as
+    unrolled digit arithmetic.
+
+    Distributed plan: one vectorized numpy pass per batch, then a
+    20-cell groupby sum."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # digits of the zero-padded 10-digit number; i counts from the right
+        total = np.zeros_like(k)
+        payload = np.zeros_like(k)
+        for i in range(10):
+            d = (k // 10**i) % 10
+            dd = np.where(i % 2 == 1, np.where(d * 2 > 9, d * 2 - 9, d * 2), d)
+            total += dd
+            if i >= 1:
+                # Luhn sum of the 9-digit payload (digits 1..9 of the
+                # 10-digit form), doubling from its rightmost digit
+                pd_ = np.where((i - 1) % 2 == 0, np.where(d * 2 > 9, d * 2 - 9, d * 2), d)
+                payload += pd_
+        valid = (total % 10 == 0).astype(np.int64)
+        check = (10 - payload % 10) % 10
+        return pa.table(
+            {
+                "is_valid": pa.array(valid),
+                "check_digit": pa.array(check),
+                "one": pa.array(np.ones(len(k), np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["is_valid", "check_digit"])
+        .aggregate(Sum("one", alias_name="n"))
+        .to_pandas()
+        .sort_values(["is_valid", "check_digit"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"is_valid": "int64", "check_digit": "int64", "n": "int64"})
+
+
+def custkey_luhn_audit_sql() -> str:
+    def digit(i: int) -> str:
+        return f"((c_custkey // {10**i}) % 10)"
+
+    def luhn_term(i: int, doubled: bool) -> str:
+        d = digit(i)
+        if not doubled:
+            return d
+        return f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)"
+
+    total = " + ".join(luhn_term(i, i % 2 == 1) for i in range(10))
+    payload = " + ".join(luhn_term(i, (i - 1) % 2 == 0) for i in range(1, 10))
+    return f"""
+        WITH prep AS (
+            SELECT CASE WHEN ({total}) % 10 = 0 THEN 1 ELSE 0 END AS is_valid,
+                   (10 - ({payload}) % 10) % 10 AS check_digit
+            FROM customer
+        )
+        SELECT CAST(is_valid AS BIGINT) AS is_valid,
+               CAST(check_digit AS BIGINT) AS check_digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM prep GROUP BY 1, 2
+        ORDER BY is_valid, check_digit
+    """
+
+
+def string_dictionary_audit(sf_dir: str) -> pd.DataFrame:
+    """Columnar-layout planning audit: for each low-cardinality string
+    column, the exact integer inputs to the dictionary-encoding
+    decision — row count, distinct count, raw payload bytes
+    (sum of byte lengths) and dictionary payload bytes (byte length
+    summed over distinct values) — what a Parquet writer weighs when
+    choosing PLAIN vs RLE_DICTIONARY per column chunk.
+
+    Distributed plan: per-batch value-count combine inside
+    map_batches, one value-keyed groupby per column (the shuffle
+    carries one row per distinct value per block), driver finalize
+    over O(distinct) rows."""
+    cols = [
+        ("events", "event_type"),
+        ("orders", "o_orderpriority"),
+        ("customer", "c_mktsegment"),
+        ("documents", "lang"),
+        ("documents", "source"),
+        ("part", "p_brand"),
+    ]
+    rows = []
+    for table, col in cols:
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+        def vc(t: pa.Table, _col=col) -> pa.Table:
+            counts = t[_col].combine_chunks().value_counts()
+            return pa.table(
+                {
+                    "v": counts.field("values"),
+                    "c": pc.cast(counts.field("counts"), pa.int64()),
+                }
+            )
+
+        dist = (
+            ds.map_batches(vc, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+        lens = dist["v"].str.encode("utf-8").str.len().astype("int64")
+        rows.append(
+            {
+                "table_name": table,
+                "column_name": col,
+                "n_rows": int(dist["c"].sum()),
+                "n_distinct": len(dist),
+                "raw_bytes": int((lens * dist["c"]).sum()),
+                "dict_bytes": int(lens.sum()),
+            }
+        )
+    out = pd.DataFrame(rows).astype(
+        {"n_rows": "int64", "n_distinct": "int64", "raw_bytes": "int64", "dict_bytes": "int64"}
+    )
+    return out.sort_values(["table_name", "column_name"]).reset_index(drop=True)
+
+
+def string_dictionary_audit_sql() -> str:
+    parts = []
+    for table, col in [
+        ("events", "event_type"),
+        ("orders", "o_orderpriority"),
+        ("customer", "c_mktsegment"),
+        ("documents", "lang"),
+        ("documents", "source"),
+        ("part", "p_brand"),
+    ]:
+        parts.append(f"""
+        SELECT '{table}' AS table_name, '{col}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               CAST(SUM(strlen({col})) AS BIGINT) AS raw_bytes,
+               CAST((SELECT SUM(strlen(v))
+                     FROM (SELECT DISTINCT {col} AS v FROM {table})) AS BIGINT)
+                   AS dict_bytes
+        FROM {table}""")
+    u = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({u}) ORDER BY table_name, column_name"
