@@ -55,6 +55,7 @@ def _ensure_fixture_files() -> None:
         from pdfrust_ray.fixtures.corpus import (
             ensure_corpus,
             ensure_encrypted_fixture,
+            ensure_forks_fixture,
             ensure_htmlld_fixture,
             ensure_modes_fixture,
             ensure_pii_fixture,
@@ -70,6 +71,7 @@ def _ensure_fixture_files() -> None:
         ensure_encrypted_fixture()
         ensure_pii_fixture()
         ensure_htmlld_fixture()
+        ensure_forks_fixture()
     except Exception:  # never break module import on fixture IO issues
         pass
 
@@ -223,6 +225,17 @@ def _q_extract_encrypted(sf_dir: str):
 
 
 _PII_SHARDS = f"{_FIXTURE_BASE}/pii/shards/*.parquet"
+_FORKS_SHARDS = f"{_FIXTURE_BASE}/forks/shards/*.parquet"
+
+
+def _q_conv_prefix_forks(sf_dir: str):
+    """Fork detection over the dedicated planted-forks fixture family
+    (the t1/t2 corpora have no duplicated prefixes, which would make
+    the check vacuous)."""
+    from pdfrust_ray.fixtures.corpus import ensure_forks_fixture
+    from pdfrust_ray.pipelines.conversation import conv_prefix_forks
+
+    return conv_prefix_forks(ensure_forks_fixture())
 
 
 def _q_turn_normalize(sf_dir: str):
@@ -1140,6 +1153,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkey_luhn_audit": rel.custkey_luhn_audit,
         # dictionary-encoding layout-planning audit
         "string_dictionary_audit": rel.string_dictionary_audit,
+        # forked-conversation (shared first-k-turns) detection
+        "conv_prefix_forks": _q_conv_prefix_forks,
+        # per-doc distinct-n-gram novelty vs all earlier docs
+        "doc_ngram_novelty": textops.doc_ngram_novelty,
+        # streaming watermark / late-arrival audit (block-stitched scan)
+        "late_event_audit": dso.late_event_audit,
     }
 
 
@@ -1667,6 +1686,9 @@ def oracle_sql() -> dict[str, str]:
         "part_word_canonical_match": rel.part_word_canonical_match_sql(),
         "custkey_luhn_audit": rel.custkey_luhn_audit_sql(),
         "string_dictionary_audit": rel.string_dictionary_audit_sql(),
+        "conv_prefix_forks": cv.conv_prefix_forks_sql(_FORKS_SHARDS),
+        "doc_ngram_novelty": textops.doc_ngram_novelty_sql(),
+        "late_event_audit": dso.late_event_audit_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -701,3 +701,68 @@ def ensure_htmlld_fixture(base_dir: str | None = None) -> str:
     with open(marker, "w") as f:
         json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
     return base
+
+
+def ensure_forks_fixture(base_dir: str | None = None) -> str:
+    """Forked-conversation fixture family for conv_prefix_forks: fork
+    families share their first 3 turns byte-exactly and then diverge —
+    some with distinct turn-3 continuations (branch factor = members),
+    some where two branches continue identically (branch factor <
+    members), some members ending at exactly 3 turns (no continuation
+    at all).  Singleton conversations are mixed in and must NOT appear
+    in the output."""
+    base = base_dir or "/tmp/pdfrust_ray_fixtures/forks"
+    marker = os.path.join(base, "_COMPLETE.json")
+    if _marker_current(marker):
+        return base
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    rows = []
+
+    def add_turn(conv_id: str, t: int, text: str) -> None:
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": "user" if t % 2 == 0 else "assistant",
+                "text": text,
+                "tool": "",
+                "ts": 1735689600_000000 + (len(rows)) * 60_000_000,
+            }
+        )
+
+    for fam in range(18):
+        h = _h(f"forks:{fam}")
+        members = 2 + h % 3  # 2..4 branches
+        prefix = [f"family {fam} opening line {h % 977}",
+                  f"assistant ack {fam} token {(h >> 8) % 997}",
+                  f"user follow-up {fam} detail {(h >> 16) % 983}"]
+        for m in range(members):
+            conv_id = f"fork-{fam:03d}-{m}"
+            for t, txt in enumerate(prefix):
+                add_turn(conv_id, t, txt)
+            mode = (h >> (4 * m)) % 4
+            if mode == 0 and m > 0:
+                # continue identically to member 0 (shrinks branch factor)
+                add_turn(conv_id, 3, f"family {fam} shared continuation")
+                add_turn(conv_id, 4, f"family {fam} shared tail {m}")
+            elif mode == 1:
+                # ends exactly at the prefix: no turn-3 continuation
+                pass
+            else:
+                add_turn(conv_id, 3, f"family {fam} branch {m} distinct reply")
+                add_turn(conv_id, 4, f"family {fam} branch {m} tail")
+    for s in range(25):
+        h = _h(f"forks-single:{s}")
+        conv_id = f"solo-{s:03d}"
+        for t in range(3 + h % 4):
+            add_turn(conv_id, t, f"solo {s} turn {t} text {(h >> t) % 991}")
+    for shard in range(4):
+        part = [r for i, r in enumerate(rows) if i % 4 == shard]
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=TRANSCRIPTS_SCHEMA),
+            os.path.join(shard_dir, f"part-{shard:04d}.parquet"),
+        )
+    with open(marker, "w") as f:
+        json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
+    return base

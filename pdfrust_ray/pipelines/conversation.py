@@ -1623,3 +1623,97 @@ def conv_alternation_rate_sql(shards_glob: str) -> str:
                     AS BIGINT) AS n_role_switches
         FROM p GROUP BY conv_id ORDER BY conv_id
     """
+
+
+def conv_prefix_forks(corpus_dir: str, k: int = 3) -> pd.DataFrame:
+    """Forked-conversation detection: conversations that share the
+    exact same first-k turns (prefix fingerprint = md5 over the
+    US-joined per-turn md5s of turn_idx < k) are branches of one
+    session — the retry/regenerate pattern an agent-transcript corpus
+    is full of.  Per shared prefix (n_convs >= 2) we report the group
+    size, the representative (min conv_id) and the branching factor:
+    how many DISTINCT turn-k continuations the group has.
+
+    Distributed plan: same digest-in-map / shuffle-32-byte-hashes
+    shape as conv_fingerprints — text never crosses an exchange; the
+    fork merge runs on a second prefix-fingerprint bucket key."""
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "text"]
+    ).filter(expr=f"turn_idx <= {k}")
+
+    def digest_turns(t: pa.Table) -> pa.Table:
+        td = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "turn_md5": pa.array(td, pa.string()),
+            }
+        )
+        return _with_bucket(out)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        pre = g[g["turn_idx"] < k]
+        agg = pre.groupby("conv_id", sort=False)["turn_md5"].agg(_SEP.join)
+        fps = [hashlib.md5(b.encode("utf-8")).hexdigest() for b in agg]
+        nxt = g[g["turn_idx"] == k].set_index("conv_id")["turn_md5"]
+        out = pd.DataFrame({"fingerprint": fps, "conv_id": agg.index})
+        out["next_md5"] = out["conv_id"].map(nxt)
+        out["fp_bucket"] = [int(f[:8], 16) % _N_BUCKETS for f in fps]
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g.groupby("fingerprint", sort=False)
+            .agg(
+                n_convs=("conv_id", "size"),
+                first_conv=("conv_id", "min"),
+                n_branches=("next_md5", "nunique"),
+            )
+            .reset_index()
+        )
+        m = m[m["n_convs"] >= 2]
+        m["n_convs"] = m["n_convs"].astype("int64")
+        m["n_branches"] = m["n_branches"].astype("int64")
+        return m[["fingerprint", "n_convs", "first_conv", "n_branches"]]
+
+    out = (
+        _coalesced(ds.map_batches(digest_turns, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("fp_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "fingerprint": pd.Series([], dtype="object"),
+                "n_convs": pd.Series([], dtype="int64"),
+                "first_conv": pd.Series([], dtype="object"),
+                "n_branches": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("fingerprint").reset_index(drop=True)
+
+
+def conv_prefix_forks_sql(shards_glob: str, k: int = 3) -> str:
+    return f"""
+        WITH pre AS (
+            SELECT conv_id,
+                   md5(string_agg(md5(text), chr(31) ORDER BY turn_idx)
+                       FILTER (WHERE turn_idx < {k})) AS fingerprint,
+                   MAX(CASE WHEN turn_idx = {k} THEN md5(text) END) AS next_md5
+            FROM read_parquet('{shards_glob}')
+            WHERE turn_idx <= {k}
+            GROUP BY conv_id
+        )
+        SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_convs,
+               MIN(conv_id) AS first_conv,
+               CAST(COUNT(DISTINCT next_md5) AS BIGINT) AS n_branches
+        FROM pre
+        GROUP BY fingerprint
+        HAVING COUNT(*) >= 2
+        ORDER BY fingerprint
+    """

@@ -2759,3 +2759,111 @@ def consistent_hash_ring_sql(n_workers: int = 8, vnodes: int = 64) -> str:
         FROM workers w CROSS JOIN routed r
         GROUP BY 1 ORDER BY 1
     """
+
+
+def late_event_audit(sf_dir: str, lateness_us: int = 3_600_000_000) -> pd.DataFrame:
+    """Streaming watermark audit: replay events in arrival order
+    (event_id) with watermark = (max event-time seen over STRICTLY
+    earlier arrivals) - lateness; an event is late when its own
+    event-time falls below the watermark — exactly what a windowed
+    streaming job would drop.  Output per event_type: arrivals, late
+    count and the worst lateness in microseconds (all BIGINT).
+
+    Distributed plan: a two-pass block-stitched prefix scan — the
+    distributed-scan idiom.  Pass 1: bucket arrivals by event_id range
+    and reduce each bucket to its max event-time (one tiny groupby).
+    Driver: exclusive prefix-max over the O(buckets) spine, broadcast.
+    Pass 2: within each bucket the exclusive running max is a shifted
+    cummax seeded by the bucket's prefix; late flags aggregate with a
+    per-batch combiner.  No global sort materializes; state per bucket
+    is O(1)."""
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"])
+    n_total = ds.count()
+    n_buckets = 64
+    # event_ids are dense from 0; bucket by range so arrival order is
+    # bucket-major then in-bucket sortable
+    width = max(1, (n_total + n_buckets - 1) // n_buckets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.divide(t["event_id"], width), pa.int64()),
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "us": us,
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    bmax = (
+        tagged.groupby("bucket")
+        .aggregate(Max("us", alias_name="mx"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    mx = bmax["mx"].to_numpy()
+    prefix = np.concatenate(([-(2**62)], np.maximum.accumulate(mx)[:-1]))
+    seed = {int(b): int(p) for b, p in zip(bmax["bucket"], prefix)}
+    seed_ref = ray.put(seed)
+
+    def judge(g: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(seed_ref)
+        g = g.sort_values("event_id", kind="stable")
+        us = g["us"].to_numpy()
+        run = np.maximum.accumulate(us)
+        excl = np.concatenate(([s[int(g["bucket"].iloc[0])]], run[:-1]))
+        excl = np.maximum(excl, s[int(g["bucket"].iloc[0])])
+        late = us < excl - lateness_us
+        lateness = np.where(late, excl - lateness_us - us, 0)
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "one": np.ones(len(g), dtype="int64"),
+                "late": late.astype("int64"),
+                "lateness": lateness.astype("int64"),
+            }
+        )
+
+    out = (
+        tagged.groupby("bucket")
+        .map_groups(judge, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("one", alias_name="n"),
+            Sum("late", alias_name="n_late"),
+            Max("lateness", alias_name="max_lateness_us"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"n": "int64", "n_late": "int64", "max_lateness_us": "int64"}
+    )
+
+
+def late_event_audit_sql(lateness_us: int = 3_600_000_000) -> str:
+    return f"""
+        WITH scan AS (
+            SELECT event_type, epoch_us(ts) AS us,
+                   MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN prev_max IS NOT NULL
+                             AND us < prev_max - {lateness_us}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(MAX(CASE WHEN prev_max IS NOT NULL
+                             AND us < prev_max - {lateness_us}
+                             THEN prev_max - {lateness_us} - us
+                             ELSE 0 END) AS BIGINT) AS max_lateness_us
+        FROM scan
+        GROUP BY event_type
+        ORDER BY event_type
+    """

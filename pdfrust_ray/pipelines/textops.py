@@ -1289,3 +1289,70 @@ def bwt_inverse(bwt: "np.ndarray") -> bytes:
         pos = int(order[pos])
         out[i] = bwt[pos]
     return out.tobytes()
+
+
+def doc_ngram_novelty(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """Streaming-novelty audit: per document, how many of its DISTINCT
+    word n-grams are globally novel — i.e. no smaller doc_id contains
+    the gram.  The running measure a crawl-ingestion pipeline tracks to
+    detect when new shards stop adding information (novelty rate decay).
+
+    Distributed plan: distinct (gram, doc_id) rows explode inside
+    map_batches; ONE gram-keyed groupby computes both min(doc_id)
+    (whose count per min-doc IS the novelty credit — no join back to
+    the corpus needed) and the per-doc distinct-gram totals come from a
+    doc-keyed groupby of the same rows.  The driver merges two
+    entity-sized tables.  Tokenization matches the SQL twin:
+    string_split_regex(trim(text), '\\s+')."""
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for doc_id, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for g in set(_word_ngrams(txt, n)):
+                ids.append(doc_id)
+                grams.append(g)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "gram": pa.array(grams, pa.string())}
+        )
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    mins = (
+        rows.groupby("gram")
+        .aggregate(Min("doc_id", alias_name="m"))
+        .groupby("m")
+        .aggregate(Count(alias_name="n_novel"))
+        .to_pandas()
+        .rename(columns={"m": "doc_id"})
+    )
+    totals = (
+        rows.groupby("doc_id").aggregate(Count(alias_name="n_grams")).to_pandas()
+    )
+    out = totals.merge(mins, on="doc_id", how="left").fillna({"n_novel": 0})
+    out = out.astype({"doc_id": "int64", "n_grams": "int64", "n_novel": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_ngram_novelty_sql(n: int = 3) -> str:
+    return f"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+          FROM documents
+        ), g AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(words[i:i+{n - 1}], ' ') AS gram
+          FROM w CROSS JOIN unnest(range(1, greatest(len(words) - {n - 2}, 1))) AS t(i)
+          WHERE len(words) >= {n}
+        ),
+        mins AS (SELECT gram, MIN(doc_id) AS m FROM g GROUP BY gram),
+        novel AS (SELECT m AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+                  FROM mins GROUP BY m),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+                FROM g GROUP BY doc_id)
+        SELECT tot.doc_id, tot.n_grams,
+               CAST(COALESCE(novel.n_novel, 0) AS BIGINT) AS n_novel
+        FROM tot LEFT JOIN novel USING (doc_id)
+        ORDER BY doc_id
+    """
