@@ -1159,6 +1159,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_novelty": textops.doc_ngram_novelty,
         # streaming watermark / late-arrival audit (block-stitched scan)
         "late_event_audit": dso.late_event_audit,
+        # Hopcroft-Karp max matching with König cover certificate
+        "part_supplier_max_matching": graph.part_supplier_max_matching,
+        # Adler-32-style per-doc integrity checksum (closed form)
+        "doc_adler32_audit": textops.doc_adler32_audit,
+        # Efraimidis-Spirakis reproducible weighted sample
+        "orders_weighted_sample": rel.orders_weighted_sample,
     }
 
 
@@ -1689,6 +1695,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_prefix_forks": cv.conv_prefix_forks_sql(_FORKS_SHARDS),
         "doc_ngram_novelty": textops.doc_ngram_novelty_sql(),
         "late_event_audit": dso.late_event_audit_sql(),
+        "doc_adler32_audit": textops.doc_adler32_audit_sql(),
+        "orders_weighted_sample": rel.orders_weighted_sample_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1148,3 +1148,106 @@ def event_debruijn_balance_sql() -> str:
                CAST(SUM(in_d) AS BIGINT) AS in_deg
         FROM deg GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def part_supplier_max_matching(sf_dir: str) -> pd.DataFrame:
+    """Maximum bipartite matching between parts and suppliers over the
+    DISTINCT (l_partkey, l_suppkey) edges — "how many part<->supplier
+    assignments can ship simultaneously if each entity handles one
+    order at a time", the assignment-capacity audit.  Hopcroft-Karp
+    computes the matching; the König construction (left vertices NOT
+    reached by alternating BFS from unmatched lefts, plus right
+    vertices reached) yields a vertex cover of equal size — an
+    optimality CERTIFICATE checked in tests, since no SQL oracle can
+    express max matching.
+
+    Distributed plan: the distinct edge list is reduced by one
+    groupby (entity-sized, bounded by parts x suppliers, not by
+    lineitem rows); the augmenting search runs on the driver over the
+    entity graph.  Scale path at 10^12 rows: same reduction, then a
+    distributed auction / Israeli-Itai maximal-matching round as the
+    seed and HK only on the residual."""
+    from collections import deque
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    edges = (
+        ds.groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    lefts = sorted(edges["l_partkey"].unique())
+    rights = sorted(edges["l_suppkey"].unique())
+    lidx = {v: i for i, v in enumerate(lefts)}
+    ridx = {v: i for i, v in enumerate(rights)}
+    adj: list[list[int]] = [[] for _ in lefts]
+    for p, s in zip(edges["l_partkey"], edges["l_suppkey"]):
+        adj[lidx[p]].append(ridx[s])
+    for a in adj:
+        a.sort()
+
+    INF = float("inf")
+    match_l = [-1] * len(lefts)
+    match_r = [-1] * len(rights)
+
+    def bfs() -> bool:
+        dist = [INF] * len(lefts)
+        q = deque()
+        for u in range(len(lefts)):
+            if match_l[u] == -1:
+                dist[u] = 0
+                q.append(u)
+        found = False
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                w = match_r[v]
+                if w == -1:
+                    found = True
+                elif dist[w] is INF:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        bfs.dist = dist  # type: ignore[attr-defined]
+        return found
+
+    def dfs(u: int) -> bool:
+        for v in adj[u]:
+            w = match_r[v]
+            if w == -1 or (bfs.dist[w] == bfs.dist[u] + 1 and dfs(w)):
+                match_l[u] = v
+                match_r[v] = u
+                return True
+        bfs.dist[u] = INF
+        return False
+
+    while bfs():
+        for u in range(len(lefts)):
+            if match_l[u] == -1:
+                dfs(u)
+    m_size = sum(1 for v in match_l if v != -1)
+
+    # König: alternating BFS from unmatched lefts
+    visited_l = [False] * len(lefts)
+    visited_r = [False] * len(rights)
+    q = deque(u for u in range(len(lefts)) if match_l[u] == -1)
+    for u in q:
+        visited_l[u] = True
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if not visited_r[v]:
+                visited_r[v] = True
+                w = match_r[v]
+                if w != -1 and not visited_l[w]:
+                    visited_l[w] = True
+                    q.append(w)
+    cover_l = [lefts[u] for u in range(len(lefts)) if not visited_l[u]]
+    cover_r = [rights[v] for v in range(len(rights)) if visited_r[v]]
+    return pd.DataFrame(
+        {
+            "n_left": pd.Series([len(lefts)], dtype="int64"),
+            "n_right": pd.Series([len(rights)], dtype="int64"),
+            "n_edges": pd.Series([len(edges)], dtype="int64"),
+            "matching_size": pd.Series([m_size], dtype="int64"),
+            "cover_size": pd.Series([len(cover_l) + len(cover_r)], dtype="int64"),
+        }
+    )

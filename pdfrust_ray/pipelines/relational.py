@@ -18360,3 +18360,69 @@ def string_dictionary_audit_sql() -> str:
         FROM {table}""")
     u = " UNION ALL ".join(parts)
     return f"SELECT * FROM ({u}) ORDER BY table_name, column_name"
+
+
+def orders_weighted_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement (the A-ES /
+    Efraimidis-Spirakis scheme): each order draws u from the first 52
+    bits of md5(o_orderkey) (exactly representable in a double) and
+    gets priority u^(1/w) with w = o_totalprice; the global top-k by
+    priority is a weighted sample that is REPRODUCIBLE across runs,
+    shards and cluster sizes — the property that matters when a 100-TB
+    job resumes.  Both sides compute pow on IEEE doubles via libm, so
+    the priorities are bit-identical (same precedent as
+    bigram_lm_scores' ln).
+
+    Distributed plan: per-batch local top-k inside map_batches, tiny
+    driver merge — no shuffle, no sort of the full table."""
+    import hashlib
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        import math
+
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        w = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        # math.pow = libm pow = DuckDB's POW, bit-identical; numpy's
+        # vectorized ** can differ by 1 ulp
+        pr = np.array(
+            [
+                math.pow(
+                    int(hashlib.md5(str(int(kk)).encode()).hexdigest()[:13], 16)
+                    / float(2**52),
+                    1.0 / ww,
+                )
+                for kk, ww in zip(keys, w)
+            ],
+            dtype=np.float64,
+        )
+        order = np.lexsort((keys, -pr))[:k]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys[order], pa.int64()),
+                "priority": pa.array(pr[order], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values(["priority", "o_orderkey"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def orders_weighted_sample_sql(k: int = 50) -> str:
+    return f"""
+        WITH pr AS (
+            SELECT o_orderkey,
+                   POW(CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                            AS UBIGINT) AS DOUBLE) / 4503599627370496.0,
+                       1.0 / o_totalprice) AS priority
+            FROM orders
+        )
+        SELECT o_orderkey, priority
+        FROM pr
+        ORDER BY priority DESC, o_orderkey
+        LIMIT {k}
+    """

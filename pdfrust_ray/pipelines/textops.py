@@ -1356,3 +1356,65 @@ def doc_ngram_novelty_sql(n: int = 3) -> str:
         FROM tot LEFT JOIN novel USING (doc_id)
         ORDER BY doc_id
     """
+
+
+_ADLER_MOD = 65521
+
+
+def doc_adler32_audit(sf_dir: str) -> pd.DataFrame:
+    """Adler-32-style rolling checksum per document, defined over the
+    CODEPOINT stream (so the SQL twin's ord()/length() semantics match
+    Python's exactly for any unicode text): a = (1 + sum c_i) mod
+    65521, b = (n + sum (n-i+1)*c_i) mod 65521, checksum = b*65536+a —
+    the cheap content-integrity fingerprint a shard-level data audit
+    recomputes on both sides of a transfer.  Closed form, so the SQL
+    oracle needs no recursion.
+
+    Distributed plan: embarrassingly parallel map_batches (one numpy
+    pass per text); no shuffle at all."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def check(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sums = []
+        for txt in t["text"].to_pylist():
+            c = np.fromiter((ord(ch) for ch in txt), dtype=np.int64, count=len(txt))
+            n = len(c)
+            a = (1 + int(c.sum())) % _ADLER_MOD
+            w = np.arange(n, 0, -1, dtype=np.int64)
+            b = (n + int((w * c).sum())) % _ADLER_MOD
+            sums.append(b * 65536 + a)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "adler32": pa.array(np.asarray(sums, np.int64)),
+            }
+        )
+
+    out = ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_adler32_audit_sql() -> str:
+    return f"""
+        WITH chars AS (
+            SELECT doc_id, length(text) AS n, i,
+                   ord(substr(text, CAST(i AS INTEGER), 1)) AS c
+            FROM documents
+            CROSS JOIN unnest(range(1, length(text) + 1)) AS t(i)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   MAX(n) AS n,
+                   SUM(c) AS s,
+                   SUM((n - i + 1) * c) AS ws
+            FROM chars GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(((n + ws) % {_ADLER_MOD}) * 65536
+                    + (1 + s) % {_ADLER_MOD} AS BIGINT) AS adler32
+        FROM agg
+        ORDER BY doc_id
+    """
