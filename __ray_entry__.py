@@ -1165,6 +1165,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_adler32_audit": textops.doc_adler32_audit,
         # Efraimidis-Spirakis reproducible weighted sample
         "orders_weighted_sample": rel.orders_weighted_sample,
+        # deterministic Poisson bootstrap replica moments
+        "poisson_bootstrap_stats": dso.poisson_bootstrap_stats,
+        # roaring-style bitmap-index container sizing
+        "bitmap_index_audit": dso.bitmap_index_audit,
+        # LSH banding S-curve planning table
+        "lsh_plan_table": dedup_mod.lsh_plan_table,
     }
 
 
@@ -1697,6 +1703,9 @@ def oracle_sql() -> dict[str, str]:
         "late_event_audit": dso.late_event_audit_sql(),
         "doc_adler32_audit": textops.doc_adler32_audit_sql(),
         "orders_weighted_sample": rel.orders_weighted_sample_sql(),
+        "poisson_bootstrap_stats": dso.poisson_bootstrap_stats_sql(),
+        "bitmap_index_audit": dso.bitmap_index_audit_sql(),
+        "lsh_plan_table": dedup_mod.lsh_plan_table_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -2867,3 +2867,173 @@ def late_event_audit_sql(lateness_us: int = 3_600_000_000) -> str:
         GROUP BY event_type
         ORDER BY event_type
     """
+
+
+_POISSON1_CDF = (
+    0.3678794411714423,  # P(X<=0)
+    0.7357588823428846,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,  # P(X<=5); above -> w=6 (capped)
+)
+
+
+def poisson_bootstrap_stats(sf_dir: str, n_reps: int = 32) -> pd.DataFrame:
+    """Distributed Poisson bootstrap: every event draws, for each
+    replica r, a weight w ~ Poisson(1) — the streaming-friendly
+    bootstrap that never needs to know n — derived DETERMINISTICALLY
+    from md5(event_id*n_reps + r) (52 bits -> u in [0,1) -> inverse
+    CDF, capped at 6).  Per (rep, event_type) the replica's exact
+    integer sufficient stats: n_eff = sum w and sum_cents =
+    sum w*cents, from which between-replica variance estimates the
+    sampling error of per-type revenue — reproducible across runs and
+    cluster sizes.
+
+    Distributed plan: weights are computed inside map_batches (pure
+    function of the row id — no RNG state, no broadcast), then one
+    (rep x type)-sized groupby of per-batch partials."""
+    import hashlib
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+
+    def weights(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        types = t["event_type"].to_pylist()
+        out_rep, out_type, out_w, out_wc = [], [], [], []
+        for eid, ty, cc in zip(ids, types, cents):
+            base = int(eid) * n_reps
+            for r in range(n_reps):
+                u = int(hashlib.md5(str(base + r).encode()).hexdigest()[:13], 16) / float(2**52)
+                w = 0
+                while w < 6 and u >= _POISSON1_CDF[w]:
+                    w += 1
+                if w:
+                    out_rep.append(r)
+                    out_type.append(ty)
+                    out_w.append(w)
+                    out_wc.append(w * int(cc))
+        return pa.table(
+            {
+                "rep": pa.array(out_rep, pa.int64()),
+                "event_type": pa.array(out_type, pa.string()),
+                "w": pa.array(out_w, pa.int64()),
+                "wc": pa.array(out_wc, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(weights, batch_format="pyarrow")
+        .groupby(["rep", "event_type"])
+        .aggregate(Sum("w", alias_name="n_eff"), Sum("wc", alias_name="sum_cents"))
+        .to_pandas()
+        .sort_values(["rep", "event_type"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"rep": "int64", "n_eff": "int64", "sum_cents": "int64"})
+
+
+def poisson_bootstrap_stats_sql(n_reps: int = 32) -> str:
+    ladder = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"""
+        WITH draws AS (
+            SELECT e.event_type, r.r AS rep,
+                   CAST(ROUND(e.value * 100) AS BIGINT) AS cents,
+                   CAST(CAST(('0x' || substr(md5(CAST(e.event_id * {n_reps} + r.r
+                        AS VARCHAR)), 1, 13)) AS UBIGINT) AS DOUBLE)
+                       / 4503599627370496.0 AS u
+            FROM events e
+            CROSS JOIN (SELECT UNNEST(range({n_reps})) AS r) r
+        ),
+        w AS (
+            SELECT rep, event_type, cents,
+                   CASE {ladder} ELSE 6 END AS w
+            FROM draws
+        )
+        SELECT rep, event_type,
+               CAST(SUM(w) AS BIGINT) AS n_eff,
+               CAST(SUM(w * cents) AS BIGINT) AS sum_cents
+        FROM w
+        WHERE w > 0
+        GROUP BY rep, event_type
+        ORDER BY rep, event_type
+    """
+
+
+def bitmap_index_audit(sf_dir: str, container_bits: int = 12, array_cap: int = 256) -> pd.DataFrame:
+    """Roaring-style bitmap-index planning: per event_type, chop the
+    event_id universe into 2^container_bits-wide containers and pick
+    the cheaper representation per container (sorted array of
+    2-byte offsets when cardinality < array_cap, else a fixed
+    2^container_bits-bit bitmap) — the secondary-index sizing audit a
+    query planner runs before building type -> row-id indexes.
+    Outputs exact integer container counts and total bytes.
+
+    Distributed plan: per-batch (type, container) histogram combine,
+    one container-sized groupby, O(containers) driver finalize."""
+    import numpy as np
+
+    bitmap_bytes = (1 << container_bits) // 8
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "container": pc.cast(
+                    pc.shift_right(t["event_id"], container_bits), pa.int64()
+                ),
+                "one": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+
+    cont = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "container"])
+        .aggregate(Sum("one", alias_name="card"))
+        .to_pandas()
+    )
+    cont["is_array"] = (cont["card"] < array_cap).astype("int64")
+    cont["bytes"] = np.where(cont["is_array"] == 1, 8 + 2 * cont["card"], 8 + bitmap_bytes)
+    out = (
+        cont.groupby("event_type")
+        .agg(
+            n_containers=("container", "size"),
+            n_array=("is_array", "sum"),
+            total_bytes=("bytes", "sum"),
+            n_rows=("card", "sum"),
+        )
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"n_containers": "int64", "n_array": "int64", "total_bytes": "int64", "n_rows": "int64"}
+    )
+
+
+def bitmap_index_audit_sql(container_bits: int = 12, array_cap: int = 256) -> str:
+    bitmap_bytes = (1 << container_bits) // 8
+    return f"""
+        WITH cont AS (
+            SELECT event_type, event_id // {1 << container_bits} AS container,
+                   COUNT(*) AS card
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_containers,
+               CAST(SUM(CASE WHEN card < {array_cap} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_array,
+               CAST(SUM(CASE WHEN card < {array_cap} THEN 8 + 2 * card
+                             ELSE 8 + {bitmap_bytes} END) AS BIGINT) AS total_bytes,
+               CAST(SUM(card) AS BIGINT) AS n_rows
+        FROM cont
+        GROUP BY event_type
+        ORDER BY event_type
+    """

@@ -2046,3 +2046,70 @@ def simhash_hamming_histogram_sql() -> str:
         FROM sig0 a JOIN sig0 b ON a.doc_id < b.doc_id
         GROUP BY 1 ORDER BY 1
     """
+
+
+def lsh_plan_table(sf_dir: str, n_hashes: int = 128, grid: int = 20) -> pd.DataFrame:
+    """LSH banding-parameter planner: for every (bands b, rows r)
+    factorization of the n_hashes-minhash signature and every Jaccard
+    similarity t on a 1/grid grid, the collision probability
+    1-(1-t^r)^b plus the band scheme's threshold estimate (1/b)^(1/r)
+    — the S-curve table a dedup owner reads to pick banding before
+    committing a 100-TB shuffle (minhash_lsh_dedup's b=32 x r=4 row
+    sits in this table).  Every row is an independent libm-pow
+    expression, so the doubles hash-match the SQL twin exactly.
+
+    Distributed plan: generated via ray.data.range -> map_batches
+    (the grid is tiny; the op documents the planning math, the
+    distribution pattern is the same per-batch pure function as any
+    scoring stage)."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    facts = [r for r in (1, 2, 4, 8, 16, 32, 64, 128) if n_hashes % r == 0]
+    combos = [(n_hashes // r, r) for r in facts]
+
+    ds = rd.range(len(combos) * grid)
+
+    def rows(batch: dict) -> pa.Table:
+        ids = batch["id"]
+        b_, r_, t_, p_, thr_ = [], [], [], [], []
+        for i in ids:
+            ci, ti = divmod(int(i), grid)
+            b, r = combos[ci]
+            t = (ti + 1) / grid
+            b_.append(b)
+            r_.append(r)
+            t_.append(t)
+            p_.append(1.0 - math.pow(1.0 - math.pow(t, float(r)), float(b)))
+            thr_.append(math.pow(1.0 / b, 1.0 / r))
+        return pa.table(
+            {
+                "bands": pa.array(np.asarray(b_, np.int64)),
+                "rows_per_band": pa.array(np.asarray(r_, np.int64)),
+                "t": pa.array(np.asarray(t_, np.float64)),
+                "p_collide": pa.array(np.asarray(p_, np.float64)),
+                "threshold_est": pa.array(np.asarray(thr_, np.float64)),
+            }
+        )
+
+    out = ds.map_batches(rows, batch_format="numpy").to_pandas()
+    return out.sort_values(["bands", "t"]).reset_index(drop=True)
+
+
+def lsh_plan_table_sql(n_hashes: int = 128, grid: int = 20) -> str:
+    facts = [r for r in (1, 2, 4, 8, 16, 32, 64, 128) if n_hashes % r == 0]
+    combos = " UNION ALL ".join(
+        f"SELECT {n_hashes // r} AS bands, {r} AS rows_per_band" for r in facts
+    )
+    return f"""
+        WITH combos AS ({combos}),
+        grid AS (SELECT (UNNEST(range(1, {grid + 1})) * 1.0) / {grid} AS t)
+        SELECT bands, rows_per_band, t,
+               1.0 - POW(1.0 - POW(t, CAST(rows_per_band AS DOUBLE)),
+                         CAST(bands AS DOUBLE)) AS p_collide,
+               POW(1.0 / bands, 1.0 / rows_per_band) AS threshold_est
+        FROM combos CROSS JOIN grid
+        ORDER BY bands, t
+    """
