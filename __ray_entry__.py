@@ -1170,7 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # roaring-style bitmap-index container sizing
         "bitmap_index_audit": dso.bitmap_index_audit,
         # LSH banding S-curve planning table
-        "lsh_plan_table": dedup_mod.lsh_plan_table,
+        "lsh_plan_table": dedup.lsh_plan_table,
     }
 
 
