@@ -1171,6 +1171,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitmap_index_audit": dso.bitmap_index_audit,
         # LSH banding S-curve planning table
         "lsh_plan_table": dedup.lsh_plan_table,
+        # Holt linear-trend smoothing, bit-identical recursive twin
+        "daily_holt_linear": rel.daily_holt_linear,
+        # entity-resolution blocking-key quality audit
+        "blocking_plan_audit": rel.blocking_plan_audit,
+        # int8 scalar-quantization reconstruction-error audit
+        "embedding_int8_quant_audit": similarity.embedding_int8_quant_audit,
     }
 
 
@@ -1706,6 +1712,9 @@ def oracle_sql() -> dict[str, str]:
         "poisson_bootstrap_stats": dso.poisson_bootstrap_stats_sql(),
         "bitmap_index_audit": dso.bitmap_index_audit_sql(),
         "lsh_plan_table": dedup_mod.lsh_plan_table_sql(),
+        "daily_holt_linear": rel.daily_holt_linear_sql(),
+        "blocking_plan_audit": rel.blocking_plan_audit_sql(),
+        "embedding_int8_quant_audit": similarity_mod.embedding_int8_quant_audit_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -18426,3 +18426,169 @@ def orders_weighted_sample_sql(k: int = 50) -> str:
         ORDER BY priority DESC, o_orderkey
         LIMIT {k}
     """
+
+
+def daily_holt_linear(sf_dir: str) -> pd.DataFrame:
+    """Holt's linear-trend double exponential smoothing (alpha = beta
+    = 1/2) over the daily event-count series: l_t = (x_t + (l_{t-1} +
+    b_{t-1})) / 2, b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2, seeded
+    l_0 = x_0, b_0 = 0 — the trend-aware forecast curve a capacity
+    planner smooths ingest volume with.  The engine folds the
+    recurrence with EXACTLY the SQL twin's operation order, so the
+    float64 level/trend columns are bit-identical to the recursive-CTE
+    oracle.
+
+    Distributed plan: the corpus-sized work is one date-keyed count;
+    the recurrence runs on the O(days) spine on the driver."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def day_of(t: pa.Table) -> pa.Table:
+        d = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table({"day": pa.array(d)})
+
+    daily = (
+        ds.map_batches(day_of, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="x"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["x"].to_numpy(dtype=np.float64)
+    lvl = np.empty(len(x))
+    trd = np.empty(len(x))
+    lvl[0], trd[0] = x[0], 0.0
+    for i in range(1, len(x)):
+        lvl[i] = (x[i] + (lvl[i - 1] + trd[i - 1])) / 2.0
+        trd[i] = ((lvl[i] - lvl[i - 1]) + trd[i - 1]) / 2.0
+    return pd.DataFrame(
+        {
+            "day": daily["day"].astype("int64"),
+            "x": daily["x"].astype("int64"),
+            "level": lvl,
+            "trend": trd,
+        }
+    )
+
+
+def daily_holt_linear_sql() -> str:
+    return """
+        WITH RECURSIVE daily AS (
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        seq AS (
+            SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+        ),
+        holt AS (
+            SELECT rn, day, x, CAST(x AS DOUBLE) AS level,
+                   CAST(0.0 AS DOUBLE) AS trend
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.rn, s.day, s.x, n.nl,
+                   ((n.nl - h.level) + h.trend) / 2.0
+            FROM holt h JOIN seq s ON s.rn = h.rn + 1
+            CROSS JOIN LATERAL (
+                SELECT (CAST(s.x AS DOUBLE) + (h.level + h.trend)) / 2.0 AS nl
+            ) n
+        )
+        SELECT day, x, level, trend FROM holt ORDER BY day
+    """
+
+
+def blocking_plan_audit(sf_dir: str) -> pd.DataFrame:
+    """Entity-resolution blocking-key quality audit: ground-truth
+    "duplicate" part pairs are those sharing (p_brand, p_type); three
+    candidate blocking strategies (first p_name word; p_size; first
+    word + p_size) are each scored by candidate_pairs (sum of C(n,2)
+    over blocks — the comparisons a linkage job would actually run),
+    covered_true_pairs (true pairs landing in the same block) and
+    total_true_pairs — reduction ratio and pair completeness follow
+    exactly from these BIGINTs.  The audit every record-linkage
+    pipeline runs before committing to a blocking key.
+
+    Distributed plan: per strategy one (block[, truth-key])-keyed
+    count; pair counts are per-group combinatorics summed over
+    O(blocks) rows."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        first_word = pc.list_element(pc.split_pattern(t["p_name"], " "), 0)
+        return pa.table(
+            {
+                "w": first_word,
+                "sz": pc.cast(t["p_size"], pa.int64()),
+                "truth": pc.binary_join_element_wise(
+                    t["p_brand"], t["p_type"], "\x1f"
+                ),
+            }
+        )
+
+    rows = ds.map_batches(prep, batch_format="pyarrow")
+
+    def pairs(n: "pd.Series") -> "pd.Series":
+        return n * (n - 1) // 2
+
+    total_true = int(
+        pairs(
+            rows.groupby("truth").aggregate(Count(alias_name="n")).to_pandas()["n"]
+        ).sum()
+    )
+    out = []
+    strategies = {
+        "first_word": ["w"],
+        "size": ["sz"],
+        "first_word+size": ["w", "sz"],
+    }
+    for name, keys in strategies.items():
+        blocks = rows.groupby(keys).aggregate(Count(alias_name="n")).to_pandas()
+        cand = int(pairs(blocks["n"]).sum())
+        both = rows.groupby(keys + ["truth"]).aggregate(Count(alias_name="n")).to_pandas()
+        covered = int(pairs(both["n"]).sum())
+        out.append(
+            {
+                "strategy": name,
+                "n_blocks": len(blocks),
+                "candidate_pairs": cand,
+                "covered_true_pairs": covered,
+                "total_true_pairs": total_true,
+            }
+        )
+    res = pd.DataFrame(out).astype(
+        {
+            "n_blocks": "int64",
+            "candidate_pairs": "int64",
+            "covered_true_pairs": "int64",
+            "total_true_pairs": "int64",
+        }
+    )
+    return res.sort_values("strategy").reset_index(drop=True)
+
+
+def blocking_plan_audit_sql() -> str:
+    parts = []
+    for name, key in [
+        ("first_word", "string_split(p_name, ' ')[1]"),
+        ("size", "CAST(p_size AS VARCHAR)"),
+        ("first_word+size", "string_split(p_name, ' ')[1] || ':' || p_size"),
+    ]:
+        parts.append(f"""
+        SELECT '{name}' AS strategy,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT {key} AS b FROM part GROUP BY 1)) AS n_blocks,
+               (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT)
+                FROM (SELECT COUNT(*) AS n FROM part GROUP BY {key}))
+                   AS candidate_pairs,
+               (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT)
+                FROM (SELECT COUNT(*) AS n FROM part
+                      GROUP BY {key}, p_brand, p_type)) AS covered_true_pairs,
+               (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT)
+                FROM (SELECT COUNT(*) AS n FROM part GROUP BY p_brand, p_type))
+                   AS total_true_pairs""")
+    u = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({u}) ORDER BY strategy"

@@ -1331,3 +1331,78 @@ def triplet_margin_violations_sql(scale: int = 1_000_000) -> str:
                    AS n_violations
         FROM best GROUP BY 1 ORDER BY 1
     """
+
+
+def embedding_int8_quant_audit(sf_dir: str, n_dims: int = 8) -> pd.DataFrame:
+    """Int8 scalar-quantization audit over the embedding column: per
+    vector, scale A = max(|x_i|) (exact — both sides take a true max)
+    and per inspected dimension the quantized code
+    q = floor(x*127.0/A + 0.5) plus the reconstruction error
+    x - q*(A/127.0) — the compression-loss report a vector-store
+    migration reads before switching to int8 storage.  floor(x+0.5)
+    is used on BOTH sides (DuckDB ROUND is half-away-from-zero,
+    numpy's is half-to-even — floor sidesteps the mismatch), and every
+    output float is a row-independent mirrored expression, so doubles
+    hash-match.
+
+    Distributed plan: embarrassingly parallel map_batches; only the
+    first n_dims dims per vector leave the task (the audit sample),
+    keeping output rows bounded."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def audit(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mat = embedding_matrix(t["embedding"]).astype(np.float64)
+        a = np.abs(mat).max(axis=1)
+        a[a == 0] = 1.0
+        vid, dim, orig, qq, err = [], [], [], [], []
+        for i in range(len(ids)):
+            for d in range(min(n_dims, mat.shape[1])):
+                x = float(mat[i, d])
+                q = float(np.floor(x * 127.0 / a[i] + 0.5))
+                vid.append(int(ids[i]))
+                dim.append(d)
+                orig.append(x)
+                qq.append(int(q))
+                err.append(x - q * (a[i] / 127.0))
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, pa.int64()),
+                "dim": pa.array(dim, pa.int64()),
+                "orig": pa.array(orig, pa.float64()),
+                "q": pa.array(qq, pa.int64()),
+                "err": pa.array(err, pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(audit, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
+def embedding_int8_quant_audit_sql(n_dims: int = 8) -> str:
+    return f"""
+        WITH base AS (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS emb,
+                   (SELECT MAX(abs(u)) FROM UNNEST(embedding) AS t(u)) AS a0
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id, emb,
+                   CASE WHEN a0 = 0 THEN 1.0 ELSE CAST(a0 AS DOUBLE) END AS a
+            FROM base
+        ),
+        dims AS (
+            SELECT vec_id, a, d.d AS dim, emb[d.d + 1] AS x
+            FROM scaled
+            CROSS JOIN (SELECT UNNEST(range({n_dims})) AS d) d
+            WHERE d.d < len(emb)
+        )
+        SELECT vec_id, dim, x AS orig,
+               CAST(FLOOR(x * 127.0 / a + 0.5) AS BIGINT) AS q,
+               x - FLOOR(x * 127.0 / a + 0.5) * (a / 127.0) AS err
+        FROM dims
+        ORDER BY vec_id, dim
+    """
