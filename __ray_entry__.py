@@ -1177,6 +1177,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_plan_audit": rel.blocking_plan_audit,
         # int8 scalar-quantization reconstruction-error audit
         "embedding_int8_quant_audit": similarity.embedding_int8_quant_audit,
+        # JSON props schema-discovery audit
+        "event_props_json_audit": rel.event_props_json_audit,
+        # within-brand -> global quantile normalization
+        "price_quantile_normalize": rel.price_quantile_normalize,
+        # micro-quantized DFT periodogram of daily volume
+        "daily_periodogram": rel.daily_periodogram,
     }
 
 
@@ -1715,6 +1721,9 @@ def oracle_sql() -> dict[str, str]:
         "daily_holt_linear": rel.daily_holt_linear_sql(),
         "blocking_plan_audit": rel.blocking_plan_audit_sql(),
         "embedding_int8_quant_audit": similarity_mod.embedding_int8_quant_audit_sql(),
+        "event_props_json_audit": rel.event_props_json_audit_sql(),
+        "price_quantile_normalize": rel.price_quantile_normalize_sql(),
+        "daily_periodogram": rel.daily_periodogram_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

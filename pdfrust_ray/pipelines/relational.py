@@ -18592,3 +18592,246 @@ def blocking_plan_audit_sql() -> str:
                    AS total_true_pairs""")
     u = " UNION ALL ".join(parts)
     return f"SELECT * FROM ({u}) ORDER BY strategy"
+
+
+def event_props_json_audit(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured-column audit: parse the JSON `props` payload per
+    event and aggregate per event_type the exact integer stats of the
+    `k` field (present-count, sum, min, max) plus malformed/missing
+    counts — the schema-discovery pass run before promoting a JSON
+    blob column to typed columns.
+
+    Distributed plan: JSON parse inside map_batches (pure per-row),
+    one type-keyed groupby of integer partials."""
+    import json
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_pylist()
+        props = t["props"].to_pylist()
+        has_k, k_val, bad = [], [], []
+        for p in props:
+            try:
+                obj = json.loads(p) if p is not None else None
+                if isinstance(obj, dict) and isinstance(obj.get("k"), int):
+                    has_k.append(1)
+                    k_val.append(obj["k"])
+                    bad.append(0)
+                else:
+                    has_k.append(0)
+                    k_val.append(0)
+                    bad.append(0 if obj is not None else 1)
+            except (ValueError, TypeError):
+                has_k.append(0)
+                k_val.append(0)
+                bad.append(1)
+        # min/max only over rows that have k: encode absent as extremes
+        kv = np.asarray(k_val, np.int64)
+        hk = np.asarray(has_k, np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "one": pa.array(np.ones(len(types), np.int64)),
+                "has_k": pa.array(hk),
+                "k_sum": pa.array(kv * hk),
+                "k_min": pa.array(np.where(hk == 1, kv, 2**62)),
+                "k_max": pa.array(np.where(hk == 1, kv, -(2**62))),
+                "bad": pa.array(np.asarray(bad, np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("one", alias_name="n"),
+            Sum("has_k", alias_name="n_with_k"),
+            Sum("k_sum", alias_name="k_sum"),
+            Min("k_min", alias_name="k_min"),
+            Max("k_max", alias_name="k_max"),
+            Sum("bad", alias_name="n_malformed"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {
+            "n": "int64",
+            "n_with_k": "int64",
+            "k_sum": "int64",
+            "k_min": "int64",
+            "k_max": "int64",
+            "n_malformed": "int64",
+        }
+    )
+
+
+def event_props_json_audit_sql() -> str:
+    return """
+        WITH parsed AS (
+            SELECT event_type,
+                   CASE WHEN props IS NOT NULL AND json_valid(props)
+                        THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   END AS k,
+                   CASE WHEN props IS NULL OR NOT json_valid(props)
+                        THEN 1 ELSE 0 END AS bad
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_with_k,
+               CAST(COALESCE(SUM(k), 0) AS BIGINT) AS k_sum,
+               CAST(COALESCE(MIN(k), 4611686018427387904) AS BIGINT) AS k_min,
+               CAST(COALESCE(MAX(k), -4611686018427387904) AS BIGINT) AS k_max,
+               CAST(SUM(bad) AS BIGINT) AS n_malformed
+        FROM parsed
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
+def price_quantile_normalize(sf_dir: str) -> pd.DataFrame:
+    """Quantile normalization of p_retailprice within each brand onto
+    the GLOBAL price distribution: a part ranked r (of n) inside its
+    brand maps to the global order statistic at index
+    (r-1)*(N-1) // (n-1) — the cross-cohort feature-normalization op
+    (microarray-style quantile normalization).  The mapping is pure
+    integer index arithmetic into the sorted global values, so the
+    float column is copied, never computed — exactly hashable.
+
+    Distributed plan: the global sorted value spine is one
+    entity-table sort broadcast via ray.put; per-brand ranks come from
+    a brand-keyed groupby; each task maps ranks to spine values with
+    zero arithmetic."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_retailprice"])
+    spine = np.sort(
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_retailprice"])
+        .to_pandas()["p_retailprice"]
+        .to_numpy()
+    )
+    big_n = len(spine)
+    sref = ray.put(spine)
+
+    def per_brand(g: pd.DataFrame) -> pd.DataFrame:
+        sp = ray.get(sref)
+        g = g.sort_values(["p_retailprice", "p_partkey"], kind="stable").reset_index(drop=True)
+        n = len(g)
+        r = np.arange(1, n + 1, dtype=np.int64)
+        idx = (r - 1) * (big_n - 1) // (n - 1) if n > 1 else np.full(1, (big_n - 1) // 2, np.int64)
+        return pd.DataFrame(
+            {
+                "p_partkey": g["p_partkey"].astype("int64"),
+                "p_brand": g["p_brand"],
+                "brand_rank": r,
+                "norm_price": sp[idx],
+            }
+        )
+
+    out = (
+        ds.groupby("p_brand")
+        .map_groups(per_brand, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def price_quantile_normalize_sql() -> str:
+    return """
+        WITH spine AS (
+            SELECT list(p_retailprice ORDER BY p_retailprice) AS g,
+                   COUNT(*) AS big_n
+            FROM part
+        ),
+        ranked AS (
+            SELECT p_partkey, p_brand,
+                   ROW_NUMBER() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice, p_partkey)
+                       AS brand_rank,
+                   COUNT(*) OVER (PARTITION BY p_brand) AS n
+            FROM part
+        )
+        SELECT r.p_partkey, r.p_brand,
+               CAST(r.brand_rank AS BIGINT) AS brand_rank,
+               s.g[CAST(CASE WHEN r.n > 1
+                        THEN (r.brand_rank - 1) * (s.big_n - 1) // (r.n - 1)
+                        ELSE (s.big_n - 1) // 2 END AS INTEGER) + 1]
+                   AS norm_price
+        FROM ranked r CROSS JOIN spine s
+        ORDER BY p_partkey
+    """
+
+
+def daily_periodogram(sf_dir: str, max_k: int = 8) -> pd.DataFrame:
+    """Coarse discrete-Fourier periodogram of the daily event-count
+    series: for each frequency k, the real and imaginary accumulators
+    with every per-day term quantized to micro-units
+    (floor(cos_or_sin * x * 1e6 + 0.5)) BEFORE summation, so the sums
+    are exact integers and immune to accumulation order — the
+    seasonality detector of an ingest-volume monitor (libm cos/sin ==
+    DuckDB's, same precedent as pmi_collocations' ln).
+
+    Distributed plan: the corpus-sized work is one date-keyed count;
+    the k x days term table folds on the tiny spine."""
+    import math
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def day_of(t: pa.Table) -> pa.Table:
+        d = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table({"day": pa.array(d)})
+
+    daily = (
+        ds.map_batches(day_of, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="x"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    n = len(daily)
+    x = daily["x"].to_numpy(dtype=np.int64)
+    rows = []
+    for k in range(1, max_k + 1):
+        re = im = 0
+        for d in range(n):
+            ang = -2.0 * math.pi * k * d / n
+            re += int(math.floor(math.cos(ang) * x[d] * 1e6 + 0.5))
+            im += int(math.floor(math.sin(ang) * x[d] * 1e6 + 0.5))
+        rows.append({"k": k, "re_micro": re, "im_micro": im})
+    return pd.DataFrame(rows).astype({"k": "int64", "re_micro": "int64", "im_micro": "int64"})
+
+
+def daily_periodogram_sql(max_k: int = 8) -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        seq AS (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS d,
+                   (SELECT COUNT(*) FROM daily) AS n
+            FROM daily
+        ),
+        terms AS (
+            SELECT k.k, s.d,
+                   CAST(FLOOR(cos(-2.0 * pi() * k.k * s.d / s.n) * s.x * 1e6 + 0.5)
+                        AS BIGINT) AS re_t,
+                   CAST(FLOOR(sin(-2.0 * pi() * k.k * s.d / s.n) * s.x * 1e6 + 0.5)
+                        AS BIGINT) AS im_t
+            FROM seq s
+            CROSS JOIN (SELECT UNNEST(range(1, {max_k + 1})) AS k) k
+        )
+        SELECT k, CAST(SUM(re_t) AS BIGINT) AS re_micro,
+               CAST(SUM(im_t) AS BIGINT) AS im_micro
+        FROM terms GROUP BY k ORDER BY k
+    """
