@@ -1183,6 +1183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantile_normalize": rel.price_quantile_normalize,
         # micro-quantized DFT periodogram of daily volume
         "daily_periodogram": rel.daily_periodogram,
+        # encoding-hygiene audit over raw transcript turns
+        "turn_encoding_audit": _q_conv(cv.turn_encoding_audit),
+        # prefix-rule payload census for pool sizing
+        "payload_sniff_stats": _q_conv(cv.payload_sniff_stats),
+        # exact order-statistic winsorization
+        "acctbal_winsorize": rel.acctbal_winsorize,
     }
 
 
@@ -1724,6 +1730,9 @@ def oracle_sql() -> dict[str, str]:
         "event_props_json_audit": rel.event_props_json_audit_sql(),
         "price_quantile_normalize": rel.price_quantile_normalize_sql(),
         "daily_periodogram": rel.daily_periodogram_sql(),
+        "turn_encoding_audit": cv.turn_encoding_audit_sql(_T2_SHARDS),
+        "payload_sniff_stats": cv.payload_sniff_stats_sql(_T2_SHARDS),
+        "acctbal_winsorize": rel.acctbal_winsorize_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -1717,3 +1717,152 @@ def conv_prefix_forks_sql(shards_glob: str, k: int = 3) -> str:
         HAVING COUNT(*) >= 2
         ORDER BY fingerprint
     """
+
+
+def turn_encoding_audit(corpus_dir: str) -> pd.DataFrame:
+    """Encoding-hygiene audit over raw transcript turns: per
+    conversation, how many non-ASCII codepoints and (non-whitespace)
+    control codepoints its turns carry, plus the largest turn in bytes
+    — the pre-extraction triage that separates binary-payload turns
+    from clean prose and catches mojibake before it poisons training
+    text.  Counts are per-codepoint integers, identical to the SQL
+    twin's length(regexp_replace(...)) arithmetic.
+
+    Distributed plan: per-turn counting is vectorized inside
+    map_batches; the rollup is the module's standard coarse-bucket
+    shuffle carrying only integer partials."""
+    import re
+
+    non_ascii = re.compile(r"[^\x00-\x7f]")
+    control = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "text"])
+
+    def per_turn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        na = [len(non_ascii.findall(s)) for s in texts]
+        ctl = [len(control.findall(s)) for s in texts]
+        nb = [len(s.encode("utf-8")) for s in texts]
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "na": pa.array(na, pa.int64()),
+                "ctl": pa.array(ctl, pa.int64()),
+                "nb": pa.array(nb, pa.int64()),
+            }
+        )
+        return _with_bucket(out)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("conv_id", sort=False).agg(
+            n_turns=("na", "size"),
+            non_ascii_chars=("na", "sum"),
+            control_chars=("ctl", "sum"),
+            max_turn_bytes=("nb", "max"),
+        )
+        return agg.reset_index().astype(
+            {
+                "n_turns": "int64",
+                "non_ascii_chars": "int64",
+                "control_chars": "int64",
+                "max_turn_bytes": "int64",
+            }
+        )
+
+    out = (
+        _coalesced(ds.map_batches(per_turn, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def turn_encoding_audit_sql(shards_glob: str) -> str:
+    return f"""
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(length(text)
+                        - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')))
+                    AS BIGINT) AS non_ascii_chars,
+               CAST(SUM(length(text)
+                        - length(regexp_replace(text,
+                              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')))
+                    AS BIGINT) AS control_chars,
+               CAST(MAX(strlen(text)) AS BIGINT) AS max_turn_bytes
+        FROM read_parquet('{shards_glob}')
+        GROUP BY conv_id
+        ORDER BY conv_id
+    """
+
+
+def payload_sniff_stats(corpus_dir: str) -> pd.DataFrame:
+    """Cheap payload-kind sniff over RAW turns (prefix rules only — the
+    zero-cost router a pipeline uses to size actor pools BEFORE real
+    detection runs): '%PDF-' prefix -> pdf, leading '<' after optional
+    whitespace -> markup, else prose.  Per kind: turn count, total and
+    max UTF-8 bytes.  The full detector (functions/payload.py) stays
+    authoritative for extraction; this is the planning census, and the
+    SQL twin applies the identical prefix rules.
+
+    Distributed plan: pure map_batches + one 3-row groupby."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["text"])
+
+    def sniff(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        texts = t["text"].to_pylist()
+        kinds, nb = [], []
+        for s in texts:
+            if s.startswith("%PDF-"):
+                kinds.append("pdf")
+            elif s.lstrip(" \t\r\n")[:1] == "<":
+                kinds.append("markup")
+            else:
+                kinds.append("prose")
+            nb.append(len(s.encode("utf-8")))
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "nb": pa.array(nb, pa.int64()),
+                "one": pa.array(np.ones(len(texts), np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    out = (
+        ds.map_batches(sniff, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(
+            Sum("one", alias_name="n_turns"),
+            Sum("nb", alias_name="total_bytes"),
+            Max("nb", alias_name="max_bytes"),
+        )
+        .to_pandas()
+        .sort_values("kind")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_turns": "int64", "total_bytes": "int64", "max_bytes": "int64"})
+
+
+def payload_sniff_stats_sql(shards_glob: str) -> str:
+    return f"""
+        WITH sniffed AS (
+            SELECT CASE
+                     WHEN starts_with(text, '%PDF-') THEN 'pdf'
+                     WHEN starts_with(ltrim(text, ' ' || chr(9) || chr(13)
+                                            || chr(10)), '<') THEN 'markup'
+                     ELSE 'prose'
+                   END AS kind,
+                   strlen(text) AS nb
+            FROM read_parquet('{shards_glob}')
+        )
+        SELECT kind,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(nb) AS BIGINT) AS total_bytes,
+               CAST(MAX(nb) AS BIGINT) AS max_bytes
+        FROM sniffed
+        GROUP BY kind
+        ORDER BY kind
+    """

@@ -18835,3 +18835,64 @@ def daily_periodogram_sql(max_k: int = 8) -> str:
                CAST(SUM(im_t) AS BIGINT) AS im_micro
         FROM terms GROUP BY k ORDER BY k
     """
+
+
+def acctbal_winsorize(sf_dir: str, lo_pct: int = 5, hi_pct: int = 95) -> pd.DataFrame:
+    """Winsorization of customer account balances at exact order
+    statistics: the bounds are the ceil(n*p/100)-th smallest values
+    (pure index arithmetic — no interpolation), every output value is
+    a COPY of an input value (clamp = comparison only), so the float
+    column hashes exactly.  The outlier-robust feature-capping op.
+
+    Distributed plan: the two bound values come from the sorted spine
+    (one entity-table sort); the clamp itself is an embarrassingly
+    parallel map_batches with the two bounds broadcast."""
+    import numpy as np
+
+    vals = np.sort(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_acctbal"])
+        .to_pandas()["c_acctbal"]
+        .to_numpy()
+    )
+    n = len(vals)
+    lo = vals[max(1, -(-n * lo_pct // 100)) - 1]
+    hi = vals[max(1, -(-n * hi_pct // 100)) - 1]
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        w = np.clip(v, lo, hi)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_acctbal": t["c_acctbal"],
+                "wins_bal": pa.array(w, pa.float64()),
+                "clipped": pa.array(((v < lo) | (v > hi)).astype(np.int64)),
+            }
+        )
+
+    out = ds.map_batches(clamp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def acctbal_winsorize_sql(lo_pct: int = 5, hi_pct: int = 95) -> str:
+    return f"""
+        WITH spine AS (
+            SELECT list(c_acctbal ORDER BY c_acctbal) AS g, COUNT(*) AS n
+            FROM customer
+        ),
+        bounds AS (
+            SELECT g[CAST(GREATEST(1, CEIL(n * {lo_pct} / 100.0)) AS INTEGER)] AS lo,
+                   g[CAST(GREATEST(1, CEIL(n * {hi_pct} / 100.0)) AS INTEGER)] AS hi
+            FROM spine
+        )
+        SELECT c.c_custkey, c.c_acctbal,
+               CASE WHEN c.c_acctbal < b.lo THEN b.lo
+                    WHEN c.c_acctbal > b.hi THEN b.hi
+                    ELSE c.c_acctbal END AS wins_bal,
+               CAST(CASE WHEN c.c_acctbal < b.lo OR c.c_acctbal > b.hi
+                         THEN 1 ELSE 0 END AS BIGINT) AS clipped
+        FROM customer c CROSS JOIN bounds b
+        ORDER BY c_custkey
+    """
