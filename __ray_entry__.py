@@ -1189,6 +1189,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_sniff_stats": _q_conv(cv.payload_sniff_stats),
         # exact order-statistic winsorization
         "acctbal_winsorize": rel.acctbal_winsorize,
+        # per-user streaming running median
+        "user_running_median": rel.user_running_median,
+        # JL ±1-projection distance-preservation audit
+        "jl_projection_audit": similarity.jl_projection_audit,
+        # (w,k)-minimizer document sketches
+        "doc_minimizer_sketch": textops.doc_minimizer_sketch,
     }
 
 
@@ -1733,6 +1739,9 @@ def oracle_sql() -> dict[str, str]:
         "turn_encoding_audit": cv.turn_encoding_audit_sql(_T2_SHARDS),
         "payload_sniff_stats": cv.payload_sniff_stats_sql(_T2_SHARDS),
         "acctbal_winsorize": rel.acctbal_winsorize_sql(),
+        "user_running_median": rel.user_running_median_sql(),
+        "jl_projection_audit": similarity_mod.jl_projection_audit_sql(),
+        "doc_minimizer_sketch": textops.doc_minimizer_sketch_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

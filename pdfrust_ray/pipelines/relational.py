@@ -18896,3 +18896,54 @@ def acctbal_winsorize_sql(lo_pct: int = 5, hi_pct: int = 95) -> str:
         FROM customer c CROSS JOIN bounds b
         ORDER BY c_custkey
     """
+
+
+def user_running_median(sf_dir: str) -> pd.DataFrame:
+    """Per-user running median of event values in event_id order — the
+    streaming robust-center feature an online anomaly scorer keeps per
+    entity.  Medians of even prefixes are (a+b)/2.0 with the identical
+    op order as DuckDB's windowed MEDIAN, so the doubles hash-match.
+
+    Distributed plan: one user-keyed groupby; inside each group the
+    replay is an insort over the user's own history (bounded per
+    entity), vectorized output."""
+    import bisect
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+
+    def replay(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="stable").reset_index(drop=True)
+        hist: list = []
+        med = []
+        for v in g["value"]:
+            bisect.insort(hist, v)
+            n = len(hist)
+            if n % 2:
+                med.append(hist[n // 2])
+            else:
+                med.append((hist[n // 2 - 1] + hist[n // 2]) / 2.0)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "running_median": med,
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(replay, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def user_running_median_sql() -> str:
+    return """
+        SELECT event_id, user_id,
+               MEDIAN(value) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running_median
+        FROM events
+        ORDER BY event_id
+    """

@@ -1418,3 +1418,94 @@ def doc_adler32_audit_sql() -> str:
         FROM agg
         ORDER BY doc_id
     """
+
+
+def doc_minimizer_sketch(sf_dir: str, k: int = 3, w: int = 4) -> pd.DataFrame:
+    """Minimizer document sketch (the genomics-style (w,k)-minimizer
+    scheme adopted by modern large-scale dedup): hash every word
+    k-gram (first 8 md5 hex digits as an integer), slide a w-gram
+    window and keep each window's minimum hash — the set of distinct
+    minimizers is a sketch whose size adapts to content, with the
+    guarantee that two documents sharing a long run of text share the
+    run's minimizers.  Output per doc: n_grams, n_minimizers and the
+    md5 of the sorted minimizer list (so the oracle check covers the
+    full set without hauling it).
+
+    Distributed plan: embarrassingly parallel map_batches (numpy
+    sliding-window min per doc); no shuffle."""
+    import hashlib
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        ids, ng, nm, dig = [], [], [], []
+        for doc_id, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            grams = _word_ngrams(txt, k)
+            if not grams:
+                continue
+            h = np.array(
+                [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams],
+                dtype=np.int64,
+            )
+            if len(h) <= w:
+                mins = {int(h.min())}
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(h, w)
+                mins = set(sw.min(axis=1).tolist())
+            srt = sorted(mins)
+            ids.append(doc_id)
+            ng.append(len(grams))
+            nm.append(len(srt))
+            dig.append(hashlib.md5(",".join(str(m) for m in srt).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(ng, pa.int64()),
+                "n_minimizers": pa.array(nm, pa.int64()),
+                "minimizers_md5": pa.array(dig, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_minimizer_sketch_sql(k: int = 3, w: int = 4) -> str:
+    return f"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i AS pos,
+                   CAST(('0x' || substr(md5(array_to_string(ws[i:i+{k - 1}], ' ')),
+                         1, 8)) AS UBIGINT) AS h,
+                   len(ws) - {k - 1} AS n_grams
+            FROM words
+            CROSS JOIN unnest(range(1, greatest(len(ws) - {k - 2}, 1))) AS t(i)
+            WHERE len(ws) >= {k}
+        ),
+        winmin AS (
+            SELECT doc_id, n_grams,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m,
+                   pos,
+                   MAX(pos) OVER (PARTITION BY doc_id) AS max_pos
+            FROM g
+        ),
+        mins AS (
+            SELECT DISTINCT doc_id, n_grams, m
+            FROM winmin
+            WHERE pos <= max_pos - {w - 1} OR (max_pos < {w} AND pos = 1)
+        )
+        SELECT doc_id,
+               CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_minimizers,
+               md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY m))
+                   AS minimizers_md5
+        FROM mins
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """

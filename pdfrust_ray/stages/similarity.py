@@ -1406,3 +1406,112 @@ def embedding_int8_quant_audit_sql(n_dims: int = 8) -> str:
         FROM dims
         ORDER BY vec_id, dim
     """
+
+
+def jl_projection_audit(sf_dir: str, d_out: int = 16, n_vecs: int = 16) -> pd.DataFrame:
+    """Johnson-Lindenstrauss distance-preservation audit: project the
+    first n_vecs embeddings through a DETERMINISTIC ±1 sign matrix
+    (sign = parity of the first hex digit of md5('jl:k:d')) and report,
+    per vector pair, the squared distance in the original and projected
+    spaces — both accumulated as micro-quantized integers
+    (floor(term*1e6+0.5) per coordinate BEFORE summing) so the sums are
+    order-free and the SQL twin hash-matches.  The audit a
+    dimensionality-reduction rollout runs to verify the distortion
+    bound empirically.
+
+    Distributed plan: the sign matrix is a pure hash function (no
+    broadcast state); projection happens inside map_batches; only the
+    n_vecs sketch rows leave the tasks, and the pair table is an
+    O(n_vecs^2) driver product."""
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.filter(expr=f"vec_id < {n_vecs}")
+
+    def sign(k: int, d: int) -> int:
+        h = hashlib.md5(f"jl:{k}:{d}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mat = embedding_matrix(t["embedding"]).astype(np.float64)
+        dim = mat.shape[1]
+        s = np.array([[sign(k, d) for d in range(dim)] for k in range(d_out)], np.float64)
+        rows = {"vec_id": pa.array(ids.astype(np.int64))}
+        # quantized projection coordinates: z_k = sum_d floor(s*x*1e6+0.5)
+        zq = np.floor(mat[:, None, :] * s[None, :, :] * 1e6 + 0.5).astype(np.int64).sum(axis=2)
+        for k in range(d_out):
+            rows[f"z{k}"] = pa.array(zq[:, k])
+        # original coords quantized too, for the exact distance table
+        xq = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        for d in range(dim):
+            rows[f"x{d}"] = pa.array(xq[:, d])
+        return pa.table(rows)
+
+    sk = ds.map_batches(project, batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    ids = sk["vec_id"].to_numpy()
+    zc = sk[[c for c in sk.columns if c.startswith("z")]].to_numpy()
+    xc = sk[[c for c in sk.columns if c.startswith("x")]].to_numpy()
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d2o = int(((xc[i] - xc[j]) ** 2).sum())
+            d2p = int(((zc[i] - zc[j]) ** 2).sum())
+            out.append(
+                {
+                    "vec_a": int(ids[i]),
+                    "vec_b": int(ids[j]),
+                    "d2_orig_q": d2o,
+                    "d2_proj_q": d2p,
+                }
+            )
+    return pd.DataFrame(out).astype(
+        {"vec_a": "int64", "vec_b": "int64", "d2_orig_q": "int64", "d2_proj_q": "int64"}
+    )
+
+
+def jl_projection_audit_sql(d_out: int = 16, n_vecs: int = 16) -> str:
+    return f"""
+        WITH dims AS (
+            SELECT vec_id, d.d AS d,
+                   CAST(embedding[d.d + 1] AS DOUBLE) AS x
+            FROM embeddings
+            CROSS JOIN (SELECT UNNEST(range(len(
+                (SELECT embedding FROM embeddings LIMIT 1)))) AS d) d
+            WHERE vec_id < {n_vecs}
+        ),
+        signs AS (
+            SELECT k.k AS k, d.d AS d,
+                   CASE WHEN CAST(('0x' || substr(md5('jl:' || k.k || ':' || d.d),
+                                   1, 1)) AS UBIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS s
+            FROM (SELECT UNNEST(range({d_out})) AS k) k
+            CROSS JOIN (SELECT DISTINCT d FROM dims) d
+        ),
+        proj AS (
+            SELECT dims.vec_id, signs.k,
+                   CAST(SUM(CAST(FLOOR(dims.x * signs.s * 1e6 + 0.5) AS BIGINT))
+                        AS BIGINT) AS z
+            FROM dims JOIN signs USING (d)
+            GROUP BY dims.vec_id, signs.k
+        ),
+        xq AS (
+            SELECT vec_id, d, CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT) AS xv
+            FROM dims
+        ),
+        d2o AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(SUM((a.xv - b.xv) * (a.xv - b.xv)) AS BIGINT) AS d2_orig_q
+            FROM xq a JOIN xq b ON a.d = b.d AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        d2p AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(SUM((a.z - b.z) * (a.z - b.z)) AS BIGINT) AS d2_proj_q
+            FROM proj a JOIN proj b ON a.k = b.k AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b, d2_orig_q, d2_proj_q
+        FROM d2o JOIN d2p USING (vec_a, vec_b)
+        ORDER BY vec_a, vec_b
+    """
