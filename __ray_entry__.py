@@ -53,6 +53,7 @@ def _ensure_fixture_files() -> None:
     regardless of the order the driver evaluates queries vs oracles."""
     try:
         from pdfrust_ray.fixtures.corpus import (
+            ensure_chains_fixture,
             ensure_corpus,
             ensure_encrypted_fixture,
             ensure_forks_fixture,
@@ -72,6 +73,7 @@ def _ensure_fixture_files() -> None:
         ensure_pii_fixture()
         ensure_htmlld_fixture()
         ensure_forks_fixture()
+        ensure_chains_fixture()
     except Exception:  # never break module import on fixture IO issues
         pass
 
@@ -226,6 +228,18 @@ def _q_extract_encrypted(sf_dir: str):
 
 _PII_SHARDS = f"{_FIXTURE_BASE}/pii/shards/*.parquet"
 _FORKS_SHARDS = f"{_FIXTURE_BASE}/forks/shards/*.parquet"
+
+
+_CHAINS_SHARDS = f"{_FIXTURE_BASE}/chains/shards/*.parquet"
+
+
+def _q_conv_chain_stitch(sf_dir: str):
+    """Continuation stitching over the planted chains fixture family
+    (t1/t2 conversations never repeat a head/tail turn)."""
+    from pdfrust_ray.fixtures.corpus import ensure_chains_fixture
+    from pdfrust_ray.pipelines.conversation import conv_chain_stitch
+
+    return conv_chain_stitch(ensure_chains_fixture())
 
 
 def _q_conv_prefix_forks(sf_dir: str):
@@ -1195,6 +1209,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_projection_audit": similarity.jl_projection_audit,
         # (w,k)-minimizer document sketches
         "doc_minimizer_sketch": textops.doc_minimizer_sketch,
+        # continuation-chain stitching over split sessions
+        "conv_chain_stitch": _q_conv_chain_stitch,
+        # per-language script census
+        "doc_script_census": textops.doc_script_census,
+        # articulation-point single-point-of-failure analysis
+        "part_supplier_articulation": graph.part_supplier_articulation,
     }
 
 
@@ -1742,6 +1762,8 @@ def oracle_sql() -> dict[str, str]:
         "user_running_median": rel.user_running_median_sql(),
         "jl_projection_audit": similarity_mod.jl_projection_audit_sql(),
         "doc_minimizer_sketch": textops.doc_minimizer_sketch_sql(),
+        "conv_chain_stitch": cv.conv_chain_stitch_sql(_CHAINS_SHARDS),
+        "doc_script_census": textops.doc_script_census_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -766,3 +766,71 @@ def ensure_forks_fixture(base_dir: str | None = None) -> str:
     with open(marker, "w") as f:
         json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
     return base
+
+
+def ensure_chains_fixture(base_dir: str | None = None) -> str:
+    """Continuation-chain fixture family for conv_chain_stitch:
+    sessions split across conversation ids, where the continuation's
+    FIRST turn repeats the predecessor's LAST turn byte-exactly (the
+    resume-from-context pattern agent frameworks emit).  Chains of
+    length 2-4 are planted alongside standalone conversations and one
+    deliberate red herring (two convs that merely share a middle
+    turn, which must NOT stitch)."""
+    base = base_dir or "/tmp/pdfrust_ray_fixtures/chains"
+    marker = os.path.join(base, "_COMPLETE.json")
+    if _marker_current(marker):
+        return base
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    rows = []
+
+    def add_turn(conv_id: str, t: int, text: str) -> None:
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": "user" if t % 2 == 0 else "assistant",
+                "text": text,
+                "tool": "",
+                "ts": 1735689600_000000 + len(rows) * 60_000_000,
+            }
+        )
+
+    for ch in range(10):
+        h = _h(f"chains:{ch}")
+        n_links = 2 + h % 3
+        carry = f"chain {ch} handoff token {(h >> 4) % 9973}"
+        for link in range(n_links):
+            conv_id = f"chain-{ch:03d}-{link}"
+            t = 0
+            if link > 0:
+                add_turn(conv_id, t, carry)  # resume: repeat predecessor's tail
+                t += 1
+            n_body = 2 + (h >> (3 * link)) % 3
+            for b in range(n_body):
+                add_turn(conv_id, t, f"chain {ch} link {link} body {b} {(h >> b) % 991}")
+                t += 1
+            if link < n_links - 1:
+                carry = f"chain {ch} handoff token {(h >> (8 + 4 * link)) % 9973}"
+                add_turn(conv_id, t, carry)
+    for s in range(15):
+        h = _h(f"chains-solo:{s}")
+        conv_id = f"standalone-{s:03d}"
+        for t in range(2 + h % 3):
+            add_turn(conv_id, t, f"standalone {s} turn {t} {(h >> t) % 883}")
+    # red herring: a shared MIDDLE turn only
+    add_turn("herring-a", 0, "herring a opening")
+    add_turn("herring-a", 1, "shared middle line")
+    add_turn("herring-a", 2, "herring a closing")
+    add_turn("herring-b", 0, "herring b opening")
+    add_turn("herring-b", 1, "shared middle line")
+    add_turn("herring-b", 2, "herring b closing")
+    for shard in range(3):
+        part = [r for i, r in enumerate(rows) if i % 3 == shard]
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=TRANSCRIPTS_SCHEMA),
+            os.path.join(shard_dir, f"part-{shard:04d}.parquet"),
+        )
+    with open(marker, "w") as f:
+        json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
+    return base

@@ -1866,3 +1866,99 @@ def payload_sniff_stats_sql(shards_glob: str) -> str:
         GROUP BY kind
         ORDER BY kind
     """
+
+
+def conv_chain_stitch(corpus_dir: str) -> pd.DataFrame:
+    """Continuation-chain stitching: conversation B continues A when
+    B's FIRST turn repeats A's LAST turn byte-exactly (the
+    resume-from-context pattern agent frameworks emit when a session
+    is split across conversation ids).  Output is the stitch edge list
+    (pred_conv, succ_conv, handoff_md5) — downstream, the chains are
+    these edges' transitive closure.
+
+    Distributed plan: per-conv head/tail digests come from one
+    conv-bucket shuffle of 32-byte hashes (text never crosses an
+    exchange); candidate edges from a second groupby on the handoff
+    hash — tails and heads meet only when they can actually stitch."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "text"])
+
+    def digest_turns(t: pa.Table) -> pa.Table:
+        td = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "turn_md5": pa.array(td, pa.string()),
+            }
+        )
+        return _with_bucket(out)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        heads = g.groupby("conv_id", sort=False).first()["turn_md5"]
+        tails = g.groupby("conv_id", sort=False).last()["turn_md5"]
+        out = pd.concat(
+            [
+                pd.DataFrame({"conv_id": heads.index, "h": heads.values, "is_head": 1}),
+                pd.DataFrame({"conv_id": tails.index, "h": tails.values, "is_head": 0}),
+            ]
+        )
+        out["hash_bucket"] = [int(x[:8], 16) % _N_BUCKETS for x in out["h"]]
+        return out
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for h, grp in g.groupby("h", sort=False):
+            tails = grp[grp["is_head"] == 0]["conv_id"]
+            heads = grp[grp["is_head"] == 1]["conv_id"]
+            for a in tails:
+                for b in heads:
+                    if a != b:
+                        rows.append({"pred_conv": a, "succ_conv": b, "handoff_md5": h})
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "pred_conv": pd.Series([], dtype="object"),
+                    "succ_conv": pd.Series([], dtype="object"),
+                    "handoff_md5": pd.Series([], dtype="object"),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = (
+        _coalesced(ds.map_batches(digest_turns, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("hash_bucket")
+        .map_groups(stitch, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "pred_conv": pd.Series([], dtype="object"),
+                "succ_conv": pd.Series([], dtype="object"),
+                "handoff_md5": pd.Series([], dtype="object"),
+            }
+        )
+    return out.sort_values(["pred_conv", "succ_conv"]).reset_index(drop=True)
+
+
+def conv_chain_stitch_sql(shards_glob: str) -> str:
+    return f"""
+        WITH ranked AS (
+            SELECT conv_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS rn_head,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+                       AS rn_tail
+            FROM read_parquet('{shards_glob}')
+        ),
+        heads AS (SELECT conv_id, md5(text) AS h FROM ranked WHERE rn_head = 1),
+        tails AS (SELECT conv_id, md5(text) AS h FROM ranked WHERE rn_tail = 1)
+        SELECT t.conv_id AS pred_conv, hd.conv_id AS succ_conv,
+               t.h AS handoff_md5
+        FROM tails t JOIN heads hd USING (h)
+        WHERE t.conv_id <> hd.conv_id
+        ORDER BY pred_conv, succ_conv
+    """

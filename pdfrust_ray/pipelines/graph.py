@@ -1251,3 +1251,106 @@ def part_supplier_max_matching(sf_dir: str) -> pd.DataFrame:
             "cover_size": pd.Series([len(cover_l) + len(cover_r)], dtype="int64"),
         }
     )
+
+
+def part_supplier_articulation(sf_dir: str) -> pd.DataFrame:
+    """Biconnectivity audit of the part-supplier bipartite graph
+    (distinct lineitem edges): per connected component, its size and
+    its count of articulation vertices — entities whose removal
+    disconnects some currently-connected pair, the strongest 'single
+    point of failure' notion (complements supplier_part_herfindahl's
+    concentration view with an exact topological one).  A component
+    row with n_articulation=0 is itself the audit finding: that
+    supply subgraph is biconnected (no single entity can sever it).
+    Tarjan low-link over the entity graph; no SQL oracle exists for
+    articulation points, so tests certify by brute-force
+    vertex-removal component counting.
+
+    Distributed plan: the corpus-to-entity-graph reduction is one
+    distinct-edge groupby; Tarjan runs on the driver over the bounded
+    entity graph (scale path: per-component Tarjan after a distributed
+    connected-components pass)."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    edges = (
+        ds.groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    # vertex namespace: ('p', key) and ('s', key)
+    adj: dict = {}
+    for p, s in zip(edges["l_partkey"], edges["l_suppkey"]):
+        a, b = ("p", int(p)), ("s", int(s))
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for v in adj:
+        adj[v].sort()
+
+    disc: dict = {}
+    low: dict = {}
+    comps = []
+    timer = 0
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        # iterative Tarjan DFS over this component
+        art: set = set()
+        comp = [root]
+        stack = [(root, None, iter(adj[root]))]
+        disc[root] = low[root] = timer
+        timer += 1
+        root_children = 0
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w == parent:
+                    continue
+                if w in disc:
+                    low[v] = min(low[v], disc[w])
+                else:
+                    disc[w] = low[w] = timer
+                    timer += 1
+                    comp.append(w)
+                    if v == root:
+                        root_children += 1
+                    stack.append((w, v, iter(adj[w])))
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
+                if stack:
+                    u = stack[-1][0]
+                    low[u] = min(low[u], low[v])
+                    if u != root and low[v] >= disc[u]:
+                        art.add(u)
+        if root_children > 1:
+            art.add(root)
+        n_parts = sum(1 for t, _ in comp if t == "p")
+        comps.append(
+            {
+                "comp_id": int(root[1]),
+                "comp_side": "part" if root[0] == "p" else "supplier",
+                "n_parts": n_parts,
+                "n_suppliers": len(comp) - n_parts,
+                "n_edges": sum(len(adj[v]) for v in comp) // 2,
+                "n_articulation": len(art),
+                "min_art_key": min((k for _, k in art), default=-1),
+            }
+        )
+
+    out = pd.DataFrame(
+        comps,
+        columns=[
+            "comp_id",
+            "comp_side",
+            "n_parts",
+            "n_suppliers",
+            "n_edges",
+            "n_articulation",
+            "min_art_key",
+        ],
+    )
+    for c in out.columns:
+        if c != "comp_side":
+            out[c] = out[c].astype("int64")
+    return out.sort_values(["comp_side", "comp_id"]).reset_index(drop=True)

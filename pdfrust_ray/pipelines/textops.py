@@ -1509,3 +1509,84 @@ def doc_minimizer_sketch_sql(k: int = 3, w: int = 4) -> str:
         GROUP BY doc_id
         ORDER BY doc_id
     """
+
+
+_SCRIPT_CLASSES = [
+    ("ascii_letters", r"[A-Za-z]"),
+    ("digits", r"[0-9]"),
+    ("cjk", r"[\x{4e00}-\x{9fff}]"),
+    ("whitespace", r"[ \t\r\n]"),
+]
+
+
+def doc_script_census(sf_dir: str) -> pd.DataFrame:
+    """Per-language script census over the documents table: how many
+    codepoints fall in each script class (ASCII letters, digits, CJK
+    ideographs, whitespace, everything else) — the encoding/script
+    audit that validates a language tag actually matches the text's
+    script before the corpus enters language-specific cleaning.
+
+    Distributed plan: per-doc counting vectorized inside map_batches,
+    one lang-keyed groupby of integer partials."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    pats = [(name, re.compile(rx.replace(r"\x{4e00}", "一").replace(r"\x{9fff}", "鿿")))
+            for name, rx in _SCRIPT_CLASSES]
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def census(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        texts = t["text"].to_pylist()
+        cols: dict = {name: [] for name, _ in pats}
+        other, total = [], []
+        for s in texts:
+            n = len(s)
+            covered = 0
+            for name, rx in pats:
+                c = len(rx.findall(s))
+                cols[name].append(c)
+                covered += c
+            other.append(n - covered)
+            total.append(n)
+        data = {"lang": pa.array(langs, pa.string())}
+        for name, _ in pats:
+            data[name] = pa.array(cols[name], pa.int64())
+        data["other"] = pa.array(other, pa.int64())
+        data["total_chars"] = pa.array(total, pa.int64())
+        return pa.table(data)
+
+    aggs = [Sum(name, alias_name=name) for name, _ in _SCRIPT_CLASSES]
+    aggs += [Sum("other", alias_name="other"), Sum("total_chars", alias_name="total_chars")]
+    out = (
+        ds.map_batches(census, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(*aggs)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "lang":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def doc_script_census_sql() -> str:
+    cls = ", ".join(
+        f"""CAST(SUM(length(text) - length(regexp_replace(text, '{rx}', '', 'g')))
+             AS BIGINT) AS {name}"""
+        for name, rx in _SCRIPT_CLASSES
+    )
+    any_cls = "|".join(rx for _, rx in _SCRIPT_CLASSES)
+    return f"""
+        SELECT lang, {cls},
+               CAST(SUM(length(regexp_replace(text, '{any_cls}', '', 'g')))
+                    AS BIGINT) AS other,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """
