@@ -55,6 +55,7 @@ def _ensure_fixture_files() -> None:
         from pdfrust_ray.fixtures.corpus import (
             ensure_chains_fixture,
             ensure_corpus,
+            ensure_unicode_fixture,
             ensure_encrypted_fixture,
             ensure_forks_fixture,
             ensure_htmlld_fixture,
@@ -74,6 +75,7 @@ def _ensure_fixture_files() -> None:
         ensure_htmlld_fixture()
         ensure_forks_fixture()
         ensure_chains_fixture()
+        ensure_unicode_fixture()
     except Exception:  # never break module import on fixture IO issues
         pass
 
@@ -240,6 +242,19 @@ def _q_conv_chain_stitch(sf_dir: str):
     from pdfrust_ray.pipelines.conversation import conv_chain_stitch
 
     return conv_chain_stitch(ensure_chains_fixture())
+
+
+_UNICODE_SHARDS = f"{_FIXTURE_BASE}/unicode/shards/*.parquet"
+
+
+def _q_turn_nfc_audit(sf_dir: str):
+    """NFC drift audit over the dedicated prose fixture family (t1/t2
+    non-ASCII turns are PDF payloads containing NULs, which DuckDB's
+    nfc_normalize truncates at — no sound oracle there)."""
+    from pdfrust_ray.fixtures.corpus import ensure_unicode_fixture
+    from pdfrust_ray.pipelines.conversation import turn_nfc_audit
+
+    return turn_nfc_audit(ensure_unicode_fixture())
 
 
 def _q_conv_prefix_forks(sf_dir: str):
@@ -1215,6 +1230,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_script_census": textops.doc_script_census,
         # articulation-point single-point-of-failure analysis
         "part_supplier_articulation": graph.part_supplier_articulation,
+        # Unicode NFC normalization drift audit (prose fixture: DuckDB's
+        # nfc_normalize truncates at NUL, so payload turns can't oracle)
+        "turn_nfc_audit": _q_turn_nfc_audit,
+        # rendezvous (HRW) routing + scale-out movement audit
+        "rendezvous_hash_audit": dso.rendezvous_hash_audit,
+        # optimal 0/1-knapsack token-budget curve (max-plus shard DP)
+        "doc_knapsack_curve": llm.doc_knapsack_curve,
     }
 
 
@@ -1764,6 +1786,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_minimizer_sketch": textops.doc_minimizer_sketch_sql(),
         "conv_chain_stitch": cv.conv_chain_stitch_sql(_CHAINS_SHARDS),
         "doc_script_census": textops.doc_script_census_sql(),
+        "turn_nfc_audit": cv.turn_nfc_audit_sql(_UNICODE_SHARDS),
+        "rendezvous_hash_audit": dso.rendezvous_hash_audit_sql(),
+        "doc_knapsack_curve": llm.doc_knapsack_curve_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -834,3 +834,61 @@ def ensure_chains_fixture(base_dir: str | None = None) -> str:
     with open(marker, "w") as f:
         json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
     return base
+
+
+def ensure_unicode_fixture(base_dir: str | None = None) -> str:
+    """Unicode-normalization fixture family for turn_nfc_audit: prose
+    turns (no control bytes — DuckDB's nfc_normalize truncates at NUL,
+    so the oracle needs clean text) mixing NFC-composed, NFC-DECOMPOSED
+    (combining marks, Hangul jamo), compatibility forms that NFC leaves
+    alone (fullwidth, ligatures — the NFKC-only cases), and plain
+    ASCII."""
+    base = base_dir or "/tmp/pdfrust_ray_fixtures/unicode"
+    marker = os.path.join(base, "_COMPLETE.json")
+    if _marker_current(marker):
+        return base
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    rows = []
+
+    decomposed = [
+        "café menu review",            # e + COMBINING ACUTE -> é
+        "Ångström units noted",  # A+ring, o+diaeresis
+        "각 syllable test",  # Hangul jamo -> 각
+        "résumé attached",
+    ]
+    composed = ["café menu review", "Ångström units noted", "각 syllable test"]
+    nfkc_only = ["ﬁnal ﬂight", "ＦＵＬＬ　ＷＩＤＴＨ text", "x² + y²"]
+    ascii_only = ["plain ascii line", "another plain line"]
+
+    def add(conv_id: str, texts: list[str]) -> None:
+        for t, text in enumerate(texts):
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": ["user", "assistant", "tool"][t % 3],
+                    "text": text,
+                    "tool": "",
+                    "ts": 1735689600_000000 + len(rows) * 60_000_000,
+                }
+            )
+
+    for i in range(12):
+        h = _h(f"unicode:{i}")
+        mix = []
+        for j in range(5):
+            pool = [decomposed, composed, nfkc_only, ascii_only][(h >> (2 * j)) % 4]
+            mix.append(pool[(h >> (10 + j)) % len(pool)])
+        add(f"uni-{i:03d}", mix)
+    add("uni-plain", ascii_only * 2)
+
+    for shard in range(2):
+        part = [r for i, r in enumerate(rows) if i % 2 == shard]
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=TRANSCRIPTS_SCHEMA),
+            os.path.join(shard_dir, f"part-{shard:04d}.parquet"),
+        )
+    with open(marker, "w") as f:
+        json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
+    return base

@@ -1962,3 +1962,71 @@ def conv_chain_stitch_sql(shards_glob: str) -> str:
         WHERE t.conv_id <> hd.conv_id
         ORDER BY pred_conv, succ_conv
     """
+
+
+def turn_nfc_audit(corpus_dir: str) -> pd.DataFrame:
+    """Unicode-normalization hygiene audit: per role, how many turns
+    change under NFC normalization (UAX #15) and the total codepoint
+    delta — the check a text-cleaning pipeline runs before canonical
+    dedup, since un-normalized text makes byte-identical duplicates
+    hash apart.  Python's unicodedata and DuckDB's utf8proc both
+    implement standard NFC, so counts are exactly comparable.
+
+    Distributed plan: per-turn NFC inside map_batches (string op,
+    inherently per-row), integer partials folded through a role-keyed
+    groupby — a handful of rows cross the exchange."""
+    import unicodedata
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["role", "text"])
+
+    def per_turn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        drift, delta, nonascii = [], [], []
+        for s in texts:
+            n = unicodedata.normalize("NFC", s)
+            drift.append(1 if n != s else 0)
+            delta.append(len(s) - len(n))
+            nonascii.append(0 if s.isascii() else 1)
+        return pa.table(
+            {
+                "role": t["role"],
+                "one": pa.array([1] * len(texts), pa.int64()),
+                "drift": pa.array(drift, pa.int64()),
+                "delta": pa.array(delta, pa.int64()),
+                "nonascii": pa.array(nonascii, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(per_turn, batch_format="pyarrow")
+        .groupby("role")
+        .aggregate(
+            Sum("one", alias_name="n_turns"),
+            Sum("drift", alias_name="n_nfc_drift_turns"),
+            Sum("delta", alias_name="nfc_delta_chars"),
+            Sum("nonascii", alias_name="n_nonascii_turns"),
+        )
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "role":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def turn_nfc_audit_sql(shards_glob: str) -> str:
+    return f"""
+        SELECT role,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(COUNT(*) FILTER (WHERE nfc_normalize(text) <> text)
+                    AS BIGINT) AS n_nfc_drift_turns,
+               CAST(SUM(length(text) - length(nfc_normalize(text)))
+                    AS BIGINT) AS nfc_delta_chars,
+               CAST(COUNT(*) FILTER (
+                        WHERE text <> regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))
+                    AS BIGINT) AS n_nonascii_turns
+        FROM read_parquet('{shards_glob}')
+        GROUP BY role ORDER BY role
+    """

@@ -3037,3 +3037,93 @@ def bitmap_index_audit_sql(container_bits: int = 12, array_cap: int = 256) -> st
         GROUP BY event_type
         ORDER BY event_type
     """
+
+
+def rendezvous_hash_audit(sf_dir: str, n_old: int = 8) -> pd.DataFrame:
+    """Rendezvous (highest-random-weight) routing audit: assign every
+    document to the worker maximizing md5(worker|doc_id), then replay
+    the assignment with one extra worker and measure movement.  HRW's
+    defining guarantee — scaling out moves keys ONLY onto the new
+    worker, ~1/(W+1) of them, with no old-to-old churn — is what the
+    audit certifies before a cache/shard tier adopts the scheme (the
+    sibling of consistent_hash_ring's vnode-ring view).
+
+    Distributed plan: per-batch vectorized md5 over W+1 worker lanes
+    (functions/md5vec), owner = lexicographic argmax of (hash, worker)
+    so ties are deterministic; per-old-worker integer partials fold
+    through a W-row groupby — no data rows cross the exchange."""
+    from ray.data.aggregate import Sum
+
+    from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+    workers = [f"w{i}" for i in range(n_old + 1)]
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def route(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        if not ids:
+            return pa.table(
+                {
+                    "worker": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "moved": pa.array([], pa.int64()),
+                }
+            )
+        # [N, W+1] hash matrix; owner = argmax of (hash, worker_idx)
+        h = np.stack(
+            [
+                md5_prefix_u32([f"{w}|{d}".encode() for d in ids])
+                for w in workers
+            ],
+            axis=1,
+        ).astype(np.uint64)
+        key = h * np.uint64(16) + np.arange(len(workers), dtype=np.uint64)
+        old = np.argmax(key[:, :n_old], axis=1)
+        new = np.argmax(key, axis=1)
+        moved = (old != new).astype(np.int64)
+        n = np.bincount(old, minlength=n_old).astype(np.int64)
+        m = np.bincount(old, weights=moved, minlength=n_old).astype(np.int64)
+        return pa.table(
+            {
+                "worker": pa.array([f"w{i}" for i in range(n_old)], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "moved": pa.array(m, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("worker")
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("moved", alias_name="n_moved"))
+        .to_pandas()
+        .sort_values("worker")
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_moved"] = out["n_moved"].astype("int64")
+    return out
+
+
+def rendezvous_hash_audit_sql(n_old: int = 8) -> str:
+    return f"""
+        WITH lanes AS (
+            SELECT d.doc_id, w.i AS wi,
+                   CAST(('0x' || substr(md5('w' || w.i || '|' ||
+                            CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                       * 16 + w.i AS key
+            FROM documents d, generate_series(0, {n_old}) w(i)
+        ),
+        old_owner AS (
+            SELECT doc_id, arg_max(wi, key) AS wo
+            FROM lanes WHERE wi < {n_old} GROUP BY doc_id
+        ),
+        new_owner AS (
+            SELECT doc_id, arg_max(wi, key) AS wn FROM lanes GROUP BY doc_id
+        )
+        SELECT 'w' || o.wo AS worker,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE n.wn <> o.wo) AS BIGINT) AS n_moved
+        FROM old_owner o JOIN new_owner n USING (doc_id)
+        GROUP BY o.wo ORDER BY worker
+    """

@@ -1262,3 +1262,93 @@ def token_nucleus_share_sql(pct_num: int = 9, pct_den: int = 10) -> str:
                              THEN cum ELSE 0 END) AS BIGINT) AS nucleus_tokens
         FROM ranked
     """
+
+
+def doc_knapsack_curve(sf_dir: str, budget: int = 500, step: int = 50) -> pd.DataFrame:
+    """Optimal token-budget curation curve: the 0/1-knapsack maximum of
+    total quality score over English documents (weight = whitespace
+    token count, value = the same distinct-token-per-mille score
+    quality_budget_selection greedily ranks by) at every budget
+    checkpoint 0..budget — the exact upper bound that tells you how
+    much the greedy prefix leaves on the table.  The DP VALUE curve is
+    unique (selection sets are not), so it is exactly comparable.
+
+    Distributed plan: 0/1-knapsack DP composes — each shard folds its
+    items into a local (budget+1) DP vector inside map_batches
+    (numpy shift-max per item), and shard vectors combine by max-plus
+    convolution, a budget²-sized associative reduce of
+    partition-count-many tiny vectors (never the documents)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def shard_dp(t: pa.Table) -> pa.Table:
+        dp = np.zeros(budget + 1, dtype=np.int64)
+        langs = t["lang"].to_pylist()
+        for lang, txt in zip(langs, t["text"].to_pylist()):
+            if lang != "en":
+                continue
+            ws = txt.split()
+            w = len(ws)
+            if w == 0 or w > budget:
+                continue
+            v = (len(set(ws)) * 1000) // w
+            # RHS evaluates on the pre-update vector: each item once
+            dp[w:] = np.maximum(dp[w:], dp[: budget + 1 - w] + v)
+        return pa.table({"dp": pa.array([dp.tolist()], pa.list_(pa.int64()))})
+
+    def maxplus(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        out = np.full(budget + 1, np.iinfo(np.int64).min, dtype=np.int64)
+        for k in range(budget + 1):
+            np.maximum(out[k:], a[k] + b[: budget + 1 - k], out=out[k:])
+        return out
+
+    shards = [
+        np.asarray(row["dp"], dtype=np.int64)
+        for row in ds.map_batches(shard_dp, batch_format="pyarrow").take_all()
+    ]
+    acc = np.zeros(budget + 1, dtype=np.int64)
+    for s in shards:
+        acc = maxplus(acc, s)
+    bs = list(range(0, budget + 1, step))
+    return pd.DataFrame(
+        {
+            "budget": pd.Series(bs, dtype="int64"),
+            "best_quality": pd.Series([int(acc[b]) for b in bs], dtype="int64"),
+        }
+    )
+
+
+def doc_knapsack_curve_sql(budget: int = 500, step: int = 50) -> str:
+    return rf"""
+        WITH RECURSIVE scored AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   w -> w <> '')) AS w,
+                   len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                                 w -> w <> ''))) AS nd
+            FROM documents WHERE lang = 'en'
+        ), items AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS i, w,
+                   (nd * 1000) // w AS v
+            FROM scored WHERE w > 0 AND w <= {budget}
+        ), dp AS (
+            SELECT 0 AS i,
+                   list_transform(generate_series(0, {budget}),
+                                  x -> CAST(0 AS BIGINT)) AS d
+            UNION ALL
+            SELECT dp.i + 1,
+                   list_transform(generate_series(0, {budget}),
+                       b -> CASE WHEN b >= t.w
+                                  AND dp.d[b - t.w + 1] + t.v > dp.d[b + 1]
+                                 THEN dp.d[b - t.w + 1] + t.v
+                                 ELSE dp.d[b + 1] END)
+            FROM dp JOIN items t ON t.i = dp.i + 1
+        ), fin AS (
+            SELECT d FROM dp WHERE i = (SELECT COALESCE(MAX(i), 0) FROM items)
+        )
+        SELECT CAST(b AS BIGINT) AS budget,
+               CAST(fin.d[b + 1] AS BIGINT) AS best_quality
+        FROM fin, generate_series(0, {budget}, {step}) g(b)
+        ORDER BY b
+    """
