@@ -1237,6 +1237,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous_hash_audit": dso.rendezvous_hash_audit,
         # optimal 0/1-knapsack token-budget curve (max-plus shard DP)
         "doc_knapsack_curve": llm.doc_knapsack_curve,
+        # union-coverage (gaps-and-islands busy time) per user
+        "user_interval_union": rel.user_interval_union,
+        # EDF backlog schedulability audit (Jackson's rule)
+        "cust_edf_lateness": rel.cust_edf_lateness,
+        # trigram LIKE-index selectivity planning
+        "part_trigram_selectivity": dso.part_trigram_selectivity,
     }
 
 
@@ -1789,6 +1795,9 @@ def oracle_sql() -> dict[str, str]:
         "turn_nfc_audit": cv.turn_nfc_audit_sql(_UNICODE_SHARDS),
         "rendezvous_hash_audit": dso.rendezvous_hash_audit_sql(),
         "doc_knapsack_curve": llm.doc_knapsack_curve_sql(),
+        "user_interval_union": rel.user_interval_union_sql(),
+        "cust_edf_lateness": rel.cust_edf_lateness_sql(),
+        "part_trigram_selectivity": dso.part_trigram_selectivity_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -3127,3 +3127,60 @@ def rendezvous_hash_audit_sql(n_old: int = 8) -> str:
         FROM old_owner o JOIN new_owner n USING (doc_id)
         GROUP BY o.wo ORDER BY worker
     """
+
+
+def part_trigram_selectivity(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Trigram-index planning over part names: document frequency of
+    every character 3-gram (each part counted once per trigram) and
+    the top-k least selective trigrams — the statistic a LIKE-pattern
+    index planner needs, since a '%foo%' scan is only cheap when foo's
+    trigrams are rare.  Ties break on the trigram string so the top-k
+    cut is deterministic.
+
+    Distributed plan: per-batch per-name trigram SETS collapse into
+    Counter partials (vocabulary-sized: <= alphabet³ rows cross the
+    exchange, never one row per occurrence), one groupby(trigram) Sum,
+    then a distributed sort + limit over the bounded trigram table."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for name in t["p_name"].to_pylist():
+            c.update({name[i : i + 3] for i in range(len(name) - 2)})
+        if not c:
+            return pa.table(
+                {"trigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        tg, n = zip(*sorted(c.items()))
+        return pa.table(
+            {"trigram": pa.array(tg, pa.string()), "n": pa.array(n, pa.int64())}
+        )
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("trigram")
+        .aggregate(Sum("n", alias_name="df"))
+        .to_pandas()
+    )
+    df["df"] = df["df"].astype("int64")
+    out = df.sort_values(["df", "trigram"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)[["trigram", "df"]]
+
+
+def part_trigram_selectivity_sql(k: int = 25) -> str:
+    return f"""
+        WITH tg AS (
+            SELECT DISTINCT p_partkey,
+                   substr(p_name,
+                          unnest(generate_series(1, length(p_name) - 2)),
+                          3) AS trigram
+            FROM part
+        )
+        SELECT trigram, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tg GROUP BY trigram
+        ORDER BY df DESC, trigram LIMIT {k}
+    """

@@ -18947,3 +18947,176 @@ def user_running_median_sql() -> str:
         FROM events
         ORDER BY event_id
     """
+
+
+def user_interval_union(sf_dir: str) -> pd.DataFrame:
+    """Union-coverage per user: total seconds covered by the UNION of
+    the same deterministic event intervals user_interval_scheduling
+    builds ([s, s + 60 + w%600), s = epoch second, w = value cents) —
+    the busy-time / utilization measure behind sessionization and SLA
+    accounting, where overlapping activity must not double-count.
+    Classic gaps-and-islands: sorted by start, an interval starts a new
+    island when its start exceeds the running max end.
+
+    Distributed plan: user-keyed groupby; inside each group one sort +
+    vectorized cummax — no cross-user state, integer arithmetic only."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 1_000_000)
+        return pa.table({"user_id": t["user_id"], "s": s, "w": _cents(t["value"])})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["s"].to_numpy(np.int64)
+        e = s + 60 + (g["w"].to_numpy(np.int64) % 600)
+        order = np.lexsort((e, s))
+        s, e = s[order], e[order]
+        run_end = np.maximum.accumulate(e)
+        # island starts where s > max end of everything before
+        prev_end = np.concatenate(([np.iinfo(np.int64).min], run_end[:-1]))
+        new_island = s > prev_end
+        island = np.cumsum(new_island) - 1
+        starts = s[new_island]
+        ends = np.maximum.reduceat(e, np.flatnonzero(new_island))
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_intervals": [len(s)],
+                "n_islands": [int(island[-1]) + 1 if len(s) else 0],
+                "covered_s": [int((ends - starts).sum())],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def user_interval_union_sql() -> str:
+    return """
+        WITH iv AS (
+            SELECT user_id AS u, epoch_us(ts) // 1000000 AS s,
+                   epoch_us(ts) // 1000000 + 60 +
+                       (CAST(ROUND(value * 100) AS BIGINT) % 600) AS e
+            FROM events
+        ),
+        flagged AS (
+            SELECT u, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                            PARTITION BY u ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            -9223372036854775808)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        islands AS (
+            SELECT u, s, e,
+                   SUM(new_island) OVER (
+                       PARTITION BY u ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM flagged
+        )
+        SELECT CAST(u AS BIGINT) AS user_id,
+               CAST(SUM(n) AS BIGINT) AS n_intervals,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(ilen) AS BIGINT) AS covered_s
+        FROM (
+            SELECT u, island, MAX(e) - MIN(s) AS ilen, COUNT(*) AS n
+            FROM islands GROUP BY u, island
+        ) t
+        GROUP BY u ORDER BY u
+    """
+
+
+def cust_edf_lateness(sf_dir: str) -> pd.DataFrame:
+    """Earliest-deadline-first replay of each customer's order backlog:
+    orders are jobs on one machine starting at t=0, deadline = days
+    since the customer's first order (+1 day, in seconds), processing
+    time = 60 + totalprice-cents % 3600 seconds.  EDF (Jackson's rule)
+    provably minimizes maximum lateness on one machine, so the reported
+    max_lateness_s is the best achievable — the schedulability audit a
+    backfill queue runs against its SLAs.
+
+    Distributed plan: customer-keyed groupby; per group one sort by
+    (deadline, orderkey) + cumsum — integer arithmetic end-to-end."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        d = pc.divide(
+            pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()),
+            86_400_000_000,
+        )
+        return pa.table(
+            {
+                "cust": t["o_custkey"],
+                "ok": t["o_orderkey"],
+                "day": d,
+                "p": _cents(t["o_totalprice"]),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["day"].to_numpy(np.int64)
+        ok = g["ok"].to_numpy(np.int64)
+        p = 60 + (g["p"].to_numpy(np.int64) % 3600)
+        dl = (day - day.min() + 1) * 86400
+        order = np.lexsort((ok, dl))
+        dl, p = dl[order], p[order]
+        c = np.cumsum(p)
+        late = c - dl
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(g["cust"].iloc[0])],
+                "n_jobs": [len(p)],
+                "n_late": [int((late > 0).sum())],
+                "max_lateness_s": [int(max(late.max(), 0))],
+                "makespan_s": [int(c[-1])],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("cust")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True).astype("int64")
+
+
+def cust_edf_lateness_sql() -> str:
+    return """
+        WITH j AS (
+            SELECT o_custkey AS c, o_orderkey AS k,
+                   epoch_us(o_orderdate) // 86400000000 AS day,
+                   60 + (CAST(ROUND(o_totalprice * 100) AS BIGINT) % 3600) AS p
+            FROM orders
+        ),
+        rel AS (
+            SELECT c, k, p,
+                   (day - MIN(day) OVER (PARTITION BY c) + 1) * 86400 AS dl
+            FROM j
+        ),
+        sched AS (
+            SELECT c, dl,
+                   SUM(p) OVER (PARTITION BY c ORDER BY dl, k
+                                ROWS UNBOUNDED PRECEDING) AS fin
+            FROM rel
+        )
+        SELECT CAST(c AS BIGINT) AS o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_jobs,
+               CAST(COUNT(*) FILTER (WHERE fin > dl) AS BIGINT) AS n_late,
+               CAST(GREATEST(MAX(fin - dl), 0) AS BIGINT) AS max_lateness_s,
+               CAST(MAX(fin) AS BIGINT) AS makespan_s
+        FROM sched GROUP BY c ORDER BY c
+    """
