@@ -1243,6 +1243,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_edf_lateness": rel.cust_edf_lateness,
         # trigram LIKE-index selectivity planning
         "part_trigram_selectivity": dso.part_trigram_selectivity,
+        # Neyman stratified allocation (exact integer largest-remainder)
+        "neyman_allocation": rel.neyman_allocation,
+        # Hoover inequality index as an exact integer fraction
+        "type_hoover_index": rel.type_hoover_index,
+        # functional-dependency / candidate-key discovery profiling
+        "fd_discovery_audit": dso.fd_discovery_audit,
     }
 
 
@@ -1798,6 +1804,9 @@ def oracle_sql() -> dict[str, str]:
         "user_interval_union": rel.user_interval_union_sql(),
         "cust_edf_lateness": rel.cust_edf_lateness_sql(),
         "part_trigram_selectivity": dso.part_trigram_selectivity_sql(),
+        "neyman_allocation": rel.neyman_allocation_sql(),
+        "type_hoover_index": rel.type_hoover_index_sql(),
+        "fd_discovery_audit": dso.fd_discovery_audit_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -3184,3 +3184,94 @@ def part_trigram_selectivity_sql(k: int = 25) -> str:
         FROM tg GROUP BY trigram
         ORDER BY df DESC, trigram LIMIT {k}
     """
+
+
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),       # true key -> holds
+    ("orders", "o_custkey", "o_orderstatus"),    # violated
+    ("lineitem", "l_orderkey", "l_partkey"),     # violated (multi-line)
+    ("lineitem", "l_partkey", "l_suppkey"),      # violated (multi-supplier)
+    ("lineitem", "l_orderkey", "l_returnflag"),  # data-dependent
+]
+
+
+def fd_discovery_audit(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency profiling: for each candidate lhs -> rhs
+    column pair, does the dependency hold, how many lhs values violate
+    it, and how fan-out-y is the worst violator — the schema-inference
+    pass a lakehouse catalog runs to discover keys and denormalization
+    opportunities before choosing partition columns.
+
+    Distributed plan: per candidate, one distinct-pair groupby (the
+    per-batch map collapses within-batch duplicates first) then a
+    lhs-keyed count whose summary folds through map_batches partials —
+    the exchange carries distinct pairs, never raw rows."""
+    from ray.data.aggregate import Count
+
+    rows = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[lhs, rhs])
+
+        def dedupe(t: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
+            g = pa.TableGroupBy(t, [lhs, rhs]).aggregate([])
+            return g.select([lhs, rhs])
+
+        per_lhs = (
+            ds.map_batches(dedupe, batch_format="pyarrow")
+            .groupby([lhs, rhs])
+            .aggregate(Count(alias_name="c"))
+            .groupby(lhs)
+            .aggregate(Count(alias_name="n_rhs"))
+        )
+
+        def summary(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            nr = t["n_rhs"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "n_lhs": pa.array([len(nr)], pa.int64()),
+                    "n_violating": pa.array([int((nr > 1).sum())], pa.int64()),
+                    "max_fanout": pa.array([int(nr.max()) if len(nr) else 0], pa.int64()),
+                }
+            )
+
+        s = (
+            per_lhs.map_batches(summary, batch_format="pyarrow")
+            .to_pandas()
+            .agg({"n_lhs": "sum", "n_violating": "sum", "max_fanout": "max"})
+        )
+        rows.append(
+            {
+                "tbl": table,
+                "lhs": lhs,
+                "rhs": rhs,
+                "n_lhs": int(s["n_lhs"]),
+                "n_violating": int(s["n_violating"]),
+                "max_fanout": int(s["max_fanout"]),
+                "holds": 1 if int(s["n_violating"]) == 0 else 0,
+            }
+        )
+    out = pd.DataFrame(rows).sort_values(["tbl", "lhs", "rhs"]).reset_index(drop=True)
+    for c in ("n_lhs", "n_violating", "max_fanout", "holds"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def fd_discovery_audit_sql() -> str:
+    parts = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+            SELECT '{table}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
+                   CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                   CAST(COUNT(*) FILTER (WHERE n_rhs > 1) AS BIGINT)
+                       AS n_violating,
+                   CAST(MAX(n_rhs) AS BIGINT) AS max_fanout,
+                   CAST(CASE WHEN COUNT(*) FILTER (WHERE n_rhs > 1) = 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS holds
+            FROM (
+                SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs
+                FROM {table} GROUP BY 1
+            )""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY tbl, lhs, rhs"

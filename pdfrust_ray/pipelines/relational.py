@@ -19120,3 +19120,186 @@ def cust_edf_lateness_sql() -> str:
                CAST(MAX(fin) AS BIGINT) AS makespan_s
         FROM sched GROUP BY c ORDER BY c
     """
+
+
+def neyman_allocation(sf_dir: str, budget: int = 1000) -> pd.DataFrame:
+    """Neyman-optimal stratified sample allocation across event types:
+    stratum h gets budget * (N_h * sigma_h) / sum(N * sigma) samples,
+    where N_h*sigma_h is computed EXACTLY as isqrt(n*Sxx - Sx^2) over
+    value cents (the same integer dispersion type_value_sd_floor
+    floors), and fractional seats resolve by largest remainder with
+    event_type tie-break — the variance-minimizing survey design for a
+    fixed label/inspection budget, made bit-deterministic.
+
+    Distributed plan: one type-keyed groupby of (n, Sx, Sxx) partials;
+    the allocation arithmetic runs over the type-catalog-sized table."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _cents(t["value"])
+        return pa.table(
+            {"event_type": t["event_type"], "x": x, "xx": pc.multiply(x, x)}
+        )
+
+    g = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("xx", alias_name="sxx"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    w = [
+        math.isqrt(int(n) * int(sxx) - int(sx) * int(sx))
+        for n, sx, sxx in zip(g["n"], g["sx"], g["sxx"])
+    ]
+    W = sum(w)
+    base = [budget * wi // W for wi in w]
+    rem = [budget * wi % W for wi in w]
+    extra = budget - sum(base)
+    order = sorted(range(len(w)), key=lambda i: (-rem[i], g["event_type"].iloc[i]))
+    alloc = list(base)
+    for i in order[:extra]:
+        alloc[i] += 1
+    return pd.DataFrame(
+        {
+            "event_type": g["event_type"],
+            "n": g["n"].astype("int64"),
+            "weight": pd.Series(w, dtype="int64"),
+            "alloc": pd.Series(alloc, dtype="int64"),
+        }
+    )
+
+
+def neyman_allocation_sql(budget: int = 1000) -> str:
+    return f"""
+        WITH f AS (
+            SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events
+        ),
+        g AS (
+            SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx
+            FROM f GROUP BY 1
+        ),
+        v AS (
+            SELECT event_type, n,
+                   n * sxx - CAST(sx AS HUGEINT) * sx AS var_num
+            FROM g
+        ),
+        k AS (
+            SELECT *, CAST(FLOOR(SQRT(CAST(var_num AS DOUBLE))) AS BIGINT) AS kf
+            FROM v
+        ),
+        w AS (
+            SELECT event_type, n,
+                   CAST(CASE
+                       WHEN CAST(kf + 1 AS HUGEINT) * (kf + 1) <= var_num THEN kf + 1
+                       WHEN CAST(kf AS HUGEINT) * kf > var_num THEN kf - 1
+                       ELSE kf END AS HUGEINT) AS wt
+            FROM k
+        ),
+        tot AS (SELECT SUM(wt) AS big_w FROM w),
+        basesum AS (
+            SELECT SUM({budget} * wt // (SELECT big_w FROM tot)) AS base_sum
+            FROM w
+        ),
+        seats AS (
+            SELECT event_type, n, wt,
+                   {budget} * wt // (SELECT big_w FROM tot) AS base,
+                   {budget} * wt % (SELECT big_w FROM tot) AS rem
+            FROM w
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rk
+            FROM seats
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(wt AS BIGINT) AS weight,
+               CAST(base + CASE WHEN rk <= {budget} - (SELECT base_sum FROM basesum)
+                                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM ranked ORDER BY event_type
+    """
+
+
+def type_hoover_index(sf_dir: str) -> pd.DataFrame:
+    """Hoover (Robin Hood) inequality index per event type over value
+    cents, as an EXACT integer fraction: numerator = sum|n*x_i - Sx|,
+    denominator = 2*n*Sx — the share of total value that would have to
+    move between events to equalize them.  No floats anywhere, so the
+    SQL twin is bit-identical.
+
+    Distributed plan: two passes — a type-catalog-sized groupby of
+    (n, Sx), broadcast back into a second map_batches that folds
+    |n*x_i - Sx| partials through the same tiny groupby (the classic
+    broadcast-stats-then-scan shape; no data-sized shuffle)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"], "x": _cents(t["value"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    stats = (
+        prepped.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("x", alias_name="sx"))
+        .to_pandas()
+    )
+    lut = {t: (int(n), int(sx)) for t, n, sx in zip(stats["event_type"], stats["n"], stats["sx"])}
+    lut_ref = ray.put(lut)
+
+    def dev(t: pa.Table, *, lut_ref) -> pa.Table:
+        import numpy as np
+
+        lut = ray.get(lut_ref)
+        types = t["event_type"].to_pylist()
+        x = t["x"].to_numpy(zero_copy_only=False).astype(object)
+        # python-int arithmetic: n*x can exceed int64 at 100-TB counts
+        d = [abs(lut[tt][0] * int(xi) - lut[tt][1]) for tt, xi in zip(types, x)]
+        df = pd.DataFrame({"event_type": types, "d": d})
+        g = df.groupby("event_type", as_index=False)["d"].sum()
+        g["d"] = g["d"].astype(object)
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "d": pa.array([str(v) for v in g["d"]], pa.string()),
+            }
+        )
+
+    parts = prepped.map_batches(dev, batch_format="pyarrow", fn_kwargs={"lut_ref": lut_ref}).to_pandas()
+    parts["d"] = parts["d"].map(int)
+    num = parts.groupby("event_type", as_index=False)["d"].sum()
+    out = stats.merge(num, on="event_type").sort_values("event_type").reset_index(drop=True)
+    out["hoover_num"] = out["d"].astype("int64")
+    out["hoover_den"] = (2 * out["n"].astype("int64") * out["sx"].astype("int64")).astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "n", "hoover_num", "hoover_den"]]
+
+
+def type_hoover_index_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events
+        ),
+        g AS (
+            SELECT event_type, COUNT(*) AS n, SUM(x) AS sx FROM f GROUP BY 1
+        )
+        SELECT f.event_type, CAST(g.n AS BIGINT) AS n,
+               CAST(SUM(ABS(CAST(g.n AS HUGEINT) * f.x - g.sx)) AS BIGINT)
+                   AS hoover_num,
+               CAST(2 * g.n * g.sx AS BIGINT) AS hoover_den
+        FROM f JOIN g USING (event_type)
+        GROUP BY f.event_type, g.n, g.sx
+        ORDER BY f.event_type
+    """
