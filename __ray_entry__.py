@@ -1249,6 +1249,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_hoover_index": rel.type_hoover_index,
         # functional-dependency / candidate-key discovery profiling
         "fd_discovery_audit": dso.fd_discovery_audit,
+        # ABC Pareto stock classification via the two-phase scan
+        "part_abc_classification": rel.part_abc_classification,
+        # optimizer join-cardinality estimate vs exact audit
+        "join_cardinality_audit": dso.join_cardinality_audit,
+        # naive sentence-segmentation census
+        "doc_sentence_census": textops.doc_sentence_census,
     }
 
 
@@ -1807,6 +1813,9 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation": rel.neyman_allocation_sql(),
         "type_hoover_index": rel.type_hoover_index_sql(),
         "fd_discovery_audit": dso.fd_discovery_audit_sql(),
+        "part_abc_classification": rel.part_abc_classification_sql(),
+        "join_cardinality_audit": dso.join_cardinality_audit_sql(),
+        "doc_sentence_census": textops.doc_sentence_census_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -3275,3 +3275,85 @@ def fd_discovery_audit_sql() -> str:
             )""")
     union = "\nUNION ALL\n".join(parts)
     return f"SELECT * FROM (\n{union}\n) ORDER BY tbl, lhs, rhs"
+
+
+_JOIN_CANDIDATES = [
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events_customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def join_cardinality_audit(sf_dir: str) -> pd.DataFrame:
+    """Optimizer cost-model audit: for each candidate equi-join, the
+    textbook cardinality estimate floor(n_left * n_right /
+    max(d_left, d_right)) (containment-of-values assumption) versus
+    the EXACT join output size — the feedback loop that tells a query
+    planner where its uniformity assumption breaks (skewed keys blow
+    the estimate).  The exact count never materializes the join: it is
+    sum over matching keys of count_left * count_right.
+
+    Distributed plan: per side one key-count groupby (key-cardinality
+    output); the exact count is an Arrow hash join of the two bounded
+    count tables + one vectorized product-sum."""
+    from ray.data.aggregate import Count
+
+    rows = []
+    for name, lt, lk, rt, rk in _JOIN_CANDIDATES:
+        lc = (
+            rd.read_parquet(f"{sf_dir}/{lt}.parquet", columns=[lk])
+            .groupby(lk)
+            .aggregate(Count(alias_name="nl"))
+            .to_pandas()
+        )
+        rc = (
+            rd.read_parquet(f"{sf_dir}/{rt}.parquet", columns=[rk])
+            .groupby(rk)
+            .aggregate(Count(alias_name="nr"))
+            .to_pandas()
+        )
+        n_l, n_r = int(lc["nl"].sum()), int(rc["nr"].sum())
+        d_l, d_r = len(lc), len(rc)
+        m = lc.merge(rc, left_on=lk, right_on=rk)
+        actual = int((m["nl"].astype("int64") * m["nr"].astype("int64")).sum())
+        est = n_l * n_r // max(d_l, d_r)
+        rows.append(
+            {
+                "join_name": name,
+                "n_left": n_l,
+                "n_right": n_r,
+                "d_left": d_l,
+                "d_right": d_r,
+                "est": est,
+                "actual": actual,
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("join_name").reset_index(drop=True)
+    for c in out.columns:
+        if c != "join_name":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def join_cardinality_audit_sql() -> str:
+    parts = []
+    for name, lt, lk, rt, rk in _JOIN_CANDIDATES:
+        parts.append(f"""
+            SELECT '{name}' AS join_name,
+                   (SELECT COUNT(*) FROM {lt}) AS n_left,
+                   (SELECT COUNT(*) FROM {rt}) AS n_right,
+                   (SELECT COUNT(DISTINCT {lk}) FROM {lt}) AS d_left,
+                   (SELECT COUNT(DISTINCT {rk}) FROM {rt}) AS d_right,
+                   (SELECT COUNT(*) FROM {lt}) * (SELECT COUNT(*) FROM {rt})
+                       // GREATEST((SELECT COUNT(DISTINCT {lk}) FROM {lt}),
+                                   (SELECT COUNT(DISTINCT {rk}) FROM {rt})) AS est,
+                   (SELECT COUNT(*) FROM {lt} JOIN {rt} ON {lt}.{lk} = {rt}.{rk})
+                       AS actual""")
+    union = "\nUNION ALL\n".join(parts)
+    return (
+        "SELECT join_name, CAST(n_left AS BIGINT) AS n_left, "
+        "CAST(n_right AS BIGINT) AS n_right, CAST(d_left AS BIGINT) AS d_left, "
+        "CAST(d_right AS BIGINT) AS d_right, CAST(est AS BIGINT) AS est, "
+        f"CAST(actual AS BIGINT) AS actual FROM (\n{union}\n) ORDER BY join_name"
+    )

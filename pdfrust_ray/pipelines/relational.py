@@ -19303,3 +19303,122 @@ def type_hoover_index_sql() -> str:
         GROUP BY f.event_type, g.n, g.sx
         ORDER BY f.event_type
     """
+
+
+def part_abc_classification(sf_dir: str) -> pd.DataFrame:
+    """ABC inventory classification: parts sorted by lineitem revenue
+    (cents, DESC, partkey tie-break) split into class A (cumulative
+    share <= 80%), B (<= 95%), C (rest), with exact integer threshold
+    tests (cum*5 <= 4*total, cum*20 <= 19*total) so no float share is
+    ever computed — the Pareto stock-control census.
+
+    Distributed plan: per-part revenue is one part-keyed groupby; the
+    global ordered prefix-sum then runs WITHOUT a global sort via the
+    two-phase Blelloch scan quality_budget_selection establishes,
+    keyed by an order-preserving coarse bucket of the revenue
+    (bit-length + top 8 bits), so only the bucket catalog visits the
+    driver and each bucket's exact (rev DESC, partkey) order is local
+    to its down-sweep group."""
+    import numpy as np
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_partkey": t["l_partkey"], "rev": _cents(t["l_extendedprice"])}
+        )
+
+    def coarse(rev: "np.ndarray") -> "np.ndarray":
+        # order-preserving bucket: bitlen*256 + top-8-bits
+        out = np.empty(len(rev), dtype=np.int64)
+        for i, r in enumerate(rev):
+            r = int(r)
+            bl = r.bit_length()
+            out[i] = bl * 256 + (r >> max(0, bl - 8))
+        return out
+
+    per_part = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "rev": t["rev"],
+                    "bucket": pa.array(
+                        coarse(t["rev"].to_numpy(zero_copy_only=False)), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    sums = (
+        per_part.groupby("bucket")
+        .aggregate(Sum("rev", alias_name="s"))
+        .to_pandas()
+        .sort_values("bucket", ascending=False)
+        .reset_index(drop=True)
+    )
+    total = int(sums["s"].sum())
+    excl = sums["s"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(sums["bucket"].astype(int), excl.astype(int)))
+    oref = ray.put((offsets, total))
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        offs, tot = ray.get(oref)
+        off = offs[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["rev", "l_partkey"], ascending=[False, True])
+        cum = g["rev"].cumsum() + off
+        cls = np.where(cum * 5 <= tot * 4, "A", np.where(cum * 20 <= tot * 19, "B", "C"))
+        out = pd.DataFrame({"cls": cls, "rev": g["rev"].to_numpy()})
+        return out.groupby("cls", as_index=False).agg(
+            n_parts=("rev", "size"), revenue_cents=("rev", "sum")
+        )
+
+    out = (
+        per_part.groupby("bucket")
+        .map_groups(classify, batch_format="pandas")
+        .groupby("cls")
+        .aggregate(
+            Sum("n_parts", alias_name="n_parts"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()
+        .sort_values("cls")
+        .reset_index(drop=True)
+    )
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
+
+
+def part_abc_classification_sql() -> str:
+    return """
+        WITH pr AS (
+            SELECT l_partkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev
+            FROM lineitem GROUP BY 1
+        ),
+        c AS (
+            SELECT l_partkey, rev,
+                   SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(rev) OVER () AS total
+            FROM pr
+        )
+        SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                    WHEN cum * 20 <= total * 19 THEN 'B'
+                    ELSE 'C' END AS cls,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(rev) AS BIGINT) AS revenue_cents
+        FROM c GROUP BY 1 ORDER BY 1
+    """

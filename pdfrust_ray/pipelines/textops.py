@@ -1590,3 +1590,75 @@ def doc_script_census_sql() -> str:
         GROUP BY lang
         ORDER BY lang
     """
+
+
+def doc_sentence_census(sf_dir: str) -> pd.DataFrame:
+    """Naive sentence-segmentation census per language: terminal
+    punctuation chars ([.!?]), maximal terminal RUNS (the naive
+    sentence count: '...' is one boundary, not three), and documents
+    with no terminal at all — the structural prose-vs-fragment profile
+    a cleaning pipeline reads before sentence-level ops (splitting,
+    per-sentence dedup) are worth running.
+
+    Distributed plan: per-doc regex counting inside map_batches, one
+    lang-keyed groupby of integer partials."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    term = re.compile(r"[.!?]+")
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def census(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        chars, runs, bare = [], [], []
+        for s in t["text"].to_pylist():
+            rs = term.findall(s)
+            chars.append(sum(len(r) for r in rs))
+            runs.append(len(rs))
+            bare.append(0 if rs else 1)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "one": pa.array([1] * len(langs), pa.int64()),
+                "chars": pa.array(chars, pa.int64()),
+                "runs": pa.array(runs, pa.int64()),
+                "bare": pa.array(bare, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(census, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("one", alias_name="n_docs"),
+            Sum("chars", alias_name="n_terminal_chars"),
+            Sum("runs", alias_name="n_sentence_runs"),
+            Sum("bare", alias_name="n_docs_no_terminal"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "lang":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def doc_sentence_census_sql() -> str:
+    return r"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)
+                        - length(regexp_replace(text, '[.!?]', '', 'g')))
+                    AS BIGINT) AS n_terminal_chars,
+               CAST(SUM(length(regexp_replace(text, '[.!?]+', '#', 'g'))
+                        - length(regexp_replace(text, '[.!?]+', '', 'g')))
+                    AS BIGINT) AS n_sentence_runs,
+               CAST(COUNT(*) FILTER (WHERE NOT regexp_matches(text, '[.!?]'))
+                    AS BIGINT) AS n_docs_no_terminal
+        FROM documents
+        GROUP BY lang ORDER BY lang
+    """
