@@ -55,6 +55,7 @@ def _ensure_fixture_files() -> None:
         from pdfrust_ray.fixtures.corpus import (
             ensure_chains_fixture,
             ensure_corpus,
+            ensure_homoglyph_fixture,
             ensure_unicode_fixture,
             ensure_encrypted_fixture,
             ensure_forks_fixture,
@@ -76,6 +77,7 @@ def _ensure_fixture_files() -> None:
         ensure_forks_fixture()
         ensure_chains_fixture()
         ensure_unicode_fixture()
+        ensure_homoglyph_fixture()
     except Exception:  # never break module import on fixture IO issues
         pass
 
@@ -255,6 +257,18 @@ def _q_turn_nfc_audit(sf_dir: str):
     from pdfrust_ray.pipelines.conversation import turn_nfc_audit
 
     return turn_nfc_audit(ensure_unicode_fixture())
+
+
+_HOMOGLYPH_SHARDS = f"{_FIXTURE_BASE}/homoglyph/shards/*.parquet"
+
+
+def _q_turn_homoglyph_audit(sf_dir: str):
+    """Homoglyph audit over the dedicated mixed-script fixture family
+    (t1/t2 prose is pure ASCII outside payloads)."""
+    from pdfrust_ray.fixtures.corpus import ensure_homoglyph_fixture
+    from pdfrust_ray.pipelines.conversation import turn_homoglyph_audit
+
+    return turn_homoglyph_audit(ensure_homoglyph_fixture())
 
 
 def _q_conv_prefix_forks(sf_dir: str):
@@ -1255,6 +1269,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cardinality_audit": dso.join_cardinality_audit,
         # naive sentence-segmentation census
         "doc_sentence_census": textops.doc_sentence_census,
+        # mixed-script homoglyph token audit (planted fixture)
+        "turn_homoglyph_audit": _q_turn_homoglyph_audit,
+        # LRU stack-distance cache-hit replay (exact SQL twin)
+        "user_lru_hit_audit": rel.user_lru_hit_audit,
+        # greedy max-coverage doc selection (rows-only; iterative state)
+        "vocab_cover_greedy": llm.vocab_cover_greedy,
     }
 
 
@@ -1816,6 +1836,8 @@ def oracle_sql() -> dict[str, str]:
         "part_abc_classification": rel.part_abc_classification_sql(),
         "join_cardinality_audit": dso.join_cardinality_audit_sql(),
         "doc_sentence_census": textops.doc_sentence_census_sql(),
+        "turn_homoglyph_audit": cv.turn_homoglyph_audit_sql(_HOMOGLYPH_SHARDS),
+        "user_lru_hit_audit": rel.user_lru_hit_audit_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -892,3 +892,71 @@ def ensure_unicode_fixture(base_dir: str | None = None) -> str:
     with open(marker, "w") as f:
         json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
     return base
+
+
+def ensure_homoglyph_fixture(base_dir: str | None = None) -> str:
+    """Mixed-script / homoglyph fixture family for turn_homoglyph_audit:
+    prose turns where some tokens mix Latin with Cyrillic or Greek
+    lookalikes (the spoofing / bad-OCR signal a text cleaner flags),
+    alongside pure-Latin, pure-Cyrillic and pure-Greek tokens that must
+    NOT be flagged."""
+    base = base_dir or "/tmp/pdfrust_ray_fixtures/homoglyph"
+    marker = os.path.join(base, "_COMPLETE.json")
+    if _marker_current(marker):
+        return base
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    rows = []
+
+    # mixed tokens: Latin letters with a Cyrillic or Greek lookalike
+    mixed = [
+        "pаyment",    # Cyrillic a
+        "сluster",    # Cyrillic s-lookalike c
+        "latоncy",  # Cyrillic o (U+043E)
+        "micrοservice",  # Greek omicron
+        "tеst",       # Cyrillic e
+    ]
+    pure = [
+        "payment", "cluster", "latency",
+        "привет",  # privet (pure Cyrillic)
+        "λόγος",  # logos (pure Greek)
+        "mixed-case-ASCII", "42numbers42",
+    ]
+
+    def add(conv_id: str, texts: list[str]) -> None:
+        for t, text in enumerate(texts):
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": ["user", "assistant", "tool"][t % 3],
+                    "text": text,
+                    "tool": "",
+                    "ts": 1735689600_000000 + len(rows) * 60_000_000,
+                }
+            )
+
+    for i in range(10):
+        h = _h(f"homoglyph:{i}")
+        texts = []
+        for t in range(4):
+            words = []
+            for j in range(5):
+                hh = h >> (3 * (t * 5 + j) % 29)
+                if hh % 4 == 0:
+                    words.append(mixed[hh % len(mixed)])
+                else:
+                    words.append(pure[hh % len(pure)])
+            texts.append(" ".join(words))
+        add(f"hg-{i:03d}", texts)
+    add("hg-clean", ["entirely clean ascii prose", "привет clean separate scripts"])
+
+    for shard in range(2):
+        part = [r for i, r in enumerate(rows) if i % 2 == shard]
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=TRANSCRIPTS_SCHEMA),
+            os.path.join(shard_dir, f"part-{shard:04d}.parquet"),
+        )
+    with open(marker, "w") as f:
+        json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
+    return base

@@ -2030,3 +2030,101 @@ def turn_nfc_audit_sql(shards_glob: str) -> str:
         FROM read_parquet('{shards_glob}')
         GROUP BY role ORDER BY role
     """
+
+
+def turn_homoglyph_audit(corpus_dir: str) -> pd.DataFrame:
+    """Mixed-script (homoglyph) token audit: per role, how many
+    whitespace tokens mix Latin letters with Cyrillic or Greek
+    codepoints in the SAME token — the spoofing / bad-OCR signal a
+    text cleaner flags before dedup (a Cyrillic 'а' inside a Latin
+    word makes byte-level duplicates hash apart and poisons exact
+    dedup).  Pure-Latin, pure-Cyrillic and pure-Greek tokens are
+    counted but never flagged.
+
+    Distributed plan: per-turn token classification vectorized inside
+    map_batches (three compiled character-class regexes), integer
+    partials folded through a role-keyed groupby."""
+    import re
+
+    latin = re.compile(r"[A-Za-z]")
+    cyr = re.compile(r"[Ѐ-ӿ]")
+    grk = re.compile(r"[Ͱ-Ͽ]")
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["role", "text"])
+
+    def audit(t: pa.Table) -> pa.Table:
+        roles = t["role"].to_pylist()
+        n_tok, n_mixed, n_cyr, n_grk = [], [], [], []
+        for s in t["text"].to_pylist():
+            toks = s.split()
+            m = c = g = 0
+            for tok in toks:
+                has_l = bool(latin.search(tok))
+                has_c = bool(cyr.search(tok))
+                has_g = bool(grk.search(tok))
+                if has_l and (has_c or has_g):
+                    m += 1
+                elif has_c:
+                    c += 1
+                elif has_g:
+                    g += 1
+            n_tok.append(len(toks))
+            n_mixed.append(m)
+            n_cyr.append(c)
+            n_grk.append(g)
+        return pa.table(
+            {
+                "role": pa.array(roles, pa.string()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_mixed": pa.array(n_mixed, pa.int64()),
+                "n_cyrillic": pa.array(n_cyr, pa.int64()),
+                "n_greek": pa.array(n_grk, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(audit, batch_format="pyarrow")
+        .groupby("role")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_mixed", alias_name="n_mixed_tokens"),
+            Sum("n_cyrillic", alias_name="n_cyrillic_tokens"),
+            Sum("n_greek", alias_name="n_greek_tokens"),
+        )
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "role":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def turn_homoglyph_audit_sql(shards_glob: str) -> str:
+    return rf"""
+        WITH tok AS (
+            SELECT role,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      w -> w <> '')) AS tk
+            FROM read_parquet('{shards_glob}')
+        ),
+        cls AS (
+            SELECT role,
+                   regexp_matches(tk, '[A-Za-z]') AS has_l,
+                   regexp_matches(tk, '[Ѐ-ӿ]') AS has_c,
+                   regexp_matches(tk, '[Ͱ-Ͽ]') AS has_g
+            FROM tok
+        )
+        SELECT role,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE has_l AND (has_c OR has_g))
+                    AS BIGINT) AS n_mixed_tokens,
+               CAST(COUNT(*) FILTER (WHERE NOT (has_l AND (has_c OR has_g))
+                                       AND has_c)
+                    AS BIGINT) AS n_cyrillic_tokens,
+               CAST(COUNT(*) FILTER (WHERE NOT (has_l AND (has_c OR has_g))
+                                       AND NOT has_c AND has_g)
+                    AS BIGINT) AS n_greek_tokens
+        FROM cls GROUP BY role ORDER BY role
+    """

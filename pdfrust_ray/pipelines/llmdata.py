@@ -1352,3 +1352,81 @@ def doc_knapsack_curve_sql(budget: int = 500, step: int = 50) -> str:
         FROM fin, generate_series(0, {budget}, {step}) g(b)
         ORDER BY b
     """
+
+
+def vocab_cover_greedy(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Coverage-driven document selection: greedily pick k documents
+    maximizing NEW word-bigram coverage at each step (ties by doc_id) —
+    the max-coverage curation pass that seeds a tokenizer corpus or a
+    few-shot pool (bigrams, not unigrams: BPE merges learn from
+    adjacencies, and the unigram vocabulary saturates after one doc).  Greedy is the canonical (1-1/e)-approximation;
+    each step's argmax is exact and deterministic, so the output is
+    reproducible and pytest certifies per-step optimality by brute
+    force.  No SQL twin: the covered-set state is inherently
+    iterative (rows-only in the driver contract).
+
+    Distributed plan: k rounds; each round broadcasts the covered
+    vocabulary (ray.put) and scores every document's marginal gain
+    inside map_batches, reducing to a per-batch local argmax so the
+    driver sees partition-count candidates only.  Scale path: the
+    covered set is vocabulary-bounded (not corpus-bounded); for
+    100-TB corpora it ships as a hash-bucketed Bloom/roaring side
+    table instead of a Python set."""
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        vocabs = []
+        for txt in t["text"].to_pylist():
+            ws = txt.split()
+            vocabs.append(sorted({f"{a} {b}" for a, b in zip(ws, ws[1:])}))
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                "vocab": pa.array(vocabs, pa.list_(pa.string())),
+            }
+        )
+
+    toks = ds.map_batches(tokenize, batch_format="pyarrow").materialize()
+
+    covered: set = set()
+    picks = []
+    for step in range(k):
+        cref = ray.put(covered)
+
+        def local_best(t: pa.Table, *, cref) -> pa.Table:
+            cov = ray.get(cref)
+            best_gain, best_id = -1, None
+            for i, v in zip(t["doc_id"].to_pylist(), t["vocab"].to_pylist()):
+                gain = sum(1 for w in v if w not in cov)
+                if gain > best_gain or (gain == best_gain and (best_id is None or i < best_id)):
+                    best_gain, best_id = gain, int(i)
+            return pa.table(
+                {
+                    "doc_id": pa.array([best_id], pa.int64()),
+                    "gain": pa.array([best_gain], pa.int64()),
+                }
+            )
+
+        cands = toks.map_batches(
+            local_best, batch_format="pyarrow", fn_kwargs={"cref": cref}
+        ).to_pandas()
+        cands = cands.sort_values(["gain", "doc_id"], ascending=[False, True])
+        pick = int(cands.iloc[0]["doc_id"])
+        gain = int(cands.iloc[0]["gain"])
+        if gain <= 0:
+            break
+        vocab_row = toks.filter(expr=f"doc_id == {pick}").take_all()
+        covered.update(vocab_row[0]["vocab"])
+        picks.append(
+            {
+                "step": step,
+                "doc_id": pick,
+                "gain": gain,
+                "covered_total": len(covered),
+            }
+        )
+    out = pd.DataFrame(picks, columns=["step", "doc_id", "gain", "covered_total"])
+    return out.astype("int64")

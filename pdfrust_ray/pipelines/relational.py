@@ -19422,3 +19422,102 @@ def part_abc_classification_sql() -> str:
                CAST(SUM(rev) AS BIGINT) AS revenue_cents
         FROM c GROUP BY 1 ORDER BY 1
     """
+
+
+def user_lru_hit_audit(sf_dir: str, cache_size: int = 8) -> pd.DataFrame:
+    """LRU cache-hit replay per user: items are the props 'k' payload
+    values, accesses ordered by (ts, event_id); an access HITS an
+    LRU cache of size C iff the item was seen before and fewer than C
+    DISTINCT items were touched since that previous access (the classic
+    stack-distance < C criterion, which makes the stateful replay
+    exactly expressible in SQL as a distinct-count between positions) —
+    the working-set profile a cache/shard tier is sized from.
+
+    Distributed plan: user-keyed groupby; the replay inside each group
+    is one ordered pass with a position-index dict (O(n) per user)."""
+    import json as _json
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "props"]
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        items = [int(_json.loads(p)["k"]) for p in t["props"].to_pylist()]
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "tsu": ts,
+                "event_id": t["event_id"],
+                "item": pa.array(items, pa.int64()),
+            }
+        )
+
+    def replay(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tsu", "event_id"], kind="stable")
+        items = g["item"].tolist()
+        last_pos: dict = {}
+        # distinct items since position p = number of items whose LAST
+        # occurrence so far is > p; track via sorted last-positions
+        hits = cold = 0
+        for pos, it in enumerate(items):
+            if it not in last_pos:
+                cold += 1
+            else:
+                prev = last_pos[it]
+                depth = sum(1 for q in last_pos.values() if q > prev)
+                if depth < cache_size:
+                    hits += 1
+            last_pos[it] = pos
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_accesses": [len(items)],
+                "n_cold": [cold],
+                "n_hits": [hits],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(replay, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def user_lru_hit_audit_sql(cache_size: int = 8) -> str:
+    return f"""
+        WITH a AS (
+            SELECT user_id AS u,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        p AS (
+            SELECT u, item, rn,
+                   LAG(rn) OVER (PARTITION BY u, item ORDER BY rn) AS prn
+            FROM a
+        ),
+        d AS (
+            SELECT p.u, p.rn, p.prn,
+                   (SELECT COUNT(DISTINCT a2.item) FROM a a2
+                    WHERE a2.u = p.u AND a2.rn > p.prn AND a2.rn < p.rn)
+                       AS depth
+            FROM p WHERE p.prn IS NOT NULL
+        )
+        SELECT CAST(u AS BIGINT) AS user_id,
+               CAST(n_total AS BIGINT) AS n_accesses,
+               CAST(n_total - n_rep AS BIGINT) AS n_cold,
+               CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits
+        FROM (SELECT u, COUNT(*) AS n_total,
+                     COUNT(*) FILTER (WHERE prn IS NOT NULL) AS n_rep
+              FROM p GROUP BY u) t
+        LEFT JOIN (SELECT u AS u2,
+                          COUNT(*) FILTER (WHERE depth < {cache_size}) AS n_hits
+                   FROM d GROUP BY u) h
+          ON h.u2 = t.u
+        ORDER BY u
+    """
