@@ -1275,6 +1275,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_lru_hit_audit": rel.user_lru_hit_audit,
         # greedy max-coverage doc selection (rows-only; iterative state)
         "vocab_cover_greedy": llm.vocab_cover_greedy,
+        # ANALYZE-style catalog statistics collection
+        "table_stats_profile": dso.table_stats_profile,
+        # Belady OPT vs LRU cache replay (rows-only; future-knowledge state)
+        "belady_opt_cache_audit": rel.belady_opt_cache_audit,
+        # physical shard-spread census (reader provenance + conv shuffle)
+        "conv_shard_spread_audit": _q_conv(cv.conv_shard_spread_audit),
     }
 
 
@@ -1838,6 +1844,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_sentence_census": textops.doc_sentence_census_sql(),
         "turn_homoglyph_audit": cv.turn_homoglyph_audit_sql(_HOMOGLYPH_SHARDS),
         "user_lru_hit_audit": rel.user_lru_hit_audit_sql(),
+        "table_stats_profile": dso.table_stats_profile_sql(),
+        "conv_shard_spread_audit": cv.conv_shard_spread_audit_sql(_T2_SHARDS),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

@@ -2128,3 +2128,68 @@ def turn_homoglyph_audit_sql(shards_glob: str) -> str:
                     AS BIGINT) AS n_greek_tokens
         FROM cls GROUP BY role ORDER BY role
     """
+
+
+def conv_shard_spread_audit(corpus_dir: str) -> pd.DataFrame:
+    """Shard-spread census: how many physical Parquet shards each
+    conversation's turns are scattered across — the layout audit that
+    quantifies WHY the ordering stage needs a conv-keyed shuffle (a
+    conversation living in one shard could sort locally; the fixture
+    generator deliberately scatters turns round-robin).  Output is the
+    histogram: n_shards_touched -> conversation count, plus turn count.
+
+    Distributed plan: file provenance comes free from the reader
+    (include_paths), one conv-bucket shuffle of (conv, path-hash)
+    pairs, then a histogram-sized groupby."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id"], include_paths=True)
+
+    def digest(t: pa.Table) -> pa.Table:
+        import os as _os
+
+        paths = [_os.path.basename(p) for p in t["path"].to_pylist()]
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "shard": pa.array(paths, pa.string()),
+            }
+        )
+        return _with_bucket(out)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("conv_id", sort=False).agg(
+            n_shards=("shard", "nunique"), n_turns=("shard", "size")
+        )
+        h = agg.groupby("n_shards", as_index=False).agg(
+            n_convs=("n_turns", "size"), n_turns=("n_turns", "sum")
+        )
+        return h
+
+    out = (
+        _coalesced(ds.map_batches(digest, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("n_shards")
+        .aggregate(Sum("n_convs", alias_name="n_convs"), Sum("n_turns", alias_name="n_turns"))
+        .to_pandas()
+        .sort_values("n_shards")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def conv_shard_spread_audit_sql(shards_glob: str) -> str:
+    return f"""
+        WITH per_conv AS (
+            SELECT conv_id,
+                   COUNT(DISTINCT parse_filename(filename)) AS n_shards,
+                   COUNT(*) AS n_turns
+            FROM read_parquet('{shards_glob}', filename = true)
+            GROUP BY conv_id
+        )
+        SELECT CAST(n_shards AS BIGINT) AS n_shards,
+               CAST(COUNT(*) AS BIGINT) AS n_convs,
+               CAST(SUM(n_turns) AS BIGINT) AS n_turns
+        FROM per_conv GROUP BY n_shards ORDER BY n_shards
+    """

@@ -3357,3 +3357,85 @@ def join_cardinality_audit_sql() -> str:
         "CAST(d_right AS BIGINT) AS d_right, CAST(est AS BIGINT) AS est, "
         f"CAST(actual AS BIGINT) AS actual FROM (\n{union}\n) ORDER BY join_name"
     )
+
+
+_PROFILE_COLUMNS = [
+    ("customer", "c_nationkey"),
+    ("customer", "c_mktsegment"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("part", "p_brand"),
+    ("part", "p_type"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+]
+
+
+def table_stats_profile(sf_dir: str) -> pd.DataFrame:
+    """ANALYZE-style catalog statistics over a fixed column list:
+    row count, distinct count and null count per (table, column) —
+    the stats collection pass every cost-based planner and layout
+    optimizer runs first (join_cardinality_audit consumes exactly
+    these numbers).
+
+    Distributed plan: per column one value-keyed groupby whose output
+    is value-cardinality-sized; nulls and rows fold as integer
+    partials inside the same pass — no data-sized exchange."""
+    from ray.data.aggregate import Count, Sum
+
+    rows = []
+    for table, col in _PROFILE_COLUMNS:
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+        counts = (
+            ds.map_batches(
+                lambda t, col=col: pa.table(
+                    {
+                        "one": pa.array([1] * len(t), pa.int64()),
+                        "isnull": pc.cast(pc.is_null(t[col]), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .aggregate(Sum("one", alias_name="n_rows"), Sum("isnull", alias_name="n_null"))
+        )
+        distinct = (
+            ds.map_batches(
+                lambda t, col=col: pa.TableGroupBy(
+                    t.select([col]).drop_null(), col
+                ).aggregate([]),
+                batch_format="pyarrow",
+            )
+            .groupby(col)
+            .aggregate(Count(alias_name="c"))
+            .count()
+        )
+        rows.append(
+            {
+                "tbl": table,
+                "col": col,
+                "n_rows": int(counts["n_rows"]),
+                "n_distinct": int(distinct),
+                "n_null": int(counts["n_null"] or 0),
+            }
+        )
+    out = pd.DataFrame(rows).sort_values(["tbl", "col"]).reset_index(drop=True)
+    for c in ("n_rows", "n_distinct", "n_null"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def table_stats_profile_sql() -> str:
+    parts = []
+    for table, col in _PROFILE_COLUMNS:
+        parts.append(f"""
+            SELECT '{table}' AS tbl, '{col}' AS col,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(*) FILTER (WHERE {col} IS NULL) AS BIGINT)
+                       AS n_null
+            FROM {table}""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY tbl, col"

@@ -19521,3 +19521,90 @@ def user_lru_hit_audit_sql(cache_size: int = 8) -> str:
           ON h.u2 = t.u
         ORDER BY u
     """
+
+
+def belady_opt_cache_audit(sf_dir: str, cache_size: int = 8) -> pd.DataFrame:
+    """Belady OPT vs LRU cache replay per user (items = props 'k',
+    access order (ts, event_id), cache size C): the optimal offline
+    policy evicts the item reused furthest in the future, and
+    opt_hits - lru_hits is exactly the headroom a smarter admission
+    policy could still buy — the canonical cache-sizing study.  OPT
+    needs future knowledge, so the replay is inherently stateful
+    (rows-only in the driver contract); pytest certifies both policies
+    against independent simulators and pins the OPT >= LRU theorem.
+
+    Distributed plan: user-keyed groupby; each group replays once with
+    a next-use index (O(n log C)) — no cross-user state."""
+    import heapq
+    import json as _json
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "props"]
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        items = [int(_json.loads(p)["k"]) for p in t["props"].to_pylist()]
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "tsu": ts,
+                "event_id": t["event_id"],
+                "item": pa.array(items, pa.int64()),
+            }
+        )
+
+    def replay(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tsu", "event_id"], kind="stable")
+        items = g["item"].tolist()
+        n = len(items)
+        # next-use index
+        nxt = [n] * n
+        last: dict = {}
+        for i in range(n - 1, -1, -1):
+            nxt[i] = last.get(items[i], n)
+            last[items[i]] = i
+        # OPT: lazy max-heap of (-next_use, item); entries go stale on
+        # re-access, validated against cur_next before evicting
+        cache: dict = {}
+        heap: list = []
+        opt_hits = 0
+        for i, it in enumerate(items):
+            if it in cache:
+                opt_hits += 1
+            elif len(cache) >= cache_size:
+                while True:
+                    negnu, cand = heapq.heappop(heap)
+                    if cand in cache and cache[cand] == -negnu:
+                        del cache[cand]
+                        break
+            cache[it] = nxt[i]
+            heapq.heappush(heap, (-nxt[i], it))
+        # LRU via the stack-distance criterion (same as user_lru_hit_audit)
+        last_pos: dict = {}
+        lru_hits = cold = 0
+        for pos, it in enumerate(items):
+            if it not in last_pos:
+                cold += 1
+            else:
+                if sum(1 for q in last_pos.values() if q > last_pos[it]) < cache_size:
+                    lru_hits += 1
+            last_pos[it] = pos
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_accesses": [n],
+                "n_cold": [cold],
+                "lru_hits": [lru_hits],
+                "opt_hits": [opt_hits],
+                "opt_gap": [opt_hits - lru_hits],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(replay, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
