@@ -1281,6 +1281,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "belady_opt_cache_audit": rel.belady_opt_cache_audit,
         # physical shard-spread census (reader provenance + conv shuffle)
         "conv_shard_spread_audit": _q_conv(cv.conv_shard_spread_audit),
+        # keyspace fragmentation after logical deletes (compaction trigger)
+        "orderkey_fragmentation_audit": dso.orderkey_fragmentation_audit,
+        # near-miss duplicate submission census (dedup-window sizing)
+        "event_nearmiss_dups": rel.event_nearmiss_dups,
+        # minimax contiguous range-shard planning (rows-only; binary search)
+        "daily_range_shard_plan": rel.daily_range_shard_plan,
     }
 
 
@@ -1846,6 +1852,8 @@ def oracle_sql() -> dict[str, str]:
         "user_lru_hit_audit": rel.user_lru_hit_audit_sql(),
         "table_stats_profile": dso.table_stats_profile_sql(),
         "conv_shard_spread_audit": cv.conv_shard_spread_audit_sql(_T2_SHARDS),
+        "orderkey_fragmentation_audit": dso.orderkey_fragmentation_audit_sql(),
+        "event_nearmiss_dups": rel.event_nearmiss_dups_sql(),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

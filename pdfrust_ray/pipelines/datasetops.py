@@ -3439,3 +3439,93 @@ def table_stats_profile_sql() -> str:
             FROM {table}""")
     union = "\nUNION ALL\n".join(parts)
     return f"SELECT * FROM (\n{union}\n) ORDER BY tbl, col"
+
+
+def orderkey_fragmentation_audit(sf_dir: str, bucket_width: int = 64) -> pd.DataFrame:
+    """Keyspace fragmentation census after a logical delete: drop the
+    finished ('F') orders and measure the holes the deletion tears in
+    the (originally dense) o_orderkey sequence — live keys, gap runs,
+    missing keys, and the largest hole.  This is the compaction
+    trigger metric a lakehouse maintenance job reads: many small holes
+    -> rewrite; one big hole -> range-drop.
+
+    Distributed plan: surviving keys shuffle once by key // width so
+    each bucket's gap scan sees ALL of its keys together (a per-batch
+    scan would miss holes between fragments of the same bucket); the
+    driver then stitches only the bucket-summary table
+    (keyspace/width rows) for holes spanning bucket boundaries — the
+    block-stitched scan shape."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["o_orderstatus"], "F")))
+        k = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table(
+            {"bucket": pc.divide(k, pa.scalar(bucket_width, pa.int64())), "k": k}
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(g["k"].to_numpy(np.int64))
+        d = np.diff(k) - 1
+        return pd.DataFrame(
+            {
+                "bucket": [int(g["bucket"].iloc[0])],
+                "kmin": [int(k[0])],
+                "kmax": [int(k[-1])],
+                "n": [len(k)],
+                "runs": [int((d > 0).sum())],
+                "missing": [int(d[d > 0].sum()) if (d > 0).any() else 0],
+                "max_run": [int(d.max()) if len(d) else 0],
+            }
+        )
+
+    g = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    n_keys = int(g["n"].sum())
+    runs = int(g["runs"].sum())
+    missing = int(g["missing"].sum())
+    max_run = int(g["max_run"].max())
+    # stitch bucket boundaries on the bucket-summary table
+    for i in range(1, len(g)):
+        hole = int(g["kmin"].iloc[i]) - int(g["kmax"].iloc[i - 1]) - 1
+        if hole > 0:
+            runs += 1
+            missing += hole
+            max_run = max(max_run, hole)
+    return pd.DataFrame(
+        {
+            "n_live_keys": pd.Series([n_keys], dtype="int64"),
+            "n_gap_runs": pd.Series([runs], dtype="int64"),
+            "n_missing_keys": pd.Series([missing], dtype="int64"),
+            "max_gap_run": pd.Series([max_run], dtype="int64"),
+        }
+    )
+
+
+def orderkey_fragmentation_audit_sql() -> str:
+    return """
+        WITH live AS (
+            SELECT o_orderkey AS k FROM orders WHERE o_orderstatus <> 'F'
+        ),
+        d AS (
+            SELECT k - LAG(k) OVER (ORDER BY k) - 1 AS hole FROM live
+        )
+        SELECT CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS n_live_keys,
+               CAST(COUNT(*) FILTER (WHERE hole > 0) AS BIGINT) AS n_gap_runs,
+               CAST(COALESCE(SUM(hole) FILTER (WHERE hole > 0), 0) AS BIGINT)
+                   AS n_missing_keys,
+               CAST(COALESCE(MAX(hole), 0) AS BIGINT) AS max_gap_run
+        FROM d
+    """

@@ -19608,3 +19608,149 @@ def belady_opt_cache_audit(sf_dir: str, cache_size: int = 8) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def event_nearmiss_dups(sf_dir: str, window_s: int = 7200) -> pd.DataFrame:
+    """Near-miss duplicate census: per event type, how many events
+    repeat the SAME (user, type) within `window_s` seconds of the
+    previous one — the retry/double-submit signal an ingestion
+    pipeline measures before turning on idempotency-window dedup
+    (the streaming_windowed_dedup operator's sizing input).
+
+    Distributed plan: (user, type)-keyed groupby; inside each group a
+    vectorized diff against the sorted timestamps — integer partials
+    through a type-sized final fold."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 1_000_000)
+        return pa.table(
+            {"user_id": t["user_id"], "event_type": t["event_type"], "s": s}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["s"].to_numpy(np.int64))
+        gaps = np.diff(s)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_events": [len(s)],
+                "n_nearmiss": [int((gaps <= window_s).sum())],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .map_groups(fold, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_nearmiss", alias_name="n_nearmiss"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_nearmiss"] = out["n_nearmiss"].astype("int64")
+    return out
+
+
+def event_nearmiss_dups_sql(window_s: int = 7200) -> str:
+    return f"""
+        WITH a AS (
+            SELECT user_id, event_type, epoch_us(ts) // 1000000 AS s
+            FROM events
+        ),
+        g AS (
+            SELECT event_type,
+                   s - LAG(s) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY s) AS gap
+            FROM a
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) FILTER (WHERE gap <= {window_s}) AS BIGINT)
+                   AS n_nearmiss
+        FROM g GROUP BY event_type ORDER BY event_type
+    """
+
+
+def daily_range_shard_plan(sf_dir: str, n_shards: int = 8) -> pd.DataFrame:
+    """Range-shard boundary planning: split the daily order-revenue
+    series into `n_shards` CONTIGUOUS day ranges minimizing the
+    heaviest shard (the classic 'split array largest sum' minimax,
+    solved exactly by binary search over the cap + greedy feasibility)
+    — how a time-partitioned backfill picks its date boundaries so no
+    worker gets a hot range.  The optimal cap is unique (the boundary
+    set is not), so the audit reports cap + per-shard loads of the
+    canonical greedy split.  Iterative/stateful — rows-only in the
+    driver contract; pytest certifies against a brute-force DP.
+
+    Distributed plan: the day spine comes from one day-keyed groupby
+    (calendar-sized); the binary search runs over that bounded table
+    on the driver — the data-sized pass is only the aggregate."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        d = pc.divide(
+            pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()),
+            86_400_000_000,
+        )
+        return pa.table({"day": d, "rev": _cents(t["o_totalprice"])})
+
+    daily = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    rev = daily["rev"].to_numpy(np.int64)
+
+    def feasible(cap: int) -> bool:
+        used, acc = 1, 0
+        for r in rev:
+            if r > cap:
+                return False
+            if acc + r > cap:
+                used += 1
+                acc = 0
+            acc += int(r)
+        return used <= n_shards
+
+    lo, hi = int(rev.max()), int(rev.sum())
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if feasible(mid):
+            hi = mid
+        else:
+            lo = mid + 1
+    cap = lo
+    # canonical greedy split at the optimal cap
+    loads, acc = [], 0
+    for r in rev:
+        if acc + int(r) > cap:
+            loads.append(acc)
+            acc = 0
+        acc += int(r)
+    loads.append(acc)
+    while len(loads) < n_shards:
+        loads.append(0)
+    return pd.DataFrame(
+        {
+            "shard": pd.Series(range(len(loads)), dtype="int64"),
+            "load_cents": pd.Series(loads, dtype="int64"),
+            "opt_cap_cents": pd.Series([cap] * len(loads), dtype="int64"),
+        }
+    )
