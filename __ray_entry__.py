@@ -56,6 +56,7 @@ def _ensure_fixture_files() -> None:
             ensure_chains_fixture,
             ensure_corpus,
             ensure_homoglyph_fixture,
+            ensure_invisible_fixture,
             ensure_unicode_fixture,
             ensure_encrypted_fixture,
             ensure_forks_fixture,
@@ -78,6 +79,7 @@ def _ensure_fixture_files() -> None:
         ensure_chains_fixture()
         ensure_unicode_fixture()
         ensure_homoglyph_fixture()
+        ensure_invisible_fixture()
     except Exception:  # never break module import on fixture IO issues
         pass
 
@@ -260,6 +262,15 @@ def _q_turn_nfc_audit(sf_dir: str):
 
 
 _HOMOGLYPH_SHARDS = f"{_FIXTURE_BASE}/homoglyph/shards/*.parquet"
+_INVISIBLE_SHARDS = f"{_FIXTURE_BASE}/invisible/shards/*.parquet"
+
+
+def _q_turn_invisible_audit(sf_dir: str):
+    """Invisible-codepoint audit over the dedicated planted fixture."""
+    from pdfrust_ray.fixtures.corpus import ensure_invisible_fixture
+    from pdfrust_ray.pipelines.conversation import turn_invisible_chars_audit
+
+    return turn_invisible_chars_audit(ensure_invisible_fixture())
 
 
 def _q_turn_homoglyph_audit(sf_dir: str):
@@ -1287,6 +1298,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_nearmiss_dups": rel.event_nearmiss_dups,
         # minimax contiguous range-shard planning (rows-only; binary search)
         "daily_range_shard_plan": rel.daily_range_shard_plan,
+        # invisible-codepoint audit (planted fixture)
+        "turn_invisible_chars_audit": _q_turn_invisible_audit,
+        # trailing-digit uniformity (fraud complement of Benford)
+        "value_trailing_digit_audit": rel.value_trailing_digit_audit,
+        # agent-loop tool-burst window profile
+        "conv_tool_burst": _q_conv(cv.conv_tool_burst),
     }
 
 
@@ -1854,6 +1871,9 @@ def oracle_sql() -> dict[str, str]:
         "conv_shard_spread_audit": cv.conv_shard_spread_audit_sql(_T2_SHARDS),
         "orderkey_fragmentation_audit": dso.orderkey_fragmentation_audit_sql(),
         "event_nearmiss_dups": rel.event_nearmiss_dups_sql(),
+        "turn_invisible_chars_audit": cv.turn_invisible_chars_audit_sql(_INVISIBLE_SHARDS),
+        "value_trailing_digit_audit": rel.value_trailing_digit_audit_sql(),
+        "conv_tool_burst": cv.conv_tool_burst_sql(_T2_SHARDS),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

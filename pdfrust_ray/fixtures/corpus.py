@@ -960,3 +960,67 @@ def ensure_homoglyph_fixture(base_dir: str | None = None) -> str:
     with open(marker, "w") as f:
         json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
     return base
+
+
+def ensure_invisible_fixture(base_dir: str | None = None) -> str:
+    """Invisible-character fixture family for turn_invisible_chars_audit:
+    prose turns salted with zero-width spaces/joiners, soft hyphens,
+    BOMs and NBSPs (the invisible codepoints that poison exact dedup
+    and tokenizers), next to clean twins of the same visible text."""
+    base = base_dir or "/tmp/pdfrust_ray_fixtures/invisible"
+    marker = os.path.join(base, "_COMPLETE.json")
+    if _marker_current(marker):
+        return base
+    shard_dir = os.path.join(base, "shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    rows = []
+
+    zwsp, zwnj, zwj, shy, bom, nbsp = (
+        "​", "‌", "‍", "­", "﻿", " ",
+    )
+    salted = [
+        f"inline{zwsp}zero width space",
+        f"joi{zwnj}ner and {zwj}seq",
+        f"hy{shy}phen{shy}ation",
+        f"{bom}leading byte order mark",
+        f"non{nbsp}breaking{nbsp}space",
+    ]
+    clean = [
+        "inlinezero width space",
+        "joiner and seq",
+        "hyphenation",
+        "leading byte order mark",
+        "non breaking space",
+        "entirely boring ascii",
+    ]
+
+    def add(conv_id: str, texts: list[str]) -> None:
+        for t, text in enumerate(texts):
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "role": ["user", "assistant", "tool"][t % 3],
+                    "text": text,
+                    "tool": "",
+                    "ts": 1735689600_000000 + len(rows) * 60_000_000,
+                }
+            )
+
+    for i in range(9):
+        h = _h(f"invisible:{i}")
+        texts = []
+        for t in range(4):
+            pool = salted if (h >> t) % 3 == 0 else clean
+            texts.append(pool[(h >> (4 + t)) % len(pool)])
+        add(f"inv-{i:03d}", texts)
+
+    for shard in range(2):
+        part = [r for i, r in enumerate(rows) if i % 2 == shard]
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=TRANSCRIPTS_SCHEMA),
+            os.path.join(shard_dir, f"part-{shard:04d}.parquet"),
+        )
+    with open(marker, "w") as f:
+        json.dump({"rows": len(rows), "generator_version": GENERATOR_VERSION}, f)
+    return base

@@ -2193,3 +2193,156 @@ def conv_shard_spread_audit_sql(shards_glob: str) -> str:
                CAST(SUM(n_turns) AS BIGINT) AS n_turns
         FROM per_conv GROUP BY n_shards ORDER BY n_shards
     """
+
+
+def turn_invisible_chars_audit(corpus_dir: str) -> pd.DataFrame:
+    """Invisible-codepoint audit: per role, turns carrying zero-width
+    spaces/joiners (U+200B-D), soft hyphens (U+00AD), BOMs (U+FEFF) or
+    non-breaking spaces (U+00A0), with per-class codepoint counts —
+    the cleaning signal that matters for exact dedup (two visually
+    identical turns with different invisible salt hash apart) and for
+    tokenizers (ZWSP splits words silently).
+
+    Distributed plan: compiled character-class regex per batch, integer
+    partials through a role-keyed groupby."""
+    import re
+
+    zero_width = re.compile("[​‌‍﻿]")
+    softhyphen = re.compile("­")
+    nbsp = re.compile(" ")
+    anyinv = re.compile("[​‌‍﻿­ ]")
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["role", "text"])
+
+    def audit(t: pa.Table) -> pa.Table:
+        roles = t["role"].to_pylist()
+        n_t, zw, sh, nb = [], [], [], []
+        for s in t["text"].to_pylist():
+            n_t.append(1 if anyinv.search(s) else 0)
+            zw.append(len(zero_width.findall(s)))
+            sh.append(len(softhyphen.findall(s)))
+            nb.append(len(nbsp.findall(s)))
+        return pa.table(
+            {
+                "role": pa.array(roles, pa.string()),
+                "one": pa.array([1] * len(roles), pa.int64()),
+                "salted": pa.array(n_t, pa.int64()),
+                "zw": pa.array(zw, pa.int64()),
+                "sh": pa.array(sh, pa.int64()),
+                "nb": pa.array(nb, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(audit, batch_format="pyarrow")
+        .groupby("role")
+        .aggregate(
+            Sum("one", alias_name="n_turns"),
+            Sum("salted", alias_name="n_salted_turns"),
+            Sum("zw", alias_name="n_zero_width"),
+            Sum("sh", alias_name="n_soft_hyphen"),
+            Sum("nb", alias_name="n_nbsp"),
+        )
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "role":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def turn_invisible_chars_audit_sql(shards_glob: str) -> str:
+    return f"""
+        SELECT role,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(COUNT(*) FILTER (WHERE regexp_matches(text,
+                        '[\\x{{200b}}\\x{{200c}}\\x{{200d}}\\x{{feff}}\\x{{00ad}}\\x{{00a0}}]'))
+                    AS BIGINT) AS n_salted_turns,
+               CAST(SUM(length(text) - length(regexp_replace(text,
+                        '[\\x{{200b}}\\x{{200c}}\\x{{200d}}\\x{{feff}}]', '', 'g')))
+                    AS BIGINT) AS n_zero_width,
+               CAST(SUM(length(text) - length(regexp_replace(text,
+                        '\\x{{00ad}}', '', 'g'))) AS BIGINT) AS n_soft_hyphen,
+               CAST(SUM(length(text) - length(regexp_replace(text,
+                        '\\x{{00a0}}', '', 'g'))) AS BIGINT) AS n_nbsp
+        FROM read_parquet('{shards_glob}')
+        GROUP BY role ORDER BY role
+    """
+
+
+def conv_tool_burst(corpus_dir: str, window: int = 10) -> pd.DataFrame:
+    """Tool-burst profile: per conversation, the maximum number of
+    tool-role turns inside any `window` consecutive turns (turn_idx
+    order) — the agent-loop runaway detector (a conversation whose
+    10-turn window is all tool calls is a retry loop, not a dialogue).
+
+    Distributed plan: conv-bucket shuffle of (conv, turn_idx, is_tool)
+    triples; inside each bucket one vectorized rolling-sum per conv."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "is_tool": pc.cast(pc.equal(t["role"], "tool"), pa.int64()),
+            }
+        )
+        return _with_bucket(out)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv, gg in g.groupby("conv_id", sort=False):
+            gg = gg.sort_values("turn_idx")
+            x = gg["is_tool"].to_numpy(np.int64)
+            c = np.concatenate(([0], np.cumsum(x)))
+            w = min(window, len(x))
+            burst = int((c[w:] - c[:-w]).max()) if len(x) >= 1 else 0
+            rows.append(
+                {
+                    "conv_id": conv,
+                    "n_turns": len(x),
+                    "n_tool_turns": int(x.sum()),
+                    "max_burst": burst,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = (
+        _coalesced(ds.map_batches(prep, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_turns", "n_tool_turns", "max_burst"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def conv_tool_burst_sql(shards_glob: str, window: int = 10) -> str:
+    return f"""
+        WITH a AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS is_tool
+            FROM read_parquet('{shards_glob}')
+        ),
+        w AS (
+            SELECT conv_id,
+                   SUM(is_tool) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                      ROWS BETWEEN {window - 1} PRECEDING
+                                               AND CURRENT ROW) AS burst,
+                   is_tool
+            FROM a
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(is_tool) AS BIGINT) AS n_tool_turns,
+               CAST(MAX(burst) AS BIGINT) AS max_burst
+        FROM w GROUP BY conv_id ORDER BY conv_id
+    """

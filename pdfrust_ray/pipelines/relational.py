@@ -19754,3 +19754,89 @@ def daily_range_shard_plan(sf_dir: str, n_shards: int = 8) -> pd.DataFrame:
             "opt_cap_cents": pd.Series([cap] * len(loads), dtype="int64"),
         }
     )
+
+
+def value_trailing_digit_audit(sf_dir: str) -> pd.DataFrame:
+    """Trailing-digit uniformity audit (the fraud/synthetic-data
+    complement of the Benford leading-digit test): distribution of the
+    last two digits of value cents per event type, reported as the
+    exact chi-square sufficient statistics against uniform(0..99) —
+    observed counts per cell would be 100 rows/type, so the audit
+    folds them into n, sum((O_i*100 - n)^2) (the integer chi-square
+    numerator scaled by 100^2/n) plus min/max cell counts.
+
+    Distributed plan: one (type, cents%100)-keyed groupby of counts
+    (bounded 100x|types| rows), finalized into type-sized stats."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # values are non-negative cents, so numpy % == SQL % here
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "d2": pa.array(cents % 100, pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["event_type", "d2"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    rows = []
+    for t, g in cells.groupby("event_type"):
+        obs = {int(d): int(c) for d, c in zip(g["d2"], g["c"])}
+        n = sum(obs.values())
+        counts = [obs.get(d, 0) for d in range(100)]
+        chi_num = sum((o * 100 - n) ** 2 for o in counts)
+        rows.append(
+            {
+                "event_type": t,
+                "n": n,
+                "n_cells_hit": len(obs),
+                "chi2_numerator": chi_num,
+                "max_cell": max(counts),
+                "min_cell": min(counts),
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    for c in out.columns:
+        if c != "event_type":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def value_trailing_digit_audit_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) % 100 AS d2
+            FROM events
+        ),
+        cells AS (
+            SELECT event_type, d2, COUNT(*) AS c FROM f GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT t.event_type, g.d AS d2, COALESCE(c.c, 0) AS c
+            FROM (SELECT DISTINCT event_type FROM f) t
+            CROSS JOIN generate_series(0, 99) g(d)
+            LEFT JOIN cells c ON c.event_type = t.event_type AND c.d2 = g.d
+        ),
+        tot AS (SELECT event_type, SUM(c) AS n FROM spine GROUP BY 1)
+        SELECT s.event_type,
+               CAST(t.n AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE s.c > 0) AS BIGINT) AS n_cells_hit,
+               CAST(SUM((s.c * 100 - t.n) * (s.c * 100 - t.n)) AS BIGINT)
+                   AS chi2_numerator,
+               CAST(MAX(s.c) AS BIGINT) AS max_cell,
+               CAST(MIN(s.c) AS BIGINT) AS min_cell
+        FROM spine s JOIN tot t USING (event_type)
+        GROUP BY s.event_type, t.n
+        ORDER BY s.event_type
+    """
