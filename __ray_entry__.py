@@ -1304,6 +1304,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trailing_digit_audit": rel.value_trailing_digit_audit,
         # agent-loop tool-burst window profile
         "conv_tool_burst": _q_conv(cv.conv_tool_burst),
+        # HTML markup profile (boilerplate-stripper tag weights input)
+        "html_tag_census": _q_conv(cv.html_tag_census),
+        # outlink / frontier-dedup href profile
+        "html_href_census": _q_conv(cv.html_href_census),
+        # PDF structure census on decoded payload bytes (rows-only)
+        "pdf_object_census": _q_conv(cv.pdf_object_census),
     }
 
 
@@ -1874,6 +1880,8 @@ def oracle_sql() -> dict[str, str]:
         "turn_invisible_chars_audit": cv.turn_invisible_chars_audit_sql(_INVISIBLE_SHARDS),
         "value_trailing_digit_audit": rel.value_trailing_digit_audit_sql(),
         "conv_tool_burst": cv.conv_tool_burst_sql(_T2_SHARDS),
+        "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
+        "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features

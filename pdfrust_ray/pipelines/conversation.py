@@ -2346,3 +2346,160 @@ def conv_tool_burst_sql(shards_glob: str, window: int = 10) -> str:
                CAST(MAX(burst) AS BIGINT) AS max_burst
         FROM w GROUP BY conv_id ORDER BY conv_id
     """
+
+
+def html_tag_census(corpus_dir: str, k: int = 20) -> pd.DataFrame:
+    """HTML tag census over browser-tool turns: occurrence count per
+    opening-tag name across all HTML payloads (top-k by count, tag
+    tie-break) — the markup profile that drives the boilerplate
+    stripper's tag weights (pdfrust_ray/html/extract.py scores by tag
+    class; this measures what the corpus actually contains).
+
+    Distributed plan: per-batch compiled-regex extraction collapsed to
+    Counter partials (tag-vocabulary-sized exchange), one
+    groupby(tag) fold, then the bounded sort+limit."""
+    import re
+    from collections import Counter
+
+    tag_re = re.compile(r"<([a-z][a-z0-9]*)")
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["tool", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["tool"], "browser")
+        c: Counter = Counter()
+        for s in t.filter(mask)["text"].to_pylist():
+            c.update(tag_re.findall(s))
+        tags = sorted(c)
+        return pa.table(
+            {
+                "tag": pa.array(tags, pa.string()),
+                "n": pa.array([c[x] for x in tags], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tag")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "tag"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)[["tag", "n"]]
+
+
+def html_tag_census_sql(shards_glob: str, k: int = 20) -> str:
+    return f"""
+        WITH tags AS (
+            SELECT unnest(regexp_extract_all(text, '<([a-z][a-z0-9]*)', 1)) AS tag
+            FROM read_parquet('{shards_glob}')
+            WHERE tool = 'browser'
+        )
+        SELECT tag, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tags GROUP BY tag
+        ORDER BY n DESC, tag LIMIT {k}
+    """
+
+
+def html_href_census(corpus_dir: str, k: int = 15) -> pd.DataFrame:
+    """Link-target census over browser-tool turns: count per href
+    value (top-k, href tie-break) — the outlink profile a crawler's
+    frontier dedup reads, and the sanity check that boilerplate
+    stripping is removing nav/ad links rather than content links.
+
+    Distributed plan: same Counter-partial shape as html_tag_census —
+    the exchange carries distinct hrefs, never documents."""
+    import re
+    from collections import Counter
+
+    href_re = re.compile(r'href="([^"]*)"')
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["tool", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["tool"], "browser")
+        c: Counter = Counter()
+        for s in t.filter(mask)["text"].to_pylist():
+            c.update(href_re.findall(s))
+        hs = sorted(c)
+        return pa.table(
+            {
+                "href": pa.array(hs, pa.string()),
+                "n": pa.array([c[x] for x in hs], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("href")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "href"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)[["href", "n"]]
+
+
+def html_href_census_sql(shards_glob: str, k: int = 15) -> str:
+    return f"""
+        WITH hrefs AS (
+            SELECT unnest(regexp_extract_all(text, 'href="([^"]*)"', 1)) AS href
+            FROM read_parquet('{shards_glob}')
+            WHERE tool = 'browser'
+        )
+        SELECT href, CAST(COUNT(*) AS BIGINT) AS n
+        FROM hrefs GROUP BY href
+        ORDER BY n DESC, href LIMIT {k}
+    """
+
+
+def pdf_object_census(corpus_dir: str) -> pd.DataFrame:
+    """PDF structure census over pdf_render-tool turns: per /Type name,
+    how many dictionary objects of that type the corpus carries, plus
+    the indirect-object and stream totals — the payload profile that
+    sizes the extraction stage (fonts and content streams dominate
+    cost).  Counting runs on the DECODED bytes (payload_bytes handles
+    the base85 bridge), which SQL cannot reach — rows-only, pinned by
+    a serial python recount in pytest.
+
+    Distributed plan: per-batch decode + compiled-regex counting into
+    Counter partials; one bounded groupby(type_name)."""
+    import re
+    from collections import Counter
+
+    from pdfrust_ray.functions.payload import payload_bytes
+
+    type_re = re.compile(rb"/Type\s*/([A-Za-z0-9]+)")
+    obj_re = re.compile(rb"\d+\s+\d+\s+obj")
+    stream_re = re.compile(rb"\bstream\b")
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["tool", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["tool"], "pdf_render")
+        c: Counter = Counter()
+        for s in t.filter(mask)["text"].to_pylist():
+            data = payload_bytes(s)
+            for m in type_re.findall(data):
+                c[f"type:{m.decode('ascii')}"] += 1
+            c["obj"] += len(obj_re.findall(data))
+            c["stream"] += len(stream_re.findall(data))
+        ks = sorted(c)
+        return pa.table(
+            {
+                "kind": pa.array(ks, pa.string()),
+                "n": pa.array([c[x] for x in ks], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("kind")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
