@@ -146,6 +146,77 @@ def _q_extract_metrics(sf_dir: str):
     return g
 
 
+def _q_extracted_dup_census(sf_dir: str):
+    """Exact-duplicate census OVER THE EXTRACTION OUTPUT per payload
+    kind — the composed clean->dedup reality check (templated payloads
+    collapse to identical visible text; this measures how much).
+    Same memoized-pipeline fold shape as extract_metrics: at scale
+    this is a (kind, md5(text)) groupby on the output Dataset."""
+    import hashlib
+
+    df = _extracted_df(_scale_for(sf_dir)).copy()
+    df["h"] = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["extracted_text"]
+    ]
+    g = df.groupby(["payload_kind", "h"], as_index=False).agg(c=("h", "size"))
+    out = g.groupby("payload_kind", as_index=False).agg(
+        n_turns=("c", "sum"),
+        n_distinct_texts=("c", "size"),
+        n_dup_turns=("c", lambda s: int(s[s > 1].sum())),
+    )
+    for c in ("n_turns", "n_distinct_texts", "n_dup_turns"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("payload_kind").reset_index(drop=True)
+
+
+def _q_extracted_len_profile(sf_dir: str):
+    """Extraction yield profile: per (payload_kind, parse_status),
+    turns, total extracted chars, and the largest single extraction —
+    the stage-output sizing table (how many clean chars each payload
+    class yields per input turn)."""
+    df = _extracted_df(_scale_for(sf_dir)).copy()
+    df["n_chars"] = df["extracted_text"].str.len().astype("int64")
+    out = df.groupby(["payload_kind", "parse_status"], as_index=False).agg(
+        n_turns=("n_chars", "size"),
+        total_chars=("n_chars", "sum"),
+        max_chars=("n_chars", "max"),
+    )
+    for c in ("n_turns", "total_chars", "max_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["payload_kind", "parse_status"]).reset_index(drop=True)
+
+
+def _q_extracted_token_stats(sf_dir: str):
+    """What extraction feeds the tokenizer: per payload kind, total
+    whitespace tokens and corpus-distinct tokens of the extracted
+    text (the vocabulary contribution of each payload class)."""
+    import re
+
+    import pandas as pd
+
+    # explicit ASCII whitespace class so Python and RE2 split identically
+    # (str.split() is Unicode-aware; extracted payload text can carry
+    # non-ASCII spacing chars)
+    ws_re = re.compile(r"[ \t\n\r\x0b\x0c]+")
+
+    df = _extracted_df(_scale_for(sf_dir))
+    rows = []
+    for kind, g in df.groupby("payload_kind"):
+        toks = 0
+        vocab: set = set()
+        for t in g["extracted_text"]:
+            ws = [w for w in ws_re.split(t) if w]
+            toks += len(ws)
+            vocab.update(ws)
+        rows.append(
+            {"payload_kind": kind, "n_tokens": toks, "n_distinct_tokens": len(vocab)}
+        )
+    out = pd.DataFrame(rows).sort_values("payload_kind").reset_index(drop=True)
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_distinct_tokens"] = out["n_distinct_tokens"].astype("int64")
+    return out
+
+
 def _q_extract_info(sf_dir: str):
     """P7 metadata reader over the modes fixture (actor-pool stage)."""
     from pdfrust_ray.fixtures.corpus import ensure_modes_fixture
@@ -1310,6 +1381,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_href_census": _q_conv(cv.html_href_census),
         # PDF structure census on decoded payload bytes (rows-only)
         "pdf_object_census": _q_conv(cv.pdf_object_census),
+        # composed extraction-output metrics (golden-parquet oracles)
+        "extracted_dup_census": _q_extracted_dup_census,
+        "extracted_len_profile": _q_extracted_len_profile,
+        "extracted_token_stats": _q_extracted_token_stats,
     }
 
 
@@ -1882,6 +1957,41 @@ def oracle_sql() -> dict[str, str]:
         "conv_tool_burst": cv.conv_tool_burst_sql(_T2_SHARDS),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
+        "extracted_dup_census": f"""
+            WITH h AS (
+                SELECT payload_kind, md5(extracted_text) AS h
+                FROM read_parquet('{_T2_GOLDEN}')
+            ),
+            g AS (SELECT payload_kind, h, COUNT(*) AS c FROM h GROUP BY 1, 2)
+            SELECT payload_kind,
+                   CAST(SUM(c) AS BIGINT) AS n_turns,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+                   CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+                       AS n_dup_turns
+            FROM g GROUP BY payload_kind ORDER BY payload_kind
+        """,
+        "extracted_len_profile": f"""
+            SELECT payload_kind, parse_status,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(length(extracted_text)) AS BIGINT) AS total_chars,
+                   CAST(MAX(length(extracted_text)) AS BIGINT) AS max_chars
+            FROM read_parquet('{_T2_GOLDEN}')
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "extracted_token_stats": rf"""
+            WITH tok AS (
+                SELECT payload_kind,
+                       unnest(list_filter(
+                           string_split_regex(extracted_text,
+                                              '[ \t\n\r\x0b\x0c]+'),
+                           w -> w <> '')) AS w
+                FROM read_parquet('{_T2_GOLDEN}')
+            )
+            SELECT payload_kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+            FROM tok GROUP BY payload_kind ORDER BY payload_kind
+        """,
         # rows-only (no SQL equivalent): simhash_dedup (signatures need
         # blake2b, pinned instead by the exact-Hamming side-table pytest),
         # ann_ivf_topk, language_profile, media_features
