@@ -1385,6 +1385,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extracted_dup_census": _q_extracted_dup_census,
         "extracted_len_profile": _q_extracted_len_profile,
         "extracted_token_stats": _q_extracted_token_stats,
+        # dialogue-grammar protocol validation
+        "conv_protocol_violations": _q_conv(cv.conv_protocol_violations),
+        # TPC-H Q11 shape: global-share threshold filter
+        "important_parts_q11": rel.important_parts_q11,
+        # top-k global inactivity gaps (block-stitched time scan)
+        "events_idle_gaps_topk": rel.events_idle_gaps_topk,
     }
 
 
@@ -1955,6 +1961,9 @@ def oracle_sql() -> dict[str, str]:
         "turn_invisible_chars_audit": cv.turn_invisible_chars_audit_sql(_INVISIBLE_SHARDS),
         "value_trailing_digit_audit": rel.value_trailing_digit_audit_sql(),
         "conv_tool_burst": cv.conv_tool_burst_sql(_T2_SHARDS),
+        "conv_protocol_violations": cv.conv_protocol_violations_sql(_T2_SHARDS),
+        "important_parts_q11": rel.important_parts_q11_sql(),
+        "events_idle_gaps_topk": rel.events_idle_gaps_topk_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -2503,3 +2503,83 @@ def pdf_object_census(corpus_dir: str) -> pd.DataFrame:
     )
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def conv_protocol_violations(corpus_dir: str) -> pd.DataFrame:
+    """Transcript protocol validation: per conversation, violations of
+    the dialogue grammar — (a) consecutive turns with the same role,
+    (b) a tool turn not immediately preceded by an assistant turn,
+    (c) a first turn that is not user — the schema-level QA an agent
+    log ingester runs before trusting turn semantics downstream.
+
+    Distributed plan: conv-bucket shuffle of (conv, idx, role); the
+    rule checks are one vectorized shift-compare per conversation."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "role": t["role"],
+            }
+        )
+        return _with_bucket(out)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv, gg in g.groupby("conv_id", sort=False):
+            gg = gg.sort_values("turn_idx")
+            roles = gg["role"].tolist()
+            same = sum(1 for a, b in zip(roles, roles[1:]) if a == b)
+            orphan_tool = sum(
+                1
+                for i, r in enumerate(roles)
+                if r == "tool" and (i == 0 or roles[i - 1] != "assistant")
+            )
+            bad_open = 0 if roles and roles[0] == "user" else 1
+            rows.append(
+                {
+                    "conv_id": conv,
+                    "n_turns": len(roles),
+                    "n_same_role_runs": same,
+                    "n_orphan_tools": orphan_tool,
+                    "bad_opening": bad_open,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out = (
+        _coalesced(ds.map_batches(prep, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_turns", "n_same_role_runs", "n_orphan_tools", "bad_opening"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def conv_protocol_violations_sql(shards_glob: str) -> str:
+    return f"""
+        WITH a AS (
+            SELECT conv_id, turn_idx, role,
+                   LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS prev_role,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS rn
+            FROM read_parquet('{shards_glob}')
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(COUNT(*) FILTER (WHERE role = prev_role) AS BIGINT)
+                   AS n_same_role_runs,
+               CAST(COUNT(*) FILTER (WHERE role = 'tool'
+                        AND (prev_role IS NULL OR prev_role <> 'assistant'))
+                    AS BIGINT) AS n_orphan_tools,
+               CAST(MAX(CASE WHEN rn = 1 AND role <> 'user' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad_opening
+        FROM a GROUP BY conv_id ORDER BY conv_id
+    """

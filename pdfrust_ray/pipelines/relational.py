@@ -19840,3 +19840,138 @@ def value_trailing_digit_audit_sql() -> str:
         GROUP BY s.event_type, t.n
         ORDER BY s.event_type
     """
+
+
+def important_parts_q11(sf_dir: str, threshold_ppm: int = 600) -> pd.DataFrame:
+    """TPC-H Q11 shape ('important stock'): parts whose share of total
+    lineitem revenue exceeds threshold_ppm parts-per-million, with the
+    share as an exact integer — the two-phase global-threshold filter
+    (one tiny total-aggregate broadcast, then a part-keyed groupby
+    filtered against it) that Q11's HAVING > SUM(...)*fraction needs.
+
+    Distributed plan: phase 1 computes the global total (scalar);
+    phase 2 is the part-keyed groupby with the threshold applied to
+    integer cross-products (rev * 1e6 > total * ppm) — no floats."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_partkey": t["l_partkey"], "rev": _cents(t["l_extendedprice"])}
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    per_part = (
+        prepped.groupby("l_partkey")
+        .aggregate(Sum("rev", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    total = int(per_part["revenue_cents"].sum())
+    per_part["revenue_cents"] = per_part["revenue_cents"].astype("int64")
+    keep = per_part[per_part["revenue_cents"] * 1_000_000 > total * threshold_ppm].copy()
+    keep["share_ppm"] = (keep["revenue_cents"] * 1_000_000 // total).astype("int64")
+    keep["l_partkey"] = keep["l_partkey"].astype("int64")
+    return (
+        keep.sort_values(["revenue_cents", "l_partkey"], ascending=[False, True])
+        .reset_index(drop=True)[["l_partkey", "revenue_cents", "share_ppm"]]
+    )
+
+
+def important_parts_q11_sql(threshold_ppm: int = 600) -> str:
+    return f"""
+        WITH pr AS (
+            SELECT l_partkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS revenue_cents
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT SUM(revenue_cents) AS t FROM pr)
+        SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+               CAST(revenue_cents AS BIGINT) AS revenue_cents,
+               CAST(revenue_cents * 1000000 // (SELECT t FROM tot) AS BIGINT)
+                   AS share_ppm
+        FROM pr
+        WHERE revenue_cents * 1000000 > (SELECT t FROM tot) * {threshold_ppm}
+        ORDER BY revenue_cents DESC, l_partkey
+    """
+
+
+def events_idle_gaps_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k longest global inactivity gaps in the event stream — the
+    outage detector: sort every event time once, then the k largest
+    gaps between CONSECUTIVE events system-wide, with start/end
+    seconds (ties break on start time).
+
+    Distributed plan: events bucket by coarse time range (hour); each
+    bucket computes internal gaps after a local sort, and the driver
+    stitches only the bucket-summary (min/max per hour bucket) for
+    cross-bucket gaps — same block-stitched scan as the keyspace
+    fragmentation audit, on the time axis."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 1_000_000)
+        return pa.table(
+            {"bucket": pc.divide(s, pa.scalar(3600, pa.int64())), "s": s}
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["s"].to_numpy(np.int64))
+        gaps = np.diff(s)
+        order = np.argsort(-gaps, kind="stable")[:k]
+        rows = {
+            "bucket": [int(g["bucket"].iloc[0])] * (len(order) + 1),
+            "gap_s": [int(gaps[i]) for i in order] + [-1],
+            "start_s": [int(s[i]) for i in order] + [int(s[0])],
+            "end_s": [int(s[i + 1]) for i in order] + [int(s[-1])],
+            "is_summary": [0] * len(order) + [1],
+        }
+        return pd.DataFrame(rows)
+
+    parts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    summaries = parts[parts["is_summary"] == 1].sort_values("bucket")
+    cands = parts[parts["is_summary"] == 0][["gap_s", "start_s", "end_s"]]
+    stitched = []
+    prev_end = None
+    for _, r in summaries.iterrows():
+        if prev_end is not None:
+            stitched.append(
+                {"gap_s": int(r["start_s"]) - prev_end, "start_s": prev_end, "end_s": int(r["start_s"])}
+            )
+        prev_end = int(r["end_s"])
+    allc = pd.concat([cands, pd.DataFrame(stitched)], ignore_index=True)
+    out = (
+        allc.sort_values(["gap_s", "start_s"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def events_idle_gaps_topk_sql(k: int = 10) -> str:
+    return f"""
+        WITH s AS (
+            SELECT epoch_us(ts) // 1000000 AS t FROM events
+        ),
+        g AS (
+            SELECT LAG(t) OVER (ORDER BY t) AS start_s, t AS end_s
+            FROM s
+        )
+        SELECT CAST(end_s - start_s AS BIGINT) AS gap_s,
+               CAST(start_s AS BIGINT) AS start_s,
+               CAST(end_s AS BIGINT) AS end_s
+        FROM g WHERE start_s IS NOT NULL
+        ORDER BY gap_s DESC, start_s LIMIT {k}
+    """
