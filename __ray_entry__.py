@@ -1391,6 +1391,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts_q11": rel.important_parts_q11,
         # top-k global inactivity gaps (block-stitched time scan)
         "events_idle_gaps_topk": rel.events_idle_gaps_topk,
+        # aggregate-before-join inequality EXISTS (Q4 variant)
+        "late_ship_orders": rel.late_ship_orders,
+        # row-level referential time-sanity audit
+        "impossible_ship_audit": rel.impossible_ship_audit,
+        # hierarchical two-level re-aggregation pricing spread
+        "part_supplier_price_spread": rel.part_supplier_price_spread,
     }
 
 
@@ -1964,6 +1970,9 @@ def oracle_sql() -> dict[str, str]:
         "conv_protocol_violations": cv.conv_protocol_violations_sql(_T2_SHARDS),
         "important_parts_q11": rel.important_parts_q11_sql(),
         "events_idle_gaps_topk": rel.events_idle_gaps_topk_sql(),
+        "late_ship_orders": rel.late_ship_orders_sql(),
+        "impossible_ship_audit": rel.impossible_ship_audit_sql(),
+        "part_supplier_price_spread": rel.part_supplier_price_spread_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

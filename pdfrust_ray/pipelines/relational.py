@@ -19975,3 +19975,307 @@ def events_idle_gaps_topk_sql(k: int = 10) -> str:
         FROM g WHERE start_s IS NOT NULL
         ORDER BY gap_s DESC, start_s LIMIT {k}
     """
+
+
+def late_ship_orders(sf_dir: str, grace_days: int = 60) -> pd.DataFrame:
+    """Late-shipment census (TPC-H Q4 turned into an inequality EXISTS):
+    per order priority, how many orders have at least one lineitem that
+    shipped more than `grace_days` after the order date, plus the worst
+    lateness in days for the priority class.
+
+    Distributed plan — aggregate-before-join: lineitem collapses to ONE
+    row per orderkey (max l_shipdate) via a combiner-style groupby, so
+    the join exchange carries |orders| rows, not |lineitem|; orders
+    streams and joins against the per-key max, and the date-arithmetic
+    filter + tiny priority groupby finish. At 10^12 rows the per-key
+    max is the only big shuffle, and it moves (key, date) pairs only."""
+    import numpy as np
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        # per-batch partial max: shrinks the exchange to per-batch
+        # distinct orderkeys before the global groupby
+        g = t.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "ship_us": pc.cast(
+                    pc.cast(g["l_shipdate_max"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    maxship = (
+        li.map_batches(prep_li, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("ship_us", alias_name="ship_us"))
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "order_us": pc.cast(
+                    pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    joined = orders.map_batches(prep_o, batch_format="pyarrow").join(
+        maxship,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def late_rows(t: pa.Table) -> pa.Table:
+        day_us = 86_400_000_000
+        late_days = pc.divide(
+            pc.subtract(t["ship_us"], t["order_us"]), pa.scalar(day_us, pa.int64())
+        )
+        keep = pc.greater(late_days, pa.scalar(grace_days, pa.int64()))
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderpriority": f["o_orderpriority"],
+                "late_days": pc.cast(late_days.filter(keep), pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(late_rows, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_late_orders"), Max("late_days", alias_name="worst_late_days")
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    out["n_late_orders"] = out["n_late_orders"].astype("int64")
+    out["worst_late_days"] = out["worst_late_days"].astype("int64")
+    return out[["o_orderpriority", "n_late_orders", "worst_late_days"]]
+
+
+def late_ship_orders_sql(grace_days: int = 60) -> str:
+    return f"""
+        WITH ms AS (
+            SELECT l_orderkey, MAX(l_shipdate) AS mship
+            FROM lineitem GROUP BY 1
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_late_orders,
+               CAST(MAX(DATEDIFF('day', o_orderdate, mship)) AS BIGINT)
+                   AS worst_late_days
+        FROM orders o JOIN ms ON o.o_orderkey = ms.l_orderkey
+        WHERE DATEDIFF('day', o_orderdate, mship) > {grace_days}
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def impossible_ship_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential time-sanity audit: lineitems whose ship date precedes
+    their own order's order date — impossible rows that signal clock
+    skew or key collisions upstream. Census per order status: violating
+    row count, distinct orders touched, and the worst negative lag.
+
+    Distributed plan: the orders (key, date, status) projection is the
+    small side — broadcast once via ray.put — and lineitem streams
+    through a task-pool map_batches doing a vectorized Arrow hash join
+    + inequality filter per batch; a tiny status groupby finishes.
+    Row-level (unlike late_ship_orders' order-level EXISTS): every
+    violating lineitem row counts."""
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+    odict = pa.table(
+        {
+            "o_orderkey": orders["o_orderkey"],
+            "order_us": pc.cast(
+                pc.cast(orders["o_orderdate"], pa.timestamp("us")), pa.int64()
+            ),
+            "o_orderstatus": orders["o_orderstatus"],
+        }
+    )
+    oref = ray.put(odict)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def probe(t: pa.Table, *, oref) -> pa.Table:
+        od = ray.get(oref)  # zero-copy plasma read per task
+        j = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ship_us": pc.cast(
+                    pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        ).join(od, keys="l_orderkey", right_keys="o_orderkey")
+        bad = j.filter(pc.less(j["ship_us"], j["order_us"]))
+        lag_days = pc.divide(
+            pc.subtract(bad["ship_us"], bad["order_us"]),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        # ceil toward zero for negatives: integer division in Arrow
+        # truncates toward zero, same as DATEDIFF on whole-day stamps
+        return pa.table(
+            {
+                "o_orderstatus": bad["o_orderstatus"],
+                "l_orderkey": bad["l_orderkey"],
+                "lag_days": pc.cast(lag_days, pa.int64()),
+            }
+        )
+
+    bad = li.map_batches(probe, batch_format="pyarrow", fn_kwargs={"oref": oref})
+
+    def partial(t: pa.Table) -> pa.Table:
+        # per-batch combiner: collapse to (status, order) before the
+        # exchange; the global per-order groupby below makes the
+        # distinct-order count exact even when one order's lineitems
+        # straddle batches
+        g = t.group_by(["o_orderstatus", "l_orderkey"]).aggregate(
+            [("lag_days", "min"), ("l_orderkey", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "l_orderkey": g["l_orderkey"],
+                "min_lag": g["lag_days_min"],
+                "n_rows": pc.cast(g["l_orderkey_count"], pa.int64()),
+            }
+        )
+
+    per_order = (
+        bad.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "l_orderkey"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Min("min_lag", alias_name="min_lag"),
+        )
+    )
+    out = (
+        per_order.groupby("o_orderstatus")
+        .aggregate(
+            Sum("n_rows", alias_name="n_bad_rows"),
+            Count(alias_name="n_bad_orders"),
+            Min("min_lag", alias_name="worst_lag_days"),
+        )
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    for c in ("n_bad_rows", "n_bad_orders", "worst_lag_days"):
+        out[c] = out[c].astype("int64")
+    return out[["o_orderstatus", "n_bad_rows", "n_bad_orders", "worst_lag_days"]]
+
+
+def impossible_ship_audit_sql() -> str:
+    return """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_bad_rows,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_bad_orders,
+               CAST(MIN(DATEDIFF('day', o_orderdate, l_shipdate)) AS BIGINT)
+                   AS worst_lag_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l_shipdate < o_orderdate
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def part_supplier_price_spread(sf_dir: str, min_suppliers: int = 2, k: int = 50) -> pd.DataFrame:
+    """Same-part cross-supplier pricing spread: for parts sold by at
+    least `min_suppliers` distinct suppliers, the spread between the
+    cheapest and dearest supplier's floor-exact unit price (total cents
+    // total quantity per (part, supplier)). Top-k widest spreads —
+    the 'who is overcharging for this part' sourcing signal.
+
+    Distributed plan — hierarchical re-aggregation: level 1 groups on
+    the FINE key (part, supplier) with per-batch partial sums feeding
+    one exchange; level 2 re-groups level-1 output on part alone (a
+    dataset already ~|parts x avg suppliers| small). Unit prices are
+    integer floor divisions so the result is bit-stable."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("l_extendedprice", "sum"), ("l_quantity", "sum")]
+        )
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "l_suppkey": g["l_suppkey"],
+                "price_c": _cents(g["l_extendedprice_sum"]),
+                "qty": pc.cast(g["l_quantity_sum"], pa.int64()),
+            }
+        )
+
+    fine = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Sum("price_c", alias_name="price_c"), Sum("qty", alias_name="qty"))
+    )
+
+    def unit(t: pa.Table) -> pa.Table:
+        up = pc.divide(t["price_c"], t["qty"])  # int64 // int64 in Arrow
+        return pa.table({"l_partkey": t["l_partkey"], "unit_c": pc.cast(up, pa.int64())})
+
+    coarse = (
+        fine.map_batches(unit, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Min("unit_c", alias_name="min_unit_c"),
+            Max("unit_c", alias_name="max_unit_c"),
+        )
+        .to_pandas()
+    )
+    coarse = coarse[coarse["n_suppliers"] >= min_suppliers].copy()
+    coarse["spread_c"] = coarse["max_unit_c"] - coarse["min_unit_c"]
+    for c in ("l_partkey", "n_suppliers", "min_unit_c", "max_unit_c", "spread_c"):
+        coarse[c] = coarse[c].astype("int64")
+    return (
+        coarse.sort_values(["spread_c", "l_partkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)[
+            ["l_partkey", "n_suppliers", "min_unit_c", "max_unit_c", "spread_c"]
+        ]
+    )
+
+
+def part_supplier_price_spread_sql(min_suppliers: int = 2, k: int = 50) -> str:
+    return f"""
+        WITH fine AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       // SUM(CAST(l_quantity AS BIGINT)) AS unit_c
+            FROM lineitem GROUP BY 1, 2
+        ),
+        coarse AS (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(MIN(unit_c) AS BIGINT) AS min_unit_c,
+                   CAST(MAX(unit_c) AS BIGINT) AS max_unit_c
+            FROM fine GROUP BY 1
+        )
+        SELECT CAST(l_partkey AS BIGINT) AS l_partkey, n_suppliers,
+               min_unit_c, max_unit_c,
+               max_unit_c - min_unit_c AS spread_c
+        FROM coarse WHERE n_suppliers >= {min_suppliers}
+        ORDER BY spread_c DESC, l_partkey LIMIT {k}
+    """
