@@ -1397,6 +1397,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impossible_ship_audit": rel.impossible_ship_audit,
         # hierarchical two-level re-aggregation pricing spread
         "part_supplier_price_spread": rel.part_supplier_price_spread,
+        # time-axis uniformity audit (60-row bounded exchange)
+        "events_minute_skew": rel.events_minute_skew,
+        # 2-D contingency mix with broadcast dimension probe
+        "segment_priority_mix": rel.segment_priority_mix,
     }
 
 
@@ -1973,6 +1977,8 @@ def oracle_sql() -> dict[str, str]:
         "late_ship_orders": rel.late_ship_orders_sql(),
         "impossible_ship_audit": rel.impossible_ship_audit_sql(),
         "part_supplier_price_spread": rel.part_supplier_price_spread_sql(),
+        "events_minute_skew": rel.events_minute_skew_sql(),
+        "segment_priority_mix": rel.segment_priority_mix_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

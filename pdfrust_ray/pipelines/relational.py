@@ -20279,3 +20279,136 @@ def part_supplier_price_spread_sql(min_suppliers: int = 2, k: int = 50) -> str:
         FROM coarse WHERE n_suppliers >= {min_suppliers}
         ORDER BY spread_c DESC, l_partkey LIMIT {k}
     """
+
+
+def events_minute_skew(sf_dir: str) -> pd.DataFrame:
+    """Minute-of-hour uniformity audit — the time-axis complement of
+    the trailing-digit test: real event streams are near-uniform over
+    minute-of-hour; batch imports, cron jobs, and synthetic generators
+    spike specific minutes. Per minute 0..59: event count and its
+    floor-exact share in ppm of the whole stream.
+
+    Distributed plan: per-batch partial counts (60-way) make the
+    exchange 60 rows per block regardless of input size; one tiny
+    groupby folds them and the shares are integer divisions."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        minute = pc.minute(pc.cast(t["ts"], pa.timestamp("us")))
+        g = (
+            pa.table({"minute": pc.cast(minute, pa.int64())})
+            .group_by("minute")
+            .aggregate([("minute", "count")])
+        )
+        return pa.table(
+            {"minute": g["minute"], "n": pc.cast(g["minute_count"], pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("minute")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("minute")
+        .reset_index(drop=True)
+    )
+    total = int(out["n"].sum())
+    out["minute"] = out["minute"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["share_ppm"] = (out["n"] * 1_000_000 // total).astype("int64")
+    return out[["minute", "n", "share_ppm"]]
+
+
+def events_minute_skew_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT CAST(EXTRACT(minute FROM ts) AS BIGINT) AS minute,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT minute, n,
+               CAST(n * 1000000 // (SELECT SUM(n) FROM c) AS BIGINT)
+                   AS share_ppm
+        FROM c ORDER BY minute
+    """
+
+
+def segment_priority_mix(sf_dir: str) -> pd.DataFrame:
+    """Market-segment x order-priority contingency: per (c_mktsegment,
+    o_orderpriority) cell, order count, revenue in cents, and the
+    cell's floor-exact ppm share of its segment's orders — the 2-D mix
+    table a drift monitor compares release-over-release.
+
+    Distributed plan: the customer key->segment projection broadcasts
+    once (ray.put); orders streams through a task-pool probe doing an
+    Arrow hash join + per-batch partial (segment, priority) sums, so
+    the exchange carries at most |segments x priorities| rows per
+    block; shares are integer divisions on the folded result."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    cref = ray.put(cust)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def probe(t: pa.Table, *, cref) -> pa.Table:
+        cust = ray.get(cref)
+        j = pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "price_c": _cents(t["o_totalprice"]),
+            }
+        ).join(cust, keys="o_custkey", right_keys="c_custkey")
+        g = j.group_by(["c_mktsegment", "o_orderpriority"]).aggregate(
+            [("price_c", "sum"), ("price_c", "count")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "o_orderpriority": g["o_orderpriority"],
+                "revenue_cents": g["price_c_sum"],
+                "n_orders": pc.cast(g["price_c_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        orders.map_batches(probe, batch_format="pyarrow", fn_kwargs={"cref": cref})
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()
+    )
+    seg_tot = out.groupby("c_mktsegment")["n_orders"].transform("sum")
+    out["seg_share_ppm"] = (out["n_orders"] * 1_000_000 // seg_tot).astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return (
+        out.sort_values(["c_mktsegment", "o_orderpriority"])
+        .reset_index(drop=True)[
+            ["c_mktsegment", "o_orderpriority", "n_orders", "revenue_cents", "seg_share_ppm"]
+        ]
+    )
+
+
+def segment_priority_mix_sql() -> str:
+    return """
+        WITH cell AS (
+            SELECT c_mktsegment, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_mktsegment, o_orderpriority, n_orders, revenue_cents,
+               CAST(n_orders * 1000000 //
+                    SUM(n_orders) OVER (PARTITION BY c_mktsegment)
+                    AS BIGINT) AS seg_share_ppm
+        FROM cell ORDER BY c_mktsegment, o_orderpriority
+    """
