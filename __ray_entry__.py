@@ -1401,6 +1401,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_minute_skew": rel.events_minute_skew,
         # 2-D contingency mix with broadcast dimension probe
         "segment_priority_mix": rel.segment_priority_mix,
+        # HDR power-of-two value histogram (bounded ~40-row exchange)
+        "orders_price_log2_histogram": rel.orders_price_log2_histogram,
+        # inter-event gap census in log2-second buckets
+        "events_gap_log2_histogram": rel.events_gap_log2_histogram,
     }
 
 
@@ -1979,6 +1983,8 @@ def oracle_sql() -> dict[str, str]:
         "part_supplier_price_spread": rel.part_supplier_price_spread_sql(),
         "events_minute_skew": rel.events_minute_skew_sql(),
         "segment_priority_mix": rel.segment_priority_mix_sql(),
+        "orders_price_log2_histogram": rel.orders_price_log2_histogram_sql(),
+        "events_gap_log2_histogram": rel.events_gap_log2_histogram_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

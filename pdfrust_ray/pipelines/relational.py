@@ -20412,3 +20412,159 @@ def segment_priority_mix_sql() -> str:
                     AS BIGINT) AS seg_share_ppm
         FROM cell ORDER BY c_mktsegment, o_orderpriority
     """
+
+
+def _bit_length_exact(v):
+    """Exact floor(log2(v)) for int64 v >= 1 via frexp: frexp returns
+    (m, e) with v == m * 2**e and 0.5 <= m < 1, exact for v < 2**53,
+    so e - 1 is the bit-length-minus-one bucket with no float-log
+    boundary risk (np.log2(2**k - 1) can round UP at large k)."""
+    import numpy as np
+
+    _, e = np.frexp(v.astype(np.float64))
+    return (e - 1).astype(np.int64)
+
+
+def orders_price_log2_histogram(sf_dir: str) -> pd.DataFrame:
+    """HDR-style order-value histogram: orders bucketed by
+    floor(log2(total cents)) — the power-of-two latency-histogram
+    trick applied to money, giving a fixed ~40-bucket profile of a
+    heavy-tailed value distribution with exact integer edges (no
+    quantile shuffle needed). Per bucket: [lo, hi] cent edges, count,
+    floor-exact ppm share.
+
+    Distributed plan: per-batch partial bucket counts cap the exchange
+    at ~40 rows per block; one tiny groupby folds them. The bucket is
+    computed with exact frexp bit-length, and the DuckDB twin uses
+    length(bin(x))-1 — both integer-exact, so the hash matches."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        bucket = _bit_length_exact(cents)
+        u, c = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": u, "n": c.astype(np.int64)})
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    total = int(out["n"].sum())
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["lo_cents"] = (1 << out["bucket"].to_numpy()).astype("int64")
+    out["hi_cents"] = ((1 << (out["bucket"].to_numpy() + 1)) - 1).astype("int64")
+    out["share_ppm"] = (out["n"] * 1_000_000 // total).astype("int64")
+    return out[["bucket", "lo_cents", "hi_cents", "n", "share_ppm"]]
+
+
+def orders_price_log2_histogram_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), b AS (
+            SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM c GROUP BY 1
+        )
+        SELECT bucket,
+               CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS lo_cents,
+               CAST((CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS BIGINT)
+                   AS hi_cents,
+               n,
+               CAST(n * 1000000 // (SELECT SUM(n) FROM b) AS BIGINT)
+                   AS share_ppm
+        FROM b ORDER BY bucket
+    """
+
+
+def events_gap_log2_histogram(sf_dir: str) -> pd.DataFrame:
+    """Inter-event gap census in power-of-two second buckets: for each
+    user's consecutive event pairs (ts then event_id order, so ties are
+    deterministic), the whole-second gap, bucketed by exact bit length
+    (bucket -1 = same-second pair) — the session-timeout calibration
+    curve: the knee of this histogram is where sessionize thresholds
+    belong. Per bucket: [lo, hi] second edges, pair count, floor-exact
+    ppm share.
+
+    Distributed plan: gaps need per-user total order, so the one
+    shuffle is groupby(user_id); each group emits only its <=64-row
+    bucket census (map_groups output is bounded regardless of user
+    size), and a second tiny groupby folds censuses globally."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy()
+        order = np.lexsort((eid, us))
+        us = us[order]
+        if len(us) < 2:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        gap_s = np.diff(us) // 1_000_000
+        bucket = np.where(gap_s == 0, -1, _bit_length_exact(np.maximum(gap_s, 1)))
+        u, c = np.unique(bucket, return_counts=True)
+        return pd.DataFrame({"bucket": u.astype("int64"), "n": c.astype("int64")})
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    total = int(out["n"].sum())
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    b = out["bucket"].to_numpy()
+    out["gap_lo_s"] = np.where(b < 0, 0, 1 << np.maximum(b, 0)).astype("int64")
+    out["gap_hi_s"] = np.where(b < 0, 0, (1 << (np.maximum(b, 0) + 1)) - 1).astype(
+        "int64"
+    )
+    out["share_ppm"] = (out["n"] * 1_000_000 // total).astype("int64")
+    return out[["bucket", "gap_lo_s", "gap_hi_s", "n", "share_ppm"]]
+
+
+def events_gap_log2_histogram_sql() -> str:
+    return """
+        WITH nxt AS (
+            SELECT epoch_us(ts) AS us,
+                   LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nus
+            FROM events
+        ), g AS (
+            SELECT (nus - us) // 1000000 AS gap_s
+            FROM nxt WHERE nus IS NOT NULL
+        ), b AS (
+            SELECT CAST(CASE WHEN gap_s = 0 THEN -1
+                             ELSE length(bin(gap_s)) - 1 END AS BIGINT)
+                       AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM g GROUP BY 1
+        )
+        SELECT bucket,
+               CAST(CASE WHEN bucket < 0 THEN 0
+                         ELSE CAST(1 AS BIGINT) << bucket END AS BIGINT)
+                   AS gap_lo_s,
+               CAST(CASE WHEN bucket < 0 THEN 0
+                         ELSE (CAST(1 AS BIGINT) << (bucket + 1)) - 1
+                    END AS BIGINT) AS gap_hi_s,
+               n,
+               CAST(n * 1000000 // (SELECT SUM(n) FROM b) AS BIGINT)
+                   AS share_ppm
+        FROM b ORDER BY bucket
+    """
