@@ -1405,6 +1405,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_log2_histogram": rel.orders_price_log2_histogram,
         # inter-event gap census in log2-second buckets
         "events_gap_log2_histogram": rel.events_gap_log2_histogram,
+        # exact-rational Simpson language concentration per source
+        "source_lang_simpson": rel.source_lang_simpson,
+        # per-user first->last event-type bookend census
+        "user_bookend_types": rel.user_bookend_types,
     }
 
 
@@ -1985,6 +1989,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_priority_mix": rel.segment_priority_mix_sql(),
         "orders_price_log2_histogram": rel.orders_price_log2_histogram_sql(),
         "events_gap_log2_histogram": rel.events_gap_log2_histogram_sql(),
+        "source_lang_simpson": rel.source_lang_simpson_sql(),
+        "user_bookend_types": rel.user_bookend_types_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -20568,3 +20568,143 @@ def events_gap_log2_histogram_sql() -> str:
                    AS share_ppm
         FROM b ORDER BY bucket
     """
+
+
+def source_lang_simpson(sf_dir: str) -> pd.DataFrame:
+    """Per-source Simpson concentration of the language mix, as an
+    exact integer rational: lambda = sum_l n_l*(n_l-1) / (N*(N-1)) —
+    the probability two random docs from the source share a language.
+    High lambda = monolingual source; the corpus-mixing planner reads
+    this before setting per-source sampling temperatures. Output per
+    source: doc count, distinct langs, exact numerator/denominator,
+    floor-ppm concentration.
+
+    Distributed plan: per-batch partial (source, lang) counts bound the
+    exchange at |sources x langs| rows per block; one small groupby
+    folds them and the per-source rational is computed on the tiny
+    folded table."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"source": t["source"], "lang": t["lang"]})
+            .group_by(["source", "lang"])
+            .aggregate([("lang", "count")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "lang": g["lang"],
+                "n": pc.cast(g["lang_count"], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for source, grp in folded.groupby("source", sort=True):
+        n = grp["n"].to_numpy()
+        total = int(n.sum())
+        num = int((n * (n - 1)).sum())
+        den = total * (total - 1)
+        rows.append(
+            {
+                "source": source,
+                "n_docs": total,
+                "n_langs": int(len(grp)),
+                "simpson_num": num,
+                "simpson_den": den,
+                "simpson_ppm": num * 1_000_000 // den if den else 0,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n_docs", "n_langs", "simpson_num", "simpson_den", "simpson_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def source_lang_simpson_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_langs,
+               CAST(SUM(n * (n - 1)) AS BIGINT) AS simpson_num,
+               CAST(SUM(n) * (SUM(n) - 1) AS BIGINT) AS simpson_den,
+               CAST(CASE WHEN SUM(n) > 1 THEN
+                        SUM(n * (n - 1)) * 1000000 //
+                        (SUM(n) * (SUM(n) - 1))
+                    ELSE 0 END AS BIGINT) AS simpson_ppm
+        FROM c GROUP BY source ORDER BY source
+    """
+
+
+def user_bookend_types(sf_dir: str) -> pd.DataFrame:
+    """Bookend transition census: per user the FIRST and LAST event
+    type (deterministic (ts, event_id) order), folded into a census
+    per (first_type, last_type) pair with user count and floor-ppm
+    share — the entry/exit matrix a funnel designer reads to see
+    whether journeys end where they begin.
+
+    Distributed plan: the one shuffle is groupby(user_id); each group
+    emits exactly one (first, last) row, and a second tiny groupby
+    folds pairs globally."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy()
+        order = np.lexsort((eid, us))
+        et = df["event_type"].to_numpy()
+        return pd.DataFrame(
+            {"first_type": [et[order[0]]], "last_type": [et[order[-1]]], "n": [1]}
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["first_type", "last_type"])
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["first_type", "last_type"])
+        .reset_index(drop=True)
+    )
+    total = int(out["n_users"].sum())
+    out["n_users"] = out["n_users"].astype("int64")
+    out["share_ppm"] = (out["n_users"] * 1_000_000 // total).astype("int64")
+    return out[["first_type", "last_type", "n_users", "share_ppm"]]
+
+
+def user_bookend_types_sql() -> str:
+    return """
+        WITH b AS (
+            SELECT DISTINCT user_id,
+                   FIRST_VALUE(event_type) OVER w AS first_type,
+                   LAST_VALUE(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING
+                   ) AS last_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), c AS (
+            SELECT first_type, last_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM b GROUP BY 1, 2
+        )
+        SELECT first_type, last_type, n_users,
+               CAST(n_users * 1000000 // (SELECT SUM(n_users) FROM c)
+                    AS BIGINT) AS share_ppm
+        FROM c ORDER BY first_type, last_type
+    """
