@@ -332,6 +332,15 @@ def _q_turn_nfc_audit(sf_dir: str):
     return turn_nfc_audit(ensure_unicode_fixture())
 
 
+def _q_turn_utf8_inflation(sf_dir: str):
+    """UTF-8 byte-inflation census over the planted-unicode fixture
+    (the only corpus family where multibyte counts are non-vacuous)."""
+    from pdfrust_ray.fixtures.corpus import ensure_unicode_fixture
+    from pdfrust_ray.pipelines.conversation import turn_utf8_inflation
+
+    return turn_utf8_inflation(ensure_unicode_fixture())
+
+
 _HOMOGLYPH_SHARDS = f"{_FIXTURE_BASE}/homoglyph/shards/*.parquet"
 _INVISIBLE_SHARDS = f"{_FIXTURE_BASE}/invisible/shards/*.parquet"
 
@@ -1409,6 +1418,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_simpson": rel.source_lang_simpson,
         # per-user first->last event-type bookend census
         "user_bookend_types": rel.user_bookend_types,
+        # conformed-dimension two-fact balance sheet
+        "nation_balance_sheet": rel.nation_balance_sheet,
+        # UTF-8 byte-inflation census per language
+        "doc_utf8_inflation": rel.doc_utf8_inflation,
+        # UTF-8 inflation over planted-unicode turns (non-vacuous)
+        "turn_utf8_inflation": _q_turn_utf8_inflation,
     }
 
 
@@ -1991,6 +2006,9 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_log2_histogram": rel.events_gap_log2_histogram_sql(),
         "source_lang_simpson": rel.source_lang_simpson_sql(),
         "user_bookend_types": rel.user_bookend_types_sql(),
+        "nation_balance_sheet": rel.nation_balance_sheet_sql(),
+        "doc_utf8_inflation": rel.doc_utf8_inflation_sql(),
+        "turn_utf8_inflation": cv.turn_utf8_inflation_sql(_UNICODE_SHARDS),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -2583,3 +2583,78 @@ def conv_protocol_violations_sql(shards_glob: str) -> str:
                     AS BIGINT) AS bad_opening
         FROM a GROUP BY conv_id ORDER BY conv_id
     """
+
+
+def turn_utf8_inflation(corpus_dir: str) -> pd.DataFrame:
+    """UTF-8 inflation census over raw turns: per role, total
+    codepoints vs total encoded bytes, the floor-exact
+    bytes-per-1000-chars rate, and how many turns contain any
+    multibyte codepoint — the storage/tokenizer budget planner's view
+    of how much wider than ASCII the corpus really is (run on the
+    planted-unicode fixture this is non-vacuous by construction).
+
+    Distributed plan: fully vectorized pyarrow utf8_length /
+    binary_length kernels inside map_batches produce per-batch partial
+    (role -> sums), bounding the exchange at |roles| rows per block;
+    one tiny groupby folds them."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["role", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        bts = pc.cast(pc.binary_length(t["text"]), pa.int64())
+        multi = pc.cast(pc.greater(bts, chars), pa.int64())
+        g = (
+            pa.table({"role": t["role"], "chars": chars, "bytes": bts, "multi": multi})
+            .group_by("role")
+            .aggregate(
+                [("chars", "sum"), ("bytes", "sum"), ("multi", "sum"), ("multi", "count")]
+            )
+        )
+        return pa.table(
+            {
+                "role": g["role"],
+                "n_turns": pc.cast(g["multi_count"], pa.int64()),
+                "total_chars": g["chars_sum"],
+                "total_bytes": g["bytes_sum"],
+                "n_multibyte_turns": g["multi_sum"],
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("role")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("total_bytes", alias_name="total_bytes"),
+            Sum("n_multibyte_turns", alias_name="n_multibyte_turns"),
+        )
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "role":
+            out[c] = out[c].astype("int64")
+    out["bytes_per_1k_chars"] = (
+        out["total_bytes"] * 1000 // out["total_chars"]
+    ).astype("int64")
+    return out[
+        ["role", "n_turns", "total_chars", "total_bytes", "n_multibyte_turns", "bytes_per_1k_chars"]
+    ]
+
+
+def turn_utf8_inflation_sql(shards_glob: str) -> str:
+    return f"""
+        SELECT role,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(SUM(CASE WHEN strlen(text) > length(text)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_multibyte_turns,
+               CAST(SUM(strlen(text)) * 1000 // SUM(length(text))
+                    AS BIGINT) AS bytes_per_1k_chars
+        FROM read_parquet('{shards_glob}')
+        GROUP BY role ORDER BY role
+    """

@@ -20708,3 +20708,179 @@ def user_bookend_types_sql() -> str:
                     AS BIGINT) AS share_ppm
         FROM c ORDER BY first_type, last_type
     """
+
+
+def nation_balance_sheet(sf_dir: str) -> pd.DataFrame:
+    """Conformed-dimension balance sheet: per nation, the customer-side
+    and supplier-side account-balance aggregates joined on the shared
+    nation dimension (FULL OUTER semantics — a nation with customers
+    but no suppliers still appears, with zeros). Balances are exact
+    cents; the ratio column is floor-exact ppm of supplier balance to
+    customer balance (0 when the denominator is <= 0).
+
+    Distributed plan: customer and supplier each stream through a
+    per-batch partial (nationkey -> count/sum-cents), so both exchanges
+    carry at most |nations| rows per block; the two tiny folded tables
+    and the 25-row nation dimension are joined driver-side."""
+    nat = pq.read_table(sf_dir + "/nation.parquet", columns=["n_nationkey", "n_name"])
+
+    def side(table: str, key: str, bal: str, prefix: str) -> pd.DataFrame:
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key, bal])
+
+        def prep(t: pa.Table) -> pa.Table:
+            g = (
+                pa.table({"nationkey": t[key], "bal_c": _cents(t[bal])})
+                .group_by("nationkey")
+                .aggregate([("bal_c", "sum"), ("bal_c", "count")])
+            )
+            return pa.table(
+                {
+                    "nationkey": g["nationkey"],
+                    f"{prefix}_bal_cents": g["bal_c_sum"],
+                    f"n_{prefix}s": pc.cast(g["bal_c_count"], pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("nationkey")
+            .aggregate(
+                Sum(f"{prefix}_bal_cents", alias_name=f"{prefix}_bal_cents"),
+                Sum(f"n_{prefix}s", alias_name=f"n_{prefix}s"),
+            )
+            .to_pandas()
+        )
+
+    cust = side("customer", "c_nationkey", "c_acctbal", "cust")
+    supp = side("supplier", "s_nationkey", "s_acctbal", "supp")
+    out = nat.to_pandas().rename(columns={"n_nationkey": "nationkey"})
+    out = out.merge(cust, on="nationkey", how="left").merge(
+        supp, on="nationkey", how="left"
+    )
+    for c in ("n_custs", "cust_bal_cents", "n_supps", "supp_bal_cents"):
+        out[c] = out[c].fillna(0).astype("int64")
+    num = out["supp_bal_cents"].to_numpy()
+    den = out["cust_bal_cents"].to_numpy()
+    out["supp_to_cust_ppm"] = [
+        int(n) * 1_000_000 // int(d) if d > 0 and n >= 0 else 0
+        for n, d in zip(num, den)
+    ]
+    out["supp_to_cust_ppm"] = out["supp_to_cust_ppm"].astype("int64")
+    out = out.sort_values("nationkey").reset_index(drop=True)
+    return out[
+        [
+            "nationkey",
+            "n_name",
+            "n_custs",
+            "cust_bal_cents",
+            "n_supps",
+            "supp_bal_cents",
+            "supp_to_cust_ppm",
+        ]
+    ]
+
+
+def nation_balance_sheet_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT c_nationkey AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_custs,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS cust_bal_cents
+            FROM customer GROUP BY 1
+        ), s AS (
+            SELECT s_nationkey AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_supps,
+                   CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS supp_bal_cents
+            FROM supplier GROUP BY 1
+        )
+        SELECT n.n_nationkey AS nationkey, n.n_name,
+               CAST(COALESCE(c.n_custs, 0) AS BIGINT) AS n_custs,
+               CAST(COALESCE(c.cust_bal_cents, 0) AS BIGINT)
+                   AS cust_bal_cents,
+               CAST(COALESCE(s.n_supps, 0) AS BIGINT) AS n_supps,
+               CAST(COALESCE(s.supp_bal_cents, 0) AS BIGINT)
+                   AS supp_bal_cents,
+               CAST(CASE WHEN COALESCE(c.cust_bal_cents, 0) > 0
+                              AND COALESCE(s.supp_bal_cents, 0) >= 0
+                         THEN COALESCE(s.supp_bal_cents, 0) * 1000000
+                              // c.cust_bal_cents
+                         ELSE 0 END AS BIGINT) AS supp_to_cust_ppm
+        FROM nation n
+        LEFT JOIN c ON n.n_nationkey = c.nationkey
+        LEFT JOIN s ON n.n_nationkey = s.nationkey
+        ORDER BY nationkey
+    """
+
+
+def doc_utf8_inflation(sf_dir: str) -> pd.DataFrame:
+    """UTF-8 inflation census: per language, total codepoints vs total
+    encoded bytes and the floor-exact bytes-per-1000-chars rate — the
+    storage/tokenizer-budget planner's view of how much wider than
+    ASCII each language's text really is (zh ~3x, accented Latin ~1.0x,
+    en exactly 1000). Also counts docs containing any multibyte char.
+
+    Distributed plan: per-batch partial (lang -> sums) via vectorized
+    pyarrow utf8_length/binary_length kernels bound the exchange at
+    |langs| rows per block; one tiny groupby folds them."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        bts = pc.cast(pc.binary_length(t["text"]), pa.int64())
+        multi = pc.cast(pc.greater(bts, chars), pa.int64())
+        g = (
+            pa.table({"lang": t["lang"], "chars": chars, "bytes": bts, "multi": multi})
+            .group_by("lang")
+            .aggregate([("chars", "sum"), ("bytes", "sum"), ("multi", "sum"), ("multi", "count")])
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_docs": pc.cast(g["multi_count"], pa.int64()),
+                "total_chars": g["chars_sum"],
+                "total_bytes": g["bytes_sum"],
+                "n_multibyte_docs": g["multi_sum"],
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("total_bytes", alias_name="total_bytes"),
+            Sum("n_multibyte_docs", alias_name="n_multibyte_docs"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "total_chars", "total_bytes", "n_multibyte_docs"):
+        out[c] = out[c].astype("int64")
+    out["bytes_per_1k_chars"] = (
+        out["total_bytes"] * 1000 // out["total_chars"]
+    ).astype("int64")
+    return out[
+        ["lang", "n_docs", "total_chars", "total_bytes", "n_multibyte_docs", "bytes_per_1k_chars"]
+    ]
+
+
+def doc_utf8_inflation_sql() -> str:
+    return """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT)
+                   AS total_bytes,
+               CAST(SUM(CASE WHEN octet_length(CAST(text AS BLOB))
+                                  > length(text)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_multibyte_docs,
+               CAST(SUM(octet_length(CAST(text AS BLOB))) * 1000
+                    // SUM(length(text)) AS BIGINT)
+                   AS bytes_per_1k_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """
