@@ -1424,6 +1424,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_utf8_inflation": rel.doc_utf8_inflation,
         # UTF-8 inflation over planted-unicode turns (non-vacuous)
         "turn_utf8_inflation": _q_turn_utf8_inflation,
+        # engagement pyramid: users in power-of-two activity bands
+        "user_activity_log2_bands": rel.user_activity_log2_bands,
+        # position-normalized (early/mid/late) role mix
+        "conv_position_role_mix": _q_conv(cv.conv_position_role_mix),
     }
 
 
@@ -2009,6 +2013,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_balance_sheet": rel.nation_balance_sheet_sql(),
         "doc_utf8_inflation": rel.doc_utf8_inflation_sql(),
         "turn_utf8_inflation": cv.turn_utf8_inflation_sql(_UNICODE_SHARDS),
+        "user_activity_log2_bands": rel.user_activity_log2_bands_sql(),
+        "conv_position_role_mix": cv.conv_position_role_mix_sql(_T2_SHARDS),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -2658,3 +2658,81 @@ def turn_utf8_inflation_sql(shards_glob: str) -> str:
         FROM read_parquet('{shards_glob}')
         GROUP BY role ORDER BY role
     """
+
+
+def conv_position_role_mix(corpus_dir: str) -> pd.DataFrame:
+    """Position-normalized role mix: each turn assigned to an early /
+    middle / late third of ITS OWN conversation (third = turn_idx * 3
+    // n_turns, integer-exact so conversations of any length split
+    deterministically), then a (third, role) census with floor-ppm
+    share within the third — the dialogue-shape profile showing where
+    tool calls cluster and how assistant share grows toward the tail.
+
+    Distributed plan: per-conversation turn counts come from one
+    groupby(conv_id) count whose output (one int per conversation)
+    broadcasts as an Arrow hash-join side; turns then stream through a
+    task-pool probe emitting per-batch (third, role) partials, so the
+    exchange is at most 3 x |roles| rows per block."""
+    import ray as _ray
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role"])
+    counts = (
+        ds.groupby("conv_id")
+        .aggregate(Count(alias_name="n_turns"))
+        .to_arrow_refs()
+    )
+    counts_tbl = pa.concat_tables(_ray.get(counts)).combine_chunks()
+    cref = _ray.put(counts_tbl)
+
+    def probe(t: pa.Table, *, cref) -> pa.Table:
+        counts = _ray.get(cref)
+        j = t.join(counts, keys="conv_id")
+        third = pc.divide(
+            pc.multiply(pc.cast(j["turn_idx"], pa.int64()), 3),
+            pc.cast(j["n_turns"], pa.int64()),
+        )
+        g = (
+            pa.table({"third": third, "role": j["role"]})
+            .group_by(["third", "role"])
+            .aggregate([("role", "count")])
+        )
+        return pa.table(
+            {
+                "third": pc.cast(g["third"], pa.int64()),
+                "role": g["role"],
+                "n_turns": pc.cast(g["role_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(probe, batch_format="pyarrow", fn_kwargs={"cref": cref})
+        .groupby(["third", "role"])
+        .aggregate(Sum("n_turns", alias_name="n_turns"))
+        .to_pandas()
+        .sort_values(["third", "role"])
+        .reset_index(drop=True)
+    )
+    out["third"] = out["third"].astype("int64")
+    out["n_turns"] = out["n_turns"].astype("int64")
+    third_tot = out.groupby("third")["n_turns"].transform("sum")
+    out["third_share_ppm"] = (out["n_turns"] * 1_000_000 // third_tot).astype("int64")
+    return out[["third", "role", "n_turns", "third_share_ppm"]]
+
+
+def conv_position_role_mix_sql(shards_glob: str) -> str:
+    return f"""
+        WITH t AS (
+            SELECT conv_id, turn_idx, role,
+                   COUNT(*) OVER (PARTITION BY conv_id) AS n_turns
+            FROM read_parquet('{shards_glob}')
+        ), c AS (
+            SELECT CAST(turn_idx * 3 // n_turns AS BIGINT) AS third,
+                   role, CAST(COUNT(*) AS BIGINT) AS n_turns
+            FROM t GROUP BY 1, 2
+        )
+        SELECT third, role, n_turns,
+               CAST(n_turns * 1000000 //
+                    SUM(n_turns) OVER (PARTITION BY third)
+                    AS BIGINT) AS third_share_ppm
+        FROM c ORDER BY third, role
+    """

@@ -20884,3 +20884,72 @@ def doc_utf8_inflation_sql() -> str:
                    AS bytes_per_1k_chars
         FROM documents GROUP BY lang ORDER BY lang
     """
+
+
+def user_activity_log2_bands(sf_dir: str) -> pd.DataFrame:
+    """User-activity histogram in power-of-two bands: users bucketed by
+    floor(log2(their event count)) — the engagement pyramid (lurkers at
+    band 0, power users in the tail) with exact integer edges, no
+    quantile shuffle. Per band: [lo, hi] count edges, user count, total
+    events, floor-ppm share of all events the band generates.
+
+    Distributed plan: one groupby(user_id) count (partial-aggregating,
+    carries one int per user), then the tiny banding fold runs on the
+    per-user counts with per-batch <=40-row partials."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    per_user = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+
+    def band(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_events"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = _bit_length_exact(n)
+        tbl = pa.table({"band": b, "one": np.ones(len(b), np.int64), "ev": n})
+        g = tbl.group_by("band").aggregate([("one", "sum"), ("ev", "sum")])
+        return pa.table(
+            {"band": g["band"], "n_users": g["one_sum"], "n_events": g["ev_sum"]}
+        )
+
+    out = (
+        per_user.map_batches(band, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .to_pandas()
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+    total = int(out["n_events"].sum())
+    out["band"] = out["band"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["lo_events"] = (1 << out["band"].to_numpy()).astype("int64")
+    out["hi_events"] = ((1 << (out["band"].to_numpy() + 1)) - 1).astype("int64")
+    out["event_share_ppm"] = (out["n_events"] * 1_000_000 // total).astype("int64")
+    return out[
+        ["band", "lo_events", "hi_events", "n_users", "n_events", "event_share_ppm"]
+    ]
+
+
+def user_activity_log2_bands_sql() -> str:
+    return """
+        WITH u AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ), b AS (
+            SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(n) AS BIGINT) AS n_events
+            FROM u GROUP BY 1
+        )
+        SELECT band,
+               CAST(CAST(1 AS BIGINT) << band AS BIGINT) AS lo_events,
+               CAST((CAST(1 AS BIGINT) << (band + 1)) - 1 AS BIGINT)
+                   AS hi_events,
+               n_users, n_events,
+               CAST(n_events * 1000000 // (SELECT SUM(n_events) FROM b)
+                    AS BIGINT) AS event_share_ppm
+        FROM b ORDER BY band
+    """
