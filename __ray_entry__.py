@@ -1428,6 +1428,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_log2_bands": rel.user_activity_log2_bands,
         # position-normalized (early/mid/late) role mix
         "conv_position_role_mix": _q_conv(cv.conv_position_role_mix),
+        # RLE retry/stutter profile of per-user event streams
+        "user_type_run_histogram": rel.user_type_run_histogram,
+        # customer-side region x year market-mix matrix
+        "region_year_order_matrix": rel.region_year_order_matrix,
     }
 
 
@@ -2015,6 +2019,8 @@ def oracle_sql() -> dict[str, str]:
         "turn_utf8_inflation": cv.turn_utf8_inflation_sql(_UNICODE_SHARDS),
         "user_activity_log2_bands": rel.user_activity_log2_bands_sql(),
         "conv_position_role_mix": cv.conv_position_role_mix_sql(_T2_SHARDS),
+        "user_type_run_histogram": rel.user_type_run_histogram_sql(),
+        "region_year_order_matrix": rel.region_year_order_matrix_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

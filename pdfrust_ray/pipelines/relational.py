@@ -20953,3 +20953,161 @@ def user_activity_log2_bands_sql() -> str:
                     AS BIGINT) AS event_share_ppm
         FROM b ORDER BY band
     """
+
+
+def user_type_run_histogram(sf_dir: str) -> pd.DataFrame:
+    """Run-length census of per-user event streams: maximal runs of
+    the SAME event type in (ts, event_id) order, folded into a
+    (event_type, run_len) histogram — the retry/stutter profile: long
+    runs of one type signal client retry loops or bot traffic that a
+    quality filter should collapse before training on behavior logs.
+
+    Distributed plan: the one shuffle is groupby(user_id); run lengths
+    are found vectorized (np.diff on type-change boundaries) and each
+    group emits only its local (type, len) census; a second tiny
+    groupby folds censuses globally."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy()
+        order = np.lexsort((eid, us))
+        et = df["event_type"].to_numpy()[order]
+        # boundaries of maximal equal-type runs
+        change = np.flatnonzero(et[1:] != et[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(et)]))
+        runs = pd.DataFrame({"event_type": et[starts], "run_len": ends - starts})
+        c = runs.groupby(["event_type", "run_len"], sort=False).size()
+        out = c.reset_index(name="n_runs")
+        out["run_len"] = out["run_len"].astype("int64")
+        out["n_runs"] = out["n_runs"].astype("int64")
+        return out
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["event_type", "run_len"])
+        .aggregate(Sum("n_runs", alias_name="n_runs"))
+        .to_pandas()
+        .sort_values(["event_type", "run_len"])
+        .reset_index(drop=True)
+    )
+    out["run_len"] = out["run_len"].astype("int64")
+    out["n_runs"] = out["n_runs"].astype("int64")
+    return out[["event_type", "run_len", "n_runs"]]
+
+
+def user_type_run_histogram_sql() -> str:
+    return """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                   - ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS grp
+            FROM events
+        ), r AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+            FROM s GROUP BY user_id, event_type, grp
+        )
+        SELECT event_type, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+        FROM r GROUP BY 1, 2 ORDER BY event_type, run_len
+    """
+
+
+def region_year_order_matrix(sf_dir: str) -> pd.DataFrame:
+    """Customer-side region x order-year matrix: per (region, year),
+    order count and exact revenue cents, plus the floor-ppm share of
+    that year's revenue the region carried — the market-mix trend view
+    (the customer-geography complement of the supplier-side
+    region_revenue star).
+
+    Distributed plan: the 2-hop dimension chain (customer -> nation ->
+    region) is pre-joined ONCE driver-side into a custkey -> region map
+    and broadcast; orders stream through a task-pool probe doing an
+    Arrow hash join + per-batch (region, year) partials, so the
+    exchange carries at most |regions x years| rows per block."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    dim = cust.join(
+        nation, keys="c_nationkey", right_keys="n_nationkey", join_type="inner"
+    ).join(region, keys="n_regionkey", right_keys="r_regionkey", join_type="inner")
+    dim = dim.select(["c_custkey", "r_name"])
+    ref = ray.put(dim)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def probe(t: pa.Table, *, ref) -> pa.Table:
+        dim = ray.get(ref)
+        j = pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "year": pc.cast(
+                    pc.year(pc.cast(t["o_orderdate"], pa.timestamp("us"))), pa.int64()
+                ),
+                "price_c": _cents(t["o_totalprice"]),
+            }
+        ).join(dim, keys="o_custkey", right_keys="c_custkey")
+        g = j.group_by(["r_name", "year"]).aggregate(
+            [("price_c", "sum"), ("price_c", "count")]
+        )
+        return pa.table(
+            {
+                "r_name": g["r_name"],
+                "year": g["year"],
+                "revenue_cents": g["price_c_sum"],
+                "n_orders": pc.cast(g["price_c_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        orders.map_batches(probe, batch_format="pyarrow", fn_kwargs={"ref": ref})
+        .groupby(["r_name", "year"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()
+        .sort_values(["r_name", "year"])
+        .reset_index(drop=True)
+    )
+    out["year"] = out["year"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    year_tot = out.groupby("year")["revenue_cents"].transform("sum")
+    out["year_share_ppm"] = (out["revenue_cents"] * 1_000_000 // year_tot).astype(
+        "int64"
+    )
+    return out[["r_name", "year", "n_orders", "revenue_cents", "year_share_ppm"]]
+
+
+def region_year_order_matrix_sql() -> str:
+    return """
+        WITH cell AS (
+            SELECT r.r_name,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS year,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT r_name, year, n_orders, revenue_cents,
+               CAST(revenue_cents * 1000000 //
+                    SUM(revenue_cents) OVER (PARTITION BY year)
+                    AS BIGINT) AS year_share_ppm
+        FROM cell ORDER BY r_name, year
+    """
