@@ -1432,6 +1432,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_run_histogram": rel.user_type_run_histogram,
         # customer-side region x year market-mix matrix
         "region_year_order_matrix": rel.region_year_order_matrix,
+        # cent-grid quantization artifact detector
+        "value_quantization_audit": rel.value_quantization_audit,
+        # template-opening first-token census
+        "doc_first_token_census": rel.doc_first_token_census,
     }
 
 
@@ -2021,6 +2025,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_position_role_mix": cv.conv_position_role_mix_sql(_T2_SHARDS),
         "user_type_run_histogram": rel.user_type_run_histogram_sql(),
         "region_year_order_matrix": rel.region_year_order_matrix_sql(),
+        "value_quantization_audit": rel.value_quantization_audit_sql(),
+        "doc_first_token_census": rel.doc_first_token_census_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

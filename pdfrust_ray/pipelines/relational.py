@@ -21111,3 +21111,146 @@ def region_year_order_matrix_sql() -> str:
                     AS BIGINT) AS year_share_ppm
         FROM cell ORDER BY r_name, year
     """
+
+
+def value_quantization_audit(sf_dir: str) -> pd.DataFrame:
+    """Quantization-grid audit: per event type, how many values (in
+    exact cents) are NOT divisible by each candidate granularity (5,
+    10, 25, 100 cents) plus the largest candidate that divides every
+    value (0 = penny-grained) — synthetic generators, price books and
+    rounded imports leave a coarse grid that this census exposes.
+
+    Distributed plan: per-batch partial (type -> misfit counts) via
+    vectorized modulo kernels bound the exchange at |types| rows per
+    block; the winning granularity is picked on the tiny folded
+    table."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    grid = (5, 10, 25, 100)
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        et = t["event_type"]
+        cols = {"event_type": et}
+        for d in grid:
+            cols[f"nd{d}"] = pa.array((cents % d != 0).astype(np.int64))
+        cols["one"] = pa.array(np.ones(len(cents), np.int64))
+        g = pa.table(cols).group_by("event_type").aggregate(
+            [(f"nd{d}", "sum") for d in grid] + [("one", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": g["one_sum"],
+                **{f"not_div_{d}": g[f"nd{d}_sum"] for d in grid},
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            *[Sum(f"not_div_{d}", alias_name=f"not_div_{d}") for d in grid],
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "event_type":
+            out[c] = out[c].astype("int64")
+    gran = []
+    for _, r in out.iterrows():
+        best = 0
+        for d in grid:
+            if r[f"not_div_{d}"] == 0:
+                best = max(best, d)
+        gran.append(best)
+    out["granularity_cents"] = pd.Series(gran, dtype="int64")
+    return out[
+        ["event_type", "n"]
+        + [f"not_div_{d}" for d in grid]
+        + ["granularity_cents"]
+    ]
+
+
+def value_quantization_audit_sql() -> str:
+    nd = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN CAST(ROUND(value * 100) AS BIGINT) % {d} <> 0 "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS not_div_{d}"
+        for d in (5, 10, 25, 100)
+    )
+    return f"""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+               {nd}
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n, not_div_5, not_div_10, not_div_25,
+               not_div_100,
+               CAST(CASE WHEN not_div_100 = 0 THEN 100
+                         WHEN not_div_25 = 0 THEN 25
+                         WHEN not_div_10 = 0 THEN 10
+                         WHEN not_div_5 = 0 THEN 5
+                         ELSE 0 END AS BIGINT) AS granularity_cents
+        FROM c ORDER BY event_type
+    """
+
+
+def doc_first_token_census(sf_dir: str, k: int = 30) -> pd.DataFrame:
+    """Template-opening detector: census of each document's FIRST
+    whitespace-delimited token (top-k by count, token tie-break) — a
+    skewed head here means boilerplate openings ("Subject:",
+    "Chapter", a scraped nav bar) that a cleaning pipeline should
+    strip before dedup. Both sides use RE2 ('^\\S+'), so the token
+    extraction is semantics-identical.
+
+    Distributed plan: vectorized extract_regex + per-batch partial
+    counts; only (token, count) partials cross the exchange, and the
+    driver keeps just the folded top-k."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["text"], pattern=r"^(?P<tok>\S+)")
+        tok = pc.struct_field(ex, "tok")
+        tok = pc.drop_null(tok)
+        g = pa.table({"first_token": tok}).group_by("first_token").aggregate(
+            [("first_token", "count")]
+        )
+        return pa.table(
+            {
+                "first_token": g["first_token"],
+                "n": pc.cast(g["first_token_count"], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("first_token")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+    )
+    folded["n_docs"] = folded["n_docs"].astype("int64")
+    out = (
+        folded.sort_values(["n_docs", "first_token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["first_token", "n_docs"]]
+
+
+def doc_first_token_census_sql(k: int = 30) -> str:
+    return f"""
+        WITH c AS (
+            SELECT regexp_extract(text, '^(\\S+)', 1) AS first_token,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents
+            WHERE regexp_matches(text, '^\\S')
+            GROUP BY 1
+        )
+        SELECT first_token, n_docs
+        FROM c ORDER BY n_docs DESC, first_token LIMIT {k}
+    """
