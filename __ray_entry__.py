@@ -372,6 +372,15 @@ def _q_conv_prefix_forks(sf_dir: str):
     return conv_prefix_forks(ensure_forks_fixture())
 
 
+def _q_cross_conv_turn_dups(sf_dir: str):
+    """Turn-level cross-conversation boilerplate census over the forks
+    fixture (shared fork prefixes guarantee >=2-conv duplicates)."""
+    from pdfrust_ray.fixtures.corpus import ensure_forks_fixture
+    from pdfrust_ray.pipelines.conversation import cross_conv_turn_dups
+
+    return cross_conv_turn_dups(ensure_forks_fixture())
+
+
 def _q_turn_normalize(sf_dir: str):
     """Lowercase/whitespace canonicalization of the plain turns of the
     t2 transcript corpus; DuckDB recomputes from the RAW shards."""
@@ -1436,6 +1445,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantization_audit": rel.value_quantization_audit,
         # template-opening first-token census
         "doc_first_token_census": rel.doc_first_token_census,
+        # T5 span-corruption budget plan (integer-exact)
+        "t5_span_mask_plan": textops.t5_span_mask_plan,
+        # turn-level cross-conversation boilerplate census
+        "cross_conv_turn_dups": _q_cross_conv_turn_dups,
     }
 
 
@@ -2027,6 +2040,8 @@ def oracle_sql() -> dict[str, str]:
         "region_year_order_matrix": rel.region_year_order_matrix_sql(),
         "value_quantization_audit": rel.value_quantization_audit_sql(),
         "doc_first_token_census": rel.doc_first_token_census_sql(),
+        "t5_span_mask_plan": textops.t5_span_mask_plan_sql(),
+        "cross_conv_turn_dups": cv.cross_conv_turn_dups_sql(_FORKS_SHARDS),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -2736,3 +2736,80 @@ def conv_position_role_mix_sql(shards_glob: str) -> str:
                     AS BIGINT) AS third_share_ppm
         FROM c ORDER BY third, role
     """
+
+
+def cross_conv_turn_dups(corpus_dir: str, k: int = 40) -> pd.DataFrame:
+    """Cross-conversation boilerplate census at TURN granularity: for
+    each distinct turn text appearing in >= 2 different conversations,
+    how many conversations carry it and how many times it occurs in
+    total (top-k by conv spread, then occurrences, then hash) —
+    position-agnostic, so it catches shared system prompts, templated
+    acks and copy-paste tails that prefix-tree forks miss.
+
+    Distributed plan: turns collapse to (md5, conv_id, count) partials
+    inside map_batches — text never crosses the exchange — then one
+    groupby folds per-conv counts and a second (already collapsed)
+    groupby computes conv spread; only >=2-conv hashes survive to the
+    driver top-k."""
+    import hashlib as _hl
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = [_hl.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        g = (
+            pa.table({"text_md5": pa.array(h), "conv_id": t["conv_id"]})
+            .group_by(["text_md5", "conv_id"])
+            .aggregate([("conv_id", "count")])
+        )
+        return pa.table(
+            {
+                "text_md5": g["text_md5"],
+                "conv_id": g["conv_id"],
+                "n": pc.cast(g["conv_id_count"], pa.int64()),
+            }
+        )
+
+    per_conv = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["text_md5", "conv_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    spread = (
+        per_conv.groupby("text_md5")
+        .aggregate(
+            Count(alias_name="n_convs"),
+            Sum("n", alias_name="n_occurrences"),
+        )
+        .to_pandas()
+    )
+    spread = spread[spread["n_convs"] >= 2]
+    spread["n_convs"] = spread["n_convs"].astype("int64")
+    spread["n_occurrences"] = spread["n_occurrences"].astype("int64")
+    out = (
+        spread.sort_values(
+            ["n_convs", "n_occurrences", "text_md5"], ascending=[False, False, True]
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["text_md5", "n_convs", "n_occurrences"]]
+
+
+def cross_conv_turn_dups_sql(shards_glob: str, k: int = 40) -> str:
+    return f"""
+        WITH pc AS (
+            SELECT md5(text) AS text_md5, conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM read_parquet('{shards_glob}')
+            GROUP BY 1, 2
+        ), a AS (
+            SELECT text_md5,
+                   CAST(COUNT(*) AS BIGINT) AS n_convs,
+                   CAST(SUM(n) AS BIGINT) AS n_occurrences
+            FROM pc GROUP BY 1
+        )
+        SELECT text_md5, n_convs, n_occurrences
+        FROM a WHERE n_convs >= 2
+        ORDER BY n_convs DESC, n_occurrences DESC, text_md5 LIMIT {k}
+    """

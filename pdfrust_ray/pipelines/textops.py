@@ -1662,3 +1662,80 @@ def doc_sentence_census_sql() -> str:
         FROM documents
         GROUP BY lang ORDER BY lang
     """
+
+
+def t5_span_mask_plan(sf_dir: str) -> pd.DataFrame:
+    """T5-style span-corruption budget plan, integer-exact: per doc,
+    whitespace token count and the deterministic floor-arithmetic mask
+    plan at noise_density=15% / mean_span=3 — n_masked = tokens*15//100
+    (clamped to [1, tokens-1] once tokens >= 2), n_spans =
+    max(1, n_masked//3), encoder length = tokens - n_masked + n_spans
+    sentinels, decoder length = n_masked + n_spans + 1 (EOS). The same
+    formulas run in SQL over the same token counts, so the plan is
+    hash-verifiable end to end — the budget sheet a pretraining
+    data-pipeline uses to size batches before doing any masking.
+
+    Distributed plan: token counting is the module's standard
+    vectorized re.split inside map_batches (per-row string op); the
+    plan arithmetic is numpy on the counted column; no shuffle at all —
+    output stays partitioned as read."""
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"\s+")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plan(t: pa.Table) -> pa.Table:
+        toks = np.array(
+            [len(ws.split(s)) for s in t["text"].to_pylist()], dtype=np.int64
+        )
+        n_masked = toks * 15 // 100
+        n_masked = np.where(toks >= 2, np.clip(n_masked, 1, toks - 1), 0)
+        n_spans = np.where(n_masked >= 1, np.maximum(1, n_masked // 3), 0)
+        enc_len = toks - n_masked + n_spans
+        dec_len = np.where(n_masked >= 1, n_masked + n_spans + 1, 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(toks),
+                "n_masked": pa.array(n_masked),
+                "n_spans": pa.array(n_spans),
+                "enc_len": pa.array(enc_len),
+                "dec_len": pa.array(dec_len),
+            }
+        )
+
+    out = ds.map_batches(plan, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def t5_span_mask_plan_sql() -> str:
+    # token expression mirrors token_counts_sql (parity pinned there)
+    return r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(length(string_split_regex(text, '\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ), m AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens >= 2 THEN
+                       LEAST(GREATEST(n_tokens * 15 // 100, 1), n_tokens - 1)
+                   ELSE 0 END AS n_masked
+            FROM t
+        ), s AS (
+            SELECT doc_id, n_tokens, n_masked,
+                   CASE WHEN n_masked >= 1
+                        THEN GREATEST(1, n_masked // 3) ELSE 0 END AS n_spans
+            FROM m
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_masked AS BIGINT) AS n_masked,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(n_tokens - n_masked + n_spans AS BIGINT) AS enc_len,
+               CAST(CASE WHEN n_masked >= 1 THEN n_masked + n_spans + 1
+                         ELSE 0 END AS BIGINT) AS dec_len
+        FROM s ORDER BY doc_id
+    """
