@@ -1449,6 +1449,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t5_span_mask_plan": textops.t5_span_mask_plan,
         # turn-level cross-conversation boilerplate census
         "cross_conv_turn_dups": _q_cross_conv_turn_dups,
+        # churn-reactivation win-back census
+        "customer_reactivation_census": rel.customer_reactivation_census,
+        # exact V-optimal optimizer-statistics histogram (DP, no SQL)
+        "v_optimal_daily_histogram": rel.v_optimal_daily_histogram,
     }
 
 
@@ -2042,6 +2046,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_first_token_census": rel.doc_first_token_census_sql(),
         "t5_span_mask_plan": textops.t5_span_mask_plan_sql(),
         "cross_conv_turn_dups": cv.cross_conv_turn_dups_sql(_FORKS_SHARDS),
+        "customer_reactivation_census": rel.customer_reactivation_census_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -21254,3 +21254,237 @@ def doc_first_token_census_sql(k: int = 30) -> str:
         SELECT first_token, n_docs
         FROM c ORDER BY n_docs DESC, first_token LIMIT {k}
     """
+
+
+def customer_reactivation_census(sf_dir: str, dormant_days: int = 90) -> pd.DataFrame:
+    """Churn-reactivation census: an order is a REACTIVATION when the
+    same customer's previous order (by o_orderdate, o_orderkey tie
+    order) was more than `dormant_days` earlier. Census per calendar
+    year of the reactivating order: reactivation count, distinct
+    reactivated customers, and the floor-ppm share of that year's
+    orders that are reactivations — the win-back curve a lifecycle
+    team tracks.
+
+    Distributed plan: the one shuffle is groupby(o_custkey); per-group
+    gaps are vectorized (lexsort + diff) and each group emits only its
+    per-year partial counts; year totals come from a second bounded
+    fold joined driver-side (|years| rows)."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        ok = df["o_orderkey"].to_numpy()
+        order = np.lexsort((ok, us))
+        us = us[order]
+        if len(us) < 2:
+            return pd.DataFrame(
+                {"year": pd.Series([], dtype="int64"),
+                 "n_reactivations": pd.Series([], dtype="int64"),
+                 "n_customers": pd.Series([], dtype="int64")}
+            )
+        gap_days = np.diff(us) // (86_400 * 1_000_000)
+        react = gap_days > dormant_days
+        if not react.any():
+            return pd.DataFrame(
+                {"year": pd.Series([], dtype="int64"),
+                 "n_reactivations": pd.Series([], dtype="int64"),
+                 "n_customers": pd.Series([], dtype="int64")}
+            )
+        yrs = (
+            df["o_orderdate"]
+            .astype("datetime64[us]")
+            .dt.year.to_numpy()[order][1:][react]
+        )
+        u, c = np.unique(yrs, return_counts=True)
+        return pd.DataFrame(
+            {
+                "year": u.astype("int64"),
+                "n_reactivations": c.astype("int64"),
+                # one customer counted once per year it reactivates in
+                "n_customers": np.ones(len(u), dtype="int64"),
+            }
+        )
+
+    react = (
+        ds.groupby("o_custkey")
+        .map_groups(per_cust, batch_format="pandas")
+        .groupby("year")
+        .aggregate(
+            Sum("n_reactivations", alias_name="n_reactivations"),
+            Sum("n_customers", alias_name="n_customers"),
+        )
+        .to_pandas()
+    )
+
+    def year_totals(t: pa.Table) -> pa.Table:
+        y = pc.cast(
+            pc.year(pc.cast(t["o_orderdate"], pa.timestamp("us"))), pa.int64()
+        )
+        g = pa.table({"year": y}).group_by("year").aggregate([("year", "count")])
+        return pa.table(
+            {"year": g["year"], "n_orders": pc.cast(g["year_count"], pa.int64())}
+        )
+
+    totals = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+        .map_batches(year_totals, batch_format="pyarrow")
+        .groupby("year")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out = react.merge(totals, on="year", how="inner")
+    for c in ("year", "n_reactivations", "n_customers", "n_orders"):
+        out[c] = out[c].astype("int64")
+    out["react_share_ppm"] = (
+        out["n_reactivations"] * 1_000_000 // out["n_orders"]
+    ).astype("int64")
+    out = out.sort_values("year").reset_index(drop=True)
+    return out[["year", "n_reactivations", "n_customers", "n_orders", "react_share_ppm"]]
+
+
+def customer_reactivation_census_sql(dormant_days: int = 90) -> str:
+    return f"""
+        WITH lagged AS (
+            SELECT o_custkey, o_orderdate,
+                   LAG(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev_date
+            FROM orders
+        ), r AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+                   o_custkey
+            FROM lagged
+            WHERE prev_date IS NOT NULL
+              AND (epoch_us(o_orderdate) - epoch_us(prev_date))
+                  // (CAST(86400 AS BIGINT) * 1000000) > {dormant_days}
+        ), c AS (
+            SELECT year,
+                   CAST(COUNT(*) AS BIGINT) AS n_reactivations,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+            FROM r GROUP BY 1
+        ), t AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT c.year, c.n_reactivations, c.n_customers, t.n_orders,
+               CAST(c.n_reactivations * 1000000 // t.n_orders AS BIGINT)
+                   AS react_share_ppm
+        FROM c JOIN t ON c.year = t.year
+        ORDER BY c.year
+    """
+
+
+def _v_optimal_partition(y, buckets: int):
+    """Exact V-optimal contiguous partition of series y into <=buckets
+    segments minimizing total SSE, with EXACT rational cost arithmetic
+    (segment SSE = sum(y^2) - (sum y)^2 / len kept as a Fraction, so
+    ties and comparisons never suffer float drift). O(n^2 * B) DP on
+    prefix sums — run on a FOLDED bounded series (days), never raw
+    rows. Returns list of (start, end_exclusive) and the optimal cost
+    Fraction."""
+    from fractions import Fraction
+
+    n = len(y)
+    buckets = min(buckets, n)
+    ps = [0] * (n + 1)
+    ps2 = [0] * (n + 1)
+    for i, v in enumerate(y):
+        ps[i + 1] = ps[i] + int(v)
+        ps2[i + 1] = ps2[i] + int(v) * int(v)
+
+    def sse(i, j):  # [i, j)
+        s, s2, ln = ps[j] - ps[i], ps2[j] - ps2[i], j - i
+        return Fraction(ln * s2 - s * s, ln)
+
+    INF = None
+    dp = [[INF] * (n + 1) for _ in range(buckets + 1)]
+    back = [[0] * (n + 1) for _ in range(buckets + 1)]
+    dp[0][0] = Fraction(0)
+    for b in range(1, buckets + 1):
+        for j in range(b, n + 1):
+            best, arg = INF, 0
+            for i in range(b - 1, j):
+                if dp[b - 1][i] is None:
+                    continue
+                c = dp[b - 1][i] + sse(i, j)
+                if best is None or c < best:
+                    best, arg = c, i
+            dp[b][j] = best
+            back[b][j] = arg
+    # exactly `buckets` segments (n >= buckets guaranteed by min above)
+    cuts = []
+    j = n
+    for b in range(buckets, 0, -1):
+        i = back[b][j]
+        cuts.append((i, j))
+        j = i
+    cuts.reverse()
+    return cuts, dp[buckets][n]
+
+
+def v_optimal_daily_histogram(sf_dir: str, buckets: int = 8) -> pd.DataFrame:
+    """V-optimal histogram of the daily event-count series: the exact
+    minimum-SSE partition of the days into `buckets` contiguous
+    segments — the optimizer-statistics histogram (Jagadish et al.,
+    VLDB'98 construction) that a cost-based planner stores instead of
+    equi-width buckets. Exact rational DP; certificate pinned by a
+    brute-force-all-partitions pytest.
+
+    Distributed plan: the only shuffle folds events to one count per
+    day (per-batch partials bound the exchange at |days| rows per
+    block); the O(days^2 * B) DP then runs on the bounded folded
+    series driver-side — never on raw rows.
+
+    No SQL oracle: V-optimal segmentation needs the DP (rows-only
+    CORRECTNESS; dedicated pytests pin optimality)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")), unit="day"),
+            pa.date32(),
+        )
+        g = pa.table({"day": day}).group_by("day").aggregate([("day", "count")])
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["day_count"], pa.int64())}
+        )
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["n"].astype("int64").to_numpy()
+    cuts, _ = _v_optimal_partition(y, buckets)
+    rows = []
+    for bi, (i, j) in enumerate(cuts):
+        seg = y[i:j]
+        s = int(seg.sum())
+        s2 = int((seg.astype(object) ** 2).sum())
+        ln = int(j - i)
+        rows.append(
+            {
+                "bucket": bi,
+                "start_day": daily["day"].iloc[i],
+                "end_day": daily["day"].iloc[j - 1],
+                "n_days": ln,
+                "total_events": s,
+                # exact scaled SSE: len*sum(y^2) - (sum y)^2 over len
+                "sse_num": ln * s2 - s * s,
+                "sse_den": ln,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("bucket", "n_days", "total_events", "sse_num", "sse_den"):
+        out[c] = out[c].astype("int64")
+    return out
