@@ -1453,6 +1453,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_reactivation_census": rel.customer_reactivation_census,
         # exact V-optimal optimizer-statistics histogram (DP, no SQL)
         "v_optimal_daily_histogram": rel.v_optimal_daily_histogram,
+        # block-stitched prefix scan: stream-balance discrepancy
+        "source_prefix_discrepancy": rel.source_prefix_discrepancy,
+        # Walker/Vose alias table with exact integer mass (no SQL)
+        "type_alias_sampling_table": rel.type_alias_sampling_table,
     }
 
 
@@ -2047,6 +2051,7 @@ def oracle_sql() -> dict[str, str]:
         "t5_span_mask_plan": textops.t5_span_mask_plan_sql(),
         "cross_conv_turn_dups": cv.cross_conv_turn_dups_sql(_FORKS_SHARDS),
         "customer_reactivation_census": rel.customer_reactivation_census_sql(),
+        "source_prefix_discrepancy": rel.source_prefix_discrepancy_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -21488,3 +21488,192 @@ def v_optimal_daily_histogram(sf_dir: str, buckets: int = 8) -> pd.DataFrame:
     for c in ("bucket", "n_days", "total_events", "sse_num", "sse_den"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def source_prefix_discrepancy(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Stream-balance (discrepancy) audit: reading documents in doc_id
+    order, how far does each source's running share drift from its
+    global share? For source s at prefix length p the scaled deviation
+    is |cum_s(p) * N - C_s * p| (all integers; dividing by N*p would
+    give the share gap) — a high max means the stream front-loads or
+    starves a source, which breaks interleaved training mixes. Output
+    per source: global count, max scaled deviation, and the SMALLEST
+    prefix attaining it.
+
+    Distributed plan: two-pass block-stitched prefix scan — pass 1
+    folds per-(bucket, source) counts (tiny) so the driver can build
+    each bucket's exclusive prefix seed; pass 2 evaluates every prefix
+    inside its bucket with vectorized cumsums and emits only the
+    per-bucket per-source argmax; the O(buckets x sources) partials
+    fold driver-side. No global sort materializes."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    stats = ds.aggregate(Min("doc_id"), Max("doc_id"), Count())
+    lo, hi, n_total = stats["min(doc_id)"], stats["max(doc_id)"], stats["count()"]
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.divide(pc.subtract(t["doc_id"], lo), width), pa.int64()
+                ),
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    spine = (
+        tagged.groupby(["bucket", "source"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["bucket", "source"])
+    )
+    sources = sorted(spine["source"].unique())
+    totals = spine.groupby("source")["n"].sum().to_dict()
+    # exclusive prefix seeds per bucket: rows before the bucket, and
+    # per-source counts before the bucket
+    piv = (
+        spine.pivot_table(index="bucket", columns="source", values="n", fill_value=0)
+        .reindex(columns=sources, fill_value=0)
+        .sort_index()
+    )
+    bucket_rows = piv.sum(axis=1).to_numpy()
+    row_seed = np.concatenate(([0], np.cumsum(bucket_rows)[:-1]))
+    src_seed = np.vstack(
+        [np.concatenate(([0], np.cumsum(piv[s].to_numpy())[:-1])) for s in sources]
+    )  # [S, buckets]
+    seeds = {
+        int(b): (int(row_seed[i]), {s: int(src_seed[k, i]) for k, s in enumerate(sources)})
+        for i, b in enumerate(piv.index)
+    }
+    seed_ref = ray.put((seeds, dict(totals), int(n_total)))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        seeds, totals, N = ray.get(seed_ref)
+        g = g.sort_values("doc_id", kind="stable")
+        row0, src0 = seeds[int(g["bucket"].iloc[0])]
+        p = row0 + np.arange(1, len(g) + 1, dtype="int64")
+        rows = []
+        src_arr = g["source"].to_numpy()
+        for s, C in totals.items():
+            cum = src0.get(s, 0) + np.cumsum((src_arr == s).astype("int64"))
+            dev = np.abs(cum * N - C * p)
+            i = int(np.argmax(dev))  # first occurrence of the max
+            rows.append({"source": s, "max_dev": int(dev[i]), "at_prefix": int(p[i])})
+        return pd.DataFrame(rows)
+
+    partials = (
+        tagged.groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    # driver fold over O(buckets x sources): max dev, tie -> min prefix
+    partials = partials.sort_values(["source", "max_dev", "at_prefix"],
+                                    ascending=[True, False, True])
+    out = partials.groupby("source", sort=True).first().reset_index()
+    out["n_docs"] = out["source"].map(totals).astype("int64")
+    out["max_dev"] = out["max_dev"].astype("int64")
+    out["at_prefix"] = out["at_prefix"].astype("int64")
+    return out[["source", "n_docs", "max_dev", "at_prefix"]]
+
+
+def source_prefix_discrepancy_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT source,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) AS p
+            FROM documents
+        ), tot AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        ), grid AS (
+            SELECT t.source, t.n_docs, d.p,
+                   SUM(CASE WHEN d.source = t.source THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY t.source ORDER BY d.p) AS cum
+            FROM tot t CROSS JOIN d
+        ), dev AS (
+            SELECT source, n_docs, p,
+                   ABS(cum * (SELECT COUNT(*) FROM documents)
+                       - n_docs * p) AS dv
+            FROM grid
+        )
+        SELECT source, n_docs,
+               CAST(MAX(dv) AS BIGINT) AS max_dev,
+               CAST(MIN(p) FILTER (WHERE dv = (
+                   SELECT MAX(dv) FROM dev d2 WHERE d2.source = dev.source
+               )) AS BIGINT) AS at_prefix
+        FROM dev GROUP BY source, n_docs ORDER BY source
+    """
+
+
+def type_alias_sampling_table(sf_dir: str) -> pd.DataFrame:
+    """Walker/Vose alias table for sampling event types proportional to
+    their observed frequency in O(1) per draw — the structure negative
+    samplers and mixture-of-sources data loaders precompute. Built with
+    EXACT integer arithmetic: with K types and N total events, slot i
+    carries primary type t_i up to cut_num/cut_den (cut_den = N) and
+    alias a_i above it; the construction preserves mass exactly, which
+    the certificate test reconstructs integerly (no float epsilon).
+
+    Distributed plan: the only distributed work is the bounded
+    (type -> count) fold; the O(K) worklist construction is inherently
+    sequential and runs on the folded table driver-side — the correct
+    split at any scale since K never grows with data volume.
+
+    No SQL oracle: the worklist construction isn't SQL-expressible;
+    correctness is pinned by the exact mass-reconstruction pytest."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("event_type", "count")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": pc.cast(g["event_type_count"], pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    types = folded["event_type"].tolist()
+    counts = [int(v) for v in folded["n"]]
+    K, N = len(types), sum(counts)
+    # scaled weights w_i = c_i * K against capacity N per slot
+    w = {i: counts[i] * K for i in range(K)}
+    small = [i for i in range(K) if w[i] < N]
+    large = [i for i in range(K) if w[i] >= N]
+    cut = [0] * K
+    alias = [0] * K
+    # deterministic: lists consumed LIFO from sorted construction above
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        cut[s] = w[s]
+        alias[s] = l
+        w[l] = w[l] - (N - w[s])
+        (small if w[l] < N else large).append(l)
+    for i in large + small:  # exactly-full slots
+        cut[i] = N
+        alias[i] = i
+    out = pd.DataFrame(
+        {
+            "slot": range(K),
+            "event_type": types,
+            "n": counts,
+            "cut_num": cut,
+            "alias_type": [types[a] for a in alias],
+            "cut_den": [N] * K,
+        }
+    )
+    for c in ("slot", "n", "cut_num", "cut_den"):
+        out[c] = out[c].astype("int64")
+    return out[["slot", "event_type", "n", "cut_num", "alias_type", "cut_den"]]
