@@ -1457,6 +1457,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_prefix_discrepancy": rel.source_prefix_discrepancy,
         # Walker/Vose alias table with exact integer mass (no SQL)
         "type_alias_sampling_table": rel.type_alias_sampling_table,
+        # never-average-shard-percentiles bias audit (exact order stats)
+        "percentile_stitch_bias_audit": rel.percentile_stitch_bias_audit,
+        # per-type peak-hour argmax reduction
+        "events_type_peak_hour": rel.events_type_peak_hour,
     }
 
 
@@ -2052,6 +2056,8 @@ def oracle_sql() -> dict[str, str]:
         "cross_conv_turn_dups": cv.cross_conv_turn_dups_sql(_FORKS_SHARDS),
         "customer_reactivation_census": rel.customer_reactivation_census_sql(),
         "source_prefix_discrepancy": rel.source_prefix_discrepancy_sql(),
+        "percentile_stitch_bias_audit": rel.percentile_stitch_bias_audit_sql(),
+        "events_type_peak_hour": rel.events_type_peak_hour_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -21677,3 +21677,193 @@ def type_alias_sampling_table(sf_dir: str) -> pd.DataFrame:
     for c in ("slot", "n", "cut_num", "cut_den"):
         out[c] = out[c].astype("int64")
     return out[["slot", "event_type", "n", "cut_num", "alias_type", "cut_den"]]
+
+
+def percentile_stitch_bias_audit(
+    sf_dir: str, n_buckets: int = 64
+) -> pd.DataFrame:
+    """The 'never average shard percentiles' audit, made exact: per
+    event type, (a) the true global lower median of value-cents (the
+    ceil(n/2)-th smallest), (b) the naive estimate a broken pipeline
+    computes — average the per-shard lower medians (floor integer
+    division across the type's populated shards) — and (c) the signed
+    bias. Shards are deterministic event_id ranges, so both sides
+    reproduce the identical shard layout and every number is an exact
+    integer.
+
+    Distributed plan: shard medians come from a (type, bucket) groupby
+    whose groups are block-local slices (vectorized partition-based
+    order stat per group, O(cells) exchange); the true median is one
+    per-type groupby with an in-group selection — the unavoidable
+    per-key sort an exact order statistic needs."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    stats = ds.aggregate(Min("event_id"), Max("event_id"))
+    lo, hi = stats["min(event_id)"], stats["max(event_id)"]
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "bucket": pc.cast(
+                    pc.divide(pc.subtract(t["event_id"], lo), width), pa.int64()
+                ),
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def lower_median(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(df["cents"].to_numpy())
+        k = (len(c) + 1) // 2  # 1-indexed lower median
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "med": [int(c[k - 1])],
+            }
+        )
+
+    shard_meds = (
+        tagged.groupby(["event_type", "bucket"])
+        .map_groups(
+            lambda df: lower_median(df).assign(bucket=df["bucket"].iloc[0]),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    naive = (
+        shard_meds.groupby("event_type")["med"]
+        .apply(lambda s: int(s.sum()) // len(s))
+        .rename("naive_median_cents")
+        .reset_index()
+    )
+    true_med = (
+        tagged.groupby("event_type")
+        .map_groups(lower_median, batch_format="pandas")
+        .to_pandas()
+        .rename(columns={"med": "true_median_cents"})
+    )
+    out = true_med.merge(naive, on="event_type").sort_values("event_type")
+    out["true_median_cents"] = out["true_median_cents"].astype("int64")
+    out["naive_median_cents"] = out["naive_median_cents"].astype("int64")
+    out["bias_cents"] = (
+        out["naive_median_cents"] - out["true_median_cents"]
+    ).astype("int64")
+    return out.reset_index(drop=True)[
+        ["event_type", "true_median_cents", "naive_median_cents", "bias_cents"]
+    ]
+
+
+def percentile_stitch_bias_audit_sql(n_buckets: int = 64) -> str:
+    return f"""
+        WITH bounds AS (
+            SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events
+        ), e AS (
+            SELECT event_type,
+                   (event_id - b.lo) //
+                       GREATEST(1, (b.hi - b.lo + {n_buckets}) // {n_buckets})
+                       AS bucket,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events, bounds b
+        ), cell AS (
+            SELECT event_type, bucket, cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, bucket ORDER BY cents) AS rn,
+                   COUNT(*) OVER (
+                       PARTITION BY event_type, bucket) AS cnt
+            FROM e
+        ), shard_med AS (
+            SELECT event_type, bucket, cents AS med
+            FROM cell WHERE rn = (cnt + 1) // 2
+        ), naive AS (
+            SELECT event_type,
+                   CAST(SUM(med) // COUNT(*) AS BIGINT)
+                       AS naive_median_cents
+            FROM shard_med GROUP BY 1
+        ), gstat AS (
+            SELECT event_type, cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY cents) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+            FROM e
+        ), true_med AS (
+            SELECT event_type, CAST(cents AS BIGINT) AS true_median_cents
+            FROM gstat WHERE rn = (cnt + 1) // 2
+        )
+        SELECT t.event_type, t.true_median_cents, n.naive_median_cents,
+               CAST(n.naive_median_cents - t.true_median_cents AS BIGINT)
+                   AS bias_cents
+        FROM true_med t JOIN naive n USING (event_type)
+        ORDER BY t.event_type
+    """
+
+
+def events_type_peak_hour(sf_dir: str) -> pd.DataFrame:
+    """Peak-hour reduction: per event type, the hour-of-day with the
+    most events (ties -> smallest hour), its count, and the floor-ppm
+    share of the type's events that land in that hour — the argmax
+    view capacity planners read off the full hourly grid.
+
+    Distributed plan: per-batch (type, hour) partials bound the
+    exchange at 24 x |types| rows per block; the argmax runs on the
+    tiny folded grid."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.hour(pc.cast(t["ts"], pa.timestamp("us"))), pa.int64())
+        g = (
+            pa.table({"event_type": t["event_type"], "hour": hour})
+            .group_by(["event_type", "hour"])
+            .aggregate([("hour", "count")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "n": pc.cast(g["hour_count"], pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tot = grid.groupby("event_type")["n"].transform("sum")
+    grid["type_total"] = tot
+    grid = grid.sort_values(["event_type", "n", "hour"], ascending=[True, False, True])
+    out = grid.groupby("event_type", sort=True).first().reset_index()
+    out = out.rename(columns={"hour": "peak_hour", "n": "n_peak"})
+    for c in ("peak_hour", "n_peak", "type_total"):
+        out[c] = out[c].astype("int64")
+    out["peak_share_ppm"] = (out["n_peak"] * 1_000_000 // out["type_total"]).astype(
+        "int64"
+    )
+    return out[["event_type", "peak_hour", "n_peak", "type_total", "peak_share_ppm"]]
+
+
+def events_type_peak_hour_sql() -> str:
+    return """
+        WITH g AS (
+            SELECT event_type,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), r AS (
+            SELECT event_type, hour, n,
+                   SUM(n) OVER (PARTITION BY event_type) AS type_total,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY n DESC, hour) AS rk
+            FROM g
+        )
+        SELECT event_type, hour AS peak_hour, n AS n_peak,
+               CAST(type_total AS BIGINT) AS type_total,
+               CAST(n * 1000000 // type_total AS BIGINT) AS peak_share_ppm
+        FROM r WHERE rk = 1 ORDER BY event_type
+    """
