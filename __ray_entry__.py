@@ -353,6 +353,15 @@ def _q_turn_invisible_audit(sf_dir: str):
     return turn_invisible_chars_audit(ensure_invisible_fixture())
 
 
+def _q_skeleton_token_collisions(sf_dir: str):
+    """Confusable-skeleton collision census over the homoglyph fixture
+    (planted mixed-script tokens guarantee >=2-form collisions)."""
+    from pdfrust_ray.fixtures.corpus import ensure_homoglyph_fixture
+    from pdfrust_ray.pipelines.conversation import skeleton_token_collisions
+
+    return skeleton_token_collisions(ensure_homoglyph_fixture())
+
+
 def _q_turn_homoglyph_audit(sf_dir: str):
     """Homoglyph audit over the dedicated mixed-script fixture family
     (t1/t2 prose is pure ASCII outside payloads)."""
@@ -1461,6 +1470,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_stitch_bias_audit": rel.percentile_stitch_bias_audit,
         # per-type peak-hour argmax reduction
         "events_type_peak_hour": rel.events_type_peak_hour,
+        # confusable-skeleton collision census (dedup's blind spot)
+        "skeleton_token_collisions": _q_skeleton_token_collisions,
+        # conditional reply length by prompt-length decile
+        "reply_length_by_prompt_decile": _q_conv(cv.reply_length_by_prompt_decile),
     }
 
 
@@ -2058,6 +2071,12 @@ def oracle_sql() -> dict[str, str]:
         "source_prefix_discrepancy": rel.source_prefix_discrepancy_sql(),
         "percentile_stitch_bias_audit": rel.percentile_stitch_bias_audit_sql(),
         "events_type_peak_hour": rel.events_type_peak_hour_sql(),
+        "skeleton_token_collisions": cv.skeleton_token_collisions_sql(
+            _HOMOGLYPH_SHARDS
+        ),
+        "reply_length_by_prompt_decile": cv.reply_length_by_prompt_decile_sql(
+            _T2_SHARDS
+        ),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -2813,3 +2813,184 @@ def cross_conv_turn_dups_sql(shards_glob: str, k: int = 40) -> str:
         FROM a WHERE n_convs >= 2
         ORDER BY n_convs DESC, n_occurrences DESC, text_md5 LIMIT {k}
     """
+
+
+# the planted confusable set (Cyrillic a/c/o/e, Greek omicron) -> Latin
+_CONFUSABLE_MAP = {
+    "а": "a",  # Cyrillic a
+    "с": "c",  # Cyrillic es
+    "о": "o",  # Cyrillic o
+    "е": "e",  # Cyrillic ie
+    "ο": "o",  # Greek omicron
+}
+
+
+def skeleton_token_collisions(corpus_dir: str) -> pd.DataFrame:
+    """Confusable-skeleton collision census: whitespace tokens mapped
+    through the Cyrillic/Greek->Latin confusable table; a skeleton with
+    >= 2 distinct RAW byte forms is a collision group — exactly the
+    duplicates byte-level exact dedup misses (a spoofed 'pаyment' and
+    the real 'payment' hash apart but skeleton together). Output per
+    colliding skeleton: distinct raw-form count and total token count.
+
+    Distributed plan: tokens collapse to (skeleton, raw, count)
+    partials inside map_batches (raw text never crosses whole); one
+    groupby folds per-form counts and a second counts forms per
+    skeleton — both exchanges carry token-type rows, not occurrences."""
+    import re
+
+    ws = re.compile(r"\s+")
+    tmap = str.maketrans(_CONFUSABLE_MAP)
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for s in t["text"].to_pylist():
+            for tok in ws.split(s):
+                if tok:
+                    c[(tok.translate(tmap), tok)] += 1
+        if not c:
+            return pa.table(
+                {"skeleton": pa.array([], pa.string()),
+                 "raw": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        sk, raw, n = zip(*[(k[0], k[1], v) for k, v in c.items()])
+        return pa.table(
+            {"skeleton": pa.array(sk), "raw": pa.array(raw),
+             "n": pa.array(n, pa.int64())}
+        )
+
+    forms = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["skeleton", "raw"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out = (
+        forms.groupby("skeleton")
+        .aggregate(Count(alias_name="n_forms"), Sum("n", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    out = out[out["n_forms"] >= 2].sort_values("skeleton").reset_index(drop=True)
+    out["n_forms"] = out["n_forms"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out[["skeleton", "n_forms", "n_tokens"]]
+
+
+def skeleton_token_collisions_sql(shards_glob: str) -> str:
+    src = "".join(_CONFUSABLE_MAP.keys())
+    dst = "".join(_CONFUSABLE_MAP.values())
+    return f"""
+        WITH tok AS (
+            SELECT UNNEST(string_split_regex(text, '\\s+')) AS raw
+            FROM read_parquet('{shards_glob}')
+        ), t AS (
+            SELECT translate(raw, '{src}', '{dst}') AS skeleton, raw
+            FROM tok WHERE raw <> ''
+        ), f AS (
+            SELECT skeleton, raw, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t GROUP BY 1, 2
+        )
+        SELECT skeleton,
+               CAST(COUNT(*) AS BIGINT) AS n_forms,
+               CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM f GROUP BY skeleton HAVING COUNT(*) >= 2
+        ORDER BY skeleton
+    """
+
+
+def reply_length_by_prompt_decile(corpus_dir: str) -> pd.DataFrame:
+    """Conditional response-length table: for every user-turn ->
+    next-assistant-turn adjacency, bucket the USER prompt length into
+    floor percent-rank deciles (decile = #shorter-prompts * 10 //
+    n_pairs — explicit formula, not NTILE, so both sides agree on
+    ties) and report per decile: pair count, floor-average prompt and
+    reply lengths — does a longer prompt actually buy a longer reply?
+
+    Distributed plan: adjacency extraction is per-conversation
+    (groupby(conv_id), vectorized); pairs collapse to a per-prompt-
+    length histogram with reply-length sums (lengths are bounded small
+    ints, so the fold is tiny) and the decile arithmetic runs on that
+    folded histogram driver-side — raw pairs never sort globally."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("turn_idx", kind="stable")
+        roles = df["role"].to_numpy()
+        lens = df["text"].str.len().to_numpy().astype("int64")
+        idx = np.flatnonzero(
+            (roles[:-1] == "user") & (roles[1:] == "assistant")
+        )
+        if len(idx) == 0:
+            return pd.DataFrame(
+                {"prompt_len": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "reply_sum": pd.Series([], dtype="int64")}
+            )
+        g = pd.DataFrame({"prompt_len": lens[idx], "reply": lens[idx + 1]})
+        a = g.groupby("prompt_len").agg(n=("reply", "size"), reply_sum=("reply", "sum"))
+        return a.reset_index().astype("int64")
+
+    hist = (
+        ds.groupby("conv_id")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby("prompt_len")
+        .aggregate(Sum("n", alias_name="n"), Sum("reply_sum", alias_name="reply_sum"))
+        .to_pandas()
+        .sort_values("prompt_len")
+        .reset_index(drop=True)
+    )
+    n_total = int(hist["n"].sum())
+    below = hist["n"].cumsum().shift(fill_value=0).to_numpy()
+    hist["decile"] = (below * 10 // n_total).astype("int64")
+    hist["prompt_sum"] = hist["prompt_len"] * hist["n"]
+    out = (
+        hist.groupby("decile")
+        .agg(
+            n_pairs=("n", "sum"),
+            prompt_sum=("prompt_sum", "sum"),
+            reply_sum=("reply_sum", "sum"),
+        )
+        .reset_index()
+    )
+    out["avg_prompt_len"] = (out["prompt_sum"] // out["n_pairs"]).astype("int64")
+    out["avg_reply_len"] = (out["reply_sum"] // out["n_pairs"]).astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["decile"] = out["decile"].astype("int64")
+    return out.sort_values("decile").reset_index(drop=True)[
+        ["decile", "n_pairs", "avg_prompt_len", "avg_reply_len"]
+    ]
+
+
+def reply_length_by_prompt_decile_sql(shards_glob: str) -> str:
+    return f"""
+        WITH t AS (
+            SELECT conv_id, turn_idx, role, length(text) AS len,
+                   LEAD(role) OVER w AS nrole,
+                   LEAD(length(text)) OVER w AS nlen
+            FROM read_parquet('{shards_glob}')
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ), p AS (
+            SELECT len AS prompt_len, nlen AS reply
+            FROM t WHERE role = 'user' AND nrole = 'assistant'
+        ), d AS (
+            SELECT prompt_len, reply,
+                   (SELECT COUNT(*) FROM p p2
+                    WHERE p2.prompt_len < p.prompt_len) * 10
+                       // (SELECT COUNT(*) FROM p) AS decile
+            FROM p
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(prompt_len) // COUNT(*) AS BIGINT)
+                   AS avg_prompt_len,
+               CAST(SUM(reply) // COUNT(*) AS BIGINT) AS avg_reply_len
+        FROM d GROUP BY decile ORDER BY decile
+    """
