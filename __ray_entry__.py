@@ -1474,6 +1474,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skeleton_token_collisions": _q_skeleton_token_collisions,
         # conditional reply length by prompt-length decile
         "reply_length_by_prompt_decile": _q_conv(cv.reply_length_by_prompt_decile),
+        # 2-D dominance (Pareto-rank) counts via Fenwick sweep
+        "daily_dominance_counts": rel.daily_dominance_counts,
+        # weekend-premium difference-in-differences, exact integers
+        "event_value_did": rel.event_value_did,
     }
 
 
@@ -2077,6 +2081,8 @@ def oracle_sql() -> dict[str, str]:
         "reply_length_by_prompt_decile": cv.reply_length_by_prompt_decile_sql(
             _T2_SHARDS
         ),
+        "daily_dominance_counts": rel.daily_dominance_counts_sql(),
+        "event_value_did": rel.event_value_did_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -21867,3 +21867,242 @@ def events_type_peak_hour_sql() -> str:
                CAST(n * 1000000 // type_total AS BIGINT) AS peak_share_ppm
         FROM r WHERE rk = 1 ORDER BY event_type
     """
+
+
+def daily_dominance_counts(sf_dir: str) -> pd.DataFrame:
+    """2-D dominance census over the daily (event count, revenue
+    cents) series: for each day, how many other days it strictly
+    dominates on BOTH axes (more events AND more revenue) — the
+    Pareto-rank view behind skyline maintenance and anomaly triage.
+    Engine computes it in O(D log D) with a coordinate-compressed
+    Fenwick (BIT) sweep; the SQL twin is the O(D^2) self-join —
+    feasible because D is bounded (days), which is exactly why the
+    sweep runs on the FOLDED series, never raw events.
+
+    Distributed plan: per-batch (day -> count, cents) partials bound
+    the exchange at |days| rows per block; the sweep is driver-side on
+    the bounded fold."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")), unit="day"),
+            pa.date32(),
+        )
+        g = (
+            pa.table({"day": day, "cents": _cents(t["value"])})
+            .group_by("day")
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "revenue_cents": g["cents_sum"],
+                "n_events": pc.cast(g["cents_count"], pa.int64()),
+            }
+        )
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    n = daily["n_events"].to_numpy().astype("int64")
+    r = daily["revenue_cents"].to_numpy().astype("int64")
+    D = len(daily)
+    # sweep days by ascending n (ties ascending r); a BIT over the
+    # compressed r-ranks counts how many already-seen days have
+    # strictly smaller r. Ties on n must NOT count as dominated, so
+    # process equal-n groups together: query first, then insert.
+    order = np.lexsort((r, n))
+    # strictness on r needs value ranks with ties sharing a rank
+    uniq = np.unique(r)
+    rank_of = {v: i for i, v in enumerate(uniq)}
+    rv = np.array([rank_of[v] for v in r], dtype=np.int64)
+    tree = np.zeros(len(uniq) + 1, dtype=np.int64)
+
+    def bit_add(i):
+        i += 1
+        while i < len(tree):
+            tree[i] += 1
+            i += i & (-i)
+
+    def bit_sum(i):  # count of inserted with rank < i
+        s = 0
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
+    dom = np.zeros(D, dtype=np.int64)
+    i = 0
+    while i < D:
+        j = i
+        while j < D and n[order[j]] == n[order[i]]:
+            j += 1
+        for k in range(i, j):  # query phase: strictly smaller n already in
+            dom[order[k]] = bit_sum(rv[order[k]])
+        for k in range(i, j):  # insert phase
+            bit_add(rv[order[k]])
+        i = j
+    out = daily.copy()
+    out["day"] = pd.to_datetime(out["day"])
+    out["n_events"] = out["n_events"].astype("int64")
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_dominated"] = dom
+    return out[["day", "n_events", "revenue_cents", "n_dominated"]]
+
+
+def daily_dominance_counts_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM events GROUP BY 1
+        )
+        SELECT a.day, a.n_events, a.revenue_cents,
+               CAST((SELECT COUNT(*) FROM d b
+                     WHERE b.n_events < a.n_events
+                       AND b.revenue_cents < a.revenue_cents) AS BIGINT)
+                   AS n_dominated
+        FROM d a ORDER BY a.day
+    """
+
+
+def event_value_did(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences audit with exact integer arithmetic:
+    per event type, the weekend-vs-weekday mean value gap in the
+    SECOND half of the date span minus the same gap in the first half
+    — did the weekend premium move? Cell means are floor micro-cents
+    (sum * 1_000_000 // n), and the DiD is defined as arithmetic on
+    those floored means so both sides agree bit-for-bit.
+
+    Distributed plan: per-batch partials over the 2x2x|types| cell
+    grid (sum + count per cell) bound the exchange; the DiD arithmetic
+    runs on the folded 4-row-per-type table."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    stats = ds.aggregate(Min("ts"), Max("ts"))
+    lo, hi = stats["min(ts)"], stats["max(ts)"]
+    import pandas as _pd
+
+    lo_us = int(_pd.Timestamp(lo).value // 1000)
+    hi_us = int(_pd.Timestamp(hi).value // 1000)
+    mid_us = lo_us + (hi_us - lo_us) // 2
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.timestamp("us"))
+        us = pc.cast(ts, pa.int64())
+        period = pc.cast(pc.greater_equal(us, mid_us), pa.int64())
+        dow = pc.day_of_week(ts)  # Monday=0 .. Sunday=6
+        weekend = pc.cast(pc.greater_equal(dow, 5), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "period": period,
+                    "weekend": weekend,
+                    "cents": _cents(t["value"]),
+                }
+            )
+            .group_by(["event_type", "period", "weekend"])
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "period": g["period"],
+                "weekend": g["weekend"],
+                "cents": g["cents_sum"],
+                "n": pc.cast(g["cents_count"], pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "period", "weekend"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cells["mean_ucents"] = (cells["cents"] * 1_000_000 // cells["n"]).astype("int64")
+    piv = cells.pivot_table(
+        index="event_type", columns=["period", "weekend"], values="mean_ucents"
+    )
+    rows = []
+    for et in sorted(piv.index):
+        m = {
+            (p, w): int(piv.loc[et, (p, w)])
+            for p in (0, 1)
+            for w in (0, 1)
+            if (p, w) in piv.columns and not pd.isna(piv.loc[et, (p, w)])
+        }
+        if len(m) < 4:
+            continue  # a type missing a cell can't be differenced
+        gap0 = m[(0, 1)] - m[(0, 0)]
+        gap1 = m[(1, 1)] - m[(1, 0)]
+        rows.append(
+            {
+                "event_type": et,
+                "wkday_p0_ucents": m[(0, 0)],
+                "wkend_p0_ucents": m[(0, 1)],
+                "wkday_p1_ucents": m[(1, 0)],
+                "wkend_p1_ucents": m[(1, 1)],
+                "did_ucents": gap1 - gap0,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c != "event_type":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def event_value_did_sql() -> str:
+    return """
+        WITH bounds AS (
+            SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
+            FROM events
+        ), cell AS (
+            SELECT event_type,
+                   CASE WHEN epoch_us(ts) >=
+                            b.lo + (b.hi - b.lo) // 2
+                        THEN 1 ELSE 0 END AS period,
+                   CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                       AS weekend,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) * 1000000
+                        // COUNT(*) AS BIGINT) AS mean_ucents
+            FROM events, bounds b
+            GROUP BY 1, 2, 3
+        ), piv AS (
+            SELECT event_type,
+                   MAX(CASE WHEN period = 0 AND weekend = 0
+                            THEN mean_ucents END) AS wkday_p0_ucents,
+                   MAX(CASE WHEN period = 0 AND weekend = 1
+                            THEN mean_ucents END) AS wkend_p0_ucents,
+                   MAX(CASE WHEN period = 1 AND weekend = 0
+                            THEN mean_ucents END) AS wkday_p1_ucents,
+                   MAX(CASE WHEN period = 1 AND weekend = 1
+                            THEN mean_ucents END) AS wkend_p1_ucents,
+                   COUNT(*) AS n_cells
+            FROM cell GROUP BY 1
+        )
+        SELECT event_type, wkday_p0_ucents, wkend_p0_ucents,
+               wkday_p1_ucents, wkend_p1_ucents,
+               CAST((wkend_p1_ucents - wkday_p1_ucents)
+                    - (wkend_p0_ucents - wkday_p0_ucents) AS BIGINT)
+                   AS did_ucents
+        FROM piv WHERE n_cells = 4 ORDER BY event_type
+    """
