@@ -1478,6 +1478,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_dominance_counts": rel.daily_dominance_counts,
         # weekend-premium difference-in-differences, exact integers
         "event_value_did": rel.event_value_did,
+        # gap-robust cohort persistence (half/full-strength offsets)
+        "cohort_persistence": rel.cohort_persistence,
+        # Hilbert vs Z-order vs row-major locality shoot-out (no SQL)
+        "curve_locality_audit": dso.curve_locality_audit,
     }
 
 
@@ -2083,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "daily_dominance_counts": rel.daily_dominance_counts_sql(),
         "event_value_did": rel.event_value_did_sql(),
+        "cohort_persistence": rel.cohort_persistence_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -3529,3 +3529,127 @@ def orderkey_fragmentation_audit_sql() -> str:
                CAST(COALESCE(MAX(hole), 0) AS BIGINT) AS max_gap_run
         FROM d
     """
+
+
+def _hilbert_d(x, y, order: int = 6):
+    """Vectorized xy -> Hilbert distance on a 2^order x 2^order grid
+    (classic Wikipedia rot/reflect loop, lifted to numpy arrays)."""
+    import numpy as np
+
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f, y_f = x.copy(), y.copy()
+        x[swap], y[swap] = y_f[swap], x_f[swap]
+        x[flip] = (s - 1) - x[flip]
+        y[flip] = (s - 1) - y[flip]
+        s >>= 1
+    return d
+
+
+def _zorder_d(x, y, order: int = 6):
+    """Vectorized bit-interleave (Morton) on a 2^order grid."""
+    import numpy as np
+
+    d = np.zeros_like(x, dtype=np.int64)
+    for b in range(order):
+        d |= ((x >> b) & 1) << (2 * b)
+        d |= ((y >> b) & 1) << (2 * b + 1)
+    return d
+
+
+def curve_locality_audit(sf_dir: str, order: int = 6, n_buckets: int = 64) -> pd.DataFrame:
+    """Space-filling-curve locality shoot-out: map every event's
+    (hour, minute) cell onto a 2^order grid and linearize it three
+    ways — Hilbert, Z-order (Morton), and row-major — then measure how
+    far consecutive events (event_id order) jump along each curve:
+    total |delta d| and the worst single jump. Smaller totals mean a
+    clustered file layout would serve this access pattern with fewer
+    seeks — the layout-advisor companion to zorder_layout.
+
+    Distributed plan: a block-stitched scan — each event_id-range
+    bucket reduces to its internal step sums plus its boundary d
+    values; the driver adds the O(buckets) boundary jumps. Exchange is
+    O(buckets), never pairs.
+
+    No SQL oracle: the Hilbert rotation recursion isn't
+    SQL-expressible; bijectivity/adjacency certificates and the
+    brute-force total on a small prefix are pinned in pytests."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    stats = ds.aggregate(Min("event_id"), Max("event_id"))
+    lo, hi = stats["min(event_id)"], stats["max(event_id)"]
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+    side = 1 << order
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("event_id", kind="stable")
+        ts = pd.to_datetime(df["ts"])
+        x = (ts.dt.hour.to_numpy().astype(np.int64) * side) // 24
+        y = (ts.dt.minute.to_numpy().astype(np.int64) * side) // 60
+        ds_ = {
+            "hilbert": _hilbert_d(x, y, order),
+            "zorder": _zorder_d(x, y, order),
+            "row_major": y * side + x,
+        }
+        rows = []
+        b = int((df["event_id"].iloc[0] - lo) // width)
+        for curve, d in ds_.items():
+            step = np.abs(np.diff(d)) if len(d) > 1 else np.array([], dtype=np.int64)
+            rows.append(
+                {
+                    "bucket": b,
+                    "curve": curve,
+                    "internal_steps": int(step.sum()),
+                    "max_step": int(step.max()) if len(step) else 0,
+                    "first_d": int(d[0]),
+                    "last_d": int(d[-1]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.divide(pc.subtract(t["event_id"], lo), width), pa.int64()
+                ),
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+            }
+        )
+
+    partials = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["curve", "bucket"])
+    )
+    rows = []
+    for curve, g in partials.groupby("curve", sort=True):
+        total = int(g["internal_steps"].sum())
+        mx = int(g["max_step"].max())
+        # stitch bucket boundaries in bucket order
+        lastd = g["last_d"].to_numpy()[:-1]
+        firstd = g["first_d"].to_numpy()[1:]
+        if len(lastd):
+            bstep = np.abs(firstd - lastd)
+            total += int(bstep.sum())
+            mx = max(mx, int(bstep.max()))
+        rows.append({"curve": curve, "total_steps": total, "max_step": mx})
+    out = pd.DataFrame(rows).sort_values("curve").reset_index(drop=True)
+    out["total_steps"] = out["total_steps"].astype("int64")
+    out["max_step"] = out["max_step"].astype("int64")
+    return out[["curve", "total_steps", "max_step"]]

@@ -22106,3 +22106,128 @@ def event_value_did_sql() -> str:
                    AS did_ucents
         FROM piv WHERE n_cells = 4 ORDER BY event_type
     """
+
+
+def cohort_persistence(sf_dir: str) -> pd.DataFrame:
+    """Cohort persistence: group users by FIRST-SEEN day; for each
+    cohort, the latest day-offset at which the cohort still produced
+    at least half of its day-0 event count (cnt*2 >= c0) — a
+    gap-robust half-life (missing days can't fake a crossing because
+    the metric is a max over observed offsets, not a min over absent
+    ones). Output per cohort: users, day-0 events, persistence_days,
+    and the last observed offset.
+
+    Distributed plan: first-seen days come from one groupby(user) min;
+    the (cohort, offset) grid is bounded by the calendar squared, so
+    per-batch partials fold tiny; the threshold reduction runs on the
+    folded grid."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")), unit="day"),
+            pa.date32(),
+        )
+        return pa.table({"user_id": t["user_id"], "day": pc.cast(day, pa.int32())})
+
+    days = ds.map_batches(to_day, batch_format="pyarrow")
+    first = (
+        days.groupby("user_id")
+        .aggregate(Min("day", alias_name="cohort"))
+        .to_arrow_refs()
+    )
+    tbls = [t for t in ray.get(first) if t.num_rows > 0]
+    first_tbl = pa.concat_tables(tbls).combine_chunks()
+    fref = ray.put(first_tbl)
+
+    def probe(t: pa.Table, *, fref) -> pa.Table:
+        first = ray.get(fref)
+        j = t.join(first, keys="user_id")
+        off = pc.subtract(pc.cast(j["day"], pa.int64()), pc.cast(j["cohort"], pa.int64()))
+        g = (
+            pa.table({"cohort": j["cohort"], "offset": off})
+            .group_by(["cohort", "offset"])
+            .aggregate([("offset", "count")])
+        )
+        return pa.table(
+            {
+                "cohort": pc.cast(g["cohort"], pa.int64()),
+                "offset": g["offset"],
+                "n": pc.cast(g["offset_count"], pa.int64()),
+            }
+        )
+
+    grid = (
+        days.map_batches(probe, batch_format="pyarrow", fn_kwargs={"fref": fref})
+        .groupby(["cohort", "offset"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    users = (
+        first_tbl.group_by("cohort").aggregate([("cohort", "count")]).to_pandas()
+    )
+    users = users.rename(columns={"cohort_count": "n_users"})
+    users["cohort"] = users["cohort"].astype("int64")
+    rows = []
+    for cohort, g in grid.groupby("cohort", sort=True):
+        g = g.sort_values("offset")
+        c0 = int(g.loc[g["offset"] == 0, "n"].iloc[0])
+        half = g[g["n"] * 2 >= c0]
+        full = g[g["n"] >= c0]
+        rows.append(
+            {
+                "cohort_day": pd.Timestamp("1970-01-01")
+                + pd.Timedelta(days=int(cohort)),
+                "cohort_i": int(cohort),
+                "c0_events": c0,
+                "persistence_days": int(half["offset"].max()),
+                "full_strength_days": int(full["offset"].max()),
+                "max_offset": int(g["offset"].max()),
+            }
+        )
+    out = pd.DataFrame(rows).merge(
+        users.rename(columns={"cohort": "cohort_i"}), on="cohort_i"
+    )
+    for c in ("c0_events", "persistence_days", "full_strength_days",
+              "max_offset", "n_users"):
+        out[c] = out[c].astype("int64")
+    out = out.sort_values("cohort_day").reset_index(drop=True)
+    return out[["cohort_day", "n_users", "c0_events", "persistence_days",
+                "full_strength_days", "max_offset"]]
+
+
+def cohort_persistence_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+            FROM events GROUP BY 1
+        ), g AS (
+            SELECT f.cohort,
+                   CAST(ts AS DATE) - f.cohort AS off,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events e JOIN f USING (user_id)
+            GROUP BY 1, 2
+        ), c0 AS (
+            SELECT cohort, n AS c0_events FROM g WHERE off = 0
+        ), u AS (
+            SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM f GROUP BY 1
+        )
+        SELECT CAST(g.cohort AS TIMESTAMP) AS cohort_day,
+               u.n_users,
+               CAST(c0.c0_events AS BIGINT) AS c0_events,
+               CAST(MAX(g.off) FILTER (
+                   WHERE g.n * 2 >= c0.c0_events) AS BIGINT)
+                   AS persistence_days,
+               CAST(MAX(g.off) FILTER (
+                   WHERE g.n >= c0.c0_events) AS BIGINT)
+                   AS full_strength_days,
+               CAST(MAX(g.off) AS BIGINT) AS max_offset
+        FROM g
+        JOIN c0 USING (cohort)
+        JOIN u USING (cohort)
+        GROUP BY g.cohort, u.n_users, c0.c0_events
+        ORDER BY cohort_day
+    """
