@@ -1482,6 +1482,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_persistence": rel.cohort_persistence,
         # Hilbert vs Z-order vs row-major locality shoot-out (no SQL)
         "curve_locality_audit": dso.curve_locality_audit,
+        # cross-source shared-5-gram contamination matrix
+        "cross_source_contamination": llm.cross_source_contamination,
+        # within-customer order-value sign-test sufficient stats
+        "order_value_sign_test": rel.order_value_sign_test,
     }
 
 
@@ -2088,6 +2092,8 @@ def oracle_sql() -> dict[str, str]:
         "daily_dominance_counts": rel.daily_dominance_counts_sql(),
         "event_value_did": rel.event_value_did_sql(),
         "cohort_persistence": rel.cohort_persistence_sql(),
+        "cross_source_contamination": llm.cross_source_contamination_sql(),
+        "order_value_sign_test": rel.order_value_sign_test_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

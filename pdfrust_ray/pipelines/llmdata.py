@@ -1430,3 +1430,93 @@ def vocab_cover_greedy(sf_dir: str, k: int = 10) -> pd.DataFrame:
         )
     out = pd.DataFrame(picks, columns=["step", "doc_id", "gain", "covered_total"])
     return out.astype("int64")
+
+
+def cross_source_contamination(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Cross-source contamination matrix: for each pair of sources,
+    how many DISTINCT word 5-grams they share — the source-level
+    copying / syndication signal that tells a mixing planner two
+    'independent' sources are actually the same feed. Top-k pairs by
+    shared grams (tie: source names).
+
+    Scale shape: docs reduce to DISTINCT (gram-hash63, source) pairs
+    inside map_batches (gram text never leaves the task; md5-63bit
+    hashes ship instead), one groupby(gram) folds the source sets, and
+    each gram emits only its C(s,2) <= C(|sources|,2) pair partials —
+    the SQL twin carries raw grams (same parity precedent as
+    segment_dedup: hash collisions are the 2^-63 caveat)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        seen = set()
+        for src, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            w = txt.split(" ")
+            for i in range(len(w) - 4):
+                seen.add((_seg_hash63(" ".join(w[i : i + 5])), src))
+        if not seen:
+            return pa.table(
+                {"gram": pa.array([], pa.int64()), "source": pa.array([], pa.string())}
+            )
+        g, s = zip(*seen)
+        return pa.table({"gram": pa.array(g, pa.int64()), "source": pa.array(s)})
+
+    pairs_per_gram = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["gram", "source"])
+        .aggregate(Count(alias_name="dummy"))  # distinct (gram, source)
+    )
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        src = sorted(g["source"].unique())
+        if len(src) < 2:
+            return pd.DataFrame(
+                {"source_a": pd.Series([], dtype="object"),
+                 "source_b": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        rows = [
+            {"source_a": a, "source_b": b, "n": 1}
+            for i, a in enumerate(src)
+            for b in src[i + 1 :]
+        ]
+        return pd.DataFrame(rows)
+
+    folded = (
+        pairs_per_gram.groupby("gram")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="shared_grams"))
+        .to_pandas()
+    )
+    folded["shared_grams"] = folded["shared_grams"].astype("int64")
+    out = (
+        folded.sort_values(
+            ["shared_grams", "source_a", "source_b"], ascending=[False, True, True]
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["source_a", "source_b", "shared_grams"]]
+
+
+def cross_source_contamination_sql(k: int = 25) -> str:
+    return f"""
+        WITH w AS (
+            SELECT source,
+                   string_split(text, ' ') AS ws
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT source,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                   ws[i+3] || ' ' || ws[i+4] AS g
+            FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_grams
+        FROM grams a JOIN grams b
+          ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY shared_grams DESC, source_a, source_b LIMIT {k}
+    """

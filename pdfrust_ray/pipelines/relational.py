@@ -22231,3 +22231,86 @@ def cohort_persistence_sql() -> str:
         GROUP BY g.cohort, u.n_users, c0.c0_events
         ORDER BY cohort_day
     """
+
+
+def order_value_sign_test(sf_dir: str) -> pd.DataFrame:
+    """Sign-test sufficient statistics for within-customer order-value
+    trend: over every consecutive same-customer order pair (by
+    o_orderdate, o_orderkey tie order), counts of value increases,
+    decreases and exact ties in cents — under the no-trend null,
+    ups ~ Binomial(ups+downs, 1/2); the exact integer counts are the
+    whole test, no float ever. Also the up-count in ppm of decided
+    pairs.
+
+    Distributed plan: one groupby(o_custkey) shuffle; per-group signs
+    are a vectorized diff; only three integers per group cross the
+    second (tiny) fold."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        ok = df["o_orderkey"].to_numpy()
+        order = np.lexsort((ok, us))
+        cents = (
+            np.round(df["o_totalprice"].to_numpy() * 100).astype("int64")[order]
+        )
+        d = np.diff(cents)
+        return pd.DataFrame(
+            {
+                "n_up": [int((d > 0).sum())],
+                "n_down": [int((d < 0).sum())],
+                "n_tie": [int((d == 0).sum())],
+            }
+        )
+
+    folded = (
+        ds.groupby("o_custkey")
+        .map_groups(per_cust, batch_format="pandas")
+        .aggregate(
+            Sum("n_up", alias_name="n_up"),
+            Sum("n_down", alias_name="n_down"),
+            Sum("n_tie", alias_name="n_tie"),
+        )
+    )
+    up, down, tie = int(folded["n_up"]), int(folded["n_down"]), int(folded["n_tie"])
+    out = pd.DataFrame(
+        {
+            "n_pairs": [up + down + tie],
+            "n_up": [up],
+            "n_down": [down],
+            "n_tie": [tie],
+            "up_share_ppm": [up * 1_000_000 // (up + down) if up + down else 0],
+        }
+    )
+    return out.astype("int64")
+
+
+def order_value_sign_test_sql() -> str:
+    return """
+        WITH s AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   - LAG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS d
+            FROM orders
+        ), c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_up,
+                   CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_down,
+                   CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_tie
+            FROM s WHERE d IS NOT NULL
+        )
+        SELECT n_pairs, n_up, n_down, n_tie,
+               CAST(CASE WHEN n_up + n_down > 0
+                         THEN n_up * 1000000 // (n_up + n_down)
+                         ELSE 0 END AS BIGINT) AS up_share_ppm
+        FROM c
+    """
