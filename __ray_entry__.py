@@ -1486,6 +1486,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_contamination": llm.cross_source_contamination,
         # within-customer order-value sign-test sufficient stats
         "order_value_sign_test": rel.order_value_sign_test,
+        # A/A harness: salted md5 split arm-balance audit
+        "aa_split_invariance": rel.aa_split_invariance,
+        # day-over-day type-mix drift as exact weighted Jaccard
+        "daily_type_mix_drift": rel.daily_type_mix_drift,
     }
 
 
@@ -2094,6 +2098,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_persistence": rel.cohort_persistence_sql(),
         "cross_source_contamination": llm.cross_source_contamination_sql(),
         "order_value_sign_test": rel.order_value_sign_test_sql(),
+        "aa_split_invariance": rel.aa_split_invariance_sql(),
+        "daily_type_mix_drift": rel.daily_type_mix_drift_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -22314,3 +22314,190 @@ def order_value_sign_test_sql() -> str:
                          ELSE 0 END AS BIGINT) AS up_share_ppm
         FROM c
     """
+
+
+def aa_split_invariance(sf_dir: str, n_salts: int = 8) -> pd.DataFrame:
+    """A/A harness for the experiment-assignment hash: split events
+    into two arms by the parity of md5(event_id || '|' || salt) under
+    `n_salts` different salts and compare arm mean values (floor
+    micro-cents). A biased splitter shows a systematic arm gap; a good
+    one shows small, sign-balanced gaps. All numbers exact integers —
+    per salt: arm sizes, arm means, and the signed mean gap.
+
+    Distributed plan: one pass; per-batch partials carry 2 x n_salts
+    (sum, count) cells, so the exchange is O(n_salts) per block and
+    the gap arithmetic runs on the folded grid."""
+    from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["event_id"].to_pylist()
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        salts, arms, sums, counts = [], [], [], []
+        for s in range(n_salts):
+            keys = [f"{i}|{s}".encode() for i in ids]
+            arm = (md5_prefix_u32(keys) & 1).astype(np.int64)
+            for a in (0, 1):
+                m = arm == a
+                salts.append(s)
+                arms.append(a)
+                sums.append(int(cents[m].sum()))
+                counts.append(int(m.sum()))
+        return pa.table(
+            {
+                "salt": pa.array(salts, pa.int64()),
+                "arm": pa.array(arms, pa.int64()),
+                "cents": pa.array(sums, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["salt", "arm"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    grid["mean_ucents"] = (grid["cents"] * 1_000_000 // grid["n"]).astype("int64")
+    piv = grid.pivot_table(index="salt", columns="arm", values=["n", "mean_ucents"])
+    rows = []
+    for s in sorted(piv.index):
+        rows.append(
+            {
+                "salt": int(s),
+                "n_arm0": int(piv.loc[s, ("n", 0)]),
+                "n_arm1": int(piv.loc[s, ("n", 1)]),
+                "mean0_ucents": int(piv.loc[s, ("mean_ucents", 0)]),
+                "mean1_ucents": int(piv.loc[s, ("mean_ucents", 1)]),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["gap_ucents"] = out["mean1_ucents"] - out["mean0_ucents"]
+    return out.astype("int64")[
+        ["salt", "n_arm0", "n_arm1", "mean0_ucents", "mean1_ucents", "gap_ucents"]
+    ]
+
+
+def aa_split_invariance_sql(n_salts: int = 8) -> str:
+    arms = []
+    for s in range(n_salts):
+        arms.append(f"""
+            SELECT {s} AS salt,
+                   CAST(CAST(('0x' || substr(md5(
+                       CAST(event_id AS VARCHAR) || '|{s}'), 1, 8))
+                       AS UBIGINT) % 2 AS BIGINT) AS arm,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+        WITH tagged AS ({union}),
+        cell AS (
+            SELECT salt, arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT)
+                       AS mean_ucents
+            FROM tagged GROUP BY 1, 2
+        )
+        SELECT salt,
+               MAX(CASE WHEN arm = 0 THEN n END) AS n_arm0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n_arm1,
+               MAX(CASE WHEN arm = 0 THEN mean_ucents END) AS mean0_ucents,
+               MAX(CASE WHEN arm = 1 THEN mean_ucents END) AS mean1_ucents,
+               CAST(MAX(CASE WHEN arm = 1 THEN mean_ucents END)
+                    - MAX(CASE WHEN arm = 0 THEN mean_ucents END) AS BIGINT)
+                   AS gap_ucents
+        FROM cell GROUP BY salt ORDER BY salt
+    """
+
+
+def daily_type_mix_drift(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day event-type mix drift as EXACT weighted Jaccard:
+    for each adjacent day pair, sum over types of min(count_a, count_b)
+    over sum of max(count_a, count_b) — 1.0 means identical mixes,
+    falling toward 0 as the mix rotates. Output per day: the exact
+    integer numerator/denominator vs the previous day plus the floor
+    ppm similarity (first day omitted).
+
+    Distributed plan: per-batch (day, type) partials bound the
+    exchange; the adjacent-day comparison is vectorized on the bounded
+    folded grid."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")), unit="day"),
+            pa.date32(),
+        )
+        g = (
+            pa.table({"day": day, "event_type": t["event_type"]})
+            .group_by(["day", "event_type"])
+            .aggregate([("event_type", "count")])
+        )
+        return pa.table(
+            {
+                "day": g["day"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["event_type_count"], pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = (
+        grid.pivot_table(index="day", columns="event_type", values="n", fill_value=0)
+        .sort_index()
+    )
+    m = piv.to_numpy().astype("int64")
+    days = list(piv.index)
+    mins = np.minimum(m[1:], m[:-1]).sum(axis=1)
+    maxs = np.maximum(m[1:], m[:-1]).sum(axis=1)
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(days[1:]),
+            "jaccard_num": mins.astype("int64"),
+            "jaccard_den": maxs.astype("int64"),
+        }
+    )
+    out["similarity_ppm"] = (
+        out["jaccard_num"] * 1_000_000 // out["jaccard_den"]
+    ).astype("int64")
+    return out.reset_index(drop=True)
+
+
+def daily_type_mix_drift_sql() -> str:
+    return """
+        WITH g AS (
+            SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), days AS (
+            SELECT DISTINCT day FROM g
+        ), types AS (
+            SELECT DISTINCT event_type FROM g
+        ), dense AS (
+            SELECT d.day, t.event_type, COALESCE(g.n, 0) AS n
+            FROM days d CROSS JOIN types t
+            LEFT JOIN g ON g.day = d.day AND g.event_type = t.event_type
+        ), lagged AS (
+            SELECT day, event_type, n,
+                   LAG(n) OVER (PARTITION BY event_type ORDER BY day)
+                       AS pn
+            FROM dense
+        )
+        SELECT day,
+               CAST(SUM(LEAST(n, pn)) AS BIGINT) AS jaccard_num,
+               CAST(SUM(GREATEST(n, pn)) AS BIGINT) AS jaccard_den,
+               CAST(SUM(LEAST(n, pn)) * 1000000 // SUM(GREATEST(n, pn))
+                    AS BIGINT) AS similarity_ppm
+        FROM lagged WHERE pn IS NOT NULL
+        GROUP BY day ORDER BY day
+    """
