@@ -1490,6 +1490,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aa_split_invariance": rel.aa_split_invariance,
         # day-over-day type-mix drift as exact weighted Jaccard
         "daily_type_mix_drift": rel.daily_type_mix_drift,
+        # mergeable HDR log-linear quantile sketch (bit-exact twin)
+        "hdr_quantile_sketch": rel.hdr_quantile_sketch,
+        # discount x return odds contingency, integer cross-products
+        "discount_return_contingency": rel.discount_return_contingency,
     }
 
 
@@ -2100,6 +2104,8 @@ def oracle_sql() -> dict[str, str]:
         "order_value_sign_test": rel.order_value_sign_test_sql(),
         "aa_split_invariance": rel.aa_split_invariance_sql(),
         "daily_type_mix_drift": rel.daily_type_mix_drift_sql(),
+        "hdr_quantile_sketch": rel.hdr_quantile_sketch_sql(),
+        "discount_return_contingency": rel.discount_return_contingency_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

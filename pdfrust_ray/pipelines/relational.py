@@ -22501,3 +22501,195 @@ def daily_type_mix_drift_sql() -> str:
         FROM lagged WHERE pn IS NOT NULL
         GROUP BY day ORDER BY day
     """
+
+def hdr_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """HDR log-linear quantile sketch, fully deterministic: value
+    cents bucketed by bit-length with 3 sub-bucket bits (bucket =
+    (bl-3)*8 + (v >> (bl-4)) for v >= 8, = v below) — relative error
+    <= 12.5% by construction, and buckets merge by addition (the
+    mergeable-sketch property that makes it distributed-safe). The
+    query surface answers q50/q90/q99: per quantile, the selected
+    bucket's [lo, hi] cent bounds and cumulative position — every
+    number an exact integer, so the SQL twin reproduces the sketch
+    bit-for-bit (unlike t-digest/DDSketch floats).
+
+    Distributed plan: per-batch partial bucket counts (<= 8 per octave,
+    ~500 buckets total) bound the exchange; quantile selection runs on
+    the folded census. Certificate test pins the <= 12.5% relative
+    error against the exact sorted quantile."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        v = np.maximum(v, 1)
+        bl = _bit_length_exact(v) + 1  # bit length
+        bucket = np.where(v < 8, v, (bl - 3) * 8 + (v >> np.maximum(bl - 4, 0)))
+        u, c = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": u.astype(np.int64), "n": c.astype(np.int64)})
+
+    census = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    n_total = int(census["n"].sum())
+    cum = census["n"].cumsum().to_numpy()
+    buckets = census["bucket"].to_numpy()
+
+    def bounds(b: int):
+        # inverse of the bucketing: b = (bl-3)*8 + m, m = (v >> (bl-4))
+        # in [8, 15], so b // 8 == bl - 2 and m == b % 8 + 8
+        if b < 8:
+            return b, b
+        bl = b // 8 + 2
+        m = b % 8 + 8
+        return m << (bl - 4), ((m + 1) << (bl - 4)) - 1
+
+    rows = []
+    for q_num, q_den, label in ((1, 2, 50), (9, 10, 90), (99, 100, 99)):
+        pos = (n_total * q_num + q_den - 1) // q_den
+        i = int(np.searchsorted(cum, pos))
+        b = int(buckets[i])
+        lo, hi = bounds(b)
+        rows.append(
+            {
+                "quantile_pct": label,
+                "bucket": b,
+                "lo_cents": lo,
+                "hi_cents": hi,
+                "cum_n": int(cum[i]),
+                "n_total": n_total,
+            }
+        )
+    return pd.DataFrame(rows).astype("int64")
+
+
+def hdr_quantile_sketch_sql() -> str:
+    return """
+        WITH v AS (
+            SELECT GREATEST(CAST(ROUND(value * 100) AS BIGINT), 1) AS c
+            FROM events
+        ), b AS (
+            SELECT CASE WHEN c < 8 THEN c
+                        ELSE (length(bin(c)) - 3) * 8
+                             + (c >> (length(bin(c)) - 4)) END AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM v GROUP BY 1
+        ), cum AS (
+            SELECT bucket, n,
+                   SUM(n) OVER (ORDER BY bucket) AS cum_n,
+                   (SELECT SUM(n) FROM b) AS n_total
+            FROM b
+        ), qs AS (
+            SELECT * FROM (VALUES (50, 1, 2), (90, 9, 10), (99, 99, 100))
+                AS t(quantile_pct, q_num, q_den)
+        ), sel AS (
+            SELECT q.quantile_pct, c.bucket, c.cum_n, c.n_total,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.quantile_pct ORDER BY c.bucket) AS rk
+            FROM qs q JOIN cum c
+              ON c.cum_n >= (c.n_total * q.q_num + q.q_den - 1) // q.q_den
+        )
+        SELECT CAST(quantile_pct AS BIGINT) AS quantile_pct,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(CASE WHEN bucket < 8 THEN bucket
+                         ELSE (bucket % 8 + 8) << (bucket // 8 - 2)
+                    END AS BIGINT) AS lo_cents,
+               CAST(CASE WHEN bucket < 8 THEN bucket
+                         ELSE ((bucket % 8 + 9) << (bucket // 8 - 2)) - 1
+                    END AS BIGINT) AS hi_cents,
+               CAST(cum_n AS BIGINT) AS cum_n,
+               CAST(n_total AS BIGINT) AS n_total
+        FROM sel WHERE rk = 1 ORDER BY quantile_pct
+    """
+
+
+def discount_return_contingency(sf_dir: str, cut_bp: int = 5) -> pd.DataFrame:
+    """Does discounting drive returns? 2x2 contingency of (discount >
+    cut_bp basis points) x (l_returnflag = 'R') with the exact integer
+    odds cross-products n11*n00 and n10*n01 — n11*n00 > n10*n01 means
+    discounted lines return MORE often (odds ratio > 1) without ever
+    leaving integers. Also each cell's return rate in floor ppm.
+
+    Distributed plan: one pass of per-batch 2x2 partial counts (4 rows
+    per block); all derived numbers computed on the folded 2x2."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_discount", "l_returnflag"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc_bp = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        hi = pc.cast(pc.greater(disc_bp, cut_bp), pa.int64())
+        ret = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        g = (
+            pa.table({"discounted": hi, "returned": ret})
+            .group_by(["discounted", "returned"])
+            .aggregate([("returned", "count")])
+        )
+        return pa.table(
+            {
+                "discounted": g["discounted"],
+                "returned": g["returned"],
+                "n": pc.cast(g["returned_count"], pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["discounted", "returned"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    m = {
+        (int(r["discounted"]), int(r["returned"])): int(r["n"])
+        for _, r in cells.iterrows()
+    }
+    n11, n10 = m.get((1, 1), 0), m.get((1, 0), 0)
+    n01, n00 = m.get((0, 1), 0), m.get((0, 0), 0)
+    out = pd.DataFrame(
+        {
+            "n_disc_ret": [n11],
+            "n_disc_kept": [n10],
+            "n_plain_ret": [n01],
+            "n_plain_kept": [n00],
+            "odds_num": [n11 * n00],
+            "odds_den": [n10 * n01],
+            "disc_ret_ppm": [n11 * 1_000_000 // (n11 + n10) if n11 + n10 else 0],
+            "plain_ret_ppm": [n01 * 1_000_000 // (n01 + n00) if n01 + n00 else 0],
+        }
+    )
+    return out.astype("int64")
+
+
+def discount_return_contingency_sql(cut_bp: int = 5) -> str:
+    return f"""
+        WITH c AS (
+            SELECT CASE WHEN CAST(ROUND(l_discount * 100) AS BIGINT)
+                             > {cut_bp} THEN 1 ELSE 0 END AS d,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+            FROM lineitem
+        ), m AS (
+            SELECT
+                CAST(SUM(CASE WHEN d=1 AND r=1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                CAST(SUM(CASE WHEN d=1 AND r=0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                CAST(SUM(CASE WHEN d=0 AND r=1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                CAST(SUM(CASE WHEN d=0 AND r=0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+            FROM c
+        )
+        SELECT n11 AS n_disc_ret, n10 AS n_disc_kept,
+               n01 AS n_plain_ret, n00 AS n_plain_kept,
+               CAST(n11 * n00 AS BIGINT) AS odds_num,
+               CAST(n10 * n01 AS BIGINT) AS odds_den,
+               CAST(CASE WHEN n11 + n10 > 0
+                         THEN n11 * 1000000 // (n11 + n10) ELSE 0 END
+                    AS BIGINT) AS disc_ret_ppm,
+               CAST(CASE WHEN n01 + n00 > 0
+                         THEN n01 * 1000000 // (n01 + n00) ELSE 0 END
+                    AS BIGINT) AS plain_ret_ppm
+        FROM m
+    """
