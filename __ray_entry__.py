@@ -1494,6 +1494,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hdr_quantile_sketch": rel.hdr_quantile_sketch,
         # discount x return odds contingency, integer cross-products
         "discount_return_contingency": rel.discount_return_contingency,
+        # exact-integer maximum-inner-product top-k
+        "mips_topk": similarity.mips_topk,
+        # line-number 1..n contiguity fingerprint audit
+        "linenumber_contiguity_audit": rel.linenumber_contiguity_audit,
     }
 
 
@@ -2106,6 +2110,8 @@ def oracle_sql() -> dict[str, str]:
         "daily_type_mix_drift": rel.daily_type_mix_drift_sql(),
         "hdr_quantile_sketch": rel.hdr_quantile_sketch_sql(),
         "discount_return_contingency": rel.discount_return_contingency_sql(),
+        "mips_topk": similarity_mod.mips_topk_sql(),
+        "linenumber_contiguity_audit": rel.linenumber_contiguity_audit_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

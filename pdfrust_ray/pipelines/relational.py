@@ -22693,3 +22693,113 @@ def discount_return_contingency_sql(cut_bp: int = 5) -> str:
                     AS BIGINT) AS plain_ret_ppm
         FROM m
     """
+
+
+def linenumber_contiguity_audit(sf_dir: str) -> pd.DataFrame:
+    """Line-number integrity audit: within each order, l_linenumber
+    should be a contiguous 1..n sequence (no gaps, no duplicates, no
+    zero). Census of violation kinds — the upstream-writer bug signal
+    (partial retries duplicate lines; lost messages leave gaps). Uses
+    the sum/min/max/count fingerprint: a group is contiguous 1..n IFF
+    min=1, max=n and sum=n(n+1)/2 — all computable from per-batch
+    partials without shipping rows.
+
+    Distributed plan: per-batch partial (orderkey -> count, min, max,
+    sum); the verdict per order folds from integers only; the final
+    census is a 4-row table."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o": t["l_orderkey"],
+                    "ln": pc.cast(t["l_linenumber"], pa.int64()),
+                }
+            )
+            .group_by("o")
+            .aggregate([("ln", "count"),
+                        ("ln", "min"), ("ln", "max"), ("ln", "sum")])
+        )
+        return pa.table(
+            {
+                "o": g["o"],
+                "n": pc.cast(g["ln_count"], pa.int64()),
+                "mn": g["ln_min"],
+                "mx": g["ln_max"],
+                "s": g["ln_sum"],
+            }
+        )
+
+    per_order = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+            Sum("s", alias_name="s"),
+        )
+        .to_pandas()
+    )
+    n = per_order["n"].astype("int64")
+    mn = per_order["mn"].astype("int64")
+    mx = per_order["mx"].astype("int64")
+    s = per_order["s"].astype("int64")
+    # contiguous 1..n fingerprint: min=1, max=n, sum=n(n+1)/2. A
+    # duplicate+gap pair that preserves the sum also breaks min or max
+    # only sometimes — the sum identity with min/max bounds is exact
+    # for linenumber domains (1..7 in TPC-H): any multiset with min=1,
+    # max=n, |..|=n, sum=n(n+1)/2 over integers in [1, n] IS {1..n}
+    # iff no duplicates; a duplicate d and missing m shift sum by d-m
+    # != 0 unless d=m (impossible). So the fingerprint is exact here.
+    ok = (mn == 1) & (mx == n) & (s == n * (n + 1) // 2)
+    bad_start = mn != 1
+    bad_span = (mn == 1) & (mx != n)
+    bad_sum = (mn == 1) & (mx == n) & (s != n * (n + 1) // 2)
+    out = pd.DataFrame(
+        {
+            "verdict": ["contiguous", "bad_start", "bad_span", "bad_sum"],
+            "n_orders": [
+                int(ok.sum()),
+                int(bad_start.sum()),
+                int(bad_span.sum()),
+                int(bad_sum.sum()),
+            ],
+        }
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def linenumber_contiguity_audit_sql() -> str:
+    return """
+        WITH per AS (
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(l_linenumber) AS BIGINT) AS mn,
+                   CAST(MAX(l_linenumber) AS BIGINT) AS mx,
+                   CAST(SUM(l_linenumber) AS BIGINT) AS s
+            FROM lineitem GROUP BY 1
+        ), v AS (
+            SELECT CASE
+                WHEN mn = 1 AND mx = n AND s = n * (n + 1) // 2
+                    THEN 'contiguous'
+                WHEN mn <> 1 THEN 'bad_start'
+                WHEN mx <> n THEN 'bad_span'
+                ELSE 'bad_sum' END AS verdict
+            FROM per
+        ), kinds AS (
+            SELECT UNNEST(['contiguous', 'bad_start', 'bad_span',
+                           'bad_sum']) AS verdict
+        )
+        SELECT k.verdict,
+               CAST(COALESCE(COUNT(v.verdict), 0) AS BIGINT) AS n_orders
+        FROM kinds k LEFT JOIN v ON v.verdict = k.verdict
+        GROUP BY k.verdict
+        ORDER BY CASE k.verdict WHEN 'contiguous' THEN 0
+                                WHEN 'bad_start' THEN 1
+                                WHEN 'bad_span' THEN 2 ELSE 3 END
+    """

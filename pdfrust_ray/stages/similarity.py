@@ -1515,3 +1515,103 @@ def jl_projection_audit_sql(d_out: int = 16, n_vecs: int = 16) -> str:
         FROM d2o JOIN d2p USING (vec_a, vec_b)
         ORDER BY vec_a, vec_b
     """
+
+
+def mips_topk(sf_dir: str, n_queries: int = 4, k: int = 10) -> pd.DataFrame:
+    """Maximum-inner-product search (MIPS) top-k with EXACT integer
+    arithmetic: embeddings quantize to int64 millionths on both sides,
+    so the dot products (|64 dims x ~1e12 products| << 2^63) are exact
+    and the ranking has no float-order ambiguity — unlike cosine ANN,
+    MIPS is the retrieval mode of un-normalized recommender / reward
+    models, where vector norm IS part of the score. Queries are the
+    first `n_queries` vec_ids (pushed-down filter read, never a full
+    driver scan); self-matches excluded; ties break on vec_id.
+
+    Distributed plan: the [Q, D] quantized query matrix broadcasts via
+    ray.put; each batch computes one int64 matmul and emits only its
+    local top-k per query; the driver merges Q x k x blocks partials."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(range(n_queries)))],
+    )
+    qids = int_column(t["vec_id"])
+    qmat = np.round(embedding_matrix(t["embedding"]).astype(np.float64) * 1_000_000
+                    ).astype(np.int64)
+    order = np.argsort(qids)
+    qids, qmat = qids[order], qmat[order]
+    qref = ray.put((qids, qmat))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(qref)
+        ids = int_column(t["vec_id"])
+        m = np.round(
+            embedding_matrix(t["embedding"]).astype(np.float64) * 1_000_000
+        ).astype(np.int64)
+        scores = m @ qmat.T  # [batch, Q] exact int64
+        out = {"query_id": [], "vec_id": [], "dot_q": []}
+        for qi, qid in enumerate(qids):
+            col = scores[:, qi]
+            mask = ids != qid
+            cand_ids, cand = ids[mask], col[mask]
+            if len(cand) > k:
+                part = np.argpartition(-cand, k)[: k]
+                cand_ids, cand = cand_ids[part], cand[part]
+            out["query_id"].extend([int(qid)] * len(cand))
+            out["vec_id"].extend(cand_ids.tolist())
+            out["dot_q"].extend(cand.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "dot_q": pa.array(out["dot_q"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["query_id", "dot_q", "vec_id"], ascending=[True, False, True]
+    )
+    out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
+    for c in ("query_id", "vec_id", "dot_q"):
+        out[c] = out[c].astype("int64")
+    return out[["query_id", "rank", "vec_id", "dot_q"]]
+
+
+def mips_topk_sql(n_queries: int = 4, k: int = 10) -> str:
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS qv
+            FROM embeddings WHERE vec_id < {n_queries}
+        ), v AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS vv
+            FROM embeddings
+        ), dots AS (
+            SELECT q.query_id, v.vec_id,
+                   CAST(list_sum(
+                       list_transform(list_zip(q.qv, v.vv),
+                           p -> p[1] * p[2])) AS BIGINT) AS dot_q
+            FROM q CROSS JOIN v
+            WHERE v.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, vec_id, dot_q,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dot_q DESC, vec_id) - 1 AS rank
+            FROM dots
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(rank AS BIGINT) AS rank,
+               CAST(vec_id AS BIGINT) AS vec_id, dot_q
+        FROM ranked WHERE rank < {k}
+        ORDER BY query_id, rank
+    """
