@@ -1498,6 +1498,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mips_topk": similarity.mips_topk,
         # line-number 1..n contiguity fingerprint audit
         "linenumber_contiguity_audit": rel.linenumber_contiguity_audit,
+        # session-count-vs-timeout sensitivity curve
+        "session_timeout_sensitivity": rel.session_timeout_sensitivity,
+        # per-language char-bigram language-ID fingerprint
+        "lang_char_bigram_fingerprint": rel.lang_char_bigram_fingerprint,
     }
 
 
@@ -2112,6 +2116,8 @@ def oracle_sql() -> dict[str, str]:
         "discount_return_contingency": rel.discount_return_contingency_sql(),
         "mips_topk": similarity_mod.mips_topk_sql(),
         "linenumber_contiguity_audit": rel.linenumber_contiguity_audit_sql(),
+        "session_timeout_sensitivity": rel.session_timeout_sensitivity_sql(),
+        "lang_char_bigram_fingerprint": rel.lang_char_bigram_fingerprint_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -22803,3 +22803,158 @@ def linenumber_contiguity_audit_sql() -> str:
                                 WHEN 'bad_start' THEN 1
                                 WHEN 'bad_span' THEN 2 ELSE 3 END
     """
+
+
+def session_timeout_sensitivity(sf_dir: str) -> pd.DataFrame:
+    """Sessionization threshold sensitivity curve: for each candidate
+    timeout (the power-of-two second thresholds 1s..2^19s), the exact
+    number of sessions the corpus would split into — n_sessions(t) =
+    n_users + #{same-user consecutive gaps > t}. The knee of this
+    curve is the defensible timeout; picking 30 minutes by folklore is
+    what this table replaces. One pass over the SAME per-user gap
+    computation as the gap histogram; the curve falls out of a
+    bounded threshold fold.
+
+    Distributed plan: one groupby(user_id) shuffle; each group emits
+    its gaps' exceedance counts against the 20 thresholds (20-int
+    partial); the curve folds from those."""
+    import numpy as np
+
+    thresholds = [1 << i for i in range(20)]  # 1s .. ~6 days
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy()
+        order = np.lexsort((eid, us))
+        gap_s = np.diff(us[order]) // 1_000_000
+        exceed = [int((gap_s > t).sum()) for t in thresholds]
+        return pd.DataFrame(
+            {
+                "threshold_s": np.array(thresholds, dtype="int64"),
+                "n_exceed": np.array(exceed, dtype="int64"),
+                "n_users": np.array([1] * len(thresholds), dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby("threshold_s")
+        .aggregate(
+            Sum("n_exceed", alias_name="n_breaks"),
+            Sum("n_users", alias_name="n_users"),
+        )
+        .to_pandas()
+        .sort_values("threshold_s")
+        .reset_index(drop=True)
+    )
+    out["threshold_s"] = out["threshold_s"].astype("int64")
+    out["n_breaks"] = out["n_breaks"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_sessions"] = out["n_users"] + out["n_breaks"]
+    return out[["threshold_s", "n_breaks", "n_users", "n_sessions"]]
+
+
+def session_timeout_sensitivity_sql() -> str:
+    return """
+        WITH nxt AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nus
+            FROM events
+        ), g AS (
+            SELECT (nus - us) // 1000000 AS gap_s
+            FROM nxt WHERE nus IS NOT NULL
+        ), th AS (
+            SELECT CAST(POWER(2, i) AS BIGINT) AS threshold_s
+            FROM UNNEST(generate_series(0, 19)) AS t(i)
+        ), u AS (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+        )
+        SELECT th.threshold_s,
+               CAST(COALESCE(SUM(CASE WHEN g.gap_s > th.threshold_s
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_breaks,
+               u.n_users,
+               CAST(u.n_users
+                    + COALESCE(SUM(CASE WHEN g.gap_s > th.threshold_s
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_sessions
+        FROM th CROSS JOIN u LEFT JOIN g ON TRUE
+        GROUP BY th.threshold_s, u.n_users
+        ORDER BY th.threshold_s
+    """
+
+
+def lang_char_bigram_fingerprint(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Language fingerprint: the classic character-bigram profile —
+    per language, the top-k most frequent 2-char substrings (counting
+    every position, including spaces) with counts and floor-ppm share
+    of the language's bigrams; ties break on the bigram. This is the
+    sufficient statistic n-gram language-ID models train on.
+
+    Distributed plan: per-batch (lang, bigram, count) Counter partials
+    collapse repeats before the exchange (vocabulary-sized, not
+    corpus-sized); one groupby folds, top-k on the folded census."""
+    from collections import Counter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for i in range(len(txt) - 1):
+                c[(lang, txt[i : i + 2])] += 1
+        if not c:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "bigram": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        langs, bigrams, ns = zip(*[(kk[0], kk[1], v) for kk, v in c.items()])
+        return pa.table(
+            {"lang": pa.array(langs), "bigram": pa.array(bigrams),
+             "n": pa.array(ns, pa.int64())}
+        )
+
+    folded = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["lang", "bigram"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    folded["n"] = folded["n"].astype("int64")
+    tot = folded.groupby("lang")["n"].transform("sum")
+    folded["share_ppm"] = (folded["n"] * 1_000_000 // tot).astype("int64")
+    folded = folded.sort_values(["lang", "n", "bigram"], ascending=[True, False, True])
+    out = folded.groupby("lang", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("lang").cumcount().astype("int64")
+    return out[["lang", "rank", "bigram", "n", "share_ppm"]]
+
+
+def lang_char_bigram_fingerprint_sql(k: int = 10) -> str:
+    return f"""
+        WITH pos AS (
+            SELECT lang, substr(text, i, 2) AS bigram
+            FROM documents,
+                 UNNEST(generate_series(1, length(text) - 1)) AS t(i)
+        ), c AS (
+            SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pos GROUP BY 1, 2
+        ), r AS (
+            SELECT lang, bigram, n,
+                   CAST(n * 1000000 //
+                        SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+                       AS share_ppm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n DESC, bigram) - 1
+                       AS rank
+            FROM c
+        )
+        SELECT lang, CAST(rank AS BIGINT) AS rank, bigram, n, share_ppm
+        FROM r WHERE rank < {k} ORDER BY lang, rank
+    """
