@@ -1502,6 +1502,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_timeout_sensitivity": rel.session_timeout_sensitivity,
         # per-language char-bigram language-ID fingerprint
         "lang_char_bigram_fingerprint": rel.lang_char_bigram_fingerprint,
+        # exact-rational RBO between cosine and MIPS rankings (no SQL)
+        "rbo_ranking_overlap": similarity.rbo_ranking_overlap,
+        # event-type lifecycle catalog (first/last seen, occupancy)
+        "type_lifecycle": rel.type_lifecycle,
     }
 
 
@@ -2118,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         "linenumber_contiguity_audit": rel.linenumber_contiguity_audit_sql(),
         "session_timeout_sensitivity": rel.session_timeout_sensitivity_sql(),
         "lang_char_bigram_fingerprint": rel.lang_char_bigram_fingerprint_sql(),
+        "type_lifecycle": rel.type_lifecycle_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

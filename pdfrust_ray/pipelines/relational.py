@@ -22958,3 +22958,78 @@ def lang_char_bigram_fingerprint_sql(k: int = 10) -> str:
         SELECT lang, CAST(rank AS BIGINT) AS rank, bigram, n, share_ppm
         FROM r WHERE rank < {k} ORDER BY lang, rank
     """
+
+
+def type_lifecycle(sf_dir: str) -> pd.DataFrame:
+    """Event-type lifecycle catalog: per type, first- and last-seen
+    day, the number of DISTINCT active days, the calendar span, and
+    the floor-ppm occupancy (active days per span day) — the
+    deprecation detector: a type whose last_seen lags the corpus
+    high-water mark or whose occupancy collapses is on its way out.
+
+    Distributed plan: per-batch (type, day) pre-distinct partials
+    bound the exchange at |types x days| rows per block; min/max/
+    count-distinct fold on the tiny grid."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")), unit="day"),
+            pa.date32(),
+        )
+        g = (
+            pa.table({"event_type": t["event_type"], "day": pc.cast(day, pa.int32())})
+            .group_by(["event_type", "day"])
+            .aggregate([("day", "count")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": pc.cast(g["day"], pa.int64()),
+                "n": pc.cast(g["day_count"], pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in grid.groupby("event_type", sort=True):
+        lo, hi = int(g["day"].min()), int(g["day"].max())
+        active = int(len(g))
+        span = hi - lo + 1
+        rows.append(
+            {
+                "event_type": et,
+                "first_seen": pd.Timestamp("1970-01-01") + pd.Timedelta(days=lo),
+                "last_seen": pd.Timestamp("1970-01-01") + pd.Timedelta(days=hi),
+                "active_days": active,
+                "span_days": span,
+                "n_events": int(g["n"].sum()),
+                "occupancy_ppm": active * 1_000_000 // span,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("active_days", "span_days", "n_events", "occupancy_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def type_lifecycle_sql() -> str:
+    return """
+        SELECT event_type,
+               CAST(MIN(CAST(ts AS DATE)) AS TIMESTAMP) AS first_seen,
+               CAST(MAX(CAST(ts AS DATE)) AS TIMESTAMP) AS last_seen,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS active_days,
+               CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) + 1
+                    AS BIGINT) AS span_days,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) * 1000000 //
+                    (MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) + 1)
+                    AS BIGINT) AS occupancy_ppm
+        FROM events GROUP BY event_type ORDER BY event_type
+    """

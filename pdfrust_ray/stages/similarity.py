@@ -1615,3 +1615,47 @@ def mips_topk_sql(n_queries: int = 4, k: int = 10) -> str:
         FROM ranked WHERE rank < {k}
         ORDER BY query_id, rank
     """
+
+
+def rbo_ranking_overlap(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the cosine and
+    MIPS top-k rankings for each query, with EXACT integer arithmetic:
+    RBO@k = (1-p) * sum_{d=1..k} p^(d-1) * |A_d ∩ B_d| / d at p=9/10
+    is scaled by S = 10^(k-1) * lcm(1..k) so every term is an integer —
+    term_d = overlap@d * 9^(d-1) * 10^(k-d) * (lcm/d). Quantifies how
+    much normalizing the vectors (cosine) changes retrieval vs raw
+    inner product (MIPS) — rbo_scaled/S near (1-p)·sum(p^(d-1)) means
+    the norm carries no signal; near 0 means ranking is norm-driven.
+
+    Distributed plan: both rankings come from the existing broadcast
+    top-k ops (one pass each); the RBO fold is driver arithmetic on
+    2 x Q x k rows. No extra shuffle.
+
+    No SQL oracle: the two-ranking prefix-intersection recursion is
+    pinned instead by a hand-computed fixture pytest and the exact
+    integer identity checks."""
+    import math
+
+    from functools import reduce
+
+    a = brute_force_topk(sf_dir, query_ids=tuple(range(4)), k=k)
+    b = mips_topk(sf_dir, n_queries=4, k=k)
+    lcm = reduce(math.lcm, range(1, k + 1))
+    scale = (10 ** (k - 1)) * lcm
+    rows = []
+    for q in sorted(set(a["query_id"]) & set(b["query_id"])):
+        la = a.loc[a["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        lb = b.loc[b["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        acc = 0
+        for d in range(1, k + 1):
+            ov = len(set(la[:d]) & set(lb[:d]))
+            acc += ov * (9 ** (d - 1)) * (10 ** (k - d)) * (lcm // d)
+        rows.append(
+            {
+                "query_id": int(q),
+                "rbo_scaled": acc,  # == RBO@k / (1-p) * S, exact
+                "scale": scale,
+                "overlap_at_k": len(set(la) & set(lb)),
+            }
+        )
+    return pd.DataFrame(rows).astype("int64")
