@@ -1506,6 +1506,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rbo_ranking_overlap": similarity.rbo_ranking_overlap,
         # event-type lifecycle catalog (first/last seen, occupancy)
         "type_lifecycle": rel.type_lifecycle,
+        # delimiter-balance extraction-QA audit
+        "bracket_balance_audit": rel.bracket_balance_audit,
+        # dialogue role-shape census
+        "conv_shape_census": _q_conv(cv.conv_shape_census),
     }
 
 
@@ -2123,6 +2127,8 @@ def oracle_sql() -> dict[str, str]:
         "session_timeout_sensitivity": rel.session_timeout_sensitivity_sql(),
         "lang_char_bigram_fingerprint": rel.lang_char_bigram_fingerprint_sql(),
         "type_lifecycle": rel.type_lifecycle_sql(),
+        "bracket_balance_audit": rel.bracket_balance_audit_sql(),
+        "conv_shape_census": cv.conv_shape_census_sql(_T2_SHARDS),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -2994,3 +2994,52 @@ def reply_length_by_prompt_decile_sql(shards_glob: str) -> str:
                CAST(SUM(reply) // COUNT(*) AS BIGINT) AS avg_reply_len
         FROM d GROUP BY decile ORDER BY decile
     """
+
+
+def conv_shape_census(corpus_dir: str, k: int = 25) -> pd.DataFrame:
+    """Dialogue-shape census: each conversation reduces to its role
+    sequence signature (first letter per turn in turn_idx order, e.g.
+    'uauat' = user/assistant/user/assistant/tool) and the census
+    counts conversations per shape (top-k by count, shape tie-break) —
+    the corpus-composition view that shows whether the data is chat,
+    agent loops, or monologues before any text is read.
+
+    Distributed plan: one groupby(conv_id) builds signatures (tiny
+    output per group); a second groupby folds the shape census."""
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role"])
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("turn_idx", kind="stable")
+        return pd.DataFrame(
+            {"shape": ["".join(r[0] for r in df["role"])], "n": [1]}
+        )
+
+    out = (
+        ds.groupby("conv_id")
+        .map_groups(sig, batch_format="pandas")
+        .groupby("shape")
+        .aggregate(Sum("n", alias_name="n_convs"))
+        .to_pandas()
+    )
+    out["n_convs"] = out["n_convs"].astype("int64")
+    out = (
+        out.sort_values(["n_convs", "shape"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["shape", "n_convs"]]
+
+
+def conv_shape_census_sql(shards_glob: str, k: int = 25) -> str:
+    return f"""
+        WITH s AS (
+            SELECT conv_id,
+                   string_agg(substr(role, 1, 1), '' ORDER BY turn_idx)
+                       AS shape
+            FROM read_parquet('{shards_glob}')
+            GROUP BY conv_id
+        )
+        SELECT shape, CAST(COUNT(*) AS BIGINT) AS n_convs
+        FROM s GROUP BY shape
+        ORDER BY n_convs DESC, shape LIMIT {k}
+    """

@@ -23033,3 +23033,90 @@ def type_lifecycle_sql() -> str:
                     AS BIGINT) AS occupancy_ppm
         FROM events GROUP BY event_type ORDER BY event_type
     """
+
+
+def bracket_balance_audit(sf_dir: str) -> pd.DataFrame:
+    """Delimiter-balance audit over documents: per source, how many
+    docs have unbalanced parentheses (count '(' != ')'), unbalanced
+    square brackets, or an odd number of double quotes — the broken-
+    extraction signal (truncated text, mangled markup) a cleaning
+    pipeline gates on. Occurrence counting only (not nesting order):
+    exactly reproducible in SQL via length-difference arithmetic.
+
+    Distributed plan: vectorized pyarrow count_substring kernels per
+    batch; |sources|-row partials fold once."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+
+        def cnt(pat):
+            return pc.cast(pc.count_substring(txt, pat), pa.int64())
+
+        paren_bad = pc.cast(pc.not_equal(cnt("("), cnt(")")), pa.int64())
+        brack_bad = pc.cast(pc.not_equal(cnt("["), cnt("]")), pa.int64())
+        import numpy as np
+
+        quotes = cnt('"').to_numpy(zero_copy_only=False)
+        quote_bad = pa.array((quotes % 2 == 1).astype(np.int64))
+        one = pa.array(np.ones(len(txt), np.int64))
+        g = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "paren_bad": paren_bad,
+                    "brack_bad": brack_bad,
+                    "quote_bad": quote_bad,
+                    "one": one,
+                }
+            )
+            .group_by("source")
+            .aggregate(
+                [("paren_bad", "sum"), ("brack_bad", "sum"),
+                 ("quote_bad", "sum"), ("one", "sum")]
+            )
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs": g["one_sum"],
+                "n_paren_bad": g["paren_bad_sum"],
+                "n_bracket_bad": g["brack_bad_sum"],
+                "n_quote_odd": g["quote_bad_sum"],
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_paren_bad", alias_name="n_paren_bad"),
+            Sum("n_bracket_bad", alias_name="n_bracket_bad"),
+            Sum("n_quote_odd", alias_name="n_quote_odd"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "source":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def bracket_balance_audit_sql() -> str:
+    def n(ch):
+        return f"(length(text) - length(replace(text, '{ch}', '')))"
+
+    return f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN {n('(')} <> {n(')')} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_paren_bad,
+               CAST(SUM(CASE WHEN {n('[')} <> {n(']')} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bracket_bad,
+               CAST(SUM(CASE WHEN {n('"')} % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quote_odd
+        FROM documents GROUP BY source ORDER BY source
+    """
