@@ -1510,6 +1510,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bracket_balance_audit": rel.bracket_balance_audit,
         # dialogue role-shape census
         "conv_shape_census": _q_conv(cv.conv_shape_census),
+        # calendar-aware weekday-peer extremes
+        "weekday_extremes": rel.weekday_extremes,
+        # first-vs-last order power-of-two growth bands
+        "customer_growth_bands": rel.customer_growth_bands,
     }
 
 
@@ -2129,6 +2133,8 @@ def oracle_sql() -> dict[str, str]:
         "type_lifecycle": rel.type_lifecycle_sql(),
         "bracket_balance_audit": rel.bracket_balance_audit_sql(),
         "conv_shape_census": cv.conv_shape_census_sql(_T2_SHARDS),
+        "weekday_extremes": rel.weekday_extremes_sql(),
+        "customer_growth_bands": rel.customer_growth_bands_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -23120,3 +23120,159 @@ def bracket_balance_audit_sql() -> str:
                     AS BIGINT) AS n_quote_odd
         FROM documents GROUP BY source ORDER BY source
     """
+
+
+def weekday_extremes(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-peer extremes: each day judged against ITS OWN
+    WEEKDAY's peers (Mondays vs Mondays) — per ISO weekday, the
+    slowest and busiest day (ties -> earliest date) with counts and
+    peer-cohort size. The calendar-aware anomaly shortlist a global
+    min/max gets wrong (weekends would dominate both ends).
+
+    Distributed plan: the daily fold is bounded by the calendar; the
+    per-weekday argmin/argmax runs on that tiny series driver-side."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")), unit="day"),
+            pa.date32(),
+        )
+        g = pa.table({"day": day}).group_by("day").aggregate([("day", "count")])
+        return pa.table(
+            {"day": g["day"], "n": pc.cast(g["day_count"], pa.int64())}
+        )
+
+    daily = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    daily["day"] = pd.to_datetime(daily["day"])
+    daily["dow"] = daily["day"].dt.dayofweek.astype("int64") + 1  # isodow
+    rows = []
+    for dow, g in daily.groupby("dow", sort=True):
+        g = g.sort_values(["n", "day"])
+        lo = g.iloc[0]
+        g2 = g.sort_values(["n", "day"], ascending=[False, True])
+        hi = g2.iloc[0]
+        rows.append(
+            {
+                "dow": int(dow),
+                "n_peers": int(len(g)),
+                "min_day": lo["day"],
+                "min_n": int(lo["n"]),
+                "max_day": hi["day"],
+                "max_n": int(hi["n"]),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("dow", "n_peers", "min_n", "max_n"):
+        out[c] = out[c].astype("int64")
+    return out[["dow", "n_peers", "min_day", "min_n", "max_day", "max_n"]]
+
+
+def weekday_extremes_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ), w AS (
+            SELECT day, n, CAST(isodow(day) AS BIGINT) AS dow,
+                   ROW_NUMBER() OVER (PARTITION BY isodow(day)
+                                      ORDER BY n, day) AS rlo,
+                   ROW_NUMBER() OVER (PARTITION BY isodow(day)
+                                      ORDER BY n DESC, day) AS rhi,
+                   COUNT(*) OVER (PARTITION BY isodow(day)) AS cnt
+            FROM d
+        )
+        SELECT dow,
+               CAST(MAX(cnt) AS BIGINT) AS n_peers,
+               MAX(CASE WHEN rlo = 1 THEN day END) AS min_day,
+               CAST(MAX(CASE WHEN rlo = 1 THEN n END) AS BIGINT) AS min_n,
+               MAX(CASE WHEN rhi = 1 THEN day END) AS max_day,
+               CAST(MAX(CASE WHEN rhi = 1 THEN n END) AS BIGINT) AS max_n
+        FROM w GROUP BY dow ORDER BY dow
+    """
+
+
+def customer_growth_bands(sf_dir: str) -> pd.DataFrame:
+    """First-vs-last order growth bands: per repeat customer, the
+    ratio of their LAST order value to their FIRST (by o_orderdate,
+    o_orderkey order), folded into exact power-of-two ratio bands
+    (band = floor(log2(last*256 // first)) - 8, so band 0 = roughly
+    flat, +1 = 2-4x growth, -1 = halved) — the expansion/contraction
+    pyramid a revenue team reads. Census per band with floor-ppm share
+    of repeat customers.
+
+    Distributed plan: one groupby(custkey) shuffle emitting a single
+    (band) row per repeat customer; tiny census fold."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"band": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        us = df["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        ok = df["o_orderkey"].to_numpy()
+        order = np.lexsort((ok, us))
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype("int64")
+        first, last = int(cents[order[0]]), int(cents[order[-1]])
+        ratio_q = last * 256 // first  # fixed-point ratio, 8 frac bits
+        band = int(ratio_q).bit_length() - 1 - 8
+        return pd.DataFrame({"band": [band], "n": [1]})
+
+    out = (
+        ds.groupby("o_custkey")
+        .map_groups(per_cust, batch_format="pandas")
+        .groupby("band")
+        .aggregate(Sum("n", alias_name="n_customers"))
+        .to_pandas()
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+    total = int(out["n_customers"].sum())
+    out["band"] = out["band"].astype("int64")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["share_ppm"] = (out["n_customers"] * 1_000_000 // total).astype("int64")
+    return out[["band", "n_customers", "share_ppm"]]
+
+
+def customer_growth_bands_sql() -> str:
+    return """
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER w AS rn,
+                   COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ), fl AS (
+            SELECT o_custkey,
+                   MAX(CASE WHEN rn = 1 THEN cents END) AS first_c,
+                   MAX(CASE WHEN rn = cnt THEN cents END) AS last_c
+            FROM o WHERE cnt >= 2 GROUP BY o_custkey
+        ), b AS (
+            SELECT CAST(length(bin(last_c * 256 // first_c)) - 1 - 8
+                        AS BIGINT) AS band
+            FROM fl
+        ), c AS (
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM b GROUP BY band
+        )
+        SELECT band, n_customers,
+               CAST(n_customers * 1000000 //
+                    (SELECT SUM(n_customers) FROM c) AS BIGINT)
+                   AS share_ppm
+        FROM c ORDER BY band
+    """
