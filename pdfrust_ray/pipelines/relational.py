@@ -23227,7 +23227,10 @@ def customer_growth_bands(sf_dir: str) -> pd.DataFrame:
         order = np.lexsort((ok, us))
         cents = np.round(df["o_totalprice"].to_numpy() * 100).astype("int64")
         first, last = int(cents[order[0]]), int(cents[order[-1]])
-        ratio_q = last * 256 // first  # fixed-point ratio, 8 frac bits
+        # fixed-point ratio, 8 frac bits; clamp to >= 1 so collapses
+        # below 1/256x floor at band -8 (bin(0) would diverge between
+        # Python bit_length and DuckDB bin())
+        ratio_q = max(last * 256 // first, 1)
         band = int(ratio_q).bit_length() - 1 - 8
         return pd.DataFrame({"band": [band], "n": [1]})
 
@@ -23263,8 +23266,8 @@ def customer_growth_bands_sql() -> str:
                    MAX(CASE WHEN rn = cnt THEN cents END) AS last_c
             FROM o WHERE cnt >= 2 GROUP BY o_custkey
         ), b AS (
-            SELECT CAST(length(bin(last_c * 256 // first_c)) - 1 - 8
-                        AS BIGINT) AS band
+            SELECT CAST(length(bin(GREATEST(last_c * 256 // first_c, 1)))
+                        - 1 - 8 AS BIGINT) AS band
             FROM fl
         ), c AS (
             SELECT band, CAST(COUNT(*) AS BIGINT) AS n_customers
