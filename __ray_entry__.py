@@ -1514,6 +1514,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_extremes": rel.weekday_extremes,
         # first-vs-last order power-of-two growth bands
         "customer_growth_bands": rel.customer_growth_bands,
+        # automated join-key discovery census (exact)
+        "key_joinability_census": rel.key_joinability_census,
+        # KMV-sketch joinability estimate (scale path, no SQL)
+        "kmv_joinability_estimate": rel.kmv_joinability_estimate,
     }
 
 
@@ -2135,6 +2139,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_shape_census": cv.conv_shape_census_sql(_T2_SHARDS),
         "weekday_extremes": rel.weekday_extremes_sql(),
         "customer_growth_bands": rel.customer_growth_bands_sql(),
+        "key_joinability_census": rel.key_joinability_census_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -23279,3 +23279,153 @@ def customer_growth_bands_sql() -> str:
                    AS share_ppm
         FROM c ORDER BY band
     """
+
+
+_JOINKEY_COLS = (
+    ("customer", "c_custkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def key_joinability_census(sf_dir: str) -> pd.DataFrame:
+    """Automated join-key discovery (the Aurum/Valentine primitive):
+    for every pair of candidate key columns across tables, the exact
+    distinct-domain sizes, intersection size, Jaccard (floor ppm) and
+    containment of A in B (floor ppm) — high containment with low
+    Jaccard is the FK signature, near-1 Jaccard the same-entity
+    signature. Candidates here: customer.c_custkey, orders.o_custkey,
+    events.user_id.
+
+    Distributed plan: each column folds to its distinct-key set with
+    per-batch unique partials (at 100-TB scale the KMV sibling
+    kmv_joinability_estimate replaces the exact fold — same output
+    schema, bounded error); the pairwise set algebra runs on the
+    folded key sets."""
+    import numpy as np
+
+    sets = {}
+    for table, col in _JOINKEY_COLS:
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+        def prep(t: pa.Table, *, col=col) -> pa.Table:
+            u = pc.unique(t[col])
+            return pa.table({"k": pc.cast(u, pa.int64())})
+
+        folded = (
+            ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Count(alias_name="c"))
+            .to_pandas()
+        )
+        sets[f"{table}.{col}"] = np.sort(folded["k"].to_numpy().astype("int64"))
+
+    names = sorted(sets)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            A, B = sets[a], sets[b]
+            inter = int(len(np.intersect1d(A, B, assume_unique=True)))
+            union = len(A) + len(B) - inter
+            rows.append(
+                {
+                    "col_a": a,
+                    "col_b": b,
+                    "n_a": len(A),
+                    "n_b": len(B),
+                    "n_inter": inter,
+                    "jaccard_ppm": inter * 1_000_000 // union if union else 0,
+                    "containment_a_ppm": inter * 1_000_000 // len(A) if len(A) else 0,
+                }
+            )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c not in ("col_a", "col_b"):
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def key_joinability_census_sql() -> str:
+    cols = [f"{t}.{c}" for t, c in _JOINKEY_COLS]
+    selects = {
+        "customer.c_custkey": "SELECT DISTINCT c_custkey AS k FROM customer",
+        "orders.o_custkey": "SELECT DISTINCT o_custkey AS k FROM orders",
+        "events.user_id": "SELECT DISTINCT user_id AS k FROM events",
+    }
+    pair_sql = []
+    names = sorted(cols)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            pair_sql.append(f"""
+        SELECT '{a}' AS col_a, '{b}' AS col_b,
+               CAST((SELECT COUNT(*) FROM ({selects[a]})) AS BIGINT) AS n_a,
+               CAST((SELECT COUNT(*) FROM ({selects[b]})) AS BIGINT) AS n_b,
+               CAST((SELECT COUNT(*) FROM ({selects[a]})
+                     WHERE k IN (SELECT k FROM ({selects[b]}))) AS BIGINT)
+                   AS n_inter""")
+    union = " UNION ALL ".join(pair_sql)
+    return f"""
+        WITH pairs AS ({union})
+        SELECT col_a, col_b, n_a, n_b, n_inter,
+               CAST(CASE WHEN n_a + n_b - n_inter > 0
+                         THEN n_inter * 1000000 // (n_a + n_b - n_inter)
+                         ELSE 0 END AS BIGINT) AS jaccard_ppm,
+               CAST(CASE WHEN n_a > 0
+                         THEN n_inter * 1000000 // n_a
+                         ELSE 0 END AS BIGINT) AS containment_a_ppm
+        FROM pairs ORDER BY col_a, col_b
+    """
+
+
+def kmv_joinability_estimate(sf_dir: str, k: int = 256) -> pd.DataFrame:
+    """The 100-TB scale path for key_joinability_census: each column
+    folds to a mergeable KMV (bottom-k) sketch instead of its full
+    distinct set, and the pairwise Jaccard is estimated from the
+    sketches' shared bottom-k region (|A∩B on the union's bottom-k| /
+    k) — constant memory per column regardless of key cardinality.
+    Output mirrors the exact census plus the estimate error vs exact
+    at fixture scale (pinned <= tolerance in tests).
+
+    No SQL oracle: the sketch is sampling-based; the recall/error test
+    against the exact census is the evidence."""
+    import numpy as np
+
+    from pdfrust_ray.stages.sketches import _kmv_merge, _kmv_partial, _splitmix64
+
+    sketches = {}
+    for table, col in _JOINKEY_COLS:
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+        def prep(t: pa.Table, *, col=col) -> pa.Table:
+            ids = pc.cast(t[col], pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({"blob": pa.array([_kmv_partial(ids, k)], pa.binary())})
+
+        blobs = ds.map_batches(prep, batch_format="pyarrow").to_pandas()["blob"]
+        sketches[f"{table}.{col}"] = _kmv_merge(list(blobs), k)
+
+    exact = key_joinability_census(sf_dir).set_index(["col_a", "col_b"])
+    names = sorted(sketches)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            A, B = sketches[a], sketches[b]
+            u = np.unique(np.concatenate([A, B]))[:k]
+            # estimate: fraction of the union's bottom-k present in both
+            both = np.intersect1d(A, B, assume_unique=True)
+            inter_in_u = int(np.isin(both, u, assume_unique=True).sum())
+            est_ppm = inter_in_u * 1_000_000 // max(len(u), 1)
+            ex = exact.loc[(a, b)]
+            rows.append(
+                {
+                    "col_a": a,
+                    "col_b": b,
+                    "est_jaccard_ppm": est_ppm,
+                    "exact_jaccard_ppm": int(ex["jaccard_ppm"]),
+                    "abs_err_ppm": abs(est_ppm - int(ex["jaccard_ppm"])),
+                }
+            )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c not in ("col_a", "col_b"):
+            out[c] = out[c].astype("int64")
+    return out
