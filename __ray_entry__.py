@@ -1518,6 +1518,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_joinability_census": rel.key_joinability_census,
         # KMV-sketch joinability estimate (scale path, no SQL)
         "kmv_joinability_estimate": rel.kmv_joinability_estimate,
+        # per-brand integer least-squares price-size slope
+        "brand_price_size_regression": rel.brand_price_size_regression,
+        # bot-regularity pyramid: top-weekday concentration bands
+        "user_dow_concentration_bands": rel.user_dow_concentration_bands,
     }
 
 
@@ -2140,6 +2144,8 @@ def oracle_sql() -> dict[str, str]:
         "weekday_extremes": rel.weekday_extremes_sql(),
         "customer_growth_bands": rel.customer_growth_bands_sql(),
         "key_joinability_census": rel.key_joinability_census_sql(),
+        "brand_price_size_regression": rel.brand_price_size_regression_sql(),
+        "user_dow_concentration_bands": rel.user_dow_concentration_bands_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

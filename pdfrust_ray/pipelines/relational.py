@@ -23429,3 +23429,168 @@ def kmv_joinability_estimate(sf_dir: str, k: int = 256) -> pd.DataFrame:
         if c not in ("col_a", "col_b"):
             out[c] = out[c].astype("int64")
     return out
+
+
+def brand_price_size_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-brand price-vs-size least squares as EXACT integer
+    sufficient statistics: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+    kept as numerator/denominator (cents x size units), plus the
+    floor milli-cents-per-size-unit slope — does a bigger part cost
+    more, per brand, with no float in the pipeline.
+
+    Distributed plan: per-batch partial (brand -> n, Sx, Sy, Sxy,
+    Sxx) bound the exchange at |brands| rows per block; the slope
+    arithmetic runs on the folded table."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["p_size"], pa.int64())
+        y = _cents(t["p_retailprice"])
+        xy = pc.multiply(x, y)
+        xx = pc.multiply(x, x)
+        one = pa.array(np.ones(len(x), np.int64))
+        g = (
+            pa.table(
+                {"p_brand": t["p_brand"], "n": one, "sx": x, "sy": y,
+                 "sxy": xy, "sxx": xx}
+            )
+            .group_by("p_brand")
+            .aggregate([("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                        ("sxy", "sum"), ("sxx", "sum")])
+        )
+        return pa.table(
+            {
+                "p_brand": g["p_brand"],
+                "n": g["n_sum"], "sx": g["sx_sum"], "sy": g["sy_sum"],
+                "sxy": g["sxy_sum"], "sxx": g["sxx_sum"],
+            }
+        )
+
+    f = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+    for c in ("n", "sx", "sy", "sxy", "sxx"):
+        f[c] = f[c].astype("int64")
+    f["slope_num"] = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+    f["slope_den"] = f["n"] * f["sxx"] - f["sx"] * f["sx"]
+    f["slope_mcents_per_unit"] = (
+        f["slope_num"] * 1000 // f["slope_den"]
+    ).astype("int64")
+    return f[["p_brand", "n", "slope_num", "slope_den", "slope_mcents_per_unit"]]
+
+
+def brand_price_size_regression_sql() -> str:
+    return """
+        WITH s AS (
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(p_size) AS BIGINT) AS sx,
+                   CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT))
+                        AS BIGINT) AS sy,
+                   CAST(SUM(p_size * CAST(ROUND(p_retailprice * 100)
+                                          AS BIGINT)) AS BIGINT) AS sxy,
+                   CAST(SUM(CAST(p_size AS BIGINT) * p_size) AS BIGINT)
+                       AS sxx
+            FROM part GROUP BY 1
+        )
+        SELECT p_brand, n,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               -- explicit FLOOR division (DuckDB // truncates toward
+               -- zero on negatives; Python // floors): (a - mod) / b
+               CAST(((n * sxy - sx * sy) * 1000
+                     - ((((n * sxy - sx * sy) * 1000)
+                         % (n * sxx - sx * sx)
+                         + (n * sxx - sx * sx))
+                        % (n * sxx - sx * sx)))
+                    // (n * sxx - sx * sx) AS BIGINT)
+                   AS slope_mcents_per_unit
+        FROM s ORDER BY p_brand
+    """
+
+
+def user_dow_concentration_bands(sf_dir: str) -> pd.DataFrame:
+    """Schedule-regularity pyramid: per user, the floor-ppm share of
+    their events falling on their SINGLE busiest weekday (ties ->
+    smallest ISO dow), folded into ppm-decile bands — humans spread
+    across the week (~140-300k ppm), cron jobs and bots pin one
+    weekday (toward 1M ppm). Census per band of 100k ppm.
+
+    Distributed plan: per-batch (user, dow) partials, one
+    groupby(user, dow) fold, per-user argmax on a 7-row group, then a
+    10-row band census."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        dow = pc.cast(
+            pc.add(pc.day_of_week(pc.cast(t["ts"], pa.timestamp("us"))), 1),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"user_id": t["user_id"], "dow": dow})
+            .group_by(["user_id", "dow"])
+            .aggregate([("dow", "count")])
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "dow": g["dow"],
+                "n": pc.cast(g["dow_count"], pa.int64()),
+            }
+        )
+
+    grid = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "dow"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tot = grid.groupby("user_id")["n"].transform("sum")
+    grid["total"] = tot
+    grid = grid.sort_values(["user_id", "n", "dow"], ascending=[True, False, True])
+    top = grid.groupby("user_id", sort=True).first().reset_index()
+    top["conc_ppm"] = (top["n"] * 1_000_000 // top["total"]).astype("int64")
+    top["band"] = (top["conc_ppm"] // 100_000).clip(upper=9).astype("int64")
+    out = (
+        top.groupby("band").size().rename("n_users").reset_index()
+    )
+    out["band"] = out["band"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    out["band_lo_ppm"] = (out["band"] * 100_000).astype("int64")
+    return out[["band", "band_lo_ppm", "n_users"]]
+
+
+def user_dow_concentration_bands_sql() -> str:
+    return """
+        WITH g AS (
+            SELECT user_id, CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), r AS (
+            SELECT user_id, n,
+                   SUM(n) OVER (PARTITION BY user_id) AS total,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY n DESC, dow) AS rk
+            FROM g
+        ), conc AS (
+            SELECT LEAST(n * 1000000 // total // 100000, 9) AS band
+            FROM r WHERE rk = 1
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(band * 100000 AS BIGINT) AS band_lo_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM conc GROUP BY band ORDER BY band
+    """
