@@ -1522,6 +1522,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_price_size_regression": rel.brand_price_size_regression,
         # bot-regularity pyramid: top-weekday concentration bands
         "user_dow_concentration_bands": rel.user_dow_concentration_bands,
+        # in-order subsequence motif prevalence over dialogue shapes
+        "conv_motif_census": _q_conv(cv.conv_motif_census),
+        # cross-table order-status vs return-mix consistency
+        "order_status_return_mix": rel.order_status_return_mix,
     }
 
 
@@ -2146,6 +2150,8 @@ def oracle_sql() -> dict[str, str]:
         "key_joinability_census": rel.key_joinability_census_sql(),
         "brand_price_size_regression": rel.brand_price_size_regression_sql(),
         "user_dow_concentration_bands": rel.user_dow_concentration_bands_sql(),
+        "conv_motif_census": cv.conv_motif_census_sql(_T2_SHARDS),
+        "order_status_return_mix": rel.order_status_return_mix_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -3043,3 +3043,83 @@ def conv_shape_census_sql(shards_glob: str, k: int = 25) -> str:
         FROM s GROUP BY shape
         ORDER BY n_convs DESC, shape LIMIT {k}
     """
+
+
+_MOTIFS = (
+    ("uat", "u.*a.*t"),      # user -> assistant -> tool somewhere
+    ("uta", "u.*t.*a"),      # tool result flows back to assistant
+    ("aa", "a.*a"),          # two assistant turns (multi-reply)
+    ("tt", "t.*t"),          # two tool calls
+    ("tat", "t.*a.*t"),      # tool -> assistant -> tool loop
+)
+
+
+def conv_motif_census(corpus_dir: str) -> pd.DataFrame:
+    """Subsequence-motif census over dialogue shapes: for each motif
+    (an IN-ORDER but not necessarily adjacent role pattern, e.g.
+    'u.*a.*t' = the agent eventually called a tool after replying),
+    how many conversations contain it — the agent-behavior prevalence
+    table that adjacency bigrams (role_transitions) cannot see.
+    Matching is the same RE2 regex on both sides over the role-initial
+    shape string.
+
+    Distributed plan: one groupby(conv_id) builds shape signatures;
+    motif matching is vectorized regex over the |convs|-row signature
+    table; the census folds to |motifs| rows."""
+    import re as _re
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role"])
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("turn_idx", kind="stable")
+        return pd.DataFrame({"shape": ["".join(r[0] for r in df["role"])]})
+
+    shapes = (
+        ds.groupby("conv_id")
+        .map_groups(sig, batch_format="pandas")
+    )
+
+    def match(t: pa.Table) -> pa.Table:
+        names, ns = [], []
+        shapes_list = t["shape"].to_pylist()
+        for name, pat in _MOTIFS:
+            rx = _re.compile(pat)
+            names.append(name)
+            ns.append(sum(1 for s in shapes_list if rx.search(s)))
+        return pa.table(
+            {"motif": pa.array(names), "n_convs": pa.array(ns, pa.int64())}
+        )
+
+    out = (
+        shapes.map_batches(match, batch_format="pyarrow")
+        .groupby("motif")
+        .aggregate(Sum("n_convs", alias_name="n_convs"))
+        .to_pandas()
+        .sort_values("motif")
+        .reset_index(drop=True)
+    )
+    out["n_convs"] = out["n_convs"].astype("int64")
+    return out[["motif", "n_convs"]]
+
+
+def conv_motif_census_sql(shards_glob: str) -> str:
+    cases = "\n".join(
+        f"""
+        SELECT '{name}' AS motif,
+               CAST(COUNT(*) FILTER (
+                   WHERE regexp_matches(shape, '{pat}')) AS BIGINT)
+                   AS n_convs
+        FROM s"""
+        + (" UNION ALL" if i < len(_MOTIFS) - 1 else "")
+        for i, (name, pat) in enumerate(_MOTIFS)
+    )
+    return f"""
+        WITH s AS (
+            SELECT conv_id,
+                   string_agg(substr(role, 1, 1), '' ORDER BY turn_idx)
+                       AS shape
+            FROM read_parquet('{shards_glob}')
+            GROUP BY conv_id
+        )
+        SELECT * FROM ({cases}) ORDER BY motif
+    """

@@ -23594,3 +23594,114 @@ def user_dow_concentration_bands_sql() -> str:
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM conc GROUP BY band ORDER BY band
     """
+
+
+def order_status_return_mix(sf_dir: str) -> pd.DataFrame:
+    """Cross-table state-consistency audit: per order status, how many
+    orders had ALL / SOME / NONE of their lineitems returned
+    (l_returnflag = 'R') — if statuses encode fulfilment state, the
+    mix exposes whether the two tables actually agree (an 'F' order
+    with every line returned is a contradiction worth a ticket).
+
+    Distributed plan: lineitem folds to per-order (n_lines, n_returned)
+    with per-batch partials; the orders-side status projection
+    broadcasts once (ray.put) and the verdict census folds to
+    |statuses| x 3 rows."""
+    status = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    sref = ray.put(status)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ret = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "ret": ret,
+                    "one": pa.array(np.ones(len(ret), np.int64)),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("ret", "sum"), ("one", "sum")])
+        )
+        return pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "n_ret": g["ret_sum"],
+                "n_lines": g["one_sum"],
+            }
+        )
+
+    per_order = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("n_ret", alias_name="n_ret"), Sum("n_lines", alias_name="n_lines"))
+    )
+
+    def verdict(t: pa.Table, *, sref) -> pa.Table:
+        status = ray.get(sref)
+        j = t.join(status, keys="l_orderkey", right_keys="o_orderkey")
+        import numpy as np
+
+        n_ret = j["n_ret"].to_numpy(zero_copy_only=False)
+        n_lines = j["n_lines"].to_numpy(zero_copy_only=False)
+        mix = np.where(n_ret == 0, "none", np.where(n_ret == n_lines, "all", "some"))
+        g = (
+            pa.table({"o_orderstatus": j["o_orderstatus"], "return_mix": pa.array(mix.tolist())})
+            .group_by(["o_orderstatus", "return_mix"])
+            .aggregate([("return_mix", "count")])
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "return_mix": g["return_mix"],
+                "n": pc.cast(g["return_mix_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        per_order.map_batches(verdict, batch_format="pyarrow", fn_kwargs={"sref": sref})
+        .groupby(["o_orderstatus", "return_mix"])
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+        .sort_values(["o_orderstatus", "return_mix"])
+        .reset_index(drop=True)
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    tot = out.groupby("o_orderstatus")["n_orders"].transform("sum")
+    out["status_share_ppm"] = (out["n_orders"] * 1_000_000 // tot).astype("int64")
+    return out[["o_orderstatus", "return_mix", "n_orders", "status_share_ppm"]]
+
+
+def order_status_return_mix_sql() -> str:
+    return """
+        WITH per AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ret,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem GROUP BY 1
+        ), v AS (
+            SELECT o.o_orderstatus,
+                   CASE WHEN p.n_ret = 0 THEN 'none'
+                        WHEN p.n_ret = p.n_lines THEN 'all'
+                        ELSE 'some' END AS return_mix
+            FROM per p JOIN orders o ON p.l_orderkey = o.o_orderkey
+        ), c AS (
+            SELECT o_orderstatus, return_mix,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM v GROUP BY 1, 2
+        )
+        SELECT o_orderstatus, return_mix, n_orders,
+               CAST(n_orders * 1000000 //
+                    SUM(n_orders) OVER (PARTITION BY o_orderstatus)
+                    AS BIGINT) AS status_share_ppm
+        FROM c ORDER BY o_orderstatus, return_mix
+    """
