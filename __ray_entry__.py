@@ -1526,6 +1526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_motif_census": _q_conv(cv.conv_motif_census),
         # cross-table order-status vs return-mix consistency
         "order_status_return_mix": rel.order_status_return_mix,
+        # Hill tail-index heavy-tail detector (nano-nat quantized)
+        "value_tail_hill": rel.value_tail_hill,
     }
 
 
@@ -2152,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         "user_dow_concentration_bands": rel.user_dow_concentration_bands_sql(),
         "conv_motif_census": cv.conv_motif_census_sql(_T2_SHARDS),
         "order_status_return_mix": rel.order_status_return_mix_sql(),
+        "value_tail_hill": rel.value_tail_hill_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

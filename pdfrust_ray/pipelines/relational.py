@@ -23705,3 +23705,105 @@ def order_status_return_mix_sql() -> str:
                     AS BIGINT) AS status_share_ppm
         FROM c ORDER BY o_orderstatus, return_mix
     """
+
+
+def value_tail_hill(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """Heavy-tail detector: the Hill tail-index estimator over each
+    event type's top-k values — alpha_hat = k / sum(ln(x_i / x_k)),
+    where x_1..x_k are the k largest cents and x_k the threshold.
+    Small alpha (<2) means the tail is so heavy that means are
+    unstable and clipping/winsorization is mandatory before training
+    on the value column. Per-term ln is quantized to nano-nats BEFORE
+    summation (the bm25/bigram-LM precedent: one libm call per term,
+    identical in DuckDB), so the sum and the floor-milli alpha are
+    bit-stable integers.
+
+    Distributed plan: per-batch local top-k per type caps the exchange
+    at k x |types| rows per block; the Hill arithmetic runs on the
+    folded top-k."""
+    import math
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_pylist()
+        df = _pd.DataFrame({"event_type": et, "cents": cents})
+        out = (
+            df.sort_values(["event_type", "cents"], ascending=[True, False])
+            .groupby("event_type")
+            .head(k)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    folded = (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(
+            lambda df: df.sort_values("cents", ascending=False).head(k),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    rows = []
+    for et, g in folded.groupby("event_type", sort=True):
+        v = np.sort(g["cents"].to_numpy())[::-1][:k]
+        xk = int(v[-1])
+        # per-term nano-nat quantized log ratios (order-free int sum)
+        q = [int(math.floor(math.log(int(x) / xk) * 1e9 + 0.5)) for x in v[:-1]]
+        s = sum(q)
+        alpha_milli = (len(v) - 1) * 1_000_000_000 * 1000 // s if s > 0 else 0
+        rows.append(
+            {
+                "event_type": et,
+                "k": len(v),
+                "x_k_cents": xk,
+                "sum_lnratio_nano": s,
+                "alpha_milli": alpha_milli,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c != "event_type":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def value_tail_hill_sql(k: int = 64) -> str:
+    return f"""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC,
+                                event_id) AS rk
+            FROM events
+        ), top AS (
+            SELECT event_type, cents, rk FROM v WHERE rk <= {k}
+        ), thr AS (
+            SELECT event_type, MIN(cents) AS xk,
+                   CAST(COUNT(*) AS BIGINT) AS kk
+            FROM top GROUP BY 1
+        ), terms AS (
+            SELECT t.event_type,
+                   CAST(FLOOR(ln(CAST(t.cents AS DOUBLE) / th.xk) * 1e9
+                              + 0.5) AS BIGINT) AS q
+            FROM top t JOIN thr th USING (event_type)
+            WHERE t.rk < th.kk
+        )
+        SELECT th.event_type,
+               th.kk AS k,
+               CAST(th.xk AS BIGINT) AS x_k_cents,
+               CAST(SUM(te.q) AS BIGINT) AS sum_lnratio_nano,
+               CAST(CASE WHEN SUM(te.q) > 0 THEN
+                   (th.kk - 1) * 1000000000 * 1000 // SUM(te.q)
+                   ELSE 0 END AS BIGINT) AS alpha_milli
+        FROM thr th JOIN terms te USING (event_type)
+        GROUP BY th.event_type, th.kk, th.xk
+        ORDER BY th.event_type
+    """
