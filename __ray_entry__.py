@@ -1528,6 +1528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_status_return_mix": rel.order_status_return_mix,
         # Hill tail-index heavy-tail detector (nano-nat quantized)
         "value_tail_hill": rel.value_tail_hill,
+        # SFT-mix turn-format classifier census
+        "turn_format_census": _q_conv(cv.turn_format_census),
     }
 
 
@@ -2155,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_motif_census": cv.conv_motif_census_sql(_T2_SHARDS),
         "order_status_return_mix": rel.order_status_return_mix_sql(),
         "value_tail_hill": rel.value_tail_hill_sql(),
+        "turn_format_census": cv.turn_format_census_sql(_T2_SHARDS),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -3123,3 +3123,78 @@ def conv_motif_census_sql(shards_glob: str) -> str:
         )
         SELECT * FROM ({cases}) ORDER BY motif
     """
+
+
+def turn_format_census(corpus_dir: str) -> pd.DataFrame:
+    """Turn-format composition census: every turn classified by a
+    deterministic priority cascade — 'code' (contains a ``` fence),
+    'list' (a line starting with '- '), 'question' (contains '?'),
+    else 'prose' — per (role, format): count and floor-ppm share
+    within the role. The SFT-mix view: how much of the assistant
+    output is code vs lists vs prose, and how interrogative users are.
+    Substring semantics are identical on both sides (no regex).
+
+    Distributed plan: vectorized match_substring kernels per batch;
+    |roles x 4| partials fold once."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["role", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        has_code = pc.match_substring(txt, "```").to_numpy(zero_copy_only=False)
+        starts_list = pc.starts_with(txt, "- ").to_numpy(zero_copy_only=False)
+        has_list = (
+            pc.match_substring(txt, "\n- ").to_numpy(zero_copy_only=False)
+            | starts_list
+        )
+        has_q = pc.match_substring(txt, "?").to_numpy(zero_copy_only=False)
+        fmt = np.where(
+            has_code, "code", np.where(has_list, "list", np.where(has_q, "question", "prose"))
+        )
+        g = (
+            pa.table({"role": t["role"], "format": pa.array(fmt.tolist())})
+            .group_by(["role", "format"])
+            .aggregate([("format", "count")])
+        )
+        return pa.table(
+            {
+                "role": g["role"],
+                "format": g["format"],
+                "n": pc.cast(g["format_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["role", "format"])
+        .aggregate(Sum("n", alias_name="n_turns"))
+        .to_pandas()
+        .sort_values(["role", "format"])
+        .reset_index(drop=True)
+    )
+    out["n_turns"] = out["n_turns"].astype("int64")
+    tot = out.groupby("role")["n_turns"].transform("sum")
+    out["role_share_ppm"] = (out["n_turns"] * 1_000_000 // tot).astype("int64")
+    return out[["role", "format", "n_turns", "role_share_ppm"]]
+
+
+def turn_format_census_sql(shards_glob: str) -> str:
+    return f"""
+        WITH c AS (
+            SELECT role,
+                   CASE WHEN contains(text, '```') THEN 'code'
+                        WHEN contains(text, chr(10) || '- ')
+                             OR starts_with(text, '- ') THEN 'list'
+                        WHEN contains(text, '?') THEN 'question'
+                        ELSE 'prose' END AS format,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns
+            FROM read_parquet('{shards_glob}')
+            GROUP BY 1, 2
+        )
+        SELECT role, format, n_turns,
+               CAST(n_turns * 1000000 //
+                    SUM(n_turns) OVER (PARTITION BY role) AS BIGINT)
+                   AS role_share_ppm
+        FROM c ORDER BY role, format
+    """
