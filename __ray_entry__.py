@@ -353,6 +353,14 @@ def _q_turn_invisible_audit(sf_dir: str):
     return turn_invisible_chars_audit(ensure_invisible_fixture())
 
 
+def _q_media_header_audit(sf_dir: str):
+    """Decode-vs-metadata audit over the deterministic media corpus
+    (real PNG/GIF/JPEG/PPM + video-container decodes)."""
+    from pdfrust_ray.stages.multimodal import media_header_audit
+
+    return media_header_audit(sf_dir)
+
+
 def _q_skeleton_token_collisions(sf_dir: str):
     """Confusable-skeleton collision census over the homoglyph fixture
     (planted mixed-script tokens guarantee >=2-form collisions)."""
@@ -1530,6 +1538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_tail_hill": rel.value_tail_hill,
         # SFT-mix turn-format classifier census
         "turn_format_census": _q_conv(cv.turn_format_census),
+        # real-codec decode-vs-metadata dimension audit
+        "media_header_audit": _q_media_header_audit,
     }
 
 
@@ -1541,6 +1551,7 @@ def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import quality as qual
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.stages import dedup as dedup_mod
+    from pdfrust_ray.stages import multimodal as mm_mod
     from pdfrust_ray.stages import similarity as similarity_mod
     from pdfrust_ray.stages import sketches
     from pdfrust_ray.pipelines import textops
@@ -2158,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
         "order_status_return_mix": rel.order_status_return_mix_sql(),
         "value_tail_hill": rel.value_tail_hill_sql(),
         "turn_format_census": cv.turn_format_census_sql(_T2_SHARDS),
+        "media_header_audit": mm_mod.media_header_audit_sql(),
         "html_tag_census": cv.html_tag_census_sql(_T2_SHARDS),
         "html_href_census": cv.html_href_census_sql(_T2_SHARDS),
         "extracted_dup_census": f"""

@@ -912,3 +912,132 @@ def audio_pitch_estimate(media_table: "pa.Table | None" = None) -> pd.DataFrame:
         .sort_values("media_id")
         .reset_index(drop=True)
     )
+
+
+_MEDIA_AUDIT_DIR = "/tmp/pdfrust_ray_fixtures/media_audit"
+
+
+def ensure_media_parquet(n: int = 64, seed: int = 42) -> str:
+    """Persist the deterministic media corpus so SQL oracles can read
+    its metadata columns while the engine decodes the payload bytes."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_MEDIA_AUDIT_DIR, "media.parquet")
+    marker = os.path.join(_MEDIA_AUDIT_DIR, "_COMPLETE.json")
+    if os.path.exists(marker) and os.path.exists(path):
+        return path
+    os.makedirs(_MEDIA_AUDIT_DIR, exist_ok=True)
+    pq.write_table(synthesize_media_table(n=n, seed=seed), path)
+    with open(marker, "w") as f:
+        json.dump({"n": n, "seed": seed}, f)
+    return path
+
+
+def media_header_audit(sf_dir: str | None = None) -> pd.DataFrame:
+    """Decode-vs-metadata dimension audit: every image payload is
+    ACTUALLY decoded (PNG/GIF/JPEG/PPM through the real pure-numpy
+    codecs) and each video's first frame sampled; the decoded (width,
+    height) is compared against the table's metadata columns. Output
+    per kind: payload count, dimension matches, mismatches, and decode
+    errors — the container-corruption gate a media-training pipeline
+    runs before spending GPU-decode time downstream.
+
+    Distributed plan: decoding runs in the PixelDecoder actor-pool
+    pattern (tiny batches, binary payloads dominate memory); the
+    3-kind census folds from per-batch partials. The SQL twin reads
+    the same engine-written parquet's metadata, so the MATCH counts
+    are exactly the rows where decode agrees — pinned by the oracle
+    asserting every image/video matches on the uncorrupted corpus."""
+    import pandas as pd  # noqa: F401 - used via to_pandas result ops
+
+    path = ensure_media_parquet()
+    ds = rd.read_parquet(path, columns=["media_id", "kind", "payload", "width", "height"])
+
+    def audit(t: pa.Table) -> pa.Table:
+        kinds = t["kind"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        widths = t["width"].to_pylist()
+        heights = t["height"].to_pylist()
+        rows = {}
+        for kind, payload, w, h in zip(kinds, payloads, widths, heights):
+            key = kind
+            cell = rows.setdefault(key, {"n": 0, "match": 0, "mismatch": 0, "err": 0})
+            cell["n"] += 1
+            if kind == "audio":
+                continue  # dimension audit applies to visual kinds
+            try:
+                if kind == "image":
+                    pix = sniff_decode_image(bytes(payload))
+                else:  # video: first frame
+                    frame = next(iter_media_frames(bytes(payload)))
+                    pix = frame
+                got_h, got_w = pix.shape[0], pix.shape[1]
+                if got_w == w and got_h == h:
+                    cell["match"] += 1
+                else:
+                    cell["mismatch"] += 1
+            except Exception:
+                cell["err"] += 1
+        return pa.table(
+            {
+                "kind": pa.array(list(rows)),
+                "n": pa.array([rows[k]["n"] for k in rows], pa.int64()),
+                "n_dim_match": pa.array([rows[k]["match"] for k in rows], pa.int64()),
+                "n_dim_mismatch": pa.array(
+                    [rows[k]["mismatch"] for k in rows], pa.int64()
+                ),
+                "n_decode_err": pa.array([rows[k]["err"] for k in rows], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(audit, batch_format="pyarrow", batch_size=8)
+        .groupby("kind")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_dim_match", alias_name="n_dim_match"),
+            Sum("n_dim_mismatch", alias_name="n_dim_mismatch"),
+            Sum("n_decode_err", alias_name="n_decode_err"),
+        )
+        .to_pandas()
+        .sort_values("kind")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "kind":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def media_header_audit_sql() -> str:
+    path = ensure_media_parquet()
+    return f"""
+        SELECT kind,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN kind <> 'audio' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dim_match,
+               CAST(0 AS BIGINT) AS n_dim_mismatch,
+               CAST(0 AS BIGINT) AS n_decode_err
+        FROM read_parquet('{path}')
+        GROUP BY kind ORDER BY kind
+    """
+
+
+def iter_media_frames(payload: bytes):
+    """First-frame iterator across the video containers the corpus
+    uses (concatenated PPM, MJPEG, animated GIF)."""
+    if payload[:2] == b"P6":
+        for f in iter_ppm_frames(payload):
+            yield f
+        return
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        for f in decode_gif(payload):
+            yield f
+        return
+    for f in iter_mjpeg_frames(payload):
+        yield f
