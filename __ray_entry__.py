@@ -361,6 +361,16 @@ def _q_media_header_audit(sf_dir: str):
     return media_header_audit(sf_dir)
 
 
+def _q_audio_duration_audit(sf_dir: str):
+    """Decoded-duration audit over the audio payloads (PCM16 / mu-law /
+    IMA ADPCM / FLAC through the real pure-numpy codecs); the fmt-tag
+    codec split over binary payloads has no SQL twin — pinned by the
+    all-match pytest."""
+    from pdfrust_ray.stages.multimodal import audio_duration_audit
+
+    return audio_duration_audit(sf_dir)
+
+
 def _q_skeleton_token_collisions(sf_dir: str):
     """Confusable-skeleton collision census over the homoglyph fixture
     (planted mixed-script tokens guarantee >=2-form collisions)."""
@@ -1540,6 +1550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_format_census": _q_conv(cv.turn_format_census),
         # real-codec decode-vs-metadata dimension audit
         "media_header_audit": _q_media_header_audit,
+        # audio decode-duration audit across 4 codecs (no SQL)
+        "audio_duration_audit": _q_audio_duration_audit,
     }
 
 

@@ -1041,3 +1041,81 @@ def iter_media_frames(payload: bytes):
         return
     for f in iter_mjpeg_frames(payload):
         yield f
+
+
+def audio_duration_audit(sf_dir: str | None = None) -> pd.DataFrame:
+    """Audio sibling of media_header_audit: every audio payload is
+    ACTUALLY decoded (PCM16 / G.711 mu-law / IMA ADPCM WAV via
+    decode_wav_any, FLAC via decode_flac) and the decoded duration
+    (samples * 1000 // rate, exact integer ms) compared to the table's
+    duration_ms metadata. Census per detected codec: payloads,
+    duration matches, mismatches, decode errors.
+
+    Distributed plan: same actor-friendly tiny-batch decode shape as
+    the visual audit; 4-codec census folds from per-batch partials."""
+    import pandas as pd
+
+    path = ensure_media_parquet()
+    ds = rd.read_parquet(path, columns=["kind", "payload", "duration_ms"])
+
+    def audit(t: pa.Table) -> pa.Table:
+        rows = {}
+        for kind, payload, dur in zip(
+            t["kind"].to_pylist(), t["payload"].to_pylist(), t["duration_ms"].to_pylist()
+        ):
+            if kind != "audio":
+                continue
+            b = bytes(payload)
+            codec = "flac" if b[:4] == b"fLaC" else "wav"
+            try:
+                if codec == "flac":
+                    samples, rate = decode_flac(b)
+                else:
+                    samples, rate = decode_wav_any(b)
+                    # codec refinement from the fmt tag
+                    import struct as _st
+
+                    tag = _st.unpack("<H", b[20:22])[0]
+                    codec = {1: "pcm16", 7: "mulaw", 17: "adpcm"}.get(tag, "wav")
+                got_ms = len(samples) * 1000 // rate
+                cell = rows.setdefault(codec, {"n": 0, "match": 0, "mismatch": 0, "err": 0})
+                cell["n"] += 1
+                if got_ms == dur:
+                    cell["match"] += 1
+                else:
+                    cell["mismatch"] += 1
+            except Exception:
+                cell = rows.setdefault(codec, {"n": 0, "match": 0, "mismatch": 0, "err": 0})
+                cell["n"] += 1
+                cell["err"] += 1
+        return pa.table(
+            {
+                "codec": pa.array(list(rows)),
+                "n": pa.array([rows[k]["n"] for k in rows], pa.int64()),
+                "n_dur_match": pa.array([rows[k]["match"] for k in rows], pa.int64()),
+                "n_dur_mismatch": pa.array(
+                    [rows[k]["mismatch"] for k in rows], pa.int64()
+                ),
+                "n_decode_err": pa.array([rows[k]["err"] for k in rows], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(audit, batch_format="pyarrow", batch_size=8)
+        .groupby("codec")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_dur_match", alias_name="n_dur_match"),
+            Sum("n_dur_mismatch", alias_name="n_dur_mismatch"),
+            Sum("n_decode_err", alias_name="n_decode_err"),
+        )
+        .to_pandas()
+        .sort_values("codec")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        if c != "codec":
+            out[c] = out[c].astype("int64")
+    return out
