@@ -1037,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_cusum": rel.daily_revenue_cusum,
         # chi-square token-label association (feature selection)
         "token_lang_chi2": textops.token_lang_chi2,
+        "source_token_kl": textops.source_token_kl,
         # calendar densify + forward fill on the daily revenue grid
         "daily_gap_fill": rel.daily_gap_fill,
         # bitmap activity index via custom bitwise-OR AggregateFn
@@ -1243,6 +1244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consistent_hash_ring": dso.consistent_hash_ring,
         # posting-list varint delta encoding cost audit
         "varint_delta_size_audit": rel.varint_delta_size_audit,
+        "rice_param_audit": rel.rice_param_audit,
         # Merkle root over daily revenue partitions (replica diff primitive)
         "daily_merkle_root": rel.daily_merkle_root,
         # integer Haar wavelet decomposition of daily revenue
@@ -1952,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
         "user_inactivity_churn": rel.user_inactivity_churn_sql(),
         "daily_revenue_cusum": rel.daily_revenue_cusum_sql(),
         "token_lang_chi2": textops.token_lang_chi2_sql(),
+        "source_token_kl": textops.source_token_kl_sql(),
         "daily_gap_fill": rel.daily_gap_fill_sql(),
         "user_active_day_bitmap": rel.user_active_day_bitmap_sql(),
         "l_diversity_check": rel.l_diversity_check_sql(),
@@ -2040,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "capped_top_events": rel.capped_top_events_sql(),
         "consistent_hash_ring": dso.consistent_hash_ring_sql(),
         "varint_delta_size_audit": rel.varint_delta_size_audit_sql(),
+        "rice_param_audit": rel.rice_param_audit_sql(),
         "daily_merkle_root": rel.daily_merkle_root_sql(),
         "daily_haar_coeffs": rel.daily_haar_coeffs_sql(),
         "signup_to_purchase_clean": rel.signup_to_purchase_clean_sql(),

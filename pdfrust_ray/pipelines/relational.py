@@ -23807,3 +23807,76 @@ def value_tail_hill_sql(k: int = 64) -> str:
         GROUP BY th.event_type, th.kk, th.xk
         ORDER BY th.event_type
     """
+
+
+def rice_param_audit(sf_dir: str, max_k: int = 16) -> pd.DataFrame:
+    """Golomb-Rice parameter selection audit: per user, the OPTIMAL
+    Rice parameter k for encoding the sorted event_id posting-list
+    deltas (first id absolute, like varint_delta_size_audit) and the
+    exact bit cost at that k — cost(k) = sum(d >> k) + n*(k+1)
+    (unary quotient + stop bit + k remainder bits per delta).  This is
+    the per-partition tuning decision every posting-list / timestamp
+    compressor makes; ties break to the smallest k.  Pure int64, so
+    the LAG + k-grid SQL twin is bit-exact.
+
+    Distributed plan: user-keyed groupby; per group one diff + a
+    (max_k+1)-point vectorized cost scan — the exchange is the event
+    table keyed by user, the k-grid never leaves the worker."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id"])
+
+    ks = np.arange(max_k + 1, dtype=np.int64)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["event_id"].to_numpy(np.int64))
+        deltas = np.r_[ids[0], np.diff(ids)]
+        # [K+1, n] quotient matrix -> per-k total bits
+        costs = (deltas[None, :] >> ks[:, None]).sum(axis=1) + len(ids) * (ks + 1)
+        best = int(np.argmin(costs))  # argmin takes the FIRST min -> smallest k
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(ids)],
+                "best_k": [best],
+                "rice_bits": [int(costs[best])],
+                "plain_bits": [64 * len(ids)],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def rice_param_audit_sql(max_k: int = 16) -> str:
+    return f"""
+        WITH d AS (
+            SELECT user_id,
+                   COALESCE(event_id - LAG(event_id) OVER (
+                       PARTITION BY user_id ORDER BY event_id), event_id) AS delta
+            FROM events
+        ), grid AS (
+            SELECT CAST(range AS BIGINT) AS k FROM range(0, {max_k + 1})
+        ), cost AS (
+            SELECT d.user_id, g.k,
+                   CAST(SUM(d.delta >> g.k) + COUNT(*) * (g.k + 1) AS BIGINT) AS bits,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM d CROSS JOIN grid g
+            GROUP BY 1, 2
+        ), pick AS (
+            SELECT user_id, k, bits, n,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY bits, k) AS rn
+            FROM cost
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               n AS n_events,
+               k AS best_k,
+               bits AS rice_bits,
+               CAST(64 * n AS BIGINT) AS plain_bits
+        FROM pick WHERE rn = 1 ORDER BY user_id
+    """

@@ -1739,3 +1739,101 @@ def t5_span_mask_plan_sql() -> str:
                          ELSE 0 END AS BIGINT) AS dec_len
         FROM s ORDER BY doc_id
     """
+
+
+def source_token_kl(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus drift: KL(P_source || P_global) over the
+    unigram token distribution with add-one smoothing across the
+    GLOBAL vocabulary (so sources missing a token still pay for it).
+    p = (c_s + 1) / (T_s + V), q = (C + 1) / (G + V); each term
+    p * ln(p / q) is quantized to nano-nats BEFORE the sum (the
+    value_tail_hill / bm25 precedent: one libm call per (source,
+    token) from exact int inputs, identical in DuckDB), so kl_nano is
+    an order-free int64 the SQL twin reproduces bit-exactly.  This is
+    the standard source-vs-corpus divergence screen before mixing
+    training sources.
+
+    Distributed plan: per-batch (source, token) occurrence counts fold
+    through one vocabulary-x-source groupby (the exchange is
+    vocab-sized, never corpus-sized); the KL arithmetic runs on the
+    driver over that tiny grid."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"source": t["source"].to_pylist(), "text": t["text"].to_pylist()}
+        )
+        ex = df.assign(token=df["text"].str.split(" ")).explode("token")
+        ex = ex[ex["token"].notna() & (ex["token"] != "")]
+        g = ex.groupby(["source", "token"], as_index=False).agg(c=("text", "size"))
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    vocab = sorted(grid["token"].unique())
+    v = len(vocab)
+    c_tok = grid.groupby("token")["c"].sum().to_dict()  # global C(token)
+    g_tot = int(grid["c"].sum())
+    rows = []
+    for src, g in grid.groupby("source", sort=True):
+        t_s = int(g["c"].sum())
+        by_tok = dict(zip(g["token"], g["c"].astype(int)))
+        kl = 0
+        for tok in vocab:
+            c = by_tok.get(tok, 0)
+            p = (c + 1) / (t_s + v)
+            q = (int(c_tok[tok]) + 1) / (g_tot + v)
+            kl += int(math.floor(p * math.log(p / q) * 1e9 + 0.5))
+        rows.append(
+            {"source": src, "n_tokens": t_s, "vocab": v, "kl_nano": kl}
+        )
+    out = pd.DataFrame(rows)
+    for col in ("n_tokens", "vocab", "kl_nano"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def source_token_kl_sql() -> str:
+    return """
+        WITH ex AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), tok AS (
+            SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ex WHERE token <> '' GROUP BY 1, 2
+        ), vocab AS (
+            SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM tok GROUP BY 1
+        ), vn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                   CAST(SUM(ct) AS BIGINT) AS g
+            FROM vocab
+        ), st AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM tok GROUP BY 1
+        ), terms AS (
+            SELECT st.source, st.ts, vn.v,
+                   CAST(FLOOR(
+                       (CAST(COALESCE(tk.c, 0) + 1 AS DOUBLE) / (st.ts + vn.v))
+                       * ln((CAST(COALESCE(tk.c, 0) + 1 AS DOUBLE) / (st.ts + vn.v))
+                            / (CAST(vb.ct + 1 AS DOUBLE) / (vn.g + vn.v)))
+                       * 1e9 + 0.5) AS BIGINT) AS q
+            FROM st CROSS JOIN vn CROSS JOIN vocab vb
+            LEFT JOIN tok tk ON tk.source = st.source AND tk.token = vb.token
+        )
+        SELECT source,
+               ts AS n_tokens,
+               v AS vocab,
+               CAST(SUM(q) AS BIGINT) AS kl_nano
+        FROM terms
+        GROUP BY source, ts, v
+        ORDER BY source
+    """
