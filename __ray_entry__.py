@@ -1245,6 +1245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # posting-list varint delta encoding cost audit
         "varint_delta_size_audit": rel.varint_delta_size_audit,
         "rice_param_audit": rel.rice_param_audit,
+        "position_attribution": rel.position_attribution,
+        "daily_revenue_max_surge": rel.daily_revenue_max_surge,
         # Merkle root over daily revenue partitions (replica diff primitive)
         "daily_merkle_root": rel.daily_merkle_root,
         # integer Haar wavelet decomposition of daily revenue
@@ -2044,6 +2046,8 @@ def oracle_sql() -> dict[str, str]:
         "consistent_hash_ring": dso.consistent_hash_ring_sql(),
         "varint_delta_size_audit": rel.varint_delta_size_audit_sql(),
         "rice_param_audit": rel.rice_param_audit_sql(),
+        "position_attribution": rel.position_attribution_sql(),
+        "daily_revenue_max_surge": rel.daily_revenue_max_surge_sql(),
         "daily_merkle_root": rel.daily_merkle_root_sql(),
         "daily_haar_coeffs": rel.daily_haar_coeffs_sql(),
         "signup_to_purchase_clean": rel.signup_to_purchase_clean_sql(),

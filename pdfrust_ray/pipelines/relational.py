@@ -23880,3 +23880,237 @@ def rice_param_audit_sql(max_k: int = 16) -> str:
                CAST(64 * n AS BIGINT) AS plain_bits
         FROM pick WHERE rn = 1 ORDER BY user_id
     """
+
+
+def position_attribution(sf_dir: str, lookback_hours: int = 24) -> pd.DataFrame:
+    """U-shaped (position-based) attribution in EXACT basis points:
+    every purchase distributes 10000 bp across its prior click/view
+    touches within the lookback window — 1 touch: 10000; 2 touches:
+    5000/5000; m>=3: first 4000, last 4000, the m-2 middles share
+    2000 bp by largest-remainder (base 2000//(m-2), the first
+    2000%(m-2) middles in (ts, event_id) order get +1 bp).  Purchases
+    with no touch credit 'direct' 10000.  Credits are integers that
+    sum to exactly 10000 per purchase, so the self-join + window SQL
+    twin is bit-exact.  Touch order is (ts, event_id), strictly before
+    the purchase row, matching last_touch_attribution.
+
+    Distributed plan: one user-keyed coarse-bucket shuffle; per bucket
+    a per-user two-pointer finds each purchase's touch window and
+    numpy folds credits into a channels-sized partial — the exchange
+    after the shuffle is O(channels), never O(events)."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def shard(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        return t.append_column(
+            "_shard", pa.array((u % 64).astype(np.int32), pa.int32())
+        )
+
+    win_us = lookback_hours * 3_600_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, list[int]] = {}
+
+        def credit(ch: str, n: int, bp: int) -> None:
+            cur = out.setdefault(ch, [0, 0])
+            cur[0] += n
+            cur[1] += bp
+
+        for _, u in g.groupby("user_id", sort=False):
+            u = u.sort_values(["ts", "event_id"], kind="mergesort")
+            ts = u["ts"].astype("int64").to_numpy()
+            et = u["event_type"].to_numpy()
+            tmask = (et == "click") | (et == "view")
+            tpos = np.flatnonzero(tmask)
+            tts = ts[tpos]
+            tch = et[tpos]
+            ntouch_before = np.cumsum(tmask)  # touches at rows <= i
+            for i in np.flatnonzero(et == "purchase"):
+                hi = int(ntouch_before[i - 1]) if i > 0 else 0
+                lo = int(np.searchsorted(tts[:hi], ts[i] - win_us, side="left"))
+                m = hi - lo
+                if m == 0:
+                    credit("direct", 1, 10_000)
+                    continue
+                ch = tch[lo:hi]
+                if m == 1:
+                    bps = np.array([10_000], dtype=np.int64)
+                elif m == 2:
+                    bps = np.array([5_000, 5_000], dtype=np.int64)
+                else:
+                    base, rem = divmod(2_000, m - 2)
+                    bps = np.full(m, base, dtype=np.int64)
+                    bps[0] = bps[-1] = 4_000
+                    bps[1 : 1 + rem] += 1
+                for c in ("click", "view"):
+                    sel = ch == c
+                    k = int(sel.sum())
+                    if k:
+                        credit(c, k, int(bps[sel].sum()))
+        rows = sorted(out.items())
+        return pd.DataFrame(
+            {
+                "channel": [r[0] for r in rows],
+                "n": np.array([r[1][0] for r in rows], dtype=np.int64),
+                "bp": np.array([r[1][1] for r in rows], dtype=np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("channel", as_index=False)
+        .agg(n_credits=("n", "sum"), credit_bp=("bp", "sum"))
+        .sort_values("channel")
+        .reset_index(drop=True)
+    )
+    for c in ("n_credits", "credit_bp"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def position_attribution_sql(lookback_hours: int = 24) -> str:
+    return f"""
+        WITH p AS (
+            SELECT event_id AS pid, user_id, ts AS pts
+            FROM events WHERE event_type = 'purchase'
+        ), t AS (
+            SELECT event_id AS tid, user_id, ts AS tts, event_type AS ch
+            FROM events WHERE event_type IN ('click', 'view')
+        ), j AS (
+            SELECT p.pid, t.ch,
+                   ROW_NUMBER() OVER (PARTITION BY p.pid
+                                      ORDER BY t.tts, t.tid) AS rn,
+                   COUNT(*) OVER (PARTITION BY p.pid) AS m
+            FROM p JOIN t
+              ON t.user_id = p.user_id
+             AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))
+             AND t.tts >= p.pts - INTERVAL {lookback_hours} HOURS
+        ), credited AS (
+            SELECT ch,
+                   CASE WHEN m = 1 THEN 10000
+                        WHEN m = 2 THEN 5000
+                        WHEN rn = 1 OR rn = m THEN 4000
+                        ELSE 2000 // (m - 2)
+                             + CASE WHEN rn - 1 <= 2000 % (m - 2)
+                                    THEN 1 ELSE 0 END
+                   END AS bp
+            FROM j
+            UNION ALL
+            SELECT 'direct' AS ch, 10000 AS bp
+            FROM p WHERE NOT EXISTS (
+                SELECT 1 FROM t
+                WHERE t.user_id = p.user_id
+                  AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))
+                  AND t.tts >= p.pts - INTERVAL {lookback_hours} HOURS)
+        )
+        SELECT ch AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_credits,
+               CAST(SUM(bp) AS BIGINT) AS credit_bp
+        FROM credited GROUP BY 1 ORDER BY 1
+    """
+
+
+def daily_revenue_max_surge(sf_dir: str) -> pd.DataFrame:
+    """Maximum-surge window over daily revenue: the contiguous run of
+    days whose revenue exceeds the overall daily average by the
+    largest total — Kadane's maximum subarray over the EXACTLY
+    demeaned series b_d = cents_d * n_days - total_cents (scaling by
+    n_days keeps everything int64; no float mean).  Solved with the
+    prefix-minimum identity best_j = P_j - min(0, min_{{i<j}} P_i), so
+    the window-function SQL twin is bit-exact; ties break to the
+    earliest end day, then the earliest start (argmax/argmin take the
+    FIRST extremum).
+
+    Distributed plan: one (day) Sum exchange; the O(days) scan runs on
+    the driver over the folded daily series."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+            86_400_000_000,
+        )
+        return pa.table({"day": day, "r": _cents(t["value"])})
+
+    d = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("r", alias_name="rev"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    days = d["day"].to_numpy(np.int64)
+    cents = d["rev"].to_numpy(np.int64)
+    n = len(days)
+    tot = int(cents.sum())
+    b = cents * n - tot
+    pref0 = np.r_[np.int64(0), np.cumsum(b)]  # pref0[i] = P_i, P_0 = 0
+    m = np.minimum.accumulate(pref0)[:-1]  # M_j = min_{i<=j-1} P_i (incl. 0)
+    best = pref0[1:] - m
+    j = int(np.argmax(best))  # first max -> earliest end day
+    mj = int(m[j])
+    i = int(np.argmax(pref0[: j + 1] == mj))  # first min -> earliest start
+    return pd.DataFrame(
+        {
+            "start_day": np.array([days[i]], dtype=np.int64),
+            "end_day": np.array([days[j]], dtype=np.int64),
+            "len_days": np.array([j - i + 1], dtype=np.int64),
+            "surge_scaled": np.array([int(best[j])], dtype=np.int64),
+            "n_days": np.array([n], dtype=np.int64),
+        }
+    )
+
+
+def daily_revenue_max_surge_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                        AS BIGINT) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ), mm AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS tot
+            FROM d
+        ), p AS (
+            SELECT day,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                   SUM(c * mm.n - mm.tot) OVER (ORDER BY day) AS pf
+            FROM d CROSS JOIN mm
+        ), s AS (
+            SELECT day, rn, pf,
+                   LEAST(COALESCE(MIN(pf) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+                       0) AS mj
+            FROM p
+        ), pick AS (
+            SELECT * FROM s ORDER BY pf - mj DESC, day LIMIT 1
+        ), istart AS (
+            SELECT MIN(p.rn) AS irn FROM p, pick
+            WHERE p.pf = pick.mj AND p.rn < pick.rn
+        )
+        SELECT CASE WHEN pick.mj = 0 THEN (SELECT MIN(day) FROM d)
+                    ELSE (SELECT day FROM p WHERE rn = istart.irn + 1)
+               END AS start_day,
+               pick.day AS end_day,
+               CASE WHEN pick.mj = 0 THEN pick.rn
+                    ELSE pick.rn - istart.irn
+               END AS len_days,
+               CAST(pick.pf - pick.mj AS BIGINT) AS surge_scaled,
+               (SELECT n FROM mm) AS n_days
+        FROM pick CROSS JOIN istart
+    """
