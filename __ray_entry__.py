@@ -1246,6 +1246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "varint_delta_size_audit": rel.varint_delta_size_audit,
         "rice_param_audit": rel.rice_param_audit,
         "position_attribution": rel.position_attribution,
+        "hourly_emd_matrix": rel.hourly_emd_matrix,
+        "value_sortedness_audit": rel.value_sortedness_audit,
         "daily_revenue_max_surge": rel.daily_revenue_max_surge,
         # Merkle root over daily revenue partitions (replica diff primitive)
         "daily_merkle_root": rel.daily_merkle_root,
@@ -2047,6 +2049,8 @@ def oracle_sql() -> dict[str, str]:
         "varint_delta_size_audit": rel.varint_delta_size_audit_sql(),
         "rice_param_audit": rel.rice_param_audit_sql(),
         "position_attribution": rel.position_attribution_sql(),
+        "hourly_emd_matrix": rel.hourly_emd_matrix_sql(),
+        "value_sortedness_audit": rel.value_sortedness_audit_sql(),
         "daily_revenue_max_surge": rel.daily_revenue_max_surge_sql(),
         "daily_merkle_root": rel.daily_merkle_root_sql(),
         "daily_haar_coeffs": rel.daily_haar_coeffs_sql(),

@@ -24114,3 +24114,159 @@ def daily_revenue_max_surge_sql() -> str:
                (SELECT n FROM mm) AS n_days
         FROM pick CROSS JOIN istart
     """
+
+
+def hourly_emd_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise earth-mover (W1) distance between event types'
+    hour-of-day profiles — the workload-similarity measure a scheduler
+    uses to decide which event families can share a capacity plan.
+    With both profiles on the 24-hour grid, W1 reduces to the sum of
+    absolute CDF gaps; cross-multiplying by the other type's total
+    (|cumA_h * nB - cumB_h * nA|) keeps everything exact int64 — no
+    normalization floats.  The hour grid is DENSE (missing hours count
+    zero), matching the grid CTE in the SQL twin.
+
+    Distributed plan: one (type, hour) count exchange (24 x |types|
+    rows); the pairwise fold runs on the driver over that tiny
+    matrix."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        h = pc.divide(us, 3_600_000_000)
+        hour = pc.subtract(h, pc.multiply(pc.divide(h, 24), 24))
+        return pa.table({"event_type": t["event_type"], "hour": hour})
+
+    g = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    types = sorted(g["event_type"].unique())
+    prof = {}
+    for et in types:
+        v = np.zeros(24, dtype=np.int64)
+        sub = g[g["event_type"] == et]
+        v[sub["hour"].to_numpy(np.int64)] = sub["n"].to_numpy(np.int64)
+        prof[et] = v
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            ca, cb = np.cumsum(prof[a]), np.cumsum(prof[b])
+            na, nb = int(ca[-1]), int(cb[-1])
+            emd = int(np.abs(ca[:-1] * nb - cb[:-1] * na).sum())
+            rows.append(
+                {"type_a": a, "type_b": b, "n_a": na, "n_b": nb,
+                 "emd_scaled": emd}
+            )
+    out = pd.DataFrame(rows)
+    for c in ("n_a", "n_b", "emd_scaled"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def hourly_emd_matrix_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT event_type,
+                   CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+                        AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), grid AS (
+            SELECT t.event_type, CAST(h.range AS BIGINT) AS hour
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN range(0, 24) h
+        ), dense AS (
+            SELECT g.event_type, g.hour, COALESCE(c.n, 0) AS n
+            FROM grid g LEFT JOIN c USING (event_type, hour)
+        ), cum AS (
+            SELECT event_type, hour,
+                   SUM(n) OVER (PARTITION BY event_type ORDER BY hour) AS cn,
+                   SUM(n) OVER (PARTITION BY event_type) AS tot
+            FROM dense
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(MAX(a.tot) AS BIGINT) AS n_a,
+               CAST(MAX(b.tot) AS BIGINT) AS n_b,
+               CAST(SUM(ABS(a.cn * b.tot - b.cn * a.tot)) AS BIGINT)
+                   AS emd_scaled
+        FROM cum a JOIN cum b
+          ON a.hour = b.hour AND a.event_type < b.event_type
+        WHERE a.hour < 23
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def value_sortedness_audit(sf_dir: str) -> pd.DataFrame:
+    """Presortedness census for sort planning: per user, the number of
+    maximal ascending runs in the (ts, event_id)-ordered value stream
+    and the longest run — the statistic a TimSort-style merge planner
+    (or a clustered-index advisor) reads to predict how cheap an
+    ordered merge will be.  A run breaks where cents STRICTLY drops.
+    Pure integers; LAG + gaps-and-islands SQL twin.
+
+    Distributed plan: user-keyed groupby; per group one diff +
+    run-length encode, all numpy."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        n = len(cents)
+        breaks = np.flatnonzero(cents[1:] < cents[:-1]) + 1
+        bounds = np.r_[0, breaks, n]
+        run_lens = np.diff(bounds)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [n],
+                "n_runs": [len(run_lens)],
+                "max_run_len": [int(run_lens.max())],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def value_sortedness_audit_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), runs AS (
+            SELECT user_id,
+                   SUM(brk) OVER (PARTITION BY user_id
+                                  ORDER BY rn_) AS run_id
+            FROM (SELECT user_id, brk,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn_
+                  FROM (SELECT user_id, ts, event_id,
+                               CASE WHEN cents < LAG(cents) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id)
+                                    THEN 1 ELSE 0 END AS brk
+                        FROM e))
+        ), per_run AS (
+            SELECT user_id, run_id, CAST(COUNT(*) AS BIGINT) AS len
+            FROM runs GROUP BY 1, 2
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(SUM(len) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(MAX(len) AS BIGINT) AS max_run_len
+        FROM per_run GROUP BY 1 ORDER BY 1
+    """
