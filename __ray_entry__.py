@@ -1038,6 +1038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chi-square token-label association (feature selection)
         "token_lang_chi2": textops.token_lang_chi2,
         "source_token_kl": textops.source_token_kl,
+        "heaps_law_fit": textops.heaps_law_fit,
+        "token_adaptation_stats": textops.token_adaptation_stats,
         # calendar densify + forward fill on the daily revenue grid
         "daily_gap_fill": rel.daily_gap_fill,
         # bitmap activity index via custom bitwise-OR AggregateFn
@@ -1959,6 +1961,8 @@ def oracle_sql() -> dict[str, str]:
         "daily_revenue_cusum": rel.daily_revenue_cusum_sql(),
         "token_lang_chi2": textops.token_lang_chi2_sql(),
         "source_token_kl": textops.source_token_kl_sql(),
+        "heaps_law_fit": textops.heaps_law_fit_sql(),
+        "token_adaptation_stats": textops.token_adaptation_stats_sql(),
         "daily_gap_fill": rel.daily_gap_fill_sql(),
         "user_active_day_bitmap": rel.user_active_day_bitmap_sql(),
         "l_diversity_check": rel.l_diversity_check_sql(),

@@ -1837,3 +1837,176 @@ def source_token_kl_sql() -> str:
         GROUP BY source, ts, v
         ORDER BY source
     """
+
+
+def heaps_law_fit(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law exponent per source: the integer least-squares slope
+    of qlog(cumulative vocab) on qlog(cumulative tokens) over the
+    per-doc prefix curve (docs scanned in doc_id order), with logs
+    quantized to MICRO-nats before any arithmetic (the
+    brand_price_size_regression / value_tail_hill precedent) so the
+    sufficient statistics are exact integers.  Both prefix series are
+    nondecreasing and similarly ordered, so the slope numerator is
+    provably >= 0 (Chebyshev's sum inequality) and DuckDB's
+    truncating HUGEINT `//` equals Python floor division; the final
+    slope_micro is bit-exact vs the SQL twin.  slope_micro ~ 1e6*beta
+    estimates V ~ T^beta — the vocabulary-growth planning number for
+    tokenizer and dedup sizing.
+
+    Distributed plan: source-keyed groupby; per group one pandas
+    first-occurrence scan + cumsums; the regression folds tiny
+    per-source sums on the driver with Python big ints."""
+    import math
+
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ex = g.assign(token=g["text"].str.split(" ")).explode("token")
+        ex = ex[ex["token"].notna() & (ex["token"] != "")]
+        tok_per_doc = ex.groupby("doc_id", sort=True).size()
+        first_doc = ex.groupby("token", sort=False)["doc_id"].min()
+        new_per_doc = first_doc.value_counts().reindex(
+            tok_per_doc.index, fill_value=0
+        )
+        x = np.cumsum(tok_per_doc.to_numpy(np.int64))
+        y = np.cumsum(new_per_doc.to_numpy(np.int64))
+        qx = [int(math.floor(math.log(int(v)) * 1e6 + 0.5)) for v in x]
+        qy = [int(math.floor(math.log(int(v)) * 1e6 + 0.5)) for v in y]
+        n = len(qx)
+        sx, sy = sum(qx), sum(qy)
+        sxx = sum(a * a for a in qx)
+        sxy = sum(a * b for a, b in zip(qx, qy))
+        num = n * sxy - sx * sy  # >= 0: similarly ordered sequences
+        den = n * sxx - sx * sx
+        assert num >= 0 and den > 0
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": [n],
+                "total_tokens": [int(x[-1])],
+                "vocab": [int(y[-1])],
+                "slope_micro": [1_000_000 * num // den],
+            }
+        )
+
+    out = (
+        ds.groupby("source")
+        .map_groups(per_source, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("n_docs", "total_tokens", "vocab", "slope_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def heaps_law_fit_sql() -> str:
+    return """
+        WITH ex AS (
+            SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), tok AS (
+            SELECT source, doc_id, token FROM ex WHERE token <> ''
+        ), per_doc AS (
+            SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+            FROM tok GROUP BY 1, 2
+        ), firsts AS (
+            SELECT source, token, MIN(doc_id) AS first_doc
+            FROM tok GROUP BY 1, 2
+        ), new_per_doc AS (
+            SELECT source, first_doc AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM firsts GROUP BY 1, 2
+        ), curve AS (
+            SELECT p.source, p.doc_id,
+                   SUM(p.n_tok) OVER w AS x,
+                   SUM(COALESCE(np.n_new, 0)) OVER w AS y
+            FROM per_doc p LEFT JOIN new_per_doc np USING (source, doc_id)
+            WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id)
+        ), q AS (
+            SELECT source,
+                   CAST(FLOOR(ln(CAST(x AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT)
+                       AS qx,
+                   CAST(FLOOR(ln(CAST(y AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT)
+                       AS qy,
+                   x, y
+            FROM curve
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(x) AS BIGINT) AS total_tokens,
+               CAST(MAX(y) AS BIGINT) AS vocab,
+               CAST(1000000 * (COUNT(*) * SUM(qx * qy) - SUM(qx) * SUM(qy))
+                    // (COUNT(*) * SUM(qx * qx) - SUM(qx) * SUM(qx))
+                    AS BIGINT) AS slope_micro
+        FROM q GROUP BY source ORDER BY source
+    """
+
+
+def token_adaptation_stats(sf_dir: str) -> pd.DataFrame:
+    """Church-Gale adaptation census: per token, the collection
+    frequency cf, document frequency df, and df2 = documents where the
+    token occurs AT LEAST TWICE.  The df2/df 'adaptation' ratio is the
+    classic evidence that real words cluster in documents (P(k>=2 |
+    k>=1) >> P(k>=1)) — the statistic term-weighting and stopword
+    policies are calibrated on.  Pure counts; GROUP BY SQL twin.
+
+    Distributed plan: per-batch per-doc occurrence counts (a document
+    never spans batches) fold through one vocab-sized groupby — the
+    exchange is vocabulary-sized, never corpus-sized."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"doc_id": t["doc_id"].to_pylist(), "text": t["text"].to_pylist()}
+        )
+        ex = df.assign(token=df["text"].str.split(" ")).explode("token")
+        ex = ex[ex["token"].notna() & (ex["token"] != "")]
+        occ = ex.groupby(["token", "doc_id"], as_index=False).agg(
+            k=("text", "size")
+        )
+        g = occ.groupby("token", as_index=False).agg(
+            cf=("k", "sum"),
+            df=("k", "size"),
+            df2=("k", lambda s: int((s >= 2).sum())),
+        )
+        for c in ("cf", "df", "df2"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            Sum("cf", alias_name="cf"),
+            Sum("df", alias_name="df"),
+            Sum("df2", alias_name="df2"),
+        )
+        .to_pandas()
+    )
+    for c in ("cf", "df", "df2"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def token_adaptation_stats_sql() -> str:
+    return """
+        WITH ex AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), occ AS (
+            SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS k
+            FROM ex WHERE token <> '' GROUP BY 1, 2
+        )
+        SELECT token,
+               CAST(SUM(k) AS BIGINT) AS cf,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        FROM occ GROUP BY token ORDER BY token
+    """
