@@ -579,6 +579,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_freqs": lambda sf: sketches.cms_token_freqs(sf),
         # --- conversation analytics over the transcript input table ---
         "conv_stats": _q_conv(cv.conv_stats),
+        "conv_prefix_echo": _q_conv(cv.conv_prefix_echo),
+        "conv_turnlen_autocorr": _q_conv(cv.conv_turnlen_autocorr),
         "turn_latency": _q_conv(cv.turn_latency),
         "tool_usage": _q_conv(cv.tool_usage),
         "role_transitions": _q_conv(cv.role_transitions),
@@ -1785,6 +1787,8 @@ def oracle_sql() -> dict[str, str]:
         # transcript shards (a genuinely independent oracle, not a
         # golden readback)
         "conv_stats": cv.conv_stats_sql(_T2_SHARDS),
+        "conv_prefix_echo": cv.conv_prefix_echo_sql(_T2_SHARDS),
+        "conv_turnlen_autocorr": cv.conv_turnlen_autocorr_sql(_T2_SHARDS),
         "turn_latency": cv.turn_latency_sql(_T2_SHARDS),
         "tool_usage": cv.tool_usage_sql(_T2_SHARDS),
         "role_transitions": cv.role_transitions_sql(_T2_SHARDS),

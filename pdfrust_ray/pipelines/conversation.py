@@ -3198,3 +3198,181 @@ def turn_format_census_sql(shards_glob: str) -> str:
                    AS role_share_ppm
         FROM c ORDER BY role, format
     """
+
+
+def conv_prefix_echo(corpus_dir: str) -> pd.DataFrame:
+    """Context-echo census: per conversation, how many token
+    occurrences repeat something an EARLIER turn already said — the
+    signal for context-stuffing / copy-down behavior in agent
+    transcripts (high echo ratio = turns restating the prefix; the
+    repetition screen run before SFT sampling).  A token occurrence in
+    turn t is an echo iff the same token appears in some turn with
+    smaller turn_idx; duplicates inside the first turn are NOT echoes.
+    Tokens split on single spaces, empties dropped (string_split
+    twin).  Pure counts.
+
+    Distributed plan: one conv-keyed bucket shuffle; per bucket one
+    explode + groupby-transform(min) — the exchange carries turn text
+    once, partials are conv-sized."""
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # Token accounting runs on PYTHON dicts, not pandas
+        # factorize/nunique: pandas' string hash table truncates at
+        # embedded NUL bytes, silently merging distinct \x00-bearing
+        # PDF-payload tokens (observed 189 vs 190 distinct).  Python
+        # str hashing is NUL-exact.  conv_id keys are clean, so the
+        # outer groupby is safe.
+        rows = []
+        for conv_id, sub in g.groupby("conv_id", sort=False):
+            first: dict[str, int] = {}
+            total = 0
+            pairs = []
+            for turn, text in zip(sub["turn_idx"], sub["text"]):
+                turn = int(turn)
+                for tok in text.split(" "):
+                    if not tok:
+                        continue
+                    total += 1
+                    pairs.append((tok, turn))
+                    prev = first.get(tok)
+                    if prev is None or turn < prev:
+                        first[tok] = turn
+            echo = sum(1 for tok, turn in pairs if turn > first[tok])
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "n_turns": len(sub),
+                    "total_tokens": total,
+                    "echo_tokens": echo,
+                    "distinct_tokens": len(first),
+                }
+            )
+        out = pd.DataFrame(rows)
+        for c in ("n_turns", "total_tokens", "echo_tokens", "distinct_tokens"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def conv_prefix_echo_sql(shards_glob: str) -> str:
+    return f"""
+        WITH ex AS (
+            SELECT conv_id, turn_idx,
+                   unnest(string_split(text, ' ')) AS token
+            FROM read_parquet('{shards_glob}')
+        ), tok AS (
+            SELECT * FROM ex WHERE token <> ''
+        ), f AS (
+            SELECT conv_id, token, MIN(turn_idx) AS ft
+            FROM tok GROUP BY 1, 2
+        ), e AS (
+            SELECT t.conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN t.turn_idx > f.ft THEN 1 ELSE 0 END)
+                        AS BIGINT) AS echo_tokens
+            FROM tok t JOIN f USING (conv_id, token)
+            GROUP BY 1
+        ), u AS (
+            SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS distinct_tokens
+            FROM f GROUP BY 1
+        ), base AS (
+            SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+            FROM read_parquet('{shards_glob}') GROUP BY 1
+        )
+        SELECT b.conv_id, b.n_turns,
+               COALESCE(e.total_tokens, 0) AS total_tokens,
+               COALESCE(e.echo_tokens, 0) AS echo_tokens,
+               COALESCE(u.distinct_tokens, 0) AS distinct_tokens
+        FROM base b
+        LEFT JOIN e USING (conv_id)
+        LEFT JOIN u USING (conv_id)
+        ORDER BY b.conv_id
+    """
+
+
+def conv_turnlen_autocorr(corpus_dir: str) -> pd.DataFrame:
+    """Lag-1 turn-length dependence, as EXACT sufficient statistics:
+    per conversation the (x_i, x_{{i+1}}) consecutive-turn char-length
+    pairs yield n_pairs and the five integer sums (sx, sy, sxx, syy,
+    sxy) from which Pearson r falls out — published as ints so the
+    LAG-window SQL twin is bit-exact (the lineitem_corr_stats
+    treatment).  Long-follows-long turn dependence is what breaks the
+    iid assumption in per-turn quality sampling.  Conversations with a
+    single turn emit no row.
+
+    Distributed plan: conv-keyed bucket shuffle; per bucket one sort +
+    shifted numpy products."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": _bucket_of(t["conv_id"]),
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        x = g["n_chars"].to_numpy(np.int64)
+        same = conv[1:] == conv[:-1]
+        a, b = x[:-1][same], x[1:][same]
+        key = conv[1:][same]
+        df = pd.DataFrame(
+            {"conv_id": key, "a": a, "b": b, "aa": a * a, "bb": b * b,
+             "ab": a * b}
+        )
+        out = df.groupby("conv_id", as_index=False).agg(
+            n_pairs=("a", "size"), sx=("a", "sum"), sy=("b", "sum"),
+            sxx=("aa", "sum"), syy=("bb", "sum"), sxy=("ab", "sum"),
+        )
+        for c in out.columns:
+            if c != "conv_id":
+                out[c] = out[c].astype("int64")
+        return out
+
+    out = (
+        _coalesced(ds.map_batches(derive, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def conv_turnlen_autocorr_sql(shards_glob: str) -> str:
+    return f"""
+        WITH e AS (
+            SELECT conv_id, turn_idx,
+                   CAST(length(text) AS BIGINT) AS n,
+                   LAG(CAST(length(text) AS BIGINT)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS prev
+            FROM read_parquet('{shards_glob}')
+        )
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(prev) AS BIGINT) AS sx,
+               CAST(SUM(n) AS BIGINT) AS sy,
+               CAST(SUM(prev * prev) AS BIGINT) AS sxx,
+               CAST(SUM(n * n) AS BIGINT) AS syy,
+               CAST(SUM(prev * n) AS BIGINT) AS sxy
+        FROM e WHERE prev IS NOT NULL
+        GROUP BY conv_id ORDER BY conv_id
+    """
