@@ -3376,3 +3376,89 @@ def conv_turnlen_autocorr_sql(shards_glob: str) -> str:
         FROM e WHERE prev IS NOT NULL
         GROUP BY conv_id ORDER BY conv_id
     """
+
+
+def conv_role_latency_asymmetry(corpus_dir: str) -> pd.DataFrame:
+    """Directional response-latency census: per conversation, the
+    count and total microseconds of user->assistant gaps versus
+    assistant->user gaps over consecutive turns — the asymmetry
+    (assistant thinks, user idles) that latency SLOs and turn-timeout
+    tuning read.  Exact integer sums; LAG-window SQL twin.
+
+    Distributed plan: conv-keyed bucket shuffle; per bucket one sort +
+    shifted numpy masks."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role", "ts"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": _bucket_of(t["conv_id"]),
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "role": t["role"],
+                "ts_us": _epoch_us(t["ts"]),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        ts = g["ts_us"].to_numpy(np.int64)
+        same = conv[1:] == conv[:-1]
+        gap = ts[1:] - ts[:-1]
+        ua = same & (role[:-1] == "user") & (role[1:] == "assistant")
+        au = same & (role[:-1] == "assistant") & (role[1:] == "user")
+        df = pd.DataFrame(
+            {
+                "conv_id": conv[1:],
+                "is_ua": ua.astype(np.int64),
+                "gap_ua": np.where(ua, gap, 0),
+                "is_au": au.astype(np.int64),
+                "gap_au": np.where(au, gap, 0),
+            }
+        )
+        out = df.groupby("conv_id", as_index=False).agg(
+            n_ua=("is_ua", "sum"), gap_ua_us=("gap_ua", "sum"),
+            n_au=("is_au", "sum"), gap_au_us=("gap_au", "sum"),
+        )
+        for c in out.columns:
+            if c != "conv_id":
+                out[c] = out[c].astype("int64")
+        return out
+
+    out = (
+        _coalesced(ds.map_batches(derive, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def conv_role_latency_asymmetry_sql(shards_glob: str) -> str:
+    return f"""
+        WITH e AS (
+            SELECT conv_id, role, epoch_us(ts) AS ts_us,
+                   LAG(role) OVER w AS prev_role,
+                   LAG(epoch_us(ts)) OVER w AS prev_ts
+            FROM read_parquet('{shards_glob}')
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id,
+               CAST(SUM(CASE WHEN prev_role = 'user' AND role = 'assistant'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_ua,
+               CAST(SUM(CASE WHEN prev_role = 'user' AND role = 'assistant'
+                             THEN ts_us - prev_ts ELSE 0 END) AS BIGINT)
+                   AS gap_ua_us,
+               CAST(SUM(CASE WHEN prev_role = 'assistant' AND role = 'user'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_au,
+               CAST(SUM(CASE WHEN prev_role = 'assistant' AND role = 'user'
+                             THEN ts_us - prev_ts ELSE 0 END) AS BIGINT)
+                   AS gap_au_us
+        FROM e GROUP BY conv_id ORDER BY conv_id
+    """

@@ -2010,3 +2010,137 @@ def token_adaptation_stats_sql() -> str:
                CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
         FROM occ GROUP BY token ORDER BY token
     """
+
+
+_FUNNEL_RULES = (
+    (1, "min_chars"),
+    (2, "max_chars"),
+    (3, "mean_word_short"),
+    (4, "mean_word_long"),
+    (5, "max_word_len"),
+    (6, "no_stopword"),
+)
+
+
+def doc_filter_funnel(sf_dir: str) -> pd.DataFrame:
+    """C4/Gopher-style quality-filter funnel with per-rule attrition:
+    rules fire IN ORDER (a doc is charged to the FIRST rule it fails),
+    so the funnel reads as sequential survivorship — length bounds,
+    mean-word-length band 3..12 (compared as exact cross-multiplied
+    integers, no division), max token length 50, and a stopword
+    presence check ('the').  This is the pre-training curation report
+    every corpus release publishes: how many documents each rule
+    kills, in which order.  Pure counts; CASE-cascade SQL twin.
+
+    Distributed plan: per-batch per-doc rule stats (one split pass) ->
+    first-fail code -> a rules-sized count exchange; funnel cumsums on
+    the driver."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        codes = []
+        for s in texts:
+            n_chars = len(s)
+            toks = [w for w in s.split(" ") if w]
+            n_tok = len(toks)
+            sum_len = sum(len(w) for w in toks)
+            max_len = max((len(w) for w in toks), default=0)
+            n_the = sum(1 for w in toks if w == "the")
+            if n_chars < 100:
+                c = 1
+            elif n_chars > 10_000:
+                c = 2
+            elif 3 * n_tok > sum_len:
+                c = 3
+            elif sum_len > 12 * n_tok:
+                c = 4
+            elif max_len > 50:
+                c = 5
+            elif n_the == 0:
+                c = 6
+            else:
+                c = 0
+            codes.append(c)
+        df = pd.DataFrame({"first_fail": np.array(codes, dtype=np.int64)})
+        g = df.groupby("first_fail", as_index=False).agg(n=("first_fail", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    c = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("first_fail")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    drops = dict(zip(c["first_fail"].astype(int), c["n"].astype(int)))
+    total = sum(drops.values())
+    rows = []
+    n_in = total
+    for rid, rule in _FUNNEL_RULES:
+        d = drops.get(rid, 0)
+        rows.append(
+            {"rule_id": rid, "rule": rule, "n_in": n_in, "n_dropped": d,
+             "n_out": n_in - d}
+        )
+        n_in -= d
+    out = pd.DataFrame(rows)
+    for col in ("rule_id", "n_in", "n_dropped", "n_out"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def doc_filter_funnel_sql() -> str:
+    rules_values = ", ".join(f"({rid}, '{name}')" for rid, name in _FUNNEL_RULES)
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+            WHERE token <> ''
+        ), ts AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(SUM(length(token)) AS BIGINT) AS sum_len,
+                   CAST(MAX(length(token)) AS BIGINT) AS max_len,
+                   CAST(SUM(CASE WHEN token = 'the' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_the
+            FROM tok GROUP BY 1
+        ), d AS (
+            SELECT doc.doc_id,
+                   CAST(length(doc.text) AS BIGINT) AS n_chars,
+                   COALESCE(ts.n_tok, 0) AS n_tok,
+                   COALESCE(ts.sum_len, 0) AS sum_len,
+                   COALESCE(ts.max_len, 0) AS max_len,
+                   COALESCE(ts.n_the, 0) AS n_the
+            FROM documents doc LEFT JOIN ts USING (doc_id)
+        ), ff AS (
+            SELECT CASE WHEN n_chars < 100 THEN 1
+                        WHEN n_chars > 10000 THEN 2
+                        WHEN 3 * n_tok > sum_len THEN 3
+                        WHEN sum_len > 12 * n_tok THEN 4
+                        WHEN max_len > 50 THEN 5
+                        WHEN n_the = 0 THEN 6
+                        ELSE 0 END AS first_fail
+            FROM d
+        ), c AS (
+            SELECT first_fail, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ff GROUP BY 1
+        ), grid(rule_id, rule) AS (VALUES {rules_values}),
+        sel AS (
+            SELECT g.rule_id, g.rule, COALESCE(c.n, 0) AS n_dropped
+            FROM grid g LEFT JOIN c ON c.first_fail = g.rule_id
+        ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        SELECT CAST(rule_id AS BIGINT) AS rule_id, rule,
+               CAST(tot.n - COALESCE(SUM(n_dropped) OVER (
+                   ORDER BY rule_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_in,
+               CAST(n_dropped AS BIGINT) AS n_dropped,
+               CAST(tot.n - SUM(n_dropped) OVER (ORDER BY rule_id)
+                   AS BIGINT) AS n_out
+        FROM sel CROSS JOIN tot ORDER BY rule_id
+    """
