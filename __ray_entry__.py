@@ -1253,6 +1253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rice_param_audit": rel.rice_param_audit,
         "position_attribution": rel.position_attribution,
         "hourly_emd_matrix": rel.hourly_emd_matrix,
+        "duplicate_payment_pairs": rel.duplicate_payment_pairs,
+        "user_daily_periodicity": rel.user_daily_periodicity,
         "value_sortedness_audit": rel.value_sortedness_audit,
         "daily_revenue_max_surge": rel.daily_revenue_max_surge,
         # Merkle root over daily revenue partitions (replica diff primitive)
@@ -2062,6 +2064,8 @@ def oracle_sql() -> dict[str, str]:
         "rice_param_audit": rel.rice_param_audit_sql(),
         "position_attribution": rel.position_attribution_sql(),
         "hourly_emd_matrix": rel.hourly_emd_matrix_sql(),
+        "duplicate_payment_pairs": rel.duplicate_payment_pairs_sql(),
+        "user_daily_periodicity": rel.user_daily_periodicity_sql(),
         "value_sortedness_audit": rel.value_sortedness_audit_sql(),
         "daily_revenue_max_surge": rel.daily_revenue_max_surge_sql(),
         "daily_merkle_root": rel.daily_merkle_root_sql(),

@@ -24270,3 +24270,181 @@ def value_sortedness_audit_sql() -> str:
                CAST(MAX(len) AS BIGINT) AS max_run_len
         FROM per_run GROUP BY 1 ORDER BY 1
     """
+
+
+def duplicate_payment_pairs(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-payment screen: pairs of orders by the SAME customer
+    placed within one day of each other, with the amount gap published
+    in basis points of the larger charge (10000*|ca-cb| // max) — the
+    double-charge / replayed-submission candidate list every billing
+    pipeline audits, ready for a downstream gap_bp threshold.  Exact
+    integer pair set (earlier (day, orderkey) first), bit-exact vs the
+    self-join SQL twin.
+
+    Distributed plan: shuffle key is custkey (customer order counts
+    are small and bounded), then a sorted two-pointer per customer —
+    candidate generation is per-key, never all-pairs."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "cents": _cents(t["o_totalprice"]),
+                "orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "day": pc.cast(
+                    pc.cast(t["o_orderdate"], pa.date32()), pa.int32()
+                ),
+            }
+        )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["day", "orderkey"], kind="mergesort")
+        day = g["day"].to_numpy(np.int64)
+        okey = g["orderkey"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        rows = []
+        n = len(g)
+        for i in range(n):
+            j = i + 1
+            while j < n and day[j] - day[i] <= 1:
+                ca, cb = int(cents[i]), int(cents[j])
+                hi = max(ca, cb)
+                rows.append(
+                    (okey[i], okey[j], day[j] - day[i], ca, cb,
+                     10_000 * abs(ca - cb) // hi)
+                )
+                j += 1
+        cols = ("orderkey_a", "orderkey_b", "day_gap", "cents_a",
+                "cents_b", "gap_bp")
+        if not rows:
+            out = pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                                ("custkey",) + cols})
+            return out
+        out = pd.DataFrame(
+            {c: np.array([r[k] for r in rows], np.int64)
+             for k, c in enumerate(cols)}
+        )
+        out.insert(0, "custkey", np.full(len(rows), int(g["custkey"].iloc[0]),
+                                         np.int64))
+        return out
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("custkey")
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["custkey", "orderkey_a", "orderkey_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def duplicate_payment_pairs_sql() -> str:
+    return """
+        WITH o AS (
+            SELECT CAST(o_custkey AS BIGINT) AS custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(o_orderkey AS BIGINT) AS orderkey,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS day
+            FROM orders
+        )
+        SELECT a.custkey,
+               a.orderkey AS orderkey_a,
+               b.orderkey AS orderkey_b,
+               CAST(b.day - a.day AS BIGINT) AS day_gap,
+               a.cents AS cents_a,
+               b.cents AS cents_b,
+               CAST(10000 * ABS(a.cents - b.cents)
+                    // GREATEST(a.cents, b.cents) AS BIGINT) AS gap_bp
+        FROM o a JOIN o b
+          ON a.custkey = b.custkey
+         AND b.day - a.day BETWEEN 0 AND 1
+         AND (a.day < b.day OR (a.day = b.day AND a.orderkey < b.orderkey))
+        ORDER BY a.custkey, orderkey_a, orderkey_b
+    """
+
+
+def user_daily_periodicity(sf_dir: str) -> pd.DataFrame:
+    """Daily-rhythm detector: per user, the raw autocovariance dot
+    products of the hourly activity count vector at lag 24 (same hour
+    tomorrow) versus lag 1 (next hour) — dot24 >> dot1 means the user
+    has a daily routine; the signal batch schedulers and bot detectors
+    read.  Missing hours contribute zero products, so only observed
+    (user, hour) counts are exchanged.  Pure integers; self-join SQL
+    twin.
+
+    Distributed plan: one (user, hour) count exchange, then a
+    user-keyed fold of the two shifted dot products."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "hour": pc.divide(us, 3_600_000_000),
+            }
+        )
+
+    counts = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["hour"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        lut = dict(zip(h.tolist(), n.tolist()))
+        dot24 = sum(v * lut.get(k + 24, 0) for k, v in lut.items())
+        dot1 = sum(v * lut.get(k + 1, 0) for k, v in lut.items())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [int(n.sum())],
+                "n_hours_active": [len(h)],
+                "dot_lag24": [int(dot24)],
+                "dot_lag1": [int(dot1)],
+            }
+        )
+
+    out = (
+        counts.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def user_daily_periodicity_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                        AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT a.user_id,
+               CAST(SUM(a.n) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_hours_active,
+               CAST(COALESCE(SUM((SELECT b.n FROM c b
+                    WHERE b.user_id = a.user_id AND b.hour = a.hour + 24)
+                    * a.n), 0) AS BIGINT) AS dot_lag24,
+               CAST(COALESCE(SUM((SELECT b.n FROM c b
+                    WHERE b.user_id = a.user_id AND b.hour = a.hour + 1)
+                    * a.n), 0) AS BIGINT) AS dot_lag1
+        FROM c a GROUP BY a.user_id ORDER BY a.user_id
+    """
