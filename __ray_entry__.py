@@ -146,6 +146,60 @@ def _q_extract_metrics(sf_dir: str):
     return g
 
 
+def _q_extract_error_locality(sf_dir: str):
+    """Error-locality audit over the extraction output: per
+    conversation, the count of failed turns plus the run structure of
+    failures in turn order (number of maximal error runs and the
+    longest one).  Clustered failures point at a broken producer for
+    that conversation; scattered ones at payload-level corruption.
+    Runs fold positionally after the stable (conv_id, turn_idx)
+    ordering the flagship pipeline already guarantees."""
+    import numpy as np
+
+    df = _extracted_df(_scale_for(sf_dir)).sort_values(["conv_id", "turn_idx"])
+    rows = []
+    for conv_id, g in df.groupby("conv_id", sort=True):
+        err = (g["parse_status"] != "ok").to_numpy()
+        n = len(err)
+        n_err = int(err.sum())
+        if n_err:
+            x = err.astype(np.int64)
+            starts = int(x[0]) + int(((x[1:] == 1) & (x[:-1] == 0)).sum())
+            best, cur = 0, 0
+            for v in x:
+                cur = cur + 1 if v else 0
+                best = max(best, cur)
+        else:
+            starts, best = 0, 0
+        rows.append(
+            {"conv_id": conv_id, "n_turns": n, "n_err": n_err,
+             "n_err_runs": starts, "max_err_run": best}
+        )
+    import pandas as pd
+
+    out = pd.DataFrame(rows)
+    for c in ("n_turns", "n_err", "n_err_runs", "max_err_run"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_extract_status_by_payload(sf_dir: str):
+    """Contingency of parse_status x payload_kind with decoded-byte
+    mass — which payload family produces which failure class (the
+    routing table for extraction triage)."""
+    df = _extracted_df(_scale_for(sf_dir))
+    g = (
+        df.groupby(["payload_kind", "parse_status"], as_index=False)
+        .agg(n_turns=("parse_status", "size"),
+             sum_bytes_decoded=("bytes_decoded", "sum"))
+        .sort_values(["payload_kind", "parse_status"])
+        .reset_index(drop=True)
+    )
+    g["n_turns"] = g["n_turns"].astype("int64")
+    g["sum_bytes_decoded"] = g["sum_bytes_decoded"].astype("int64")
+    return g
+
+
 def _q_extracted_dup_census(sf_dir: str):
     """Exact-duplicate census OVER THE EXTRACTION OUTPUT per payload
     kind — the composed clean->dedup reality check (templated payloads
@@ -516,6 +570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- the reference's own pipeline surface (SURVEY §2 / §3) ---
         "extract_text": _q_extract_text,
         "extract_metrics": _q_extract_metrics,
+        "extract_error_locality": _q_extract_error_locality,
+        "extract_status_by_payload": _q_extract_status_by_payload,
         "extract_info": _q_extract_info,
         "extract_chars": _q_extract_mode("chars"),
         "extract_font": _q_extract_mode("font"),
@@ -1594,6 +1650,47 @@ def oracle_sql() -> dict[str, str]:
                    parse_status, n_pages, bytes_decoded, error
             FROM read_parquet('{_T2_GOLDEN}')
             ORDER BY conv_id, turn_idx
+        """,
+        "extract_error_locality": f"""
+            WITH e AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN parse_status <> 'ok' THEN 1 ELSE 0 END AS err,
+                       LAG(CASE WHEN parse_status <> 'ok' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+                FROM read_parquet('{_T2_GOLDEN}')
+            ), runs AS (
+                SELECT conv_id, turn_idx, err,
+                       SUM(CASE WHEN err = 1 AND COALESCE(prev, 0) = 0
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                           AS run_id
+                FROM e
+            ), per_run AS (
+                SELECT conv_id, run_id, CAST(COUNT(*) AS BIGINT) AS len
+                FROM runs WHERE err = 1 GROUP BY 1, 2
+            ), agg AS (
+                SELECT conv_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_err_runs,
+                       CAST(MAX(len) AS BIGINT) AS max_err_run,
+                       CAST(SUM(len) AS BIGINT) AS n_err
+                FROM per_run GROUP BY 1
+            ), base AS (
+                SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+                FROM read_parquet('{_T2_GOLDEN}') GROUP BY 1
+            )
+            SELECT b.conv_id, b.n_turns,
+                   COALESCE(a.n_err, 0) AS n_err,
+                   COALESCE(a.n_err_runs, 0) AS n_err_runs,
+                   COALESCE(a.max_err_run, 0) AS max_err_run
+            FROM base b LEFT JOIN agg a USING (conv_id)
+            ORDER BY b.conv_id
+        """,
+        "extract_status_by_payload": f"""
+            SELECT payload_kind, parse_status,
+                   COUNT(*) AS n_turns,
+                   CAST(SUM(bytes_decoded) AS BIGINT) AS sum_bytes_decoded
+            FROM read_parquet('{_T2_GOLDEN}')
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "extract_metrics": f"""
             SELECT parse_status, COUNT(*) AS n_turns,
