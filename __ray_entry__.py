@@ -1310,6 +1310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "position_attribution": rel.position_attribution,
         "hourly_emd_matrix": rel.hourly_emd_matrix,
         "duplicate_payment_pairs": rel.duplicate_payment_pairs,
+        "priority_inversion_census": rel.priority_inversion_census,
+        "returns_pchart_audit": rel.returns_pchart_audit,
         "user_daily_periodicity": rel.user_daily_periodicity,
         "value_sortedness_audit": rel.value_sortedness_audit,
         "daily_revenue_max_surge": rel.daily_revenue_max_surge,
@@ -2162,6 +2164,8 @@ def oracle_sql() -> dict[str, str]:
         "position_attribution": rel.position_attribution_sql(),
         "hourly_emd_matrix": rel.hourly_emd_matrix_sql(),
         "duplicate_payment_pairs": rel.duplicate_payment_pairs_sql(),
+        "priority_inversion_census": rel.priority_inversion_census_sql(),
+        "returns_pchart_audit": rel.returns_pchart_audit_sql(),
         "user_daily_periodicity": rel.user_daily_periodicity_sql(),
         "value_sortedness_audit": rel.value_sortedness_audit_sql(),
         "daily_revenue_max_surge": rel.daily_revenue_max_surge_sql(),

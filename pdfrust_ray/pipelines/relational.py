@@ -24448,3 +24448,228 @@ def user_daily_periodicity_sql() -> str:
                     * a.n), 0) AS BIGINT) AS dot_lag1
         FROM c a GROUP BY a.user_id ORDER BY a.user_id
     """
+
+
+def priority_inversion_census(sf_dir: str) -> pd.DataFrame:
+    """Fulfilment priority-inversion audit: within each customer's
+    order book, pairs where an EARLIER, MORE URGENT order started
+    shipping AFTER a later, less urgent one — the SLA breach pattern
+    ops teams chase.  Urgency is the leading digit of o_orderpriority
+    (1-URGENT .. 5-LOW); an order's ship start is MIN(l_shipdate).
+    Exact integer pair counts; self-join SQL twin.
+
+    Distributed plan: a broadcast-style orderkey->first-ship fold via
+    one (orderkey) groupby on lineitem, joined to orders, then a
+    custkey-keyed groupby with an O(k^2) scan over each customer's
+    handful of orders — never a global all-pairs."""
+    import numpy as np
+    from ray.data.aggregate import Min
+
+    li = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                    "ship": pc.cast(pc.cast(t["l_shipdate"], pa.date32()),
+                                    pa.int32()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("orderkey")
+        .aggregate(Min("ship", alias_name="first_ship"))
+        .to_pandas()
+    )
+    ship_of = dict(
+        zip(li["orderkey"].astype(int), li["first_ship"].astype(int))
+    )
+    import ray as _ray
+
+    ship_ref = _ray.put(ship_of)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def keys(t: pa.Table) -> pd.DataFrame:
+        lut = _ray.get(ship_ref)
+        okey = [int(v) for v in t["o_orderkey"].to_pylist()]
+        return pd.DataFrame(
+            {
+                "custkey": [int(v) for v in t["o_custkey"].to_pylist()],
+                "orderkey": okey,
+                "day": [
+                    int(v)
+                    for v in pc.cast(
+                        pc.cast(t["o_orderdate"], pa.date32()), pa.int32()
+                    ).to_pylist()
+                ],
+                "prio": [int(s[0]) for s in t["o_orderpriority"].to_pylist()],
+                "first_ship": [ship_of_get(lut, k) for k in okey],
+            }
+        )
+
+    def ship_of_get(lut, k):
+        return int(lut.get(k, -1))
+
+    def per_customer(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["first_ship"] >= 0]
+        day = g["day"].to_numpy(np.int64)
+        prio = g["prio"].to_numpy(np.int64)
+        ship = g["first_ship"].to_numpy(np.int64)
+        n = len(g)
+        pairs = 0
+        inv = 0
+        for i in range(n):
+            for j in range(n):
+                if day[i] < day[j] and prio[i] < prio[j]:
+                    pairs += 1
+                    if ship[i] > ship[j]:
+                        inv += 1
+        return pd.DataFrame(
+            {
+                "custkey": [int(g["custkey"].iloc[0])] if n else [],
+                "n_orders": [n] if n else [],
+                "n_comparable_pairs": [pairs] if n else [],
+                "n_inversions": [inv] if n else [],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("custkey")
+        .map_groups(per_customer, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("custkey").reset_index(drop=True).astype("int64")
+
+
+def priority_inversion_census_sql() -> str:
+    return """
+        WITH fs AS (
+            SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+                   MIN(CAST(l_shipdate AS DATE)) AS first_ship
+            FROM lineitem GROUP BY 1
+        ), o AS (
+            SELECT CAST(o_custkey AS BIGINT) AS custkey,
+                   CAST(o_orderkey AS BIGINT) AS orderkey,
+                   CAST(o_orderdate AS DATE) AS day,
+                   CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+                   fs.first_ship
+            FROM orders JOIN fs ON fs.orderkey = o_orderkey
+        ), pairs AS (
+            SELECT a.custkey,
+                   CASE WHEN a.first_ship > b.first_ship THEN 1 ELSE 0 END
+                       AS is_inv
+            FROM o a JOIN o b
+              ON a.custkey = b.custkey
+             AND a.day < b.day AND a.prio < b.prio
+        ), cnt AS (
+            SELECT custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_comparable_pairs,
+                   CAST(SUM(is_inv) AS BIGINT) AS n_inversions
+            FROM pairs GROUP BY 1
+        ), base AS (
+            SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM o GROUP BY 1
+        )
+        SELECT b.custkey, b.n_orders,
+               COALESCE(c.n_comparable_pairs, 0) AS n_comparable_pairs,
+               COALESCE(c.n_inversions, 0) AS n_inversions
+        FROM base b LEFT JOIN cnt c USING (custkey)
+        ORDER BY b.custkey
+    """
+
+
+def returns_pchart_audit(sf_dir: str) -> pd.DataFrame:
+    """Shewhart p-chart over the daily return rate, with the 3-sigma
+    control test evaluated in EXACT integers: day d with n_d items and
+    x_d returns is out of control iff
+    (x_d*N - R*n_d)^2 > 9 * R * (N-R) * n_d, the cross-multiplied form
+    of |x/n - R/N| > 3*sqrt((R/N)(1-R/N)/n) — no square roots, no
+    floats, bit-exact vs the HUGEINT SQL twin.  This is the QC chart a
+    returns-abuse monitor runs per day.
+
+    Distributed plan: one (day) count exchange; the control test runs
+    on the driver over the tiny daily series with Python big ints."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_shipdate", "l_returnflag"]
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.cast(pc.cast(t["l_shipdate"], pa.date32()),
+                               pa.int32()),
+                "ret": pc.if_else(
+                    pc.equal(t["l_returnflag"], "R"),
+                    pa.scalar(1, pa.int64()),
+                    pa.scalar(0, pa.int64()),
+                ),
+            }
+        )
+
+    d = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"), Sum("ret", alias_name="x"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    n_tot = int(d["n"].sum())
+    r_tot = int(d["x"].sum())
+    lhs = []
+    rhs = []
+    flag = []
+    for n_d, x_d in zip(d["n"].astype(int), d["x"].astype(int)):
+        left = (x_d * n_tot - r_tot * n_d) ** 2
+        right = 9 * r_tot * (n_tot - r_tot) * n_d
+        lhs.append(left)
+        rhs.append(right)
+        flag.append(1 if left > right else 0)
+    out = pd.DataFrame(
+        {
+            "day": d["day"].astype("int64"),
+            "n_items": d["n"].astype("int64"),
+            "n_returned": d["x"].astype("int64"),
+            "dev_sq_scaled": pd.Series(lhs, dtype="int64"),
+            "bound_scaled": pd.Series(rhs, dtype="int64"),
+            "out_of_control": pd.Series(flag, dtype="int64"),
+        }
+    )
+    return out
+
+
+def returns_pchart_audit_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x
+            FROM lineitem GROUP BY 1
+        ), t AS (
+            SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+                   CAST(SUM(x) AS HUGEINT) AS rr
+            FROM d
+        )
+        SELECT d.day,
+               d.n AS n_items,
+               d.x AS n_returned,
+               CAST((d.x * t.nn - t.rr * d.n) * (d.x * t.nn - t.rr * d.n)
+                    AS BIGINT) AS dev_sq_scaled,
+               CAST(9 * t.rr * (t.nn - t.rr) * d.n AS BIGINT) AS bound_scaled,
+               CAST(CASE WHEN (d.x * t.nn - t.rr * d.n)
+                              * (d.x * t.nn - t.rr * d.n)
+                              > 9 * t.rr * (t.nn - t.rr) * d.n
+                         THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+        FROM d CROSS JOIN t ORDER BY d.day
+    """
