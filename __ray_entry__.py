@@ -1311,6 +1311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_emd_matrix": rel.hourly_emd_matrix,
         "duplicate_payment_pairs": rel.duplicate_payment_pairs,
         "priority_inversion_census": rel.priority_inversion_census,
+        "selectivity_estimate_audit": rel.selectivity_estimate_audit,
+        "type_gini_mean_diff": rel.type_gini_mean_diff,
         "returns_pchart_audit": rel.returns_pchart_audit,
         "user_daily_periodicity": rel.user_daily_periodicity,
         "value_sortedness_audit": rel.value_sortedness_audit,
@@ -2165,6 +2167,8 @@ def oracle_sql() -> dict[str, str]:
         "hourly_emd_matrix": rel.hourly_emd_matrix_sql(),
         "duplicate_payment_pairs": rel.duplicate_payment_pairs_sql(),
         "priority_inversion_census": rel.priority_inversion_census_sql(),
+        "selectivity_estimate_audit": rel.selectivity_estimate_audit_sql(),
+        "type_gini_mean_diff": rel.type_gini_mean_diff_sql(),
         "returns_pchart_audit": rel.returns_pchart_audit_sql(),
         "user_daily_periodicity": rel.user_daily_periodicity_sql(),
         "value_sortedness_audit": rel.value_sortedness_audit_sql(),

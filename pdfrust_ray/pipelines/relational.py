@@ -24673,3 +24673,242 @@ def returns_pchart_audit_sql() -> str:
                          THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
         FROM d CROSS JOIN t ORDER BY d.day
     """
+
+
+def selectivity_estimate_audit(sf_dir: str, n_buckets: int = 16) -> pd.DataFrame:
+    """Optimizer-calibration audit: build a 16-bucket EQUI-WIDTH
+    histogram over event value cents, then for a deterministic ladder
+    of range predicates compare the histogram's uniform-interpolation
+    estimate against the exact row count.  The estimate is published
+    as an EXACT rational (est_num / est_den, den = bucket span), so
+    the SQL twin is bit-exact — no float interpolation.  This is the
+    selectivity-error table every cost-based optimizer is judged by.
+
+    Distributed plan: one min/max aggregate, one bucket-count
+    exchange (histogram-sized), one predicate-count exchange
+    (ladder-sized); the rational arithmetic folds on the driver."""
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    cents_ds = ds.map_batches(
+        lambda t: pa.table({"cents": _cents(t["value"])}),
+        batch_format="pyarrow",
+    )
+    mm = cents_ds.aggregate(
+        Min("cents", alias_name="lo"), Max("cents", alias_name="hi"),
+        Count(alias_name="n"),
+    )
+    lo, hi, n_rows = int(mm["lo"]), int(mm["hi"]), int(mm["n"])
+    span = hi - lo + 1
+    # bucket b covers [lo + b*span//B, lo + (b+1)*span//B) by integer
+    # boundaries — reproducible in SQL with the same floor divisions
+    bounds = [lo + b * span // n_buckets for b in range(n_buckets + 1)]
+
+    def bucket_of(t: pa.Table) -> pd.DataFrame:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(np.array(bounds[1:-1], dtype=np.int64), c,
+                            side="right")
+        df = pd.DataFrame({"bucket": b.astype(np.int64)})
+        g = df.groupby("bucket", as_index=False).agg(n=("bucket", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    hist = (
+        cents_ds.map_batches(bucket_of, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    counts[hist["bucket"].to_numpy(np.int64)] = hist["n"].to_numpy(np.int64)
+
+    # predicate ladder: 8 ranges at deterministic fractions of the span
+    preds = []
+    for i in range(8):
+        plo = lo + (i * span) // 10
+        phi = lo + ((i + 3) * span) // 10
+        preds.append((plo, min(phi, hi + 1)))
+
+    def exact_counts(t: pa.Table) -> pd.DataFrame:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        rows = []
+        for pid, (plo, phi) in enumerate(preds):
+            rows.append((pid, int(((c >= plo) & (c < phi)).sum())))
+        return pd.DataFrame(
+            {"pid": [r[0] for r in rows],
+             "n": pd.Series([r[1] for r in rows], dtype="int64")}
+        )
+
+    ex = (
+        cents_ds.map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("pid")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    exact = dict(zip(ex["pid"].astype(int), ex["n"].astype(int)))
+
+    rows = []
+    for pid, (plo, phi) in enumerate(preds):
+        # estimate: sum over buckets of count * overlap / width
+        num = 0
+        den = 1
+        # common denominator: product avoided — use per-bucket exact
+        # overlap*count summed over a shared denominator of bucket
+        # widths via fractions with lcm = span (widths differ by <=1);
+        # publish per-bucket-width-normalized sum as num/den with den =
+        # product-free accumulation in fractions
+        from fractions import Fraction
+
+        est = Fraction(0)
+        for b in range(n_buckets):
+            blo, bhi = bounds[b], bounds[b + 1]
+            w = bhi - blo
+            if w == 0:
+                continue
+            ov = max(0, min(phi, bhi) - max(plo, blo))
+            if ov:
+                est += Fraction(int(counts[b]) * ov, w)
+        rows.append(
+            {
+                "pid": pid,
+                "pred_lo": plo,
+                "pred_hi": phi,
+                "est_num": int(est.numerator),
+                "est_den": int(est.denominator),
+                "exact_count": exact.get(pid, 0),
+            }
+        )
+    out = pd.DataFrame(rows)
+    return out.astype("int64")
+
+
+def selectivity_estimate_audit_sql(n_buckets: int = 16) -> str:
+    return f"""
+        WITH c AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+        ), mm AS (
+            SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+                   MAX(cents) - MIN(cents) + 1 AS span
+            FROM c
+        ), bkts AS (
+            SELECT CAST(range AS BIGINT) AS b,
+                   mm.lo + range * mm.span // {n_buckets} AS blo,
+                   mm.lo + (range + 1) * mm.span // {n_buckets} AS bhi
+            FROM range(0, {n_buckets}) CROSS JOIN mm
+        ), hist AS (
+            SELECT bk.b, bk.blo, bk.bhi,
+                   CAST(COUNT(c.cents) AS BIGINT) AS n
+            FROM bkts bk LEFT JOIN c
+              ON c.cents >= bk.blo AND c.cents < bk.bhi
+            GROUP BY 1, 2, 3
+        ), preds AS (
+            SELECT CAST(range AS BIGINT) AS pid,
+                   mm.lo + (range * mm.span) // 10 AS plo,
+                   LEAST(mm.lo + ((range + 3) * mm.span) // 10,
+                         mm.hi + 1) AS phi
+            FROM range(0, 8) CROSS JOIN mm
+        ), terms AS (
+            SELECT p.pid, p.plo, p.phi,
+                   h.n * GREATEST(0, LEAST(p.phi, h.bhi)
+                                     - GREATEST(p.plo, h.blo)) AS ov_num,
+                   h.bhi - h.blo AS w
+            FROM preds p CROSS JOIN hist h
+            WHERE h.bhi > h.blo
+        ), est AS (
+            -- exact rational sum over per-bucket fractions: widths are
+            -- span//B or span//B+1, so a common denominator is their
+            -- product over DISTINCT widths; DuckDB lacks rationals, so
+            -- scale by the LCM of observed widths (product of the at
+            -- most two distinct values), then reduce by GCD
+            SELECT pid, plo, phi,
+                   CAST(SUM(ov_num * (sel.lcm_w // w)) AS BIGINT) AS raw_num,
+                   CAST(MAX(sel.lcm_w) AS BIGINT) AS raw_den
+            FROM terms CROSS JOIN (
+                SELECT CASE WHEN MIN(w) = MAX(w) THEN MIN(w)
+                            ELSE MIN(w) * MAX(w)
+                                 // gcd(MIN(w), MAX(w)) END AS lcm_w
+                FROM terms) sel
+            GROUP BY pid, plo, phi, sel.lcm_w
+        ), ex AS (
+            SELECT p.pid, CAST(COUNT(c.cents) AS BIGINT) AS exact_count
+            FROM preds p LEFT JOIN c
+              ON c.cents >= p.plo AND c.cents < p.phi
+            GROUP BY 1
+        )
+        SELECT e.pid, e.plo AS pred_lo, e.phi AS pred_hi,
+               CAST(e.raw_num // gcd(e.raw_num, e.raw_den) AS BIGINT)
+                   AS est_num,
+               CAST(e.raw_den // gcd(e.raw_num, e.raw_den) AS BIGINT)
+                   AS est_den,
+               ex.exact_count
+        FROM est e JOIN ex USING (pid)
+        ORDER BY e.pid
+    """
+
+
+def type_gini_mean_diff(sf_dir: str) -> pd.DataFrame:
+    """Exact Gini mean difference per event type: the sum of absolute
+    pairwise cent differences Σ_{{i<j}} |x_i - x_j|, computed with the
+    sorted prefix identity Σ_i (2i - n - 1)·x_(i) (1-based ranks) —
+    O(n log n), no pair enumeration, tie-order-invariant.  Published
+    with the pair count so GMD = num / pairs stays exact.  The robust
+    dispersion twin of variance for heavy-tailed value columns.
+
+    Distributed plan: type-keyed groupby; one sort + dot product per
+    group."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t["event_type"], "cents": _cents(t["value"])}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["cents"].to_numpy(np.int64))
+        n = len(x)
+        coef = 2 * np.arange(1, n + 1, dtype=np.int64) - n - 1
+        num = int(np.dot(coef, x))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [n],
+                "gmd_num_cents": [num],
+                "n_pairs": [n * (n - 1) // 2],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("n", "gmd_num_cents", "n_pairs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def type_gini_mean_diff_sql() -> str:
+    return """
+        WITH r AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ROUND(value * 100)
+                                                    AS BIGINT)) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM((2 * rn - n - 1) * cents) AS BIGINT)
+                   AS gmd_num_cents,
+               CAST(MAX(n) * (MAX(n) - 1) // 2 AS BIGINT) AS n_pairs
+        FROM r GROUP BY event_type ORDER BY event_type
+    """
