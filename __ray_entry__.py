@@ -637,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": _q_conv(cv.conv_stats),
         "conv_prefix_echo": _q_conv(cv.conv_prefix_echo),
         "conv_role_latency_asymmetry": _q_conv(cv.conv_role_latency_asymmetry),
+        "turn_line_repetition": _q_conv(cv.turn_line_repetition),
         "conv_turnlen_autocorr": _q_conv(cv.conv_turnlen_autocorr),
         "turn_latency": _q_conv(cv.turn_latency),
         "tool_usage": _q_conv(cv.tool_usage),
@@ -1099,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_kl": textops.source_token_kl,
         "heaps_law_fit": textops.heaps_law_fit,
         "doc_filter_funnel": textops.doc_filter_funnel,
+        "source_len_ks_matrix": textops.source_len_ks_matrix,
         "token_adaptation_stats": textops.token_adaptation_stats,
         # calendar densify + forward fill on the daily revenue grid
         "daily_gap_fill": rel.daily_gap_fill,
@@ -1894,6 +1896,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_stats": cv.conv_stats_sql(_T2_SHARDS),
         "conv_prefix_echo": cv.conv_prefix_echo_sql(_T2_SHARDS),
         "conv_role_latency_asymmetry": cv.conv_role_latency_asymmetry_sql(_T2_SHARDS),
+        "turn_line_repetition": cv.turn_line_repetition_sql(_T2_SHARDS),
         "conv_turnlen_autocorr": cv.conv_turnlen_autocorr_sql(_T2_SHARDS),
         "turn_latency": cv.turn_latency_sql(_T2_SHARDS),
         "tool_usage": cv.tool_usage_sql(_T2_SHARDS),
@@ -2073,6 +2076,7 @@ def oracle_sql() -> dict[str, str]:
         "source_token_kl": textops.source_token_kl_sql(),
         "heaps_law_fit": textops.heaps_law_fit_sql(),
         "doc_filter_funnel": textops.doc_filter_funnel_sql(),
+        "source_len_ks_matrix": textops.source_len_ks_matrix_sql(),
         "token_adaptation_stats": textops.token_adaptation_stats_sql(),
         "daily_gap_fill": rel.daily_gap_fill_sql(),
         "user_active_day_bitmap": rel.user_active_day_bitmap_sql(),

@@ -3462,3 +3462,87 @@ def conv_role_latency_asymmetry_sql(shards_glob: str) -> str:
                    AS gap_au_us
         FROM e GROUP BY conv_id ORDER BY conv_id
     """
+
+
+def turn_line_repetition(corpus_dir: str) -> pd.DataFrame:
+    """Within-turn line-repetition screen: per conversation, how many
+    turns contain a repeated non-empty LINE and the worst single-line
+    multiplicity — the degenerate-generation (stuck-loop) detector run
+    on assistant transcripts before SFT harvesting.  Lines split on
+    \\n, empties dropped.  Repetition counting uses Python dicts (the
+    NUL-safe precedent from conv_prefix_echo).  Pure counts; unnest +
+    GROUP BY SQL twin.
+
+    Distributed plan: per-batch per-turn fold (a turn never spans
+    batches) -> conv-keyed count exchange of three small ints."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "text"]
+    )
+
+    def per_turn(t: pa.Table) -> pd.DataFrame:
+        rows = {"conv_id": [], "has_dup": [], "dup_lines": [], "max_mult": []}
+        for conv_id, text in zip(
+            t["conv_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            counts: dict[str, int] = {}
+            for ln in text.split("\n"):
+                if ln:
+                    counts[ln] = counts.get(ln, 0) + 1
+            dups = sum(c - 1 for c in counts.values() if c > 1)
+            mx = max(counts.values(), default=0)
+            rows["conv_id"].append(conv_id)
+            rows["has_dup"].append(1 if dups else 0)
+            rows["dup_lines"].append(dups)
+            rows["max_mult"].append(mx)
+        df = pd.DataFrame(rows)
+        for c in ("has_dup", "dup_lines", "max_mult"):
+            df[c] = df[c].astype("int64")
+        return df
+
+    out = (
+        ds.map_batches(per_turn, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("has_dup", alias_name="n_turns_with_dup"),
+            Sum("dup_lines", alias_name="total_dup_lines"),
+            Max("max_mult", alias_name="max_line_mult"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_turns_with_dup", "total_dup_lines", "max_line_mult"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def turn_line_repetition_sql(shards_glob: str) -> str:
+    return f"""
+        WITH ln AS (
+            SELECT conv_id, turn_idx,
+                   unnest(string_split(text, chr(10))) AS line
+            FROM read_parquet('{shards_glob}')
+        ), cnt AS (
+            SELECT conv_id, turn_idx, line,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM ln WHERE line <> '' GROUP BY 1, 2, 3
+        ), per_turn AS (
+            SELECT conv_id, turn_idx,
+                   CASE WHEN SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) > 0
+                        THEN 1 ELSE 0 END AS has_dup,
+                   SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dup_lines,
+                   MAX(c) AS max_mult
+            FROM cnt GROUP BY 1, 2
+        ), base AS (
+            SELECT conv_id, turn_idx FROM read_parquet('{shards_glob}')
+        )
+        SELECT b.conv_id,
+               CAST(SUM(COALESCE(p.has_dup, 0)) AS BIGINT)
+                   AS n_turns_with_dup,
+               CAST(SUM(COALESCE(p.dup_lines, 0)) AS BIGINT)
+                   AS total_dup_lines,
+               CAST(MAX(COALESCE(p.max_mult, 0)) AS BIGINT)
+                   AS max_line_mult
+        FROM base b LEFT JOIN per_turn p USING (conv_id, turn_idx)
+        GROUP BY b.conv_id ORDER BY b.conv_id
+    """

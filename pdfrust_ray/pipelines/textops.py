@@ -2144,3 +2144,90 @@ def doc_filter_funnel_sql() -> str:
                    AS BIGINT) AS n_out
         FROM sel CROSS JOIN tot ORDER BY rule_id
     """
+
+
+def source_len_ks_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Kolmogorov-Smirnov distance between per-source
+    document LENGTH distributions, in exact cross-multiplied integers:
+    D_scaled = max over observed lengths of |cumA * nB - cumB * nA|
+    (the true KS statistic times nA*nB) — the distribution-shift gate
+    before mixing sources into one training pool.  Evaluating the sup
+    over the union of observed lengths is exact because both EDFs are
+    step functions with steps only there.
+
+    Distributed plan: one (source, n_chars) count exchange
+    (histogram-sized); the S^2/2 pairwise sup-scan folds on the driver
+    over that tiny grid."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["source", "len"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    sources = sorted(g["source"].unique())
+    lens = np.sort(g["len"].unique())
+    pos = {int(v): i for i, v in enumerate(lens)}
+    prof = {}
+    for s in sources:
+        v = np.zeros(len(lens), dtype=np.int64)
+        sub = g[g["source"] == s]
+        v[[pos[int(x)] for x in sub["len"]]] = sub["n"].to_numpy(np.int64)
+        prof[s] = np.cumsum(v)
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            ca, cb = prof[a], prof[b]
+            na, nb = int(ca[-1]), int(cb[-1])
+            d = int(np.abs(ca * nb - cb * na).max())
+            rows.append(
+                {"source_a": a, "source_b": b, "n_a": na, "n_b": nb,
+                 "ks_scaled": d}
+            )
+    out = pd.DataFrame(rows)
+    for c in ("n_a", "n_b", "ks_scaled"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def source_len_ks_matrix_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT source, CAST(length(text) AS BIGINT) AS len
+            FROM documents
+        ), c AS (
+            SELECT source, len, CAST(COUNT(*) AS BIGINT) AS n
+            FROM d GROUP BY 1, 2
+        ), grid AS (
+            SELECT s.source, l.len
+            FROM (SELECT DISTINCT source FROM d) s
+            CROSS JOIN (SELECT DISTINCT len FROM d) l
+        ), cum AS (
+            SELECT g.source, g.len,
+                   SUM(COALESCE(c.n, 0)) OVER (
+                       PARTITION BY g.source ORDER BY g.len) AS cn,
+                   SUM(COALESCE(c.n, 0)) OVER (
+                       PARTITION BY g.source) AS tot
+            FROM grid g LEFT JOIN c USING (source, len)
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(MAX(a.tot) AS BIGINT) AS n_a,
+               CAST(MAX(b.tot) AS BIGINT) AS n_b,
+               CAST(MAX(ABS(a.cn * b.tot - b.cn * a.tot)) AS BIGINT)
+                   AS ks_scaled
+        FROM cum a JOIN cum b
+          ON a.len = b.len AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
