@@ -525,6 +525,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return run
 
+    def _q_streaming_heavy_hitters(sf_dir: str):
+        from pdfrust_ray.stages.streaming import streaming_heavy_hitters
+
+        return streaming_heavy_hitters(sf_dir)
+
     def _q_streaming_sessionize(sf_dir: str):
         from pdfrust_ray.stages.streaming import streaming_sessionize
 
@@ -819,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental stateful streaming: per-bucket session actors fed
         # in ts order; same exact oracle as the batch sessionize
         "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_heavy_hitters": _q_streaming_heavy_hitters,
         # TPC-H Q5 shape: multiway join with the customer=supplier
         # nation colocation predicate (big x big shuffle + broadcast dims)
         "local_supplier_revenue": rel.local_supplier_revenue,
@@ -1101,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_law_fit": textops.heaps_law_fit,
         "doc_filter_funnel": textops.doc_filter_funnel,
         "source_len_ks_matrix": textops.source_len_ks_matrix,
+        "zipf_slope_fit": textops.zipf_slope_fit,
         "token_adaptation_stats": textops.token_adaptation_stats,
         # calendar densify + forward fill on the daily revenue grid
         "daily_gap_fill": rel.daily_gap_fill,
@@ -2077,6 +2084,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_law_fit": textops.heaps_law_fit_sql(),
         "doc_filter_funnel": textops.doc_filter_funnel_sql(),
         "source_len_ks_matrix": textops.source_len_ks_matrix_sql(),
+        "zipf_slope_fit": textops.zipf_slope_fit_sql(),
         "token_adaptation_stats": textops.token_adaptation_stats_sql(),
         "daily_gap_fill": rel.daily_gap_fill_sql(),
         "user_active_day_bitmap": rel.user_active_day_bitmap_sql(),

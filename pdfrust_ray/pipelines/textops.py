@@ -2231,3 +2231,97 @@ def source_len_ks_matrix_sql() -> str:
           ON a.len = b.len AND a.source < b.source
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def zipf_slope_fit(sf_dir: str) -> pd.DataFrame:
+    """Zipf's-law slope per source: the least-squares slope of
+    qlog(freq) on qlog(rank) over the source's token frequency table
+    (rank 1 = most frequent; ties rank by token ascending), with logs
+    quantized to micro-nats so the sufficient statistics are exact
+    int64 and the slope is published as the EXACT rational
+    (slope_num, slope_den) — no division, no floor-sign pitfalls (the
+    numerator is negative by construction for a decreasing law).
+    Together with heaps_law_fit this is the corpus-shape fingerprint
+    tokenizer sizing reads.
+
+    Distributed plan: per-batch (source, token) counts fold through a
+    vocab-sized exchange; ranking + regression run on the driver over
+    the tiny grid."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"source": t["source"].to_pylist(), "text": t["text"].to_pylist()}
+        )
+        ex = df.assign(token=df["text"].str.split(" ")).explode("token")
+        ex = ex[ex["token"].notna() & (ex["token"] != "")]
+        g = ex.groupby(["source", "token"], as_index=False).agg(c=("text", "size"))
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    rows = []
+    for src, g in grid.groupby("source", sort=True):
+        g = g.sort_values(["c", "token"], ascending=[False, True])
+        freqs = g["c"].astype(int).tolist()
+        n = len(freqs)
+        qx = [int(math.floor(math.log(r) * 1e6 + 0.5)) for r in range(1, n + 1)]
+        qy = [int(math.floor(math.log(f) * 1e6 + 0.5)) for f in freqs]
+        sx, sy = sum(qx), sum(qy)
+        sxx = sum(a * a for a in qx)
+        sxy = sum(a * b for a, b in zip(qx, qy))
+        rows.append(
+            {
+                "source": src,
+                "vocab": n,
+                "total_tokens": int(g["c"].sum()),
+                "slope_num": n * sxy - sx * sy,
+                "slope_den": n * sxx - sx * sx,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("vocab", "total_tokens", "slope_num", "slope_den"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def zipf_slope_fit_sql() -> str:
+    return """
+        WITH ex AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), tok AS (
+            SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ex WHERE token <> '' GROUP BY 1, 2
+        ), ranked AS (
+            SELECT source, c,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY c DESC, token) AS rk
+            FROM tok
+        ), q AS (
+            SELECT source,
+                   CAST(FLOOR(ln(CAST(rk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                       AS qx,
+                   CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                       AS qy,
+                   c
+            FROM ranked
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(c) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) * SUM(qx * qy) - SUM(qx) * SUM(qy) AS BIGINT)
+                   AS slope_num,
+               CAST(COUNT(*) * SUM(qx * qx) - SUM(qx) * SUM(qx) AS BIGINT)
+                   AS slope_den
+        FROM q GROUP BY source ORDER BY source
+    """

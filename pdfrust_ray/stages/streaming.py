@@ -172,3 +172,103 @@ def streaming_windowed_dedup(
     for c in ("event_id", "user_id", "ts_us"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+@ray.remote
+class _HeavyHitterBucket:
+    """Per-bucket SpaceSaving summary over event types: capacity-k
+    (type -> count, overestimate) table with the classic min-eviction
+    rule.  Deterministic given the feed order; eviction ties break to
+    the lexicographically smallest type."""
+
+    def __init__(self, capacity: int):
+        self.cap = capacity
+        self.counts: dict[str, int] = {}
+        self.err: dict[str, int] = {}
+        self.n_fed = 0
+
+    def feed(self, types: list[str]) -> int:
+        for t in types:
+            self.n_fed += 1
+            if t in self.counts:
+                self.counts[t] += 1
+            elif len(self.counts) < self.cap:
+                self.counts[t] = 1
+                self.err[t] = 0
+            else:
+                victim = min(self.counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+                vcount = self.counts.pop(victim)
+                self.err.pop(victim)
+                self.counts[t] = vcount + 1
+                self.err[t] = vcount
+        return self.n_fed
+
+    def summary(self) -> tuple:
+        items = [(t, c, self.err[t]) for t, c in sorted(self.counts.items())]
+        # upper bound for ABSENT types in this bucket: the current min
+        # estimate if the table ever filled (an absent type may have
+        # been evicted with up to min count), else 0 (never evicted)
+        absent_bound = (
+            min(self.counts.values()) if len(self.counts) >= self.cap else 0
+        )
+        return items, absent_bound
+
+
+def streaming_heavy_hitters(
+    sf_dir: str, capacity: int = 4, n_buckets: int = 8
+) -> pd.DataFrame:
+    """Streaming heavy-hitter replay: SpaceSaving summaries (capacity
+    4 per bucket) maintained incrementally by per-bucket actors over
+    the ts-ordered event feed, merged at the end — the O(k)-memory
+    top-type monitor a stream processor runs where exact counts are
+    unaffordable.  The SpaceSaving invariant (est - err <= true <=
+    est, and any type with true count > n_bucket/capacity is present)
+    is asserted against exact counts in tests; the merged summary also
+    reports per-type guaranteed lower bounds.
+
+    Partitioning assumptions: bucket = user_id % n_buckets (same-user
+    order preserved per actor); summaries merge by summing estimates
+    and errors, which preserves the invariant bucket-wise."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    df = ds.sort("ts").to_pandas()
+    actors = [_HeavyHitterBucket.remote(capacity) for _ in range(n_buckets)]
+    bucket = (df["user_id"].to_numpy() % n_buckets).astype(int)
+    CHUNK = 4096
+    pending = []
+    for start in range(0, len(df), CHUNK):
+        sub = df.iloc[start : start + CHUNK]
+        b = bucket[start : start + CHUNK]
+        for i in range(n_buckets):
+            mask = b == i
+            if mask.any():
+                pending.append(
+                    actors[i].feed.remote(sub.loc[mask, "event_type"].tolist())
+                )
+    ray.get(pending)
+    summaries = ray.get([a.summary.remote() for a in actors])
+    # merge rule: a bucket where the type is PRESENT contributes its
+    # estimate (and lower bound est - err); a bucket where it is
+    # ABSENT contributes its absent_bound to the upper bound only —
+    # summing bare estimates would UNDERCOUNT evicted types and break
+    # est >= true (caught by the invariant test)
+    types = sorted({t for items, _ in summaries for t, _, _ in items})
+    rows = []
+    for t in types:
+        upper = 0
+        lower = 0
+        for items, absent_bound in summaries:
+            lut = {it[0]: it for it in items}
+            if t in lut:
+                _, c, e = lut[t]
+                upper += c
+                lower += c - e
+            else:
+                upper += absent_bound
+        rows.append(
+            {"event_type": t, "est_count": upper,
+             "max_overcount": upper - lower, "guaranteed_min": lower}
+        )
+    out = pd.DataFrame(rows)
+    for c in ("est_count", "max_overcount", "guaranteed_min"):
+        out[c] = out[c].astype("int64")
+    return out
