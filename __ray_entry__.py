@@ -1067,6 +1067,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_selection": lambda sf: llm.coverage_selection(sf),
         # Hive-partitioned sink + partition-pruned read round-trip
         "partitioned_write_pruned_read": dso.partitioned_write_pruned_read,
+        "parquet_layout_audit": dso.parquet_layout_audit,
+        "rowgroup_pruning_audit": dso.rowgroup_pruning_audit,
         # ANN acceptance report: recall@k of IVF vs exact (rows-only)
         "ann_recall_report": lambda sf: similarity.ann_recall_report(sf),
         # grounding-effect panel: assistant length by tool context
@@ -2061,6 +2063,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median_k": rel.weighted_median_k_sql(),
         "split_leakage_scan": dedup_mod.split_leakage_scan_sql(),
         "partitioned_write_pruned_read": dso.partitioned_write_pruned_read_sql(),
+        "parquet_layout_audit": dso.parquet_layout_audit_sql("/root/testdata/sf0.01"),
+        "rowgroup_pruning_audit": dso.rowgroup_pruning_audit_sql("/root/testdata/sf0.01"),
         "assistant_length_by_tool_context": cv.assistant_length_by_tool_context_sql(
             _T2_SHARDS
         ),

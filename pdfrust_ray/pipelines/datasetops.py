@@ -3653,3 +3653,158 @@ def curve_locality_audit(sf_dir: str, order: int = 6, n_buckets: int = 64) -> pd
     out["total_steps"] = out["total_steps"].astype("int64")
     out["max_step"] = out["max_step"].astype("int64")
     return out[["curve", "total_steps", "max_step"]]
+
+
+RG_AUDIT_PATH = "/tmp/pdfrust_ray_fixtures/rg_audit/events_rg.parquet"
+
+
+def _ensure_rg_file(sf_dir: str) -> str:
+    """Write the ts-sorted, ten-row-group copy of events the physical
+    audits run on — the layout a time-partitioned lakehouse table
+    would actually have (the raw fixture is one giant row group, so
+    zone maps have nothing to prune).  Deterministic: same input, same
+    bytes."""
+    import os
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(RG_AUDIT_PATH), exist_ok=True)
+    marker = RG_AUDIT_PATH + ".src"
+    if os.path.exists(RG_AUDIT_PATH) and os.path.exists(marker):
+        if open(marker).read() == sf_dir:
+            return RG_AUDIT_PATH
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    t = t.take(_pc.sort_indices(t, sort_keys=[("ts", "ascending"),
+                                              ("event_id", "ascending")]))
+    # ~10 groups at every scale so the zone-map ladder is never vacuous
+    rg = max(1, -(-t.num_rows // 10))
+    pq.write_table(t, RG_AUDIT_PATH, row_group_size=rg)
+    with open(marker, "w") as f:
+        f.write(sf_dir)
+    return RG_AUDIT_PATH
+
+
+def parquet_layout_audit(sf_dir: str) -> "pd.DataFrame":
+    """Physical-layout census of the ts-sorted events copy (see
+    _ensure_rg_file): one row per Parquet row group with its row
+    count, column-chunk count, and exact compressed/uncompressed byte
+    totals — the file-health report compaction planners and
+    readers-per-core sizing start from.  Engine reads the footer via
+    pyarrow; the oracle re-derives the same numbers from DuckDB's
+    parquet_metadata() over the SAME engine-written file, so both the
+    write path and the audit are pinned bit-exact.
+
+    Distributed plan: footers are O(KB) regardless of data size; at a
+    100-TB table this maps over the file list (one footer read per
+    task) — here a single file, read once on the driver."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(_ensure_rg_file(sf_dir)).metadata
+    rows = []
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        comp = sum(rg.column(c).total_compressed_size
+                   for c in range(rg.num_columns))
+        unc = sum(rg.column(c).total_uncompressed_size
+                  for c in range(rg.num_columns))
+        rows.append(
+            {
+                "row_group_id": g,
+                "num_rows": rg.num_rows,
+                "n_columns": rg.num_columns,
+                "compressed_bytes": comp,
+                "uncompressed_bytes": unc,
+            }
+        )
+    return pd.DataFrame(rows).astype("int64")
+
+
+def parquet_layout_audit_sql(sf_dir: str) -> str:
+    return f"""
+        SELECT CAST(row_group_id AS BIGINT) AS row_group_id,
+               CAST(MAX(row_group_num_rows) AS BIGINT) AS num_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_columns,
+               CAST(SUM(total_compressed_size) AS BIGINT)
+                   AS compressed_bytes,
+               CAST(SUM(total_uncompressed_size) AS BIGINT)
+                   AS uncompressed_bytes
+        FROM parquet_metadata('{RG_AUDIT_PATH}')
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def rowgroup_pruning_audit(sf_dir: str) -> "pd.DataFrame":
+    """Zone-map effectiveness audit: for a ladder of `ts >= c`
+    predicates (c at eighths of the observed stats span, exact
+    epoch-microsecond integers), how many row groups the footer
+    min/max statistics prove skippable and how many rows that saves —
+    the number that says whether the table's sort order actually buys
+    predicate pushdown.  A group is prunable iff its stats_max < c.
+    Bit-exact vs the parquet_metadata() SQL twin.
+
+    Distributed plan: footer-only, like parquet_layout_audit."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(_ensure_rg_file(sf_dir))
+    meta = md.metadata
+    names = md.schema_arrow.names
+    ts_idx = names.index("ts")
+    groups = []
+    for g in range(meta.num_row_groups):
+        rg = meta.row_group(g)
+        st = rg.column(ts_idx).statistics
+        lo = int(st.min.timestamp() * 1_000_000) if hasattr(st.min, "timestamp") else int(st.min)
+        hi = int(st.max.timestamp() * 1_000_000) if hasattr(st.max, "timestamp") else int(st.max)
+        groups.append((lo, hi, rg.num_rows))
+    lo_all = min(g[0] for g in groups)
+    hi_all = max(g[1] for g in groups)
+    rows = []
+    for i in range(1, 9):
+        c = lo_all + i * (hi_all - lo_all) // 8
+        pruned = [g for g in groups if g[1] < c]
+        rows.append(
+            {
+                "step": i,
+                "cutoff_us": c,
+                "n_groups": len(groups),
+                "n_pruned": len(pruned),
+                "rows_skipped": sum(g[2] for g in pruned),
+            }
+        )
+    return pd.DataFrame(rows).astype("int64")
+
+
+def rowgroup_pruning_audit_sql(sf_dir: str) -> str:
+    return f"""
+        WITH st AS (
+            SELECT row_group_id,
+                   MAX(row_group_num_rows) AS nrows,
+                   epoch_us(CAST(MAX(stats_min_value) AS TIMESTAMP)) AS lo,
+                   epoch_us(CAST(MAX(stats_max_value) AS TIMESTAMP)) AS hi
+            FROM parquet_metadata('{RG_AUDIT_PATH}')
+            WHERE path_in_schema = 'ts'
+            GROUP BY 1
+        ), span AS (
+            SELECT MIN(lo) AS lo_all, MAX(hi) AS hi_all,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups
+            FROM st
+        ), ladder AS (
+            SELECT CAST(range AS BIGINT) AS step,
+                   span.lo_all + range * (span.hi_all - span.lo_all) // 8
+                       AS cutoff_us,
+                   span.n_groups
+            FROM range(1, 9) CROSS JOIN span
+        )
+        SELECT l.step, l.cutoff_us, l.n_groups,
+               CAST(COALESCE(SUM(CASE WHEN st.hi < l.cutoff_us
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS n_pruned,
+               CAST(COALESCE(SUM(CASE WHEN st.hi < l.cutoff_us
+                                      THEN st.nrows END), 0) AS BIGINT)
+                   AS rows_skipped
+        FROM ladder l CROSS JOIN st
+        GROUP BY 1, 2, 3 ORDER BY 1
+    """
