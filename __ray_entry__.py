@@ -643,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_prefix_echo": _q_conv(cv.conv_prefix_echo),
         "conv_role_latency_asymmetry": _q_conv(cv.conv_role_latency_asymmetry),
         "turn_line_repetition": _q_conv(cv.turn_line_repetition),
+        "conv_echo_attribution": _q_conv(cv.conv_echo_attribution),
         "conv_turnlen_autocorr": _q_conv(cv.conv_turnlen_autocorr),
         "turn_latency": _q_conv(cv.turn_latency),
         "tool_usage": _q_conv(cv.tool_usage),
@@ -1110,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_filter_funnel": textops.doc_filter_funnel,
         "source_len_ks_matrix": textops.source_len_ks_matrix,
         "zipf_slope_fit": textops.zipf_slope_fit,
+        "nb_source_confusion": textops.nb_source_confusion,
         "token_adaptation_stats": textops.token_adaptation_stats,
         # calendar densify + forward fill on the daily revenue grid
         "daily_gap_fill": rel.daily_gap_fill,
@@ -1906,6 +1908,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_prefix_echo": cv.conv_prefix_echo_sql(_T2_SHARDS),
         "conv_role_latency_asymmetry": cv.conv_role_latency_asymmetry_sql(_T2_SHARDS),
         "turn_line_repetition": cv.turn_line_repetition_sql(_T2_SHARDS),
+        "conv_echo_attribution": cv.conv_echo_attribution_sql(_T2_SHARDS),
         "conv_turnlen_autocorr": cv.conv_turnlen_autocorr_sql(_T2_SHARDS),
         "turn_latency": cv.turn_latency_sql(_T2_SHARDS),
         "tool_usage": cv.tool_usage_sql(_T2_SHARDS),
@@ -2089,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_filter_funnel": textops.doc_filter_funnel_sql(),
         "source_len_ks_matrix": textops.source_len_ks_matrix_sql(),
         "zipf_slope_fit": textops.zipf_slope_fit_sql(),
+        "nb_source_confusion": textops.nb_source_confusion_sql(),
         "token_adaptation_stats": textops.token_adaptation_stats_sql(),
         "daily_gap_fill": rel.daily_gap_fill_sql(),
         "user_active_day_bitmap": rel.user_active_day_bitmap_sql(),

@@ -3546,3 +3546,96 @@ def turn_line_repetition_sql(shards_glob: str) -> str:
         FROM base b LEFT JOIN per_turn p USING (conv_id, turn_idx)
         GROUP BY b.conv_id ORDER BY b.conv_id
     """
+
+
+def conv_echo_attribution(corpus_dir: str) -> pd.DataFrame:
+    """Echo attribution: for every token occurrence that repeats an
+    earlier turn (the conv_prefix_echo definition), WHO introduced it —
+    split by the role of the turn where the token first appeared
+    (user / assistant / tool).  Separates copy-down of user input from
+    assistant self-repetition from tool-output quoting — three very
+    different curation signals.  Python-dict token accounting
+    (NUL-exact); arg-min-by-turn SQL twin.
+
+    Distributed plan: conv-keyed bucket shuffle; per conv one pass
+    building token -> (first_turn, first_role), one pass counting."""
+    ds = rd.read_parquet(
+        f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv_id, sub in g.groupby("conv_id", sort=False):
+            sub = sub.sort_values("turn_idx")
+            first: dict[str, tuple[int, str]] = {}
+            for turn, role, text in zip(
+                sub["turn_idx"], sub["role"], sub["text"]
+            ):
+                turn = int(turn)
+                for tok in text.split(" "):
+                    if tok and tok not in first:
+                        first[tok] = (turn, role)
+            echo = {"user": 0, "assistant": 0, "tool": 0}
+            for turn, _, text in zip(
+                sub["turn_idx"], sub["role"], sub["text"]
+            ):
+                turn = int(turn)
+                for tok in text.split(" "):
+                    if tok:
+                        ft, fr = first[tok]
+                        if turn > ft:
+                            echo[fr] = echo.get(fr, 0) + 1
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "echo_from_user": echo.get("user", 0),
+                    "echo_from_assistant": echo.get("assistant", 0),
+                    "echo_from_tool": echo.get("tool", 0),
+                }
+            )
+        out = pd.DataFrame(rows)
+        for c in ("echo_from_user", "echo_from_assistant", "echo_from_tool"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = (
+        _coalesced(ds.map_batches(_with_bucket, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def conv_echo_attribution_sql(shards_glob: str) -> str:
+    return f"""
+        WITH ex AS (
+            SELECT conv_id, turn_idx, role,
+                   unnest(string_split(text, ' ')) AS token
+            FROM read_parquet('{shards_glob}')
+        ), tok AS (
+            SELECT * FROM ex WHERE token <> ''
+        ), f AS (
+            SELECT conv_id, token,
+                   MIN(turn_idx) AS ft,
+                   arg_min(role, turn_idx) AS fr
+            FROM tok GROUP BY 1, 2
+        ), e AS (
+            SELECT t.conv_id, f.fr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok t JOIN f USING (conv_id, token)
+            WHERE t.turn_idx > f.ft
+            GROUP BY 1, 2
+        ), base AS (
+            SELECT DISTINCT conv_id FROM read_parquet('{shards_glob}')
+        )
+        SELECT b.conv_id,
+               COALESCE(MAX(CASE WHEN e.fr = 'user' THEN e.n END), 0)
+                   AS echo_from_user,
+               COALESCE(MAX(CASE WHEN e.fr = 'assistant' THEN e.n END), 0)
+                   AS echo_from_assistant,
+               COALESCE(MAX(CASE WHEN e.fr = 'tool' THEN e.n END), 0)
+                   AS echo_from_tool
+        FROM base b LEFT JOIN e USING (conv_id)
+        GROUP BY b.conv_id ORDER BY b.conv_id
+    """

@@ -2325,3 +2325,159 @@ def zipf_slope_fit_sql() -> str:
                    AS slope_den
         FROM q GROUP BY source ORDER BY source
     """
+
+
+def nb_source_confusion(sf_dir: str) -> pd.DataFrame:
+    """Naive-Bayes source identification, end to end in exact
+    integers: train multinomial NB on the corpus itself (add-one
+    smoothing over the global vocabulary), score every document with
+    NANO-NAT-QUANTIZED per-token log-likelihoods + log-prior (one libm
+    call per grid cell from exact int inputs — the value_tail_hill
+    precedent), predict argmax (ties to the lexicographically smallest
+    source) and publish the confusion matrix.  Because every score is
+    an order-free int64 sum, the SQL twin — the same model written as
+    joins and window argmax — is bit-exact: a full train+predict+eval
+    ML loop under the hash gate.
+
+    Distributed plan: the parameter grid (vocab x sources) folds
+    through one vocab-sized exchange, broadcasts to the scoring stage;
+    per-batch scoring is one gather+matvec per doc; the confusion fold
+    is sources^2-sized."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def counts(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"source": t["source"].to_pylist(), "text": t["text"].to_pylist()}
+        )
+        ex = df.assign(token=df["text"].str.split(" ")).explode("token")
+        ex = ex[ex["token"].notna() & (ex["token"] != "")]
+        g = ex.groupby(["source", "token"], as_index=False).agg(c=("text", "size"))
+        # doc counts ride along on a reserved key (token_lang_chi2 trick)
+        d = df.groupby("source", as_index=False).agg(c=("text", "size"))
+        d.insert(1, "token", "\x00__docs__")
+        out = pd.concat([g, d], ignore_index=True)
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    grid = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    docs = grid[grid["token"] == "\x00__docs__"]
+    d_s = dict(zip(docs["source"], docs["c"].astype(int)))
+    d_tot = int(sum(d_s.values()))
+    g = grid[grid["token"] != "\x00__docs__"]
+    sources = sorted(d_s)
+    vocab = sorted(set(g["token"]))
+    v = len(vocab)
+    tok_idx = {t: i for i, t in enumerate(vocab)}
+    src_idx = {s: i for i, s in enumerate(sources)}
+    t_s = g.groupby("source")["c"].sum().to_dict()
+    like = np.zeros((v, len(sources)), dtype=np.int64)
+    for s in sources:
+        denom = int(t_s.get(s, 0)) + v
+        base = int(math.floor(math.log(1.0 / denom) * 1e9 + 0.5))
+        like[:, src_idx[s]] = base
+    for s, t, c in zip(g["source"], g["token"], g["c"].astype(int)):
+        denom = int(t_s[s]) + v
+        like[tok_idx[t], src_idx[s]] = int(
+            math.floor(math.log((c + 1) / denom) * 1e9 + 0.5)
+        )
+    prior = np.array(
+        [int(math.floor(math.log(d_s[s] / d_tot) * 1e9 + 0.5)) for s in sources],
+        dtype=np.int64,
+    )
+    import ray as _ray
+
+    model_ref = _ray.put((like, prior, tok_idx))
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        lk, pr, tix = _ray.get(model_ref)
+        rows = {"true_source": [], "pred_source": []}
+        for src, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            acc = pr.copy()
+            for tok in text.split(" "):
+                if tok:
+                    acc = acc + lk[tix[tok]]
+            rows["true_source"].append(src)
+            rows["pred_source"].append(sources[int(np.argmax(acc))])
+        return pd.DataFrame(rows)
+
+    from ray.data.aggregate import Count
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby(["true_source", "pred_source"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["true_source", "pred_source"])
+        .reset_index(drop=True)
+    )
+
+
+def nb_source_confusion_sql() -> str:
+    return """
+        WITH ex AS (
+            SELECT doc_id, source AS true_source,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), tok AS (
+            SELECT * FROM ex WHERE token <> ''
+        ), cnt AS (
+            SELECT true_source AS source, token,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ), st AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM cnt GROUP BY 1
+        ), vocab AS (SELECT DISTINCT token FROM cnt),
+        vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        srcs AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS d
+            FROM documents GROUP BY 1
+        ), dn AS (SELECT CAST(SUM(d) AS BIGINT) AS dt FROM srcs),
+        prior AS (
+            SELECT source,
+                   CAST(FLOOR(ln(CAST(d AS DOUBLE) / dn.dt) * 1e9 + 0.5)
+                        AS BIGINT) AS qp
+            FROM srcs CROSS JOIN dn
+        ), lik AS (
+            SELECT s.source, vb.token,
+                   CAST(FLOOR(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                                 / (s.ts + vn.v)) * 1e9 + 0.5) AS BIGINT)
+                       AS ql
+            FROM st s CROSS JOIN vocab vb CROSS JOIN vn
+            LEFT JOIN cnt c ON c.source = s.source AND c.token = vb.token
+        ), doc_tok AS (
+            SELECT doc_id, true_source, token,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM tok GROUP BY 1, 2, 3
+        ), scores AS (
+            SELECT dt.doc_id, dt.true_source, l.source AS cand,
+                   CAST(SUM(dt.m * l.ql) AS BIGINT) + MAX(p.qp) AS score
+            FROM doc_tok dt
+            JOIN lik l USING (token)
+            JOIN prior p ON p.source = l.source
+            GROUP BY 1, 2, 3
+        ), pred AS (
+            SELECT doc_id, true_source, cand AS pred_source,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand) AS rn
+            FROM scores
+        )
+        SELECT true_source, pred_source,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
