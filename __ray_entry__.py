@@ -1325,6 +1325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_payment_pairs": rel.duplicate_payment_pairs,
         "priority_inversion_census": rel.priority_inversion_census,
         "selectivity_estimate_audit": rel.selectivity_estimate_audit,
+        "capacity_waterfill_allocation": rel.capacity_waterfill_allocation,
+        "type_halfmass_time": rel.type_halfmass_time,
         "type_gini_mean_diff": rel.type_gini_mean_diff,
         "returns_pchart_audit": rel.returns_pchart_audit,
         "user_daily_periodicity": rel.user_daily_periodicity,
@@ -2188,6 +2190,8 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_payment_pairs": rel.duplicate_payment_pairs_sql(),
         "priority_inversion_census": rel.priority_inversion_census_sql(),
         "selectivity_estimate_audit": rel.selectivity_estimate_audit_sql(),
+        "capacity_waterfill_allocation": rel.capacity_waterfill_allocation_sql(),
+        "type_halfmass_time": rel.type_halfmass_time_sql(),
         "type_gini_mean_diff": rel.type_gini_mean_diff_sql(),
         "returns_pchart_audit": rel.returns_pchart_audit_sql(),
         "user_daily_periodicity": rel.user_daily_periodicity_sql(),

@@ -24912,3 +24912,187 @@ def type_gini_mean_diff_sql() -> str:
                CAST(MAX(n) * (MAX(n) - 1) // 2 AS BIGINT) AS n_pairs
         FROM r GROUP BY event_type ORDER BY event_type
     """
+
+
+def capacity_waterfill_allocation(sf_dir: str) -> pd.DataFrame:
+    """Max-min fair (water-filling) allocation of a constrained daily
+    capacity across event types, entirely in integers: with demands
+    d_t = per-type event counts and capacity C = total // 2, every
+    type below the waterline keeps its demand; the rest share the
+    remaining capacity at level L = (C - sum_satisfied) // n_rest with
+    the first `rem` unsaturated types (demand asc, then name asc)
+    getting +1 — the multi-tenant throttling decision every shared
+    ingest pipeline makes.  Closed-form waterline (no iteration), so
+    the window-function SQL twin is bit-exact; allocations conserve
+    min(C, total) exactly.
+
+    Distributed plan: one type-count exchange; the O(types log types)
+    waterline fold runs on the driver."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    d = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="demand"))
+        .to_pandas()
+        .sort_values(["demand", "event_type"])
+        .reset_index(drop=True)
+    )
+    demands = d["demand"].astype(int).tolist()
+    names = d["event_type"].tolist()
+    n = len(demands)
+    total = sum(demands)
+    cap = total // 2
+    alloc = {}
+    if total <= cap:
+        for t, dem in zip(names, demands):
+            alloc[t] = dem
+    else:
+        pref = 0
+        chosen = None
+        for k in range(n):  # satisfy first k types fully (k=0..n-1)
+            lmax = (cap - pref) // (n - k)
+            if lmax < demands[k]:
+                chosen = (k, pref, lmax)
+                break
+            pref += demands[k]
+        assert chosen is not None
+        k, pref, level = chosen
+        rem = cap - pref - level * (n - k)
+        for i, (t, dem) in enumerate(zip(names, demands)):
+            if i < k:
+                alloc[t] = dem
+            else:
+                alloc[t] = level + (1 if (i - k) < rem else 0)
+    out = pd.DataFrame(
+        {
+            "event_type": names,
+            "demand": demands,
+            "allocated": [alloc[t] for t in names],
+            "capacity": [cap] * n,
+        }
+    )
+    for c in ("demand", "allocated", "capacity"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def capacity_waterfill_allocation_sql() -> str:
+    return """
+        WITH d AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS demand
+            FROM events GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(demand) AS BIGINT) AS total,
+                   CAST(SUM(demand) // 2 AS BIGINT) AS cap,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM d
+        ), s AS (
+            SELECT event_type, demand,
+                   ROW_NUMBER() OVER (ORDER BY demand, event_type) AS rk,
+                   COALESCE(SUM(demand) OVER (
+                       ORDER BY demand, event_type
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS pref
+            FROM d
+        ), cut AS (
+            -- the first rank whose demand exceeds its waterline
+            SELECT s.rk AS kk, s.pref AS pref_k,
+                   (tot.cap - s.pref) // (tot.n - s.rk + 1) AS level
+            FROM s CROSS JOIN tot
+            WHERE (tot.cap - s.pref) // (tot.n - s.rk + 1) < s.demand
+            ORDER BY s.rk LIMIT 1
+        )
+        SELECT s.event_type, s.demand,
+               CAST(CASE
+                   WHEN tot.total <= tot.cap THEN s.demand
+                   WHEN s.rk < cut.kk THEN s.demand
+                   ELSE cut.level
+                        + CASE WHEN s.rk - cut.kk <
+                                    tot.cap - cut.pref_k
+                                    - cut.level * (tot.n - cut.kk + 1)
+                               THEN 1 ELSE 0 END
+               END AS BIGINT) AS allocated,
+               tot.cap AS capacity
+        FROM s CROSS JOIN tot LEFT JOIN cut ON TRUE
+        ORDER BY s.event_type
+    """
+
+
+def type_halfmass_time(sf_dir: str) -> pd.DataFrame:
+    """Traffic half-mass clock: per (day, event_type), the exact
+    timestamp (and its microsecond-of-day) of the ceil(n/2)-th event —
+    when half the day's traffic for that type has already landed.
+    The number capacity planners read to place a mid-day scale-down.
+    Exact order statistic with (ts, event_id) tie order; ROW_NUMBER
+    SQL twin.
+
+    Distributed plan: (day, type)-keyed groupby; one partition +
+    select per group."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "day": pc.divide(us, 86_400_000_000),
+                "event_type": t["event_type"],
+                "ts_us": us,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        n = len(g)
+        half = (n + 1) // 2
+        row = g.iloc[half - 1]
+        return pd.DataFrame(
+            {
+                "day": [int(g["day"].iloc[0])],
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [n],
+                "half_ts_us": [int(row["ts_us"])],
+                "half_us_of_day": [int(row["ts_us"]) % 86_400_000_000],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("day", "n", "half_ts_us", "half_us_of_day"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["day", "event_type"]).reset_index(drop=True)
+
+
+def type_halfmass_time_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                   event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                   event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY epoch_us(CAST(ts AS TIMESTAMP))
+                                    // 86400000000, event_type
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                       AS rn,
+                   COUNT(*) OVER (
+                       PARTITION BY epoch_us(CAST(ts AS TIMESTAMP))
+                                    // 86400000000, event_type) AS n
+            FROM events
+        )
+        SELECT CAST(day AS BIGINT) AS day, event_type,
+               CAST(n AS BIGINT) AS n,
+               CAST(ts_us AS BIGINT) AS half_ts_us,
+               CAST(ts_us % 86400000000 AS BIGINT) AS half_us_of_day
+        FROM e WHERE rn = (n + 1) // 2
+        ORDER BY day, event_type
+    """
