@@ -1326,6 +1326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_inversion_census": rel.priority_inversion_census,
         "selectivity_estimate_audit": rel.selectivity_estimate_audit,
         "capacity_waterfill_allocation": rel.capacity_waterfill_allocation,
+        "embedding_split_half_drift": rel.embedding_split_half_drift,
+        "order_brand_simpson": rel.order_brand_simpson,
         "type_halfmass_time": rel.type_halfmass_time,
         "type_gini_mean_diff": rel.type_gini_mean_diff,
         "returns_pchart_audit": rel.returns_pchart_audit,
@@ -2191,6 +2193,8 @@ def oracle_sql() -> dict[str, str]:
         "priority_inversion_census": rel.priority_inversion_census_sql(),
         "selectivity_estimate_audit": rel.selectivity_estimate_audit_sql(),
         "capacity_waterfill_allocation": rel.capacity_waterfill_allocation_sql(),
+        "embedding_split_half_drift": rel.embedding_split_half_drift_sql(),
+        "order_brand_simpson": rel.order_brand_simpson_sql(),
         "type_halfmass_time": rel.type_halfmass_time_sql(),
         "type_gini_mean_diff": rel.type_gini_mean_diff_sql(),
         "returns_pchart_audit": rel.returns_pchart_audit_sql(),

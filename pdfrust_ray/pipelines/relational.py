@@ -25096,3 +25096,190 @@ def type_halfmass_time_sql() -> str:
         FROM e WHERE rn = (n + 1) // 2
         ORDER BY day, event_type
     """
+
+
+def embedding_split_half_drift(sf_dir: str) -> pd.DataFrame:
+    """Split-half centroid stability per label: vectors split by
+    vec_id parity, per-dimension micro-quantized sums folded per half,
+    and the cross-multiplied L1 centroid gap published as the exact
+    integer Σ_d |Se_d·n_o − So_d·n_e| (the mean-difference scaled by
+    n_e·n_o — no division).  Large drift means the label's centroid is
+    an unstable summary (too few vectors or multimodal) — the
+    reliability check before trusting label centroids for routing.
+
+    Distributed plan: one (label, parity) per-dimension sum exchange
+    (labels × 2 × dims rows); the gap folds on the driver."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
+        )
+        q = np.round(emb * 1_000_000).astype(np.int64)
+        par = vid % 2
+        rows = []
+        for l in np.unique(lab):
+            for p in (0, 1):
+                m = (lab == l) & (par == p)
+                if m.any():
+                    s = q[m].sum(axis=0)
+                    rows.append(
+                        {
+                            "label": int(l),
+                            "parity": int(p),
+                            "n": int(m.sum()),
+                            **{f"s{d}": int(v) for d, v in enumerate(s)},
+                        }
+                    )
+        return pd.DataFrame(rows)
+
+    from ray.data.aggregate import Sum
+
+    dims = 64
+    aggs = [Sum("n", alias_name="n")] + [
+        Sum(f"s{d}", alias_name=f"s{d}") for d in range(dims)
+    ]
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "parity"])
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    rows = []
+    for l, sub in g.groupby("label", sort=True):
+        even = sub[sub["parity"] == 0]
+        odd = sub[sub["parity"] == 1]
+        n_e = int(even["n"].iloc[0]) if len(even) else 0
+        n_o = int(odd["n"].iloc[0]) if len(odd) else 0
+        if n_e == 0 or n_o == 0:
+            drift = -1
+        else:
+            se = even[[f"s{d}" for d in range(dims)]].to_numpy(np.int64)[0]
+            so = odd[[f"s{d}" for d in range(dims)]].to_numpy(np.int64)[0]
+            drift = int(np.abs(se * n_o - so * n_e).sum())
+        rows.append(
+            {"label": int(l), "n_even": n_e, "n_odd": n_o,
+             "drift_l1_scaled": drift}
+        )
+    return pd.DataFrame(rows).astype("int64")
+
+
+def embedding_split_half_drift_sql() -> str:
+    return """
+        WITH f AS (
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(vec_id % 2 AS BIGINT) AS parity,
+                   vec_id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                       AS dim,
+                   CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS q
+            FROM embeddings
+        ), sums AS (
+            SELECT label, parity, dim,
+                   CAST(SUM(q) AS BIGINT) AS s,
+                   CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+            FROM f GROUP BY 1, 2, 3
+        ), halves AS (
+            SELECT e.label, e.dim,
+                   e.s AS se, o.s AS so, e.n AS ne, o.n AS nno
+            FROM sums e JOIN sums o
+              ON e.label = o.label AND e.dim = o.dim
+             AND e.parity = 0 AND o.parity = 1
+        ), per_label AS (
+            SELECT label,
+                   CAST(MAX(ne) AS BIGINT) AS n_even,
+                   CAST(MAX(nno) AS BIGINT) AS n_odd,
+                   CAST(SUM(ABS(se * nno - so * ne)) AS BIGINT)
+                       AS drift_l1_scaled
+            FROM halves GROUP BY 1
+        ), all_labels AS (
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_even,
+                   CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_odd
+            FROM embeddings GROUP BY 1
+        )
+        SELECT a.label, a.n_even, a.n_odd,
+               CAST(COALESCE(p.drift_l1_scaled, -1) AS BIGINT)
+                   AS drift_l1_scaled
+        FROM all_labels a LEFT JOIN per_label p USING (label)
+        ORDER BY a.label
+    """
+
+
+def order_brand_simpson(sf_dir: str) -> pd.DataFrame:
+    """Basket concentration per order: distinct part brands, item
+    count, and the Simpson-index numerator Σ_b c_b² over brand line
+    counts — exact integers (the diversity-vs-concentration signal for
+    cross-sell analysis), via one lineitem→part broadcast join.
+
+    Distributed plan: part (small side) broadcast via ray.put-backed
+    Arrow join inside map_batches; one orderkey groupby."""
+    import numpy as np
+
+    part = (
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+        .to_pandas()
+    )
+    import ray as _ray
+
+    brand_ref = _ray.put(
+        dict(zip(part["p_partkey"].astype(int), part["p_brand"]))
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def keys(t: pa.Table) -> pd.DataFrame:
+        lut = _ray.get(brand_ref)
+        ok = [int(v) for v in t["l_orderkey"].to_pylist()]
+        pk = [int(v) for v in t["l_partkey"].to_pylist()]
+        return pd.DataFrame(
+            {"orderkey": ok, "brand": [lut[k] for k in pk]}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby("brand").size()
+        return pd.DataFrame(
+            {
+                "orderkey": [int(g["orderkey"].iloc[0])],
+                "n_items": [len(g)],
+                "n_brands": [len(counts)],
+                "simpson_num": [int((counts.to_numpy(np.int64) ** 2).sum())],
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("orderkey")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("orderkey").reset_index(drop=True).astype("int64")
+
+
+def order_brand_simpson_sql() -> str:
+    return """
+        WITH j AS (
+            SELECT CAST(l_orderkey AS BIGINT) AS orderkey, p_brand AS brand
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+        ), c AS (
+            SELECT orderkey, brand, CAST(COUNT(*) AS BIGINT) AS c
+            FROM j GROUP BY 1, 2
+        )
+        SELECT orderkey,
+               CAST(SUM(c) AS BIGINT) AS n_items,
+               CAST(COUNT(*) AS BIGINT) AS n_brands,
+               CAST(SUM(c * c) AS BIGINT) AS simpson_num
+        FROM c GROUP BY orderkey ORDER BY orderkey
+    """
