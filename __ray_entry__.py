@@ -1327,6 +1327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selectivity_estimate_audit": rel.selectivity_estimate_audit,
         "capacity_waterfill_allocation": rel.capacity_waterfill_allocation,
         "embedding_split_half_drift": rel.embedding_split_half_drift,
+        "nation_revenue_theil": rel.nation_revenue_theil,
+        "user_activity_lorenz": rel.user_activity_lorenz,
         "order_brand_simpson": rel.order_brand_simpson,
         "type_halfmass_time": rel.type_halfmass_time,
         "type_gini_mean_diff": rel.type_gini_mean_diff,
@@ -2194,6 +2196,8 @@ def oracle_sql() -> dict[str, str]:
         "selectivity_estimate_audit": rel.selectivity_estimate_audit_sql(),
         "capacity_waterfill_allocation": rel.capacity_waterfill_allocation_sql(),
         "embedding_split_half_drift": rel.embedding_split_half_drift_sql(),
+        "nation_revenue_theil": rel.nation_revenue_theil_sql(),
+        "user_activity_lorenz": rel.user_activity_lorenz_sql(),
         "order_brand_simpson": rel.order_brand_simpson_sql(),
         "type_halfmass_time": rel.type_halfmass_time_sql(),
         "type_gini_mean_diff": rel.type_gini_mean_diff_sql(),

@@ -25283,3 +25283,151 @@ def order_brand_simpson_sql() -> str:
                CAST(SUM(c * c) AS BIGINT) AS simpson_num
         FROM c GROUP BY orderkey ORDER BY orderkey
     """
+
+
+def nation_revenue_theil(sf_dir: str) -> pd.DataFrame:
+    """Theil-T inequality terms of revenue across nations: per nation
+    the exact revenue cents x_i, the quantized log-ratio
+    q_i = round_half_up(ln(x_i·n / X)·1e9) and the contribution
+    x_i·q_i (cent-nano-nats; T = Σ x_i·q_i / (X·1e9)) — the
+    concentration decomposition trade economists run, with every
+    published number an exact int64 (one libm call per nation from
+    exact integer inputs, the value_tail_hill precedent).
+
+    Distributed plan: customer→nation broadcast join inside
+    map_batches, one nation-sum exchange, O(nations) driver fold."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    import ray as _ray
+
+    nat_ref = _ray.put(
+        dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int)))
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def keys(t: pa.Table) -> pd.DataFrame:
+        lut = _ray.get(nat_ref)
+        ck = [int(v) for v in t["o_custkey"].to_pylist()]
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {"nationkey": [lut[k] for k in ck],
+             "cents": cents.astype(np.int64)}
+        )
+
+    g = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("cents", alias_name="rev"))
+        .to_pandas()
+        .sort_values("nationkey")
+        .reset_index(drop=True)
+    )
+    n = len(g)
+    total = int(g["rev"].sum())
+    qs, contribs = [], []
+    for x in g["rev"].astype(int):
+        q = int(math.floor(math.log(x * n / total) * 1e9 + 0.5))
+        qs.append(q)
+        contribs.append(x * q)
+    out = pd.DataFrame(
+        {
+            "nationkey": g["nationkey"].astype("int64"),
+            "rev_cents": g["rev"].astype("int64"),
+            "lnratio_nano": pd.Series(qs, dtype="int64"),
+            "contrib": pd.Series(contribs, dtype="int64"),
+        }
+    )
+    return out
+
+
+def nation_revenue_theil_sql() -> str:
+    return """
+        WITH r AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1
+        ), t AS (
+            SELECT CAST(SUM(rev) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM r
+        )
+        SELECT r.nationkey,
+               r.rev AS rev_cents,
+               CAST(FLOOR(ln(CAST(r.rev AS DOUBLE) * t.n / t.total) * 1e9
+                          + 0.5) AS BIGINT) AS lnratio_nano,
+               CAST(r.rev * CAST(FLOOR(ln(CAST(r.rev AS DOUBLE) * t.n
+                                          / t.total) * 1e9 + 0.5) AS BIGINT)
+                    AS BIGINT) AS contrib
+        FROM r CROSS JOIN t ORDER BY r.nationkey
+    """
+
+
+def user_activity_lorenz(sf_dir: str) -> pd.DataFrame:
+    """Lorenz decile table of user activity: users ranked by event
+    count ascending (ties by user_id), folded into ten NTILE deciles
+    with exact per-decile and cumulative event mass — the coordinates
+    behind the Gini number, published as integers so share-of-activity
+    cutoffs ('bottom 50% of users produce X events') read directly.
+
+    Distributed plan: one user-count exchange; the decile fold runs on
+    the driver over the user-count table (users, not events)."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    g = (
+        ds.groupby("user_id")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "user_id"])
+        .reset_index(drop=True)
+    )
+    u = len(g)
+    # NTILE semantics: first (u % 10) deciles get the extra user
+    base, rem = divmod(u, 10)
+    sizes = [base + (1 if i < rem else 0) for i in range(10)]
+    rows = []
+    start = 0
+    cum = 0
+    for i, sz in enumerate(sizes, start=1):
+        chunk = g.iloc[start : start + sz]
+        ev = int(chunk["n"].sum())
+        cum += ev
+        rows.append(
+            {"decile": i, "n_users": sz, "events_in_decile": ev,
+             "cum_events": cum}
+        )
+        start += sz
+    return pd.DataFrame(rows).astype("int64")
+
+
+def user_activity_lorenz_sql() -> str:
+    return """
+        WITH c AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ), d AS (
+            SELECT n, NTILE(10) OVER (ORDER BY n, user_id) AS decile
+            FROM c
+        ), agg AS (
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(n) AS BIGINT) AS events_in_decile
+            FROM d GROUP BY 1
+        )
+        SELECT decile, n_users, events_in_decile,
+               CAST(SUM(events_in_decile) OVER (ORDER BY decile)
+                    AS BIGINT) AS cum_events
+        FROM agg ORDER BY decile
+    """
