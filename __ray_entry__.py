@@ -297,6 +297,36 @@ def _q_extract_mode(mode: str):
     return run
 
 
+def _q_extract_mode_agreement(sf_dir: str):
+    """Cross-mode error parity as a first-class query: run the text
+    and chars pipelines LIVE over the modes fixture and compare
+    per-turn parse_status — the round-2 ADVICE error-order fix
+    (content.py TJ emission order) is what keeps these identical, so
+    this query pins it under the hash gate."""
+    from pdfrust_ray.fixtures.corpus import ensure_modes_fixture
+    from pdfrust_ray.pipelines.extract_pipeline import build_extraction
+    from pdfrust_ray.sources.transcripts import read_transcripts
+
+    d = ensure_modes_fixture()
+    outs = {}
+    for mode in ("text", "chars"):
+        ds = read_transcripts(d)
+        out = build_extraction(ds, mode=mode, batch_size=4, concurrency=2)
+        outs[mode] = (
+            out.select_columns(["conv_id", "turn_idx", "parse_status"])
+            .to_pandas()
+            .rename(columns={"parse_status": f"status_{mode}"})
+        )
+    m = outs["text"].merge(outs["chars"], on=["conv_id", "turn_idx"])
+    m["agree"] = (m["status_text"] == m["status_chars"]).astype("int64")
+    return (
+        m.sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[
+            ["conv_id", "turn_idx", "status_text", "status_chars", "agree"]
+        ]
+    )
+
+
 def _q_extract_spec15(sf_dir: str):
     """PDF 1.5 spec-mode pipeline (xref streams / ObjStm / predictors)
     over the spec15 fixture family — the reference cannot read these
@@ -579,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_status_by_payload": _q_extract_status_by_payload,
         "extract_info": _q_extract_info,
         "extract_chars": _q_extract_mode("chars"),
+        "extract_mode_agreement": _q_extract_mode_agreement,
         "extract_font": _q_extract_mode("font"),
         "extract_raw_content": _q_extract_mode("raw-content"),
         "extract_text_spec15": _q_extract_spec15,
@@ -1328,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "capacity_waterfill_allocation": rel.capacity_waterfill_allocation,
         "embedding_split_half_drift": rel.embedding_split_half_drift,
         "nation_revenue_theil": rel.nation_revenue_theil,
+        "user_value_msd_median": rel.user_value_msd_median,
         "user_activity_lorenz": rel.user_activity_lorenz,
         "order_brand_simpson": rel.order_brand_simpson,
         "type_halfmass_time": rel.type_halfmass_time,
@@ -1726,6 +1758,18 @@ def oracle_sql() -> dict[str, str]:
                    creation_date, mod_date, parse_status
             FROM read_parquet('{_INFO_GOLDEN}')
             ORDER BY conv_id, turn_idx
+        """,
+        "extract_mode_agreement": f"""
+            SELECT t.conv_id, t.turn_idx,
+                   t.parse_status AS status_text,
+                   c.parse_status AS status_chars,
+                   CAST(CASE WHEN t.parse_status = c.parse_status
+                             THEN 1 ELSE 0 END AS BIGINT) AS agree
+            FROM read_parquet('{_MODES_GOLDEN}') t
+            JOIN read_parquet('{_MODES_GOLDEN}') c
+              ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+             AND t.mode = 'text' AND c.mode = 'chars'
+            ORDER BY t.conv_id, t.turn_idx
         """,
         "extract_chars": f"""
             SELECT conv_id, turn_idx, extracted_text, parse_status
@@ -2197,6 +2241,7 @@ def oracle_sql() -> dict[str, str]:
         "capacity_waterfill_allocation": rel.capacity_waterfill_allocation_sql(),
         "embedding_split_half_drift": rel.embedding_split_half_drift_sql(),
         "nation_revenue_theil": rel.nation_revenue_theil_sql(),
+        "user_value_msd_median": rel.user_value_msd_median_sql(),
         "user_activity_lorenz": rel.user_activity_lorenz_sql(),
         "order_brand_simpson": rel.order_brand_simpson_sql(),
         "type_halfmass_time": rel.type_halfmass_time_sql(),

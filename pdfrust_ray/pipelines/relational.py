@@ -25431,3 +25431,71 @@ def user_activity_lorenz_sql() -> str:
                     AS BIGINT) AS cum_events
         FROM agg ORDER BY decile
     """
+
+
+def user_value_msd_median(sf_dir: str) -> pd.DataFrame:
+    """Robust per-user value volatility: the exact LOWER MEDIAN of the
+    absolute successive cent differences |x_i − x_{i−1}| over the
+    (ts, event_id)-ordered stream — the outlier-proof alternative to
+    std-of-diffs for spotting erratic spenders.  Exact order statistic
+    (element (n+1)//2 of the sorted diffs); LAG + ROW_NUMBER SQL twin.
+    Users with a single event emit no row.
+
+    Distributed plan: user-keyed groupby; per group one sort + diff +
+    partition."""
+    import numpy as np
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        if len(cents) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_diffs": pd.Series([], dtype="int64"),
+                    "median_abs_diff": pd.Series([], dtype="int64"),
+                }
+            )
+        d = np.sort(np.abs(np.diff(cents)))
+        half = (len(d) + 1) // 2
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_diffs": [len(d)],
+                "median_abs_diff": [int(d[half - 1])],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True).astype("int64")
+
+
+def user_value_msd_median_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT user_id,
+                   ABS(CAST(ROUND(value * 100) AS BIGINT)
+                       - LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))
+                       AS ad
+            FROM events
+        ), d AS (
+            SELECT user_id, ad,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ad) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM e WHERE ad IS NOT NULL
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(n AS BIGINT) AS n_diffs,
+               CAST(ad AS BIGINT) AS median_abs_diff
+        FROM d WHERE rn = (n + 1) // 2
+        ORDER BY user_id
+    """
