@@ -1360,6 +1360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_split_half_drift": rel.embedding_split_half_drift,
         "nation_revenue_theil": rel.nation_revenue_theil,
         "user_value_msd_median": rel.user_value_msd_median,
+        "custbal_revenue_kendall": rel.custbal_revenue_kendall,
+        "boundary_timestamp_audit": rel.boundary_timestamp_audit,
         "user_activity_lorenz": rel.user_activity_lorenz,
         "order_brand_simpson": rel.order_brand_simpson,
         "type_halfmass_time": rel.type_halfmass_time,
@@ -2242,6 +2244,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_split_half_drift": rel.embedding_split_half_drift_sql(),
         "nation_revenue_theil": rel.nation_revenue_theil_sql(),
         "user_value_msd_median": rel.user_value_msd_median_sql(),
+        "custbal_revenue_kendall": rel.custbal_revenue_kendall_sql(),
+        "boundary_timestamp_audit": rel.boundary_timestamp_audit_sql(),
         "user_activity_lorenz": rel.user_activity_lorenz_sql(),
         "order_brand_simpson": rel.order_brand_simpson_sql(),
         "type_halfmass_time": rel.type_halfmass_time_sql(),

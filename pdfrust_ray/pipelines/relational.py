@@ -25499,3 +25499,204 @@ def user_value_msd_median_sql() -> str:
         FROM d WHERE rn = (n + 1) // 2
         ORDER BY user_id
     """
+
+
+def custbal_revenue_kendall(sf_dir: str) -> pd.DataFrame:
+    """Kendall tau-b sufficient statistics between customer account
+    balance and realized order revenue (both in exact cents): the
+    concordant / discordant / tie pair counts over all customer pairs
+    — does the static balance field actually rank customers the way
+    their spend does?  Engine sweeps a Fenwick tree over
+    balance-sorted customers (O(n log n), the Pareto-dominance
+    precedent); the SQL twin is the O(n²) self-join, exact at gate
+    scale.  Customers with no orders count as zero revenue.
+
+    Distributed plan: one custkey revenue fold joined to the customer
+    projection; the pair sweep runs on the driver over the
+    customer-count table (customers, not orders)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    rev = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "custkey": pc.cast(t["o_custkey"], pa.int64()),
+                    "cents": _cents(t["o_totalprice"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("custkey")
+        .aggregate(Sum("cents", alias_name="rev"))
+        .to_pandas()
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).to_pandas()
+    cust["bal"] = np.round(cust["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    m = cust.merge(
+        rev, left_on="c_custkey", right_on="custkey", how="left"
+    )
+    m["rev"] = m["rev"].fillna(0).astype(np.int64)
+    x = m["bal"].to_numpy(np.int64)
+    y = m["rev"].to_numpy(np.int64)
+    n = len(m)
+    # sort by (x, y); sweep y through a Fenwick tree of y-ranks
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    yr = np.searchsorted(np.sort(np.unique(ys)), ys) + 1
+    size = int(yr.max()) + 1
+    tree = np.zeros(size + 1, dtype=np.int64)
+
+    def update(i):
+        while i <= size:
+            tree[i] += 1
+            i += i & (-i)
+
+    def query(i):  # count of inserted y-ranks <= i
+        s = 0
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
+    concordant = discordant = ties_xy = ties_x_only = ties_y_only = 0
+    i = 0
+    inserted = 0
+    while i < n:
+        j = i
+        while j < n and xs[j] == xs[i]:
+            j += 1
+        # pairs within the tie-block of x
+        block = ys[i:j]
+        vals, cnts = np.unique(block, return_counts=True)
+        same_xy = int((cnts * (cnts - 1) // 2).sum())
+        ties_xy += same_xy
+        ties_x_only += len(block) * (len(block) - 1) // 2 - same_xy
+        for k in range(i, j):
+            r = int(yr[k])
+            less = query(r - 1)
+            eq = query(r) - less
+            concordant += less
+            ties_y_only += eq
+            discordant += inserted - less - eq
+        for k in range(i, j):
+            update(int(yr[k]))
+        inserted += j - i
+        i = j
+    return pd.DataFrame(
+        {
+            "n_customers": [n],
+            "concordant": [concordant],
+            "discordant": [discordant],
+            "ties_x_only": [ties_x_only],
+            "ties_y_only": [ties_y_only],
+            "ties_xy": [ties_xy],
+        }
+    ).astype("int64")
+
+
+def custbal_revenue_kendall_sql() -> str:
+    return """
+        WITH r AS (
+            SELECT CAST(o_custkey AS BIGINT) AS custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1
+        ), m AS (
+            SELECT CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS x,
+                   COALESCE(r.rev, 0) AS y
+            FROM customer c LEFT JOIN r ON r.custkey = c.c_custkey
+        ), pairs AS (
+            SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+            FROM (SELECT x, y, ROW_NUMBER() OVER (ORDER BY x, y) AS i
+                  FROM m) a
+            JOIN (SELECT x, y, ROW_NUMBER() OVER (ORDER BY x, y) AS i
+                  FROM m) b
+              ON a.i < b.i
+        )
+        SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_customers,
+               CAST(SUM(CASE WHEN (xa < xb AND ya < yb)
+                               OR (xa > xb AND ya > yb)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+               CAST(SUM(CASE WHEN (xa < xb AND ya > yb)
+                               OR (xa > xb AND ya < yb)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+               CAST(SUM(CASE WHEN xa = xb AND ya <> yb
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ties_x_only,
+               CAST(SUM(CASE WHEN xa <> xb AND ya = yb
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ties_y_only,
+               CAST(SUM(CASE WHEN xa = xb AND ya = yb
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ties_xy
+        FROM pairs
+    """
+
+
+def boundary_timestamp_audit(sf_dir: str) -> pd.DataFrame:
+    """Batch-artifact detector: per event type, how many timestamps
+    fall in the FIRST and LAST second of their hour — synthetic or
+    batch-stamped feeds pile up at boundaries, organic traffic
+    doesn't.  Published with the exact cross-multiplied excess flag
+    (n_first_sec * 3600 > 2 * n means >2x the uniform expectation).
+    Pure integers; modulo-arithmetic SQL twin.
+
+    Distributed plan: one type-keyed count exchange of three ints."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        h = pc.divide(us, 3_600_000_000)
+        of = pc.subtract(us, pc.multiply(h, 3_600_000_000))
+        one = pa.scalar(1, pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "first_sec": pc.if_else(pc.less(of, 1_000_000), one, zero),
+                "last_sec": pc.if_else(
+                    pc.greater_equal(of, 3_599_000_000), one, zero
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("first_sec", alias_name="n_first_sec"),
+            Sum("last_sec", alias_name="n_last_sec"),
+        )
+        .to_pandas()
+    )
+    out["excess_first"] = (
+        out["n_first_sec"] * 3600 > 2 * out["n"]
+    ).astype("int64")
+    for c in ("n", "n_first_sec", "n_last_sec"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def boundary_timestamp_audit_sql() -> str:
+    return """
+        WITH e AS (
+            SELECT event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) % 3600000000 AS of
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN of < 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_first_sec,
+               CAST(SUM(CASE WHEN of >= 3599000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_last_sec,
+               CAST(CASE WHEN SUM(CASE WHEN of < 1000000 THEN 1 ELSE 0 END)
+                              * 3600 > 2 * COUNT(*)
+                         THEN 1 ELSE 0 END AS BIGINT) AS excess_first
+        FROM e GROUP BY event_type ORDER BY event_type
+    """
