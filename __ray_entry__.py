@@ -1361,6 +1361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_theil": rel.nation_revenue_theil,
         "user_value_msd_median": rel.user_value_msd_median,
         "custbal_revenue_kendall": rel.custbal_revenue_kendall,
+        "hourly_acf_spectrum": rel.hourly_acf_spectrum,
+        "type_above_median_runs": rel.type_above_median_runs,
         "boundary_timestamp_audit": rel.boundary_timestamp_audit,
         "user_activity_lorenz": rel.user_activity_lorenz,
         "order_brand_simpson": rel.order_brand_simpson,
@@ -2245,6 +2247,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue_theil": rel.nation_revenue_theil_sql(),
         "user_value_msd_median": rel.user_value_msd_median_sql(),
         "custbal_revenue_kendall": rel.custbal_revenue_kendall_sql(),
+        "hourly_acf_spectrum": rel.hourly_acf_spectrum_sql(),
+        "type_above_median_runs": rel.type_above_median_runs_sql(),
         "boundary_timestamp_audit": rel.boundary_timestamp_audit_sql(),
         "user_activity_lorenz": rel.user_activity_lorenz_sql(),
         "order_brand_simpson": rel.order_brand_simpson_sql(),
