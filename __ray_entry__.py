@@ -1362,6 +1362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_msd_median": rel.user_value_msd_median,
         "custbal_revenue_kendall": rel.custbal_revenue_kendall,
         "hourly_acf_spectrum": rel.hourly_acf_spectrum,
+        "session_entry_exit_matrix": rel.session_entry_exit_matrix,
+        "type_sojourn_time": rel.type_sojourn_time,
         "type_above_median_runs": rel.type_above_median_runs,
         "boundary_timestamp_audit": rel.boundary_timestamp_audit,
         "user_activity_lorenz": rel.user_activity_lorenz,
@@ -2248,6 +2250,8 @@ def oracle_sql() -> dict[str, str]:
         "user_value_msd_median": rel.user_value_msd_median_sql(),
         "custbal_revenue_kendall": rel.custbal_revenue_kendall_sql(),
         "hourly_acf_spectrum": rel.hourly_acf_spectrum_sql(),
+        "session_entry_exit_matrix": rel.session_entry_exit_matrix_sql(),
+        "type_sojourn_time": rel.type_sojourn_time_sql(),
         "type_above_median_runs": rel.type_above_median_runs_sql(),
         "boundary_timestamp_audit": rel.boundary_timestamp_audit_sql(),
         "user_activity_lorenz": rel.user_activity_lorenz_sql(),
