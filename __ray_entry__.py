@@ -675,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_role_latency_asymmetry": _q_conv(cv.conv_role_latency_asymmetry),
         "turn_line_repetition": _q_conv(cv.turn_line_repetition),
         "conv_echo_attribution": _q_conv(cv.conv_echo_attribution),
+        "assistant_phrase_census": _q_conv(cv.assistant_phrase_census),
         "conv_turnlen_autocorr": _q_conv(cv.conv_turnlen_autocorr),
         "turn_latency": _q_conv(cv.turn_latency),
         "tool_usage": _q_conv(cv.tool_usage),
@@ -1363,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custbal_revenue_kendall": rel.custbal_revenue_kendall,
         "hourly_acf_spectrum": rel.hourly_acf_spectrum,
         "session_entry_exit_matrix": rel.session_entry_exit_matrix,
+        "cosupplier_degree_histogram": rel.cosupplier_degree_histogram,
         "type_sojourn_time": rel.type_sojourn_time,
         "type_above_median_runs": rel.type_above_median_runs,
         "boundary_timestamp_audit": rel.boundary_timestamp_audit,
@@ -1965,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_role_latency_asymmetry": cv.conv_role_latency_asymmetry_sql(_T2_SHARDS),
         "turn_line_repetition": cv.turn_line_repetition_sql(_T2_SHARDS),
         "conv_echo_attribution": cv.conv_echo_attribution_sql(_T2_SHARDS),
+        "assistant_phrase_census": cv.assistant_phrase_census_sql(_T2_SHARDS),
         "conv_turnlen_autocorr": cv.conv_turnlen_autocorr_sql(_T2_SHARDS),
         "turn_latency": cv.turn_latency_sql(_T2_SHARDS),
         "tool_usage": cv.tool_usage_sql(_T2_SHARDS),
@@ -2251,6 +2254,7 @@ def oracle_sql() -> dict[str, str]:
         "custbal_revenue_kendall": rel.custbal_revenue_kendall_sql(),
         "hourly_acf_spectrum": rel.hourly_acf_spectrum_sql(),
         "session_entry_exit_matrix": rel.session_entry_exit_matrix_sql(),
+        "cosupplier_degree_histogram": rel.cosupplier_degree_histogram_sql(),
         "type_sojourn_time": rel.type_sojourn_time_sql(),
         "type_above_median_runs": rel.type_above_median_runs_sql(),
         "boundary_timestamp_audit": rel.boundary_timestamp_audit_sql(),

@@ -3639,3 +3639,71 @@ def conv_echo_attribution_sql(shards_glob: str) -> str:
         FROM base b LEFT JOIN e USING (conv_id)
         GROUP BY b.conv_id ORDER BY b.conv_id
     """
+
+
+_ASSISTANT_PROBES = ("answer", "note", "stream", "http://", "fox")
+
+
+def assistant_phrase_census(corpus_dir: str) -> pd.DataFrame:
+    """Role-filtered lexicon scan: for a fixed probe lexicon, the
+    non-overlapping occurrence count and the number of ASSISTANT turns
+    containing each phrase — the dictionary_match_counts shape applied
+    to one side of the dialogue (the screen you'd run for canned
+    phrases, disclaimers, or tool-leak markers in assistant output).
+    Non-overlapping str.count semantics == DuckDB length-replace
+    arithmetic, so the twin is bit-exact.
+
+    Distributed plan: probes broadcast in the closure; each batch
+    emits one lexicon-sized partial."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["role", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = {"phrase": [], "occ": [], "turns": []}
+        texts = [
+            s
+            for r, s in zip(t["role"].to_pylist(), t["text"].to_pylist())
+            if r == "assistant"
+        ]
+        for p in _ASSISTANT_PROBES:
+            occ = sum(s.count(p) for s in texts)
+            turns = sum(1 for s in texts if p in s)
+            rows["phrase"].append(p)
+            rows["occ"].append(occ)
+            rows["turns"].append(turns)
+        df = pd.DataFrame(rows)
+        for c in ("occ", "turns"):
+            df[c] = df[c].astype("int64")
+        return df
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("phrase")
+        .aggregate(Sum("occ", alias_name="occurrences"),
+                   Sum("turns", alias_name="n_turns"))
+        .to_pandas()
+    )
+    for c in ("occurrences", "n_turns"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("phrase").reset_index(drop=True)
+
+
+def assistant_phrase_census_sql(shards_glob: str) -> str:
+    probes = ", ".join(f"('{p}')" for p in _ASSISTANT_PROBES)
+    return f"""
+        WITH probes(phrase) AS (VALUES {probes}),
+        a AS (
+            SELECT text FROM read_parquet('{shards_glob}')
+            WHERE role = 'assistant'
+        )
+        SELECT p.phrase,
+               CAST(COALESCE(SUM((length(a.text)
+                    - length(replace(a.text, p.phrase, '')))
+                    // length(p.phrase)), 0) AS BIGINT) AS occurrences,
+               CAST(COALESCE(SUM(CASE WHEN contains(a.text, p.phrase)
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_turns
+        FROM probes p CROSS JOIN a
+        GROUP BY p.phrase ORDER BY p.phrase
+    """
