@@ -676,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_line_repetition": _q_conv(cv.turn_line_repetition),
         "conv_echo_attribution": _q_conv(cv.conv_echo_attribution),
         "assistant_phrase_census": _q_conv(cv.assistant_phrase_census),
+        "assistant_numeric_claim_census": _q_conv(cv.assistant_numeric_claim_census),
         "conv_turnlen_autocorr": _q_conv(cv.conv_turnlen_autocorr),
         "turn_latency": _q_conv(cv.turn_latency),
         "tool_usage": _q_conv(cv.tool_usage),
@@ -1365,6 +1366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_acf_spectrum": rel.hourly_acf_spectrum,
         "session_entry_exit_matrix": rel.session_entry_exit_matrix,
         "cosupplier_degree_histogram": rel.cosupplier_degree_histogram,
+        "orders_monthly_bridge": rel.orders_monthly_bridge,
         "type_sojourn_time": rel.type_sojourn_time,
         "type_above_median_runs": rel.type_above_median_runs,
         "boundary_timestamp_audit": rel.boundary_timestamp_audit,
@@ -1968,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_line_repetition": cv.turn_line_repetition_sql(_T2_SHARDS),
         "conv_echo_attribution": cv.conv_echo_attribution_sql(_T2_SHARDS),
         "assistant_phrase_census": cv.assistant_phrase_census_sql(_T2_SHARDS),
+        "assistant_numeric_claim_census": cv.assistant_numeric_claim_census_sql(_T2_SHARDS),
         "conv_turnlen_autocorr": cv.conv_turnlen_autocorr_sql(_T2_SHARDS),
         "turn_latency": cv.turn_latency_sql(_T2_SHARDS),
         "tool_usage": cv.tool_usage_sql(_T2_SHARDS),
@@ -2255,6 +2258,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_acf_spectrum": rel.hourly_acf_spectrum_sql(),
         "session_entry_exit_matrix": rel.session_entry_exit_matrix_sql(),
         "cosupplier_degree_histogram": rel.cosupplier_degree_histogram_sql(),
+        "orders_monthly_bridge": rel.orders_monthly_bridge_sql(),
         "type_sojourn_time": rel.type_sojourn_time_sql(),
         "type_above_median_runs": rel.type_above_median_runs_sql(),
         "boundary_timestamp_audit": rel.boundary_timestamp_audit_sql(),

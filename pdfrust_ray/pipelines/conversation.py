@@ -3707,3 +3707,105 @@ def assistant_phrase_census_sql(shards_glob: str) -> str:
         FROM probes p CROSS JOIN a
         GROUP BY p.phrase ORDER BY p.phrase
     """
+
+
+_NUM_LIT_RE = None  # compiled lazily; pattern kept RE2/`re` agreeing
+
+
+def _num_lit_re():
+    global _NUM_LIT_RE
+    if _NUM_LIT_RE is None:
+        import re
+
+        # ASCII digit classes only: Python `\d` is Unicode-wide while
+        # RE2's is ASCII, so [0-9] keeps both engines bit-agreeing
+        # (same precedent as functions/textstats.BPE_PATTERN).
+        _NUM_LIT_RE = re.compile(r"[+-]?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?")
+    return _NUM_LIT_RE
+
+
+def assistant_numeric_claim_census(corpus_dir: str) -> pd.DataFrame:
+    """Numeric-literal census over ASSISTANT turns: every numeric
+    literal the assistant emitted, bucketed by lexical kind (int /
+    decimal / scientific), with occurrence count, number of distinct
+    turns containing the kind, and total literal characters — the
+    screen you run before trusting model-quoted numbers (hallucinated
+    precision, unit drift) or when mining numeric-claim spans for
+    verification sets.  Exact integers; the DuckDB twin runs the SAME
+    regex via regexp_extract_all.
+
+    Distributed plan: regex compiled once per process, scan inside
+    map_batches; each turn lives in exactly one batch so per-kind
+    (occurrences, turns, chars) partials are additive; one 3-row
+    groupby(kind) fold."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["role", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rx = _num_lit_re()
+        occ = {"int": 0, "decimal": 0, "scientific": 0}
+        turns = {"int": 0, "decimal": 0, "scientific": 0}
+        chars = {"int": 0, "decimal": 0, "scientific": 0}
+        for r, s in zip(t["role"].to_pylist(), t["text"].to_pylist()):
+            if r != "assistant":
+                continue
+            seen = set()
+            for m in rx.finditer(s):
+                lit = m.group(0)
+                kind = (
+                    "scientific"
+                    if ("e" in lit or "E" in lit)
+                    else ("decimal" if "." in lit else "int")
+                )
+                occ[kind] += 1
+                chars[kind] += len(lit)
+                seen.add(kind)
+            for k in seen:
+                turns[k] += 1
+        kinds = sorted(occ)
+        return pd.DataFrame(
+            {
+                "kind": kinds,
+                "occ": pd.Series([occ[k] for k in kinds], dtype="int64"),
+                "turns": pd.Series([turns[k] for k in kinds], dtype="int64"),
+                "chars": pd.Series([chars[k] for k in kinds], dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(
+            Sum("occ", alias_name="occurrences"),
+            Sum("turns", alias_name="n_turns"),
+            Sum("chars", alias_name="total_chars"),
+        )
+        .to_pandas()
+    )
+    out = out[out["occurrences"] > 0]
+    for c in ("occurrences", "n_turns", "total_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("kind").reset_index(drop=True)
+
+
+def assistant_numeric_claim_census_sql(shards_glob: str) -> str:
+    return f"""
+        WITH a AS (
+            SELECT conv_id || '/' || CAST(turn_idx AS VARCHAR) AS tk, text
+            FROM read_parquet('{shards_glob}') WHERE role = 'assistant'
+        ), m AS (
+            SELECT tk,
+                   unnest(regexp_extract_all(
+                       text, '[+-]?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?')) AS lit
+            FROM a
+        )
+        SELECT CASE WHEN contains(lit, 'e') OR contains(lit, 'E')
+                        THEN 'scientific'
+                    WHEN contains(lit, '.') THEN 'decimal'
+                    ELSE 'int' END AS kind,
+               CAST(COUNT(*) AS BIGINT) AS occurrences,
+               CAST(COUNT(DISTINCT tk) AS BIGINT) AS n_turns,
+               CAST(SUM(length(lit)) AS BIGINT) AS total_chars
+        FROM m GROUP BY 1 ORDER BY 1
+    """
