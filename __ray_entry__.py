@@ -297,6 +297,22 @@ def _q_extract_mode(mode: str):
     return run
 
 
+def _q_content_op_census(sf_dir: str):
+    """Content-stream operator census: run the raw-content pipeline
+    LIVE over the modes fixture, then census operator tokens
+    distributed (lexical rule shared with the DuckDB twin, which
+    applies it to the frozen golden)."""
+    from pdfrust_ray.fixtures.corpus import ensure_modes_fixture
+    from pdfrust_ray.pipelines.extract_pipeline import build_extraction
+    from pdfrust_ray.pipelines.textops import content_op_lexical_census
+    from pdfrust_ray.sources.transcripts import read_transcripts
+
+    d = ensure_modes_fixture()
+    ds = read_transcripts(d)
+    out = build_extraction(ds, mode="raw-content", batch_size=4, concurrency=2)
+    return content_op_lexical_census(out)
+
+
 def _q_extract_mode_agreement(sf_dir: str):
     """Cross-mode error parity as a first-class query: run the text
     and chars pipelines LIVE over the modes fixture and compare
@@ -612,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_mode_agreement": _q_extract_mode_agreement,
         "extract_font": _q_extract_mode("font"),
         "extract_raw_content": _q_extract_mode("raw-content"),
+        "content_op_census": _q_content_op_census,
         "extract_text_spec15": _q_extract_spec15,
         "extract_text_xobj": _q_extract_xobj,
         "extract_text_filters": _q_extract_filters,
@@ -628,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": lambda sf: dedup.dedup_clusters(sf),
         # --- similarity search ---
         "ann_topk": lambda sf: similarity.brute_force_topk(sf),
+        "matryoshka_recall_curve": lambda sf: similarity.matryoshka_recall_curve(sf),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf),
         # IVF with every bucket probed is EXACT (same tie-break as the
         # brute-force scan) — proves the assign/probe machinery exactly
@@ -1796,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_MODES_GOLDEN}') WHERE mode = 'raw-content'
             ORDER BY conv_id, turn_idx
         """,
+        "content_op_census": textops.content_op_census_sql(_MODES_GOLDEN),
         "extract_text_spec15": f"""
             SELECT conv_id, turn_idx, payload_kind, extracted_text,
                    parse_status, n_pages, bytes_decoded, error
@@ -1826,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS dup_count
             FROM documents GROUP BY md5(text) ORDER BY text_hash
         """,
+        "matryoshka_recall_curve": similarity_mod.matryoshka_recall_curve_sql(),
         "ann_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe

@@ -2481,3 +2481,100 @@ def nb_source_confusion_sql() -> str:
         FROM pred WHERE rn = 1
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+# ISO 32000-1 Table A.1 content-stream operator lexicon (all 73) —
+# shared between content_op_census and its DuckDB twin so both sides
+# filter the same token set.
+PDF_CONTENT_OPS = (
+    "b B b* B* BDC BI BMC BT BX c cm CS cs d d0 d1 Do DP EI EMC ET EX f "
+    "F f* G g gs h i ID j J K k l m M MP n q Q re RG rg ri s S SC sc SCN "
+    "scn sh T* Tc Td TD Tf Tj TJ TL Tm Tr Ts Tw Tz v w W W* x y z '"
+).split() + ['"']
+
+# explicit ASCII class: Python's \s is Unicode-wide and includes \x0b,
+# RE2's is ASCII — the shared class keeps both engines agreeing, and
+# tokens glued to NUL padding (the Flate 10x quirk) fail the lexicon
+# match identically on both sides.
+_OP_SPLIT = "[ \\t\\r\\n\\f]"
+
+
+def content_op_lexical_census(raw_ds) -> pd.DataFrame:
+    """LEXICAL census of content-stream operators over raw-content
+    extraction output: whitespace-split each decoded stream and count
+    tokens that are standard PDF operators, plus the number of distinct
+    documents using each.  Lexical, not parsed — a string literal
+    containing ` Tj ` counts (documented; the SQL twin applies the
+    identical rule), which is what you want for a quick fleet-wide
+    profile of which operator families payloads use before deciding
+    interpreter coverage priorities.
+
+    Distributed plan: takes the raw-content extraction DATASET; each
+    turn lives in exactly one batch so per-op (occurrences, docs)
+    partials are additive; one lexicon-sized groupby(op) fold.
+
+    `raw_ds`: Ray Dataset with extracted_text + parse_status columns
+    (e.g. build_extraction(..., mode="raw-content"))."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    rx = re.compile(_OP_SPLIT + "+")
+    ops = set(PDF_CONTENT_OPS)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        occ: dict[str, int] = {}
+        docs: dict[str, int] = {}
+        for s, st in zip(
+            t["extracted_text"].to_pylist(), t["parse_status"].to_pylist()
+        ):
+            if st != "ok":
+                continue
+            seen = set()
+            for tok in rx.split(s):
+                if tok in ops:
+                    occ[tok] = occ.get(tok, 0) + 1
+                    seen.add(tok)
+            for tok in seen:
+                docs[tok] = docs.get(tok, 0) + 1
+        keys = sorted(occ)
+        return pd.DataFrame(
+            {
+                "op": keys,
+                "occ": pd.Series([occ[o] for o in keys], dtype="int64"),
+                "docs": pd.Series([docs[o] for o in keys], dtype="int64"),
+            }
+        )
+
+    out = (
+        raw_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("op")
+        .aggregate(
+            Sum("occ", alias_name="n_occurrences"),
+            Sum("docs", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    for c in ("n_occurrences", "n_docs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("op").reset_index(drop=True)
+
+
+def content_op_census_sql(golden_parquet: str) -> str:
+    ops = ", ".join(
+        "('" + o.replace("'", "''") + "')" for o in PDF_CONTENT_OPS
+    )
+    return f"""
+        WITH raw AS (
+            SELECT conv_id || '/' || CAST(turn_idx AS VARCHAR) AS dk,
+                   unnest(string_split_regex(extracted_text,
+                                             '{_OP_SPLIT}+')) AS tok
+            FROM read_parquet('{golden_parquet}')
+            WHERE mode = 'raw-content' AND parse_status = 'ok'
+        ), lex(op) AS (VALUES {ops})
+        SELECT l.op,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT r.dk) AS BIGINT) AS n_docs
+        FROM raw r JOIN lex l ON r.tok = l.op
+        GROUP BY 1 ORDER BY 1
+    """

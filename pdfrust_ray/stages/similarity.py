@@ -1659,3 +1659,131 @@ def rbo_ranking_overlap(sf_dir: str, k: int = 10) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows).astype("int64")
+
+
+def _int8_codes(mat: np.ndarray) -> np.ndarray:
+    """Symmetric per-vector int8 codes (same rule as
+    relational.embedding_int8_quantize, float64 arithmetic so the SQL
+    twin's DOUBLE math agrees bit-for-bit)."""
+    x = mat.astype(np.float64)
+    m = np.abs(x).max(axis=1)
+    return np.floor(x * 127.0 / m[:, None] + 0.5).astype(np.int64)
+
+
+def matryoshka_recall_curve(
+    sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10, dims=(8, 16, 32, 64)
+) -> pd.DataFrame:
+    """Matryoshka-style truncation audit: how much of the FULL-dim
+    top-k survives when similarity is computed on only the first
+    d dimensions (d in `dims`) — the measurement behind shipping
+    truncated embeddings for cheap first-stage retrieval.  Scoring is
+    the exact INTEGER dot product of symmetric int8 codes (quantized
+    once over the full vector, the stored representation), so ordering
+    has no float tie hazards and the DuckDB twin (list_transform
+    lambda + array_slice + list_inner_product) is value-exact.
+
+    Output: (query_id, dim, overlap_k) — overlap_k = |top-k at dim d
+    ∩ top-k at full dim|, k x recall as an exact integer.
+
+    Distributed plan: query codes via a pushed-down vec_id filter read,
+    broadcast [Q, D] int64 once; per batch one [B, D] quantize + four
+    sliced integer matmuls + local top-k; global merge is Q x |dims| x k
+    rows on the driver."""
+    query_ids = list(query_ids)
+    dims = sorted(dims)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", query_ids)],
+    )
+    ids = int_column(t["vec_id"])
+    pos = {int(v): i for i, v in enumerate(ids)}
+    qcodes = _int8_codes(embedding_matrix(t["embedding"]))[[pos[q] for q in query_ids]]
+    ref = ray.put(qcodes)
+
+    class PrefixTopK:
+        def __init__(self):
+            self.q = ray.get(ref)  # [Q, D] int64, once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = int_column(batch["vec_id"])
+            c = _int8_codes(embedding_matrix(batch["embedding"]))
+            out = {"qi": [], "dim": [], "vec_id": [], "dot": []}
+            for d in dims:
+                dots = c[:, :d] @ self.q[:, :d].T  # [B, Q] int64
+                take = min(k, len(vid))
+                for qi in range(dots.shape[1]):
+                    col = dots[:, qi]
+                    idx = np.lexsort((vid, -col))[:take]
+                    out["qi"].extend([qi] * take)
+                    out["dim"].extend([d] * take)
+                    out["vec_id"].extend(vid[idx].tolist())
+                    out["dot"].extend(col[idx].tolist())
+            return pa.table(
+                {
+                    "qi": pa.array(out["qi"], pa.int32()),
+                    "dim": pa.array(out["dim"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "dot": pa.array(out["dot"], pa.int64()),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        PrefixTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 2)
+    ).to_pandas()
+
+    full_d = dims[-1]
+    topsets: dict[tuple[int, int], list[int]] = {}
+    for qi, qid in enumerate(query_ids):
+        for d in dims:
+            sub = partials[(partials["qi"] == qi) & (partials["dim"] == d)]
+            best = heapq.nsmallest(k, zip(-sub["dot"], sub["vec_id"]))
+            topsets[(qi, d)] = [int(v) for _, v in best]
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        full = set(topsets[(qi, full_d)])
+        for d in dims:
+            rows.append((qid, d, len(full.intersection(topsets[(qi, d)]))))
+    out = pd.DataFrame(rows, columns=["query_id", "dim", "overlap_k"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["query_id", "dim"]).reset_index(drop=True)
+
+
+def matryoshka_recall_curve_sql(
+    query_ids=(0, 1, 2, 3, 4), k: int = 10, dims=(8, 16, 32, 64)
+) -> str:
+    qlist = ", ".join(str(q) for q in query_ids)
+    dvals = ", ".join(f"({d})" for d in sorted(dims))
+    full_d = max(dims)
+    return f"""
+        WITH codes AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(FLOOR(
+                       CAST(x AS DOUBLE) * 127 /
+                       list_max(list_transform(embedding,
+                                               y -> abs(CAST(y AS DOUBLE))))
+                       + 0.5) AS BIGINT)) AS c
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id IN ({qlist})
+        ), dims(dim) AS (VALUES {dvals}),
+        scored AS (
+            SELECT q.qid, d.dim, codes.vec_id,
+                   CAST(list_inner_product(array_slice(codes.c, 1, d.dim),
+                                           array_slice(q.qc, 1, d.dim))
+                        AS BIGINT) AS dot
+            FROM codes CROSS JOIN q CROSS JOIN dims d
+        ), topk AS (
+            SELECT qid, dim, vec_id FROM scored
+            QUALIFY row_number() OVER (PARTITION BY qid, dim
+                                       ORDER BY dot DESC, vec_id) <= {k}
+        )
+        SELECT t.qid AS query_id, CAST(t.dim AS BIGINT) AS dim,
+               CAST(COUNT(f.vec_id) AS BIGINT) AS overlap_k
+        FROM topk t LEFT JOIN
+             (SELECT qid, vec_id FROM topk WHERE dim = {full_d}) f
+             ON t.qid = f.qid AND t.vec_id = f.vec_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
