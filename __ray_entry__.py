@@ -1846,6 +1846,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text) ORDER BY text_hash
         """,
         "matryoshka_recall_curve": similarity_mod.matryoshka_recall_curve_sql(),
+        "kmv_joinability_estimate": rel.kmv_joinability_estimate_sql(),
+        "hll_distinct_users": sketches.hll_distinct_users_sql(),
         "ann_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe

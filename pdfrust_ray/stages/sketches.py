@@ -75,11 +75,21 @@ def _hll_partial(values: np.ndarray, p: int = _HLL_P) -> bytes:
 
 def _hll_estimate(regs: np.ndarray) -> int:
     """Standard HLL estimator with linear-counting small-range
-    correction (Flajolet et al. 2007, §4)."""
+    correction (Flajolet et al. 2007, §4).
+
+    The indicator sum is folded as the EXACT integer
+    S51 = sum_j 2^(51 - reg_j)  (reg <= 64-p+1 = 51, so every term is
+    integral; S51 <= m * 2^51 < 2^65 fits a Python int / SQL HUGEINT)
+    and the float division happens once at the end — this makes the
+    whole estimator a pure function of the register multiset with ONE
+    deterministic rounding, reproducible bit-for-bit by the DuckDB twin
+    (hll_distinct_users_sql), instead of an order-dependent float sum."""
     m = len(regs)
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int(np.sum(regs == 0))
+    counts = np.bincount(regs.astype(np.int64), minlength=52)
+    s51 = sum(int(c) << (51 - r) for r, c in enumerate(counts.tolist()) if c)
+    est = alpha * m * m * 2.0**51 / float(s51)
+    zeros = int(counts[0])
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return int(round(est))
@@ -93,7 +103,9 @@ def hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     row per group per block; groupby(event_type).map_groups folds the
     blobs with elementwise max and evaluates the estimator. The
     exchange is O(types x blocks x 16KiB) — row count never shuffles.
-    Deterministic: fixed hash, max is order-independent."""
+    Deterministic: fixed hash, max is order-independent — and therefore
+    SQL-oracled EXACTLY (hll_distinct_users_sql recomputes the sketch
+    and estimator value-for-value in DuckDB)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
 
     def partials(t: pa.Table) -> pd.DataFrame:
@@ -588,4 +600,85 @@ def kmv_type_intersections_sql() -> str:
         FROM b a JOIN b c ON a.user_id = c.user_id
                           AND a.event_type < c.event_type
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def hll_distinct_users_sql(p: int = _HLL_P) -> str:
+    """EXACT DuckDB twin of hll_distinct_users: splitmix64 recomputed
+    via HUGEINT 32-bit-limb wraparound arithmetic (bit-identical to
+    the numpy implementation — same technique as
+    relational.kmv_joinability_estimate_sql), registers rebuilt with
+    idx = h >> (64-p) and rho = 65 - bitlength((h << p) mod 2^64),
+    the indicator sum folded as the exact integer S51 and the
+    estimator's single float division + linear-counting branch
+    mirrored operation-for-operation.  Even the sketch is value-exact
+    under the driver's hash gate."""
+    m = 1 << p
+    P64 = "18446744073709551616::HUGEINT"
+    L32 = "4294967296::HUGEINT"
+
+    def mul(z: str, c: int) -> str:
+        clo, chi = c % (1 << 32), c >> 32
+        return (
+            f"((({z}) % {L32}) * {clo}::HUGEINT"
+            f" + {L32} * ((({z}) % {L32}) * {chi}::HUGEINT"
+            f"           + (({z}) // {L32}) * {clo}::HUGEINT)) % {P64}"
+        )
+
+    def xs(z: str, s: int) -> str:
+        return (
+            f"CAST(xor(CAST({z} AS UBIGINT), CAST({z} AS UBIGINT) >> {s})"
+            f" AS HUGEINT)"
+        )
+
+    two51 = float(2.0**51)
+    return f"""
+        WITH du AS (
+            SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS x
+            FROM events
+            UNION
+            SELECT DISTINCT '__all__' AS event_type,
+                   CAST(user_id AS HUGEINT) AS x
+            FROM events
+        ),
+        smx0 AS (SELECT event_type,
+                        (x + 11400714819323198485::HUGEINT) % {P64} AS z
+                 FROM du),
+        smx1 AS (SELECT event_type,
+                        {mul(xs('z', 30), 0xBF58476D1CE4E5B9)} AS z
+                 FROM smx0),
+        smx2 AS (SELECT event_type,
+                        {mul(xs('z', 27), 0x94D049BB133111EB)} AS z
+                 FROM smx1),
+        smx AS (SELECT event_type,
+                       CAST(xor(CAST(z AS UBIGINT),
+                                CAST(z AS UBIGINT) >> 31) AS UBIGINT) AS h
+                FROM smx2),
+        rr AS (SELECT event_type,
+                      CAST(h >> {64 - p} AS BIGINT) AS idx,
+                      CAST((CAST(h AS HUGEINT) * {m}) % {P64} AS UBIGINT)
+                          AS rest
+               FROM smx),
+        regs AS (SELECT event_type, idx,
+                        MAX(CASE WHEN rest = 0 THEN {64 - p + 1}
+                                 ELSE 65 - length(bin(rest)) END) AS rho
+                 FROM rr GROUP BY 1, 2),
+        agg AS (SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_present,
+                       SUM(1::BIGINT << (51 - rho)) AS s_present
+                FROM regs GROUP BY 1),
+        est AS (SELECT event_type,
+                       {m} - n_present AS zeros,
+                       (0.7213 / (1 + 1.079 / {float(m)}))
+                           * {float(m)} * {float(m)} * {two51}
+                           / CAST(({m} - n_present) * (1::HUGEINT << 51)
+                                  + s_present AS DOUBLE) AS raw
+                FROM agg)
+        SELECT event_type,
+               CAST(CASE WHEN raw <= 2.5 * {float(m)} AND zeros > 0
+                         THEN ROUND({float(m)}
+                                    * ln({float(m)} / CAST(zeros AS DOUBLE)))
+                         ELSE ROUND(raw) END AS BIGINT)
+                   AS est_distinct_users
+        FROM est ORDER BY event_type
     """

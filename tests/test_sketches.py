@@ -172,3 +172,30 @@ def test_quantile_sketch_events(ray_session, duck):
     for q, est in zip(out["q"], out["est_value"]):
         true_rank = np.searchsorted(sv, est) / len(sv)
         assert abs(true_rank - q) <= 0.02, (q, est, true[q])
+
+
+def test_hll_sql_twin_bit_exact(ray_session, duck):
+    """The DuckDB twin (splitmix64 in HUGEINT limbs + integer S51)
+    reproduces the engine's HLL estimates value-for-value."""
+    mine = sk.hll_distinct_users(SF).reset_index(drop=True)
+    ora = duck.execute(sk.hll_distinct_users_sql()).fetchdf()
+    assert list(mine["event_type"]) == list(ora["event_type"])
+    assert list(mine["est_distinct_users"]) == [
+        int(v) for v in ora["est_distinct_users"]
+    ]
+
+
+def test_kmv_joinability_sql_twin_bit_exact(ray_session):
+    import duckdb
+
+    from pdfrust_ray.pipelines import relational as rel
+
+    mine = rel.kmv_joinability_estimate(SF).reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    ora = con.execute(rel.kmv_joinability_estimate_sql()).fetchdf()
+    cols = ["col_a", "col_b", "est_jaccard_ppm", "exact_jaccard_ppm", "abs_err_ppm"]
+    assert mine[cols].astype(str).values.tolist() == ora[cols].astype(str).values.tolist()
