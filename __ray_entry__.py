@@ -1848,6 +1848,7 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka_recall_curve": similarity_mod.matryoshka_recall_curve_sql(),
         "kmv_joinability_estimate": rel.kmv_joinability_estimate_sql(),
         "hll_distinct_users": sketches.hll_distinct_users_sql(),
+        "language_profile": textops.language_profile_sql(),
         "ann_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe

@@ -88,10 +88,80 @@ def fingerprints_sql() -> str:
 
 
 def language_profile(sf_dir: str) -> pd.DataFrame:
-    """lang-ID heuristic rollup (rows-only check; the heuristic has no
-    SQL equivalent)."""
+    """lang-ID heuristic rollup — SQL-oracled exactly: the heuristic is
+    a pure deterministic function (fixed lexicons, integer hit counts,
+    double arithmetic), so language_profile_sql reproduces both columns
+    value-for-value."""
     out = text_stats(sf_dir).select_columns(["doc_id", "lang_pred", "quality"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def language_profile_sql() -> str:
+    """EXACT DuckDB twin of the lang-ID + quality heuristic: the
+    stopword lexicons are inlined as list literals, hits counted with
+    list_filter/list_contains, the winner resolved by the same
+    (hits-strictly-greater, alphabetical-first, en-on-zero) cascade,
+    and the quality score recomputed operation-for-operation (verified
+    float-bit-exact on the fixtures — every term is the same double
+    arithmetic, and ROUND(x, 6) lands off the banker\'s-rounding
+    boundaries for these rationals)."""
+    from ..functions.textstats import STOPWORDS
+
+    def lex(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang])) + "]"
+
+    word = "[A-Za-zÀ-ɏ'']+"
+    g4 = "greatest(h_de, h_en, h_es, h_fr)"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text, substr(text, 1, 2000) AS sample,
+                 length(text) AS n
+          FROM documents
+        ), feats AS (
+          SELECT doc_id, text, sample, n,
+                 length(regexp_extract_all(sample, '[一-鿿]')) AS cjk,
+                 length(sample) AS slen,
+                 regexp_extract_all(lower(sample), '{word}') AS swords,
+                 regexp_extract_all(lower(text), '{word}') AS qwords,
+                 length(regexp_extract_all(text, '[^\\w\\s]')) AS punct
+          FROM base
+        ), hits AS (
+          SELECT *,
+            len(list_filter(swords, w -> list_contains({lex("de")}, w))) AS h_de,
+            len(list_filter(swords, w -> list_contains({lex("en")}, w))) AS h_en,
+            len(list_filter(swords, w -> list_contains({lex("es")}, w))) AS h_es,
+            len(list_filter(swords, w -> list_contains({lex("fr")}, w))) AS h_fr
+          FROM feats
+        ), lang AS (
+          SELECT *,
+            CASE WHEN n = 0 THEN 'und'
+                 WHEN cjk * 20 > slen THEN 'zh'
+                 WHEN len(swords) = 0 THEN 'und'
+                 WHEN {g4} = 0 THEN 'en'
+                 WHEN h_de = {g4} THEN 'de'
+                 WHEN h_en = {g4} THEN 'en'
+                 WHEN h_es = {g4} THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+          FROM hits
+        )
+        SELECT doc_id, lang_pred,
+          CASE WHEN n = 0 THEN 0.0 ELSE
+            ROUND(
+              0.35 * (least(n, 2000) / 2000.0)
+            + 0.25 * (1.0 - least(punct / n * 4.0, 1.0))
+            + 0.25 * (CASE WHEN len(qwords) > 0
+                           THEN least(4.0 * len(list_filter(qwords,
+                                    w -> list_contains({lex("en")}, w)))
+                                / len(qwords), 1.0)
+                           ELSE 0.0 END)
+            + 0.15 * (CASE WHEN len(qwords) = 0 THEN 0.0
+                           WHEN list_aggregate(list_transform(qwords,
+                                    w -> length(w)), 'sum') / len(qwords)
+                                BETWEEN 3.0 AND 10.0 THEN 1.0
+                           ELSE 0.5 END), 6)
+          END AS quality
+        FROM lang ORDER BY doc_id
+    """
 
 
 def top_bigrams(sf_dir: str, k: int = 100) -> pd.DataFrame:
