@@ -2217,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ks_statistic": rel.events_ks_statistic_sql(),
         "events_value_auc": rel.events_value_auc_sql(),
         "dedup_method_overlap": dedup_mod.dedup_method_overlap_sql(),
+        "bloom_dedup_audit": dedup_mod.bloom_dedup_audit_sql(),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),

@@ -2113,3 +2113,54 @@ def lsh_plan_table_sql(n_hashes: int = 128, grid: int = 20) -> str:
         FROM combos CROSS JOIN grid
         ORDER BY bands, t
     """
+
+
+def bloom_dedup_audit_sql(
+    m_bits: int = 1 << 16, k_hashes: int = 4, n_probes: int = 10000
+) -> str:
+    """EXACT DuckDB twin of bloom_dedup_audit: the bit indices are a
+    pure function of md5 (first 8 digest bytes as 4 little-endian
+    uint16 words, m_bits = 2^16 so the modulo is the identity), so the
+    filter's bit SET, both probe passes and the theoretical-fpp double
+    are all recomputable in SQL."""
+    assert m_bits == 1 << 16, "twin assumes the 2^16 default"
+
+    def idx_exprs(col: str) -> list[str]:
+        b = [
+            f"CAST(('0x' || substr(md5({col}), {2 * i + 1}, 2)) AS INTEGER)"
+            for i in range(8)
+        ]
+        return [f"({b[2 * j]} + 256 * {b[2 * j + 1]})" for j in range(k_hashes)]
+
+    doc_idx = ", ".join(idx_exprs("text"))
+    probe_idx = ", ".join(idx_exprs("pk"))
+    return f"""
+        WITH bits AS (
+            SELECT DISTINCT unnest([{doc_idx}]) AS bit FROM documents
+        ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        member AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM (
+                SELECT doc_id FROM (
+                    SELECT doc_id, unnest([{doc_idx}]) AS bit FROM documents
+                ) d JOIN bits USING (bit)
+                GROUP BY doc_id HAVING COUNT(*) = {k_hashes}
+            )
+        ), pk AS (
+            SELECT 'probe:' || CAST(i AS VARCHAR) AS pk FROM range({n_probes}) t(i)
+        ), fp AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_fp FROM (
+                SELECT pk FROM (
+                    SELECT pk, unnest([{probe_idx}]) AS bit FROM pk
+                ) p JOIN bits USING (bit)
+                GROUP BY pk HAVING COUNT(*) = {k_hashes}
+            )
+        )
+        SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
+               member.n_found AS n_members_found,
+               CAST({n_probes} AS BIGINT) AS n_probes,
+               fp.n_fp AS n_false_positives,
+               ROUND(POWER(1.0 - POWER(1.0 - 1.0 / {float(m_bits)},
+                                       {k_hashes} * nd.n_docs), {k_hashes}),
+                     8) AS theoretical_fpp
+        FROM nd, member, fp
+    """
