@@ -1287,7 +1287,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slowest_suppliers_p90": rel.slowest_suppliers_p90,
         # iterative k-core peeling of the co-purchase graph
         # (rows-only: fixpoint loop has no SQL; pinned by serial peel)
-        "part_kcore_sizes": graph.part_kcore_sizes,
+        # ks sit at the sf0.01 co-purchase graph's core phase
+        # transition (64: mild peel, 80: 6-round cascade, 96: total
+        # collapse) so the fixpoint actually iterates
+        "part_kcore_sizes": lambda sf: graph.part_kcore_sizes(sf, ks=(64, 80, 96)),
         # hyperplane sign-LSH near-dup pairs (third embedding path;
         # rows-only: banding is probabilistic — subset-of-exact +
         # recall bound pinned in pytest, theory-matched at 4x4 bands)
@@ -2218,6 +2221,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_auc": rel.events_value_auc_sql(),
         "dedup_method_overlap": dedup_mod.dedup_method_overlap_sql(),
         "bloom_dedup_audit": dedup_mod.bloom_dedup_audit_sql(),
+        "part_kcore_sizes": graph.part_kcore_sizes_sql(ks=(64, 80, 96)),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),

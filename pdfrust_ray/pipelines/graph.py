@@ -668,8 +668,9 @@ def part_kcore_sizes(sf_dir: str, ks: tuple = (2, 3, 4)) -> pd.DataFrame:
     set by the new under-k nodes — vertex-sized driver state, never
     edges (the dedup_clusters label-Dataset exchange is the stated
     path past driver RAM). Output: per k, surviving node/edge counts
-    and a node-id checksum; rows-only (the fixpoint loop has no SQL),
-    pinned by the serial-peel pytest."""
+    and a node-id checksum; value-exact vs the round-unrolled
+    recursive-CTE twin (part_kcore_sizes_sql) plus the serial-peel
+    pytest."""
     import ray as _ray
 
     edges = _copurchase_edges(sf_dir)
@@ -700,6 +701,11 @@ def part_kcore_sizes(sf_dir: str, ks: tuple = (2, 3, 4)) -> pd.DataFrame:
                 .aggregate(Sum("d", alias_name="deg"))
                 .to_pandas()
             )
+            if deg.empty:
+                # total collapse: every edge died, the aggregate comes
+                # back schemaless — the peel is done with an empty core
+                deg = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                    "deg": pd.Series([], dtype="int64")})
             under = deg.loc[deg["deg"] < k, "node"].to_numpy(np.int64)
             if not len(under):
                 n_nodes = len(deg)
@@ -711,6 +717,69 @@ def part_kcore_sizes(sf_dir: str, ks: tuple = (2, 3, 4)) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["k", "peel_rounds", "n_nodes", "n_edges", "node_checksum"]
     ).astype("int64")
+
+
+def part_kcore_sizes_sql(ks: tuple = (64, 80, 96), rmax: int = 30) -> str:
+    """EXACT DuckDB twin of part_kcore_sizes: the peel fixpoint is
+    unrolled as a round-tagged recursive CTE — live(r) = nodes whose
+    degree within live(r-1) is >= k; peel_rounds is the first r where
+    the live count stops shrinking (peeling is monotone, so equal
+    counts imply equal sets), matching the engine loop that counts its
+    final no-removal check as a round. rmax bounds the unroll (the
+    engine's deepest observed cascade is 6 rounds at sf0.01)."""
+
+    def block(k: int) -> str:
+        return f"""
+        live_{k}(r, node) AS (
+            SELECT 0, node FROM (SELECT x AS node FROM edges UNION SELECT y FROM edges)
+            UNION ALL
+            SELECT d.r + 1, d.node FROM (
+                SELECT l1.r, n.node, COUNT(*) AS deg FROM (
+                    SELECT x AS node, y AS other FROM edges
+                    UNION ALL
+                    SELECT y AS node, x AS other FROM edges
+                ) n
+                JOIN live_{k} l1 ON l1.node = n.node
+                JOIN live_{k} l2 ON l2.node = n.other AND l2.r = l1.r
+                GROUP BY 1, 2
+            ) d
+            WHERE d.deg >= {k} AND d.r < {rmax}
+        ),
+        cnt_{k} AS (
+            SELECT r.r, COALESCE(c.n, 0) AS n, COALESCE(c.s, 0) AS s
+            FROM range(0, {rmax + 1}) r(r)
+            LEFT JOIN (SELECT r, COUNT(*) n, SUM(node) s
+                       FROM live_{k} GROUP BY 1) c USING (r)
+        ),
+        rounds_{k} AS (
+            SELECT MIN(a.r) AS rounds FROM cnt_{k} a
+            JOIN cnt_{k} b ON b.r = a.r - 1
+            WHERE a.n = b.n AND a.r >= 1
+        ),
+        final_{k} AS (
+            SELECT CAST({k} AS BIGINT) AS k,
+                   CAST(rd.rounds AS BIGINT) AS peel_rounds,
+                   CAST(c.n AS BIGINT) AS n_nodes,
+                   CAST(COALESCE((
+                       SELECT COUNT(*) FROM edges e
+                       JOIN live_{k} a ON a.node = e.x AND a.r = rd.rounds
+                       JOIN live_{k} b ON b.node = e.y AND b.r = rd.rounds
+                   ), 0) AS BIGINT) AS n_edges,
+                   CAST(c.s AS BIGINT) AS node_checksum
+            FROM rounds_{k} rd JOIN cnt_{k} c ON c.r = rd.rounds
+        )"""
+
+    blocks = ",".join(block(k) for k in ks)
+    union = " UNION ALL ".join(f"SELECT * FROM final_{k}" for k in ks)
+    return f"""
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS x,
+                            GREATEST(a.l_partkey, b.l_partkey) AS y
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),{blocks}
+        SELECT * FROM ({union}) ORDER BY k
+    """
 
 
 def bipartite_assortativity_stats(sf_dir: str) -> pd.DataFrame:
