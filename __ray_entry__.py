@@ -2222,6 +2222,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_method_overlap": dedup_mod.dedup_method_overlap_sql(),
         "bloom_dedup_audit": dedup_mod.bloom_dedup_audit_sql(),
         "part_kcore_sizes": graph.part_kcore_sizes_sql(ks=(64, 80, 96)),
+        "rbo_ranking_overlap": similarity_mod.rbo_ranking_overlap_sql(),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),

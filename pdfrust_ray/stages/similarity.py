@@ -1631,9 +1631,10 @@ def rbo_ranking_overlap(sf_dir: str, k: int = 10) -> pd.DataFrame:
     top-k ops (one pass each); the RBO fold is driver arithmetic on
     2 x Q x k rows. No extra shuffle.
 
-    No SQL oracle: the two-ranking prefix-intersection recursion is
-    pinned instead by a hand-computed fixture pytest and the exact
-    integer identity checks."""
+    Value-exact SQL twin (rbo_ranking_overlap_sql): a pair that first
+    co-occurs at depth max(ra, rb) contributes its coefficient at every
+    d >= max(ra, rb), so the prefix-intersection fold flattens to one
+    join against a per-depth coefficient VALUES table."""
     import math
 
     from functools import reduce
@@ -1659,6 +1660,55 @@ def rbo_ranking_overlap(sf_dir: str, k: int = 10) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows).astype("int64")
+
+
+def rbo_ranking_overlap_sql(k: int = 10, n_queries: int = 4) -> str:
+    """EXACT DuckDB twin of rbo_ranking_overlap: recompute both
+    rankings with the already-proven ann_topk / mips_topk SQL shapes,
+    then fold the prefix-intersection sum as one join — a pair first
+    co-occurring at depth max(ra, rb) contributes coef(d) for every
+    d >= that depth, where coef(d) = 9^(d-1) * 10^(k-d) * (lcm/d)."""
+    import math
+
+    from functools import reduce
+
+    lcm = reduce(math.lcm, range(1, k + 1))
+    scale = (10 ** (k - 1)) * lcm
+    coefs = ", ".join(
+        f"({d}, {9 ** (d - 1) * 10 ** (k - d) * (lcm // d)})" for d in range(1, k + 1)
+    )
+    return f"""
+        WITH a AS (
+            SELECT query_id, vec_id, rank FROM (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.qe)
+                                    DESC, e.vec_id) AS rank
+                FROM embeddings e CROSS JOIN (
+                    SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id < {n_queries}) q
+            ) WHERE rank <= {k}
+        ), b AS ({mips_topk_sql(n_queries, k)}),
+        coef(d, c) AS (VALUES {coefs}),
+        hits AS (
+            SELECT a.query_id, a.rank AS ra, b.rank + 1 AS rb
+            FROM a JOIN b ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+        ), rbo AS (
+            SELECT h.query_id, SUM(coef.c) AS s
+            FROM hits h JOIN coef ON coef.d >= GREATEST(h.ra, h.rb)
+            GROUP BY 1
+        ), ovk AS (
+            SELECT query_id, COUNT(*) AS n FROM hits GROUP BY 1
+        )
+        SELECT CAST(base.query_id AS BIGINT) AS query_id,
+               CAST(COALESCE(rbo.s, 0) AS BIGINT) AS rbo_scaled,
+               CAST({scale} AS BIGINT) AS scale,
+               CAST(COALESCE(ovk.n, 0) AS BIGINT) AS overlap_at_k
+        FROM (SELECT DISTINCT query_id FROM b) base
+        LEFT JOIN rbo USING (query_id) LEFT JOIN ovk USING (query_id)
+        ORDER BY query_id
+    """
 
 
 def _int8_codes(mat: np.ndarray) -> np.ndarray:
