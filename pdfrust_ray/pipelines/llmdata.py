@@ -1362,8 +1362,8 @@ def vocab_cover_greedy(sf_dir: str, k: int = 10) -> pd.DataFrame:
     adjacencies, and the unigram vocabulary saturates after one doc).  Greedy is the canonical (1-1/e)-approximation;
     each step's argmax is exact and deterministic, so the output is
     reproducible and pytest certifies per-step optimality by brute
-    force.  No SQL twin: the covered-set state is inherently
-    iterative (rows-only in the driver contract).
+    force.  Value-exact SQL twin (vocab_cover_greedy_sql): the covered
+    set rides as rows inside a recursive CTE.
 
     Distributed plan: k rounds; each round broadcasts the covered
     vocabulary (ray.put) and scores every document's marginal gain
@@ -1430,6 +1430,69 @@ def vocab_cover_greedy(sf_dir: str, k: int = 10) -> pd.DataFrame:
         )
     out = pd.DataFrame(picks, columns=["step", "doc_id", "gain", "covered_total"])
     return out.astype("int64")
+
+
+def vocab_cover_greedy_sql(k: int = 10) -> str:
+    """EXACT DuckDB twin of vocab_cover_greedy: the greedy covered-set
+    state rides inside one recursive CTE — each iteration carries the
+    full covered-bigram set as ('cov', bigram) rows plus one
+    ('pick', doc_id, gain) row, recomputes every document's marginal
+    gain against the previous iteration's cov rows, and stops when the
+    best gain hits zero or step k. trim + regex-split matches Python
+    str.split() whitespace semantics."""
+    return f"""
+        WITH RECURSIVE docbi AS (
+            SELECT DISTINCT doc_id::BIGINT AS doc_id, bigram FROM (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, len(string_split_regex(trim(text), '\\s+'))),
+                           i -> string_split_regex(trim(text), '\\s+')[i]
+                                || ' ' ||
+                                string_split_regex(trim(text), '\\s+')[i+1]) AS bis
+                FROM documents
+            ), UNNEST(bis) AS u(bigram)
+        ),
+        first_pick AS (
+            SELECT doc_id, COUNT(*) AS gain FROM docbi GROUP BY 1
+            ORDER BY gain DESC, doc_id LIMIT 1
+        ),
+        state(step, kind, doc_id, gain, bigram) AS (
+            SELECT 1, 'pick', doc_id, gain, NULL FROM first_pick
+            UNION ALL
+            SELECT 1, 'cov', NULL, NULL, d.bigram
+            FROM docbi d JOIN first_pick f USING (doc_id)
+            UNION ALL
+            (
+              WITH prev AS (SELECT * FROM state),
+              r AS (SELECT MAX(step) AS r FROM prev),
+              cov AS (SELECT bigram FROM prev WHERE kind = 'cov'),
+              gains AS (
+                  SELECT d.doc_id, COUNT(*) AS gain
+                  FROM docbi d LEFT JOIN cov c ON c.bigram = d.bigram
+                  WHERE c.bigram IS NULL GROUP BY 1
+              ),
+              best AS (
+                  SELECT doc_id, gain FROM gains WHERE gain > 0
+                  ORDER BY gain DESC, doc_id LIMIT 1
+              )
+              SELECT r.r + 1, 'pick', b.doc_id, b.gain, NULL
+              FROM best b, r WHERE r.r < {k}
+              UNION ALL
+              SELECT r.r + 1, 'cov', NULL, NULL, x.bigram FROM r, (
+                  SELECT bigram FROM cov
+                  UNION
+                  SELECT d.bigram FROM docbi d JOIN best USING (doc_id)
+              ) x WHERE r.r < {k} AND EXISTS (SELECT 1 FROM best)
+            )
+        )
+        SELECT CAST(p.step - 1 AS BIGINT) AS step,
+               CAST(p.doc_id AS BIGINT) AS doc_id,
+               CAST(p.gain AS BIGINT) AS gain,
+               CAST((SELECT COUNT(*) FROM state c
+                     WHERE c.kind = 'cov' AND c.step = p.step) AS BIGINT)
+                   AS covered_total
+        FROM state p WHERE p.kind = 'pick' ORDER BY p.step
+    """
 
 
 def cross_source_contamination(sf_dir: str, k: int = 25) -> pd.DataFrame:
