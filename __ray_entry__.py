@@ -2224,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
         "part_kcore_sizes": graph.part_kcore_sizes_sql(ks=(64, 80, 96)),
         "rbo_ranking_overlap": similarity_mod.rbo_ranking_overlap_sql(),
         "vocab_cover_greedy": llm.vocab_cover_greedy_sql(),
+        "mmr_diverse_topk": similarity_mod.mmr_diverse_topk_sql(),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),

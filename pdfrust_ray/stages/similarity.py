@@ -658,8 +658,13 @@ def mmr_diverse_topk(
     champions — the corpus is scanned, never collected. Deterministic:
     float64 scores, ties by vec_id ascending.
 
-    Rows-only oracle (greedy argmax has no SQL); pinned by a serial
-    recompute and a diversity-beats-topk property test."""
+    Value-exact SQL twin (mmr_diverse_topk_sql): the selected set rides
+    round-tagged inside a recursive CTE; DuckDB's double-precision
+    list_cosine_similarity ordering agrees with the numpy float64
+    normalize-then-dot path at both fixture scales (scores are far
+    enough apart that the last-ulp rounding difference never flips an
+    argmax). Also pinned by a serial recompute and a
+    diversity-beats-topk property test."""
     q = _query_matrix(sf_dir, [query_id])[0]
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -1660,6 +1665,52 @@ def rbo_ranking_overlap(sf_dir: str, k: int = 10) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows).astype("int64")
+
+
+def mmr_diverse_topk_sql(query_id: int = 0, k: int = 20, lam: float = 0.7) -> str:
+    """EXACT DuckDB twin of mmr_diverse_topk: recursive CTE carrying
+    the full selected set round-tagged (the recursive working table
+    only exposes the previous iteration, so each round re-emits every
+    prior pick at r+1 plus the new argmax). (1.0 - {lam}) is computed
+    in SQL double arithmetic so it equals Python's 1.0-lam bit for bit
+    (0.30000000000000004, not a 0.3 literal)."""
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT vec_id::BIGINT AS vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        q AS (SELECT v FROM e WHERE vec_id = {query_id}),
+        sel(r, rank, vec_id) AS (
+            SELECT 1, 1, vec_id FROM (
+                SELECT e.vec_id FROM e, q
+                ORDER BY list_cosine_similarity(e.v, q.v) DESC, e.vec_id
+                LIMIT 1)
+            UNION ALL
+            (
+              WITH prev AS (SELECT * FROM sel),
+              r AS (SELECT MAX(r) AS r FROM prev),
+              pick AS (
+                SELECT c.vec_id FROM e c CROSS JOIN q
+                JOIN prev p ON true JOIN e s ON s.vec_id = p.vec_id
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM prev)
+                GROUP BY c.vec_id, c.v, q.v
+                ORDER BY {lam} * list_cosine_similarity(c.v, q.v)
+                         - (1.0 - {lam})
+                           * MAX(list_cosine_similarity(c.v, s.v)) DESC,
+                         c.vec_id
+                LIMIT 1
+              )
+              SELECT r.r + 1, x.rank, x.vec_id FROM r, (
+                  SELECT rank, vec_id FROM prev
+                  UNION ALL
+                  SELECT r.r + 1, vec_id FROM pick, r
+              ) x WHERE r.r < {k}
+            )
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, vec_id
+        FROM sel WHERE r = {k} ORDER BY rank
+    """
 
 
 def rbo_ranking_overlap_sql(k: int = 10, n_queries: int = 4) -> str:
