@@ -2225,6 +2225,7 @@ def oracle_sql() -> dict[str, str]:
         "rbo_ranking_overlap": similarity_mod.rbo_ranking_overlap_sql(),
         "vocab_cover_greedy": llm.vocab_cover_greedy_sql(),
         "mmr_diverse_topk": similarity_mod.mmr_diverse_topk_sql(),
+        "coverage_selection": llm.coverage_selection_sql(),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),

@@ -885,8 +885,10 @@ def coverage_selection(sf_dir: str, target_coverage_pct: int = 95) -> pd.DataFra
     hash) table is materialized ONCE; every round maps it against the
     broadcast covered-set, emits per-block argmax candidates, and the
     driver picks the global winner (same iterative-argmax skeleton as
-    MMR). Rows-only contract: greedy selection has no SQL — pinned by
-    a serial-recompute pytest."""
+    MMR). Value-exact SQL twin (coverage_selection_sql): recursive CTE
+    carrying the covered md5-hash set, terminating on the same
+    universe*pct//100 target; also pinned by a serial-recompute
+    pytest."""
     import hashlib
 
     import numpy as np
@@ -1430,6 +1432,74 @@ def vocab_cover_greedy(sf_dir: str, k: int = 10) -> pd.DataFrame:
         )
     out = pd.DataFrame(picks, columns=["step", "doc_id", "gain", "covered_total"])
     return out.astype("int64")
+
+
+def coverage_selection_sql(target_coverage_pct: int = 95) -> str:
+    """EXACT DuckDB twin of coverage_selection: greedy set cover as a
+    recursive CTE over md5-hashed bigrams — '0x'||substr(md5,1,16)
+    cast to UBIGINT reproduces Python's int.from_bytes(digest[:8],
+    'big'), and >>1 matches the engine's sign-safe shift. Tokens split
+    on single spaces (the engine's text.split(' ')), and the recursion
+    stops once the covered count reaches universe * pct // 100."""
+    return f"""
+        WITH RECURSIVE docbi AS (
+            SELECT DISTINCT doc_id::BIGINT AS doc_id,
+                   CAST(CAST(('0x' || substr(md5(bigram), 1, 16)) AS UBIGINT)
+                        >> 1 AS BIGINT) AS h
+            FROM (
+                SELECT doc_id,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1]) AS bis
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         w -> w <> '') AS toks
+                      FROM documents)
+            ), UNNEST(bis) AS u(bigram)
+        ),
+        tgt AS (SELECT COUNT(DISTINCT h) * {target_coverage_pct} // 100
+                       AS target FROM docbi),
+        first_pick AS (
+            SELECT doc_id, COUNT(*) AS gain FROM docbi GROUP BY 1
+            ORDER BY gain DESC, doc_id LIMIT 1
+        ),
+        state(step, kind, doc_id, gain, h) AS (
+            SELECT 1, 'pick', doc_id, gain, NULL FROM first_pick
+            UNION ALL
+            SELECT 1, 'cov', NULL, NULL, d.h
+            FROM docbi d JOIN first_pick f USING (doc_id)
+            UNION ALL
+            (
+              WITH prev AS (SELECT * FROM state),
+              r AS (SELECT MAX(step) AS r FROM prev),
+              cov AS (SELECT h FROM prev WHERE kind = 'cov'),
+              go AS (SELECT (SELECT COUNT(*) FROM cov)
+                            < (SELECT target FROM tgt) AS more),
+              gains AS (
+                  SELECT d.doc_id, COUNT(*) AS gain
+                  FROM docbi d LEFT JOIN cov c ON c.h = d.h
+                  WHERE c.h IS NULL GROUP BY 1
+              ),
+              best AS (
+                  SELECT doc_id, gain FROM gains, go WHERE go.more
+                  ORDER BY gain DESC, doc_id LIMIT 1
+              )
+              SELECT r.r + 1, 'pick', b.doc_id, b.gain, NULL FROM best b, r
+              UNION ALL
+              SELECT r.r + 1, 'cov', NULL, NULL, x.h FROM r, (
+                  SELECT h FROM cov
+                  UNION
+                  SELECT d.h FROM docbi d JOIN best USING (doc_id)
+              ) x WHERE EXISTS (SELECT 1 FROM best)
+            )
+        )
+        SELECT CAST(p.step AS BIGINT) AS rank,
+               CAST(p.doc_id AS BIGINT) AS doc_id,
+               CAST(p.gain AS BIGINT) AS new_bigrams,
+               CAST((SELECT COUNT(*) FROM state c
+                     WHERE c.kind = 'cov' AND c.step = p.step) AS BIGINT)
+                   AS cum_covered
+        FROM state p WHERE p.kind = 'pick' ORDER BY rank
+    """
 
 
 def vocab_cover_greedy_sql(k: int = 10) -> str:
