@@ -1667,6 +1667,69 @@ def rbo_ranking_overlap(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows).astype("int64")
 
 
+def embedding_sign_lsh_pairs_sql(
+    threshold: float = 0.45,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    scale: int = 1_000_000,
+) -> str:
+    """EXACT DuckDB twin of embedding_sign_lsh_pairs: the md5-derived
+    +/-1 planes, integer sign signatures, band split, candidate join
+    and the double-precision cosine verify are all recomputed in SQL
+    (plane entry sign = low bit of digest byte i of
+    md5('signlsh:p:blk'), read via substr of the hex string)."""
+    bits = n_planes // n_bands
+    return f"""
+        WITH planes AS (
+            SELECT p.p, blk.blk + i.i AS d,
+                   CASE WHEN (CAST(('0x' || substr(
+                           md5('signlsh:' || p.p || ':' || blk.blk),
+                           2 * i.i + 1, 2)) AS INTEGER) & 1) = 1
+                        THEN 1 ELSE -1 END AS s
+            FROM range({n_planes}) p(p),
+                 (SELECT 16 * b AS blk FROM range(4) t(b)) blk,
+                 range(16) i(i)
+        ),
+        e AS (
+            SELECT vec_id::BIGINT AS vec_id,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale})
+                                 AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        dots AS (
+            SELECT e.vec_id, pl.p, SUM(e.v[pl.d + 1] * pl.s) AS dot
+            FROM e, planes pl GROUP BY 1, 2
+        ),
+        sigs AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS sig
+            FROM dots GROUP BY 1
+        ),
+        bands AS (
+            SELECT vec_id,
+                   b.b * {1 << bits} + ((sig >> (b.b * {bits})) & {(1 << bits) - 1})
+                       AS bk
+            FROM sigs, range({n_bands}) b(b)
+        ),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+            FROM bands a JOIN bands b2
+              ON a.bk = b2.bk AND a.vec_id < b2.vec_id
+        )
+        SELECT CAST(c.vec_a AS BIGINT) AS vec_a,
+               CAST(c.vec_b AS BIGINT) AS vec_b
+        FROM cands c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        WHERE list_cosine_similarity(
+                  list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(eb.embedding, x -> CAST(x AS DOUBLE)))
+              >= {threshold}
+        ORDER BY 1, 2
+    """
+
+
 def mmr_diverse_topk_sql(query_id: int = 0, k: int = 20, lam: float = 0.7) -> str:
     """EXACT DuckDB twin of mmr_diverse_topk: recursive CTE carrying
     the full selected set round-tagged (the recursive working table
