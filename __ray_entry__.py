@@ -2229,6 +2229,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_sign_lsh_pairs": similarity_mod.embedding_sign_lsh_pairs_sql(),
         "v_optimal_daily_histogram": rel.v_optimal_daily_histogram_sql(),
         "supplier_part_stable_matching": rel.supplier_part_stable_matching_sql(),
+        "part_mst_boruvka": graph.part_mst_boruvka_sql(),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),

@@ -1013,7 +1013,9 @@ def part_mst_boruvka(sf_dir: str) -> pd.DataFrame:
     (w << 42 | min << 21 | max — partkeys < 2^21 at fixture scale,
     2^32-packing at production key widths), so the MSF is unique and
     the serial-Kruskal pytest can assert edge-set equality, not just
-    total weight.  Output is one audit row: nodes, components, MSF
+    total weight. Uniqueness also gives the value-exact SQL twin
+    (part_mst_boruvka_sql): any correct MSF algorithm reproduces the
+    audit row, so the twin runs a flattened Boruvka recursion.  Output is one audit row: nodes, components, MSF
     edge count, total (primary) weight, and an edge-membership
     checksum.
 
@@ -1137,6 +1139,111 @@ def part_mst_boruvka(sf_dir: str) -> pd.DataFrame:
             "edge_checksum": [checksum],
         }
     ).astype("int64")
+
+
+def part_mst_boruvka_sql(rmax: int = 400) -> str:
+    """EXACT DuckDB twin of part_mst_boruvka: with unique packed
+    weights the minimum spanning forest is unique, so the twin runs a
+    flattened Boruvka inside one recursive CTE — the working table
+    mixes node labels ('lab') and chosen MSF edges ('mst'); an
+    iteration either propagates min labels along MSF edges (with a
+    label-of-label pointer-jump hop) while any MSF edge still crosses
+    labels, or, once converged, adds each component's cheapest cut
+    edge (min over BOTH incident sides). Terminates when no cut edges
+    remain."""
+    return f"""
+WITH RECURSIVE edges AS (
+    SELECT x, y, ((x + y) % 7 + 1) * (1::BIGINT << 42)
+                 + x * (1::BIGINT << 21) + y AS pw
+    FROM (
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey)::BIGINT AS x,
+                        GREATEST(a.l_partkey, b.l_partkey)::BIGINT AS y
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    )
+),
+nodes AS (SELECT DISTINCT n FROM (SELECT x AS n FROM edges UNION ALL SELECT y FROM edges) t),
+state(r, kind, a, b) AS (
+    SELECT 0, 'lab', n, n FROM nodes
+    UNION ALL
+    (
+      WITH prev AS (SELECT * FROM state),
+      rr AS (SELECT MAX(r) AS r FROM prev),
+      lab AS (SELECT a AS n, b AS l FROM prev WHERE kind = 'lab'),
+      mst AS (SELECT a AS pw,
+                     (a >> 21) & ((1::BIGINT << 21) - 1) AS x,
+                     a & ((1::BIGINT << 21) - 1) AS y
+              FROM prev WHERE kind = 'mst'),
+      stale AS (
+          SELECT EXISTS (
+              SELECT 1 FROM mst m
+              JOIN lab lx ON lx.n = m.x JOIN lab ly ON ly.n = m.y
+              WHERE lx.l <> ly.l) AS s
+      ),
+      -- propagate mode: min(label, label-of-label, mst-neighbor labels)
+      adj AS (
+          SELECT m.x AS n, ly.l FROM mst m JOIN lab ly ON ly.n = m.y
+          UNION ALL
+          SELECT m.y AS n, lx.l FROM mst m JOIN lab lx ON lx.n = m.x
+      ),
+      hop AS (
+          SELECT l1.n, l2.l FROM lab l1 JOIN lab l2 ON l2.n = l1.l
+      ),
+      newlab AS (
+          SELECT lab.n,
+                 LEAST(lab.l,
+                       COALESCE((SELECT MIN(h.l) FROM hop h WHERE h.n = lab.n), lab.l),
+                       COALESCE((SELECT MIN(a2.l) FROM adj a2 WHERE a2.n = lab.n), lab.l))
+                     AS l
+          FROM lab
+      ),
+      -- choose mode: per-component cheapest cut edge
+      cut AS (
+          SELECT e.pw, lx.l AS cx, ly.l AS cy
+          FROM edges e JOIN lab lx ON lx.n = e.x JOIN lab ly ON ly.n = e.y
+          WHERE lx.l <> ly.l
+      ),
+      winners AS (
+          SELECT DISTINCT pw FROM (
+              SELECT c, MIN(pw) AS pw FROM (
+                  SELECT cx AS c, pw FROM cut
+                  UNION ALL
+                  SELECT cy AS c, pw FROM cut
+              ) GROUP BY c
+          )
+      )
+      SELECT rr.r + 1, 'lab', x.n, x.l FROM rr, stale, (
+          SELECT n, l FROM newlab WHERE (SELECT s FROM stale)
+          UNION ALL
+          SELECT n, l FROM lab
+          WHERE NOT (SELECT s FROM stale)
+            AND EXISTS (SELECT 1 FROM winners)
+      ) x WHERE rr.r < {rmax}
+      UNION ALL
+      SELECT rr.r + 1, 'mst', x.pw, NULL FROM rr, stale, (
+          SELECT pw FROM mst WHERE (SELECT s FROM stale)
+          UNION ALL
+          SELECT pw FROM (
+              SELECT pw FROM mst UNION SELECT pw FROM winners
+          ) WHERE NOT (SELECT s FROM stale)
+            AND EXISTS (SELECT 1 FROM winners)
+      ) x WHERE rr.r < {rmax}
+    )
+),
+fin AS (SELECT MAX(r) AS r FROM state),
+flab AS (SELECT a AS n, b AS l FROM state, fin
+         WHERE kind = 'lab' AND state.r = fin.r),
+fmst AS (SELECT a AS pw FROM state, fin
+         WHERE kind = 'mst' AND state.r = fin.r)
+SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(DISTINCT l) FROM flab) AS BIGINT) AS n_components,
+       CAST((SELECT COUNT(*) FROM fmst) AS BIGINT) AS n_mst_edges,
+       CAST((SELECT COALESCE(SUM(pw >> 42), 0) FROM fmst) AS BIGINT)
+           AS total_weight,
+       CAST((SELECT COALESCE(SUM(((pw >> 21) & ((1::BIGINT << 21) - 1)) * 31
+                                 + (pw & ((1::BIGINT << 21) - 1))), 0)
+             FROM fmst) AS BIGINT) AS edge_checksum
+"""
 
 
 def event_debruijn_balance(sf_dir: str) -> pd.DataFrame:
