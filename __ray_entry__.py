@@ -1191,6 +1191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rows-only: hash internals have no SQL twin; invariants pinned
         # by pytest — zero false negatives, FPR near theoretical)
         "bloom_dedup_audit": lambda sf: dedup.bloom_dedup_audit(sf),
+        # MOSS winnowing fingerprint near-dup pairs (stop-df capped)
+        "winnowing_dedup": lambda sf: dedup.winnowing_dedup(sf),
+        # contamination / canary phrase substring census
+        "lexicon_match_census": lambda sf: textops.lexicon_match_census(sf),
         # two-pass deterministic-sample hot-key detection + exact recount
         "hot_key_detector": dso.hot_key_detector,
         # quantile-boundary range-sharded sink with round-trip audit
@@ -2230,6 +2234,8 @@ def oracle_sql() -> dict[str, str]:
         "v_optimal_daily_histogram": rel.v_optimal_daily_histogram_sql(),
         "supplier_part_stable_matching": rel.supplier_part_stable_matching_sql(),
         "part_mst_boruvka": graph.part_mst_boruvka_sql(),
+        "winnowing_dedup": dedup_mod.winnowing_dedup_sql(),
+        "lexicon_match_census": textops.lexicon_match_census_sql(),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),

@@ -2648,3 +2648,88 @@ def content_op_census_sql(golden_parquet: str) -> str:
         FROM raw r JOIN lex l ON r.tok = l.op
         GROUP BY 1 ORDER BY 1
     """
+
+
+CONTAMINATION_LEXICON: tuple = (
+    "fast merge",
+    "customer query",
+    "big vector",
+    "spark a",
+    "agg row",
+    "the line sort",
+    "window table",
+    "slow filter",
+)
+
+
+def lexicon_match_census(
+    sf_dir: str, lexicon: tuple = CONTAMINATION_LEXICON
+) -> pd.DataFrame:
+    """Multi-phrase substring census over the corpus — the
+    benchmark-contamination / canary-phrase screen a training-data
+    pipeline runs before release: for every lexicon phrase, how many
+    documents contain it and how many NON-OVERLAPPING occurrences
+    exist in total. Substring semantics (not token-bounded), counted
+    greedily left-to-right — exactly what str.count and DuckDB's
+    replace-length identity both compute, so the SQL twin is
+    value-exact.
+
+    Distributed plan: stateless map_batches — each batch scans its
+    documents once per phrase (Python str.count; an Aho-Corasick
+    automaton is the constant-factor upgrade when the lexicon grows
+    to thousands) and emits one (phrase, n_docs, n_occurrences)
+    partial row per phrase; a phrase-keyed Sum folds partials. Text
+    never leaves the task; the exchange is O(batches x |lexicon|)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    phrases = list(lexicon)
+
+    def census(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        rows_p, rows_d, rows_o = [], [], []
+        for p in phrases:
+            counts = [s.count(p) for s in texts]
+            rows_p.append(p)
+            rows_d.append(sum(1 for c in counts if c))
+            rows_o.append(sum(counts))
+        return pa.table(
+            {
+                "phrase": pa.array(rows_p, pa.string()),
+                "n_docs": pa.array(rows_d, pa.int64()),
+                "n_occurrences": pa.array(rows_o, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(census, batch_format="pyarrow")
+        .groupby("phrase")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_occurrences", alias_name="n_occurrences"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_occurrences"] = out["n_occurrences"].astype("int64")
+    return out.sort_values("phrase").reset_index(drop=True)
+
+
+def lexicon_match_census_sql(lexicon: tuple = CONTAMINATION_LEXICON) -> str:
+    """EXACT DuckDB twin of lexicon_match_census via the replace-length
+    identity: occurrences(p) = (length(t) - length(replace(t, p, '')))
+    / length(p) — the same greedy non-overlapping count as
+    Python str.count."""
+    vals = ", ".join("(" + "'" + p.replace("'", "''") + "')" for p in lexicon)
+    return f"""
+        WITH lex(phrase) AS (VALUES {vals}),
+        per_doc AS (
+            SELECT l.phrase,
+                   (length(d.text) - length(replace(d.text, l.phrase, '')))
+                       // length(l.phrase) AS c
+            FROM documents d CROSS JOIN lex l
+        )
+        SELECT phrase,
+               CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs,
+               CAST(SUM(c) AS BIGINT) AS n_occurrences
+        FROM per_doc GROUP BY 1 ORDER BY 1
+    """

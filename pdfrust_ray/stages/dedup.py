@@ -2164,3 +2164,138 @@ def bloom_dedup_audit_sql(
                      8) AS theoretical_fpp
         FROM nd, member, fp
     """
+
+
+def winnowing_dedup(
+    sf_dir: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 10,
+    stop_df: int = 25,
+) -> pd.DataFrame:
+    """Winnowing near-duplicate pairs (Schleimer, Wilkerson, Aiken —
+    the MOSS local fingerprinting scheme): every document selects the
+    MINIMUM k-gram hash inside each sliding window of w consecutive
+    k-grams (any shared substring of length >= k + w - 1 is guaranteed
+    to share a fingerprint); pairs sharing >= min_shared distinct
+    selected fingerprints are reported with the shared count.
+    Fingerprints present in more than stop_df documents are dropped as
+    stop-fingerprints before pairing — the standard MOSS move that
+    keeps hot buckets from going quadratic (same role as minhash's
+    BUCKET_CAP).
+
+    Distributed plan: fingerprint extraction is a stateless
+    map_batches (per doc: one md5 pass over k-grams, a vectorized
+    sliding-window min, set dedup) emitting (fp, doc_id) rows — hashes
+    ship, text never does; document frequency and the stop filter are
+    one fp-keyed Count; pairs come from capped per-fp buckets via
+    groupby(fp).map_groups, and the final pair fold is a
+    (doc_a, doc_b)-keyed Count with the min_shared HAVING. The SQL
+    twin (winnowing_dedup_sql) recomputes hashes, window minima, stop
+    filter and pair counts value-exactly."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fingerprints(t: pa.Table) -> pa.Table:
+        out_d, out_f = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            n = len(txt)
+            if n < k:
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(txt[i : i + k].encode()).digest()[:8], "big"
+                    )
+                    >> 1
+                    for i in range(n - k + 1)
+                ),
+                dtype=np.int64,
+                count=n - k + 1,
+            )
+            if len(hs) >= w:
+                win = np.lib.stride_tricks.sliding_window_view(hs, w)
+                sel = np.unique(win.min(axis=1))
+            else:
+                sel = np.unique(hs.min(keepdims=True))
+            out_d.extend([int(did)] * len(sel))
+            out_f.extend(sel.tolist())
+        return pa.table(
+            {
+                "fp": pa.array(out_f, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    fps = ds.map_batches(fingerprints, batch_format="pyarrow").materialize()
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one group per fp; apply the stop filter here (df > stop_df)
+        ids = np.unique(g["doc_id"].to_numpy(np.int64))
+        if len(ids) < 2 or len(ids) > stop_df:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64")}
+            )
+        iu = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[iu[0]], "doc_b": ids[iu[1]]})
+
+    pairs = (
+        fps.groupby("fp")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_shared"))
+        .to_pandas()
+    )
+    pairs = pairs[pairs["n_shared"] >= min_shared]
+    return (
+        pairs.sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def winnowing_dedup_sql(
+    k: int = 8, w: int = 4, min_shared: int = 10, stop_df: int = 25
+) -> str:
+    """EXACT DuckDB twin of winnowing_dedup: k-gram md5 hashes
+    ('0x'||substr(md5,1,16) as UBIGINT >> 1 == Python
+    int.from_bytes(digest[:8],'big') >> 1), per-position window MIN
+    over the following w hashes, DISTINCT selected per doc, stop-df
+    filter, pair self-join, HAVING count >= min_shared."""
+    return f"""
+        WITH grams AS (
+            SELECT doc_id::BIGINT AS doc_id,
+                   CAST(CAST(('0x' || substr(md5(substr(text, i, {k})), 1, 16))
+                             AS UBIGINT) >> 1 AS BIGINT) AS h,
+                   i
+            FROM documents, LATERAL (
+                SELECT UNNEST(range(1, length(text) - {k} + 2)) AS i
+            ) t
+            WHERE length(text) >= {k}
+        ),
+        winmin AS (
+            SELECT doc_id,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW
+                                AND {w - 1} FOLLOWING) AS m,
+                   i,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+            FROM grams
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id, m AS fp FROM winmin
+            WHERE n_grams < {w} AND i = 1
+               OR n_grams >= {w} AND i <= n_grams - {w} + 1
+        ),
+        keep AS (
+            SELECT fp FROM sel GROUP BY fp
+            HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {stop_df}
+        )
+        SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+               CAST(b.doc_id AS BIGINT) AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        JOIN keep kf ON kf.fp = a.fp
+        GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+        ORDER BY 1, 2
+    """
