@@ -1951,3 +1951,232 @@ def matryoshka_recall_curve_sql(
              ON t.qid = f.qid AND t.vec_id = f.vec_id
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def dbscan_embeddings(
+    sf_dir: str,
+    eps2: int = 1_350_000_000_000,
+    min_pts: int = 4,
+    scale: int = 1_000_000,
+) -> pd.DataFrame:
+    """DBSCAN over the embeddings table with EXACT integer geometry:
+    vectors quantize to int64 (round(x * 1e6)) so squared distances,
+    the eps ball test and core-point counts are exact — no float
+    epsilon at the cluster boundary. Core = >= min_pts neighbors
+    within eps (self included, the textbook convention); clusters =
+    connected components of core points under the eps relation
+    (cluster id = min core vec_id); border = non-core with a core
+    neighbor, assigned the MIN cluster label among its core neighbors
+    (order-free, so the SQL twin agrees); the rest is noise. Output:
+    one row per cluster (cluster_id, n_core, n_border) plus a leading
+    (-1, 0, n_noise) row.
+
+    Distributed plan: the quantized [N, D] matrix broadcasts once
+    (ray.put; the documented bound — past object-store size, IVF
+    buckets per task like ann_ivf_topk); each batch computes one
+    integer blocked matmul (dist2 = |a|^2 + |b|^2 - 2ab), emits its
+    points' neighbor counts and its core-core / border-core edges —
+    O(eps-ball edges), never the matrix; components fold driver-side
+    over the bounded core-edge list (the dedup_clusters size-aware
+    pattern). SQL twin: dbscan_embeddings_sql (pairwise integer
+    distances + min-label recursion)."""
+    t = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids_all = t["vec_id"].to_numpy(np.int64)
+    mat = np.round(np.stack(t["embedding"].to_numpy()) * scale).astype(np.int64)
+    ref = ray.put((ids_all, mat))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def block(b: pa.Table) -> pa.Table:
+        pool_ids, pool = ray.get(ref)
+        vid = int_column(b["vec_id"])
+        v = np.round(embedding_matrix(b["embedding"]).astype(np.float64) * scale).astype(
+            np.int64
+        )
+        # exact integer dist^2 via the expansion (object dtype avoids
+        # any intermediate overflow ambiguity; values fit int64 anyway)
+        d2 = (
+            (v * v).sum(axis=1)[:, None]
+            + (pool * pool).sum(axis=1)[None, :]
+            - 2 * (v @ pool.T)
+        )
+        within = d2 <= eps2
+        ncnt = within.sum(axis=1)  # self included (d2=0 on diagonal)
+        ii, jj = np.nonzero(within)
+        keep = pool_ids[jj] != vid[ii]
+        ea, eb = vid[ii[keep]], pool_ids[jj[keep]]
+        # flat tagged rows: kind 0 = (point, neighbor count),
+        # kind 1 = (edge endpoint a, endpoint b)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.r_[np.zeros(len(vid), np.int64), np.ones(len(ea), np.int64)]
+                ),
+                "a": pa.array(np.r_[vid, ea].astype(np.int64)),
+                "b": pa.array(np.r_[ncnt.astype(np.int64), eb].astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(block, batch_format="pyarrow", batch_size=256).to_pandas()
+    pts = parts[parts["kind"] == 0]
+    edg = parts[parts["kind"] == 1]
+    ncnt = dict(zip(pts["a"].astype(int), pts["b"].astype(int)))
+    core = {v for v, c in ncnt.items() if c >= min_pts}
+    ea = edg["a"].to_numpy(np.int64)
+    eb = edg["b"].to_numpy(np.int64)
+
+    # components over core-core edges (driver union-find, bounded)
+    parent: dict = {v: v for v in core}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ea, eb):
+        a, b = int(a), int(b)
+        if a in core and b in core and a < b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    label = {}
+    for v in core:
+        r = find(v)
+        label.setdefault(r, []).append(v)
+    cluster_of = {}
+    for r, members in label.items():
+        cid = min(members)
+        for v in members:
+            cluster_of[v] = cid
+
+    # border: non-core with a core neighbor -> min core-neighbor label
+    border_of: dict = {}
+    for a, b in zip(ea, eb):
+        a, b = int(a), int(b)
+        if a not in core and b in core:
+            c = cluster_of[b]
+            if a not in border_of or c < border_of[a]:
+                border_of[a] = c
+
+    rows = []
+    clusters = sorted(set(cluster_of.values()))
+    n_noise = len([v for v in ncnt if v not in core and v not in border_of])
+    rows.append((-1, 0, n_noise))
+    for cid in clusters:
+        n_core = sum(1 for v, c in cluster_of.items() if c == cid)
+        n_border = sum(1 for v, c in border_of.items() if c == cid)
+        rows.append((cid, n_core, n_border))
+    return pd.DataFrame(rows, columns=["cluster_id", "n_core", "n_border"]).astype(
+        "int64"
+    )
+
+
+def dbscan_embeddings_sql(
+    eps2: int = 1_350_000_000_000,
+    min_pts: int = 4,
+    scale: int = 1_000_000,
+    rmax: int = 60,
+) -> str:
+    """EXACT DuckDB twin of dbscan_embeddings: pairwise integer
+    squared distances, core counts (self included), min-label
+    recursion over core-core eps edges (with a label-of-label pointer
+    jump), min-core-neighbor border assignment, and the same
+    (-1, 0, n_noise) leading row."""
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT vec_id::BIGINT AS vec_id,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale})
+                                 AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        e2 AS (
+            SELECT vec_id, v,
+                   list_sum(list_transform(v, x -> x * x)) AS n2
+            FROM e
+        ),
+        near AS (
+            -- |a-b|^2 = |a|^2 + |b|^2 - 2ab; every intermediate is an
+            -- integer below 2^53, so the double-typed inner product is
+            -- exact and the BIGINT cast is lossless
+            SELECT a.vec_id AS x, b.vec_id AS y
+            FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id
+            WHERE a.n2 + b.n2
+                  - 2 * CAST(list_inner_product(a.v, b.v) AS BIGINT)
+                  <= {eps2}
+        ),
+        ncnt AS (
+            SELECT e.vec_id,
+                   1 + COALESCE((
+                       SELECT COUNT(*) FROM near
+                       WHERE near.x = e.vec_id OR near.y = e.vec_id), 0) AS c
+            FROM e
+        ),
+        core AS (SELECT vec_id FROM ncnt WHERE c >= {min_pts}),
+        cedge AS (
+            SELECT n.x, n.y FROM near n
+            JOIN core ca ON ca.vec_id = n.x
+            JOIN core cb ON cb.vec_id = n.y
+        ),
+        lab(r, n, l) AS (
+            SELECT 0, vec_id, vec_id FROM core
+            UNION ALL
+            (
+              WITH prev AS (SELECT * FROM lab),
+              rr AS (SELECT MAX(r) AS r FROM prev),
+              cur AS (SELECT n, l FROM prev),
+              adj AS (
+                  SELECT c.x AS n, ly.l FROM cedge c JOIN cur ly ON ly.n = c.y
+                  UNION ALL
+                  SELECT c.y AS n, lx.l FROM cedge c JOIN cur lx ON lx.n = c.x
+              ),
+              hop AS (SELECT c1.n, c2.l FROM cur c1 JOIN cur c2 ON c2.n = c1.l),
+              nxt AS (
+                  SELECT cur.n,
+                         LEAST(cur.l,
+                               COALESCE((SELECT MIN(h.l) FROM hop h
+                                         WHERE h.n = cur.n), cur.l),
+                               COALESCE((SELECT MIN(a2.l) FROM adj a2
+                                         WHERE a2.n = cur.n), cur.l)) AS l
+                  FROM cur
+              ),
+              chg AS (SELECT EXISTS (
+                  SELECT 1 FROM nxt JOIN cur USING (n)
+                  WHERE nxt.l <> cur.l) AS s)
+              SELECT rr.r + 1, nxt.n, nxt.l FROM nxt, rr, chg
+              WHERE chg.s AND rr.r < {rmax}
+            )
+        ),
+        fin AS (SELECT MAX(r) AS r FROM lab),
+        flab AS (SELECT n, l FROM lab, fin WHERE lab.r = fin.r),
+        border AS (
+            SELECT p.n, MIN(f.l) AS l FROM (
+                SELECT n.x AS n, n.y AS c FROM near n
+                WHERE n.x NOT IN (SELECT vec_id FROM core)
+                  AND n.y IN (SELECT vec_id FROM core)
+                UNION ALL
+                SELECT n.y AS n, n.x AS c FROM near n
+                WHERE n.y NOT IN (SELECT vec_id FROM core)
+                  AND n.x IN (SELECT vec_id FROM core)
+            ) p JOIN flab f ON f.n = p.c
+            GROUP BY 1
+        ),
+        summary AS (
+            SELECT CAST(-1 AS BIGINT) AS cluster_id,
+                   CAST(0 AS BIGINT) AS n_core,
+                   CAST((SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM core)
+                        - (SELECT COUNT(*) FROM border) AS BIGINT) AS n_border
+            UNION ALL
+            SELECT CAST(f.l AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE((SELECT COUNT(*) FROM border b
+                                  WHERE b.l = f.l), 0) AS BIGINT)
+            FROM flab f GROUP BY f.l
+        )
+        SELECT * FROM summary ORDER BY cluster_id
+    """
