@@ -1197,6 +1197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon_match_census": lambda sf: textops.lexicon_match_census(sf),
         # density clustering with exact integer geometry
         "dbscan_embeddings": lambda sf: similarity.dbscan_embeddings(sf),
+        # Gonzalez farthest-first coreset (max-min diversity seeds)
+        "kcenter_coreset": lambda sf: similarity.kcenter_coreset(sf),
         # two-pass deterministic-sample hot-key detection + exact recount
         "hot_key_detector": dso.hot_key_detector,
         # quantile-boundary range-sharded sink with round-trip audit
@@ -2239,6 +2241,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_dedup": dedup_mod.winnowing_dedup_sql(),
         "lexicon_match_census": textops.lexicon_match_census_sql(),
         "dbscan_embeddings": similarity_mod.dbscan_embeddings_sql(),
+        "kcenter_coreset": similarity_mod.kcenter_coreset_sql(),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),

@@ -2180,3 +2180,142 @@ def dbscan_embeddings_sql(
         )
         SELECT * FROM summary ORDER BY cluster_id
     """
+
+
+def kcenter_coreset(sf_dir: str, k: int = 12, seed_id: int = 0) -> pd.DataFrame:
+    """Gonzalez farthest-first k-center coreset: start from seed_id,
+    repeatedly add the point FARTHEST from the current selected set —
+    the classic 2-approximation for k-center and the standard
+    geometric coreset / diversity-seed selection (complements MMR:
+    max-min distance instead of relevance-redundancy). All geometry is
+    the exact integer quantized dist^2 (ties: smaller vec_id), so the
+    selection and the reported covering radius are bit-stable. Output
+    per step: (rank, vec_id, radius2) where radius2 is the max over
+    all points of dist^2 to the selected set BEFORE adding this point
+    (the monotone non-increasing covering-radius curve).
+
+    Distributed plan: per round the selected matrix broadcasts
+    (<= k x D); each batch computes min-dist^2 to selected with one
+    integer matmul and emits its LOCAL farthest champion; the driver
+    reduces O(blocks) champions — MMR's exchange shape with argmax of
+    min-dist instead. SQL twin: kcenter_coreset_sql (round-tagged
+    recursive selected set, same as the MMR twin)."""
+    seed = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", seed_id)],
+    )
+    seed_vec = np.round(
+        embedding_matrix(seed["embedding"]).astype(np.float64) * 1_000_000
+    ).astype(np.int64)[0]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sel_ids = [int(seed_id)]
+    sel_vecs = [seed_vec]
+    rows = [(1, int(seed_id), 0)]
+    for rank in range(2, k + 1):
+        state = ray.put(
+            (np.asarray(sel_ids, dtype=np.int64), np.stack(sel_vecs))
+        )
+
+        def champion(t: pa.Table) -> pa.Table:
+            sids, smat = ray.get(state)
+            vid = int_column(t["vec_id"])
+            v = np.round(
+                embedding_matrix(t["embedding"]).astype(np.float64) * 1_000_000
+            ).astype(np.int64)
+            keep = ~np.isin(vid, sids)
+            if not keep.any():
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "mind": pa.array([], pa.int64()),
+                        "vec": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            vid, v = vid[keep], v[keep]
+            d = (
+                (v * v).sum(axis=1)[:, None]
+                + (smat * smat).sum(axis=1)[None, :]
+                - 2 * (v @ smat.T)
+            )
+            mind = d.min(axis=1)
+            best = np.lexsort((vid, -mind))[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(vid[best])], pa.int64()),
+                    "mind": pa.array([int(mind[best])], pa.int64()),
+                    "vec": pa.array([v[best].tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        champs = ds.map_batches(
+            champion, batch_format="pyarrow", batch_size=4096
+        ).to_pandas()
+        if not len(champs):
+            break
+        champs = champs.sort_values(
+            ["mind", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        radius2 = int(champs["mind"].iloc[0])
+        if radius2 == 0:
+            break
+        vid = int(champs["vec_id"].iloc[0])
+        rows.append((rank, vid, radius2))
+        sel_ids.append(vid)
+        sel_vecs.append(np.asarray(champs["vec"].iloc[0], dtype=np.int64))
+    return pd.DataFrame(rows, columns=["rank", "vec_id", "radius2"]).astype("int64")
+
+
+def kcenter_coreset_sql(k: int = 12, seed_id: int = 0) -> str:
+    """EXACT DuckDB twin of kcenter_coreset: the selected set rides
+    round-tagged in a recursive CTE (the MMR twin's shape); each round
+    picks argmax over points of MIN dist^2 to the selected rows
+    (integer-exact via the |a|^2+|b|^2-2ab identity, every
+    intermediate below 2^53), ties to the smaller vec_id."""
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT vec_id::BIGINT AS vec_id,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        e2 AS (
+            SELECT vec_id, v,
+                   list_sum(list_transform(v, x -> x * x)) AS n2
+            FROM e
+        ),
+        sel(r, rank, vec_id, radius2) AS (
+            SELECT 1, 1, CAST({seed_id} AS BIGINT), CAST(0 AS BIGINT)
+            UNION ALL
+            (
+              WITH prev AS (SELECT * FROM sel),
+              rr AS (SELECT MAX(r) AS r FROM prev),
+              pick AS (
+                  SELECT c.vec_id,
+                         MIN(c.n2 + s.n2
+                             - 2 * CAST(list_inner_product(c.v, s.v)
+                                        AS BIGINT)) AS mind
+                  FROM e2 c JOIN prev p ON true
+                  JOIN e2 s ON s.vec_id = p.vec_id
+                  WHERE c.vec_id NOT IN (SELECT vec_id FROM prev)
+                  GROUP BY c.vec_id
+                  ORDER BY mind DESC, c.vec_id LIMIT 1
+              )
+              SELECT rr.r + 1, x.rank, x.vec_id, x.radius2 FROM rr, (
+                  SELECT rank, vec_id, radius2 FROM prev
+                  UNION ALL
+                  SELECT rr2.r + 1, pk.vec_id, pk.mind
+                  FROM pick pk, (SELECT MAX(r) AS r FROM prev) rr2
+                  WHERE pk.mind > 0
+              ) x
+              WHERE rr.r < {k}
+                AND EXISTS (SELECT 1 FROM pick WHERE mind > 0)
+            )
+        ),
+        fin AS (SELECT MAX(r) AS r FROM sel)
+        SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+               CAST(radius2 AS BIGINT) AS radius2
+        FROM sel, fin WHERE sel.r = fin.r ORDER BY rank
+    """

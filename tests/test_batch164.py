@@ -66,7 +66,7 @@ def quantized():
         f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
     ).fetchdf()
     ids = t["vec_id"].to_numpy(np.int64)
-    mat = np.round(np.stack(t["embedding"].to_numpy()) * 1e6).astype(np.int64)
+    mat = np.round(np.stack(t["embedding"].to_numpy()).astype(np.float64) * 1e6).astype(np.int64)
     return ids, mat
 
 
