@@ -1199,6 +1199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_embeddings": lambda sf: similarity.dbscan_embeddings(sf),
         # Gonzalez farthest-first coreset (max-min diversity seeds)
         "kcenter_coreset": lambda sf: similarity.kcenter_coreset(sf),
+        # submodular facility-location representative selection
+        "facility_location_selection": lambda sf: similarity.facility_location_selection(sf),
         # two-pass deterministic-sample hot-key detection + exact recount
         "hot_key_detector": dso.hot_key_detector,
         # quantile-boundary range-sharded sink with round-trip audit
@@ -2242,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
         "lexicon_match_census": textops.lexicon_match_census_sql(),
         "dbscan_embeddings": similarity_mod.dbscan_embeddings_sql(),
         "kcenter_coreset": similarity_mod.kcenter_coreset_sql(),
+        "facility_location_selection": similarity_mod.facility_location_selection_sql(),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),

@@ -2319,3 +2319,144 @@ def kcenter_coreset_sql(k: int = 12, seed_id: int = 0) -> str:
                CAST(radius2 AS BIGINT) AS radius2
         FROM sel, fin WHERE sel.r = fin.r ORDER BY rank
     """
+
+
+def facility_location_selection(
+    sf_dir: str, k: int = 10, scale: int = 1_000_000
+) -> pd.DataFrame:
+    """Greedy facility-location (submodular) data selection: maximize
+    f(S) = sum_v max_{s in S} sim(v, s) — the canonical coverage
+    objective for representative-subset curation (each point is
+    'served' by its most similar selected exemplar). Similarities are
+    EXACT integers: clamped-at-zero dot products of 1e6-quantized
+    vectors, so every marginal gain, tie (smaller vec_id) and the
+    greedy (1-1/e) trajectory are bit-stable. Output per step:
+    (rank, vec_id, marginal_gain); stops early when no positive gain
+    remains.
+
+    Distributed plan: per round the selected matrix (<= k x D) and the
+    candidate pool broadcast once (the pool broadcast is the
+    documented O(N x D) bound — past object-store size the candidates
+    become IVF bucket representatives); each batch computes
+    max(0, sims - curmax) with two integer matmuls and emits its
+    PARTIAL per-candidate gain sums; a candidate-keyed Sum folds the
+    partials and the driver takes the argmax — O(blocks x N) rows per
+    round, vectors never re-shuffle. SQL twin:
+    facility_location_selection_sql (recursive curmax-from-selected)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    pool_t = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    pool_ids = pool_t["vec_id"].to_numpy(np.int64)
+    pool = np.round(
+        np.stack(pool_t["embedding"].to_numpy()).astype(np.float64) * scale
+    ).astype(np.int64)
+    pref = ray.put((pool_ids, pool))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sel_ids: list[int] = []
+    sel_vecs: list[np.ndarray] = []
+    rows = []
+    for rank in range(1, k + 1):
+        sref = ray.put(np.stack(sel_vecs) if sel_vecs else np.zeros((0, pool.shape[1]), np.int64))
+
+        def partial_gains(t: pa.Table) -> pa.Table:
+            cids, cpool = ray.get(pref)
+            smat = ray.get(sref)
+            v = np.round(
+                embedding_matrix(t["embedding"]).astype(np.float64) * scale
+            ).astype(np.int64)
+            sims = np.maximum(v @ cpool.T, 0)  # [B, N]
+            if len(smat):
+                curmax = np.maximum(v @ smat.T, 0).max(axis=1)  # [B]
+            else:
+                curmax = np.zeros(len(v), dtype=np.int64)
+            g = np.maximum(sims - curmax[:, None], 0).sum(axis=0)  # [N]
+            return pa.table(
+                {
+                    "c": pa.array(cids, pa.int64()),
+                    "g": pa.array(g.astype(np.int64), pa.int64()),
+                }
+            )
+
+        gains = (
+            ds.map_batches(partial_gains, batch_format="pyarrow", batch_size=4096)
+            .groupby("c")
+            .aggregate(_Sum("g", alias_name="gain"))
+            .to_pandas()
+        )
+        gains = gains[~gains["c"].isin(sel_ids)]
+        gains = gains.sort_values(["gain", "c"], ascending=[False, True], kind="mergesort")
+        if not len(gains) or int(gains["gain"].iloc[0]) <= 0:
+            break
+        c = int(gains["c"].iloc[0])
+        rows.append((rank, c, int(gains["gain"].iloc[0])))
+        sel_ids.append(c)
+        sel_vecs.append(pool[np.flatnonzero(pool_ids == c)[0]])
+    return pd.DataFrame(rows, columns=["rank", "vec_id", "marginal_gain"]).astype(
+        "int64"
+    )
+
+
+def facility_location_selection_sql(k: int = 10, scale: int = 1_000_000) -> str:
+    """EXACT DuckDB twin of facility_location_selection: the full
+    clamped integer similarity table materializes once; the recursion
+    recomputes curmax from the round-tagged selected set and folds
+    per-candidate marginal gains (greatest(s - curmax, 0)), ties to
+    the smaller vec_id, stopping at k or zero gain."""
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT vec_id::BIGINT AS vec_id,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale})
+                                 AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        sims AS (
+            SELECT a.vec_id AS v, b.vec_id AS c,
+                   GREATEST(CAST(list_inner_product(a.v, b.v) AS BIGINT), 0)
+                       AS s
+            FROM e a JOIN e b ON true
+        ),
+        first_pick AS (
+            SELECT c, SUM(s) AS gain FROM sims GROUP BY 1
+            ORDER BY gain DESC, c LIMIT 1
+        ),
+        sel(r, rank, vec_id, gain) AS (
+            SELECT 1, 1, c, gain FROM first_pick
+            UNION ALL
+            (
+              WITH prev AS (SELECT * FROM sel),
+              rr AS (SELECT MAX(r) AS r FROM prev),
+              curmax AS (
+                  SELECT sims.v, MAX(sims.s) AS m
+                  FROM sims JOIN prev p ON p.vec_id = sims.c
+                  GROUP BY 1
+              ),
+              gains AS (
+                  SELECT sims.c, SUM(GREATEST(sims.s - cm.m, 0)) AS gain
+                  FROM sims JOIN curmax cm ON cm.v = sims.v
+                  WHERE sims.c NOT IN (SELECT vec_id FROM prev)
+                  GROUP BY 1
+              ),
+              best AS (
+                  SELECT c, gain FROM gains WHERE gain > 0
+                  ORDER BY gain DESC, c LIMIT 1
+              )
+              SELECT rr.r + 1, x.rank, x.vec_id, x.gain FROM rr, (
+                  SELECT rank, vec_id, gain FROM prev
+                  UNION ALL
+                  SELECT rr2.r + 1, b.c, b.gain
+                  FROM best b, (SELECT MAX(r) AS r FROM prev) rr2
+              ) x WHERE rr.r < {k} AND EXISTS (SELECT 1 FROM best)
+            )
+        ),
+        fin AS (SELECT MAX(r) AS r FROM sel)
+        SELECT CAST(rank AS BIGINT) AS rank,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(gain AS BIGINT) AS marginal_gain
+        FROM sel, fin WHERE sel.r = fin.r ORDER BY rank
+    """
