@@ -90,13 +90,112 @@ def bpe_merge_loop(word_counts: dict[str, int], n_merges: int) -> list[tuple[str
     return merges
 
 
+def bpe_train_sql(n_merges: int = 50) -> str:
+    """EXACT DuckDB twin of bpe_train: the Sennrich merge loop runs
+    inside one recursive CTE over the round-tagged symbolized
+    vocabulary ('v' rows; words are character lists + '</w>'); each
+    iteration counts weighted adjacent pairs, picks the
+    (count DESC, left, right) argmin exactly like the Python
+    tie-break, applies the merge with leftmost-non-overlapping
+    semantics (run-parity windowing handles left==right runs), folds
+    identical symbol lists, and emits one 'm' row — the accumulated
+    'm' rows ARE the merge table, rank = round."""
+    return f"""
+WITH RECURSIVE wc AS (
+    SELECT word, COUNT(*)::BIGINT AS n FROM (
+        SELECT UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  w -> w <> '')) AS word
+        FROM documents
+    ) GROUP BY word
+),
+init AS (
+    SELECT list_append(list_transform(range(1, length(word) + 1),
+                                      i -> word[i]), '</w>') AS sym,
+           n
+    FROM wc
+),
+state(r, kind, sym, n, l, rt, cnt) AS (
+    SELECT 0, 'v', sym, n, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT FROM init
+    UNION ALL
+    (
+      WITH prev AS (SELECT * FROM state),
+      rr AS (SELECT MAX(r) AS r FROM prev),
+      v AS (SELECT sym, n FROM prev WHERE kind = 'v'),
+      vid AS (
+          SELECT row_number() OVER (ORDER BY sym) AS wid, sym, n FROM v
+      ),
+      pairs AS (
+          SELECT sym[i] AS a, sym[i + 1] AS b, SUM(n) AS cnt
+          FROM vid, UNNEST(range(1, len(sym))) t(i)
+          GROUP BY 1, 2
+      ),
+      best AS (
+          SELECT a, b, cnt FROM pairs
+          ORDER BY cnt DESC, a, b LIMIT 1
+      ),
+      ex AS (
+          SELECT wid, n, i AS pos, sym[i] AS tok, len(sym) AS ln
+          FROM vid, UNNEST(range(1, len(sym) + 1)) t(i)
+      ),
+      mk AS (
+          SELECT e.*, (e.tok = best.a AND
+                       lead(e.tok) OVER (PARTITION BY e.wid ORDER BY e.pos)
+                           = best.b) AS m
+          FROM ex e CROSS JOIN best
+      ),
+      isl AS (
+          SELECT mk.*,
+                 CASE WHEN m THEN pos - row_number() OVER
+                     (PARTITION BY wid, m ORDER BY pos) END AS grp
+          FROM mk
+      ),
+      tk AS (
+          SELECT isl.*,
+                 m AND (pos - MIN(pos) OVER (PARTITION BY wid, grp)) % 2 = 0
+                     AS taken
+          FROM isl
+      ),
+      rebuilt AS (
+          SELECT wid, n, pos,
+                 CASE WHEN taken THEN tok ||
+                     lead(tok) OVER (PARTITION BY wid ORDER BY pos)
+                 ELSE tok END AS tok,
+                 taken,
+                 lag(taken) OVER (PARTITION BY wid ORDER BY pos) AS prev_taken
+          FROM tk
+      ),
+      newv AS (
+          SELECT wid, list(tok ORDER BY pos) AS sym, MIN(n) AS wn
+          FROM rebuilt
+          WHERE NOT COALESCE(prev_taken, false)
+          GROUP BY wid
+      ),
+      folded AS (
+          SELECT sym, SUM(wn) AS n FROM newv GROUP BY sym
+      )
+      SELECT rr.r + 1, x.kind, x.sym, x.n, x.l, x.rt, x.cnt
+      FROM rr, (
+          SELECT 'v' AS kind, sym, n, NULL::VARCHAR AS l, NULL::VARCHAR AS rt, NULL::BIGINT AS cnt
+          FROM folded
+          UNION ALL
+          SELECT 'm', NULL::VARCHAR[], NULL::BIGINT, a, b, cnt FROM best
+      ) x
+      WHERE rr.r < {n_merges} AND EXISTS (SELECT 1 FROM best)
+    )
+)
+SELECT CAST(r AS BIGINT) AS merge_rank, l AS "left", rt AS "right",
+       CAST(cnt AS BIGINT) AS pair_count
+FROM state WHERE kind = 'm' ORDER BY merge_rank
+"""
+
+
 def bpe_train(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
     """Learn a BPE merge table from the corpus: distributed word
     counting feeds the deterministic driver-side merge loop. Returns
-    (merge_rank, left, right, pair_count). Iterative algorithm — no
-    SQL twin; pinned by the serial-reference-equality pytest (an
-    independent single-pass implementation recounting from the raw
-    parquet)."""
+    (merge_rank, left, right, pair_count). Value-exact SQL twin
+    (bpe_train_sql, the recursive merge loop in SQL); also pinned by
+    the serial-reference-equality pytest (an independent single-pass
+    implementation recounting from the raw parquet)."""
     wc = _word_counts(sf_dir)
     merges = bpe_merge_loop(dict(zip(wc["word"], wc["n"])), n_merges)
     return pd.DataFrame(

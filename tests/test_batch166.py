@@ -65,3 +65,17 @@ def test_facility_location_sql_twin_exact(ray_session):
     )
     ora = con.execute(facility_location_selection_sql()).fetchdf().astype("int64")
     pd.testing.assert_frame_equal(mine.reset_index(drop=True), ora)
+
+
+def test_bpe_train_sql_twin_exact(ray_session):
+    from pdfrust_ray.pipelines.llmdata import bpe_train, bpe_train_sql
+
+    mine = bpe_train(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    ora = con.execute(bpe_train_sql()).fetchdf()
+    ora["merge_rank"] = ora["merge_rank"].astype("int64")
+    ora["pair_count"] = ora["pair_count"].astype("int64")
+    pd.testing.assert_frame_equal(mine.reset_index(drop=True), ora)
