@@ -2246,6 +2246,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_coreset": similarity_mod.kcenter_coreset_sql(),
         "facility_location_selection": similarity_mod.facility_location_selection_sql(),
         "bpe_merges": llm.bpe_train_sql(),
+        "bpe_encode_counts": llm.bpe_encode_counts_sql(),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),

@@ -369,14 +369,87 @@ def _bpe_apply(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
+def bpe_encode_counts_sql(n_merges: int = 50, rmax: int = 40) -> str:
+    """EXACT DuckDB twin of bpe_encode_counts: the trained merge table
+    comes from the nested bpe_train_sql recursion; a second recursive
+    CTE applies merges per DISTINCT word — each round every word
+    merges its single lowest-rank (first-position) adjacent pair, the
+    standard BPE encoder step — and per-document counts attach by
+    word multiplicity."""
+    train = bpe_train_sql(n_merges)
+    return f"""
+WITH RECURSIVE ranks AS (
+    SELECT "left" AS l, "right" AS rt, merge_rank AS rk
+    FROM ({train}) tr
+),
+words AS (
+    SELECT DISTINCT word FROM (
+        SELECT UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  w -> w <> '')) AS word
+        FROM documents
+    )
+),
+enc(r, word, sym) AS (
+    SELECT 0, word,
+           list_append(list_transform(range(1, length(word) + 1),
+                                      i -> word[i]), '</w>')
+    FROM words
+    UNION ALL
+    (
+      WITH prev AS (SELECT * FROM enc),
+      rr AS (SELECT MAX(r) AS r FROM prev),
+      cand AS (
+          SELECT p.word, i, rk.rk
+          FROM prev p, UNNEST(range(1, len(p.sym))) t(i)
+          JOIN ranks rk ON rk.l = p.sym[i] AND rk.rt = p.sym[i + 1]
+      ),
+      best AS (
+          SELECT word, i FROM (
+              SELECT word, i,
+                     row_number() OVER (PARTITION BY word
+                                        ORDER BY rk, i) AS rn
+              FROM cand
+          ) WHERE rn = 1
+      ),
+      nxt AS (
+          SELECT p.word,
+                 CASE WHEN b.word IS NULL THEN p.sym
+                 ELSE list_cat(
+                     p.sym[1 : b.i - 1],
+                     list_cat([p.sym[b.i] || p.sym[b.i + 1]],
+                              p.sym[b.i + 2 : len(p.sym)]))
+                 END AS sym
+          FROM prev p LEFT JOIN best b ON b.word = p.word
+      ),
+      go AS (SELECT EXISTS (SELECT 1 FROM best) AS more)
+      SELECT rr.r + 1, nxt.word, nxt.sym
+      FROM nxt, rr, go WHERE go.more AND rr.r < {rmax}
+    )
+),
+fin AS (SELECT MAX(r) AS r FROM enc),
+wlen AS (
+    SELECT word, len(sym) AS n FROM enc, fin WHERE enc.r = fin.r
+),
+dw AS (
+    SELECT doc_id::BIGINT AS doc_id, UNNEST(
+        list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')
+    ) AS word
+    FROM documents
+)
+SELECT dw.doc_id, CAST(SUM(wlen.n) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN wlen ON wlen.word = dw.word
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def bpe_encode_counts(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
     """Apply the learned BPE merge table: per-document token count
     under the trained vocabulary (train + apply = the full tokenizer
     lifecycle). The merge-rank dict is broadcast once; each actor
     caches word->tokens encodings (vocabulary-sized, so the per-word
     merge loop runs once per DISTINCT word per actor, not per
-    occurrence). Iterative vocabulary — no SQL twin; pinned by the
-    round-trip/monotonicity pytest."""
+    occurrence). Value-exact SQL twin (bpe_encode_counts_sql); also
+    pinned by the round-trip/monotonicity pytest."""
     import ray
 
     merges = bpe_train(sf_dir, n_merges=n_merges)

@@ -79,3 +79,19 @@ def test_bpe_train_sql_twin_exact(ray_session):
     ora["merge_rank"] = ora["merge_rank"].astype("int64")
     ora["pair_count"] = ora["pair_count"].astype("int64")
     pd.testing.assert_frame_equal(mine.reset_index(drop=True), ora)
+
+
+def test_bpe_encode_counts_sql_twin_exact(ray_session):
+    from pdfrust_ray.pipelines.llmdata import (
+        bpe_encode_counts,
+        bpe_encode_counts_sql,
+    )
+
+    mine = bpe_encode_counts(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    ora = con.execute(bpe_encode_counts_sql()).fetchdf()
+    ora["doc_id"] = ora["doc_id"].astype("int64")
+    pd.testing.assert_frame_equal(mine.reset_index(drop=True), ora)
