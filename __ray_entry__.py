@@ -1721,6 +1721,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# Every queries() entry WITHOUT an oracle_sql() twin must be justified
+# here — the registry meta-test enforces it, so a new rows-only query
+# cannot slip in silently. Categories:
+#   approximation — the op is approximate by construction; its contract
+#     is a measured bound (recall/error tests), not value equality
+#   binary-codec  — decodes image/audio/video/PDF bytes; SQL cannot
+#   float-iterative — float fixpoint whose last-ulp rounding path SQL
+#     cannot reproduce bit-stably
+#   engine-artifact — audits engine-written files/layouts, not tables
+#   sequential-state — per-item mutable state over the stream order
+#     (simulating 10^4+ steps in recursive SQL is not tractable)
+NO_ORACLE_JUSTIFICATIONS: dict = {
+    "ann_ivf_topk": "approximation — probe-pruned IVF; recall>=0.9-vs-exact pytest",
+    "ann_pq_topk": "approximation — PQ-compressed scores; recall pytest vs exact",
+    "ann_recall_report": "approximation — the query IS the measured recall report",
+    "audio_duration_audit": "binary-codec — PCM16/mu-law/ADPCM/FLAC decode",
+    "audio_energy_segments": "binary-codec — PCM frame energy over WAV bytes",
+    "audio_pitch_estimate": "binary-codec — autocorrelation over decoded PCM",
+    "belady_opt_cache_audit": "sequential-state — OPT cache needs per-access future scan",
+    "bwt_compressibility": "sequential-state — full BWT rotation sort per doc",
+    "charset_best_match_lsh": "approximation — bucketed sibling; exact variant has a bit-exact oracle",
+    "compression_ratio_scores": "binary-codec — zlib ratios; SQL has no DEFLATE",
+    "curve_locality_audit": "engine-artifact — audits the engine's Hilbert layout files",
+    "daily_range_shard_plan": "engine-artifact — plans engine shard boundaries",
+    "embedding_dedup_ivf": "approximation — bucketed sibling; exact variant has a value-exact oracle",
+    "embedding_pca_topk": "float-iterative — power-iteration eigenvectors",
+    "image_phash_dedup": "binary-codec — perceptual hash over decoded pixels",
+    "kmeans_embeddings": "float-iterative — Lloyd rounds accumulate float sums batch-wise",
+    "media_features": "binary-codec — PPM/WAV decode + resize/frame-sample",
+    "orphan_files_audit": "engine-artifact — audits engine-written manifests",
+    "part_supplier_articulation": "sequential-state — Tarjan DFS low-links; pinned by brute-force removal pytest",
+    "part_supplier_max_matching": "sequential-state — augmenting-path search; pinned by Konig-bound pytest",
+    "pdf_object_census": "binary-codec — parses PDF object streams",
+    "quantile_sketch": "approximation — compactor sketch is block-partition-dependent; rank-error-bound pytest",
+    "semantic_dedup": "float-iterative — consumes kmeans_embeddings centroids",
+    "streaming_heavy_hitters": "sequential-state — SpaceSaving replay over stream order",
+    "type_alias_sampling_table": "engine-artifact — audits the engine's alias tables",
+    "video_scene_cuts": "binary-codec — frame-delta energy over packed video bytes",
+}
+
+
 def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import datasetops as dso

@@ -60,3 +60,26 @@ def test_every_oracle_parses_and_binds(entry):
         except Exception as ex:  # noqa: BLE001 - we want the full census
             failures[name] = str(ex).splitlines()[0][:160]
     assert not failures, failures
+
+
+def test_every_rows_only_query_is_justified():
+    """A queries() entry without an oracle_sql() twin must carry an
+    explicit justification (and justifications must not go stale)."""
+    import __ray_entry__ as e
+
+    q = set(e.queries())
+    o = set(e.oracle_sql())
+    rows_only = q - o
+    just = set(e.NO_ORACLE_JUSTIFICATIONS)
+    assert rows_only == just, (
+        f"unjustified rows-only: {sorted(rows_only - just)}; "
+        f"stale justifications: {sorted(just - rows_only)}"
+    )
+    for name, why in e.NO_ORACLE_JUSTIFICATIONS.items():
+        assert " — " in why and why.split(" — ")[0] in {
+            "approximation",
+            "binary-codec",
+            "float-iterative",
+            "engine-artifact",
+            "sequential-state",
+        }, name
