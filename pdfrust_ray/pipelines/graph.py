@@ -893,52 +893,28 @@ def part_weighted_sssp(sf_dir: str, bound: int = 15) -> pd.DataFrame:
     groupby(dst).min — rounds are <= bound/min_weight, each one edge
     scan.  Node counts beyond driver RAM turn the broadcast into the
     edges-join-labels exchange dedup_clusters documents."""
-    import pyarrow.compute as pc
-
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
     seed = int(li.min("l_partkey"))
 
-    def shardify(t: pa.Table) -> pa.Table:
-        d = (
-            pa.table(
-                {
-                    "o": pc.cast(t["l_orderkey"], pa.int64()),
-                    "p": pc.cast(t["l_partkey"], pa.int64()),
-                }
-            )
-            .group_by(["o", "p"])
-            .aggregate([])
+    def both_dirs(t: pa.Table) -> pa.Table:
+        # weights are symmetric, so the canonical x<y edge list expands
+        # to both orientations with one cheap concat
+        return pa.table(
+            {
+                "x": pa.concat_arrays(
+                    [t["x"].combine_chunks(), t["y"].combine_chunks()]
+                ),
+                "y": pa.concat_arrays(
+                    [t["y"].combine_chunks(), t["x"].combine_chunks()]
+                ),
+            }
         )
-        return d.append_column("_shard", pc.cast(pc.bit_wise_and(d["o"], 63), pa.int32()))
 
-    def clique_edges(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["o", "p"]).sort_values(["o", "p"])
-        xs, ys = [], []
-        for _, grp in g.groupby("o", sort=False):
-            p = grp["p"].to_numpy(np.int64)
-            if len(p) < 2:
-                continue
-            i, j = np.triu_indices(len(p), k=1)
-            xs.append(p[i])
-            ys.append(p[j])
-        if not xs:
-            return pd.DataFrame({"x": pd.Series([], dtype="int64"), "y": pd.Series([], dtype="int64")})
-        x = np.concatenate(xs)
-        y = np.concatenate(ys)
-        # both directions; weight is symmetric by construction
-        return pd.DataFrame(
-            {"x": np.concatenate([x, y]), "y": np.concatenate([y, x])}
-        ).drop_duplicates()
-
-    edges = (
-        li.map_batches(shardify, batch_format="pyarrow")
-        .groupby("_shard")
-        .map_groups(clique_edges, batch_format="pandas")
-        .groupby(["x", "y"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-        .materialize()
-    )
+    # the packed-lag vectorized builder (no per-order Python loop) —
+    # shared with part_kcore_sizes / part_mst_boruvka
+    edges = _copurchase_edges(sf_dir).map_batches(
+        both_dirs, batch_format="pyarrow"
+    ).materialize()
 
     INF = np.int64(1 << 60)
     dist: dict[int, int] = {seed: 0}
@@ -1028,48 +1004,9 @@ def part_mst_boruvka(sf_dir: str) -> pd.DataFrame:
     union-find.  O(log V) rounds, each one edge scan; label tables
     beyond driver RAM become the edges-join-labels exchange
     dedup_clusters documents."""
-    import pyarrow.compute as pc
-
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
-
-    def shardify(t: pa.Table) -> pa.Table:
-        d = (
-            pa.table(
-                {
-                    "o": pc.cast(t["l_orderkey"], pa.int64()),
-                    "p": pc.cast(t["l_partkey"], pa.int64()),
-                }
-            )
-            .group_by(["o", "p"])
-            .aggregate([])
-        )
-        return d.append_column("_shard", pc.cast(pc.bit_wise_and(d["o"], 63), pa.int32()))
-
-    def clique_edges(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["o", "p"]).sort_values(["o", "p"])
-        xs, ys = [], []
-        for _, grp in g.groupby("o", sort=False):
-            p = grp["p"].to_numpy(np.int64)
-            if len(p) < 2:
-                continue
-            i, j = np.triu_indices(len(p), k=1)
-            xs.append(p[i])
-            ys.append(p[j])
-        if not xs:
-            return pd.DataFrame({"x": pd.Series([], dtype="int64"), "y": pd.Series([], dtype="int64")})
-        return pd.DataFrame(
-            {"x": np.concatenate(xs), "y": np.concatenate(ys)}
-        ).drop_duplicates()
-
-    edges = (
-        li.map_batches(shardify, batch_format="pyarrow")
-        .groupby("_shard")
-        .map_groups(clique_edges, batch_format="pandas")
-        .groupby(["x", "y"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-        .materialize()
-    )
+    # the packed-lag vectorized canonical (x < y) edge list — shared
+    # with part_kcore_sizes / part_weighted_sssp
+    edges = _copurchase_edges(sf_dir)
 
     nodes = sorted(
         set(edges.groupby("x").aggregate(Count(alias_name="_n")).to_pandas()["x"])
