@@ -94,3 +94,58 @@ def md5_prefix_u32(messages: list[bytes]) -> np.ndarray:
     # digest = pack('<4I', a, b, c, d); hexdigest()[:8] is the first 4
     # bytes = byte-swapped `a`.
     return a.byteswap().astype(np.uint64)
+
+
+def md5_prefix_u64(messages: list[bytes]) -> np.ndarray:
+    """First 8 digest bytes of md5(m) as a big-endian uint64 — i.e.
+    ``int.from_bytes(md5(m).digest()[:8], 'big')`` — vectorized across
+    the batch (same single-padded-block bound as md5_prefix_u32). The
+    digest is pack('<4I', a, b, c, d), so bytes 0..7 big-endian =
+    (bswap(a) << 32) | bswap(b)."""
+    n = len(messages)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lens = np.fromiter((len(m) for m in messages), dtype=np.int64, count=n)
+    if lens.max(initial=0) >= 56:
+        raise ValueError("md5_prefix_u64 requires messages < 56 bytes")
+
+    block = np.zeros((n, 64), dtype=np.uint8)
+    for ln in np.unique(lens):
+        idx = np.nonzero(lens == ln)[0]
+        if ln:
+            buf = np.frombuffer(b"".join(messages[i] for i in idx), dtype=np.uint8)
+            block[idx, :ln] = buf.reshape(len(idx), ln)
+        block[idx, ln] = 0x80
+    bitlen = (lens.astype(np.uint64) << np.uint64(3))
+    for bby in range(8):
+        block[:, 56 + bby] = (
+            (bitlen >> np.uint64(8 * bby)) & np.uint64(0xFF)
+        ).astype(np.uint8)
+
+    m = block.view("<u4").astype(np.uint32)
+
+    a = np.full(n, 0x67452301, dtype=np.uint32)
+    b = np.full(n, 0xEFCDAB89, dtype=np.uint32)
+    c = np.full(n, 0x98BADCFE, dtype=np.uint32)
+    d = np.full(n, 0x10325476, dtype=np.uint32)
+    a0, b0 = a.copy(), b.copy()
+    c0, d0 = c.copy(), d.copy()
+
+    for i in range(64):
+        if i < 16:
+            f = (b & c) | (~b & d)
+        elif i < 32:
+            f = (d & b) | (~d & c)
+        elif i < 48:
+            f = b ^ c ^ d
+        else:
+            f = c ^ (b | ~d)
+        tmp = (f + a + np.uint32(_K[i]) + m[:, _G[i]]).astype(np.uint32)
+        a, d, c = d, c, b
+        b = (b + _rotl(tmp, int(_S[i]))).astype(np.uint32)
+
+    a = (a + a0).astype(np.uint32)
+    b = (b + b0).astype(np.uint32)
+    return (a.byteswap().astype(np.uint64) << np.uint64(32)) | b.byteswap().astype(
+        np.uint64
+    )

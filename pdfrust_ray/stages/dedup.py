@@ -2196,28 +2196,28 @@ def winnowing_dedup(
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fingerprints(t: pa.Table) -> pa.Table:
-        out_d, out_f = [], []
+        from ..functions.md5vec import md5_prefix_u64
+
+        # collect every k-gram in the batch, hash them in ONE
+        # vectorized single-block md5 pass, then split back per doc
+        docs, grams, offsets = [], [], [0]
         for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             n = len(txt)
             if n < k:
                 continue
-            hs = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(txt[i : i + k].encode()).digest()[:8], "big"
-                    )
-                    >> 1
-                    for i in range(n - k + 1)
-                ),
-                dtype=np.int64,
-                count=n - k + 1,
-            )
+            docs.append(int(did))
+            grams.extend(txt[i : i + k].encode() for i in range(n - k + 1))
+            offsets.append(len(grams))
+        all_h = (md5_prefix_u64(grams) >> np.uint64(1)).astype(np.int64)
+        out_d, out_f = [], []
+        for j, did in enumerate(docs):
+            hs = all_h[offsets[j] : offsets[j + 1]]
             if len(hs) >= w:
                 win = np.lib.stride_tricks.sliding_window_view(hs, w)
                 sel = np.unique(win.min(axis=1))
             else:
                 sel = np.unique(hs.min(keepdims=True))
-            out_d.extend([int(did)] * len(sel))
+            out_d.extend([did] * len(sel))
             out_f.extend(sel.tolist())
         return pa.table(
             {
