@@ -1751,7 +1751,6 @@ NO_ORACLE_JUSTIFICATIONS: dict = {
     "kmeans_embeddings": "float-iterative — Lloyd rounds accumulate float sums batch-wise",
     "media_features": "binary-codec — PPM/WAV decode + resize/frame-sample",
     "orphan_files_audit": "engine-artifact — audits engine-written manifests",
-    "part_supplier_articulation": "sequential-state — Tarjan DFS low-links; pinned by brute-force removal pytest",
     "part_supplier_max_matching": "sequential-state — augmenting-path search; pinned by Konig-bound pytest",
     "pdf_object_census": "binary-codec — parses PDF object streams",
     "quantile_sketch": "approximation — compactor sketch is block-partition-dependent; rank-error-bound pytest",
@@ -2288,6 +2287,7 @@ def oracle_sql() -> dict[str, str]:
         "facility_location_selection": similarity_mod.facility_location_selection_sql(),
         "bpe_merges": llm.bpe_train_sql(),
         "bpe_encode_counts": llm.bpe_encode_counts_sql(),
+        "part_supplier_articulation": graph.part_supplier_articulation_sql(),
         "event_type_jaccard_matrix": rel.event_type_jaccard_matrix_sql(),
         "embedding_pair_distance_histogram": similarity_mod.embedding_pair_distance_histogram_sql(),
         "t_closeness_audit": rel.t_closeness_audit_sql(),

@@ -981,6 +981,175 @@ def part_weighted_sssp_sql(bound: int = 15) -> str:
     """
 
 
+def part_supplier_articulation_sql(rmax: int = 40) -> str:
+    """EXACT DuckDB twin of part_supplier_articulation via the
+    supplier-projection reduction: a vertex v is an articulation point
+    iff G - v has more components, and in a bipartite graph that count
+    is computable on the (tiny) supplier side — removing part p drops
+    exactly the supplier-pair edges ONLY p mediates (shared-part
+    counts decrement); removing supplier s drops its projection vertex
+    and isolates its degree-1 parts. One round-tagged min-label
+    recursion runs ALL removal scenarios simultaneously (rid-keyed);
+    articulation <=> (supplier components within the old component)
+    + (isolated parts) >= 2. Degree-1 parts are never articulation
+    and are skipped. Tarjan low-links (the engine) and this removal
+    definition agree by the standard theorem; the planted-bridge
+    pytest exercises the non-vacuous paths the dense fixtures never
+    hit."""
+    return f"""
+WITH RECURSIVE edges AS (
+    SELECT DISTINCT l_partkey::BIGINT AS p, l_suppkey::BIGINT AS s FROM lineitem
+),
+parts AS (SELECT p, COUNT(*) AS deg FROM edges GROUP BY 1),
+sups AS (SELECT DISTINCT s FROM edges),
+trip AS (
+    SELECT a.s AS u, b.s AS v, a.p
+    FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
+),
+pairs AS (SELECT u, v, COUNT(*) AS cnt FROM trip GROUP BY 1, 2),
+-- global supplier components (min-label over the projection)
+glab(r, s, l) AS (
+    SELECT 0, s, s FROM sups
+    UNION ALL
+    (
+      WITH prev AS (SELECT * FROM glab),
+      rr AS (SELECT MAX(r) AS r FROM prev),
+      adj AS (
+          SELECT pr.u AS n, lv.l FROM pairs pr JOIN prev lv ON lv.s = pr.v
+          UNION ALL
+          SELECT pr.v AS n, lu.l FROM pairs pr JOIN prev lu ON lu.s = pr.u
+      ),
+      hop AS (SELECT c1.s AS n, c2.l FROM prev c1 JOIN prev c2 ON c2.s = c1.l),
+      nxt AS (
+          SELECT prev.s,
+                 LEAST(prev.l,
+                       COALESCE((SELECT MIN(h.l) FROM hop h WHERE h.n = prev.s), prev.l),
+                       COALESCE((SELECT MIN(a2.l) FROM adj a2 WHERE a2.n = prev.s), prev.l)) AS l
+          FROM prev
+      ),
+      chg AS (SELECT EXISTS (SELECT 1 FROM nxt JOIN prev ON prev.s = nxt.s
+                             WHERE nxt.l <> prev.l) AS c)
+      SELECT rr.r + 1, nxt.s, nxt.l FROM nxt, rr, chg WHERE chg.c AND rr.r < {rmax}
+    )
+),
+gfin AS (SELECT MAX(r) AS r FROM glab),
+gcomp AS (SELECT s, l AS g FROM glab, gfin WHERE glab.r = gfin.r),
+-- removal ids: rid = 2*p for parts (deg >= 2 only), 2*s + 1 for suppliers
+rem_vertex AS (
+    SELECT 2 * p AS rid, NULL::BIGINT AS rs, p AS rp FROM parts WHERE deg >= 2
+    UNION ALL
+    SELECT 2 * s + 1, s, NULL FROM sups
+),
+rem_edges AS (
+    -- removing part rp: supplier pair survives iff another part mediates it
+    SELECT 2 * pt.p AS rid, pr.u, pr.v
+    FROM (SELECT p FROM parts WHERE deg >= 2) pt
+    CROSS JOIN pairs pr
+    LEFT JOIN trip t ON t.u = pr.u AND t.v = pr.v AND t.p = pt.p
+    WHERE pr.cnt - (CASE WHEN t.p IS NULL THEN 0 ELSE 1 END) > 0
+    UNION ALL
+    -- removing supplier rs: drop its vertex, pair edges unchanged
+    SELECT 2 * sp.s + 1, pr.u, pr.v
+    FROM sups sp JOIN pairs pr ON pr.u <> sp.s AND pr.v <> sp.s
+),
+lab2(r, rid, s, l) AS (
+    SELECT 0, rv.rid, sups.s, sups.s
+    FROM rem_vertex rv JOIN sups ON (rv.rs IS NULL OR sups.s <> rv.rs)
+    UNION ALL
+    (
+      WITH prev AS (SELECT * FROM lab2),
+      rr AS (SELECT MAX(r) AS r FROM prev),
+      adj AS (
+          SELECT e.rid, e.u AS n, lv.l FROM rem_edges e
+          JOIN prev lv ON lv.rid = e.rid AND lv.s = e.v
+          UNION ALL
+          SELECT e.rid, e.v AS n, lu.l FROM rem_edges e
+          JOIN prev lu ON lu.rid = e.rid AND lu.s = e.u
+      ),
+      hop AS (SELECT c1.rid, c1.s AS n, c2.l FROM prev c1
+              JOIN prev c2 ON c2.rid = c1.rid AND c2.s = c1.l),
+      nxt AS (
+          SELECT prev.rid, prev.s,
+                 LEAST(prev.l,
+                       COALESCE((SELECT MIN(h.l) FROM hop h
+                                 WHERE h.rid = prev.rid AND h.n = prev.s), prev.l),
+                       COALESCE((SELECT MIN(a2.l) FROM adj a2
+                                 WHERE a2.rid = prev.rid AND a2.n = prev.s), prev.l)) AS l
+          FROM prev
+      ),
+      chg AS (SELECT EXISTS (SELECT 1 FROM nxt JOIN prev
+                             ON prev.rid = nxt.rid AND prev.s = nxt.s
+                             WHERE nxt.l <> prev.l) AS c)
+      SELECT rr.r + 1, nxt.rid, nxt.s, nxt.l FROM nxt, rr, chg
+      WHERE chg.c AND rr.r < {rmax}
+    )
+),
+lfin AS (SELECT MAX(r) AS r FROM lab2),
+flab2 AS (SELECT rid, s, l FROM lab2, lfin WHERE lab2.r = lfin.r),
+-- removed vertex's own G-component
+rv_comp AS (
+    SELECT rv.rid,
+           COALESCE(gs.g, gp.g) AS g
+    FROM rem_vertex rv
+    LEFT JOIN gcomp gs ON gs.s = rv.rs
+    LEFT JOIN (
+        SELECT e.p, MIN(gc.g) AS g FROM edges e JOIN gcomp gc ON gc.s = e.s
+        GROUP BY 1
+    ) gp ON gp.p = rv.rp
+),
+-- k: supplier components after removal, within the removed vertex's old comp
+k_cnt AS (
+    SELECT f.rid, COUNT(DISTINCT f.l) AS k
+    FROM flab2 f
+    JOIN rv_comp rc ON rc.rid = f.rid
+    JOIN gcomp gc ON gc.s = f.s AND gc.g = rc.g
+    GROUP BY 1
+),
+-- e: parts made isolated by a supplier removal (their ONLY supplier)
+excl AS (
+    SELECT 2 * e.s + 1 AS rid, COUNT(*) AS e
+    FROM edges e JOIN parts pt ON pt.p = e.p AND pt.deg = 1
+    GROUP BY 1
+),
+artic AS (
+    SELECT rv.rid, rv.rs, rv.rp, rc.g,
+           COALESCE(k.k, 0) + COALESCE(x.e, 0) >= 2 AS is_art
+    FROM rem_vertex rv
+    JOIN rv_comp rc ON rc.rid = rv.rid
+    LEFT JOIN k_cnt k ON k.rid = rv.rid
+    LEFT JOIN excl x ON x.rid = rv.rid
+),
+-- per-component assembly
+pcomp AS (
+    SELECT e.p, MIN(gc.g) AS g FROM edges e JOIN gcomp gc ON gc.s = e.s GROUP BY 1
+),
+comp_stats AS (
+    SELECT g,
+           (SELECT COUNT(*) FROM pcomp WHERE pcomp.g = cg.g) AS n_parts,
+           (SELECT COUNT(*) FROM gcomp WHERE gcomp.g = cg.g) AS n_suppliers,
+           (SELECT COUNT(*) FROM edges e JOIN gcomp gc2 ON gc2.s = e.s
+            WHERE gc2.g = cg.g) AS n_edges,
+           (SELECT MIN(p) FROM pcomp WHERE pcomp.g = cg.g) AS min_p
+    FROM (SELECT DISTINCT g FROM gcomp) cg
+),
+art_stats AS (
+    SELECT g,
+           SUM(CASE WHEN is_art THEN 1 ELSE 0 END) AS n_articulation,
+           MIN(CASE WHEN is_art THEN COALESCE(rp, rs) END) AS min_art_key
+    FROM artic GROUP BY 1
+)
+SELECT CAST(COALESCE(cs.min_p, cs.g) AS BIGINT) AS comp_id,
+       CASE WHEN cs.min_p IS NOT NULL THEN 'part' ELSE 'supplier' END AS comp_side,
+       CAST(cs.n_parts AS BIGINT) AS n_parts,
+       CAST(cs.n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(cs.n_edges AS BIGINT) AS n_edges,
+       CAST(COALESCE(a.n_articulation, 0) AS BIGINT) AS n_articulation,
+       CAST(COALESCE(a.min_art_key, -1) AS BIGINT) AS min_art_key
+FROM comp_stats cs LEFT JOIN art_stats a ON a.g = cs.g
+ORDER BY comp_id
+"""
+
+
 def part_mst_boruvka(sf_dir: str) -> pd.DataFrame:
     """Minimum spanning forest of the weighted part co-purchase graph
     via distributed Boruvka rounds.  Edge weight is the same
@@ -1375,9 +1544,10 @@ def part_supplier_articulation(sf_dir: str) -> pd.DataFrame:
     concentration view with an exact topological one).  A component
     row with n_articulation=0 is itself the audit finding: that
     supply subgraph is biconnected (no single entity can sever it).
-    Tarjan low-link over the entity graph; no SQL oracle exists for
-    articulation points, so tests certify by brute-force
-    vertex-removal component counting.
+    Tarjan low-link over the entity graph; value-exact SQL twin
+    (part_supplier_articulation_sql, the vertex-removal definition
+    evaluated on the supplier projection) plus brute-force
+    vertex-removal pytests.
 
     Distributed plan: the corpus-to-entity-graph reduction is one
     distinct-edge groupby; Tarjan runs on the driver over the bounded
