@@ -143,6 +143,14 @@ def main() -> dict:
     timed("charset_best_match", lambda: textops.charset_best_match(SF_DIR))
     timed("charset_best_match_lsh", lambda: textops.charset_best_match_lsh(SF_DIR))
     timed("dedup_clusters", lambda: dedup.dedup_clusters(SF_DIR))
+    timed("winnowing_dedup", lambda: dedup.winnowing_dedup(SF_DIR))
+    timed("lexicon_match_census", lambda: textops.lexicon_match_census(SF_DIR))
+    timed("dbscan_embeddings", lambda: similarity.dbscan_embeddings(SF_DIR))
+    timed("kcenter_coreset", lambda: similarity.kcenter_coreset(SF_DIR))
+    timed(
+        "facility_location_selection",
+        lambda: similarity.facility_location_selection(SF_DIR),
+    )
     timed("lineitem_agg", lambda: rel.lineitem_agg(SF_DIR))
     timed("order_priority_revenue", lambda: rel.order_priority_revenue(SF_DIR))
     timed("top_bigrams", lambda: textops.top_bigrams(SF_DIR))

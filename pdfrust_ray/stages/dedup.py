@@ -2219,36 +2219,66 @@ def winnowing_dedup(
                 sel = np.unique(hs.min(keepdims=True))
             out_d.extend([did] * len(sel))
             out_f.extend(sel.tolist())
+        fp_arr = np.asarray(out_f, dtype=np.int64)
         return pa.table(
             {
-                "fp": pa.array(out_f, pa.int64()),
+                "fp": pa.array(fp_arr, pa.int64()),
+                # 64-way coarse shard so Ray dispatches 64 groups, not
+                # one task per fingerprint (the minhash shard trick)
+                "_shard": pa.array(fp_arr & 63, pa.int64()),
                 "doc_id": pa.array(out_d, pa.int64()),
             }
         )
 
     fps = ds.map_batches(fingerprints, batch_format="pyarrow").materialize()
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # one group per fp; apply the stop filter here (df > stop_df)
-        ids = np.unique(g["doc_id"].to_numpy(np.int64))
-        if len(ids) < 2 or len(ids) > stop_df:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64")}
-            )
-        iu = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[iu[0]], "doc_b": ids[iu[1]]})
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # many fp buckets per shard group; stop filter (df > stop_df)
+        # applied per bucket
+        outs_a, outs_b = [], []
+        for _, grp in g.groupby("fp", sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy(np.int64))
+            if len(ids) < 2 or len(ids) > stop_df:
+                continue
+            iu = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[iu[0]])
+            outs_b.append(ids[iu[1]])
+        if not outs_a:
+            return pd.DataFrame({"pk": pd.Series([], dtype="int64")})
+        # pack the pair into ONE int64 key (doc ids < 2^31): the
+        # single-key groupby is the fast exchange; the 2-key variant
+        # sorts pathologically
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        pk = (a << 31) | b
+        return pd.DataFrame({"pk": pk, "_pshard": pk & 63})
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized multiset count within the pair shard; only pairs
+        # clearing min_shared leave the task
+        u, c = np.unique(g["pk"].to_numpy(np.int64), return_counts=True)
+        keep = c >= min_shared
+        return pd.DataFrame(
+            {"pk": u[keep], "n_shared": c[keep].astype(np.int64)}
+        )
 
     pairs = (
-        fps.groupby("fp")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_shared"))
+        fps.groupby("_shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+        .groupby("_pshard")
+        .map_groups(count_pairs, batch_format="pandas")
         .to_pandas()
     )
-    pairs = pairs[pairs["n_shared"] >= min_shared]
+    pk = pairs["pk"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "doc_a": pk >> 31,
+            "doc_b": pk & ((1 << 31) - 1),
+            "n_shared": pairs["n_shared"].to_numpy(np.int64),
+        }
+    )
     return (
-        pairs.sort_values(["doc_a", "doc_b"])
+        out.sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
         .astype("int64")
     )
