@@ -427,8 +427,21 @@ enc(r, word, sym) AS (
     )
 ),
 fin AS (SELECT MAX(r) AS r FROM enc),
+-- convergence gate: if the recursion stopped at rmax with merge
+-- candidates still present, fail loudly instead of silently
+-- under-merging (ADVICE r3: rmax=40 backstop must not truncate)
+chk AS (
+    SELECT CASE WHEN EXISTS (
+        SELECT 1
+        FROM enc e, fin, UNNEST(range(1, len(e.sym))) t(i)
+        JOIN ranks rk ON rk.l = e.sym[i] AND rk.rt = e.sym[i + 1]
+        WHERE e.r = fin.r
+    ) THEN error('bpe_encode_counts_sql: rmax={rmax} exhausted with unmerged candidates')
+    ELSE 1 END AS ok
+),
 wlen AS (
-    SELECT word, len(sym) AS n FROM enc, fin WHERE enc.r = fin.r
+    SELECT word, len(sym) AS n FROM enc, fin, chk
+    WHERE enc.r = fin.r AND chk.ok = 1
 ),
 dw AS (
     SELECT doc_id::BIGINT AS doc_id, UNNEST(

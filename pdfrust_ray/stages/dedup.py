@@ -2244,12 +2244,21 @@ def winnowing_dedup(
             outs_a.append(ids[iu[0]])
             outs_b.append(ids[iu[1]])
         if not outs_a:
-            return pd.DataFrame({"pk": pd.Series([], dtype="int64")})
+            return pd.DataFrame(
+                {
+                    "pk": pd.Series([], dtype="int64"),
+                    "_pshard": pd.Series([], dtype="int64"),
+                }
+            )
         # pack the pair into ONE int64 key (doc ids < 2^31): the
         # single-key groupby is the fast exchange; the 2-key variant
         # sorts pathologically
         a = np.concatenate(outs_a)
         b = np.concatenate(outs_b)
+        if int(b.max()) >= (1 << 31):
+            raise ValueError(
+                "winnowing_dedup: doc_id >= 2^31 breaks int64 pair packing"
+            )
         pk = (a << 31) | b
         return pd.DataFrame({"pk": pk, "_pshard": pk & 63})
 
@@ -2269,6 +2278,16 @@ def winnowing_dedup(
         .map_groups(count_pairs, batch_format="pandas")
         .to_pandas()
     )
+    if len(pairs) == 0 or "pk" not in pairs.columns:
+        # no pair survived the stop filter / min_shared gate — a
+        # corpus with no near-dups reaches this at defaults
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64"),
+            }
+        )
     pk = pairs["pk"].to_numpy(np.int64)
     out = pd.DataFrame(
         {

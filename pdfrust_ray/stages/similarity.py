@@ -1831,6 +1831,10 @@ def _int8_codes(mat: np.ndarray) -> np.ndarray:
     twin's DOUBLE math agrees bit-for-bit)."""
     x = mat.astype(np.float64)
     m = np.abs(x).max(axis=1)
+    # zero-vector guard (ADVICE r3): x/0 would yield NaN -> undefined
+    # int cast in numpy vs NULL in DuckDB; emit all-zero codes instead
+    # (the SQL twins use the same max-abs=0 -> 0 rule)
+    m[m == 0.0] = 1.0
     return np.floor(x * 127.0 / m[:, None] + 0.5).astype(np.int64)
 
 
@@ -1926,8 +1930,10 @@ def matryoshka_recall_curve_sql(
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(FLOOR(
                        CAST(x AS DOUBLE) * 127 /
-                       list_max(list_transform(embedding,
-                                               y -> abs(CAST(y AS DOUBLE))))
+                       CASE WHEN list_max(list_transform(embedding,
+                                y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 1.0
+                            ELSE list_max(list_transform(embedding,
+                                y -> abs(CAST(y AS DOUBLE)))) END
                        + 0.5) AS BIGINT)) AS c
             FROM embeddings
         ), q AS (

@@ -84,3 +84,16 @@ def test_content_op_census_brute(ray_session):
         assert int(r["n_docs"]) == docs[r["op"]]
     # the fixture matrix exercises the core text-op family
     assert {"BT", "ET", "Tf", "Tj"} <= set(out["op"])
+
+
+def test_int8_codes_zero_vector_guard(ray_session):
+    """ADVICE r3: an all-zero embedding must yield all-zero int8 codes
+    (not NaN -> undefined int cast), matching the SQL twins' max-abs=0
+    -> divide-by-1 rule."""
+    import numpy as np
+    from pdfrust_ray.stages.similarity import _int8_codes
+
+    mat = np.array([[0.0, 0.0, 0.0], [1.0, -2.0, 0.5]])
+    codes = _int8_codes(mat)
+    assert (codes[0] == 0).all()
+    assert (codes[1] == np.floor(mat[1] * 127.0 / 2.0 + 0.5)).all()

@@ -75,6 +75,17 @@ def test_winnowing_guarantee_on_planted_duplicate(ray_session, tmp_path):
     assert not ((out["doc_b"] == 2) | (out["doc_a"] == 2)).any()
 
 
+def test_winnowing_no_surviving_pairs_returns_empty(ray_session):
+    """ADVICE r3 regression: stop_df<=2 leaves no pair after filtering —
+    must return an empty typed frame, not crash with KeyError 'pk'."""
+    from pdfrust_ray.stages.dedup import winnowing_dedup
+
+    out = winnowing_dedup(SF, stop_df=2, min_shared=10**9)
+    assert list(out.columns) == ["doc_a", "doc_b", "n_shared"]
+    assert len(out) == 0
+    assert all(str(out[c].dtype) == "int64" for c in out.columns)
+
+
 def test_winnowing_sql_twin_exact(ray_session):
     from pdfrust_ray.stages.dedup import winnowing_dedup, winnowing_dedup_sql
 
