@@ -228,21 +228,24 @@ def streaming_heavy_hitters(
 
     Partitioning assumptions: bucket = user_id % n_buckets (same-user
     order preserved per actor); summaries merge by summing estimates
-    and errors, which preserves the invariant bucket-wise."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
-    df = ds.sort("ts").to_pandas()
+    and errors, which preserves the invariant bucket-wise.  The feed
+    streams from `iter_batches` over the ts-sorted Dataset (like its
+    sessionize/windowed-dedup siblings) — the full event log is never
+    collected to the driver."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).sort("ts")
     actors = [_HeavyHitterBucket.remote(capacity) for _ in range(n_buckets)]
-    bucket = (df["user_id"].to_numpy() % n_buckets).astype(int)
-    CHUNK = 4096
     pending = []
-    for start in range(0, len(df), CHUNK):
-        sub = df.iloc[start : start + CHUNK]
-        b = bucket[start : start + CHUNK]
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        users = batch["user_id"].to_numpy()
+        types = batch["event_type"].to_pylist()
+        b = users % n_buckets
         for i in range(n_buckets):
-            mask = b == i
-            if mask.any():
+            m = b == i
+            if m.any():
                 pending.append(
-                    actors[i].feed.remote(sub.loc[mask, "event_type"].tolist())
+                    actors[i].feed.remote([types[j] for j in np.nonzero(m)[0]])
                 )
     ray.get(pending)
     summaries = ray.get([a.summary.remote() for a in actors])
