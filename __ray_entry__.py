@@ -1222,6 +1222,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kfold_assignment": lambda sf: llm.kfold_assignment(sf),
         # exact int-dot kNN graph + mutual-edge degree histogram
         "mutual_knn_degree": lambda sf: similarity.mutual_knn_degree(sf),
+        # IVF-bucketed scale siblings of the broadcast-pool embedding
+        # audits (within-bucket only; no driver read of the table) plus
+        # the n_centroids=1 / all-candidates degenerates that push the
+        # exact results through the same bucketed machinery
+        "mutual_knn_degree_ivf": lambda sf: similarity.mutual_knn_degree_ivf(sf),
+        "mutual_knn_degree_ivf_exact": lambda sf: similarity.mutual_knn_degree_ivf(
+            sf, n_centroids=1
+        ),
+        "embedding_pair_distance_histogram_ivf": lambda sf: (
+            similarity.embedding_pair_distance_histogram_ivf(sf)
+        ),
+        "embedding_pair_distance_histogram_ivf_exact": lambda sf: (
+            similarity.embedding_pair_distance_histogram_ivf(sf, n_centroids=1)
+        ),
+        "triplet_margin_violations_ivf": lambda sf: (
+            similarity.triplet_margin_violations_ivf(sf)
+        ),
+        "triplet_margin_violations_ivf_exact": lambda sf: (
+            similarity.triplet_margin_violations_ivf(sf, n_centroids=1)
+        ),
+        "dbscan_embeddings_ivf": lambda sf: similarity.dbscan_embeddings_ivf(sf),
+        "dbscan_embeddings_ivf_exact": lambda sf: similarity.dbscan_embeddings_ivf(
+            sf, n_centroids=1
+        ),
+        "facility_location_selection_ivf": lambda sf: (
+            similarity.facility_location_selection_ivf(sf)
+        ),
+        "facility_location_selection_ivf_exact": lambda sf: (
+            similarity.facility_location_selection_ivf(sf, all_candidates=True)
+        ),
         # purged/embargoed time split (leakage guard)
         "time_embargo_split": rel.time_embargo_split,
         # A/B behaviour set algebra (both / only / neither user counts)
@@ -1745,7 +1775,12 @@ NO_ORACLE_JUSTIFICATIONS: dict = {
     "compression_ratio_scores": "binary-codec — zlib ratios; SQL has no DEFLATE",
     "curve_locality_audit": "engine-artifact — audits the engine's Hilbert layout files",
     "daily_range_shard_plan": "engine-artifact — plans engine shard boundaries",
+    "dbscan_embeddings_ivf": "approximation — within-bucket eps graph; n_centroids=1 degenerate carries the exact oracle",
     "embedding_dedup_ivf": "approximation — bucketed sibling; exact variant has a value-exact oracle",
+    "embedding_pair_distance_histogram_ivf": "approximation — within-bucket pairs only; n_centroids=1 degenerate carries the exact oracle",
+    "facility_location_selection_ivf": "approximation — bucket-representative candidates; all-candidates degenerate carries the exact oracle",
+    "mutual_knn_degree_ivf": "approximation — within-bucket neighbours; n_centroids=1 degenerate carries the exact oracle",
+    "triplet_margin_violations_ivf": "approximation — within-bucket neighbours; n_centroids=1 degenerate carries the exact oracle",
     "embedding_pca_topk": "float-iterative — power-iteration eigenvectors",
     "image_phash_dedup": "binary-codec — perceptual hash over decoded pixels",
     "kmeans_embeddings": "float-iterative — Lloyd rounds accumulate float sums batch-wise",
@@ -2285,6 +2320,19 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_embeddings": similarity_mod.dbscan_embeddings_sql(),
         "kcenter_coreset": similarity_mod.kcenter_coreset_sql(),
         "facility_location_selection": similarity_mod.facility_location_selection_sql(),
+        # the *_ivf_exact degenerates reproduce the exact variants
+        # through the bucketed machinery, so they carry the same twins
+        "mutual_knn_degree_ivf_exact": similarity_mod.mutual_knn_degree_sql(),
+        "embedding_pair_distance_histogram_ivf_exact": (
+            similarity_mod.embedding_pair_distance_histogram_sql()
+        ),
+        "triplet_margin_violations_ivf_exact": (
+            similarity_mod.triplet_margin_violations_sql()
+        ),
+        "dbscan_embeddings_ivf_exact": similarity_mod.dbscan_embeddings_sql(),
+        "facility_location_selection_ivf_exact": (
+            similarity_mod.facility_location_selection_sql()
+        ),
         "bpe_merges": llm.bpe_train_sql(),
         "bpe_encode_counts": llm.bpe_encode_counts_sql(),
         "part_supplier_articulation": graph.part_supplier_articulation_sql(),

@@ -923,21 +923,19 @@ def mutual_knn_degree(sf_dir: str, k: int = 5, scale: int = 1_000_000) -> pd.Dat
     build first. Output: the histogram of mutual-degree (0..k) over
     all vectors.
 
-    Distributed plan: the candidate pool broadcasts once (at 10^9
-    vectors the pool is an IVF bucket or a sampled anchor set — see
-    ann_ivf_topk for the partition-pruned sibling); anchors stream
-    through one [batch, N] int matmul emitting k directed edges each;
-    mutuality is a canonical-pair groupby (count==2) and the degree
-    histogram a node-keyed count — both exchanges carry O(N*k) rows,
-    never O(N^2)."""
-    t = (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    pool_ids = t["vec_id"].to_numpy().astype(np.int64)
+    Distributed plan: the candidate pool broadcasts once — the
+    documented EXACT-broadcast bound; past object-store size use the
+    bucketed sibling `mutual_knn_degree_ivf` (within-bucket search,
+    no driver read); anchors stream through one [batch, N] int matmul
+    emitting k directed edges each; mutuality is a canonical-pair
+    groupby (count==2) and the degree histogram a node-keyed count —
+    both exchanges carry O(N*k) rows, never O(N^2)."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    pool_ids = int_column(t["vec_id"])
     pool_mat = np.round(
-        np.asarray(list(t["embedding"]), dtype=np.float64) * scale
+        embedding_matrix(t["embedding"]).astype(np.float64) * scale
     ).astype(np.int64)
     n_total = len(pool_ids)
     ref = ray.put((pool_ids, pool_mat))
@@ -1063,18 +1061,18 @@ def embedding_pair_distance_histogram(
     non-negatives, the repo-standard dodge).
 
     Distributed plan: the pool broadcasts once (same anchor-stream x
-    broadcast-matmul shape as mutual_knn_degree; at 10^9 vectors the
-    pool becomes an IVF bucket); each anchor batch reduces its [B, N]
-    dot block IN PLACE to bucket partial counts, so the exchange is
-    histogram-sized regardless of the O(N^2) pair count."""
-    t = (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    pool_ids = t["vec_id"].to_numpy().astype(np.int64)
+    broadcast-matmul shape as mutual_knn_degree) — the documented
+    EXACT-broadcast bound; past object-store size use the bucketed
+    sibling `embedding_pair_distance_histogram_ivf`; each anchor batch
+    reduces its [B, N] dot block IN PLACE to bucket partial counts, so
+    the exchange is histogram-sized regardless of the O(N^2) pair
+    count."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    pool_ids = int_column(t["vec_id"])
     pool_mat = np.round(
-        np.asarray(list(t["embedding"]), dtype=np.float64) * scale
+        embedding_matrix(t["embedding"]).astype(np.float64) * scale
     ).astype(np.int64)
     ref = ray.put((pool_ids, pool_mat))
 
@@ -1254,18 +1252,18 @@ def triplet_margin_violations(sf_dir: str, scale: int = 1_000_000) -> pd.DataFra
     low.  Output per label: anchors and violations.
 
     Distributed plan: the quantized pool (ids, labels, matrix)
-    broadcasts once; anchors stream through one [batch, N] int matmul;
-    the per-label fold is a label-keyed Count — O(N) exchange.  At 10^9
-    vectors the pool becomes an IVF bucket per task (see ann_ivf_topk)."""
-    t = (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    pool_ids = t["vec_id"].to_numpy(np.int64)
-    pool_labels = t["label"].to_numpy(np.int64)
+    broadcasts once — the documented EXACT-broadcast bound; past
+    object-store size use the bucketed sibling
+    `triplet_margin_violations_ivf`; anchors stream through one
+    [batch, N] int matmul; the per-label fold is a label-keyed Count —
+    O(N) exchange."""
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    ).sort_by("vec_id")
+    pool_ids = int_column(t["vec_id"])
+    pool_labels = int_column(t["label"])
     pool_mat = np.round(
-        np.asarray(list(t["embedding"]), dtype=np.float64) * scale
+        embedding_matrix(t["embedding"]).astype(np.float64) * scale
     ).astype(np.int64)
     bref = ray.put((pool_ids, pool_labels, pool_mat))
 
@@ -1978,21 +1976,22 @@ def dbscan_embeddings(
     (-1, 0, n_noise) row.
 
     Distributed plan: the quantized [N, D] matrix broadcasts once
-    (ray.put; the documented bound — past object-store size, IVF
-    buckets per task like ann_ivf_topk); each batch computes one
+    (ray.put) — the documented EXACT-broadcast bound; past
+    object-store size use the bucketed sibling `dbscan_embeddings_ivf`
+    (within-bucket eps graph, no driver read); each batch computes one
     integer blocked matmul (dist2 = |a|^2 + |b|^2 - 2ab), emits its
     points' neighbor counts and its core-core / border-core edges —
     O(eps-ball edges), never the matrix; components fold driver-side
     over the bounded core-edge list (the dedup_clusters size-aware
     pattern). SQL twin: dbscan_embeddings_sql (pairwise integer
     distances + min-label recursion)."""
-    t = (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    ids_all = t["vec_id"].to_numpy(np.int64)
-    mat = np.round(np.stack(t["embedding"].to_numpy()) * scale).astype(np.int64)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    ids_all = int_column(t["vec_id"])
+    mat = np.round(
+        embedding_matrix(t["embedding"]).astype(np.float64) * scale
+    ).astype(np.int64)
     ref = ray.put((ids_all, mat))
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -2342,23 +2341,23 @@ def facility_location_selection(
 
     Distributed plan: per round the selected matrix (<= k x D) and the
     candidate pool broadcast once (the pool broadcast is the
-    documented O(N x D) bound — past object-store size the candidates
-    become IVF bucket representatives); each batch computes
-    max(0, sims - curmax) with two integer matmuls and emits its
-    PARTIAL per-candidate gain sums; a candidate-keyed Sum folds the
-    partials and the driver takes the argmax — O(blocks x N) rows per
-    round, vectors never re-shuffle. SQL twin:
-    facility_location_selection_sql (recursive curmax-from-selected)."""
+    documented O(N x D) EXACT bound — past object-store size use the
+    bucketed sibling `facility_location_selection_ivf`, whose
+    candidates are bucket representatives chosen by a distributed
+    pass); each batch computes max(0, sims - curmax) with two integer
+    matmuls and emits its PARTIAL per-candidate gain sums; a
+    candidate-keyed Sum folds the partials and the driver takes the
+    argmax — O(blocks x N) rows per round, vectors never re-shuffle.
+    SQL twin: facility_location_selection_sql (recursive
+    curmax-from-selected)."""
     from ray.data.aggregate import Sum as _Sum
 
-    pool_t = (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    pool_ids = pool_t["vec_id"].to_numpy(np.int64)
+    pool_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    pool_ids = int_column(pool_t["vec_id"])
     pool = np.round(
-        np.stack(pool_t["embedding"].to_numpy()).astype(np.float64) * scale
+        embedding_matrix(pool_t["embedding"]).astype(np.float64) * scale
     ).astype(np.int64)
     pref = ray.put((pool_ids, pool))
 
@@ -2466,3 +2465,383 @@ def facility_location_selection_sql(k: int = 10, scale: int = 1_000_000) -> str:
                CAST(gain AS BIGINT) AS marginal_gain
         FROM sel, fin WHERE sel.r = fin.r ORDER BY rank
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed scale siblings for the broadcast-pool embedding audits.
+#
+# The exact variants above (mutual_knn_degree, dbscan_embeddings,
+# facility_location_selection, embedding_pair_distance_histogram,
+# triplet_margin_violations) broadcast the full [N, D] pool — the
+# documented exact-broadcast bound. Past object-store size the scale
+# path is the embedding_dedup_ivf template: assign every vector to its
+# nearest deterministic centroid (centroids from a STREAMING limit
+# read, never a driver table scan) and run the audit WITHIN buckets via
+# groupby(bucket).map_groups — the shuffle moves (vec_id, embedding,
+# bucket) rows once, never an N x N block, and no driver read of the
+# embeddings table happens at any size. Approximate by construction
+# (cross-bucket structure is missed); with n_centroids=1 each sibling
+# degenerates to its exact variant bit-for-bit, which is how the
+# *_ivf_exact queries carry the exact SQL oracles end-to-end through
+# the bucketed machinery.
+# ---------------------------------------------------------------------------
+
+
+def _assigned_embeddings(sf_dir: str, n_centroids: int, columns: list[str]):
+    """Dataset of `columns` + a `bucket` column (nearest deterministic
+    centroid; centroids via the streaming-limit centroid_matrix)."""
+    centroids = centroid_matrix(sf_dir, n_centroids)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        v = _normalize(embedding_matrix(batch["embedding"]))
+        bucket = (v @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _quantized_group(g: pd.DataFrame, scale: int):
+    """(sorted ids, quantized int64 matrix) for one bucket group —
+    sorted by vec_id so tie-breaks match the exact variants."""
+    g = g.sort_values("vec_id")
+    ids = g["vec_id"].to_numpy(np.int64)
+    mat = np.round(
+        np.asarray(list(g["embedding"]), dtype=np.float64) * scale
+    ).astype(np.int64)
+    return ids, mat
+
+
+def mutual_knn_degree_ivf(
+    sf_dir: str, k: int = 5, n_centroids: int = 16, scale: int = 1_000_000
+) -> pd.DataFrame:
+    """IVF-bucketed mutual-kNN degree histogram — the scale sibling of
+    mutual_knn_degree: neighbours are searched WITHIN each vector's IVF
+    bucket only (same exact int64 dots, same dot-DESC/id-ASC tie rule),
+    so mutuality is decidable group-locally and the exchange carries a
+    histogram per bucket, never edges across the cluster. Cross-bucket
+    mutual edges are missed (near-identical vectors co-bucket, so true
+    near-dup structure survives); n_centroids=1 reproduces the exact
+    histogram bit-for-bit (pinned in tests and by the
+    mutual_knn_degree_ivf_exact driver query)."""
+
+    def group_hist(g: pd.DataFrame) -> pd.DataFrame:
+        ids, mat = _quantized_group(g, scale)
+        m = len(ids)
+        if m == 1:
+            return pd.DataFrame({"degree": [0], "n_vectors": [1]})
+        dots = mat @ mat.T
+        np.fill_diagonal(dots, np.iinfo(np.int64).min + 1)
+        kk = min(k, m - 1)
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :kk]
+        src = np.repeat(np.arange(m), kk)
+        dst = order.ravel()
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        pk = a * np.int64(m) + b
+        u, c = np.unique(pk, return_counts=True)
+        mut = u[c == 2]
+        deg = np.zeros(m, dtype=np.int64)
+        np.add.at(deg, (mut // m).astype(np.int64), 1)
+        np.add.at(deg, (mut % m).astype(np.int64), 1)
+        du, dc = np.unique(deg, return_counts=True)
+        return pd.DataFrame(
+            {"degree": du.astype("int64"), "n_vectors": dc.astype("int64")}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _assigned_embeddings(sf_dir, n_centroids, ["vec_id", "embedding"])
+        .groupby("bucket")
+        .map_groups(group_hist, batch_format="pandas")
+        .groupby("degree")
+        .aggregate(Sum("n_vectors", alias_name="n_vectors"))
+        .to_pandas()
+    )
+    return (
+        out.astype("int64").sort_values("degree").reset_index(drop=True)
+    )
+
+
+def embedding_pair_distance_histogram_ivf(
+    sf_dir: str,
+    n_centroids: int = 16,
+    scale: int = 1_000_000,
+    width: int = 100_000_000_000,
+    offset: int = 20_000_000_000_000,
+) -> pd.DataFrame:
+    """IVF-bucketed pair-dot histogram — the scale sibling of
+    embedding_pair_distance_histogram: only WITHIN-bucket unordered
+    pairs are counted (the high-similarity mass a threshold choice
+    cares about co-buckets; the cross-bucket tail is dropped), so the
+    per-group work is |bucket|^2 and the exchange histogram-sized.
+    n_centroids=1 reproduces the exact histogram bit-for-bit."""
+
+    def group_hist(g: pd.DataFrame) -> pd.DataFrame:
+        ids, mat = _quantized_group(g, scale)
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame(
+                {"bucket_h": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        dots = mat @ mat.T
+        iu = np.triu_indices(m, k=1)
+        b = (dots[iu] + offset) // width
+        if (b < 0).any():
+            raise ValueError("dot below the histogram offset")
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame(
+            {"bucket_h": u.astype("int64"), "n": c.astype("int64")}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _assigned_embeddings(sf_dir, n_centroids, ["vec_id", "embedding"])
+        .groupby("bucket")
+        .map_groups(group_hist, batch_format="pandas")
+        .groupby("bucket_h")
+        .aggregate(Sum("n", alias_name="n_pairs"))
+        .to_pandas()
+    )
+    if "bucket_h" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {"bucket": pd.Series([], dtype="int64"),
+             "n_pairs": pd.Series([], dtype="int64")}
+        )
+    out = out.rename(columns={"bucket_h": "bucket"}).astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def triplet_margin_violations_ivf(
+    sf_dir: str, n_centroids: int = 16, scale: int = 1_000_000
+) -> pd.DataFrame:
+    """IVF-bucketed triplet-margin audit — the scale sibling of
+    triplet_margin_violations: each anchor's best same-label and best
+    other-label neighbours are searched WITHIN its IVF bucket (exact
+    int64 dots; anchors missing either side in their bucket count as
+    non-violations, the exact variant's NULL rule), so the per-label
+    fold is a partial-sum exchange and vectors never re-shuffle.
+    n_centroids=1 reproduces the exact audit bit-for-bit."""
+
+    def group_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        labels = g["label"].to_numpy(np.int64)
+        mat = np.round(
+            np.asarray(list(g["embedding"]), dtype=np.float64) * scale
+        ).astype(np.int64)
+        m = len(labels)
+        dots = mat @ mat.T
+        NEG = np.int64(-(1 << 62))
+        np.fill_diagonal(dots, NEG)
+        same = labels[:, None] == labels[None, :]
+        np.fill_diagonal(same, False)
+        other = labels[:, None] != labels[None, :]
+        bp = np.where(same, dots, NEG).max(axis=1) if m else np.empty(0, np.int64)
+        bn = np.where(other, dots, NEG).max(axis=1) if m else np.empty(0, np.int64)
+        viol = ((bn >= bp) & (bp > NEG) & (bn > NEG)).astype(np.int64)
+        out = pd.DataFrame({"label": labels, "viol": viol})
+        agg = out.groupby("label", sort=True).agg(
+            n_anchors=("viol", "size"), n_violations=("viol", "sum")
+        ).reset_index()
+        return agg.astype("int64")
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _assigned_embeddings(sf_dir, n_centroids, ["vec_id", "embedding", "label"])
+        .groupby("bucket")
+        .map_groups(group_counts, batch_format="pandas")
+        .groupby("label")
+        .aggregate(
+            Sum("n_anchors", alias_name="n_anchors"),
+            Sum("n_violations", alias_name="n_violations"),
+        )
+        .to_pandas()
+    )
+    return out.astype("int64").sort_values("label").reset_index(drop=True)
+
+
+def dbscan_embeddings_ivf(
+    sf_dir: str,
+    eps2: int = 1_350_000_000_000,
+    min_pts: int = 4,
+    n_centroids: int = 16,
+    scale: int = 1_000_000,
+) -> pd.DataFrame:
+    """IVF-bucketed DBSCAN — the scale sibling of dbscan_embeddings:
+    the eps-graph is built WITHIN each IVF bucket (exact integer
+    geometry, same core/border/noise rules, cluster id = min core
+    vec_id — globally unique because buckets partition the id space),
+    so each group's work is |bucket|^2 and only (cluster_id, n_core,
+    n_border) rows plus a noise partial leave the task. Cross-bucket
+    eps edges are missed (dense regions co-bucket, so real clusters
+    survive; boundary points may demote to noise). n_centroids=1
+    reproduces the exact clustering bit-for-bit."""
+
+    def group_dbscan(g: pd.DataFrame) -> pd.DataFrame:
+        ids, mat = _quantized_group(g, scale)
+        m = len(ids)
+        n2 = (mat * mat).sum(axis=1)
+        d2 = n2[:, None] + n2[None, :] - 2 * (mat @ mat.T)
+        within = d2 <= eps2
+        ncnt = within.sum(axis=1)  # self included
+        core_mask = ncnt >= min_pts
+        core_idx = np.flatnonzero(core_mask)
+        parent = np.arange(m)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(within)
+        for a, b in zip(ii, jj):
+            if a < b and core_mask[a] and core_mask[b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        cluster_of = {}
+        for comp in core_idx:
+            cluster_of.setdefault(find(comp), []).append(comp)
+        label_of = {}
+        for root, members in cluster_of.items():
+            cid = int(ids[min(members)])
+            for v in members:
+                label_of[v] = cid
+        border_of: dict = {}
+        for a, b in zip(ii, jj):
+            if not core_mask[a] and core_mask[b]:
+                c = label_of[b]
+                if a not in border_of or c < border_of[a]:
+                    border_of[a] = c
+        rows = []
+        n_noise = int(
+            sum(1 for v in range(m) if not core_mask[v] and v not in border_of)
+        )
+        rows.append((-1, 0, n_noise))
+        for cid in sorted({c for c in label_of.values()}):
+            n_core = sum(1 for v, c in label_of.items() if c == cid)
+            n_border = sum(1 for v, c in border_of.items() if c == cid)
+            rows.append((cid, n_core, n_border))
+        return pd.DataFrame(
+            rows, columns=["cluster_id", "n_core", "n_border"]
+        ).astype("int64")
+
+    parts = (
+        _assigned_embeddings(sf_dir, n_centroids, ["vec_id", "embedding"])
+        .groupby("bucket")
+        .map_groups(group_dbscan, batch_format="pandas")
+        .to_pandas()
+        .astype("int64")
+    )
+    noise = int(parts.loc[parts["cluster_id"] == -1, "n_border"].sum())
+    clusters = parts[parts["cluster_id"] >= 0].sort_values("cluster_id")
+    out = pd.concat(
+        [
+            pd.DataFrame({"cluster_id": [-1], "n_core": [0], "n_border": [noise]}),
+            clusters,
+        ],
+        ignore_index=True,
+    )
+    return out.astype("int64").reset_index(drop=True)
+
+
+def facility_location_selection_ivf(
+    sf_dir: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    scale: int = 1_000_000,
+    all_candidates: bool = False,
+) -> pd.DataFrame:
+    """IVF-bucketed greedy facility location — the scale sibling of
+    facility_location_selection: the candidate set shrinks from every
+    vector to one REPRESENTATIVE per IVF bucket (the bucket's min
+    vec_id member, chosen by a distributed map_groups pass — no driver
+    read of the embeddings table), while marginal gains still
+    accumulate EXACTLY over the full streaming dataset. The greedy
+    trajectory is the exact algorithm restricted to the representative
+    candidate set (pinned by a serial recompute over the same set);
+    with all_candidates=True every vector is its own representative
+    and the run reproduces the exact variant bit-for-bit through the
+    same machinery (the facility_location_selection_ivf_exact driver
+    query)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    assigned = _assigned_embeddings(
+        sf_dir, n_centroids, ["vec_id", "embedding"]
+    ).materialize()
+
+    if all_candidates:
+        def reps_of(g: pd.DataFrame) -> pd.DataFrame:
+            return g[["vec_id", "embedding"]]
+    else:
+        def reps_of(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("vec_id")
+            return g.iloc[:1][["vec_id", "embedding"]]
+
+    reps = (
+        assigned.groupby("bucket")
+        .map_groups(reps_of, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cand_ids = reps["vec_id"].to_numpy(np.int64)
+    cand = np.round(
+        np.asarray(list(reps["embedding"]), dtype=np.float64) * scale
+    ).astype(np.int64)
+    pref = ray.put((cand_ids, cand))
+
+    sel_ids: list[int] = []
+    sel_vecs: list[np.ndarray] = []
+    rows = []
+    for rank in range(1, k + 1):
+        sref = ray.put(
+            np.stack(sel_vecs) if sel_vecs else np.zeros((0, cand.shape[1]), np.int64)
+        )
+
+        def partial_gains(t: pa.Table) -> pa.Table:
+            cids, cpool = ray.get(pref)
+            smat = ray.get(sref)
+            v = np.round(
+                embedding_matrix(t["embedding"]).astype(np.float64) * scale
+            ).astype(np.int64)
+            sims = np.maximum(v @ cpool.T, 0)  # [B, C]
+            if len(smat):
+                curmax = np.maximum(v @ smat.T, 0).max(axis=1)
+            else:
+                curmax = np.zeros(len(v), dtype=np.int64)
+            g = np.maximum(sims - curmax[:, None], 0).sum(axis=0)
+            return pa.table(
+                {
+                    "c": pa.array(cids, pa.int64()),
+                    "g": pa.array(g.astype(np.int64), pa.int64()),
+                }
+            )
+
+        gains = (
+            assigned.map_batches(
+                partial_gains, batch_format="pyarrow", batch_size=4096
+            )
+            .groupby("c")
+            .aggregate(_Sum("g", alias_name="gain"))
+            .to_pandas()
+        )
+        gains = gains[~gains["c"].isin(sel_ids)]
+        gains = gains.sort_values(
+            ["gain", "c"], ascending=[False, True], kind="mergesort"
+        )
+        if not len(gains) or int(gains["gain"].iloc[0]) <= 0:
+            break
+        c = int(gains["c"].iloc[0])
+        rows.append((rank, c, int(gains["gain"].iloc[0])))
+        sel_ids.append(c)
+        sel_vecs.append(cand[np.flatnonzero(cand_ids == c)[0]])
+    return pd.DataFrame(rows, columns=["rank", "vec_id", "marginal_gain"]).astype(
+        "int64"
+    )
