@@ -46,6 +46,30 @@ def _default_sort_partitions() -> int:
     return max(4, min(cpus, 64))
 
 
+# bound on sort partitions: Ray's range shuffle creates partitions^2
+# intermediate objects, so 512 caps the sort's metadata footprint at
+# ~262k objects regardless of input volume
+MAX_SORT_PARTITIONS = 512
+
+
+def _bytes_based_sort_partitions(input_bytes: int | None) -> int:
+    """Sort partition count from DATA VOLUME, not CPU count: one
+    partition per target_max_block_size of input, floored at the
+    cluster CPU count (small inputs still use every core) and capped at
+    MAX_SORT_PARTITIONS. On a 100x-scale multi-node run this keeps sort
+    blocks near the configured block size instead of producing
+    cpu_count giant partitions; when the input size is unknown it falls
+    back to the CPU heuristic."""
+    cpu_based = _default_sort_partitions()
+    if not input_bytes or input_bytes <= 0:
+        return cpu_based
+    from ray.data.context import DataContext
+
+    tgt = DataContext.get_current().target_max_block_size or (128 << 20)
+    by_bytes = (int(input_bytes) + tgt - 1) // tgt
+    return int(max(4, min(max(by_bytes, cpu_based), MAX_SORT_PARTITIONS)))
+
+
 def build_extraction(
     ds,
     mode: str = "text",
@@ -72,9 +96,18 @@ def build_extraction(
     shuffle creates partitions^2 intermediate objects, so many tiny
     blocks make the sort object-store-metadata-bound (measured 14s ->
     0.4s on 100k rows by coalescing 128 -> 16 blocks first). Default =
-    cluster CPU count; on a real multi-node run pick
-    total_bytes / target_max_block_size instead.
+    max(input_bytes / target_max_block_size, cluster CPU count) capped
+    at MAX_SORT_PARTITIONS — the bytes term is what scales on a
+    multi-node run (the input size probe is metadata-only on a fresh
+    parquet read).
     """
+    input_bytes = None
+    if order and sort_partitions is None:
+        try:
+            # metadata-cheap on the raw read (no stages attached yet)
+            input_bytes = ds.size_bytes()
+        except Exception:
+            input_bytes = None
     ds = ds.map_batches(add_payload_len, batch_format="pyarrow")
     if big_concurrency is None:
         # size the big-payload pool with the cluster: oversized docs cost
@@ -122,7 +155,7 @@ def build_extraction(
             concurrency=pool,
         )
     if order:
-        npart = sort_partitions or _default_sort_partitions()
+        npart = sort_partitions or _bytes_based_sort_partitions(input_bytes)
         out = out.repartition(npart).sort(["conv_id", "turn_idx"])
     return out
 

@@ -580,7 +580,11 @@ def _finalize_pass(sf_dir: str, table: dict, stats: pd.DataFrame) -> pd.DataFram
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def charset_best_match(sf_dir: str) -> pd.DataFrame:
+def charset_best_match(
+    sf_dir: str,
+    max_unique_masks: int = 16_384,
+    on_overflow: str = "lsh",
+) -> pd.DataFrame:
     """For every document, the most byte-set-similar OTHER document
     (Jaccard over UTF-8 byte sets; ties by match doc_id ascending).
 
@@ -591,8 +595,32 @@ def charset_best_match(sf_dir: str) -> pd.DataFrame:
     O(corpus) ever reaches the driver and the broadcast is O(u), so
     the old [N, 256] broadcast cap (~10^7 docs) is gone; the exact
     int/int double division hash-matches the DuckDB jaccard() oracle
-    bit-for-bit."""
+    bit-for-bit.
+
+    GATED CAP: u is corpus-dependent and unbounded on adversarial /
+    binary corpora where masks don't repeat; the u x u driver block is
+    only affordable up to max_unique_masks (default 16,384 -> a ~2 GB
+    float64 block worst-case). Past the cap the call FALLS BACK to the
+    documented overflow path charset_best_match_lsh (on_overflow
+    ="lsh", approximate — no u x u matrix is ever built) or raises
+    (on_overflow="raise") so the cap can never be exceeded silently."""
     stats = _mask_group_stats(sf_dir).to_pandas().sort_values("min1").reset_index(drop=True)
+    u = len(stats)
+    if u > max_unique_masks:
+        if on_overflow == "lsh":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "charset_best_match: %d unique masks exceed the u x u cap "
+                "(%d); falling back to charset_best_match_lsh",
+                u,
+                max_unique_masks,
+            )
+            return charset_best_match_lsh(sf_dir)
+        raise ValueError(
+            f"charset_best_match: {u} unique masks exceed max_unique_masks="
+            f"{max_unique_masks}; use charset_best_match_lsh"
+        )
     pops, best, match = _mask_match_exact(stats)
     table = {
         bytes.fromhex(m): (
