@@ -785,6 +785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable compactor quantile sketch (approximate; rank-error
         # bound + exact-when-small pytests; no SQL twin)
         "quantile_sketch": lambda sf: sketches.quantile_sketch(sf),
+        # deterministically-partitioned sibling whose full compaction
+        # schedule is replayed by an exact recursive-CTE twin
+        "quantile_sketch_det": lambda sf: sketches.quantile_sketch_det(sf),
         # FULL OUTER of two filtered aggregates (union+indicator groupby)
         "heavy_user_full_outer": rel.heavy_user_full_outer,
         # unpivot: wide pivot melted back to long incl. zero cells
@@ -1788,7 +1791,7 @@ NO_ORACLE_JUSTIFICATIONS: dict = {
     "orphan_files_audit": "engine-artifact — audits engine-written manifests",
     "part_supplier_max_matching": "sequential-state — augmenting-path search; pinned by Konig-bound pytest",
     "pdf_object_census": "binary-codec — parses PDF object streams",
-    "quantile_sketch": "approximation — compactor sketch is block-partition-dependent; rank-error-bound pytest",
+    "quantile_sketch": "approximation — partials depend on Ray block boundaries, invisible to SQL; rank-error-bound pytest; the det-partitioned sibling quantile_sketch_det carries an exact recursive-CTE twin",
     "semantic_dedup": "float-iterative — consumes kmeans_embeddings centroids",
     "streaming_heavy_hitters": "sequential-state — SpaceSaving replay over stream order",
     "type_alias_sampling_table": "engine-artifact — audits the engine's alias tables",
@@ -1936,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka_recall_curve": similarity_mod.matryoshka_recall_curve_sql(),
         "kmv_joinability_estimate": rel.kmv_joinability_estimate_sql(),
         "hll_distinct_users": sketches.hll_distinct_users_sql(),
+        "quantile_sketch_det": sketches.quantile_sketch_det_sql(),
         "language_profile": textops.language_profile_sql(),
         "ann_topk": """
             WITH q AS (

@@ -682,3 +682,174 @@ def hll_distinct_users_sql(p: int = _HLL_P) -> str:
                    AS est_distinct_users
         FROM est ORDER BY event_type
     """
+
+
+def quantile_sketch_det(
+    sf_dir: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9),
+    part_rows: int = 4096,
+) -> pd.DataFrame:
+    """Deterministically-partitioned sibling of quantile_sketch: rows
+    group by pid = event_id // part_rows (ONE corpus-sized exchange of
+    (pid, value) pairs — this is the verification sibling, not the
+    zero-shuffle production path), each pid builds its compactor
+    partial from its COMPLETE value multiset, and the merge cascade
+    runs once over the concatenated levels.  Because partial content
+    is now a pure function of the data (not of Ray block boundaries),
+    the whole compaction schedule is replayable in SQL — the
+    recursive-CTE twin (quantile_sketch_det_sql) recomputes every
+    sort/halve cascade and the final weighted-rank query bit-for-bit.
+    With each sketch object compressing exactly once, every level
+    compacts at most once at parity 0, so the schedule is: promote the
+    even-index half of the sorted overfull level, drop the rest."""
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        pid = t["event_id"].to_numpy() // part_rows
+        return pa.table(
+            {"pid": pa.array(pid.astype(np.int64), pa.int64()), "value": t["value"]}
+        )
+
+    def part_sketch(g: pd.DataFrame) -> pd.DataFrame:
+        s = _QuantileSketch()
+        s.extend(g["value"].to_numpy())
+        rows = s.to_rows()
+        return pd.DataFrame(
+            {
+                "part": pd.Series([0] * len(rows), dtype="int64"),
+                "pid": pd.Series([int(g["pid"].iloc[0])] * len(rows), dtype="int64"),
+                "level": pd.Series([r[0] for r in rows], dtype="int64"),
+                "blob": [r[1] for r in rows],
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pid", "level"], kind="mergesort")
+        s = _QuantileSketch.from_rows(list(zip(g["level"], g["blob"])))
+        est = s.query(list(qs))
+        return pd.DataFrame(
+            {
+                "q": pd.Series(list(qs), dtype="float64"),
+                "est_value": pd.Series(est, dtype="float64"),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    out = (
+        ds.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(part_sketch, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("q").reset_index(drop=True)
+
+
+def quantile_sketch_det_sql(
+    qs: tuple = (0.25, 0.5, 0.75, 0.9),
+    part_rows: int = 4096,
+    k: int = _QS_K,
+    rmax: int = 40,
+) -> str:
+    """EXACT DuckDB twin of quantile_sketch_det: phase-1 recursion
+    replays each pid's compaction cascade (round r compacts level r
+    when overfull: sort, promote row_number-odd == 0-indexed-even items
+    to level r+1, drop the rest), phase-2 replays the merge cascade
+    over the union, and the final query walks the (value, weight)
+    order picking the first cumulative weight >= q * total.  A
+    convergence error() fires if any level is still overfull at rmax
+    (the silent-truncation guard)."""
+    qvals = ", ".join(f"({float(q)})" for q in qs)
+    return f"""
+WITH RECURSIVE base AS (
+    SELECT event_id // {part_rows} AS pid, CAST(value AS DOUBLE) AS v
+    FROM events
+),
+p1(r, pid, lvl, v) AS (
+    SELECT 0, pid, 0, v FROM base
+    UNION ALL
+    (
+      WITH prev AS (SELECT * FROM p1),
+      rr AS (SELECT MAX(r) AS r FROM prev),
+      cnt AS (SELECT pid, lvl, COUNT(*) AS n FROM prev GROUP BY 1, 2),
+      tagged AS (
+          SELECT p.pid, p.lvl, p.v, c.n,
+                 row_number() OVER (PARTITION BY p.pid, p.lvl
+                                    ORDER BY p.v) AS rn
+          FROM prev p JOIN cnt c ON c.pid = p.pid AND c.lvl = p.lvl, rr
+          WHERE p.lvl = rr.r
+      ),
+      nxt AS (
+          SELECT pid,
+                 CASE WHEN n > {k} THEN lvl + 1 ELSE lvl END AS lvl, v
+          FROM tagged WHERE n <= {k} OR rn % 2 = 1
+          UNION ALL
+          SELECT p.pid, p.lvl, p.v FROM prev p, rr WHERE p.lvl <> rr.r
+      ),
+      go AS (SELECT EXISTS (SELECT 1 FROM cnt, rr
+                            WHERE cnt.n > {k} AND cnt.lvl >= rr.r) AS more)
+      SELECT rr.r + 1, nxt.pid, nxt.lvl, nxt.v FROM nxt, rr, go
+      WHERE go.more AND rr.r < {rmax}
+    )
+),
+f1 AS (SELECT MAX(r) AS m FROM p1),
+chk1 AS (
+    SELECT CASE WHEN EXISTS (
+        SELECT 1 FROM p1, f1 WHERE p1.r = f1.m
+        GROUP BY pid, lvl HAVING COUNT(*) > {k}
+    ) THEN error('quantile_sketch_det_sql: phase-1 rmax exhausted')
+    ELSE 1 END AS ok
+),
+seed2 AS (
+    SELECT lvl, v FROM p1, f1, chk1 WHERE p1.r = f1.m AND chk1.ok = 1
+),
+p2(r, lvl, v) AS (
+    SELECT 0, lvl, v FROM seed2
+    UNION ALL
+    (
+      WITH prev AS (SELECT * FROM p2),
+      rr AS (SELECT MAX(r) AS r FROM prev),
+      cnt AS (SELECT lvl, COUNT(*) AS n FROM prev GROUP BY 1),
+      tagged AS (
+          SELECT p.lvl, p.v, c.n,
+                 row_number() OVER (PARTITION BY p.lvl ORDER BY p.v) AS rn
+          FROM prev p JOIN cnt c ON c.lvl = p.lvl, rr
+          WHERE p.lvl = rr.r
+      ),
+      nxt AS (
+          SELECT CASE WHEN n > {k} THEN lvl + 1 ELSE lvl END AS lvl, v
+          FROM tagged WHERE n <= {k} OR rn % 2 = 1
+          UNION ALL
+          SELECT p.lvl, p.v FROM prev p, rr WHERE p.lvl <> rr.r
+      ),
+      go AS (SELECT EXISTS (SELECT 1 FROM cnt, rr
+                            WHERE cnt.n > {k} AND cnt.lvl >= rr.r) AS more)
+      SELECT rr.r + 1, nxt.lvl, nxt.v FROM nxt, rr, go
+      WHERE go.more AND rr.r < {rmax}
+    )
+),
+f2 AS (SELECT MAX(r) AS m FROM p2),
+chk2 AS (
+    SELECT CASE WHEN EXISTS (
+        SELECT 1 FROM p2, f2 WHERE p2.r = f2.m
+        GROUP BY lvl HAVING COUNT(*) > {k}
+    ) THEN error('quantile_sketch_det_sql: phase-2 rmax exhausted')
+    ELSE 1 END AS ok
+),
+items AS (
+    SELECT v, CAST(POWER(2, lvl) AS BIGINT) AS w
+    FROM p2, f2, chk2 WHERE p2.r = f2.m AND chk2.ok = 1
+),
+ord AS (
+    SELECT v, w,
+           SUM(w) OVER (ORDER BY v, w
+                        ROWS UNBOUNDED PRECEDING) AS acc
+    FROM items
+),
+tot AS (SELECT SUM(w) AS t FROM items),
+qq(q) AS (VALUES {qvals})
+SELECT q,
+       COALESCE((SELECT MIN(o.v) FROM ord o, tot WHERE o.acc >= q * tot.t),
+                (SELECT MAX(v) FROM ord)) AS est_value
+FROM qq ORDER BY q
+"""

@@ -199,3 +199,51 @@ def test_kmv_joinability_sql_twin_bit_exact(ray_session):
     ora = con.execute(rel.kmv_joinability_estimate_sql()).fetchdf()
     cols = ["col_a", "col_b", "est_jaccard_ppm", "exact_jaccard_ppm", "abs_err_ppm"]
     assert mine[cols].astype(str).values.tolist() == ora[cols].astype(str).values.tolist()
+
+
+@needs_testdata
+def test_quantile_sketch_det_sql_twin_exact(ray_session, duck):
+    """The deterministic-partition sibling's full compaction schedule
+    (per-pid cascade + merge cascade + weighted-rank walk) is replayed
+    bit-for-bit by the recursive-CTE twin."""
+    import pandas as pd
+
+    mine = sk.quantile_sketch_det(SF)
+    ora = duck.execute(sk.quantile_sketch_det_sql()).fetchdf()
+    pd.testing.assert_frame_equal(mine.reset_index(drop=True), ora)
+
+
+@needs_testdata
+def test_quantile_sketch_det_rank_bound(ray_session):
+    import pyarrow.parquet as _pq
+
+    out = sk.quantile_sketch_det(SF)
+    vals = _pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    sv = np.sort(vals)
+    for q, est in zip(out["q"], out["est_value"]):
+        true_rank = np.searchsorted(sv, est) / len(sv)
+        assert abs(true_rank - q) <= 0.02, (q, est)
+
+
+def test_quantile_sketch_det_small_partition_exact(ray_session, tmp_path):
+    """part_rows <= k per pid and a merged total <= k: no compaction
+    anywhere, so the sketch returns exact discrete quantiles."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    n = 200
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "value": pa.array([float(i) for i in range(n)], pa.float64()),
+        }
+    )
+    d = tmp_path / "qdet"
+    d.mkdir()
+    _pq.write_table(t, str(d / "events.parquet"))
+    out = sk.quantile_sketch_det(str(d), part_rows=100)
+    # weights all 1: estimate = first value with rank >= q*n
+    expect = {0.25: 49.0, 0.5: 99.0, 0.75: 149.0, 0.9: 179.0}
+    for q, est in zip(out["q"], out["est_value"]):
+        assert est == expect[q], (q, est)
