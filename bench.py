@@ -243,6 +243,22 @@ def main() -> dict:
     timed("part_bfs_levels", lambda: graph.part_bfs_levels(SF_DIR))
     timed("order_price_reconciliation", lambda: rel.order_price_reconciliation(SF_DIR))
     timed("quality_budget_selection", lambda: llm.quality_budget_selection(SF_DIR))
+    # round-4 additions: IVF-bucketed audit siblings + det quantile sketch
+    timed("mutual_knn_degree_ivf", lambda: similarity.mutual_knn_degree_ivf(SF_DIR))
+    timed("dbscan_embeddings_ivf", lambda: similarity.dbscan_embeddings_ivf(SF_DIR))
+    timed(
+        "facility_location_selection_ivf",
+        lambda: similarity.facility_location_selection_ivf(SF_DIR),
+    )
+    timed(
+        "pair_distance_histogram_ivf",
+        lambda: similarity.embedding_pair_distance_histogram_ivf(SF_DIR),
+    )
+    timed(
+        "triplet_margin_violations_ivf",
+        lambda: similarity.triplet_margin_violations_ivf(SF_DIR),
+    )
+    timed("quantile_sketch_det", lambda: sketches.quantile_sketch_det(SF_DIR))
 
     result = {
         "metric": "extract_pipeline_wall",
