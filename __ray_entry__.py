@@ -863,6 +863,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_dedup": image_phash_dedup_q,
         # containment (near-superset) dedup — the axis Jaccard misses
         "containment_dedup": lambda sf: dedup.containment_dedup(sf),
+        # scale sibling: stop-shingle-capped SSJoin (bounded posting
+        # lists; exact verify, recall-only approximation)
+        "containment_dedup_dfcap": lambda sf: dedup.containment_dedup_dfcap(sf),
+        # soft dedup: 1/cluster_size ppm weights over near-dup clusters
+        "soft_dedup_reweight": lambda sf: dedup.soft_dedup_reweight(sf),
+        # DSIR hashed-ngram importance resampling (Xie et al. 2023)
+        "dsir_select": lambda sf: llm.dsir_select(sf),
+        # UniMax epoch-capped budget water-filling (Chung et al. 2023)
+        "unimax_allocation": lambda sf: llm.unimax_allocation(sf),
+        # CCNet head/middle/tail perplexity tertiles
+        "perplexity_buckets": lambda sf: qual.perplexity_buckets(sf),
+        # hashed-feature Naive Bayes domain classifier (confusion matrix)
+        "nb_source_classifier": lambda sf: qual.nb_source_classifier(sf),
+        # CCNet capstone: LM tertiles -> keep head+middle -> soft-dedup
+        # weighted per-(lang, tile) training mix
+        "ccnet_head_middle_mix": lambda sf: llm.ccnet_head_middle_mix(sf),
         # behavioral event-type trigram mining (what follows what)
         "user_event_trigrams": rel.user_event_trigrams,
         # gaps-and-islands interval-union coverage per user
@@ -1773,8 +1789,8 @@ NO_ORACLE_JUSTIFICATIONS: dict = {
     "audio_energy_segments": "binary-codec — PCM frame energy over WAV bytes",
     "audio_pitch_estimate": "binary-codec — autocorrelation over decoded PCM",
     "belady_opt_cache_audit": "sequential-state — OPT cache needs per-access future scan",
-    "bwt_compressibility": "sequential-state — full BWT rotation sort per doc",
     "charset_best_match_lsh": "approximation — bucketed sibling; exact variant has a bit-exact oracle",
+    "containment_dedup_dfcap": "approximation — stop-shingle-capped SSJoin scale sibling (recall-only; exact verify); subset+recall pytest vs the exact variant, which carries a bit-exact oracle",
     "compression_ratio_scores": "binary-codec — zlib ratios; SQL has no DEFLATE",
     "curve_locality_audit": "engine-artifact — audits the engine's Hilbert layout files",
     "daily_range_shard_plan": "engine-artifact — plans engine shard boundaries",
@@ -2116,6 +2132,13 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": dso.snapshot_diff_sql(),
         "events_value_rank_normalize": rel.events_value_rank_normalize_sql(),
         "containment_dedup": dedup_mod.containment_dedup_sql(),
+        "soft_dedup_reweight": dedup_mod.soft_dedup_reweight_sql(),
+        "dsir_select": llm.dsir_select_sql(),
+        "unimax_allocation": llm.unimax_allocation_sql(),
+        "perplexity_buckets": qual.perplexity_buckets_sql(),
+        "nb_source_classifier": qual.nb_source_classifier_sql(),
+        "ccnet_head_middle_mix": llm.ccnet_head_middle_mix_sql(),
+        "bwt_compressibility": textops.bwt_compressibility_sql(),
         "user_event_trigrams": rel.user_event_trigrams_sql(),
         "user_active_time": rel.user_active_time_sql(),
         "orders_fk_profile": rel.orders_fk_profile_sql(),

@@ -259,6 +259,14 @@ def main() -> dict:
         lambda: similarity.triplet_margin_violations_ivf(SF_DIR),
     )
     timed("quantile_sketch_det", lambda: sketches.quantile_sketch_det(SF_DIR))
+    # round-4 session-2 additions
+    timed(
+        "containment_dedup_dfcap", lambda: dedup.containment_dedup_dfcap(SF_DIR)
+    )
+    timed("dsir_select", lambda: llm.dsir_select(SF_DIR))
+    timed("unimax_allocation", lambda: llm.unimax_allocation(SF_DIR))
+    timed("perplexity_buckets", lambda: qual.perplexity_buckets(SF_DIR))
+    timed("soft_dedup_reweight", lambda: dedup.soft_dedup_reweight(SF_DIR))
 
     result = {
         "metric": "extract_pipeline_wall",

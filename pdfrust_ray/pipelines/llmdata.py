@@ -1838,3 +1838,385 @@ def cross_source_contamination_sql(k: int = 25) -> str:
         GROUP BY 1, 2
         ORDER BY shared_grams DESC, source_a, source_b LIMIT {k}
     """
+
+
+def dsir_select(
+    sf_dir: str, target_source: str = "src0", n_buckets: int = 1024, m: int = 100
+) -> pd.DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    NeurIPS 2023): rank raw documents by a hashed bag-of-words
+    importance weight log(p_target(x)/p_raw(x)) and keep the top-m —
+    the standard domain-targeting selection for pretraining mixes
+    (target here: documents from `target_source`).
+
+    Exact integer discipline (the bigram_lm_scores recipe):
+
+      features: word -> md5-prefix-u64 % n_buckets (the engine's
+        vectorized md5 kernel is bit-identical to DuckDB's
+        ('0x' || substr(md5(w), 1, 16))::UBIGINT);
+      train: one distributed pass folds per-batch (bucket, raw/target)
+        count partials through an n_buckets-bounded groupby Sum — the
+        exchange carries bucket rows, never tokens;
+      quantize: per-bucket q = floor((ln((ct+0.5)/(Ct+0.5B)) -
+        ln((cr+0.5)/(Cr+0.5B))) * 1e6 + 0.5) micro-nats, computed once
+        on the driver over the bounded bucket table with libm ln
+        (bit-identical to DuckDB) and broadcast via ray.put;
+      score: a second zero-shuffle scan sums int64 q over each doc's
+        tokens (multiplicity included, order-free);
+      select: per-block local top-m partials (block-bounded) merged on
+        the driver — no global sort.
+
+    Output: (doc_id, n_tokens, weight_q), top-m by weight_q desc with
+    doc_id tie-break; weight_q/1e6 is the DSIR log-importance in nats.
+    """
+    import math
+
+    import numpy as np
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.md5vec import md5_prefix_u64
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        cr = np.zeros(n_buckets, dtype=np.int64)
+        ct = np.zeros(n_buckets, dtype=np.int64)
+        for txt, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+            words = [w for w in txt.split(" ") if w]
+            if not words:
+                continue
+            b = (md5_prefix_u64([w.encode() for w in words]) % n_buckets).astype(
+                np.int64
+            )
+            binc = np.bincount(b, minlength=n_buckets)
+            cr += binc
+            if src == target_source:
+                ct += binc
+        nz = np.flatnonzero(cr)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "c_raw": pa.array(cr[nz], pa.int64()),
+                "c_tgt": pa.array(ct[nz], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_raw", alias_name="c_raw"), Sum("c_tgt", alias_name="c_tgt"))
+        .to_pandas()
+    )
+    c_raw = np.zeros(n_buckets, dtype=np.int64)
+    c_tgt = np.zeros(n_buckets, dtype=np.int64)
+    c_raw[counts["bucket"].to_numpy()] = counts["c_raw"].to_numpy()
+    c_tgt[counts["bucket"].to_numpy()] = counts["c_tgt"].to_numpy()
+    tot_raw = int(c_raw.sum())
+    tot_tgt = int(c_tgt.sum())
+    q = np.array(
+        [
+            math.floor(
+                (
+                    math.log((int(c_tgt[b]) + 0.5) / (tot_tgt + 0.5 * n_buckets))
+                    - math.log((int(c_raw[b]) + 0.5) / (tot_raw + 0.5 * n_buckets))
+                )
+                * 1000000.0
+                + 0.5
+            )
+            for b in range(n_buckets)
+        ],
+        dtype=np.int64,
+    )
+    q_ref = ray.put(q)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, ntok, wq = [], [], []
+            for doc_id, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                words = [w for w in txt.split(" ") if w]
+                if not words:
+                    continue
+                b = (md5_prefix_u64([w.encode() for w in words]) % n_buckets).astype(
+                    "int64"
+                )
+                ids.append(doc_id)
+                ntok.append(len(words))
+                wq.append(int(self.q[b].sum()))
+            df = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_tokens": pd.Series(ntok, dtype="int64"),
+                    "weight_q": pd.Series(wq, dtype="int64"),
+                }
+            )
+            # local top-m partial: bounded rows per block
+            return pa.Table.from_pandas(
+                df.sort_values(["weight_q", "doc_id"], ascending=[False, True]).head(m),
+                preserve_index=False,
+            )
+
+    parts = (
+        ds.map_batches(Score, batch_format="pyarrow", batch_size=1024, concurrency=(1, 2))
+        .to_pandas()
+    )
+    out = (
+        parts.sort_values(["weight_q", "doc_id"], ascending=[False, True])
+        .head(m)
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def dsir_select_sql(
+    target_source: str = "src0", n_buckets: int = 1024, m: int = 100
+) -> str:
+    """Exact twin: identical hash-bucket expression, smoothing, ln and
+    micro-nat floor-quantization per bucket; per-doc integer sums."""
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   CAST(CAST(('0x' || substr(md5(u.w), 1, 16)) AS UBIGINT)
+                        % {n_buckets} AS BIGINT) AS bucket
+            FROM documents,
+                 UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)
+        ), raw AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY 1
+        ), tgt AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM tok WHERE source = '{target_source}' GROUP BY 1
+        ), tots AS (
+            SELECT (SELECT SUM(cr) FROM raw) AS tr,
+                   (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt
+        ), q AS (
+            SELECT raw.bucket,
+                   CAST(FLOOR((ln((COALESCE(tgt.ct, 0) + 0.5)
+                                  / (tots.tt + 0.5 * {n_buckets}))
+                               - ln((raw.cr + 0.5)
+                                    / (tots.tr + 0.5 * {n_buckets})))
+                              * 1000000.0 + 0.5) AS BIGINT) AS qv
+            FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tots
+        )
+        SELECT tok.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(q.qv) AS BIGINT) AS weight_q
+        FROM tok JOIN q ON tok.bucket = q.bucket
+        GROUP BY tok.doc_id
+        ORDER BY weight_q DESC, tok.doc_id
+        LIMIT {m}
+    """
+
+
+def unimax_allocation(sf_dir: str, epoch_cap: int = 2) -> pd.DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023): distribute a
+    total token budget across languages as uniformly as possible while
+    capping every language at `epoch_cap` epochs of its corpus — the
+    published fix for temperature sampling's over-epoching of tail
+    languages.
+
+    Exact integer water-filling: languages ascend by capacity
+    (epoch_cap * n_tokens, language tie-break); at each step the
+    language receives min(capacity, remaining_budget //
+    remaining_languages) (floor division, bit-stable). The budget is
+    3/2 of the corpus total (a multi-epoch training run; at the
+    fixture this pins BOTH branches — tail languages hit the epoch
+    cap, the head language water-fills), derived from the same
+    counts. Token counts
+    fold through one |langs|-bounded distributed aggregate; the
+    water-filling loop runs over that bounded table on the driver
+    (same driver-bounded-loop contract as bpe_train's merge table).
+    The SQL twin replays the identical recursion as a recursive CTE.
+
+    Output: (lang, n_tokens, capacity, alloc) ORDER BY lang."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        langs, ntok = [], []
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            langs.append(lang)
+            ntok.append(sum(1 for w in txt.split(" ") if w))
+        df = pd.DataFrame({"lang": langs, "n_tokens": ntok})
+        return df.groupby("lang", as_index=False)["n_tokens"].sum()
+
+    per_lang = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    per_lang["n_tokens"] = per_lang["n_tokens"].astype("int64")
+    per_lang["capacity"] = (per_lang["n_tokens"] * epoch_cap).astype("int64")
+    per_lang = per_lang.sort_values(["capacity", "lang"]).reset_index(drop=True)
+    budget = int(per_lang["n_tokens"].sum()) * 3 // 2
+    allocs = []
+    remaining = budget
+    k = len(per_lang)
+    for i, cap in enumerate(per_lang["capacity"]):
+        share = remaining // (k - i)
+        a = min(int(cap), share)
+        allocs.append(a)
+        remaining -= a
+    per_lang["alloc"] = pd.Series(allocs, dtype="int64")
+    return (
+        per_lang[["lang", "n_tokens", "capacity", "alloc"]]
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+def unimax_allocation_sql(epoch_cap: int = 2) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT lang,
+                   CAST(SUM(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1
+        ), caps AS (
+            SELECT lang, n_tokens,
+                   CAST({epoch_cap} * n_tokens AS BIGINT) AS capacity,
+                   CAST(ROW_NUMBER() OVER (ORDER BY {epoch_cap} * n_tokens, lang)
+                        AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS k,
+                   CAST((SELECT SUM(n_tokens) * 3 FROM counts) // 2 AS BIGINT) AS budget
+            FROM counts
+        ), rec AS (
+            WITH RECURSIVE w AS (
+                SELECT CAST(0 AS BIGINT) AS rn,
+                       (SELECT ANY_VALUE(budget) FROM caps) AS rem,
+                       CAST(NULL AS VARCHAR) AS lang,
+                       CAST(0 AS BIGINT) AS alloc
+                UNION ALL
+                SELECT c.rn,
+                       w.rem - LEAST(c.capacity, w.rem // (c.k - w.rn)),
+                       c.lang,
+                       LEAST(c.capacity, w.rem // (c.k - w.rn))
+                FROM w JOIN caps c ON c.rn = w.rn + 1
+            )
+            SELECT lang, alloc FROM w WHERE rn > 0
+        )
+        SELECT caps.lang, caps.n_tokens, caps.capacity,
+               CAST(rec.alloc AS BIGINT) AS alloc
+        FROM caps JOIN rec ON caps.lang = rec.lang
+        ORDER BY caps.lang
+    """
+
+
+def ccnet_head_middle_mix(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style corpus-prep capstone (Wenzek et al. 2020 composed
+    with soft dedup): score every document with the corpus-trained
+    bigram LM, bucket into head/middle/tail perplexity tertiles, KEEP
+    head+middle (the CCNet curation cut), weight each kept document by
+    its near-dup soft-dedup weight, and report the resulting training
+    mix per (lang, tile): document count, raw token count, and the
+    soft-dedup-weighted token count the sampler would actually draw
+    from.
+
+    Everything is exact int64: tertiles from perplexity_buckets
+    (micro-nat integer surprisal + NTILE), weights from
+    soft_dedup_reweight (ppm reciprocals over the verified near-dup
+    components), token counts from one distributed
+    |langs x tiles|-bounded aggregate; weighted tokens are
+    n_tokens * weight_ppm sums (ppm-scaled, no floats anywhere).
+    The SQL twin chains the same three exact twins, so the capstone's
+    output hashes bit-for-bit.
+
+    Scale shape: composition of already-scale-shaped stages; the final
+    join of (doc -> tile) and (doc -> weight) onto the token scan is
+    doc-keyed — here via the driver-resident per-doc frames the
+    constituent ops return (their documented contract), at 100 TB via
+    a doc_id-bucketed zip of the three scans.
+
+    Output: (lang, tile, n_docs, sum_tokens, weighted_tokens_ppm)
+    ORDER BY lang, tile; tiles 1-2 only (tail dropped)."""
+    from pdfrust_ray.pipelines.quality import perplexity_buckets
+    from pdfrust_ray.stages.dedup import soft_dedup_reweight
+
+    from ray.data.aggregate import Sum
+
+    tiles = perplexity_buckets(sf_dir).set_index("doc_id")
+    weights = soft_dedup_reweight(sf_dir).set_index("doc_id")
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    import numpy as np
+
+    import ray
+
+    lut_ref = ray.put(
+        (
+            tiles["tile"].to_dict(),
+            weights["weight_ppm"].to_dict(),
+        )
+    )
+
+    class Tag:
+        def __init__(self):
+            self.tile_of, self.w_of = ray.get(lut_ref)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            rows = []
+            for doc_id, lang, txt in zip(
+                t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["text"].to_pylist()
+            ):
+                tile = self.tile_of.get(int(doc_id))
+                if tile is None or tile > 2:
+                    continue  # tail dropped
+                ntok = sum(1 for w in txt.split(" ") if w)
+                w = self.w_of.get(int(doc_id), 1_000_000)
+                rows.append((lang, tile, 1, ntok, ntok * w))
+            df = pd.DataFrame(
+                rows, columns=["lang", "tile", "n_docs", "sum_tokens", "weighted_tokens_ppm"]
+            )
+            return df.groupby(["lang", "tile"], as_index=False).sum()
+
+    out = (
+        ds.map_batches(Tag, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby(["lang", "tile"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+            Sum("weighted_tokens_ppm", alias_name="weighted_tokens_ppm"),
+        )
+        .to_pandas()
+        .sort_values(["lang", "tile"])
+        .reset_index(drop=True)
+    )
+    for c in ("tile", "n_docs", "sum_tokens", "weighted_tokens_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def ccnet_head_middle_mix_sql() -> str:
+    from pdfrust_ray.pipelines.quality import perplexity_buckets_sql
+    from pdfrust_ray.stages.dedup import soft_dedup_reweight_sql
+
+    return f"""
+        WITH tiles AS ({perplexity_buckets_sql()}),
+        weights AS ({soft_dedup_reweight_sql()}),
+        toks AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT t.lang, ti.tile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(t.n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(t.n_tokens * w.weight_ppm) AS BIGINT)
+                   AS weighted_tokens_ppm
+        FROM toks t
+        JOIN tiles ti ON t.doc_id = ti.doc_id
+        JOIN weights w ON t.doc_id = w.doc_id
+        WHERE ti.tile <= 2
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -1031,3 +1031,268 @@ def length_bucket_stats_sql(bucket_width: int = 16) -> str:
                CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS padding_waste
         FROM lens GROUP BY 1 ORDER BY 1
     """
+
+
+def perplexity_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    every document is tagged head / middle / tail by its
+    language-model perplexity tertile — the curation signal CCNet and
+    RedPajama publish per shard and the standard quality axis for
+    downstream mix weighting.
+
+    Composes bigram_lm_scores (the distributed corpus-trained bigram
+    LM with exact micro-nat quantization) and buckets by the
+    NORMALIZED surprisal ratio_q = surprisal_q * 1000 // n_bigrams
+    (milli-scaled micro-nats per bigram — pure int64 floor division,
+    bit-stable; 0 for degenerate zero-bigram docs). Tertile assignment
+    is the exact SQL NTILE(3) ordered by (ratio_q, doc_id): tile 1 =
+    head (least surprising), 3 = tail.
+
+    Scale shape: the LM train + score passes are the distributed part
+    (see bigram_lm_scores); the tertile needs a global total order,
+    which at scale uses the bounded-domain rank trick of
+    events_value_rank_normalize — ratio_q lives in a bounded domain
+    (max bigram surprisal is ~ln(V^2) nats, so ~2e4 milli-scaled
+    values): one domain-sized frequency fold gives exact global ranks
+    without a corpus sort. Here the per-doc score table is already
+    driver-resident by bigram_lm_scores' contract, so the tile is a
+    vectorized transform over it."""
+    scores = bigram_lm_scores(sf_dir)
+    nb = scores["n_bigrams"].to_numpy()
+    sq = scores["surprisal_q"].to_numpy()
+    ratio_q = np.where(nb == 0, 0, (sq * 1000) // np.maximum(nb, 1)).astype(np.int64)
+    doc_id = scores["doc_id"].to_numpy()
+    order = np.lexsort((doc_id, ratio_q))  # by (ratio_q, doc_id)
+    n = len(order)
+    base, rem = divmod(n, 3)
+    tile = np.empty(n, dtype=np.int64)
+    r = np.arange(n)
+    big = rem * (base + 1)
+    tile[order] = np.where(r < big, r // (base + 1), rem + (r - big) // max(base, 1)) + 1
+    out = pd.DataFrame(
+        {
+            "doc_id": pd.Series(doc_id, dtype="int64"),
+            "ratio_q": pd.Series(ratio_q, dtype="int64"),
+            "tile": pd.Series(tile, dtype="int64"),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def perplexity_buckets_sql() -> str:
+    """Exact twin: the bigram-LM twin feeding integer normalization and
+    SQL NTILE(3) — DuckDB's NTILE puts the larger groups first, the
+    same split the engine computes."""
+    return f"""
+        WITH s AS ({bigram_lm_scores_sql()}),
+        r AS (
+            SELECT doc_id,
+                   CASE WHEN n_bigrams = 0 THEN 0
+                        ELSE (surprisal_q * 1000) // n_bigrams END AS ratio_q
+            FROM s
+        )
+        SELECT doc_id, CAST(ratio_q AS BIGINT) AS ratio_q,
+               CAST(NTILE(3) OVER (ORDER BY ratio_q, doc_id) AS BIGINT) AS tile
+        FROM r ORDER BY doc_id
+    """
+
+
+def nb_source_classifier(sf_dir: str, n_buckets: int = 1024) -> pd.DataFrame:
+    """Hashed-feature Naive Bayes source classifier — the
+    fastText-style linear quality/domain classifier of the CCNet /
+    RedPajama stacks, expressed with exact integer discipline so a SQL
+    twin pins every logit:
+
+      features: word -> md5-prefix-u64 % n_buckets (the DSIR kernel);
+      train: one distributed pass folds (source, bucket) count
+        partials through a |sources| x n_buckets-bounded groupby Sum;
+        class priors derive from a |sources|-bounded doc count;
+      quantize: log-likelihood q_sb = floor(ln((c_sb + 0.5) /
+        (N_s + 0.5 * B)) * 1e6 + 0.5) micro-nats per (source, bucket),
+        log-prior p_s = floor(ln(n_s / N) * 1e6 + 0.5) — computed once
+        on the driver over the bounded table (libm ln, bit-identical
+        to DuckDB) and broadcast as an int64 [S, B] matrix;
+      score: a zero-shuffle scan computes per-doc class scores with
+        one [S, B] x [B] integer matvec per doc and takes
+        argmax (score desc, source asc tie-break — exact integer
+        comparison, no float drift);
+      report: the confusion matrix (true source x predicted source,
+        resubstitution) via a |S|^2-bounded aggregate.
+
+    Output: (source, predicted, n_docs) ORDER BY source, predicted."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.md5vec import md5_prefix_u64
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg: dict[str, np.ndarray] = {}
+        docs: Counter = Counter()
+        for txt, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+            words = [w for w in txt.split(" ") if w]
+            docs[src] += 1
+            if not words:
+                continue
+            b = (md5_prefix_u64([w.encode() for w in words]) % n_buckets).astype(
+                np.int64
+            )
+            if src not in agg:
+                agg[src] = np.zeros(n_buckets, dtype=np.int64)
+            agg[src] += np.bincount(b, minlength=n_buckets)
+        srcs, buckets, counts, ndocs = [], [], [], []
+        for src, vec in agg.items():
+            nz = np.flatnonzero(vec)
+            srcs.extend([src] * len(nz))
+            buckets.extend(nz.tolist())
+            counts.extend(vec[nz].tolist())
+            ndocs.extend([0] * len(nz))
+        for src, n in docs.items():
+            srcs.append(src)
+            buckets.append(-1)  # sentinel row carrying the doc count
+            counts.append(0)
+            ndocs.append(n)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "c": pa.array(counts, pa.int64()),
+                "n_docs": pa.array(ndocs, pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .aggregate(Sum("c", alias_name="c"), Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    sources = sorted(counts["source"].unique())
+    s_index = {s: i for i, s in enumerate(sources)}
+    S = len(sources)
+    cm = np.zeros((S, n_buckets), dtype=np.int64)
+    docs_per = np.zeros(S, dtype=np.int64)
+    for r in counts.itertuples(index=False):
+        if r.bucket < 0:
+            docs_per[s_index[r.source]] += int(r.n_docs)
+        else:
+            cm[s_index[r.source], int(r.bucket)] = int(r.c)
+    tok_per = cm.sum(axis=1)
+    n_total_docs = int(docs_per.sum())
+    q = np.empty((S, n_buckets), dtype=np.int64)
+    for si in range(S):
+        for b in range(n_buckets):
+            q[si, b] = math.floor(
+                math.log((int(cm[si, b]) + 0.5) / (int(tok_per[si]) + 0.5 * n_buckets))
+                * 1000000.0
+                + 0.5
+            )
+    prior = np.array(
+        [
+            math.floor(math.log(int(docs_per[si]) / n_total_docs) * 1000000.0 + 0.5)
+            for si in range(S)
+        ],
+        dtype=np.int64,
+    )
+    model_ref = ray.put((sources, q, prior))
+
+    class Predict:
+        def __init__(self):
+            self.sources, self.q, self.prior = ray.get(model_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            true_s, pred_s = [], []
+            for txt, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+                words = [w for w in txt.split(" ") if w]
+                if not words:
+                    continue
+                b = (
+                    md5_prefix_u64([w.encode() for w in words]) % self.q.shape[1]
+                ).astype(np.int64)
+                cnt = np.bincount(b, minlength=self.q.shape[1])
+                scores = self.q @ cnt + self.prior
+                # argmax, source-asc tie-break: sources[] is sorted so
+                # np.argmax (first max) IS the tie-break
+                pred = self.sources[int(np.argmax(scores))]
+                true_s.append(src)
+                pred_s.append(pred)
+            df = pd.DataFrame({"source": true_s, "predicted": pred_s})
+            return pa.Table.from_pandas(
+                df.groupby(["source", "predicted"], as_index=False).size(),
+                preserve_index=False,
+            )
+
+    out = (
+        ds.map_batches(Predict, batch_format="pyarrow", batch_size=1024, concurrency=(1, 2))
+        .groupby(["source", "predicted"])
+        .aggregate(Sum("size", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values(["source", "predicted"])
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+def nb_source_classifier_sql(n_buckets: int = 1024) -> str:
+    """Exact twin: identical hash buckets, smoothing, ln and micro-nat
+    quantization per (source, bucket); per-doc integer score sums;
+    argmax via ROW_NUMBER with the same (score desc, source asc)
+    tie-break."""
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   CAST(CAST(('0x' || substr(md5(u.w), 1, 16)) AS UBIGINT)
+                        % {n_buckets} AS BIGINT) AS bucket
+            FROM documents,
+                 UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)
+        ), classes AS (
+            SELECT source,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_s
+            FROM documents GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(n_docs_s) AS BIGINT) AS n FROM classes
+        ), cnt AS (
+            SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ), toks_per AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS nt FROM cnt GROUP BY 1
+        ), q AS (
+            SELECT cl.source, g.bucket,
+                   CAST(FLOOR(ln((COALESCE(cnt.c, 0) + 0.5)
+                                 / (tp.nt + 0.5 * {n_buckets}))
+                              * 1000000.0 + 0.5) AS BIGINT) AS qv
+            FROM classes cl
+            JOIN toks_per tp ON cl.source = tp.source
+            CROSS JOIN (SELECT UNNEST(range({n_buckets})) AS bucket) g
+            LEFT JOIN cnt ON cnt.source = cl.source AND cnt.bucket = g.bucket
+        ), prior AS (
+            SELECT source,
+                   CAST(FLOOR(ln(CAST(n_docs_s AS DOUBLE) / tot.n)
+                              * 1000000.0 + 0.5) AS BIGINT) AS pv
+            FROM classes, tot
+        ), doc_scores AS (
+            SELECT tok.doc_id,
+                   ANY_VALUE(tok.source) AS true_source,
+                   q.source AS cand,
+                   SUM(q.qv) + ANY_VALUE(prior.pv) AS score
+            FROM tok
+            JOIN q ON tok.bucket = q.bucket
+            JOIN prior ON q.source = prior.source
+            GROUP BY tok.doc_id, q.source
+        ), pred AS (
+            SELECT doc_id, true_source, cand,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand) AS rn
+            FROM doc_scores
+        )
+        SELECT true_source AS source, cand AS predicted,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """

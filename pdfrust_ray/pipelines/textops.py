@@ -1332,8 +1332,15 @@ def bwt_compressibility(sf_dir: str) -> pd.DataFrame:
     move-to-front/RLE stage would gain — the transform bzip2-family
     codecs are built on.  A sentinel byte 0 is appended (texts are
     ASCII) so the transform is invertible; the inverse-LF roundtrip is
-    pinned in pytest.  Rows-only query: no SQL can express the
-    transform.
+    pinned in pytest.  Exact SQL twin (round-4 upgrade): the BWT is
+    re-expressed as a per-doc ROTATION sort — n lateral rotation rows
+    per doc keyed by substring(s||s, i+1, n), last-column chars read
+    by LAG over that order; run counts for both the original and the
+    transform are adjacent-inequality window sums.  The twin appends
+    chr(1) where the engine appends byte 0: both are the unique
+    strict minimum against ASCII text (asserted by the engine's
+    .encode('ascii')), so the rotation order, the BWT permutation and
+    every run boundary are identical.
 
     Distributed plan: embarrassingly parallel map_batches; each doc's
     suffix array is numpy prefix-doubling (O(n log^2 n)), no Python
@@ -1368,6 +1375,46 @@ def bwt_compressibility(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def bwt_compressibility_sql() -> str:
+    """Exact twin of bwt_compressibility via rotation-sort (see the
+    engine docstring for the sentinel argument)."""
+    return r"""
+        WITH b AS (
+          SELECT doc_id, text || chr(1) AS s,
+                 CAST(length(text) + 1 AS BIGINT) AS n
+          FROM documents
+        ), rot AS (
+          SELECT doc_id, n, i,
+                 substring(s || s, CAST(i + 1 AS BIGINT), n) AS key,
+                 substring(s || s, i + n, 1) AS last_ch,
+                 substring(s, CAST(i + 1 AS BIGINT), 1) AS orig_ch
+          FROM b, UNNEST(range(n)) AS t(i)
+        ), bw AS (
+          SELECT doc_id, last_ch,
+                 LAG(last_ch) OVER (PARTITION BY doc_id ORDER BY key) AS prev_b
+          FROM rot
+        ), og AS (
+          SELECT doc_id, orig_ch,
+                 LAG(orig_ch) OVER (PARTITION BY doc_id ORDER BY i) AS prev_o
+          FROM rot
+        ), rb AS (
+          SELECT doc_id,
+                 CAST(1 + SUM(CASE WHEN prev_b IS NOT NULL AND last_ch <> prev_b
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS runs_bwt
+          FROM bw GROUP BY 1
+        ), ro AS (
+          SELECT doc_id,
+                 CAST(1 + SUM(CASE WHEN prev_o IS NOT NULL AND orig_ch <> prev_o
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS runs_orig
+          FROM og GROUP BY 1
+        )
+        SELECT b.doc_id, CAST(b.n - 1 AS BIGINT) AS n_chars,
+               ro.runs_orig, rb.runs_bwt
+        FROM b JOIN ro USING (doc_id) JOIN rb USING (doc_id)
+        ORDER BY b.doc_id
+    """
 
 
 def bwt_inverse(bwt: "np.ndarray") -> bytes:

@@ -1247,7 +1247,9 @@ def incremental_dedup_sql(n_words: int = 8) -> str:
 # ---------------------------------------------------------------------------
 
 
-def containment_dedup(sf_dir: str, threshold: float = 0.9, k: int = 5) -> pd.DataFrame:
+def containment_dedup(
+    sf_dir: str, threshold: float = 0.9, k: int = 5, df_cap: int | None = None
+) -> pd.DataFrame:
     """EXACT containment near-dup pairs: |A∩B| / min(|A|,|B|) >=
     threshold over k-char shingle sets — the quote/boilerplate-
     inclusion axis Jaccard misses (a small doc fully embedded in a big
@@ -1275,7 +1277,20 @@ def containment_dedup(sf_dir: str, threshold: float = 0.9, k: int = 5) -> pd.Dat
     because the FIRST common shingle's bucket always passes it.
     Candidates are then exactly verified by the same distributed judge
     shape as minhash_lsh_dedup, with the containment division int/int
-    float64 so the SQL twin hashes bit-for-bit."""
+    float64 so the SQL twin hashes bit-for-bit.
+
+    `df_cap` is the SCALE path (see containment_dedup_dfcap): with it
+    set, candidate generation runs on each doc's RARE-shingle subset
+    only (df <= df_cap; since the global rank order is df-ascending
+    this is the single comparison rank < n_rare). Posting lists are
+    then bounded by df_cap, so candidates are bounded by
+    vocab * df_cap^2 — linear in the corpus for a fixed vocabulary —
+    at the cost of completeness: a true pair whose every shared
+    shingle is hot (df > df_cap) is missed (stop-shingle removal, the
+    standard SSJoin scale trade; recall pinned by pytest vs the exact
+    variant). Verification is UNCHANGED — exact containment over the
+    FULL shingle sets — so reported pairs are never false positives,
+    and df_cap=None is bit-for-bit the exact operator."""
     import math
 
     # pass 0: exact global document frequencies. shard = f(shingle)
@@ -1320,6 +1335,8 @@ def containment_dedup(sf_dir: str, threshold: float = 0.9, k: int = 5) -> pd.Dat
     rank_of_sorted = np.empty(len(vocab_sorted), dtype=np.int64)
     rank_of_sorted[np.lexsort((vocab_sorted, dfs_sorted))] = np.arange(len(vocab_sorted))
     order_ref = ray.put((vocab_sorted, rank_of_sorted))
+    # ranks are df-ascending, so "df <= df_cap" is "rank < n_rare"
+    n_rare = int(np.count_nonzero(dfs_sorted <= df_cap)) if df_cap is not None else -1
 
     def rows(batch: pa.Table) -> pa.Table:
         voc, rk = ray.get(order_ref)
@@ -1327,6 +1344,8 @@ def containment_dedup(sf_dir: str, threshold: float = 0.9, k: int = 5) -> pd.Dat
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             sh = char_shingles_u64(text, k)
             r = np.sort(rk[np.searchsorted(voc, sh)])
+            if n_rare >= 0:
+                r = r[r < n_rare]
             n = len(r)
             p = n - math.ceil(threshold * n) + 1 if n else 0
             doc_ids.extend([doc_id] * n)
@@ -1503,6 +1522,28 @@ def containment_dedup_sql(threshold: float = 0.9, k: int = 5) -> str:
         FROM p WHERE CAST(c AS DOUBLE) / m >= {threshold}
         ORDER BY doc_a, doc_b
     """
+
+
+def containment_dedup_dfcap(
+    sf_dir: str, threshold: float = 0.9, k: int = 5, df_cap: int = 256
+) -> pd.DataFrame:
+    """SCALE sibling of containment_dedup: stop-shingle-capped SSJoin.
+
+    The exact operator is candidate-complete, which in a dense-vocab
+    regime (fixed shingle vocabulary, posting lists growing with the
+    corpus) makes candidate pairs grow ~quadratically — the named
+    super-linear cell in the round-4 sf1 probe (2.6 s -> 130 s at 10x).
+    This sibling indexes/probes only shingles with document frequency
+    <= df_cap, which bounds every posting list by df_cap and total
+    candidates by vocab * df_cap^2 — LINEAR in corpus size for a fixed
+    vocabulary, and at web scale (vocabulary growing with the corpus)
+    strictly cheaper than the exact op everywhere. Reported pairs are
+    still verified with EXACT containment over the full shingle sets
+    (no false positives; the approximation is recall-only: pairs
+    whose shared shingles are all hotter than df_cap are missed).
+    Pairs found are a subset of containment_dedup's; recall on the
+    fixture is pinned by pytest."""
+    return containment_dedup(sf_dir, threshold=threshold, k=k, df_cap=df_cap)
 
 
 def dedup_cluster_size_histogram(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
@@ -2347,4 +2388,76 @@ def winnowing_dedup_sql(
         JOIN keep kf ON kf.fp = a.fp
         GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
         ORDER BY 1, 2
+    """
+
+
+def soft_dedup_reweight(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, keep
+    every copy but down-weight it by 1/cluster_size (the soft-dedup
+    alternative SemDeDup/D4 discuss — preserves the distributional
+    signal that a text is common while removing its gradient
+    over-count). Weights are exact integer ppm
+    (1_000_000 // cluster_size, truncating division, bit-stable);
+    documents with no near-duplicate keep weight 1_000_000.
+
+    Scale shape: cluster labels come from dedup_clusters (banded
+    MinHash-LSH + distributed exact verify + components — near-dup
+    members are the small minority of a real corpus, the same
+    minority contract as segment_dedup's banned set), their sizes are
+    a cluster-keyed fold of that minority table, and the weight
+    assignment is a broadcast (ray.put) lookup inside one zero-shuffle
+    scan of the doc-id column — text is never read in the scan and the
+    corpus is never collected.
+
+    Output: (doc_id, cluster_size, weight_ppm) ORDER BY doc_id."""
+    labels = dedup_clusters(sf_dir, threshold=threshold)
+    sizes = labels.groupby("cluster_id")["doc_id"].transform("size")
+    size_of = dict(zip(labels["doc_id"].astype(int), sizes.astype(int)))
+    size_ref = ray.put(size_of)
+
+    class Weight:
+        def __init__(self):
+            self.size_of = ray.get(size_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            cs = np.array([self.size_of.get(int(d), 1) for d in ids], dtype=np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "cluster_size": pa.array(cs, pa.int64()),
+                    "weight_ppm": pa.array(1_000_000 // cs, pa.int64()),
+                }
+            )
+
+    out = (
+        _docs(sf_dir, columns=("doc_id",))
+        .map_batches(Weight, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def soft_dedup_reweight_sql(threshold: float = 0.8, k: int = 5) -> str:
+    """Exact twin: component sizes over the recursive-CTE closure of
+    the exact shingle-Jaccard pair graph, defaulted to 1 for
+    un-clustered documents."""
+    return f"""
+        WITH labels AS ({dedup_clusters_sql(threshold, k)}),
+        sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cs
+            FROM labels GROUP BY 1
+        ), per_doc AS (
+            SELECT l.doc_id, s.cs
+            FROM labels l JOIN sizes s USING (cluster_id)
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.cs, 1) AS BIGINT) AS cluster_size,
+               CAST(1000000 // COALESCE(p.cs, 1) AS BIGINT) AS weight_ppm
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id
     """

@@ -1,0 +1,291 @@
+"""Batch-172 ops: the round-4 second-session additions.
+
+  - containment_dedup_dfcap: stop-shingle-capped SSJoin scale sibling
+    of the exact containment op (the named super-linear sf1 cell);
+    subset-of-exact + fixture recall pinned, degenerate cap == exact.
+  - soft_dedup_reweight: 1/cluster_size ppm weights over near-dup
+    clusters (exact SQL twin via the dedup_clusters recursive CTE).
+  - dsir_select: DSIR hashed bag-of-words importance resampling with
+    micro-nat integer quantization (exact SQL twin).
+  - unimax_allocation: UniMax epoch-capped integer water-filling
+    (exact recursive-CTE twin; both branches exercised at fixture).
+  - perplexity_buckets: CCNet head/middle/tail tertiles over the
+    bigram-LM surprisal (exact NTILE twin).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return c
+
+
+def _assert_oracle(con, mine: pd.DataFrame, sql: str):
+    odf = con.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(
+        mine.reset_index(drop=True), odf.reset_index(drop=True), check_dtype=False
+    )
+
+
+# ---------------------------------------------------------------- containment
+
+
+def test_containment_dfcap_subset_and_recall(ray_session):
+    from pdfrust_ray.stages.dedup import containment_dedup, containment_dedup_dfcap
+
+    exact = containment_dedup(SF)
+    capped = containment_dedup_dfcap(SF, df_cap=64)
+    ek = set(zip(exact.doc_a, exact.doc_b))
+    ck = set(zip(capped.doc_a, capped.doc_b))
+    assert ck <= ek  # exact verify: never a false positive
+    # the fixture's true pairs all share rare shingles: full recall
+    assert ck == ek
+
+
+def test_containment_dfcap_degenerate_is_exact(ray_session):
+    from pdfrust_ray.stages.dedup import containment_dedup, containment_dedup_dfcap
+
+    exact = containment_dedup(SF)
+    # a cap no shingle df exceeds keeps every posting list: identical
+    loose = containment_dedup_dfcap(SF, df_cap=10_000_000)
+    pd.testing.assert_frame_equal(loose, exact)
+
+
+def test_containment_dfcap_planted_hot_only_pair_missed(ray_session, tmp_path):
+    # two docs identical except both made ENTIRELY of shingles that are
+    # hot (shared by every doc): the capped sibling must (by design)
+    # miss the pair the exact op finds — pinning the documented recall
+    # trade rather than silently relying on lucky fixtures.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfrust_ray.stages.dedup import containment_dedup, containment_dedup_dfcap
+
+    hot = "abcdefghij"  # every doc contains these shingles
+    docs = [hot + f" filler{i:02d} " + f"unique words here {i}" for i in range(8)]
+    docs += [hot, hot]  # the hot-only near-dup pair
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs}),
+        tmp_path / "documents.parquet",
+    )
+    exact = containment_dedup(str(tmp_path))
+    ek = set(zip(exact.doc_a, exact.doc_b))
+    assert (8, 9) in ek
+    capped = containment_dedup_dfcap(str(tmp_path), df_cap=2)
+    ck = set(zip(capped.doc_a, capped.doc_b))
+    assert (8, 9) not in ck  # its shingles all have df=10 > cap
+    assert ck <= ek
+
+
+# ------------------------------------------------------------------ soft dedup
+
+
+def test_soft_dedup_reweight_oracle(ray_session, con):
+    from pdfrust_ray.stages.dedup import soft_dedup_reweight, soft_dedup_reweight_sql
+
+    mine = soft_dedup_reweight(SF)
+    assert len(mine) == 500
+    assert (mine.cluster_size > 1).any()  # non-vacuous on the fixture
+    _assert_oracle(con, mine, soft_dedup_reweight_sql())
+
+
+def test_soft_dedup_reweight_invariants(ray_session):
+    from pdfrust_ray.stages.dedup import dedup_clusters, soft_dedup_reweight
+
+    mine = soft_dedup_reweight(SF)
+    # exact ppm reciprocal of the near-dup cluster size
+    assert (mine.weight_ppm == 1_000_000 // mine.cluster_size).all()
+    labels = dedup_clusters(SF)
+    clustered = set(labels.doc_id.astype(int))
+    flagged = set(mine.loc[mine.cluster_size > 1, "doc_id"].astype(int))
+    assert flagged == clustered
+
+
+# ------------------------------------------------------------------------ DSIR
+
+
+def test_dsir_select_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.llmdata import dsir_select, dsir_select_sql
+
+    mine = dsir_select(SF)
+    assert len(mine) == 100
+    _assert_oracle(con, mine, dsir_select_sql())
+
+
+def test_dsir_select_prefers_target_vocabulary(ray_session, tmp_path):
+    # planted: target-source docs use a disjoint vocabulary; a raw doc
+    # written in that vocabulary must out-rank every ordinary raw doc.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfrust_ray.pipelines.llmdata import dsir_select
+
+    tgt_words = "alpha beta gamma delta epsilon"
+    raw_words = "one two three four five"
+    rows = []
+    for i in range(10):
+        rows.append((i, tgt_words, "tgt"))
+    for i in range(10, 30):
+        rows.append((i, raw_words, "raw"))
+    rows.append((30, tgt_words, "raw"))  # the target-like raw doc
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "source": [r[2] for r in rows],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = dsir_select(str(tmp_path), target_source="tgt", m=31)
+    raw_ranked = out[out.doc_id >= 10].reset_index(drop=True)
+    assert int(raw_ranked.iloc[0].doc_id) == 30
+    assert raw_ranked.iloc[0].weight_q > raw_ranked.iloc[1].weight_q
+
+
+# ---------------------------------------------------------------------- UniMax
+
+
+def test_unimax_allocation_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.llmdata import unimax_allocation, unimax_allocation_sql
+
+    mine = unimax_allocation(SF)
+    _assert_oracle(con, mine, unimax_allocation_sql())
+
+
+def test_unimax_allocation_both_branches_and_invariants(ray_session):
+    from pdfrust_ray.pipelines.llmdata import unimax_allocation
+
+    mine = unimax_allocation(SF)
+    capped = mine.alloc == mine.capacity
+    assert capped.any() and (~capped).any()  # fixture pins both branches
+    assert (mine.alloc <= mine.capacity).all()
+    budget = int(mine.n_tokens.sum()) * 3 // 2
+    assert int(mine.alloc.sum()) <= budget
+    # uncapped languages all receive within 1 token of each other
+    uncapped = mine.loc[~capped, "alloc"]
+    assert int(uncapped.max()) - int(uncapped.min()) <= 1
+
+
+# --------------------------------------------------------------- CCNet buckets
+
+
+def test_perplexity_buckets_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.quality import perplexity_buckets, perplexity_buckets_sql
+
+    mine = perplexity_buckets(SF)
+    assert len(mine) == 500
+    _assert_oracle(con, mine, perplexity_buckets_sql())
+
+
+def test_perplexity_buckets_tiles_balanced_and_ordered(ray_session):
+    from pdfrust_ray.pipelines.quality import perplexity_buckets
+
+    mine = perplexity_buckets(SF)
+    counts = mine.tile.value_counts()
+    assert set(counts.index) == {1, 2, 3}
+    assert counts.max() - counts.min() <= 1
+    # head max ratio <= middle min ratio <= tail: tertiles are ordered
+    assert mine.loc[mine.tile == 1, "ratio_q"].max() <= mine.loc[
+        mine.tile == 2, "ratio_q"
+    ].min() or True  # ties may straddle; check rank-consistency instead
+    m = mine.sort_values(["ratio_q", "doc_id"]).reset_index(drop=True)
+    assert (np.diff(m.tile.to_numpy()) >= 0).all()
+
+
+# ------------------------------------------------------------ NB classifier
+
+
+def test_nb_source_classifier_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.quality import (
+        nb_source_classifier,
+        nb_source_classifier_sql,
+    )
+
+    mine = nb_source_classifier(SF)
+    assert int(mine.n_docs.sum()) == 500  # every doc classified once
+    _assert_oracle(con, mine, nb_source_classifier_sql())
+
+
+def test_nb_source_classifier_separable_vocab(ray_session, tmp_path):
+    # two sources with disjoint vocabularies: NB must classify every
+    # doc correctly (diagonal confusion matrix)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfrust_ray.pipelines.quality import nb_source_classifier
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "apple banana cherry durian elderberry", "fruit"))
+    for i in range(20, 40):
+        rows.append((i, "carrot potato onion garlic leek", "veg"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "source": [r[2] for r in rows],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = nb_source_classifier(str(tmp_path))
+    assert set(zip(out.source, out.predicted)) == {("fruit", "fruit"), ("veg", "veg")}
+    assert (out.n_docs == 20).all()
+
+
+# -------------------------------------------------------------- CCNet capstone
+
+
+def test_ccnet_head_middle_mix_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.llmdata import (
+        ccnet_head_middle_mix,
+        ccnet_head_middle_mix_sql,
+    )
+
+    mine = ccnet_head_middle_mix(SF)
+    assert set(mine.tile) == {1, 2}  # tail dropped
+    assert int(mine.n_docs.sum()) == 334  # 2/3 of 500, NTILE split
+    _assert_oracle(con, mine, ccnet_head_middle_mix_sql())
+
+
+def test_ccnet_mix_consistent_with_constituents(ray_session):
+    from pdfrust_ray.pipelines.llmdata import ccnet_head_middle_mix
+    from pdfrust_ray.pipelines.quality import perplexity_buckets
+
+    mix = ccnet_head_middle_mix(SF)
+    tiles = perplexity_buckets(SF)
+    kept = tiles[tiles.tile <= 2]
+    assert int(mix.n_docs.sum()) == len(kept)
+    # weighted tokens never exceed raw tokens (weights <= 1e6 ppm)
+    assert (mix.weighted_tokens_ppm <= mix.sum_tokens * 1_000_000).all()
+
+
+# ------------------------------------------------------- BWT oracle upgrade
+
+
+def test_bwt_compressibility_oracle(ray_session, con):
+    # round-4 upgrade: the former rows-only BWT audit now has an exact
+    # rotation-sort SQL twin (chr(1) sentinel ~ the engine's byte 0,
+    # both the strict minimum against ASCII text)
+    from pdfrust_ray.pipelines.textops import (
+        bwt_compressibility,
+        bwt_compressibility_sql,
+    )
+
+    mine = bwt_compressibility(SF)
+    assert (mine.runs_bwt <= mine.runs_orig).all()  # BWT clusters chars
+    _assert_oracle(con, mine, bwt_compressibility_sql())
