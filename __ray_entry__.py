@@ -1790,7 +1790,7 @@ NO_ORACLE_JUSTIFICATIONS: dict = {
     "audio_pitch_estimate": "binary-codec — autocorrelation over decoded PCM",
     "belady_opt_cache_audit": "sequential-state — OPT cache needs per-access future scan",
     "charset_best_match_lsh": "approximation — bucketed sibling; exact variant has a bit-exact oracle",
-    "containment_dedup_dfcap": "approximation — stop-shingle-capped SSJoin scale sibling (recall-only; exact verify); subset+recall pytest vs the exact variant, which carries a bit-exact oracle",
+    "containment_dedup_dfcap": "approximation — df-capped SSJoin + banded-MinHash hybrid scale sibling (recall-only; exact verify on both sources); subset+recall pytests vs the exact variant, which carries a bit-exact oracle; sf1 curve in BENCH/BASELINE.md",
     "compression_ratio_scores": "binary-codec — zlib ratios; SQL has no DEFLATE",
     "curve_locality_audit": "engine-artifact — audits the engine's Hilbert layout files",
     "daily_range_shard_plan": "engine-artifact — plans engine shard boundaries",

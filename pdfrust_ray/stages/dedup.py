@@ -1248,7 +1248,11 @@ def incremental_dedup_sql(n_words: int = 8) -> str:
 
 
 def containment_dedup(
-    sf_dir: str, threshold: float = 0.9, k: int = 5, df_cap: int | None = None
+    sf_dir: str,
+    threshold: float = 0.9,
+    k: int = 5,
+    df_cap: int | None = None,
+    lsh_union: bool = False,
 ) -> pd.DataFrame:
     """EXACT containment near-dup pairs: |A∩B| / min(|A|,|B|) >=
     threshold over k-char shingle sets — the quote/boilerplate-
@@ -1496,6 +1500,29 @@ def containment_dedup(
         )
 
     out = cand_ds.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if lsh_union:
+        # second candidate source, orthogonal to df skew: banded
+        # MinHash pairs (high-Jaccard mass — which containment pairs
+        # of comparable size always are: C >= t with |A| ~ |B| implies
+        # J >= t/(2-t)); containment-verified with the SAME bitset
+        # judge, so the union stays false-positive-free. J-threshold
+        # 0.5 keeps the verify filter permissive; band recall below
+        # the banding's design threshold is insurance, not a contract.
+        lsh_pairs = minhash_lsh_dedup(sf_dir, threshold=0.5)
+        if len(lsh_pairs):
+            extra = verify(
+                pa.table(
+                    {
+                        "doc_a": pa.array(
+                            lsh_pairs["doc_a"].to_numpy(dtype=np.int64), pa.int64()
+                        ),
+                        "doc_b": pa.array(
+                            lsh_pairs["doc_b"].to_numpy(dtype=np.int64), pa.int64()
+                        ),
+                    }
+                )
+            ).to_pandas()
+            out = pd.concat([out, extra], ignore_index=True)
     if not len(out):
         return _empty_pairs("containment", "float64")
     out = out.drop_duplicates(["doc_a", "doc_b"])
@@ -1525,7 +1552,11 @@ def containment_dedup_sql(threshold: float = 0.9, k: int = 5) -> str:
 
 
 def containment_dedup_dfcap(
-    sf_dir: str, threshold: float = 0.9, k: int = 5, df_cap: int = 256
+    sf_dir: str,
+    threshold: float = 0.9,
+    k: int = 5,
+    df_cap: int = 1024,
+    lsh_union: bool = True,
 ) -> pd.DataFrame:
     """SCALE sibling of containment_dedup: stop-shingle-capped SSJoin.
 
@@ -1533,17 +1564,32 @@ def containment_dedup_dfcap(
     regime (fixed shingle vocabulary, posting lists growing with the
     corpus) makes candidate pairs grow ~quadratically — the named
     super-linear cell in the round-4 sf1 probe (2.6 s -> 130 s at 10x).
-    This sibling indexes/probes only shingles with document frequency
-    <= df_cap, which bounds every posting list by df_cap and total
-    candidates by vocab * df_cap^2 — LINEAR in corpus size for a fixed
-    vocabulary, and at web scale (vocabulary growing with the corpus)
-    strictly cheaper than the exact op everywhere. Reported pairs are
-    still verified with EXACT containment over the full shingle sets
-    (no false positives; the approximation is recall-only: pairs
-    whose shared shingles are all hotter than df_cap are missed).
-    Pairs found are a subset of containment_dedup's; recall on the
-    fixture is pinned by pytest."""
-    return containment_dedup(sf_dir, threshold=threshold, k=k, df_cap=df_cap)
+    This sibling generates candidates from TWO bounded sources and
+    verifies both with exact containment over the full shingle sets
+    (no false positives; the approximation is recall-only):
+
+      (1) df-capped SSJoin — indexes/probes only shingles with
+          document frequency <= df_cap, bounding every posting list by
+          df_cap and total candidates by vocab * df_cap^2, LINEAR in
+          corpus size for a fixed vocabulary; catches small-in-big
+          pairs through the small side's rare shingles;
+      (2) banded MinHash (lsh_union) — catches the high-Jaccard mass
+          (comparable-size containment pairs have J >= t/(2-t))
+          independent of the df distribution, with LSH's own
+          bucket-capped scale contract.
+
+    A pair is missed only if it is BOTH low-Jaccard (strongly skewed
+    sizes) AND shares nothing rarer than df_cap — at web scale (open
+    vocabulary, thin posting lists) a vanishing class. Measured on the
+    adversarial fixed-2k-vocab sf1 corpus (posting lists up to 8% of
+    50k docs): recall 0.90 in 13 s vs the exact op's 186 s, with the
+    recall/cost knob measured at df_cap 256/512/1024/4096 ->
+    0.33/0.52/0.64/0.98 (dfcap source alone) — recorded in
+    BENCH/BASELINE.md. Pairs found are always a subset of
+    containment_dedup's; fixture recall is pinned by pytest."""
+    return containment_dedup(
+        sf_dir, threshold=threshold, k=k, df_cap=df_cap, lsh_union=lsh_union
+    )
 
 
 def dedup_cluster_size_histogram(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:

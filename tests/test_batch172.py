@@ -82,10 +82,16 @@ def test_containment_dfcap_planted_hot_only_pair_missed(ray_session, tmp_path):
     exact = containment_dedup(str(tmp_path))
     ek = set(zip(exact.doc_a, exact.doc_b))
     assert (8, 9) in ek
-    capped = containment_dedup_dfcap(str(tmp_path), df_cap=2)
+    capped = containment_dedup_dfcap(str(tmp_path), df_cap=2, lsh_union=False)
     ck = set(zip(capped.doc_a, capped.doc_b))
     assert (8, 9) not in ck  # its shingles all have df=10 > cap
     assert ck <= ek
+    # ... but the hybrid's MinHash source catches it (identical docs
+    # are maximal-Jaccard) — the insurance the union exists for
+    hybrid = containment_dedup_dfcap(str(tmp_path), df_cap=2, lsh_union=True)
+    hk = set(zip(hybrid.doc_a, hybrid.doc_b))
+    assert (8, 9) in hk
+    assert hk <= ek
 
 
 # ------------------------------------------------------------------ soft dedup
