@@ -1788,7 +1788,6 @@ NO_ORACLE_JUSTIFICATIONS: dict = {
     "audio_duration_audit": "binary-codec — PCM16/mu-law/ADPCM/FLAC decode",
     "audio_energy_segments": "binary-codec — PCM frame energy over WAV bytes",
     "audio_pitch_estimate": "binary-codec — autocorrelation over decoded PCM",
-    "belady_opt_cache_audit": "sequential-state — OPT cache needs per-access future scan",
     "charset_best_match_lsh": "approximation — bucketed sibling; exact variant has a bit-exact oracle",
     "containment_dedup_dfcap": "approximation — df-capped SSJoin + banded-MinHash hybrid scale sibling (recall-only; exact verify on both sources); subset+recall pytests vs the exact variant, which carries a bit-exact oracle; sf1 curve in BENCH/BASELINE.md",
     "compression_ratio_scores": "binary-codec — zlib ratios; SQL has no DEFLATE",
@@ -2139,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_source_classifier": qual.nb_source_classifier_sql(),
         "ccnet_head_middle_mix": llm.ccnet_head_middle_mix_sql(),
         "bwt_compressibility": textops.bwt_compressibility_sql(),
+        "belady_opt_cache_audit": rel.belady_opt_cache_audit_sql(),
         "user_event_trigrams": rel.user_event_trigrams_sql(),
         "user_active_time": rel.user_active_time_sql(),
         "orders_fk_profile": rel.orders_fk_profile_sql(),

@@ -295,3 +295,25 @@ def test_bwt_compressibility_oracle(ray_session, con):
     mine = bwt_compressibility(SF)
     assert (mine.runs_bwt <= mine.runs_orig).all()  # BWT clusters chars
     _assert_oracle(con, mine, bwt_compressibility_sql())
+
+
+# ------------------------------------------------- Belady OPT oracle upgrade
+
+
+def test_belady_opt_cache_audit_oracle(ray_session):
+    # round-4 upgrade: the former rows-only OPT replay now has an exact
+    # recursive-CTE twin (one access step per round across all users)
+    import duckdb
+
+    from pdfrust_ray.pipelines.relational import (
+        belady_opt_cache_audit,
+        belady_opt_cache_audit_sql,
+    )
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    mine = belady_opt_cache_audit(SF)
+    assert (mine.opt_hits >= mine.lru_hits).all()  # the OPT theorem
+    _assert_oracle(c, mine, belady_opt_cache_audit_sql())
