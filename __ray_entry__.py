@@ -879,6 +879,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet capstone: LM tertiles -> keep head+middle -> soft-dedup
         # weighted per-(lang, tile) training mix
         "ccnet_head_middle_mix": lambda sf: llm.ccnet_head_middle_mix(sf),
+        # full curriculum plan: UniMax budgets x perplexity tiles with
+        # 3:2:1 weighting, epoch caps and deterministic spill
+        "pretrain_mix_plan": lambda sf: llm.pretrain_mix_plan(sf),
         # behavioral event-type trigram mining (what follows what)
         "user_event_trigrams": rel.user_event_trigrams,
         # gaps-and-islands interval-union coverage per user
@@ -2137,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": qual.perplexity_buckets_sql(),
         "nb_source_classifier": qual.nb_source_classifier_sql(),
         "ccnet_head_middle_mix": llm.ccnet_head_middle_mix_sql(),
+        "pretrain_mix_plan": llm.pretrain_mix_plan_sql(),
         "bwt_compressibility": textops.bwt_compressibility_sql(),
         "belady_opt_cache_audit": rel.belady_opt_cache_audit_sql(),
         "user_event_trigrams": rel.user_event_trigrams_sql(),

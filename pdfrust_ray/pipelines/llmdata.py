@@ -2220,3 +2220,174 @@ def ccnet_head_middle_mix_sql() -> str:
         WHERE ti.tile <= 2
         GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def pretrain_mix_plan(sf_dir: str, epoch_cap: int = 2) -> pd.DataFrame:
+    """The full pretraining-mix PLAN: UniMax per-language token budgets
+    split across CCNet perplexity tertiles by a 3:2:1 head:middle:tail
+    curriculum weighting, with per-tile epoch caps and deterministic
+    spill — the one table a data-loading curriculum actually consumes.
+
+    Exact integer pipeline, composing three already-oracled stages:
+
+      1. unimax_allocation gives each language its budget A_l
+         (integer water-filling, budget 3/2 corpus, epoch_cap);
+      2. perplexity_buckets + one token scan give avail(l, t) = tokens
+         available per (lang, tile);
+      3. the curriculum split: target(l,1..3) = A_l weighted 3:2:1
+         (floor division, rounding remainder folded into head so the
+         targets sum to A_l exactly); tiles fill in head->tail order,
+         each capped at epoch_cap * avail, overflow SPILLING to the
+         next tile; whatever tile 3 cannot absorb is reported as
+         unallocated on its row.
+
+    All arithmetic is int64 floor math, so the SQL twin (which chains
+    the same two oracles plus an explicit 3-step spill) hashes
+    bit-for-bit. Output: (lang, tile, avail_tokens, capacity, target,
+    alloc, spill_out) ORDER BY lang, tile."""
+    from pdfrust_ray.pipelines.quality import perplexity_buckets
+
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    uni = unimax_allocation(sf_dir, epoch_cap=epoch_cap)
+    tiles = perplexity_buckets(sf_dir)
+    tile_ref = ray.put(tiles.set_index("doc_id")["tile"].to_dict())
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    class TokensByTile:
+        def __init__(self):
+            self.tile_of = ray.get(tile_ref)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            rows = []
+            for doc_id, lang, txt in zip(
+                t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["text"].to_pylist()
+            ):
+                ntok = sum(1 for w in txt.split(" ") if w)
+                rows.append((lang, self.tile_of[int(doc_id)], ntok))
+            df = pd.DataFrame(rows, columns=["lang", "tile", "avail_tokens"])
+            return df.groupby(["lang", "tile"], as_index=False).sum()
+
+    avail = (
+        ds.map_batches(TokensByTile, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby(["lang", "tile"])
+        .aggregate(Sum("avail_tokens", alias_name="avail_tokens"))
+        .to_pandas()
+    )
+    # dense (lang, tile) grid — a missing tile has 0 available tokens
+    import itertools
+
+    grid = pd.DataFrame(
+        list(itertools.product(sorted(uni["lang"]), (1, 2, 3))),
+        columns=["lang", "tile"],
+    )
+    avail = grid.merge(avail, on=["lang", "tile"], how="left").fillna(0)
+    avail["avail_tokens"] = avail["avail_tokens"].astype("int64")
+    avail["capacity"] = (avail["avail_tokens"] * epoch_cap).astype("int64")
+    alloc_of = dict(zip(uni["lang"], uni["alloc"].astype(int)))
+
+    out_rows = []
+    for lang, g in avail.groupby("lang", sort=True):
+        g = g.sort_values("tile")
+        a_l = alloc_of[lang]
+        t2 = a_l * 2 // 6
+        t3 = a_l * 1 // 6
+        t1 = a_l - t2 - t3  # rounding remainder folds into head
+        targets = {1: t1, 2: t2, 3: t3}
+        spill = 0
+        for _, r in g.iterrows():
+            want = targets[int(r.tile)] + spill
+            alloc = min(int(r.capacity), want)
+            spill = want - alloc
+            out_rows.append(
+                (
+                    lang,
+                    int(r.tile),
+                    int(r.avail_tokens),
+                    int(r.capacity),
+                    targets[int(r.tile)],
+                    alloc,
+                    spill,
+                )
+            )
+    out = pd.DataFrame(
+        out_rows,
+        columns=[
+            "lang",
+            "tile",
+            "avail_tokens",
+            "capacity",
+            "target",
+            "alloc",
+            "spill_out",
+        ],
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["lang", "tile"]).reset_index(drop=True)
+
+
+def pretrain_mix_plan_sql(epoch_cap: int = 2) -> str:
+    from pdfrust_ray.pipelines.quality import perplexity_buckets_sql
+
+    return f"""
+        WITH uni AS ({unimax_allocation_sql(epoch_cap)}),
+        tiles AS ({perplexity_buckets_sql()}),
+        toks AS (
+            SELECT d.lang, ti.tile,
+                   CAST(SUM(len(list_filter(string_split(d.text, ' '),
+                                            x -> x <> ''))) AS BIGINT)
+                       AS avail_tokens
+            FROM documents d JOIN tiles ti ON d.doc_id = ti.doc_id
+            GROUP BY 1, 2
+        ), grid AS (
+            SELECT u.lang, t.tile,
+                   COALESCE(tk.avail_tokens, 0) AS avail_tokens,
+                   CAST({epoch_cap} * COALESCE(tk.avail_tokens, 0) AS BIGINT)
+                       AS capacity,
+                   u.alloc AS a_l
+            FROM uni u
+            CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS tile) t
+            LEFT JOIN toks tk ON tk.lang = u.lang AND tk.tile = t.tile
+        ), tgt AS (
+            SELECT lang, tile, avail_tokens, capacity,
+                   CASE tile
+                        WHEN 2 THEN a_l * 2 // 6
+                        WHEN 3 THEN a_l * 1 // 6
+                        ELSE a_l - (a_l * 2 // 6) - (a_l * 1 // 6)
+                   END AS target
+            FROM grid
+        ), s1 AS (
+            SELECT lang, target AS want1,
+                   LEAST(capacity, target) AS alloc1,
+                   target - LEAST(capacity, target) AS spill1
+            FROM tgt WHERE tile = 1
+        ), s2 AS (
+            SELECT t.lang, t.target + s1.spill1 AS want2,
+                   LEAST(t.capacity, t.target + s1.spill1) AS alloc2,
+                   t.target + s1.spill1
+                       - LEAST(t.capacity, t.target + s1.spill1) AS spill2
+            FROM tgt t JOIN s1 ON s1.lang = t.lang WHERE t.tile = 2
+        ), s3 AS (
+            SELECT t.lang, t.target + s2.spill2 AS want3,
+                   LEAST(t.capacity, t.target + s2.spill2) AS alloc3,
+                   t.target + s2.spill2
+                       - LEAST(t.capacity, t.target + s2.spill2) AS spill3
+            FROM tgt t JOIN s2 ON s2.lang = t.lang WHERE t.tile = 3
+        )
+        SELECT t.lang, t.tile, t.avail_tokens, t.capacity, t.target,
+               CAST(CASE t.tile WHEN 1 THEN s1.alloc1
+                                WHEN 2 THEN s2.alloc2
+                                ELSE s3.alloc3 END AS BIGINT) AS alloc,
+               CAST(CASE t.tile WHEN 1 THEN s1.spill1
+                                WHEN 2 THEN s2.spill2
+                                ELSE s3.spill3 END AS BIGINT) AS spill_out
+        FROM tgt t
+        JOIN s1 ON s1.lang = t.lang
+        JOIN s2 ON s2.lang = t.lang
+        JOIN s3 ON s3.lang = t.lang
+        ORDER BY t.lang, t.tile
+    """

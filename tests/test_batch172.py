@@ -317,3 +317,33 @@ def test_belady_opt_cache_audit_oracle(ray_session):
     mine = belady_opt_cache_audit(SF)
     assert (mine.opt_hits >= mine.lru_hits).all()  # the OPT theorem
     _assert_oracle(c, mine, belady_opt_cache_audit_sql())
+
+
+# ------------------------------------------------------------ pretrain plan
+
+
+def test_pretrain_mix_plan_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.llmdata import pretrain_mix_plan, pretrain_mix_plan_sql
+
+    mine = pretrain_mix_plan(SF)
+    assert len(mine) == 15  # 5 langs x 3 tiles
+    _assert_oracle(con, mine, pretrain_mix_plan_sql())
+
+
+def test_pretrain_mix_plan_invariants(ray_session):
+    from pdfrust_ray.pipelines.llmdata import pretrain_mix_plan, unimax_allocation
+
+    mine = pretrain_mix_plan(SF)
+    uni = unimax_allocation(SF, epoch_cap=2).set_index("lang")
+    assert (mine.alloc <= mine.capacity).all()
+    # fixture exercises both the cap and the spill branches
+    assert (mine.alloc == mine.capacity).any()
+    assert (mine.spill_out > 0).any()
+    for lang, g in mine.groupby("lang"):
+        g = g.sort_values("tile")
+        # targets sum exactly to the lang's UniMax budget
+        assert int(g.target.sum()) == int(uni.loc[lang, "alloc"])
+        # conservation: allocated + final spill == budget
+        assert int(g.alloc.sum()) + int(g.spill_out.iloc[-1]) == int(
+            uni.loc[lang, "alloc"]
+        )
