@@ -2845,3 +2845,218 @@ def facility_location_selection_ivf(
     return pd.DataFrame(rows, columns=["rank", "vec_id", "marginal_gain"]).astype(
         "int64"
     )
+
+
+def kmeans_fixedpoint(
+    sf_dir: str, k: int = 10, iters: int = 5, scale: int = 1024
+) -> pd.DataFrame:
+    """FIXED-POINT Lloyd k-means over the embeddings table — the
+    integer sibling that gives the iterative-clustering family an
+    EXACT SQL oracle (the float variant, kmeans_embeddings, is
+    justifiably rows-only: its float centroid sums are batch-order
+    sensitive; this one's arithmetic is order-free by construction):
+
+      quantize: q_d = floor(float64(x_d) * scale + 0.5) + 2*scale
+        int64 — the one float op, bit-identical in numpy and DuckDB;
+        the +2*scale shift keeps every value (hence every centroid
+        sum) non-negative, where DuckDB's truncating integer // and
+        numpy's floor // agree (they differ on negatives);
+      assign: argmin squared-euclidean distance over int64 centroids,
+        ties to the smallest bucket index;
+      update: centroid c_{j,d} = sum(q_d) // n_j (elementwise floor
+        division, int64); empty clusters carry their previous
+        centroid; init = the k smallest vec_ids' vectors.
+
+    Every quantity after the quantization is an integer, so the
+    recursive-CTE twin replays the rounds bit-for-bit.
+
+    Distributed shape (same exchange as kmeans_embeddings): centroids
+    broadcast via ray.put; per-batch partials carry (bucket, dim,
+    partial_sum) + (bucket, count) rows — O(batches x k x D), never
+    the vectors; one groupby reduce per round. Output: (bucket,
+    n_members, inertia_q) with inertia_q the exact final int64
+    within-cluster squared distance sum."""
+    import numpy as np
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        )
+        q = np.floor(m * float(scale) + 0.5).astype(np.int64) + 2 * scale
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+                "q": pa.array(list(q), pa.list_(pa.int64())),
+            }
+        )
+
+    qds = ds.map_batches(quant, batch_format="pyarrow")
+    # init: the k smallest vec_ids (pushed-down limit, not a full scan)
+    seed = (
+        qds.sort("vec_id").limit(k).to_pandas()
+    )
+    cents = np.stack([np.asarray(v, dtype=np.int64) for v in seed["q"]])
+    d_dim = cents.shape[1]
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partials(t: pa.Table, *, cref=cref) -> pa.Table:
+            c = ray.get(cref)
+            qm = np.stack([np.asarray(v, dtype=np.int64) for v in t["q"].to_pylist()])
+            # [n, k] squared distances; int64 safe: (2*scale)^2 * D ~ 2.7e8
+            d2 = ((qm[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            lab = np.argmin(d2, axis=1)  # first min = smallest bucket
+            buckets, dims, sums = [], [], []
+            for j in np.unique(lab):
+                s = qm[lab == j].sum(axis=0)
+                buckets.extend([int(j)] * d_dim)
+                dims.extend(range(d_dim))
+                sums.extend(s.tolist())
+                buckets.append(int(j))
+                dims.append(-1)  # count sentinel
+                sums.append(int((lab == j).sum()))
+            return pa.table(
+                {
+                    "bucket": pa.array(buckets, pa.int64()),
+                    "dim": pa.array(dims, pa.int64()),
+                    "s": pa.array(sums, pa.int64()),
+                }
+            )
+
+        red = (
+            qds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["bucket", "dim"])
+            .aggregate(Sum("s", alias_name="s"))
+            .to_pandas()
+        )
+        new_c = cents.copy()
+        counts = {
+            int(r.bucket): int(r.s) for r in red[red["dim"] == -1].itertuples()
+        }
+        for j, n_j in counts.items():
+            if n_j > 0:
+                rows = red[(red["bucket"] == j) & (red["dim"] >= 0)].sort_values("dim")
+                new_c[j] = rows["s"].to_numpy() // n_j
+        cents = new_c
+
+    # final assignment + inertia
+    cref = ray.put(cents)
+
+    def final_partial(t: pa.Table, *, cref=cref) -> pa.Table:
+        c = ray.get(cref)
+        qm = np.stack([np.asarray(v, dtype=np.int64) for v in t["q"].to_pylist()])
+        d2 = ((qm[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        lab = np.argmin(d2, axis=1)
+        best = d2[np.arange(len(lab)), lab]
+        buckets, ns, inert = [], [], []
+        for j in np.unique(lab):
+            m = lab == j
+            buckets.append(int(j))
+            ns.append(int(m.sum()))
+            inert.append(int(best[m].sum()))
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int64()),
+                "n_members": pa.array(ns, pa.int64()),
+                "inertia_q": pa.array(inert, pa.int64()),
+            }
+        )
+
+    out = (
+        qds.map_batches(final_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_members", alias_name="n_members"),
+            Sum("inertia_q", alias_name="inertia_q"),
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    for c_ in out.columns:
+        out[c_] = out[c_].astype("int64")
+    return out
+
+
+def kmeans_fixedpoint_sql(k: int = 10, iters: int = 5, scale: int = 1024) -> str:
+    """Exact twin: the identical quantization, argmin (ties to the
+    smallest bucket via ORDER BY d2, bucket), elementwise floor-div
+    centroid update and empty-cluster carry, replayed as a recursive
+    CTE with one round per iteration."""
+    return f"""
+WITH RECURSIVE q AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * {scale}.0 + 0.5)
+                AS BIGINT) + {2 * scale} AS qv
+    FROM embeddings
+),
+seed AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS bucket
+    FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT {k})
+),
+cent(r, bucket, dim, val) AS (
+    SELECT 0, s.bucket, q.dim, q.qv
+    FROM seed s JOIN q ON q.vec_id = s.vec_id
+    UNION ALL
+    (
+      WITH prev AS (SELECT * FROM cent),
+      rr AS (SELECT MAX(r) AS r FROM prev),
+      d2 AS (
+          SELECT q.vec_id, p.bucket,
+                 SUM((q.qv - p.val) * (q.qv - p.val)) AS d2
+          FROM q JOIN prev p ON q.dim = p.dim
+          GROUP BY q.vec_id, p.bucket
+      ),
+      lab AS (
+          SELECT vec_id, bucket FROM (
+              SELECT vec_id, bucket,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, bucket) AS rn
+              FROM d2
+          ) WHERE rn = 1
+      ),
+      sums AS (
+          SELECT l.bucket, q.dim,
+                 SUM(q.qv) AS s, COUNT(DISTINCT l.vec_id) AS n
+          FROM lab l JOIN q ON q.vec_id = l.vec_id
+          GROUP BY 1, 2
+      )
+      SELECT rr.r + 1, p.bucket, p.dim,
+             CAST(COALESCE(sums.s // sums.n, p.val) AS BIGINT)
+      FROM prev p
+      LEFT JOIN sums ON sums.bucket = p.bucket AND sums.dim = p.dim, rr
+      WHERE rr.r < {iters}
+    )
+),
+final_c AS (
+    SELECT bucket, dim, val FROM cent
+    WHERE r = (SELECT MAX(r) FROM cent)
+),
+d2f AS (
+    SELECT q.vec_id, c.bucket,
+           SUM((q.qv - c.val) * (q.qv - c.val)) AS d2
+    FROM q JOIN final_c c ON q.dim = c.dim
+    GROUP BY q.vec_id, c.bucket
+),
+labf AS (
+    SELECT vec_id, bucket, d2 FROM (
+        SELECT vec_id, bucket, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, bucket) AS rn
+        FROM d2f
+    ) WHERE rn = 1
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(d2) AS BIGINT) AS inertia_q
+FROM labf GROUP BY 1 ORDER BY 1
+    """

@@ -347,3 +347,50 @@ def test_pretrain_mix_plan_invariants(ray_session):
         assert int(g.alloc.sum()) + int(g.spill_out.iloc[-1]) == int(
             uni.loc[lang, "alloc"]
         )
+
+
+# ------------------------------------------------------- fixed-point k-means
+
+
+def test_kmeans_fixedpoint_oracle(ray_session):
+    import duckdb
+
+    from pdfrust_ray.stages.similarity import kmeans_fixedpoint, kmeans_fixedpoint_sql
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    mine = kmeans_fixedpoint(SF)
+    assert int(mine.n_members.sum()) == 500  # every vector assigned
+    assert len(mine) <= 10
+    _assert_oracle(c, mine, kmeans_fixedpoint_sql())
+
+
+def test_kmeans_fixedpoint_label_recovery(ray_session, tmp_path):
+    # three well-separated planted blobs: fixed-point Lloyd must
+    # recover them exactly (cluster sizes 20/20/20, tiny inertia)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfrust_ray.stages.similarity import kmeans_fixedpoint
+
+    rng = np.random.RandomState(7)
+    blobs = []
+    for c0 in ([5.0] * 8, [-5.0] * 8, [0.0] * 4 + [9.0] * 4):
+        blobs.append(np.asarray(c0) + rng.uniform(-0.2, 0.2, size=(20, 8)))
+    m = np.concatenate(blobs).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(60), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in m],
+                                      pa.list_(pa.float32())),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    out = kmeans_fixedpoint(str(tmp_path), k=3, iters=5, scale=64)
+    assert sorted(out.n_members) == [20, 20, 20]
