@@ -1134,13 +1134,24 @@ def nb_source_classifier(sf_dir: str, n_buckets: int = 1024) -> pd.DataFrame:
     def count_partial(t: pa.Table) -> pa.Table:
         agg: dict[str, np.ndarray] = {}
         docs: Counter = Counter()
-        for txt, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+        texts = t["text"].to_pylist()
+        # hash each DISTINCT word once per batch (vocabulary << tokens)
+        vocab = sorted({w for txt in texts for w in txt.split(" ") if w})
+        bucket_of = dict(
+            zip(
+                vocab,
+                (md5_prefix_u64([w.encode() for w in vocab]) % n_buckets).astype(
+                    np.int64
+                ),
+            )
+        )
+        for txt, src in zip(texts, t["source"].to_pylist()):
             words = [w for w in txt.split(" ") if w]
             docs[src] += 1
             if not words:
                 continue
-            b = (md5_prefix_u64([w.encode() for w in words]) % n_buckets).astype(
-                np.int64
+            b = np.fromiter(
+                (bucket_of[w] for w in words), dtype=np.int64, count=len(words)
             )
             if src not in agg:
                 agg[src] = np.zeros(n_buckets, dtype=np.int64)
@@ -1207,13 +1218,23 @@ def nb_source_classifier(sf_dir: str, n_buckets: int = 1024) -> pd.DataFrame:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             true_s, pred_s = [], []
-            for txt, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+            texts = t["text"].to_pylist()
+            vocab = sorted({w for txt in texts for w in txt.split(" ") if w})
+            bucket_of = dict(
+                zip(
+                    vocab,
+                    (
+                        md5_prefix_u64([w.encode() for w in vocab]) % self.q.shape[1]
+                    ).astype(np.int64),
+                )
+            )
+            for txt, src in zip(texts, t["source"].to_pylist()):
                 words = [w for w in txt.split(" ") if w]
                 if not words:
                     continue
-                b = (
-                    md5_prefix_u64([w.encode() for w in words]) % self.q.shape[1]
-                ).astype(np.int64)
+                b = np.fromiter(
+                    (bucket_of[w] for w in words), dtype=np.int64, count=len(words)
+                )
                 cnt = np.bincount(b, minlength=self.q.shape[1])
                 scores = self.q @ cnt + self.prior
                 # argmax, source-asc tie-break: sources[] is sorted so
