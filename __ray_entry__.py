@@ -884,6 +884,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretrain_mix_plan": lambda sf: llm.pretrain_mix_plan(sf),
         # integer Lloyd: the k-means sibling with an exact recursive twin
         "kmeans_fixedpoint": lambda sf: similarity.kmeans_fixedpoint(sf),
+        # integer power iteration: the PCA sibling with an exact twin
+        "pca_power_fixedpoint": lambda sf: similarity.pca_power_fixedpoint(sf),
         # behavioral event-type trigram mining (what follows what)
         "user_event_trigrams": rel.user_event_trigrams,
         # gaps-and-islands interval-union coverage per user
@@ -1804,7 +1806,7 @@ NO_ORACLE_JUSTIFICATIONS: dict = {
     "facility_location_selection_ivf": "approximation — bucket-representative candidates; all-candidates degenerate carries the exact oracle",
     "mutual_knn_degree_ivf": "approximation — within-bucket neighbours; n_centroids=1 degenerate carries the exact oracle",
     "triplet_margin_violations_ivf": "approximation — within-bucket neighbours; n_centroids=1 degenerate carries the exact oracle",
-    "embedding_pca_topk": "float-iterative — power-iteration eigenvectors",
+    "embedding_pca_topk": "float-iterative — power-iteration eigenvectors; the fixed-point sibling pca_power_fixedpoint carries an exact recursive-CTE twin",
     "image_phash_dedup": "binary-codec — perceptual hash over decoded pixels",
     "kmeans_embeddings": "float-iterative — Lloyd rounds accumulate float sums batch-wise; the fixed-point sibling kmeans_fixedpoint carries an exact recursive-CTE twin",
     "media_features": "binary-codec — PPM/WAV decode + resize/frame-sample",
@@ -2144,6 +2146,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_head_middle_mix": llm.ccnet_head_middle_mix_sql(),
         "pretrain_mix_plan": llm.pretrain_mix_plan_sql(),
         "kmeans_fixedpoint": similarity_mod.kmeans_fixedpoint_sql(),
+        "pca_power_fixedpoint": similarity_mod.pca_power_fixedpoint_sql(),
         "bwt_compressibility": textops.bwt_compressibility_sql(),
         "belady_opt_cache_audit": rel.belady_opt_cache_audit_sql(),
         "user_event_trigrams": rel.user_event_trigrams_sql(),

@@ -3060,3 +3060,157 @@ SELECT bucket,
        CAST(SUM(d2) AS BIGINT) AS inertia_q
 FROM labf GROUP BY 1 ORDER BY 1
     """
+
+
+def pca_power_fixedpoint(
+    sf_dir: str, iters: int = 100, scale: int = 1024, vscale: int = 1 << 20
+) -> pd.DataFrame:
+    """FIXED-POINT power iteration for the dominant principal axis of
+    the (uncentered) second-moment matrix — the integer sibling that
+    gives the PCA family an exact SQL oracle (embedding_pca_topk's
+    float power iteration is justifiably rows-only).
+
+    Exact integer recipe:
+
+      quantize: q_d = floor(float64(x_d) * scale + 0.5) (no shift —
+        all divisions below TRUNCATE toward zero, DuckDB's native
+        integer `//`, mirrored in numpy as sign(a) * (|a| // d));
+      moment: A = sum over vectors of q q^T — a D x D int64 matrix
+        folded from per-batch partial products (the corpus-sized
+        work; the exchange carries D^2 counters per batch);
+      iterate: v <- trunc_div(A v, max(1, max|A v| // vscale)) for
+        `iters` rounds from v0 = all-ones — renormalizing by a scalar
+        divisor keeps every component within ~vscale so all products
+        stay in int64; default 100 rounds because the fixture's
+        spectrum is tight (lambda2/lambda1 ~ 0.93 -> ~100 rounds for
+        1e-3 directional error, pinned by the eigh-agreement pytest);
+      report: sign-canonicalized v (first nonzero component positive)
+        plus the Rayleigh quotient lam_q = (v^T A v * 1e6) // (v^T v)
+        micro-scaled (python bigints / SQL HUGEINT internally, final
+        value fits int64).
+
+    Output: (dim, component) for dim 0..D-1 and one (dim=-1, lam_q)
+    row; bit-identical to the recursive-CTE twin."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def cov_partial(t: pa.Table) -> pa.Table:
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        )
+        q = np.floor(m * float(scale) + 0.5).astype(np.int64)
+        a = q.T @ q  # [D, D]
+        d = a.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        return pa.table(
+            {
+                "i": pa.array(ii.ravel(), pa.int64()),
+                "j": pa.array(jj.ravel(), pa.int64()),
+                "s": pa.array(a.ravel(), pa.int64()),
+            }
+        )
+
+    cov = (
+        ds.map_batches(cov_partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    d_dim = int(cov["i"].max()) + 1
+    a = np.zeros((d_dim, d_dim), dtype=np.int64)
+    a[cov["i"].to_numpy(), cov["j"].to_numpy()] = cov["s"].to_numpy()
+
+    def trunc_div(x: np.ndarray, d: int) -> np.ndarray:
+        return np.sign(x) * (np.abs(x) // d)
+
+    v = np.ones(d_dim, dtype=np.int64)
+    for _ in range(iters):
+        w = a @ v
+        m = int(np.abs(w).max())
+        div = max(1, m // vscale)
+        v = trunc_div(w, div)
+
+    # sign canonicalization: first nonzero component positive
+    nz = np.flatnonzero(v)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    # Rayleigh quotient in arbitrary-precision ints
+    vl = [int(x) for x in v]
+    av = [sum(int(a[i, j]) * vl[j] for j in range(d_dim)) for i in range(d_dim)]
+    num = sum(vl[i] * av[i] for i in range(d_dim)) * 1_000_000
+    den = sum(x * x for x in vl)
+    lam_q = num // den if den else 0
+    out = pd.DataFrame(
+        {
+            "dim": list(range(d_dim)) + [-1],
+            "component": vl + [int(lam_q)],
+        }
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+def pca_power_fixedpoint_sql(
+    iters: int = 100, scale: int = 1024, vscale: int = 1 << 20
+) -> str:
+    """Exact twin: same quantization, integer second-moment matrix,
+    truncating renormalized power rounds as a recursive CTE, sign
+    canonicalization and HUGEINT Rayleigh quotient."""
+    return f"""
+WITH RECURSIVE q AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * {scale}.0 + 0.5)
+                AS BIGINT) AS qv
+    FROM embeddings
+),
+cov AS MATERIALIZED (
+    SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS s
+    FROM q a JOIN q b ON a.vec_id = b.vec_id
+    GROUP BY 1, 2
+),
+vstate(r, dim, val) AS (
+    SELECT 0, i, CAST(1 AS BIGINT) FROM (SELECT DISTINCT i FROM cov)
+    UNION ALL
+    (
+      WITH prev AS (SELECT * FROM vstate),
+      rr AS (SELECT MAX(r) AS r FROM prev),
+      w AS (
+          SELECT cov.i AS dim, CAST(SUM(cov.s * p.val) AS BIGINT) AS wv
+          FROM cov JOIN prev p ON cov.j = p.dim
+          GROUP BY 1
+      ),
+      nrm AS (SELECT GREATEST(1, MAX(ABS(wv)) // {vscale}) AS d FROM w)
+      SELECT rr.r + 1, w.dim, CAST(w.wv // nrm.d AS BIGINT)
+      FROM w, nrm, rr WHERE rr.r < {iters}
+    )
+),
+vf AS (
+    SELECT dim, val FROM vstate WHERE r = (SELECT MAX(r) FROM vstate)
+),
+sgn AS (
+    SELECT CASE WHEN (
+        SELECT val FROM vf WHERE val <> 0 ORDER BY dim LIMIT 1
+    ) < 0 THEN -1 ELSE 1 END AS s
+),
+v AS (SELECT vf.dim, CAST(vf.val * sgn.s AS BIGINT) AS val FROM vf, sgn),
+av AS (
+    SELECT cov.i AS dim, SUM(CAST(cov.s AS HUGEINT) * v.val) AS avv
+    FROM cov JOIN v ON cov.j = v.dim
+    GROUP BY 1
+),
+ray_q AS (
+    SELECT CAST(
+        (SELECT SUM(CAST(v.val AS HUGEINT) * av.avv)
+         FROM v JOIN av ON v.dim = av.dim) * 1000000
+        // (SELECT SUM(CAST(val AS HUGEINT) * val) FROM v)
+        AS BIGINT) AS lam_q
+)
+SELECT dim, val AS component FROM v
+UNION ALL
+SELECT -1, lam_q FROM ray_q
+ORDER BY dim
+    """

@@ -394,3 +394,50 @@ def test_kmeans_fixedpoint_label_recovery(ray_session, tmp_path):
     )
     out = kmeans_fixedpoint(str(tmp_path), k=3, iters=5, scale=64)
     assert sorted(out.n_members) == [20, 20, 20]
+
+
+# ----------------------------------------------------- fixed-point PCA power
+
+
+def test_pca_power_fixedpoint_oracle(ray_session):
+    import duckdb
+
+    from pdfrust_ray.stages.similarity import (
+        pca_power_fixedpoint,
+        pca_power_fixedpoint_sql,
+    )
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    mine = pca_power_fixedpoint(SF)
+    assert len(mine) == 65  # 64 dims + the lam_q row
+    assert int(mine.loc[mine.dim == -1, "component"].iloc[0]) > 0
+    _assert_oracle(c, mine, pca_power_fixedpoint_sql())
+
+
+def test_pca_power_fixedpoint_matches_float_eigenvector(ray_session):
+    # the integer iteration must land on the true dominant axis of the
+    # quantized second-moment matrix (|cos| > 0.999 vs numpy eigh)
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfrust_ray.stages.similarity import pca_power_fixedpoint
+
+    mine = pca_power_fixedpoint(SF)
+    v = mine.loc[mine.dim >= 0].sort_values("dim")["component"].to_numpy(float)
+    emb = np.stack(
+        [np.asarray(x, dtype=np.float64)
+         for x in pq.read_table(f"{SF}/embeddings.parquet")["embedding"].to_pylist()]
+    )
+    q = np.floor(emb * 1024.0 + 0.5)
+    a = q.T @ q
+    w, vecs = np.linalg.eigh(a)
+    top = vecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999
+    # Rayleigh quotient agrees with the true top eigenvalue to <0.1%
+    lam = mine.loc[mine.dim == -1, "component"].iloc[0] / 1e6
+    assert abs(lam - w[-1]) / w[-1] < 1e-3
