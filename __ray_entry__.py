@@ -886,6 +886,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fixedpoint": lambda sf: similarity.kmeans_fixedpoint(sf),
         # integer power iteration: the PCA sibling with an exact twin
         "pca_power_fixedpoint": lambda sf: similarity.pca_power_fixedpoint(sf),
+        # integer SemDeDup: clusters AND cosine test exactly oracled
+        "semantic_dedup_fixedpoint": lambda sf: similarity.semantic_dedup_fixedpoint(sf),
         # behavioral event-type trigram mining (what follows what)
         "user_event_trigrams": rel.user_event_trigrams,
         # gaps-and-islands interval-union coverage per user
@@ -1814,7 +1816,7 @@ NO_ORACLE_JUSTIFICATIONS: dict = {
     "part_supplier_max_matching": "sequential-state — augmenting-path search; pinned by Konig-bound pytest",
     "pdf_object_census": "binary-codec — parses PDF object streams",
     "quantile_sketch": "approximation — partials depend on Ray block boundaries, invisible to SQL; rank-error-bound pytest; the det-partitioned sibling quantile_sketch_det carries an exact recursive-CTE twin",
-    "semantic_dedup": "float-iterative — consumes kmeans_embeddings centroids",
+    "semantic_dedup": "float-iterative — consumes kmeans_embeddings centroids; the fixed-point sibling semantic_dedup_fixedpoint carries an exact recursive-CTE twin end-to-end",
     "streaming_heavy_hitters": "sequential-state — SpaceSaving replay over stream order",
     "type_alias_sampling_table": "engine-artifact — audits the engine's alias tables",
     "video_scene_cuts": "binary-codec — frame-delta energy over packed video bytes",
@@ -2147,6 +2149,7 @@ def oracle_sql() -> dict[str, str]:
         "pretrain_mix_plan": llm.pretrain_mix_plan_sql(),
         "kmeans_fixedpoint": similarity_mod.kmeans_fixedpoint_sql(),
         "pca_power_fixedpoint": similarity_mod.pca_power_fixedpoint_sql(),
+        "semantic_dedup_fixedpoint": similarity_mod.semantic_dedup_fixedpoint_sql(),
         "bwt_compressibility": textops.bwt_compressibility_sql(),
         "belady_opt_cache_audit": rel.belady_opt_cache_audit_sql(),
         "user_event_trigrams": rel.user_event_trigrams_sql(),

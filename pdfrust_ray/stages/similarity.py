@@ -2847,35 +2847,10 @@ def facility_location_selection_ivf(
     )
 
 
-def kmeans_fixedpoint(
-    sf_dir: str, k: int = 10, iters: int = 5, scale: int = 1024
-) -> pd.DataFrame:
-    """FIXED-POINT Lloyd k-means over the embeddings table — the
-    integer sibling that gives the iterative-clustering family an
-    EXACT SQL oracle (the float variant, kmeans_embeddings, is
-    justifiably rows-only: its float centroid sums are batch-order
-    sensitive; this one's arithmetic is order-free by construction):
-
-      quantize: q_d = floor(float64(x_d) * scale + 0.5) + 2*scale
-        int64 — the one float op, bit-identical in numpy and DuckDB;
-        the +2*scale shift keeps every value (hence every centroid
-        sum) non-negative, where DuckDB's truncating integer // and
-        numpy's floor // agree (they differ on negatives);
-      assign: argmin squared-euclidean distance over int64 centroids,
-        ties to the smallest bucket index;
-      update: centroid c_{j,d} = sum(q_d) // n_j (elementwise floor
-        division, int64); empty clusters carry their previous
-        centroid; init = the k smallest vec_ids' vectors.
-
-    Every quantity after the quantization is an integer, so the
-    recursive-CTE twin replays the rounds bit-for-bit.
-
-    Distributed shape (same exchange as kmeans_embeddings): centroids
-    broadcast via ray.put; per-batch partials carry (bucket, dim,
-    partial_sum) + (bucket, count) rows — O(batches x k x D), never
-    the vectors; one groupby reduce per round. Output: (bucket,
-    n_members, inertia_q) with inertia_q the exact final int64
-    within-cluster squared distance sum."""
+def _kmeans_fp_centroids(sf_dir: str, k: int, iters: int, scale: int):
+    """Shared core of the fixed-point k-means family: quantized vector
+    Dataset + converged int64 centroid matrix (see kmeans_fixedpoint
+    for the exact arithmetic contract)."""
     import numpy as np
 
     import ray
@@ -2948,6 +2923,30 @@ def kmeans_fixedpoint(
                 new_c[j] = rows["s"].to_numpy() // n_j
         cents = new_c
 
+    return qds, cents
+
+
+def kmeans_fixedpoint(
+    sf_dir: str, k: int = 10, iters: int = 5, scale: int = 1024
+) -> pd.DataFrame:
+    """FIXED-POINT Lloyd k-means over the embeddings table — see
+    _kmeans_fp_centroids for the exact integer recipe (quantize with
+    +2*scale shift so DuckDB's truncating // and numpy's floor //
+    agree; integer argmin with smallest-bucket ties; elementwise
+    floor-div centroid updates; empty-cluster carry; init from the k
+    smallest vec_ids). Every quantity after quantization is an
+    integer, so the recursive-CTE twin replays the rounds
+    bit-for-bit. Output: (bucket, n_members, inertia_q) with
+    inertia_q the exact final int64 within-cluster squared-distance
+    sum. Same O(batches x k x D) exchange as kmeans_embeddings; the
+    float variant stays justifiably rows-only."""
+    import numpy as np
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    qds, cents = _kmeans_fp_centroids(sf_dir, k, iters, scale)
+
     # final assignment + inertia
     cref = ray.put(cents)
 
@@ -2987,13 +2986,11 @@ def kmeans_fixedpoint(
     return out
 
 
-def kmeans_fixedpoint_sql(k: int = 10, iters: int = 5, scale: int = 1024) -> str:
-    """Exact twin: the identical quantization, argmin (ties to the
-    smallest bucket via ORDER BY d2, bucket), elementwise floor-div
-    centroid update and empty-cluster carry, replayed as a recursive
-    CTE with one round per iteration."""
+def _kmeans_fp_cte(k: int, iters: int, scale: int) -> str:
+    """Shared CTE prefix (through the final label table labf) for the
+    fixed-point k-means twin and the SemDeDup sibling built on it."""
     return f"""
-WITH RECURSIVE q AS (
+WITH RECURSIVE q AS MATERIALIZED (
     SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
            CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * {scale}.0 + 0.5)
                 AS BIGINT) + {2 * scale} AS qv
@@ -3054,12 +3051,23 @@ labf AS (
                                   ORDER BY d2, bucket) AS rn
         FROM d2f
     ) WHERE rn = 1
-)
+)"""
+
+
+def kmeans_fixedpoint_sql(k: int = 10, iters: int = 5, scale: int = 1024) -> str:
+    """Exact twin: the identical quantization, argmin (ties to the
+    smallest bucket via ORDER BY d2, bucket), elementwise floor-div
+    centroid update and empty-cluster carry, replayed as a recursive
+    CTE with one round per iteration."""
+    return (
+        _kmeans_fp_cte(k, iters, scale)
+        + """
 SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(SUM(d2) AS BIGINT) AS inertia_q
 FROM labf GROUP BY 1 ORDER BY 1
     """
+    )
 
 
 def pca_power_fixedpoint(
@@ -3214,3 +3222,127 @@ UNION ALL
 SELECT -1, lam_q FROM ray_q
 ORDER BY dim
     """
+
+
+def semantic_dedup_fixedpoint(
+    sf_dir: str,
+    k: int = 10,
+    iters: int = 5,
+    scale: int = 1024,
+    t_num: int = 1600,
+    t_den: int = 10000,
+) -> pd.DataFrame:
+    """FIXED-POINT SemDeDup — within-cluster cosine near-duplicate
+    pairs over the integer k-means clustering, with the cosine test
+    done EXACTLY by cross-multiplication (no sqrt, no division):
+
+      pair (a, b) in the same fixed-point cluster is a near-dup iff
+        dot(a, b) > 0  AND  dot^2 * t_den >= t_num * |a|^2 * |b|^2
+      over the UNSHIFTED quantized vectors (the +2*scale shift of the
+      clustering arithmetic is removed before the cosine — the shift
+      is a clustering-internal trick, not part of the geometry), with
+      t_num/t_den = cos_threshold^2. The default 0.4 threshold fits
+      the synthetic near-isotropic fixture (its max pairwise cosine is
+      ~0.51; a real embedding corpus would run 0.9+). All products
+      stay below 2^62.
+
+    The float semantic_dedup stays justifiably rows-only (it consumes
+    float Lloyd centroids); this sibling gives the SemDeDup shape an
+    exact recursive-CTE oracle end-to-end: clustering rounds AND the
+    pair predicate.
+
+    Scale shape: labels by broadcast centroids (zero-shuffle scan),
+    then ONE bucket-keyed groupby whose groups hold only each
+    cluster's vectors — the SemDeDup contract (clusters are the small
+    unit of pairwise work). Output: (vec_a, vec_b, dot) int64, ORDER
+    BY vec_a, vec_b."""
+    import numpy as np
+
+    import ray
+
+    qds, cents = _kmeans_fp_centroids(sf_dir, k, iters, scale)
+    cref = ray.put(cents)
+
+    def label(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        qm = np.stack([np.asarray(v, dtype=np.int64) for v in t["q"].to_pylist()])
+        d2 = ((qm[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        lab = np.argmin(d2, axis=1)
+        return t.append_column("bucket", pa.array(lab.astype(np.int64), pa.int64()))
+
+    def pairs_of_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        qm = np.stack([np.asarray(v, dtype=np.int64) for v in g["q"]]) - 2 * scale
+        order = np.argsort(ids, kind="mergesort")
+        ids, qm = ids[order], qm[order]
+        dot = qm @ qm.T
+        nrm = np.diag(dot)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        d = dot[ia, ib]
+        ok = (d > 0) & (d * d * t_den >= t_num * nrm[ia] * nrm[ib])
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(ids[ia[ok]], dtype="int64"),
+                "vec_b": pd.Series(ids[ib[ok]], dtype="int64"),
+                "dot": pd.Series(d[ok], dtype="int64"),
+            }
+        )
+
+    out = (
+        qds.map_batches(label, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_of_cluster, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        out = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "dot": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def semantic_dedup_fixedpoint_sql(
+    k: int = 10,
+    iters: int = 5,
+    scale: int = 1024,
+    t_num: int = 1600,
+    t_den: int = 10000,
+) -> str:
+    """Exact twin: the shared k-means CTE chain for labels, unshifted
+    dot/norm sums per pair, HUGEINT cross-multiplied cosine test."""
+    return (
+        _kmeans_fp_cte(k, iters, scale)
+        + f""",
+qs AS (
+    SELECT vec_id, dim, qv - {2 * scale} AS v FROM q
+),
+prs AS (
+    SELECT la.vec_id AS vec_a, lb.vec_id AS vec_b
+    FROM labf la JOIN labf lb
+      ON la.bucket = lb.bucket AND la.vec_id < lb.vec_id
+),
+dots AS (
+    SELECT p.vec_a, p.vec_b,
+           CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+    FROM prs p
+    JOIN qs a ON a.vec_id = p.vec_a
+    JOIN qs b ON b.vec_id = p.vec_b AND b.dim = a.dim
+    GROUP BY 1, 2
+),
+nrm AS (
+    SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM qs GROUP BY 1
+)
+SELECT d.vec_a, d.vec_b, d.dot
+FROM dots d
+JOIN nrm na ON na.vec_id = d.vec_a
+JOIN nrm nb ON nb.vec_id = d.vec_b
+WHERE d.dot > 0
+  AND CAST(d.dot AS HUGEINT) * d.dot * {t_den}
+      >= CAST({t_num} AS HUGEINT) * na.n2 * nb.n2
+ORDER BY d.vec_a, d.vec_b
+    """
+    )

@@ -441,3 +441,44 @@ def test_pca_power_fixedpoint_matches_float_eigenvector(ray_session):
     # Rayleigh quotient agrees with the true top eigenvalue to <0.1%
     lam = mine.loc[mine.dim == -1, "component"].iloc[0] / 1e6
     assert abs(lam - w[-1]) / w[-1] < 1e-3
+
+
+# ------------------------------------------------- fixed-point SemDeDup
+
+
+def test_semantic_dedup_fixedpoint_oracle(ray_session):
+    import duckdb
+
+    from pdfrust_ray.stages.similarity import (
+        semantic_dedup_fixedpoint,
+        semantic_dedup_fixedpoint_sql,
+    )
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    mine = semantic_dedup_fixedpoint(SF)
+    assert len(mine) > 0  # non-vacuous at the fixture threshold
+    assert (mine.vec_a < mine.vec_b).all()
+    _assert_oracle(c, mine, semantic_dedup_fixedpoint_sql())
+
+
+def test_semantic_dedup_fixedpoint_pairs_verify_cosine(ray_session):
+    # every reported pair really is >= the cosine threshold (checked
+    # in float against the raw embeddings), and pairs share a cluster
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfrust_ray.stages.similarity import semantic_dedup_fixedpoint
+
+    mine = semantic_dedup_fixedpoint(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    emb = {i: np.asarray(v, float) for i, v in zip(ids, t["embedding"].to_pylist())}
+    for a, b in zip(mine.vec_a, mine.vec_b):
+        va, vb = emb[int(a)], emb[int(b)]
+        cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        # quantization slack: the integer test ran at scale 1024
+        assert cos >= 0.4 - 0.01
