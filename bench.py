@@ -267,6 +267,12 @@ def main() -> dict:
     timed("unimax_allocation", lambda: llm.unimax_allocation(SF_DIR))
     timed("perplexity_buckets", lambda: qual.perplexity_buckets(SF_DIR))
     timed("soft_dedup_reweight", lambda: dedup.soft_dedup_reweight(SF_DIR))
+    timed("kmeans_fixedpoint", lambda: similarity.kmeans_fixedpoint(SF_DIR))
+    timed("pca_power_fixedpoint", lambda: similarity.pca_power_fixedpoint(SF_DIR))
+    timed(
+        "semantic_dedup_fixedpoint",
+        lambda: similarity.semantic_dedup_fixedpoint(SF_DIR),
+    )
 
     result = {
         "metric": "extract_pipeline_wall",
