@@ -576,6 +576,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return streaming_heavy_hitters(sf_dir)
 
+    def _q_heavy_hitters_det(sf_dir: str):
+        from pdfrust_ray.stages.streaming import heavy_hitters_det
+
+        return heavy_hitters_det(sf_dir)
+
     def _q_streaming_sessionize(sf_dir: str):
         from pdfrust_ray.stages.streaming import streaming_sessionize
 
@@ -888,6 +893,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_power_fixedpoint": lambda sf: similarity.pca_power_fixedpoint(sf),
         # integer SemDeDup: clusters AND cosine test exactly oracled
         "semantic_dedup_fixedpoint": lambda sf: similarity.semantic_dedup_fixedpoint(sf),
+        # deterministic blocked Misra-Gries heavy hitters (exact twin)
+        "heavy_hitters_det": _q_heavy_hitters_det,
         # behavioral event-type trigram mining (what follows what)
         "user_event_trigrams": rel.user_event_trigrams,
         # gaps-and-islands interval-union coverage per user
@@ -1817,13 +1824,15 @@ NO_ORACLE_JUSTIFICATIONS: dict = {
     "pdf_object_census": "binary-codec — parses PDF object streams",
     "quantile_sketch": "approximation — partials depend on Ray block boundaries, invisible to SQL; rank-error-bound pytest; the det-partitioned sibling quantile_sketch_det carries an exact recursive-CTE twin",
     "semantic_dedup": "float-iterative — consumes kmeans_embeddings centroids; the fixed-point sibling semantic_dedup_fixedpoint carries an exact recursive-CTE twin end-to-end",
-    "streaming_heavy_hitters": "sequential-state — SpaceSaving replay over stream order",
+    "streaming_heavy_hitters": "sequential-state — SpaceSaving replay whose per-bucket feed order inherits Ray's ts-sort tie order; the deterministic sibling heavy_hitters_det carries an exact recursive-CTE twin",
     "type_alias_sampling_table": "engine-artifact — audits the engine's alias tables",
     "video_scene_cuts": "binary-codec — frame-delta energy over packed video bytes",
 }
 
 
 def oracle_sql() -> dict[str, str]:
+    from pdfrust_ray.stages.streaming import heavy_hitters_det_sql as _hh_det_sql
+
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import datasetops as dso
     from pdfrust_ray.pipelines import graph
@@ -2150,6 +2159,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_fixedpoint": similarity_mod.kmeans_fixedpoint_sql(),
         "pca_power_fixedpoint": similarity_mod.pca_power_fixedpoint_sql(),
         "semantic_dedup_fixedpoint": similarity_mod.semantic_dedup_fixedpoint_sql(),
+        "heavy_hitters_det": _hh_det_sql(),
         "bwt_compressibility": textops.bwt_compressibility_sql(),
         "belady_opt_cache_audit": rel.belady_opt_cache_audit_sql(),
         "user_event_trigrams": rel.user_event_trigrams_sql(),

@@ -275,3 +275,248 @@ def streaming_heavy_hitters(
     for c in ("est_count", "max_overcount", "guaranteed_min"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def heavy_hitters_det(
+    sf_dir: str, capacity: int = 4, block_width: int = 64
+) -> pd.DataFrame:
+    """DETERMINISTIC-PARTITION heavy hitters — the quantile_sketch_det
+    move applied to the last sequential-state family: blocked
+    Misra-Gries summaries over fixed (ts, event_id)-rank blocks,
+    combined by a deterministic pairwise merge tree. SpaceSaving's
+    actor replay (streaming_heavy_hitters) is justifiably rows-only —
+    its per-bucket feed order depends on Ray's ts-sort tie order; this
+    sibling pins EVERY step to the total (ts, event_id) order, so an
+    exact recursive-CTE twin replays it bit-for-bit.
+
+    Spec (classic MG + mergeable-summaries merge, Agarwal et al. 2012):
+
+      block b = global_rank // block_width; within a block, per item:
+        counter hit -> +1; room (< capacity keys) -> insert 1;
+        else decrement ALL counters by 1 and drop zeros;
+      merge(a, b): sum counters over the key union; if more than
+        `capacity` keys remain, subtract the (capacity+1)-th largest
+        value and drop non-positives (at most `capacity` survive);
+      tree: round m pairs block 2i with 2i+1 (odd block passes
+        through) until one summary remains.
+
+    The survivors' counters are guaranteed LOWER bounds on true
+    counts, and any type with true count > n/(capacity+1) survives —
+    both pinned against exact counts in pytest.
+
+    Scale shape: global ranks via the bounded hour-bucket offset fold
+    (counts per hour -> driver prefix -> broadcast), block summaries
+    via ONE block-keyed groupby (each group holds block_width rows),
+    and the O(B * capacity) summary rows tree-merge on the driver —
+    the corpus is never collected.
+
+    Output: (event_type, mg_count) ORDER BY mg_count DESC, type."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tsu = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        hour = pc.divide(tsu, 3_600_000_000)
+        return pa.table(
+            {
+                "hour": hour,
+                "tsu": tsu,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    per_hour = (
+        prepped.groupby("hour")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    offs = per_hour["n"].cumsum().shift(1, fill_value=0)
+    off_of = dict(zip(per_hour["hour"].astype(int), offs.astype(int)))
+    oref = ray.put(off_of)
+
+    def ranks_of_hour(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[int(g["hour"].iloc[0])]
+        g = g.sort_values(["tsu", "event_id"], kind="mergesort").reset_index(drop=True)
+        pos = off + np.arange(len(g))
+        return pd.DataFrame(
+            {
+                "block": pos // block_width,
+                "pos": pos,
+                "event_type": g["event_type"],
+            }
+        )
+
+    def mg_of_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pos")
+        c: dict = {}
+        for k in g["event_type"]:
+            if k in c:
+                c[k] += 1
+            elif len(c) < capacity:
+                c[k] = 1
+            else:
+                c = {k2: v - 1 for k2, v in c.items() if v - 1 > 0}
+        return pd.DataFrame(
+            {
+                "block": np.int64(g["block"].iloc[0]),
+                "key": list(c.keys()),
+                "val": pd.Series(list(c.values()), dtype="int64"),
+            }
+        )
+
+    summaries = (
+        prepped.groupby("hour")
+        .map_groups(ranks_of_hour, batch_format="pandas")
+        .groupby("block")
+        .map_groups(mg_of_block, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # deterministic pairwise merge tree on the bounded summary rows
+    state: dict[int, dict[str, int]] = {}
+    for r in summaries.itertuples(index=False):
+        state.setdefault(int(r.block), {})[r.key] = int(r.val)
+
+    def merge(a: dict, b: dict) -> dict:
+        m = dict(a)
+        for k, v in b.items():
+            m[k] = m.get(k, 0) + v
+        if len(m) > capacity:
+            s = sorted(m.values(), reverse=True)[capacity]
+            m = {k: v - s for k, v in m.items() if v - s > 0}
+        return m
+
+    while len(state) > 1:
+        nxt: dict[int, dict[str, int]] = {}
+        for blk in sorted(state):
+            tgt = blk // 2
+            nxt[tgt] = merge(nxt[tgt], state[blk]) if tgt in nxt else dict(state[blk])
+        state = nxt
+
+    final = state.popitem()[1] if state else {}
+    out = pd.DataFrame(
+        sorted(final.items(), key=lambda kv: (-kv[1], kv[0])),
+        columns=["event_type", "mg_count"],
+    )
+    if not len(out):
+        out = pd.DataFrame(
+            {"event_type": pd.Series([], dtype="object"),
+             "mg_count": pd.Series([], dtype="int64")}
+        )
+    out["mg_count"] = out["mg_count"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def heavy_hitters_det_sql(capacity: int = 4, block_width: int = 64) -> str:
+    """Exact twin of heavy_hitters_det: one recursive CTE whose rounds
+    first replay each block's Misra-Gries stream one item per round
+    (ALL blocks advance simultaneously), then run the pairwise merge
+    tree one level per round (block -> block // 2, sum counters,
+    subtract the (capacity+1)-th largest, keep positives)."""
+    merge_rounds = 40  # >> log2(any fixture block count); inert extras
+    return f"""
+WITH RECURSIVE items AS MATERIALIZED (
+    SELECT (row_number() OVER (ORDER BY ts, event_id) - 1)
+               // {block_width} AS block,
+           (row_number() OVER (ORDER BY ts, event_id) - 1)
+               % {block_width} AS local_pos,
+           event_type AS key
+    FROM events
+),
+nblocks AS (SELECT MAX(block) + 1 AS b FROM items),
+mg(r, block, key, val) AS (
+    -- round 0 processes each block's item 0: always an insert
+    SELECT 0, block, key, CAST(1 AS BIGINT)
+    FROM items WHERE local_pos = 0
+    UNION ALL
+    (
+      WITH prev AS (SELECT * FROM mg),
+      rr AS (SELECT MAX(r) AS r FROM prev),
+      -- ---------------- stream phase: rounds 1 .. block_width-1
+      it AS (
+          SELECT i.block, i.key FROM items i, rr
+          WHERE rr.r + 1 < {block_width} AND i.local_pos = rr.r + 1
+      ),
+      cnt AS (SELECT block, COUNT(*) AS n FROM prev GROUP BY 1),
+      hit AS (
+          SELECT p.block FROM prev p JOIN it
+            ON it.block = p.block AND it.key = p.key
+      ),
+      in_stream AS (SELECT rr.r + 1 < {block_width} AS go FROM rr),
+      stream_next AS (
+          -- blocks without an item this round: carry unchanged
+          SELECT p.block, p.key, p.val FROM prev p, in_stream
+          WHERE in_stream.go AND p.block NOT IN (SELECT block FROM it)
+          UNION ALL
+          -- hit: +1 on the matched key, carry the rest
+          SELECT p.block, p.key,
+                 p.val + CASE WHEN it.key = p.key THEN 1 ELSE 0 END
+          FROM prev p JOIN it ON it.block = p.block
+          WHERE p.block IN (SELECT block FROM hit)
+          UNION ALL
+          -- miss with room: carry all, insert the new key at 1
+          SELECT p.block, p.key, p.val
+          FROM prev p JOIN cnt ON cnt.block = p.block
+          WHERE p.block IN (SELECT block FROM it)
+            AND p.block NOT IN (SELECT block FROM hit)
+            AND cnt.n < {capacity}
+          UNION ALL
+          SELECT it.block, it.key, CAST(1 AS BIGINT)
+          FROM it LEFT JOIN cnt ON cnt.block = it.block
+          WHERE it.block NOT IN (SELECT block FROM hit)
+            AND COALESCE(cnt.n, 0) < {capacity}
+          UNION ALL
+          -- miss with a full summary: decrement all, drop zeros
+          SELECT p.block, p.key, p.val - 1
+          FROM prev p JOIN cnt ON cnt.block = p.block
+          WHERE p.block IN (SELECT block FROM it)
+            AND p.block NOT IN (SELECT block FROM hit)
+            AND cnt.n >= {capacity} AND p.val - 1 > 0
+      ),
+      -- ---------------- merge phase: one tree level per round
+      can_merge AS (
+          SELECT (SELECT COUNT(DISTINCT block) FROM prev) > 1 AS go
+      ),
+      summed AS (
+          SELECT p.block // 2 AS block, p.key, SUM(p.val) AS val
+          FROM prev p, rr, can_merge
+          WHERE rr.r + 1 >= {block_width} AND can_merge.go
+          GROUP BY 1, 2
+      ),
+      thr AS (
+          SELECT block,
+                 COALESCE(MAX(CASE WHEN rn = {capacity} + 1 THEN val END), 0) AS s
+          FROM (
+              SELECT block, val,
+                     row_number() OVER (PARTITION BY block
+                                        ORDER BY val DESC, key) AS rn
+              FROM summed
+          ) GROUP BY 1
+      ),
+      merge_next AS (
+          SELECT s2.block, s2.key, CAST(s2.val - thr.s AS BIGINT) AS val
+          FROM summed s2 JOIN thr ON thr.block = s2.block
+          WHERE s2.val - thr.s > 0
+      )
+      SELECT rr.r + 1, x.block, x.key, x.val
+      FROM rr, (
+          SELECT * FROM stream_next
+          UNION ALL
+          SELECT * FROM merge_next
+      ) x
+      WHERE rr.r + 1 < {block_width} + {merge_rounds}
+        AND (rr.r + 1 < {block_width}
+             OR EXISTS (SELECT 1 FROM merge_next))
+    )
+)
+SELECT key AS event_type, CAST(val AS BIGINT) AS mg_count
+FROM mg WHERE r = (SELECT MAX(r) FROM mg)
+ORDER BY val DESC, key
+    """

@@ -482,3 +482,45 @@ def test_semantic_dedup_fixedpoint_pairs_verify_cosine(ray_session):
         cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
         # quantization slack: the integer test ran at scale 1024
         assert cos >= 0.4 - 0.01
+
+
+# ---------------------------------------------- det heavy hitters (MG tree)
+
+
+def test_heavy_hitters_det_oracle(ray_session):
+    import duckdb
+
+    from pdfrust_ray.stages.streaming import heavy_hitters_det, heavy_hitters_det_sql
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    mine = heavy_hitters_det(SF)
+    assert 0 < len(mine) <= 4
+    _assert_oracle(c, mine, heavy_hitters_det_sql())
+
+
+def test_heavy_hitters_det_mg_guarantees(ray_session):
+    # mergeable-summary guarantees vs exact counts: survivors'
+    # counters are lower bounds, and any type with true count
+    # > n/(capacity+1) must be present
+    import duckdb
+
+    from pdfrust_ray.stages.streaming import heavy_hitters_det
+
+    c = duckdb.connect()
+    exact = dict(
+        c.execute(
+            f"SELECT event_type, COUNT(*) FROM "
+            f"read_parquet('{SF}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    n = sum(exact.values())
+    mine = heavy_hitters_det(SF, capacity=4)
+    got = dict(zip(mine.event_type, mine.mg_count))
+    for t, cnt in got.items():
+        assert cnt <= exact[t]  # lower bound
+    for t, true in exact.items():
+        if true > n // 5:  # n/(capacity+1)
+            assert t in got
