@@ -274,6 +274,10 @@ def main() -> dict:
         lambda: similarity.semantic_dedup_fixedpoint(SF_DIR),
     )
 
+    from pdfrust_ray.stages.streaming import heavy_hitters_det
+
+    timed("heavy_hitters_det", lambda: heavy_hitters_det(SF_DIR))
+
     result = {
         "metric": "extract_pipeline_wall",
         "value": round(headline, 3),
