@@ -2847,6 +2847,18 @@ def facility_location_selection_ivf(
     )
 
 
+def _list_matrix(col: "pa.ChunkedArray | pa.Array") -> "np.ndarray":
+    """Zero-copy [n, D] int64 matrix from a fixed-length list<int64>
+    column (flatten instead of per-row to_pylist stacking)."""
+    import numpy as np
+
+    if hasattr(col, "combine_chunks"):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, len(flat) // n)
+
+
 def _kmeans_fp_centroids(sf_dir: str, k: int, iters: int, scale: int):
     """Shared core of the fixed-point k-means family: quantized vector
     Dataset + converged int64 centroid matrix (see kmeans_fixedpoint
@@ -2886,7 +2898,7 @@ def _kmeans_fp_centroids(sf_dir: str, k: int, iters: int, scale: int):
 
         def partials(t: pa.Table, *, cref=cref) -> pa.Table:
             c = ray.get(cref)
-            qm = np.stack([np.asarray(v, dtype=np.int64) for v in t["q"].to_pylist()])
+            qm = _list_matrix(t["q"])
             # [n, k] squared distances; int64 safe: (2*scale)^2 * D ~ 2.7e8
             d2 = ((qm[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             lab = np.argmin(d2, axis=1)  # first min = smallest bucket
@@ -2952,7 +2964,7 @@ def kmeans_fixedpoint(
 
     def final_partial(t: pa.Table, *, cref=cref) -> pa.Table:
         c = ray.get(cref)
-        qm = np.stack([np.asarray(v, dtype=np.int64) for v in t["q"].to_pylist()])
+        qm = _list_matrix(t["q"])
         d2 = ((qm[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         lab = np.argmin(d2, axis=1)
         best = d2[np.arange(len(lab)), lab]
@@ -3265,7 +3277,7 @@ def semantic_dedup_fixedpoint(
 
     def label(t: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        qm = np.stack([np.asarray(v, dtype=np.int64) for v in t["q"].to_pylist()])
+        qm = _list_matrix(t["q"])
         d2 = ((qm[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         lab = np.argmin(d2, axis=1)
         return t.append_column("bucket", pa.array(lab.astype(np.int64), pa.int64()))
