@@ -499,6 +499,15 @@ def _q_conv_prefix_forks(sf_dir: str):
     return conv_prefix_forks(ensure_forks_fixture())
 
 
+def _q_dpo_pairs(sf_dir: str):
+    """DPO preference-pair mining over the planted-forks fixture (fork
+    groups with divergent continuations are the pair source)."""
+    from pdfrust_ray.fixtures.corpus import ensure_forks_fixture
+    from pdfrust_ray.pipelines.conversation import dpo_pairs
+
+    return dpo_pairs(ensure_forks_fixture())
+
+
 def _q_cross_conv_turn_dups(sf_dir: str):
     """Turn-level cross-conversation boilerplate census over the forks
     fixture (shared fork prefixes guarantee >=2-conv duplicates)."""
@@ -895,6 +904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_fixedpoint": lambda sf: similarity.semantic_dedup_fixedpoint(sf),
         # deterministic blocked Misra-Gries heavy hitters (exact twin)
         "heavy_hitters_det": _q_heavy_hitters_det,
+        # DPO preference pairs mined from forked conversations
+        "dpo_pairs": _q_dpo_pairs,
         # behavioral event-type trigram mining (what follows what)
         "user_event_trigrams": rel.user_event_trigrams,
         # gaps-and-islands interval-union coverage per user
@@ -2503,6 +2514,7 @@ def oracle_sql() -> dict[str, str]:
         "custkey_luhn_audit": rel.custkey_luhn_audit_sql(),
         "string_dictionary_audit": rel.string_dictionary_audit_sql(),
         "conv_prefix_forks": cv.conv_prefix_forks_sql(_FORKS_SHARDS),
+        "dpo_pairs": cv.dpo_pairs_sql(_FORKS_SHARDS),
         "doc_ngram_novelty": textops.doc_ngram_novelty_sql(),
         "late_event_audit": dso.late_event_audit_sql(),
         "doc_adler32_audit": textops.doc_adler32_audit_sql(),

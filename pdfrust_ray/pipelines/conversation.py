@@ -3809,3 +3809,173 @@ def assistant_numeric_claim_census_sql(shards_glob: str) -> str:
                CAST(SUM(length(lit)) AS BIGINT) AS total_chars
         FROM m GROUP BY 1 ORDER BY 1
     """
+
+
+def dpo_pairs(corpus_dir: str, k: int = 3) -> pd.DataFrame:
+    """DPO preference-pair mining from forked conversations: branches
+    that share the exact same first-k turns but continue differently
+    are natural (chosen, rejected) candidates — the
+    retry/regeneration structure an agent-transcript corpus offers
+    for free (the fork detection of conv_prefix_forks, turned into
+    training pairs).
+
+    Spec (deterministic, integer): within each fork group (same
+    prefix fingerprint), every unordered pair of conversations whose
+    turn-k continuations DIFFER (distinct turn-k md5) becomes one
+    pair; chosen = the branch with more total continuation characters
+    (sum of per-turn chars over turn_idx >= k — the longer-completion
+    heuristic; ties break to the smaller conv_id). Real corpora swap
+    the length proxy for a reward-model score — the pairing plumbing
+    is the operator.
+
+    Distributed plan: prefix fingerprints and turn-k digests ship as
+    32-byte hashes (the conv_fingerprints discipline — text never
+    crosses an exchange); continuation char-counts fold through one
+    conv-keyed sum; pair generation runs per fingerprint bucket
+    (fork groups are tiny by construction).
+
+    Output: (fingerprint, chosen_conv, rejected_conv, chosen_chars,
+    rejected_chars) ORDER BY fingerprint, chosen_conv,
+    rejected_conv."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "turn_idx", "text"])
+
+    def digest_turns(t: pa.Table) -> pa.Table:
+        td = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "turn_md5": pa.array(td, pa.string()),
+            }
+        )
+        return _with_bucket(out)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        pre = g[g["turn_idx"] < k]
+        agg = pre.groupby("conv_id", sort=False)["turn_md5"].agg(_SEP.join)
+        fps = [hashlib.md5(b.encode("utf-8")).hexdigest() for b in agg]
+        nxt = g[g["turn_idx"] == k].set_index("conv_id")["turn_md5"]
+        return pd.DataFrame(
+            {"fingerprint": fps, "conv_id": agg.index, "next_md5": agg.index.map(nxt)}
+        )
+
+    fps = (
+        ds.filter(expr=f"turn_idx <= {k}")
+        .map_batches(digest_turns, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+    def chars_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    suffix_chars = (
+        ds.filter(expr=f"turn_idx >= {k}")
+        .map_batches(chars_partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("n_chars", alias_name="suffix_chars"))
+        .to_pandas()
+        .set_index("conv_id")["suffix_chars"]
+    )
+
+    members = fps.to_pandas()
+    members["suffix_chars"] = (
+        members["conv_id"].map(suffix_chars).fillna(0).astype("int64")
+    )
+
+    rows = []
+    for fp, g in members.groupby("fingerprint", sort=True):
+        if g["next_md5"].nunique(dropna=True) < 2:
+            continue
+        recs = sorted(
+            g.itertuples(index=False), key=lambda r: r.conv_id
+        )
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, b = recs[i], recs[j]
+                if (
+                    a.next_md5 is None
+                    or b.next_md5 is None
+                    or (isinstance(a.next_md5, float))
+                    or (isinstance(b.next_md5, float))
+                    or a.next_md5 == b.next_md5
+                ):
+                    continue  # same continuation or truncated branch
+                # chosen = more continuation chars; ties to the smaller
+                # conv_id (a precedes b in conv_id order)
+                ch, rj = (a, b) if a.suffix_chars >= b.suffix_chars else (b, a)
+                rows.append(
+                    (fp, ch.conv_id, rj.conv_id, ch.suffix_chars, rj.suffix_chars)
+                )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "fingerprint",
+            "chosen_conv",
+            "rejected_conv",
+            "chosen_chars",
+            "rejected_chars",
+        ],
+    )
+    if not len(out):
+        out = pd.DataFrame(
+            {
+                "fingerprint": pd.Series([], dtype="object"),
+                "chosen_conv": pd.Series([], dtype="object"),
+                "rejected_conv": pd.Series([], dtype="object"),
+                "chosen_chars": pd.Series([], dtype="int64"),
+                "rejected_chars": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("chosen_chars", "rejected_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["fingerprint", "chosen_conv", "rejected_conv"]
+    ).reset_index(drop=True)
+
+
+def dpo_pairs_sql(shards_glob: str, k: int = 3) -> str:
+    """Exact twin: fingerprint/branch digests, suffix char sums and
+    the (chars desc, conv_id asc) chosen rule in plain SQL."""
+    return f"""
+        WITH pre AS (
+            SELECT conv_id,
+                   md5(string_agg(md5(text), chr(31) ORDER BY turn_idx)
+                       FILTER (WHERE turn_idx < {k})) AS fingerprint,
+                   MAX(CASE WHEN turn_idx = {k} THEN md5(text) END) AS next_md5
+            FROM read_parquet('{shards_glob}')
+            WHERE turn_idx <= {k}
+            GROUP BY conv_id
+        ), suf AS (
+            SELECT conv_id, CAST(SUM(length(text)) AS BIGINT) AS suffix_chars
+            FROM read_parquet('{shards_glob}')
+            WHERE turn_idx >= {k}
+            GROUP BY conv_id
+        ), m AS (
+            SELECT p.fingerprint, p.conv_id, p.next_md5,
+                   COALESCE(s.suffix_chars, 0) AS suffix_chars
+            FROM pre p LEFT JOIN suf s USING (conv_id)
+        )
+        SELECT a.fingerprint,
+               CASE WHEN a.suffix_chars >= b.suffix_chars
+                    THEN a.conv_id ELSE b.conv_id END AS chosen_conv,
+               CASE WHEN a.suffix_chars >= b.suffix_chars
+                    THEN b.conv_id ELSE a.conv_id END AS rejected_conv,
+               GREATEST(a.suffix_chars, b.suffix_chars) AS chosen_chars,
+               LEAST(a.suffix_chars, b.suffix_chars) AS rejected_chars
+        FROM m a JOIN m b
+          ON a.fingerprint = b.fingerprint AND a.conv_id < b.conv_id
+         AND a.next_md5 IS NOT NULL AND b.next_md5 IS NOT NULL
+         AND a.next_md5 <> b.next_md5
+        ORDER BY a.fingerprint, chosen_conv, rejected_conv
+    """

@@ -524,3 +524,59 @@ def test_heavy_hitters_det_mg_guarantees(ray_session):
     for t, true in exact.items():
         if true > n // 5:  # n/(capacity+1)
             assert t in got
+
+
+# --------------------------------------------------------------- DPO pairs
+
+
+def test_dpo_pairs_oracle(ray_session):
+    import duckdb
+
+    from pdfrust_ray.fixtures.corpus import ensure_forks_fixture
+    from pdfrust_ray.pipelines.conversation import dpo_pairs, dpo_pairs_sql
+
+    d = ensure_forks_fixture()
+    mine = dpo_pairs(d)
+    assert len(mine) > 0  # the planted forks yield pairs
+    assert (mine.chosen_chars >= mine.rejected_chars).all()
+    assert (mine.chosen_conv != mine.rejected_conv).all()
+    c = duckdb.connect()
+    odf = c.execute(dpo_pairs_sql(f"{d}/shards/*.parquet")).fetchdf()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        mine.reset_index(drop=True), odf.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_dpo_pairs_planted(ray_session, tmp_path):
+    # two conversations share turns 0-2 exactly, diverge at turn 3 with
+    # different lengths; a third unrelated conv produces no pair
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfrust_ray.pipelines.conversation import dpo_pairs
+
+    rows = []
+    for cid, cont in (("cA", "short"), ("cB", "a much longer continuation here")):
+        for i, txt in enumerate(["hello", "hi there", "ok"]):
+            rows.append((cid, i, txt))
+        rows.append((cid, 3, cont))
+    rows += [("cZ", 0, "totally"), ("cZ", 1, "unrelated"), ("cZ", 2, "conv"),
+             ("cZ", 3, "tail")]
+    os.makedirs(tmp_path / "shards", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "text": [r[2] for r in rows],
+            }
+        ),
+        tmp_path / "shards" / "part0.parquet",
+    )
+    out = dpo_pairs(str(tmp_path))
+    assert len(out) == 1
+    assert out.iloc[0].chosen_conv == "cB" and out.iloc[0].rejected_conv == "cA"
