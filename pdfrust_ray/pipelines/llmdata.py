@@ -2413,3 +2413,65 @@ def pretrain_mix_plan_sql(epoch_cap: int = 2) -> str:
         JOIN s3 ON s3.lang = t.lang
         ORDER BY t.lang, t.tile
     """
+
+
+def tokenizer_fertility(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
+    """Per-language tokenizer fertility — characters per BPE token,
+    the standard multilingual-tokenizer equity metric (ByT5 / UniMax
+    discussions): languages a tokenizer serves poorly burn more tokens
+    per character and get silently under-trained at a fixed token
+    budget.
+
+    Composes the corpus-trained BPE encoder (bpe_encode_counts — the
+    distributed count + driver merge-table contract) with one
+    |langs|-bounded (lang, chars) fold; fertility is reported as
+    chars_per_token_milli = sum_chars * 1000 // sum_tokens (truncating
+    int64 division, bit-stable). The SQL twin chains the exact
+    recursive-CTE BPE encode twin, so the metric is value-exact.
+
+    Output: (lang, sum_chars, sum_tokens, chars_per_token_milli)
+    ORDER BY lang."""
+    from ray.data.aggregate import Sum
+
+    enc = bpe_encode_counts(sf_dir, n_merges=n_merges).set_index("doc_id")[
+        "n_bpe_tokens"
+    ]
+    meta = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    # per-doc lang for the token rollup (bounded: the per-doc token
+    # table is already driver-resident by bpe_encode_counts' contract)
+    doc_lang = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+        .to_pandas()
+        .set_index("doc_id")["lang"]
+    )
+    tok = (
+        pd.DataFrame({"lang": doc_lang, "n_bpe_tokens": enc})
+        .groupby("lang", as_index=False)["n_bpe_tokens"]
+        .sum()
+        .rename(columns={"n_bpe_tokens": "sum_tokens"})
+    )
+    out = meta.merge(tok, on="lang")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    out["sum_tokens"] = out["sum_tokens"].astype("int64")
+    out["chars_per_token_milli"] = (
+        out["sum_chars"] * 1000 // out["sum_tokens"]
+    ).astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def tokenizer_fertility_sql(n_merges: int = 50) -> str:
+    return f"""
+        WITH enc AS ({bpe_encode_counts_sql(n_merges)})
+        SELECT d.lang,
+               CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(enc.n_bpe_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(d.n_chars) * 1000 // SUM(enc.n_bpe_tokens) AS BIGINT)
+                   AS chars_per_token_milli
+        FROM documents d JOIN enc ON d.doc_id = enc.doc_id
+        GROUP BY 1 ORDER BY 1
+    """

@@ -580,3 +580,19 @@ def test_dpo_pairs_planted(ray_session, tmp_path):
     out = dpo_pairs(str(tmp_path))
     assert len(out) == 1
     assert out.iloc[0].chosen_conv == "cB" and out.iloc[0].rejected_conv == "cA"
+
+
+# -------------------------------------------------------- tokenizer fertility
+
+
+def test_tokenizer_fertility_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.llmdata import (
+        tokenizer_fertility,
+        tokenizer_fertility_sql,
+    )
+
+    mine = tokenizer_fertility(SF)
+    assert len(mine) == 5  # one row per language
+    # word-soup text: every token spans >1 char, fertility > 1000 milli
+    assert (mine.chars_per_token_milli > 1000).all()
+    _assert_oracle(con, mine, tokenizer_fertility_sql())
