@@ -908,6 +908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dpo_pairs": _q_dpo_pairs,
         # per-language chars-per-BPE-token equity metric
         "tokenizer_fertility": lambda sf: llm.tokenizer_fertility(sf),
+        # the (metric, value) dataset card a curation run publishes
+        "corpus_datasheet": lambda sf: llm.corpus_datasheet(sf),
         # behavioral event-type trigram mining (what follows what)
         "user_event_trigrams": rel.user_event_trigrams,
         # gaps-and-islands interval-union coverage per user
@@ -2518,6 +2520,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_prefix_forks": cv.conv_prefix_forks_sql(_FORKS_SHARDS),
         "dpo_pairs": cv.dpo_pairs_sql(_FORKS_SHARDS),
         "tokenizer_fertility": llm.tokenizer_fertility_sql(),
+        "corpus_datasheet": llm.corpus_datasheet_sql(),
         "doc_ngram_novelty": textops.doc_ngram_novelty_sql(),
         "late_event_audit": dso.late_event_audit_sql(),
         "doc_adler32_audit": textops.doc_adler32_audit_sql(),

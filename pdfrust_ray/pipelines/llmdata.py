@@ -2475,3 +2475,94 @@ def tokenizer_fertility_sql(n_merges: int = 50) -> str:
         FROM documents d JOIN enc ON d.doc_id = enc.doc_id
         GROUP BY 1 ORDER BY 1
     """
+
+
+def corpus_datasheet(sf_dir: str) -> pd.DataFrame:
+    """The dataset card in one table — the (metric, value) summary a
+    curation run publishes next to a release (Datasheets for Datasets,
+    Gebru et al. 2021, the quantitative half): corpus size, token and
+    character volume, language/source diversity, document length
+    extremes, and the near-duplicate footprint.
+
+    All metrics are exact int64 and fold through one distributed
+    documents pass (per-batch partials -> bounded aggregate) plus the
+    verified near-dup component labeling (dedup_clusters). The SQL
+    twin is a union of scalar aggregates over the same expressions,
+    chained with the dedup_clusters recursive CTE — bit-for-bit.
+
+    Output: (metric, value) ORDER BY metric."""
+    from ray.data.aggregate import Max, Sum
+
+    from pdfrust_ray.stages.dedup import dedup_clusters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = [sum(1 for w in txt.split(" ") if w) for txt in t["text"].to_pylist()]
+        return pd.DataFrame(
+            {
+                "n_docs": [len(toks)],
+                "n_tokens": [int(sum(toks))],
+                "n_chars": [int(sum(t["n_chars"].to_pylist()))],
+                "max_doc_tokens": [int(max(toks)) if toks else 0],
+            }
+        )
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_chars", alias_name="n_chars"),
+            Max("max_doc_tokens", alias_name="max_doc_tokens"),
+        )
+    )
+    n_langs = int(ds.select_columns(["lang"]).groupby("lang").count().count())
+    n_sources = int(ds.select_columns(["source"]).groupby("source").count().count())
+    neardup_docs = int(len(dedup_clusters(sf_dir)))
+    n_docs = int(sums["sum(n_docs)"]) if "sum(n_docs)" in sums else int(sums["n_docs"])
+    n_tokens = int(sums.get("n_tokens", 0))
+    metrics = {
+        "max_doc_tokens": int(sums.get("max_doc_tokens", 0)),
+        "mean_doc_tokens_milli": n_tokens * 1000 // max(n_docs, 1),
+        "n_chars": int(sums.get("n_chars", 0)),
+        "n_docs": n_docs,
+        "n_langs": n_langs,
+        "n_sources": n_sources,
+        "n_tokens": n_tokens,
+        "neardup_docs": neardup_docs,
+    }
+    out = pd.DataFrame(
+        {"metric": list(metrics.keys()), "value": pd.Series(list(metrics.values()), dtype="int64")}
+    )
+    return out.sort_values("metric").reset_index(drop=True)
+
+
+def corpus_datasheet_sql() -> str:
+    from pdfrust_ray.stages.dedup import dedup_clusters_sql
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, source, n_chars,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tok
+            FROM documents
+        ), labels AS ({dedup_clusters_sql()})
+        SELECT 'max_doc_tokens' AS metric, CAST(MAX(n_tok) AS BIGINT) AS value FROM toks
+        UNION ALL
+        SELECT 'mean_doc_tokens_milli',
+               CAST(SUM(n_tok) * 1000 // GREATEST(COUNT(*), 1) AS BIGINT) FROM toks
+        UNION ALL
+        SELECT 'n_chars', CAST(SUM(n_chars) AS BIGINT) FROM toks
+        UNION ALL
+        SELECT 'n_docs', CAST(COUNT(*) AS BIGINT) FROM toks
+        UNION ALL
+        SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM toks
+        UNION ALL
+        SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM toks
+        UNION ALL
+        SELECT 'n_tokens', CAST(SUM(n_tok) AS BIGINT) FROM toks
+        UNION ALL
+        SELECT 'neardup_docs', CAST(COUNT(*) AS BIGINT) FROM labels
+        ORDER BY metric
+    """

@@ -596,3 +596,17 @@ def test_tokenizer_fertility_oracle(ray_session, con):
     # word-soup text: every token spans >1 char, fertility > 1000 milli
     assert (mine.chars_per_token_milli > 1000).all()
     _assert_oracle(con, mine, tokenizer_fertility_sql())
+
+
+# ----------------------------------------------------------- corpus datasheet
+
+
+def test_corpus_datasheet_oracle(ray_session, con):
+    from pdfrust_ray.pipelines.llmdata import corpus_datasheet, corpus_datasheet_sql
+
+    mine = corpus_datasheet(SF)
+    vals = dict(zip(mine.metric, mine.value))
+    assert vals["n_docs"] == 500 and vals["n_langs"] == 5
+    assert vals["neardup_docs"] > 0
+    assert vals["n_tokens"] * 1000 // vals["n_docs"] == vals["mean_doc_tokens_milli"]
+    _assert_oracle(con, mine, corpus_datasheet_sql())
