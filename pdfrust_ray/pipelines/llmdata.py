@@ -2457,7 +2457,12 @@ def tokenizer_fertility(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
     )
     out = meta.merge(tok, on="lang")
     out["sum_chars"] = out["sum_chars"].astype("int64")
-    out["sum_tokens"] = out["sum_tokens"].astype("int64")
+    # Zero-token docs (e.g. whitespace-only) contribute chars but no
+    # tokens; a lang made ONLY of such docs has sum_tokens == 0 and no
+    # defined fertility — drop it on both sides (the twin mirrors with
+    # HAVING) so neither side divides by zero.
+    out["sum_tokens"] = out["sum_tokens"].fillna(0).astype("int64")
+    out = out[out["sum_tokens"] > 0].copy()
     out["chars_per_token_milli"] = (
         out["sum_chars"] * 1000 // out["sum_tokens"]
     ).astype("int64")
@@ -2469,11 +2474,14 @@ def tokenizer_fertility_sql(n_merges: int = 50) -> str:
         WITH enc AS ({bpe_encode_counts_sql(n_merges)})
         SELECT d.lang,
                CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
-               CAST(SUM(enc.n_bpe_tokens) AS BIGINT) AS sum_tokens,
-               CAST(SUM(d.n_chars) * 1000 // SUM(enc.n_bpe_tokens) AS BIGINT)
+               CAST(SUM(COALESCE(enc.n_bpe_tokens, 0)) AS BIGINT) AS sum_tokens,
+               CAST(SUM(d.n_chars) * 1000
+                    // SUM(COALESCE(enc.n_bpe_tokens, 0)) AS BIGINT)
                    AS chars_per_token_milli
-        FROM documents d JOIN enc ON d.doc_id = enc.doc_id
-        GROUP BY 1 ORDER BY 1
+        FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+        GROUP BY 1
+        HAVING SUM(COALESCE(enc.n_bpe_tokens, 0)) > 0
+        ORDER BY 1
     """
 
 

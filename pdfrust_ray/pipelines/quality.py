@@ -1284,12 +1284,16 @@ def nb_source_classifier_sql(n_buckets: int = 1024) -> str:
         ), toks_per AS (
             SELECT source, CAST(SUM(c) AS BIGINT) AS nt FROM cnt GROUP BY 1
         ), q AS (
+            -- LEFT JOIN + COALESCE(nt,0): a source whose docs are all
+            -- zero-token has no tok rows, but the engine still keeps
+            -- it as a candidate (doc-count prior + fully-smoothed
+            -- logits) — the twin must too.
             SELECT cl.source, g.bucket,
                    CAST(FLOOR(ln((COALESCE(cnt.c, 0) + 0.5)
-                                 / (tp.nt + 0.5 * {n_buckets}))
+                                 / (COALESCE(tp.nt, 0) + 0.5 * {n_buckets}))
                               * 1000000.0 + 0.5) AS BIGINT) AS qv
             FROM classes cl
-            JOIN toks_per tp ON cl.source = tp.source
+            LEFT JOIN toks_per tp ON cl.source = tp.source
             CROSS JOIN (SELECT UNNEST(range({n_buckets})) AS bucket) g
             LEFT JOIN cnt ON cnt.source = cl.source AND cnt.bucket = g.bucket
         ), prior AS (

@@ -3291,7 +3291,16 @@ def semantic_dedup_fixedpoint(
         nrm = np.diag(dot)
         ia, ib = np.triu_indices(len(ids), k=1)
         d = dot[ia, ib]
-        ok = (d > 0) & (d * d * t_den >= t_num * nrm[ia] * nrm[ib])
+        # The cross-multiplied test squares the dot: for non-unit-norm
+        # embeddings d^2 * t_den can exceed 2^63 even when every dot /
+        # norm fits int64 comfortably. Evaluate the predicate with
+        # Python ints (object dtype, arbitrary precision) so it can
+        # never silently wrap — matching the HUGEINT twin exactly.
+        d_o = d.astype(object)
+        cross = (d_o * d_o * t_den) >= (
+            nrm[ia].astype(object) * nrm[ib].astype(object) * t_num
+        )
+        ok = (d > 0) & cross.astype(bool)
         return pd.DataFrame(
             {
                 "vec_a": pd.Series(ids[ia[ok]], dtype="int64"),

@@ -9,7 +9,7 @@ serialization — float64 bit-equality implies hash equality, mirroring
 the driver's compare contract.
 
 Usage:
-  python tools/contract_check.py [--slice I N] [--out PATH]
+  python tools/contract_check.py [--slice I N] [--out PATH] [--only a,b,c]
 
 With --slice I N only names[i::N] run (one Ray session per process);
 the parent merge is a plain JSON fold — see the committed artifact
@@ -71,6 +71,7 @@ def _to_pandas(res):
 def main() -> None:
     out_path = "/tmp/contract_sweep.json"
     sl_i, sl_n = 0, 1
+    only: list | None = None
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
@@ -78,6 +79,8 @@ def main() -> None:
             sl_i, sl_n = int(args.pop(0)), int(args.pop(0))
         elif a == "--out":
             out_path = args.pop(0)
+        elif a == "--only":
+            only = args.pop(0).split(",")
 
     import duckdb
 
@@ -106,6 +109,10 @@ def main() -> None:
         )
 
     names = sorted(qs)[sl_i::sl_n]
+    if only is not None:
+        missing = [n for n in only if n not in qs]
+        assert not missing, f"--only names not in queries(): {missing}"
+        names = [n for n in names if n in only]
     results: dict = {}
     t_all = time.time()
     for name in names:
