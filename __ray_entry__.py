@@ -1405,6 +1405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_lis_lengths": rel.user_lis_lengths,
         # pairwise SimHash hamming-distance landscape (histogram-sized exchange)
         "simhash_hamming_histogram": lambda sf: dedup.simhash_hamming_histogram(sf),
+        # banded scale sibling: LSH-bucketed landscape, bins < n_bands exact
+        # by pigeonhole, no driver-side signature materialization
+        "simhash_hamming_histogram_banded": lambda sf: dedup.simhash_hamming_histogram_banded(sf),
         # deterministic greedy-bandit policy replay (exact integer argmax)
         "bandit_greedy_replay": rel.bandit_greedy_replay,
         # exact weighted isotonic regression via the minimax rational form
@@ -2428,6 +2431,7 @@ def oracle_sql() -> dict[str, str]:
         "part_weighted_sssp": graph.part_weighted_sssp_sql(),
         "user_lis_lengths": rel.user_lis_lengths_sql(),
         "simhash_hamming_histogram": dedup_mod.simhash_hamming_histogram_sql(),
+        "simhash_hamming_histogram_banded": dedup_mod.simhash_hamming_histogram_banded_sql(),
         "bandit_greedy_replay": rel.bandit_greedy_replay_sql(),
         "isotonic_rate_curve": rel.isotonic_rate_curve_sql(),
         "events_pettitt_change": rel.events_pettitt_change_sql(),

@@ -2135,6 +2135,129 @@ def simhash_hamming_histogram_sql() -> str:
     """
 
 
+def simhash_hamming_histogram_banded(sf_dir: str, n_bands: int = 4) -> pd.DataFrame:
+    """SCALE SIBLING of simhash_hamming_histogram — the banded
+    (LSH-bucketed) Hamming landscape.  The exact variant broadcasts
+    the whole signature table to every task and scans all N^2/2 pairs;
+    this one never materializes anything on the driver: each doc's
+    64-bit SimHash is split into n_bands contiguous bit-slices, each
+    doc emits n_bands (band, key) rows into ONE hash-bucket groupby,
+    and each bucket histograms only its own co-located pairs.  A pair
+    sharing several bands is counted once, in its FIRST shared band —
+    checkable locally from the two sigs, so the dedup needs no
+    pair-sized exchange; partials are 65-bin histograms merged by Sum.
+
+    The guarantee that makes the truncation principled (pigeonhole):
+    any pair with hamming < n_bands must agree on at least one of the
+    n_bands slices, so bins 0 .. n_bands-1 are EXACT — and the audit's
+    purpose is exactly that near-dup region (where to put the dedup
+    threshold).  Bins >= n_bands count only banded candidates (a lower
+    bound on the exact histogram; the agreement pytest pins both
+    properties vs the exact variant).
+
+    Scale shape at 100 TB: the exchange is n_bands rows/doc through a
+    single groupby (signatures move, never documents); per-bucket work
+    is proportional to the LSH candidate mass — the same collision
+    structure the MinHash dedup itself pays — and the driver sees only
+    the 65-bin result.  Hot buckets (mass duplication) cost m^2 inside
+    one group, which IS the audit's signal; anchor rows stream through
+    a vectorized XOR/popcount per anchor, never an m x m matrix.
+
+    SQL-exact at the operating setting (not just a degenerate): the
+    twin rebuilds the same band slices from the md5 signature CTE and
+    keeps pairs agreeing on ANY band — set-identical to first-band
+    counting.  Output: (hamming, n_pairs) int64, zero bins dropped,
+    ORDER BY hamming."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.minhash import simhash64
+
+    assert 64 % n_bands == 0 and (64 // n_bands) <= 32, n_bands
+    w = 64 // n_bands
+    mask = np.uint64((1 << w) - 1)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = np.array(
+            [simhash64(x) for x in t["text"].to_pylist()], dtype=np.uint64
+        )
+        buckets, out_ids, out_sigs = [], [], []
+        for j in range(n_bands):
+            key = (sigs >> np.uint64(j * w)) & mask
+            buckets.append((np.int64(j) << np.int64(w)) | key.astype(np.int64))
+            out_ids.append(ids)
+            out_sigs.append(sigs.view(np.int64))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(buckets)),
+                "doc_id": pa.array(np.concatenate(out_ids)),
+                "sig": pa.array(np.concatenate(out_sigs)),
+            }
+        )
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        m = len(g)
+        if m < 2:
+            return pd.DataFrame({"hamming": [], "n": []}, dtype="int64")
+        j = int(g["bucket"].iloc[0]) >> w
+        sigs = np.sort(g["sig"].to_numpy(np.int64).view(np.uint64))
+        hist = np.zeros(65, dtype=np.int64)
+        for a in range(m - 1):
+            x = sigs[a + 1 :] ^ sigs[a]
+            # first-shared-band rule: skip pairs already counted in an
+            # earlier band's bucket
+            keep = np.ones(len(x), dtype=bool)
+            for jp in range(j):
+                keep &= ((x >> np.uint64(jp * w)) & mask) != 0
+            if not keep.any():
+                continue
+            h = _POP8[x[keep].view(np.uint8).reshape(-1, 8)].sum(axis=1)
+            hist += np.bincount(h, minlength=65)
+        return pd.DataFrame(
+            {
+                "hamming": np.arange(65, dtype=np.int64),
+                "n": hist,
+            }
+        )
+
+    out = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_hist, batch_format="pandas")
+        .groupby("hamming")
+        .aggregate(Sum("n", alias_name="n_pairs"))
+        .to_pandas()
+    )
+    out = out[out["n_pairs"] > 0].sort_values("hamming").reset_index(drop=True)
+    return out.astype("int64")
+
+
+def simhash_hamming_histogram_banded_sql(n_bands: int = 4) -> str:
+    """Exact twin at the operating setting: same md5 signatures, same
+    band slices; a pair qualifies iff ANY slice agrees (set-identical
+    to the engine's first-shared-band counting)."""
+    assert 64 % n_bands == 0 and (64 // n_bands) <= 32, n_bands
+    w = 64 // n_bands
+    mask = (1 << w) - 1
+    conds = []
+    for j in range(n_bands):
+        lo_bit = j * w
+        half, shift = ("lo", lo_bit) if lo_bit < 32 else ("hi", lo_bit - 32)
+        conds.append(f"((xor(a.{half}, b.{half}) >> {shift}) & {mask}) = 0")
+    ors = "\n            OR ".join(conds)
+    return rf"""
+        {_SIMHASH_SIG_CTE}
+        SELECT CAST(bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM sig0 a JOIN sig0 b ON a.doc_id < b.doc_id
+        WHERE {ors}
+        GROUP BY 1 ORDER BY 1
+    """
+
+
 def lsh_plan_table(sf_dir: str, n_hashes: int = 128, grid: int = 20) -> pd.DataFrame:
     """LSH banding-parameter planner: for every (bands b, rows r)
     factorization of the n_hashes-minhash signature and every Jaccard

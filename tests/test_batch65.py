@@ -96,3 +96,29 @@ def test_hamming_histogram_oracle_and_mass(ray_session, con):
     # histogram mass at hamming <= 3 equals the exact near-dup pair count
     close = int(mine[mine["hamming"] <= 3]["n_pairs"].sum())
     assert close == len(con.execute(simhash_dedup_sql()).fetchdf())
+
+
+def test_hamming_histogram_banded_agreement(ray_session, con):
+    """The banded scale sibling vs the exact landscape: bins below
+    n_bands are exact (pigeonhole over the contiguous band slices),
+    every bin is a lower bound, and the SQL twin matches bit-for-bit
+    at the operating setting."""
+    from pdfrust_ray.stages.dedup import (
+        simhash_hamming_histogram,
+        simhash_hamming_histogram_banded,
+        simhash_hamming_histogram_banded_sql,
+    )
+
+    exact = simhash_hamming_histogram(SF).set_index("hamming")["n_pairs"]
+    for n_bands in (4, 8):
+        banded = simhash_hamming_histogram_banded(SF, n_bands=n_bands)
+        if n_bands == 4:  # the registered operating setting
+            _cmp(banded, con, simhash_hamming_histogram_banded_sql(n_bands))
+        b = banded.set_index("hamming")["n_pairs"]
+        # pigeonhole: any pair with hamming < n_bands shares a band
+        for h in range(n_bands):
+            assert int(b.get(h, 0)) == int(exact.get(h, 0)), (n_bands, h)
+        # every bin counts a subset of the exact pairs
+        assert all(int(b[h]) <= int(exact.get(h, 0)) for h in b.index)
+        # and the banded mass is a strict subset overall on this corpus
+        assert int(b.sum()) <= int(exact.sum())
