@@ -108,7 +108,10 @@ def build_extraction(
             input_bytes = ds.size_bytes()
         except Exception:
             input_bytes = None
-    ds = ds.map_batches(add_payload_len, batch_format="pyarrow")
+    # zero_copy_batch: these stages never mutate the input table
+    # (append_column / filter build new tables), so skip Ray Data's
+    # defensive copy and read the object-store block in place
+    ds = ds.map_batches(add_payload_len, batch_format="pyarrow", zero_copy_batch=True)
     if big_concurrency is None:
         # size the big-payload pool with the cluster: oversized docs cost
         # seconds each, so a fixed tiny pool serializes the skewed tail
@@ -128,20 +131,24 @@ def build_extraction(
         small = ds.map_batches(
             lambda t: t.filter(pc.less_equal(t["payload_len"], BIG_PAYLOAD_BYTES)),
             batch_format="pyarrow",
+            zero_copy_batch=True,
         ).map_batches(
             ExtractTurns,
             fn_constructor_kwargs={"mode": mode, "spec_mode": spec_mode},
             batch_format="pyarrow",
+            zero_copy_batch=True,
             batch_size=batch_size,
             concurrency=pool,
         )
         big = ds.map_batches(
             lambda t: t.filter(pc.greater(t["payload_len"], BIG_PAYLOAD_BYTES)),
             batch_format="pyarrow",
+            zero_copy_batch=True,
         ).map_batches(
             ExtractTurns,
             fn_constructor_kwargs={"mode": mode, "spec_mode": spec_mode},
             batch_format="pyarrow",
+            zero_copy_batch=True,
             batch_size=4,  # bytes-capped batching for oversized payloads
             concurrency=(max(1, big_concurrency // 2), big_concurrency),
         )
@@ -151,6 +158,7 @@ def build_extraction(
             ExtractTurns,
             fn_constructor_kwargs={"mode": mode, "spec_mode": spec_mode},
             batch_format="pyarrow",
+            zero_copy_batch=True,
             batch_size=batch_size,
             concurrency=pool,
         )

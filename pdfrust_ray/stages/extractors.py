@@ -46,6 +46,39 @@ def add_payload_len(batch: pa.Table) -> pa.Table:
     )
 
 
+class BytesLruCache:
+    """LRU bounded by total cached BYTES, not entry count — the right
+    bound for whole-result caching where one tracemonkey-sized payload
+    is worth thousands of small ones. An item costlier than the cap is
+    simply not cached."""
+
+    __slots__ = ("cap", "size", "d")
+
+    def __init__(self, cap_bytes: int):
+        self.cap = cap_bytes
+        self.size = 0
+        self.d: dict = {}
+
+    def get(self, key):
+        e = self.d.pop(key, None)
+        if e is None:
+            return None
+        self.d[key] = e
+        return e[1]
+
+    def put(self, key, cost: int, value) -> None:
+        if cost > self.cap:
+            return
+        old = self.d.pop(key, None)
+        if old is not None:
+            self.size -= old[0]
+        while self.size + cost > self.cap and self.d:
+            k0 = next(iter(self.d))
+            self.size -= self.d.pop(k0)[0]
+        self.d[key] = (cost, value)
+        self.size += cost
+
+
 class ExtractTurns:
     """Actor-pool extraction stage (map_batches callable class).
 
@@ -53,14 +86,36 @@ class ExtractTurns:
     decoded CMap stream bytes, shared across payloads within the actor)
     — mirroring the reference's per-process font/CMap state without any
     cross-actor coordination.
-    """
 
-    def __init__(self, mode: str = "text", cmap_cache_size: int = 512, spec_mode: bool = False):
+    On top of the sub-document CMap memo sits a whole-result LRU keyed
+    by md5(payload): extraction is a pure function of
+    (payload bytes, mode, spec_mode), and real transcript corpora
+    repeat payloads across turns (quoted documents, re-sent
+    attachments), so a repeated payload costs one hash instead of a
+    full parse. Bounded in BYTES (payload + extracted text) per actor;
+    parity is unaffected by construction — the cache stores the exact
+    result the parse produced. Hit/miss counters stay on the actor for
+    observability."""
+
+    def __init__(
+        self,
+        mode: str = "text",
+        cmap_cache_size: int = 512,
+        spec_mode: bool = False,
+        result_cache_bytes: int = 64 << 20,
+    ):
         self.mode = mode
         self.spec_mode = spec_mode
         self.cmap_cache = LruCache(cmap_cache_size)
+        self.result_cache = (
+            BytesLruCache(result_cache_bytes) if result_cache_bytes > 0 else None
+        )
+        self.result_cache_hits = 0
+        self.result_cache_misses = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         convs = batch["conv_id"].to_pylist()
         turns = batch["turn_idx"].to_pylist()
         texts = batch["text"].to_pylist()
@@ -74,8 +129,25 @@ class ExtractTurns:
         mode = self.mode
         cache = self.cmap_cache
         spec = self.spec_mode
+        rcache = self.result_cache
         for i in range(n):
-            r = extract_row(texts[i], mode, cmap_cache=cache, spec_mode=spec)
+            if rcache is not None:
+                k = hashlib.md5(
+                    texts[i].encode("utf-8", "surrogatepass")
+                ).digest()
+                r = rcache.get(k)
+                if r is None:
+                    self.result_cache_misses += 1
+                    r = extract_row(texts[i], mode, cmap_cache=cache, spec_mode=spec)
+                    rcache.put(
+                        k,
+                        len(texts[i]) + len(r["extracted_text"]) + 96,
+                        r,
+                    )
+                else:
+                    self.result_cache_hits += 1
+            else:
+                r = extract_row(texts[i], mode, cmap_cache=cache, spec_mode=spec)
             kinds[i] = r["payload_kind"]
             outs[i] = r["extracted_text"]
             statuses[i] = r["parse_status"]
