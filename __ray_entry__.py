@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdfrust_ray.pipelines import datasetops as dso
     from pdfrust_ray.pipelines import graph
     from pdfrust_ray.pipelines import llmdata as llm
+    from pdfrust_ray.pipelines import mixing
     from pdfrust_ray.pipelines import quality as qual
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.pipelines import textops
@@ -1408,6 +1409,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # banded scale sibling: LSH-bucketed landscape, bins < n_bands exact
         # by pigeonhole, no driver-side signature materialization
         "simhash_hamming_histogram_banded": lambda sf: dedup.simhash_hamming_histogram_banded(sf),
+        # LSH health audit: band-bucket size distribution = the candidate
+        # mass / skew readout BEFORE paying a banded shuffle
+        "simhash_band_skew_census": lambda sf: dedup.simhash_band_skew_census(sf),
+        # DoReMi-shaped Group-DRO domain reweighting, exact integer rounds
+        "doremi_fixedpoint": mixing.doremi_fixedpoint,
+        # capstone: DoReMi mixture -> epoch-capped token allocation with
+        # deterministic excess-ranked spill
+        "doremi_mix_plan": lambda sf: mixing.doremi_mix_plan(sf),
         # deterministic greedy-bandit policy replay (exact integer argmax)
         "bandit_greedy_replay": rel.bandit_greedy_replay,
         # exact weighted isotonic regression via the minimax rational form
@@ -1855,6 +1864,7 @@ def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import datasetops as dso
     from pdfrust_ray.pipelines import graph
     from pdfrust_ray.pipelines import llmdata as llm
+    from pdfrust_ray.pipelines import mixing as mixing_mod
     from pdfrust_ray.pipelines import quality as qual
     from pdfrust_ray.pipelines import relational as rel
     from pdfrust_ray.stages import dedup as dedup_mod
@@ -2432,6 +2442,9 @@ def oracle_sql() -> dict[str, str]:
         "user_lis_lengths": rel.user_lis_lengths_sql(),
         "simhash_hamming_histogram": dedup_mod.simhash_hamming_histogram_sql(),
         "simhash_hamming_histogram_banded": dedup_mod.simhash_hamming_histogram_banded_sql(),
+        "simhash_band_skew_census": dedup_mod.simhash_band_skew_census_sql(),
+        "doremi_fixedpoint": mixing_mod.doremi_fixedpoint_sql(),
+        "doremi_mix_plan": mixing_mod.doremi_mix_plan_sql(),
         "bandit_greedy_replay": rel.bandit_greedy_replay_sql(),
         "isotonic_rate_curve": rel.isotonic_rate_curve_sql(),
         "events_pettitt_change": rel.events_pettitt_change_sql(),

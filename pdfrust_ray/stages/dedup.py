@@ -2161,7 +2161,21 @@ def simhash_hamming_histogram_banded(sf_dir: str, n_bands: int = 4) -> pd.DataFr
     structure the MinHash dedup itself pays — and the driver sees only
     the 65-bin result.  Hot buckets (mass duplication) cost m^2 inside
     one group, which IS the audit's signal; anchor rows stream through
-    a vectorized XOR/popcount per anchor, never an m x m matrix.
+    a vectorized XOR/popcount per anchor, never an m x m matrix.  The
+    groupby key is a COARSE shard (bucket % 256), not the bucket
+    itself: Ray dispatches Python once per group, and a corpus yields
+    ~n_docs distinct buckets — per-bucket dispatch cost O(N) python
+    calls (measured 12.4 s at 50k docs), per-shard O(256) with the
+    buckets segmented by one sort inside the task (7.3 s).
+
+    Honest crossover note (measured, /tmp/sf1, 50k docs): the exact
+    variant's brute broadcast scan is still FASTER here (6.6 s vs
+    7.3 s banded) — 1.25e9 vectorized XORs are cheap at 50k docs;
+    banded wins asymptotically because exact's O(N) driver
+    materialization and O(N^2) scan are infeasible at 10^9 docs while
+    banded's work tracks the candidate mass (19.1M pairs = 1.5% of
+    N^2 on this corpus) and its driver footprint is the 65-bin
+    histogram.
 
     SQL-exact at the operating setting (not just a degenerate): the
     twin rebuilds the same band slices from the md5 signature CTE and
@@ -2177,44 +2191,51 @@ def simhash_hamming_histogram_banded(sf_dir: str, n_bands: int = 4) -> pd.DataFr
     mask = np.uint64((1 << w) - 1)
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_shards = 256
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sigs = np.array(
             [simhash64(x) for x in t["text"].to_pylist()], dtype=np.uint64
         )
-        buckets, out_ids, out_sigs = [], [], []
+        buckets, out_sigs = [], []
         for j in range(n_bands):
             key = (sigs >> np.uint64(j * w)) & mask
             buckets.append((np.int64(j) << np.int64(w)) | key.astype(np.int64))
-            out_ids.append(ids)
             out_sigs.append(sigs.view(np.int64))
+        bk = np.concatenate(buckets)
         return pa.table(
             {
-                "bucket": pa.array(np.concatenate(buckets)),
-                "doc_id": pa.array(np.concatenate(out_ids)),
+                "shard": pa.array(bk % n_shards),
+                "bucket": pa.array(bk),
                 "sig": pa.array(np.concatenate(out_sigs)),
             }
         )
 
-    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
-        m = len(g)
-        if m < 2:
-            return pd.DataFrame({"hamming": [], "n": []}, dtype="int64")
-        j = int(g["bucket"].iloc[0]) >> w
-        sigs = np.sort(g["sig"].to_numpy(np.int64).view(np.uint64))
+    def shard_hist(g: pd.DataFrame) -> pd.DataFrame:
+        bk = g["bucket"].to_numpy(np.int64)
+        sg = g["sig"].to_numpy(np.int64).view(np.uint64)
+        order = np.argsort(bk, kind="mergesort")
+        bk, sg = bk[order], sg[order]
+        bounds = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1], True])
         hist = np.zeros(65, dtype=np.int64)
-        for a in range(m - 1):
-            x = sigs[a + 1 :] ^ sigs[a]
-            # first-shared-band rule: skip pairs already counted in an
-            # earlier band's bucket
-            keep = np.ones(len(x), dtype=bool)
-            for jp in range(j):
-                keep &= ((x >> np.uint64(jp * w)) & mask) != 0
-            if not keep.any():
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
                 continue
-            h = _POP8[x[keep].view(np.uint8).reshape(-1, 8)].sum(axis=1)
-            hist += np.bincount(h, minlength=65)
+            j = int(bk[s]) >> w
+            sigs = np.sort(sg[s:e])
+            for a in range(m - 1):
+                x = sigs[a + 1 :] ^ sigs[a]
+                # first-shared-band rule: skip pairs already counted in
+                # an earlier band's bucket
+                keep = np.ones(len(x), dtype=bool)
+                for jp in range(j):
+                    keep &= ((x >> np.uint64(jp * w)) & mask) != 0
+                if not keep.any():
+                    continue
+                h = _POP8[x[keep].view(np.uint8).reshape(-1, 8)].sum(axis=1)
+                hist += np.bincount(h, minlength=65)
         return pd.DataFrame(
             {
                 "hamming": np.arange(65, dtype=np.int64),
@@ -2224,14 +2245,117 @@ def simhash_hamming_histogram_banded(sf_dir: str, n_bands: int = 4) -> pd.DataFr
 
     out = (
         docs.map_batches(explode, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_hist, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(shard_hist, batch_format="pandas")
         .groupby("hamming")
         .aggregate(Sum("n", alias_name="n_pairs"))
         .to_pandas()
     )
     out = out[out["n_pairs"] > 0].sort_values("hamming").reset_index(drop=True)
     return out.astype("int64")
+
+
+def simhash_band_skew_census(sf_dir: str, n_bands: int = 4) -> pd.DataFrame:
+    """LSH health audit for the banded landscape (and any banded
+    SimHash dedup): the distribution of band-bucket sizes, binned by
+    floor(log2(size)) per band.  This is the number you read BEFORE
+    paying the banded shuffle - sum(n_pairs) IS the candidate mass the
+    banded histogram / dedup verify stage will touch, and a fat
+    log2_size tail is the skew warning (mass duplication or a
+    degenerate band slice).
+
+    Scale shape: the same n_bands rows/doc exchange as the banded
+    histogram, reduced per coarse shard (bucket % 256 - buckets never
+    straddle shards) to (band, log2_size) partials; the global
+    aggregate is histogram-sized.  Exact SQL twin from the md5
+    signature CTE (same band slices; floor(log2(m)) is exact in
+    float64 for m < 2^50).
+
+    Output: (band, log2_size, n_buckets, n_pairs) int64 — n_pairs =
+    sum of m*(m-1)/2 over that bin's buckets — ORDER BY band,
+    log2_size."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.minhash import simhash64
+
+    assert 64 % n_bands == 0 and (64 // n_bands) <= 32, n_bands
+    w = 64 // n_bands
+    mask = np.uint64((1 << w) - 1)
+    n_shards = 256
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        sigs = np.array(
+            [simhash64(x) for x in t["text"].to_pylist()], dtype=np.uint64
+        )
+        buckets = []
+        for j in range(n_bands):
+            key = (sigs >> np.uint64(j * w)) & mask
+            buckets.append((np.int64(j) << np.int64(w)) | key.astype(np.int64))
+        bk = np.concatenate(buckets)
+        return pa.table({"shard": pa.array(bk % n_shards), "bucket": pa.array(bk)})
+
+    def shard_census(g: pd.DataFrame) -> pd.DataFrame:
+        bk = g["bucket"].to_numpy(np.int64)
+        uniq, m = np.unique(bk, return_counts=True)
+        band = uniq >> w
+        lg = np.frompyfunc(lambda v: int(v).bit_length() - 1, 1, 1)(m).astype(
+            np.int64
+        )
+        pairs = m.astype(np.int64) * (m.astype(np.int64) - 1) // 2
+        df = pd.DataFrame(
+            {"band": band, "log2_size": lg, "ones": 1, "pairs": pairs}
+        )
+        out = df.groupby(["band", "log2_size"], as_index=False).sum()
+        return out.astype("int64")
+
+    out = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_census, batch_format="pandas")
+        .groupby(["band", "log2_size"])
+        .aggregate(
+            Sum("ones", alias_name="n_buckets"),
+            Sum("pairs", alias_name="n_pairs"),
+        )
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["band", "log2_size"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def simhash_band_skew_census_sql(n_bands: int = 4) -> str:
+    """Exact twin: same md5 signatures and band slices; per-band
+    bucket sizes via GROUP BY key, binned by floor(log2(m))."""
+    assert 64 % n_bands == 0 and (64 // n_bands) <= 32, n_bands
+    w = 64 // n_bands
+    mask = (1 << w) - 1
+    parts = []
+    for j in range(n_bands):
+        lo_bit = j * w
+        half, shift = ("lo", lo_bit) if lo_bit < 32 else ("hi", lo_bit - 32)
+        parts.append(
+            f"SELECT {j} AS band, (({half} >> {shift}) & {mask}) AS key"
+            " FROM sig0"
+        )
+    keys = "\n            UNION ALL ".join(parts)
+    return rf"""
+        {_SIMHASH_SIG_CTE}, bk AS (
+            {keys}
+        ), sizes AS (
+            SELECT band, key, CAST(COUNT(*) AS BIGINT) AS m
+            FROM bk GROUP BY 1, 2
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(FLOOR(log2(m)) AS BIGINT) AS log2_size,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_pairs
+        FROM sizes GROUP BY 1, 2 ORDER BY 1, 2
+    """
 
 
 def simhash_hamming_histogram_banded_sql(n_bands: int = 4) -> str:

@@ -122,3 +122,24 @@ def test_hamming_histogram_banded_agreement(ray_session, con):
         assert all(int(b[h]) <= int(exact.get(h, 0)) for h in b.index)
         # and the banded mass is a strict subset overall on this corpus
         assert int(b.sum()) <= int(exact.sum())
+
+
+def test_band_skew_census_oracle_and_mass(ray_session, con):
+    """The census's pair mass equals what the banded histogram
+    actually touches — before first-band dedup it's an upper bound;
+    its per-band bucket counts sum to n_docs per band."""
+    from pdfrust_ray.stages.dedup import (
+        simhash_band_skew_census,
+        simhash_band_skew_census_sql,
+        simhash_hamming_histogram_banded,
+    )
+
+    mine = simhash_band_skew_census(SF)
+    _cmp(mine, con, simhash_band_skew_census_sql())
+    assert sorted(mine["band"].unique()) == [0, 1, 2, 3]
+    # singleton buckets contribute no pairs; every bin is consistent
+    assert (mine.loc[mine["log2_size"] == 0, "n_pairs"] == 0).all()
+    assert (mine["n_pairs"] >= 0).all() and (mine["n_buckets"] > 0).all()
+    mass = int(mine["n_pairs"].sum())
+    banded = simhash_hamming_histogram_banded(SF)
+    assert int(banded["n_pairs"].sum()) <= mass  # first-band dedup only removes
