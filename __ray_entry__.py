@@ -568,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import datasetops as dso
     from pdfrust_ray.pipelines import graph
+    from pdfrust_ray.pipelines import calibration
     from pdfrust_ray.pipelines import llmdata as llm
     from pdfrust_ray.pipelines import mixing
     from pdfrust_ray.pipelines import quality as qual
@@ -1417,6 +1418,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # capstone: DoReMi mixture -> epoch-capped token allocation with
         # deterministic excess-ranked spill
         "doremi_mix_plan": lambda sf: mixing.doremi_mix_plan(sf),
+        # calibration sweeps: retention curve per candidate cutoff,
+        # grid-sized exchanges
+        "quality_threshold_sweep": calibration.quality_threshold_sweep,
+        "jaccard_threshold_sweep": lambda sf: calibration.jaccard_threshold_sweep(sf),
         # deterministic greedy-bandit policy replay (exact integer argmax)
         "bandit_greedy_replay": rel.bandit_greedy_replay,
         # exact weighted isotonic regression via the minimax rational form
@@ -1863,7 +1868,9 @@ def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import conversation as cv
     from pdfrust_ray.pipelines import datasetops as dso
     from pdfrust_ray.pipelines import graph
+    from pdfrust_ray.pipelines import calibration
     from pdfrust_ray.pipelines import llmdata as llm
+    from pdfrust_ray.pipelines import calibration as calibration_mod
     from pdfrust_ray.pipelines import mixing as mixing_mod
     from pdfrust_ray.pipelines import quality as qual
     from pdfrust_ray.pipelines import relational as rel
@@ -2445,6 +2452,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_band_skew_census": dedup_mod.simhash_band_skew_census_sql(),
         "doremi_fixedpoint": mixing_mod.doremi_fixedpoint_sql(),
         "doremi_mix_plan": mixing_mod.doremi_mix_plan_sql(),
+        "quality_threshold_sweep": calibration_mod.quality_threshold_sweep_sql(),
+        "jaccard_threshold_sweep": calibration_mod.jaccard_threshold_sweep_sql(),
         "bandit_greedy_replay": rel.bandit_greedy_replay_sql(),
         "isotonic_rate_curve": rel.isotonic_rate_curve_sql(),
         "events_pettitt_change": rel.events_pettitt_change_sql(),
