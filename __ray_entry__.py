@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdfrust_ray.pipelines import datasetops as dso
     from pdfrust_ray.pipelines import graph
     from pdfrust_ray.pipelines import calibration
+    from pdfrust_ray.pipelines import corpusbuild
     from pdfrust_ray.pipelines import llmdata as llm
     from pdfrust_ray.pipelines import mixing
     from pdfrust_ray.pipelines import quality as qual
@@ -1422,6 +1423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grid-sized exchanges
         "quality_threshold_sweep": calibration.quality_threshold_sweep,
         "jaccard_threshold_sweep": lambda sf: calibration.jaccard_threshold_sweep(sf),
+        # GRAND CAPSTONE: extraction -> quality filter -> exact dedup ->
+        # greedy packing, one chained golden-anchored exact twin
+        "transcript_corpus_build": _q_conv(corpusbuild.transcript_corpus_build),
         # deterministic greedy-bandit policy replay (exact integer argmax)
         "bandit_greedy_replay": rel.bandit_greedy_replay,
         # exact weighted isotonic regression via the minimax rational form
@@ -1869,8 +1873,10 @@ def oracle_sql() -> dict[str, str]:
     from pdfrust_ray.pipelines import datasetops as dso
     from pdfrust_ray.pipelines import graph
     from pdfrust_ray.pipelines import calibration
+    from pdfrust_ray.pipelines import corpusbuild
     from pdfrust_ray.pipelines import llmdata as llm
     from pdfrust_ray.pipelines import calibration as calibration_mod
+    from pdfrust_ray.pipelines import corpusbuild as corpusbuild_mod
     from pdfrust_ray.pipelines import mixing as mixing_mod
     from pdfrust_ray.pipelines import quality as qual
     from pdfrust_ray.pipelines import relational as rel
@@ -2454,6 +2460,7 @@ def oracle_sql() -> dict[str, str]:
         "doremi_mix_plan": mixing_mod.doremi_mix_plan_sql(),
         "quality_threshold_sweep": calibration_mod.quality_threshold_sweep_sql(),
         "jaccard_threshold_sweep": calibration_mod.jaccard_threshold_sweep_sql(),
+        "transcript_corpus_build": corpusbuild_mod.transcript_corpus_build_sql(_T2_GOLDEN),
         "bandit_greedy_replay": rel.bandit_greedy_replay_sql(),
         "isotonic_rate_curve": rel.isotonic_rate_curve_sql(),
         "events_pettitt_change": rel.events_pettitt_change_sql(),
