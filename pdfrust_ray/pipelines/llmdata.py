@@ -2574,3 +2574,120 @@ def corpus_datasheet_sql() -> str:
         SELECT 'neardup_docs', CAST(COUNT(*) AS BIGINT) FROM labels
         ORDER BY metric
     """
+
+
+def length_bucketed_batch_plan(
+    sf_dir: str, token_budget: int = 512, n_buckets: int = 16
+) -> pd.DataFrame:
+    """Padding-aware dynamic batching — the training-side sibling of
+    pack_sequences: instead of concatenating docs into fixed token
+    packs, group docs into BATCHES whose padded cost
+    (max_len_in_batch * n_seqs) stays under `token_budget`, the rule a
+    dataloader uses to keep GPU-step cost constant while minimizing
+    pad waste.
+
+    Deterministic plan: docs hash-bucket by md5(doc_id) % n_buckets
+    (coordination-free parallelism, the pack_sequences shape); inside
+    a bucket docs are taken longest-first (n_tokens desc, doc_id asc —
+    so a batch's max_len is fixed by its first member) and the batch
+    closes when admitting the next doc would push padded cost over
+    budget. An oversized doc gets its own batch. The greedy state is a
+    linear recurrence, so the SQL twin replays it with the same
+    per-bucket recursive CTE as the pack oracle.
+
+    Output: (doc_id, bucket, n_tokens, batch_id, batch_pos,
+    padded_cost) int64 ORDER BY doc_id — padded_cost is the closed
+    cost max_len * n_seqs the batch has reached as of that member
+    (the final member's row carries the batch's true cost)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..functions.md5vec import md5_prefix_u32
+
+        ids = t["doc_id"].to_pylist()
+        toks = [token_count(s) for s in t["text"].to_pylist()]
+        buckets = md5_prefix_u32([str(i).encode() for i in ids]) % n_buckets
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(buckets.astype("int64"), pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    def plan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        bid, pos, cur_max, cnt = 0, 0, 0, 0
+        bids, poss, costs = [], [], []
+        for n in g["n_tokens"]:
+            n = int(n)
+            if cnt > 0 and cur_max * (cnt + 1) > token_budget:
+                bid += 1
+                cur_max, cnt, pos = n, 1, 0
+            else:
+                cur_max = max(cur_max, n) if cnt else n
+                cnt += 1
+                pos = cnt - 1
+            bids.append(bid)
+            poss.append(pos)
+            costs.append(cur_max * cnt)
+        g["batch_id"] = pd.Series(bids, dtype="int64")
+        g["batch_pos"] = pd.Series(poss, dtype="int64")
+        g["padded_cost"] = pd.Series(costs, dtype="int64")
+        return g[
+            ["doc_id", "bucket", "n_tokens", "batch_id", "batch_pos", "padded_cost"]
+        ]
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(plan, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def length_bucketed_batch_plan_sql(
+    token_budget: int = 512, n_buckets: int = 16
+) -> str:
+    """Exact twin: longest-first order per bucket, the padded-cost
+    close rule replayed one doc per recursive round."""
+    return f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                      % {n_buckets} AS BIGINT) AS bucket,
+                 CAST(length(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), o AS (
+          SELECT doc_id, bucket, n_tokens,
+                 row_number() OVER (PARTITION BY bucket
+                                    ORDER BY n_tokens DESC, doc_id) AS rn
+          FROM t
+        ), s AS (
+          SELECT doc_id, bucket, n_tokens, rn,
+                 CAST(0 AS BIGINT) AS batch_id,
+                 CAST(0 AS BIGINT) AS batch_pos,
+                 n_tokens AS cur_max,
+                 CAST(1 AS BIGINT) AS cnt
+          FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.doc_id, o.bucket, o.n_tokens, o.rn,
+                 CASE WHEN s.cur_max * (s.cnt + 1) > {token_budget}
+                      THEN s.batch_id + 1 ELSE s.batch_id END,
+                 CASE WHEN s.cur_max * (s.cnt + 1) > {token_budget}
+                      THEN 0 ELSE s.batch_pos + 1 END,
+                 CASE WHEN s.cur_max * (s.cnt + 1) > {token_budget}
+                      THEN o.n_tokens ELSE s.cur_max END,
+                 CASE WHEN s.cur_max * (s.cnt + 1) > {token_budget}
+                      THEN 1 ELSE s.cnt + 1 END
+          FROM s JOIN o ON o.bucket = s.bucket AND o.rn = s.rn + 1
+        )
+        SELECT doc_id, bucket, n_tokens, batch_id, batch_pos,
+               CAST(cur_max * cnt AS BIGINT) AS padded_cost
+        FROM s ORDER BY doc_id
+    """

@@ -112,3 +112,25 @@ def test_doremi_mix_plan_spill_order(ray_session):
             (harder["alloc_tokens"] == harder["cap_tokens"])
             | (harder["alloc_tokens"] > harder["target_tokens"])
         ).all()
+
+
+def test_length_bucketed_batch_plan(ray_session, con):
+    """Twin exactness + the padded-cost guarantee: every multi-doc
+    batch stays within budget, and within a batch the first member is
+    its longest."""
+    from pdfrust_ray.pipelines.llmdata import (
+        length_bucketed_batch_plan,
+        length_bucketed_batch_plan_sql,
+    )
+
+    mine = length_bucketed_batch_plan(SF)
+    odf = con.execute(length_bucketed_batch_plan_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        mine.reset_index(drop=True), odf.reset_index(drop=True), check_dtype=False
+    )
+    for (_, _), g in mine.groupby(["bucket", "batch_id"]):
+        g = g.sort_values("batch_pos")
+        assert list(g["batch_pos"]) == list(range(len(g)))
+        assert int(g["n_tokens"].iloc[0]) == int(g["n_tokens"].max())
+        if len(g) > 1:
+            assert int(g["n_tokens"].max()) * len(g) <= 512
