@@ -1428,6 +1428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_corpus_build": _q_conv(corpusbuild.transcript_corpus_build),
         # padding-aware dynamic batching (max_len * n_seqs <= budget)
         "length_bucketed_batch_plan": llm.length_bucketed_batch_plan,
+        # per-bucket padding-efficiency rollup of the same plan
+        "pad_efficiency_report": llm.pad_efficiency_report,
         # deterministic greedy-bandit policy replay (exact integer argmax)
         "bandit_greedy_replay": rel.bandit_greedy_replay,
         # exact weighted isotonic regression via the minimax rational form
@@ -2464,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_threshold_sweep": calibration_mod.jaccard_threshold_sweep_sql(),
         "transcript_corpus_build": corpusbuild_mod.transcript_corpus_build_sql(_T2_GOLDEN),
         "length_bucketed_batch_plan": llm.length_bucketed_batch_plan_sql(),
+        "pad_efficiency_report": llm.pad_efficiency_report_sql(),
         "bandit_greedy_replay": rel.bandit_greedy_replay_sql(),
         "isotonic_rate_curve": rel.isotonic_rate_curve_sql(),
         "events_pettitt_change": rel.events_pettitt_change_sql(),

@@ -2691,3 +2691,97 @@ def length_bucketed_batch_plan_sql(
                CAST(cur_max * cnt AS BIGINT) AS padded_cost
         FROM s ORDER BY doc_id
     """
+
+
+def pad_efficiency_report(
+    sf_dir: str, token_budget: int = 512, n_buckets: int = 16
+) -> pd.DataFrame:
+    """The report a dataloader owner reads off the dynamic-batching
+    plan: per hash bucket, how many batches the budget produces and
+    what fraction of the padded tensor is real tokens
+    (efficiency_ppm = real * 1e6 // padded).
+
+    Scale shape: the greedy plan AND its reduction both run inside the
+    per-bucket group task, so the exchange is the same skinny
+    (doc_id, n_tokens) rows as the planner and the driver sees exactly
+    n_buckets result rows — no per-doc table ever leaves the cluster.
+
+    Output: (bucket, n_docs, n_batches, real_tokens, padded_tokens,
+    efficiency_ppm) int64 ORDER BY bucket."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..functions.md5vec import md5_prefix_u32
+
+        ids = t["doc_id"].to_pylist()
+        toks = [token_count(s) for s in t["text"].to_pylist()]
+        buckets = md5_prefix_u32([str(i).encode() for i in ids]) % n_buckets
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(buckets.astype("int64"), pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    def report(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        n_batches, cur_max, cnt, padded = 0, 0, 0, 0
+        for n in g["n_tokens"]:
+            n = int(n)
+            if cnt > 0 and cur_max * (cnt + 1) > token_budget:
+                padded += cur_max * cnt
+                n_batches += 1
+                cur_max, cnt = n, 1
+            else:
+                cur_max = cur_max if cnt else n
+                cnt += 1
+        if cnt:
+            padded += cur_max * cnt
+            n_batches += 1
+        real = int(g["n_tokens"].sum())
+        return pd.DataFrame(
+            {
+                "bucket": [int(g["bucket"].iloc[0])],
+                "n_docs": [len(g)],
+                "n_batches": [n_batches],
+                "real_tokens": [real],
+                "padded_tokens": [padded],
+                "efficiency_ppm": [real * 1_000_000 // padded if padded else 0],
+            }
+        ).astype("int64")
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(report, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("bucket").reset_index(drop=True).astype("int64")
+
+
+def pad_efficiency_report_sql(token_budget: int = 512, n_buckets: int = 16) -> str:
+    """Exact twin: the batch-plan recursion, then one aggregate per
+    bucket (a batch's true cost is its last member's running cost)."""
+    plan = length_bucketed_batch_plan_sql(token_budget, n_buckets)
+    return f"""
+        WITH plan AS MATERIALIZED (
+            SELECT * FROM ({plan})
+        ), batch_cost AS (
+            SELECT bucket, batch_id,
+                   MAX(n_tokens) * COUNT(*) AS cost,
+                   SUM(n_tokens) AS real_t,
+                   COUNT(*) AS nd
+            FROM plan GROUP BY 1, 2
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(SUM(nd) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               CAST(SUM(real_t) AS BIGINT) AS real_tokens,
+               CAST(SUM(cost) AS BIGINT) AS padded_tokens,
+               CAST(SUM(real_t) * 1000000 // SUM(cost) AS BIGINT)
+                   AS efficiency_ppm
+        FROM batch_cost GROUP BY 1 ORDER BY 1
+    """

@@ -134,3 +134,30 @@ def test_length_bucketed_batch_plan(ray_session, con):
         assert int(g["n_tokens"].iloc[0]) == int(g["n_tokens"].max())
         if len(g) > 1:
             assert int(g["n_tokens"].max()) * len(g) <= 512
+
+
+def test_pad_efficiency_report(ray_session, con):
+    """Twin exactness + cross-consistency with the per-doc plan."""
+    from pdfrust_ray.pipelines.llmdata import (
+        length_bucketed_batch_plan,
+        pad_efficiency_report,
+        pad_efficiency_report_sql,
+    )
+
+    rep = pad_efficiency_report(SF)
+    odf = con.execute(pad_efficiency_report_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        rep.reset_index(drop=True), odf.reset_index(drop=True), check_dtype=False
+    )
+    plan = length_bucketed_batch_plan(SF)
+    for _, r in rep.iterrows():
+        g = plan[plan["bucket"] == int(r["bucket"])]
+        assert len(g) == int(r["n_docs"])
+        assert int(g["batch_id"].nunique()) == int(r["n_batches"])
+        assert int(g["n_tokens"].sum()) == int(r["real_tokens"])
+        cost = g.groupby("batch_id").apply(
+            lambda b: int(b["n_tokens"].max()) * len(b), include_groups=False
+        )
+        assert int(cost.sum()) == int(r["padded_tokens"])
+    assert (rep["efficiency_ppm"] <= 1_000_000).all()
+    assert (rep["real_tokens"] <= rep["padded_tokens"]).all()
