@@ -31,44 +31,32 @@ extraction.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 _DEDUP_SHARDS = 64
 
 
-def transcript_corpus_build(
-    corpus_dir: str,
-    quality_cut_centi: int = 30,
-    budget: int = 256,
-    n_buckets: int = 16,
-    concurrency=None,
-) -> pd.DataFrame:
-    """Run the full build; returns the pack assignment for every
-    surviving turn: (conv_id, turn_idx, n_tokens, bucket, pack_id,
-    pack_pos) ORDER BY conv_id, turn_idx."""
+def _default_concurrency():
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(cpus - 1, 30))
+
+
+def _make_prep(cut: float, n_buckets: int):
+    """Stage-B kernel: filter (ok, non-empty, quality >= cut), digest,
+    token-count and key each surviving turn. Texts are dropped HERE —
+    nothing downstream ever ships them."""
     from ..functions.md5vec import md5_prefix_u32
     from ..functions.textstats import quality_score, token_count
-    from ..sources.transcripts import read_transcripts
-    from .extract_pipeline import build_extraction
-
-    if concurrency is None:
-        import ray
-
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            cpus = 4
-        concurrency = max(2, min(cpus - 1, 30))
-    cut = quality_cut_centi / 100.0
-    ext = build_extraction(
-        read_transcripts(corpus_dir),
-        mode="text",
-        order=False,
-        concurrency=concurrency,
-    )
 
     def prep(t: pa.Table) -> pa.Table:
         convs = t["conv_id"].to_pylist()
@@ -103,12 +91,17 @@ def transcript_corpus_build(
             }
         )
 
-    def dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["digest", "conv_id", "turn_idx"], kind="mergesort"
-        ).drop_duplicates("digest", keep="first")
-        return g[["conv_id", "turn_idx", "n_tokens", "bucket"]]
+    return prep
 
+
+def _dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(
+        ["digest", "conv_id", "turn_idx"], kind="mergesort"
+    ).drop_duplicates("digest", keep="first")
+    return g[["conv_id", "turn_idx", "n_tokens", "bucket"]]
+
+
+def _make_pack(budget: int):
     def pack(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
             drop=True
@@ -128,12 +121,39 @@ def transcript_corpus_build(
         g["pack_pos"] = pd.Series(poss, dtype="int64")
         return g[["conv_id", "turn_idx", "n_tokens", "bucket", "pack_id", "pack_pos"]]
 
+    return pack
+
+
+def transcript_corpus_build(
+    corpus_dir: str,
+    quality_cut_centi: int = 30,
+    budget: int = 256,
+    n_buckets: int = 16,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Run the full build; returns the pack assignment for every
+    surviving turn: (conv_id, turn_idx, n_tokens, bucket, pack_id,
+    pack_pos) ORDER BY conv_id, turn_idx."""
+    from ..sources.transcripts import read_transcripts
+    from .extract_pipeline import build_extraction
+
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    ext = build_extraction(
+        read_transcripts(corpus_dir),
+        mode="text",
+        order=False,
+        concurrency=concurrency,
+    )
     out = (
-        ext.map_batches(prep, batch_format="pyarrow")
+        ext.map_batches(
+            _make_prep(quality_cut_centi / 100.0, n_buckets),
+            batch_format="pyarrow",
+        )
         .groupby("dshard")
-        .map_groups(dedup_shard, batch_format="pandas")
+        .map_groups(_dedup_shard, batch_format="pandas")
         .groupby("bucket")
-        .map_groups(pack, batch_format="pandas")
+        .map_groups(_make_pack(budget), batch_format="pandas")
         .to_pandas()
     )
     for c in out.columns:
@@ -233,3 +253,163 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, n_tokens, bucket,
        pack_id, pack_pos
 FROM s ORDER BY conv_id, turn_idx
     """
+
+
+def run_corpus_build(
+    corpus_dir: str,
+    out_dir: str,
+    quality_cut_centi: int = 30,
+    budget: int = 256,
+    n_buckets: int = 16,
+    concurrency=None,
+    resume: bool = True,
+    group_size: int = 16,
+) -> dict:
+    """The deployable, checkpoint-resumable form of the build: three
+    manifest-gated stages under `out_dir`, each auditable back to its
+    inputs and each skippable on re-run.
+
+      stage_extract/  group=NNNN per input-shard group — the flagship
+                      run_extraction (its own lineage manifests,
+                      group-level resume; the expensive stage).
+      stage_dedup/    group=0000 — the filter+digest+dedup reduce,
+                      materialized as skinny (conv_id, turn_idx,
+                      n_tokens, bucket) parquet. One manifest: the
+                      whole reduce is a single shuffle, cheap next to
+                      extraction, so the checkpoint granularity is the
+                      stage (at 100 TB you would shard this stage's
+                      manifest by dshard the same way).
+      stage_pack/     group=NNNN per pack bucket — bucket-level
+                      resume: a re-run recomputes ONLY missing
+                      buckets, with a parquet filter pushdown on the
+                      materialized dedup output (buckets are
+                      independent by construction).
+
+    Crash semantics are manifest-last everywhere (state/manifest.py):
+    data renamed into place, then the manifest; a crash between the
+    two redoes that group idempotently. Manifests do not hash upstream
+    content — re-running after changing the INPUT corpus requires
+    resume=False (documented limitation, same as the flagship).
+
+    Returns a summary dict (rows per stage, packs, what was resumed).
+    """
+    import glob as _glob
+
+    import ray.data as _rd
+
+    from ..state import manifest
+    from .extract_pipeline import ENGINE_VERSION, run_extraction
+
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    os.makedirs(out_dir, exist_ok=True)
+    ext_dir = os.path.join(out_dir, "stage_extract")
+    ded_dir = os.path.join(out_dir, "stage_dedup")
+    pack_dir = os.path.join(out_dir, "stage_pack")
+    os.makedirs(ded_dir, exist_ok=True)
+    os.makedirs(pack_dir, exist_ok=True)
+
+    m_ext = run_extraction(
+        corpus_dir,
+        ext_dir,
+        mode="text",
+        group_size=group_size,
+        concurrency=concurrency,
+        resume=resume,
+    )
+
+    ext_files = sorted(_glob.glob(os.path.join(ext_dir, "group=*", "*.parquet")))
+    dedup_resumed = resume and 0 in manifest.completed_groups(ded_dir)
+    if not dedup_resumed:
+        dd = (
+            _rd.read_parquet(
+                ext_files,
+                columns=["conv_id", "turn_idx", "extracted_text", "parse_status"],
+            )
+            .map_batches(
+                _make_prep(quality_cut_centi / 100.0, n_buckets),
+                batch_format="pyarrow",
+            )
+            .groupby("dshard")
+            .map_groups(_dedup_shard, batch_format="pandas")
+        )
+        tmp = os.path.join(out_dir, "_tmp_dedup")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        dd.write_parquet(tmp)
+        rows = sum(
+            pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(tmp, "*.parquet"))
+        )
+        manifest.commit_group(
+            ded_dir,
+            0,
+            tmp,
+            {
+                "stage": "dedup",
+                "rows": rows,
+                "quality_cut_centi": quality_cut_centi,
+                "n_buckets": n_buckets,
+                "lineage": {"inputs": ext_files},
+                "engine_version": ENGINE_VERSION,
+            },
+        )
+    ded_files = sorted(
+        _glob.glob(os.path.join(manifest.group_dir(ded_dir, 0), "*.parquet"))
+    )
+    rows_kept = sum(pq.read_metadata(f).num_rows for f in ded_files)
+
+    done_buckets = manifest.completed_groups(pack_dir) if resume else set()
+    missing = [b for b in range(n_buckets) if b not in done_buckets]
+    import shutil
+
+    for b in missing:
+        packed = (
+            _rd.read_parquet(ded_files)
+            .filter(expr=f"bucket == {b}")
+            .groupby("bucket")
+            .map_groups(_make_pack(budget), batch_format="pandas")
+        )
+        tmp = os.path.join(out_dir, f"_tmp_pack_{b}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        packed.write_parquet(tmp)
+        files = _glob.glob(os.path.join(tmp, "*.parquet"))
+        rows = sum(pq.read_metadata(f).num_rows for f in files)
+        n_packs = 0
+        for f in files:
+            col = pq.read_table(f, columns=["pack_id"])["pack_id"]
+            if len(col):
+                n_packs = max(n_packs, int(max(col.to_pylist())) + 1)
+        manifest.commit_group(
+            pack_dir,
+            b,
+            tmp,
+            {
+                "stage": "pack",
+                "bucket": b,
+                "rows": rows,
+                "n_packs": n_packs,
+                "budget": budget,
+                "lineage": {"inputs": ded_files},
+                "engine_version": ENGINE_VERSION,
+            },
+        )
+
+    import json as _json
+
+    packs_total = 0
+    for b in range(n_buckets):
+        with open(manifest.manifest_path(pack_dir, b)) as f:
+            packs_total += int(_json.load(f).get("n_packs", 0))
+    return {
+        "rows_extracted": m_ext.get("rows", 0),
+        "rows_kept": rows_kept,
+        "n_buckets": n_buckets,
+        "packs_total": packs_total,
+        "dedup_resumed": bool(dedup_resumed),
+        "buckets_resumed": sorted(done_buckets & set(range(n_buckets))),
+        "buckets_rebuilt": missing,
+    }

@@ -59,3 +59,65 @@ def test_dedup_and_filter_semantics(built, ray_session):
     want = set(zip(g["conv_id"], g["turn_idx"].astype(int)))
     got = set(zip(mine["conv_id"], mine["turn_idx"].astype(int)))
     assert got == want
+
+
+def test_run_corpus_build_resumable(built, ray_session, tmp_path):
+    """The deployable three-stage build: output matches the query op,
+    a clean re-run resumes everything, and a crashed pack bucket
+    (data without manifest) is redone idempotently."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from pdfrust_ray.pipelines.corpusbuild import run_corpus_build
+    from pdfrust_ray.state import manifest
+
+    d, want = built
+    out = str(tmp_path / "build")
+    m1 = run_corpus_build(d, out, concurrency=2)
+    assert m1["rows_kept"] == len(want)
+    assert m1["buckets_rebuilt"] == list(range(16))
+
+    got = (
+        pq.ParquetDataset(
+            sorted(glob.glob(os.path.join(out, "stage_pack", "group=*", "*.parquet")))
+        )
+        .read()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[list(want.columns)]
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got, want.reset_index(drop=True), check_dtype=False
+    )
+
+    # clean re-run: everything resumes, nothing rebuilt
+    m2 = run_corpus_build(d, out, concurrency=2)
+    assert m2["dedup_resumed"] and m2["buckets_rebuilt"] == []
+    assert m2["packs_total"] == m1["packs_total"]
+
+    # crash simulation: bucket 3's data present but manifest missing
+    os.remove(manifest.manifest_path(os.path.join(out, "stage_pack"), 3))
+    m3 = run_corpus_build(d, out, concurrency=2)
+    assert m3["buckets_rebuilt"] == [3]
+    got3 = (
+        pq.ParquetDataset(
+            sorted(glob.glob(os.path.join(out, "stage_pack", "group=*", "*.parquet")))
+        )
+        .read()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[list(want.columns)]
+    )
+    pd.testing.assert_frame_equal(
+        got3, want.reset_index(drop=True), check_dtype=False
+    )
+
+    # resume=False rebuilds every stage from scratch
+    shutil.rmtree(out)
+    m4 = run_corpus_build(d, out, concurrency=2, resume=False)
+    assert m4["buckets_rebuilt"] == list(range(16))
