@@ -278,6 +278,35 @@ def main() -> dict:
 
     timed("heavy_hitters_det", lambda: heavy_hitters_det(SF_DIR))
 
+    # round-5 additions
+    from pdfrust_ray.pipelines import calibration as cal
+    from pdfrust_ray.pipelines import mixing
+
+    timed(
+        "simhash_hamming_histogram_banded",
+        lambda: dedup.simhash_hamming_histogram_banded(SF_DIR),
+    )
+    timed(
+        "simhash_band_skew_census",
+        lambda: dedup.simhash_band_skew_census(SF_DIR),
+    )
+    timed("doremi_fixedpoint", lambda: mixing.doremi_fixedpoint(SF_DIR))
+    timed("doremi_mix_plan", lambda: mixing.doremi_mix_plan(SF_DIR))
+    timed(
+        "quality_threshold_sweep", lambda: cal.quality_threshold_sweep(SF_DIR)
+    )
+    # jaccard_threshold_sweep is deliberately NOT benched at sf0.1: its
+    # candidate-complete base pair set hits the documented dense-vocab
+    # adversarial regime (fixed 2k-shingle vocabulary -> AllPairs
+    # posting lists ~ corpus-sized; measured minutes at 5k docs, same
+    # regime as exact containment_dedup). It stays an oracled query at
+    # sf0.01 (~20 s); real open-vocabulary corpora thin the lists.
+    timed(
+        "length_bucketed_batch_plan",
+        lambda: llm.length_bucketed_batch_plan(SF_DIR),
+    )
+    timed("pad_efficiency_report", lambda: llm.pad_efficiency_report(SF_DIR))
+
     result = {
         "metric": "extract_pipeline_wall",
         "value": round(headline, 3),

@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray.data as rd
 
 _Q_GRID = list(range(0, 100, 5))  # quality thresholds, centi-units
-_J_GRID = list(range(50, 100, 5))  # jaccard thresholds, centi-units
+_J_GRID = list(range(70, 100, 5))  # jaccard thresholds, centi-units
 
 
 def quality_threshold_sweep(sf_dir: str) -> pd.DataFrame:
@@ -105,24 +105,29 @@ def quality_threshold_sweep_sql() -> str:
 
 def jaccard_threshold_sweep(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Retention curve of near-dup filtering: for every Jaccard
-    threshold t in {0.50, 0.55, ..., 0.95}, the number of qualifying
+    threshold t in {0.70, 0.75, ..., 0.95}, the number of qualifying
     pairs and the number of distinct documents involved — the curve a
     dedup owner reads next to lsh_plan_table's collision S-curves
     before picking the banding AND the cutoff.
 
     Built on the candidate-COMPLETE exact pair set (ngram_jaccard_dedup
-    at the grid minimum 0.50 — prefix-filter recall is guaranteed at
+    at the grid minimum 0.70 — prefix-filter recall is guaranteed at
     the threshold, so every grid point is a subset of the computed
     set); the sweep itself is a driver-side fold over the pair list,
-    which is bounded by the real near-dup mass at 0.5 (the quantity
-    the whole dedup exists to keep small — on a corpus where it is
-    large, sweep the banded-candidate set instead and read the low
-    bins as exact, per simhash_hamming_histogram_banded).
+    bounded by the near-dup mass at 0.70. The grid floor is 0.70:
+    no production dedup runs lower, and the prefix filter weakens
+    quadratically below it. Note the synthetic test corpus is the
+    documented dense-vocab ADVERSARIAL regime for AllPairs (fixed
+    2k-shingle vocabulary -> posting lists ~ corpus-sized), so this
+    sweep costs minutes at 5k docs there and is excluded from the
+    sf0.1 bench; on open-vocabulary corpora the lists thin with
+    corpus growth. For an exploratory low-threshold landscape use
+    the banded hamming histogram instead.
 
     Output: (t_centi, n_pairs, n_docs) int64, ORDER BY t_centi."""
     from ..stages.dedup import ngram_jaccard_dedup
 
-    pairs = ngram_jaccard_dedup(sf_dir, threshold=0.5, k=k)
+    pairs = ngram_jaccard_dedup(sf_dir, threshold=0.7, k=k)
     ja = pairs["jaccard"].to_numpy(dtype=np.float64)
     a = pairs["doc_a"].to_numpy(dtype=np.int64)
     b = pairs["doc_b"].to_numpy(dtype=np.int64)
@@ -144,7 +149,7 @@ def jaccard_threshold_sweep_sql(k: int = 5) -> str:
     grid = ", ".join(str(t) for t in _J_GRID)
     return f"""
         WITH pr AS MATERIALIZED (
-            SELECT * FROM ({minhash_lsh_dedup_sql(threshold=0.5, k=k)})
+            SELECT * FROM ({minhash_lsh_dedup_sql(threshold=0.7, k=k)})
         ), g AS (
             SELECT UNNEST([{grid}]) AS t_centi
         ), hits AS (
