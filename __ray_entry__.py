@@ -1430,6 +1430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_bucketed_batch_plan": llm.length_bucketed_batch_plan,
         # per-bucket padding-efficiency rollup of the same plan
         "pad_efficiency_report": llm.pad_efficiency_report,
+        # whole-conversation SFT context packing (convs never split)
+        "conv_context_pack": _q_conv(cv.conv_context_pack),
         # deterministic greedy-bandit policy replay (exact integer argmax)
         "bandit_greedy_replay": rel.bandit_greedy_replay,
         # exact weighted isotonic regression via the minimax rational form
@@ -2467,6 +2469,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_corpus_build": corpusbuild_mod.transcript_corpus_build_sql(_T2_GOLDEN),
         "length_bucketed_batch_plan": llm.length_bucketed_batch_plan_sql(),
         "pad_efficiency_report": llm.pad_efficiency_report_sql(),
+        "conv_context_pack": cv.conv_context_pack_sql(_T2_SHARDS),
         "bandit_greedy_replay": rel.bandit_greedy_replay_sql(),
         "isotonic_rate_curve": rel.isotonic_rate_curve_sql(),
         "events_pettitt_change": rel.events_pettitt_change_sql(),

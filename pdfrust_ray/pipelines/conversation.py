@@ -3979,3 +3979,123 @@ def dpo_pairs_sql(shards_glob: str, k: int = 3) -> str:
          AND a.next_md5 <> b.next_md5
         ORDER BY a.fingerprint, chosen_conv, rejected_conv
     """
+
+
+def conv_context_pack(
+    corpus_dir: str, budget: int = 2048, n_buckets: int = 16
+) -> pd.DataFrame:
+    """SFT-batch packing at CONVERSATION granularity: whole
+    conversations (never split — the training unit for chat SFT is the
+    full dialogue) greedily packed into context bins of `budget`
+    whitespace tokens. The conversation-level sibling of
+    llmdata.pack_sequences (which packs documents) and of
+    context_truncation (which drops turns to fit serving windows).
+
+    One coarse shuffle: each batch folds its rows to per-conversation
+    token partials keyed by md5(conv_id) % n_buckets; the per-bucket
+    task finishes the conv totals and packs them first-fit in conv_id
+    order — coordination-free across buckets, an oversized
+    conversation gets its own pack. Tokens use the module's EXPLICIT
+    ASCII whitespace class (payloads contain unicode whitespace that
+    RE2's \\s does not match).
+
+    Output: (conv_id, n_turns, n_tokens, bucket, pack_id, pack_pos)
+    int64 except conv_id, ORDER BY conv_id."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\x0c\r]+")
+
+    ds = rd.read_parquet(f"{corpus_dir}/shards", columns=["conv_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from pdfrust_ray.functions.md5vec import md5_prefix_u32
+
+        convs = t["conv_id"].to_pylist()
+        toks = [len(ws.split(x)) for x in t["text"].to_pylist()]
+        df = pd.DataFrame({"conv_id": convs, "tok": toks})
+        g = df.groupby("conv_id", as_index=False).agg(
+            n_turns=("tok", "size"), n_tokens=("tok", "sum")
+        )
+        b = md5_prefix_u32([c.encode() for c in g["conv_id"]]) % n_buckets
+        return pa.table(
+            {
+                "conv_id": pa.array(g["conv_id"], pa.string()),
+                "bucket": pa.array(b.astype(np.int64), pa.int64()),
+                "n_turns": pa.array(g["n_turns"].to_numpy(np.int64)),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64)),
+            }
+        )
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby(["conv_id", "bucket"], as_index=False)
+            .agg(n_turns=("n_turns", "sum"), n_tokens=("n_tokens", "sum"))
+            .sort_values("conv_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pack_id, acc, pos = 0, 0, 0
+        pids, poss = [], []
+        for n in g["n_tokens"]:
+            if acc > 0 and acc + int(n) > budget:
+                pack_id += 1
+                acc = 0
+                pos = 0
+            acc += int(n)
+            pids.append(pack_id)
+            poss.append(pos)
+            pos += 1
+        g["pack_id"] = pd.Series(pids, dtype="int64")
+        g["pack_pos"] = pd.Series(poss, dtype="int64")
+        return g[["conv_id", "n_turns", "n_tokens", "bucket", "pack_id", "pack_pos"]]
+
+    out = (
+        _coalesced(ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(pack_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        if c != "conv_id":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def conv_context_pack_sql(
+    shards_glob: str, budget: int = 2048, n_buckets: int = 16
+) -> str:
+    """Exact twin: per-conv totals, the same md5 bucket, and the
+    greedy close replayed one conversation per recursive round."""
+    return f"""
+        WITH RECURSIVE t AS (
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(length(string_split_regex(text,
+                        '[ \\t\\n\\x0b\\x0c\\r]+'))) AS BIGINT) AS n_tokens,
+                   CAST(CAST(('0x' || substr(md5(conv_id), 1, 8)) AS UBIGINT)
+                        % {n_buckets} AS BIGINT) AS bucket
+            FROM read_parquet('{shards_glob}')
+            GROUP BY conv_id
+        ), o AS (
+            SELECT conv_id, n_turns, n_tokens, bucket,
+                   row_number() OVER (PARTITION BY bucket
+                                      ORDER BY conv_id) AS rn
+            FROM t
+        ), s AS (
+            SELECT conv_id, n_turns, n_tokens, bucket, rn,
+                   CAST(0 AS BIGINT) AS pack_id,
+                   CAST(0 AS BIGINT) AS pack_pos,
+                   n_tokens AS acc
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.conv_id, o.n_turns, o.n_tokens, o.bucket, o.rn,
+                   CASE WHEN s.acc + o.n_tokens > {budget}
+                        THEN s.pack_id + 1 ELSE s.pack_id END,
+                   CASE WHEN s.acc + o.n_tokens > {budget}
+                        THEN 0 ELSE s.pack_pos + 1 END,
+                   CASE WHEN s.acc + o.n_tokens > {budget}
+                        THEN o.n_tokens ELSE s.acc + o.n_tokens END
+            FROM s JOIN o ON o.bucket = s.bucket AND o.rn = s.rn + 1
+        )
+        SELECT conv_id, n_turns, n_tokens, bucket, pack_id, pack_pos
+        FROM s ORDER BY conv_id
+    """

@@ -121,3 +121,30 @@ def test_run_corpus_build_resumable(built, ray_session, tmp_path):
     shutil.rmtree(out)
     m4 = run_corpus_build(d, out, concurrency=2, resume=False)
     assert m4["buckets_rebuilt"] == list(range(16))
+
+
+def test_conv_context_pack(ray_session):
+    """Conversation-granularity packing: twin exact, conversations
+    never split, budget respected for multi-conv packs."""
+    import duckdb
+    import pandas as pd
+
+    from pdfrust_ray.fixtures.corpus import ensure_corpus
+    from pdfrust_ray.pipelines.conversation import (
+        conv_context_pack,
+        conv_context_pack_sql,
+    )
+
+    d = ensure_corpus("t2")
+    mine = conv_context_pack(d)
+    con = duckdb.connect()
+    odf = con.execute(conv_context_pack_sql(f"{d}/shards/*.parquet")).fetchdf()
+    pd.testing.assert_frame_equal(
+        mine.reset_index(drop=True), odf.reset_index(drop=True), check_dtype=False
+    )
+    # one row per conversation (never split)
+    assert mine["conv_id"].is_unique
+    for (_, _), g in mine.groupby(["bucket", "pack_id"]):
+        assert list(g.sort_values("conv_id")["pack_pos"]) == list(range(len(g)))
+        if len(g) > 1:
+            assert int(g["n_tokens"].sum()) <= 2048
