@@ -306,6 +306,8 @@ def main() -> dict:
         lambda: llm.length_bucketed_batch_plan(SF_DIR),
     )
     timed("pad_efficiency_report", lambda: llm.pad_efficiency_report(SF_DIR))
+    # whole-conversation packing over the full 800k-turn corpus
+    timed("conv_context_pack", lambda: cv.conv_context_pack(fix_dir))
 
     result = {
         "metric": "extract_pipeline_wall",
