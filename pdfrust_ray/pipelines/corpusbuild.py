@@ -124,6 +124,34 @@ def _make_pack(budget: int):
     return pack
 
 
+def corpus_build_from_extracted(
+    ext,
+    quality_cut_centi: int = 30,
+    budget: int = 256,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """The post-extraction chain (filter -> dedup -> pack) over an
+    already-extracted Dataset — shared by the full pipeline and by
+    callers that hold the extraction output already (e.g. the driver
+    contract, which memoizes ONE t2 extraction across all extract-*
+    queries)."""
+    out = (
+        ext.map_batches(
+            _make_prep(quality_cut_centi / 100.0, n_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("dshard")
+        .map_groups(_dedup_shard, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_make_pack(budget), batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        if c != "conv_id":
+            out[c] = out[c].astype("int64")
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 def transcript_corpus_build(
     corpus_dir: str,
     quality_cut_centi: int = 30,
@@ -145,21 +173,12 @@ def transcript_corpus_build(
         order=False,
         concurrency=concurrency,
     )
-    out = (
-        ext.map_batches(
-            _make_prep(quality_cut_centi / 100.0, n_buckets),
-            batch_format="pyarrow",
-        )
-        .groupby("dshard")
-        .map_groups(_dedup_shard, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(_make_pack(budget), batch_format="pandas")
-        .to_pandas()
+    return corpus_build_from_extracted(
+        ext,
+        quality_cut_centi=quality_cut_centi,
+        budget=budget,
+        n_buckets=n_buckets,
     )
-    for c in out.columns:
-        if c != "conv_id":
-            out[c] = out[c].astype("int64")
-    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
 def transcript_corpus_build_sql(
