@@ -449,8 +449,13 @@ dw AS (
     ) AS word
     FROM documents
 )
-SELECT dw.doc_id, CAST(SUM(wlen.n) AS BIGINT) AS n_bpe_tokens
-FROM dw JOIN wlen ON wlen.word = dw.word
+-- LEFT JOIN from documents: a token-less doc (empty/whitespace text)
+-- encodes to 0 BPE tokens and must still get a row — the engine
+-- emits one (edge-corpus probe, round 5)
+SELECT d.doc_id, CAST(COALESCE(SUM(wlen.n), 0) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id::BIGINT AS doc_id FROM documents) d
+LEFT JOIN dw ON dw.doc_id = d.doc_id
+LEFT JOIN wlen ON wlen.word = dw.word
 GROUP BY 1 ORDER BY 1
 """
 

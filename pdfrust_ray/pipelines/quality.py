@@ -959,14 +959,24 @@ def oov_rate_sql(vocab_size: int = 16) -> str:
                 SELECT t, COUNT(*) AS c FROM tt GROUP BY 1
             ) QUALIFY row_number() OVER (ORDER BY c DESC, t) <= {vocab_size}
         )
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               CAST(SUM(CASE WHEN t NOT IN (SELECT t FROM vocab)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-               CAST((SUM(CASE WHEN t NOT IN (SELECT t FROM vocab)
-                              THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
-                    AS BIGINT) AS oov_ppm
-        FROM tt GROUP BY doc_id ORDER BY doc_id
+        , per AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN t NOT IN (SELECT t FROM vocab)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   CAST((SUM(CASE WHEN t NOT IN (SELECT t FROM vocab)
+                                  THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+                        AS BIGINT) AS oov_ppm
+            FROM tt GROUP BY doc_id
+        )
+        -- LEFT JOIN: a token-less doc audits as (0, 0, 0) and the
+        -- engine emits it (edge-corpus probe, round 5)
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.n_oov, 0) AS n_oov,
+               COALESCE(p.oov_ppm, 0) AS oov_ppm
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id
     """
 
 

@@ -603,7 +603,12 @@ def charset_best_match(
     float64 block worst-case). Past the cap the call FALLS BACK to the
     documented overflow path charset_best_match_lsh (on_overflow
     ="lsh", approximate — no u x u matrix is ever built) or raises
-    (on_overflow="raise") so the cap can never be exceeded silently."""
+    (on_overflow="raise") so the cap can never be exceeded silently.
+
+    Twin-domain caveat (edge-corpus probe, round 5): DuckDB's
+    jaccard() RAISES on empty-string input, so the SQL twin is only
+    defined over corpora with non-empty texts (all fixtures qualify);
+    the engine itself handles empty docs (empty byte-set mask)."""
     stats = _mask_group_stats(sf_dir).to_pandas().sort_values("min1").reset_index(drop=True)
     u = len(stats)
     if u > max_unique_masks:
@@ -1132,9 +1137,17 @@ def feature_hashing_sql(n_buckets: int = 64) -> str:
         ), c AS (
             SELECT doc_id, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2
         )
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
-               md5(string_agg(bkt || ':' || n, '|' ORDER BY bkt)) AS sig
-        FROM c GROUP BY doc_id ORDER BY doc_id
+        , per AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
+                   md5(string_agg(bkt || ':' || n, '|' ORDER BY bkt)) AS sig
+            FROM c GROUP BY doc_id
+        )
+        -- LEFT JOIN: a token-less doc hashes to the empty vector
+        -- (nnz=0, sig=md5('')) and the engine emits it
+        SELECT d.doc_id, COALESCE(p.nnz, 0) AS nnz,
+               COALESCE(p.sig, md5('')) AS sig
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id
     """
 
 
@@ -1557,11 +1570,15 @@ def doc_adler32_audit_sql() -> str:
                    SUM((n - i + 1) * c) AS ws
             FROM chars GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(((n + ws) % {_ADLER_MOD}) * 65536
-                    + (1 + s) % {_ADLER_MOD} AS BIGINT) AS adler32
-        FROM agg
-        ORDER BY doc_id
+        -- LEFT JOIN: the empty document has no char rows but a defined
+        -- checksum (a=1, b=0 -> 1), and the engine emits it
+        SELECT d.doc_id,
+               CAST(((COALESCE(a.n, 0) + COALESCE(a.ws, 0)) % {_ADLER_MOD})
+                        * 65536
+                    + (1 + COALESCE(a.s, 0)) % {_ADLER_MOD} AS BIGINT)
+                   AS adler32
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
     """
 
 
@@ -2028,7 +2045,20 @@ def heaps_law_fit(sf_dir: str) -> pd.DataFrame:
         sxy = sum(a * b for a, b in zip(qx, qy))
         num = n * sxy - sx * sy  # >= 0: similarly ordered sequences
         den = n * sxx - sx * sx
-        assert num >= 0 and den > 0
+        if den <= 0:
+            # fewer than two distinct curve points (e.g. a source whose
+            # docs are all token-less, or a single doc): the slope is
+            # undefined — drop the source, mirroring the twin's HAVING
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "total_tokens": pd.Series([], dtype="int64"),
+                    "vocab": pd.Series([], dtype="int64"),
+                    "slope_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        assert num >= 0
         return pd.DataFrame(
             {
                 "source": [g["source"].iloc[0]],
@@ -2088,7 +2118,9 @@ def heaps_law_fit_sql() -> str:
                CAST(1000000 * (COUNT(*) * SUM(qx * qy) - SUM(qx) * SUM(qy))
                     // (COUNT(*) * SUM(qx * qx) - SUM(qx) * SUM(qx))
                     AS BIGINT) AS slope_micro
-        FROM q GROUP BY source ORDER BY source
+        FROM q GROUP BY source
+        HAVING (COUNT(*) * SUM(qx * qx) - SUM(qx) * SUM(qx)) > 0
+        ORDER BY source
     """
 
 
@@ -2598,23 +2630,38 @@ def nb_source_confusion_sql() -> str:
                         AS BIGINT) AS qp
             FROM srcs CROSS JOIN dn
         ), lik AS (
-            SELECT s.source, vb.token,
+            -- FROM srcs (every source with DOCS), not st (sources with
+            -- tokens): a token-less candidate source still gets fully
+            -- smoothed likelihoods ln(1/(0+V)) — the engine's matrix
+            -- covers it and votes it down per token, it does not win
+            -- by prior alone
+            SELECT sr.source, vb.token,
                    CAST(FLOOR(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
-                                 / (s.ts + vn.v)) * 1e9 + 0.5) AS BIGINT)
-                       AS ql
-            FROM st s CROSS JOIN vocab vb CROSS JOIN vn
-            LEFT JOIN cnt c ON c.source = s.source AND c.token = vb.token
+                                 / (COALESCE(s.ts, 0) + vn.v)) * 1e9 + 0.5)
+                        AS BIGINT) AS ql
+            FROM srcs sr
+            LEFT JOIN st s USING (source)
+            CROSS JOIN vocab vb CROSS JOIN vn
+            LEFT JOIN cnt c ON c.source = sr.source AND c.token = vb.token
         ), doc_tok AS (
             SELECT doc_id, true_source, token,
                    CAST(COUNT(*) AS BIGINT) AS m
             FROM tok GROUP BY 1, 2, 3
-        ), scores AS (
-            SELECT dt.doc_id, dt.true_source, l.source AS cand,
-                   CAST(SUM(dt.m * l.ql) AS BIGINT) + MAX(p.qp) AS score
+        ), tok_score AS (
+            SELECT dt.doc_id, l.source AS cand,
+                   CAST(SUM(dt.m * l.ql) AS BIGINT) AS ts_
             FROM doc_tok dt
             JOIN lik l USING (token)
-            JOIN prior p ON p.source = l.source
-            GROUP BY 1, 2, 3
+            GROUP BY 1, 2
+        ), scores AS (
+            -- CROSS JOIN from documents: a token-less doc is scored by
+            -- the prior alone (the engine does), not dropped
+            SELECT d.doc_id, d.source AS true_source, p.source AS cand,
+                   COALESCE(t.ts_, 0) + p.qp AS score
+            FROM documents d
+            CROSS JOIN prior p
+            LEFT JOIN tok_score t
+                   ON t.doc_id = d.doc_id AND t.cand = p.source
         ), pred AS (
             SELECT doc_id, true_source, cand AS pred_source,
                    ROW_NUMBER() OVER (PARTITION BY doc_id

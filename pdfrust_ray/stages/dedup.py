@@ -1227,10 +1227,13 @@ def incremental_dedup(sf_dir: str, n_words: int = 8) -> pd.DataFrame:
 def incremental_dedup_sql(n_words: int = 8) -> str:
     return rf"""
         WITH heads AS (
+          -- COALESCE: DuckDB's array_to_string([]) is NULL, but the
+          -- engine's md5 of a token-less head is md5('') — a
+          -- whitespace-only doc still has a (degenerate) fingerprint
           SELECT doc_id,
-                 md5(array_to_string(
+                 md5(COALESCE(array_to_string(
                      list_filter(string_split_regex(text, '\s+'), w -> w <> '')[1:{n_words}],
-                     ' ')) AS head_md5
+                     ' '), '')) AS head_md5
           FROM documents
         )
         SELECT d.doc_id, d.head_md5
@@ -1901,9 +1904,12 @@ def prefix_cluster_keep_best(sf_dir: str, k_prefix: int = 5) -> pd.DataFrame:
 def prefix_cluster_keep_best_sql(k_prefix: int = 5) -> str:
     return rf"""
         WITH q AS (
+            -- COALESCE: array_to_string([]) is NULL in DuckDB; the
+            -- engine fingerprints a token-less head as md5('')
             SELECT doc_id,
-                   md5(array_to_string(list_filter(string_split_regex(text, '\s+'),
-                                                   w -> w <> '')[1 : {k_prefix}], ' '))
+                   md5(COALESCE(array_to_string(
+                       list_filter(string_split_regex(text, '\s+'),
+                                   w -> w <> '')[1 : {k_prefix}], ' '), ''))
                        AS prefix_hash,
                    CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
                                              w -> w <> '')) = 0 THEN 0
